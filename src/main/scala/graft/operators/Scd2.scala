@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ScdConfig
+import graft.functions.ScdFunctions._
+
+/** SCD Type 2 maintenance: full temporal history with audit columns.
+  *
+  * Spark-first re-expression of the reference's type-2 pipeline:
+  *   - initial load  -> `get_initial_load_scd2_sql.sql:33-96`
+  *   - incremental   -> `get_incremental_scd2_sql.sql:75-268` (the 9-CTE MERGE)
+  *
+  * All computation is one lazy DataFrame DAG per call — Catalyst plans the
+  * joins/windows; the only shuffles are the business-key window exchanges and
+  * the merge join. The batch side is small relative to the dimension, so the
+  * affected-key semi-join (J1) keeps incremental cost proportional to batch
+  * size, not table size.
+  */
+object Scd2 {
+
+  // Internal working-column names (same spellings as the reference CTEs).
+  val KeyCol = "_scd2_key" // version identity hash: unique_key + updated_at
+  val BkCol = "_scd2_business_key" // business-key-only hash
+  val HashCol = "_scd2_hash" // change-detection content hash
+  val PrevHashCol = "_prev_hash"
+  val RunIdCol = "_run_id"
+  val SourceCol = "_source"
+  val PriorityCol = "_priority"
+  val OpCol = "_scd2_op"
+
+  /** Initial (full-refresh) load: delta batch -> complete SCD2 history.
+    * Mirrors `get_initial_load_scd2_sql.sql:52-96`.
+    */
+  def initialLoad(delta: DataFrame, cfg: ScdConfig): DataFrame = {
+    cfg.validate()
+    val cols = delta.columns.toSeq
+    cfg.validateSchema(cols)
+    val keys = cfg.uniqueKey.map(resolveCi(cols, _))
+    val updatedAt = resolveCi(cols, cfg.updatedAtCol)
+    val check = cfg.checkColumns(cols)
+
+    val source = delta
+      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
+      .withColumn(HashCol, surrogateKeyOf(check))
+
+    // D1: one row per (key, updated_at). The reference's `order by 1` picks an
+    // arbitrary winner (`get_initial_load_scd2_sql.sql:60-67`); we order by the
+    // content hash for determinism (SURVEY.md §7.4.2, deliberate divergence).
+    val deduped = source
+      .withColumn("_rn",
+                  row_number().over(
+                    Window.partitionBy(col(KeyCol)).orderBy(col(HashCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    // W1 + P3: keep first-or-changed versions only.
+    val w = versionWindow(keys, updatedAt)
+    val changesOnly = deduped
+      .withColumn(PrevHashCol, lag(col(HashCol), 1).over(w))
+      .filter(col(PrevHashCol).isNull || col(HashCol) =!= col(PrevHashCol))
+
+    withAuditColumns(changesOnly, cfg, keys, updatedAt)
+      .select(cols.map(col) ++ cfg.auditColumns.map(col): _*)
+  }
+
+  /** The MERGE source relation: `scd2_versions UNION ALL redundant_versions`
+    * with `_scd2_op` ('upsert'/'delete') and the `_scd2_key` join hash.
+    * Mirrors the `using (...)` subquery of `get_incremental_scd2_sql.sql:76-236`.
+    *
+    * Exposed separately so callers can inspect the planned actions; `incremental`
+    * applies it to the target snapshot.
+    */
+  def mergeSource(target: DataFrame, delta: DataFrame, cfg: ScdConfig): DataFrame = {
+    cfg.validate()
+    val deltaCols = delta.columns.toSeq
+    cfg.validateSchema(deltaCols)
+    // dest_columns minus audit columns = the business columns; the delta batch
+    // normally has no audit columns, the target always does.
+    val destCols = businessColumns(deltaCols, cfg.auditColumns)
+    val keys = cfg.uniqueKey.map(resolveCi(destCols, _))
+    val updatedAt = resolveCi(destCols, cfg.updatedAtCol)
+    val check = cfg.checkColumns(destCols)
+    val targetCols = target.columns.toSeq
+    val validTo = resolveCi(targetCols, cfg.validToCol)
+    val hasLoadedAt = containsCi(destCols, cfg.loadedAtCol)
+    val collapse = cfg.effectiveCollapse
+
+    // new_records (:79-89)
+    val newRecords = delta
+      .select(destCols.map(col): _*)
+      .withColumn(SourceCol, lit("new"))
+      .withColumn(PriorityCol, lit(17))
+      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
+      .withColumn(BkCol, surrogateKeyOf(keys))
+      .withColumn(HashCol, surrogateKeyOf(check))
+
+    // previous_record (:93-118): pull from the target ONLY prior versions of
+    // keys present in the batch — the affected-key pruning that keeps
+    // incremental cost ∝ batch size. Matched on the null-safe business-key
+    // hash, not per-column equality (J1). When update_all_previous_records is
+    // off, restrict further to windows a new row could land in (J2).
+    val targetKeyed = target.as("p")
+    val probeCols =
+      if (cfg.updateAllPreviousRecords) newRecords.select(col(BkCol)).distinct()
+      else newRecords.select(col(BkCol), col(updatedAt).as("_n_updated_at")).distinct()
+    val probe = probeCols.as("n")
+    val semiCond =
+      if (cfg.updateAllPreviousRecords)
+        surrogateKey(keys.map(k => col(s"p.$k"))) === col(s"n.$BkCol")
+      else
+        surrogateKey(keys.map(k => col(s"p.$k"))) === col(s"n.$BkCol") &&
+          col("_n_updated_at") <= col(s"p.$validTo")
+    val previousRecord = targetKeyed
+      .join(probe, semiCond, "left_semi")
+      .select(destCols.map(c => col(resolveCi(targetCols, c)).as(c)): _*)
+      .withColumn(SourceCol, lit("previous"))
+      .withColumn(PriorityCol, lit(0))
+      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
+      .withColumn(HashCol, surrogateKeyOf(check))
+
+    // all_records (:123-145) ∪ dedup per version key (:149-156). The reference
+    // `order by 1` is arbitrary; its stated intent (':149-150' comment + the
+    // _priority tags) is previous-wins, so order by _priority (0 = previous)
+    // with the content hash as a deterministic tie-break.
+    val allRecords = newRecords
+      .drop(BkCol)
+      .unionByName(previousRecord)
+    val deduped = allRecords
+      .withColumn(
+        "_rn",
+        row_number().over(
+          Window.partitionBy(col(KeyCol)).orderBy(col(PriorityCol), col(HashCol))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    // compare_versions (:160-166): lag hash + conditional_change_event run id.
+    val w = versionWindow(keys, updatedAt)
+    val compared = withRunId(
+      deduped.withColumn(PrevHashCol, lag(col(HashCol), 1).over(w)),
+      HashCol, keys, updatedAt, RunIdCol)
+
+    // changes_only (:178-197): canonical timeline. Collapsing keeps one row per
+    // content run, earliest-loaded (then earliest-updated) wins, so a later
+    // load carrying identical content never displaces the persisted version.
+    // Non-collapse keeps run openers plus every already-persisted row.
+    val changesOnly =
+      if (collapse) {
+        val order =
+          (if (hasLoadedAt) Seq(col(resolveCi(destCols, cfg.loadedAtCol)).asc)
+           else Nil) :+ col(updatedAt).asc
+        compared
+          .withColumn("_rn",
+                      row_number().over(Window
+                        .partitionBy((keys :+ RunIdCol).map(col): _*)
+                        .orderBy(order: _*)))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+      } else {
+        compared.filter(
+          col(PrevHashCol).isNull ||
+            col(HashCol) =!= col(PrevHashCol) ||
+            col(SourceCol) === "previous")
+      }
+
+    // scd2_versions (:201-211): recompute audit columns over the canonical
+    // timeline; everything here is an upsert.
+    val versions = withAuditColumns(changesOnly, cfg, keys, updatedAt)
+      .withColumn(OpCol, lit("upsert"))
+      .select((destCols ++ cfg.auditColumns :+ OpCol :+ KeyCol).map(col): _*)
+
+    if (!collapse) versions
+    else {
+      // redundant_versions (:218-229): existing versions no longer canonical
+      // are deleted. `left_anti` is exact here because _scd2_key is an md5 —
+      // never NULL (SURVEY.md §7.4.6).
+      val redundant = previousRecord
+        .join(changesOnly.select(KeyCol), Seq(KeyCol), "left_anti")
+        .withColumn(cfg.isCurrentCol, lit(null).cast("boolean"))
+        .withColumn(cfg.validFromCol, lit(null).cast("timestamp"))
+        .withColumn(cfg.validToCol, lit(null).cast("timestamp"))
+        .withColumn(cfg.changeTypeCol, lit(null).cast("string"))
+        .withColumn(OpCol, lit("delete"))
+        .select((destCols ++ cfg.auditColumns :+ OpCol :+ KeyCol).map(col): _*)
+      versions.unionByName(redundant)
+    }
+  }
+
+  /** Incremental update: apply the merge source to the existing target and
+    * return the resulting snapshot. Join-based rewrite of the reference MERGE
+    * (`get_incremental_scd2_sql.sql:238-268`, SURVEY.md §4.3): full-outer join
+    * on the null-safe `_scd2_key` hash, then per row
+    *   - matched ∧ op='delete'  -> drop (version collapsed out of the timeline)
+    *   - matched ∧ op='upsert'  -> target row with ONLY `merge_update_cols`
+    *                               replaced ([_is_current, _valid_to]
+    *                               (+ _change_type when update_all_previous_records))
+    *   - not matched ∧ 'upsert' -> insert the computed row
+    *   - target-only            -> keep unchanged
+    */
+  def incremental(target: DataFrame, delta: DataFrame, cfg: ScdConfig): DataFrame = {
+    val source = mergeSource(target, delta, cfg)
+    applyMerge(target, source, cfg)
+  }
+
+  /** Apply a computed merge source to the target snapshot (see `incremental`). */
+  def applyMerge(target: DataFrame, source: DataFrame, cfg: ScdConfig): DataFrame = {
+    val targetCols = target.columns.toSeq
+    val keys = cfg.uniqueKey.map(resolveCi(targetCols, _))
+    val updatedAt = resolveCi(targetCols, cfg.updatedAtCol)
+    val updateCols = cfg.mergeUpdateCols.map(_.toUpperCase).toSet
+
+    // DEST hashes its key inline (the target doesn't persist _scd2_key);
+    // SOURCE reuses the propagated one (`get_incremental_scd2_sql.sql:240-246`).
+    val t = target
+      .withColumn("_t_key", surrogateKeyOf(keys :+ updatedAt))
+      .withColumn("_t_exists", lit(true))
+    val s = source.columns.foldLeft(source)((df, c) => df.withColumnRenamed(c, s"_s_$c"))
+      .withColumn("_s_exists", lit(true))
+
+    val joined = t.join(s, col("_t_key") === col(s"_s_$KeyCol"), "full_outer")
+    val matched = col("_t_exists").isNotNull && col("_s_exists").isNotNull
+    val sourceOnly = col("_t_exists").isNull
+    val isDelete = col(s"_s_$OpCol") === "delete"
+
+    val kept = joined.filter(!(matched && isDelete) && !(sourceOnly && isDelete))
+    val out = targetCols.map { c =>
+      val fromSource = col(s"_s_$c")
+      val expr =
+        if (updateCols.contains(c.toUpperCase))
+          when(sourceOnly || matched, fromSource).otherwise(col(c))
+        else
+          when(sourceOnly, fromSource).otherwise(col(c))
+      expr.as(c)
+    }
+    kept.select(out: _*)
+  }
+
+  /** The four audit columns over an already-canonical timeline (W3-W6). */
+  private def withAuditColumns(df: DataFrame,
+                               cfg: ScdConfig,
+                               keys: Seq[String],
+                               updatedAt: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val createdAt = cfg.createdAtCol.map(resolveCi(cols, _))
+    val deletedAt = cfg.deletedAtCol.map(resolveCi(cols, _))
+    df.withColumn(cfg.isCurrentCol, isCurrent(keys, updatedAt))
+      .withColumn(cfg.validFromCol,
+                  validFrom(keys, updatedAt, createdAt, deletedAt))
+      .withColumn(cfg.validToCol, validTo(keys, updatedAt, cfg.defaultValidTo))
+      .withColumn(cfg.changeTypeCol, changeType(keys, updatedAt, deletedAt))
+  }
+}
