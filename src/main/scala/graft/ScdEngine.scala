@@ -1,0 +1,169 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ScdFunctions._
+import graft.operators.{Scd01, Scd2}
+
+/** Table-maintenance entry point: the Spark counterpart of one `dbt run` of an
+  * SCD model (`/root/reference/macros/materializations/scd/materialization_scd.sql:19-40`
+  * + `scd_plan.sql:24-282`), including the MERGE sink rewrite of SURVEY.md §4.3.
+  *
+  * Vanilla Spark-over-Parquet has no transactional MERGE, so the merge result
+  * is computed as a full snapshot and swapped in via write-new-dir-and-rename.
+  * Atomicity story (SURVEY.md §7.4.1): the new snapshot is fully written to a
+  * sibling `<target>.tmp` directory before any destructive rename; a crash
+  * before the swap leaves the old table intact, a crash between the two renames
+  * leaves `<target>.old` recoverable by hand. (A real deployment would layer a
+  * transactional table format; the engine semantics are format-agnostic.)
+  *
+  * == Scale design: key-bucketed layout ==
+  *
+  * With `numBuckets = Some(n)` the dimension is laid out as
+  * `<target>/_scd2_bucket=<pmod(hash(keys), n)>/...`. A business key lives
+  * wholly inside one bucket, and every operator in the engine partitions its
+  * work by business key, so an incremental run:
+  *
+  *   1. computes the distinct buckets touched by the delta batch (a tiny
+  *      aggregate over the batch),
+  *   2. reads ONLY those partitions of the target (static partition pruning at
+  *      the parquet scan — untouched buckets are never read),
+  *   3. runs the merge over the pruned slice,
+  *   4. rewrites ONLY the touched bucket directories.
+  *
+  * Incremental cost is therefore ∝ batch size (+ affected-key history), not
+  * dimension size — the property Snowflake's micro-partition pruning gives the
+  * reference via `incremental_predicates`
+  * (`get_incremental_scd2_sql.sql:247-255`), achieved here with a layout the
+  * engine controls. At 100 TB / 1000 executors, an unbucketed incremental run
+  * would rewrite the whole table every batch; the bucketed path touches
+  * `O(|delta keys| / n)` of it.
+  */
+object ScdEngine {
+
+  /** Partition-directory column for the bucketed layout. */
+  val BucketCol = "_scd2_bucket"
+
+  /** Run one SCD maintenance step against a Parquet table at `targetPath`:
+    * initial load when the target does not exist (or `fullRefresh`), otherwise
+    * incremental merge. Returns the post-run snapshot (read back from disk —
+    * lineage is truncated at the write, exactly like a warehouse table).
+    */
+  def run(spark: SparkSession,
+          delta: DataFrame,
+          targetPath: String,
+          cfg: ScdConfig,
+          fullRefresh: Boolean = false,
+          numBuckets: Option[Int] = None): DataFrame = {
+    cfg.validate()
+    val fs = fileSystem(spark, targetPath)
+    val exists = fs.exists(new Path(targetPath))
+    // S2: materialize the batch once (temp CTAS equivalent) so schema
+    // introspection + the multiple passes below reuse one computation.
+    val batch = delta.cache()
+    try {
+      if (!exists || fullRefresh) {
+        val snapshot = initial(batch, cfg)
+        atomicSwap(spark, fs, withBucket(snapshot, cfg, numBuckets), targetPath, numBuckets)
+      } else {
+        numBuckets match {
+          case Some(n) => incrementalBucketed(spark, fs, batch, targetPath, cfg, n)
+          case None =>
+            val target = spark.read.parquet(targetPath)
+            val snapshot = incremental(target, batch, cfg)
+            atomicSwap(spark, fs, snapshot, targetPath, numBuckets)
+        }
+      }
+    } finally batch.unpersist() // S7: post-run temp drop
+    spark.read.parquet(targetPath)
+  }
+
+  /** Type-dispatched initial load (`scd_plan.sql:111-149,258-265`). */
+  def initial(delta: DataFrame, cfg: ScdConfig): DataFrame =
+    if (cfg.scdType == 2) Scd2.initialLoad(delta, cfg)
+    else Scd01.initialLoad(delta, cfg)
+
+  /** Type-dispatched incremental merge returning the new snapshot. */
+  def incremental(target: DataFrame, delta: DataFrame, cfg: ScdConfig): DataFrame =
+    if (cfg.scdType == 2) Scd2.incremental(target, delta, cfg)
+    else Scd01.incremental(target, delta, cfg)
+
+  /** Deterministic bucket id for a row's business key: murmur3 over the key
+    * columns (null-tolerant), non-negative mod n. Stable across writes, so a
+    * key always lands in the same partition directory.
+    */
+  def bucketOf(keys: Seq[String], n: Int) =
+    pmod(hash(keys.map(col): _*), lit(n))
+
+  private def withBucket(df: DataFrame, cfg: ScdConfig, numBuckets: Option[Int]): DataFrame =
+    numBuckets match {
+      case Some(n) =>
+        val keys = cfg.uniqueKey.map(resolveCi(df.columns.toSeq, _))
+        df.withColumn(BucketCol, bucketOf(keys, n))
+      case None => df
+    }
+
+  /** Incremental over a bucketed target: prune target scan AND rewrite to the
+    * buckets the batch touches.
+    */
+  private def incrementalBucketed(spark: SparkSession,
+                                  fs: FileSystem,
+                                  batch: DataFrame,
+                                  targetPath: String,
+                                  cfg: ScdConfig,
+                                  n: Int): Unit = {
+    val keys = cfg.uniqueKey.map(resolveCi(batch.columns.toSeq, _))
+    // Tiny driver-side aggregate: which buckets does the batch touch?
+    val touched = batch
+      .select(bucketOf(keys, n).as(BucketCol))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    val target = spark.read
+      .parquet(targetPath)
+      .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
+      .drop(BucketCol)
+    val snapshot = incremental(target, batch, cfg)
+    val bucketed = withBucket(snapshot, cfg, Some(n))
+
+    // Write the touched buckets to a tmp dir, then swap each bucket directory.
+    val tmp = targetPath + ".tmp"
+    fs.delete(new Path(tmp), true)
+    bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
+    for (b <- touched) {
+      val dst = new Path(s"$targetPath/$BucketCol=$b")
+      val src = new Path(s"$tmp/$BucketCol=$b")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Write-new-dir-and-swap (SURVEY.md §4.3.2): breaks the read-write cycle on
+    * `targetPath` (the snapshot's lineage reads the same path it replaces).
+    */
+  private def atomicSwap(spark: SparkSession,
+                         fs: FileSystem,
+                         snapshot: DataFrame,
+                         targetPath: String,
+                         numBuckets: Option[Int]): Unit = {
+    val tmp = new Path(targetPath + ".tmp")
+    val old = new Path(targetPath + ".old")
+    val dst = new Path(targetPath)
+    fs.delete(tmp, true)
+    val writer = snapshot.write.mode("overwrite")
+    numBuckets.fold(writer)(_ => writer.partitionBy(BucketCol)).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
+  }
+
+  private def fileSystem(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+}

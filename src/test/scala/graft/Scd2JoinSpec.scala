@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Scd2, Scd2Join}
+
+/** Temporal-join tests over the reference's scd2_join seed tables
+  * (`integration_tests/seeds/scd2_join/`, models `customers_with_addresses`
+  * etc.): single-key three-way join and composite-key join.
+  */
+class Scd2JoinSpec extends SparkTestBase {
+
+  private def src(name: String, keyCols: Seq[String], payload: Map[String, String]): DataFrame = {
+    val base = seed(s"scd2_join/$name.csv")
+    val casts = base.columns.map {
+      case "_updated_at"                => tsCol("_updated_at")
+      case c if keyCols.contains(c)     => col(c).cast("int").as(c)
+      case c if payload.contains(c)     => col(c).cast(payload(c)).as(c)
+      case c                            => col(c)
+    }
+    base.select(casts.toSeq: _*)
+  }
+
+  private def dim(name: String, keys: Seq[String], payload: Map[String, String] = Map.empty): DataFrame =
+    Scd2.initialLoad(src(name, keys, payload), ScdConfig(uniqueKey = keys))
+
+  test("three-way temporal join reconstructs point-in-time state") {
+    val customers = dim("customers_source", Seq("customer_id"))
+    val addresses = dim("addresses_source", Seq("customer_id"))
+    val ratings = dim("credit_ratings_source", Seq("customer_id"),
+      Map("credit_score" -> "int"))
+
+    val joined = Scd2Join(
+      Seq("customers" -> customers.select("customer_id", "customer_name", "email", "_valid_from", "_valid_to"),
+          "addresses" -> addresses.select("customer_id", "city", "state", "_valid_from", "_valid_to"),
+          "ratings" -> ratings.select("customer_id", "credit_rating", "credit_score", "_valid_from", "_valid_to")),
+      Seq("customer_id")).cache()
+
+    // customer 1 changes at 01-01 (all three), 01-10 (address), 01-12
+    // (rating), 01-15 (customer), 01-18 (rating) -> 5 spine segments
+    val c1 = joined.filter(col("customer_id") === 1).orderBy("_valid_from").collect()
+    assert(c1.length === 5)
+
+    // at 01-12 only the rating changed; customer/address versions replicate
+    val seg = c1(2)
+    assert(seg.getAs[java.sql.Timestamp]("_valid_from") === ts("2024-01-12 00:00:00"))
+    assert(seg.getAs[String]("customers_email") === "alice@old.com")
+    assert(seg.getAs[String]("addresses_city") === "Boston")
+    assert(seg.getAs[Int]("ratings_credit_score") === 780)
+
+    // final segment is current and open-ended
+    assert(c1.last.getAs[Boolean]("_is_current"))
+    assert(c1.last.getAs[java.sql.Timestamp]("_valid_to") === ts("2999-12-31 23:59:59"))
+    assert(c1.last.getAs[String]("customers_email") === "alice@new.com")
+    assert(c1.last.getAs[String]("ratings_credit_rating") === "B")
+
+    // spine windows are continuous per key
+    val spineCfg = ScdConfig(uniqueKey = Seq("customer_id"))
+    assert(ScdInvariants.continuousValidityWindows(joined, spineCfg).count() === 0)
+    assert(ScdInvariants.oneCurrentPerKey(joined, spineCfg).count() === 0)
+  }
+
+  test("composite-key temporal join (customer_id, order_id)") {
+    val keys = Seq("customer_id", "order_id")
+    val orders = dim("orders_source", keys)
+    val items = dim("order_items_source", keys, Map("quantity" -> "int"))
+
+    val joined = Scd2Join(
+      Seq("orders" -> orders.select("customer_id", "order_id", "order_status", "_valid_from", "_valid_to"),
+          "items" -> items.select("customer_id", "order_id", "item_name", "quantity", "_valid_from", "_valid_to")),
+      keys).cache()
+
+    // order (1,100): changes at 01-02, 01-03, 01-04 (item qty), 01-05 -> 4 segments
+    val o = joined
+      .filter(col("customer_id") === 1 && col("order_id") === 100)
+      .orderBy("_valid_from").collect()
+    assert(o.length === 4)
+    // 01-04 segment: status still 'processing' (01-03 version), qty now 3
+    assert(o(2).getAs[String]("orders_order_status") === "processing")
+    assert(o(2).getAs[Int]("items_quantity") === 3)
+  }
+}
