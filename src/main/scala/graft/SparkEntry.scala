@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Scd01, Scd2, Scd2Join}
+import graft.operators.{Dedup, Scd01, Scd2, Scd2Join, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -124,8 +124,59 @@ object SparkEntry {
         .filter(unix_micros(col("ts")) <= wm)
         .withColumn("_loaded_at", col("ts"))
       IncrementalSource.scan(all, Some(target), loadedAtCol = "ts")
+    }),
+    // --- Text analysis (training-data pipeline ops over `documents`) ------
+    "q13_text_metrics" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .select("doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "n_punct",
+                "n_stopwords", "is_quality")),
+    "q14_text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+                          TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "q15_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.shingleFingerprint(col("text"), 5).as("shingle_fp"))),
+    // --- Deduplication ----------------------------------------------------
+    "q16_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+    "q17_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
+                              tauNum = 1, tauDen = 2)),
+    "q18_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                            bands = 4, rows = 3, tauNum = 1, tauDen = 2)),
+    "q19_dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Dedup.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))),
+    "q20_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    "q21_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", tau = 0.4)),
+    // --- Similarity search (ANN over embeddings) --------------------------
+    "q22_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e,
+                                "vec_id", "embedding", k = 10)
+    }),
+    "q23_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 32), e,
+                         "vec_id", "embedding", k = 10, planes = 8)
+    }),
+    "q24_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
+                         "vec_id", "embedding", k = 10, c = 16)
     })
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
 
   // Shared DuckDB fragments. `ts` is TIMESTAMP_NS in DuckDB; CAST floors to
   // microseconds exactly like the Spark-side `timestamp_micros(ts div 1000)`.
@@ -337,8 +388,185 @@ object SparkEntry {
          |cut AS (SELECT make_timestamp(lo + (hi - lo) * 3 // 5) AS wm FROM b)
          |SELECT * FROM src
          |WHERE (SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00')
-         |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts""".stripMargin
+         |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts""".stripMargin,
+    "q13_text_metrics" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+         |  (n_tokens >= 20 AND n_tokens <= 100000 AND n_punct * 5 < n_chars
+         |   AND n_stopwords * 100 >= n_tokens) AS is_quality
+         |FROM (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |    len(regexp_extract_all(text, '$BpeRegexSql')) AS n_bpe_tokens,
+         |    len(regexp_extract_all(text, '$PunctRegexSql')) AS n_punct,
+         |    len(list_filter(t, x -> list_contains(${sqlList(AllStopwords)}, x))) AS n_stopwords
+         |  FROM toks)""".stripMargin,
+    "q14_text_langid" ->
+      s"""WITH $ToksCte,
+         |hits AS (SELECT doc_id, text,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
+         |FROM toks)
+         |SELECT doc_id, CASE
+         |  WHEN text IS NULL THEN 'und'
+         |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
+         |  ELSE 'und' END AS lang_pred
+         |FROM hits""".stripMargin,
+    "q15_text_fingerprint" ->
+      s"""WITH $ToksCte, ${shingleCte("sh5", 5)}
+         |SELECT toks.doc_id, md5(array_to_string(t, ' ')) AS fingerprint,
+         |  list_min(list_transform(shs, s -> md5(s))) AS shingle_fp
+         |FROM toks JOIN sh5 ON toks.doc_id = sh5.doc_id""".stripMargin,
+    "q16_dedup_exact" ->
+      s"""WITH $ToksCte
+         |SELECT md5(array_to_string(t, ' ')) AS fingerprint,
+         |  min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM toks GROUP BY 1""".stripMargin,
+    "q17_dedup_ngram" ->
+      s"""WITH $ToksCte, ${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+         |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |$JaccardTailSql""".stripMargin,
+    "q18_dedup_minhash" ->
+      s"""WITH $ToksCte, ${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
+         |mh AS (SELECT doc_id,
+         |${(0 until 12).map(i =>
+            s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i").mkString(",\n")}
+         |FROM sh3),
+         |bands AS (SELECT doc_id, unnest([
+         |${(0 until 4).map(b =>
+            s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})").mkString(",\n")}
+         |]) AS bk FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+         |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a
+         |              JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |$JaccardTailSql""".stripMargin,
+    "q19_dedup_simhash" ->
+      s"""WITH $ToksCte, $SimhashCte
+         |SELECT doc_id, simhash FROM sig""".stripMargin,
+    "q20_dedup_simhash_pairs" ->
+      s"""WITH $ToksCte, $SimhashCte,
+         |bands AS (SELECT doc_id, simhash,
+         |  unnest(list_transform(generate_series(0, 3), b ->
+         |    CAST(b AS VARCHAR) || ':' || CAST((simhash >> (b * 8)) & 255 AS VARCHAR))) AS bk
+         |FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.simhash AS simhash_a, b.simhash AS simhash_b
+         |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q21_embed_neardup" ->
+      s"""SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4""".stripMargin,
+    "q22_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN q ON q.vec_id <> c.vec_id)
+         |$TopKTailSql""".stripMargin,
+    "q23_ann_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding,
+         |${(0 until 8).map(p =>
+            s"  (CASE WHEN ${projSql(p)} >= 0 THEN '1' ELSE '0' END)").mkString(" ||\n")}
+         |  AS b FROM embeddings),
+         |q AS (SELECT * FROM bk WHERE vec_id < 32),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM bk c JOIN q ON c.b = q.b AND q.vec_id <> c.vec_id)
+         |$TopKTailSql""".stripMargin,
+    "q24_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |q AS (SELECT * FROM asg WHERE id < 32),
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
+         |$TopKTailSql""".stripMargin
   )
+
+  // --- DuckDB fragments for the text/dedup/similarity oracles -------------
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val AllStopwords = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+
+  /** RE2 spellings of TextAnalysis's Java regexes (same character sets). */
+  private val BpeRegexSql = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""
+  private val PunctRegexSql = """[.,;:!?''"()\[\]{}<>/\\|@#$%^&*_+=~-]"""
+
+  private val ToksCte =
+    """toks AS (SELECT doc_id, text,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)""".stripMargin
+
+  /** Distinct n-token shingles, mirroring `Dedup.shingles`. */
+  private def shingleCte(name: String, n: Int): String =
+    s"""$name AS (SELECT doc_id,
+       |  CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |  ELSE list_distinct(list_transform(generate_series(0, len(t) - $n),
+       |         i -> array_to_string(t[i+1:i+$n], ' '))) END AS shs FROM toks)""".stripMargin
+
+  private val ShxCte = "shx AS (SELECT doc_id, unnest(shs) AS s FROM sh3)"
+  private val SizesCte = "sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1)"
+
+  /** Jaccard >= 1/2 via integer cross-multiplication (shared by q17/q18). */
+  private val JaccardTailSql =
+    """SELECT doc_a, doc_b, overlap, x.n + y.n - overlap AS union_size
+      |FROM pairs JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
+      |WHERE overlap * 2 >= (x.n + y.n - overlap) * 1""".stripMargin
+
+  /** 32-bit SimHash signature, mirroring `Dedup.simhash32` bit-for-bit. */
+  private val SimhashCte =
+    """hv AS (SELECT doc_id,
+      |  list_transform(list_distinct(t), x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT::BIGINT) AS hs,
+      |  len(list_distinct(t)) AS n FROM toks),
+      |sig AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 31), b ->
+      |    CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) > n
+      |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM hv)""".stripMargin
+
+  /** Sequential-fold double-precision dot/cosine, mirroring `Similarity.dot`. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** Sign-LSH projection against deterministic hyperplane `p`, mirroring
+    * `Similarity.lshBucket` (md5-derived components in [-1, 1]).
+    */
+  private def projSql(p: Int): String =
+    s"list_sum(list_transform(generate_series(1, len(embedding)), i -> " +
+      s"CAST(embedding[i] AS DOUBLE) * " +
+      s"((('0x' || substr(md5('$p-' || CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 2000001) / 1000000.0 - 1.0)))"
+
+  /** Shared top-k tail: rank on the raw cosine, round only in the output. */
+  private val TopKTailSql =
+    """, ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM scored)
+      |SELECT query_id, "rank", neighbor_id, round(cosine, 4) AS cosine
+      |FROM ranked WHERE "rank" <= 10""".stripMargin
 
   /** One scd2_join input dimension, DuckDB-side: full-refresh SCD2 with change
     * detection on a single column, projected to (key, payload, audit).

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup is one hash-aggregate (map-side partial agg, one shuffle on
+  *    the content hash);
+  *  - n-gram Jaccard is the exact-but-quadratic baseline (its candidate join
+  *    explodes on common shingles) — MinHash+LSH is the scale path: cost is
+  *    one shuffle on (band, key) instead of one on every shared shingle, and
+  *    candidate verification touches only bucket-collision pairs;
+  *  - SimHash reduces a document to a 32-bit signature, candidate pairs share
+  *    a byte-band (hamming ≤ 3 within 4 bands ⇒ at least one band equal by
+  *    pigeonhole);
+  *  - all hash families are derived from md5 strings so the DuckDB oracle can
+  *    reproduce signatures bit-for-bit (no engine-private hash functions).
+  */
+object Dedup {
+
+  /** `n`-token shingles (distinct), space-joined. `slice` is 1-based. */
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(
+      when(size(tokens) < n, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), size(tokens) - n),
+                             i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+
+  /** Exact dedup: canonical row per identical (whitespace/case-normalized)
+    * content — the smallest `idCol` wins. One hash-shuffle; at 100 TB this is
+    * the cheapest possible full-corpus dedup.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp").as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Documents exploded to (id, shingle) pairs — the base relation of the
+    * exact Jaccard join.
+    */
+  private def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+              explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("_sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs: emit (doc_a, doc_b, overlap, union)
+    * for every pair with `jaccard >= tau` (integer cross-multiplication, no
+    * float compare). Quadratic in shingle co-occurrence — the correctness
+    * baseline that MinHash approximates.
+    */
+  def ngramJaccardPairs(df: DataFrame,
+                        idCol: String,
+                        textCol: String,
+                        n: Int = 3,
+                        tauNum: Int = 1,
+                        tauDen: Int = 2): DataFrame = {
+    val ds = docShingles(df, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val pairs = ds.as("a")
+      .join(ds.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+      .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+      .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
+      // jaccard >= tauNum/tauDen  <=>  tauDen*overlap >= tauNum*union
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("doc_a", "doc_b", "overlap", "union_size")
+  }
+
+  /** MinHash signature component `i` of a shingle set: the lexicographic
+    * minimum of `md5(i || '-' || shingle)` — a valid min-wise hash family
+    * reproducible in any engine with md5.
+    */
+  def minhash(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$i-"), s))))
+
+  /** MinHash+LSH near-dup pairs: `bands` bands × `rows` hashes, candidates =
+    * pairs sharing any band key, verified with the exact Jaccard filter.
+    * Output schema matches `ngramJaccardPairs` (verified pairs only), so at
+    * equal thresholds LSH output ⊆ exact output, with high recall.
+    *
+    * One shuffle on the band key (vs per-shingle for the exact join), then a
+    * semi-join back to shingle sets for verification of the (few) candidates.
+    */
+  def minhashLshPairs(df: DataFrame,
+                      idCol: String,
+                      textCol: String,
+                      n: Int = 3,
+                      bands: Int = 4,
+                      rows: Int = 3,
+                      tauNum: Int = 1,
+                      tauDen: Int = 2): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sh = shingles(toks, n)
+    val sig = df.select(
+      col(idCol).as("_id") +: (0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rows).map(r => minhash(sh, b * rows + r)): _*))
+          .as(s"_band_$b")
+      }: _*)
+    val bandKeys = sig.select(
+      col("_id"),
+      explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"), col(s"_band_$b"))): _*)).as("_bk"))
+    val candidates = bandKeys.as("a")
+      .join(bandKeys.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over the shingle sets
+    val ds = docShingles(df, idCol, textCol, n)
+    val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val dsa = ds.select(col("_id").as("_ida"), col("_sh").as("_sha"))
+    val dsb = ds.select(col("_id").as("_idb"), col("_sh").as("_shb"))
+    candidates
+      .join(dsa, col("doc_a") === col("_ida"))
+      .join(dsb, col("doc_b") === col("_idb") && col("_sha") === col("_shb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+      .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+      .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("doc_a", "doc_b", "overlap", "union_size")
+  }
+
+  /** 32-bit SimHash over the document's distinct tokens: bit `b` is set iff
+    * more than half the tokens have bit `b` set in the first-8-hex-chars md5
+    * hash of the token. Pure built-ins; reproducible in the oracle.
+    */
+  def simhash32(tokens: Column): Column = {
+    val distinctToks = array_distinct(tokens)
+    val hashes = transform(distinctToks,
+                           t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val nToks = size(distinctToks)
+    (0 until 32).map { b =>
+      val ones = aggregate(hashes, lit(0L),
+                           (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
+      when(ones * 2 > nToks, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the four 8-bit
+    * bands (pigeonhole: hamming ≤ 3 ⇒ some band untouched), verified with
+    * `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(df: DataFrame,
+                   idCol: String,
+                   textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("_id"),
+              simhash32(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val banded = sigs.select(
+      col("_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"),
+               shiftright(col("simhash"), b * 8).bitwiseAND(255L))): _*)).as("_bk"))
+    banded.as("a")
+      .join(banded.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
+              col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
+      .distinct()
+      .filter(bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))) <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine >= tau. Brute force —
+    * see Similarity for the formula contract and the LSH-bucketed scale path.
+    */
+  def embeddingNearDupPairs(df: DataFrame,
+                            idCol: String,
+                            vecCol: String,
+                            tau: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

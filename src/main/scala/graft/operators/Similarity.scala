@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers:
+  *  - `bruteForceTopK` — exact cosine top-k; the correctness baseline. The
+  *    (small) query side is broadcast, so the corpus scan is shuffle-free and
+  *    embarrassingly parallel: at 100 TB it is one pass over the corpus with a
+  *    per-partition top-k (the window collapses to a final top-k per query).
+  *  - `lshTopK` — sign-random-projection LSH: corpus is bucketed by the sign
+  *    pattern of `planes` deterministic hyperplanes; a query searches only its
+  *    bucket. Sub-linear in corpus size; recall traded for speed.
+  *  - `ivfTopK` — inverted-file: corpus assigned to the nearest of C coarse
+  *    centroids; a query probes `nprobe` nearest centroids only.
+  *
+  * All pseudo-randomness (hyperplanes) derives from md5 so the DuckDB oracle
+  * reproduces bucket assignments exactly. Cosines are computed in double with
+  * a sequential left-to-right fold (bit-reproducible across engines) and
+  * rounded to 4 decimals in outputs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact cosine top-k: for each query vector, the `k` nearest corpus
+    * vectors. `queries` must be small (it is broadcast).
+    */
+  def bruteForceTopK(queries: DataFrame,
+                     corpus: DataFrame,
+                     idCol: String,
+                     vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    rankTopK(scored, k)
+  }
+
+  /** Deterministic hyperplane component for (plane, dim): uniform-ish in
+    * [-1, 1], derived from md5 hex so any engine reproduces it.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"$p-"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2000001L).cast("double") / 1000000.0 - 1.0
+
+  /** LSH bucket key: the sign pattern of the vector against `planes`
+    * deterministic hyperplanes, as a string like "10110100".
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    concat_ws("",
+      (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+                   (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+
+  /** Approximate top-k via sign-LSH: search only the query's bucket.
+    * One equi-join shuffle on the bucket key instead of a full cross product —
+    * the scale path when the query side is itself large.
+    */
+  def lshTopK(queries: DataFrame,
+              corpus: DataFrame,
+              idCol: String,
+              vecCol: String,
+              k: Int,
+              planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+                           lshBucket(col(vecCol), planes).as("_bk"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+                          lshBucket(col(vecCol), planes).as("_bk"))
+    val scored = c
+      .join(broadcast(q), Seq("_bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    rankTopK(scored, k)
+  }
+
+  /** IVF coarse centroids: the `c` lowest-id corpus vectors serve as fixed
+    * centroids (deterministic "training" — reproducible in the oracle).
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, c: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_mv"))
+      .orderBy(col("centroid_id"))
+      .limit(c)
+
+  /** Assign every row of `df` to its nearest centroid by cosine (ties broken
+    * by centroid id). Returns (id, centroid_id).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", cosine(col("_v"), col("_mv")))
+      .withColumn("_rn",
+                  row_number().over(Window.partitionBy(col("_id"))
+                    .orderBy(col("_sim").desc, col("centroid_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as("id"), col("centroid_id"))
+
+  /** Approximate top-k via IVF: probe only the query's nearest centroid's
+    * inverted list. Corpus cost per query ∝ corpus/c instead of corpus.
+    */
+  def ivfTopK(queries: DataFrame,
+              corpus: DataFrame,
+              idCol: String,
+              vecCol: String,
+              k: Int,
+              c: Int = 16): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, c)
+    val assign = ivfAssign(corpus, idCol, vecCol, cents)
+    val qAssign = ivfAssign(queries, idCol, vecCol, cents)
+    val cList = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(assign.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .join(qAssign.withColumnRenamed("id", "query_id"), Seq("query_id"))
+    val scored = cList
+      .join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared ranking: top-k per query with deterministic (cosine desc, id asc)
+    * tie-break; cosine rounded to 4 decimals for cross-engine compare.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank",
+                  row_number().over(Window.partitionBy(col("query_id"))
+                    .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cosine"), 4).as("cosine"))
+}

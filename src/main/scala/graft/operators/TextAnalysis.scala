@@ -1,0 +1,112 @@
+package graft.operators
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting over a `text` column.
+  *
+  * All builders are pure `Column` expressions over Spark built-ins — they stay
+  * inside whole-stage codegen, no UDFs — so a 100 TB `documents` scan is one
+  * narrow projection pipeline: no shuffle at all until/unless the caller
+  * aggregates. Formulas are chosen to be exactly reproducible in ANSI SQL
+  * (the DuckDB oracle mirrors them term for term).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased text (the shared token definition
+    * across dedup/fingerprint/language-id).
+    */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: alpha runs, single digits, and punctuation marks
+    * each count as one token (the shape of a byte-pair tokenizer's pre-split).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation characters (explicit class, engine-portable). */
+  val PunctClass = "[.,;:!?'\"()\\[\\]{}<>/\\\\|@#$%^&*_+=~-]"
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctClass), lit(0)))
+
+  /** Per-language stopword lists for the n-gram/stopword language heuristic.
+    * Deterministic order = tie-break priority.
+    */
+  val Stopwords: ListMap[String, Seq[String]] = ListMap(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "por", "para", "como"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "pour", "que", "dans", "ce", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  )
+
+  /** Count of tokens that are stopwords of `lang`. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = Stopwords(lang)
+    size(filter(tokens(text), t => words.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  def stopwordHitsAny(text: Column): Column = {
+    val all = Stopwords.values.flatten.toSeq.distinct
+    size(filter(tokens(text), t => all.map(w => t === lit(w)).reduce(_ || _)))
+  }
+
+  /** Language-ID heuristic: CJK codepoints ⇒ 'zh'; otherwise the language with
+    * the most stopword hits (priority order breaks ties); no hits ⇒ 'und'.
+    */
+  def langId(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq
+    val hits = langs.map(l => l -> stopwordHits(text, l))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-match-wins over the priority order
+    val ordered = hits.foldLeft(Option.empty[Column]) {
+      case (None, (l, h))      => Some(when(h === best && best > 0, lit(l)))
+      case (Some(acc), (l, h)) => Some(acc.when(h === best && best > 0, lit(l)))
+    }.get.otherwise(lit("und"))
+    when(text.isNull, lit("und"))
+      .when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+      .otherwise(ordered)
+  }
+
+  /** Quality metrics: integer counts + cross-multiplied boolean gates (no
+    * float thresholds, so the oracle compare is exact).
+    *
+    * `is_quality`: 20..100000 words, punctuation < 20% of characters,
+    * stopwords >= 1% of tokens — the C4-style heuristic gate shape.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_stopwords", stopwordHitsAny(t))
+      .withColumn(
+        "is_quality",
+        col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+          col("n_punct") * 5 < col("n_chars") &&
+          col("n_stopwords") * 100 >= col("n_tokens"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lower-cased text.
+    * Identical content modulo spacing/case gets identical fingerprints.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Winnowing-style shingle fingerprint: the lexicographic minimum md5 over
+    * the document's `n`-token shingles (a 1-hash MinHash — robust to
+    * prefix/suffix edits, unlike `fingerprint`).
+    */
+  def shingleFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(Dedup.shingles(tokens(text), n), s => md5(s)))
+}
