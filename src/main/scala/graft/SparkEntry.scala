@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Scd01, Scd2, Scd2Join, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Scd01, Scd2, Scd2Join, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,7 +169,13 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
                          "vec_id", "embedding", k = 10, c = 16)
-    })
+    }),
+    // --- Multimodal binary-column plumbing (decode step stubbed) ----------
+    "q25_multimodal_meta" -> ((s, dir) =>
+      Multimodal.fromDocuments(docs(s, dir)).toDF()
+        .select("doc_id", "modality", "width", "height", "duration_ms", "n_frames")),
+    "q26_multimodal_features" -> ((s, dir) =>
+      Multimodal.featuresFromDocuments(docs(s, dir)))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -501,8 +507,38 @@ object SparkEntry {
          |  SELECT q.id AS query_id, c.id AS neighbor_id,
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
-         |$TopKTailSql""".stripMargin
+         |$TopKTailSql""".stripMargin,
+    "q25_multimodal_meta" ->
+      s"""WITH $MediaCte
+         |SELECT doc_id, modality, width::INT AS width, height::INT AS height,
+         |  CAST(length(text) * 1000 // 8000 AS BIGINT) AS duration_ms,
+         |  n_frames::INT AS n_frames
+         |FROM m""".stripMargin,
+    "q26_multimodal_features" ->
+      s"""WITH $MediaCte,
+         |b AS (SELECT doc_id, modality, width, height, n_frames,
+         |    octet_length(encode(text)) AS n_bytes,
+         |    list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS bytes
+         |  FROM m)
+         |SELECT doc_id, modality, n_bytes::INT AS n_bytes,
+         |  CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+         |  len(list_distinct(bytes))::INT AS n_distinct_bytes,
+         |  CAST(CASE WHEN n_bytes = 0 THEN 0
+         |       ELSE list_sum(bytes) * 10000 // n_bytes END AS BIGINT) AS mean_byte_e4,
+         |  least(width, 224)::INT AS resized_width,
+         |  least(height, 224)::INT AS resized_height,
+         |  array_to_string(list_sort(list_distinct([0, n_frames // 2, n_frames - 1])), ',') AS sampled_frames
+         |FROM b""".stripMargin
   )
+
+  /** Deterministic media synthesis mirror of `Multimodal.fromDocuments`. */
+  private val MediaCte =
+    """m AS (SELECT doc_id, text,
+      |  (['image', 'audio', 'video'])[(doc_id % 3)::INT + 1] AS modality,
+      |  16 + (length(text) % 64) AS width,
+      |  16 + (length(text) % 48) AS height,
+      |  (length(text) % 30 + 1) AS n_frames
+      |FROM documents)""".stripMargin
 
   // --- DuckDB fragments for the text/dedup/similarity oracles -------------
 

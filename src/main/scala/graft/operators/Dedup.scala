@@ -95,11 +95,18 @@ object Dedup {
                       rows: Int = 3,
                       tauNum: Int = 1,
                       tauDen: Int = 2): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val sh = shingles(toks, n)
-    val sig = df.select(
-      col(idCol).as("_id") +: (0 until bands).map { b =>
-        md5(concat_ws("|", (0 until rows).map(r => minhash(sh, b * rows + r)): _*))
+    // Materialize the shingle array ONCE as a column: the bands*rows minhash
+    // expressions and the verification explode all read the attribute instead
+    // of re-deriving tokens->shingles per expression (12x fewer md5-array
+    // builds per row); cached because signature and verify sides both scan it.
+    val withSh = df
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .cache()
+    val sig = withSh.select(
+      col("_id") +: (0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until rows).map(r => minhash(col("_shs"), b * rows + r)): _*))
           .as(s"_band_$b")
       }: _*)
     val bandKeys = sig.select(
@@ -112,7 +119,7 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact Jaccard over the shingle sets
-    val ds = docShingles(df, idCol, textCol, n)
+    val ds = withSh.select(col("_id"), explode(col("_shs")).as("_sh"))
     val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
     val dsa = ds.select(col("_id").as("_ida"), col("_sh").as("_sha"))
     val dsb = ds.select(col("_id").as("_idb"), col("_sh").as("_shb"))
@@ -175,10 +182,17 @@ object Dedup {
                             idCol: String,
                             vecCol: String,
                             tau: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    // Self-norms are computed once per VECTOR (not once per pair): the pair
+    // stage then does a single fold. sqrt(na*nb) keeps the exact same
+    // floating-point value as computing both norms pairwise.
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+                      Similarity.norm2(col(vecCol)).as("_na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+                      Similarity.norm2(col(vecCol)).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine",
+                  Similarity.dot(col("_va"), col("_vb")) /
+                    sqrt(col("_na") * col("_nb")))
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }

@@ -42,13 +42,21 @@ object Similarity {
                      idCol: String,
                      vecCol: String,
                      k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+                           norm2(col(vecCol)).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+                          norm2(col(vecCol)).as("_cn"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
     rankTopK(scored, k)
   }
+
+  /** Cosine from pre-computed self-norms `_qn`/`_cn` — one fold per pair
+    * instead of three, floating-point-identical to `cosine(a, b)`.
+    */
+  private def pairCosine: Column =
+    dot(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn"))
 
   /** Deterministic hyperplane component for (plane, dim): uniform-ish in
     * [-1, 1], derived from md5 hex so any engine reproduces it.
@@ -81,13 +89,15 @@ object Similarity {
               k: Int,
               planes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+                           norm2(col(vecCol)).as("_qn"),
                            lshBucket(col(vecCol), planes).as("_bk"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+                          norm2(col(vecCol)).as("_cn"),
                           lshBucket(col(vecCol), planes).as("_bk"))
     val scored = c
       .join(broadcast(q), Seq("_bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
     rankTopK(scored, k)
   }
 
@@ -104,9 +114,11 @@ object Similarity {
     * by centroid id). Returns (id, centroid_id).
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
-    df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .join(broadcast(centroids))
-      .withColumn("_sim", cosine(col("_v"), col("_mv")))
+    df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+              norm2(col(vecCol)).as("_vn"))
+      .join(broadcast(centroids.withColumn("_mn", norm2(col("_mv")))))
+      .withColumn("_sim",
+                  dot(col("_v"), col("_mv")) / sqrt(col("_vn") * col("_mn")))
       .withColumn("_rn",
                   row_number().over(Window.partitionBy(col("_id"))
                     .orderBy(col("_sim").desc, col("centroid_id"))))
@@ -126,15 +138,17 @@ object Similarity {
     val assign = ivfAssign(corpus, idCol, vecCol, cents)
     val qAssign = ivfAssign(queries, idCol, vecCol, cents)
     val cList = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+              norm2(col(vecCol)).as("_cn"))
       .join(assign.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
     val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+              norm2(col(vecCol)).as("_qn"))
       .join(qAssign.withColumnRenamed("id", "query_id"), Seq("query_id"))
     val scored = cList
       .join(broadcast(q), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", pairCosine)
     rankTopK(scored, k)
   }
 

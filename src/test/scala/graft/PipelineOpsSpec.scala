@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit coverage for the training-data pipeline operators (text analysis,
+  * dedup, similarity, multimodal). The DuckDB oracle (q13-q26) is the
+  * cross-engine check; these specs pin the *semantics* on crafted rows.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("fingerprint: whitespace/case-insensitive content identity") {
+    val df = docsDf(
+      1L -> "Hello  World",
+      2L -> "hello world",
+      3L -> "hello worlds")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("exact dedup groups identical content, smallest id is canonical") {
+    val out = Dedup.exact(
+      docsDf(5L -> "a b c", 2L -> "A  B C", 9L -> "x y"), "doc_id", "text")
+      .orderBy("canonical_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("token counts: whitespace vs BPE-ish; quality gate") {
+    val m = TextAnalysis.qualityMetrics(docsDf(1L -> "Don't stop, believing!"))
+      .select("n_tokens", "n_bpe_tokens", "n_punct").head()
+    assert(m.getInt(0) === 3) // whitespace tokens
+    // Don ' t stop , believing !  -> 7 BPE-ish pieces
+    assert(m.getInt(1) === 7)
+    assert(m.getInt(2) === 3) // ' , !
+  }
+
+  test("langId: stopword vote with priority tie-break, und fallback") {
+    val out = docsDf(
+      1L -> "the cat and the dog",
+      2L -> "der hund ist nicht hier",
+      3L -> "zzz qqq www")
+      .select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    assert(out.toSeq === Seq("en", "de", "und"))
+  }
+
+  test("ngram jaccard: near-identical docs pair up, distinct docs do not") {
+    val df = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x", // shares most 3-gram shingles
+      3L -> "p q r s t u v w")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+                                        tauNum = 1, tauDen = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and verifies exactly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docsDf(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> "completely different content with no shared shingles at all")
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3,
+                                    bands = 4, rows = 3, tauNum = 1, tauDen = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(lsh.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: identical token sets hash identically; hamming filter works") {
+    val df = docsDf(1L -> "alpha beta gamma", 2L -> "gamma beta alpha alpha",
+                    3L -> "one two three four five six seven")
+    val sigs = df.select($"doc_id",
+                         Dedup.simhash32(TextAnalysis.tokens($"text")).as("s"))
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    assert(sigs(0) === sigs(1)) // same distinct token set
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine: exact on known vectors; brute-force top-k ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = vecs.filter($"vec_id" === 0)
+      .crossJoin(vecs.filter($"vec_id" === 2).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(c) < 1e-12) // orthogonal
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("lsh/ivf ANN: self-consistent and non-empty on clustered vectors") {
+    val vecs = (0 until 64).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + (i * (d + 1) % 7) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val lsh = Similarity.lshTopK(q, vecs, "vec_id", "embedding", k = 5, planes = 4)
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", k = 5, c = 4)
+    assert(lsh.count() > 0 && ivf.count() > 0)
+    // every returned neighbor of an even query should be even (same cluster)
+    val parity = ivf.filter($"query_id" % 2 === 0)
+      .select("neighbor_id").as[Long].collect()
+    assert(parity.forall(_ % 2 == 0))
+  }
+
+  test("multimodal: batched feature extraction matches direct computation") {
+    val docs = docsDf(
+      0L -> "abc",
+      1L -> "",
+      2L -> ("x" * 300)) // > width cap when resized
+    val feats = Multimodal.featuresFromDocuments(docs)
+      .orderBy("doc_id").collect()
+    val r0 = feats(0)
+    assert(r0.getAs[String]("modality") === "image")
+    assert(r0.getAs[Int]("n_bytes") === 3)
+    assert(r0.getAs[Long]("byte_sum") === ('a' + 'b' + 'c').toLong)
+    assert(r0.getAs[Int]("n_distinct_bytes") === 3)
+    val r1 = feats(1)
+    assert(r1.getAs[Long]("byte_sum") === 0L && r1.getAs[Long]("mean_byte_e4") === 0L)
+    val r2 = feats(2)
+    assert(r2.getAs[Int]("n_distinct_bytes") === 1)
+    assert(r2.getAs[Int]("resized_width") <= 224)
+    // frame sampling: first/middle/last, deduped when they coincide
+    assert(Multimodal.sampleFrameIndices(1) === Seq(0))
+    assert(Multimodal.sampleFrameIndices(30) === Seq(0, 15, 29))
+  }
+}
