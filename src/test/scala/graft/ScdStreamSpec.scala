@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ScdStream
+
+/** Structured Streaming front-end: each micro-batch is one incremental SCD
+  * run, so a stream consumed batch-by-batch must produce exactly the table a
+  * single batch run over the concatenated data produces (the package's core
+  * incremental == full-refresh guarantee, `README.md:178`).
+  */
+class ScdStreamSpec extends SparkTestBase {
+
+  test("streamed micro-batches converge to the batch full-refresh result") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val cfg = ScdConfig(uniqueKey = Seq("customer_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val target = s"$dir/dim"
+
+    val batches = Seq(
+      Seq(Ev(1, "new", ts("2025-01-01 00:00:00")),
+          Ev(2, "new", ts("2025-01-01 01:00:00"))),
+      Seq(Ev(1, "active", ts("2025-01-02 00:00:00")),
+          Ev(3, "new", ts("2025-01-02 01:00:00"))),
+      // out-of-order: lands BETWEEN key 1's existing versions
+      Seq(Ev(1, "pending", ts("2025-01-01 12:00:00")),
+          Ev(2, "churned", ts("2025-01-03 00:00:00"))))
+
+    val source = MemoryStream[Ev]
+    val writer = ScdStream.scdSink(source.toDF(), target, cfg,
+                                   checkpointLocation = s"$dir/ckpt")
+    val query = writer.start()
+    try {
+      batches.foreach { b => source.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = spark.read.parquet(target)
+    assertInvariantsGreen(streamed, cfg)
+
+    val full = operators.Scd2.initialLoad(batches.flatten.toDF(), cfg)
+    assert(streamed.exceptAll(full).count() === 0)
+    assert(full.exceptAll(streamed).count() === 0)
+
+    // the out-of-order 'pending' version is slotted mid-history
+    val k1 = streamed.filter($"customer_id" === 1)
+      .orderBy("_valid_from").select("status").as[String].collect()
+    assert(k1.toSeq === Seq("new", "pending", "active"))
+  }
+}
+
+/** Streaming fixture row (top-level for encoder derivation). */
+case class Ev(customer_id: Int, status: String, _updated_at: Timestamp)
