@@ -49,12 +49,18 @@ object Scd2 {
     // D1: one row per (key, updated_at). The reference's `order by 1` picks an
     // arbitrary winner (`get_initial_load_scd2_sql.sql:60-67`); we order by the
     // content hash for determinism (SURVEY.md §7.4.2, deliberate divergence).
+    //
+    // Partitioned by the BUSINESS key (not the version-key hash) with a lag
+    // filter: same kept set, but this window shares one exchange with every
+    // downstream window (lag/run-id/audit) instead of adding a second shuffle
+    // on _scd2_key — at scale the whole initial load is a single exchange.
+    // _scd2_key is an md5, never NULL, so the lag test is unambiguous.
+    val dedupW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(updatedAt), col(HashCol))
     val deduped = source
-      .withColumn("_rn",
-                  row_number().over(
-                    Window.partitionBy(col(KeyCol)).orderBy(col(HashCol))))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .withColumn("_prev_key", lag(col(KeyCol), 1).over(dedupW))
+      .filter(col("_prev_key").isNull || col("_prev_key") =!= col(KeyCol))
+      .drop("_prev_key")
 
     // W1 + P3: keep first-or-changed versions only.
     val w = versionWindow(keys, updatedAt)
@@ -128,13 +134,15 @@ object Scd2 {
     val allRecords = newRecords
       .drop(BkCol)
       .unionByName(previousRecord)
+    // Same single-exchange dedup shape as the initial load: business-key
+    // window, previous-wins via the _priority sort key, lag filter on the
+    // (never-NULL) version-key hash.
+    val dedupW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(updatedAt), col(PriorityCol), col(HashCol))
     val deduped = allRecords
-      .withColumn(
-        "_rn",
-        row_number().over(
-          Window.partitionBy(col(KeyCol)).orderBy(col(PriorityCol), col(HashCol))))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .withColumn("_prev_key", lag(col(KeyCol), 1).over(dedupW))
+      .filter(col("_prev_key").isNull || col("_prev_key") =!= col(KeyCol))
+      .drop("_prev_key")
 
     // compare_versions (:160-166): lag hash + conditional_change_event run id.
     val w = versionWindow(keys, updatedAt)
@@ -148,16 +156,19 @@ object Scd2 {
     // Non-collapse keeps run openers plus every already-persisted row.
     val changesOnly =
       if (collapse) {
-        val order =
-          (if (hasLoadedAt) Seq(col(resolveCi(destCols, cfg.loadedAtCol)).asc)
-           else Nil) :+ col(updatedAt).asc
+        // _run_id is nondecreasing along the timeline, so sorting the key
+        // partition by (run, loaded_at, updated_at) keeps runs contiguous and
+        // puts each run's earliest-loaded row first — the lag filter keeps
+        // exactly one row per run without a (keys, run)-partitioned shuffle.
+        val order = col(RunIdCol).asc +:
+          ((if (hasLoadedAt) Seq(col(resolveCi(destCols, cfg.loadedAtCol)).asc)
+            else Nil) :+ col(updatedAt).asc)
         compared
-          .withColumn("_rn",
-                      row_number().over(Window
-                        .partitionBy((keys :+ RunIdCol).map(col): _*)
-                        .orderBy(order: _*)))
-          .filter(col("_rn") === 1)
-          .drop("_rn")
+          .withColumn("_prev_run",
+                      lag(col(RunIdCol), 1).over(
+                        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+          .filter(col("_prev_run").isNull || col("_prev_run") =!= col(RunIdCol))
+          .drop("_prev_run")
       } else {
         compared.filter(
           col(PrevHashCol).isNull ||
