@@ -1,0 +1,74 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+/** Property-style checks (seeded, reproducible): the package's core design
+  * guarantee — *incremental over any batch split ≡ one full refresh* when
+  * `collapse_redundant_versions` is on (`/root/reference/README.md:178`,
+  * `scd_plan.sql:172-175`) — plus invariant preservation under adversarial
+  * duplicate/out-of-order batches.
+  */
+class Scd2PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val cfg = ScdConfig(uniqueKey = Seq("k"))
+
+  private def df(rows: Seq[(Int, String, java.sql.Timestamp)]): DataFrame =
+    rows.toDF("k", "v", "_updated_at")
+
+  private def slot(i: Int) = ts(f"2025-01-${i + 1}%02d 00:00:00")
+
+  test("incremental over random batch splits == full refresh (distinct content)") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      // distinct content per (key, slot) => no redundant-version drops, the
+      // equivalence is exact whatever the arrival order/split.
+      val rows = for {
+        k <- 1 to 6
+        s <- rnd.shuffle((0 until 10).toList).take(3 + rnd.nextInt(6))
+      } yield (k, s"v$k-$s", slot(s))
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+
+      var table = Scd2.initialLoad(df(batches.head), cfg).localCheckpoint()
+      for (b <- batches.tail)
+        table = Scd2.incremental(table, df(b), cfg).localCheckpoint()
+
+      val full = Scd2.initialLoad(df(rows), cfg)
+      assert(table.exceptAll(full).count() === 0, s"trial $trial: extra rows")
+      assert(full.exceptAll(table).count() === 0, s"trial $trial: missing rows")
+      assertInvariantsGreen(table, cfg)
+    }
+  }
+
+  test("invariants hold under duplicate-heavy colliding batches") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 4) {
+      // collisions everywhere: repeated (key, slot) pairs, only 2 distinct
+      // contents, duplicates across AND within batches.
+      val rows = for {
+        _ <- 1 to 60
+        k = 1 + rnd.nextInt(3)
+        s = rnd.nextInt(4)
+      } yield (k, s"v${rnd.nextInt(2)}", slot(s))
+      val batches = rnd.shuffle(rows).grouped(20).toSeq
+
+      var table = Scd2.initialLoad(df(batches.head), cfg).localCheckpoint()
+      for (b <- batches.tail)
+        table = Scd2.incremental(table, df(b), cfg).localCheckpoint()
+
+      assertInvariantsGreen(table, cfg)
+      // one row per surviving (key, updated_at) version at most
+      val dup = table.groupBy("k", "_updated_at").count().filter($"count" > 1)
+      assert(dup.isEmpty, s"trial $trial: duplicate versions")
+    }
+  }
+}
