@@ -175,7 +175,12 @@ object SparkEntry {
       Multimodal.fromDocuments(docs(s, dir)).toDF()
         .select("doc_id", "modality", "width", "height", "duration_ms", "n_frames")),
     "q26_multimodal_features" -> ((s, dir) =>
-      Multimodal.featuresFromDocuments(docs(s, dir)))
+      Multimodal.featuresFromDocuments(docs(s, dir))),
+    // --- Flagship-scale SCD2: full history over the biggest table ---------
+    "q27_scd2_lineitem" -> ((s, dir) =>
+      Scd2.initialLoad(
+        Tables.read(s, dir, "lineitem"),
+        ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate")))
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -528,8 +533,34 @@ object SparkEntry {
          |  least(width, 224)::INT AS resized_width,
          |  least(height, 224)::INT AS resized_height,
          |  array_to_string(list_sort(list_distinct([0, n_frames // 2, n_frames - 1])), ',') AS sampled_frames
-         |FROM b""".stripMargin
+         |FROM b""".stripMargin,
+    "q27_scd2_lineitem" -> Q27Sql
   )
+
+  private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus")
+
+  private val Q27Sql = {
+    val hash = "md5(concat_ws('-', " +
+      LiCols.map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") + "))"
+    s"""WITH src AS (SELECT l_orderkey, ${LiCols.mkString(", ")},
+       |    CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM lineitem),
+       |hashed AS (SELECT *, $hash AS _h FROM src),
+       |dedup AS (SELECT * FROM hashed
+       |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_shipdate ORDER BY _h) = 1),
+       |changes AS (SELECT * FROM (
+       |    SELECT *, lag(_h) OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) AS _ph
+       |    FROM dedup) WHERE _ph IS NULL OR _h <> _ph)
+       |SELECT l_orderkey, ${LiCols.mkString(", ")}, l_shipdate,
+       |  (row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC) = 1) AS _is_current,
+       |  l_shipdate AS _valid_from,
+       |  coalesce(lead(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_shipdate),
+       |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+       |  CASE WHEN row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) = 1
+       |       THEN 'I' ELSE 'U' END AS _change_type
+       |FROM changes""".stripMargin
+  }
 
   /** Deterministic media synthesis mirror of `Multimodal.fromDocuments`. */
   private val MediaCte =
