@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision over `array<float>`.
+    * A native codegen'd Catalyst expression (`graft.functions.FloatVecDot`);
+    * float-for-float identical to the built-in composition
+    * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0D, _+_)`.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -1,0 +1,44 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FloatVecDot, GraftExtensions}
+
+/** The native codegen dot product must be bit-for-bit identical to the
+  * built-in HOF composition it replaces (same double-promotion, same
+  * left-to-right fold) — the DuckDB oracle depends on that contract.
+  */
+class FloatVecDotSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def foldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  test("codegen dot == HOF fold dot, bit-for-bit, on random vectors") {
+    val rnd = new Random(1)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 3f))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").join(vecs.as("b"), $"a.id" < $"b.id")
+      .select(FloatVecDot($"a.v", $"b.v").as("native"),
+              foldDot($"a.v", $"b.v").as("fold"))
+    assert(pairs.filter($"native" =!= $"fold").count() === 0)
+    // nulls propagate like any binary expression
+    val withNull = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(FloatVecDot($"a", $"b").as("d"))
+    assert(withNull.filter($"d".isNull).count() === 1)
+  }
+
+  test("SQL registration via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT float_vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .as[Double].head()
+    assert(r === 11.0)
+  }
+}
