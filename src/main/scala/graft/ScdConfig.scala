@@ -22,6 +22,17 @@ package graft
   *                         out-of-order arrivals so incremental == full refresh
   *                         (`scd_plan.sql:172-180`); requires
   *                         updateAllPreviousRecords (forced off otherwise).
+  * @param scdCheckColumns  legacy alias for `changeInclude`
+  *                         (`scd_plan.sql:192-196`).
+  * @param excludeColumnsFromChangeCheck legacy alias for `changeExclude`
+  *                         (`scd_plan.sql:197-201`).
+  * @param incrementalPredicates SQL predicate strings bounding which existing
+  *                         target rows a merge may touch (reference
+  *                         `incremental_predicates`, `scd_plan.sql:276`,
+  *                         `get_incremental_scd2_sql.sql:247-255`). Rows
+  *                         failing them pass through unchanged — as in the
+  *                         reference, the caller must ensure they cover every
+  *                         row the batch could affect.
   */
 final case class ScdConfig(
     uniqueKey: Seq[String],
@@ -36,6 +47,9 @@ final case class ScdConfig(
     loadedAtCol: String = "_loaded_at",
     changeInclude: Option[Seq[String]] = None,
     changeExclude: Seq[String] = Nil,
+    scdCheckColumns: Option[Seq[String]] = None,
+    excludeColumnsFromChangeCheck: Seq[String] = Nil,
+    incrementalPredicates: Seq[String] = Nil,
     defaultValidTo: String = "2999-12-31 23:59:59",
     defaultValidFrom: String = "1900-01-01 00:00:00",
     updateAllPreviousRecords: Boolean = true,
@@ -94,14 +108,24 @@ final case class ScdConfig(
     * with real columns, then `exclude + updated_at + unique_key + audit columns`
     * are removed; default = all columns minus that exclusion set.
     */
+  /** Legacy config aliases (`scd_check_columns` /
+    * `exclude_columns_from_change_check`) are honored when the primary
+    * `change_columns` spellings are unset — the reference's resolution
+    * precedence (`scd_plan.sql:192-201`).
+    */
+  def effectiveInclude: Option[Seq[String]] = changeInclude.orElse(scdCheckColumns)
+
+  def effectiveExclude: Seq[String] =
+    if (changeExclude.nonEmpty) changeExclude else excludeColumnsFromChangeCheck
+
   def checkColumns(columns: Seq[String]): Seq[String] = {
     def diffCi(a: Seq[String], b: Seq[String]): Seq[String] = {
       val bs = b.map(_.toUpperCase).toSet
       a.filterNot(c => bs.contains(c.toUpperCase))
     }
     val excluded =
-      (changeExclude :+ updatedAtCol) ++ uniqueKey ++ auditColumns
-    changeInclude match {
+      (effectiveExclude :+ updatedAtCol) ++ uniqueKey ++ auditColumns
+    effectiveInclude match {
       case Some(include) =>
         val actual = columns.map(_.toUpperCase).toSet
         val present = include.filter(c => actual.contains(c.toUpperCase))

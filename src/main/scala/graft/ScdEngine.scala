@@ -74,7 +74,7 @@ object ScdEngine {
           case Some(n) => incrementalBucketed(spark, fs, batch, targetPath, cfg, n)
           case None =>
             val target = spark.read.parquet(targetPath)
-            val snapshot = incremental(target, batch, cfg)
+            val snapshot = mergeWithPredicates(target, batch, cfg)
             atomicSwap(spark, fs, snapshot, targetPath, numBuckets)
         }
       }
@@ -91,6 +91,21 @@ object ScdEngine {
   def incremental(target: DataFrame, delta: DataFrame, cfg: ScdConfig): DataFrame =
     if (cfg.scdType == 2) Scd2.incremental(target, delta, cfg)
     else Scd01.incremental(target, delta, cfg)
+
+  /** Incremental merge honoring `incremental_predicates` (P8): target rows
+    * failing the predicates bypass the merge entirely (smaller semi-join and
+    * merge inputs — the reference's MERGE-ON pruning conjuncts,
+    * `get_incremental_scd2_sql.sql:247-255`) and pass through unchanged.
+    */
+  private def mergeWithPredicates(target: DataFrame,
+                                  batch: DataFrame,
+                                  cfg: ScdConfig): DataFrame =
+    if (cfg.incrementalPredicates.isEmpty) incremental(target, batch, cfg)
+    else {
+      val p = cfg.incrementalPredicates.map(expr).reduce(_ && _)
+      val merged = incremental(target.filter(p), batch, cfg)
+      merged.unionByName(target.filter(!coalesce(p, lit(false))))
+    }
 
   /** Deterministic bucket id for a row's business key: murmur3 over the key
     * columns (null-tolerant), non-negative mod n. Stable across writes, so a
@@ -128,7 +143,7 @@ object ScdEngine {
       .parquet(targetPath)
       .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
       .drop(BucketCol)
-    val snapshot = incremental(target, batch, cfg)
+    val snapshot = mergeWithPredicates(target, batch, cfg)
     val bucketed = withBucket(snapshot, cfg, Some(n))
 
     // Write the touched buckets to a tmp dir, then swap each bucket directory.

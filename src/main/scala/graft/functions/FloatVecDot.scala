@@ -85,12 +85,16 @@ object FloatVecDot {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(FloatVecDot.functionDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = FloatVecDot.functionDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[graft] val descriptors = Seq(
+    FloatVecDot.functionDescriptor,
+    SimHashBits.functionDescriptor)
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

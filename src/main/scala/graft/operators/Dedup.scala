@@ -143,12 +143,9 @@ object Dedup {
     val distinctToks = array_distinct(tokens)
     val hashes = transform(distinctToks,
                            t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val nToks = size(distinctToks)
-    (0 until 32).map { b =>
-      val ones = aggregate(hashes, lit(0L),
-                           (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
-      when(ones * 2 > nToks, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // majority vote over all 32 bits in ONE generated pass (native Catalyst
+    // expression) instead of 32 interpreted aggregate folds per row
+    graft.functions.SimHashBits(hashes)
   }
 
   /** SimHash near-dup pairs: candidates share at least one of the four 8-bit
@@ -159,9 +156,12 @@ object Dedup {
                    idCol: String,
                    textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // cached: the banded self-join scans both sides, and the signature
+    // computation (md5 per distinct token) is the expensive part
     val sigs = df
       .select(col(idCol).as("_id"),
               simhash32(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .cache()
     val banded = sigs.select(
       col("_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Config-surface parity: legacy change-column aliases and
+  * incremental_predicates (reference `scd_plan.sql:192-201,276`).
+  */
+class ConfigParitySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("legacy aliases feed change detection when primary spellings unset") {
+    val cols = Seq("k", "a", "b", "c", "_updated_at")
+    val legacy = ScdConfig(uniqueKey = Seq("k"),
+                           scdCheckColumns = Some(Seq("a", "b")),
+                           excludeColumnsFromChangeCheck = Seq("b"))
+    assert(legacy.checkColumns(cols) === Seq("a"))
+    // primary spellings win over legacy
+    val both = legacy.copy(changeInclude = Some(Seq("c")), changeExclude = Seq("a"))
+    assert(both.checkColumns(cols) === Seq("c"))
+  }
+
+  test("incremental_predicates: out-of-scope target rows pass through unchanged") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"),
+                        incrementalPredicates = Seq("k >= 100"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pred").toString
+    val path = s"$dir/dim"
+    val b1 = Seq((1, "old", ts("2025-01-01 00:00:00")),
+                 (100, "old", ts("2025-01-01 00:00:00"))).toDF("k", "v", "_updated_at")
+    ScdEngine.run(spark, b1, path, cfg)
+    // the batch touches only in-scope keys (the caller's contract); the
+    // out-of-scope k=1 history must pass through byte-identical
+    val b2 = Seq((100, "new", ts("2025-01-02 00:00:00"))).toDF("k", "v", "_updated_at")
+    val out = ScdEngine.run(spark, b2, path, cfg)
+    assert(out.filter($"k" === 1).count() === 1) // unchanged single version
+    assert(out.filter($"k" === 1 && $"v" === "old" && $"_is_current").count() === 1)
+    assert(out.filter($"k" === 100).count() === 2) // merged normally
+    assert(out.filter($"k" === 100 && $"v" === "new" && $"_is_current").count() === 1)
+  }
+}
