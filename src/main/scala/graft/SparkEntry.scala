@@ -154,6 +154,9 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
     "q21_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", tau = 0.4)),
+    "q28_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(emb(s, dir), "vec_id", "embedding",
+                                     tau = 0.4, planes = 4)),
     // --- Similarity search (ANN over embeddings) --------------------------
     "q22_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -534,7 +537,17 @@ object SparkEntry {
          |  least(height, 224)::INT AS resized_height,
          |  array_to_string(list_sort(list_distinct([0, n_frames // 2, n_frames - 1])), ',') AS sampled_frames
          |FROM b""".stripMargin,
-    "q27_scd2_lineitem" -> Q27Sql
+    "q27_scd2_lineitem" -> Q27Sql,
+    "q28_embed_neardup_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding,
+         |${(0 until 4).map(p =>
+            s"  (CASE WHEN ${projSql(p)} >= 0 THEN '1' ELSE '0' END)").mkString(" ||\n")}
+         |  AS b FROM embeddings)
+         |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

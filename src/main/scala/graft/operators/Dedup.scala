@@ -196,4 +196,30 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Scale path for embedding near-dup: candidate pairs must share a sign-LSH
+    * bucket (one equi-join shuffle on the bucket key instead of the full
+    * O(n²) cross product), then the exact cosine threshold verifies. Output ⊆
+    * `embeddingNearDupPairs` at equal τ; recall governed by `planes`.
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame,
+                               idCol: String,
+                               vecCol: String,
+                               tau: Double,
+                               planes: Int = 4): DataFrame = {
+    val keyed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+                          Similarity.norm2(col(vecCol)).as("_n"),
+                          Similarity.lshBucket(col(vecCol), planes).as("_bk"))
+    val a = keyed.select(col("_id").as("id_a"), col("_v").as("_va"),
+                         col("_n").as("_na"), col("_bk"))
+    val b = keyed.select(col("_id").as("id_b"), col("_v").as("_vb"),
+                         col("_n").as("_nb"), col("_bk"))
+    a.join(b, Seq("_bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+                  Similarity.dot(col("_va"), col("_vb")) /
+                    sqrt(col("_na") * col("_nb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
 }
