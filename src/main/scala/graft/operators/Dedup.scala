@@ -103,16 +103,15 @@ object Dedup {
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .cache()
+    // all band keys in one native pass over the shingle array (string-equal
+    // to the per-band md5(concat_ws("|", minhash...)) composition)
     val sig = withSh.select(
-      col("_id") +: (0 until bands).map { b =>
-        md5(concat_ws("|",
-          (0 until rows).map(r => minhash(col("_shs"), b * rows + r)): _*))
-          .as(s"_band_$b")
-      }: _*)
-    val bandKeys = sig.select(
       col("_id"),
-      explode(array((0 until bands).map(b =>
-        concat(lit(s"$b:"), col(s"_band_$b"))): _*)).as("_bk"))
+      graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
+    val bandKeys = sig
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(col("_id"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
     val candidates = bandKeys.as("a")
       .join(bandKeys.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
