@@ -157,6 +157,8 @@ object SparkEntry {
     "q28_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(emb(s, dir), "vec_id", "embedding",
                                      tau = 0.4, planes = 4)),
+    "q29_token_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(docs(s, dir), "doc_id", "text")),
     // --- Similarity search (ANN over embeddings) --------------------------
     "q22_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -547,7 +549,12 @@ object SparkEntry {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cosSql("a.embedding", "b.embedding")} AS cosine
          |  FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.4""".stripMargin
+         |WHERE cosine >= 0.4""".stripMargin,
+    "q29_token_stats" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

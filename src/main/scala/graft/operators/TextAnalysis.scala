@@ -109,4 +109,14 @@ object TextAnalysis {
     */
   def shingleFingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(Dedup.shingles(tokens(text), n), s => md5(s)))
+
+  /** Corpus token statistics: term frequency + document frequency per token.
+    * One explode + one hash-aggregate — at 100 TB this is the canonical
+    * map-side-combined shuffle (partial counts per token per partition, one
+    * exchange on the token).
+    */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
 }
