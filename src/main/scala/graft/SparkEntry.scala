@@ -159,6 +159,19 @@ object SparkEntry {
                                      tau = 0.4, planes = 4)),
     "q29_token_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(docs(s, dir), "doc_id", "text")),
+    // End-to-end cleaning composition: quality gate -> exact-dedup canonical
+    // -> language ID, the shape of a real corpus-preparation job.
+    "q30_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityMetrics(d).filter(col("is_quality"))
+      val canonical = Dedup.exact(d, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      quality
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+                TextAnalysis.langId(col("text")).as("lang_pred"),
+                col("n_tokens"), col("n_stopwords"))
+    }),
     // --- Similarity search (ANN over embeddings) --------------------------
     "q22_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -554,7 +567,32 @@ object SparkEntry {
       s"""WITH $ToksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-         |FROM tok GROUP BY 1""".stripMargin
+         |FROM tok GROUP BY 1""".stripMargin,
+    "q30_clean_corpus" ->
+      s"""WITH $ToksCte,
+         |met AS (SELECT doc_id, text, t,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |    len(regexp_extract_all(text, '$PunctRegexSql')) AS n_punct,
+         |    len(list_filter(t, x -> list_contains(${sqlList(AllStopwords)}, x))) AS n_stopwords
+         |  FROM toks),
+         |qual AS (SELECT * FROM met
+         |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+         |    AND n_punct * 5 < n_chars AND n_stopwords * 100 >= n_tokens),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM toks
+         |  GROUP BY md5(array_to_string(t, ' '))),
+         |hits AS (SELECT doc_id, text, n_tokens, n_stopwords,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
+         |FROM qual WHERE doc_id IN (SELECT doc_id FROM canon))
+         |SELECT doc_id, CASE
+         |  WHEN text IS NULL THEN 'und'
+         |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
+         |  ELSE 'und' END AS lang_pred,
+         |  n_tokens, n_stopwords
+         |FROM hits""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -37,4 +37,18 @@ class ConfigParitySpec extends SparkTestBase {
     assert(out.filter($"k" === 100).count() === 2) // merged normally
     assert(out.filter($"k" === 100 && $"v" === "new" && $"_is_current").count() === 1)
   }
+
+  test("scd1 merges NULL-bearing keys null-safely (documented divergence)") {
+    // The reference merges types 0/1 on raw `=` and silently duplicates NULL
+    // keys (SURVEY.md §7.4.4); we use <=> so all three types agree.
+    val cfg = ScdConfig(uniqueKey = Seq("k1", "k2"), scdType = 1)
+    val t = Seq((Some(1), Option.empty[Int], "old", ts("2025-01-01 00:00:00")))
+      .toDF("k1", "k2", "v", "_updated_at")
+    val target = operators.Scd01.initialLoad(t, cfg)
+    val d = Seq((Some(1), Option.empty[Int], "new", ts("2025-01-02 00:00:00")))
+      .toDF("k1", "k2", "v", "_updated_at")
+    val out = operators.Scd01.incremental(target, d, cfg)
+    assert(out.count() === 1) // matched, not duplicated
+    assert(out.head().getAs[String]("v") === "new")
+  }
 }
