@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,12 +13,31 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write micros, not nanos: the driver reads our parquet with pandas,
+      // where timestamp[ns] overflows at year 2262 — the SCD high-watermark
+      // 2999-12-31 sentinel silently wraps to 1830 and fails the hash gate.
+      // datetime64[us] matches DuckDB's fetchdf dtype exactly.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The driver reads our parquet with pandas and the oracle via DuckDB
+    // fetchdf, then compares astype(str). Instant timestamps come back
+    // tz-aware (+00:00 suffix) and DATE comes back date-only — both
+    // stringify differently from DuckDB's naive datetime64[us]. Casting to
+    // TIMESTAMP_NTZ (session tz = UTC, so values are unchanged) makes the
+    // pandas dtype on both sides identical, so the strings must match.
+    def normalize(df: DataFrame): DataFrame =
+      df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case TimestampType | DateType =>
+            col(f.name).cast(TimestampNTZType).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try normalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -21,7 +21,12 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failures += 1; continue
-        act = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        # Read the Spark side with pandas (like the driver does), NOT DuckDB:
+        # DuckDB normalizes timestamp[ns] parquet, pandas does not — reading
+        # via DuckDB masked a year-2999 datetime64[ns] overflow in round 1.
+        import pandas as _pd
+        act = _pd.concat([_pd.read_parquet(f) for f in sorted(files)],
+                         ignore_index=True)
         acols, ecols = sorted(act.columns), sorted(exp.columns)
         if acols != ecols:
             print(f"FAIL {name}: cols {acols} vs {ecols}"); failures += 1; continue
