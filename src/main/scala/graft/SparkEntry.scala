@@ -202,7 +202,7 @@ object SparkEntry {
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.read(s, dir, "documents")
+    Tables.spread(s, Tables.read(s, dir, "documents"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")

@@ -9,6 +9,22 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The testdata files are single-row-group parquet, which Spark cannot
+    * split: every scan is one partition, so CPU-heavy NARROW transforms
+    * (regex tokenization, shingling, hashing) run on one core. Round-robin
+    * the rows across the session's parallelism when the scan under-splits.
+    * Apply this ONLY where expensive narrow work follows the scan — an
+    * operator whose first step is a hash shuffle (SCD windows, pair joins)
+    * gets repartitioned by Spark anyway, and a prepended round-robin
+    * exchange is pure overhead. On a real multi-file/multi-row-group lake
+    * layout `rdd.getNumPartitions` already exceeds the threshold and this
+    * is a no-op — the production plan keeps its shuffle-free scan.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it via the
     * documented escape hatch (`spark.sql.legacy.parquet.nanosAsLong`) and
