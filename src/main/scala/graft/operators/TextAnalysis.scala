@@ -31,13 +31,13 @@ object TextAnalysis {
     * each count as one token (the shape of a byte-pair tokenizer's pre-split).
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
   /** Punctuation characters (explicit class, engine-portable). */
   val PunctClass = "[.,;:!?'\"()\\[\\]{}<>/\\\\|@#$%^&*_+=~-]"
 
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(PunctClass), lit(0)))
+    regexp_count(text, lit(PunctClass))
 
   /** Per-language stopword lists for the n-gram/stopword language heuristic.
     * Deterministic order = tie-break priority.
