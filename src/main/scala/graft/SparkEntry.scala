@@ -65,7 +65,11 @@ object SparkEntry {
                        evCfg.copy(deletedAtCol = Some("deleted_at")))),
     "q04_scd2_incremental" -> ((s, dir) => {
       val all = ev(s, dir)
+      // Materialize the target once, as production would read it from storage
+      // (the merge pipeline references the target twice: affected-key
+      // semi-join + the merge join itself).
       val target = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
       Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), evCfg)
     }),
     "q05_scd2_backfill" -> ((s, dir) => {
@@ -75,12 +79,14 @@ object SparkEntry {
       val all = ev(s, dir)
       val outer = all.filter(col("event_id") % 3 =!= 1)
       val middle = all.filter(col("event_id") % 3 === 1)
-      Scd2.incremental(Scd2.initialLoad(outer, evTypeCfg), middle, evTypeCfg)
+      Scd2.incremental(Scd2.initialLoad(outer, evTypeCfg).localCheckpoint(),
+                       middle, evTypeCfg)
     }),
     "q06_scd2_incremental_deletes" -> ((s, dir) => {
       val all = evDeletes(s, dir)
       val cfg = evCfg.copy(deletedAtCol = Some("deleted_at"))
       val target = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), cfg)
+        .localCheckpoint()
       Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
     // --- SCD1 / SCD0 (D2/D3, J5) -----------------------------------------
@@ -90,6 +96,7 @@ object SparkEntry {
       val all = ev(s, dir)
       val cfg = evCfg.copy(scdType = 1)
       val target = Scd01.initialLoad(all.filter(col("event_id") % 2 === 0), cfg)
+        .localCheckpoint()
       Scd01.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
     "q09_scd0_initial" -> ((s, dir) =>
@@ -98,16 +105,21 @@ object SparkEntry {
       val all = ev(s, dir)
       val cfg = evCfg.copy(scdType = 0)
       val target = Scd01.initialLoad(all.filter(col("event_id") % 2 === 0), cfg)
+        .localCheckpoint()
       Scd01.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
     // --- Temporal as-of join (J6, U2, P4, W3-W5) --------------------------
     "q11_scd2_join" -> ((s, dir) => {
+      // Each dim feeds the spine AND its containment join; checkpoint so the
+      // SCD2 window pipeline runs once per dim, as it would reading a table.
       val dimType = Scd2
         .initialLoad(ev(s, dir), evTypeCfg)
         .select("user_id", "event_type", "_is_current", "_valid_from", "_valid_to")
+        .localCheckpoint()
       val dimValue = Scd2
         .initialLoad(ev(s, dir), evCfg.copy(changeInclude = Some(Seq("value"))))
         .select("user_id", "value", "_is_current", "_valid_from", "_valid_to")
+        .localCheckpoint()
       Scd2Join(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
     }),
     // --- Incremental source scan (S5, A1) ---------------------------------

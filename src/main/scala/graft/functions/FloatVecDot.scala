@@ -91,7 +91,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftExtensions {
   private[graft] val descriptors = Seq(
     FloatVecDot.functionDescriptor,
-    SimHashBits.functionDescriptor)
+    SimHashBits.functionDescriptor,
+    SignLshBucket.functionDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

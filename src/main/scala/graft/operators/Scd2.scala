@@ -43,7 +43,6 @@ object Scd2 {
     val check = cfg.checkColumns(cols)
 
     val source = delta
-      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
       .withColumn(HashCol, surrogateKeyOf(check))
 
     // D1: one row per (key, updated_at). The reference's `order by 1` picks an
@@ -54,13 +53,16 @@ object Scd2 {
     // filter: same kept set, but this window shares one exchange with every
     // downstream window (lag/run-id/audit) instead of adding a second shuffle
     // on _scd2_key — at scale the whole initial load is a single exchange.
-    // _scd2_key is an md5, never NULL, so the lag test is unambiguous.
+    // Within a business-key partition the version key reduces to updated_at,
+    // so the lag compares it directly (null-safely, via the same ''-coalesced
+    // string the md5 surrogate would hash) instead of computing a per-row md5.
+    val uStr = coalesce(col(updatedAt).cast("string"), lit(""))
     val dedupW = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(updatedAt), col(HashCol))
     val deduped = source
-      .withColumn("_prev_key", lag(col(KeyCol), 1).over(dedupW))
-      .filter(col("_prev_key").isNull || col("_prev_key") =!= col(KeyCol))
-      .drop("_prev_key")
+      .withColumn("_prev_u", lag(uStr, 1).over(dedupW))
+      .filter(col("_prev_u").isNull || col("_prev_u") =!= uStr)
+      .drop("_prev_u")
 
     // W1 + P3: keep first-or-changed versions only.
     val w = versionWindow(keys, updatedAt)
@@ -248,7 +250,14 @@ object Scd2 {
     kept.select(out: _*)
   }
 
-  /** The four audit columns over an already-canonical timeline (W3-W6). */
+  /** The four audit columns over an already-canonical timeline (W3-W6).
+    *
+    * The timeline is unique per (keys, updated_at) here (both call sites
+    * dedup first), so `_is_current` = "no later version" = `lead(updated_at)
+    * IS NULL` — the same value `row_number() DESC = 1` produces, but it
+    * shares the single ascending-order window with lag/lead/rank instead of
+    * forcing a second (descending) sort of every key partition.
+    */
   private def withAuditColumns(df: DataFrame,
                                cfg: ScdConfig,
                                keys: Seq[String],
@@ -256,7 +265,8 @@ object Scd2 {
     val cols = df.columns.toSeq
     val createdAt = cfg.createdAtCol.map(resolveCi(cols, _))
     val deletedAt = cfg.deletedAtCol.map(resolveCi(cols, _))
-    df.withColumn(cfg.isCurrentCol, isCurrent(keys, updatedAt))
+    val w = versionWindow(keys, updatedAt)
+    df.withColumn(cfg.isCurrentCol, lead(col(updatedAt), 1).over(w).isNull)
       .withColumn(cfg.validFromCol,
                   validFrom(keys, updatedAt, createdAt, deletedAt))
       .withColumn(cfg.validToCol, validTo(keys, updatedAt, cfg.defaultValidTo))

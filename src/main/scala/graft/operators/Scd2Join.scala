@@ -47,9 +47,13 @@ object Scd2Join {
       .reduce(_ unionByName _)
       .distinct()
 
-    // temporal_spine (:35-42): recompute windows with the shared column macros.
+    // temporal_spine (:35-42): recompute windows with the shared column
+    // macros. Change points are DISTINCT per key, so `_is_current` =
+    // `lead(_updated_at) IS NULL` — same value as row_number() DESC = 1 but
+    // on the one ascending window validTo already sorts.
+    val spineW = versionWindow(joinKeys, "_updated_at")
     val spine = updates
-      .withColumn(cur, isCurrent(joinKeys, "_updated_at"))
+      .withColumn(cur, lead(col("_updated_at"), 1).over(spineW).isNull)
       .withColumn(vf, validFrom(joinKeys, "_updated_at"))
       .withColumn(vt, validTo(joinKeys, "_updated_at", cfg.defaultValidTo))
       .as("spine")

@@ -69,8 +69,17 @@ object Similarity {
 
   /** LSH bucket key: the sign pattern of the vector against `planes`
     * deterministic hyperplanes, as a string like "10110100".
+    *
+    * Native codegen expression (`graft.functions.SignLshBucket`): the
+    * hyperplane components are data-independent, so they are precomputed once
+    * instead of re-deriving `planes * dim` md5 hashes per row. Bit-identical
+    * to `lshBucketSpec` (asserted by `FloatVecDotSpec`).
     */
   def lshBucket(vec: Column, planes: Int): Column =
+    graft.functions.SignLshBucket(vec, planes)
+
+  /** The built-in-composition spec `lshBucket` must match bit-for-bit. */
+  private[graft] def lshBucketSpec(vec: Column, planes: Int): Column =
     concat_ws("",
       (0 until planes).map { p =>
         val proj = aggregate(

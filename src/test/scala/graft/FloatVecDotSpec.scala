@@ -34,6 +34,23 @@ class FloatVecDotSpec extends SparkTestBase {
     assert(withNull.filter($"d".isNull).count() === 1)
   }
 
+  test("native sign-LSH bucket == HOF composition, bit-for-bit") {
+    val rnd = new Random(7)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 3f))
+    }.toDF("id", "v")
+    for (planes <- Seq(4, 8)) {
+      val cmp = vecs.select(
+        graft.functions.SignLshBucket($"v", planes).as("native"),
+        graft.operators.Similarity.lshBucketSpec($"v", planes).as("spec"))
+      assert(cmp.filter($"native" =!= $"spec").count() === 0)
+    }
+    // null vector yields null
+    val withNull = Seq(Option.empty[Array[Float]]).toDF("v")
+      .select(graft.functions.SignLshBucket($"v", 4).as("b"))
+    assert(withNull.filter($"b".isNull).count() === 1)
+  }
+
   test("SQL registration via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
