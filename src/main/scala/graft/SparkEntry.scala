@@ -52,7 +52,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   def entry(spark: SparkSession): DataFrame =
     Scd2.initialLoad(
-      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      Tables.spread(spark,
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")),
       ScdConfig(uniqueKey = Seq("l_orderkey", "l_linenumber"),
                 updatedAtCol = "l_shipdate"))
 
@@ -208,8 +209,10 @@ object SparkEntry {
       Multimodal.featuresFromDocuments(docs(s, dir))),
     // --- Flagship-scale SCD2: full history over the biggest table ---------
     "q27_scd2_lineitem" -> ((s, dir) =>
+      // spread: the testdata file is one row group -> a 1-task scan stage
+      // would run every per-row hash single-threaded (no-op on real lakes)
       Scd2.initialLoad(
-        Tables.read(s, dir, "lineitem"),
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
         ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate")))
   )
 

@@ -92,7 +92,8 @@ object GraftExtensions {
   private[graft] val descriptors = Seq(
     FloatVecDot.functionDescriptor,
     SimHashBits.functionDescriptor,
-    SignLshBucket.functionDescriptor)
+    SignLshBucket.functionDescriptor,
+    Md5ConcatWs.functionDescriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

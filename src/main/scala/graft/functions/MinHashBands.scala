@@ -34,36 +34,42 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "minhash_bands"
 
-  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
+  /** "0-", "1-", ... prefixes as UTF-8 bytes, computed once per expression. */
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(bands * rows)(i => s"$i-".getBytes(StandardCharsets.UTF_8))
 
-  private def md5Hex(s: String): String = {
-    val md = digest.get()
-    md.reset()
-    val bytes = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
+  /** Unsigned byte-order compare of two 16-byte digests — the same order as
+    * comparing their lowercase-hex encodings lexicographically (hex encoding
+    * is monotone in unsigned byte value), so minima match the hex spec.
+    */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
-    while (i < bytes.length) {
-      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
       i += 1
     }
-    sb.toString
+    false
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val k = bands * rows
-    val mins = new Array[String](k)
+    val md = Md5Util.digests.get()
+    // minima kept as raw digests; hex encoding deferred to the k winners
+    val mins = new Array[Array[Byte]](k)
     var j = 0
     while (j < n) {
-      val s = xs.getUTF8String(j).toString
+      val s = xs.getUTF8String(j).getBytes
       var i = 0
       while (i < k) {
-        val h = md5Hex(i + "-" + s)
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        md.reset()
+        md.update(prefixes(i))
+        md.update(s)
+        val h = md.digest()
+        if (mins(i) == null || lessThan(h, mins(i))) mins(i) = h
         i += 1
       }
       j += 1
@@ -71,19 +77,17 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
     val keys = new Array[AnyRef](bands)
     var b = 0
     while (b < bands) {
-      val joined =
-        if (n == 0) ""
-        else {
-          val sb = new java.lang.StringBuilder(rows * 33)
-          var r = 0
-          while (r < rows) {
-            if (r > 0) sb.append('|')
-            sb.append(mins(b * rows + r))
-            r += 1
-          }
-          sb.toString
+      md.reset()
+      if (n > 0) {
+        // hex(min) joined with '|' — identical bytes to the string spec
+        var r = 0
+        while (r < rows) {
+          if (r > 0) md.update('|'.toByte)
+          md.update(Md5Util.hexBytes(mins(b * rows + r)))
+          r += 1
         }
-      keys(b) = UTF8String.fromString(md5Hex(joined))
+      }
+      keys(b) = UTF8String.fromBytes(Md5Util.hexBytes(md.digest()))
       b += 1
     }
     new GenericArrayData(keys)

@@ -20,6 +20,12 @@ object ScdFunctions {
     * themselves (the bug fix documented at `get_incremental_scd2_sql.sql:104-110`).
     */
   def surrogateKey(cols: Seq[Column]): Column =
+    Md5ConcatWs(cols.map(c => coalesce(c.cast("string"), lit(""))))
+
+  /** Built-in composition `surrogateKey` must match byte-for-byte (asserted
+    * by `ScdFunctionsSpec`); kept as the readable spec of the hash shape.
+    */
+  private[graft] def surrogateKeySpec(cols: Seq[Column]): Column =
     md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
 
   def surrogateKeyOf(names: Seq[String]): Column = surrogateKey(names.map(col))

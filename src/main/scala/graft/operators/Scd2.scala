@@ -157,14 +157,23 @@ object Scd2 {
     // load carrying identical content never displaces the persisted version.
     // Non-collapse keeps run openers plus every already-persisted row.
     val changesOnly =
-      if (collapse) {
+      if (collapse && !hasLoadedAt) {
+        // No load watermark: the run winner is simply the run's earliest
+        // updated_at row. Runs are contiguous in updated_at order, so the
+        // run-opener test is a lag on the SAME (keys, updated_at) window the
+        // hash/run-id passes already sorted — no extra sort, no shuffle.
+        compared
+          .withColumn("_prev_run", lag(col(RunIdCol), 1).over(w))
+          .filter(col("_prev_run").isNull || col("_prev_run") =!= col(RunIdCol))
+          .drop("_prev_run")
+      } else if (collapse) {
         // _run_id is nondecreasing along the timeline, so sorting the key
         // partition by (run, loaded_at, updated_at) keeps runs contiguous and
         // puts each run's earliest-loaded row first — the lag filter keeps
         // exactly one row per run without a (keys, run)-partitioned shuffle.
-        val order = col(RunIdCol).asc +:
-          ((if (hasLoadedAt) Seq(col(resolveCi(destCols, cfg.loadedAtCol)).asc)
-            else Nil) :+ col(updatedAt).asc)
+        val order = Seq(col(RunIdCol).asc,
+                        col(resolveCi(destCols, cfg.loadedAtCol)).asc,
+                        col(updatedAt).asc)
         compared
           .withColumn("_prev_run",
                       lag(col(RunIdCol), 1).over(
@@ -180,7 +189,16 @@ object Scd2 {
 
     // scd2_versions (:201-211): recompute audit columns over the canonical
     // timeline; everything here is an upsert.
-    val versions = withAuditColumns(changesOnly, cfg, keys, updatedAt)
+    //
+    // When collapsing, the canonical timeline feeds BOTH the upsert branch
+    // and the redundant-version anti-join; Spark has no DAG-level subplan
+    // reuse, so without materialization the whole union+window pipeline runs
+    // twice. Materialize it once (lazy local checkpoint) — it is batch-sized
+    // (new rows + affected history), the same move Delta's MERGE makes when
+    // it materializes the source relation.
+    val canonical =
+      if (collapse) changesOnly.localCheckpoint(false) else changesOnly
+    val versions = withAuditColumns(canonical, cfg, keys, updatedAt)
       .withColumn(OpCol, lit("upsert"))
       .select((destCols ++ cfg.auditColumns :+ OpCol :+ KeyCol).map(col): _*)
 
@@ -190,7 +208,7 @@ object Scd2 {
       // are deleted. `left_anti` is exact here because _scd2_key is an md5 —
       // never NULL (SURVEY.md §7.4.6).
       val redundant = previousRecord
-        .join(changesOnly.select(KeyCol), Seq(KeyCol), "left_anti")
+        .join(canonical.select(KeyCol), Seq(KeyCol), "left_anti")
         .withColumn(cfg.isCurrentCol, lit(null).cast("boolean"))
         .withColumn(cfg.validFromCol, lit(null).cast("timestamp"))
         .withColumn(cfg.validToCol, lit(null).cast("timestamp"))

@@ -22,6 +22,24 @@ class ScdFunctionsSpec extends SparkTestBase {
     assert(hashes(0) !== hashes(2))
   }
 
+  test("native surrogate key == md5(concat_ws) composition, byte-for-byte") {
+    val df = Seq(
+      (1L, Some("x"), Some(2.5), Some(ts("2024-03-01 12:34:56"))),
+      (2L, None, None, None),
+      (3L, Some(""), Some(-0.0), Some(ts("1900-01-01 00:00:00"))))
+      .toDF("a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d").map(col)
+    val cmp = df.select(
+      ScdFunctions.surrogateKey(cols).as("native"),
+      ScdFunctions.surrogateKeySpec(cols).as("spec"))
+    assert(cmp.filter($"native" =!= $"spec").count() === 0)
+    // concat_ws null-skipping semantics when fed raw (un-coalesced) inputs
+    val raw = df.select(
+      graft.functions.Md5ConcatWs(Seq($"b", $"b")).as("native"),
+      md5(concat_ws("-", $"b", $"b")).as("spec"))
+    assert(raw.filter($"native" =!= $"spec").count() === 0)
+  }
+
   test("conditional_change_event: A->A->B->A is runs 0,0,1,2") {
     val df = Seq((1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"))
       .toDF("k", "t", "h")
