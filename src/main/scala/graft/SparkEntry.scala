@@ -121,7 +121,9 @@ object SparkEntry {
         .initialLoad(ev(s, dir), evCfg.copy(changeInclude = Some(Seq("value"))))
         .select("user_id", "value", "_is_current", "_valid_from", "_valid_to")
         .localCheckpoint()
-      Scd2Join(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
+      // asOfFill: engine outputs satisfy the continuity invariants, so the
+      // linear window-fill strategy applies (== containment join, spec-tested)
+      Scd2Join.asOfFill(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
     }),
     // --- Incremental source scan (S5, A1) ---------------------------------
     "q12_incremental_source" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ScdConfig
@@ -83,5 +84,84 @@ object Scd2Join {
       .filter(col(s"spine.$vf") < col(s"spine.$vt")) // P4: zero-width windows
       .select(joinKeys.map(k => col(s"spine.$k")) ++ payload.map(col) ++
         Seq(col(s"spine.$cur"), col(s"spine.$vf"), col(s"spine.$vt")): _*)
+  }
+
+  /** Scale-path temporal join: same output as `apply` whenever every input
+    * satisfies the SCD2 invariants this engine's own outputs guarantee
+    * (continuous validity windows per key, open-ended final version — the
+    * `continuous_validity_windows` / `valid_window_well_formed` invariant
+    * tests). Under continuity, "the version whose window CONTAINS the spine
+    * window" is exactly "the last version starting at or before the spine
+    * point", so the N containment joins collapse to last-non-null window
+    * fills over the unioned change points.
+    *
+    * Cost: ONE exchange + sort on the business key for the whole join,
+    * linear in Σ|relations| — versus N sort-merge joins whose per-key
+    * intermediate is |spine| × |versions| (quadratic in version-chain length)
+    * before the range filter prunes. At 100 TB version chains this is the
+    * difference between a shuffle-bound pass and a blowup.
+    *
+    * NULL business keys mirror the reference join's null-hostile `=`:
+    * payloads stay NULL for NULL-key spine rows (asserted in Scd2JoinSpec).
+    */
+  def asOfFill(relations: Seq[(String, DataFrame)],
+               joinKeys: Seq[String],
+               cfg: ScdConfig = ScdConfig(uniqueKey = Seq("_unused_"))): DataFrame = {
+    require(relations.nonEmpty, "scd2_join needs at least one relation")
+    val vf = cfg.validFromCol
+    val vt = cfg.validToCol
+    val cur = cfg.isCurrentCol
+
+    // One struct column per relation holding its payload; each relation
+    // contributes rows with its own struct set and the others NULL.
+    val keyUpper = joinKeys.map(_.toUpperCase).toSet
+    val payloadsByAlias = relations.map { case (alias, r) =>
+      alias -> r.columns.toSeq.filterNot(c =>
+        keyUpper.contains(c.toUpperCase) || spineAudit.contains(c.toUpperCase))
+    }.toMap
+    val structTypeByAlias = relations.map { case (alias, r) =>
+      alias -> org.apache.spark.sql.types.StructType(
+        payloadsByAlias(alias).map(c => r.schema(c)))
+    }.toMap
+    val tagged = relations.map { case (alias, r) =>
+      val cols = r.columns.toSeq
+      val structs = relations.map { case (other, _) =>
+        if (other == alias)
+          struct(payloadsByAlias(alias).map(col): _*).as(s"_p_$other")
+        else
+          lit(null).cast(structTypeByAlias(other)).as(s"_p_$other")
+      }
+      r.select(
+        joinKeys.map(k => col(resolveCi(cols, k)).as(k)) ++
+          Seq(col(resolveCi(cols, vf)).cast("timestamp").as("_t")) ++ structs: _*)
+    }.reduce(_ unionByName _)
+
+    // Last version at or before each change point, per relation. RANGE frame:
+    // rows sharing a change point must see each other's structs.
+    val fillW = versionWindow(joinKeys, "_t")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val keysNonNull = joinKeys.map(col(_).isNotNull).reduce(_ && _)
+    val filled = relations.foldLeft(tagged) { case (df, (alias, _)) =>
+      df.withColumn(
+        s"_f_$alias",
+        when(keysNonNull,
+             last(col(s"_p_$alias"), ignoreNulls = true).over(fillW)))
+    }.dropDuplicates(joinKeys :+ "_t")
+
+    // Spine audit columns over the distinct change points (same macros as
+    // `apply`'s spine), then expand the structs to alias-prefixed columns.
+    val spineW = versionWindow(joinKeys, "_t")
+    val payload = relations.flatMap { case (alias, _) =>
+      payloadsByAlias(alias).map(c =>
+        col(s"_f_$alias.$c").as(s"${alias}_$c"))
+    }
+    filled
+      .withColumn(cur, lead(col("_t"), 1).over(spineW).isNull)
+      .withColumn(vf, col("_t"))
+      .withColumn(vt, coalesce(lead(col("_t"), 1).over(spineW),
+                               to_timestamp(lit(cfg.defaultValidTo))))
+      .filter(col(vf) < col(vt))
+      .select(joinKeys.map(col) ++ payload ++
+        Seq(col(cur), col(vf), col(vt)): _*)
   }
 }

@@ -61,6 +61,33 @@ class Scd2JoinSpec extends SparkTestBase {
     assert(ScdInvariants.oneCurrentPerKey(joined, spineCfg).count() === 0)
   }
 
+  test("asOfFill == containment join on invariant-valid dims, incl NULL keys") {
+    import spark.implicits._
+    val customers = dim("customers_source", Seq("customer_id"))
+      .select("customer_id", "customer_name", "email", "_valid_from", "_valid_to")
+    val addresses = dim("addresses_source", Seq("customer_id"))
+      .select("customer_id", "city", "state", "_valid_from", "_valid_to")
+    // add a NULL-key version chain: the reference join's `=` never matches
+    // NULL keys, so its payloads must stay NULL in both strategies
+    val nullKeyRows = Scd2
+      .initialLoad(
+        Seq((Option.empty[Int], "ghost", "g@x", ts("2024-01-05 00:00:00")))
+          .toDF("customer_id", "customer_name", "email", "_updated_at"),
+        ScdConfig(uniqueKey = Seq("customer_id")))
+      .select("customer_id", "customer_name", "email", "_valid_from", "_valid_to")
+    val cust = customers.unionByName(nullKeyRows)
+
+    val rels = Seq("customers" -> cust, "addresses" -> addresses)
+    val viaJoin = Scd2Join(rels, Seq("customer_id"))
+    val viaFill = Scd2Join.asOfFill(rels, Seq("customer_id"))
+    assert(viaFill.columns.toSeq === viaJoin.columns.toSeq)
+    assert(viaJoin.exceptAll(viaFill).count() === 0)
+    assert(viaFill.exceptAll(viaJoin).count() === 0)
+    // and the NULL-key spine rows exist with NULL payloads
+    val ghost = viaFill.filter(col("customer_id").isNull).collect()
+    assert(ghost.nonEmpty && ghost.forall(_.getAs[String]("customers_email") == null))
+  }
+
   test("composite-key temporal join (customer_id, order_id)") {
     val keys = Seq("customer_id", "order_id")
     val orders = dim("orders_source", keys)
