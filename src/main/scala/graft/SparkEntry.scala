@@ -90,6 +90,26 @@ object SparkEntry {
         .localCheckpoint()
       Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
+    "q31_scd2_created_at" -> ((s, dir) => {
+      // created_at_column: a key's FIRST version opens at its creation time,
+      // not its first observed update (W5, `get_valid_from_sql.sql:24-43`).
+      val src = ev(s, dir).withColumn(
+        "created_at",
+        expr("timestamp'2020-01-01 00:00:00' + make_interval(0, 0, 0, cast(user_id % 365 as int))"))
+      Scd2.initialLoad(src, evCfg.copy(createdAtCol = Some("created_at")))
+    }),
+    "q32_scd2_loaded_collapse" -> ((s, dir) => {
+      // loaded_at collapse arm (D4): within a content run the EARLIEST-LOADED
+      // version wins regardless of updated_at, so a late backfill carrying
+      // content the target already persisted never displaces it.
+      val all = ev(s, dir)
+      val target = Scd2.initialLoad(
+        all.filter(col("event_id") % 2 === 0).withColumn("_loaded_at", col("ts")),
+        evTypeCfg).localCheckpoint()
+      val delta = all.filter(col("event_id") % 2 === 1)
+        .withColumn("_loaded_at", col("ts") + expr("INTERVAL 100 DAYS"))
+      Scd2.incremental(target, delta, evTypeCfg)
+    }),
     // --- SCD1 / SCD0 (D2/D3, J5) -----------------------------------------
     "q07_scd1_initial" -> ((s, dir) =>
       Scd01.initialLoad(ev(s, dir), evCfg.copy(scdType = 1))),
@@ -348,6 +368,64 @@ object SparkEntry {
       s"WITH $SrcDelCte, ${scd2FullSql(AllCheck, deletes = true)}",
     "q04_scd2_incremental" ->
       s"WITH $SrcCte, ${scd2TwoPhaseSql(AllCheck, deletes = false, "event_id % 2 = 0", "event_id % 2 = 1")}",
+    "q31_scd2_created_at" ->
+      s"""WITH $SrcCte,
+         |c AS (SELECT *, TIMESTAMP '2020-01-01 00:00:00'
+         |              + to_days(CAST(user_id % 365 AS INT)) AS created_at FROM src),
+         |hashed AS (SELECT *, md5(concat_ws('-',
+         |    coalesce(CAST(event_type AS VARCHAR), ''),
+         |    coalesce(CAST(value AS VARCHAR), ''),
+         |    coalesce(CAST(props AS VARCHAR), ''),
+         |    coalesce(CAST(created_at AS VARCHAR), ''))) AS _h FROM c),
+         |dedup AS (SELECT * FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY _h) = 1),
+         |changes_only AS (SELECT * FROM (
+         |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM dedup
+         |  ) WHERE _ph IS NULL OR _h <> _ph)
+         |SELECT event_id, ts, user_id, event_type, value, props, created_at,
+         |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |       THEN coalesce(created_at, ts) ELSE ts END AS _valid_from,
+         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+         |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+         |       THEN 'I' ELSE 'U' END AS _change_type
+         |FROM changes_only""".stripMargin,
+    "q32_scd2_loaded_collapse" ->
+      s"""WITH $SrcCte,
+         |h0 AS (SELECT *, ts AS _loaded_at,
+         |    md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''))) AS _h
+         |  FROM src WHERE event_id % 2 = 0),
+         |kept0 AS (SELECT * EXCLUDE (_ph) FROM (
+         |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM h0
+         |  ) WHERE _ph IS NULL OR _h <> _ph),
+         |d1 AS (SELECT *, ts + INTERVAL 100 DAY AS _loaded_at,
+         |    md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''))) AS _h
+         |  FROM src WHERE event_id % 2 = 1),
+         |u AS (SELECT * FROM kept0 UNION ALL SELECT * FROM d1),
+         |chg AS (
+         |  SELECT *, CASE WHEN lag(_h) OVER w IS NULL THEN 0
+         |                 WHEN _h <> lag(_h) OVER w THEN 1 ELSE 0 END AS _c
+         |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |runs AS (
+         |  SELECT *, sum(_c) OVER (PARTITION BY user_id ORDER BY ts
+         |                          ROWS UNBOUNDED PRECEDING) AS _run
+         |  FROM chg
+         |),
+         |collapsed AS (
+         |  SELECT * FROM runs
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, _run
+         |                             ORDER BY _loaded_at, ts) = 1
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props, _loaded_at,
+         |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+         |  ts AS _valid_from,
+         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+         |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+         |       THEN 'I' ELSE 'U' END AS _change_type
+         |FROM collapsed""".stripMargin,
     "q05_scd2_backfill" ->
       s"WITH $SrcCte, ${scd2TwoPhaseSql(Seq("event_type"), deletes = false, "event_id % 3 <> 1", "event_id % 3 = 1")}",
     "q06_scd2_incremental_deletes" ->
