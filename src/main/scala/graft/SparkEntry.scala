@@ -231,10 +231,13 @@ object SparkEntry {
       Multimodal.featuresFromDocuments(docs(s, dir))),
     // --- Flagship-scale SCD2: full history over the biggest table ---------
     "q27_scd2_lineitem" -> ((s, dir) =>
-      // spread: the testdata file is one row group -> a 1-task scan stage
-      // would run every per-row hash single-threaded (no-op on real lakes)
+      // Pre-partition by the business key: the testdata file is one row
+      // group (a 1-task scan would hash single-threaded), and hash
+      // partitioning — unlike a round-robin spread — already satisfies the
+      // SCD window's distribution, so the whole build stays ONE exchange.
       Scd2.initialLoad(
-        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        Tables.read(s, dir, "lineitem")
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate")))
   )
 
