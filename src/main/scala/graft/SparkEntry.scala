@@ -145,6 +145,20 @@ object SparkEntry {
       // linear window-fill strategy applies (== containment join, spec-tested)
       Scd2Join.asOfFill(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
     }),
+    "q33_scd2_join_containment" -> ((s, dir) => {
+      // Reference-exact containment-join strategy (J6), oracle-checked on a
+      // key slice (q11 covers the full corpus via the fill strategy).
+      val slice = ev(s, dir).filter(col("user_id") % 5 === 0)
+      val dimType = Scd2
+        .initialLoad(slice, evTypeCfg)
+        .select("user_id", "event_type", "_is_current", "_valid_from", "_valid_to")
+        .localCheckpoint()
+      val dimValue = Scd2
+        .initialLoad(slice, evCfg.copy(changeInclude = Some(Seq("value"))))
+        .select("user_id", "value", "_is_current", "_valid_from", "_valid_to")
+        .localCheckpoint()
+      Scd2Join(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
+    }),
     // --- Incremental source scan (S5, A1) ---------------------------------
     "q12_incremental_source" -> ((s, dir) => {
       // Watermark split at 60% of the event-time span (integer microsecond
@@ -482,6 +496,36 @@ object SparkEntry {
          |FROM t FULL JOIN d ON t.user_id = d.user_id""".stripMargin,
     "q11_scd2_join" ->
       s"""WITH $SrcCte,
+         |dim_a AS (
+         |  WITH ${scd2JoinDimSql("event_type")}
+         |),
+         |dim_b AS (
+         |  WITH ${scd2JoinDimSql("value")}
+         |),
+         |pts AS (
+         |  SELECT user_id, _valid_from AS _updated_at FROM dim_a
+         |  UNION
+         |  SELECT user_id, _valid_from AS _updated_at FROM dim_b
+         |),
+         |spine AS (
+         |  SELECT user_id,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY _updated_at DESC) = 1) AS _is_current,
+         |    _updated_at AS _valid_from,
+         |    coalesce(lead(_updated_at) OVER (PARTITION BY user_id ORDER BY _updated_at),
+         |             TIMESTAMP '2999-12-31 23:59:59') AS _valid_to
+         |  FROM pts
+         |)
+         |SELECT spine.user_id, a.event_type AS a_event_type, b.value AS b_value,
+         |       spine._is_current, spine._valid_from, spine._valid_to
+         |FROM spine
+         |LEFT JOIN dim_a a ON spine.user_id = a.user_id
+         |  AND spine._valid_from >= a._valid_from AND spine._valid_to <= a._valid_to
+         |LEFT JOIN dim_b b ON spine.user_id = b.user_id
+         |  AND spine._valid_from >= b._valid_from AND spine._valid_to <= b._valid_to
+         |WHERE spine._valid_from < spine._valid_to""".stripMargin,
+    "q33_scd2_join_containment" ->
+      s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+         |            FROM events WHERE user_id % 5 = 0),
          |dim_a AS (
          |  WITH ${scd2JoinDimSql("event_type")}
          |),
