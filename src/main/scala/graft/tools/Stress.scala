@@ -1,0 +1,75 @@
+// scratch scaling-slope probe (not part of the library)
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ScdConfig
+import graft.operators.{Dedup, Scd2}
+import graft.sources.Tables
+
+/** Measures how the flagship pipelines scale when the input grows k×
+  * (union with key-shifted copies, preserving per-key version-chain shape).
+  * A shuffle/window/hash pipeline should scale ~linearly in rows; a
+  * super-linear slope exposes a cliff (spill, quadratic blowup, driver
+  * collect) before it shows up at 100 TB.
+  *
+  * Usage: runMain graft.tools.Stress [sfDir] [k]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $label%-28s $s%7.2f s")
+      s
+    }
+
+    /** k copies with shifted keys/ids — same per-key chain shape, k× keys. */
+    def copies(df: DataFrame, keyCol: String, idCol: String, shift: Long): DataFrame =
+      (0 until k).map { i =>
+        df.withColumn(keyCol, col(keyCol) + lit(i * shift))
+          .withColumn(idCol, col(idCol) + lit(i * shift))
+      }.reduce(_ unionByName _)
+
+    val evCfg = ScdConfig(uniqueKey = Seq("user_id"), updatedAtCol = "ts",
+                          changeExclude = Seq("event_id"))
+    val ev1 = Tables.events(spark, sfDir).localCheckpoint()
+    val evK = copies(ev1, "user_id", "event_id", 1000000L).localCheckpoint()
+
+    // JIT/codegen warm
+    time("warmup scd2 1x")(Scd2.initialLoad(ev1, evCfg))
+
+    val i1 = time("scd2 initial 1x")(Scd2.initialLoad(ev1, evCfg))
+    val iK = time(s"scd2 initial ${k}x")(Scd2.initialLoad(evK, evCfg))
+
+    def half(df: DataFrame, rem: Int) = df.filter(col("event_id") % 2 === rem)
+    val t1 = Scd2.initialLoad(half(ev1, 0), evCfg).localCheckpoint()
+    val tK = Scd2.initialLoad(half(evK, 0), evCfg).localCheckpoint()
+    val m1 = time("scd2 incremental 1x")(Scd2.incremental(t1, half(ev1, 1), evCfg))
+    val mK = time(s"scd2 incremental ${k}x")(Scd2.incremental(tK, half(evK, 1), evCfg))
+
+    val d1 = Tables.spread(spark, Tables.read(spark, sfDir, "documents"))
+      .localCheckpoint()
+    val dK = copies(d1, "doc_id", "doc_id", 1000000L).localCheckpoint()
+    val x1 = time("minhash lsh pairs 1x")(
+      Dedup.minhashLshPairs(d1, "doc_id", "text"))
+    val xK = time(s"minhash lsh pairs ${k}x")(
+      Dedup.minhashLshPairs(dK, "doc_id", "text"))
+
+    println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
+      f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
+      f"minhash ${xK / x1 / k}%.2f")
+    spark.stop()
+  }
+}
