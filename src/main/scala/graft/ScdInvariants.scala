@@ -145,11 +145,9 @@ object ScdInvariants {
         expected.except(act).withColumn("_diff_side", lit("expected_not_actual")))
   }
 
-  /** Run every applicable invariant; returns (name -> violation count).
-    * Useful as a one-call gate in tests and pipelines.
-    */
-  def checkAll(df: DataFrame, cfg: ScdConfig): Map[String, Long] = {
-    val base = Map(
+  /** Every applicable SCD2 invariant paired with its violating-rows frame. */
+  def all(df: DataFrame, cfg: ScdConfig): Seq[(String, DataFrame)] = {
+    val base = Seq(
       "one_current_per_key" -> oneCurrentPerKey(df, cfg),
       "no_validity_overlaps" -> noValidityOverlaps(df, cfg),
       "continuous_validity_windows" -> continuousValidityWindows(df, cfg),
@@ -159,10 +157,23 @@ object ScdInvariants {
       "no_consecutive_inserts_or_deletes" -> noConsecutiveInsertsOrDeletes(df, cfg),
       "valid_window_well_formed" -> validWindowWellFormed(df, cfg)
     )
-    val withDel = cfg.deletedAtCol match {
-      case Some(_) => base + ("no_records_after_deletion" -> noRecordsAfterDeletion(df, cfg))
-      case None    => base
-    }
-    withDel.map { case (k, v) => k -> v.count() }
+    base ++ cfg.deletedAtCol.map(_ =>
+      "no_records_after_deletion" -> noRecordsAfterDeletion(df, cfg))
   }
+
+  /** One row per applicable invariant with its violation count — the suite as
+    * a single distributed query (all scans plan together; share a cached
+    * input). Pass == every `violations` is 0.
+    */
+  def report(df: DataFrame, cfg: ScdConfig): DataFrame =
+    all(df, cfg).map { case (name, v) =>
+      v.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("invariant"), col("violations"))
+    }.reduce(_ unionByName _)
+
+  /** Run every applicable invariant; returns (name -> violation count).
+    * Useful as a one-call gate in tests and pipelines.
+    */
+  def checkAll(df: DataFrame, cfg: ScdConfig): Map[String, Long] =
+    all(df, cfg).map { case (k, v) => k -> v.count() }.toMap
 }

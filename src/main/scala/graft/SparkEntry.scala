@@ -110,6 +110,39 @@ object SparkEntry {
         .withColumn("_loaded_at", col("ts") + expr("INTERVAL 100 DAYS"))
       Scd2.incremental(target, delta, evTypeCfg)
     }),
+    "q34_invariants" -> ((s, dir) => {
+      // The §2.11 invariant-test suite as one oracle-checked query: build the
+      // deletes-bearing history (same pipeline as q03), seed deterministic
+      // corruptions keyed on user_id residues, and report per-invariant
+      // violation counts. Corruptions reference only PRE-corruption columns
+      // (single select), so each lights up specific invariants:
+      //   valid_to stretch    -> overlaps + discontinuity
+      //   valid_to collapse   -> valid_window_well_formed
+      //   is_current flip     -> one_current_per_key + latest_row_is_current
+      //   change_type rewrite (non-D rows only, so D->U adjacency survives)
+      //                       -> first_record / I->I / D->U sequence checks
+      //   late deleted_at     -> no_records_after_deletion
+      val cfg = evCfg.copy(deletedAtCol = Some("deleted_at"))
+      val hist = Scd2.initialLoad(evDeletes(s, dir), cfg)
+      val bad = hist.select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"),
+        when(col("user_id") % 17 === 9 && col("deleted_at").isNull,
+             col("ts") + expr("INTERVAL 1 SECOND"))
+          .otherwise(col("deleted_at")).as("deleted_at"),
+        when(col("user_id") % 11 === 5, !col("_is_current"))
+          .otherwise(col("_is_current")).as("_is_current"),
+        col("_valid_from"),
+        when(col("user_id") % 19 === 11, col("_valid_from"))
+          .when(col("user_id") % 7 === 3 && !col("_is_current"),
+                col("_valid_to") + expr("INTERVAL 1 SECOND"))
+          .otherwise(col("_valid_to")).as("_valid_to"),
+        when(col("user_id") % 13 === 7 && col("_change_type") =!= "D",
+             when(col("event_id") % 2 === 0, lit("U")).otherwise(lit("I")))
+          .otherwise(col("_change_type")).as("_change_type")
+      ).localCheckpoint() // nine invariant scans share one materialized input
+      ScdInvariants.report(bad, cfg)
+    }),
     // --- SCD1 / SCD0 (D2/D3, J5) -----------------------------------------
     "q07_scd1_initial" -> ((s, dir) =>
       Scd01.initialLoad(ev(s, dir), evCfg.copy(scdType = 1))),
@@ -443,6 +476,60 @@ object SparkEntry {
          |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
          |       THEN 'I' ELSE 'U' END AS _change_type
          |FROM collapsed""".stripMargin,
+    "q34_invariants" ->
+      s"""WITH hist AS (
+         |  WITH $SrcDelCte, ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |bad AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props,
+         |    CASE WHEN user_id % 17 = 9 AND deleted_at IS NULL
+         |         THEN ts + INTERVAL 1 SECOND ELSE deleted_at END AS deleted_at,
+         |    CASE WHEN user_id % 11 = 5 THEN NOT _is_current
+         |         ELSE _is_current END AS _is_current,
+         |    _valid_from,
+         |    CASE WHEN user_id % 19 = 11 THEN _valid_from
+         |         WHEN user_id % 7 = 3 AND NOT _is_current
+         |         THEN _valid_to + INTERVAL 1 SECOND ELSE _valid_to END AS _valid_to,
+         |    CASE WHEN user_id % 13 = 7 AND _change_type <> 'D'
+         |         THEN (CASE WHEN event_id % 2 = 0 THEN 'U' ELSE 'I' END)
+         |         ELSE _change_type END AS _change_type
+         |  FROM hist
+         |)
+         |SELECT 'one_current_per_key' AS invariant,
+         |  (SELECT count(*) FROM (SELECT user_id FROM bad WHERE _is_current
+         |    GROUP BY user_id HAVING count(*) <> 1)) AS violations
+         |UNION ALL SELECT 'no_validity_overlaps',
+         |  (SELECT count(*) FROM bad a JOIN bad b
+         |    ON a.user_id IS NOT DISTINCT FROM b.user_id
+         |    AND a._valid_from <> b._valid_from
+         |    AND a._valid_from < b._valid_to AND b._valid_from < a._valid_to)
+         |UNION ALL SELECT 'continuous_validity_windows',
+         |  (SELECT count(*) FROM (SELECT _valid_to,
+         |      lead(_valid_from) OVER (PARTITION BY user_id ORDER BY _valid_from) AS nxt
+         |    FROM bad) WHERE nxt IS NOT NULL AND _valid_to <> nxt)
+         |UNION ALL SELECT 'latest_row_is_current',
+         |  (SELECT count(*) FROM (SELECT _is_current,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY _valid_from DESC) AS rn
+         |    FROM bad) WHERE rn = 1 AND NOT _is_current)
+         |UNION ALL SELECT 'first_record_not_update',
+         |  (SELECT count(*) FROM (SELECT _change_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY _valid_from) AS rn
+         |    FROM bad) WHERE rn = 1 AND _change_type = 'U')
+         |UNION ALL SELECT 'insert_follows_delete',
+         |  (SELECT count(*) FROM (SELECT _change_type,
+         |      lag(_change_type) OVER (PARTITION BY user_id ORDER BY _valid_from) AS pct
+         |    FROM bad) WHERE pct = 'D' AND _change_type = 'U')
+         |UNION ALL SELECT 'no_consecutive_inserts_or_deletes',
+         |  (SELECT count(*) FROM (SELECT _change_type,
+         |      lag(_change_type) OVER (PARTITION BY user_id ORDER BY _valid_from) AS pct
+         |    FROM bad) WHERE (pct = 'I' AND _change_type = 'I')
+         |      OR (pct = 'D' AND _change_type = 'U'))
+         |UNION ALL SELECT 'valid_window_well_formed',
+         |  (SELECT count(*) FROM bad WHERE _valid_from IS NULL
+         |    OR _valid_to IS NULL OR _valid_from >= _valid_to)
+         |UNION ALL SELECT 'no_records_after_deletion',
+         |  (SELECT count(*) FROM bad WHERE deleted_at IS NOT NULL
+         |    AND _valid_from <> deleted_at)""".stripMargin,
     "q05_scd2_backfill" ->
       s"WITH $SrcCte, ${scd2TwoPhaseSql(Seq("event_type"), deletes = false, "event_id % 3 <> 1", "event_id % 3 = 1")}",
     "q06_scd2_incremental_deletes" ->
