@@ -143,6 +143,20 @@ object SparkEntry {
       ).localCheckpoint() // nine invariant scans share one materialized input
       ScdInvariants.report(bad, cfg)
     }),
+    "q35_scd2_no_update_all" -> ((s, dir) => {
+      // update_all_previous_records = false (J2 + restricted merge set,
+      // `scd_plan.sql:154-170`): the affected-key semi-join keeps only target
+      // windows a new row could land in (n.updated_at <= p.valid_to), collapse
+      // is forced off, and matched rows update ONLY [_is_current, _valid_to]
+      // — _change_type keeps its persisted value. The oracle translates the
+      // arm CTE-for-CTE (no full-refresh equivalence holds here; that loss is
+      // the documented trade-off of the switch).
+      val cfg = evCfg.copy(updateAllPreviousRecords = false)
+      val all = ev(s, dir)
+      val target = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
+    }),
     // --- SCD1 / SCD0 (D2/D3, J5) -----------------------------------------
     "q07_scd1_initial" -> ((s, dir) =>
       Scd01.initialLoad(ev(s, dir), evCfg.copy(scdType = 1))),
@@ -530,6 +544,73 @@ object SparkEntry {
          |UNION ALL SELECT 'no_records_after_deletion',
          |  (SELECT count(*) FROM bad WHERE deleted_at IS NOT NULL
          |    AND _valid_from <> deleted_at)""".stripMargin,
+    "q35_scd2_no_update_all" ->
+      s"""WITH $SrcCte,
+         |tgt AS (
+         |  WITH h0 AS (SELECT *, md5(concat_ws('-',
+         |      coalesce(CAST(event_type AS VARCHAR), ''),
+         |      coalesce(CAST(value AS VARCHAR), ''),
+         |      coalesce(CAST(props AS VARCHAR), ''))) AS _h
+         |    FROM src WHERE event_id % 2 = 0)
+         |  SELECT event_id, ts, user_id, event_type, value, props,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+         |    ts AS _valid_from,
+         |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+         |             TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+         |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+         |         THEN 'I' ELSE 'U' END AS _change_type
+         |  FROM (SELECT * FROM (
+         |      SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM h0
+         |    ) WHERE _ph IS NULL OR _h <> _ph)
+         |),
+         |n AS (SELECT event_id, ts, user_id, event_type, value, props,
+         |    md5(concat_ws('-',
+         |      coalesce(CAST(event_type AS VARCHAR), ''),
+         |      coalesce(CAST(value AS VARCHAR), ''),
+         |      coalesce(CAST(props AS VARCHAR), ''))) AS _h,
+         |    'new' AS _source, 17 AS _priority
+         |  FROM src WHERE event_id % 2 = 1),
+         |p AS (SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value, t.props,
+         |    md5(concat_ws('-',
+         |      coalesce(CAST(t.event_type AS VARCHAR), ''),
+         |      coalesce(CAST(t.value AS VARCHAR), ''),
+         |      coalesce(CAST(t.props AS VARCHAR), ''))) AS _h,
+         |    'previous' AS _source, 0 AS _priority
+         |  FROM tgt t WHERE EXISTS (SELECT 1 FROM n
+         |    WHERE n.user_id IS NOT DISTINCT FROM t.user_id AND n.ts <= t._valid_to)),
+         |dedup AS (SELECT * FROM (SELECT * FROM n UNION ALL SELECT * FROM p)
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+         |                             ORDER BY _priority, _h) = 1),
+         |chg AS (SELECT * FROM (
+         |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM dedup
+         |  ) WHERE _ph IS NULL OR _h <> _ph OR _source = 'previous'),
+         |v AS (SELECT event_id, ts, user_id, event_type, value, props,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+         |    ts AS _valid_from,
+         |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+         |             TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+         |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+         |         THEN 'I' ELSE 'U' END AS _change_type
+         |  FROM chg)
+         |SELECT
+         |  CASE WHEN t._t_ex IS NULL THEN v.event_id ELSE t.event_id END AS event_id,
+         |  CASE WHEN t._t_ex IS NULL THEN v.ts ELSE t.ts END AS ts,
+         |  CASE WHEN t._t_ex IS NULL THEN v.user_id ELSE t.user_id END AS user_id,
+         |  CASE WHEN t._t_ex IS NULL THEN v.event_type ELSE t.event_type END AS event_type,
+         |  CASE WHEN t._t_ex IS NULL THEN v.value ELSE t.value END AS value,
+         |  CASE WHEN t._t_ex IS NULL THEN v.props ELSE t.props END AS props,
+         |  CASE WHEN v._s_ex IS NOT NULL THEN v._is_current
+         |       ELSE t._is_current END AS _is_current,
+         |  CASE WHEN t._t_ex IS NULL THEN v._valid_from
+         |       ELSE t._valid_from END AS _valid_from,
+         |  CASE WHEN v._s_ex IS NOT NULL THEN v._valid_to
+         |       ELSE t._valid_to END AS _valid_to,
+         |  CASE WHEN t._t_ex IS NULL THEN v._change_type
+         |       ELSE t._change_type END AS _change_type
+         |FROM (SELECT *, 1 AS _t_ex FROM tgt) t
+         |FULL JOIN (SELECT *, 1 AS _s_ex FROM v) v
+         |  ON t.user_id IS NOT DISTINCT FROM v.user_id
+         |  AND t.ts IS NOT DISTINCT FROM v.ts""".stripMargin,
     "q05_scd2_backfill" ->
       s"WITH $SrcCte, ${scd2TwoPhaseSql(Seq("event_type"), deletes = false, "event_id % 3 <> 1", "event_id % 3 = 1")}",
     "q06_scd2_incremental_deletes" ->
