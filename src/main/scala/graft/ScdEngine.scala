@@ -96,7 +96,15 @@ object ScdEngine {
     * failing the predicates bypass the merge entirely (smaller semi-join and
     * merge inputs — the reference's MERGE-ON pruning conjuncts,
     * `get_incremental_scd2_sql.sql:247-255`) and pass through unchanged.
+    * Like the reference's MERGE-ON conjuncts, a batch key whose history was
+    * predicated away re-enters as brand-new — the pruning trade-off is the
+    * caller's to make.
     */
+  def incrementalWithPredicates(target: DataFrame,
+                                batch: DataFrame,
+                                cfg: ScdConfig): DataFrame =
+    mergeWithPredicates(target, batch, cfg)
+
   private def mergeWithPredicates(target: DataFrame,
                                   batch: DataFrame,
                                   cfg: ScdConfig): DataFrame =

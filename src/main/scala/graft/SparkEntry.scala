@@ -157,6 +157,16 @@ object SparkEntry {
         .localCheckpoint()
       Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
+    "q37_scd2_incr_predicates" -> ((s, dir) => {
+      // incremental_predicates (P8): only the user_id % 3 = 0 slice of the
+      // target participates in the merge; the rest passes through untouched.
+      val cfg = evCfg.copy(incrementalPredicates = Seq("user_id % 3 = 0"))
+      val all = ev(s, dir)
+      val target = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      ScdEngine.incrementalWithPredicates(
+        target, all.filter(col("event_id") % 2 === 1), cfg)
+    }),
     // --- SCD1 / SCD0 (D2/D3, J5) -----------------------------------------
     "q07_scd1_initial" -> ((s, dir) =>
       Scd01.initialLoad(ev(s, dir), evCfg.copy(scdType = 1))),
@@ -220,6 +230,27 @@ object SparkEntry {
         .filter(unix_micros(col("ts")) <= wm)
         .withColumn("_loaded_at", col("ts"))
       IncrementalSource.scan(all, Some(target), loadedAtCol = "ts")
+    }),
+    "q36_source_run_cutoff" -> ((s, dir) => {
+      // exclude_data_after_run_start (S5's second filter arm,
+      // `source.sql:47-49`): watermark at 60% of the event-time span, run
+      // start pinned at 80% — rows landing after the run started are deferred
+      // to the next run for batch-consistency.
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val (lo, hi) = (row.getLong(0), row.getLong(1))
+      val wm = lo + (hi - lo) * 3 / 5
+      val runStart = lo + (hi - lo) * 4 / 5
+      val rsTs = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(runStart / 1000000L,
+                                        (runStart % 1000000L) * 1000L))
+      val target = all
+        .filter(unix_micros(col("ts")) <= wm)
+        .withColumn("_loaded_at", col("ts"))
+      IncrementalSource.scan(all, Some(target), loadedAtCol = "ts",
+                             runStartedAt = Some(rsTs))
     }),
     // --- Text analysis (training-data pipeline ops over `documents`) ------
     "q13_text_metrics" -> ((s, dir) =>
@@ -728,6 +759,28 @@ object SparkEntry {
          |SELECT * FROM src
          |WHERE (SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00')
          |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts""".stripMargin,
+    "q36_source_run_cutoff" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM src),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) * 3 // 5) AS wm,
+         |               make_timestamp(lo + (hi - lo) * 4 // 5) AS rs FROM b)
+         |SELECT * FROM src
+         |WHERE (SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00')
+         |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts
+         |  AND ts <= (SELECT rs FROM cut)""".stripMargin,
+    "q37_scd2_incr_predicates" ->
+      s"""WITH $SrcCte,
+         |mp AS (
+         |  WITH ${scd2TwoPhaseSql(AllCheck, deletes = false,
+                                   "event_id % 2 = 0 AND user_id % 3 = 0",
+                                   "event_id % 2 = 1")}
+         |),
+         |se AS (SELECT * FROM src WHERE event_id % 2 = 0),
+         |tfull AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false, from = "se")}
+         |)
+         |SELECT * FROM mp
+         |UNION ALL SELECT * FROM tfull WHERE user_id % 3 <> 0""".stripMargin,
     "q13_text_metrics" ->
       s"""WITH $ToksCte
          |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
