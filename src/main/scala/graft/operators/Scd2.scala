@@ -22,8 +22,14 @@ import graft.functions.ScdFunctions._
 object Scd2 {
 
   // Internal working-column names (same spellings as the reference CTEs).
-  val KeyCol = "_scd2_key" // version identity hash: unique_key + updated_at
-  val BkCol = "_scd2_business_key" // business-key-only hash
+  // The reference also materializes `_scd2_key` / `_scd2_business_key` md5
+  // surrogates because Snowflake MERGE ON needs a single null-safe equality;
+  // Spark has per-column null-safe equality (`<=>`) natively, so the version
+  // identity stays as raw (unique_key, updated_at) tuples — same NULL≡NULL
+  // semantics (the J1 bug fix, `get_incremental_scd2_sql.sql:104-110`),
+  // no per-row hashing of both merge sides, native-typed join keys instead
+  // of 32-char strings in every shuffle, and none of concat-ws's separator
+  // collisions. Only the content hash remains a real md5.
   val HashCol = "_scd2_hash" // change-detection content hash
   val PrevHashCol = "_prev_hash"
   val RunIdCol = "_run_id"
@@ -75,7 +81,8 @@ object Scd2 {
   }
 
   /** The MERGE source relation: `scd2_versions UNION ALL redundant_versions`
-    * with `_scd2_op` ('upsert'/'delete') and the `_scd2_key` join hash.
+    * with `_scd2_op` ('upsert'/'delete'); the version identity stays the raw
+    * (unique_key, updated_at) columns (see note on the key hashes above).
     * Mirrors the `using (...)` subquery of `get_incremental_scd2_sql.sql:76-236`.
     *
     * Exposed separately so callers can inspect the planned actions; `incremental`
@@ -101,50 +108,46 @@ object Scd2 {
       .select(destCols.map(col): _*)
       .withColumn(SourceCol, lit("new"))
       .withColumn(PriorityCol, lit(17))
-      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
-      .withColumn(BkCol, surrogateKeyOf(keys))
       .withColumn(HashCol, surrogateKeyOf(check))
 
     // previous_record (:93-118): pull from the target ONLY prior versions of
     // keys present in the batch — the affected-key pruning that keeps
-    // incremental cost ∝ batch size. Matched on the null-safe business-key
-    // hash, not per-column equality (J1). When update_all_previous_records is
-    // off, restrict further to windows a new row could land in (J2).
-    val targetKeyed = target.as("p")
+    // incremental cost ∝ batch size. Matched null-safely (`<=>`), the Spark
+    // shape of the reference's business-key-hash match (J1: per-column `=`
+    // drops NULL-bearing keys). When update_all_previous_records is off,
+    // restrict further to windows a new row could land in (J2).
     val probeCols =
-      if (cfg.updateAllPreviousRecords) newRecords.select(col(BkCol)).distinct()
-      else newRecords.select(col(BkCol), col(updatedAt).as("_n_updated_at")).distinct()
-    val probe = probeCols.as("n")
+      if (cfg.updateAllPreviousRecords) keys else keys :+ updatedAt
+    val probe = newRecords
+      .select(probeCols.map(c => col(c).as(s"_n_$c")): _*)
+      .distinct()
+    val keysMatch = keys.map(k => col(k) <=> col(s"_n_$k")).reduce(_ && _)
     val semiCond =
-      if (cfg.updateAllPreviousRecords)
-        surrogateKey(keys.map(k => col(s"p.$k"))) === col(s"n.$BkCol")
-      else
-        surrogateKey(keys.map(k => col(s"p.$k"))) === col(s"n.$BkCol") &&
-          col("_n_updated_at") <= col(s"p.$validTo")
-    val previousRecord = targetKeyed
+      if (cfg.updateAllPreviousRecords) keysMatch
+      else keysMatch && col(s"_n_$updatedAt") <= col(validTo)
+    val previousRecord = target
       .join(probe, semiCond, "left_semi")
       .select(destCols.map(c => col(resolveCi(targetCols, c)).as(c)): _*)
       .withColumn(SourceCol, lit("previous"))
       .withColumn(PriorityCol, lit(0))
-      .withColumn(KeyCol, surrogateKeyOf(keys :+ updatedAt))
       .withColumn(HashCol, surrogateKeyOf(check))
 
     // all_records (:123-145) ∪ dedup per version key (:149-156). The reference
     // `order by 1` is arbitrary; its stated intent (':149-150' comment + the
     // _priority tags) is previous-wins, so order by _priority (0 = previous)
     // with the content hash as a deterministic tie-break.
-    val allRecords = newRecords
-      .drop(BkCol)
-      .unionByName(previousRecord)
+    val allRecords = newRecords.unionByName(previousRecord)
     // Same single-exchange dedup shape as the initial load: business-key
     // window, previous-wins via the _priority sort key, lag filter on the
-    // (never-NULL) version-key hash.
+    // ''-coalesced updated_at string (within a business-key partition the
+    // version identity reduces to updated_at).
+    val uStr = coalesce(col(updatedAt).cast("string"), lit(""))
     val dedupW = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(updatedAt), col(PriorityCol), col(HashCol))
     val deduped = allRecords
-      .withColumn("_prev_key", lag(col(KeyCol), 1).over(dedupW))
-      .filter(col("_prev_key").isNull || col("_prev_key") =!= col(KeyCol))
-      .drop("_prev_key")
+      .withColumn("_prev_u", lag(uStr, 1).over(dedupW))
+      .filter(col("_prev_u").isNull || col("_prev_u") =!= uStr)
+      .drop("_prev_u")
 
     // compare_versions (:160-166): lag hash + conditional_change_event run id.
     val w = versionWindow(keys, updatedAt)
@@ -200,21 +203,26 @@ object Scd2 {
       if (collapse) changesOnly.localCheckpoint(false) else changesOnly
     val versions = withAuditColumns(canonical, cfg, keys, updatedAt)
       .withColumn(OpCol, lit("upsert"))
-      .select((destCols ++ cfg.auditColumns :+ OpCol :+ KeyCol).map(col): _*)
+      .select((destCols ++ cfg.auditColumns :+ OpCol).map(col): _*)
 
     if (!collapse) versions
     else {
       // redundant_versions (:218-229): existing versions no longer canonical
-      // are deleted. `left_anti` is exact here because _scd2_key is an md5 —
-      // never NULL (SURVEY.md §7.4.6).
+      // are deleted. Null-safe anti-join on the version identity — NULL keys
+      // must match themselves here too, or their stale versions would never
+      // be collapsed out.
+      val verIdent = keys :+ updatedAt
+      val canonIdent = canonical
+        .select(verIdent.map(c => col(c).as(s"_c_$c")): _*)
+      val identMatch = verIdent.map(k => col(k) <=> col(s"_c_$k")).reduce(_ && _)
       val redundant = previousRecord
-        .join(canonical.select(KeyCol), Seq(KeyCol), "left_anti")
+        .join(canonIdent, identMatch, "left_anti")
         .withColumn(cfg.isCurrentCol, lit(null).cast("boolean"))
         .withColumn(cfg.validFromCol, lit(null).cast("timestamp"))
         .withColumn(cfg.validToCol, lit(null).cast("timestamp"))
         .withColumn(cfg.changeTypeCol, lit(null).cast("string"))
         .withColumn(OpCol, lit("delete"))
-        .select((destCols ++ cfg.auditColumns :+ OpCol :+ KeyCol).map(col): _*)
+        .select((destCols ++ cfg.auditColumns :+ OpCol).map(col): _*)
       versions.unionByName(redundant)
     }
   }
@@ -222,7 +230,7 @@ object Scd2 {
   /** Incremental update: apply the merge source to the existing target and
     * return the resulting snapshot. Join-based rewrite of the reference MERGE
     * (`get_incremental_scd2_sql.sql:238-268`, SURVEY.md §4.3): full-outer join
-    * on the null-safe `_scd2_key` hash, then per row
+    * null-safely on the version identity (unique_key, updated_at), then per row
     *   - matched ∧ op='delete'  -> drop (version collapsed out of the timeline)
     *   - matched ∧ op='upsert'  -> target row with ONLY `merge_update_cols`
     *                               replaced ([_is_current, _valid_to]
@@ -242,15 +250,16 @@ object Scd2 {
     val updatedAt = resolveCi(targetCols, cfg.updatedAtCol)
     val updateCols = cfg.mergeUpdateCols.map(_.toUpperCase).toSet
 
-    // DEST hashes its key inline (the target doesn't persist _scd2_key);
-    // SOURCE reuses the propagated one (`get_incremental_scd2_sql.sql:240-246`).
-    val t = target
-      .withColumn("_t_key", surrogateKeyOf(keys :+ updatedAt))
-      .withColumn("_t_exists", lit(true))
+    // MERGE ON the version identity, null-safely — the Spark-native shape of
+    // the reference's md5-key join (`get_incremental_scd2_sql.sql:240-246`):
+    // typed join keys, nothing hashed on either side.
+    val t = target.withColumn("_t_exists", lit(true))
     val s = source.columns.foldLeft(source)((df, c) => df.withColumnRenamed(c, s"_s_$c"))
       .withColumn("_s_exists", lit(true))
 
-    val joined = t.join(s, col("_t_key") === col(s"_s_$KeyCol"), "full_outer")
+    val mergeOn = (keys :+ updatedAt)
+      .map(k => col(k) <=> col(s"_s_$k")).reduce(_ && _)
+    val joined = t.join(s, mergeOn, "full_outer")
     val matched = col("_t_exists").isNotNull && col("_s_exists").isNotNull
     val sourceOnly = col("_t_exists").isNull
     val isDelete = col(s"_s_$OpCol") === "delete"
