@@ -125,12 +125,17 @@ object Scd2 {
     val semiCond =
       if (cfg.updateAllPreviousRecords) keysMatch
       else keysMatch && col(s"_n_$updatedAt") <= col(validTo)
-    val previousRecord = target
+    // When collapsing, previousRecord feeds BOTH the canonical timeline and
+    // the redundant-version anti-join; materialize the (batch-affected-sized)
+    // slice once instead of re-running the semi-join + content hashing.
+    val previousRecord0 = target
       .join(probe, semiCond, "left_semi")
       .select(destCols.map(c => col(resolveCi(targetCols, c)).as(c)): _*)
       .withColumn(SourceCol, lit("previous"))
       .withColumn(PriorityCol, lit(0))
       .withColumn(HashCol, surrogateKeyOf(check))
+    val previousRecord =
+      if (collapse) previousRecord0.localCheckpoint(false) else previousRecord0
 
     // all_records (:123-145) ∪ dedup per version key (:149-156). The reference
     // `order by 1` is arbitrary; its stated intent (':149-150' comment + the
