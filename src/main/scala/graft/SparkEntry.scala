@@ -273,6 +273,13 @@ object SparkEntry {
     "q18_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
                             bands = 4, rows = 3, tauNum = 1, tauDen = 2)),
+    "q38_dedup_clusters" -> ((s, dir) =>
+      // pairs -> connected components: the keep-one-per-cluster step after
+      // LSH pair generation (X19). Oracle recomputes the closure with a
+      // recursive CTE over the same verified pair list.
+      Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                              bands = 4, rows = 3, tauNum = 1, tauDen = 2))),
     "q19_dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -825,23 +832,22 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |$JaccardTailSql""".stripMargin,
     "q18_dedup_minhash" ->
-      s"""WITH $ToksCte, ${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
-         |mh AS (SELECT doc_id,
-         |${(0 until 12).map(i =>
-            s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i").mkString(",\n")}
-         |FROM sh3),
-         |bands AS (SELECT doc_id, unnest([
-         |${(0 until 4).map(b =>
-            s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})").mkString(",\n")}
-         |]) AS bk FROM mh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
-         |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a
-         |              JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
-         |  GROUP BY 1, 2)
-         |$JaccardTailSql""".stripMargin,
+      s"WITH $MinhashPairsCtes\n$JaccardTailSql",
+    "q38_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc""".stripMargin,
     "q19_dedup_simhash" ->
       s"""WITH $ToksCte, $SimhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,
@@ -1018,6 +1024,27 @@ object SparkEntry {
   private val SizesCte = "sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1)"
 
   /** Jaccard >= 1/2 via integer cross-multiplication (shared by q17/q18). */
+  /** MinHash+LSH verified-pair pipeline (q18's oracle), exposed as a CTE
+    * chain ending in `pairs` so the clustering oracle (q38) can extend it.
+    */
+  private lazy val MinhashPairsCtes =
+    s"""$ToksCte, ${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
+       |mh AS (SELECT doc_id,
+       |${(0 until 12).map(i =>
+          s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i").mkString(",\n")}
+       |FROM sh3),
+       |bands AS (SELECT doc_id, unnest([
+       |${(0 until 4).map(b =>
+          s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})").mkString(",\n")}
+       |]) AS bk FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+       |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a
+       |              JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val JaccardTailSql =
     """SELECT doc_a, doc_b, overlap, x.n + y.n - overlap AS union_size
       |FROM pairs JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b

@@ -134,6 +134,55 @@ object Dedup {
       .select("doc_a", "doc_b", "overlap", "union_size")
   }
 
+  /** Near-duplicate clusters from a pair list: connected components of the
+    * doc graph, cluster id = the component's minimum doc id, plus the
+    * component size. The step after any pairwise near-dup operator — a
+    * training-data pipeline keeps one document per CLUSTER, not per pair
+    * (pairs are not transitive: a~b, b~c does not imply a pair (a,c)).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and takes the per-node minimum — one shuffle per round, converging in
+    * O(component diameter) rounds. Near-dup components are cliquish
+    * (diameter 2-3), so a handful of rounds suffice at any corpus size; each
+    * round localCheckpoints to truncate lineage (the standard Spark iterative
+    * pattern). For adversarially long path-shaped graphs the known refinement
+    * is alternating large-star/small-star rounds (O(log n) convergence) —
+    * same join/agg shape, not needed for near-dup workloads.
+    *
+    * Only documents that appear in some pair are emitted (singletons form
+    * trivial clusters of size 1 by definition and would dominate the output).
+    */
+  def clusterPairs(pairs: DataFrame,
+                   aCol: String = "doc_a",
+                   bCol: String = "doc_b"): DataFrame = {
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false) // scanned once per round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    var converged = false
+    while (!converged) {
+      val viaEdges = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint() // eager: one materialization per round
+      converged = next
+        .join(labels.withColumnRenamed("label", "_old"), "node")
+        .filter(col("label") =!= col("_old"))
+        .isEmpty
+      labels = next
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   /** 32-bit SimHash over the document's distinct tokens: bit `b` is set iff
     * more than half the tokens have bit `b` set in the first-8-hex-chars md5
     * hash of the token. Pure built-ins; reproducible in the oracle.

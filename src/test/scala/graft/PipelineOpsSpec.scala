@@ -32,6 +32,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((2L, 2L), (9L, 1L)))
   }
 
+  test("clusterPairs: transitive closure, min-id labels, component sizes") {
+    // path 1-2-3 (1~3 only via transitivity), separate pair 10-20,
+    // duplicate/reversed edges must not double-count
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 20L), (20L, 10L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairs(pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (20L, 10L, 2L)))
+  }
+
   test("token counts: whitespace vs BPE-ish; quality gate") {
     val m = TextAnalysis.qualityMetrics(docsDf(1L -> "Don't stop, believing!"))
       .select("n_tokens", "n_bpe_tokens", "n_punct").head()
