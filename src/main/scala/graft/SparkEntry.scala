@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Scd01, Scd2, Scd2Join, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -231,6 +231,11 @@ object SparkEntry {
         .withColumn("_loaded_at", col("ts"))
       IncrementalSource.scan(all, Some(target), loadedAtCol = "ts")
     }),
+    "q39_sessionize" -> ((s, dir) =>
+      // inactivity-gap sessionization over the event log (X20): one exchange
+      // on user_id; the (user, session) aggregate reuses that distribution.
+      Sessionize.sessions(ev(s, dir), "user_id", "ts", "event_type",
+                          gapMinutes = 30)),
     "q36_source_run_cutoff" -> ((s, dir) => {
       // exclude_data_after_run_start (S5's second filter arm,
       // `source.sql:47-49`): watermark at 60% of the event-time span, run
@@ -766,6 +771,20 @@ object SparkEntry {
          |SELECT * FROM src
          |WHERE (SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00')
          |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts""".stripMargin,
+    "q39_sessionize" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                               ROWS UNBOUNDED PRECEDING) AS sess
+         |      FROM g)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events,
+         |       count(DISTINCT event_type) AS n_event_types
+         |FROM s GROUP BY user_id, sess""".stripMargin,
     "q36_source_run_cutoff" ->
       s"""WITH $SrcCte,
          |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM src),

@@ -46,6 +46,33 @@ class PipelineOpsSpec extends SparkTestBase {
       (10L, 10L, 2L), (20L, 10L, 2L)))
   }
 
+  test("sessionize: gap splits, boundary gap stays, per-session aggregates") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), // same session
+      (1L, ts(40), "view"), // exactly 30 min since :10 -> NOT a new session
+      (1L, ts(59), "buy"), // 19 min gap, still session 1
+      (2L, ts(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Sessionize
+      .sessions(ev, "user_id", "ts", "event_type")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, ts(0), ts(59), 4L, 3L),
+      (2L, ts(5), ts(5), 1L, 1L)))
+
+    // a 31-minute gap DOES split
+    val split = graft.operators.Sessionize
+      .sessions(Seq((3L, ts(0), "a"), (3L, ts(31), "b"))
+                  .toDF("user_id", "ts", "event_type"),
+                "user_id", "ts", "event_type")
+    assert(split.count() === 2)
+  }
+
   test("token counts: whitespace vs BPE-ish; quality gate") {
     val m = TextAnalysis.qualityMetrics(docsDf(1L -> "Don't stop, believing!"))
       .select("n_tokens", "n_bpe_tokens", "n_punct").head()
