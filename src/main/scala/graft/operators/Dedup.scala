@@ -170,11 +170,13 @@ object Dedup {
         .select(edges("src").as("node"), col("label"))
       val next = labels.unionByName(viaEdges)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint() // eager: one materialization per round
+        .localCheckpoint(false)
+      // One job per round: counting the changed labels scans every partition,
+      // which both materializes the (lazy) checkpoint and decides convergence.
       converged = next
         .join(labels.withColumnRenamed("label", "_old"), "node")
         .filter(col("label") =!= col("_old"))
-        .isEmpty
+        .count() == 0L
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
