@@ -70,6 +70,20 @@ object Stress {
     println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
       f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
       f"minhash ${xK / x1 / k}%.2f")
+
+    // Key-skew probe: redirect 20% of all events to ONE business key. A
+    // window partition is inherently sequential per key (a version chain is
+    // an ordered history — no salting without changing semantics), so the
+    // hot key serializes only its own partition while the rest of the
+    // cluster proceeds; this measures that worst case against the uniform
+    // baseline at the same row count.
+    val evHot = evK.withColumn(
+      "user_id",
+      when(col("event_id") % 5 === 0, lit(42L)).otherwise(col("user_id")))
+      .localCheckpoint()
+    val s1 = time(s"scd2 initial ${k}x uniform")(Scd2.initialLoad(evK, evCfg))
+    val s2 = time(s"scd2 initial ${k}x 20%-hot-key")(Scd2.initialLoad(evHot, evCfg))
+    println(f"[stress] hot-key slowdown ${s2 / s1}%.2f (1.0 = skew-free)")
     spark.stop()
   }
 }
