@@ -46,6 +46,34 @@ class PipelineOpsSpec extends SparkTestBase {
       (10L, 10L, 2L), (20L, 10L, 2L)))
   }
 
+  test("clusterPairs == driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n / 2 + rnd.nextInt(n))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // always link the larger root under the smaller -> root == component min
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val expectedSizes =
+        expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val out = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.map(t => t._1 -> t._2).toMap === expected, s"trial $trial labels")
+      assert(out.map(t => t._2 -> t._3).toMap === expectedSizes, s"trial $trial sizes")
+    }
+  }
+
   test("sessionize: gap splits, boundary gap stays, per-session aggregates") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
