@@ -217,12 +217,17 @@ object Dedup {
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"),
                shiftright(col("simhash"), b * 8).bitwiseAND(255L))): _*)).as("_bk"))
+    // The hamming test rides INSIDE the join condition: with 8-bit band keys
+    // the candidate volume is quadratic per bucket, so filtering during the
+    // join probe keeps non-matches out of the dedup shuffle entirely
+    // (distinct() then only sees true pairs, once per matching band).
     banded.as("a")
-      .join(banded.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .join(banded.as("b"),
+            col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
               col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
       .distinct()
-      .filter(bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))) <= maxHamming)
   }
 
   /** Embedding near-dup pairs: all pairs with cosine >= tau. Brute force —
