@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ScdConfig
-import graft.operators.{Dedup, Scd2}
+import graft.operators.{Dedup, Scd2, Sessionize}
 import graft.sources.Tables
 
 /** Measures how the flagship pipelines scale when the input grows k×
@@ -67,9 +67,20 @@ object Stress {
     val xK = time(s"minhash lsh pairs ${k}x")(
       Dedup.minhashLshPairs(dK, "doc_id", "text"))
 
+    val se1 = time("sessionize 1x")(
+      Sessionize.sessions(ev1, "user_id", "ts", "event_type"))
+    val seK = time(s"sessionize ${k}x")(
+      Sessionize.sessions(evK, "user_id", "ts", "event_type"))
+
+    val cp1 = time("cluster pairs 1x")(
+      Dedup.clusterPairs(Dedup.minhashLshPairs(d1, "doc_id", "text")))
+    val cpK = time(s"cluster pairs ${k}x")(
+      Dedup.clusterPairs(Dedup.minhashLshPairs(dK, "doc_id", "text")))
+
     println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
       f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
-      f"minhash ${xK / x1 / k}%.2f")
+      f"minhash ${xK / x1 / k}%.2f, sessionize ${seK / se1 / k}%.2f, " +
+      f"clusters ${cpK / cp1 / k}%.2f")
 
     // Key-skew probe: redirect 20% of all events to ONE business key. A
     // window partition is inherently sequential per key (a version chain is
