@@ -231,6 +231,23 @@ object SparkEntry {
         .withColumn("_loaded_at", col("ts"))
       IncrementalSource.scan(all, Some(target), loadedAtCol = "ts")
     }),
+    "q40_pipeline_e2e" -> ((s, dir) => {
+      // The composed `dbt run` shape (S5 ∘ S4): watermark-scan the source
+      // against the existing target, then merge the scanned delta — one
+      // lazy DAG from raw source to new snapshot. Watermark at 60% of the
+      // event-time span; the target's own `ts` is its load watermark.
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val (lo, hi) = (row.getLong(0), row.getLong(1))
+      val wm = lo + (hi - lo) * 3 / 5
+      val target = Scd2.initialLoad(
+        all.filter(unix_micros(col("ts")) <= wm), evCfg).localCheckpoint()
+      val delta = IncrementalSource.scan(all, Some(target),
+        loadedAtCol = "ts", targetLoadedAtCol = "ts")
+      Scd2.incremental(target, delta, evCfg)
+    }),
     "q39_sessionize" -> ((s, dir) =>
       // inactivity-gap sessionization over the event log (X20): one exchange
       // on user_id; the (user, session) aggregate reuses that distribution.
@@ -771,6 +788,13 @@ object SparkEntry {
          |SELECT * FROM src
          |WHERE (SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00')
          |       FROM src WHERE ts <= (SELECT wm FROM cut)) < ts""".stripMargin,
+    "q40_pipeline_e2e" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM src),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) * 3 // 5) AS wm FROM b),
+         |${scd2TwoPhaseSql(AllCheck, deletes = false,
+                            "ts <= (SELECT wm FROM cut)",
+                            "ts > (SELECT wm FROM cut)")}""".stripMargin,
     "q39_sessionize" ->
       s"""WITH $SrcCte,
          |g AS (SELECT user_id, ts, event_type,
