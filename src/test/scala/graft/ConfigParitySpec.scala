@@ -38,6 +38,33 @@ class ConfigParitySpec extends SparkTestBase {
     assert(out.filter($"k" === 100 && $"v" === "new" && $"_is_current").count() === 1)
   }
 
+  test("update_all_previous_records=false keeps persisted change_type (documented trade-off)") {
+    val base = ScdConfig(uniqueKey = Seq("k"))
+    val cfg = base.copy(updateAllPreviousRecords = false)
+    val target = operators.Scd2.initialLoad(
+      Seq((1, "b", ts("2025-01-03 00:00:00")),
+          (1, "c", ts("2025-01-05 00:00:00"))).toDF("k", "v", "_updated_at"),
+      base).localCheckpoint()
+    val delta = Seq((1, "a", ts("2025-01-01 00:00:00")))
+      .toDF("k", "v", "_updated_at")
+
+    // default config: the backfill re-slots cleanly, old first row -> 'U'
+    val full = operators.Scd2.incremental(target, delta, base)
+      .orderBy("_valid_from").select("_change_type").as[String].collect()
+    assert(full.toSeq === Seq("I", "U", "U"))
+
+    // pruned config: windows/current flags still heal (they are in the
+    // merge-update set) but the persisted 'I' is NOT rewritten -> two 'I's,
+    // exactly the reference's documented unsafety under out-of-order data
+    val out = operators.Scd2.incremental(target, delta, cfg)
+      .orderBy("_valid_from").cache()
+    assert(out.select("_change_type").as[String].collect().toSeq ===
+      Seq("I", "I", "U"))
+    assert(out.filter($"_is_current").count() === 1)
+    val bounds = out.select("_valid_from", "_valid_to").collect()
+    assert(bounds(0).getTimestamp(1) === bounds(1).getTimestamp(0)) // healed chain
+  }
+
   test("scd1 merges NULL-bearing keys null-safely (documented divergence)") {
     // The reference merges types 0/1 on raw `=` and silently duplicates NULL
     // keys (SURVEY.md §7.4.4); we use <=> so all three types agree.
