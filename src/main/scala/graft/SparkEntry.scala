@@ -202,6 +202,19 @@ object SparkEntry {
       // linear window-fill strategy applies (== containment join, spec-tested)
       Scd2Join.asOfFill(Seq("a" -> dimType, "b" -> dimValue), Seq("user_id"))
     }),
+    "q41_scd2_join_3way" -> ((s, dir) => {
+      // Three-relation as-of join: the window-fill cost stays ONE
+      // exchange+sort regardless of relation count (vs one range join per
+      // relation for the containment strategy).
+      def dim(cfgCol: String) = Scd2
+        .initialLoad(ev(s, dir), evCfg.copy(changeInclude = Some(Seq(cfgCol))))
+        .select(col("user_id"), col(cfgCol),
+                col("_is_current"), col("_valid_from"), col("_valid_to"))
+        .localCheckpoint()
+      Scd2Join.asOfFill(
+        Seq("a" -> dim("event_type"), "b" -> dim("value"), "c" -> dim("props")),
+        Seq("user_id"))
+    }),
     "q33_scd2_join_containment" -> ((s, dir) => {
       // Reference-exact containment-join strategy (J6), oracle-checked on a
       // key slice (q11 covers the full corpus via the fill strategy).
@@ -750,6 +763,43 @@ object SparkEntry {
          |  AND spine._valid_from >= a._valid_from AND spine._valid_to <= a._valid_to
          |LEFT JOIN dim_b b ON spine.user_id = b.user_id
          |  AND spine._valid_from >= b._valid_from AND spine._valid_to <= b._valid_to
+         |WHERE spine._valid_from < spine._valid_to""".stripMargin,
+    "q41_scd2_join_3way" ->
+      s"""WITH $SrcCte,
+         |dim_a AS (
+         |  WITH ${scd2JoinDimSql("event_type")}
+         |),
+         |dim_b AS (
+         |  WITH ${scd2JoinDimSql("value")}
+         |),
+         |dim_c AS (
+         |  WITH ${scd2JoinDimSql("props")}
+         |),
+         |pts AS (
+         |  SELECT user_id, _valid_from AS _updated_at FROM dim_a
+         |  UNION
+         |  SELECT user_id, _valid_from AS _updated_at FROM dim_b
+         |  UNION
+         |  SELECT user_id, _valid_from AS _updated_at FROM dim_c
+         |),
+         |spine AS (
+         |  SELECT user_id,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY _updated_at DESC) = 1) AS _is_current,
+         |    _updated_at AS _valid_from,
+         |    coalesce(lead(_updated_at) OVER (PARTITION BY user_id ORDER BY _updated_at),
+         |             TIMESTAMP '2999-12-31 23:59:59') AS _valid_to
+         |  FROM pts
+         |)
+         |SELECT spine.user_id, a.event_type AS a_event_type, b.value AS b_value,
+         |       c.props AS c_props,
+         |       spine._is_current, spine._valid_from, spine._valid_to
+         |FROM spine
+         |LEFT JOIN dim_a a ON spine.user_id = a.user_id
+         |  AND spine._valid_from >= a._valid_from AND spine._valid_to <= a._valid_to
+         |LEFT JOIN dim_b b ON spine.user_id = b.user_id
+         |  AND spine._valid_from >= b._valid_from AND spine._valid_to <= b._valid_to
+         |LEFT JOIN dim_c c ON spine.user_id = c.user_id
+         |  AND spine._valid_from >= c._valid_from AND spine._valid_to <= c._valid_to
          |WHERE spine._valid_from < spine._valid_to""".stripMargin,
     "q33_scd2_join_containment" ->
       s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
