@@ -160,8 +160,12 @@ object Dedup {
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false) // scanned once per round
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed with min(node, min(neighbor)) — identical to one propagation
+    // round from identity labels, but a single aggregation on the edge list
+    // instead of a join+union round.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("node"), least(col("node"), col("_mn")).as("label"))
       .localCheckpoint(false)
     var converged = false
     while (!converged) {
