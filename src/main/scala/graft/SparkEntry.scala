@@ -141,7 +141,15 @@ object SparkEntry {
              when(col("event_id") % 2 === 0, lit("U")).otherwise(lit("I")))
           .otherwise(col("_change_type")).as("_change_type")
       ).localCheckpoint() // nine invariant scans share one materialized input
-      ScdInvariants.report(bad, cfg)
+      // tenth row: the types-0/1 invariant over a corrupted SCD1 snapshot
+      val bad1 = Scd01.initialLoad(ev(s, dir), evCfg.copy(scdType = 1))
+        .withColumn("_is_current",
+                    when(col("user_id") % 23 === 11, lit(false))
+                      .otherwise(col("_is_current")))
+      ScdInvariants.report(bad, cfg).unionByName(
+        ScdInvariants.allRecordsCurrent(bad1, cfg)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("all_records_current").as("invariant"), col("violations")))
     }),
     "q35_scd2_no_update_all" -> ((s, dir) => {
       // update_all_previous_records = false (J2 + restricted merge set,
@@ -287,6 +295,20 @@ object SparkEntry {
       IncrementalSource.scan(all, Some(target), loadedAtCol = "ts",
                              runStartedAt = Some(rsTs))
     }),
+    "q43_golden_diff" -> ((s, dir) => {
+      // matches_expected_seed (§2.11/U3) as an oracle query: symmetric
+      // EXCEPT between the built history and a deterministically perturbed
+      // golden (one residue class of keys missing, another tampered), tagged
+      // with the diff side. Cache the history: it feeds both the actual and
+      // the perturbed-golden sides.
+      val actual = Scd2.initialLoad(ev(s, dir), evCfg).cache()
+      val expected = actual
+        .filter(col("user_id") % 97 =!= 3)
+        .withColumn("event_type",
+                    when(col("user_id") % 101 === 5, lit("tampered"))
+                      .otherwise(col("event_type")))
+      ScdInvariants.matchesExpected(actual, expected)
+    }),
     // --- Text analysis (training-data pipeline ops over `documents`) ------
     "q13_text_metrics" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir))
@@ -300,6 +322,8 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.shingleFingerprint(col("text"), 5).as("shingle_fp"))),
+    "q42_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir))),
     // --- Deduplication ----------------------------------------------------
     "q16_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
     "q17_dedup_ngram" -> ((s, dir) =>
@@ -328,6 +352,8 @@ object SparkEntry {
                                      tau = 0.4, planes = 4)),
     "q29_token_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(docs(s, dir), "doc_id", "text")),
+    "q45_top_tokens_lang" -> ((s, dir) =>
+      TextAnalysis.topTokensByLang(docs(s, dir), "text", k = 10)),
     // End-to-end cleaning composition: quality gate -> exact-dedup canonical
     // -> language ID, the shape of a real corpus-preparation job.
     "q30_clean_corpus" -> ((s, dir) => {
@@ -356,6 +382,13 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
                          "vec_id", "embedding", k = 10, c = 16)
+    }),
+    "q44_ann_ivf_probe2" -> ((s, dir) => {
+      // Multi-probe IVF: scan the 2 nearest lists per query — the standard
+      // recall lever (2/16 of the corpus per query instead of 1/16).
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
+                         "vec_id", "embedding", k = 10, c = 16, nprobe = 2)
     }),
     // --- Multimodal binary-column plumbing (decode step stubbed) ----------
     "q25_multimodal_meta" -> ((s, dir) =>
@@ -616,7 +649,9 @@ object SparkEntry {
          |    OR _valid_to IS NULL OR _valid_from >= _valid_to)
          |UNION ALL SELECT 'no_records_after_deletion',
          |  (SELECT count(*) FROM bad WHERE deleted_at IS NOT NULL
-         |    AND _valid_from <> deleted_at)""".stripMargin,
+         |    AND _valid_from <> deleted_at)
+         |UNION ALL SELECT 'all_records_current',
+         |  (SELECT count(DISTINCT user_id) FROM events WHERE user_id % 23 = 11)""".stripMargin,
     "q35_scd2_no_update_all" ->
       s"""WITH $SrcCte,
          |tgt AS (
@@ -912,6 +947,38 @@ object SparkEntry {
          |SELECT toks.doc_id, md5(array_to_string(t, ' ')) AS fingerprint,
          |  list_min(list_transform(shs, s -> md5(s))) AS shingle_fp
          |FROM toks JOIN sh5 ON toks.doc_id = sh5.doc_id""".stripMargin,
+    "q43_golden_diff" ->
+      s"""WITH hist AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |exp AS (SELECT event_id, ts, user_id,
+         |    CASE WHEN user_id % 101 = 5 THEN 'tampered' ELSE event_type END
+         |      AS event_type,
+         |    value, props, _is_current, _valid_from, _valid_to, _change_type
+         |  FROM hist WHERE user_id % 97 <> 3)
+         |SELECT *, 'actual_not_expected' AS _diff_side
+         |  FROM (SELECT * FROM hist EXCEPT SELECT * FROM exp)
+         |UNION ALL
+         |SELECT *, 'expected_not_actual' AS _diff_side
+         |  FROM (SELECT * FROM exp EXCEPT SELECT * FROM hist)""".stripMargin,
+    "q42_repetition" ->
+      s"""WITH $ToksCte,
+         |arr AS (SELECT doc_id, t,
+         |  CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE list_transform(generate_series(0, len(t) - 2),
+         |         i -> t[i+1] || ' ' || t[i+2]) END AS bg FROM toks),
+         |rep AS (SELECT doc_id,
+         |  len(t) AS token_count,
+         |  len(list_distinct(t)) AS distinct_tokens,
+         |  len(t) - len(list_distinct(t)) AS dup_tokens,
+         |  coalesce(list_max(list_transform(list_distinct(t),
+         |    v -> len(list_filter(t, x -> x = v)))), 0) AS top_token_count,
+         |  len(bg) AS bigram_count,
+         |  coalesce(list_max(list_transform(list_distinct(bg),
+         |    v -> len(list_filter(bg, x -> x = v)))), 0) AS top_bigram_count
+         |FROM arr)
+         |SELECT *, (bigram_count > 0 AND top_bigram_count * 5 >= bigram_count)
+         |  OR dup_tokens * 2 >= token_count AS is_repetitive FROM rep""".stripMargin,
     "q16_dedup_exact" ->
       s"""WITH $ToksCte
          |SELECT md5(array_to_string(t, ' ')) AS fingerprint,
@@ -993,6 +1060,23 @@ object SparkEntry {
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
          |$TopKTailSql""".stripMargin,
+    "q44_ann_ivf_probe2" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |q AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0 WHERE id < 32) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
+         |$TopKTailSql""".stripMargin,
     "q25_multimodal_meta" ->
       s"""WITH $MediaCte
          |SELECT doc_id, modality, width::INT AS width, height::INT AS height,
@@ -1030,6 +1114,24 @@ object SparkEntry {
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM tok GROUP BY 1""".stripMargin,
+    "q45_top_tokens_lang" ->
+      s"""WITH $ToksCte,
+         |hits AS (SELECT doc_id, text, t,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
+         |FROM toks),
+         |langs AS (SELECT CASE
+         |  WHEN text IS NULL THEN 'und'
+         |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
+         |  ELSE 'und' END AS lang_pred, t FROM hits),
+         |tok AS (SELECT lang_pred, unnest(t) AS token FROM langs),
+         |tf AS (SELECT lang_pred, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY lang_pred ORDER BY tf DESC, token) AS "rank" FROM tf)
+         |SELECT lang_pred, token, tf, "rank" FROM ranked
+         |WHERE "rank" <= 10""".stripMargin,
     "q30_clean_corpus" ->
       s"""WITH $ToksCte,
          |met AS (SELECT doc_id, text, t,

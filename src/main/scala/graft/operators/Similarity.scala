@@ -121,10 +121,11 @@ object Similarity {
       .orderBy(col("centroid_id"))
       .limit(c)
 
-  /** Assign every row of `df` to its nearest centroid by cosine (ties broken
-    * by centroid id). Returns (id, centroid_id).
+  /** Assign every row of `df` to its `n` nearest centroids by cosine (ties
+    * broken by centroid id). Returns (id, centroid_id), one row per probe.
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+  def ivfAssignN(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, n: Int): DataFrame =
     df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
               norm2(col(vecCol)).as("_vn"))
       .join(broadcast(centroids.withColumn("_mn", norm2(col("_mv")))))
@@ -133,21 +134,28 @@ object Similarity {
       .withColumn("_rn",
                   row_number().over(Window.partitionBy(col("_id"))
                     .orderBy(col("_sim").desc, col("centroid_id"))))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= n)
       .select(col("_id").as("id"), col("centroid_id"))
 
-  /** Approximate top-k via IVF: probe only the query's nearest centroid's
-    * inverted list. Corpus cost per query ∝ corpus/c instead of corpus.
+  /** Single nearest-centroid assignment (the list a corpus vector lives in). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    ivfAssignN(df, idCol, vecCol, centroids, 1)
+
+  /** Approximate top-k via IVF: probe the query's `nprobe` nearest centroids'
+    * inverted lists. Corpus cost per query ∝ nprobe * corpus/c instead of
+    * corpus; each corpus vector lives in exactly one list, so probed pairs
+    * are already distinct — no dedup shuffle needed.
     */
   def ivfTopK(queries: DataFrame,
               corpus: DataFrame,
               idCol: String,
               vecCol: String,
               k: Int,
-              c: Int = 16): DataFrame = {
+              c: Int = 16,
+              nprobe: Int = 1): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, c)
     val assign = ivfAssign(corpus, idCol, vecCol, cents)
-    val qAssign = ivfAssign(queries, idCol, vecCol, cents)
+    val qAssign = ivfAssignN(queries, idCol, vecCol, cents, nprobe)
     val cList = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
               norm2(col(vecCol)).as("_cn"))

@@ -97,6 +97,49 @@ object TextAnalysis {
           col("n_stopwords") * 100 >= col("n_tokens"))
   }
 
+  /** Gopher-style repetition metrics: duplicate-token mass and the heaviest
+    * repeated token/bigram per document (Rae et al. 2021 §A1.1 uses the same
+    * shape: fraction of duplicate lines / most-common n-gram mass). Outputs
+    * are integer counts; `is_repetitive` gates on integer cross-multiplication
+    * (top bigram >= 20% of bigrams, or duplicate tokens >= 50% of tokens), so
+    * any engine reproduces it exactly.
+    *
+    * Scale: pure per-row higher-order functions over the token array — no
+    * shuffle, whole-stage codegen, embarrassingly parallel at 100 TB. The
+    * top-count scans are O(distinct x tokens) per DOCUMENT, bounded by
+    * document length, never by corpus size.
+    */
+  def repetitionMetrics(df: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def topCount(arr: Column): Column = coalesce(
+      array_max(transform(array_distinct(arr), v => size(filter(arr, _ === v)))),
+      lit(0))
+    val withArrays = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn(
+        "_bg",
+        when(size(col("_t")) < 2, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("_t")) - 2),
+            i => concat(element_at(col("_t"), i + 1), lit(" "),
+                        element_at(col("_t"), i + 2)))))
+    withArrays
+      .select(
+        col(idCol),
+        size(col("_t")).as("token_count"),
+        size(array_distinct(col("_t"))).as("distinct_tokens"),
+        (size(col("_t")) - size(array_distinct(col("_t")))).as("dup_tokens"),
+        topCount(col("_t")).as("top_token_count"),
+        size(col("_bg")).as("bigram_count"),
+        topCount(col("_bg")).as("top_bigram_count"))
+      .withColumn(
+        "is_repetitive",
+        (col("bigram_count") > 0 &&
+          col("top_bigram_count") * 5 >= col("bigram_count")) ||
+          col("dup_tokens") * 2 >= col("token_count"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lower-cased text.
     * Identical content modulo spacing/case gets identical fingerprints.
     */
@@ -109,6 +152,27 @@ object TextAnalysis {
     */
   def shingleFingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(Dedup.shingles(tokens(text), n), s => md5(s)))
+
+  /** Grouped heavy hitters: top-k tokens by term frequency per predicted
+    * language. Explode + map-side-combined hash aggregate on (lang, token) =
+    * one exchange over a vocabulary-sized stream; the top-k window then runs
+    * over the AGGREGATED (small) relation, so the handful of language
+    * partitions is not a skew hazard — the heavy lifting happened in the
+    * combine-enabled aggregate, not the window.
+    */
+  def topTokensByLang(df: DataFrame,
+                      textCol: String = "text",
+                      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(langId(col(textCol)).as("lang_pred"),
+              explode(tokens(col(textCol))).as("token"))
+      .groupBy("lang_pred", "token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rank",
+                  row_number().over(Window.partitionBy(col("lang_pred"))
+                    .orderBy(col("tf").desc, col("token"))))
+      .filter(col("rank") <= k)
+  }
 
   /** Corpus token statistics: term frequency + document frequency per token.
     * One explode + one hash-aggregate — at 100 TB this is the canonical

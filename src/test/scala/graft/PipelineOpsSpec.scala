@@ -110,6 +110,64 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(m.getInt(2) === 3) // ' , !
   }
 
+  test("repetitionMetrics: dup-token/top-bigram counts and the integer gate") {
+    val out = TextAnalysis.repetitionMetrics(docsDf(
+      1L -> "spam spam spam spam",       // one token repeated: fully repetitive
+      2L -> "a b c d e f g h",           // all distinct: clean
+      3L -> "x"))                        // single token: no bigrams
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("token_count") === 4)
+    assert(r1.getAs[Int]("distinct_tokens") === 1)
+    assert(r1.getAs[Int]("dup_tokens") === 3)
+    assert(r1.getAs[Int]("top_token_count") === 4)
+    assert(r1.getAs[Int]("bigram_count") === 3)   // "spam spam" x3
+    assert(r1.getAs[Int]("top_bigram_count") === 3)
+    assert(r1.getAs[Boolean]("is_repetitive"))
+    val r2 = out(1)
+    assert(r2.getAs[Int]("dup_tokens") === 0)
+    assert(r2.getAs[Int]("top_bigram_count") === 1)
+    assert(!r2.getAs[Boolean]("is_repetitive"))
+    val r3 = out(2)
+    assert(r3.getAs[Int]("bigram_count") === 0)
+    assert(r3.getAs[Int]("top_bigram_count") === 0)
+    assert(!r3.getAs[Boolean]("is_repetitive"))
+  }
+
+  test("topTokensByLang: per-language tf ranking with (tf desc, token) ties") {
+    val out = TextAnalysis.topTokensByLang(docsDf(
+      1L -> "the cat and the dog",
+      2L -> "der hund ist nicht hier",
+      3L -> "zzz qqq zzz"), k = 2)
+      .orderBy("lang_pred", "rank")
+      .as[(String, String, Long, Int)].collect()
+    assert(out.count(_._1 == "en") === 2)
+    assert(out.filter(_._1 == "en").head === (("en", "the", 2L, 1)))
+    assert(out.filter(_._1 == "und").map(_._2).toSeq === Seq("zzz", "qqq"))
+  }
+
+  test("ivfTopK nprobe=2 probes a superset of nprobe=1's lists") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 13) % 19 - 9) / 9.0f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val p1 = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", k = 5, c = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p2 = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", k = 5, c = 8,
+                                nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every rank-1-list candidate that survived top-k under nprobe=1 is still
+    // scored under nprobe=2; top-k can only improve (more candidates)
+    assert(p2.size >= p1.size)
+    val scored1 = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+                                     k = 1000, c = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val scored2 = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+                                     k = 1000, c = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(scored1.subsetOf(scored2))
+  }
+
   test("langId: stopword vote with priority tie-break, und fallback") {
     val out = docsDf(
       1L -> "the cat and the dog",
