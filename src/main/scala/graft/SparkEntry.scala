@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Profile, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -339,6 +339,28 @@ object SparkEntry {
       Dedup.clusterPairs(
         Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
                               bands = 4, rows = 3, tauNum = 1, tauDen = 2))),
+    "q46_dedup_keep" -> ((s, dir) => {
+      // The step a real pipeline runs after pair generation + clustering:
+      // shed every near-duplicate except its cluster's canonical member.
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+                                        bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+      Dedup.keepCanonical(d, "doc_id", pairs)
+        .select("doc_id", "source", "n_chars")
+    }),
+    "q47_event_rollup" -> ((s, dir) =>
+      // Tumbling-window rollup: per (event_type, day) traffic stats. Sum is
+      // over floor(value*1e6) longs — order-independent, unlike a double
+      // sum, so any partitioning/AQE plan produces the identical answer.
+      ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             sum(floor(col("value") * lit(1000000.0)).cast("long"))
+               .as("value_micro_sum"),
+             min(col("value")).as("min_value"),
+             max(col("value")).as("max_value"))),
     "q19_dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -396,6 +418,10 @@ object SparkEntry {
         .select("doc_id", "modality", "width", "height", "duration_ms", "n_frames")),
     "q26_multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(docs(s, dir))),
+    "q48_profile_lineitem" -> ((s, dir) =>
+      // ANALYZE-TABLE shape: one Expand-based aggregation pass computes
+      // every column's null/distinct/min/max stats together.
+      Profile.profile(Tables.read(s, dir, "lineitem"), LineitemCols)),
     // --- Flagship-scale SCD2: full history over the biggest table ---------
     "q27_scd2_lineitem" -> ((s, dir) =>
       // Pre-partition by the business key: the testdata file is one row
@@ -407,6 +433,11 @@ object SparkEntry {
           .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate")))
   )
+
+  private val LineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.read(s, dir, "documents"))
@@ -1008,6 +1039,36 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc""".stripMargin,
+    "q46_dedup_keep" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin,
+    "q47_event_rollup" ->
+      s"""WITH $SrcCte
+         |SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS value_micro_sum,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM src GROUP BY 1, 2""".stripMargin,
+    "q48_profile_lineitem" ->
+      LineitemCols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q19_dedup_simhash" ->
       s"""WITH $ToksCte, $SimhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,

@@ -189,6 +189,21 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
+  /** Near-duplicate removal: drop every clustered document except its
+    * cluster's canonical (minimum-id) member. `clusterPairs` labels are
+    * min-propagated ids, so the canonical member is exactly the row whose
+    * id equals its cluster_id; the corpus sheds the losers with one
+    * anti-join (broadcastable: the loser set is pair-graph-sized, not
+    * corpus-sized).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val losers = clusterPairs(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over the document's distinct tokens: bit `b` is set iff
     * more than half the tokens have bit `b` set in the first-8-hex-chars md5
     * hash of the token. Pure built-ins; reproducible in the oracle.

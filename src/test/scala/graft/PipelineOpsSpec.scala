@@ -168,6 +168,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(scored1.subsetOf(scored2))
   }
 
+  test("keepCanonical: cluster losers dropped, canonical + singletons kept") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val corpus = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // clusters {1,2,5} -> keep 1; {7,8} -> keep 7; singletons untouched
+    assert(kept === Set(1L, 3L, 4L, 6L, 7L, 9L))
+  }
+
+  test("profile: one row per column with null/distinct/min/max") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "tag")
+    val p = graft.operators.Profile.profile(df, Seq("id", "tag"))
+      .orderBy("column").collect()
+    val id = p(0)
+    assert(id.getAs[String]("column") === "id")
+    assert(id.getAs[Long]("n_rows") === 3 && id.getAs[Long]("n_nulls") === 0)
+    assert(id.getAs[Long]("n_distinct") === 3)
+    assert(id.getAs[String]("min_str") === "1" && id.getAs[String]("max_str") === "3")
+    val tag = p(1)
+    assert(tag.getAs[Long]("n_nulls") === 1)
+    assert(tag.getAs[Long]("n_distinct") === 1)
+    assert(tag.getAs[String]("max_str") === "a")
+  }
+
   test("langId: stopword vote with priority tie-break, und fallback") {
     val out = docsDf(
       1L -> "the cat and the dog",
