@@ -376,6 +376,9 @@ object SparkEntry {
       TextAnalysis.corpusStats(docs(s, dir), "doc_id", "text")),
     "q45_top_tokens_lang" -> ((s, dir) =>
       TextAnalysis.topTokensByLang(docs(s, dir), "text", k = 10)),
+    "q49_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.topDiscriminativeTerms(docs(s, dir), "doc_id", "text",
+                                          k = 5)),
     // End-to-end cleaning composition: quality gate -> exact-dedup canonical
     // -> language ID, the shape of a real corpus-preparation job.
     "q30_clean_corpus" -> ((s, dir) => {
@@ -1195,6 +1198,19 @@ object SparkEntry {
          |    PARTITION BY lang_pred ORDER BY tf DESC, token) AS "rank" FROM tf)
          |SELECT lang_pred, token, tf, "rank" FROM ranked
          |WHERE "rank" <= 10""".stripMargin,
+    "q49_tfidf_terms" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id, token, tf, df,
+         |    (tf * 1000000) // df AS score_ppm
+         |  FROM tf JOIN dfreq USING (token)),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS "rank"
+         |  FROM scored)
+         |SELECT doc_id, "rank", token, tf, df, score_ppm FROM ranked
+         |WHERE "rank" <= 5""".stripMargin,
     "q30_clean_corpus" ->
       s"""WITH $ToksCte,
          |met AS (SELECT doc_id, text, t,

@@ -179,6 +179,34 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document discriminative terms: the TF-IDF shape with an integer
+    * score — `score_ppm = (tf * 1e6) div df` ranks exactly like tf/df and
+    * stays engine-exact (a float idf log would drift in the last ulp across
+    * libm implementations).
+    *
+    * Three exchanges: (doc, token) tf aggregate, token df aggregate
+    * (vocabulary-sized, broadcast back — swap for a shuffle join if the
+    * vocabulary outgrows the driver), per-doc top-k window.
+    */
+  def topDiscriminativeTerms(df: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .withColumn("score_ppm", expr("(tf * 1000000) DIV df"))
+      .withColumn("rank",
+                  row_number().over(Window.partitionBy(col("doc_id"))
+                    .orderBy(col("score_ppm").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score_ppm")
+  }
+
   /** Corpus token statistics: term frequency + document frequency per token.
     * One explode + one hash-aggregate — at 100 TB this is the canonical
     * map-side-combined shuffle (partial counts per token per partition, one
