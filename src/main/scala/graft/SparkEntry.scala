@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Profile, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -421,6 +421,23 @@ object SparkEntry {
         .select("doc_id", "modality", "width", "height", "duration_ms", "n_frames")),
     "q26_multimodal_features" -> ((s, dir) =>
       Multimodal.featuresFromDocuments(docs(s, dir))),
+    "q50_split" -> ((s, dir) =>
+      // Deterministic train/val/test assignment: a pure per-row md5-residue
+      // projection — reproducible on any engine/partitioning, no shuffle.
+      Sampling.split(docs(s, dir), "doc_id",
+                     Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select("doc_id", "split")),
+    "q51_histogram" -> ((s, dir) =>
+      // Fixed-width histogram: IEEE-exact bin function, <= nbins agg keys.
+      Profile.histogram(Tables.spread(s, Tables.read(s, dir, "lineitem")),
+                        "l_extendedprice", lo = 0.0, hi = 110000.0,
+                        nbins = 22)),
+    "q52_rolling_events" -> ((s, dir) =>
+      // Trailing-7-day per-user stats: RANGE frame over integer micros.
+      Rolling.trailing(ev(s, dir), "user_id", "ts", "value",
+                       windowMicros = 7L * 24 * 3600 * 1000000)
+        .select("event_id", "user_id", "ts", "n_window",
+                "value_micro_sum_window")),
     "q48_profile_lineitem" -> ((s, dir) =>
       // ANALYZE-TABLE shape: a count/distinct pass and a sort-free min/max
       // pass. spread() parallelizes the testdata's single-row-group file
@@ -1066,6 +1083,28 @@ object SparkEntry {
          |    AS value_micro_sum,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM src GROUP BY 1, 2""".stripMargin,
+    "q50_split" ->
+      """SELECT doc_id, CASE WHEN b < 900 THEN 'train'
+        |  WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS b
+        |FROM documents)""".stripMargin,
+    "q51_histogram" ->
+      """SELECT bin, count(*) AS n, 0.0 + bin * 5000.0 AS lo_edge FROM (
+        |  SELECT CAST(least(greatest(
+        |      floor((l_extendedprice - 0.0) * 22.0 / 110000.0), 0.0), 21.0)
+        |    AS BIGINT) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |GROUP BY bin""".stripMargin,
+    "q52_rolling_events" ->
+      s"""WITH $SrcCte
+         |SELECT event_id, user_id, ts,
+         |  count(*) OVER w AS n_window,
+         |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT)
+         |    AS value_micro_sum_window
+         |FROM src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q48_profile_lineitem" ->
       LineitemCols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

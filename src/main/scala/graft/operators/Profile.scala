@@ -49,4 +49,20 @@ object Profile {
       }: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi): bin =
+    * clamp(floor((x - lo) * nbins / (hi - lo)), 0, nbins-1), one count per
+    * non-empty bin. The bin function is a handful of IEEE double ops — both
+    * engines (and any future one) compute it bit-identically, unlike
+    * quantile sketches. One map-side-combined aggregate on <= nbins keys.
+    */
+  def histogram(df: DataFrame, c: String,
+                lo: Double, hi: Double, nbins: Int): DataFrame = {
+    val raw = floor((col(c) - lit(lo)) * lit(nbins.toDouble) / lit(hi - lo))
+    val bin = least(greatest(raw, lit(0.0)), lit(nbins - 1.0)).cast("long")
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", lit(lo) + col("bin") * lit((hi - lo) / nbins))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splitting.
+  *
+  * The assignment for a row depends only on its id — not on partitioning,
+  * row order, executor count, or Spark version — so a 100 TB corpus resample
+  * or a train/val/test split is exactly reproducible anywhere (including a
+  * different engine: the bucket is an md5 residue both sides compute
+  * bit-identically). Pure per-row projection: no shuffle, no state.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, den): `md5(id)`'s first 8 hex chars as an
+    * unsigned int, mod den. Independent of the id's distribution (sequential
+    * ids land uniformly).
+    */
+  def hashBucket(id: Column, den: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % den
+
+  /** Keep ~num/den of rows, deterministically by id. */
+  def sample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), den) < num)
+
+  /** Label every row with a split name by cumulative per-mille weight,
+    * e.g. Seq("train" -> 980, "val" -> 10, "test" -> 10). Weights must sum
+    * to <= den; rows past the last cumulative bound get the last label.
+    */
+  def split(df: DataFrame,
+            idCol: String,
+            weights: Seq[(String, Int)],
+            den: Int = 1000): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= den,
+            s"weights must sum to <= $den")
+    val bucket = hashBucket(col(idCol), den)
+    val bounds = weights.scanLeft(0)(_ + _._2).tail
+    val labeled = weights.map(_._1).zip(bounds)
+    val expr = labeled.init.foldRight(lit(labeled.last._1): Column) {
+      case ((name, bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -193,6 +193,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(tag.getAs[String]("max_str") === "a")
   }
 
+  test("hash split: deterministic md5 buckets, exhaustive + stable labels") {
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s1 = graft.operators.Sampling
+      .split(df, "doc_id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    val byLabel = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum === 200L)
+    // md5("1") = c4ca4238... -> 0xc4ca4238 % 1000 = 416 -> train
+    val d1 = s1.filter($"doc_id" === 1).select("split").as[String].head()
+    assert(d1 === "train")
+    // sample(1, 5) keeps exactly the bucket<1 rows of den=5 and is stable
+    val kept = graft.operators.Sampling.sample(df, "doc_id", 1, 5)
+      .select("doc_id").as[Long].collect().toSet
+    val again = graft.operators.Sampling.sample(df, "doc_id", 1, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === again && kept.nonEmpty && kept.size < 200)
+  }
+
+  test("histogram: clamped fixed-width bins with exact edges") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 150.0, Double.NaN)
+      .toDF("x").filter(!isnan($"x"))
+    val h = graft.operators.Profile.histogram(df, "x", 0.0, 100.0, 10)
+      .orderBy("bin").as[(Long, Long, Double)].collect()
+    // -5 clamps into bin 0; 150 clamps into bin 9; 10.0 starts bin 1
+    assert(h.toSeq === Seq((0L, 3L, 0.0), (1L, 1L, 10.0), (5L, 1L, 50.0),
+                           (9L, 2L, 90.0)))
+  }
+
+  test("rolling trailing window: range frame over micros, sums as longs") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def plusDays(d: Int) =
+      new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    val df = Seq((1L, t0, 1.5), (1L, plusDays(3), 2.25), (1L, plusDays(8), 4.0),
+                 (2L, plusDays(8), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.Rolling
+      .trailing(df, "user_id", "ts", "value", 7L * 86400 * 1000000)
+      .orderBy("user_id", "ts")
+      .select("n_window", "value_micro_sum_window")
+      .as[(Long, Long)].collect()
+    // user 1: [t0]=1; [t0,3d]=2; [3d,8d]=2 (t0 out of range); user 2: 1
+    assert(out.toSeq === Seq((1L, 1500000L), (2L, 3750000L),
+                             (2L, 6250000L), (1L, 8000000L)))
+  }
+
   test("langId: stopword vote with priority tie-break, und fallback") {
     val out = docsDf(
       1L -> "the cat and the dog",
