@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.RollupStream
+
+/** Watermarked tumbling rollup: day windows seal and emit once the event-time
+  * watermark passes window end + delay, and the emitted rows equal the batch
+  * group-by over the same events.
+  */
+class RollupStreamSpec extends SparkTestBase {
+
+  test("windows emit on watermark passing; rows equal the batch rollup") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val day1 = Seq(
+      (ts("2025-03-01 01:00:00"), "click", 1.5),
+      (ts("2025-03-01 02:00:00"), "click", 2.25),
+      (ts("2025-03-01 03:00:00"), "view", 4.0))
+
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val out = RollupStream.tumbling(
+      source.toDF().toDF("ts", "event_type", "value"))
+    val query = out.writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(day1)
+      query.processAllAvailable()
+      // nothing sealed yet: watermark has not passed day1's end + delay
+      assert(session.table("rollup_out").count() === 0)
+      // a far-later event advances the watermark past the day-1 window
+      source.addData(Seq((ts("2025-03-03 00:00:00"), "click", 1.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = session.table("rollup_out")
+      .select("event_type", "day", "n_events", "value_micro_sum")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("click", ts("2025-03-01 00:00:00"), 2L, 3750000L),
+      ("view", ts("2025-03-01 00:00:00"), 1L, 4000000L)))
+  }
+}
