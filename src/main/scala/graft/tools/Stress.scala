@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ScdConfig
-import graft.operators.{Dedup, Scd2, Sessionize}
+import graft.operators.{Dedup, Profile, Rolling, Scd2, Sessionize, TextAnalysis}
 import graft.sources.Tables
 
 /** Measures how the flagship pipelines scale when the input grows k×
@@ -77,10 +77,25 @@ object Stress {
     val cpK = time(s"cluster pairs ${k}x")(
       Dedup.clusterPairs(Dedup.minhashLshPairs(dK, "doc_id", "text")))
 
+    val rl1 = time("rolling 7d 1x")(
+      Rolling.trailing(ev1, "user_id", "ts", "value", 7L * 86400 * 1000000))
+    val rlK = time(s"rolling 7d ${k}x")(
+      Rolling.trailing(evK, "user_id", "ts", "value", 7L * 86400 * 1000000))
+
+    val tt1 = time("tfidf terms 1x")(
+      TextAnalysis.topDiscriminativeTerms(d1))
+    val ttK = time(s"tfidf terms ${k}x")(
+      TextAnalysis.topDiscriminativeTerms(dK))
+
+    val evCols = ev1.columns.toSeq
+    val pf1 = time("profile 1x")(Profile.profile(ev1, evCols))
+    val pfK = time(s"profile ${k}x")(Profile.profile(evK, evCols))
+
     println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
       f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
       f"minhash ${xK / x1 / k}%.2f, sessionize ${seK / se1 / k}%.2f, " +
-      f"clusters ${cpK / cp1 / k}%.2f")
+      f"clusters ${cpK / cp1 / k}%.2f, rolling ${rlK / rl1 / k}%.2f, " +
+      f"tfidf ${ttK / tt1 / k}%.2f, profile ${pfK / pf1 / k}%.2f")
 
     // Key-skew probe: redirect 20% of all events to ONE business key. A
     // window partition is inherently sequential per key (a version chain is
