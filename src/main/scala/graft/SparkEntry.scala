@@ -415,6 +415,22 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
                          "vec_id", "embedding", k = 10, c = 16, nprobe = 2)
     }),
+    "q53_kmeans_step" -> ((s, dir) =>
+      // One quantized Lloyd update: nearest-centroid assign + per-(centroid,
+      // dim) integer sums — order-independent, so any cluster reproduces it.
+      Similarity.kmeansStep(emb(s, dir), "vec_id", "embedding", c = 16)),
+    "q54_pivot_events" -> ((s, dir) => {
+      // Pivoted rollup: days x event-type counts (the BI cross-tab shape).
+      // Fixed pivot values keep the schema static — at 100 TB a dynamic
+      // pivot would first collect the domain to the driver.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
     // --- Multimodal binary-column plumbing (decode step stubbed) ----------
     "q25_multimodal_meta" -> ((s, dir) =>
       Multimodal.fromDocuments(docs(s, dir)).toDF()
@@ -1182,6 +1198,32 @@ object SparkEntry {
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
          |$TopKTailSql""".stripMargin,
+    "q53_kmeans_step" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |ex AS (SELECT centroid_id,
+         |    unnest(generate_series(1, len(embedding))) AS dim,
+         |    unnest(list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS vmicro
+         |  FROM asg)
+         |SELECT centroid_id, dim, count(*) AS n,
+         |  CAST(sum(vmicro) AS BIGINT) AS sum_micro
+         |FROM ex GROUP BY 1, 2""".stripMargin,
+    "q54_pivot_events" ->
+      s"""WITH $SrcCte
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  count(*) FILTER (event_type = 'click') AS n_click,
+         |  count(*) FILTER (event_type = 'error') AS n_error,
+         |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+         |  count(*) FILTER (event_type = 'signup') AS n_signup,
+         |  count(*) FILTER (event_type = 'view') AS n_view
+         |FROM src GROUP BY 1""".stripMargin,
     "q25_multimodal_meta" ->
       s"""WITH $MediaCte
          |SELECT doc_id, modality, width::INT AS width, height::INT AS height,

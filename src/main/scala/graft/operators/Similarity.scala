@@ -171,6 +171,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** One Lloyd (k-means) update step in quantized space: assign every vector
+    * to its nearest centroid, then emit per-(centroid, dimension) counts and
+    * sums of floor(x*1e6) longs. The caller derives the new centroid as
+    * sum_micro / (n * 1e6) — the quantization makes the update
+    * order-independent (a float mean would depend on reduction order), so a
+    * 1000-executor run reproduces a laptop's centroids bit-for-bit.
+    *
+    * Scale: broadcast assign (c centroids) + 64x dimension explode into a
+    * map-side-combined aggregate on (centroid, dim) — c*dim result rows, one
+    * exchange of partial sums.
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+                 c: Int = 16): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, c)
+    val asg = ivfAssign(corpus, idCol, vecCol, cents)
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .join(asg, Seq("id"))
+      .select(col("centroid_id"),
+              posexplode(transform(
+                col("_v"),
+                x => floor(x.cast("double") * lit(1000000.0)).cast("long"))))
+      .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("col")).as("sum_micro"))
+  }
+
   /** Shared ranking: top-k per query with deterministic (cosine desc, id asc)
     * tie-break; cosine rounded to 4 decimals for cross-engine compare.
     */

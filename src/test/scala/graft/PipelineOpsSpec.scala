@@ -237,6 +237,20 @@ class PipelineOpsSpec extends SparkTestBase {
                              (2L, 6250000L), (1L, 8000000L)))
   }
 
+  test("kmeansStep: quantized per-(centroid, dim) sums over assignments") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f)), (3L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(vecs, "vec_id", "embedding", c = 2)
+      .orderBy("centroid_id", "dim")
+      .as[(Long, Int, Long, Long)].collect()
+    // centroids = vecs 0,1; vec2 -> c0, vec3 -> c1; floor(0.1f*1e6) = 100000
+    assert(out.toSeq === Seq(
+      (0L, 1, 2L, 2000000L), (0L, 2, 2L, 100000L),
+      (1L, 1, 2L, 100000L), (1L, 2, 2L, 2000000L)))
+  }
+
   test("langId: stopword vote with priority tie-break, und fallback") {
     val out = docsDf(
       1L -> "the cat and the dog",
