@@ -415,6 +415,24 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
                          "vec_id", "embedding", k = 10, c = 16, nprobe = 2)
     }),
+    "q55_corpus_pipeline" -> ((s, dir) => {
+      // Flagship training-corpus composition — the full preparation job as
+      // ONE DAG: quality gate -> MinHash-LSH near-dup removal (CC
+      // keep-canonical) -> deterministic train/val/test split -> per-split
+      // stats. The quality-filtered corpus is cached: it feeds the pair
+      // generation, the anti-join, and the final aggregate.
+      val quality = TextAnalysis.qualityMetrics(docs(s, dir))
+        .filter(col("is_quality"))
+        .select(col("doc_id"), col("text"), col("n_tokens")).cache()
+      val pairs = Dedup.minhashLshPairs(quality, "doc_id", "text", n = 3,
+                                        bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+      val kept = Dedup.keepCanonical(quality, "doc_id", pairs)
+      Sampling.split(kept, "doc_id",
+                     Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    }),
     "q53_kmeans_step" -> ((s, dir) =>
       // One quantized Lloyd update: nearest-centroid assign + per-(centroid,
       // dim) integer sums — order-independent, so any cluster reproduces it.
@@ -1198,6 +1216,39 @@ object SparkEntry {
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
          |$TopKTailSql""".stripMargin,
+    "q55_corpus_pipeline" ->
+      s"""WITH RECURSIVE toks0 AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |met AS (SELECT doc_id, text, t,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |    len(regexp_extract_all(text, '$PunctRegexSql')) AS n_punct,
+         |    len(list_filter(t, x -> list_contains(${sqlList(AllStopwords)}, x))) AS n_stopwords
+         |  FROM toks0),
+         |q AS (SELECT doc_id, text, t, n_tokens FROM met
+         |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+         |    AND n_punct * 5 < n_chars AND n_stopwords * 100 >= n_tokens),
+         |toks AS (SELECT doc_id, text, t FROM q),
+         |$MinhashPairsCtesNoToks,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |kept AS (SELECT doc_id, n_tokens FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id))
+         |SELECT CASE WHEN b < 900 THEN 'train'
+         |    WHEN b < 950 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, n_tokens,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS b
+         |  FROM kept)
+         |GROUP BY 1""".stripMargin,
     "q53_kmeans_step" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
          |  FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -1382,8 +1433,11 @@ object SparkEntry {
   /** MinHash+LSH verified-pair pipeline (q18's oracle), exposed as a CTE
     * chain ending in `pairs` so the clustering oracle (q38) can extend it.
     */
-  private lazy val MinhashPairsCtes =
-    s"""$ToksCte, ${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
+  /** The pair chain minus the leading toks CTE, so callers can swap in a
+    * filtered corpus (q55) while q17/q18/q38/q46 keep the full one.
+    */
+  private lazy val MinhashPairsCtesNoToks =
+    s"""${shingleCte("sh3", 3)}, $ShxCte, $SizesCte,
        |mh AS (SELECT doc_id,
        |${(0 until 12).map(i =>
           s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i").mkString(",\n")}
@@ -1399,6 +1453,8 @@ object SparkEntry {
        |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a
        |              JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val MinhashPairsCtes = s"$ToksCte, $MinhashPairsCtesNoToks"
 
   private val JaccardTailSql =
     """SELECT doc_a, doc_b, overlap, x.n + y.n - overlap AS union_size
