@@ -415,6 +415,16 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 32), e,
                          "vec_id", "embedding", k = 10, c = 16, nprobe = 2)
     }),
+    "q56_asof_enrich" -> ((s, dir) => {
+      // Point-in-time enrichment: odd-id events (facts) pick up the SCD2
+      // state built from even-id events, valid AT each fact's timestamp.
+      val all = ev(s, dir)
+      val dim = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      val facts = all.filter(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "ts")
+      Scd2Join.enrich(facts, "ts", dim, Seq("user_id"), evCfg)
+    }),
     "q55_corpus_pipeline" -> ((s, dir) => {
       // Flagship training-corpus composition — the full preparation job as
       // ONE DAG: quality gate -> MinHash-LSH near-dup removal (CC
@@ -1216,6 +1226,20 @@ object SparkEntry {
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM asg c JOIN q ON c.centroid_id = q.centroid_id AND q.id <> c.id)
          |$TopKTailSql""".stripMargin,
+    "q56_asof_enrich" ->
+      s"""WITH hist AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
+                                        from = "(SELECT * FROM src WHERE event_id % 2 = 0)")}
+         |),
+         |f AS (WITH $SrcCte SELECT event_id, user_id, ts FROM src
+         |      WHERE event_id % 2 = 1)
+         |SELECT f.event_id, f.user_id, f.ts,
+         |  h.event_id AS dim_event_id, h.ts AS dim_ts,
+         |  h.event_type AS dim_event_type, h.value AS dim_value,
+         |  h.props AS dim_props
+         |FROM f LEFT JOIN hist h
+         |  ON f.user_id = h.user_id
+         |  AND h._valid_from <= f.ts AND f.ts < h._valid_to""".stripMargin,
     "q55_corpus_pipeline" ->
       s"""WITH RECURSIVE toks0 AS (SELECT doc_id, text,
          |  regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),

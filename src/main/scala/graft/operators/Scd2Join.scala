@@ -164,4 +164,57 @@ object Scd2Join {
       .select(joinKeys.map(col) ++ payload ++
         Seq(col(cur), col(vf), col(vt)): _*)
   }
+
+  /** Fact-to-dimension as-of enrichment: attach to each fact row the
+    * dimension version valid at the fact's timestamp — THE production
+    * consumption query for an SCD2 table (point-in-time join).
+    *
+    * Same plan shape as [[asOfFill]]: union the dimension's change points
+    * with the fact rows, one exchange + sort on (key, ts), last-non-null
+    * RANGE fill. A fact at a version's exact `_valid_from` is a frame PEER
+    * of that change point, so it sees the new version (the window is
+    * [valid_from, valid_to)); facts before the key's first version keep NULL
+    * payload (left-join semantics); NULL keys stay NULL (the join's
+    * null-hostile `=`). Never |facts| x |versions| intermediate rows — the
+    * containment join's blowup on hot keys — and the fact table is never
+    * shuffled more than once.
+    */
+  def enrich(facts: DataFrame,
+             factTsCol: String,
+             dim: DataFrame,
+             joinKeys: Seq[String],
+             cfg: ScdConfig = ScdConfig(uniqueKey = Seq("_unused_"))): DataFrame = {
+    val vf = cfg.validFromCol
+    val keyUpper = joinKeys.map(_.toUpperCase).toSet
+    val dimCols = dim.columns.toSeq
+    val payloadCols = dimCols.filterNot(c =>
+      keyUpper.contains(c.toUpperCase) || spineAudit.contains(c.toUpperCase))
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => dim.schema(c)))
+    val factCols = facts.columns.toSeq
+    val fType = org.apache.spark.sql.types.StructType(
+      factCols.map(c => facts.schema(c)))
+
+    val dimRows = dim.select(
+      joinKeys.map(k => col(resolveCi(dimCols, k)).as(k)) ++ Seq(
+        col(resolveCi(dimCols, vf)).cast("timestamp").as("_t"),
+        struct(payloadCols.map(col): _*).as("_p"),
+        lit(null).cast(fType).as("_f")): _*)
+    val factRows = facts.select(
+      joinKeys.map(k => col(resolveCi(factCols, k)).as(k)) ++ Seq(
+        col(resolveCi(factCols, factTsCol)).cast("timestamp").as("_t"),
+        lit(null).cast(pType).as("_p"),
+        struct(factCols.map(col): _*).as("_f")): _*)
+
+    val fillW = versionWindow(joinKeys, "_t")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val keysNonNull = joinKeys.map(col(_).isNotNull).reduce(_ && _)
+    dimRows.unionByName(factRows)
+      .withColumn("_fill",
+                  when(keysNonNull,
+                       last(col("_p"), ignoreNulls = true).over(fillW)))
+      .filter(col("_f").isNotNull)
+      .select(factCols.map(c => col(s"_f.$c").as(c)) ++
+        payloadCols.map(c => col(s"_fill.$c").as(s"dim_$c")): _*)
+  }
 }

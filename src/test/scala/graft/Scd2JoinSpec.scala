@@ -88,6 +88,32 @@ class Scd2JoinSpec extends SparkTestBase {
     assert(ghost.nonEmpty && ghost.forall(_.getAs[String]("customers_email") == null))
   }
 
+  test("enrich: point-in-time fact lookup with [from, to) boundaries") {
+    val session = spark
+    import session.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cfg = ScdConfig(uniqueKey = Seq("customer_id"))
+    val dim = operators.Scd2.initialLoad(
+      Seq((1L, "new", ts("2025-01-01 00:00:00")),
+          (1L, "active", ts("2025-01-03 00:00:00")),
+          (2L, "new", ts("2025-01-02 00:00:00")))
+        .toDF("customer_id", "status", "_updated_at"),
+      cfg)
+    val facts = Seq(
+      (10L, 1L, ts("2025-01-02 12:00:00")), // inside v1
+      (11L, 1L, ts("2025-01-03 00:00:00")), // exactly v2's valid_from -> v2
+      (12L, 1L, ts("2024-12-25 00:00:00")), // before first version -> NULL
+      (13L, 9L, ts("2025-01-05 00:00:00")), // unknown key -> NULL
+      (14L, 2L, ts("2025-06-01 00:00:00"))  // open tail -> current
+    ).toDF("fact_id", "customer_id", "ts")
+    val out = operators.Scd2Join.enrich(facts, "ts", dim,
+                                        Seq("customer_id"), cfg)
+      .select("fact_id", "dim_status").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out === Map(10L -> Some("new"), 11L -> Some("active"),
+                       12L -> None, 13L -> None, 14L -> Some("new")))
+  }
+
   test("composite-key temporal join (customer_id, order_id)") {
     val keys = Seq("customer_id", "order_id")
     val orders = dim("orders_source", keys)
