@@ -482,6 +482,26 @@ object SparkEntry {
                        windowMicros = 7L * 24 * 3600 * 1000000)
         .select("event_id", "user_id", "ts", "n_window",
                 "value_micro_sum_window")),
+    "q57_star_join" -> ((s, dir) => {
+      // Star-join rollup: fact orders against the customer -> nation -> region
+      // dimension chain. Dims are explicitly broadcast — the fact table
+      // streams through three broadcast hash joins with ZERO fact shuffles
+      // before the final vocabulary-sized aggregate (the shape a 100 TB
+      // fact scan needs). Money sums in floor-micro longs.
+      val orders = Tables.spread(s, Tables.read(s, dir, "orders"))
+      val customer = Tables.read(s, dir, "customer")
+      val nation = Tables.read(s, dir, "nation")
+      val region = Tables.read(s, dir, "region")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(1000000.0)).cast("long"))
+               .as("revenue_micro"),
+             countDistinct(col("o_custkey")).as("n_customers"))
+    }),
     "q48_profile_lineitem" -> ((s, dir) =>
       // ANALYZE-TABLE shape: a count/distinct pass and a sort-free min/max
       // pass. spread() parallelizes the testdata's single-row-group file
@@ -1149,6 +1169,16 @@ object SparkEntry {
          |FROM src
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
          |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q57_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_micro,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     "q48_profile_lineitem" ->
       LineitemCols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
