@@ -50,6 +50,31 @@ object Profile {
       .select("p.*")
   }
 
+  /** The 100 TB scale path for [[profile]]: HyperLogLog distinct counts
+    * (`approx_count_distinct`, default 5% rsd) instead of the exact Expand —
+    * sketches merge order-independently, no multi-distinct rewrite, one
+    * plain aggregation pass. Not oracle-checked (register layouts are
+    * engine-specific); spec-checked against the exact profiler.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+          approx_count_distinct(col(c)).as(s"_dst_$c"),
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+               col("_rows").as("n_rows"),
+               (col("_rows") - col(s"_cnt_$c")).as("n_nulls"),
+               col(s"_dst_$c").as("n_distinct"),
+               col(s"_min_$c").as("min_str"),
+               col(s"_max_$c").as("max_str"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bin =
     * clamp(floor((x - lo) * nbins / (hi - lo)), 0, nbins-1), one count per
     * non-empty bin. The bin function is a handful of IEEE double ops — both

@@ -220,6 +220,18 @@ class PipelineOpsSpec extends SparkTestBase {
                            (9L, 2L, 90.0)))
   }
 
+  test("profileApprox: HLL distincts track the exact profiler within rsd") {
+    val df = (1L to 2000L).map(i => (i, (i % 97).toString)).toDF("id", "tag")
+    val exact = graft.operators.Profile.profile(df, Seq("id", "tag"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = graft.operators.Profile.profileApprox(df, Seq("id", "tag"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    for ((c, ex) <- exact) {
+      assert(math.abs(approx(c) - ex) <= math.max(2L, (ex * 0.15).toLong),
+             s"$c: approx ${approx(c)} vs exact $ex")
+    }
+  }
+
   test("rolling trailing window: range frame over micros, sums as longs") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def plusDays(d: Int) =

@@ -114,6 +114,34 @@ class Scd2JoinSpec extends SparkTestBase {
                        12L -> None, 13L -> None, 14L -> Some("new")))
   }
 
+  test("enrich == containment left-join on a generated history") {
+    val session = spark
+    import session.implicits._
+    val cfg = ScdConfig(uniqueKey = Seq("k"))
+    // deterministic pseudo-random versions: 40 keys x up to 9 versions
+    val src = (0 until 400).map { i =>
+      val k = i % 40
+      val v = (i * 7919) % 9
+      (k.toLong, s"s${(i * 104729) % 5}",
+       new java.sql.Timestamp(1700000000000L + v * 86400000L + k * 1000L))
+    }.distinct.toDF("k", "status", "_updated_at")
+    val dim = operators.Scd2.initialLoad(src, cfg).cache()
+    // facts probe between, at, before, and beyond version boundaries
+    val facts = (0 until 300).map { i =>
+      (i.toLong, (i % 50).toLong, // 10 keys have no dimension history
+       new java.sql.Timestamp(1699990000000L + ((i * 52361L) % (10 * 86400000L))))
+    }.toDF("fact_id", "k", "ts")
+    val viaFill = operators.Scd2Join.enrich(facts, "ts", dim, Seq("k"), cfg)
+      .select("fact_id", "dim_status")
+    val viaJoin = facts
+      .join(dim, facts("k") === dim("k") &&
+        dim("_valid_from") <= facts("ts") && facts("ts") < dim("_valid_to"),
+        "left")
+      .select(facts("fact_id"), dim("status").as("dim_status"))
+    assert(viaFill.exceptAll(viaJoin).count() === 0)
+    assert(viaJoin.exceptAll(viaFill).count() === 0)
+  }
+
   test("composite-key temporal join (customer_id, order_id)") {
     val keys = Seq("customer_id", "order_id")
     val orders = dim("orders_source", keys)
