@@ -502,6 +502,19 @@ object SparkEntry {
                .as("revenue_micro"),
              countDistinct(col("o_custkey")).as("n_customers"))
     }),
+    "q58_sliding_events" -> ((s, dir) =>
+      // Sliding (overlapping) windows via the native window() generator:
+      // each event lands in width/slide = 2 windows; counts + long sums per
+      // (window_start, event_type). Epoch-aligned starts == day-aligned in
+      // UTC, so the oracle enumerates k in {0,1} directly.
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * lit(1000000.0)).cast("long"))
+               .as("value_micro_sum"))
+        .select(col("w").getField("start").as("window_start"),
+                col("event_type"), col("n_events"), col("value_micro_sum"))),
     "q48_profile_lineitem" -> ((s, dir) =>
       // ANALYZE-TABLE shape: a count/distinct pass and a sort-free min/max
       // pass. spread() parallelizes the testdata's single-row-group file
@@ -1179,6 +1192,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "q58_sliding_events" ->
+      s"""WITH $SrcCte,
+         |x AS (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM src)
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - to_days(k)
+         |    AS window_start,
+         |  event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS value_micro_sum
+         |FROM x GROUP BY 1, 2""".stripMargin,
     "q48_profile_lineitem" ->
       LineitemCols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -91,11 +91,21 @@ object Stress {
     val pf1 = time("profile 1x")(Profile.profile(ev1, evCols))
     val pfK = time(s"profile ${k}x")(Profile.profile(evK, evCols))
 
+    def enrichOn(df: DataFrame) = {
+      val dim = Scd2.initialLoad(half(df, 0), evCfg).localCheckpoint()
+      graft.operators.Scd2Join.enrich(
+        half(df, 1).select(col("event_id"), col("user_id"), col("ts")),
+        "ts", dim, Seq("user_id"), evCfg)
+    }
+    val en1 = time("asof enrich 1x")(enrichOn(ev1))
+    val enK = time(s"asof enrich ${k}x")(enrichOn(evK))
+
     println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
       f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
       f"minhash ${xK / x1 / k}%.2f, sessionize ${seK / se1 / k}%.2f, " +
       f"clusters ${cpK / cp1 / k}%.2f, rolling ${rlK / rl1 / k}%.2f, " +
-      f"tfidf ${ttK / tt1 / k}%.2f, profile ${pfK / pf1 / k}%.2f")
+      f"tfidf ${ttK / tt1 / k}%.2f, profile ${pfK / pf1 / k}%.2f, " +
+      f"enrich ${enK / en1 / k}%.2f")
 
     // Key-skew probe: redirect 20% of all events to ONE business key. A
     // window partition is inherently sequential per key (a version chain is
