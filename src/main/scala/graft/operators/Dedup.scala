@@ -151,15 +151,30 @@ object Dedup {
     *
     * Only documents that appear in some pair are emitted (singletons form
     * trivial clusters of size 1 by definition and would dominate the output).
+    *
+    * Adaptive small-graph path (AQE-style size-based planning): when the
+    * materialized edge list is under `smallGraphEdges`, union-find on the
+    * driver replaces the iterative rounds — the edge count is already known
+    * (the checkpoint materialization doubles as the measurement), the
+    * collect is bounded by the threshold, and per-round job overhead
+    * disappears. Identical labels either way (min id per component).
     */
   def clusterPairs(pairs: DataFrame,
                    aCol: String = "doc_a",
-                   bCol: String = "doc_b"): DataFrame = {
+                   bCol: String = "doc_b",
+                   smallGraphEdges: Long = 1000000L): DataFrame = {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false) // scanned once per round
+
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType)
+    if (integralIds && edges.count() <= smallGraphEdges)
+      return clusterPairsLocal(edges)
     // Seed with min(node, min(neighbor)) — identical to one propagation
     // round from identity labels, but a single aggregation on the edge list
     // instead of a join+union round.
@@ -202,6 +217,36 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Driver-side union-find for the adaptive small-graph path: roots track
+    * the component MINIMUM (union by min, path compression), so labels are
+    * bit-identical to the distributed min-label propagation.
+    */
+  private def clusterPairsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    val sizes = labels.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    labels.map { case (n, c) => (n, c, sizes(c)) }
+      .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
   /** 32-bit SimHash over the document's distinct tokens: bit `b` is set iff

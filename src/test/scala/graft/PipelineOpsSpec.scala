@@ -37,13 +37,17 @@ class PipelineOpsSpec extends SparkTestBase {
     // duplicate/reversed edges must not double-count
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 20L), (20L, 10L))
       .toDF("doc_a", "doc_b")
-    val out = Dedup.clusterPairs(pairs)
-      .orderBy("doc_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.toSeq === Seq(
-      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
-      (10L, 10L, 2L), (20L, 10L, 2L)))
+    // both the adaptive (driver union-find) and the forced-distributed
+    // (min-label propagation) paths must produce identical labels
+    for (threshold <- Seq(1000000L, 0L)) {
+      val out = Dedup.clusterPairs(pairs, smallGraphEdges = threshold)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq === Seq(
+        (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+        (10L, 10L, 2L), (20L, 10L, 2L)), s"threshold $threshold")
+    }
   }
 
   test("clusterPairs == driver-side union-find on random graphs") {
@@ -67,10 +71,17 @@ class PipelineOpsSpec extends SparkTestBase {
       val expected = parent.keys.map(x => x -> find(x)).toMap
       val expectedSizes =
         expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
-      val out = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b")).collect()
+      // smallGraphEdges = 0 forces the distributed min-label rounds — the
+      // adaptive default would route these tiny graphs to union-find and
+      // make the comparison self-confirming
+      val out = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b"),
+                                   smallGraphEdges = 0L).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(out.map(t => t._1 -> t._2).toMap === expected, s"trial $trial labels")
       assert(out.map(t => t._2 -> t._3).toMap === expectedSizes, s"trial $trial sizes")
+      val adaptive = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(adaptive.sorted.toSeq === out.sorted.toSeq, s"trial $trial paths agree")
     }
   }
 
