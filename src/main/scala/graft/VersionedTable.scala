@@ -48,6 +48,12 @@ object VersionedTable {
     * version number. Data lands fully before the marker, so a crash
     * mid-write leaves an uncommitted directory that readers ignore and
     * `vacuum` reclaims.
+    *
+    * Single-writer assumption (same as the reference's dbt run): two
+    * concurrent publishers could claim the same version number. Serializing
+    * writers (scheduler lock, or conditional-create of the version dir on a
+    * filesystem with atomic mkdir) is the caller's job — reader/writer
+    * isolation needs no coordination.
     */
   def publish(spark: SparkSession, snapshot: DataFrame, root: String): Long = {
     val f = fs(spark, root)
