@@ -502,6 +502,11 @@ object SparkEntry {
                .as("revenue_micro"),
              countDistinct(col("o_custkey")).as("n_customers"))
     }),
+    "q59_quantiles" -> ((s, dir) =>
+      // Exact discrete p50/p90/p99 per event type: selection, not
+      // interpolation — engine-exact (approx_percentile is the scale path).
+      Profile.discreteQuantiles(ev(s, dir), "event_type", "value",
+                                Seq(50, 90, 99))),
     "q58_sliding_events" -> ((s, dir) =>
       // Sliding (overlapping) windows via the native window() generator:
       // each event lands in width/slide = 2 windows; counts + long sums per
@@ -1192,6 +1197,15 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "q59_quantiles" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM src WHERE value IS NOT NULL),
+         |x AS (SELECT *, unnest([50, 90, 99]) AS q FROM r)
+         |SELECT event_type, q, value AS q_value FROM x
+         |WHERE rn = (n * q + 99) // 100""".stripMargin,
     "q58_sliding_events" ->
       s"""WITH $SrcCte,
          |x AS (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM src)

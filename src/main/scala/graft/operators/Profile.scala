@@ -75,6 +75,33 @@ object Profile {
       .select("p.*")
   }
 
+  /** Exact discrete quantiles per group: the value at rank ceil(q% * n) of
+    * the group's sort order — pure SELECTION, so the answer is a value that
+    * exists in the data and is identical in any engine (interpolated
+    * percentiles do float arithmetic that drifts across implementations;
+    * sketches like `approx_percentile` are the at-scale fallback, noted).
+    *
+    * One exchange + sort on the group key; the rank filter rides the same
+    * window pass. Ties share a value, so the selected VALUE is well-defined
+    * even though row_number among equals is not.
+    */
+  def discreteQuantiles(df: DataFrame,
+                        groupCol: String,
+                        valueCol: String,
+                        percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(groupCol), col(valueCol), col("rn"), col("n"),
+              explode(lit(percents.toArray)).as("q"))
+      .filter(col("rn") === expr("(n * q + 99) DIV 100"))
+      .select(col(groupCol), col("q"), col(valueCol).as("q_value"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bin =
     * clamp(floor((x - lo) * nbins / (hi - lo)), 0, nbins-1), one count per
     * non-empty bin. The bin function is a handful of IEEE double ops — both

@@ -243,6 +243,19 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("discreteQuantiles: selection at ceil(q% * n), null-safe") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("a", Double.NaN))
+      .filter(!_._2.isNaN)
+      .toDF("g", "v")
+      .unionByName(Seq(("b", 5.0), ("b", 1.0), ("b", 9.0)).toDF("g", "v"))
+    val out = graft.operators.Profile
+      .discreteQuantiles(df, "g", "v", Seq(50, 90, 100))
+      .orderBy("g", "q").as[(String, Int, Double)].collect()
+    // a: n=10 -> ranks 5, 9, 10; b: n=3 -> ranks 2, 3, 3
+    assert(out.toSeq === Seq(("a", 50, 5.0), ("a", 90, 9.0), ("a", 100, 10.0),
+                             ("b", 50, 5.0), ("b", 90, 9.0), ("b", 100, 9.0)))
+  }
+
   test("rolling trailing window: range frame over micros, sums as longs") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def plusDays(d: Int) =
