@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Multimodal, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -502,6 +502,10 @@ object SparkEntry {
                .as("revenue_micro"),
              countDistinct(col("o_custkey")).as("n_customers"))
     }),
+    "q60_funnel" -> ((s, dir) =>
+      // Ordered signup -> click -> purchase funnel over the event stream.
+      Funnel.stages(ev(s, dir), "user_id", "ts", "event_type",
+                    Seq("signup", "click", "purchase"))),
     "q59_quantiles" -> ((s, dir) =>
       // Exact discrete p50/p90/p99 per event type: selection, not
       // interpolation — engine-exact (approx_percentile is the scale path).
@@ -1197,6 +1201,22 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "q60_funnel" ->
+      s"""WITH $SrcCte,
+         |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+         |    OVER (PARTITION BY user_id) AS s0 FROM src),
+         |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= s0
+         |    THEN ts END) OVER (PARTITION BY user_id) AS s1 FROM w1),
+         |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= s1
+         |    THEN ts END) OVER (PARTITION BY user_id) AS s2 FROM w2),
+         |u AS (SELECT user_id, bool_or(s0 IS NOT NULL) AS h0,
+         |    bool_or(s1 IS NOT NULL) AS h1, bool_or(s2 IS NOT NULL) AS h2
+         |  FROM w3 GROUP BY 1)
+         |SELECT count(*) AS n_users,
+         |  CAST(sum(CASE WHEN h0 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+         |FROM u""".stripMargin,
     "q59_quantiles" ->
       s"""WITH $SrcCte,
          |r AS (SELECT event_type, value,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how many users reach each stage IN ORDER (a
+  * later-stage event counts only at-or-after the user's earliest qualifying
+  * previous stage).
+  *
+  * Per stage i, `_st_i` = min timestamp of a stage-i event at-or-after
+  * `_st_{i-1}` — chained whole-partition window minima over the SAME
+  * partition spec, so Catalyst stacks the Window nodes on one exchange; the
+  * per-user reduction and the final one-row rollup reuse that distribution.
+  * Timestamps are selected, never computed — engine-exact.
+  */
+object Funnel {
+
+  /** One row: n_users plus n_<stage> user counts for each funnel stage. */
+  def stages(df: DataFrame,
+             userCol: String,
+             tsCol: String,
+             typeCol: String,
+             stageTypes: Seq[String]): DataFrame = {
+    require(stageTypes.nonEmpty, "need at least one funnel stage")
+    val w = Window.partitionBy(col(userCol))
+    val staged = stageTypes.zipWithIndex.foldLeft(df) { case (d, (st, i)) =>
+      val inOrder =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) >= col(s"_st_${i - 1}")
+      d.withColumn(s"_st_$i", min(when(inOrder, col(tsCol))).over(w))
+    }
+    val reachedAggs: Seq[Column] = stageTypes.indices.map(i =>
+      max(col(s"_st_$i").isNotNull).as(s"_h$i"))
+    val perUser = staged.groupBy(col(userCol))
+      .agg(reachedAggs.head, reachedAggs.tail: _*)
+    val counts: Seq[Column] = count(lit(1)).as("n_users") +:
+      stageTypes.zipWithIndex.map { case (st, i) =>
+        sum(col(s"_h$i").cast("long")).as(s"n_$st")
+      }
+    perUser.agg(counts.head, counts.tail: _*)
+  }
+}

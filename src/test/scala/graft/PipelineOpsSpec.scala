@@ -243,6 +243,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("funnel: stages count only in order") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), "signup"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click BEFORE signup -> click/purchase don't count
+      (2L, ts(1), "click"), (2L, ts(2), "signup"), (2L, ts(3), "view"),
+      // user 3: no signup at all
+      (3L, ts(1), "click"), (3L, ts(2), "purchase"),
+      // user 4: signup and click same instant (>= counts), no purchase
+      (4L, ts(5), "signup"), (4L, ts(5), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Funnel
+      .stages(ev, "user_id", "ts", "event_type",
+              Seq("signup", "click", "purchase")).head()
+    assert((r.getAs[Long]("n_users"), r.getAs[Long]("n_signup"),
+            r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase")) ===
+      ((4L, 3L, 2L, 1L)))
+  }
+
   test("discreteQuantiles: selection at ceil(q% * n), null-safe") {
     val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("a", Double.NaN))
       .filter(!_._2.isNaN)
