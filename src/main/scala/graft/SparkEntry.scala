@@ -502,6 +502,10 @@ object SparkEntry {
                .as("revenue_micro"),
              countDistinct(col("o_custkey")).as("n_customers"))
     }),
+    "q61_retention" -> ((s, dir) =>
+      // Weekly signup-cohort retention heatmap input.
+      Funnel.cohortRetention(ev(s, dir), "user_id", "ts", "event_type",
+                             cohortType = "signup")),
     "q60_funnel" -> ((s, dir) =>
       // Ordered signup -> click -> purchase funnel over the event stream.
       Funnel.stages(ev(s, dir), "user_id", "ts", "event_type",
@@ -1201,6 +1205,18 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "q61_retention" ->
+      s"""WITH $SrcCte,
+         |c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+         |  FROM src WHERE event_type = 'signup' GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+         |  FROM src)
+         |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+         |  date_diff('day', cw, week) // 7 AS week_offset,
+         |  count(*) AS n_active
+         |FROM a JOIN c USING (user_id)
+         |WHERE week >= cw
+         |GROUP BY 1, 2""".stripMargin,
     "q60_funnel" ->
       s"""WITH $SrcCte,
          |w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)

@@ -40,4 +40,34 @@ object Funnel {
       }
     perUser.agg(counts.head, counts.tail: _*)
   }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * `cohortType` event, counted as active in each later week they produced
+    * ANY event. Week buckets are Monday-aligned `date_trunc` (identical
+    * across engines); offsets are integer day-diffs DIV 7 — no float math.
+    *
+    * Two aggregates (cohort assignment; distinct user-weeks) joined on the
+    * user key, then a vocabulary-sized (cohort, offset) count — the cohort
+    * side is user-cardinality, broadcastable in most corpora, and the
+    * distinct-activity aggregate is the only full-data shuffle.
+    */
+  def cohortRetention(df: DataFrame,
+                      userCol: String,
+                      tsCol: String,
+                      typeCol: String,
+                      cohortType: String): DataFrame = {
+    val cohorts = df.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(date_trunc("week", col(tsCol))).as("cohort_week"))
+    val activity = df
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    activity.join(cohorts, Seq(userCol))
+      // filter BEFORE the division: on negative diffs Spark's DIV truncates
+      // toward zero while SQL's // floors — non-negative inputs agree
+      .filter(col("week") >= col("cohort_week"))
+      .withColumn("week_offset", expr("datediff(week, cohort_week) DIV 7"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

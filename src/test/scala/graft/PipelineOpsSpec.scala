@@ -264,6 +264,31 @@ class PipelineOpsSpec extends SparkTestBase {
       ((4L, 3L, 2L, 1L)))
   }
 
+  test("cohortRetention: Monday cohorts, offset weeks, pre-signup ignored") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), "signup"),  // cohort wk0
+      (1L, ts("2024-01-09 10:00:00"), "click"),   // active wk1
+      (1L, ts("2024-01-17 10:00:00"), "view"),    // active wk2
+      (2L, ts("2024-01-03 10:00:00"), "signup"),  // cohort wk0
+      (2L, ts("2023-12-28 10:00:00"), "click"),   // BEFORE cohort: ignored
+      (3L, ts("2024-01-10 10:00:00"), "signup"))  // cohort wk1
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel
+      .cohortRetention(ev, "user_id", "ts", "event_type", "signup")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+                 r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 2L),   // users 1+2 active in their signup week
+      ("2024-01-01", 1L, 1L),   // user 1 week+1
+      ("2024-01-01", 2L, 1L),   // user 1 week+2
+      ("2024-01-08", 0L, 1L)))  // user 3's cohort
+  }
+
   test("discreteQuantiles: selection at ceil(q% * n), null-safe") {
     val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("a", Double.NaN))
       .filter(!_._2.isNaN)
