@@ -502,6 +502,11 @@ object SparkEntry {
                .as("revenue_micro"),
              countDistinct(col("o_custkey")).as("n_customers"))
     }),
+    "q62_attribution" -> ((s, dir) =>
+      // Which channel gets credit for each purchase: the nearest preceding
+      // non-purchase event per user ("direct" if none).
+      Funnel.lastTouchAttribution(ev(s, dir), "user_id", "ts", "event_id",
+                                  "event_type", conversionType = "purchase")),
     "q61_retention" -> ((s, dir) =>
       // Weekly signup-cohort retention heatmap input.
       Funnel.cohortRetention(ev(s, dir), "user_id", "ts", "event_type",
@@ -1205,6 +1210,17 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    "q62_attribution" ->
+      s"""WITH $SrcCte,
+         |ch AS (SELECT *, coalesce(
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |               IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    'direct') AS channel
+         |  FROM src)
+         |SELECT channel, count(*) AS n_conversions FROM ch
+         |WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q61_retention" ->
       s"""WITH $SrcCte,
          |c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw

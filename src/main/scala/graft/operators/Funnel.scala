@@ -41,6 +41,32 @@ object Funnel {
     perUser.agg(counts.head, counts.tail: _*)
   }
 
+  /** Last-touch attribution: for every conversion event, the nearest
+    * PRECEDING non-conversion event type is its channel; returns conversions
+    * per channel ("direct" when nothing precedes). One exchange + sort on
+    * (user, ts, id) — the running last-non-null rides a ROWS frame ending at
+    * the previous row, and the id tiebreak makes same-instant ordering (and
+    * therefore attribution) deterministic.
+    */
+  def lastTouchAttribution(df: DataFrame,
+                           userCol: String,
+                           tsCol: String,
+                           idCol: String,
+                           typeCol: String,
+                           conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(
+        "channel",
+        coalesce(last(when(col(typeCol) =!= conversionType, col(typeCol)),
+                      ignoreNulls = true).over(w),
+                 lit("direct")))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * `cohortType` event, counted as active in each later week they produced
     * ANY event. Week buckets are Monday-aligned `date_trunc` (identical

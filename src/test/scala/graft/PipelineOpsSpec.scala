@@ -264,6 +264,23 @@ class PipelineOpsSpec extends SparkTestBase {
       ((4L, 3L, 2L, 1L)))
   }
 
+  test("lastTouchAttribution: nearest preceding touch, direct fallback") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "click"), (1L, ts(2), 2L, "view"),
+      (1L, ts(3), 3L, "purchase"),                        // view gets credit
+      (1L, ts(4), 4L, "purchase"),                        // still view (purchases skip)
+      (2L, ts(1), 5L, "purchase"),                        // nothing precedes: direct
+      (3L, ts(6), 6L, "click"), (3L, ts(6), 7L, "purchase")) // same instant: id order
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.operators.Funnel
+      .lastTouchAttribution(ev, "user_id", "ts", "event_id", "event_type",
+                            "purchase")
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("view" -> 2L, "direct" -> 1L, "click" -> 1L))
+  }
+
   test("cohortRetention: Monday cohorts, offset weeks, pre-signup ignored") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
