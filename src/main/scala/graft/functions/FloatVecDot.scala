@@ -84,8 +84,10 @@ object FloatVecDot {
   * or imperatively via `GraftExtensions.register(spark)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => NativeSurrogateKeyRule)
+  }
 }
 
 object GraftExtensions {
@@ -95,8 +97,13 @@ object GraftExtensions {
     SignLshBucket.functionDescriptor,
     Md5ConcatWs.functionDescriptor)
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // imperative counterpart of injectOptimizerRule (idempotent)
+    if (!spark.experimental.extraOptimizations.contains(NativeSurrogateKeyRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeSurrogateKeyRule
+  }
 }

@@ -58,4 +58,26 @@ class FloatVecDotSpec extends SparkTestBase {
       .as[Double].head()
     assert(r === 11.0)
   }
+
+  test("optimizer rule rewrites md5(concat_ws('-', ...)) to the native expr") {
+    GraftExtensions.register(spark)
+    // id-derived columns: literal inputs (even via a view) constant-fold the
+    // whole expression before the plan can be inspected
+    spark.range(1)
+      .selectExpr("CAST(id AS STRING) AS c1", "CAST(id + 1 AS STRING) AS c2")
+      .createOrReplaceTempView("nk_t")
+    val df = spark.sql(
+      "SELECT md5(concat_ws('-', c1, CAST(NULL AS STRING), c2)) AS k FROM nk_t")
+    assert(df.queryExecution.optimizedPlan.toString.contains("md5_concat_ws"),
+           df.queryExecution.optimizedPlan.toString)
+    // identical bytes to the built-in composition (null skipped with its sep)
+    val builtin = spark.sql("SELECT md5('0-1') AS k").as[String].head()
+    assert(df.as[String].head() === builtin)
+    // a different separator must NOT be rewritten
+    val other = spark.sql(
+      "SELECT md5(concat_ws('|', c1, c2)) AS k FROM nk_t")
+    assert(!other.queryExecution.optimizedPlan.toString.contains("md5_concat_ws"))
+    assert(other.as[String].head() ===
+      spark.sql("SELECT md5('0|1') AS k").as[String].head())
+  }
 }
