@@ -90,6 +90,40 @@ object SparkEntry {
         .localCheckpoint()
       Scd2.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
+    "q63_sql_frontend" -> ((s, dir) => {
+      // q01's SCD2 initial load written as PURE SQL TEXT: the engine's SQL
+      // front end (registered native functions + NativeSurrogateKeyRule
+      // rewriting the md5(concat_ws) surrogate hash) must produce the exact
+      // relation the DataFrame operator builds. Same oracle as q01.
+      graft.functions.GraftExtensions.register(s)
+      ev(s, dir).createOrReplaceTempView("ev_t")
+      s.sql("""
+        WITH hashed AS (
+          SELECT *, md5(concat_ws('-',
+            coalesce(cast(event_type AS STRING), ''),
+            coalesce(cast(value AS STRING), ''),
+            coalesce(cast(props AS STRING), ''))) AS _h
+          FROM ev_t),
+        dedup AS (
+          SELECT event_id, ts, user_id, event_type, value, props, _h FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY _h) AS _rn
+            FROM hashed) WHERE _rn = 1),
+        chg AS (
+          SELECT event_id, ts, user_id, event_type, value, props FROM (
+            SELECT *, lag(_h) OVER (
+                PARTITION BY user_id ORDER BY ts) AS _ph
+            FROM dedup) WHERE _ph IS NULL OR _h <> _ph)
+        SELECT event_id, ts, user_id, event_type, value, props,
+          (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1)
+            AS _is_current,
+          ts AS _valid_from,
+          coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   timestamp'2999-12-31 23:59:59') AS _valid_to,
+          CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+               THEN 'I' ELSE 'U' END AS _change_type
+        FROM chg""")
+    }),
     "q31_scd2_created_at" -> ((s, dir) => {
       // created_at_column: a key's FIRST version opens at its creation time,
       // not its first observed update (W5, `get_valid_from_sql.sql:24-43`).
@@ -679,6 +713,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_scd2_initial" ->
+      s"WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}",
+    "q63_sql_frontend" ->
       s"WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}",
     "q02_scd2_checkcols" ->
       s"WITH $SrcCte, ${scd2FullSql(Seq("event_type"), deletes = false)}",
