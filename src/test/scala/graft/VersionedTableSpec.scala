@@ -39,6 +39,27 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("crashed (uncommitted) publish attempts are invisible and reclaimed") {
+    val session = spark
+    import session.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vt3").toString + "/t"
+    VersionedTable.publish(spark, Seq((1, "a")).toDF("id", "x"), root)
+    // simulate a writer that died after data landed but before the marker
+    Seq((1, "half-written")).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$root/v=2")
+    assert(VersionedTable.latestVersion(spark, root) === Some(1L))
+    assert(VersionedTable.read(spark, root).select("x").as[String].head() === "a")
+    // the next publish reclaims the debris and commits version 2 properly
+    val v2 = VersionedTable.publish(spark, Seq((1, "b")).toDF("id", "x"), root)
+    assert(v2 === 2L)
+    assert(VersionedTable.read(spark, root).select("x").as[String].head() === "b")
+    // vacuum drops any remaining uncommitted directories
+    Seq((9, "junk")).toDF("id", "x").write.parquet(s"$root/v=9")
+    VersionedTable.vacuum(spark, root, keep = 2)
+    assert(!new java.io.File(s"$root/v=9").exists())
+    assert(VersionedTable.latestVersion(spark, root) === Some(2L))
+  }
+
   test("runScd: versioned run sequence converges to the batch full refresh") {
     val session = spark
     import session.implicits._
