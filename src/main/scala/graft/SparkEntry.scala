@@ -124,6 +124,17 @@ object SparkEntry {
                THEN 'I' ELSE 'U' END AS _change_type
         FROM chg""")
     }),
+    "q64_scd2_two_merges" -> ((s, dir) => {
+      // THREE-batch production cadence: initial load then two consecutive
+      // incremental merges, each against the previous persisted snapshot
+      // (deterministic thirds interleave in event time, so both merges
+      // re-slot out-of-order rows and re-collapse redundant versions).
+      val all = ev(s, dir)
+      def third(r: Int) = all.filter(col("event_id") % 3 === r)
+      val t0 = Scd2.initialLoad(third(0), evCfg).localCheckpoint()
+      val t1 = Scd2.incremental(t0, third(1), evCfg).localCheckpoint()
+      Scd2.incremental(t1, third(2), evCfg)
+    }),
     "q31_scd2_created_at" -> ((s, dir) => {
       // created_at_column: a key's FIRST version opens at its creation time,
       // not its first observed update (W5, `get_valid_from_sql.sql:24-43`).
@@ -711,7 +722,58 @@ object SparkEntry {
        |FROM collapsed""".stripMargin
   }
 
+  /** Three-phase SCD2 simulation: initial load over `w0` rows, then two
+    * consecutive incremental runs (`w1`, then `w2`). Chains the two-phase
+    * construction: each run's persisted set is the run-collapsed union of
+    * the PREVIOUS kept set and the new batch — rows collapsed away in run 1
+    * never resurrect in run 2, exactly like the engine.
+    */
+  private def scd2ThreePhaseSql(checkCols: Seq[String],
+                                w0: String, w1: String, w2: String): String = {
+    val hash = "md5(concat_ws('-', " +
+      checkCols.map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") + "))"
+    def collapse(i: Int, from: String): String =
+      s"""chg$i AS (
+         |  SELECT *, CASE WHEN lag(_h) OVER w IS NULL THEN 0
+         |                 WHEN _h <> lag(_h) OVER w THEN 1 ELSE 0 END AS _c
+         |  FROM $from WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |runs$i AS (
+         |  SELECT *, sum(_c) OVER (PARTITION BY user_id ORDER BY ts
+         |                          ROWS UNBOUNDED PRECEDING) AS _run
+         |  FROM chg$i
+         |),
+         |k$i AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props, _h FROM runs$i
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, _run ORDER BY ts) = 1
+         |)""".stripMargin
+    s"""h0 AS (SELECT *, $hash AS _h FROM src WHERE $w0),
+       |kept0 AS (
+       |  SELECT * EXCLUDE (_ph) FROM (
+       |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM h0
+       |  ) WHERE _ph IS NULL OR _h <> _ph
+       |),
+       |d1 AS (SELECT *, $hash AS _h FROM src WHERE $w1),
+       |u1 AS (SELECT event_id, ts, user_id, event_type, value, props, _h FROM kept0
+       |       UNION ALL SELECT event_id, ts, user_id, event_type, value, props, _h FROM d1),
+       |${collapse(1, "u1")},
+       |d2 AS (SELECT *, $hash AS _h FROM src WHERE $w2),
+       |u2 AS (SELECT * FROM k1
+       |       UNION ALL SELECT event_id, ts, user_id, event_type, value, props, _h FROM d2),
+       |${collapse(2, "u2")}
+       |SELECT event_id, ts, user_id, event_type, value, props,
+       |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+       |  ts AS _valid_from,
+       |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+       |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+       |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1 THEN 'I' ELSE 'U' END
+       |    AS _change_type
+       |FROM k2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q64_scd2_two_merges" ->
+      s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck, "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2")}",
     "q01_scd2_initial" ->
       s"WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}",
     "q63_sql_frontend" ->
