@@ -124,6 +124,16 @@ object SparkEntry {
                THEN 'I' ELSE 'U' END AS _change_type
         FROM chg""")
     }),
+    "q65_scd2_two_merges_deletes" -> ((s, dir) => {
+      // The q64 cadence with soft deletes: D/resurrection-I change types
+      // must stay coherent across two merges of interleaving thirds.
+      val all = evDeletes(s, dir)
+      val cfg = evCfg.copy(deletedAtCol = Some("deleted_at"))
+      def third(r: Int) = all.filter(col("event_id") % 3 === r)
+      val t0 = Scd2.initialLoad(third(0), cfg).localCheckpoint()
+      val t1 = Scd2.incremental(t0, third(1), cfg).localCheckpoint()
+      Scd2.incremental(t1, third(2), cfg)
+    }),
     "q64_scd2_two_merges" -> ((s, dir) => {
       // THREE-batch production cadence: initial load then two consecutive
       // incremental merges, each against the previous persisted snapshot
@@ -729,9 +739,25 @@ object SparkEntry {
     * never resurrect in run 2, exactly like the engine.
     */
   private def scd2ThreePhaseSql(checkCols: Seq[String],
-                                w0: String, w1: String, w2: String): String = {
+                                w0: String, w1: String, w2: String,
+                                deletes: Boolean = false): String = {
     val hash = "md5(concat_ws('-', " +
       checkCols.map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") + "))"
+    val delCol = if (deletes) ", deleted_at" else ""
+    val cols = s"event_id, ts, user_id, event_type, value, props$delCol"
+    val validFrom =
+      if (deletes)
+        """CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          | THEN coalesce(deleted_at, ts) ELSE ts END""".stripMargin
+      else "ts"
+    val changeType =
+      if (deletes)
+        """CASE WHEN deleted_at IS NOT NULL THEN 'D'
+          | WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1 THEN 'I'
+          | WHEN lag(deleted_at) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL THEN 'I'
+          | ELSE 'U' END""".stripMargin
+      else
+        "CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1 THEN 'I' ELSE 'U' END"
     def collapse(i: Int, from: String): String =
       s"""chg$i AS (
          |  SELECT *, CASE WHEN lag(_h) OVER w IS NULL THEN 0
@@ -744,7 +770,7 @@ object SparkEntry {
          |  FROM chg$i
          |),
          |k$i AS (
-         |  SELECT event_id, ts, user_id, event_type, value, props, _h FROM runs$i
+         |  SELECT $cols, _h FROM runs$i
          |  QUALIFY row_number() OVER (PARTITION BY user_id, _run ORDER BY ts) = 1
          |)""".stripMargin
     s"""h0 AS (SELECT *, $hash AS _h FROM src WHERE $w0),
@@ -754,26 +780,27 @@ object SparkEntry {
        |  ) WHERE _ph IS NULL OR _h <> _ph
        |),
        |d1 AS (SELECT *, $hash AS _h FROM src WHERE $w1),
-       |u1 AS (SELECT event_id, ts, user_id, event_type, value, props, _h FROM kept0
-       |       UNION ALL SELECT event_id, ts, user_id, event_type, value, props, _h FROM d1),
+       |u1 AS (SELECT $cols, _h FROM kept0
+       |       UNION ALL SELECT $cols, _h FROM d1),
        |${collapse(1, "u1")},
        |d2 AS (SELECT *, $hash AS _h FROM src WHERE $w2),
        |u2 AS (SELECT * FROM k1
-       |       UNION ALL SELECT event_id, ts, user_id, event_type, value, props, _h FROM d2),
+       |       UNION ALL SELECT $cols, _h FROM d2),
        |${collapse(2, "u2")}
-       |SELECT event_id, ts, user_id, event_type, value, props,
+       |SELECT $cols,
        |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
-       |  ts AS _valid_from,
+       |  $validFrom AS _valid_from,
        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
        |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
-       |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1 THEN 'I' ELSE 'U' END
-       |    AS _change_type
+       |  $changeType AS _change_type
        |FROM k2""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "q64_scd2_two_merges" ->
       s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck, "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2")}",
+    "q65_scd2_two_merges_deletes" ->
+      s"WITH $SrcDelCte, ${scd2ThreePhaseSql(AllCheck, "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2", deletes = true)}",
     "q01_scd2_initial" ->
       s"WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}",
     "q63_sql_frontend" ->
