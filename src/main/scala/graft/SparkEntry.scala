@@ -249,6 +249,25 @@ object SparkEntry {
         .localCheckpoint()
       Scd01.incremental(target, all.filter(col("event_id") % 2 === 1), cfg)
     }),
+    "q66_scd1_two_merges" -> ((s, dir) => {
+      // Type-1 across two merges: business columns follow LAST-batch
+      // precedence (d2 > d1 > t0), audit _valid_from keeps first-seen.
+      val all = ev(s, dir)
+      val cfg = evCfg.copy(scdType = 1)
+      def third(r: Int) = all.filter(col("event_id") % 3 === r)
+      val t0 = Scd01.initialLoad(third(0), cfg).localCheckpoint()
+      val t1 = Scd01.incremental(t0, third(1), cfg).localCheckpoint()
+      Scd01.incremental(t1, third(2), cfg)
+    }),
+    "q67_scd0_two_merges" -> ((s, dir) => {
+      // Type-0 across two merges: FIRST-batch precedence (insert-only).
+      val all = ev(s, dir)
+      val cfg = evCfg.copy(scdType = 0)
+      def third(r: Int) = all.filter(col("event_id") % 3 === r)
+      val t0 = Scd01.initialLoad(third(0), cfg).localCheckpoint()
+      val t1 = Scd01.incremental(t0, third(1), cfg).localCheckpoint()
+      Scd01.incremental(t1, third(2), cfg)
+    }),
     // --- Temporal as-of join (J6, U2, P4, W3-W5) --------------------------
     "q11_scd2_join" -> ((s, dir) => {
       // Each dim feeds the spine AND its containment join; checkpoint so the
@@ -1019,6 +1038,25 @@ object SparkEntry {
          |  CASE WHEN t.user_id IS NOT NULL THEN t.ts ELSE d.ts END AS _valid_from,
          |  TIMESTAMP '2999-12-31 23:59:59' AS _valid_to, 'I' AS _change_type
          |FROM t FULL JOIN d ON t.user_id = d.user_id""".stripMargin,
+    "q66_scd1_two_merges" ->
+      s"""WITH $SrcCte,
+         |base AS (SELECT *, event_id % 3 AS b FROM src),
+         |biz AS (SELECT * FROM base
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY b DESC, ts DESC) = 1),
+         |firstb AS (SELECT user_id, ts AS first_ts FROM base
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY b ASC, ts DESC) = 1)
+         |SELECT biz.event_id, biz.ts, biz.user_id, biz.event_type, biz.value,
+         |  biz.props, true AS _is_current, firstb.first_ts AS _valid_from,
+         |  TIMESTAMP '2999-12-31 23:59:59' AS _valid_to, 'I' AS _change_type
+         |FROM biz JOIN firstb USING (user_id)""".stripMargin,
+    "q67_scd0_two_merges" ->
+      s"""WITH $SrcCte
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  true AS _is_current, ts AS _valid_from,
+         |  TIMESTAMP '2999-12-31 23:59:59' AS _valid_to, 'I' AS _change_type
+         |FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY event_id % 3, ts) AS rn FROM src)
+         |WHERE rn = 1""".stripMargin,
     "q09_scd0_initial" ->
       s"""WITH $SrcCte
          |SELECT event_id, ts, user_id, event_type, value, props,
