@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Multimodal, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Multimodal, Packing, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -622,8 +622,28 @@ object SparkEntry {
       Scd2.initialLoad(
         Tables.read(s, dir, "lineitem")
           .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
-        ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate")))
+        ScdConfig(uniqueKey = Seq("l_orderkey"), updatedAtCol = "l_shipdate"))),
+    // --- Training-data pipeline, round 3: decontamination, packing,
+    //     retrieval scoring, stratified sampling, mixing stats, PQ codes ----
+    "q68_decontaminate" -> ((s, dir) =>
+      Dedup.contaminationStats(docs(s, dir), "doc_id", "text",
+                               isEval = col("doc_id") % 10 === 0, n = 3)),
+    "q69_pack_sequences" -> ((s, dir) =>
+      Packing.packBins(docs(s, dir), "doc_id", "text", binTokens = 512L,
+                       partCols = Seq("lang"))),
+    "q70_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", Bm25Terms, k = 20)),
+    "q71_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedCap(docs(s, dir), "doc_id", Seq("lang"), cap = 40)
+        .select("lang", "sample_rank", "doc_id")),
+    "q72_corpus_mix" -> ((s, dir) =>
+      TextAnalysis.corpusMix(docs(s, dir))),
+    "q73_pq_assign" -> ((s, dir) =>
+      Similarity.pqAssign(emb(s, dir), "vec_id", "embedding",
+                          dim = 64, m = 4, k = 16))
   )
+
+  private val Bm25Terms = Seq("spark", "merge", "window")
 
   private val LineitemCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -1672,7 +1692,101 @@ object SparkEntry {
             s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
          |  ELSE 'und' END AS lang_pred,
          |  n_tokens, n_stopwords
-         |FROM hits""".stripMargin
+         |FROM hits""".stripMargin,
+
+    // --- Round 3: decontamination / packing / retrieval / sampling / mix /
+    //     PQ codes ---------------------------------------------------------
+    "q68_decontaminate" ->
+      s"""WITH $ToksCte, ${shingleCte("sh3", 3)},
+         |evsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh3 WHERE doc_id % 10 = 0),
+         |train AS (SELECT doc_id, shs FROM sh3 WHERE doc_id % 10 <> 0),
+         |tsh AS (SELECT doc_id, unnest(shs) AS sh FROM train),
+         |shared AS (SELECT t.doc_id, count(*) AS n_shared
+         |  FROM tsh t JOIN evsh e ON e.sh = t.sh GROUP BY 1)
+         |SELECT t.doc_id, len(t.shs) AS n_shingles,
+         |  coalesce(s.n_shared, 0) AS n_shared,
+         |  (coalesce(s.n_shared, 0) * 5 >= len(t.shs)) AS is_contaminated
+         |FROM train t LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin,
+    "q69_pack_sequences" ->
+      """WITH sized AS (SELECT lang, doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS nt
+        |  FROM documents),
+        |cum AS (SELECT lang, doc_id, nt,
+        |  CAST(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM sized),
+        |binned AS (SELECT lang, (c - nt) // 512 AS bin_id, nt FROM cum)
+        |SELECT lang, bin_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  (CAST(sum(nt) AS BIGINT) * 1000000) // 512 AS fill_ppm
+        |FROM binned GROUP BY 1, 2""".stripMargin,
+    "q70_bm25" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |scal AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT t.doc_id,
+         |    ((s.n_docs - f.df) * 1000000) // s.n_docs AS idf_ppm,
+         |    (t.tf * 44 * s.sdl * 1000000)
+         |      // (20*s.sdl*t.tf + 6*s.sdl + 18*d.dl*s.n_docs) AS tfc_ppm
+         |  FROM tf t JOIN dfq f USING (token) JOIN dl d USING (doc_id)
+         |  CROSS JOIN scal s),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum((idf_ppm * tfc_ppm) // 1000000) AS BIGINT) AS score_ppm,
+         |    count(*) AS n_terms FROM scored GROUP BY 1)
+         |SELECT * FROM (SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+         |    AS "rank", doc_id, score_ppm, n_terms FROM agg)
+         |WHERE "rank" <= 20""".stripMargin,
+    "q71_stratified_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40""".stripMargin,
+    "q72_corpus_mix" ->
+      s"""WITH mtoks AS (SELECT source, text,
+         |  regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |hits AS (SELECT source, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS nt,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
+         |FROM mtoks),
+         |base AS (SELECT source, CASE
+         |  WHEN text IS NULL THEN 'und'
+         |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
+         |  ELSE 'und' END AS lang_pred, nt FROM hits),
+         |g AS (SELECT source, lang_pred, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM base GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+         |SELECT source, lang_pred, n_docs, n_tokens,
+         |  (n_docs * 1000000) // total AS share_ppm
+         |FROM g CROSS JOIN tot""".stripMargin,
+    "q73_pq_assign" ->
+      """WITH vq AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |comp AS (SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j, q[i] AS x
+        |  FROM vq CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |cents AS (SELECT ss.s, kk.k, jj.j,
+        |    CAST(('0x' || substr(md5('pq-' || ss.s || '-' || kk.k || '-' || jj.j), 1, 8))::UBIGINT
+        |      % 2001 AS BIGINT) - 1000 AS c
+        |  FROM (SELECT unnest(range(4)) AS s) ss,
+        |       (SELECT unnest(range(16)) AS k) kk,
+        |       (SELECT unnest(range(16)) AS j) jj),
+        |d AS (SELECT comp.vec_id, comp.s, cents.k,
+        |    CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist2
+        |  FROM comp JOIN cents ON cents.s = comp.s AND cents.j = comp.j
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, s AS sub, k AS code, dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY dist2, k) AS rn FROM d)
+        |WHERE rn = 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

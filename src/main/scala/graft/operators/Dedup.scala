@@ -249,6 +249,40 @@ object Dedup {
       .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** Benchmark decontamination: for every training document, how many of its
+    * distinct `n`-gram shingles also occur in the held-out evaluation slice
+    * (`isEval` rows), and a contamination flag at >= 20 % overlap
+    * (integer cross-multiplied — no float ratio).
+    *
+    * Scale: the eval side collapses to its DISTINCT shingle set — eval suites
+    * are tiny relative to a training corpus, so it broadcasts and the
+    * training scan stays shuffle-free until the per-doc count aggregate (one
+    * map-side-combined exchange on doc_id). The train side's shingle arrays
+    * are computed once and reused for both the total and the overlap count.
+    */
+  def contaminationStats(df: DataFrame,
+                         idCol: String,
+                         textCol: String,
+                         isEval: Column,
+                         n: Int = 3): DataFrame = {
+    val withSh = df.select(
+      col(idCol).as("doc_id"), isEval.as("_eval"),
+      shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+    val evalSh = withSh.filter(col("_eval"))
+      .select(explode(col("_shs")).as("_sh")).distinct()
+    val train = withSh.filter(!col("_eval"))
+    val shared = train
+      .select(col("doc_id"), explode(col("_shs")).as("_sh"))
+      .join(broadcast(evalSh), Seq("_sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("_shared"))
+    train
+      .select(col("doc_id"), size(col("_shs")).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("_shared"), lit(0L)))
+      .withColumn("is_contaminated", col("n_shared") * 5 >= col("n_shingles"))
+      .select("doc_id", "n_shingles", "n_shared", "is_contaminated")
+  }
+
   /** 32-bit SimHash over the document's distinct tokens: bit `b` is set iff
     * more than half the tokens have bit `b` set in the first-8-hex-chars md5
     * hash of the token. Pure built-ins; reproducible in the oracle.

@@ -25,6 +25,27 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
     df.filter(hashBucket(col(idCol), den) < num)
 
+  /** Stratified cap: keep at most `cap` rows per stratum, chosen as the rows
+    * with the smallest `md5(id)` — a deterministic uniform draw within each
+    * stratum (id-hash order is independent of the stratum's own ordering).
+    * `sample_rank` is the row's 1-based draw position.
+    *
+    * One shuffle on the strata columns; the per-stratum window is a top-k
+    * over the stratum, so skewed strata cost sort-of-stratum, not a cross
+    * product. For strata far larger than `cap` at 100 TB, pre-filter with a
+    * per-stratum approximate quantile of the hash to cut the sort input.
+    */
+  def stratifiedCap(df: DataFrame,
+                    idCol: String,
+                    strataCols: Seq[String],
+                    cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= cap)
+  }
+
   /** Label every row with a split name by cumulative per-mille weight,
     * e.g. Seq("train" -> 980, "val" -> 10, "test" -> 10). Weights must sum
     * to <= den; rows past the last cumulative bound get the last label.

@@ -197,6 +197,65 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("col")).as("sum_micro"))
   }
 
+  /** Deterministic PQ codebook entry: component `j` of centroid `k` in
+    * subspace `s`, an md5-derived integer in [-1000, 1000] (milli-units of
+    * the quantized vector space). Computed driver-side with the same md5 the
+    * oracle engine uses, so codes agree bit-for-bit.
+    */
+  private[graft] def pqCentroid(s: Int, k: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"pq-$s-$k-$j".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** Product-quantization code assignment: the vector is split into `m`
+    * subvectors; each is assigned the nearest of `k` fixed codebook centroids
+    * by squared L2 distance in integer milli-space (`floor(x*1000)`), ties to
+    * the smallest code. Output: one row per (vector, subspace) with the code
+    * and its distance — the PQ code table that makes IVF-PQ search feasible
+    * at 100 TB (memory per vector drops from `dim * 4` bytes to `m` bytes).
+    *
+    * Scale: the codebook is `m*k*dim/m` driver-computed literals folded into
+    * the projection — no join, no shuffle, whole-stage codegen; the only
+    * exchange is whatever the caller does with the codes. Distances and
+    * centroids are integers, so assignment is engine-exact (a float L2 would
+    * tie-break differently across fma/simd paths).
+    */
+  def pqAssign(corpus: DataFrame,
+               idCol: String,
+               vecCol: String,
+               dim: Int = 64,
+               m: Int = 4,
+               k: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val quantized = corpus.select(
+      col(idCol).as("vec_id"),
+      transform(col(vecCol),
+                x => floor(x.cast("double") * 1000).cast("long")).as("_q"))
+    val perSub = quantized.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("_q"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "_sq")))
+    val dists = array((0 until k).map { kk =>
+      // centroid components for (sub, kk) — resolved per `sub` via element_at
+      // on an m-wide literal-of-arrays (constant-folded, broadcast-free)
+      val centsBySub = array((0 until m).map(s =>
+        array((0 until subDim).map(j => lit(pqCentroid(s, kk, j))): _*)): _*)
+      aggregate(
+        zip_with(col("_sq"), element_at(centsBySub, col("sub") + 1),
+                 (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, d) => acc + d)
+    }: _*)
+    perSub
+      .withColumn("_d", dists)
+      .select(col("vec_id"), col("sub"),
+              (array_position(col("_d"), array_min(col("_d"))) - 1)
+                .cast("int").as("code"),
+              array_min(col("_d")).as("dist2"))
+  }
+
   /** Shared ranking: top-k per query with deterministic (cosine desc, id asc)
     * tie-break; cosine rounded to 4 decimals for cross-engine compare.
     */

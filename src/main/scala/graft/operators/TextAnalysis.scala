@@ -207,6 +207,74 @@ object TextAnalysis {
       .select("doc_id", "rank", "token", "tf", "df", "score_ppm")
   }
 
+  /** BM25-shaped retrieval scoring of every document against a fixed query
+    * term set, in pure integer arithmetic (k1 = 1.2 = 6/5, b = 3/4 folded
+    * into one cross-multiplied rational):
+    *
+    *   idf_ppm(t)    = ((N - df) * 1e6) div N            (monotone idf proxy)
+    *   tfc_ppm(t, d) = (tf * 44 * SDL * 1e6)
+    *                     div (20*SDL*tf + 6*SDL + 18*dl*N)
+    *   score_ppm(d)  = Σ_t (idf_ppm * tfc_ppm) div 1e6
+    *
+    * where dl = |d| in tokens, SDL = Σ dl, N = |corpus|. Rationals instead of
+    * the float/log formula so ranking is bit-exact in any engine (div
+    * truncates identically on the non-negative operands here). 64-bit safe to
+    * SDL ≈ 2e11 tokens; beyond that compute the numerator in decimal(38,0).
+    *
+    * Scale: one narrow pass for dl (map-side-combined count), a filtered
+    * explode for tf over only the query terms (the filter sits under the
+    * aggregate — candidate stream ∝ query-term hits, not corpus tokens), and
+    * the corpus scalars (N, SDL) broadcast back via a 1-row cross join.
+    */
+  def bm25TopK(df: DataFrame,
+               idCol: String,
+               textCol: String,
+               queryTerms: Seq[String],
+               k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode(tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    val tf = toks.filter(col("token").isInCollection(queryTerms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_ppm", expr("((n_docs - df) * 1000000) DIV n_docs"))
+      .withColumn("tfc_ppm",
+                  expr("(tf * 44 * sdl * 1000000) DIV " +
+                    "(20*sdl*tf + 6*sdl + 18*dl*n_docs)"))
+      .groupBy("doc_id")
+      .agg(sum(expr("(idf_ppm * tfc_ppm) DIV 1000000")).as("score_ppm"),
+           count(lit(1)).as("n_terms"))
+      .withColumn("rank",
+                  row_number().over(Window.orderBy(col("score_ppm").desc,
+                                                   col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "score_ppm", "n_terms")
+  }
+
+  /** Corpus mixing statistics: per (source, predicted language) document and
+    * token mass plus the corpus share in ppm — the table a data-mixing step
+    * reweights against. Two map-side-combined aggregates and a broadcast of
+    * the 1-row total; grouped output is dimension-sized, never corpus-sized.
+    */
+  def corpusMix(df: DataFrame,
+                sourceCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"),
+                         langId(col(textCol)).as("lang_pred"),
+                         tokenCount(col(textCol)).as("_nt"))
+    val grouped = base.groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val total = grouped.agg(sum(col("n_docs")).as("_total"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(n_docs * 1000000) DIV _total"))
+      .drop("_total")
+  }
+
   /** Corpus token statistics: term frequency + document frequency per token.
     * One explode + one hash-aggregate — at 100 TB this is the canonical
     * map-side-combined shuffle (partial counts per token per partition, one

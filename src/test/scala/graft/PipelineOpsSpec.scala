@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Unit coverage for the training-data pipeline operators (text analysis,
   * dedup, similarity, multimodal). The DuckDB oracle (q13-q26) is the
@@ -446,5 +446,113 @@ class PipelineOpsSpec extends SparkTestBase {
     // frame sampling: first/middle/last, deduped when they coincide
     assert(Multimodal.sampleFrameIndices(1) === Seq(0))
     assert(Multimodal.sampleFrameIndices(30) === Seq(0, 15, 29))
+  }
+
+  test("contaminationStats: shingle overlap with the eval slice, 20% gate") {
+    // doc 10 is the eval doc; doc 1 copies it verbatim (full overlap),
+    // doc 2 shares nothing, doc 3 shares a prefix
+    val df = docsDf(
+      10L -> "alpha beta gamma delta epsilon",
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five",
+      3L -> "alpha beta gamma zeta eta")
+    val out = Dedup.contaminationStats(df, "doc_id", "text",
+                                       isEval = $"doc_id" % 10 === 0, n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L)) // train rows only
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) === ((3, 3L, true)))  // all 3 shingles shared
+    assert(byId(2L) === ((3, 0L, false)))
+    assert(byId(3L) === ((3, 1L, true))) // 1/3 >= 20%
+  }
+
+  test("packBins: greedy contiguous fill, bin boundary at the budget") {
+    // 4 docs of 3 tokens each, budget 6 => docs 1,2 -> bin 0; 3,4 -> bin 1
+    val df = Seq((1L, "a b c", "en"), (2L, "d e f", "en"),
+                 (3L, "g h i", "en"), (4L, "j k l", "en"),
+                 (5L, "x y", "fr")).toDF("doc_id", "text", "lang")
+    val out = operators.Packing
+      .packBins(df, "doc_id", "text", binTokens = 6L, partCols = Seq("lang"))
+      .orderBy("lang", "bin_id").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                         r.getLong(3))).toSeq ===
+      Seq(("en", 0L, 2L, 6L), ("en", 1L, 2L, 6L), ("fr", 0L, 1L, 2L)))
+    // full bins fill to exactly 1e6 ppm
+    assert(out.filter(_.getString(0) == "en").forall(_.getLong(4) == 1000000L))
+  }
+
+  test("bm25TopK: more query-term mass ranks higher; no-hit docs absent") {
+    val df = docsDf(
+      1L -> "spark spark merge window other words here",
+      2L -> "spark alone in a long document with many other words",
+      3L -> "nothing relevant at all")
+    val out = TextAnalysis
+      .bm25TopK(df, "doc_id", "text", Seq("spark", "merge", "window"), k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L)) // doc 3 filtered out
+    assert(out(0).getLong(2) > out(1).getLong(2))       // score_ppm ordered
+    assert(out(0).getLong(3) === 3L && out(1).getLong(3) === 1L) // n_terms
+  }
+
+  test("stratifiedCap: per-stratum cap, deterministic md5 draw order") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedCap(df, "doc_id", Seq("lang"), cap = 7)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 7L, "fr" -> 7L))
+    // re-running yields the identical draw (pure function of ids)
+    val again = Sampling.stratifiedCap(df, "doc_id", Seq("lang"), cap = 7)
+    assert(out.exceptAll(again).count() === 0)
+    // rank 1 is the minimal md5 within the stratum
+    val en1 = out.filter($"lang" === "en" && $"sample_rank" === 1)
+      .select("doc_id").as[Long].head()
+    val minByHash = df.filter($"lang" === "en")
+      .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .orderBy("h").select("doc_id").as[Long].head()
+    assert(en1 === minByHash)
+  }
+
+  test("corpusMix: per-(source, lang) mass; ppm shares bounded by the total") {
+    val df = Seq((1L, "the and of to a in is that it for", "s0"),
+                 (2L, "el los las y un una es por para como", "s0"),
+                 (3L, "the and of to a in is that it for", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.corpusMix(df).orderBy("source", "lang_pred").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                         r.getLong(3))).toSeq ===
+      Seq(("s0", "en", 1L, 10L), ("s0", "es", 1L, 10L), ("s1", "en", 1L, 10L)))
+    // each share is floor(n/3 * 1e6) = 333333
+    assert(out.forall(_.getLong(4) == 333333L))
+  }
+
+  test("pqAssign: m codes per vector, codebook-exact and deterministic") {
+    val dim = 8
+    val df = Seq(
+      (1L, Array.tabulate(dim)(i => 0.1f * i)),
+      (2L, Array.tabulate(dim)(i => 0.1f * i)),   // identical -> same codes
+      (3L, Array.tabulate(dim)(i => -0.3f * i))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqAssign(df, "vec_id", "embedding",
+                                  dim = dim, m = 2, k = 4)
+      .orderBy("vec_id", "sub").collect()
+    assert(out.length === 6) // m rows per vector
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    assert(out.forall(_.getLong(3) >= 0L))
+    val codes = out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.filter(_._1 == 1L).map(c => (c._2, c._3)).toSeq ===
+      codes.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq)
+    // codes are the true argmin over the driver-side codebook
+    val q1 = Array.tabulate(dim)(i => math.floor(0.1f * i * 1000.0).toLong)
+    for (s <- 0 until 2) {
+      val dists = (0 until 4).map { kk =>
+        (0 until 4).map { j =>
+          val d = q1(s * 4 + j) - Similarity.pqCentroid(s, kk, j)
+          d * d
+        }.sum
+      }
+      val expect = dists.indexOf(dists.min)
+      assert(codes.find(c => c._1 == 1L && c._2 == s).get._3 === expect)
+    }
   }
 }
