@@ -43,8 +43,10 @@ object Dedup {
     * exact Jaccard join.
     */
   private def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // explode_outer: see contaminationStats — avoids the pushed-down generate
+    // filter re-evaluating the shingle build twice per row.
     df.select(col(idCol).as("_id"),
-              explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("_sh"))
+              explode_outer(shingles(TextAnalysis.tokens(col(textCol)), n)).as("_sh"))
 
   /** Exact n-gram Jaccard near-dup pairs: emit (doc_a, doc_b, overlap, union)
     * for every pair with `jaccard >= tau` (integer cross-multiplication, no
@@ -256,9 +258,12 @@ object Dedup {
     *
     * Scale: the eval side collapses to its DISTINCT shingle set — eval suites
     * are tiny relative to a training corpus, so it broadcasts and the
-    * training scan stays shuffle-free until the per-doc count aggregate (one
-    * map-side-combined exchange on doc_id). The train side's shingle arrays
-    * are computed once and reused for both the total and the overlap count.
+    * training side needs exactly ONE pass: shingle arrays are built once per
+    * row (the eval/train filters split disjoint rows of the same narrow
+    * projection), the per-doc total rides the explode as an attribute, and a
+    * single map-side-combined aggregate on doc_id counts the broadcast-join
+    * hits. No doc is lost to the explode — `shingles` emits at least [""]
+    * for empty text — so no join-back for zero-overlap docs.
     */
   def contaminationStats(df: DataFrame,
                          idCol: String,
@@ -268,17 +273,22 @@ object Dedup {
     val withSh = df.select(
       col(idCol).as("doc_id"), isEval.as("_eval"),
       shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+    // explode_outer, not explode: explode's implicit `size(arr) > 0 AND
+    // isnotnull(arr)` generate-filter gets predicate-pushed below the
+    // projection, substituting the whole tokenize+shingle expression into the
+    // Filter — the expensive build would run 3x per row. `shingles` returns
+    // >= 1 element for any non-null text, so outer semantics are identical
+    // (and a null-text row matching the oracle's NULL-propagation is kept).
     val evalSh = withSh.filter(col("_eval"))
-      .select(explode(col("_shs")).as("_sh")).distinct()
-    val train = withSh.filter(!col("_eval"))
-    val shared = train
-      .select(col("doc_id"), explode(col("_shs")).as("_sh"))
-      .join(broadcast(evalSh), Seq("_sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("_shared"))
-    train
-      .select(col("doc_id"), size(col("_shs")).as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .withColumn("n_shared", coalesce(col("_shared"), lit(0L)))
+      .select(explode_outer(col("_shs")).as("_sh")).distinct()
+      .withColumn("_hit", lit(1L))
+    withSh.filter(!col("_eval"))
+      .select(col("doc_id"), size(col("_shs")).as("n_shingles"),
+              explode_outer(col("_shs")).as("_sh"))
+      .join(broadcast(evalSh), Seq("_sh"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_shingles")).as("n_shingles"),
+           coalesce(sum(col("_hit")), lit(0L)).as("n_shared"))
       .withColumn("is_contaminated", col("n_shared") * 5 >= col("n_shingles"))
       .select("doc_id", "n_shingles", "n_shared", "is_contaminated")
   }

@@ -234,9 +234,13 @@ object Similarity {
       col(idCol).as("vec_id"),
       transform(col(vecCol),
                 x => floor(x.cast("double") * 1000).cast("long")).as("_q"))
+    // posexplode_outer: the non-outer generate's implicit size/notnull filter
+    // would be pushed below the projection and re-evaluate the quantization
+    // transform twice per row (see Dedup.contaminationStats); the m-slice
+    // array is never empty, so outer semantics are identical.
     val perSub = quantized.select(
       col("vec_id"),
-      posexplode(array((0 until m).map(s =>
+      posexplode_outer(array((0 until m).map(s =>
         slice(col("_q"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "_sq")))
     val dists = array((0 until k).map { kk =>
       // centroid components for (sub, kk) — resolved per `sub` via element_at

@@ -170,7 +170,7 @@ object TextAnalysis {
     // Computing lang_pred first makes it a plain attribute below the
     // Generate — once per document (measured 4x on sf0.1).
     df.select(col(textCol).as("_text"), langId(col(textCol)).as("lang_pred"))
-      .select(col("lang_pred"), explode(tokens(col("_text"))).as("token"))
+      .select(col("lang_pred"), explode_outer(tokens(col("_text"))).as("token"))
       .groupBy("lang_pred", "token")
       .agg(count(lit(1)).as("tf"))
       .withColumn("rank",
@@ -194,7 +194,7 @@ object TextAnalysis {
                              k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc_id"), explode_outer(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -221,10 +221,11 @@ object TextAnalysis {
     * truncates identically on the non-negative operands here). 64-bit safe to
     * SDL ≈ 2e11 tokens; beyond that compute the numerator in decimal(38,0).
     *
-    * Scale: one narrow pass for dl (map-side-combined count), a filtered
-    * explode for tf over only the query terms (the filter sits under the
-    * aggregate — candidate stream ∝ query-term hits, not corpus tokens), and
-    * the corpus scalars (N, SDL) broadcast back via a 1-row cross join.
+    * Scale: NO corpus-token explode at all — per-term tf and dl are per-row
+    * higher-order-function counts over the token array (query terms are
+    * literals), so the corpus stage is a shuffle-free narrow projection; the
+    * only exchanges are the dimension-sized df aggregate over query-term
+    * HITS and the 1-row corpus scalars, both broadcast back.
     */
   def bm25TopK(df: DataFrame,
                idCol: String,
@@ -232,15 +233,23 @@ object TextAnalysis {
                queryTerms: Seq[String],
                k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-                         explode(tokens(col(textCol))).as("token"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val scalars = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
-    val tf = toks.filter(col("token").isInCollection(queryTerms))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val toksArr = tokens(col(textCol))
+    // dl = |unnest(tokens)| (>= 1 even for blank text — parity with the
+    // oracle's unnest count), tf via array filter per literal query term
+    val perDoc = df.select(
+      col(idCol).as("doc_id"), size(toksArr).cast("long").as("dl"),
+      array(queryTerms.map(t =>
+        struct(lit(t).as("token"),
+               size(filter(toksArr, x => x === lit(t))).cast("long").as("tf"))
+      ): _*).as("_tfs"))
+    val scalars = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode_outer(col("_tfs")).as("_t"))
+      .select(col("doc_id"), col("dl"),
+              col("_t.token").as("token"), col("_t.tf").as("tf"))
+      .filter(col("tf") > 0)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
       .withColumn("idf_ppm", expr("((n_docs - df) * 1000000) DIV n_docs"))
       .withColumn("tfc_ppm",
@@ -281,7 +290,7 @@ object TextAnalysis {
     * exchange on the token).
     */
   def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+    df.select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
 }
