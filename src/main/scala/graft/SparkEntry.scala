@@ -640,7 +640,15 @@ object SparkEntry {
       TextAnalysis.corpusMix(docs(s, dir))),
     "q73_pq_assign" -> ((s, dir) =>
       Similarity.pqAssign(emb(s, dir), "vec_id", "embedding",
-                          dim = 64, m = 4, k = 16))
+                          dim = 64, m = 4, k = 16)),
+    "q74_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 32), e,
+                           "vec_id", "embedding",
+                           dim = 64, m = 4, k = 16, topK = 10)
+    }),
+    "q75_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 100))
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -1767,26 +1775,39 @@ object SparkEntry {
          |  (n_docs * 1000000) // total AS share_ppm
          |FROM g CROSS JOIN tot""".stripMargin,
     "q73_pq_assign" ->
-      """WITH vq AS (SELECT vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |comp AS (SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j, q[i] AS x
-        |  FROM vq CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-        |cents AS (SELECT ss.s, kk.k, jj.j,
-        |    CAST(('0x' || substr(md5('pq-' || ss.s || '-' || kk.k || '-' || jj.j), 1, 8))::UBIGINT
-        |      % 2001 AS BIGINT) - 1000 AS c
-        |  FROM (SELECT unnest(range(4)) AS s) ss,
-        |       (SELECT unnest(range(16)) AS k) kk,
-        |       (SELECT unnest(range(16)) AS j) jj),
-        |d AS (SELECT comp.vec_id, comp.s, cents.k,
-        |    CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist2
-        |  FROM comp JOIN cents ON cents.s = comp.s AND cents.j = comp.j
-        |  GROUP BY 1, 2, 3)
+      s"""WITH $PqDistCtes
         |SELECT vec_id, s AS sub, k AS code, dist2 FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
         |    ORDER BY dist2, k) AS rn FROM d)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "q74_ivfpq" ->
+      s"""WITH $PqDistCtes,
+         |code AS (SELECT vec_id, s, k AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dist2, k) AS rn FROM d)
+         |  WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, s, k, dist2 FROM d WHERE vec_id < 32),
+         |scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(l.dist2) AS BIGINT) AS adc_dist2
+         |  FROM code c JOIN lut l ON l.s = c.s AND l.k = c.code
+         |    AND l.query_id <> c.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, "rank", neighbor_id, adc_dist2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist2, neighbor_id) AS "rank" FROM scored)
+         |WHERE "rank" <= 10""".stripMargin,
+    "q75_oov_rate" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+         |v AS (SELECT token FROM (
+         |    SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rk
+         |    FROM tf) WHERE rk <= 100)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(count(*) - count(v.token) AS BIGINT) AS n_oov,
+         |  ((count(*) - count(v.token)) * 1000000) // count(*) AS oov_ppm
+         |FROM tok LEFT JOIN v ON v.token = tok.token
+         |GROUP BY 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
@@ -1837,6 +1858,29 @@ object SparkEntry {
   private val ToksCte =
     """toks AS (SELECT doc_id, text,
       |  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)""".stripMargin
+
+  /** PQ distance table `d(vec_id, s, k, dist2)` mirroring
+    * `Similarity.pqPerSub` (dim 64, m=4, k=16; md5-derived integer codebook).
+    * Shared by q73 (argmin codes) and q74 (ADC top-k: the query LUT and the
+    * corpus codes are both projections of `d`).
+    */
+  private val PqDistCtes =
+    """vq AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |comp AS (SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS j, q[i] AS x
+      |  FROM vq CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |cents AS (SELECT ss.s, kk.k, jj.j,
+      |    CAST(('0x' || substr(md5('pq-' || ss.s || '-' || kk.k || '-' || jj.j), 1, 8))::UBIGINT
+      |      % 2001 AS BIGINT) - 1000 AS c
+      |  FROM (SELECT unnest(range(4)) AS s) ss,
+      |       (SELECT unnest(range(16)) AS k) kk,
+      |       (SELECT unnest(range(16)) AS j) jj),
+      |d AS (SELECT comp.vec_id, comp.s, cents.k,
+      |    CAST(sum((x - c) * (x - c)) AS BIGINT) AS dist2
+      |  FROM comp JOIN cents ON cents.s = comp.s AND cents.j = comp.j
+      |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Distinct n-token shingles, mirroring `Dedup.shingles`. */
   private def shingleCte(name: String, n: Int): String =

@@ -227,7 +227,22 @@ object Similarity {
                vecCol: String,
                dim: Int = 64,
                m: Int = 4,
-               k: Int = 16): DataFrame = {
+               k: Int = 16): DataFrame =
+    pqPerSub(corpus, idCol, vecCol, dim, m, k)
+      .select(col("vec_id"), col("sub"),
+              (array_position(col("_d"), array_min(col("_d"))) - 1)
+                .cast("int").as("code"),
+              array_min(col("_d")).as("dist2"))
+
+  /** Shared PQ stage: one row per (vector, subspace) carrying the k-wide
+    * array of squared distances to every codebook centroid (`_d`).
+    */
+  private def pqPerSub(corpus: DataFrame,
+                       idCol: String,
+                       vecCol: String,
+                       dim: Int,
+                       m: Int,
+                       k: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val quantized = corpus.select(
@@ -252,12 +267,46 @@ object Similarity {
                  (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, d) => acc + d)
     }: _*)
-    perSub
-      .withColumn("_d", dists)
-      .select(col("vec_id"), col("sub"),
-              (array_position(col("_d"), array_min(col("_d"))) - 1)
-                .cast("int").as("code"),
-              array_min(col("_d")).as("dist2"))
+    perSub.withColumn("_d", dists)
+  }
+
+  /** IVF-PQ-style approximate top-k by asymmetric distance computation (ADC):
+    * every corpus vector is reduced to its `m` PQ codes; a query scores a
+    * candidate as the sum over subspaces of the query-to-centroid distance of
+    * the candidate's code — the corpus vectors themselves are never touched
+    * at query time. The query-side table IS the classic ADC lookup table
+    * (`m*k` integers per query), built with the same `pqPerSub` stage and
+    * broadcast; the corpus side joins on the tiny (sub, code) key, so the
+    * only exchange is the final per-(query, candidate) sum — at 100 TB the
+    * scan reads `m` bytes of code per vector instead of `4*dim`.
+    *
+    * Integer milli-space distances end-to-end — ranking is engine-exact.
+    */
+  def ivfPqTopK(queries: DataFrame,
+                corpus: DataFrame,
+                idCol: String,
+                vecCol: String,
+                dim: Int = 64,
+                m: Int = 4,
+                k: Int = 16,
+                topK: Int = 10): DataFrame = {
+    val codes = pqAssign(corpus, idCol, vecCol, dim, m, k)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+    val lut = pqPerSub(queries, idCol, vecCol, dim, m, k)
+      .select(col("vec_id").as("query_id"), col("sub"),
+              posexplode_outer(col("_d")).as(Seq("_pos", "qdist")))
+      .select(col("query_id"), col("sub"), col("_pos").cast("int").as("code"),
+              col("qdist"))
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qdist")).as("adc_dist2"))
+      .withColumn("rank",
+                  row_number().over(Window.partitionBy(col("query_id"))
+                    .orderBy(col("adc_dist2"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "adc_dist2")
   }
 
   /** Shared ranking: top-k per query with deterministic (cosine desc, id asc)

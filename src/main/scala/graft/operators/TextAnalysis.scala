@@ -284,6 +284,33 @@ object TextAnalysis {
       .drop("_total")
   }
 
+  /** Tokenizer-coverage analysis: per-document out-of-vocabulary token mass
+    * against the corpus's own top-`vocabSize` vocabulary (tf-ranked, token
+    * tiebreak). The vocabulary is a DERIVED dimension — one map-side-combined
+    * token aggregate, a vocabulary-sized top-k window, then a broadcast left
+    * join back onto the token stream; `n_oov = count(*) - count(hit)`
+    * (count skips nulls), ppm via integer division. `n_tokens >= 1` always
+    * (the tokenizer emits [""] for blank text), so the division is total.
+    */
+  def oovStats(df: DataFrame,
+               idCol: String,
+               textCol: String,
+               vocabSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+                         explode_outer(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_tf").desc, col("token"))))
+      .filter(col("_rk") <= vocabSize)
+      .select(col("token"), lit(1L).as("_inv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           (count(lit(1)) - count(col("_inv"))).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) DIV n_tokens"))
+  }
+
   /** Corpus token statistics: term frequency + document frequency per token.
     * One explode + one hash-aggregate — at 100 TB this is the canonical
     * map-side-combined shuffle (partial counts per token per partition, one

@@ -555,4 +555,43 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(codes.find(c => c._1 == 1L && c._2 == s).get._3 === expect)
     }
   }
+
+  test("ivfPqTopK: ADC to an identical vector equals the query's own PQ residual") {
+    val dim = 8
+    val mk = (f: Int => Float) => Array.tabulate(dim)(f)
+    val df = Seq(
+      (0L, mk(i => 0.1f * i)),          // query
+      (1L, mk(i => 0.1f * i)),          // identical twin -> same codes
+      (2L, mk(i => -0.5f + 0.07f * i)),
+      (3L, mk(i => 0.9f - 0.2f * i))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(df.filter($"vec_id" === 0), df,
+                                   "vec_id", "embedding",
+                                   dim = dim, m = 2, k = 4, topK = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).length === 3)            // self excluded
+    // the twin shares every code, so its ADC distance is exactly the sum of
+    // the query's own per-sub argmin distances (pqAssign dist2)
+    val selfResidual = Similarity
+      .pqAssign(df.filter($"vec_id" === 0), "vec_id", "embedding",
+                dim = dim, m = 2, k = 4)
+      .agg(sum($"dist2")).as[Long].head()
+    val twin = out.find(_.getLong(2) == 1L).get
+    assert(twin.getLong(3) === selfResidual)
+    assert(twin.getInt(1) === 1) // nothing can score below the shared code
+    // every pair aggregates exactly m sub-distances: adc >= selfResidual
+    assert(out.forall(_.getLong(3) >= selfResidual))
+  }
+
+  test("oovStats: corpus-derived vocab, OOV mass in ppm") {
+    val df = docsDf(
+      1L -> "a a a b b c",
+      2L -> "a b x y")
+    // vocabSize=2 -> vocab = {a, b} (tf 4 and 3)
+    val out = TextAnalysis.oovStats(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 6L, 1L), (2L, 4L, 2L)))
+    assert(out.map(_.getLong(3)).toSeq === Seq(166666L, 500000L))
+  }
 }
