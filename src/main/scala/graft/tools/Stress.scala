@@ -100,6 +100,48 @@ object Stress {
     val en1 = time("asof enrich 1x")(enrichOn(ev1))
     val enK = time(s"asof enrich ${k}x")(enrichOn(evK))
 
+    // Round-3 operators ---------------------------------------------------
+    val ct1 = time("contamination 1x")(
+      Dedup.contaminationStats(d1, "doc_id", "text", col("doc_id") % 10 === 0))
+    val ctK = time(s"contamination ${k}x")(
+      Dedup.contaminationStats(dK, "doc_id", "text", col("doc_id") % 10 === 0))
+
+    val bm1 = time("bm25 1x")(
+      TextAnalysis.bm25TopK(d1, "doc_id", "text", Seq("spark", "merge", "window")))
+    val bmK = time(s"bm25 ${k}x")(
+      TextAnalysis.bm25TopK(dK, "doc_id", "text", Seq("spark", "merge", "window")))
+
+    // Packing: partitioned by lang alone (5 partitions — each window chain
+    // serializes, the pathological shard choice) vs lang + a 32-way id
+    // bucket (the documented scale path: shard count tracks the cluster).
+    val pk1 = time("pack by lang 1x")(
+      graft.operators.Packing.packBins(d1, "doc_id", "text", 512L, Seq("lang")))
+    val pkK = time(s"pack by lang ${k}x")(
+      graft.operators.Packing.packBins(dK, "doc_id", "text", 512L, Seq("lang")))
+    val shard = (df: DataFrame) => df.withColumn("_shard", col("doc_id") % 32)
+    val pb1 = time("pack by lang+shard 1x")(
+      graft.operators.Packing.packBins(shard(d1), "doc_id", "text", 512L,
+                                       Seq("lang", "_shard")))
+    val pbK = time(s"pack by lang+shard ${k}x")(
+      graft.operators.Packing.packBins(shard(dK), "doc_id", "text", 512L,
+                                       Seq("lang", "_shard")))
+
+    val em1 = Tables.read(spark, sfDir, "embeddings").localCheckpoint()
+    val emK = copies(em1, "vec_id", "vec_id", 1000000L).localCheckpoint()
+    val qside = em1.filter(col("vec_id") < 32)
+    val pq1 = time("ivfpq adc 1x")(
+      graft.operators.Similarity.ivfPqTopK(qside, em1, "vec_id", "embedding"))
+    val pqK = time(s"ivfpq adc ${k}x")(
+      graft.operators.Similarity.ivfPqTopK(qside, emK, "vec_id", "embedding"))
+
+    val ov1 = time("oov 1x")(TextAnalysis.oovStats(d1, "doc_id", "text"))
+    val ovK = time(s"oov ${k}x")(TextAnalysis.oovStats(dK, "doc_id", "text"))
+
+    println(f"[stress] r3 slopes at k=$k (1.0 = linear): " +
+      f"contamination ${ctK / ct1 / k}%.2f, bm25 ${bmK / bm1 / k}%.2f, " +
+      f"pack_lang ${pkK / pk1 / k}%.2f, pack_sharded ${pbK / pb1 / k}%.2f, " +
+      f"ivfpq ${pqK / pq1 / k}%.2f, oov ${ovK / ov1 / k}%.2f")
+
     println(f"[stress] slopes at k=$k (1.0 = perfectly linear): " +
       f"scd2_initial ${iK / i1 / k}%.2f, scd2_incremental ${mK / m1 / k}%.2f, " +
       f"minhash ${xK / x1 / k}%.2f, sessionize ${seK / se1 / k}%.2f, " +
