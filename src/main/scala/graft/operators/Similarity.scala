@@ -236,6 +236,11 @@ object Similarity {
 
   /** Shared PQ stage: one row per (vector, subspace) carrying the k-wide
     * array of squared distances to every codebook centroid (`_d`).
+    *
+    * The full m*k distance table comes from ONE native codegen'd pass over
+    * the float array (`graft.functions.PqAllDists` — bit-identical to the
+    * HOF composition `pqPerSubSpec`, asserted by spec); the per-sub rows are
+    * then cheap slices of that long array.
     */
   private def pqPerSub(corpus: DataFrame,
                        idCol: String,
@@ -244,22 +249,42 @@ object Similarity {
                        m: Int,
                        k: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val all = corpus.select(
+      col(idCol).as("vec_id"),
+      graft.functions.PqAllDists(col(vecCol), dim, m, k).as("_all"))
+    // posexplode_outer: the non-outer generate's implicit size/notnull filter
+    // would be pushed below the projection and re-evaluate PqAllDists twice
+    // per row (see Dedup.contaminationStats); the m-slice array is never
+    // empty, so outer semantics are identical.
+    all.select(
+      col("vec_id"),
+      posexplode_outer(transform(sequence(lit(0), lit(m - 1)),
+                                 s => slice(col("_all"), s * k + 1, lit(k))))
+        .as(Seq("sub", "_d")))
+  }
+
+  /** Built-in-composition spec for [[pqPerSub]]: quantize via `transform`,
+    * slice per subspace, distance via `zip_with` against constant-folded
+    * centroid literals. Must match `pqPerSub` bit-for-bit (spec-asserted) —
+    * kept as the readable contract and the cross-engine formula reference.
+    */
+  private[graft] def pqPerSubSpec(corpus: DataFrame,
+                                  idCol: String,
+                                  vecCol: String,
+                                  dim: Int,
+                                  m: Int,
+                                  k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val quantized = corpus.select(
       col(idCol).as("vec_id"),
       transform(col(vecCol),
                 x => floor(x.cast("double") * 1000).cast("long")).as("_q"))
-    // posexplode_outer: the non-outer generate's implicit size/notnull filter
-    // would be pushed below the projection and re-evaluate the quantization
-    // transform twice per row (see Dedup.contaminationStats); the m-slice
-    // array is never empty, so outer semantics are identical.
     val perSub = quantized.select(
       col("vec_id"),
       posexplode_outer(array((0 until m).map(s =>
         slice(col("_q"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "_sq")))
     val dists = array((0 until k).map { kk =>
-      // centroid components for (sub, kk) — resolved per `sub` via element_at
-      // on an m-wide literal-of-arrays (constant-folded, broadcast-free)
       val centsBySub = array((0 until m).map(s =>
         array((0 until subDim).map(j => lit(pqCentroid(s, kk, j))): _*)): _*)
       aggregate(
@@ -267,8 +292,23 @@ object Similarity {
                  (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, d) => acc + d)
     }: _*)
-    perSub.withColumn("_d", dists)
+    perSub.withColumn("_d", dists).select("vec_id", "sub", "_d")
   }
+
+  /** [[pqAssign]] built from the spec composition — parity target for the
+    * native-expression path.
+    */
+  private[graft] def pqAssignSpec(corpus: DataFrame,
+                                  idCol: String,
+                                  vecCol: String,
+                                  dim: Int,
+                                  m: Int,
+                                  k: Int): DataFrame =
+    pqPerSubSpec(corpus, idCol, vecCol, dim, m, k)
+      .select(col("vec_id"), col("sub"),
+              (array_position(col("_d"), array_min(col("_d"))) - 1)
+                .cast("int").as("code"),
+              array_min(col("_d")).as("dist2"))
 
   /** IVF-PQ-style approximate top-k by asymmetric distance computation (ADC):
     * every corpus vector is reduced to its `m` PQ codes; a query scores a

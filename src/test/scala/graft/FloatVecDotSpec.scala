@@ -34,6 +34,20 @@ class FloatVecDotSpec extends SparkTestBase {
     assert(withNull.filter($"d".isNull).count() === 1)
   }
 
+  test("native PQ distance table == HOF composition, bit-for-bit") {
+    val rnd = new Random(7)
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val native = operators.Similarity
+      .pqAssign(vecs, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val spec = operators.Similarity
+      .pqAssignSpec(vecs, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    assert(native.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(native).count() === 0)
+    assert(native.count() === 300 * 4)
+  }
+
   test("native sign-LSH bucket == HOF composition, bit-for-bit") {
     val rnd = new Random(7)
     val vecs = (0 until 300).map { i =>
