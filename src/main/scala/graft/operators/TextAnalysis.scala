@@ -273,13 +273,17 @@ object TextAnalysis {
   def corpusMix(df: DataFrame,
                 sourceCol: String = "source",
                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(sourceCol).as("source"),
                          langId(col(textCol)).as("lang_pred"),
                          tokenCount(col(textCol)).as("_nt"))
-    val grouped = base.groupBy("source", "lang_pred")
+    // The corpus total comes from a whole-relation window over the ALREADY
+    // AGGREGATED (dimension-sized) frame — a 1-row-ish exchange. An
+    // agg-and-join-back would duplicate the corpus scan subtree (langId
+    // evaluated twice per document; measured in the q72 plan).
+    base.groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
-    val total = grouped.agg(sum(col("n_docs")).as("_total"))
-    grouped.crossJoin(broadcast(total))
+      .withColumn("_total", sum(col("n_docs")).over(Window.partitionBy(lit(1))))
       .withColumn("share_ppm", expr("(n_docs * 1000000) DIV _total"))
       .drop("_total")
   }
