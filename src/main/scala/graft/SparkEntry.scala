@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Multimodal, Packing, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -648,7 +648,102 @@ object SparkEntry {
                            dim = 64, m = 4, k = 16, topK = 10)
     }),
     "q75_oov_rate" -> ((s, dir) =>
-      TextAnalysis.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 100))
+      TextAnalysis.oovStats(docs(s, dir), "doc_id", "text", vocabSize = 100)),
+    // --- Round 3, second sweep: schema-on-read, temporal algebra, linkage,
+    //     LM stats, CDC export, privacy, skew handling, winnowing ----------
+    "q76_json_props" -> ((s, dir) =>
+      // Schema-on-read field promotion: the JSON payload column becomes a
+      // typed value at scan time (a narrow codegen'd projection — the JSON
+      // path never reaches a shuffle), then a dimension-sized rollup.
+      ev(s, dir)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             count(col("k")).as("n_with_k"),
+             sum(col("k")).as("k_sum"),
+             min(col("k")).as("k_min"),
+             max(col("k")).as("k_max"),
+             countDistinct(col("k")).as("k_distinct"))),
+    "q77_session_dim_overlap" -> ((s, dir) => {
+      // Interval x interval temporal join: which event_type dimension
+      // versions were live during each user session. Sessions are closed
+      // ranges (single-event sessions have start == end), so the right end
+      // moves +1us to the half-open convention before the overlap join.
+      val sess = Sessionize
+        .sessions(ev(s, dir), "user_id", "ts", "event_type", gapMinutes = 30)
+        .withColumn("sess_end_x",
+                    timestamp_micros(unix_micros(col("session_end")) + 1))
+      val dim = Scd2.initialLoad(ev(s, dir), evTypeCfg)
+        .select(col("user_id"), col("event_type").as("dim_event_type"),
+                col("_valid_from").as("dim_from"), col("_valid_to").as("dim_to"))
+      Intervals
+        .overlapJoin(sess, dim, Seq("user_id"),
+                     "session_start", "sess_end_x", "dim_from", "dim_to")
+        .select("user_id", "session_start", "n_events", "dim_event_type",
+                "overlap_from", "overlap_to")
+    }),
+    "q78_fuzzy_linkage" -> ((s, dir) =>
+      // Blocked edit-distance record linkage over part names: candidates via
+      // the (noun, size) blocking key, verified with levenshtein <= 4. The
+      // quadratic term is confined to within-block pairs.
+      Linkage.fuzzyPairs(
+        Tables.read(s, dir, "part")
+          .withColumn("p_noun", element_at(split(col("p_name"), " "), 2)),
+        "p_partkey", "p_name", Seq("p_noun", "p_size"), maxDist = 4)
+        .select(col("p_noun"), col("p_size"), col("id_a"), col("id_b"),
+                col("dist"))),
+    "q79_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(docs(s, dir), "doc_id", "text", k = 20)),
+    "q80_scd2_cdc" -> ((s, dir) => {
+      // CDC export: the row-level changelog one incremental merge produced,
+      // recovered from the before/after snapshots (insert = new version,
+      // update = audit rewrite, delete = collapsed-away version).
+      val all = ev(s, dir)
+      val oldSnap = Scd2
+        .initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      val newSnap = Scd2.incremental(oldSnap,
+                                     all.filter(col("event_id") % 2 === 1),
+                                     evCfg)
+      // NULLABLE booleans stringify asymmetrically in the driver's pandas
+      // compare (Spark None vs DuckDB NaN) — ship them as strings.
+      Scd2.snapshotDelta(oldSnap, newSnap, evCfg)
+        .withColumn("old_is_current", col("old_is_current").cast("string"))
+        .withColumn("new_is_current", col("new_is_current").cast("string"))
+    }),
+    "q81_k_anonymize" -> ((s, dir) =>
+      // k-anonymous release of customer quasi-identifiers: generalize the
+      // balance to 1000-wide bands, suppress equivalence classes below k=5.
+      Privacy.kAnonymize(
+        Tables.read(s, dir, "customer"),
+        Seq("nation" -> col("c_nationkey"),
+            "segment" -> col("c_mktsegment"),
+            "acct_band" -> floor(col("c_acctbal") / 1000).cast("long")),
+        k = 5)
+        .select("c_custkey", "nation", "segment", "acct_band", "class_size",
+                "suppressed")),
+    "q82_salted_join" -> ((s, dir) => {
+      // Salted fact-dim join: events fan out 8 ways by a salt hashed from
+      // event_id, customer replicates per salt — the static skew-mitigation
+      // pattern; the result is exactly the plain join (the oracle IS the
+      // plain join), aggregated per segment.
+      val cust = Tables.read(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      SkewJoin.salted(ev(s, dir), cust, Seq("user_id"),
+                      saltOf = pmod(hash(col("event_id")), lit(8)), nSalts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * lit(1000000.0)).cast("long"))
+               .as("value_micro_sum"))
+    }),
+    "q83_winnow" -> ((s, dir) =>
+      // Winnowing fingerprints: distinct windowed-min shingle hashes per
+      // document (the positional near-dup signature).
+      docs(s, dir).select(
+        col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), n = 3, w = 4))
+          .as("fingerprint")))
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -1807,7 +1902,136 @@ object SparkEntry {
          |  CAST(count(*) - count(v.token) AS BIGINT) AS n_oov,
          |  ((count(*) - count(v.token)) * 1000000) // count(*) AS oov_ppm
          |FROM tok LEFT JOIN v ON v.token = tok.token
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // --- Round 3, second sweep ------------------------------------------
+    "q76_json_props" ->
+      s"""WITH $SrcCte,
+         |typed AS (SELECT event_type,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM src)
+         |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+         |  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max,
+         |  count(DISTINCT k) AS k_distinct
+         |FROM typed GROUP BY 1""".stripMargin,
+    "q77_session_dim_overlap" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sess
+         |       FROM g),
+         |sessions AS (SELECT user_id, min(ts) AS session_start,
+         |    max(ts) AS session_end, count(*) AS n_events
+         |  FROM sx GROUP BY user_id, sess),
+         |dim AS (
+         |  WITH ${scd2JoinDimSql("event_type")}
+         |)
+         |SELECT se.user_id, se.session_start, se.n_events,
+         |  d.event_type AS dim_event_type,
+         |  greatest(se.session_start, d._valid_from) AS overlap_from,
+         |  least(se.session_end + INTERVAL 1 MICROSECOND, d._valid_to)
+         |    AS overlap_to
+         |FROM sessions se JOIN dim d ON se.user_id = d.user_id
+         |  AND se.session_start < d._valid_to
+         |  AND d._valid_from < se.session_end + INTERVAL 1 MICROSECOND"""
+        .stripMargin,
+    "q78_fuzzy_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_size,
+        |    split_part(p_name, ' ', 2) AS p_noun FROM part)
+        |SELECT a.p_noun, a.p_size, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM p a JOIN p b ON a.p_noun = b.p_noun AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "q79_bigram_lm" ->
+      s"""WITH $ToksCte,
+         |big AS (SELECT unnest(list_transform(generate_series(0, len(t) - 2),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |tf AS (SELECT bigram, count(*) AS tf FROM big GROUP BY 1),
+         |ft AS (SELECT *, CAST(sum(tf) OVER (
+         |    PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT) AS first_tf
+         |  FROM tf)
+         |SELECT "rank", bigram, tf, first_tf,
+         |  (tf * 1000000) // first_tf AS cond_ppm
+         |FROM (SELECT *, row_number() OVER (ORDER BY tf DESC, bigram)
+         |        AS "rank" FROM ft)
+         |WHERE "rank" <= 20""".stripMargin,
+    "q80_scd2_cdc" ->
+      s"""WITH $SrcCte,
+         |src0 AS (SELECT * FROM src WHERE event_id % 2 = 0),
+         |o AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false, from = "src0")}
+         |),
+         |n AS (
+         |  WITH ${scd2TwoPhaseSql(AllCheck, deletes = false,
+                                   "event_id % 2 = 0", "event_id % 2 = 1")}
+         |),
+         |j AS (SELECT
+         |    o.user_id AS o_uid, o.ts AS o_ts, o.event_id AS o_eid,
+         |    o.event_type AS o_et, o.value AS o_v, o.props AS o_p,
+         |    o._is_current AS o_ic, o._valid_from AS o_vf,
+         |    o._valid_to AS o_vt, o._change_type AS o_ct,
+         |    n.user_id AS n_uid, n.ts AS n_ts, n.event_id AS n_eid,
+         |    n.event_type AS n_et, n.value AS n_v, n.props AS n_p,
+         |    n._is_current AS n_ic, n._valid_from AS n_vf,
+         |    n._valid_to AS n_vt, n._change_type AS n_ct
+         |  FROM o FULL JOIN n ON o.user_id = n.user_id AND o.ts = n.ts)
+         |SELECT * FROM (SELECT
+         |  coalesce(n_uid, o_uid) AS user_id, coalesce(n_ts, o_ts) AS ts,
+         |  CASE WHEN o_uid IS NULL THEN 'insert'
+         |       WHEN n_uid IS NULL THEN 'delete'
+         |       WHEN NOT (o_eid IS NOT DISTINCT FROM n_eid
+         |             AND o_et IS NOT DISTINCT FROM n_et
+         |             AND o_v IS NOT DISTINCT FROM n_v
+         |             AND o_p IS NOT DISTINCT FROM n_p
+         |             AND o_ic IS NOT DISTINCT FROM n_ic
+         |             AND o_vf IS NOT DISTINCT FROM n_vf
+         |             AND o_vt IS NOT DISTINCT FROM n_vt
+         |             AND o_ct IS NOT DISTINCT FROM n_ct) THEN 'update'
+         |  END AS change_kind,
+         |  CAST(o_ic AS VARCHAR) AS old_is_current,
+         |  CAST(n_ic AS VARCHAR) AS new_is_current,
+         |  o_vf AS old_valid_from, n_vf AS new_valid_from,
+         |  o_vt AS old_valid_to, n_vt AS new_valid_to,
+         |  o_ct AS old_change_type, n_ct AS new_change_type
+         |FROM j) WHERE change_kind IS NOT NULL""".stripMargin,
+    "q81_k_anonymize" ->
+      """WITH g AS (SELECT c_custkey, c_nationkey AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band
+        |  FROM customer),
+        |s AS (SELECT *, count(*) OVER (
+        |    PARTITION BY nation, segment, acct_band) AS class_size FROM g)
+        |SELECT c_custkey,
+        |  CASE WHEN class_size < 5 THEN NULL ELSE nation END AS nation,
+        |  CASE WHEN class_size < 5 THEN NULL ELSE segment END AS segment,
+        |  CASE WHEN class_size < 5 THEN NULL ELSE acct_band END AS acct_band,
+        |  class_size, class_size < 5 AS suppressed
+        |FROM s""".stripMargin,
+    "q82_salted_join" ->
+      s"""WITH $SrcCte
+         |SELECT c.c_mktsegment, count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS value_micro_sum
+         |FROM src e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1""".stripMargin,
+    "q83_winnow" ->
+      s"""WITH $ToksCte,
+         |shn AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  ELSE list_transform(generate_series(0, len(t) - 3),
+         |         i -> array_to_string(t[i+1:i+3], ' ')) END AS shs FROM toks),
+         |hs AS (SELECT doc_id, list_transform(shs, s -> md5(s)) AS h FROM shn),
+         |sel AS (SELECT doc_id,
+         |  CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         |  ELSE list_transform(generate_series(0, len(h) - 4),
+         |         i -> list_min(h[i+1:i+4])) END AS fps FROM hs)
+         |SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint
+         |FROM sel""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

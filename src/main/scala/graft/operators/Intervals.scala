@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic temporal interval (overlap) joins: pair up left and right rows on
+  * equal keys whose half-open validity windows `[start, end)` intersect, and
+  * emit the intersection bounds.
+  *
+  * This generalizes the SCD2 containment join ([[graft.operators.Scd2Join]])
+  * from point-in-window lookup to window-x-window algebra — "which dimension
+  * versions were live during this session", "which promotions overlapped this
+  * order's fulfillment window".
+  *
+  * Two physical strategies, same result:
+  *   - [[overlapJoin]]: equi-join on the keys with the range predicate as a
+  *     post-join filter. One shuffle; per-key cost is |left fiber| x |right
+  *     fiber| — fine when per-key version counts are bounded (the SCD case),
+  *     quadratic for hot keys.
+  *   - [[overlapJoinBucketed]]: quantize time into fixed chunks, explode each
+  *     interval to the chunks it covers, equi-join on (keys, chunk), keep a
+  *     pair only in the chunk containing its overlap start (so no distinct
+  *     pass is needed), then verify the exact predicate. Per-key cost drops
+  *     to sum over chunks of |left ∩ chunk| x |right ∩ chunk| — the standard
+  *     spatial-grid decomposition, and the 100 TB path when fibers are long
+  *     but locally sparse. Chunk width trades replication (long intervals
+  *     span many chunks) against fiber size.
+  */
+object Intervals {
+
+  private def overlapCond(lStart: Column, lEnd: Column,
+                          rStart: Column, rEnd: Column): Column =
+    lStart < rEnd && rStart < lEnd
+
+  /** Key-equal overlap join; output = left cols + right cols (keys once) +
+    * `overlap_from`/`overlap_to`. Column names (besides `keys`) must be
+    * disjoint between the two sides. Empty intervals (start >= end) never
+    * match, mirroring half-open window semantics.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String): DataFrame =
+    left.join(right,
+              keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+                overlapCond(left(lStart), left(lEnd),
+                            right(rStart), right(rEnd)))
+      .drop(right(keys.head), keys.tail.map(right(_)): _*)
+      .withColumn("overlap_from", greatest(col(lStart), col(rStart)))
+      .withColumn("overlap_to", least(col(lEnd), col(rEnd)))
+
+  /** Chunk-decomposed overlap join, result-identical to [[overlapJoin]].
+    * `chunkMicros` is the grid width in event-time microseconds.
+    */
+  def overlapJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          chunkMicros: Long): DataFrame = {
+    require(chunkMicros > 0, "chunkMicros must be positive")
+    def chunksOf(start: Column, end: Column): Column =
+      sequence(floor(unix_micros(start) / chunkMicros),
+               // end is exclusive: an interval ending exactly on a chunk
+               // boundary does not enter the next chunk.
+               floor((unix_micros(end) - 1) / chunkMicros))
+    val l = left.withColumn("_chunk", explode(chunksOf(col(lStart), col(lEnd))))
+    val r = right.withColumn("_chunk", explode(chunksOf(col(rStart), col(rEnd))))
+    l.join(r,
+           (keys :+ "_chunk").map(k => l(k) === r(k)).reduce(_ && _) &&
+             overlapCond(l(lStart), l(lEnd), r(rStart), r(rEnd)))
+      .withColumn("overlap_from", greatest(col(lStart), col(rStart)))
+      .withColumn("overlap_to", least(col(lEnd), col(rEnd)))
+      // Each pair appears once per shared chunk; keep only the chunk that
+      // contains the overlap start — a filter, not a distinct shuffle.
+      .filter(l("_chunk") === floor(unix_micros(col("overlap_from")) / chunkMicros))
+      .drop(r(keys.head), (keys.tail :+ "_chunk").map(r(_)): _*)
+      .drop("_chunk")
+  }
+}

@@ -304,4 +304,57 @@ object Scd2 {
       .withColumn(cfg.validToCol, validTo(keys, updatedAt, cfg.defaultValidTo))
       .withColumn(cfg.changeTypeCol, changeType(keys, updatedAt, deletedAt))
   }
+
+  /** Change-data-capture between two SCD2 snapshots: the inverse of the
+    * merge. Classifies every version (unique_key, updated_at) as
+    *   - `insert`: present only in `newSnap` (a version the batch added),
+    *   - `delete`: present only in `oldSnap` (collapsed away or hard-pruned),
+    *   - `update`: present in both with ANY differing column (in practice the
+    *     rewritten audit columns: re-expiry, `_is_current` flips, change-type
+    *     reslots under backfill);
+    * unchanged versions are not emitted. Feeding the emitted rows downstream
+    * reproduces the batch's effect without re-reading either snapshot — the
+    * exported changelog a warehouse `MERGE ... OUTPUT` would produce, built
+    * here from the two states.
+    *
+    * Same join shape as the merge itself: one full-outer sort-merge join on
+    * the native (unique_key, updated_at) tuple with per-column `<=>` (NULL
+    * key values match NULL, as everywhere in the engine). Presence is
+    * tracked with marker literals, NOT key-null checks, precisely because
+    * NULL keys are legal. At 100 TB both snapshots shuffle once; with the
+    * bucketed layout ([[graft.ScdEngine]]) the join is co-partitioned and
+    * the exchange is elided.
+    *
+    * Output: the version key (coalesced across sides), `change_kind`, and
+    * the old/new audit-column pairs.
+    */
+  def snapshotDelta(oldSnap: DataFrame,
+                    newSnap: DataFrame,
+                    cfg: ScdConfig): DataFrame = {
+    val cols = oldSnap.columns.toSeq
+    require(newSnap.columns.toSeq == cols,
+            "snapshotDelta expects identically-shaped snapshots")
+    val keys = cfg.scd2UniqueKey.map(resolveCi(cols, _))
+    val o = cols.foldLeft(oldSnap)((d, c) => d.withColumnRenamed(c, s"_o_$c"))
+      .withColumn("_o_exists", lit(true))
+    val n = cols.foldLeft(newSnap)((d, c) => d.withColumnRenamed(c, s"_n_$c"))
+      .withColumn("_n_exists", lit(true))
+    val on = keys.map(k => col(s"_o_$k") <=> col(s"_n_$k")).reduce(_ && _)
+    val oldOnly = col("_n_exists").isNull
+    val newOnly = col("_o_exists").isNull
+    val changed = cols.filterNot(keys.contains)
+      .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
+      .reduce(_ || _)
+    val audit = cfg.auditColumns.map(resolveCi(cols, _))
+    o.join(n, on, "full_outer")
+      .withColumn("change_kind",
+                  when(newOnly, lit("insert"))
+                    .when(oldOnly, lit("delete"))
+                    .when(changed, lit("update")))
+      .filter(col("change_kind").isNotNull)
+      .select(keys.map(k => coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) ++
+        Seq(col("change_kind")) ++
+        audit.flatMap(c => Seq(col(s"_o_$c").as(s"old$c"),
+                               col(s"_n_$c").as(s"new$c"))): _*)
+  }
 }

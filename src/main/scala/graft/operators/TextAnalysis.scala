@@ -324,4 +324,66 @@ object TextAnalysis {
     df.select(col(idCol).as("_id"), explode_outer(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
+
+  /** Ordered, NON-distinct n-token shingles — [[Dedup.shingles]] without the
+    * distinct (language-model counts and winnowing need multiplicity and
+    * position). Documents shorter than `n` tokens collapse to one whole-text
+    * shingle, mirroring the dedup convention.
+    */
+  def orderedShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+                           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Bigram maximum-likelihood language-model table: the corpus's top-`k`
+    * bigrams by raw count, with the leading-unigram continuation mass and the
+    * MLE conditional P(w2|w1) in integer ppm (exactly reproducible across
+    * engines — no float log).
+    *
+    * Shuffle shape: explode + ONE map-side-combined aggregate on the bigram
+    * (the corpus-sized pass), then the continuation-mass window and top-k
+    * rank run over the AGGREGATED vocabulary-sized relation — the same
+    * aggregate-then-window layering as [[topTokensByLang]], so corpus scale
+    * never reaches a window operator.
+    */
+  def bigramLm(df: DataFrame,
+               idCol: String,
+               textCol: String,
+               k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val counts = df
+      .filter(length(trim(col(textCol))) > 0 && size(toks) >= 2)
+      .select(explode(orderedShingles(toks, 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("tf"))
+    counts
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("first_tf",
+                  sum(col("tf")).over(Window.partitionBy(col("_w1"))))
+      .withColumn("cond_ppm", expr("(tf * 1000000) DIV first_tf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("bigram"))))
+      .filter(col("rank") <= k)
+      .select("rank", "bigram", "tf", "first_tf", "cond_ppm")
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each of the
+    * document's ordered `n`-token shingles, then keep the minimum hash of
+    * every `w`-long sliding window of consecutive shingle hashes. Guarantees
+    * any shared run of >= n+w-1 tokens yields a shared fingerprint, while
+    * selecting ~2/(w+1) of the hashes — the standard local-fingerprint
+    * scheme for plagiarism/near-dup detection with positional robustness
+    * that [[shingleFingerprint]]'s single global minimum lacks.
+    *
+    * Pure per-row array expressions — no explode until the caller unpacks,
+    * no shuffle, codegen-friendly; at 100 TB this is a narrow projection.
+    */
+  def winnowFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
+    val hs = transform(orderedShingles(tokens(text), n), s => md5(s))
+    array_distinct(
+      when(size(hs) <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), size(hs) - w),
+                             i => array_min(slice(hs, i + 1, lit(w))))))
+  }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Intervals, Linkage, Privacy, Scd2, SkewJoin, TextAnalysis}
+
+/** Round-3 sweep operators: interval joins, salted joins, k-anonymity,
+  * snapshot CDC, winnowing, bigram LM.
+  */
+class Round3OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("overlapJoin: intersection bounds, empty and disjoint intervals drop") {
+    val left = Seq(
+      (1, "s1", ts("2025-01-01 00:00:00"), ts("2025-01-01 02:00:00")),
+      (1, "s2", ts("2025-01-01 05:00:00"), ts("2025-01-01 05:00:00")), // empty
+      (2, "s3", ts("2025-01-01 00:00:00"), ts("2025-01-01 01:00:00"))
+    ).toDF("k", "lname", "ls", "le")
+    val right = Seq(
+      (1, "d1", ts("2025-01-01 01:00:00"), ts("2025-01-01 03:00:00")),
+      (1, "d2", ts("2025-01-01 02:00:00"), ts("2025-01-01 04:00:00")), // abuts s1
+      (2, "d3", ts("2025-01-01 01:00:00"), ts("2025-01-01 02:00:00"))  // abuts s3
+    ).toDF("k", "rname", "rs", "re")
+    val out = Intervals.overlapJoin(left, right, Seq("k"), "ls", "le", "rs", "re")
+      .select("k", "lname", "rname", "overlap_from", "overlap_to").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "s1" && out.head.getString(2) === "d1")
+    assert(out.head.getTimestamp(3) === ts("2025-01-01 01:00:00"))
+    assert(out.head.getTimestamp(4) === ts("2025-01-01 02:00:00"))
+  }
+
+  test("overlapJoinBucketed is result-identical to overlapJoin across chunk widths") {
+    // Pseudo-random but deterministic interval soup with shared keys,
+    // boundary-aligned starts/ends, and multi-chunk spans.
+    val mk = (n: Int, salt: Int) =>
+      spark.range(n).select(
+        (col("id") % 7).as("k"),
+        concat(lit(s"r$salt-"), col("id")).as(s"name$salt"),
+        timestamp_micros(col("id") * 1700000L % 86400000000L + salt * 3600000000L).as(s"s$salt"),
+        timestamp_micros(col("id") * 1700000L % 86400000000L + salt * 3600000000L
+          + (col("id") % 5 + 1) * 2100000000L).as(s"e$salt"))
+    val l = mk(80, 1)
+    val r = mk(90, 2)
+    val base = Intervals.overlapJoin(l, r, Seq("k"), "s1", "e1", "s2", "e2")
+    assert(base.count() > 50) // the probe is non-trivial
+    for (chunk <- Seq(1000000L, 3600000000L, 86400000000L)) {
+      val bucketed = Intervals.overlapJoinBucketed(
+        l, r, Seq("k"), "s1", "e1", "s2", "e2", chunkMicros = chunk)
+      assert(sortedRows(bucketed.select(base.columns.map(col): _*)) ===
+        sortedRows(base), s"chunk=$chunk")
+    }
+  }
+
+  test("salted join equals the plain join and replicates only the small side") {
+    val large = spark.range(1000).select(
+      col("id").as("event_id"), (col("id") % 13).as("k"),
+      (col("id") * 7 % 101).as("v"))
+    val small = Seq.tabulate(13)(i => (i.toLong, s"dim$i")).toDF("k", "label")
+    val salted = SkewJoin.salted(large, small, Seq("k"),
+                                 pmod(hash(col("event_id")), lit(8)), 8)
+    val plain = large.join(small, Seq("k"))
+    assert(sortedRows(salted.select(plain.columns.map(col): _*)) ===
+      sortedRows(plain))
+  }
+
+  test("kAnonymize: class sizes, suppression nulls quasi values only") {
+    val df = Seq(
+      (1, 10, "A"), (2, 10, "A"), (3, 10, "A"),
+      (4, 20, "B"), (5, 20, "B"),
+      (6, 30, "C")
+    ).toDF("id", "age", "seg")
+    val out = Privacy.kAnonymize(df, Seq(
+      "age_band" -> (col("age") / 10).cast("int"),
+      "seg" -> col("seg")), k = 3)
+    val rows = out.select("id", "age_band", "seg", "class_size", "suppressed")
+      .collect().map(r => r.getInt(0) ->
+        (r.get(1), r.get(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rows(1) === ((1, "A", 3L, false)))
+    assert(rows(4) === ((null, null, 2L, true)))
+    assert(rows(6) === ((null, null, 1L, true)))
+    // ids (non-quasi payload) survive suppression
+    assert(rows.keySet === Set(1, 2, 3, 4, 5, 6))
+  }
+
+  test("snapshotDelta classifies inserts/updates/deletes against except-diff") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts_")
+    val b0 = Seq((1, "a", ts("2025-01-01 00:00:00")),
+                 (1, "b", ts("2025-01-03 00:00:00")),
+                 (2, "x", ts("2025-01-01 00:00:00"))).toDF("k", "v", "ts_")
+    // batch: new current version for k=1 (update of the old current's
+    // audit cols + an insert); k=2 gets a redundant version (collapsed
+    // away -> no rows for k=2); k=3 born (insert)
+    val b1 = Seq((1, "c", ts("2025-01-05 00:00:00")),
+                 (2, "x", ts("2025-01-02 00:00:00")),
+                 (3, "n", ts("2025-01-04 00:00:00"))).toDF("k", "v", "ts_")
+    val old = Scd2.initialLoad(b0, cfg).localCheckpoint()
+    val neu = Scd2.incremental(old, b1, cfg).localCheckpoint()
+    val delta = Scd2.snapshotDelta(old, neu, cfg).cache()
+
+    val kinds = delta.groupBy("change_kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // except-based ground truth on the version key
+    val oldKeys = old.select("k", "ts_")
+    val newKeys = neu.select("k", "ts_")
+    assert(kinds.getOrElse("insert", 0L) === newKeys.except(oldKeys).count())
+    assert(kinds.getOrElse("delete", 0L) === oldKeys.except(newKeys).count())
+    val changedBoth = old.select("k", "v", "ts_", "_is_current", "_valid_to")
+      .except(neu.select("k", "v", "ts_", "_is_current", "_valid_to"))
+      .select("k", "ts_").intersect(newKeys)
+    assert(kinds.getOrElse("update", 0L) === changedBoth.count())
+    // the k=1 old current flipped: _is_current true -> false
+    val upd = delta.filter($"change_kind" === "update" && $"k" === 1).collect()
+    assert(upd.exists(r => r.getAs[Boolean]("old_is_current") &&
+      !r.getAs[Boolean]("new_is_current")))
+  }
+
+  test("winnowing: shared >= n+w-1 token run yields a shared fingerprint") {
+    val n = 3; val w = 4
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (2L, "zz yy cc dd ee ff gg hh xx ww"), // shares the 6-token run cc..hh
+      (3L, "one two three")                  // short doc -> single fingerprint
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"), n, w)).as("fp"))
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    assert(byDoc(3L).size === 1)
+    // every fingerprint is one of the doc's shingle hashes
+    val shingleHashes = docs.select(col("doc_id"),
+      explode(transform(TextAnalysis.orderedShingles(
+        TextAnalysis.tokens(col("text")), n), s => md5(s))).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    byDoc.foreach { case (d, set) => assert(set.subsetOf(shingleHashes(d))) }
+  }
+
+  test("bigramLm: MLE conditional counts on a tiny corpus") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[String]("bigram") ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("first_tf"), r.getAs[Long]("cond_ppm")))
+      .toMap
+    // bigrams: doc1 = a b, b a, a b, b c; doc2 = a b
+    assert(out("a b") === ((3L, 3L, 1000000L)))  // P(b|a) = 1
+    assert(out("b a") === ((1L, 2L, 500000L)))   // b continues to a half the time
+    assert(out("b c") === ((1L, 2L, 500000L)))
+    assert(out.size === 3) // blank + 1-token docs contribute nothing
+  }
+
+  test("fuzzyPairs: symmetric dedup, block confinement, distance bound") {
+    val df = Seq((1, "red ring", "ring", 1), (2, "blue ring", "ring", 1),
+                 (3, "red ring", "ring", 2),  // other block: no pair with 1
+                 (4, "crimson ring", "ring", 1))
+      .toDF("id", "name", "noun", "size")
+    val out = Linkage.fuzzyPairs(df, "id", "name", Seq("noun", "size"), maxDist = 4)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((1, 2, 4))) // red~blue=4; crimson is 6+ away; block 2 isolated
+  }
+}
