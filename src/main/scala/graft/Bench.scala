@@ -34,6 +34,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -42,7 +43,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint RDDs persist until the session dies; across 80+
+      // queries they pile up in the executor heap and the GC pressure shows
+      // up as 5-10x outliers on late queries. Nothing carries state across
+      // queries, so release them between measurements.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> sec
     }
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because

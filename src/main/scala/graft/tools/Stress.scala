@@ -137,6 +137,68 @@ object Stress {
     val ov1 = time("oov 1x")(TextAnalysis.oovStats(d1, "doc_id", "text"))
     val ovK = time(s"oov ${k}x")(TextAnalysis.oovStats(dK, "doc_id", "text"))
 
+    // Round-3b operators --------------------------------------------------
+    import graft.operators.{Intervals, Linkage, SkewJoin}
+    def sessDim(df: DataFrame) = {
+      val sess = Sessionize.sessions(df, "user_id", "ts", "event_type")
+        .withColumn("sess_end_x",
+                    timestamp_micros(unix_micros(col("session_end")) + 1))
+      val dim = Scd2
+        .initialLoad(df, evCfg.copy(changeInclude = Some(Seq("event_type"))))
+        .select(col("user_id"), col("event_type").as("dim_event_type"),
+                col("_valid_from").as("dim_from"), col("_valid_to").as("dim_to"))
+      (sess.localCheckpoint(), dim.localCheckpoint())
+    }
+    val (ss1, dm1) = sessDim(ev1)
+    val (ssK, dmK) = sessDim(evK)
+    val oj1 = time("overlap join 1x")(
+      Intervals.overlapJoin(ss1, dm1, Seq("user_id"),
+                            "session_start", "sess_end_x", "dim_from", "dim_to"))
+    val ojK = time(s"overlap join ${k}x")(
+      Intervals.overlapJoin(ssK, dmK, Seq("user_id"),
+                            "session_start", "sess_end_x", "dim_from", "dim_to"))
+
+    val wn1 = time("winnow 1x")(d1.select(col("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp")))
+    val wnK = time(s"winnow ${k}x")(dK.select(col("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp")))
+
+    val bg1 = time("bigram lm 1x")(TextAnalysis.bigramLm(d1, "doc_id", "text"))
+    val bgK = time(s"bigram lm ${k}x")(TextAnalysis.bigramLm(dK, "doc_id", "text"))
+
+    val cd1 = time("snapshot cdc 1x")(
+      Scd2.snapshotDelta(t1, Scd2.incremental(t1, half(ev1, 1), evCfg), evCfg))
+    val cdK = time(s"snapshot cdc ${k}x")(
+      Scd2.snapshotDelta(tK, Scd2.incremental(tK, half(evK, 1), evCfg), evCfg))
+
+    println(f"[stress] r3b slopes at k=$k (1.0 = linear): " +
+      f"overlap ${ojK / oj1 / k}%.2f, winnow ${wnK / wn1 / k}%.2f, " +
+      f"bigram ${bgK / bg1 / k}%.2f, cdc ${cdK / cd1 / k}%.2f")
+
+    // Salted-join value probe: a 20%-to-one-key-skewed fact against a tiny
+    // dim with broadcast DISABLED (the regime salting exists for — when the
+    // small side can't broadcast and AQE can't split the build). Result sets
+    // are identical; only the shuffle distribution differs.
+    val hotK = evK.withColumn(
+      "user_id",
+      when(col("event_id") % 5 === 0, lit(42L)).otherwise(col("user_id")))
+      .localCheckpoint()
+    val dimU = hotK.select(col("user_id")).distinct()
+      .withColumn("seg", col("user_id") % 5).localCheckpoint()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", false)
+    val pj = time(s"plain join ${k}x hot")(
+      hotK.join(dimU, Seq("user_id")).groupBy("seg")
+        .agg(count(lit(1)).as("n")))
+    val sj = time(s"salted join ${k}x hot")(
+      SkewJoin.salted(hotK, dimU, Seq("user_id"),
+                      pmod(hash(col("event_id")), lit(32)), 32)
+        .groupBy("seg").agg(count(lit(1)).as("n")))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    println(f"[stress] salted-vs-plain under hot key: ${pj / sj}%.2f x " +
+      "(>1 = salting wins)")
+
     println(f"[stress] r3 slopes at k=$k (1.0 = linear): " +
       f"contamination ${ctK / ct1 / k}%.2f, bm25 ${bmK / bm1 / k}%.2f, " +
       f"pack_lang ${pkK / pk1 / k}%.2f, pack_sharded ${pbK / pb1 / k}%.2f, " +
