@@ -743,7 +743,71 @@ object SparkEntry {
       docs(s, dir).select(
         col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("text"), n = 3, w = 4))
-          .as("fingerprint")))
+          .as("fingerprint"))),
+    "q84_overlap_bucketed" -> ((s, dir) => {
+      // q77's overlap join through the chunk-decomposed strategy (the 100 TB
+      // path when per-key fibers are long). Open-ended sentinel windows are
+      // clamped to the observation horizon first — otherwise each current
+      // version would explode to (2999 - now)/chunk rows; the clamp is
+      // row-invisible because every session ends before the horizon.
+      val all = ev(s, dir)
+      val hi = all.agg(max(unix_micros(col("ts")))).head().getLong(0) + 1L
+      val sess = Sessionize
+        .sessions(all, "user_id", "ts", "event_type", gapMinutes = 30)
+        .withColumn("sess_end_x",
+                    timestamp_micros(unix_micros(col("session_end")) + 1))
+      val dim = Scd2.initialLoad(all, evTypeCfg)
+        .select(col("user_id"), col("event_type").as("dim_event_type"),
+                col("_valid_from").as("dim_from"),
+                least(col("_valid_to"), timestamp_micros(lit(hi))).as("dim_to"))
+      Intervals
+        .overlapJoinBucketed(sess, dim, Seq("user_id"),
+                             "session_start", "sess_end_x", "dim_from", "dim_to",
+                             chunkMicros = 7L * 86400000000L)
+        .select("user_id", "session_start", "n_events", "dim_event_type",
+                "overlap_from", "overlap_to")
+    }),
+    "q85_rollup_regions" -> ((s, dir) => {
+      // Multi-level rollup (region, nation, grand total) in ONE pass over
+      // the fact side — the partial aggregates Expand produces replace three
+      // separate scans; dims broadcast as in q57.
+      val orders = Tables.spread(s, Tables.read(s, dir, "orders"))
+      orders
+        .join(broadcast(Tables.read(s, dir, "customer")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(floor(col("o_totalprice") * lit(1000000.0)).cast("long"))
+               .as("revenue_micro"),
+             grouping_id().as("gid"))
+    }),
+    "q86_equidepth" -> ((s, dir) =>
+      // Equi-depth decile bins over price at 10k-micro-cell resolution:
+      // corpus-sized work is one combine-enabled aggregate; the windows run
+      // over the cell relation.
+      Profile.equiDepthBins(Tables.spread(s, Tables.read(s, dir, "lineitem")),
+                            "l_extendedprice", lo = 0.0, hi = 110000.0,
+                            bins = 10, microBins = 10000)),
+    "q87_transitions" -> ((s, dir) =>
+      // First-order Markov transition counts over each user's event stream.
+      Funnel.transitions(ev(s, dir), "user_id", "ts", "event_id",
+                         "event_type")),
+    "q88_int8_quantize" -> ((s, dir) =>
+      Similarity.int8Quantize(emb(s, dir), "vec_id", "embedding")),
+    "q89_blocklist" -> ((s, dir) => {
+      // Exact-hash blocklist removal: drop training docs whose normalized
+      // content matches any doc in the held-out slice.
+      val d = docs(s, dir)
+      val block = d.filter(col("doc_id") % 10 === 0)
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .distinct()
+      Dedup.filterBlocklist(d.filter(col("doc_id") % 10 =!= 0), "text", block)
+        .select("doc_id", "lang", "source")
+    })
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -1913,31 +1977,11 @@ object SparkEntry {
          |  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max,
          |  count(DISTINCT k) AS k_distinct
          |FROM typed GROUP BY 1""".stripMargin,
-    "q77_session_dim_overlap" ->
-      s"""WITH $SrcCte,
-         |g AS (SELECT user_id, ts,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-         |       THEN 1 ELSE 0 END AS brk
-         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-         |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-         |                                ROWS UNBOUNDED PRECEDING) AS sess
-         |       FROM g),
-         |sessions AS (SELECT user_id, min(ts) AS session_start,
-         |    max(ts) AS session_end, count(*) AS n_events
-         |  FROM sx GROUP BY user_id, sess),
-         |dim AS (
-         |  WITH ${scd2JoinDimSql("event_type")}
-         |)
-         |SELECT se.user_id, se.session_start, se.n_events,
-         |  d.event_type AS dim_event_type,
-         |  greatest(se.session_start, d._valid_from) AS overlap_from,
-         |  least(se.session_end + INTERVAL 1 MICROSECOND, d._valid_to)
-         |    AS overlap_to
-         |FROM sessions se JOIN dim d ON se.user_id = d.user_id
-         |  AND se.session_start < d._valid_to
-         |  AND d._valid_from < se.session_end + INTERVAL 1 MICROSECOND"""
-        .stripMargin,
+    "q77_session_dim_overlap" -> OverlapOracleSql,
+    // Identical rows by construction: the horizon clamp only caps sentinel
+    // windows, and every session ends at or before the horizon, so the
+    // least()/predicate arms the clamp touches are never binding.
+    "q84_overlap_bucketed" -> OverlapOracleSql,
     "q78_fuzzy_linkage" ->
       """WITH p AS (SELECT p_partkey, p_name, p_size,
         |    split_part(p_name, ' ', 2) AS p_noun FROM part)
@@ -2031,7 +2075,59 @@ object SparkEntry {
          |  ELSE list_transform(generate_series(0, len(h) - 4),
          |         i -> list_min(h[i+1:i+4])) END AS fps FROM hs)
          |SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint
-         |FROM sel""".stripMargin
+         |FROM sel""".stripMargin,
+    "q85_rollup_regions" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_micro,
+        |  GROUPING(r_name, n_name) AS gid
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q86_equidepth" ->
+      """WITH b AS (SELECT CAST(least(greatest(
+        |    floor((l_extendedprice - 0.0) * 10000.0 / 110000.0), 0.0), 9999.0)
+        |    AS BIGINT) AS micro
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT micro, count(*) AS n FROM b GROUP BY 1),
+        |cw AS (SELECT *,
+        |    CAST(sum(n) OVER (ORDER BY micro ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total FROM g),
+        |f AS (SELECT least(((cum - n) * 10) // total, 9) AS bin, n, micro
+        |  FROM cw)
+        |SELECT bin, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  min(micro) AS micro_min, max(micro) AS micro_max,
+        |  0.0 + min(micro) * 11.0 AS lo_edge
+        |FROM f GROUP BY 1""".stripMargin,
+    "q87_transitions" ->
+      s"""WITH $SrcCte,
+         |l AS (SELECT event_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         |  FROM src)
+         |SELECT prev_type, event_type, count(*) AS n
+         |FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q88_int8_quantize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      AS ma
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |  unnest(list_transform(embedding, x -> CASE WHEN ma = 0 THEN 0
+        |    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS INTEGER) END))
+        |    AS code
+        |FROM q""".stripMargin,
+    "q89_blocklist" ->
+      s"""WITH $ToksCte,
+         |fp AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS f FROM toks),
+         |bl AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 <> 0
+         |  AND fp.f NOT IN (SELECT f FROM bl)""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
@@ -2184,6 +2280,35 @@ object SparkEntry {
   /** One scd2_join input dimension, DuckDB-side: full-refresh SCD2 with change
     * detection on a single column, projected to (key, payload, audit).
     */
+  /** Sessions x event_type-dim overlap join, DuckDB-side (q77; q84's
+    * chunk-decomposed strategy is row-identical so both gate against it).
+    */
+  private lazy val OverlapOracleSql: String =
+    s"""WITH $SrcCte,
+       |g AS (SELECT user_id, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |       THEN 1 ELSE 0 END AS brk
+       |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                                ROWS UNBOUNDED PRECEDING) AS sess
+       |       FROM g),
+       |sessions AS (SELECT user_id, min(ts) AS session_start,
+       |    max(ts) AS session_end, count(*) AS n_events
+       |  FROM sx GROUP BY user_id, sess),
+       |dim AS (
+       |  WITH ${scd2JoinDimSql("event_type")}
+       |)
+       |SELECT se.user_id, se.session_start, se.n_events,
+       |  d.event_type AS dim_event_type,
+       |  greatest(se.session_start, d._valid_from) AS overlap_from,
+       |  least(se.session_end + INTERVAL 1 MICROSECOND, d._valid_to)
+       |    AS overlap_to
+       |FROM sessions se JOIN dim d ON se.user_id = d.user_id
+       |  AND se.session_start < d._valid_to
+       |  AND d._valid_from < se.session_end + INTERVAL 1 MICROSECOND"""
+      .stripMargin
+
   private def scd2JoinDimSql(checkCol: String): String =
     scd2FullSql(Seq(checkCol), deletes = false)
       .replace(

@@ -385,4 +385,18 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Blocklist filtering: drop every document whose normalized content
+    * fingerprint appears in `blocklist` (single column `fingerprint`) — the
+    * standard "remove eval/benchmark/toxic content by exact hash" pipeline
+    * step. One LEFT ANTI join; the blocklist is dimension-sized in practice
+    * (eval suites, takedown lists), so Catalyst broadcasts it and the corpus
+    * never shuffles.
+    */
+  def filterBlocklist(df: DataFrame,
+                      textCol: String,
+                      blocklist: DataFrame): DataFrame =
+    df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(blocklist, Seq("fingerprint"), "left_anti")
+      .drop("fingerprint")
 }

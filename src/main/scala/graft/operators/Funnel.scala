@@ -96,4 +96,22 @@ object Funnel {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Event-transition (first-order Markov) counts: how often `prev_type`
+    * is immediately followed by `event_type` within a user's timeline.
+    * Deterministic under same-instant events via the (ts, id) tiebreak —
+    * the ordering contract every window in the engine uses. One exchange on
+    * the user key for the lag, then a vocabulary-squared-sized count.
+    */
+  def transitions(df: DataFrame,
+                  userCol: String,
+                  tsCol: String,
+                  idCol: String,
+                  typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+  }
 }

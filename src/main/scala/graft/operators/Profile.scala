@@ -117,4 +117,43 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("lo_edge", lit(lo) + col("bin") * lit((hi - lo) / nbins))
   }
+
+  /** Equi-depth (quantile) binning at micro-bin resolution: rows quantize to
+    * `microBins` fixed-width cells (the [[histogram]] IEEE-exact bin
+    * function), and cell CUMULATIVE counts cut the distribution into `bins`
+    * equal-mass buckets — `bin = (rows_before * bins) DIV total`.
+    *
+    * An exact per-row equi-depth split needs a total order (a global sort or
+    * single-partition rank — the non-starter at 100 TB); quantizing first
+    * makes the corpus-sized work ONE combine-enabled aggregate, and every
+    * window thereafter runs over the <= microBins-row cell relation (the
+    * deliberate single-partition window on dimension-sized data). Boundary
+    * precision is a micro-cell, set by `microBins` — the same contract as a
+    * t-digest/QuantileSummaries sketch, but integer-deterministic and
+    * reproducible in any engine.
+    *
+    * Output per final bin: row mass, covered micro-cell range, low edge.
+    */
+  def equiDepthBins(df: DataFrame, c: String,
+                    lo: Double, hi: Double,
+                    bins: Int, microBins: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = floor((col(c) - lit(lo)) * lit(microBins.toDouble) / lit(hi - lo))
+    val micro = least(greatest(raw, lit(0.0)), lit(microBins - 1.0)).cast("long")
+    val wCum = Window.orderBy(col("micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    df.filter(col(c).isNotNull)
+      .groupBy(micro.as("micro"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("bin", expr(s"least(((cum - n) * $bins) DIV total, ${bins - 1})"))
+      .groupBy("bin")
+      .agg(sum(col("n")).as("n_rows"),
+           min(col("micro")).as("micro_min"),
+           max(col("micro")).as("micro_max"))
+      .withColumn("lo_edge",
+                  lit(lo) + col("micro_min") * lit((hi - lo) / microBins))
+  }
 }

@@ -360,4 +360,19 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("cosine"), 4).as("cosine"))
+
+  /** Symmetric int8 vector quantization: per-vector scale = max |x|, code =
+    * floor(x * 127 / scale) — 4x memory cut for ANN shortlists (float32 ->
+    * int8), the usual companion to PQ. floor, not round: half-even rounding
+    * is engine-specific; floor is IEEE-exact everywhere. Zero vectors code
+    * to all-zero. Pure narrow projection (array HOFs, no shuffle); output
+    * exploded to (vec_id, i, code) rows.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ma = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    val codes = when(ma === 0.0, transform(col(vecCol), _ => lit(0)))
+      .otherwise(transform(col(vecCol),
+        x => floor(x.cast("double") * lit(127.0) / ma).cast("int")))
+    df.select(col(idCol).as("vec_id"), posexplode(codes).as(Seq("i", "code")))
+  }
 }

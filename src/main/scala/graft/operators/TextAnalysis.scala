@@ -380,10 +380,19 @@ object TextAnalysis {
     * no shuffle, codegen-friendly; at 100 TB this is a narrow projection.
     */
   def winnowFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val hs = transform(orderedShingles(tokens(text), n), s => md5(s))
-    array_distinct(
-      when(size(hs) <= w, array(array_min(hs)))
-        .otherwise(transform(sequence(lit(0), size(hs) - w),
-                             i => array_min(slice(hs, i + 1, lit(w))))))
+    val hsExpr = transform(orderedShingles(tokens(text), n), s => md5(s))
+    // Let-bind the hash array via a 1-element transform: HOF lambdas are
+    // interpreted and re-evaluate captured subexpressions per element, so
+    // referencing `hsExpr` directly inside the sliding-window lambda would
+    // recompute EVERY md5 once per window position — O(S^2) digests per
+    // document (measured 10x on sf0.01). Bound as a lambda variable it is
+    // evaluated once and the window pass is O(S*w) comparisons.
+    element_at(
+      transform(array(hsExpr), hs =>
+        array_distinct(
+          when(size(hs) <= w, array(array_min(hs)))
+            .otherwise(transform(sequence(lit(0), size(hs) - w),
+                                 i => array_min(slice(hs, i + 1, lit(w))))))),
+      1)
   }
 }
