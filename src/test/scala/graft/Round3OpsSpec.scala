@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Intervals, Linkage, Privacy, Scd2, SkewJoin, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Intervals, Linkage, Privacy, Profile, Scd2, Similarity, SkewJoin, TextAnalysis}
 
 /** Round-3 sweep operators: interval joins, salted joins, k-anonymity,
   * snapshot CDC, winnowing, bigram LM.
@@ -152,6 +152,63 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out("b a") === ((1L, 2L, 500000L)))   // b continues to a half the time
     assert(out("b c") === ((1L, 2L, 500000L)))
     assert(out.size === 3) // blank + 1-token docs contribute nothing
+  }
+
+  test("equiDepthBins: equal-mass cut at micro resolution, total preserved") {
+    // 100 rows uniform on [0, 100): micro-cells are exact, so deciles are 10
+    // rows each starting at micro boundaries.
+    val df = spark.range(100).select((col("id") + 0.5).as("v"))
+    val out = Profile.equiDepthBins(df, "v", lo = 0.0, hi = 100.0,
+                                    bins = 10, microBins = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size === 10)
+    assert(out.values.map(_._1).sum === 100L)
+    assert(out(0L) === ((10L, 0L, 9L)))
+    assert(out(9L) === ((10L, 90L, 99L)))
+    // skewed mass: 91 rows in one cell dominate; bins can't split a cell
+    val skew = spark.range(100).select(
+      when(col("id") < 91, lit(5.5)).otherwise(col("id") + 0.5).as("v"))
+    val sk = Profile.equiDepthBins(skew, "v", 0.0, 100.0, 10, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(0L) === 91L) // the hot cell lands whole in bin 0
+    assert(sk.values.sum === 100L)
+  }
+
+  test("transitions: Markov counts with same-instant tiebreak") {
+    val df = Seq(
+      (1L, ts("2025-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2025-01-01 00:00:01"), 2L, "b"),
+      (1L, ts("2025-01-01 00:00:01"), 3L, "c"), // same instant: id orders b->c
+      (2L, ts("2025-01-01 00:00:00"), 4L, "a")  // single event: no transition
+    ).toDF("user_id", "ts_", "event_id", "event_type")
+    val out = Funnel.transitions(df, "user_id", "ts_", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("int8Quantize: extremes hit ±127, zero vector codes to zeros") {
+    val df = Seq(
+      (1L, Seq(2.0f, -2.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 0)) === 127)
+    assert(out((1L, 1)) === -127)
+    assert(out((1L, 2)) === 63) // floor(1*127/2)
+    assert(out((1L, 3)) === 0)
+    assert((0 to 3).forall(i => out((2L, i)) === 0))
+  }
+
+  test("filterBlocklist drops exact-content matches modulo case/spacing") {
+    val corpus = Seq((1L, "Hello  World"), (2L, "unique text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val block = Seq("hello world").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fingerprint"))
+    val kept = Dedup.filterBlocklist(corpus, "text", block)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
   }
 
   test("fuzzyPairs: symmetric dedup, block confinement, distance bound") {
