@@ -807,7 +807,29 @@ object SparkEntry {
         .distinct()
       Dedup.filterBlocklist(d.filter(col("doc_id") % 10 =!= 0), "text", block)
         .select("doc_id", "lang", "source")
-    })
+    }),
+    "q90_outliers" -> ((s, dir) => {
+      // Threshold outlier scan: exact per-type p99 (rank selection, q59's
+      // operator) broadcast back over the stream — at 100 TB the threshold
+      // table is vocabulary-sized and the scan side stays shuffle-free.
+      val e = ev(s, dir)
+      val thr = Profile.discreteQuantiles(e, "event_type", "value", Seq(99))
+        .select(col("event_type"), col("q_value").as("p99"))
+      e.join(broadcast(thr), Seq("event_type"))
+        .filter(col("value") > col("p99"))
+        .select("event_id", "user_id", "event_type", "value", "p99")
+    }),
+    "q91_minmax_scale" -> ((s, dir) =>
+      // Feature normalization: 1-row extrema pass broadcast back; corpus
+      // side is a narrow projection, integer-ppm outputs.
+      Profile.minMaxScale(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        valCols = Seq("l_extendedprice", "l_quantity", "l_discount"))),
+    "q92_user_paths" -> ((s, dir) =>
+      // Navigation-pattern rollup: ordered first-8 event-type paths.
+      Funnel.paths(ev(s, dir), "user_id", "ts", "event_id", "event_type",
+                   maxLen = 8))
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -2127,7 +2149,39 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
          |WHERE d.doc_id % 10 <> 0
-         |  AND fp.f NOT IN (SELECT f FROM bl)""".stripMargin
+         |  AND fp.f NOT IN (SELECT f FROM bl)""".stripMargin,
+    "q90_outliers" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM src WHERE value IS NOT NULL),
+         |thr AS (SELECT event_type, value AS p99 FROM r
+         |  WHERE rn = (n * 99 + 99) // 100)
+         |SELECT e.event_id, e.user_id, e.event_type, e.value, t.p99
+         |FROM src e JOIN thr t ON e.event_type = t.event_type
+         |WHERE e.value > t.p99""".stripMargin,
+    "q91_minmax_scale" ->
+      """WITH x AS (SELECT min(l_extendedprice) AS lo1, max(l_extendedprice) AS hi1,
+        |    min(l_quantity) AS lo2, max(l_quantity) AS hi2,
+        |    min(l_discount) AS lo3, max(l_discount) AS hi3 FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN hi1 = lo1 THEN 0 ELSE CAST(floor(
+        |    (l_extendedprice - lo1) * 1000000.0 / (hi1 - lo1)) AS BIGINT)
+        |  END AS l_extendedprice_ppm,
+        |  CASE WHEN hi2 = lo2 THEN 0 ELSE CAST(floor(
+        |    (l_quantity - lo2) * 1000000.0 / (hi2 - lo2)) AS BIGINT)
+        |  END AS l_quantity_ppm,
+        |  CASE WHEN hi3 = lo3 THEN 0 ELSE CAST(floor(
+        |    (l_discount - lo3) * 1000000.0 / (hi3 - lo3)) AS BIGINT)
+        |  END AS l_discount_ppm
+        |FROM lineitem CROSS JOIN x""".stripMargin,
+    "q92_user_paths" ->
+      s"""WITH $SrcCte,
+         |p AS (SELECT user_id, array_to_string(
+         |    (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+         |  FROM src GROUP BY 1)
+         |SELECT path, count(*) AS n_users FROM p GROUP BY 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -114,4 +114,28 @@ object Funnel {
       .groupBy(col("prev_type"), col(typeCol))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Path analysis: each user's first `maxLen` event types as one ordered
+    * `a>b>c` string, counted across users — the navigation-pattern rollup.
+    * `collect_list` order is partition-dependent, so the struct array is
+    * sorted on (ts, id) AFTER collection — the engine's deterministic
+    * same-instant order. One exchange on the user key; the path count runs
+    * over the user-cardinality relation.
+    */
+  def paths(df: DataFrame,
+            userCol: String,
+            tsCol: String,
+            idCol: String,
+            typeCol: String,
+            maxLen: Int = 8): DataFrame =
+    df.groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(struct(col(tsCol).as("t"),
+                                               col(idCol).as("i"),
+                                               col(typeCol).as("y")))),
+                1, maxLen),
+          x => x.getField("y")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
 }

@@ -134,6 +134,28 @@ object Profile {
     *
     * Output per final bin: row mass, covered micro-cell range, low edge.
     */
+  /** Min-max feature scaling to integer ppm: `floor((x - min) * 1e6 /
+    * (max - min))`, constant columns scale to 0. The extrema aggregate is
+    * one 1-row pass, broadcast back as a literal-free cross join — the
+    * corpus itself never shuffles (narrow projection), the canonical
+    * normalize-before-training step. Integer output: IEEE-subtract/divide/
+    * floor are bit-identical across engines, float means are not.
+    */
+  def minMaxScale(df: DataFrame,
+                  keyCols: Seq[String],
+                  valCols: Seq[String]): DataFrame = {
+    val aggs = valCols.flatMap(c => Seq(min(col(c)).as(s"_min_$c"),
+                                        max(col(c)).as(s"_max_$c")))
+    val extrema = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(extrema))
+      .select(keyCols.map(col) ++ valCols.map { c =>
+        when(col(s"_max_$c") === col(s"_min_$c"), lit(0L))
+          .otherwise(floor((col(c) - col(s"_min_$c")) * lit(1000000.0) /
+            (col(s"_max_$c") - col(s"_min_$c"))).cast("long"))
+          .as(s"${c}_ppm")
+      }: _*)
+  }
+
   def equiDepthBins(df: DataFrame, c: String,
                     lo: Double, hi: Double,
                     bins: Int, microBins: Int = 10000): DataFrame = {

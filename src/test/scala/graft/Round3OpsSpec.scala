@@ -211,6 +211,33 @@ class Round3OpsSpec extends SparkTestBase {
     assert(kept === Set(2L, 3L))
   }
 
+  test("minMaxScale: ppm range ends, constant column guards to 0") {
+    val df = Seq((1, 0.0, 7.0), (2, 50.0, 7.0), (3, 100.0, 7.0))
+      .toDF("id", "a", "c")
+    val out = Profile.minMaxScale(df, Seq("id"), Seq("a", "c"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) === ((0L, 0L)))
+    assert(out(2) === ((500000L, 0L)))
+    assert(out(3) === ((1000000L, 0L))) // max lands exactly on 1e6
+  }
+
+  test("paths: ordered, truncated, counted across users") {
+    val df = Seq(
+      (1L, ts("2025-01-01 00:00:02"), 3L, "c"),
+      (1L, ts("2025-01-01 00:00:00"), 1L, "a"), // out of collect order
+      (1L, ts("2025-01-01 00:00:01"), 2L, "b"),
+      (2L, ts("2025-01-01 00:00:00"), 4L, "a"),
+      (2L, ts("2025-01-01 00:00:01"), 5L, "b"),
+      (2L, ts("2025-01-01 00:00:02"), 6L, "c"),
+      (3L, ts("2025-01-01 00:00:00"), 7L, "x"),
+      (3L, ts("2025-01-01 00:00:01"), 8L, "y")
+    ).toDF("user_id", "ts_", "event_id", "event_type")
+    val out = Funnel.paths(df, "user_id", "ts_", "event_id", "event_type",
+                           maxLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a>b" -> 2L, "x>y" -> 1L)) // truncated at 2, ordered
+  }
+
   test("fuzzyPairs: symmetric dedup, block confinement, distance bound") {
     val df = Seq((1, "red ring", "ring", 1), (2, "blue ring", "ring", 1),
                  (3, "red ring", "ring", 2),  // other block: no pair with 1
