@@ -829,7 +829,49 @@ object SparkEntry {
     "q92_user_paths" -> ((s, dir) =>
       // Navigation-pattern rollup: ordered first-8 event-type paths.
       Funnel.paths(ev(s, dir), "user_id", "ts", "event_id", "event_type",
-                   maxLen = 8))
+                   maxLen = 8)),
+    // --- Classic OLAP shapes (pure Catalyst; money in floor-micro longs,
+    //     per-row floor BEFORE the sum so results are order-independent) ---
+    "q93_pricing_summary" -> ((s, dir) =>
+      // TPC-H Q1 shape: one combine-enabled aggregate over the pruned scan
+      // (filter + 6-column ReadSchema pushed to parquet).
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .filter(col("l_shipdate") <=
+          lit(java.sql.Timestamp.valueOf("1999-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(floor(col("l_quantity") * lit(1000000.0)).cast("long"))
+               .as("qty_micro"),
+             sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long"))
+               .as("base_micro"),
+             sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+               * lit(1000000.0)).cast("long")).as("disc_micro"),
+             sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+               * (lit(1.0) + col("l_tax")) * lit(1000000.0)).cast("long"))
+               .as("charge_micro"))),
+    "q94_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: broadcast the filtered customer slice, shuffle the
+      // fact once on the join key, top-10 by revenue (deterministic
+      // (revenue desc, orderkey) tiebreak).
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      val c = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+             col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000.0)).cast("long")).as("revenue_micro"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue_micro").desc, col("l_orderkey"))))
+        .filter(col("rank") <= 10)
+    })
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -2181,7 +2223,36 @@ object SparkEntry {
          |p AS (SELECT user_id, array_to_string(
          |    (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
          |  FROM src GROUP BY 1)
-         |SELECT path, count(*) AS n_users FROM p GROUP BY 1""".stripMargin
+         |SELECT path, count(*) AS n_users FROM p GROUP BY 1""".stripMargin,
+    "q93_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS qty_micro,
+        |  CAST(sum(CAST(floor(l_extendedprice * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS base_micro,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 1000000.0) AS BIGINT)) AS BIGINT) AS disc_micro,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS charge_micro
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q94_shipping_priority" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micro
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |  GROUP BY 1, 2, 3)
+        |SELECT * FROM (SELECT *, row_number() OVER (
+        |    ORDER BY revenue_micro DESC, l_orderkey) AS "rank" FROM rev)
+        |WHERE "rank" <= 10""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
