@@ -871,7 +871,21 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("revenue_micro").desc, col("l_orderkey"))))
         .filter(col("rank") <= 10)
-    })
+    }),
+    "q95_charset" -> ((s, dir) =>
+      // Encoding QC: per-document ASCII/non-ASCII/CJK character mass — the
+      // mojibake and wrong-language tripwire. Narrow codegen'd projection.
+      docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+                length(col("text")).as("n_chars"),
+                regexp_count(col("text"), lit("[^\\x00-\\x7F]"))
+                  .as("n_nonascii"),
+                regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+                  .as("n_cjk"))
+        .withColumn("nonascii_ppm",
+                    when(col("n_chars") === 0, lit(0L))
+                      .otherwise(expr("(n_nonascii * CAST(1000000 AS BIGINT)) DIV n_chars"))))
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -2252,7 +2266,16 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT * FROM (SELECT *, row_number() OVER (
         |    ORDER BY revenue_micro DESC, l_orderkey) AS "rank" FROM rev)
-        |WHERE "rank" <= 10""".stripMargin
+        |WHERE "rank" <= 10""".stripMargin,
+    "q95_charset" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_nonascii,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS n_cjk,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE (len(regexp_extract_all(text, '[^\x00-\x7F]'))
+        |             * CAST(1000000 AS BIGINT)) // length(text)
+        |  END AS nonascii_ppm
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

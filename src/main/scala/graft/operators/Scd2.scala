@@ -330,7 +330,8 @@ object Scd2 {
     */
   def snapshotDelta(oldSnap: DataFrame,
                     newSnap: DataFrame,
-                    cfg: ScdConfig): DataFrame = {
+                    cfg: ScdConfig,
+                    includePayload: Boolean = false): DataFrame = {
     val cols = oldSnap.columns.toSeq
     require(newSnap.columns.toSeq == cols,
             "snapshotDelta expects identically-shaped snapshots")
@@ -346,6 +347,13 @@ object Scd2 {
       .map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
       .reduce(_ || _)
     val audit = cfg.auditColumns.map(resolveCi(cols, _))
+    // with includePayload the changelog carries the new-side payload (null
+    // for deletes), making it sufficient to REPLAY: see applyDelta
+    val payload =
+      if (includePayload)
+        cols.filterNot(c => keys.contains(c) || audit.contains(c))
+          .map(c => col(s"_n_$c").as(c))
+      else Nil
     o.join(n, on, "full_outer")
       .withColumn("change_kind",
                   when(newOnly, lit("insert"))
@@ -355,6 +363,48 @@ object Scd2 {
       .select(keys.map(k => coalesce(col(s"_n_$k"), col(s"_o_$k")).as(k)) ++
         Seq(col("change_kind")) ++
         audit.flatMap(c => Seq(col(s"_o_$c").as(s"old$c"),
-                               col(s"_n_$c").as(s"new$c"))): _*)
+                               col(s"_n_$c").as(s"new$c"))) ++
+        payload: _*)
+  }
+
+  /** Replay a payload-carrying changelog ([[snapshotDelta]] with
+    * `includePayload = true`) onto the old snapshot, reproducing the new one
+    * exactly (spec-asserted): deletes drop their version, updates swap in
+    * the new audit columns, inserts append the carried row. This is the CDC
+    * consumer's operator — a changelog feed plus the previous snapshot
+    * reconstructs the table without re-reading the producer's storage.
+    *
+    * Join shape mirrors the merge: one full-outer-free pass — an anti join
+    * for deletes and a left join for updates, both on the native null-safe
+    * version key; the changelog side is batch-sized, so both joins
+    * broadcast at scale.
+    */
+  def applyDelta(oldSnap: DataFrame,
+                 delta: DataFrame,
+                 cfg: ScdConfig): DataFrame = {
+    val cols = oldSnap.columns.toSeq
+    val keys = cfg.scd2UniqueKey.map(resolveCi(cols, _))
+    val audit = cfg.auditColumns.map(resolveCi(cols, _))
+    def keyCond(d: DataFrame) =
+      keys.map(k => col(k) <=> col(s"_d_$k")).reduce(_ && _)
+
+    val dels = delta.filter(col("change_kind") === "delete")
+      .select(keys.map(k => col(k).as(s"_d_$k")): _*)
+    val upds = delta.filter(col("change_kind") === "update")
+      .select(keys.map(k => col(k).as(s"_d_$k")) ++
+        audit.map(c => col(s"new$c").as(s"_u$c")) :+
+        lit(true).as("_upd"): _*)
+    val ins = delta.filter(col("change_kind") === "insert")
+      .select(cols.map(c =>
+        (if (audit.contains(c)) col(s"new$c") else col(c)).as(c)): _*)
+
+    val kept = oldSnap.join(dels, keyCond(dels), "left_anti")
+    kept.join(upds, keyCond(upds), "left")
+      .select(cols.map { c =>
+        (if (audit.contains(c))
+           when(col("_upd"), col(s"_u$c")).otherwise(col(c))
+         else col(c)).as(c)
+      }: _*)
+      .unionByName(ins)
   }
 }

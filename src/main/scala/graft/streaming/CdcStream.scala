@@ -52,7 +52,9 @@ object CdcStream {
           val next = ScdEngine.run(spark, batch.toDF(), targetPath, cfg,
                                    numBuckets = numBuckets)
           val base = if (existed) prev else next.limit(0)
-          Scd2.snapshotDelta(base, next, cfg)
+          // payload-carrying changelog: sufficient for consumers to REPLAY
+          // via Scd2.applyDelta, not just to observe
+          Scd2.snapshotDelta(base, next, cfg, includePayload = true)
             .withColumn("_batch_id", lit(batchId))
             .write.mode("append").parquet(cdcPath)
           // the pinned snapshot's blocks are released by the ContextCleaner

@@ -50,7 +50,7 @@ class CdcStreamSpec extends SparkTestBase {
     } // snaps(i) = table after batches 0..i
     for (i <- 1 until batches.length) {
       val expected = operators.Scd2
-        .snapshotDelta(snaps(i - 1), snaps(i), cfg)
+        .snapshotDelta(snaps(i - 1), snaps(i), cfg, includePayload = true)
       val got = cdc.filter($"_batch_id" === i).drop("_batch_id")
       assert(got.exceptAll(expected).count() === 0, s"batch $i extra rows")
       assert(expected.exceptAll(got).count() === 0, s"batch $i missing rows")
@@ -59,5 +59,14 @@ class CdcStreamSpec extends SparkTestBase {
     // the batch-2 re-slot shows up as audit updates on key 1
     assert(cdc.filter($"_batch_id" === 2 && $"change_kind" === "update" &&
       $"customer_id" === 1).count() >= 1)
+
+    // replaying each batch's changelog reproduces each snapshot exactly
+    var replayed = snaps(0)
+    for (i <- 1 until batches.length) {
+      replayed = operators.Scd2.applyDelta(
+        replayed, cdc.filter($"_batch_id" === i).drop("_batch_id"), cfg)
+      assert(replayed.exceptAll(snaps(i)).count() === 0, s"replay $i extra")
+      assert(snaps(i).exceptAll(replayed).count() === 0, s"replay $i missing")
+    }
   }
 }
