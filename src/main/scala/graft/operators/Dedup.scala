@@ -119,18 +119,22 @@ object Dedup {
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over the shingle sets
-    val ds = withSh.select(col("_id"), explode(col("_shs")).as("_sh"))
-    val sizes = ds.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val dsa = ds.select(col("_id").as("_ida"), col("_sh").as("_sha"))
-    val dsb = ds.select(col("_id").as("_idb"), col("_sh").as("_shb"))
+    // verify candidates with exact Jaccard: attach each side's (distinct)
+    // shingle ARRAY and intersect per pair — O(|a|+|b|) hash-set work per
+    // candidate with no row explosion. The previous shingle-equality
+    // join exploded |candidates| x |shingles| rows through two joins and a
+    // re-aggregate; on the near-dup-heavy corpus that intermediate dominated
+    // the whole operator (q18 4.2 s -> see PERF). Same overlap/union
+    // numbers: the arrays are already distinct.
+    val arrs = withSh.select(col("_id"), col("_shs"),
+                             size(col("_shs")).cast("long").as("_n"))
     candidates
-      .join(dsa, col("doc_a") === col("_ida"))
-      .join(dsb, col("doc_b") === col("_idb") && col("_sha") === col("_shb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("overlap"))
-      .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
-      .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+      .join(arrs.select(col("_id").as("doc_a"), col("_shs").as("_sa"),
+                        col("_n").as("_na")), "doc_a")
+      .join(arrs.select(col("_id").as("doc_b"), col("_shs").as("_sb"),
+                        col("_n").as("_nb")), "doc_b")
+      .withColumn("overlap",
+                  size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("doc_a", "doc_b", "overlap", "union_size")
