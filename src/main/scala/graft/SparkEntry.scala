@@ -57,7 +57,9 @@ object SparkEntry {
       ScdConfig(uniqueKey = Seq("l_orderkey", "l_linenumber"),
                 updatedAtCol = "l_shipdate"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ sketchQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- SCD2 (SURVEY §2: S1-S4, P1-P7, J1-J4, D1/D4, W1-W7, U1) ---------
     "q01_scd2_initial" -> ((s, dir) => Scd2.initialLoad(ev(s, dir), evCfg)),
     "q02_scd2_checkcols" -> ((s, dir) => Scd2.initialLoad(ev(s, dir), evTypeCfg)),
@@ -886,6 +888,48 @@ object SparkEntry {
         .withColumn("nonascii_ppm",
                     when(col("n_chars") === 0, lit(0L))
                       .otherwise(expr("(n_nonascii * CAST(1000000 AS BIGINT)) DIV n_chars"))))
+  )
+
+  /** Sketch/approximate operators: engine-specific estimators with no
+    * cross-engine oracle — the driver records the (documented) weaker
+    * rows-only check for these; each has an exact counterpart that IS
+    * oracle-checked (q48 profile, q59 quantiles, q47 rollup).
+    */
+  private def sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_profile_approx" -> ((s, dir) =>
+      // HLL scale path of the q48 profiler: one pass, no Expand, no
+      // per-column distinct shuffle (spec-checked against exact within 5%).
+      Profile.profileApprox(Tables.spread(s, Tables.read(s, dir, "lineitem")),
+                            LineitemCols)),
+    "q97_quantiles_approx" -> ((s, dir) =>
+      // Sketch counterpart of q59: percentile_approx per event type — one
+      // combine-enabled aggregate instead of a per-group sort.
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+                               array(lit(0.5), lit(0.9), lit(0.99)),
+                               lit(10000)).as("p50_p90_p99"),
+             count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+                col("p50_p90_p99").getItem(0).as("p50"),
+                col("p50_p90_p99").getItem(1).as("p90"),
+                col("p50_p90_p99").getItem(2).as("p99"))),
+    "q98_hll_union" -> ((s, dir) => {
+      // Mergeable distinct sketches (Apache DataSketches HLL): per-day
+      // per-type user sketches built once, then UNIONED per type — the
+      // re-aggregatable rollup a 100 TB daily pipeline stores instead of
+      // raw user sets (exact distinct does not merge; sketches do).
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+             count(lit(1)).as("n_events"))
+      daily
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+               .as("approx_distinct_users"),
+             sum(col("n_events")).as("n_events"),
+             count(lit(1)).as("n_days"))
+    })
   )
 
   private val Bm25Terms = Seq("spark", "merge", "window")
