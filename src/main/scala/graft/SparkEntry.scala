@@ -887,7 +887,35 @@ object SparkEntry {
                   .as("n_cjk"))
         .withColumn("nonascii_ppm",
                     when(col("n_chars") === 0, lit(0L))
-                      .otherwise(expr("(n_nonascii * CAST(1000000 AS BIGINT)) DIV n_chars"))))
+                      .otherwise(expr("(n_nonascii * CAST(1000000 AS BIGINT)) DIV n_chars")))),
+    "q99_asof_snapshot" -> ((s, dir) => {
+      // Time travel over the history table: the dimension as it stood at
+      // the event-span midpoint (integer-micro cutoff, q12's idiom).
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val t = row.getLong(0) + (row.getLong(1) - row.getLong(0)) / 2
+      val tTs = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        t / 1000000L, (t % 1000000L) * 1000L))
+      Scd2.asOf(Scd2.initialLoad(all, evCfg), tTs, evCfg)
+    }),
+    "q100_retention" -> ((s, dir) => {
+      // Retention trim + right-to-be-forgotten over the same history:
+      // expired windows (closed before the 70%-span cutoff) drop unless
+      // current; one residue class of users is erased entirely.
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val c = row.getLong(0) + (row.getLong(1) - row.getLong(0)) * 7 / 10
+      val cTs = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        c / 1000000L, (c % 1000000L) * 1000L))
+      val snap = Scd2.initialLoad(all, evCfg)
+      val forget = all.filter(col("user_id") % 17 === 3)
+        .select("user_id").distinct()
+      Scd2.forgetKeys(Scd2.expireVersions(snap, cTs, evCfg), forget, evCfg)
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2319,7 +2347,29 @@ object SparkEntry {
         |       ELSE (len(regexp_extract_all(text, '[^\x00-\x7F]'))
         |             * CAST(1000000 AS BIGINT)) // length(text)
         |  END AS nonascii_ppm
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q99_asof_snapshot" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM src),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) // 2) AS t FROM b),
+         |hist AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  true AS _is_current, _valid_from, _valid_to, _change_type
+         |FROM hist
+         |WHERE _valid_from <= (SELECT t FROM cut)
+         |  AND _valid_to > (SELECT t FROM cut)""".stripMargin,
+    "q100_retention" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM src),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) * 7 // 10) AS c FROM b),
+         |hist AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |)
+         |SELECT * FROM hist
+         |WHERE (_is_current OR _valid_to >= (SELECT c FROM cut))
+         |  AND user_id % 17 <> 3""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -379,6 +379,55 @@ object Scd2 {
     * version key; the changelog side is batch-sized, so both joins
     * broadcast at scale.
     */
+  /** Point-in-time view: the dimension exactly as it stood at `t` — rows
+    * whose `[_valid_from, _valid_to)` window contains `t`, re-flagged
+    * current (every survivor IS current as of `t`). The SCD2 answer to
+    * time travel without a table format: the history table carries every
+    * past state. Pure filter+projection — partition-prunable, pushed to the
+    * scan.
+    */
+  def asOf(snapshot: DataFrame, t: java.sql.Timestamp, cfg: ScdConfig): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val vf = resolveCi(cols, cfg.validFromCol)
+    val vt = resolveCi(cols, cfg.validToCol)
+    val cur = resolveCi(cols, cfg.isCurrentCol)
+    snapshot
+      .filter(col(vf) <= lit(t) && col(vt) > lit(t))
+      .withColumn(cur, lit(true))
+  }
+
+  /** Retention trim: drop expired versions whose window closed before
+    * `cutoff`; current rows and still-relevant history pass through
+    * untouched (audit columns are NOT recomputed — the kept windows are the
+    * true ones, this is deletion, not rewrite). The complement of asOf:
+    * together they bound how much history a 100 TB dimension must carry.
+    */
+  def expireVersions(snapshot: DataFrame,
+                     cutoff: java.sql.Timestamp,
+                     cfg: ScdConfig): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val vt = resolveCi(cols, cfg.validToCol)
+    val cur = resolveCi(cols, cfg.isCurrentCol)
+    snapshot.filter(col(cur) || col(vt) >= lit(cutoff))
+  }
+
+  /** Right-to-be-forgotten: hard-delete EVERY version of the given keys
+    * (whole business keys, not windows — a partial history would still leak
+    * the entity's existence). Null-safe anti join; the key list is
+    * dimension-sized at most, so it broadcasts.
+    */
+  def forgetKeys(snapshot: DataFrame,
+                 keys: DataFrame,
+                 cfg: ScdConfig): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val ks = cfg.uniqueKey.map(resolveCi(cols, _))
+    val renamed = ks.foldLeft(keys)((d, k) =>
+      d.withColumnRenamed(resolveCi(keys.columns.toSeq, k), s"_f_$k"))
+    snapshot.join(renamed,
+                  ks.map(k => col(k) <=> col(s"_f_$k")).reduce(_ && _),
+                  "left_anti")
+  }
+
   def applyDelta(oldSnap: DataFrame,
                  delta: DataFrame,
                  cfg: ScdConfig): DataFrame = {

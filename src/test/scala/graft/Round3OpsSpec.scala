@@ -238,6 +238,35 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out === Map("a>b" -> 2L, "x>y" -> 1L)) // truncated at 2, ordered
   }
 
+  test("asOf/expireVersions/forgetKeys: history lifecycle invariants") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts_")
+    val snap = Scd2.initialLoad(Seq(
+      (1, "a", ts("2025-01-01 00:00:00")),
+      (1, "b", ts("2025-01-03 00:00:00")),
+      (2, "x", ts("2025-01-02 00:00:00")),
+      (3, "z", ts("2025-01-05 00:00:00"))
+    ).toDF("k", "v", "ts_"), cfg).localCheckpoint()
+
+    // at Jan 2 12:00: key 1 shows 'a', key 2 shows 'x', key 3 not yet born
+    val at = Scd2.asOf(snap, ts("2025-01-02 12:00:00"), cfg)
+      .select("k", "v", "_is_current").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(at === Map(1 -> (("a", true)), 2 -> (("x", true))))
+
+    // retention at Jan 4: key 1's 'a' window ([Jan1, Jan3)) expires; all
+    // current rows survive regardless of age
+    val trimmed = Scd2.expireVersions(snap, ts("2025-01-04 00:00:00"), cfg)
+    assert(trimmed.count() === 3)
+    assert(trimmed.filter($"k" === 1 && $"v" === "a").count() === 0)
+    assert(trimmed.filter($"_is_current").count() ===
+      snap.filter($"_is_current").count())
+
+    // forgetting key 1 removes BOTH its versions, others untouched
+    val forgotten = Scd2.forgetKeys(snap, Seq(1).toDF("k"), cfg)
+    assert(forgotten.filter($"k" === 1).count() === 0)
+    assert(forgotten.count() === 2)
+  }
+
   test("fuzzyPairs: symmetric dedup, block confinement, distance bound") {
     val df = Seq((1, "red ring", "ring", 1), (2, "blue ring", "ring", 1),
                  (3, "red ring", "ring", 2),  // other block: no pair with 1
