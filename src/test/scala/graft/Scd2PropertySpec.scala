@@ -39,8 +39,17 @@ class Scd2PropertySpec extends SparkTestBase {
         math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
 
       var table = Scd2.initialLoad(df(batches.head), cfg).localCheckpoint()
-      for (b <- batches.tail)
-        table = Scd2.incremental(table, df(b), cfg).localCheckpoint()
+      var replayed = table
+      for (b <- batches.tail) {
+        val next = Scd2.incremental(table, df(b), cfg).localCheckpoint()
+        // CDC round-trip property: changelog + previous state replays to the
+        // next state exactly, for EVERY random split
+        val delta = Scd2.snapshotDelta(table, next, cfg, includePayload = true)
+        replayed = Scd2.applyDelta(replayed, delta, cfg).localCheckpoint()
+        assert(replayed.exceptAll(next).count() === 0, s"trial $trial: replay extra")
+        assert(next.exceptAll(replayed).count() === 0, s"trial $trial: replay missing")
+        table = next
+      }
 
       val full = Scd2.initialLoad(df(rows), cfg)
       assert(table.exceptAll(full).count() === 0, s"trial $trial: extra rows")
