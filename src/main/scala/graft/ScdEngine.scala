@@ -82,6 +82,35 @@ object ScdEngine {
     spark.read.parquet(targetPath)
   }
 
+  /** [[run]] plus a CDC changelog: appends the payload-carrying
+    * `Scd2.snapshotDelta(pre, post)` of this maintenance step to `cdcPath`,
+    * stamped with `runId` — the batch counterpart of
+    * [[graft.streaming.CdcStream]] (same changelog contract: replayable via
+    * `Scd2.applyDelta`, dedupable on (_batch_id, version key) under
+    * retries). The pre-run snapshot is pinned with an eager localCheckpoint
+    * before the directory swap invalidates its file listing. SCD2 only.
+    */
+  def runWithCdc(spark: SparkSession,
+                 delta: DataFrame,
+                 targetPath: String,
+                 cdcPath: String,
+                 runId: Long,
+                 cfg: ScdConfig,
+                 numBuckets: Option[Int] = None): DataFrame = {
+    require(cfg.scdType == 2, "CDC changelog export is SCD2-only")
+    val fs = fileSystem(spark, targetPath)
+    val existed = fs.exists(new Path(targetPath))
+    val prev =
+      if (existed) spark.read.parquet(targetPath).localCheckpoint()
+      else null
+    val next = run(spark, delta, targetPath, cfg, numBuckets = numBuckets)
+    val base = if (existed) prev else next.limit(0)
+    Scd2.snapshotDelta(base, next, cfg, includePayload = true)
+      .withColumn("_batch_id", lit(runId))
+      .write.mode("append").parquet(cdcPath)
+    next
+  }
+
   /** Type-dispatched initial load (`scd_plan.sql:111-149,258-265`). */
   def initial(delta: DataFrame, cfg: ScdConfig): DataFrame =
     if (cfg.scdType == 2) Scd2.initialLoad(delta, cfg)

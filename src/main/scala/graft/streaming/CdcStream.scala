@@ -1,11 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.{ScdConfig, ScdEngine}
-import graft.operators.Scd2
 
 /** SCD maintenance with a CDC changelog: every micro-batch runs one
   * incremental merge (exactly [[ScdStream.scdSink]]) and ALSO appends the
@@ -41,25 +39,9 @@ object CdcStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(targetPath), spark.sparkContext.hadoopConfiguration)
-          val existed = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
-          val prev =
-            if (existed) spark.read.parquet(targetPath).localCheckpoint()
-            else null
-          val next = ScdEngine.run(spark, batch.toDF(), targetPath, cfg,
-                                   numBuckets = numBuckets)
-          val base = if (existed) prev else next.limit(0)
-          // payload-carrying changelog: sufficient for consumers to REPLAY
-          // via Scd2.applyDelta, not just to observe
-          Scd2.snapshotDelta(base, next, cfg, includePayload = true)
-            .withColumn("_batch_id", lit(batchId))
-            .write.mode("append").parquet(cdcPath)
-          // the pinned snapshot's blocks are released by the ContextCleaner
-          // once this batch's delta is written and `prev` goes out of scope
-        }
+        if (!batch.isEmpty)
+          ScdEngine.runWithCdc(batch.sparkSession, batch.toDF(), targetPath,
+                               cdcPath, batchId, cfg, numBuckets = numBuckets)
         ()
       }
   }
