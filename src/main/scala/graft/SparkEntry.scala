@@ -915,7 +915,25 @@ object SparkEntry {
       val forget = all.filter(col("user_id") % 17 === 3)
         .select("user_id").distinct()
       Scd2.forgetKeys(Scd2.expireVersions(snap, cTs, evCfg), forget, evCfg)
-    })
+    }),
+    "q101_sample_by" -> ((s, dir) =>
+      // Corpus reweighting: per-language keep rates (en 50%, es 25%, rest
+      // 10%) by the deterministic id-hash draw — shuffle-free filter.
+      Sampling.sampleByRates(docs(s, dir), "doc_id", "lang",
+                             Seq("en" -> 50, "es" -> 25), den = 100,
+                             defaultNum = 10)
+        .select("doc_id", "lang", "source")),
+    "q102_cube_events" -> ((s, dir) =>
+      // CUBE over (event_type, weekday): all four grouping levels in one
+      // Expand pass; weekday via integer-µs epoch math (day 0 = Thursday),
+      // engine-portable unlike locale-dependent dayname().
+      ev(s, dir)
+        .withColumn("weekday",
+                    expr("(unix_micros(ts) DIV 86400000000) % 7"))
+        .cube(col("event_type"), col("weekday"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             grouping_id().as("gid")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2369,7 +2387,23 @@ object SparkEntry {
          |)
          |SELECT * FROM hist
          |WHERE (_is_current OR _valid_to >= (SELECT c FROM cut))
-         |  AND user_id % 17 <> 3""".stripMargin
+         |  AND user_id % 17 <> 3""".stripMargin,
+    "q101_sample_by" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 100 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 50
+        |               WHEN lang = 'es' THEN 25 ELSE 10 END""".stripMargin,
+    "q102_cube_events" ->
+      s"""WITH $SrcCte,
+         |w AS (SELECT event_type,
+         |    (epoch_us(ts) // 86400000000) % 7 AS weekday, user_id FROM src)
+         |SELECT event_type, weekday, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  GROUPING(event_type, weekday) AS gid
+         |FROM w GROUP BY CUBE(event_type, weekday)""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -57,10 +57,14 @@ object Intervals {
                           chunkMicros: Long): DataFrame = {
     require(chunkMicros > 0, "chunkMicros must be positive")
     def chunksOf(start: Column, end: Column): Column =
-      sequence(floor(unix_micros(start) / chunkMicros),
-               // end is exclusive: an interval ending exactly on a chunk
-               // boundary does not enter the next chunk.
-               floor((unix_micros(end) - 1) / chunkMicros))
+      // Empty/inverted intervals get NO chunks: Spark's sequence() DESCENDS
+      // when hi < lo, which would fabricate a (possibly huge) chunk list for
+      // malformed rows only to have the overlap predicate drop every pair.
+      when(start < end,
+           sequence(floor(unix_micros(start) / chunkMicros),
+                    // end is exclusive: an interval ending exactly on a chunk
+                    // boundary does not enter the next chunk.
+                    floor((unix_micros(end) - 1) / chunkMicros)))
     val l = left.withColumn("_chunk", explode(chunksOf(col(lStart), col(lEnd))))
     val r = right.withColumn("_chunk", explode(chunksOf(col(rStart), col(rEnd))))
     l.join(r,

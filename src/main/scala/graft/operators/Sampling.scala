@@ -46,6 +46,24 @@ object Sampling {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Per-stratum sampling rates (`df.stat.sampleBy`, made deterministic):
+    * keep ~num/den of each stratum's rows by the same id-hash draw, strata
+    * not listed keep `defaultNum`/den. Shuffle-free per-row filter — the
+    * corpus-reweighting primitive (downsample the over-represented source,
+    * keep all of the rare one).
+    */
+  def sampleByRates(df: DataFrame,
+                    idCol: String,
+                    strataCol: String,
+                    rates: Seq[(String, Int)],
+                    den: Int = 100,
+                    defaultNum: Int = 0): DataFrame = {
+    val rate = rates.foldRight(lit(defaultNum): Column) {
+      case ((s, num), rest) => when(col(strataCol) === s, lit(num)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), den) < rate)
+  }
+
   /** Label every row with a split name by cumulative per-mille weight,
     * e.g. Seq("train" -> 980, "val" -> 10, "test" -> 10). Weights must sum
     * to <= den; rows past the last cumulative bound get the last label.

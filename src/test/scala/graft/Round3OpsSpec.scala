@@ -31,6 +31,12 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out.head.getString(1) === "s1" && out.head.getString(2) === "d1")
     assert(out.head.getTimestamp(3) === ts("2025-01-01 01:00:00"))
     assert(out.head.getTimestamp(4) === ts("2025-01-01 02:00:00"))
+    // the bucketed strategy agrees, including on the empty s2 interval
+    // (whose chunk list must be empty, not a descending sequence)
+    val bk = Intervals.overlapJoinBucketed(left, right, Seq("k"),
+      "ls", "le", "rs", "re", chunkMicros = 1800000000L)
+      .select("k", "lname", "rname", "overlap_from", "overlap_to").collect()
+    assert(bk.toSeq.map(_.toString) === out.toSeq.map(_.toString))
   }
 
   test("overlapJoinBucketed is result-identical to overlapJoin across chunk widths") {
