@@ -933,7 +933,53 @@ object SparkEntry {
         .cube(col("event_type"), col("weekday"))
         .agg(count(lit(1)).as("n_events"),
              countDistinct(col("user_id")).as("n_users"),
-             grouping_id().as("gid")))
+             grouping_id().as("gid"))),
+    "q103_expectations" -> ((s, dir) => {
+      // dbt's generic tests (not_null / unique / accepted_values /
+      // relationships) as ONE report query over the orders star; the
+      // accepted-values contract deliberately excludes 'P' so the check
+      // surfaces real violations, the others hold.
+      val orders = Tables.read(s, dir, "orders")
+      val customer = Tables.read(s, dir, "customer")
+      Expectations.report(Seq(
+        "orders_orderkey_unique" ->
+          Expectations.unique(orders, Seq("o_orderkey")),
+        "orders_custkey_not_null" ->
+          Expectations.notNull(orders, "o_custkey"),
+        "orders_status_in_o_f" ->
+          Expectations.acceptedValues(orders, "o_orderstatus", Seq("O", "F")),
+        "orders_custkey_fk" ->
+          Expectations.relationships(orders, "o_custkey", customer, "c_custkey"),
+        "events_user_fk" ->
+          Expectations.relationships(ev(s, dir), "user_id", customer,
+                                     "c_custkey")))
+    }),
+    "q104_pii_scrub" -> ((s, dir) => {
+      // PII detect + redact. The synthetic corpus carries no PII, so the
+      // query plants deterministic email/phone/IPv4 spans derived from
+      // doc_id (residues 3/4/5 → varying presence incl. none), then counts
+      // and scrubs them — the whole construction is replayed by the oracle.
+      val pii = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          substring(col("text"), 1, 80),
+          when(col("doc_id") % 3 === 0,
+               concat(lit(" mail user"), col("doc_id").cast("string"),
+                      lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+               concat(lit(" call +1555"),
+                      lpad((col("doc_id") * 7919 % 1000000).cast("string"),
+                           6, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+               concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+                      lit(".0."),
+                      (col("doc_id") * 3 % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      Privacy.scrubPii(Privacy.piiStats(pii, "text"), "text")
+        .select(col("doc_id"), col("n_emails").cast("long"),
+                col("n_phones").cast("long"), col("n_ipv4").cast("long"),
+                col("has_pii"), col("text_scrubbed"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2403,7 +2449,62 @@ object SparkEntry {
          |SELECT event_type, weekday, count(*) AS n_events,
          |  count(DISTINCT user_id) AS n_users,
          |  GROUPING(event_type, weekday) AS gid
-         |FROM w GROUP BY CUBE(event_type, weekday)""".stripMargin
+         |FROM w GROUP BY CUBE(event_type, weekday)""".stripMargin,
+    "q103_expectations" ->
+      s"""WITH $SrcCte
+         |SELECT 'orders_orderkey_unique' AS "check", count(*) AS violations
+         |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+         |      GROUP BY 1 HAVING count(*) > 1)
+         |UNION ALL
+         |SELECT 'orders_custkey_not_null', count(*) FROM orders
+         |WHERE o_custkey IS NULL
+         |UNION ALL
+         |SELECT 'orders_status_in_o_f', count(*) FROM orders
+         |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+         |UNION ALL
+         |SELECT 'orders_custkey_fk', count(*) FROM orders
+         |WHERE o_custkey IS NOT NULL
+         |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+         |UNION ALL
+         |SELECT 'events_user_fk', count(*) FROM src
+         |WHERE user_id IS NOT NULL
+         |  AND user_id NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+    "q104_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80)
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' call +1555' ||
+        |              lpad(CAST(doc_id * 7919 % 1000000 AS VARCHAR), 6, '0')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' host 10.' || (doc_id % 256) || '.0.' ||
+        |              (doc_id * 3 % 256)
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phones,
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ipv4,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) +
+        |  len(regexp_extract_all(text, '\+[0-9]{7,15}')) +
+        |  len(regexp_extract_all(text,
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) > 0
+        |    AS has_pii,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+        |      '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_scrubbed
+        |FROM p""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -41,4 +41,44 @@ object Privacy {
                    when(col("suppressed"), lit(null)).otherwise(col(name)))
     }
   }
+
+  /** PII patterns shared by [[piiStats]] and [[scrubPii]]. Restricted to
+    * regex constructs with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB/most engines): character classes, greedy counted repeats,
+    * no alternation/lookaround — detection is engine-reproducible, like the
+    * md5-derived hash families. `[.]` instead of `\.` keeps the strings
+    * SQL-quoting-safe.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  /** E.164-style international numbers: `+` then 7-15 digits. */
+  val PhonePattern = "\\+[0-9]{7,15}"
+  val Ipv4Pattern =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** Per-row PII match counts + a `has_pii` gate over `textCol`. Narrow
+    * codegen'd regexp projection — shuffle-free, one pass over the text
+    * column at any scale (the same shape as the charset QC scan).
+    */
+  def piiStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(Ipv4Pattern)))
+      .withColumn(
+        "has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ipv4")) > 0)
+
+  /** Redact PII spans in `textCol` with typed placeholders. Emails are
+    * replaced FIRST so address-internal digits/dots can't be re-matched as
+    * phone/IP fragments; the placeholders themselves contain no PII-matchable
+    * characters, so the passes compose without interference.
+    */
+  def scrubPii(df: DataFrame, textCol: String,
+               out: String = "text_scrubbed"): DataFrame =
+    df.withColumn(
+      out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>"))
 }

@@ -92,6 +92,37 @@ class Round3OpsSpec extends SparkTestBase {
     assert(rows.keySet === Set(1, 2, 3, 4, 5, 6))
   }
 
+  test("piiStats counts and scrubPii redacts email/phone/ipv4") {
+    val df = Seq(
+      (1, "reach me at jo.doe+spam@mail-host.co or +4915123456789 from 192.168.0.1"),
+      (2, "no pii here, just 42 and v1.2 notes"),
+      (3, "two mails: a@b.io c@d.org")
+    ).toDF("id", "text")
+    val stats = Privacy.piiStats(df, "text")
+      .select("id", "n_emails", "n_phones", "n_ipv4", "has_pii")
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(stats(1) === ((1, 1, 1, true)))
+    assert(stats(2) === ((0, 0, 0, false)))
+    assert(stats(3) === ((2, 0, 0, true)))
+    val scrubbed = Privacy.scrubPii(df, "text")
+      .select("id", "text_scrubbed")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(scrubbed(1) ===
+      "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(scrubbed(2) === "no pii here, just 42 and v1.2 notes")
+    assert(scrubbed(3) === "two mails: <EMAIL> <EMAIL>")
+  }
+
+  test("scrubPii redacts the email before its inner digits can match phone") {
+    // `+1234567` inside the local part would match PhonePattern on raw text;
+    // email-first ordering must consume it as part of the address.
+    val df = Seq((1, "ping user+1234567@corp.example please")).toDF("id", "text")
+    val out = Privacy.scrubPii(df, "text").select("text_scrubbed")
+      .collect().head.getString(0)
+    assert(out === "ping <EMAIL> please")
+  }
+
   test("snapshotDelta classifies inserts/updates/deletes against except-diff") {
     val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts_")
     val b0 = Seq((1, "a", ts("2025-01-01 00:00:00")),
