@@ -33,6 +33,20 @@ package graft
   *                         failing them pass through unchanged — as in the
   *                         reference, the caller must ensure they cover every
   *                         row the batch could affect.
+  * @param onSchemaChange   batch-vs-target schema drift policy, dbt's
+  *                         `on_schema_change` names: `fail` (default — the
+  *                         reference's custom materialization has no drift
+  *                         handling, so Snowflake MERGE errors on an unknown
+  *                         column; we fail fast with a readable message),
+  *                         `ignore` (dbt's incremental default: new batch
+  *                         columns dropped, batch columns for
+  *                         target-only fields NULL-filled), or
+  *                         `append_new_columns` (target history widened with
+  *                         NULLs; the new column joins change detection, so
+  *                         NULL→value produces a new version).
+  *                         `sync_all_columns` is deliberately not offered:
+  *                         dropping a column from an SCD table rewrites
+  *                         recorded history.
   */
 final case class ScdConfig(
     uniqueKey: Seq[String],
@@ -53,7 +67,8 @@ final case class ScdConfig(
     defaultValidTo: String = "2999-12-31 23:59:59",
     defaultValidFrom: String = "1900-01-01 00:00:00",
     updateAllPreviousRecords: Boolean = true,
-    collapseRedundantVersions: Boolean = true
+    collapseRedundantVersions: Boolean = true,
+    onSchemaChange: String = "fail"
 ) {
 
   /** Audit columns appended to every SCD table (`scd_plan.sql:88`). */
@@ -87,6 +102,10 @@ final case class ScdConfig(
       !(Set(0, 1).contains(scdType) && deletedAtCol.isDefined),
       s"deleted_at_column ('${deletedAtCol.orNull}') is set on an SCD type $scdType model, " +
         "but deletion tracking is not supported for SCD types 0 and 1.")
+    require(
+      Set("fail", "ignore", "append_new_columns").contains(onSchemaChange),
+      "on_schema_change must be one of fail, ignore, append_new_columns " +
+        s"(sync_all_columns would rewrite recorded history), got: $onSchemaChange")
   }
 
   /** Configured created_at / deleted_at columns must exist in the model output

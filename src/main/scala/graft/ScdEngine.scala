@@ -136,13 +136,62 @@ object ScdEngine {
 
   private def mergeWithPredicates(target: DataFrame,
                                   batch: DataFrame,
-                                  cfg: ScdConfig): DataFrame =
-    if (cfg.incrementalPredicates.isEmpty) incremental(target, batch, cfg)
+                                  cfg: ScdConfig): DataFrame = {
+    val (t, b) = alignSchemas(target, batch, cfg)
+    if (cfg.incrementalPredicates.isEmpty) incremental(t, b, cfg)
     else {
       val p = cfg.incrementalPredicates.map(expr).reduce(_ && _)
-      val merged = incremental(target.filter(p), batch, cfg)
-      merged.unionByName(target.filter(!coalesce(p, lit(false))))
+      val merged = incremental(t.filter(p), b, cfg)
+      merged.unionByName(t.filter(!coalesce(p, lit(false))))
     }
+  }
+
+  /** Reconcile batch-vs-target schema drift per `cfg.onSchemaChange` (dbt's
+    * `on_schema_change`; the reference's materialization predates drift
+    * handling, so its runtime behavior is a Snowflake MERGE error = `fail`).
+    *
+    *  - `fail`: any drift (case-insensitive) throws with both column sets.
+    *  - `ignore`: the target schema wins — new batch columns are dropped,
+    *    batch rows get typed NULLs for target-only business columns.
+    *  - `append_new_columns`: the union schema wins — existing history is
+    *    widened with typed NULLs for new batch columns (they join change
+    *    detection: NULL→value is a version change), and batch rows get
+    *    typed NULLs for target-only columns (a column REMOVED from the
+    *    source keeps its recorded history; new versions carry NULL).
+    *
+    * Audit columns live only on the target by construction and never count
+    * as drift. Pure projection work — no extra shuffle or scan at any scale.
+    */
+  def alignSchemas(target: DataFrame,
+                   batch: DataFrame,
+                   cfg: ScdConfig): (DataFrame, DataFrame) = {
+    val tSet = target.columns.map(_.toUpperCase).toSet
+    val bSet = batch.columns.map(_.toUpperCase).toSet
+    val audit = cfg.auditColumns.map(_.toUpperCase).toSet
+    val newCols = batch.columns.toSeq
+      .filterNot(c => tSet.contains(c.toUpperCase))
+    val removedCols = target.columns.toSeq
+      .filterNot(c => audit.contains(c.toUpperCase) || bSet.contains(c.toUpperCase))
+    def typeOf(df: DataFrame, c: String) =
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+    def nullFill(df: DataFrame, cols: Seq[String], donor: DataFrame) =
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(typeOf(donor, c))))
+    cfg.onSchemaChange match {
+      case "ignore" =>
+        (target, nullFill(batch.drop(newCols: _*), removedCols, target))
+      case "append_new_columns" =>
+        (nullFill(target, newCols, batch),
+         nullFill(batch, removedCols, target))
+      case _ =>
+        require(
+          newCols.isEmpty && removedCols.isEmpty,
+          s"schema changed under on_schema_change=fail: batch adds " +
+            s"[${newCols.mkString(", ")}], batch is missing " +
+            s"[${removedCols.mkString(", ")}]")
+        (target, batch)
+    }
+  }
 
   /** Deterministic bucket id for a row's business key: murmur3 over the key
     * columns (null-tolerant), non-negative mod n. Stable across writes, so a

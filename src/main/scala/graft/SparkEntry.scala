@@ -979,6 +979,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails").cast("long"),
                 col("n_phones").cast("long"), col("n_ipv4").cast("long"),
                 col("has_pii"), col("text_scrubbed"))
+    }),
+    "q105_schema_evolution" -> ((s, dir) => {
+      // on_schema_change=append_new_columns mid-stream: the target history
+      // predates `flag`; the next batch carries it. alignSchemas widens the
+      // history with typed NULLs and the new column joins change detection
+      // (NULL->value = a new version), so the merge result equals a full
+      // refresh over the union where pre-evolution rows have NULL flag.
+      val all = ev(s, dir)
+      val target = Scd2
+        .initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      val batch = all.filter(col("event_id") % 2 === 1)
+        .withColumn("flag", upper(col("event_type")))
+      val cfgE = evCfg.copy(onSchemaChange = "append_new_columns")
+      val (t, b) = ScdEngine.alignSchemas(target, batch, cfgE)
+      Scd2.incremental(t, b, cfgE)
     })
   )
 
@@ -2504,7 +2520,52 @@ object SparkEntry {
         |      '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
         |      '<IP>', 'g'),
         |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_scrubbed
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "q105_schema_evolution" -> {
+      // Two hash epochs: the initial load's change filter never saw `flag`;
+      // the post-evolution merge hashes the widened column set with NULL
+      // (= '') for pre-evolution history.
+      def h(cols: Seq[String]) = "md5(concat_ws('-', " +
+        cols.map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") +
+        "))"
+      s"""WITH $SrcCte,
+         |h0 AS (SELECT *, ${h(AllCheck)} AS _h FROM src WHERE event_id % 2 = 0),
+         |kept0 AS (
+         |  SELECT * EXCLUDE (_ph, _h) FROM (
+         |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph FROM h0
+         |  ) WHERE _ph IS NULL OR _h <> _ph
+         |),
+         |u AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props,
+         |         CAST(NULL AS VARCHAR) AS flag FROM kept0
+         |  UNION ALL
+         |  SELECT event_id, ts, user_id, event_type, value, props,
+         |         upper(event_type) AS flag FROM src WHERE event_id % 2 = 1
+         |),
+         |h1 AS (SELECT *, ${h(AllCheck :+ "flag")} AS _h FROM u),
+         |chg AS (
+         |  SELECT *, CASE WHEN lag(_h) OVER w IS NULL THEN 0
+         |                 WHEN _h <> lag(_h) OVER w THEN 1 ELSE 0 END AS _c
+         |  FROM h1 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |runs AS (
+         |  SELECT *, sum(_c) OVER (PARTITION BY user_id ORDER BY ts
+         |                          ROWS UNBOUNDED PRECEDING) AS _run
+         |  FROM chg
+         |),
+         |collapsed AS (
+         |  SELECT * FROM runs
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, _run ORDER BY ts) = 1
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props, flag,
+         |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1) AS _is_current,
+         |  ts AS _valid_from,
+         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+         |           TIMESTAMP '2999-12-31 23:59:59') AS _valid_to,
+         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
+         |       THEN 'I' ELSE 'U' END AS _change_type
+         |FROM collapsed""".stripMargin
+    }
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
