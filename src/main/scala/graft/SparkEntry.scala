@@ -995,6 +995,16 @@ object SparkEntry {
       val cfgE = evCfg.copy(onSchemaChange = "append_new_columns")
       val (t, b) = ScdEngine.alignSchemas(target, batch, cfgE)
       Scd2.incremental(t, b, cfgE)
+    }),
+    "q106_lm_score" -> ((s, dir) => {
+      // Model-based quality filter: score held-out documents (odd doc_ids)
+      // against the bigram LM of the other half (even doc_ids) in integer
+      // ppm — the CCNet/KenLM filter shape without float logs.
+      val d = docs(s, dir)
+      TextAnalysis.bigramLmScore(
+        d.filter(col("doc_id") % 2 === 1),
+        d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
     })
   )
 
@@ -2565,7 +2575,34 @@ object SparkEntry {
          |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1
          |       THEN 'I' ELSE 'U' END AS _change_type
          |FROM collapsed""".stripMargin
-    }
+    },
+    "q106_lm_score" ->
+      s"""WITH $ToksCte,
+         |lmbig AS (SELECT unnest(list_transform(generate_series(0, len(t) - 2),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+         |  FROM toks WHERE len(t) >= 2 AND doc_id % 2 = 0),
+         |lmtf AS (SELECT bigram, count(*) AS tf FROM lmbig GROUP BY 1),
+         |lm AS (SELECT bigram, (tf * 1000000) // CAST(sum(tf) OVER (
+         |    PARTITION BY split_part(bigram, ' ', 1)) AS BIGINT) AS cond_ppm
+         |  FROM lmtf),
+         |db AS (SELECT doc_id, unnest(list_transform(generate_series(0, len(t) - 2),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+         |  FROM toks WHERE len(t) >= 2 AND doc_id % 2 = 1),
+         |dtf AS (SELECT doc_id, bigram, count(*) AS tf FROM db GROUP BY 1, 2),
+         |j AS (SELECT dtf.doc_id, dtf.tf, lm.cond_ppm
+         |      FROM dtf LEFT JOIN lm USING (bigram)),
+         |g AS (SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN cond_ppm IS NULL THEN tf ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN cond_ppm IS NOT NULL THEN tf * cond_ppm
+         |               ELSE 0 END) AS BIGINT) AS score_ppm_sum
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_oov, score_ppm_sum,
+         |  CASE WHEN n_bigrams > n_oov
+         |       THEN score_ppm_sum // (n_bigrams - n_oov) ELSE 0 END
+         |    AS avg_cond_ppm
+         |FROM g""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -368,6 +368,58 @@ object TextAnalysis {
       .select("rank", "bigram", "tf", "first_tf", "cond_ppm")
   }
 
+  /** Per-document quality score against a reference-corpus bigram LM — the
+    * model-based filter shape (CCNet/KenLM-style): held-out documents whose
+    * bigrams the reference corpus rarely continues score low. Stays in
+    * integer ppm space (sum of MLE conditional probabilities, not float
+    * log-likelihood) so the ranking is bit-identical in any engine; a
+    * monotone score is all a quality threshold needs.
+    *
+    * Outputs per document: `n_bigrams` (occurrences), `n_oov` (occurrences
+    * whose bigram the LM never saw), `score_ppm_sum` (Σ tf·P(w2|w1) in ppm
+    * over LM hits), `avg_cond_ppm` (mean over hits; 0 when every bigram is
+    * OOV).
+    *
+    * Shuffle shape: both sides are explode + ONE map-side-combined
+    * aggregate (corpus-sized passes); the join key is the bigram and the
+    * aggregated LM is vocabulary²-bounded — dimension-sized in practice, so
+    * Catalyst broadcasts it and the scored corpus never wide-shuffles. At
+    * 100 TB: two narrow passes + a broadcast join + a per-doc combine.
+    */
+  def bigramLmScore(docs: DataFrame,
+                    lmCorpus: DataFrame,
+                    idCol: String,
+                    textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    def bigrams(df: DataFrame, cols: Column*) = df
+      .filter(size(toks) >= 2)
+      .select(cols :+ explode_outer(orderedShingles(toks, 2)).as("bigram"): _*)
+    val lm = bigrams(lmCorpus)
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("_lm_tf"))
+      .withColumn("_first_tf",
+                  sum(col("_lm_tf")).over(Window.partitionBy(
+                    substring_index(col("bigram"), " ", 1))))
+      .select(col("bigram"),
+              expr("(_lm_tf * 1000000) DIV _first_tf").as("cond_ppm"))
+    bigrams(docs, col(idCol))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+      .join(lm, Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(when(col("cond_ppm").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"),
+        sum(when(col("cond_ppm").isNotNull, col("tf") * col("cond_ppm"))
+          .otherwise(lit(0L))).as("score_ppm_sum"))
+      .withColumn(
+        "avg_cond_ppm",
+        when(col("n_bigrams") > col("n_oov"),
+             expr("score_ppm_sum DIV (n_bigrams - n_oov)")).otherwise(lit(0L)))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each of the
     * document's ordered `n`-token shingles, then keep the minimum hash of
     * every `w`-long sliding window of consecutive shingle hashes. Guarantees

@@ -15,6 +15,22 @@ class PipelineOpsSpec extends SparkTestBase {
   private def docsDf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("bigramLmScore: ppm conditionals over hits, OOV occurrences counted") {
+    // LM corpus: "a b" x2, "a c" x1 => P(b|a)=2/3 (666666 ppm),
+    // P(c|a)=1/3 (333333 ppm); "b z" => P(z|b)=1 (1000000 ppm)
+    val lm = docsDf((100L, "a b z"), (101L, "a b"), (102L, "a c"))
+    // doc 1: bigrams "a b"(hit 666666), "b q"(OOV) ; doc 2: all OOV
+    val scored = TextAnalysis
+      .bigramLmScore(docsDf((1L, "a b q"), (2L, "x y")), lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(scored(1L) === ((2L, 1L, 666666L, 666666L)))
+    assert(scored(2L) === ((1L, 1L, 0L, 0L))) // all-OOV => avg 0, not div0
+    // single-token / blank docs don't emit rows
+    assert(TextAnalysis.bigramLmScore(
+      docsDf((3L, "solo"), (4L, "  ")), lm, "doc_id", "text").count() === 0)
+  }
+
   test("fingerprint: whitespace/case-insensitive content identity") {
     val df = docsDf(
       1L -> "Hello  World",
