@@ -1005,6 +1005,41 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 1),
         d.filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
+    }),
+    "q107_domains" -> ((s, dir) => {
+      // Per-domain URL stats. The corpus carries no URLs, so the query
+      // plants deterministic doc_id-derived links (residues 3/4 → zero, one
+      // or two per doc) and aggregates host extractions — replayed verbatim
+      // by the oracle.
+      val withUrls = docs(s, dir).select(
+        col("doc_id"),
+        concat(
+          substring(col("text"), 1, 60),
+          when(col("doc_id") % 3 === 0,
+               concat(lit(" see https://site"),
+                      (col("doc_id") % 7).cast("string"),
+                      lit(".example.com/page"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+               concat(lit(" via http://cdn"),
+                      (col("doc_id") % 5).cast("string"),
+                      lit(".example.org"))).otherwise(lit(""))).as("text"))
+      TextAnalysis.urlDomains(withUrls, "doc_id", "text")
+    }),
+    "q108_strip_markup" -> ((s, dir) => {
+      // Markup strip + boilerplate ratio over a deterministically
+      // HTML-wrapped half of the corpus (the other half passes through and
+      // must measure ~0 ppm).
+      val html = docs(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+             concat(lit("<html><p class=\"lead\">"),
+                    substring(col("text"), 1, 50),
+                    lit("</p> <br/><div>"),
+                    substring(col("text"), 51, 40),
+                    lit("</div></html>")))
+          .otherwise(substring(col("text"), 1, 90)).as("text"))
+      TextAnalysis.markupStats(html, "text")
+        .select("doc_id", "text_clean", "markup_ratio_ppm")
     })
   )
 
@@ -2602,7 +2637,41 @@ object SparkEntry {
          |  CASE WHEN n_bigrams > n_oov
          |       THEN score_ppm_sum // (n_bigrams - n_oov) ELSE 0 END
          |    AS avg_cond_ppm
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    "q107_domains" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60)
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' see https://site' || (doc_id % 7) || '.example.com/page'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' via http://cdn' || (doc_id % 5) || '.example.org'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(text,
+        |          'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |      FROM p)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM d GROUP BY 1""".stripMargin,
+    "q108_strip_markup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<html><p class="lead">' || substr(text, 1, 50)
+        |           || '</p> <br/><div>' || substr(text, 51, 40)
+        |           || '</div></html>'
+        |      ELSE substr(text, 1, 90) END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),
+        |                            '\s+', ' ', 'g')) AS text_clean
+        |      FROM p)
+        |SELECT doc_id, text_clean,
+        |  ((length(text) - length(text_clean)) * 1000000)
+        |    // greatest(length(text), 1) AS markup_ratio_ppm
+        |FROM c""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -420,6 +420,39 @@ object TextAnalysis {
              expr("score_ppm_sum DIV (n_bigrams - n_oov)")).otherwise(lit(0L)))
   }
 
+  /** Per-domain URL statistics over a text corpus — the web-curation
+    * primitive behind per-domain sampling caps, blocklists, and provenance
+    * reports. Hosts are pulled with a Java-regex ∩ RE2 group extraction
+    * (engine-reproducible, like the PII patterns); the corpus-sized side is
+    * one explode + combine-enabled aggregate onto the domain key, whose
+    * cardinality is web-host-bounded (dimension-sized at any corpus scale).
+    */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        explode_outer(regexp_extract_all(
+          col(textCol), lit("https?://([A-Za-z0-9.-]+)"), lit(1)))
+          .as("domain"))
+      .filter(col("domain").isNotNull)
+      .groupBy("domain")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+           count(lit(1)).as("n_urls"))
+
+  /** Markup-stripped text: tags removed, whitespace squeezed, trimmed. */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]+>", " "), "\\s+", " "))
+
+  /** Attach `text_clean` ([[stripMarkup]]) and the integer-ppm share of
+    * characters the strip removed — the boilerplate tripwire for HTML-heavy
+    * sources. Narrow codegen'd projection, shuffle-free.
+    */
+  def markupStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_clean", stripMarkup(col(textCol)))
+      .withColumn(
+        "markup_ratio_ppm",
+        expr(s"((length($textCol) - length(text_clean)) * 1000000) " +
+          s"DIV greatest(length($textCol), 1)"))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each of the
     * document's ordered `n`-token shingles, then keep the minimum hash of
     * every `w`-long sliding window of consecutive shingle hashes. Guarantees

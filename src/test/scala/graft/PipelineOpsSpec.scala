@@ -31,6 +31,29 @@ class PipelineOpsSpec extends SparkTestBase {
       docsDf((3L, "solo"), (4L, "  ")), lm, "doc_id", "text").count() === 0)
   }
 
+  test("urlDomains: host extraction, per-domain doc and url counts") {
+    val df = docsDf(
+      (1L, "see https://a.example.com/x and https://a.example.com/y"),
+      (2L, "http://b.org/z then https://a.example.com"),
+      (3L, "no links at all"))
+    val out = TextAnalysis.urlDomains(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("a.example.com" -> ((2L, 3L)), "b.org" -> ((1L, 1L))))
+  }
+
+  test("stripMarkup/markupStats: tags out, whitespace squeezed, ppm ratio") {
+    val df = docsDf(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "plain text"))
+    val out = TextAnalysis.markupStats(df, "text")
+      .select("doc_id", "text_clean", "markup_ratio_ppm")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === "hello world")
+    // 25 raw chars -> 11 clean = 14 removed = 560000 ppm
+    assert(out(1L)._2 === 560000L)
+    assert(out(2L) === (("plain text", 0L)))
+  }
+
   test("fingerprint: whitespace/case-insensitive content identity") {
     val df = docsDf(
       1L -> "Hello  World",
