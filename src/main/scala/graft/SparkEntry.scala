@@ -1040,7 +1040,11 @@ object SparkEntry {
           .otherwise(substring(col("text"), 1, 90)).as("text"))
       TextAnalysis.markupStats(html, "text")
         .select("doc_id", "text_clean", "markup_ratio_ppm")
-    })
+    }),
+    "q109_dup_spans" -> ((s, dir) =>
+      // Exact substring-duplication mass: spans shared across the corpus's
+      // planted near-dups light up; clean docs sit at 0 ppm.
+      Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", n = 20))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2671,7 +2675,21 @@ object SparkEntry {
         |SELECT doc_id, text_clean,
         |  ((length(text) - length(text_clean)) * 1000000)
         |    // greatest(length(text), 1) AS markup_ratio_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q109_dup_spans" ->
+      s"""WITH $ToksCte,
+         |sp AS (SELECT doc_id, md5(s) AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(0, len(t) - 20),
+         |    i -> array_to_string(t[i+1:i+20], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 20)),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM sp),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |        CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_dup_spans
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |  (n_dup_spans * 1000000) // n_spans AS dup_ppm
+         |FROM g""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -403,4 +403,36 @@ object Dedup {
     df.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .join(blocklist, Seq("fingerprint"), "left_anti")
       .drop("fingerprint")
+
+  /** Corpus-global duplicated-span statistics: for each document, how many
+    * of its ordered `n`-token spans occur more than once ANYWHERE in the
+    * corpus — the exact-substring duplication signal ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022; their
+    * suffix-array match length is 50 BPE tokens ≈ this span granularity).
+    * High `dup_ppm` docs are boilerplate/template pages even when no whole
+    * document matches ([[minhashLshPairs]] can't see sub-document copying).
+    *
+    * Scale shape: one explode into md5 span keys, ONE exchange on the span
+    * hash (the whole-partition count window sorts only by the hash), then a
+    * map-side-combined per-doc aggregate. Spans-per-token is ~1, so the
+    * exchange is corpus-token-sized — the honest cost of substring-level
+    * dedup; there is no cheaper exact formulation.
+    */
+  def dupSpanStats(df: DataFrame,
+                   idCol: String,
+                   textCol: String,
+                   n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.filter(size(toks) >= n)
+      .select(col(idCol),
+              explode_outer(transform(TextAnalysis.orderedShingles(toks, n),
+                                      s => md5(s))).as("_h"))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("_h"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("_cnt") > 1, lit(1L)).otherwise(lit(0L)))
+             .as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("(n_dup_spans * 1000000) DIV n_spans"))
+  }
 }

@@ -175,6 +175,30 @@ object Stress {
       f"overlap ${ojK / oj1 / k}%.2f, winnow ${wnK / wn1 / k}%.2f, " +
       f"bigram ${bgK / bg1 / k}%.2f, cdc ${cdK / cd1 / k}%.2f")
 
+    // Round-3c operators --------------------------------------------------
+    import graft.operators.Privacy
+    def halves(df: DataFrame) =
+      (df.filter(col("doc_id") % 2 === 1), df.filter(col("doc_id") % 2 === 0))
+    val (ho1, tr1) = halves(d1)
+    val (hoK, trK) = halves(dK) // shift is even, parity split survives copies
+    val lm1 = time("lm score 1x")(
+      TextAnalysis.bigramLmScore(ho1, tr1, "doc_id", "text"))
+    val lmK = time(s"lm score ${k}x")(
+      TextAnalysis.bigramLmScore(hoK, trK, "doc_id", "text"))
+    val pi1 = time("pii scrub 1x")(
+      Privacy.scrubPii(Privacy.piiStats(d1, "text"), "text"))
+    val piK = time(s"pii scrub ${k}x")(
+      Privacy.scrubPii(Privacy.piiStats(dK, "text"), "text"))
+    val ud1 = time("url domains 1x")(
+      TextAnalysis.urlDomains(d1, "doc_id", "text"))
+    val udK = time(s"url domains ${k}x")(
+      TextAnalysis.urlDomains(dK, "doc_id", "text"))
+    val mk1 = time("markup stats 1x")(TextAnalysis.markupStats(d1, "text"))
+    val mkK = time(s"markup stats ${k}x")(TextAnalysis.markupStats(dK, "text"))
+    println(f"[stress] r3c slopes at k=$k (1.0 = linear): " +
+      f"lm_score ${lmK / lm1 / k}%.2f, pii ${piK / pi1 / k}%.2f, " +
+      f"domains ${udK / ud1 / k}%.2f, markup ${mkK / mk1 / k}%.2f")
+
     // Salted-join value probe: a 20%-to-one-key-skewed fact against a tiny
     // dim with broadcast DISABLED (the regime salting exists for — when the
     // small side can't broadcast and AQE can't split the build). Result sets

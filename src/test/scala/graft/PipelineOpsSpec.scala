@@ -31,6 +31,23 @@ class PipelineOpsSpec extends SparkTestBase {
       docsDf((3L, "solo"), (4L, "  ")), lm, "doc_id", "text").count() === 0)
   }
 
+  test("dupSpanStats: corpus-global span counts, within-doc repeats count") {
+    val df = docsDf(
+      (1L, "a b c d e"),     // spans abc, bcd, cde -> abc shared with doc 2
+      (2L, "x a b c y"),     // spans xab, abc, bcy
+      (3L, "p q r s"),       // all unique
+      (4L, "m m m m m"),     // mmm x3: self-duplication is duplication
+      (5L, "just two"))      // < n tokens -> no row
+    val out = Dedup.dupSpanStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((3L, 1L, 333333L)),
+      3L -> ((2L, 0L, 0L)),
+      4L -> ((3L, 3L, 1000000L))))
+  }
+
   test("urlDomains: host extraction, per-domain doc and url counts") {
     val df = docsDf(
       (1L, "see https://a.example.com/x and https://a.example.com/y"),
