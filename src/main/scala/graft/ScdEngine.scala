@@ -218,6 +218,26 @@ object ScdEngine {
                                   cfg: ScdConfig,
                                   n: Int): Unit = {
     val keys = cfg.uniqueKey.map(resolveCi(batch.columns.toSeq, _))
+    // Schema-WIDENING evolution cannot ride the pruned path: rewriting only
+    // touched buckets would leave untouched bucket files with the old
+    // footer schema, and a later plain parquet read resolves the table
+    // schema from ONE footer — the new column silently vanishes (or reads
+    // NULL) depending on which file wins. Evolution is rare and operator-
+    // initiated, so pay a one-off full rewrite that keeps every bucket's
+    // disk schema uniform. (`ignore` drops the new columns, `fail` throws
+    // in alignSchemas — neither widens disk, both stay pruned.)
+    val widens = cfg.onSchemaChange == "append_new_columns" && {
+      val tCols = spark.read.parquet(targetPath).columns
+        .map(_.toUpperCase).toSet
+      batch.columns.exists(c => !tCols.contains(c.toUpperCase))
+    }
+    if (widens) {
+      val target = spark.read.parquet(targetPath).drop(BucketCol)
+      val snapshot = mergeWithPredicates(target, batch, cfg)
+      atomicSwap(spark, fs, withBucket(snapshot, cfg, Some(n)), targetPath,
+                 Some(n))
+      return
+    }
     // Tiny driver-side aggregate: which buckets does the batch touch?
     val touched = batch
       .select(bucketOf(keys, n).as(BucketCol))

@@ -85,6 +85,33 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(ScdInvariants.checkAll(out, cfg).filter(_._2 > 0).isEmpty)
   }
 
+  test("append_new_columns under the bucketed layout rewrites EVERY bucket") {
+    val path = newDim("bucketed")
+    val cfg = base.copy(onSchemaChange = "append_new_columns")
+    ScdEngine.run(spark, batch1, path, cfg, numBuckets = Some(4))
+    // The widening batch touches ONLY k=1's bucket. If evolution rode the
+    // pruned path, k=2's bucket files would keep the old footer schema and
+    // a plain read would resolve `tier` from whichever footer wins —
+    // silently dropping the column or the rows' values.
+    val widening = Seq((1, "b", 7, ts("2025-01-02 00:00:00")))
+      .toDF("k", "v", "tier", "_updated_at")
+    val out = ScdEngine.run(spark, widening, path, cfg, numBuckets = Some(4))
+    assert(out.columns.contains("tier"))
+    assert(out.filter($"k" === 1).count() === 2)
+    // untouched key's history is present AND carries the widened column
+    assert(out.filter($"k" === 2).count() === 1)
+    assert(out.filter($"k" === 2).head().getAs[Any]("tier") == null)
+    // every bucket dir's files now share the widened schema: a pruned
+    // follow-up merge against an untouched-last-time bucket still works
+    val b3 = Seq((2, "z", 5, ts("2025-01-03 00:00:00")))
+      .toDF("k", "v", "tier", "_updated_at")
+    val out3 = ScdEngine.run(spark, b3, path, cfg, numBuckets = Some(4))
+    assert(out3.filter($"k" === 2).count() === 2)
+    assert(out3.filter($"_is_current" && $"k" === 2).head()
+      .getAs[Int]("tier") === 5)
+    assert(ScdInvariants.checkAll(out3, cfg).filter(_._2 > 0).isEmpty)
+  }
+
   test("sync_all_columns is rejected at validate time") {
     intercept[IllegalArgumentException] {
       base.copy(onSchemaChange = "sync_all_columns").validate()
