@@ -1044,7 +1044,40 @@ object SparkEntry {
     "q109_dup_spans" -> ((s, dir) =>
       // Exact substring-duplication mass: spans shared across the corpus's
       // planted near-dups light up; clean docs sit at 0 ppm.
-      Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", n = 20))
+      Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", n = 20)),
+    "q110_web_pipeline" -> ((s, dir) => {
+      // The r3c web-curation flagship as ONE DAG: deterministic raw web
+      // shape (half the corpus HTML-wrapped, doc_id-derived PII planted) →
+      // markup strip → PII stats + scrub on the CLEAN text → token-count
+      // quality gate → per-source rollup. Everything stays a narrow
+      // projection until the dimension-sized final aggregate.
+      val synth = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+               concat(lit("<html><p>"), substring(col("text"), 1, 70),
+                      lit("</p><div>"), substring(col("text"), 71, 30),
+                      lit("</div></html>")))
+            .otherwise(substring(col("text"), 1, 100)),
+          when(col("doc_id") % 3 === 0,
+               concat(lit(" contact user"), col("doc_id").cast("string"),
+                      lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+               concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                      lit(".0."), (col("doc_id") * 3 % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      val stripped = TextAnalysis.markupStats(synth, "text")
+      val scrubbed = Privacy.scrubPii(
+        Privacy.piiStats(stripped, "text_clean"), "text_clean")
+      val toks = TextAnalysis.tokenCount(col("text_scrubbed"))
+      scrubbed
+        .filter(toks >= 12)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_emails") + col("n_ipv4")).as("n_pii"),
+             sum(toks.cast("long")).as("n_tokens"),
+             sum(col("markup_ratio_ppm")).as("markup_ppm_sum"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2689,7 +2722,50 @@ object SparkEntry {
          |      FROM c GROUP BY 1)
          |SELECT doc_id, n_spans, n_dup_spans,
          |  (n_dup_spans * 1000000) // n_spans AS dup_ppm
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    "q110_web_pipeline" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val cleanExpr =
+        """trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),
+          |                    '\s+', ' ', 'g'))""".stripMargin
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN doc_id % 2 = 0
+         |       THEN '<html><p>' || substr(text, 1, 70) || '</p><div>'
+         |            || substr(text, 71, 30) || '</div></html>'
+         |       ELSE substr(text, 1, 100) END)
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || doc_id || '@example.com'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' from 10.' || (doc_id % 256) || '.0.' ||
+         |              (doc_id * 3 % 256)
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, text, $cleanExpr AS text_clean,
+         |        ((length(text) - length($cleanExpr)) * 1000000)
+         |          // greatest(length(text), 1) AS markup_ratio_ppm
+         |      FROM p),
+         |s AS (SELECT doc_id, source, markup_ratio_ppm,
+         |        len(regexp_extract_all(text_clean, '$emailRe')) AS n_emails,
+         |        len(regexp_extract_all(text_clean, '$ipRe')) AS n_ipv4,
+         |        regexp_replace(regexp_replace(regexp_replace(text_clean,
+         |          '$emailRe', '<EMAIL>', 'g'),
+         |          '$ipRe', '<IP>', 'g'),
+         |          '\\+[0-9]{7,15}', '<PHONE>', 'g') AS text_scrubbed
+         |      FROM c),
+         |g AS (SELECT *,
+         |        CASE WHEN length(trim(text_scrubbed)) = 0 THEN 0
+         |             ELSE len(regexp_split_to_array(lower(trim(text_scrubbed)),
+         |                                            '\\s+')) END AS n_toks
+         |      FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_emails + n_ipv4) AS BIGINT) AS n_pii,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(markup_ratio_ppm) AS BIGINT) AS markup_ppm_sum
+         |FROM g WHERE n_toks >= 12 GROUP BY 1""".stripMargin
+    }
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
