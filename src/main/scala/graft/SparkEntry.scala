@@ -1077,6 +1077,23 @@ object SparkEntry {
              sum(col("n_emails") + col("n_ipv4")).as("n_pii"),
              sum(toks.cast("long")).as("n_tokens"),
              sum(col("markup_ratio_ppm")).as("markup_ppm_sum"))
+    }),
+    "q111_remix" -> ((s, dir) => {
+      // Data mixing: rebalance the corpus's language mix (en-dominant by
+      // mass) to a target recipe by downsampling-only keep rates, applied
+      // with the deterministic id-hash draw; report rates + achieved mass.
+      val d = docs(s, dir)
+      val rates = Sampling.remixRates(
+        d, "lang", col("n_chars"),
+        Seq("en" -> 300000L, "de" -> 200000L, "es" -> 200000L,
+            "fr" -> 150000L, "zh" -> 150000L))
+      Sampling.remixApply(d, "doc_id", "lang", rates)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+             sum(col("n_chars")).as("mass_kept"))
+        .join(rates, Seq("lang"))
+        .select("lang", "mass", "target_ppm", "rate_ppm",
+                "n_docs_kept", "mass_kept")
     })
   )
 
@@ -2765,7 +2782,32 @@ object SparkEntry {
          |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
          |  CAST(sum(markup_ratio_ppm) AS BIGINT) AS markup_ppm_sum
          |FROM g WHERE n_toks >= 12 GROUP BY 1""".stripMargin
-    }
+    },
+    "q111_remix" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(sum(n_chars) AS HUGEINT) AS mass FROM documents
+        |  WHERE lang IN ('en', 'de', 'es', 'fr', 'zh') GROUP BY 1),
+        |t AS (SELECT lang, mass,
+        |        CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 200000
+        |                  WHEN 'es' THEN 200000 WHEN 'fr' THEN 150000
+        |                  WHEN 'zh' THEN 150000 END AS target_ppm
+        |      FROM m),
+        |f AS (SELECT *, mass * 1000000 // target_ppm AS fr FROM t),
+        |fs AS (SELECT *, min(fr) OVER () AS fstar FROM f),
+        |r AS (SELECT lang, CAST(mass AS BIGINT) AS mass,
+        |        CAST(target_ppm AS BIGINT) AS target_ppm,
+        |        CAST(least(1000000, target_ppm * fstar // mass) AS BIGINT)
+        |          AS rate_ppm
+        |      FROM fs),
+        |k AS (SELECT d.lang, d.n_chars FROM documents d JOIN r USING (lang)
+        |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |              ::UBIGINT % 1000000 < r.rate_ppm),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |        CAST(sum(n_chars) AS BIGINT) AS mass_kept
+        |      FROM k GROUP BY 1)
+        |SELECT r.lang, r.mass, r.target_ppm, r.rate_ppm,
+        |  g.n_docs_kept, g.mass_kept
+        |FROM r JOIN g USING (lang)""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

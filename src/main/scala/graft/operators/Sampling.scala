@@ -64,6 +64,61 @@ object Sampling {
     df.filter(hashBucket(col(idCol), den) < rate)
   }
 
+  /** Keep-rates that remix the corpus to target per-stratum ppm shares —
+    * the data-mixing primitive (rebalance sources/languages to a recipe).
+    * Downsampling only: the largest feasible output corpus F* satisfies
+    * `rate_s = target_s · F* / mass_s <= 1` for every listed stratum, i.e.
+    * `F* = min_s(mass_s / target_s)`; the binding stratum keeps ~everything
+    * and over-represented strata are cut to proportion. All arithmetic is
+    * integer (DECIMAL(38,0) products guard the ppm-scale overflow at
+    * 100 TB token masses), so the rates — and therefore the kept set — are
+    * engine-exact. Cost: one dimension-sized aggregate + a window over the
+    * strata relation.
+    *
+    * Returns one row per listed stratum:
+    * `(stratum, mass, target_ppm, rate_ppm)`. Strata not listed are
+    * implicitly rate-0 (dropped by [[remixApply]]'s inner join).
+    */
+  def remixRates(df: DataFrame,
+                 strataCol: String,
+                 weight: Column,
+                 targetPpm: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetPpm.nonEmpty, "need at least one target stratum")
+    require(targetPpm.forall(_._2 > 0), "target shares must be positive ppm")
+    require(targetPpm.map(_._2).sum <= 1000000L,
+            "target shares must sum to <= 1000000 ppm")
+    val tcol = targetPpm.foldRight(lit(null).cast("long")) {
+      case ((s, t), rest) => when(col(strataCol) === s, lit(t)).otherwise(rest)
+    }
+    df.filter(col(strataCol).isin(targetPpm.map(_._1): _*))
+      .groupBy(col(strataCol))
+      .agg(sum(weight).cast("decimal(38,0)").as("mass"))
+      .withColumn("target_ppm", tcol)
+      .withColumn("_f", expr("mass * 1000000 DIV target_ppm"))
+      .withColumn("_fstar",
+                  min(col("_f")).over(Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn(
+        "rate_ppm",
+        least(lit(1000000L),
+              expr("CAST(target_ppm AS DECIMAL(38,0)) * _fstar DIV mass")))
+      .select(col(strataCol), col("mass").cast("long").as("mass"),
+              col("target_ppm"), col("rate_ppm"))
+  }
+
+  /** Apply a [[remixRates]] table: broadcast it back onto the corpus and
+    * keep each row iff its deterministic id-hash draw (den = 1e6) falls
+    * under its stratum's rate. Shuffle-free on the corpus side.
+    */
+  def remixApply(df: DataFrame,
+                 idCol: String,
+                 strataCol: String,
+                 rates: DataFrame): DataFrame =
+    df.join(broadcast(rates.select(col(strataCol), col("rate_ppm"))),
+            Seq(strataCol))
+      .filter(hashBucket(col(idCol), 1000000) < col("rate_ppm"))
+
   /** Label every row with a split name by cumulative per-mille weight,
     * e.g. Seq("train" -> 980, "val" -> 10, "test" -> 10). Weights must sum
     * to <= den; rows past the last cumulative bound get the last label.

@@ -31,6 +31,33 @@ class PipelineOpsSpec extends SparkTestBase {
       docsDf((3L, "solo"), (4L, "  ")), lm, "doc_id", "text").count() === 0)
   }
 
+  test("remixRates: binding stratum keeps all, others cut to proportion") {
+    // mass a=100, b=50; 50/50 target => F* = min(100/0.5, 50/0.5) = 100
+    // => rate_a = 0.5*100/100 = 500000 ppm, rate_b = 0.5*100/50 = 1e6 (capped)
+    val df = Seq(
+      (1L, "a", 60L), (2L, "a", 40L),
+      (3L, "b", 50L),
+      (4L, "c", 999L) // unlisted stratum: no rate row, dropped by apply
+    ).toDF("id", "s", "w")
+    val rates = Sampling.remixRates(df, "s", col("w"),
+                                    Seq("a" -> 500000L, "b" -> 500000L))
+    val r = rates.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r === Map("a" -> ((100L, 500000L, 500000L)),
+                     "b" -> ((50L, 500000L, 1000000L))))
+    val kept = Sampling.remixApply(df, "id", "s", rates)
+    // b's rate is 1e6: every b row survives; c never does
+    assert(kept.filter($"s" === "b").count() === 1)
+    assert(kept.filter($"s" === "c").count() === 0)
+    // the kept set is the deterministic hash draw under each stratum's rate
+    val expected = df.filter($"s".isin("a", "b"))
+      .filter(Sampling.hashBucket(col("id"), 1000000) <
+        when($"s" === "a", 500000L).otherwise(1000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet === expected)
+  }
+
   test("dupSpanStats: corpus-global span counts, within-doc repeats count") {
     val df = docsDf(
       (1L, "a b c d e"),     // spans abc, bcd, cde -> abc shared with doc 2
