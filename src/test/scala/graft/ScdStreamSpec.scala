@@ -52,7 +52,47 @@ class ScdStreamSpec extends SparkTestBase {
       .orderBy("_valid_from").select("status").as[String].collect()
     assert(k1.toSeq === Seq("new", "pending", "active"))
   }
+
+  test("query restart with a widened source schema evolves the target") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    // A streaming query's source schema is fixed for its lifetime; schema
+    // evolution happens across RESTARTS. The restarted query's first
+    // micro-batch merges a wider batch into the old-schema target — the
+    // engine boundary X85 handles, no sink-side special case.
+    val cfg = ScdConfig(uniqueKey = Seq("customer_id"),
+                        onSchemaChange = "append_new_columns")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-evo").toString
+    val target = s"$dir/dim"
+
+    val s1 = MemoryStream[Ev]
+    val q1 = ScdStream.scdSink(s1.toDF(), target, cfg, s"$dir/ckpt1").start()
+    try {
+      s1.addData(Seq(Ev(1, "new", ts("2025-01-01 00:00:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val s2 = MemoryStream[EvV2]
+    val q2 = ScdStream.scdSink(s2.toDF(), target, cfg, s"$dir/ckpt2").start()
+    try {
+      s2.addData(Seq(EvV2(1, "active", 7, ts("2025-01-02 00:00:00"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.parquet(target)
+    assertInvariantsGreen(out, cfg)
+    val k1 = out.filter($"customer_id" === 1).orderBy("_valid_from")
+      .select("status", "tier").collect()
+      .map(r => (r.getString(0), r.get(1)))
+    assert(k1.toSeq === Seq(("new", null), ("active", 7)))
+  }
 }
 
 /** Streaming fixture row (top-level for encoder derivation). */
 case class Ev(customer_id: Int, status: String, _updated_at: Timestamp)
+
+/** The widened (post-evolution) fixture schema. */
+case class EvV2(customer_id: Int, status: String, tier: Int,
+                _updated_at: Timestamp)
