@@ -1094,7 +1094,27 @@ object SparkEntry {
         .join(rates, Seq("lang"))
         .select("lang", "mass", "target_ppm", "rate_ppm",
                 "n_docs_kept", "mass_kept")
-    })
+    }),
+    "q112_policy_filter" -> ((s, dir) => {
+      // Wordlist policy screen: token-exact hit counts (never substring —
+      // "merge" can't hit "submerged") + consecutive-token phrase
+      // containment, and the keep verdict both gates feed.
+      val hits = TextAnalysis.termHits(col("text"), Seq("merge", "spark"))
+      val phrase = TextAnalysis.containsPhrase(col("text"), "fast table")
+      docs(s, dir).select(
+        col("doc_id"),
+        hits.cast("long").as("n_term_hits"),
+        phrase.as("has_phrase"),
+        (hits === 0 && !phrase).as("kept"))
+    }),
+    "q113_history_profile" -> ((s, dir) =>
+      // Dimension-health report over the soft-delete SCD2 history: version-
+      // depth distribution + currently-deleted keys per depth (the skew
+      // report for incremental merge cost).
+      Scd2.historyProfile(
+        Scd2.initialLoad(evDeletes(s, dir),
+                         evCfg.copy(deletedAtCol = Some("deleted_at"))),
+        evCfg))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2807,7 +2827,31 @@ object SparkEntry {
         |      FROM k GROUP BY 1)
         |SELECT r.lang, r.mass, r.target_ppm, r.rate_ppm,
         |  g.n_docs_kept, g.mass_kept
-        |FROM r JOIN g USING (lang)""".stripMargin
+        |FROM r JOIN g USING (lang)""".stripMargin,
+    "q112_policy_filter" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> x IN ('merge', 'spark'))) AS BIGINT)
+         |    AS n_term_hits,
+         |  position(' fast table ' IN ' ' || array_to_string(t, ' ') || ' ')
+         |    > 0 AS has_phrase,
+         |  len(list_filter(t, x -> x IN ('merge', 'spark'))) = 0
+         |    AND NOT position(' fast table ' IN
+         |                     ' ' || array_to_string(t, ' ') || ' ') > 0
+         |    AS kept
+         |FROM toks""".stripMargin,
+    "q113_history_profile" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+         |        max(CASE WHEN _is_current AND _change_type = 'D'
+         |                 THEN 1 ELSE 0 END) AS dead
+         |      FROM scd GROUP BY 1)
+         |SELECT n_versions, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(dead) AS BIGINT) AS n_deleted_keys
+         |FROM k GROUP BY 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

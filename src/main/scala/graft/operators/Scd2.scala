@@ -456,4 +456,27 @@ object Scd2 {
       }: _*)
       .unionByName(ins)
   }
+
+  /** Dimension-health report: the distribution of per-key version counts,
+    * with how many keys at each depth currently sit deleted ('D' current
+    * version). Long history tails are the churny keys that dominate
+    * incremental merge cost (a key's window partition is sequential), so
+    * this is the operational skew report for an SCD table. Two
+    * combine-enabled aggregates — key-sized then depth-sized; SQL GROUP BY
+    * NULL≡NULL grouping keeps NULL-bearing business keys as one key, same
+    * as the merge's null-safe matching.
+    */
+  def historyProfile(snapshot: DataFrame, cfg: ScdConfig): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val keys = cfg.uniqueKey.map(resolveCi(cols, _)).map(col)
+    val cur = col(resolveCi(cols, cfg.isCurrentCol))
+    val ct = col(resolveCi(cols, cfg.changeTypeCol))
+    snapshot
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_versions"),
+           max(when(cur && ct === "D", 1L).otherwise(0L)).as("_dead"))
+      .groupBy(col("n_versions"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(col("_dead")).as("n_deleted_keys"))
+  }
 }

@@ -438,6 +438,29 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("n_docs"),
            count(lit(1)).as("n_urls"))
 
+  /** Token-exact occurrence count of any of `terms` (the wordlist policy
+    * filter: NSFW/keyword screens count WORDS, not substrings — "class"
+    * must not hit "ass"). Case-insensitive via the shared token definition;
+    * counts repeats. Per-row HOF over a small literal list — shuffle-free.
+    */
+  def termHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "need at least one term")
+    val lowered = terms.map(_.toLowerCase)
+    size(filter(tokens(text),
+                t => lowered.map(x => t === lit(x)).reduce(_ || _)))
+  }
+
+  /** Whether the text contains `phrase` as a CONSECUTIVE token run
+    * (tokenized, case-insensitive): substring match over the space-joined
+    * token stream with boundary spaces, so partial-word hits are impossible.
+    */
+  def containsPhrase(text: Column, phrase: String): Column = {
+    val p = phrase.toLowerCase.trim.split("\\s+").mkString(" ")
+    require(p.nonEmpty, "phrase must contain at least one token")
+    concat(lit(" "), concat_ws(" ", tokens(text)), lit(" "))
+      .contains(s" $p ")
+  }
+
   /** Markup-stripped text: tags removed, whitespace squeezed, trimmed. */
   def stripMarkup(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "<[^>]+>", " "), "\\s+", " "))

@@ -31,6 +31,21 @@ class PipelineOpsSpec extends SparkTestBase {
       docsDf((3L, "solo"), (4L, "  ")), lm, "doc_id", "text").count() === 0)
   }
 
+  test("termHits is token-exact; containsPhrase needs consecutive tokens") {
+    val df = docsDf(
+      (1L, "the class has Ass and ass twice"),
+      (2L, "fast table wins"),
+      (3L, "fast red table"))
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.termHits(col("text"), Seq("ass")).as("h"),
+      TextAnalysis.containsPhrase(col("text"), "Fast  Table").as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((2, false))) // "class" never hits "ass"
+    assert(out(2L) === ((0, true)))
+    assert(out(3L) === ((0, false))) // non-adjacent tokens don't match
+  }
+
   test("remixRates: binding stratum keeps all, others cut to proportion") {
     // mass a=100, b=50; 50/50 target => F* = min(100/0.5, 50/0.5) = 100
     // => rate_a = 0.5*100/100 = 500000 ppm, rate_b = 0.5*100/50 = 1e6 (capped)

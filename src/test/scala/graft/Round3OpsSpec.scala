@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Funnel, Intervals, Linkage, Privacy, Profile, Scd2, Similarity, SkewJoin, TextAnalysis}
@@ -121,6 +123,21 @@ class Round3OpsSpec extends SparkTestBase {
     val out = Privacy.scrubPii(df, "text").select("text_scrubbed")
       .collect().head.getString(0)
     assert(out === "ping <EMAIL> please")
+  }
+
+  test("historyProfile: version-depth distribution with deleted-key counts") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts_",
+                        deletedAtCol = Some("del"))
+    val src = Seq(
+      (1, "a", ts("2025-01-01 00:00:00"), null.asInstanceOf[Timestamp]),
+      (1, "b", ts("2025-01-02 00:00:00"), null.asInstanceOf[Timestamp]),
+      (1, "c", ts("2025-01-03 00:00:00"), ts("2025-01-03 00:00:00")),
+      (2, "x", ts("2025-01-01 00:00:00"), null.asInstanceOf[Timestamp])
+    ).toDF("k", "v", "ts_", "del")
+    val hist = Scd2.initialLoad(src, cfg)
+    val prof = Scd2.historyProfile(hist, cfg.copy(deletedAtCol = None))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof === Map(3L -> ((1L, 1L)), 1L -> ((1L, 0L))))
   }
 
   test("snapshotDelta classifies inserts/updates/deletes against except-diff") {
