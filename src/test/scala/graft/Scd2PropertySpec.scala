@@ -58,6 +58,49 @@ class Scd2PropertySpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution at a random batch == full refresh over widened union") {
+    // append_new_columns generalization of the core equivalence: batches
+    // BEFORE the evolution point lack the new column; the full-refresh
+    // equivalent is the union with typed NULLs for pre-evolution rows
+    // (NULL -> value is a content change, so collapse sees the same runs).
+    val rnd = new Random(1337)
+    val cfgE = cfg.copy(onSchemaChange = "append_new_columns")
+    for (trial <- 1 to 5) {
+      val rows = for {
+        k <- 1 to 5
+        s <- rnd.shuffle((0 until 10).toList).take(3 + rnd.nextInt(5))
+      } yield (k, s"v$k-$s", slot(s))
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+      val evoAt = 1 + rnd.nextInt(batches.size - 1) // first widened batch
+
+      def widened(b: Seq[(Int, String, java.sql.Timestamp)]): DataFrame =
+        b.map { case (k, v, t) => (k, v, v.length + k, t) }
+          .toDF("k", "v", "w", "_updated_at")
+
+      var table = Scd2.initialLoad(df(batches.head), cfgE).localCheckpoint()
+      for ((b, i) <- batches.tail.zipWithIndex) {
+        val batchDf = if (i + 1 >= evoAt) widened(b) else df(b)
+        val (t, bb) = ScdEngine.alignSchemas(table, batchDf, cfgE)
+        table = Scd2.incremental(t, bb, cfgE).localCheckpoint()
+      }
+
+      val fullInput = batches.zipWithIndex.map { case (b, i) =>
+        if (i >= evoAt) widened(b)
+        else df(b).withColumn("w", lit(null).cast("int"))
+      }.reduce(_ unionByName _)
+      // alignSchemas appends the evolved column last; project the full-
+      // refresh result into the same column order (exceptAll is positional)
+      val full = Scd2.initialLoad(fullInput, cfgE)
+        .select(table.columns.map(col).toSeq: _*)
+      assert(table.exceptAll(full).count() === 0, s"trial $trial: extra rows")
+      assert(full.exceptAll(table).count() === 0, s"trial $trial: missing rows")
+      assertInvariantsGreen(table, cfgE)
+    }
+  }
+
   test("invariants hold under duplicate-heavy colliding batches") {
     val rnd = new Random(7)
     for (trial <- 1 to 4) {
