@@ -43,4 +43,82 @@ object CorpusIngest {
     }
     VersionedTable.publish(spark, next, root)
   }
+
+  /** [[ingest]] hardened to NEAR-duplicate rejection: a batch doc is dropped
+    * when it is an exact copy of anything ever ingested (fingerprint
+    * anti-join), a MinHash near-dup of an already-ingested doc, or a
+    * within-batch near-dup cluster loser (min doc_id is canonical). Table
+    * schema: (doc_id, text, fingerprint, _shs) — the distinct shingle array
+    * is persisted so ingested docs are NEVER re-tokenized: candidate band
+    * keys recompute from `_shs` via the native [[graft.functions.MinHashBands]]
+    * expression, and verification intersects the stored arrays.
+    *
+    * Scale shape per batch: within-batch LSH as [[Dedup.minhashLshPairs]];
+    * vs-corpus work is one band-key equi-join (batch keys × stored keys,
+    * shuffled on the band key whose fiber sizes LSH bounds) + per-candidate
+    * array intersects. Cost tracks batch size, not corpus size, except the
+    * stored-key scan — at 100 TB the band keys would live bucketed by key
+    * so that scan prunes too. Replay-idempotent like [[ingest]]: a re-sent
+    * batch matches its own previously-ingested copy by fingerprint.
+    */
+  def ingestNearDup(spark: SparkSession,
+                    batch: DataFrame,
+                    root: String,
+                    n: Int = 3,
+                    bands: Int = 4,
+                    rows: Int = 3,
+                    tauNum: Int = 1,
+                    tauDen: Int = 2): Long = {
+    val prepped = batch.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      Dedup.shingles(TextAnalysis.tokens(col("text")), n).as("_shs"))
+    val batchExact = prepped
+      .withColumn("_rn",
+                  row_number().over(
+                    org.apache.spark.sql.expressions.Window
+                      .partitionBy("fingerprint").orderBy("doc_id")))
+      .filter(col("_rn") === 1).drop("_rn")
+    // within-batch near-dup clusters: min-id canonical survives
+    val batchKept = Dedup.keepCanonical(
+      batchExact, "doc_id",
+      Dedup.minhashLshPairs(batchExact, "doc_id", "text", n, bands, rows,
+                            tauNum, tauDen)).localCheckpoint()
+
+    def bandKeys(df: DataFrame) = df
+      .select(col("doc_id"),
+              posexplode(graft.functions.MinHashBands(col("_shs"), bands, rows))
+                .as(Seq("_pos", "_band")))
+      .select(col("doc_id"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                .as("_bk"))
+
+    val next = VersionedTable.latestVersion(spark, root) match {
+      case None => batchKept
+      case Some(v) =>
+        val existing = VersionedTable.readVersion(spark, root, v)
+        val fresh = batchKept.join(existing.select("fingerprint"),
+                                   Seq("fingerprint"), "left_anti")
+        val cand = bandKeys(fresh).as("b")
+          .join(bandKeys(existing).as("e"), col("b._bk") === col("e._bk"))
+          .select(col("b.doc_id").as("_bid"), col("e.doc_id").as("_eid"))
+          .distinct()
+        val nearExisting = cand
+          .join(fresh.select(col("doc_id").as("_bid"), col("_shs").as("_sa"),
+                             size(col("_shs")).cast("long").as("_na")), "_bid")
+          .join(existing.select(col("doc_id").as("_eid"),
+                                col("_shs").as("_sb"),
+                                size(col("_shs")).cast("long").as("_nb")),
+                "_eid")
+          .withColumn("overlap",
+                      size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+          .filter(col("overlap") * tauDen >=
+            (col("_na") + col("_nb") - col("overlap")) * tauNum)
+          .select(col("_bid").as("doc_id")).distinct()
+        existing.unionByName(
+          fresh.join(nearExisting, Seq("doc_id"), "left_anti")
+            .select(existing.columns.map(col).toSeq: _*))
+    }
+    VersionedTable.publish(spark, next, root)
+  }
 }

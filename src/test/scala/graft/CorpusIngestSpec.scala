@@ -30,4 +30,42 @@ class CorpusIngestSpec extends SparkTestBase {
     // pre-replay version still queryable
     assert(VersionedTable.readVersion(spark, root, 1).count() === 2)
   }
+
+  test("ingestNearDup drops near-copies of ingested docs and batch losers") {
+    val session = spark
+    import session.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cin").toString + "/corpus"
+
+    val baseA = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village roofs at night and the old clock " +
+      "keeps ticking through winter storms beside the warm fire"
+    val baseC = "distributed query engines shuffle partition and aggregate " +
+      "wide tables across many executor nodes every single day while the " +
+      "optimizer prunes columns pushes filters and reorders joins carefully"
+
+    def ingest(b: org.apache.spark.sql.DataFrame) =
+      CorpusIngest.ingestNearDup(spark, b, root, bands = 6, rows = 2)
+
+    ingest(
+      Seq((1L, baseA), (2L, "totally unrelated text about cooking pasta"))
+        .toDF("doc_id", "text"))
+    assert(VersionedTable.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+
+    val b2 = Seq(
+      (3L, baseA.replace("lazy", "sleepy")), // near-dup of ingested doc 1
+      (4L, "totally unrelated text about cooking pasta"), // exact of doc 2
+      (5L, baseC),                            // genuinely new
+      (6L, baseC.replace("single", "working")), // in-batch near-dup loser
+      (7L, baseC)                             // in-batch exact loser
+    ).toDF("doc_id", "text")
+    ingest(b2)
+    assert(VersionedTable.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+
+    // replay: idempotent (doc 5 now matches itself by fingerprint)
+    ingest(b2)
+    assert(VersionedTable.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+  }
 }
