@@ -68,4 +68,32 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, root)
       .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
   }
+
+  test("streaming near-dup ingest == the same batches ingested one by one") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cis").toString
+    val root = s"$dir/corpus"
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val query = graft.streaming.IngestStream
+      .nearDupSink(source.toDF().toDF("doc_id", "text"), root,
+                   s"$dir/ckpt", bands = 6, rows = 2)
+      .start()
+    try {
+      source.addData(Seq((1L, base), (2L, "unrelated cooking text")))
+      query.processAllAvailable()
+      source.addData(Seq(
+        (3L, base.replace("sigma", "omega")), // near-dup of streamed doc 1
+        (4L, "fresh content entirely")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(VersionedTable.read(spark, root)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+  }
 }
