@@ -1114,7 +1114,15 @@ object SparkEntry {
       Scd2.historyProfile(
         Scd2.initialLoad(evDeletes(s, dir),
                          evCfg.copy(deletedAtCol = Some("deleted_at"))),
-        evCfg))
+        evCfg)),
+    "q114_source_freshness" -> ((s, dir) =>
+      // dbt `source freshness` per event_type: age of max(ts) vs a fixed
+      // as-of against warn/error thresholds, integer-seconds verdict.
+      IncrementalSource.freshness(
+        ev(s, dir), "ts",
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00"),
+        warnAfterSec = 600L, errorAfterSec = 1800L,
+        groupBy = Seq("event_type")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2851,7 +2859,21 @@ object SparkEntry {
          |      FROM scd GROUP BY 1)
          |SELECT n_versions, CAST(count(*) AS BIGINT) AS n_keys,
          |  CAST(sum(dead) AS BIGINT) AS n_deleted_keys
-         |FROM k GROUP BY 1""".stripMargin
+         |FROM k GROUP BY 1""".stripMargin,
+    "q114_source_freshness" ->
+      s"""WITH $SrcCte,
+         |m AS (SELECT event_type, max(ts) AS max_loaded_at FROM src
+         |      GROUP BY 1)
+         |SELECT event_type, max_loaded_at,
+         |  (epoch_us(TIMESTAMP '2024-01-31 00:00:00') -
+         |   epoch_us(max_loaded_at)) // 1000000 AS age_sec,
+         |  CASE WHEN max_loaded_at IS NULL THEN 'error'
+         |       WHEN (epoch_us(TIMESTAMP '2024-01-31 00:00:00') -
+         |             epoch_us(max_loaded_at)) // 1000000 > 1800 THEN 'error'
+         |       WHEN (epoch_us(TIMESTAMP '2024-01-31 00:00:00') -
+         |             epoch_us(max_loaded_at)) // 1000000 > 600 THEN 'warn'
+         |       ELSE 'pass' END AS status
+         |FROM m""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -45,4 +45,38 @@ object IncrementalSource {
       case None     => withWatermark
     }
   }
+
+  /** dbt's `source freshness` check: per group (or whole-source), the age of
+    * `max(loadedAt)` relative to `asOf` against warn/error thresholds —
+    * `pass` / `warn` / `error`, with a group that never loaded reporting
+    * `error`. Integer seconds (µs-floored) so the verdict is engine-exact.
+    * One combine-enabled aggregate over the watermark column only — at
+    * 100 TB this reads a single column, and on sorted/partitioned layouts
+    * Parquet row-group max stats make it metadata-cheap.
+    */
+  def freshness(source: DataFrame,
+                loadedAtCol: String,
+                asOf: Timestamp,
+                warnAfterSec: Long,
+                errorAfterSec: Long,
+                groupBy: Seq[String] = Nil): DataFrame = {
+    require(warnAfterSec <= errorAfterSec,
+            "warn_after must not exceed error_after")
+    val loaded = resolveCi(source.columns.toSeq, loadedAtCol)
+    val agged = if (groupBy.isEmpty)
+      source.agg(max(col(loaded)).as("max_loaded_at"))
+    else
+      source.groupBy(groupBy.map(col): _*)
+        .agg(max(col(loaded)).as("max_loaded_at"))
+    agged
+      .withColumn("age_sec",
+                  expr(s"(${asOf.getTime * 1000L}L - " +
+                    "unix_micros(max_loaded_at)) DIV 1000000"))
+      .withColumn(
+        "status",
+        when(col("age_sec").isNull, lit("error"))
+          .when(col("age_sec") > errorAfterSec, lit("error"))
+          .when(col("age_sec") > warnAfterSec, lit("warn"))
+          .otherwise(lit("pass")))
+  }
 }

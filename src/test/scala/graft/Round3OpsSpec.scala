@@ -125,6 +125,24 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out === "ping <EMAIL> please")
   }
 
+  test("source freshness: pass/warn/error per group, strict thresholds") {
+    import graft.sources.IncrementalSource
+    val asOf = ts("2025-01-01 01:00:00")
+    val df = Seq(
+      ("a", ts("2025-01-01 00:50:00")),              // age 600  -> pass (not >)
+      ("b", ts("2025-01-01 00:30:00")),              // age 1800 -> warn
+      ("c", ts("2025-01-01 00:00:00")),              // age 3600 -> error
+      ("d", null.asInstanceOf[Timestamp])            // never loaded -> error
+    ).toDF("src", "loaded_at")
+    val out = IncrementalSource.freshness(df, "loaded_at", asOf,
+                                          warnAfterSec = 600L,
+                                          errorAfterSec = 1800L,
+                                          groupBy = Seq("src"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out === Map("a" -> "pass", "b" -> "warn",
+                       "c" -> "error", "d" -> "error"))
+  }
+
   test("historyProfile: version-depth distribution with deleted-key counts") {
     val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts_",
                         deletedAtCol = Some("del"))
