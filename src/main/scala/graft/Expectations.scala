@@ -44,6 +44,21 @@ object Expectations {
       .join(parent.select(col(pk).as("_pk")).distinct(),
             col(fk) === col("_pk"), "left_anti")
 
+  /** Rows where the SQL predicate is NOT satisfied (dbt_utils
+    * `expression_is_true`); NULL results count as violations, matching the
+    * dbt test's `where not (expr)` ... NULL-is-not-true semantics.
+    */
+  def expressionIsTrue(df: DataFrame, expression: String): DataFrame =
+    df.filter(!coalesce(expr(expression), lit(false)))
+
+  /** One violation row (the two counts) when the relations' row counts
+    * differ (dbt_utils `equal_rowcount`); empty when equal.
+    */
+  def equalRowcount(a: DataFrame, b: DataFrame): DataFrame =
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .filter(col("n_a") =!= col("n_b"))
+
   /** One row per named check with its violation count — the table's whole
     * contract as a single query (mirrors [[ScdInvariants.report]]).
     */

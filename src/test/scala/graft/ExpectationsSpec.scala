@@ -50,6 +50,18 @@ class ExpectationsSpec extends SparkTestBase {
     assert(viol.select("id").collect().map(_.getInt(0)).toSeq == Seq(3))
   }
 
+  test("expressionIsTrue: NULL evaluations are violations") {
+    val viol = Expectations.expressionIsTrue(child, "fk < 50")
+    // id=3 has fk=99 (false); id=4 has fk NULL (null -> violation)
+    assert(viol.select("id").collect().map(_.getInt(0)).toSet == Set(3, 4))
+  }
+
+  test("equalRowcount: empty when equal, one diagnostic row when not") {
+    assert(Expectations.equalRowcount(child, child).count() == 0)
+    val v = Expectations.equalRowcount(child, parent).collect()
+    assert(v.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 3L)))
+  }
+
   test("report unions one row per check") {
     val rep = Expectations.report(Seq(
       "fk_not_null" -> Expectations.notNull(child, "fk"),
