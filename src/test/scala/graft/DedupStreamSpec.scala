@@ -34,4 +34,35 @@ class DedupStreamSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(got === Set(2L, 3L, 4L))
   }
+
+  test("event-time TTL: a quiet fingerprint expires, next arrival re-admits") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = DedupStream.distinctDocsTtl(
+      source.toDF().toDF("doc_id", "text", "ts"),
+      eventTimeCol = "ts", ttl = java.time.Duration.ofHours(1))
+    val query = out.writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    def feed(rows: (Long, String, java.sql.Timestamp)*): Unit = {
+      source.addData(rows); query.processAllAvailable()
+    }
+    try {
+      feed((1L, "hello world", ts("2025-01-01 10:00:00")))
+      // duplicate inside the TTL window: suppressed, timer refreshed
+      feed((2L, "hello world", ts("2025-01-01 10:30:00")))
+      // advances the watermark past 11:30 (the refreshed deadline)...
+      feed((8L, "unrelated", ts("2025-01-01 13:00:00")))
+      // ...so this batch fires the expired timer and clears the key
+      feed((10L, "another", ts("2025-01-01 13:05:00")))
+      // the same content is now a first arrival again
+      feed((9L, "hello world", ts("2025-01-01 13:10:00")))
+    } finally query.stop()
+
+    val got = session.table("dedup_ttl_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 8L, 10L, 9L))
+  }
 }
