@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, IncrementalAgg, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1122,7 +1122,56 @@ object SparkEntry {
         ev(s, dir), "ts",
         java.sql.Timestamp.valueOf("2024-01-31 00:00:00"),
         warnAfterSec = 600L, errorAfterSec = 1800L,
-        groupBy = Seq("event_type")))
+        groupBy = Seq("event_type"))),
+    "q115_local_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: revenue per nation where customer and supplier share
+      // the nation, region-filtered, one-year order window. Supplier⋈nation⋈
+      // region collapse to one broadcast dim; the fact shuffles ONCE (on
+      // l_orderkey, against the date-pruned orders slice). Customer rides a
+      // broadcast here; at 100 TB customer is fact-sized and that join
+      // becomes the second shuffle (on custkey) — the plan degrades to the
+      // canonical two-exchange Q5, never to a cross product.
+      val cut0 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val cut1 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val dim = Tables.read(s, dir, "nation")
+        .join(Tables.read(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(dim, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val o = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1)
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000.0)).cast("long")).as("revenue_micro"))
+    }),
+    "q116_incremental_rollup" -> ((s, dir) => {
+      // Incremental aggregate materialization: the stored rollup (built from
+      // the even half) merges the odd half's batch rollup — O(batch +
+      // touched keys), the history is never rescanned. The oracle is the
+      // full recompute: merge algebra == one-shot aggregate, exactly.
+      val e = ev(s, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("value_micro", floor(col("value") * lit(1000000.0)).cast("long"))
+      val keys = Seq("event_type", "day")
+      IncrementalAgg.merge(
+        IncrementalAgg.rollup(e.filter(col("event_id") % 2 === 0), keys, col("value_micro")),
+        IncrementalAgg.rollup(e.filter(col("event_id") % 2 === 1), keys, col("value_micro")),
+        keys)
+    }),
+    "q117_interarrival" -> ((s, dir) =>
+      // Per-user event-time gaps aggregated per arriving event type —
+      // all-integer micros, (ts, event_id) tiebreak so same-instant
+      // neighbors are deterministic.
+      Rolling.interArrival(ev(s, dir), "user_id", "ts", "event_id", "event_type"))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2873,7 +2922,40 @@ object SparkEntry {
          |       WHEN (epoch_us(TIMESTAMP '2024-01-31 00:00:00') -
          |             epoch_us(max_loaded_at)) // 1000000 > 600 THEN 'warn'
          |       ELSE 'pass' END AS status
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+    "q115_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                      * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_micro
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q116_incremental_rollup" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src)
+         |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(vm) AS BIGINT) AS value_micro,
+         |  min(vm) AS min_micro, max(vm) AS max_micro
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q117_interarrival" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type,
+         |        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |          PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |      FROM src)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  CAST(sum(gap) AS BIGINT) AS sum_gap_micros,
+         |  max(gap) AS max_gap_micros,
+         |  CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS avg_gap_micros
+         |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
