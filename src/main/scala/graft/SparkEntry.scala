@@ -1171,7 +1171,30 @@ object SparkEntry {
       // Per-user event-time gaps aggregated per arriving event type —
       // all-integer micros, (ts, event_id) tiebreak so same-instant
       // neighbors are deterministic.
-      Rolling.interArrival(ev(s, dir), "user_id", "ts", "event_id", "event_type"))
+      Rolling.interArrival(ev(s, dir), "user_id", "ts", "event_id", "event_type")),
+    "q118_chunk_docs" -> ((s, dir) =>
+      // Context-length example generation: 64-token chunks at stride 48
+      // (16-token overlap), trailing partial kept. Pure per-row generate —
+      // no shuffle; chunk identity is deterministic anywhere.
+      Packing.chunkDocs(docs(s, dir), "doc_id", "text",
+                        chunkTokens = 64, strideTokens = 48)),
+    "q119_weighted_sample" -> ((s, dir) =>
+      // Sequential Poisson sampling: per-language cap of 20 docs drawn
+      // ~proportional to n_chars via integer priorities — the drawn set is
+      // engine- and partitioning-exact.
+      Sampling.weightedCap(docs(s, dir), "doc_id", Seq("lang"), "n_chars", cap = 20)
+        .select("lang", "sample_rank", "doc_id", "priority")),
+    "q120_daily_snapshots" -> ((s, dir) =>
+      // Daily snapshot fan-out over the soft-delete SCD2 history: one row
+      // per alive (version, spine day); 'D' windows emit nothing. Spine
+      // broadcast, history never shuffles post-merge.
+      Scd2.dailySnapshots(
+        Scd2.initialLoad(evDeletes(s, dir),
+                         evCfg.copy(deletedAtCol = Some("deleted_at"))),
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-25 00:00:00"),
+        evCfg)
+        .select("snapshot_ts", "user_id", "event_type", "value"))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -2955,7 +2978,43 @@ object SparkEntry {
          |  max(gap) AS max_gap_micros,
          |  CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
          |    AS avg_gap_micros
-         |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+         |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+    "q118_chunk_docs" ->
+      s"""WITH $ToksCte,
+         |c AS (SELECT doc_id, t,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+         |       AS BIGINT) AS n FROM toks),
+         |g AS (SELECT doc_id, t, n,
+         |  unnest(generate_series(0, n - 1, 48)) AS chunk_start
+         |FROM c WHERE n > 0)
+         |SELECT doc_id, chunk_start // 48 AS chunk_id, chunk_start,
+         |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_tokens_chunk,
+         |  array_to_string(t[chunk_start + 1 : chunk_start + 64], ' ')
+         |    AS chunk_text
+         |FROM g""".stripMargin,
+    "q119_weighted_sample" ->
+      """SELECT lang, sample_rank, doc_id, priority FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 1000000 AS BIGINT) * 1000000000000 // n_chars AS priority,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           % 1000000 AS BIGINT) * 1000000000000 // n_chars, doc_id)
+        |      AS sample_rank
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE sample_rank <= 20""".stripMargin,
+    "q120_daily_snapshots" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |spine AS (SELECT unnest(generate_series(
+         |    TIMESTAMP '2024-01-05 00:00:00',
+         |    TIMESTAMP '2024-01-25 00:00:00', INTERVAL 1 DAY)) AS snapshot_ts)
+         |SELECT snapshot_ts, user_id, event_type, value
+         |FROM scd, spine
+         |WHERE _valid_from <= snapshot_ts AND _valid_to > snapshot_ts
+         |  AND _change_type <> 'D'""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

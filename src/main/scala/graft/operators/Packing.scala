@@ -45,4 +45,38 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
       .withColumn("fill_ppm", expr(s"(n_tokens * 1000000) DIV $binTokens"))
   }
+
+  /** Fixed-window document chunking with overlap — the context-length
+    * example generator: one chunk per window start (0, stride, 2·stride, …
+    * while < n_tokens), each `chunkTokens` long except a trailing partial.
+    * `stride < chunkTokens` overlaps consecutive chunks (training wants the
+    * continuation context); `stride == chunkTokens` tiles.
+    *
+    * Pure per-row generate: tokens → posexplode(sequence) → slice. No
+    * shuffle, no state — the 100 TB plan is scan-transform-write, and chunk
+    * identity (`doc_id`, `chunk_id = start DIV stride`) is deterministic
+    * wherever the row is processed.
+    */
+  def chunkDocs(df: DataFrame,
+                idCol: String,
+                textCol: String,
+                chunkTokens: Int,
+                strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+            "need 0 < stride <= chunk")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"),
+              TextAnalysis.tokenCount(col(textCol)).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_t"), col("_n"),
+              explode(sequence(lit(0L), col("_n") - 1, lit(strideTokens.toLong)))
+                .as("chunk_start"))
+      .select(
+        col(idCol),
+        expr(s"chunk_start DIV $strideTokens").as("chunk_id"),
+        col("chunk_start"),
+        least(lit(chunkTokens.toLong), col("_n") - col("chunk_start"))
+          .as("n_tokens_chunk"),
+        array_join(slice(col("_t"), col("chunk_start").cast("int") + 1,
+                         lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

@@ -46,6 +46,36 @@ object Sampling {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Weighted stratified cap — sequential Poisson sampling (Ohlsson 1998),
+    * the deterministic analogue of weighted reservoir sampling: each row
+    * draws `u = hashBucket(id, 1e6)` and keeps the `cap` smallest
+    * `priority = u·10^12 div weight` per stratum, so inclusion probability
+    * is ~proportional to weight (a 10× heavier document is ~10× likelier
+    * drawn). All-integer priorities (u ≤ 1e6, so u·10^12 < 2^63): the drawn
+    * set is engine- and partitioning-exact, unlike `u^(1/w)` A-RES keys
+    * whose float pow drifts across libm builds.
+    *
+    * Same cost shape as [[stratifiedCap]]: one shuffle on the strata, a
+    * top-k window per stratum. Rows with weight <= 0 are excluded (they
+    * have no sampling mass).
+    */
+  def weightedCap(df: DataFrame,
+                  idCol: String,
+                  strataCols: Seq[String],
+                  weightCol: String,
+                  cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_pri"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_u", hashBucket(col(idCol), 1000000))
+      .withColumn("_pri", expr(s"_u * 1000000000000 DIV $weightCol"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= cap)
+      .drop("_u")
+      .withColumnRenamed("_pri", "priority")
+  }
+
   /** Per-stratum sampling rates (`df.stat.sampleBy`, made deterministic):
     * keep ~num/den of each stratum's rows by the same id-hash draw, strata
     * not listed keep `defaultNum`/den. Shuffle-free per-row filter — the

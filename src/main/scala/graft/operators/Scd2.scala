@@ -396,6 +396,36 @@ object Scd2 {
       .withColumn(cur, lit(true))
   }
 
+  /** Daily snapshot fan-out: [[asOf]] for a whole date spine in one pass —
+    * one row per (alive version, spine day) whose `[from, to)` window
+    * contains the day instant. `'D'` windows are periods of non-existence
+    * and emit nothing (the dbt-snapshot-to-daily-rollup pattern: BI reads a
+    * plain daily table, the engine keeps only the compact history).
+    *
+    * The spine is tiny (365 rows/year) and BROADCAST; the history never
+    * shuffles. Each history row survives the containment filter only for
+    * the days it covers, so output size is Σ covered days — the honest
+    * size of a daily table — not |history| × |spine|.
+    */
+  def dailySnapshots(snapshot: DataFrame,
+                     start: java.sql.Timestamp,
+                     end: java.sql.Timestamp,
+                     cfg: ScdConfig): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val vf = resolveCi(cols, cfg.validFromCol)
+    val vt = resolveCi(cols, cfg.validToCol)
+    val cur = resolveCi(cols, cfg.isCurrentCol)
+    val ct = resolveCi(cols, cfg.changeTypeCol)
+    val spine = snapshot.sparkSession.range(1)
+      .select(explode(sequence(lit(start), lit(end), expr("interval 1 day")))
+        .as("snapshot_ts"))
+    snapshot
+      .filter(col(ct) =!= "D")
+      .join(broadcast(spine),
+            col(vf) <= col("snapshot_ts") && col(vt) > col("snapshot_ts"))
+      .withColumn(cur, lit(true))
+  }
+
   /** Retention trim: drop expired versions whose window closed before
     * `cutoff`; current rows and still-relevant history pass through
     * untouched (audit columns are NOT recomputed — the kept windows are the

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IncrementalAgg, Rolling}
+import graft.operators.{IncrementalAgg, Packing, Rolling, Sampling, Scd2}
 
 /** Round-4 sweep operators: incremental aggregate maintenance,
   * inter-arrival statistics.
@@ -51,5 +51,63 @@ class Round4OpsSpec extends SparkTestBase {
     assert(out("x") === ((2L, 30000000L, 30000000L, 15000000L)))
     // y: one 10s gap
     assert(out("y") === ((1L, 10000000L, 10000000L, 10000000L)))
+  }
+
+  test("chunkDocs: tiling, overlap, trailing partial, token coverage") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    // chunk 4, stride 3: starts 0,3,6,9 -> lengths 4,4,4,1
+    val out = Packing.chunkDocs(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(d1.head._4 === "t1 t2 t3 t4")
+    assert(d1(1)._4 === "t4 t5 t6 t7") // overlap of 1 token
+    assert(d1.last._4 === "t10")
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 1L, "solo")))
+    // stride == chunk tiles with no overlap: every token exactly once
+    val tiled = Packing.chunkDocs(df.filter($"doc_id" === 1), "doc_id", "text", 3, 3)
+      .agg(sum("n_tokens_chunk")).collect()(0).getLong(0)
+    assert(tiled === 10L)
+  }
+
+  test("weightedCap: heavier rows draw earlier; zero-weight rows excluded") {
+    val df = (1 to 40).map(i => (i.toLong, "s", if (i % 2 == 0) 1000000L else 1L))
+      .toDF("id", "stratum", "w")
+      .union(Seq((99L, "s", 0L)).toDF("id", "stratum", "w"))
+    val kept = Sampling.weightedCap(df, "id", Seq("stratum"), "w", cap = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L))
+    // heavy rows (even ids, 10^6x weight) should dominate the draw
+    assert(kept.count(_ % 2 == 0) >= 9)
+    // deterministic: second evaluation draws the identical set
+    val again = Sampling.weightedCap(df, "id", Seq("stratum"), "w", cap = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("dailySnapshots: containment per day, D windows emit nothing") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "u")
+    val hist = Seq(
+      // key 1: v1 [Jan1, Jan3), v2 [Jan3, open)
+      (1, "a", ts("2025-01-01 00:00:00"), ts("2025-01-01 00:00:00"),
+       ts("2025-01-03 00:00:00"), "I", false),
+      (1, "b", ts("2025-01-03 00:00:00"), ts("2025-01-03 00:00:00"),
+       ts("2999-12-31 23:59:59"), "U", true),
+      // key 2: alive [Jan1, Jan2), deleted [Jan2, open)
+      (2, "x", ts("2025-01-01 00:00:00"), ts("2025-01-01 00:00:00"),
+       ts("2025-01-02 00:00:00"), "I", false),
+      (2, "x", ts("2025-01-02 00:00:00"), ts("2025-01-02 00:00:00"),
+       ts("2999-12-31 23:59:59"), "D", true))
+      .toDF("k", "v", "u", "_valid_from", "_valid_to", "_change_type", "_is_current")
+    val out = Scd2.dailySnapshots(hist,
+        ts("2025-01-01 00:00:00"), ts("2025-01-04 00:00:00"), cfg)
+      .select(col("snapshot_ts"), col("k"), col("v")).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(out === Set(
+      ("2025-01-01", 1, "a"), ("2025-01-02", 1, "a"),
+      ("2025-01-03", 1, "b"), ("2025-01-04", 1, "b"),
+      ("2025-01-01", 2, "x"))) // Jan2+ deleted: no rows
   }
 }
