@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Funnel, IncrementalAgg, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
+import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1194,7 +1194,48 @@ object SparkEntry {
         java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
         java.sql.Timestamp.valueOf("2024-01-25 00:00:00"),
         evCfg)
-        .select("snapshot_ts", "user_id", "event_type", "value"))
+        .select("snapshot_ts", "user_id", "event_type", "value")),
+    "q121_orphan_facts" -> ((s, dir) => {
+      // As-of referential integrity: each fact (event probed 10 min later)
+      // lands in its user's containing SCD2 window via the X38 window-fill
+      // plan (ONE fact-side exchange, never facts × versions); orphans =
+      // facts whose containing window is a deletion period.
+      val hist = Scd2.initialLoad(evDeletes(s, dir),
+                                  evCfg.copy(deletedAtCol = Some("deleted_at")))
+      val dim = hist.select(col("user_id"), col("_valid_from"),
+                            (col("_change_type") =!= "D").as("alive"))
+      val facts = ev(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts + INTERVAL 600 SECONDS").as("fact_ts"))
+      Scd2Join.enrich(facts, "fact_ts", dim, Seq("user_id"), evCfg)
+        .filter(!coalesce(col("dim_alive"), lit(false)))
+        .select("event_id", "user_id", "fact_ts")
+    }),
+    "q122_bloom_prune" -> ((s, dir) => {
+      // Explicit bloom semi-join prune: the fact scan drops non-joining
+      // rows BEFORE any exchange via a folded might_contain literal (the
+      // manual InjectRuntimeFilter); the verify join removes bloom false
+      // positives, so the result IS the plain join — which is the oracle.
+      val dim = Tables.read(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val fact = Tables.read(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      BloomPrune.pruned(fact, dim, "l_orderkey", "o_orderkey")
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"),
+             sum(floor(col("l_quantity") * lit(1000000.0)).cast("long"))
+               .as("qty_micro"))
+    }),
+    "q123_alive_islands" -> ((s, dir) =>
+      // Gaps-and-islands over the soft-delete history: coalesce each user's
+      // alive versions into continuous-existence stretches (abutting SCD
+      // windows merge; a deletion gap starts a new island).
+      Intervals.islands(
+        Scd2.initialLoad(evDeletes(s, dir),
+                         evCfg.copy(deletedAtCol = Some("deleted_at")))
+          .filter(col("_change_type") =!= "D"),
+        Seq("user_id"), "_valid_from", "_valid_to"))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3014,7 +3055,47 @@ object SparkEntry {
          |SELECT snapshot_ts, user_id, event_type, value
          |FROM scd, spine
          |WHERE _valid_from <= snapshot_ts AND _valid_to > snapshot_ts
-         |  AND _change_type <> 'D'""".stripMargin
+         |  AND _change_type <> 'D'""".stripMargin,
+    "q121_orphan_facts" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |f AS (SELECT event_id, user_id, ts + INTERVAL 600 SECOND AS fact_ts
+         |      FROM src)
+         |SELECT f.event_id, f.user_id, f.fact_ts
+         |FROM f JOIN scd s ON f.user_id = s.user_id
+         |  AND s._valid_from <= f.fact_ts AND s._valid_to > f.fact_ts
+         |WHERE s._change_type = 'D'""".stripMargin,
+    "q122_bloom_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS qty_micro
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey AND o_totalprice > 450000.0
+        |GROUP BY 1""".stripMargin,
+    "q123_alive_islands" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |a AS (SELECT user_id, _valid_from, _valid_to FROM scd
+         |      WHERE _change_type <> 'D'),
+         |m AS (SELECT user_id, _valid_from, _valid_to,
+         |        max(_valid_to) OVER (PARTITION BY user_id
+         |          ORDER BY _valid_from, _valid_to
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM a),
+         |i AS (SELECT user_id, _valid_from, _valid_to,
+         |        CAST(sum(CASE WHEN pm IS NULL OR _valid_from > pm
+         |                      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+         |          ORDER BY _valid_from, _valid_to
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS island_id
+         |      FROM m)
+         |SELECT user_id, island_id, min(_valid_from) AS island_from,
+         |  max(_valid_to) AS island_to, CAST(count(*) AS BIGINT) AS n_intervals
+         |FROM i GROUP BY 1, 2""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -78,4 +78,37 @@ object Intervals {
       .drop(r(keys.head), (keys.tail :+ "_chunk").map(r(_)): _*)
       .drop("_chunk")
   }
+
+  /** Gaps-and-islands: coalesce each key's intervals into maximal connected
+    * stretches — abutting (`from == prev to`, the SCD window case) and
+    * overlapping intervals merge; a strict gap starts a new island. The
+    * classic running-max formulation: an interval opens a new island iff its
+    * start exceeds the max end seen so far, island id = running count of
+    * openers. Output: one row per island with its bounds and member count.
+    *
+    * One exchange + sort on (keys, from, to); the island aggregate reuses
+    * that distribution (no second shuffle). Applied to an SCD2 history's
+    * alive versions this yields each key's continuous-existence periods —
+    * the complement of its deletion gaps.
+    */
+  def islands(df: DataFrame,
+              keys: Seq[String],
+              fromCol: String,
+              toCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(fromCol), col(toCol))
+    val prevMax = max(col(toCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_new",
+                  when(prevMax.isNull || col(fromCol) > prevMax, 1L)
+                    .otherwise(0L))
+      .withColumn("island_id",
+                  sum(col("_new")).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("island_id")): _*)
+      .agg(min(col(fromCol)).as("island_from"),
+           max(col(toCol)).as("island_to"),
+           count(lit(1)).as("n_intervals"))
+  }
 }

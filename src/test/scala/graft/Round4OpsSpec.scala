@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IncrementalAgg, Packing, Rolling, Sampling, Scd2}
+import graft.operators.{BloomPrune, IncrementalAgg, Intervals, Packing, Rolling, Sampling, Scd2}
 
 /** Round-4 sweep operators: incremental aggregate maintenance,
   * inter-arrival statistics.
@@ -109,5 +109,38 @@ class Round4OpsSpec extends SparkTestBase {
       ("2025-01-01", 1, "a"), ("2025-01-02", 1, "a"),
       ("2025-01-03", 1, "b"), ("2025-01-04", 1, "b"),
       ("2025-01-01", 2, "x"))) // Jan2+ deleted: no rows
+  }
+
+  test("bloom prune: no false negatives, actually prunes, empty dim prunes all") {
+    val fact = (1L to 2000L).map(i => (i, i * 2)).toDF("fk", "payload")
+    val dim = Seq(10L, 20L, 30L, 999L).toDF("dk")
+    val pruned = BloomPrune.pruned(fact, dim, "fk", "dk", expectedItems = 100L)
+    val keys = pruned.select("fk").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 20L, 30L, 999L).subsetOf(keys)) // every true match survives
+    assert(keys.size < 200) // and ~99% of the 2000 fact rows are gone
+    // verify-join after the prune equals the plain semi join
+    val exact = fact.join(dim, $"fk" === $"dk", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val verified = pruned.join(dim, $"fk" === $"dk", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(verified === exact)
+    assert(BloomPrune.pruned(fact, dim.filter($"dk" < 0), "fk", "dk").count() === 0)
+  }
+
+  test("islands: abutting and overlapping merge, strict gaps split") {
+    val df = Seq(
+      // key 1: [0,10) + [10,20) abut -> one island; [25,30) gap -> second
+      (1, 0L, 10L), (1, 10L, 20L), (1, 25L, 30L),
+      // key 2: overlap [0,15) + [5,12) and containment [1,3) -> one island
+      (2, 0L, 15L), (2, 5L, 12L), (2, 1L, 3L))
+      .toDF("k", "f0", "t0")
+      .select($"k", timestamp_micros($"f0").as("f"), timestamp_micros($"t0").as("t"))
+    val out = Intervals.islands(df, Seq("k"), "f", "t")
+      .select($"k", $"island_id", unix_micros($"island_from"),
+              unix_micros($"island_to"), $"n_intervals")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set((1, 1L, 0L, 20L, 2L), (1, 2L, 25L, 30L, 1L),
+                       (2, 1L, 0L, 15L, 3L)))
   }
 }
