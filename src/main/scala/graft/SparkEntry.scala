@@ -1235,7 +1235,40 @@ object SparkEntry {
         Scd2.initialLoad(evDeletes(s, dir),
                          evCfg.copy(deletedAtCol = Some("deleted_at")))
           .filter(col("_change_type") =!= "D"),
-        Seq("user_id"), "_valid_from", "_valid_to"))
+        Seq("user_id"), "_valid_from", "_valid_to")),
+    "q124_dup_degree" -> ((s, dir) => {
+      // Degree distribution of the near-dup pair graph — the corpus-health
+      // report behind cluster sizes (a fat tail here means boilerplate
+      // families that clusterPairs will serialize on). Pair gen is X3;
+      // the stats are two combine-enabled aggregates on top.
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                                       bands = 4, rows = 3, tauNum = 1, tauDen = 2)
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    }),
+    "q125_table_checksum" -> ((s, dir) =>
+      // Order-independent table fingerprint per group: sum of 60-bit
+      // md5-prefix row digests mod 1e18 — replica reconciliation across
+      // engines/layouts without moving data (any row order, partitioning,
+      // or engine yields the same checksum; the oracle recomputes it in
+      // DuckDB). One combine-enabled aggregate, shuffle on the group key
+      // only.
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+             (sum(conv(substring(md5(concat_ws("-",
+                 coalesce(col("doc_id").cast("string"), lit("")),
+                 coalesce(col("text"), lit("")),
+                 coalesce(col("source"), lit("")),
+                 coalesce(col("n_chars").cast("string"), lit("")))),
+               1, 15), 16, 10).cast("decimal(38,0)"))
+               % lit(1000000000000000000L)).cast("long").as("checksum"))),
+    "q126_keep_last_k" -> ((s, dir) =>
+      // Version-count retention: each user keeps its 3 most recent versions
+      // (current always among them); kept windows are true history.
+      Scd2.keepLastVersions(
+        Scd2.initialLoad(ev(s, dir), evCfg), k = 3, evCfg))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3095,7 +3128,30 @@ object SparkEntry {
          |      FROM m)
          |SELECT user_id, island_id, min(_valid_from) AS island_from,
          |  max(_valid_to) AS island_to, CAST(count(*) AS BIGINT) AS n_intervals
-         |FROM i GROUP BY 1, 2""".stripMargin
+         |FROM i GROUP BY 1, 2""".stripMargin,
+    "q124_dup_degree" ->
+      s"""WITH $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT doc_a AS doc_id FROM vp
+         |   UNION ALL SELECT doc_b FROM vp) GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY 1""".stripMargin,
+    "q125_table_checksum" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(concat_ws('-',
+        |      coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
+        |      coalesce(source, ''), coalesce(CAST(n_chars AS VARCHAR), ''))),
+        |    1, 15))::UBIGINT) % 1000000000000000000 AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q126_keep_last_k" ->
+      s"""WITH $SrcCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |)
+         |SELECT * FROM scd
+         |QUALIFY row_number() OVER (PARTITION BY user_id
+         |  ORDER BY _valid_from DESC) <= 3""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -426,6 +426,25 @@ object Scd2 {
       .withColumn(cur, lit(true))
   }
 
+  /** Version-count retention: keep each key's `k` most recent versions (by
+    * window start — the current row is always among them). The companion of
+    * the time-based [[expireVersions]]: a hot key that churns hourly keeps a
+    * bounded tail instead of a bounded age. Windows are NOT recomputed —
+    * kept history is true history. One exchange + per-key top-k window, the
+    * same distribution every merge already uses.
+    */
+  def keepLastVersions(snapshot: DataFrame, k: Int, cfg: ScdConfig): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = snapshot.columns.toSeq
+    val vf = resolveCi(cols, cfg.validFromCol)
+    val keys = cfg.uniqueKey.map(resolveCi(cols, _))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(vf).desc)
+    snapshot.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Retention trim: drop expired versions whose window closed before
     * `cutoff`; current rows and still-relevant history pass through
     * untouched (audit columns are NOT recomputed — the kept windows are the

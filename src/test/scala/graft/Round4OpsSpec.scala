@@ -143,4 +143,18 @@ class Round4OpsSpec extends SparkTestBase {
     assert(out === Set((1, 1L, 0L, 20L, 2L), (1, 2L, 25L, 30L, 1L),
                        (2, 1L, 0L, 15L, 3L)))
   }
+
+  test("keepLastVersions: per-key top-k by window start, current always kept") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "u")
+    val hist = Scd2.initialLoad(
+      Seq((1, "a", ts("2025-01-01 00:00:00")),
+          (1, "b", ts("2025-01-02 00:00:00")),
+          (1, "c", ts("2025-01-03 00:00:00")),
+          (2, "x", ts("2025-01-01 00:00:00")))
+        .toDF("k", "v", "u"), cfg)
+    val kept = Scd2.keepLastVersions(hist, 2, cfg)
+      .select("k", "v", "_is_current").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(kept === Set((1, "b", false), (1, "c", true), (2, "x", true)))
+  }
 }
