@@ -1268,7 +1268,54 @@ object SparkEntry {
       // Version-count retention: each user keeps its 3 most recent versions
       // (current always among them); kept windows are true history.
       Scd2.keepLastVersions(
-        Scd2.initialLoad(ev(s, dir), evCfg), k = 3, evCfg))
+        Scd2.initialLoad(ev(s, dir), evCfg), k = 3, evCfg)),
+    "q127_ann_recall" -> ((s, dir) => {
+      // Recall@10 of the sign-LSH index against the exact top-10 — the
+      // ANN quality gate (both sides deterministic, so recall is an oracle
+      // number, not an estimate). Semi-join on (query, neighbor), ppm
+      // recall from integer division.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 10, planes = 8)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_exact"))
+    }),
+    "q128_winsorize" -> ((s, dir) =>
+      // Winsorize event values to exact per-type [p5, p95] rank-selection
+      // quantiles; the clamp bounds broadcast back, data side stays narrow.
+      Profile.winsorize(
+        ev(s, dir).select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+        "event_type", "vm", pLo = 5, pHi = 95)
+        .select("event_id", "event_type", "vm", "vm_w")),
+    "q129_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose lineitem quantity mass crosses the
+      // threshold — fact aggregates FIRST (combine-enabled, orderkey-sized
+      // output), the dimension joins after; customer broadcast.
+      val qty = Tables.read(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity") * lit(1000000.0)).cast("long"))
+          .as("qty_micro"))
+        .filter(col("qty_micro") > lit(260L * 1000000L))
+      Tables.read(s, dir, "orders")
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "customer")
+          .select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "qty_micro")
+    }),
+    "q130_key_skew" -> ((s, dir) =>
+      // Key-skew pre-flight: the 25 heaviest users with row share and
+      // multiple-of-average-fiber ratio — when this crosses ~100x, per-key
+      // windows serialize and salting pays.
+      Profile.keySkew(ev(s, dir), Seq("user_id"), topK = 25))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3151,7 +3198,76 @@ object SparkEntry {
          |)
          |SELECT * FROM scd
          |QUALIFY row_number() OVER (PARTITION BY user_id
-         |  ORDER BY _valid_from DESC) <= 3""".stripMargin
+         |  ORDER BY _valid_from DESC) <= 3""".stripMargin,
+    "q127_ann_recall" ->
+      s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN bq q ON q.vec_id <> c.vec_id),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bs) WHERE rnk <= 10),
+         |bk AS (SELECT vec_id, embedding,
+         |${(0 until 8).map(p =>
+            s"  (CASE WHEN ${projSql(p)} >= 0 THEN '1' ELSE '0' END)").mkString(" ||\n")}
+         |  AS b FROM embeddings),
+         |lq AS (SELECT * FROM bk WHERE vec_id < 32),
+         |ls AS (SELECT lq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("lq.embedding", "c.embedding")} AS cosine
+         |  FROM bk c JOIN lq ON c.b = lq.b AND lq.vec_id <> c.vec_id),
+         |lt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM ls) WHERE rnk <= 10),
+         |h AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM bt JOIN lt ON bt.query_id = lt.query_id
+         |        AND bt.neighbor_id = lt.neighbor_id GROUP BY 1),
+         |ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bt GROUP BY 1)
+         |SELECT ex.query_id, ex.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 AS BIGINT) // ex.n_exact
+         |    AS recall_ppm
+         |FROM ex LEFT JOIN h ON h.query_id = ex.query_id""".stripMargin,
+    "q128_winsorize" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_id, event_type,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src),
+         |r AS (SELECT event_type, vm,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM e),
+         |b AS (SELECT event_type,
+         |        min(CASE WHEN rn = (n * 5 + 99) // 100 THEN vm END) AS lo,
+         |        min(CASE WHEN rn = (n * 95 + 99) // 100 THEN vm END) AS hi
+         |      FROM r GROUP BY 1)
+         |SELECT e.event_id, e.event_type, e.vm,
+         |  least(greatest(e.vm, b.lo), b.hi) AS vm_w
+         |FROM e JOIN b USING (event_type)""".stripMargin,
+    "q129_big_orders" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS qty_micro
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT))
+        |              AS BIGINT) > 260000000)
+        |SELECT c_name, o_orderkey, o_orderdate, qty_micro
+        |FROM qty JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "q130_key_skew" ->
+      s"""WITH $SrcCte,
+         |pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+         |       FROM src GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+         |        CAST(count(*) AS BIGINT) AS nkeys FROM pk)
+         |SELECT user_id, n_rows,
+         |  n_rows * 1000000 // total AS share_ppm,
+         |  n_rows * nkeys * 1000000 // total AS skew_x_avg_ppm,
+         |  CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT)
+         |    AS skew_rank
+         |FROM pk, t
+         |QUALIFY skew_rank <= 25""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -102,6 +102,59 @@ object Profile {
       .select(col(groupCol), col("q"), col(valueCol).as("q_value"))
   }
 
+  /** Winsorization: clamp a (typically floor-micro integer) value column to
+    * its exact per-group [pLo, pHi] discrete quantiles — the X44 rank
+    * selection, so the clamp bounds are engine-exact (no interpolation, no
+    * sketch). The bounds relation is group-count-sized and broadcast back;
+    * besides the quantile pass itself the data side is a narrow projection.
+    * The robust-scaling companion of [[minMaxScale]] (one wild sensor value
+    * no longer owns the feature range).
+    */
+  def winsorize(df: DataFrame,
+                groupCol: String,
+                valueCol: String,
+                pLo: Int,
+                pHi: Int): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi <= 100, "need 0 < pLo < pHi <= 100")
+    val qs = discreteQuantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+    val lo = qs.filter(col("q") === pLo)
+      .select(col(groupCol), col("q_value").as("_lo"))
+    val hi = qs.filter(col("q") === pHi)
+      .select(col(groupCol), col("q_value").as("_hi"))
+    df.join(broadcast(lo), Seq(groupCol))
+      .join(broadcast(hi), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+                  least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /** Key-skew report: the `topK` heaviest keys with their row share and
+    * multiple-of-average-fiber ratio — the pre-flight diagnostic for every
+    * per-key operator here (a key at 1000× the average fiber serializes its
+    * window chain; that's when [[SkewJoin.salted]] or salting-by-subkey
+    * pays). Two combine-enabled aggregates (key-sized, then top-k).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    // totals as a broadcast 1-row aggregate, NOT a global window — the
+    // per-key relation can be billions of keys at 100 TB and must never
+    // collapse to one partition; the only tiny side here is topK rows.
+    val totals = perKey.agg(sum(col("n_rows")).as("_total"),
+                            count(lit(1)).as("_nkeys"))
+    val top = perKey
+      .orderBy(col("n_rows").desc +: keyCols.map(col): _*)
+      .limit(topK)
+    top.join(broadcast(totals))
+      .withColumn("share_ppm", expr("n_rows * 1000000 DIV _total"))
+      .withColumn("skew_x_avg_ppm", expr("n_rows * _nkeys * 1000000 DIV _total"))
+      .withColumn("skew_rank",
+                  row_number().over(Window.orderBy(
+                    col("n_rows").desc +: keyCols.map(col): _*)))
+      .drop("_total", "_nkeys")
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bin =
     * clamp(floor((x - lo) * nbins / (hi - lo)), 0, nbins-1), one count per
     * non-empty bin. The bin function is a handful of IEEE double ops — both

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, IncrementalAgg, Intervals, Packing, Rolling, Sampling, Scd2}
+import graft.operators.{BloomPrune, IncrementalAgg, Intervals, Packing, Profile, Rolling, Sampling, Scd2}
 
 /** Round-4 sweep operators: incremental aggregate maintenance,
   * inter-arrival statistics.
@@ -156,5 +156,27 @@ class Round4OpsSpec extends SparkTestBase {
       .select("k", "v", "_is_current").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
     assert(kept === Set((1, "b", false), (1, "c", true), (2, "x", true)))
+  }
+
+  test("winsorize: values clamp to the exact rank-selection bounds") {
+    // group g: 1..100 -> p5 value = 5, p95 value = 95
+    val df = (1L to 100L).map(v => ("g", v, v)).toDF("grp", "id", "vm")
+    val out = Profile.winsorize(df, "grp", "vm", 5, 95)
+      .select("id", "vm_w").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 5L && out(4L) === 5L && out(5L) === 5L)
+    assert(out(50L) === 50L)
+    assert(out(95L) === 95L && out(96L) === 95L && out(100L) === 95L)
+  }
+
+  test("keySkew: heaviest keys first, ppm shares and skew ratio") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .toDF("k")
+    val out = Profile.keySkew(df, Seq("k"), topK = 2)
+      .select("k", "n_rows", "share_ppm", "skew_x_avg_ppm", "skew_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.map(t => (t._1, t._5)).toSet === Set(("hot", 1), ("warm", 2)))
+    val hot = out.find(_._1 == "hot").get
+    assert(hot._2 === 60L && hot._3 === 600000L)
+    assert(hot._4 === 1800000L) // 60 rows vs avg 33.3: 1.8x in ppm
   }
 }
