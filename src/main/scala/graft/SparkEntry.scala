@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
+import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1315,7 +1315,35 @@ object SparkEntry {
       // Key-skew pre-flight: the 25 heaviest users with row share and
       // multiple-of-average-fiber ratio — when this crosses ~100x, per-key
       // windows serialize and salting pays.
-      Profile.keySkew(ev(s, dir), Seq("user_id"), topK = 25))
+      Profile.keySkew(ev(s, dir), Seq("user_id"), topK = 25)),
+    "q131_user_profile" -> ((s, dir) =>
+      // Set aggregation parity: per-user distinct event-type inventory as a
+      // SORTED joined string (collect_set order is partition-dependent;
+      // sorting makes it engine-comparable). One combine-enabled aggregate.
+      ev(s, dir).groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+               .as("types"),
+             size(collect_set(col("event_type"))).as("n_types"),
+             count(lit(1)).as("n_events"))),
+    "q132_zorder" -> ((s, dir) =>
+      // Z-order (Morton) keys over (partkey, suppkey) grid coords — the
+      // data-skipping layout primitive: engine-exact integer interleave,
+      // ready for a repartitionByRange write (Layout.zorderWrite).
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                (col("l_partkey") % 1024).as("zx"),
+                (col("l_suppkey") % 1024).as("zy"))
+        .withColumn("z", Layout.zValue("zx", "zy", 10))),
+    "q133_deciles" -> ((s, dir) => {
+      // NTILE decile assignment per event type on the (vm, id) total order
+      // — the feature-bucketing primitive, deterministic in every engine.
+      import org.apache.spark.sql.expressions.Window
+      ev(s, dir).select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("vm"), col("event_id"))))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3267,7 +3295,31 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT)
          |    AS skew_rank
          |FROM pk, t
-         |QUALIFY skew_rank <= 25""".stripMargin
+         |QUALIFY skew_rank <= 25""".stripMargin,
+    "q131_user_profile" ->
+      s"""WITH $SrcCte
+         |SELECT user_id,
+         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+         |  len(list(DISTINCT event_type)) AS n_types,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM src GROUP BY 1""".stripMargin,
+    "q132_zorder" ->
+      """SELECT l_orderkey, l_linenumber, zx, zy,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), b ->
+        |    (((zx >> b) & 1) << (2 * b)) + (((zy >> b) & 1) << (2 * b + 1))))
+        |    AS BIGINT) AS z
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(l_partkey % 1024 AS BIGINT) AS zx,
+        |        CAST(l_suppkey % 1024 AS BIGINT) AS zy
+        |      FROM lineitem)""".stripMargin,
+    "q133_deciles" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_id, event_type,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src)
+         |SELECT event_id, event_type, vm,
+         |  ntile(10) OVER (PARTITION BY event_type ORDER BY vm, event_id)
+         |    AS decile
+         |FROM e""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -22,18 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object JoinStream {
 
+  /** `joinType` "inner" emits matched pairs only; "left_outer" additionally
+    * emits each unmatched impression once — null-padded — after the
+    * watermark proves no in-window click can still arrive (the
+    * view-without-click row the funnel needs). Outer rows are inherently
+    * watermark-delayed; that latency is the price of a correct "no match"
+    * claim on an unbounded stream.
+    */
   def clickThrough(impressions: DataFrame,
                    clicks: DataFrame,
                    keyCols: Seq[String],
                    impTsCol: String,
                    clickTsCol: String,
                    windowSec: Long,
-                   watermarkDelay: String = "10 minutes"): DataFrame = {
+                   watermarkDelay: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val imp = impressions.withWatermark(impTsCol, watermarkDelay)
     val clk = clicks.withWatermark(clickTsCol, watermarkDelay)
     val cond = keyCols.map(k => imp(k) === clk(k)).reduce(_ && _) &&
       clk(clickTsCol) >= imp(impTsCol) &&
       clk(clickTsCol) <= imp(impTsCol) + expr(s"INTERVAL $windowSec SECONDS")
-    keyCols.foldLeft(imp.join(clk, cond, "inner"))((d, k) => d.drop(clk(k)))
+    keyCols.foldLeft(imp.join(clk, cond, joinType))((d, k) => d.drop(clk(k)))
   }
 }

@@ -59,4 +59,37 @@ class JoinStreamSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(batch === got)
   }
+
+  test("left_outer emits unmatched impressions null-padded after watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val out = JoinStream.clickThrough(
+      imps.toDF().toDF("imp_id", "user_id", "imp_ts"),
+      clks.toDF().toDF("click_id", "user_id", "click_ts"),
+      Seq("user_id"), "imp_ts", "click_ts", windowSec = 60L,
+      watermarkDelay = "1 minutes", joinType = "left_outer")
+      .select("imp_id", "click_id")
+    val query = out.writeStream.format("memory").queryName("cto_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, 7L, ts("2025-01-01 00:00:00")),
+                   (2L, 8L, ts("2025-01-01 00:00:00")))
+      clks.addData((10L, 7L, ts("2025-01-01 00:00:30")))
+      query.processAllAvailable()
+      // push both watermarks far past imp_ts + window + delay
+      imps.addData((99L, 1L, ts("2025-01-01 06:00:00")))
+      clks.addData((98L, 1L, ts("2025-01-01 06:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = session.table("cto_out")
+      .as[(Long, Option[Long])].collect().toSet
+    // imp 1 matched; imp 2 expired unmatched -> null click
+    assert(got.contains((1L, Some(10L))))
+    assert(got.contains((2L, None)))
+  }
 }

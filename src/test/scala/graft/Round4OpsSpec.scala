@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, IncrementalAgg, Intervals, Packing, Profile, Rolling, Sampling, Scd2}
+import graft.operators.{BloomPrune, IncrementalAgg, Intervals, Layout, Packing, Profile, Rolling, Sampling, Scd2}
 
 /** Round-4 sweep operators: incremental aggregate maintenance,
   * inter-arrival statistics.
@@ -178,5 +178,27 @@ class Round4OpsSpec extends SparkTestBase {
     val hot = out.find(_._1 == "hot").get
     assert(hot._2 === 60L && hot._3 === 600000L)
     assert(hot._4 === 1800000L) // 60 rows vs avg 33.3: 1.8x in ppm
+  }
+
+  test("zValue interleaves bits; zorderWrite yields disjoint sorted z ranges") {
+    // x=5 (101), y=3 (011): bits -> 1 + 2 + 8 + 16 = 27
+    val one = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue("x", "y", 3).as("z")).collect()(0).getLong(0)
+    assert(one === 27L)
+
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val parts = Layout.zorderWrite(grid, "x", "y", bits = 5, numFiles = 8)
+      .select("_z").rdd
+      .mapPartitions(it => {
+        val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max, zs == zs.sorted))
+      }).collect().sortBy(_._1)
+    assert(parts.forall(_._3), "each file sorted by z")
+    assert(parts.sliding(2).forall {
+      case Array((_, hi, _), (lo, _, _)) => hi < lo
+      case _ => true
+    }, "file z ranges disjoint")
   }
 }
