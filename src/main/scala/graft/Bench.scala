@@ -54,13 +54,15 @@ object Bench {
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
     // full query names + full float precision overflowed it). Keep the line
-    // compact: short query ids (the unique qNN prefix) and 3-decimal seconds.
+    // compact: short query ids (the unique qNN prefix) and 2-decimal seconds
+    // (133 queries at 3 decimals hit 1.73 KB — one more batch would cross
+    // the window; 2 decimals is plenty for per-query seconds).
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val useShort = prefixes.distinct.size == prefixes.size
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     val qs = results.zip(prefixes).map { case ((k, v), p) =>
-      "\"" + (if (useShort) p else k) + "\":" + fmt(v, 3)
+      "\"" + (if (useShort) p else k) + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
