@@ -1343,6 +1343,37 @@ object SparkEntry {
         .withColumn("decile", ntile(10).over(
           Window.partitionBy(col("event_type"))
             .orderBy(col("vm"), col("event_id"))))
+    }),
+    "q134_sentence_dedup" -> ((s, dir) =>
+      // Exact-sentence duplication share per document (RefinedWeb signal) —
+      // one corpus-sentence-sized exchange on md5(sentence), per-doc combine.
+      Dedup.sentenceDupStats(docs(s, dir), "doc_id", "text")),
+    "q135_suff_stats" -> ((s, dir) =>
+      // Order-independent sufficient statistics per event type: integer
+      // (n, Σx, Σy, Σxy, Σx², Σy²) in milli/second units — the distributed
+      // correlation/regression primitive (moments merge; means/slopes are
+      // derived at read, exactly like the X97 rollup partials).
+      ev(s, dir).select(col("event_type"),
+          floor(col("value") * lit(1000.0)).cast("long").as("x"),
+          expr("(unix_micros(ts) DIV 1000000) % 86400").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("x")).as("sum_x"),
+             sum(col("y")).as("sum_y"),
+             sum(col("x") * col("y")).as("sum_xy"),
+             sum(col("x") * col("x")).as("sum_x2"),
+             sum(col("y") * col("y")).as("sum_y2"))),
+    "q136_pct_of_total" -> ((s, dir) => {
+      // Share-of-day per event type in ppm: combine-enabled (type, day)
+      // counts, then a day-partitioned total window over the tiny rollup —
+      // the corpus never sees the window.
+      import org.apache.spark.sql.expressions.Window
+      ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_total",
+                    sum(col("n")).over(Window.partitionBy(col("day"))))
+        .withColumn("share_ppm", expr("n * 1000000 DIV day_total"))
     })
   )
 
@@ -3319,7 +3350,41 @@ object SparkEntry {
          |SELECT event_id, event_type, vm,
          |  ntile(10) OVER (PARTITION BY event_type ORDER BY vm, event_id)
          |    AS decile
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+    "q134_sentence_dedup" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    trim(s) AS s FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        |    FROM documents)),
+        |s1 AS (SELECT doc_id, s FROM s0 WHERE length(s) > 0),
+        |c AS (SELECT doc_id, s,
+        |        count(*) OVER (PARTITION BY md5(s)) AS cnt FROM s1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_sents,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+        |    // count(*) AS dup_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+    "q135_suff_stats" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type,
+         |        CAST(floor(value * 1000.0) AS BIGINT) AS x,
+         |        (epoch_us(ts) // 1000000) % 86400 AS y FROM src)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+         |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+         |FROM e GROUP BY 1""".stripMargin,
+    "q136_pct_of_total" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         |  CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+         |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY day) AS BIGINT)
+         |    AS share_ppm
+         |FROM r""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

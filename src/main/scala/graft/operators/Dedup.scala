@@ -435,4 +435,32 @@ object Dedup {
              .as("n_dup_spans"))
       .withColumn("dup_ppm", expr("(n_dup_spans * 1000000) DIV n_spans"))
   }
+
+  /** Sentence-level duplication stats — the RefinedWeb/Falcon exact-sentence
+    * dedup signal, between MinHash (document) and [[dupSpanStats]] (n-token
+    * span) in granularity: per document, how much of it is sentences that
+    * occur elsewhere in the corpus verbatim. Sentences = `[.!?]+`-delimited,
+    * trimmed, empties dropped; identity = md5 of the exact sentence text.
+    *
+    * Same shape as the span pass: one exchange on the sentence hash for the
+    * global occurrence count (hash-partitioned window, skew-free keys), then
+    * a combine-enabled per-doc aggregate — corpus-sentence-sized, ~20×
+    * cheaper than the 20-token span pass on typical prose.
+    */
+  def sentenceDupStats(df: DataFrame,
+                       idCol: String,
+                       textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol),
+              explode(split(col(textCol), "[.!?]+")).as("_s"))
+      .withColumn("_s", trim(col("_s")))
+      .filter(length(col("_s")) > 0)
+      .withColumn("_cnt",
+                  count(lit(1)).over(Window.partitionBy(md5(col("_s")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+           sum(when(col("_cnt") > 1, lit(1L)).otherwise(lit(0L)))
+             .as("n_dup_sents"))
+      .withColumn("dup_ppm", expr("(n_dup_sents * 1000000) DIV n_sents"))
+  }
 }
