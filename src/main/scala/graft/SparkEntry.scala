@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, TextAnalysis}
+import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, Snapshot, TextAnalysis}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1374,6 +1374,31 @@ object SparkEntry {
         .withColumn("day_total",
                     sum(col("n")).over(Window.partitionBy(col("day"))))
         .withColumn("share_ppm", expr("n * 1000000 DIV day_total"))
+    }),
+    "q137_snapshot_check" -> ((s, dir) => {
+      // dbt snapshot `check` strategy + invalidate_hard_deletes: two runs
+      // over current-state tables with NO usable event time — run 1 sees
+      // the latest even-event state (users ≠7 mod 10), run 2 the latest
+      // odd-event state (users ≠3 mod 10). Changed types version at run
+      // time, unchanged collapse, vanished keys hard-delete, new keys born.
+      import org.apache.spark.sql.expressions.Window
+      def latest(df: DataFrame) = df.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      val all = ev(s, dir)
+      val s1 = latest(all.filter(col("event_id") % 2 === 0 && col("user_id") % 10 =!= 7))
+      val s2 = latest(all.filter(col("event_id") % 2 === 1 && col("user_id") % 10 =!= 3))
+      val cfg = ScdConfig(uniqueKey = Seq("user_id"),
+                          updatedAtCol = "_snapshot_at",
+                          changeInclude = Some(Seq("event_type")),
+                          deletedAtCol = Some("deleted_at"))
+      val t1 = Snapshot.run(None, s1,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), cfg,
+        invalidateHardDeletes = true)
+      Snapshot.run(Some(t1), s2,
+        java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), cfg,
+        invalidateHardDeletes = true)
     })
   )
 
@@ -3384,7 +3409,53 @@ object SparkEntry {
          |  CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
          |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY day) AS BIGINT)
          |    AS share_ppm
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    "q137_snapshot_check" ->
+      s"""WITH $SrcCte,
+         |s1 AS (SELECT * FROM src
+         |  WHERE event_id % 2 = 0 AND user_id % 10 <> 7
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |s2 AS (SELECT * FROM src
+         |  WHERE event_id % 2 = 1 AND user_id % 10 <> 3
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |j AS (SELECT coalesce(a.user_id, b.user_id) AS u,
+         |        a.user_id IS NOT NULL AS has1, b.user_id IS NOT NULL AS has2,
+         |        a.event_id AS e1, a.ts AS ts1, a.event_type AS t1,
+         |        a.value AS v1, a.props AS p1,
+         |        b.event_id AS e2, b.ts AS ts2, b.event_type AS t2,
+         |        b.value AS v2, b.props AS p2
+         |      FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id)
+         |SELECT e1 AS event_id, ts1 AS ts, u AS user_id, t1 AS event_type,
+         |  v1 AS value, p1 AS props,
+         |  TIMESTAMP '2024-02-01 00:00:00' AS _snapshot_at,
+         |  CAST(NULL AS TIMESTAMP) AS deleted_at,
+         |  (has2 AND t2 = t1) AS _is_current,
+         |  TIMESTAMP '2024-02-01 00:00:00' AS _valid_from,
+         |  CASE WHEN has2 AND t2 = t1 THEN TIMESTAMP '2999-12-31 23:59:59'
+         |       ELSE TIMESTAMP '2024-02-02 00:00:00' END AS _valid_to,
+         |  'I' AS _change_type
+         |FROM j WHERE has1
+         |UNION ALL
+         |SELECT e2, ts2, u, t2, v2, p2,
+         |  TIMESTAMP '2024-02-02 00:00:00', CAST(NULL AS TIMESTAMP),
+         |  true, TIMESTAMP '2024-02-02 00:00:00',
+         |  TIMESTAMP '2999-12-31 23:59:59', 'U'
+         |FROM j WHERE has1 AND has2 AND t2 <> t1
+         |UNION ALL
+         |SELECT e2, ts2, u, t2, v2, p2,
+         |  TIMESTAMP '2024-02-02 00:00:00', CAST(NULL AS TIMESTAMP),
+         |  true, TIMESTAMP '2024-02-02 00:00:00',
+         |  TIMESTAMP '2999-12-31 23:59:59', 'I'
+         |FROM j WHERE has2 AND NOT has1
+         |UNION ALL
+         |SELECT e1, ts1, u, t1, v1, p1,
+         |  TIMESTAMP '2024-02-02 00:00:00',
+         |  TIMESTAMP '2024-02-02 00:00:00',
+         |  true, TIMESTAMP '2024-02-02 00:00:00',
+         |  TIMESTAMP '2999-12-31 23:59:59', 'D'
+         |FROM j WHERE has1 AND NOT has2""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
