@@ -33,4 +33,40 @@ object RollupStream {
              .as("value_micro_sum"))
       .select(col("event_type"), col("w").getField("start").as("day"),
               col("n_events"), col("value_micro_sum"))
+
+  /** Streaming face of the X97 incremental aggregate: every micro-batch is
+    * rolled up (mergeable partials only) and MERGED into the materialized
+    * rollup published through [[graft.VersionedTable]] — readers always see
+    * a committed version, and per micro-batch the engine touches O(batch +
+    * touched keys), never the fact history. Unlike [[tumbling]] this keeps
+    * NO stream state: the merge algebra makes the store itself the state,
+    * so late events just merge into their (already emitted) key — the
+    * eventually-correct pattern windowed append mode can't give.
+    *
+    * `keyExprs` are computed per batch (e.g. `date_trunc('DAY', ts)`), so
+    * the caller controls the rollup grain.
+    */
+  def incrementalSink(events: DataFrame,
+                      storeRoot: String,
+                      keys: Seq[String],
+                      keyExprs: DataFrame => DataFrame,
+                      valueMicro: org.apache.spark.sql.Column,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.IncrementalAgg.rollup(
+          keyExprs(batch), keys, valueMicro)
+        val merged = graft.VersionedTable.latestVersion(spark, storeRoot) match {
+          case None => delta
+          case Some(_) =>
+            graft.operators.IncrementalAgg.merge(
+              graft.VersionedTable.read(spark, storeRoot), delta, keys)
+        }
+        graft.VersionedTable.publish(spark, merged, storeRoot)
+        ()
+      }
+      .start()
 }

@@ -46,4 +46,48 @@ class RollupStreamSpec extends SparkTestBase {
       ("click", ts("2025-03-01 00:00:00"), 2L, 3750000L),
       ("view", ts("2025-03-01 00:00:00"), 1L, 4000000L)))
   }
+
+  test("incrementalSink: store equals batch rollup after each micro-batch, late events merge") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("rollup_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt").toString
+
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val query = RollupStream.incrementalSink(
+      source.toDF().toDF("ts", "event_type", "value"),
+      root,
+      keys = Seq("event_type", "day"),
+      keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
+      valueMicro = expr("CAST(floor(value * 1000000.0) AS BIGINT)"),
+      checkpoint = ckpt)
+
+    val b1 = Seq((ts("2025-03-01 01:00:00"), "click", 1.5),
+                 (ts("2025-03-01 02:00:00"), "click", 2.25),
+                 (ts("2025-03-01 03:00:00"), "view", 4.0))
+    val b2 = Seq((ts("2025-03-02 01:00:00"), "click", 1.0),
+                 // late event for day 1 merges into the already-stored key
+                 (ts("2025-03-01 22:00:00"), "click", 0.5))
+    try {
+      source.addData(b1: _*); query.processAllAvailable()
+      source.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val all = (b1 ++ b2).toDF("ts", "event_type", "value")
+    val expect = all
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)")).as("value_micro"))
+      .select("event_type", "day", "n_rows", "value_micro")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    val got = graft.VersionedTable.read(session, root)
+      .select("event_type", "day", "n_rows", "value_micro")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
 }
