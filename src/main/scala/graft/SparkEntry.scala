@@ -1399,7 +1399,19 @@ object SparkEntry {
       Snapshot.run(Some(t1), s2,
         java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), cfg,
         invalidateHardDeletes = true)
-    })
+    }),
+    "q138_time_to_convert" -> ((s, dir) =>
+      // signup -> purchase funnel edge: entrants, converters, exact p50/p90
+      // seconds-to-convert (rank selection, engine-exact).
+      Funnel.timeToConvert(ev(s, dir), "user_id", "ts", "event_type",
+                           "signup", "purchase")),
+    "q139_version_conflicts" -> ((s, dir) =>
+      // Ambiguous-version audit at hour granularity: (user, hour) groups
+      // whose rows disagree on content — the inputs where a merge's
+      // deterministic tie-break would silently pick a winner.
+      Scd2.ambiguousVersions(
+        ev(s, dir), evCfg,
+        updatedAtExpr = Some(date_trunc("HOUR", col("ts")))))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3455,7 +3467,38 @@ object SparkEntry {
          |  TIMESTAMP '2024-02-02 00:00:00',
          |  true, TIMESTAMP '2024-02-02 00:00:00',
          |  TIMESTAMP '2999-12-31 23:59:59', 'D'
-         |FROM j WHERE has1 AND NOT has2""".stripMargin
+         |FROM j WHERE has1 AND NOT has2""".stripMargin,
+    "q138_time_to_convert" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id,
+         |        min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+         |      FROM src GROUP BY 1),
+         |u2 AS (SELECT s.user_id, u.t0,
+         |         min(CASE WHEN s.event_type = 'purchase' AND s.ts >= u.t0
+         |                  THEN s.ts END) AS t1
+         |       FROM src s JOIN u ON s.user_id = u.user_id
+         |       WHERE u.t0 IS NOT NULL GROUP BY 1, 2),
+         |c AS (SELECT user_id,
+         |        (epoch_us(t1) - epoch_us(t0)) // 1000000 AS delta_sec
+         |      FROM u2 WHERE t1 IS NOT NULL),
+         |r AS (SELECT delta_sec, row_number() OVER (ORDER BY delta_sec) AS rn,
+         |        count(*) OVER () AS n FROM c)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM u2) AS n_from,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_converted,
+         |  (SELECT delta_sec FROM r WHERE rn = (n * 50 + 99) // 100) AS p50_sec,
+         |  (SELECT delta_sec FROM r WHERE rn = (n * 90 + 99) // 100) AS p90_sec""".stripMargin,
+    "q139_version_conflicts" ->
+      s"""WITH $SrcCte,
+         |h AS (SELECT user_id, date_trunc('hour', ts) AS version_ts,
+         |        md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''),
+         |          coalesce(CAST(value AS VARCHAR), ''),
+         |          coalesce(props, ''))) AS _h
+         |      FROM src)
+         |SELECT user_id, version_ts, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT _h) AS BIGINT) AS n_variants
+         |FROM h GROUP BY 1, 2
+         |HAVING count(DISTINCT _h) > 1""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",

@@ -77,6 +77,45 @@ object Funnel {
     * side is user-cardinality, broadcastable in most corpora, and the
     * distinct-activity aggregate is the only full-data shuffle.
     */
+  /** Time-to-convert: one summary row for the `fromType → toType` funnel
+    * edge — users entering, users converting (first `toType` at/after their
+    * first `fromType`), and EXACT p50/p90 seconds-to-convert via the X44
+    * rank selection. All integer seconds.
+    *
+    * The quantile pass sorts the CONVERTED-USER relation in one global
+    * window — user-count-sized, fine to ~10^8; per-cohort grouping (the
+    * [[cohortRetention]] keys) is the documented shard path beyond that.
+    */
+  def timeToConvert(df: DataFrame,
+                    userCol: String,
+                    tsCol: String,
+                    typeCol: String,
+                    fromType: String,
+                    toType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val staged = df
+      .withColumn("_t0", min(when(col(typeCol) === fromType, col(tsCol))).over(w))
+      .withColumn("_t1",
+                  min(when(col(typeCol) === toType && col(tsCol) >= col("_t0"),
+                           col(tsCol))).over(w))
+    val perUser = staged.groupBy(col(userCol))
+      .agg(max(col("_t0")).as("_t0"), max(col("_t1")).as("_t1"))
+      .filter(col("_t0").isNotNull)
+    val conv = perUser.filter(col("_t1").isNotNull)
+      .withColumn("delta_sec",
+                  expr("(unix_micros(_t1) - unix_micros(_t0)) DIV 1000000"))
+    val counts = perUser.agg(
+      count(lit(1)).as("n_from"),
+      sum(when(col("_t1").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+    val qs = Profile.discreteQuantiles(
+        conv.withColumn("_g", lit(1)), "_g", "delta_sec", Seq(50, 90))
+      .groupBy("_g").pivot("q", Seq(50, 90)).agg(first(col("q_value")))
+      .withColumnRenamed("50", "p50_sec")
+      .withColumnRenamed("90", "p90_sec")
+      .drop("_g")
+    counts.join(qs)
+  }
+
   def cohortRetention(df: DataFrame,
                       userCol: String,
                       tsCol: String,

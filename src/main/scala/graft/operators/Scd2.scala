@@ -426,6 +426,30 @@ object Scd2 {
       .withColumn(cur, lit(true))
   }
 
+  /** Ambiguous-version audit: (key, version-time) groups carrying MORE THAN
+    * ONE distinct content hash — the inputs on which the engine's
+    * deterministic tie-break (hash order, `get_incremental_scd2_sql.sql:
+    * 149-156`) silently picks a winner. Zero rows means every merge was
+    * unambiguous; non-zero is an upstream data-quality signal worth
+    * alerting on BEFORE the winner is in the history. One combine-enabled
+    * aggregate on the version key.
+    */
+  def ambiguousVersions(delta: DataFrame,
+                        cfg: ScdConfig,
+                        updatedAtExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val cols = delta.columns.toSeq
+    val keys = cfg.uniqueKey.map(resolveCi(cols, _))
+    val upd = updatedAtExpr.getOrElse(col(resolveCi(cols, cfg.updatedAtCol)))
+    val check = cfg.checkColumns(cols)
+    val hash = md5(concat_ws("-",
+      check.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    delta
+      .groupBy((keys.map(col) :+ upd.as("version_ts")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(hash).as("n_variants"))
+      .filter(col("n_variants") > 1)
+  }
+
   /** Version-count retention: keep each key's `k` most recent versions (by
     * window start — the current row is always among them). The companion of
     * the time-based [[expireVersions]]: a hot key that churns hourly keeps a

@@ -235,6 +235,59 @@ object Stress {
       f"tfidf ${ttK / tt1 / k}%.2f, profile ${pfK / pf1 / k}%.2f, " +
       f"enrich ${enK / en1 / k}%.2f")
 
+    // Round-4 operators ---------------------------------------------------
+    val sd1 = time("sentence dedup 1x")(
+      Dedup.sentenceDupStats(d1, "doc_id", "text"))
+    val sdK = time(s"sentence dedup ${k}x")(
+      Dedup.sentenceDupStats(dK, "doc_id", "text"))
+
+    val ch1 = time("chunk docs 1x")(
+      graft.operators.Packing.chunkDocs(d1, "doc_id", "text", 64, 48))
+    val chK = time(s"chunk docs ${k}x")(
+      graft.operators.Packing.chunkDocs(dK, "doc_id", "text", 64, 48))
+
+    val ws1 = time("weighted cap 1x")(
+      graft.operators.Sampling.weightedCap(d1, "doc_id", Seq("lang"), "n_chars", 20))
+    val wsK = time(s"weighted cap ${k}x")(
+      graft.operators.Sampling.weightedCap(dK, "doc_id", Seq("lang"), "n_chars", 20))
+
+    def rollupOf(df: DataFrame) = graft.operators.IncrementalAgg.rollup(
+      df.withColumn("day", date_trunc("DAY", col("ts"))),
+      Seq("event_type", "day"),
+      floor(col("value") * lit(1000000.0)).cast("long"))
+    val ir1 = time("incr rollup merge 1x")(
+      graft.operators.IncrementalAgg.merge(
+        rollupOf(half(ev1, 0)), rollupOf(half(ev1, 1)), Seq("event_type", "day")))
+    val irK = time(s"incr rollup merge ${k}x")(
+      graft.operators.IncrementalAgg.merge(
+        rollupOf(half(evK, 0)), rollupOf(half(evK, 1)), Seq("event_type", "day")))
+
+    def histOf(df: DataFrame) = Scd2.initialLoad(
+      df.withColumn("deleted_at", when(col("event_type") === "error", col("ts"))),
+      evCfg.copy(deletedAtCol = Some("deleted_at")))
+    val is1 = time("alive islands 1x")(
+      graft.operators.Intervals.islands(
+        histOf(ev1).filter(col("_change_type") =!= "D"),
+        Seq("user_id"), "_valid_from", "_valid_to"))
+    val isK = time(s"alive islands ${k}x")(
+      graft.operators.Intervals.islands(
+        histOf(evK).filter(col("_change_type") =!= "D"),
+        Seq("user_id"), "_valid_from", "_valid_to"))
+
+    val wz1 = time("winsorize 1x")(
+      Profile.winsorize(ev1.select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+        "event_type", "vm", 5, 95))
+    val wzK = time(s"winsorize ${k}x")(
+      Profile.winsorize(evK.select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+        "event_type", "vm", 5, 95))
+
+    println(f"[stress] r4 slopes at k=$k (1.0 = linear): " +
+      f"sentence_dedup ${sdK / sd1 / k}%.2f, chunk ${chK / ch1 / k}%.2f, " +
+      f"weighted_cap ${wsK / ws1 / k}%.2f, incr_rollup ${irK / ir1 / k}%.2f, " +
+      f"islands ${isK / is1 / k}%.2f, winsorize ${wzK / wz1 / k}%.2f")
+
     // Key-skew probe: redirect 20% of all events to ONE business key. A
     // window partition is inherently sequential per key (a version chain is
     // an ordered history — no salting without changing semantics), so the
