@@ -1411,7 +1411,38 @@ object SparkEntry {
       // deterministic tie-break would silently pick a winner.
       Scd2.ambiguousVersions(
         ev(s, dir), evCfg,
-        updatedAtExpr = Some(date_trunc("HOUR", col("ts")))))
+        updatedAtExpr = Some(date_trunc("HOUR", col("ts"))))),
+    "q140_milestones" -> ((s, dir) =>
+      // Accumulating-snapshot fact table: one row per user with first-hit
+      // timestamps per lifecycle milestone — ONE combine-enabled aggregate
+      // (conditional mins), the Kimball pattern without N self-joins.
+      ev(s, dir).groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+             min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+             min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+             min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+             min(when(col("event_type") === "error", col("ts"))).as("first_error"),
+             max(col("ts")).as("last_event"),
+             count(lit(1)).as("n_events"))),
+    "q141_gap_fill" -> ((s, dir) => {
+      // Calendar densification: every (hour, type) cell of the reporting
+      // window, zero-filled — the spine is dimension-sized and broadcast;
+      // the corpus contributes one combine-enabled rollup. Reports that
+      // silently drop empty cells hide outages; this is the fix.
+      val types = Seq("click", "signup", "error", "view", "purchase")
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+          lit(java.sql.Timestamp.valueOf("2024-01-30 23:00:00")),
+          expr("interval 1 hour"))).as("hour"))
+        .crossJoin(s.range(1)
+          .select(explode(array(types.map(lit): _*)).as("event_type")))
+      val counts = ev(s, dir)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("hour", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3498,7 +3529,30 @@ object SparkEntry {
          |SELECT user_id, version_ts, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(DISTINCT _h) AS BIGINT) AS n_variants
          |FROM h GROUP BY 1, 2
-         |HAVING count(DISTINCT _h) > 1""".stripMargin
+         |HAVING count(DISTINCT _h) > 1""".stripMargin,
+    "q140_milestones" ->
+      s"""WITH $SrcCte
+         |SELECT user_id,
+         |  min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         |  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+         |  min(CASE WHEN event_type = 'error' THEN ts END) AS first_error,
+         |  max(ts) AS last_event,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM src GROUP BY 1""".stripMargin,
+    "q141_gap_fill" ->
+      s"""WITH $SrcCte,
+         |spine AS (SELECT h.hour, t.event_type FROM
+         |  (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |     TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour) h
+         |  CROSS JOIN (SELECT unnest(['click', 'signup', 'error', 'view',
+         |     'purchase']) AS event_type) t),
+         |c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+         |        CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1, 2)
+         |SELECT spine.hour, spine.event_type, coalesce(c.n, 0) AS n
+         |FROM spine LEFT JOIN c
+         |  ON spine.hour = c.hour AND spine.event_type = c.event_type""".stripMargin
   )
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
