@@ -1442,6 +1442,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       spine.join(counts, Seq("hour", "event_type"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
+    }),
+    "q142_jsonl_roundtrip" -> ((s, dir) => {
+      // Multi-format source/sink: corpus → JSON-lines → back with an
+      // EXPLICIT schema (inference is a full extra pass at 100 TB — never
+      // at scale), then the X107 checksum proves the roundtrip lossless
+      // against the parquet original (same oracle).
+      val d = docs(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_rt").getAbsolutePath
+      d.write.mode("overwrite").json(path)
+      s.read.schema(d.schema).json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+             (sum(conv(substring(md5(concat_ws("-",
+                 coalesce(col("doc_id").cast("string"), lit("")),
+                 coalesce(col("text"), lit("")),
+                 coalesce(col("source"), lit("")),
+                 coalesce(col("n_chars").cast("string"), lit("")))),
+               1, 15), 16, 10).cast("decimal(38,0)"))
+               % lit(1000000000000000000L)).cast("long").as("checksum"))
+    }),
+    "q143_csv_roundtrip" -> ((s, dir) => {
+      // Same lossless-roundtrip gate through quoted CSV (header, explicit
+      // schema, proper quote/escape so delimiters in data can't shear rows).
+      val d = docs(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_csv_rt").getAbsolutePath
+      d.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(path)
+      s.read.schema(d.schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+             (sum(conv(substring(md5(concat_ws("-",
+                 coalesce(col("doc_id").cast("string"), lit("")),
+                 coalesce(col("text"), lit("")),
+                 coalesce(col("source"), lit("")),
+                 coalesce(col("n_chars").cast("string"), lit("")))),
+               1, 15), 16, 10).cast("decimal(38,0)"))
+               % lit(1000000000000000000L)).cast("long").as("checksum"))
     })
   )
 
@@ -3311,13 +3352,11 @@ object SparkEntry {
          |   UNION ALL SELECT doc_b FROM vp) GROUP BY 1)
          |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
          |FROM d GROUP BY 1""".stripMargin,
-    "q125_table_checksum" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(('0x' || substr(md5(concat_ws('-',
-        |      coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
-        |      coalesce(source, ''), coalesce(CAST(n_chars AS VARCHAR), ''))),
-        |    1, 15))::UBIGINT) % 1000000000000000000 AS BIGINT) AS checksum
-        |FROM documents GROUP BY 1""".stripMargin,
+    "q125_table_checksum" -> DocChecksumSql,
+    // The roundtrip queries re-read the SAME logical relation through
+    // JSONL/CSV; lossless ⟺ the checksum equals the parquet original's.
+    "q142_jsonl_roundtrip" -> DocChecksumSql,
+    "q143_csv_roundtrip" -> DocChecksumSql,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
@@ -3554,6 +3593,17 @@ object SparkEntry {
          |FROM spine LEFT JOIN c
          |  ON spine.hour = c.hour AND spine.event_type = c.event_type""".stripMargin
   )
+
+  /** Order-independent per-lang checksum of `documents` (X107) — shared by
+    * q125 and the q142/q143 format-roundtrip gates.
+    */
+  private val DocChecksumSql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(('0x' || substr(md5(concat_ws('-',
+      |      coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
+      |      coalesce(source, ''), coalesce(CAST(n_chars AS VARCHAR), ''))),
+      |    1, 15))::UBIGINT) % 1000000000000000000 AS BIGINT) AS checksum
+      |FROM documents GROUP BY 1""".stripMargin
 
   private val LiCols = Seq("l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
