@@ -1483,6 +1483,31 @@ object SparkEntry {
                  coalesce(col("n_chars").cast("string"), lit("")))),
                1, 15), 16, 10).cast("decimal(38,0)"))
                % lit(1000000000000000000L)).cast("long").as("checksum"))
+    }),
+    "q144_sql_dedup" -> ((s, dir) => {
+      // SQL front end #2: X1's exact dedup as PURE SQL TEXT over a temp
+      // view — same oracle as q16, so the SQL surface and the DataFrame
+      // operator are interchangeable for text ops too.
+      graft.functions.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("docs_t")
+      s.sql("""
+        SELECT md5(array_join(split(lower(trim(text)), '\\s+'), ' '))
+            AS fingerprint,
+          min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM docs_t GROUP BY 1""")
+    }),
+    "q145_top_boilerplate" -> ((s, dir) => {
+      // Corpus boilerplate detector: the 20 most-duplicated 20-token spans
+      // (the q109 span relation re-aggregated by SPAN instead of doc) —
+      // what you read before writing a takedown/cleanup rule. Combine-
+      // enabled count + distributed TakeOrdered top-k.
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir).filter(size(toks) >= 20)
+        .select(explode(TextAnalysis.orderedShingles(toks, 20)).as("span"))
+        .groupBy("span").agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy(col("n_occurrences").desc, col("span"))
+        .limit(20)
     })
   )
 
@@ -3357,6 +3382,20 @@ object SparkEntry {
     // JSONL/CSV; lossless ⟺ the checksum equals the parquet original's.
     "q142_jsonl_roundtrip" -> DocChecksumSql,
     "q143_csv_roundtrip" -> DocChecksumSql,
+    "q144_sql_dedup" ->
+      s"""WITH $ToksCte
+         |SELECT md5(array_to_string(t, ' ')) AS fingerprint,
+         |  min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM toks GROUP BY 1""".stripMargin,
+    "q145_top_boilerplate" ->
+      s"""WITH $ToksCte,
+         |sp AS (SELECT unnest(list_transform(generate_series(0, len(t) - 20),
+         |    i -> array_to_string(t[i+1:i+20], ' '))) AS span
+         |  FROM toks WHERE len(t) >= 20),
+         |g AS (SELECT span, CAST(count(*) AS BIGINT) AS n_occurrences
+         |      FROM sp GROUP BY 1 HAVING count(*) > 1)
+         |SELECT span, n_occurrences FROM g
+         |ORDER BY n_occurrences DESC, span LIMIT 20""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
