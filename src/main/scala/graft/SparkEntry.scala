@@ -1508,7 +1508,49 @@ object SparkEntry {
         .filter(col("n_occurrences") > 1)
         .orderBy(col("n_occurrences").desc, col("span"))
         .limit(20)
-    })
+    }),
+    "q146_sliding_mau" -> ((s, dir) =>
+      // Exact 7-day active users, sliding daily — the WAU primitive via the
+      // native window generator (each event lands in 7 windows, then ONE
+      // distinct aggregate on (window, user)); the HLL sketch (q98 family)
+      // is the documented approximate tier at larger windows.
+      ev(s, dir)
+        .select(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+        .groupBy(col("w").getField("start").as("window_start"))
+        .agg(countDistinct(col("user_id")).as("n_active_users"))),
+    "q147_priority_exists" -> ((s, dir) =>
+      // EXISTS shape (TPC-H Q4 skeleton): orders with at least one heavy
+      // lineitem, counted by priority — LEFT SEMI join, so the fact side
+      // contributes at most one hit per order and never fans out.
+      Tables.read(s, dir, "orders")
+        .join(Tables.read(s, dir, "lineitem")
+                .filter(col("l_quantity") > 45.0).select("l_orderkey"),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))),
+    "q148_returned_revenue" -> ((s, dir) =>
+      // TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+      // quarter — fact filtered at the scan, one shuffle join onto the
+      // date-pruned orders, broadcast customer+nation, TakeOrdered top-k.
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(Tables.read(s, dir, "orders")
+                .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+                .select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .select("c_custkey", "c_name", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")
+                .select("n_nationkey", "n_name")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1000000.0)).cast("long")).as("revenue_micro"))
+        .orderBy(col("revenue_micro").desc, col("c_custkey"))
+        .limit(20))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3396,6 +3438,34 @@ object SparkEntry {
          |      FROM sp GROUP BY 1 HAVING count(*) > 1)
          |SELECT span, n_occurrences FROM g
          |ORDER BY n_occurrences DESC, span LIMIT 20""".stripMargin,
+    "q146_sliding_mau" ->
+      s"""WITH $SrcCte,
+         |spine AS (SELECT unnest(generate_series(
+         |    TIMESTAMP '2023-12-26 00:00:00',
+         |    TIMESTAMP '2024-01-30 00:00:00', INTERVAL 1 DAY)) AS window_start)
+         |SELECT window_start,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+         |FROM spine JOIN src
+         |  ON ts >= window_start AND ts < window_start + INTERVAL 7 DAY
+         |GROUP BY 1""".stripMargin,
+    "q147_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY 1""".stripMargin,
+    "q148_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |                      * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_micro
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro DESC, c_custkey LIMIT 20""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
