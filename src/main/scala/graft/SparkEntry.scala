@@ -1550,7 +1550,53 @@ object SparkEntry {
         .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * lit(1000000.0)).cast("long")).as("revenue_micro"))
         .orderBy(col("revenue_micro").desc, col("c_custkey"))
-        .limit(20))
+        .limit(20)),
+    "q149_seasonality" -> ((s, dir) =>
+      // Seasonality heat grid: (weekday, hour-of-day) traffic matrix via
+      // integer-µs epoch math (locale-free; day 0 = Thursday) — at most
+      // 168 agg keys, pure map-side combine.
+      ev(s, dir)
+        .groupBy(expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
+                 expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))),
+    "q150_wow_change" -> ((s, dir) => {
+      // Week-over-week deltas per event type: combine-enabled (type, week)
+      // rollup, then lag over the dimension-sized rollup — integer-ppm
+      // change, NULL for the first week (no fabricated zero baseline).
+      import org.apache.spark.sql.expressions.Window
+      val wk = expr("(unix_micros(ts) DIV 86400000000) DIV 7")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      ev(s, dir)
+        .groupBy(col("event_type"), wk.as("week"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - col("prev_n"))
+        // sign-decomposed so the integer division sees a non-negative
+        // numerator: Spark DIV truncates, DuckDB // floors — they only
+        // agree on non-negatives (same trap as cohort retention).
+        .withColumn("change_ppm",
+                    expr("CAST(sign(n - prev_n) AS BIGINT) * " +
+                         "((abs(n - prev_n) * 1000000) DIV prev_n)"))
+    }),
+    "q151_upcoming_changes" -> ((s, dir) => {
+      // Effective dating: changes scheduled AFTER an as-of instant — each
+      // key's state at T plus its next future version and when it takes
+      // effect (the price-change-preview report). One history pass: lead
+      // over the (key, vf) window the history already has.
+      import org.apache.spark.sql.expressions.Window
+      val t = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      val hist = Scd2.initialLoad(ev(s, dir), evTypeCfg)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_valid_from"))
+      hist
+        .withColumn("_next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("_next_vf", lead(col("_valid_from"), 1).over(w))
+        .filter(col("_valid_from") <= lit(t) && col("_valid_to") > lit(t) &&
+                col("_next_vf").isNotNull)
+        .select(col("user_id"), col("event_type").as("current_type"),
+                col("_next_type").as("next_type"),
+                col("_next_vf").as("effective_at"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3466,6 +3512,40 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_micro DESC, c_custkey LIMIT 20""".stripMargin,
+    "q149_seasonality" ->
+      s"""WITH $SrcCte
+         |SELECT (epoch_us(ts) // 86400000000) % 7 AS weekday,
+         |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM src GROUP BY 1, 2""".stripMargin,
+    "q150_wow_change" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT event_type,
+         |        (epoch_us(ts) // 86400000000) // 7 AS week,
+         |        CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1, 2),
+         |l AS (SELECT event_type, week, n,
+         |        lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+         |      FROM r)
+         |SELECT event_type, week, n, prev_n, n - prev_n AS delta,
+         |  CAST(sign(n - prev_n) AS BIGINT)
+         |    * ((abs(n - prev_n) * 1000000) // prev_n) AS change_ppm
+         |FROM l""".stripMargin,
+    "q151_upcoming_changes" ->
+      s"""WITH $SrcCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(Seq("event_type"), deletes = false)}
+         |),
+         |x AS (SELECT user_id, event_type, _valid_from, _valid_to,
+         |        lead(event_type) OVER w AS next_type,
+         |        lead(_valid_from) OVER w AS next_vf
+         |      FROM scd WINDOW w AS (PARTITION BY user_id ORDER BY _valid_from))
+         |SELECT user_id, event_type AS current_type, next_type,
+         |  next_vf AS effective_at
+         |FROM x
+         |WHERE _valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+         |  AND _valid_to > TIMESTAMP '2024-01-20 00:00:00'
+         |  AND next_vf IS NOT NULL""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
