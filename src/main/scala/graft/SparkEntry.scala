@@ -1596,7 +1596,41 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").as("current_type"),
                 col("_next_type").as("next_type"),
                 col("_next_vf").as("effective_at"))
-    })
+    }),
+    "q152_anomaly_hours" -> ((s, dir) => {
+      // Exact integer z-score anomaly flags: hour h is anomalous iff
+      // (n·x − Σ)²·(n−1) > 9·n·(n·Σx² − Σ²) over the trailing-168h
+      // baseline — algebraically z² > 3², but cross-multiplied so NO
+      // float sqrt/division exists to drift between engines. Windows run
+      // over the 720-row hourly rollup, never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("hour_idx")).rowsBetween(-168, -1)
+      ev(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour_idx"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("bn", count(lit(1)).over(w))
+        .withColumn("bsum", sum(col("x")).over(w))
+        .withColumn("bsum2", sum(col("x") * col("x")).over(w))
+        .filter(col("bn") >= 24)
+        .withColumn("anomalous", expr(
+          """(bn * x - bsum) * (bn * x - bsum) * (bn - 1)
+            |  > 9 * bn * (bn * bsum2 - bsum * bsum)""".stripMargin))
+        .select("hour_idx", "x", "bn", "bsum", "anomalous")
+    }),
+    "q153_session_conversion" -> ((s, dir) =>
+      // Session-level conversion per day: share of sessions containing a
+      // purchase — the sessionize exchange is reused by the contains-agg
+      // (same user-key distribution), then a dimension-sized daily rollup.
+      Sessionize.assign(ev(s, dir), "user_id", "ts")
+        .groupBy(col("user_id"), col("_session"))
+        .agg(min(col("ts")).as("session_start"),
+             max((col("event_type") === "purchase").cast("int"))
+               .as("_has_purchase"))
+        .groupBy(date_trunc("DAY", col("session_start")).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("_has_purchase").cast("long")).as("n_converted"))
+        .withColumn("conversion_ppm",
+                    expr("n_converted * 1000000 DIV n_sessions")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3546,6 +3580,39 @@ object SparkEntry {
          |WHERE _valid_from <= TIMESTAMP '2024-01-20 00:00:00'
          |  AND _valid_to > TIMESTAMP '2024-01-20 00:00:00'
          |  AND next_vf IS NOT NULL""".stripMargin,
+    "q152_anomaly_hours" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+         |        CAST(count(*) AS BIGINT) AS x FROM src GROUP BY 1),
+         |b AS (SELECT hour_idx, x,
+         |        CAST(count(*) OVER w AS BIGINT) AS bn,
+         |        CAST(sum(x) OVER w AS BIGINT) AS bsum,
+         |        CAST(sum(x * x) OVER w AS BIGINT) AS bsum2
+         |      FROM r WINDOW w AS (ORDER BY hour_idx
+         |        ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING))
+         |SELECT hour_idx, x, bn, bsum,
+         |  (bn * x - bsum) * (bn * x - bsum) * (bn - 1)
+         |    > 9 * bn * (bn * bsum2 - bsum * bsum) AS anomalous
+         |FROM b WHERE bn >= 24""".stripMargin,
+    "q153_session_conversion" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (SELECT user_id, ts, event_type,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+         |agg AS (SELECT user_id, sid, min(ts) AS session_start,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT date_trunc('day', session_start) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(hp) AS BIGINT) AS n_converted,
+         |  CAST(sum(hp) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+         |    AS conversion_ppm
+         |FROM agg GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
