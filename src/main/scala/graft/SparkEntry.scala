@@ -1630,7 +1630,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"),
              sum(col("_has_purchase").cast("long")).as("n_converted"))
         .withColumn("conversion_ppm",
-                    expr("n_converted * 1000000 DIV n_sessions")))
+                    expr("n_converted * 1000000 DIV n_sessions"))),
+    "q154_relative_standing" -> ((s, dir) => {
+      // Integer percentile rank: each order's standing within its priority
+      // as rank·10^6 div n — percent_rank without the float division
+      // (lowest = its rank share, ties share a rank). One exchange + sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("_rnk", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("standing_ppm",
+                    expr("CAST(_rnk AS BIGINT) * 1000000 DIV _n"))
+        .drop("_rnk", "_n")
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3613,6 +3629,13 @@ object SparkEntry {
          |  CAST(sum(hp) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
          |    AS conversion_ppm
          |FROM agg GROUP BY 1""".stripMargin,
+    "q154_relative_standing" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) * 1000000
+        |  // CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |    AS standing_ppm
+        |FROM orders""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (

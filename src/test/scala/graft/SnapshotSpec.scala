@@ -62,4 +62,18 @@ class SnapshotSpec extends SparkTestBase {
                           invalidateHardDeletes = true)
     assert(rows(t4) === rows(t3))
   }
+
+  test("fail-fast: colliding run-time column and missing deletedAtCol") {
+    val snap = Seq((1, "new")).toDF("id", "status")
+    // snapshot input must not already carry the engine's run-time column
+    intercept[IllegalArgumentException] {
+      Snapshot.run(None, snap.withColumn("_snapshot_at", lit("x")),
+                   ts("2025-01-01 00:00:00"), cfg)
+    }
+    // invalidateHardDeletes without a configured delete marker is an error
+    intercept[IllegalArgumentException] {
+      Snapshot.run(None, snap, ts("2025-01-01 00:00:00"),
+                   cfg.copy(deletedAtCol = None), invalidateHardDeletes = true)
+    }
+  }
 }
