@@ -1646,7 +1646,65 @@ object SparkEntry {
         .withColumn("standing_ppm",
                     expr("CAST(_rnk AS BIGINT) * 1000000 DIV _n"))
         .drop("_rnk", "_n")
-    })
+    }),
+    "q155_mad" -> ((s, dir) => {
+      // Robust dispersion: exact median + median-absolute-deviation per
+      // event type via TWO rank-selection passes (X44) — integer micros
+      // throughout, no sketch, no float percentile.
+      val e = ev(s, dir).select(col("event_type"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      val med = Profile.discreteQuantiles(e, "event_type", "vm", Seq(50))
+        .select(col("event_type"), col("q_value").as("median_micro"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("vm") - col("median_micro")))
+      Profile.discreteQuantiles(dev, "event_type", "adev", Seq(50))
+        .select(col("event_type"), col("q_value").as("mad_micro"))
+        .join(broadcast(med), Seq("event_type"))
+        .select("event_type", "median_micro", "mad_micro")
+    }),
+    "q156_user_lifetimes" -> ((s, dir) =>
+      // Per-user lifetime summary: span, active days, density — one
+      // combine-enabled aggregate (distinct days via the day-truncated
+      // count distinct), integer-seconds span.
+      ev(s, dir).groupBy("user_id")
+        .agg(min(col("ts")).as("first_seen"),
+             max(col("ts")).as("last_seen"),
+             countDistinct(date_trunc("DAY", col("ts"))).as("n_active_days"),
+             count(lit(1)).as("n_events"))
+        .withColumn("span_sec",
+                    expr("(unix_micros(last_seen) - unix_micros(first_seen))" +
+                         " DIV 1000000"))),
+    "q157_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+      // pushed to parquet, ONE 1-row combine; the canonical pushdown demo.
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24.0)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount")
+               * lit(1000000.0)).cast("long")).as("revenue_micro"),
+             count(lit(1)).as("n_rows"))),
+    "q158_promo_share" -> ((s, dir) =>
+      // TPC-H Q14 shape: promo revenue share per month — part broadcast
+      // onto the date-pruned fact, conditional sums, integer-ppm share.
+      Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+        .join(broadcast(Tables.read(s, dir, "part").select("p_partkey", "p_type")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("MONTH", col("l_shipdate")).as("month"))
+        .agg(sum(when(col("p_type").startsWith("PROMO"),
+               floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                 * lit(1000000.0)).cast("long")).otherwise(lit(0L)))
+               .as("promo_micro"),
+             sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+               * lit(1000000.0)).cast("long")).as("total_micro"))
+        .withColumn("promo_ppm",
+                    // DECIMAL(38,0) product: micro-revenue × 1e6 exceeds
+                    // BIGINT at fact scale (same guard as remixRates).
+                    expr("CAST(CAST(promo_micro AS DECIMAL(38,0)) * 1000000" +
+                         " DIV total_micro AS BIGINT)")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3636,6 +3694,59 @@ object SparkEntry {
         |  // CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
         |    AS standing_ppm
         |FROM orders""".stripMargin,
+    "q155_mad" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src),
+         |r1 AS (SELECT event_type, vm,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM e),
+         |med AS (SELECT event_type, min(vm) AS median_micro FROM r1
+         |        WHERE rn = (n * 50 + 99) // 100 GROUP BY 1),
+         |d AS (SELECT e.event_type, abs(e.vm - med.median_micro) AS adev,
+         |        med.median_micro
+         |      FROM e JOIN med ON e.event_type = med.event_type),
+         |r2 AS (SELECT event_type, adev, median_micro,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM d)
+         |SELECT event_type, min(median_micro) AS median_micro,
+         |  min(adev) AS mad_micro
+         |FROM r2 WHERE rn = (n * 50 + 99) // 100 GROUP BY 1""".stripMargin,
+    "q156_user_lifetimes" ->
+      s"""WITH $SrcCte
+         |SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+         |  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+         |    AS n_active_days,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_sec
+         |FROM src GROUP BY 1""".stripMargin,
+    "q157_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000.0)
+        |               AS BIGINT)) AS BIGINT) AS revenue_micro,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q158_promo_share" ->
+      """WITH j AS (
+        |  SELECT date_trunc('month', l_shipdate) AS month,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+        |         AS BIGINT) AS rev,
+        |    p_type LIKE 'PROMO%' AS promo
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00')
+        |SELECT month,
+        |  CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT)
+        |    AS promo_micro,
+        |  CAST(sum(rev) AS BIGINT) AS total_micro,
+        |  CAST(CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // sum(rev) AS BIGINT) AS promo_ppm
+        |FROM j GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
