@@ -1704,7 +1704,38 @@ object SparkEntry {
                     // DECIMAL(38,0) product: micro-revenue × 1e6 exceeds
                     // BIGINT at fact scale (same guard as remixRates).
                     expr("CAST(CAST(promo_micro AS DECIMAL(38,0)) * 1000000" +
-                         " DIV total_micro AS BIGINT)")))
+                         " DIV total_micro AS BIGINT)"))),
+    "q159_session_state_changes" -> ((s, dir) => {
+      // X61 ∘ X20 ∘ SCD2: sessions overlap-joined to the user's dim-state
+      // windows — a session spanning >1 version caught a state change
+      // mid-session (the "user changed plan during visit" report). The
+      // overlap join is the key equi-join + range filter; both inputs
+      // already live on the user-key distribution.
+      val sess = Sessionize.assign(ev(s, dir), "user_id", "ts")
+        .groupBy(col("user_id"), col("_session"))
+        .agg(min(col("ts")).as("s_from"),
+             // [start, end] inclusive end -> half-open via +1us
+             expr("timestamp_micros(unix_micros(max(ts)) + 1)").as("s_to"))
+      val hist = Scd2.initialLoad(ev(s, dir), evTypeCfg)
+        .select(col("user_id"), col("_valid_from").as("v_from"),
+                col("_valid_to").as("v_to"))
+      Intervals.overlapJoin(sess, hist, Seq("user_id"),
+                            "s_from", "s_to", "v_from", "v_to")
+        .groupBy("user_id", "_session")
+        .agg(count(lit(1)).as("n_versions"))
+        .filter(col("n_versions") > 1)
+    }),
+    "q160_interest_vectors" -> ((s, dir) => {
+      // Per-user event-type share in ppm — the interest-vector primitive
+      // behind per-user mixing/weighting; combine-enabled (user, type)
+      // counts, user totals via a window over the dimension-sized rollup.
+      import org.apache.spark.sql.expressions.Window
+      ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("user_total",
+                    sum(col("n")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("share_ppm", expr("n * 1000000 DIV user_total"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3747,6 +3778,36 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS HUGEINT)
         |    * 1000000 // sum(rev) AS BIGINT) AS promo_ppm
         |FROM j GROUP BY 1""".stripMargin,
+    "q159_session_state_changes" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sess
+         |       FROM g),
+         |sessions AS (SELECT user_id, CAST(sess AS BIGINT) AS _session,
+         |    min(ts) AS s_from, max(ts) + INTERVAL 1 MICROSECOND AS s_to
+         |  FROM sx GROUP BY user_id, sess),
+         |scd AS (
+         |  WITH ${scd2FullSql(Seq("event_type"), deletes = false)}
+         |)
+         |SELECT se.user_id, se._session,
+         |  CAST(count(*) AS BIGINT) AS n_versions
+         |FROM sessions se JOIN scd v ON se.user_id = v.user_id
+         |  AND se.s_from < v._valid_to AND v._valid_from < se.s_to
+         |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+    "q160_interest_vectors" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM src GROUP BY 1, 2)
+         |SELECT user_id, event_type, n,
+         |  CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS user_total,
+         |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+         |    AS share_ppm
+         |FROM r""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
