@@ -55,14 +55,26 @@ object Bench {
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
     // full query names + full float precision overflowed it). Keep the line
     // compact: short query ids (the unique qNN prefix) and 2-decimal seconds
-    // (133 queries at 3 decimals hit 1.73 KB — one more batch would cross
-    // the window; 2 decimals is plenty for per-query seconds).
+    // with trailing zeros trimmed ("0.30"→"0.3", "1.00"→"1") — 160 queries
+    // at plain 2-decimals reached 1.92 KB, within ~70 bytes of the window
+    // (the trailing sbt [success] line shares it).
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val useShort = prefixes.distinct.size == prefixes.size
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    def fmtTrim(v: Double): String = {
+      val s = fmt(v, 2)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    // Key = bare query number ("q01_scd2_initial" → "1"): the q/zero
+    // padding costs ~170 bytes across 160 queries and carries no info.
+    def shortKey(p: String): String = {
+      val digits = p.dropWhile(!_.isDigit).dropWhile(_ == '0')
+      if (digits.nonEmpty) digits else p
+    }
     val qs = results.zip(prefixes).map { case ((k, v), p) =>
-      "\"" + (if (useShort) p else k) + "\":" + fmt(v, 2)
+      "\"" + (if (useShort) shortKey(p) else k) + "\":" + fmtTrim(v)
     }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
