@@ -1735,6 +1735,31 @@ object SparkEntry {
         .withColumn("user_total",
                     sum(col("n")).over(Window.partitionBy(col("user_id"))))
         .withColumn("share_ppm", expr("n * 1000000 DIV user_total"))
+    }),
+    "q161_unpivot_milestones" -> ((s, dir) =>
+      // Unpivot (melt): the wide X124 milestone table back to long
+      // (user, milestone, ts) rows via the native `stack` generator —
+      // wide→long without N self-unions; NULL milestones drop (never hit).
+      ev(s, dir).groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup"),
+             min(when(col("event_type") === "purchase", col("ts"))).as("purchase"),
+             min(when(col("event_type") === "error", col("ts"))).as("error"))
+        .select(col("user_id"), expr(
+          """stack(3, 'signup', signup, 'purchase', purchase,
+            |         'error', error) AS (milestone, first_ts)""".stripMargin))
+        .filter(col("first_ts").isNotNull)),
+    "q162_user_mode" -> ((s, dir) => {
+      // Per-group mode with a deterministic tiebreak (count desc, then
+      // type asc): counts rollup + one row_number over the rollup — the
+      // exact mode, not a sketch.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
     })
   )
 
@@ -3808,6 +3833,28 @@ object SparkEntry {
          |  n * 1000000 // CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
          |    AS share_ppm
          |FROM r""".stripMargin,
+    "q161_unpivot_milestones" ->
+      s"""WITH $SrcCte,
+         |w AS (SELECT user_id,
+         |  min(CASE WHEN event_type = 'signup' THEN ts END) AS signup,
+         |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase,
+         |  min(CASE WHEN event_type = 'error' THEN ts END) AS error
+         |FROM src GROUP BY 1),
+         |m AS (
+         |  SELECT user_id, 'signup' AS milestone, signup AS first_ts FROM w
+         |  UNION ALL
+         |  SELECT user_id, 'purchase', purchase FROM w
+         |  UNION ALL
+         |  SELECT user_id, 'error', error FROM w)
+         |SELECT user_id, milestone, first_ts FROM m
+         |WHERE first_ts IS NOT NULL""".stripMargin,
+    "q162_user_mode" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM src GROUP BY 1, 2)
+         |SELECT user_id, event_type AS mode_type, n FROM r
+         |QUALIFY row_number() OVER (PARTITION BY user_id
+         |  ORDER BY n DESC, event_type) = 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
