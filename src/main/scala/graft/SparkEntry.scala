@@ -1760,6 +1760,51 @@ object SparkEntry {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    }),
+    "q163_novelty" -> ((s, dir) => {
+      // Cumulative novelty curve: per event, how many DISTINCT types the
+      // user has seen up to and including it — first-occurrence flags
+      // (row_number over (user, type)) summed along the user timeline;
+      // both windows share the user-key exchange.
+      import org.apache.spark.sql.expressions.Window
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("_first",
+                    when(row_number().over(wType) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("_first")).over(wTime))
+        .select("event_id", "user_id", "ts", "event_type", "n_types_seen")
+    }),
+    "q164_streaks" -> ((s, dir) =>
+      // Longest consecutive-active-day streak per user: distinct active
+      // days become unit intervals [day, day+1) and X104's islands
+      // coalesce them — a streak IS an island, its length n_intervals.
+      Intervals.islands(
+        ev(s, dir)
+          .select(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+          .distinct()
+          .withColumn("d_end", expr("d + INTERVAL 1 DAY")),
+        Seq("user_id"), "d", "d_end")
+        .groupBy("user_id")
+        .agg(max(col("n_intervals")).as("longest_streak_days"),
+             count(lit(1)).as("n_streaks"))),
+    "q165_order_violations" -> ((s, dir) => {
+      // Sequence sanity: purchases BEFORE the user's first signup — the
+      // funnel-order data-quality check (nonzero here by construction of
+      // the synthetic stream; the point is the exact count per user).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      ev(s, dir)
+        .withColumn("_first_signup",
+                    min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+                (col("_first_signup").isNull ||
+                 col("ts") < col("_first_signup")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_early_purchases"))
     })
   )
 
@@ -3855,6 +3900,42 @@ object SparkEntry {
          |SELECT user_id, event_type AS mode_type, n FROM r
          |QUALIFY row_number() OVER (PARTITION BY user_id
          |  ORDER BY n DESC, event_type) = 1""".stripMargin,
+    "q163_novelty" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT event_id, user_id, ts, event_type,
+         |  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fst
+         |FROM src)
+         |SELECT event_id, user_id, ts, event_type,
+         |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+         |FROM f""".stripMargin,
+    "q164_streaks" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM src),
+         |m AS (SELECT user_id, d,
+         |        max(d + INTERVAL 1 DAY) OVER (PARTITION BY user_id
+         |          ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING) AS pm
+         |      FROM d),
+         |i AS (SELECT user_id,
+         |        CAST(sum(CASE WHEN pm IS NULL OR d > pm THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY user_id ORDER BY d
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+         |      FROM m),
+         |s AS (SELECT user_id, island_id, CAST(count(*) AS BIGINT) AS len
+         |      FROM i GROUP BY 1, 2)
+         |SELECT user_id, max(len) AS longest_streak_days,
+         |  CAST(count(*) AS BIGINT) AS n_streaks
+         |FROM s GROUP BY 1""".stripMargin,
+    "q165_order_violations" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+         |        OVER (PARTITION BY user_id) AS fs FROM src)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_early_purchases
+         |FROM f
+         |WHERE event_type = 'purchase' AND (fs IS NULL OR ts < fs)
+         |GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
