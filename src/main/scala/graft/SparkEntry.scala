@@ -1805,7 +1805,29 @@ object SparkEntry {
                  col("ts") < col("_first_signup")))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_early_purchases"))
-    })
+    }),
+    "q166_label_centroids" -> ((s, dir) =>
+      // Per-label centroid partials: (label, dim) integer micro sums + n —
+      // mergeable (X97 algebra), the class-balance/centroid primitive;
+      // posexplode → ONE combine-enabled aggregate on 64×labels keys.
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+               .as("sum_micro"),
+             min(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+               .as("min_micro"),
+             max(floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+               .as("max_micro"))),
+    "q167_quality_rates" -> ((s, dir) =>
+      // Per-source curation pass rates: the X10 quality gate rolled up to
+      // (source, lang) ppm — the corpus-health dashboard row.
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("is_quality").cast("long")).as("n_quality"))
+        .withColumn("quality_ppm", expr("n_quality * 1000000 DIV n_docs")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3936,6 +3958,39 @@ object SparkEntry {
          |FROM f
          |WHERE event_type = 'purchase' AND (fs IS NULL OR ts < fs)
          |GROUP BY 1""".stripMargin,
+    "q166_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    LATERAL unnest(generate_series(1, len(embedding))) AS u(i))
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro,
+        |  min(CAST(floor(v * 1000000.0) AS BIGINT)) AS min_micro,
+        |  max(CAST(floor(v * 1000000.0) AS BIGINT)) AS max_micro
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q167_quality_rates" ->
+      s"""WITH t2 AS (SELECT doc_id, source, lang, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |m AS (SELECT source, lang,
+         |    length(text) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |    len(regexp_extract_all(text, '$PunctRegexSql')) AS n_punct,
+         |    len(list_filter(t, x -> list_contains(${sqlList(AllStopwords)}, x)))
+         |      AS n_stopwords
+         |  FROM t2)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+         |                 AND n_punct * 5 < n_chars
+         |                 AND n_stopwords * 100 >= n_tokens
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+         |                 AND n_punct * 5 < n_chars
+         |                 AND n_stopwords * 100 >= n_tokens
+         |            THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |    // CAST(count(*) AS BIGINT) AS quality_ppm
+         |FROM m GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
