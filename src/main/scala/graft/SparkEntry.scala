@@ -1827,7 +1827,36 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
              sum(col("is_quality").cast("long")).as("n_quality"))
-        .withColumn("quality_ppm", expr("n_quality * 1000000 DIV n_docs")))
+        .withColumn("quality_ppm", expr("n_quality * 1000000 DIV n_docs"))),
+    "q168_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS — the third grouping-generalization arm beside
+      // rollup (q85) and cube (q102): per-source and per-lang marginals +
+      // grand total in ONE Expand pass, no self-union.
+      docs(s, dir).createOrReplaceTempView("docs_gs")
+      s.sql("""
+        SELECT source, lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          grouping_id() AS gid
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())""")
+    }),
+    "q169_last_purchase_fill" -> ((s, dir) => {
+      // Conditional last-non-null fill: every event annotated with the
+      // user's most recent purchase value at that instant — the running
+      // as-of lookup WITHIN one table (same window-fill idea as X38, no
+      // second relation); one user-key exchange.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("last_purchase_micro",
+          last(when(col("event_type") === "purchase",
+                    floor(col("value") * lit(1000000.0)).cast("long")),
+               ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "ts", "event_type",
+                "last_purchase_micro")
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -3991,6 +4020,21 @@ object SparkEntry {
          |            THEN 1 ELSE 0 END) AS BIGINT) * 1000000
          |    // CAST(count(*) AS BIGINT) AS quality_ppm
          |FROM m GROUP BY 1, 2""".stripMargin,
+    "q168_grouping_sets" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  GROUPING(source, lang) AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin,
+    "q169_last_purchase_fill" ->
+      s"""WITH $SrcCte
+         |SELECT event_id, user_id, ts, event_type,
+         |  last_value(CASE WHEN event_type = 'purchase'
+         |               THEN CAST(floor(value * 1000000.0) AS BIGINT) END
+         |             IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         |    AS last_purchase_micro
+         |FROM src""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
