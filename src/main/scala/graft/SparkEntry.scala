@@ -1856,7 +1856,42 @@ object SparkEntry {
                ignoreNulls = true).over(w))
         .select("event_id", "user_id", "ts", "event_type",
                 "last_purchase_micro")
-    })
+    }),
+    "q170_pareto_sources" -> ((s, dir) => {
+      // Pareto/Lorenz curve over sources: rank by char mass desc, running
+      // cumulative share in ppm — "the top k sources carry X% of the
+      // corpus". Corpus work is ONE combine-enabled aggregate; the ordered
+      // cumulative window runs over the source-sized rollup only.
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("mass").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("mass").desc, col("source"))))
+        .withColumn("cum_mass", sum(col("mass")).over(wCum))
+        .withColumn("total_mass", sum(col("mass")).over(wAll))
+        .withColumn("cum_share_ppm", expr("cum_mass * 1000000 DIV total_mass"))
+        .select("rank", "source", "n_docs", "mass", "cum_share_ppm")
+    }),
+    "q171_nation_order_quantiles" -> ((s, dir) =>
+      // Two-level composition: orders through broadcast customer+nation,
+      // then exact per-nation order-value quantiles (X44 rank selection on
+      // floor-micro longs).
+      Profile.discreteQuantiles(
+        Tables.read(s, dir, "orders")
+          .join(broadcast(Tables.read(s, dir, "customer")
+                  .select("c_custkey", "c_nationkey")),
+                col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.read(s, dir, "nation")
+                  .select("n_nationkey", "n_name")),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+                  floor(col("o_totalprice") * lit(1000000.0)).cast("long")
+                    .as("price_micro")),
+        "n_name", "price_micro", Seq(25, 50, 75, 95)))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4035,6 +4070,31 @@ object SparkEntry {
          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
          |    AS last_purchase_micro
          |FROM src""".stripMargin,
+    "q170_pareto_sources" ->
+      """WITH r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY mass DESC, source) AS BIGINT)
+        |    AS "rank",
+        |  source, n_docs, mass,
+        |  CAST(sum(mass) OVER (ORDER BY mass DESC, source
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000
+        |  // CAST(sum(mass) OVER () AS BIGINT) AS cum_share_ppm
+        |FROM r""".stripMargin,
+    "q171_nation_order_quantiles" ->
+      """WITH j AS (SELECT n_name,
+        |    CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS price_micro
+        |  FROM orders, customer, nation
+        |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, price_micro,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY price_micro) AS rn,
+        |    count(*) OVER (PARTITION BY n_name) AS n
+        |  FROM j)
+        |SELECT n_name, q, min(price_micro) AS q_value
+        |FROM r, (SELECT unnest([25, 50, 75, 95]) AS q)
+        |WHERE rn = (n * q + 99) // 100
+        |GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
