@@ -1891,7 +1891,42 @@ object SparkEntry {
           .select(col("n_name"),
                   floor(col("o_totalprice") * lit(1000000.0)).cast("long")
                     .as("price_micro")),
-        "n_name", "price_micro", Seq(25, 50, 75, 95)))
+        "n_name", "price_micro", Seq(25, 50, 75, 95))),
+    "q172_date_dim" -> ((s, dir) =>
+      // Calendar dimension generation: the warehouse date spine with typed
+      // attributes, derived entirely from the generator — no source scan;
+      // weekend via the integer-µs weekday (day 0 = Thursday ⇒ 2/3 are
+      // Sat/Sun), engine-portable.
+      s.range(1)
+        .select(explode(sequence(
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+          lit(java.sql.Timestamp.valueOf("2024-03-31 00:00:00")),
+          expr("interval 1 day"))).as("d"))
+        .select(col("d"),
+                year(col("d")).as("year"),
+                month(col("d")).as("month"),
+                dayofmonth(col("d")).as("day_of_month"),
+                expr("(unix_micros(d) DIV 86400000000) % 7").as("weekday"),
+                expr("((unix_micros(d) DIV 86400000000) % 7) IN (2, 3)")
+                  .as("is_weekend"))),
+    "q173_transition_dwell" -> ((s, dir) => {
+      // Dwell time per transition pair: X70's (prev → next) edges weighted
+      // by the X98 gap — integer micros, mean = sum div n; one user-key
+      // exchange then a vocabulary²-sized aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("_prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+                    unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("_prev_type").isNotNull)
+        .groupBy(col("_prev_type").as("from_type"),
+                 col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("_gap")).as("sum_gap_micros"))
+        .withColumn("avg_gap_micros", expr("sum_gap_micros DIV n"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4095,6 +4130,27 @@ object SparkEntry {
         |FROM r, (SELECT unnest([25, 50, 75, 95]) AS q)
         |WHERE rn = (n * q + 99) // 100
         |GROUP BY 1, 2""".stripMargin,
+    "q172_date_dim" ->
+      """SELECT d, CAST(date_part('year', d) AS INT) AS year,
+        |  CAST(date_part('month', d) AS INT) AS month,
+        |  CAST(date_part('day', d) AS INT) AS day_of_month,
+        |  (epoch_us(d) // 86400000000) % 7 AS weekday,
+        |  (epoch_us(d) // 86400000000) % 7 IN (2, 3) AS is_weekend
+        |FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-03-31 00:00:00', INTERVAL 1 DAY)) AS d)""".stripMargin,
+    "q173_transition_dwell" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, event_type,
+         |        lag(event_type) OVER w AS prev_type,
+         |        epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+         |      FROM src WINDOW w AS (PARTITION BY user_id
+         |        ORDER BY ts, event_id))
+         |SELECT prev_type AS from_type, event_type AS to_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(gap) AS BIGINT) AS sum_gap_micros,
+         |  CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS avg_gap_micros
+         |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
