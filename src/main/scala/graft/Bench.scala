@@ -62,8 +62,11 @@ object Bench {
     val useShort = prefixes.distinct.size == prefixes.size
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    // 1-decimal per-query seconds (total keeps 2): at 173 queries the
+    // 2-decimal line would re-approach the 2 KB stdout window by ~178;
+    // 0.1 s granularity is plenty for per-query trend at sf0.1.
     def fmtTrim(v: Double): String = {
-      val s = fmt(v, 2)
+      val s = fmt(v, 1)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
