@@ -1926,7 +1926,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              sum(col("_gap")).as("sum_gap_micros"))
         .withColumn("avg_gap_micros", expr("sum_gap_micros DIV n"))
-    })
+    }),
+    "q174_stem_vocab" -> ((s, dir) => {
+      // Rule-based suffix stemming (deterministic 3-rule strip — the
+      // normalization op, not Porter): per-lang distinct-vocabulary
+      // reduction. Pure CASE/substring arithmetic so any engine stems
+      // identically; one explode + two distinct aggregates.
+      val stem =
+        """CASE
+          |  WHEN length(tok) > 5 AND tok LIKE '%ing'
+          |    THEN substring(tok, 1, length(tok) - 3)
+          |  WHEN length(tok) > 4 AND tok LIKE '%ed'
+          |    THEN substring(tok, 1, length(tok) - 2)
+          |  WHEN length(tok) > 3 AND tok LIKE '%s' AND tok NOT LIKE '%ss'
+          |    THEN substring(tok, 1, length(tok) - 1)
+          |  ELSE tok END""".stripMargin
+      docs(s, dir)
+        .select(col("lang"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .withColumn("stem", expr(stem))
+        .groupBy("lang")
+        .agg(countDistinct(col("tok")).as("n_vocab"),
+             countDistinct(col("stem")).as("n_stems"))
+        .withColumn("reduction_ppm",
+                    expr("(n_vocab - n_stems) * 1000000 DIV n_vocab"))
+    }),
+    "q175_kwic" -> ((s, dir) => {
+      // Concordance (KWIC): every occurrence of a term with ±3 tokens of
+      // context — posexplode positions + slice windows, shuffle-free per
+      // row; the qualitative-review primitive behind every filter rule.
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("_t"))
+        .select(col("doc_id"), col("_t"),
+                posexplode(col("_t")).as(Seq("pos", "tok")))
+        .filter(col("tok") === "merge")
+        .select(col("doc_id"), col("pos"),
+                array_join(slice(col("_t"), greatest(col("pos") - 2, lit(1)),
+                                 least(col("pos") + 4, size(col("_t")))
+                                   - greatest(col("pos") - 2, lit(1)) + 1),
+                           " ").as("context"))
+    }),
+    "q176_junk_dim" -> ((s, dir) =>
+      // Junk-dimension build: the distinct combinations of low-cardinality
+      // attributes get a deterministic dense surrogate (rank over the
+      // combo order) — the Kimball flag-table, one combine-enabled
+      // distinct + a window over the tiny combo relation.
+      ev(s, dir)
+        .select(col("event_type"),
+                expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"))
+        .distinct()
+        .withColumn("junk_key",
+                    row_number().over(
+                      org.apache.spark.sql.expressions.Window
+                        .orderBy(col("event_type"), col("weekday")))))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4151,6 +4204,43 @@ object SparkEntry {
          |  CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
          |    AS avg_gap_micros
          |FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q174_stem_vocab" ->
+      s"""WITH $ToksCte,
+         |x AS (SELECT lang, unnest(t) AS tok FROM
+         |  (SELECT d.lang, toks.t FROM toks JOIN documents d
+         |     ON toks.doc_id = d.doc_id)),
+         |st AS (SELECT lang, tok,
+         |  CASE
+         |    WHEN length(tok) > 5 AND tok LIKE '%ing'
+         |      THEN substring(tok, 1, length(tok) - 3)
+         |    WHEN length(tok) > 4 AND tok LIKE '%ed'
+         |      THEN substring(tok, 1, length(tok) - 2)
+         |    WHEN length(tok) > 3 AND tok LIKE '%s' AND tok NOT LIKE '%ss'
+         |      THEN substring(tok, 1, length(tok) - 1)
+         |    ELSE tok END AS stem
+         |  FROM x)
+         |SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+         |  CAST(count(DISTINCT stem) AS BIGINT) AS n_stems,
+         |  (CAST(count(DISTINCT tok) AS BIGINT)
+         |   - CAST(count(DISTINCT stem) AS BIGINT)) * 1000000
+         |  // CAST(count(DISTINCT tok) AS BIGINT) AS reduction_ppm
+         |FROM st GROUP BY 1""".stripMargin,
+    "q175_kwic" ->
+      s"""WITH $ToksCte,
+         |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |      FROM toks)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |  array_to_string(t[greatest(i - 3, 1):least(i + 3, len(t))], ' ')
+         |    AS context
+         |FROM p WHERE t[i] = 'merge'""".stripMargin,
+    "q176_junk_dim" ->
+      s"""WITH $SrcCte,
+         |c AS (SELECT DISTINCT event_type,
+         |        (epoch_us(ts) // 86400000000) % 7 AS weekday FROM src)
+         |SELECT event_type, weekday,
+         |  CAST(row_number() OVER (ORDER BY event_type, weekday) AS BIGINT)
+         |    AS junk_key
+         |FROM c""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
