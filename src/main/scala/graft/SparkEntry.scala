@@ -1979,7 +1979,32 @@ object SparkEntry {
         .withColumn("junk_key",
                     row_number().over(
                       org.apache.spark.sql.expressions.Window
-                        .orderBy(col("event_type"), col("weekday")))))
+                        .orderBy(col("event_type"), col("weekday"))))),
+    "q177_lang_margin" -> ((s, dir) => {
+      // Language-ID confidence margin: winner vs runner-up stopword votes
+      // per doc ((votes desc, lang asc) struct sort — deterministic even
+      // on vote ties); low margin = route to the expensive classifier.
+      val langs = TextAnalysis.Stopwords.keys.toSeq
+      val votes = array(langs.map(l =>
+        struct(TextAnalysis.stopwordHits(col("text"), l).as("v"),
+               lit(l).as("lang"))): _*)
+      docs(s, dir)
+        .withColumn("_sorted", reverse(array_sort(votes)))
+        .select(col("doc_id"),
+                col("_sorted")(0).getField("lang").as("top_lang"),
+                col("_sorted")(0).getField("v").cast("long").as("top_votes"),
+                (col("_sorted")(0).getField("v") -
+                 col("_sorted")(1).getField("v")).cast("long").as("margin"))
+    }),
+    "q178_length_bands" -> ((s, dir) =>
+      // Corpus length-band mix: short/medium/long by token count with doc
+      // and token mass shares — the context-length planning rollup.
+      docs(s, dir)
+        .withColumn("_nt", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("band", when(col("_nt") < 50, "short")
+          .when(col("_nt") < 200, "medium").otherwise("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4241,6 +4266,33 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY event_type, weekday) AS BIGINT)
          |    AS junk_key
          |FROM c""".stripMargin,
+    "q177_lang_margin" ->
+      s"""WITH $ToksCte,
+         |h AS (SELECT doc_id,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS $l").mkString(",\n")}
+         |FROM toks),
+         |m AS (SELECT doc_id, en, es, fr, de,
+         |        greatest(en, es, fr, de) AS mx FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+         |       WHEN en = mx THEN 'en' ELSE 'de' END AS top_lang,
+         |  CAST(mx AS BIGINT) AS top_votes,
+         |  CAST(mx - CASE WHEN fr = mx THEN greatest(es, en, de)
+         |                 WHEN es = mx THEN greatest(fr, en, de)
+         |                 WHEN en = mx THEN greatest(fr, es, de)
+         |                 ELSE greatest(fr, es, en) END AS BIGINT) AS margin
+         |FROM m""".stripMargin,
+    "q178_length_bands" ->
+      s"""WITH $ToksCte,
+         |b AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+         |       AS BIGINT) AS nt FROM toks)
+         |SELECT CASE WHEN nt < 50 THEN 'short'
+         |            WHEN nt < 200 THEN 'medium' ELSE 'long' END AS band,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
