@@ -2004,7 +2004,51 @@ object SparkEntry {
         .withColumn("band", when(col("_nt") < 50, "short")
           .when(col("_nt") < 200, "medium").otherwise("long"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens")))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))),
+    "q179_vocab_drift" -> ((s, dir) => {
+      // Distribution drift between corpus halves: total-variation distance
+      // over token shares in integer ppm (Σ|share_a − share_b|, shares as
+      // tf·10^6 div total — identical truncation on both engines, so the
+      // drift number is exact, unlike KL/JS which need logs). The
+      // train-vs-incoming-data monitoring primitive; vocab-sized join.
+      val toks = docs(s, dir)
+        .select((col("doc_id") % 2 === 0).as("half"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("half", "tok").agg(count(lit(1)).as("tf"))
+      val a = counts.filter(col("half")).select(col("tok"), col("tf").as("tf_a"))
+      val b = counts.filter(!col("half")).select(col("tok"), col("tf").as("tf_b"))
+      val joined = a.join(b, Seq("tok"), "full_outer")
+        .withColumn("tf_a", coalesce(col("tf_a"), lit(0L)))
+        .withColumn("tf_b", coalesce(col("tf_b"), lit(0L)))
+      joined
+        .agg(sum(col("tf_a")).as("tot_a"), sum(col("tf_b")).as("tot_b"),
+             count(lit(1)).as("n_vocab"))
+        .join(joined)
+        .withColumn("sa", expr("tf_a * 1000000 DIV tot_a"))
+        .withColumn("sb", expr("tf_b * 1000000 DIV tot_b"))
+        .groupBy("n_vocab")
+        .agg(sum(abs(col("sa") - col("sb"))).as("tv_ppm_x2"))
+    }),
+    "q180_sla_conversion" -> ((s, dir) => {
+      // SLA-bounded funnel edge: signups whose first purchase lands within
+      // 24 h — q60's order constraint plus a time bound; whole-partition
+      // mins + one 1-row aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val staged = ev(s, dir)
+        .withColumn("_s", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("_p", min(when(col("event_type") === "purchase" &&
+                                   col("ts") >= col("_s"), col("ts"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max(col("_s")).as("_s"), max(col("_p")).as("_p"))
+        .filter(col("_s").isNotNull)
+        .agg(count(lit(1)).as("n_signup_users"),
+             sum(when(col("_p").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+             sum(when(col("_p").isNotNull &&
+                      unix_micros(col("_p")) - unix_micros(col("_s"))
+                        <= 86400000000L, 1L).otherwise(0L))
+               .as("n_within_24h"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4293,6 +4337,39 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(nt) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1""".stripMargin,
+    "q179_vocab_drift" ->
+      s"""WITH $ToksCte,
+         |x AS (SELECT doc_id % 2 = 0 AS half, unnest(t) AS tok FROM toks),
+         |c AS (SELECT half, tok, CAST(count(*) AS BIGINT) AS tf
+         |      FROM x GROUP BY 1, 2),
+         |a AS (SELECT tok, tf AS tf_a FROM c WHERE half),
+         |b AS (SELECT tok, tf AS tf_b FROM c WHERE NOT half),
+         |j AS (SELECT coalesce(a.tok, b.tok) AS tok,
+         |        coalesce(tf_a, 0) AS tf_a, coalesce(tf_b, 0) AS tf_b
+         |      FROM a FULL OUTER JOIN b ON a.tok = b.tok),
+         |t AS (SELECT CAST(sum(tf_a) AS BIGINT) AS tot_a,
+         |        CAST(sum(tf_b) AS BIGINT) AS tot_b,
+         |        CAST(count(*) AS BIGINT) AS n_vocab FROM j)
+         |SELECT t.n_vocab,
+         |  CAST(sum(abs(tf_a * 1000000 // tot_a - tf_b * 1000000 // tot_b))
+         |       AS BIGINT) AS tv_ppm_x2
+         |FROM j, t GROUP BY 1""".stripMargin,
+    "q180_sla_conversion" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id,
+         |        min(CASE WHEN event_type = 'signup' THEN ts END) AS s
+         |      FROM src GROUP BY 1),
+         |p AS (SELECT e.user_id, u.s,
+         |        min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u.s
+         |                 THEN e.ts END) AS p
+         |      FROM src e JOIN u ON e.user_id = u.user_id GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+         |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_converted,
+         |  CAST(sum(CASE WHEN p IS NOT NULL
+         |                 AND epoch_us(p) - epoch_us(s) <= 86400000000
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_within_24h
+         |FROM p WHERE s IS NOT NULL""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
