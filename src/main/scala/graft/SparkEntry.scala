@@ -2048,7 +2048,40 @@ object SparkEntry {
                       unix_micros(col("_p")) - unix_micros(col("_s"))
                         <= 86400000000L, 1L).otherwise(0L))
                .as("n_within_24h"))
-    })
+    }),
+    "q181_gini" -> ((s, dir) => {
+      // Gini concentration per event type over value mass: the rank-sum
+      // formula G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with EXACT integer
+      // numerator/denominator (tie order cannot change Σi·xᵢ across equal
+      // values) and a DECIMAL(38,0)-guarded ppm ratio. The inequality
+      // companion of the X152 Pareto curve.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("vm"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+                floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+        .withColumn("_i", row_number().over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("vm")).as("sum_x"),
+             sum(col("_i") * col("vm")).as("sum_ix"))
+        .withColumn("gini_ppm", expr(
+          """CAST((2 * CAST(sum_ix AS DECIMAL(38,0))
+            |       - (n + 1) * CAST(sum_x AS DECIMAL(38,0))) * 1000000
+            |      DIV (CAST(n AS DECIMAL(38,0)) * sum_x) AS BIGINT)"""
+            .stripMargin))
+    }),
+    "q182_cosine_hist" -> ((s, dir) =>
+      // Embedding-space geometry: fixed-width histogram of pairwise
+      // cosines over a query slice — the collapse/anisotropy tripwire
+      // (healthy spaces spread; mode-collapsed ones pile near 1.0).
+      // IEEE-exact bin function on the X5 sequential-fold cosine.
+      Profile.histogram(
+        Dedup.embeddingNearDupPairs(
+          emb(s, dir).filter(col("vec_id") < 64), "vec_id", "embedding",
+          tau = -1.0),
+        "cosine", lo = -1.0, hi = 1.0, nbins = 40))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4370,6 +4403,37 @@ object SparkEntry {
          |                 AND epoch_us(p) - epoch_us(s) <= 86400000000
          |            THEN 1 ELSE 0 END) AS BIGINT) AS n_within_24h
          |FROM p WHERE s IS NOT NULL""".stripMargin,
+    "q181_gini" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type, event_id,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src),
+         |r AS (SELECT event_type, vm,
+         |        CAST(row_number() OVER (PARTITION BY event_type
+         |          ORDER BY vm, event_id) AS BIGINT) AS i FROM e)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(vm) AS BIGINT) AS sum_x,
+         |  CAST(sum(i * vm) AS BIGINT) AS sum_ix,
+         |  CAST((2 * CAST(sum(i * vm) AS HUGEINT)
+         |        - (count(*) + 1) * CAST(sum(vm) AS HUGEINT)) * 1000000
+         |       // (CAST(count(*) AS HUGEINT) * CAST(sum(vm) AS HUGEINT))
+         |       AS BIGINT) AS gini_ppm
+         |FROM r GROUP BY 1""".stripMargin,
+    "q182_cosine_hist" ->
+      s"""WITH p AS (
+         |  SELECT round(cos, 4) AS cosine FROM (
+         |    SELECT ${cosSql("a.embedding", "b.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 64) a
+         |    JOIN (SELECT * FROM embeddings WHERE vec_id < 64) b
+         |      ON a.vec_id < b.vec_id))
+         |SELECT bin, count(*) AS n,
+         |  CAST(-1.0 AS DOUBLE) + bin * (CAST(2.0 AS DOUBLE) / 40.0)
+         |    AS lo_edge
+         |FROM (
+         |  SELECT CAST(least(greatest(
+         |      floor((cosine - -1.0) * 40.0 / 2.0), 0.0), 39.0)
+         |    AS BIGINT) AS bin
+         |  FROM p WHERE cosine IS NOT NULL)
+         |GROUP BY bin""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
