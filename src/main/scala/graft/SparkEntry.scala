@@ -2081,7 +2081,38 @@ object SparkEntry {
         Dedup.embeddingNearDupPairs(
           emb(s, dir).filter(col("vec_id") < 64), "vec_id", "embedding",
           tau = -1.0),
-        "cosine", lo = -1.0, hi = 1.0, nbins = 40))
+        "cosine", lo = -1.0, hi = 1.0, nbins = 40)),
+    "q183_trailing_mode" -> ((s, dir) => {
+      // Sliding mode: each day's dominant event type over the trailing 7
+      // days — per-(type, day) rollup, RANGE-framed trailing sums over day
+      // indices, then a deterministic argmax; every window runs over the
+      // dimension-sized rollup.
+      import org.apache.spark.sql.expressions.Window
+      val wTrail = Window.partitionBy(col("event_type"))
+        .orderBy(col("day_idx")).rangeBetween(-6, 0)
+      val wPick = Window.partitionBy(col("day_idx"))
+        .orderBy(col("n_7d").desc, col("event_type"))
+      ev(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day_idx"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_7d", sum(col("n")).over(wTrail))
+        .withColumn("_rk", row_number().over(wPick))
+        .filter(col("_rk") === 1)
+        .select(col("day_idx"), col("event_type").as("mode_type"), col("n_7d"))
+    }),
+    "q184_user_bitmaps" -> ((s, dir) =>
+      // Bitmap aggregate: per (type, day) presence bitmap of user buckets
+      // (bit_or of 1<<(uid%60); bit 63 avoided — DuckDB checks the shift) + its popcount — the roaring-bitmap
+      // primitive in one combine-enabled pass; masks AND/OR-compose
+      // downstream without re-touching events.
+      ev(s, dir)
+        .groupBy(col("event_type"),
+                 expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(bit_or(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+                         "CAST(user_id % 60 AS INT)) AS BIGINT)"))
+               .as("bucket_mask"))
+        .withColumn("n_buckets", expr("bit_count(bucket_mask)")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4434,6 +4465,26 @@ object SparkEntry {
          |    AS BIGINT) AS bin
          |  FROM p WHERE cosine IS NOT NULL)
          |GROUP BY bin""".stripMargin,
+    "q183_trailing_mode" ->
+      s"""WITH $SrcCte,
+         |r AS (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+         |        CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1, 2),
+         |t AS (SELECT day_idx, event_type,
+         |        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+         |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS n_7d
+         |      FROM r)
+         |SELECT day_idx, event_type AS mode_type, n_7d FROM t
+         |QUALIFY row_number() OVER (PARTITION BY day_idx
+         |  ORDER BY n_7d DESC, event_type) = 1""".stripMargin,
+    "q184_user_bitmaps" ->
+      s"""WITH $SrcCte
+         |SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+         |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))
+         |       AS BIGINT) AS bucket_mask,
+         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+         |    << CAST(user_id % 60 AS INT))) AS INT) AS n_buckets
+         |FROM src GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
