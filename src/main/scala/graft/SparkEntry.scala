@@ -2112,7 +2112,55 @@ object SparkEntry {
         .agg(bit_or(expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
                          "CAST(user_id % 60 AS INT)) AS BIGINT)"))
                .as("bucket_mask"))
-        .withColumn("n_buckets", expr("bit_count(bucket_mask)")))
+        .withColumn("n_buckets", expr("bit_count(bucket_mask)"))),
+    "q185_fanout_hist" -> ((s, dir) =>
+      // Join-fanout profile: distribution of lineitems-per-order — what
+      // you read before sizing the l⋈o shuffle; two combine-enabled
+      // aggregates (order-sized, then fanout-sized).
+      Tables.read(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+        .groupBy("fanout").agg(count(lit(1)).as("n_orders"))),
+    "q186_rapid_repeats" -> ((s, dir) => {
+      // Rapid-repeat detection: same user, same type, within 6 h of the
+      // previous same-type event — the retry/compulsive-repeat tripwire
+      // (threshold sits at ~p1 of this stream's same-type gaps);
+      // per-(user, type) lag on the standard timeline exchange.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("_gap",
+                    unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("_gap").isNotNull && col("_gap") <= 21600000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rapid_repeats"),
+             min(col("_gap")).as("min_gap_micros"))
+    }),
+    "q187_growth_curve" -> ((s, dir) => {
+      // User growth curve: new users per day (first-seen rollup) +
+      // cumulative total — windows only over the day-sized rollup.
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .groupBy("user_id").agg(min(col("ts")).as("_first"))
+        .groupBy(date_trunc("DAY", col("_first")).as("day"))
+        .agg(count(lit(1)).as("n_new_users"))
+        .withColumn("cum_users", sum(col("n_new_users")).over(wCum))
+    }),
+    "q188_resurrections" -> ((s, dir) => {
+      // Resurrection rollup from the soft-delete SCD2 history: I-versions
+      // whose predecessor was a D (the key came back), counted per day —
+      // churn-winback reporting straight off the dimension history.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_valid_from"))
+      Scd2.initialLoad(evDeletes(s, dir),
+                       evCfg.copy(deletedAtCol = Some("deleted_at")))
+        .withColumn("_prev_ct", lag(col("_change_type"), 1).over(w))
+        .filter(col("_prev_ct") === "D" && col("_change_type") === "I")
+        .groupBy(date_trunc("DAY", col("_valid_from")).as("day"))
+        .agg(count(lit(1)).as("n_resurrections"))
+    })
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4485,6 +4533,44 @@ object SparkEntry {
          |  CAST(bit_count(bit_or(CAST(1 AS BIGINT)
          |    << CAST(user_id % 60 AS INT))) AS INT) AS n_buckets
          |FROM src GROUP BY 1, 2""".stripMargin,
+    "q185_fanout_hist" ->
+      """SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders FROM (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout
+        |  FROM lineitem GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q186_rapid_repeats" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type,
+         |        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |          PARTITION BY user_id, event_type
+         |          ORDER BY ts, event_id) AS gap
+         |      FROM src)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rapid_repeats,
+         |  min(gap) AS min_gap_micros
+         |FROM g WHERE gap IS NOT NULL AND gap <= 21600000000
+         |GROUP BY 1""".stripMargin,
+    "q187_growth_curve" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT user_id, min(ts) AS first_ts FROM src GROUP BY 1),
+         |r AS (SELECT date_trunc('day', first_ts) AS day,
+         |        CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1)
+         |SELECT day, n_new_users,
+         |  CAST(sum(n_new_users) OVER (ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         |FROM r""".stripMargin,
+    "q188_resurrections" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |),
+         |x AS (SELECT _valid_from, _change_type,
+         |        lag(_change_type) OVER (PARTITION BY user_id
+         |          ORDER BY _valid_from) AS prev_ct
+         |      FROM scd)
+         |SELECT date_trunc('day', _valid_from) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_resurrections
+         |FROM x WHERE prev_ct = 'D' AND _change_type = 'I'
+         |GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
