@@ -2160,6 +2160,37 @@ object SparkEntry {
         .filter(col("_prev_ct") === "D" && col("_change_type") === "I")
         .groupBy(date_trunc("DAY", col("_valid_from")).as("day"))
         .agg(count(lit(1)).as("n_resurrections"))
+    }),
+    "q189_stale_current" -> ((s, dir) =>
+      // Staleness audit over the dimension: current alive rows whose last
+      // change predates the as-of by >1 day, per type — the "is anything
+      // still updating this entity" report; pure filter + rollup on the
+      // current slice (partition-prunable at scale).
+      Scd2.initialLoad(ev(s, dir), evCfg)
+        .filter(col("_is_current") && col("_change_type") =!= "D")
+        .withColumn("age_sec", expr(
+          "(unix_micros(TIMESTAMP '2024-01-31 00:00:00') - unix_micros(ts))" +
+          " DIV 1000000"))
+        .filter(col("age_sec") > 86400L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_stale"),
+             max(col("age_sec")).as("max_age_sec"))),
+    "q190_lsh_precision" -> ((s, dir) => {
+      // Banding-efficiency report: LSH candidate pairs vs exact-verified
+      // pairs — precision_ppm is the knob-tuning number for (bands, rows)
+      // (recall's counterpart to X109); both counts fall out of the X3
+      // pipeline stages already computed.
+      val d = docs(s, dir)
+      val cand = Dedup.minhashLshCandidates(d, "doc_id", "text", n = 3,
+                                            bands = 4, rows = 3)
+        .agg(count(lit(1)).as("n_candidates"))
+      val ver = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+                                      bands = 4, rows = 3,
+                                      tauNum = 1, tauDen = 2)
+        .agg(count(lit(1)).as("n_verified"))
+      cand.join(ver)
+        .withColumn("precision_ppm",
+                    expr("n_verified * 1000000 DIV n_candidates"))
     })
   )
 
@@ -4571,6 +4602,26 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_resurrections
          |FROM x WHERE prev_ct = 'D' AND _change_type = 'I'
          |GROUP BY 1""".stripMargin,
+    "q189_stale_current" ->
+      s"""WITH $SrcCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |c AS (SELECT event_type,
+         |        (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+         |          // 1000000 AS age_sec
+         |      FROM scd WHERE _is_current AND _change_type <> 'D')
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_stale,
+         |  max(age_sec) AS max_age_sec
+         |FROM c WHERE age_sec > 86400 GROUP BY 1""".stripMargin,
+    "q190_lsh_precision" ->
+      s"""WITH $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM vp)
+         |SELECT c.n_candidates, v.n_verified,
+         |  v.n_verified * 1000000 // c.n_candidates AS precision_ppm
+         |FROM c, v""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (

@@ -89,6 +89,35 @@ object Dedup {
     * One shuffle on the band key (vs per-shingle for the exact join), then a
     * semi-join back to shingle sets for verification of the (few) candidates.
     */
+  /** The candidate stage of [[minhashLshPairs]] alone — banded pairs
+    * BEFORE exact verification. Exposed so banding precision
+    * (|verified| / |candidates|) can be measured when tuning (bands, rows):
+    * low precision means the verify stage is doing the work the signature
+    * should have.
+    */
+  def minhashLshCandidates(df: DataFrame,
+                           idCol: String,
+                           textCol: String,
+                           n: Int = 3,
+                           bands: Int = 4,
+                           rows: Int = 3): DataFrame = {
+    val withSh = df
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+    val sig = withSh.select(
+      col("_id"),
+      graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
+    val bandKeys = sig
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(col("_id"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
+    bandKeys.as("a")
+      .join(bandKeys.as("b"),
+            col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+  }
+
   def minhashLshPairs(df: DataFrame,
                       idCol: String,
                       textCol: String,
