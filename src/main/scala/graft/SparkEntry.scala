@@ -2191,6 +2191,44 @@ object SparkEntry {
       cand.join(ver)
         .withColumn("precision_ppm",
                     expr("n_verified * 1000000 DIV n_candidates"))
+    }),
+    "q191_split_leakage" -> ((s, dir) => {
+      // Split hygiene: near-dup pairs that CROSS the train/val/test
+      // boundary — X3 pairs joined to the X31 deterministic split; any row
+      // here is eval contamination the random split let through (the
+      // reason dedup must run BEFORE splitting).
+      val splits = Sampling.split(docs(s, dir), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                            bands = 4, rows = 3, tauNum = 1, tauDen = 2)
+        .join(splits.select(col("doc_id").as("doc_a"),
+                            col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"),
+                            col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_leaked_pairs"))
+    }),
+    "q192_top1pct_share" -> ((s, dir) => {
+      // Revenue concentration: share of order value carried by the top 1%
+      // of orders — rank threshold via row_number over (value desc), 1-row
+      // totals broadcast; the "whales" number next to X163's Gini.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("vm").desc, col("o_orderkey"))
+      val ranked = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"),
+                floor(col("o_totalprice") * lit(1000000.0)).cast("long").as("vm"))
+        .withColumn("_r", row_number().over(w))
+      val totals = ranked.agg(count(lit(1)).as("n_orders"),
+                              sum(col("vm")).as("total_micro"))
+      ranked.join(broadcast(totals))
+        .filter(expr("_r <= (n_orders + 99) DIV 100"))
+        .groupBy("n_orders", "total_micro")
+        .agg(count(lit(1)).as("n_top"), sum(col("vm")).as("top_micro"))
+        .withColumn("share_ppm",
+                    expr("CAST(CAST(top_micro AS DECIMAL(38,0)) * 1000000" +
+                         " DIV total_micro AS BIGINT)"))
     })
   )
 
@@ -4622,6 +4660,37 @@ object SparkEntry {
          |SELECT c.n_candidates, v.n_verified,
          |  v.n_verified * 1000000 // c.n_candidates AS precision_ppm
          |FROM c, v""".stripMargin,
+    "q191_split_leakage" ->
+      s"""WITH $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         |      % 1000 AS b FROM documents))
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_leaked_pairs
+         |FROM vp JOIN sp a ON vp.doc_a = a.doc_id
+         |        JOIN sp b ON vp.doc_b = b.doc_id
+         |WHERE a.split <> b.split GROUP BY 1, 2""".stripMargin,
+    "q192_top1pct_share" ->
+      """WITH r AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS vm,
+        |    row_number() OVER (ORDER BY
+        |      CAST(floor(o_totalprice * 1000000.0) AS BIGINT) DESC,
+        |      o_orderkey) AS rn
+        |  FROM orders),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(vm) AS BIGINT) AS total_micro FROM r)
+        |SELECT t.n_orders, t.total_micro,
+        |  CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST(sum(vm) AS BIGINT) AS top_micro,
+        |  CAST(CAST(sum(vm) AS HUGEINT) * 1000000 // t.total_micro AS BIGINT)
+        |    AS share_ppm
+        |FROM r, t
+        |WHERE rn <= (t.n_orders + 99) // 100
+        |GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
