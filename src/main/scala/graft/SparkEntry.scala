@@ -2229,7 +2229,30 @@ object SparkEntry {
         .withColumn("share_ppm",
                     expr("CAST(CAST(top_micro AS DECIMAL(38,0)) * 1000000" +
                          " DIV total_micro AS BIGINT)"))
-    })
+    }),
+    "q193_jaccard_hist" -> ((s, dir) =>
+      // Verified near-dup similarity profile: 5%-bucketed Jaccard ppm of
+      // the X3 pairs — with X172's precision this characterizes the whole
+      // banding config (where above τ the mass sits).
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                            bands = 4, rows = 3, tauNum = 1, tauDen = 2)
+        .withColumn("jaccard_pct_bucket",
+                    expr("(overlap * 100 DIV union_size) DIV 5 * 5"))
+        .groupBy("jaccard_pct_bucket")
+        .agg(count(lit(1)).as("n_pairs"))),
+    "q194_bucket_purity" -> ((s, dir) =>
+      // Sign-LSH bucket label purity: per bucket, occupancy + majority
+      // label share — the index-quality diagnostic (pure buckets = the
+      // hash respects class geometry); two dimension-sized aggregates over
+      // the native X16 bucket expression.
+      emb(s, dir)
+        .select(Similarity.lshBucket(col("embedding"), 8).as("bucket"),
+                col("label"))
+        .groupBy("bucket", "label").agg(count(lit(1)).as("n"))
+        .groupBy("bucket")
+        .agg(sum(col("n")).as("n_vecs"),
+             max(col("n")).as("n_majority"))
+        .withColumn("purity_ppm", expr("n_majority * 1000000 DIV n_vecs")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4691,6 +4714,23 @@ object SparkEntry {
         |FROM r, t
         |WHERE rn <= (t.n_orders + 99) // 100
         |GROUP BY 1, 2""".stripMargin,
+    "q193_jaccard_hist" ->
+      s"""WITH $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql)
+         |SELECT (overlap * 100 // union_size) // 5 * 5 AS jaccard_pct_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM vp GROUP BY 1""".stripMargin,
+    "q194_bucket_purity" ->
+      s"""WITH bk AS (SELECT label,
+         |${(0 until 8).map(p =>
+            s"  (CASE WHEN ${projSql(p)} >= 0 THEN '1' ELSE '0' END)").mkString(" ||\n")}
+         |  AS bucket FROM embeddings),
+         |c AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS n
+         |      FROM bk GROUP BY 1, 2)
+         |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_vecs,
+         |  max(n) AS n_majority,
+         |  max(n) * 1000000 // CAST(sum(n) AS BIGINT) AS purity_ppm
+         |FROM c GROUP BY 1""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
