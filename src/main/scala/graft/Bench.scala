@@ -76,11 +76,24 @@ object Bench {
       val digits = p.dropWhile(!_.isDigit).dropWhile(_ == '0')
       if (digits.nonEmpty) digits else p
     }
-    val qs = results.zip(prefixes).map { case ((k, v), p) =>
-      "\"" + (if (useShort) shortKey(p) else k) + "\":" + fmtTrim(v)
-    }.mkString("{", ",", "}")
+    def qsJson(f: Double => String): String =
+      results.zip(prefixes).map { case ((k, v), p) =>
+        "\"" + (if (useShort) shortKey(p) else k) + "\":" + f(v)
+      }.mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // sf as the directory basename and no extra fields: at 194 queries the
+    // full-path variant put the line's END within ~60 bytes of the driver's
+    // ~2000-char stdout tail (which the trailing sbt [success] line shares).
+    val sfName = new java.io.File(sfDir).getName
+    def line(qs: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+    val full = line(qsJson(fmtTrim))
+    // Adaptive guard: if a slow run inflates values past the window budget,
+    // fall back to integer-rounded per-query seconds rather than risk the
+    // line's start being sheared off (rounds 1-2's parsed:null failure mode).
+    val out = if (full.length <= 1900) full
+              else line(qsJson(v => math.round(v).toString))
+    println(out)
     spark.stop()
   }
 }
