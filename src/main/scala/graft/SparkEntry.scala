@@ -2252,7 +2252,26 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(sum(col("n")).as("n_vecs"),
              max(col("n")).as("n_majority"))
-        .withColumn("purity_ppm", expr("n_majority * 1000000 DIV n_vecs")))
+        .withColumn("purity_ppm", expr("n_majority * 1000000 DIV n_vecs"))),
+    "q195_current_view" -> ((s, dir) =>
+      // The type-1 "current view" every downstream consumer reads off the
+      // type-2 history: alive current rows, audit columns dropped — a pure
+      // filter+projection (partition/file-prunable on _is_current at
+      // scale), the contract between the dimension and its users.
+      Scd2.initialLoad(evDeletes(s, dir),
+                       evCfg.copy(deletedAtCol = Some("deleted_at")))
+        .filter(col("_is_current") && col("_change_type") =!= "D")
+        .select("user_id", "event_type", "value", "ts")),
+    "q196_history_churn" -> ((s, dir) =>
+      // History churn: versions created per day by change type — the
+      // merge-volume planning report (how fast is the dimension growing,
+      // and is it growth or churn); one rollup over the history.
+      Scd2.initialLoad(evDeletes(s, dir),
+                       evCfg.copy(deletedAtCol = Some("deleted_at")))
+        .groupBy(date_trunc("DAY", col("_valid_from")).as("day"),
+                 col("_change_type"))
+        .agg(count(lit(1)).as("n_versions"),
+             countDistinct(col("user_id")).as("n_keys")))
   )
 
   /** Sketch/approximate operators: engine-specific estimators with no
@@ -4731,6 +4750,22 @@ object SparkEntry {
          |  max(n) AS n_majority,
          |  max(n) * 1000000 // CAST(sum(n) AS BIGINT) AS purity_ppm
          |FROM c GROUP BY 1""".stripMargin,
+    "q195_current_view" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |)
+         |SELECT user_id, event_type, value, ts
+         |FROM scd WHERE _is_current AND _change_type <> 'D'""".stripMargin,
+    "q196_history_churn" ->
+      s"""WITH $SrcDelCte,
+         |scd AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = true)}
+         |)
+         |SELECT date_trunc('day', _valid_from) AS day, _change_type,
+         |  CAST(count(*) AS BIGINT) AS n_versions,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+         |FROM scd GROUP BY 1, 2""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (
