@@ -52,13 +52,22 @@ object ScdEngine {
     * initial load when the target does not exist (or `fullRefresh`), otherwise
     * incremental merge. Returns the post-run snapshot (read back from disk —
     * lineage is truncated at the write, exactly like a warehouse table).
+    *
+    * `contract` (dbt `contract: enforced`) declares the REQUIRED schema of
+    * the final relation — names, Catalyst types, nullability
+    * ([[Contracts.enforce]]). Checked against every computed snapshot
+    * immediately before its swap, so a violating snapshot is never
+    * published; the cached delta batch is exempt, mirroring
+    * `create_temp_table_as.sql:1-5` (the temp holds raw business columns
+    * only — audit columns arrive downstream).
     */
   def run(spark: SparkSession,
           delta: DataFrame,
           targetPath: String,
           cfg: ScdConfig,
           fullRefresh: Boolean = false,
-          numBuckets: Option[Int] = None): DataFrame = {
+          numBuckets: Option[Int] = None,
+          contract: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     cfg.validate()
     val fs = fileSystem(spark, targetPath)
     val exists = fs.exists(new Path(targetPath))
@@ -68,13 +77,16 @@ object ScdEngine {
     try {
       if (!exists || fullRefresh) {
         val snapshot = initial(batch, cfg)
+        contract.foreach(Contracts.enforce(snapshot, _))
         atomicSwap(spark, fs, withBucket(snapshot, cfg, numBuckets), targetPath, numBuckets)
       } else {
         numBuckets match {
-          case Some(n) => incrementalBucketed(spark, fs, batch, targetPath, cfg, n)
+          case Some(n) =>
+            incrementalBucketed(spark, fs, batch, targetPath, cfg, n, contract)
           case None =>
             val target = spark.read.parquet(targetPath)
             val snapshot = mergeWithPredicates(target, batch, cfg)
+            contract.foreach(Contracts.enforce(snapshot, _))
             atomicSwap(spark, fs, snapshot, targetPath, numBuckets)
         }
       }
@@ -216,7 +228,8 @@ object ScdEngine {
                                   batch: DataFrame,
                                   targetPath: String,
                                   cfg: ScdConfig,
-                                  n: Int): Unit = {
+                                  n: Int,
+                                  contract: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val keys = cfg.uniqueKey.map(resolveCi(batch.columns.toSeq, _))
     // Schema-WIDENING evolution cannot ride the pruned path: rewriting only
     // touched buckets would leave untouched bucket files with the old
@@ -234,6 +247,7 @@ object ScdEngine {
     if (widens) {
       val target = spark.read.parquet(targetPath).drop(BucketCol)
       val snapshot = mergeWithPredicates(target, batch, cfg)
+      contract.foreach(Contracts.enforce(snapshot, _))
       atomicSwap(spark, fs, withBucket(snapshot, cfg, Some(n)), targetPath,
                  Some(n))
       return
@@ -250,6 +264,7 @@ object ScdEngine {
       .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
       .drop(BucketCol)
     val snapshot = mergeWithPredicates(target, batch, cfg)
+    contract.foreach(Contracts.enforce(snapshot, _))
     val bucketed = withBucket(snapshot, cfg, Some(n))
 
     // Write the touched buckets to a tmp dir, then swap each bucket directory.

@@ -854,8 +854,10 @@ object SparkEntry {
     "q94_shipping_priority" -> ((s, dir) => {
       // TPC-H Q3 shape: broadcast the filtered customer slice, shuffle the
       // fact once on the join key, top-10 by revenue (deterministic
-      // (revenue desc, orderkey) tiebreak).
-      import org.apache.spark.sql.expressions.Window
+      // (revenue desc, orderkey) tiebreak). orderBy+limit plans as
+      // TakeOrderedAndProject — per-partition top-10 heaps merged on the
+      // driver, NOT a single-partition global window (which would funnel
+      // every aggregated order through one task at scale).
       val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
       val c = Tables.read(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -870,9 +872,8 @@ object SparkEntry {
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * lit(1000000.0)).cast("long")).as("revenue_micro"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("revenue_micro").desc, col("l_orderkey"))))
-        .filter(col("rank") <= 10)
+        .orderBy(col("revenue_micro").desc, col("l_orderkey"))
+        .limit(10)
     }),
     "q95_charset" -> ((s, dir) =>
       // Encoding QC: per-document ASCII/non-ASCII/CJK character mass — the
@@ -1334,16 +1335,24 @@ object SparkEntry {
                 (col("l_partkey") % 1024).as("zx"),
                 (col("l_suppkey") % 1024).as("zy"))
         .withColumn("z", Layout.zValue("zx", "zy", 10))),
-    "q133_deciles" -> ((s, dir) => {
+    "q133_deciles" -> ((s, dir) =>
       // NTILE decile assignment per event type on the (vm, id) total order
       // — the feature-bucketing primitive, deterministic in every engine.
-      import org.apache.spark.sql.expressions.Window
-      ev(s, dir).select(col("event_id"), col("event_type"),
-          floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
-        .withColumn("decile", ntile(10).over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("vm"), col("event_id"))))
-    }),
+      // Rank via Profile.cellRank (X44 cell decomposition): event_type is
+      // 5-valued, so a per-group ntile window would sort 1/5 of the fact
+      // table in ONE task at scale; the cell path's biggest sort is a
+      // microBins-th of that. The ntile tile from (rank, n) is the exact
+      // SQL ntile definition: first n%k tiles hold ceil(n/k) rows.
+      Profile.cellRank(
+          ev(s, dir).select(col("event_id"), col("event_type"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+          Seq("event_type"), "vm", Seq("event_id"))
+        .withColumn("decile", expr(
+          """CAST(CASE WHEN _rank <= (_n % 10) * (_n DIV 10 + 1)
+            |       THEN (_rank - 1) DIV (_n DIV 10 + 1) + 1
+            |       ELSE (_n % 10) + (_rank - (_n % 10) * (_n DIV 10 + 1) - 1)
+            |            DIV (_n DIV 10) + 1 END AS INT)""".stripMargin))
+        .drop("_rank", "_n")),
     "q134_sentence_dedup" -> ((s, dir) =>
       // Exact-sentence duplication share per document (RefinedWeb signal) —
       // one corpus-sentence-sized exchange on md5(sentence), per-doc combine.
@@ -1604,7 +1613,10 @@ object SparkEntry {
       // float sqrt/division exists to drift between engines. Windows run
       // over the 720-row hourly rollup, never the corpus.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("hour_idx")).rowsBetween(-168, -1)
+      // partitionBy(graft.functions.DimKey.one): single-partition by declaration (the rollup is
+      // hour-count-sized), not by accidental empty partition spec
+      val w = Window.partitionBy(graft.functions.DimKey.one).orderBy(col("hour_idx"))
+        .rowsBetween(-168, -1)
       ev(s, dir)
         .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour_idx"))
         .agg(count(lit(1)).as("x"))
@@ -1631,22 +1643,20 @@ object SparkEntry {
              sum(col("_has_purchase").cast("long")).as("n_converted"))
         .withColumn("conversion_ppm",
                     expr("n_converted * 1000000 DIV n_sessions"))),
-    "q154_relative_standing" -> ((s, dir) => {
+    "q154_relative_standing" -> ((s, dir) =>
       // Integer percentile rank: each order's standing within its priority
-      // as rank·10^6 div n — percent_rank without the float division
-      // (lowest = its rank share, ties share a rank). One exchange + sort.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wAll = Window.partitionBy(col("o_orderpriority"))
-      Tables.read(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("_rnk", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(wAll))
+      // as rank·10^6 div n — percent_rank without the float division.
+      // o_orderpriority is 5-valued, so the naive per-priority window sorts
+      // 1/5 of the orders table in one task; Profile.cellRank bounds the
+      // biggest sort to a microBins-th of a group.
+      Profile.cellRank(
+          Tables.read(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+                    col("o_totalprice")),
+          Seq("o_orderpriority"), "o_totalprice", Seq("o_orderkey"))
         .withColumn("standing_ppm",
-                    expr("CAST(_rnk AS BIGINT) * 1000000 DIV _n"))
-        .drop("_rnk", "_n")
-    }),
+                    expr("CAST(_rank AS BIGINT) * 1000000 DIV _n"))
+        .drop("_rank", "_n")),
     "q155_mad" -> ((s, dir) => {
       // Robust dispersion: exact median + median-absolute-deviation per
       // event type via TWO rank-selection passes (X44) — integer micros
@@ -1863,14 +1873,16 @@ object SparkEntry {
       // corpus". Corpus work is ONE combine-enabled aggregate; the ordered
       // cumulative window runs over the source-sized rollup only.
       import org.apache.spark.sql.expressions.Window
-      val wCum = Window.orderBy(col("mass").desc, col("source"))
+      val wCum = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("mass").desc, col("source"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing)
+      val wAll = Window.partitionBy(graft.functions.DimKey.one)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       docs(s, dir).groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("mass").desc, col("source"))))
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("mass").desc, col("source"))))
         .withColumn("cum_mass", sum(col("mass")).over(wCum))
         .withColumn("total_mass", sum(col("mass")).over(wAll))
         .withColumn("cum_share_ppm", expr("cum_mass * 1000000 DIV total_mass"))
@@ -1977,8 +1989,11 @@ object SparkEntry {
                 expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"))
         .distinct()
         .withColumn("junk_key",
+                    // the combo relation is |types|x7 rows — single-partition
+                    // by declaration (DimKey), not by accidental empty spec
                     row_number().over(
                       org.apache.spark.sql.expressions.Window
+                        .partitionBy(graft.functions.DimKey.one)
                         .orderBy(col("event_type"), col("weekday"))))),
     "q177_lang_margin" -> ((s, dir) => {
       // Language-ID confidence margin: winner vs runner-up stopword votes
@@ -2049,29 +2064,27 @@ object SparkEntry {
                         <= 86400000000L, 1L).otherwise(0L))
                .as("n_within_24h"))
     }),
-    "q181_gini" -> ((s, dir) => {
+    "q181_gini" -> ((s, dir) =>
       // Gini concentration per event type over value mass: the rank-sum
       // formula G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with EXACT integer
       // numerator/denominator (tie order cannot change Σi·xᵢ across equal
       // values) and a DECIMAL(38,0)-guarded ppm ratio. The inequality
-      // companion of the X152 Pareto curve.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("vm"), col("event_id"))
-      ev(s, dir)
-        .select(col("event_type"), col("event_id"),
-                floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
-        .withColumn("_i", row_number().over(w).cast("long"))
+      // companion of the X152 Pareto curve. Ranks i come from
+      // Profile.cellRank, so no per-event-type whole-group sort exists.
+      Profile.cellRank(
+          ev(s, dir)
+            .select(col("event_type"), col("event_id"),
+                    floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+          Seq("event_type"), "vm", Seq("event_id"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
              sum(col("vm")).as("sum_x"),
-             sum(col("_i") * col("vm")).as("sum_ix"))
+             sum(col("_rank") * col("vm")).as("sum_ix"))
         .withColumn("gini_ppm", expr(
           """CAST((2 * CAST(sum_ix AS DECIMAL(38,0))
             |       - (n + 1) * CAST(sum_x AS DECIMAL(38,0))) * 1000000
             |      DIV (CAST(n AS DECIMAL(38,0)) * sum_x) AS BIGINT)"""
-            .stripMargin))
-    }),
+            .stripMargin))),
     "q182_cosine_hist" -> ((s, dir) =>
       // Embedding-space geometry: fixed-width histogram of pairwise
       // cosines over a query slice — the collapse/anisotropy tripwire
@@ -2140,7 +2153,7 @@ object SparkEntry {
       // User growth curve: new users per day (first-seen rollup) +
       // cumulative total — windows only over the day-sized rollup.
       import org.apache.spark.sql.expressions.Window
-      val wCum = Window.orderBy(col("day"))
+      val wCum = Window.partitionBy(graft.functions.DimKey.one).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev(s, dir)
         .groupBy("user_id").agg(min(col("ts")).as("_first"))
@@ -2175,23 +2188,15 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_stale"),
              max(col("age_sec")).as("max_age_sec"))),
-    "q190_lsh_precision" -> ((s, dir) => {
+    "q190_lsh_precision" -> ((s, dir) =>
       // Banding-efficiency report: LSH candidate pairs vs exact-verified
       // pairs — precision_ppm is the knob-tuning number for (bands, rows)
-      // (recall's counterpart to X109); both counts fall out of the X3
-      // pipeline stages already computed.
-      val d = docs(s, dir)
-      val cand = Dedup.minhashLshCandidates(d, "doc_id", "text", n = 3,
-                                            bands = 4, rows = 3)
-        .agg(count(lit(1)).as("n_candidates"))
-      val ver = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
-                                      bands = 4, rows = 3,
-                                      tauNum = 1, tauDen = 2)
-        .agg(count(lit(1)).as("n_verified"))
-      cand.join(ver)
-        .withColumn("precision_ppm",
-                    expr("n_verified * 1000000 DIV n_candidates"))
-    }),
+      // (recall's counterpart to X109). ONE signature pipeline pass: both
+      // counts aggregate off the shared candidates-with-overlap relation
+      // (tokens→shingles→signatures are NOT recomputed per count).
+      Dedup.minhashLshBandingStats(docs(s, dir), "doc_id", "text", n = 3,
+                                   bands = 4, rows = 3,
+                                   tauNum = 1, tauDen = 2)),
     "q191_split_leakage" -> ((s, dir) => {
       // Split hygiene: near-dup pairs that CROSS the train/val/test
       // boundary — X3 pairs joined to the X31 deterministic split; any row
@@ -2210,26 +2215,21 @@ object SparkEntry {
         .groupBy("split_a", "split_b")
         .agg(count(lit(1)).as("n_leaked_pairs"))
     }),
-    "q192_top1pct_share" -> ((s, dir) => {
+    "q192_top1pct_share" -> ((s, dir) =>
       // Revenue concentration: share of order value carried by the top 1%
-      // of orders — rank threshold via row_number over (value desc), 1-row
-      // totals broadcast; the "whales" number next to X163's Gini.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("vm").desc, col("o_orderkey"))
-      val ranked = Tables.read(s, dir, "orders")
-        .select(col("o_orderkey"),
-                floor(col("o_totalprice") * lit(1000000.0)).cast("long").as("vm"))
-        .withColumn("_r", row_number().over(w))
-      val totals = ranked.agg(count(lit(1)).as("n_orders"),
-                              sum(col("vm")).as("total_micro"))
-      ranked.join(broadcast(totals))
-        .filter(expr("_r <= (n_orders + 99) DIV 100"))
-        .groupBy("n_orders", "total_micro")
-        .agg(count(lit(1)).as("n_top"), sum(col("vm")).as("top_micro"))
-        .withColumn("share_ppm",
-                    expr("CAST(CAST(top_micro AS DECIMAL(38,0)) * 1000000" +
-                         " DIV total_micro AS BIGINT)"))
-    }),
+      // of orders — the "whales" number next to X163's Gini. Exact k-th-
+      // largest selection via Profile.topFractionShare's two-phase micro-
+      // cell histogram: no global sort or single-partition rank anywhere
+      // (the previous row_number-over-everything form serialized the whole
+      // fact table through one task at scale).
+      Profile.topFractionShare(
+          Tables.read(s, dir, "orders")
+            .select(floor(col("o_totalprice") * lit(1000000.0)).cast("long")
+                      .as("vm")),
+          "vm", 1, 100)
+        .select(col("n_rows").as("n_orders"), col("total").as("total_micro"),
+                col("n_top"), col("top_sum").as("top_micro"),
+                col("share_ppm"))),
     "q193_jaccard_hist" -> ((s, dir) =>
       // Verified near-dup similarity profile: 5%-bucketed Jaccard ppm of
       // the X3 pairs — with X172's precision this characterizes the whole
@@ -2271,48 +2271,116 @@ object SparkEntry {
         .groupBy(date_trunc("DAY", col("_valid_from")).as("day"),
                  col("_change_type"))
         .agg(count(lit(1)).as("n_versions"),
-             countDistinct(col("user_id")).as("n_keys")))
+             countDistinct(col("user_id")).as("n_keys"))),
+    "q197_contract" -> ((s, dir) => {
+      // Enforced output contract (dbt `contract: enforced`,
+      // schema.yml:159-192): the declared (name, type, nullability) set is
+      // asserted against the final relation on EVERY maintenance run —
+      // initial load AND incremental merge — while the temp delta batch is
+      // exempt (create_temp_table_as.sql:1-5). Both engine runs below throw
+      // on breach, so green rows prove enforcement passed on both paths;
+      // the emitted report re-checks each declared column off the engine's
+      // computed snapshot schema. Schema-only — free at any scale.
+      import org.apache.spark.sql.types._
+      val contract = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType),
+        StructField("_is_current", BooleanType, nullable = false),
+        StructField("_valid_from", TimestampType),
+        StructField("_valid_to", TimestampType),
+        StructField("_change_type", StringType, nullable = false)))
+      val all = ev(s, dir)
+      val target = java.nio.file.Files
+        .createTempDirectory("q197_scd2_contract").toString + "/dim"
+      ScdEngine.run(s, all.filter(col("event_id") % 2 === 0), target, evCfg,
+                    contract = Some(contract))
+      ScdEngine.run(s, all.filter(col("event_id") % 2 === 1), target, evCfg,
+                    contract = Some(contract))
+      Contracts.report(s, Scd2.initialLoad(all, evCfg).schema, contract)
+    })
   )
 
-  /** Sketch/approximate operators: engine-specific estimators with no
-    * cross-engine oracle — the driver records the (documented) weaker
-    * rows-only check for these; each has an exact counterpart that IS
-    * oracle-checked (q48 profile, q59 quantiles, q47 rollup).
+  /** Sketch/approximate operators: estimator VALUES are engine-specific
+    * (no cross-engine oracle can reproduce an HLL register set), so each
+    * query emits its exact-reproducible companions PLUS a within-tolerance
+    * verdict computed against the exact counterpart (q48 profile, q59
+    * quantiles, q47 rollup) — the oracle asserts the verdict is TRUE, which
+    * makes the estimator's error contract driver-visible instead of
+    * `no_oracle`. Raw estimates stay spec-asserted in `sbt test`.
     */
   private def sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q96_profile_approx" -> ((s, dir) =>
+    "q96_profile_approx" -> ((s, dir) => {
       // HLL scale path of the q48 profiler: one pass, no Expand, no
-      // per-column distinct shuffle (spec-checked against exact within 5%).
-      Profile.profileApprox(Tables.spread(s, Tables.read(s, dir, "lineitem")),
-                            LineitemCols)),
-    "q97_quantiles_approx" -> ((s, dir) =>
+      // per-column distinct shuffle. The exact profile (q48's plan) supplies
+      // the NDV ground truth; ndv_ok asserts |approx - exact| <= 10% + 2
+      // (HLL++ rsd 0.05 => ~2-sigma relative band, +2 absorbs the exact-mode
+      // boundary at tiny cardinalities).
+      val df = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+      val approx = Profile.profileApprox(df, LineitemCols)
+        .select(col("column"), col("n_distinct").as("_approx"))
+      Profile.profile(df, LineitemCols)
+        .join(broadcast(approx), Seq("column"))
+        .withColumn("ndv_ok",
+                    abs(col("_approx") - col("n_distinct")) * 10 <=
+                      col("n_distinct") + lit(20))
+        .drop("_approx")
+    }),
+    "q97_quantiles_approx" -> ((s, dir) => {
       // Sketch counterpart of q59: percentile_approx per event type — one
-      // combine-enabled aggregate instead of a per-group sort.
-      ev(s, dir)
-        .groupBy("event_type")
+      // combine-enabled aggregate instead of a per-group sort. The GK
+      // sketch guarantees rank error <= n/accuracy and returns an observed
+      // value, so the check is rank-interval intersection: the returned
+      // value's rank span [lt+1, le] must meet [k-err, k+err].
+      val acc = 10000
+      val e = ev(s, dir).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val approx = e.groupBy("event_type")
         .agg(percentile_approx(col("value"),
                                array(lit(0.5), lit(0.9), lit(0.99)),
-                               lit(10000)).as("p50_p90_p99"),
-             count(lit(1)).as("n"))
-        .select(col("event_type"), col("n"),
-                col("p50_p90_p99").getItem(0).as("p50"),
-                col("p50_p90_p99").getItem(1).as("p90"),
-                col("p50_p90_p99").getItem(2).as("p99"))),
+                               lit(acc)).as("ap"))
+      val targets = approx.select(col("event_type"),
+          explode(array(Seq((50, 0), (90, 1), (99, 2)).map { case (p, i) =>
+            struct(lit(p).as("q"), col("ap").getItem(i).as("v"))
+          }: _*)).as("t"))
+        .select(col("event_type"), col("t.q"), col("t.v"))
+      e.join(broadcast(targets), Seq("event_type"))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("_lt"),
+             sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("_le"))
+        .withColumn("_k", expr("(n * q + 99) DIV 100")) // ceil(n*q/100)
+        .withColumn("_err", expr(s"n DIV $acc + 1"))
+        .withColumn("rank_ok",
+                    col("_lt") + 1 <= col("_k") + col("_err") &&
+                      col("_le") >= col("_k") - col("_err"))
+        .select(col("event_type"), col("q"), col("n"), col("rank_ok"))
+    }),
     "q98_hll_union" -> ((s, dir) => {
       // Mergeable distinct sketches (Apache DataSketches HLL): per-day
       // per-type user sketches built once, then UNIONED per type — the
       // re-aggregatable rollup a 100 TB daily pipeline stores instead of
       // raw user sets (exact distinct does not merge; sketches do).
+      // ndv_ok: the union's estimate within 5% of exact distinct (default
+      // lgK=12 => rsd 1.6%, so 5% ~= 3 sigma).
       val daily = ev(s, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
              count(lit(1)).as("n_events"))
-      daily
+      val approx = daily
         .groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-               .as("approx_distinct_users"),
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"),
              sum(col("n_events")).as("n_events"),
              count(lit(1)).as("n_days"))
+      val exact = ev(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("_exact"))
+      approx.join(broadcast(exact), Seq("event_type"))
+        .withColumn("ndv_ok",
+                    abs(col("_est") - col("_exact")) * 20 <= col("_exact"))
+        .select("event_type", "n_events", "n_days", "ndv_ok")
     })
   )
 
@@ -3131,6 +3199,30 @@ object SparkEntry {
            |  CAST(min($c) AS VARCHAR) AS min_str,
            |  CAST(max($c) AS VARCHAR) AS max_str FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    // Sketch tier: the oracle reproduces the exact companions and asserts
+    // the within-tolerance verdict is TRUE for every row — the estimator
+    // values themselves are engine-specific and stay out of the output.
+    "q96_profile_approx" ->
+      LineitemCols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str, TRUE AS ndv_ok
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "q97_quantiles_approx" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type, count(*) AS n FROM src
+         |  WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT event_type, unnest([50, 90, 99]) AS q, n,
+         |  TRUE AS rank_ok FROM g""".stripMargin,
+    "q98_hll_union" ->
+      s"""WITH $SrcCte
+         |SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)) AS n_days,
+         |  TRUE AS ndv_ok
+         |FROM src GROUP BY 1""".stripMargin,
     "q19_dedup_simhash" ->
       s"""WITH $ToksCte, $SimhashCte
          |SELECT doc_id, simhash FROM sig""".stripMargin,
@@ -3692,9 +3784,8 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
         |    AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |  GROUP BY 1, 2, 3)
-        |SELECT * FROM (SELECT *, row_number() OVER (
-        |    ORDER BY revenue_micro DESC, l_orderkey) AS "rank" FROM rev)
-        |WHERE "rank" <= 10""".stripMargin,
+        |SELECT * FROM rev
+        |ORDER BY revenue_micro DESC, l_orderkey LIMIT 10""".stripMargin,
     "q95_charset" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_nonascii,
@@ -4766,6 +4857,18 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_versions,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
          |FROM scd GROUP BY 1, 2""".stripMargin,
+    // q197: the contract declaration is static, so the oracle enumerates it;
+    // ok=TRUE rows require the engine's enforcement to have passed on both
+    // the initial-load and incremental-merge runs (a breach throws, which
+    // the driver records as a failed query).
+    "q197_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'bigint', TRUE), ('ts', 'timestamp', TRUE),
+        |  ('user_id', 'bigint', TRUE), ('event_type', 'string', TRUE),
+        |  ('value', 'double', TRUE), ('props', 'string', TRUE),
+        |  ('_is_current', 'boolean', TRUE), ('_valid_from', 'timestamp', TRUE),
+        |  ('_valid_to', 'timestamp', TRUE), ('_change_type', 'string', TRUE)
+        |) AS t("column", expected_type, ok)""".stripMargin,
     "q126_keep_last_k" ->
       s"""WITH $SrcCte,
          |scd AS (

@@ -25,6 +25,10 @@ object VersionedTable {
 
   private val Committed = "_COMMITTED"
   private val VPrefix = "v="
+  // NO '=' in the name: Spark's hidden-file filter skips "_"-prefixed names
+  // EXCEPT those containing '=' (partition-dir convention), which a parquet
+  // scan would then try to read as data.
+  private val BatchPrefix = "_BATCH_"
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
@@ -55,14 +59,40 @@ object VersionedTable {
     * filesystem with atomic mkdir) is the caller's job — reader/writer
     * isolation needs no coordination.
     */
-  def publish(spark: SparkSession, snapshot: DataFrame, root: String): Long = {
+  def publish(spark: SparkSession, snapshot: DataFrame, root: String): Long =
+    publish(spark, snapshot, root, batchId = None)
+
+  /** [[publish]] carrying a streaming batch id: an idempotence marker file
+    * (`_BATCH_<id>`, underscore-prefixed so parquet readers skip it) lands
+    * in the version dir BEFORE the commit marker, so "which batch produced
+    * the latest committed version" survives a crash between publish and the
+    * stream's checkpoint commit — the at-least-once replay can then be
+    * detected and skipped instead of double-merged.
+    */
+  def publish(spark: SparkSession, snapshot: DataFrame, root: String,
+              batchId: Option[Long]): Long = {
     val f = fs(spark, root)
     val next = committedVersions(f, root).lastOption.getOrElse(0L) + 1L
     val dir = s"$root/$VPrefix$next"
     f.delete(new Path(dir), true) // reclaim a crashed uncommitted attempt
     snapshot.write.mode("overwrite").parquet(dir)
+    batchId.foreach(id =>
+      f.create(new Path(s"$dir/$BatchPrefix$id"), true).close())
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
+  }
+
+  /** The batch id recorded with the latest committed version, if that
+    * version carried one.
+    */
+  def latestAppliedBatchId(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    latestVersion(spark, root).flatMap { v =>
+      f.listStatus(new Path(s"$root/$VPrefix$v")).toSeq
+        .map(_.getPath.getName)
+        .find(_.startsWith(BatchPrefix))
+        .map(_.stripPrefix(BatchPrefix).toLong)
+    }
   }
 
   /** Read the latest committed snapshot. */

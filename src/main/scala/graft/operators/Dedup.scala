@@ -125,7 +125,43 @@ object Dedup {
                       bands: Int = 4,
                       rows: Int = 3,
                       tauNum: Int = 1,
-                      tauDen: Int = 2): DataFrame = {
+                      tauDen: Int = 2): DataFrame =
+    candidatesWithOverlap(df, idCol, textCol, n, bands, rows)
+      // jaccard >= tauNum/tauDen  <=>  tauDen*overlap >= tauNum*union
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("doc_a", "doc_b", "overlap", "union_size")
+
+  /** Banding-efficiency report for (bands, rows) tuning: ONE signature
+    * pipeline pass yields both the candidate count and the τ-verified count
+    * (precision = verified/candidates — low precision means the verify stage
+    * is doing work the signature should have). One row:
+    * (n_candidates, n_verified, precision_ppm).
+    */
+  def minhashLshBandingStats(df: DataFrame,
+                             idCol: String,
+                             textCol: String,
+                             n: Int = 3,
+                             bands: Int = 4,
+                             rows: Int = 3,
+                             tauNum: Int = 1,
+                             tauDen: Int = 2): DataFrame =
+    candidatesWithOverlap(df, idCol, textCol, n, bands, rows)
+      .agg(count(lit(1)).as("n_candidates"),
+           sum(when(col("overlap") * tauDen >= col("union_size") * tauNum,
+                    lit(1L)).otherwise(lit(0L))).as("n_verified"))
+      .withColumn("precision_ppm",
+                  expr("n_verified * 1000000 DIV n_candidates"))
+
+  /** Shared tail of [[minhashLshPairs]] / [[minhashLshBandingStats]]: every
+    * banded candidate pair with its exact (overlap, union_size), BEFORE the
+    * τ filter — signatures and shingle arrays are computed exactly once.
+    */
+  private def candidatesWithOverlap(df: DataFrame,
+                                    idCol: String,
+                                    textCol: String,
+                                    n: Int,
+                                    bands: Int,
+                                    rows: Int): DataFrame = {
     // Materialize the shingle array ONCE as a column: the bands*rows minhash
     // expressions and the verification explode all read the attribute instead
     // of re-deriving tokens->shingles per expression (12x fewer md5-array
@@ -165,7 +201,6 @@ object Dedup {
       .withColumn("overlap",
                   size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
-      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("doc_a", "doc_b", "overlap", "union_size")
   }
 
@@ -234,8 +269,15 @@ object Dedup {
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    // Integral ids surface as LongType so both planning paths (driver
+    // union-find below the edge threshold, iterative rounds above it)
+    // produce ONE schema — the threshold must never flip output types.
+    // Non-integral ids (strings) only ever take this distributed path.
+    val (docId, clusterId) =
+      if (integralIds) (col("node").cast("long"), col("label").cast("long"))
+      else (col("node"), col("label"))
     labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .select(docId.as("doc_id"), clusterId.as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 

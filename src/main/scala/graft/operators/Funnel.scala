@@ -108,12 +108,19 @@ object Funnel {
       count(lit(1)).as("n_from"),
       sum(when(col("_t1").isNotNull, 1L).otherwise(0L)).as("n_converted"))
     val qs = Profile.discreteQuantiles(
-        conv.withColumn("_g", lit(1)), "_g", "delta_sec", Seq(50, 90))
+        // DimKey.one, not lit(1): a foldable constant gets stripped from
+        // the quantile window's partition spec by EliminateWindowPartitions
+        conv.withColumn("_g", graft.functions.DimKey.one),
+        "_g", "delta_sec", Seq(50, 90))
       .groupBy("_g").pivot("q", Seq(50, 90)).agg(first(col("q_value")))
       .withColumnRenamed("50", "p50_sec")
       .withColumnRenamed("90", "p90_sec")
       .drop("_g")
-    counts.join(qs)
+    // LEFT join on TRUE: when no user converts the quantile relation is
+    // EMPTY, and a plain cross join would drop the summary row — the
+    // zero-conversion funnel must still report (n_from, n_converted=0,
+    // null p50/p90).
+    counts.join(qs, lit(true), "left")
   }
 
   def cohortRetention(df: DataFrame,

@@ -148,9 +148,13 @@ object Profile {
       .limit(topK)
     top.join(broadcast(totals))
       .withColumn("share_ppm", expr("n_rows * 1000000 DIV _total"))
-      .withColumn("skew_x_avg_ppm", expr("n_rows * _nkeys * 1000000 DIV _total"))
+      // DECIMAL(38,0) guard: n_rows * _nkeys * 1e6 overflows BIGINT at the
+      // billions-of-keys/hot-key scale this diagnostic is for.
+      .withColumn("skew_x_avg_ppm",
+                  expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * _nkeys * 1000000" +
+                       " DIV _total AS BIGINT)"))
       .withColumn("skew_rank",
-                  row_number().over(Window.orderBy(
+                  row_number().over(Window.partitionBy(graft.functions.DimKey.one).orderBy(
                     col("n_rows").desc +: keyCols.map(col): _*)))
       .drop("_total", "_nkeys")
   }
@@ -209,15 +213,143 @@ object Profile {
       }: _*)
   }
 
+  /** Exact "share of total held by the top fracNum/fracDen of rows by
+    * `valueCol`" (e.g. 1/100 = the top-1% concentration number) WITHOUT a
+    * global sort or single-partition rank.
+    *
+    * Selection problem: the top k = ceil(n·frac) rows by value are exactly
+    * (a) every row with value > v*, plus (b) k − |a| rows with value = v*,
+    * where v* is the k-th largest value. Ties all carry the same value, so
+    * the top-k SUM is determined by v* alone — no per-row ranking needed.
+    *
+    * Two-phase micro-cell selection of v*: (1) one combine-enabled aggregate
+    * quantizes values into `microBins` monotone cells and a descending
+    * cumulative count over the ≤ microBins cell rows finds the cell holding
+    * rank k; (2) only that cell's rows (≈ n/microBins of the input) are
+    * re-grouped by exact value to pin v*. Corpus-sized work = two narrow
+    * scans + two hash aggregates; every window runs over cell/dimension-sized
+    * relations (partitionBy(graft.functions.DimKey.one) keeps the plan single-partition by
+    * declaration, not by accident).
+    *
+    * Output (one row): n_rows, total, n_top (= k), top_sum, share_ppm.
+    * `valueCol` must be integral (micro-units); sums guarded to DECIMAL(38,0)
+    * where products can exceed BIGINT.
+    */
+  def topFractionShare(df: DataFrame, valueCol: String,
+                       fracNum: Int, fracDen: Int,
+                       microBins: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 < fracNum && fracNum <= fracDen, "need 0 < fracNum <= fracDen")
+    val v = df.select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+    val stats = v.agg(count(lit(1)).as("_n"), sum(col("_v")).as("_total"),
+                      min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    val withStats = v.crossJoin(broadcast(stats))
+    // monotone non-decreasing value→cell map (exactness needs only
+    // monotonicity + consistency; DECIMAL guards the product overflow)
+    val cellExpr = expr(
+      s"(CAST(_v AS DECIMAL(38,0)) - _mn) * $microBins" +
+        s" DIV (CAST(_mx AS DECIMAL(38,0)) - _mn + 1)")
+    val wDesc = Window.partitionBy(graft.functions.DimKey.one).orderBy(col("_cell").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = withStats
+      .groupBy(cellExpr.cast("long").as("_cell"))
+      .agg(count(lit(1)).as("_cn"), sum(col("_v")).as("_cs"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_k", expr(s"(_n * $fracNum + ${fracDen - 1}) DIV $fracDen"))
+      .withColumn("_cumN", sum(col("_cn")).over(wDesc))
+      .withColumn("_cumS", sum(col("_cs")).over(wDesc))
+      .filter(col("_cumN") >= col("_k"))
+      .orderBy(col("_cell").desc).limit(1) // highest cell reaching rank k
+      .select(col("_cell").as("_tc"),
+              (col("_cumN") - col("_cn")).as("_nAbove"),
+              (col("_cumS") - col("_cs")).as("_sAbove"),
+              col("_k"))
+    // phase 2: exact values inside the threshold cell only
+    val wvDesc = Window.partitionBy(graft.functions.DimKey.one).orderBy(col("_v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withStats
+      .join(broadcast(thr), cellExpr.cast("long") === col("_tc"))
+      .groupBy("_v", "_nAbove", "_sAbove", "_k")
+      .agg(count(lit(1)).as("_vn"))
+      .withColumn("_cumVN", sum(col("_vn")).over(wvDesc))
+      .withColumn("_cumVS", sum(col("_v") * col("_vn")).over(wvDesc))
+      .filter(col("_nAbove") + col("_cumVN") >= col("_k"))
+      .orderBy(col("_v").desc).limit(1) // v* = k-th largest value
+      .crossJoin(broadcast(stats))
+      .select(col("_n").as("n_rows"), col("_total").as("total"),
+              col("_k").as("n_top"),
+              (col("_sAbove") + col("_cumVS") - col("_v") * col("_vn") +
+                (col("_k") - (col("_nAbove") + col("_cumVN") - col("_vn")))
+                  * col("_v")).as("top_sum"))
+      .withColumn("share_ppm",
+                  expr("CAST(CAST(top_sum AS DECIMAL(38,0)) * 1000000" +
+                       " DIV total AS BIGINT)"))
+  }
+
+  /** Exact per-group rank (`_rank`, 1-based by (`valueCol`, `tieCols...`))
+    * and group size (`_n`) WITHOUT sorting whole groups in one window
+    * partition.
+    *
+    * The naive `row_number().over(partitionBy(group).orderBy(...))` is a
+    * scale-killer when groups are low-cardinality (5 event types over a
+    * 100 TB fact table = one task sorts 20 B rows). Here the total order is
+    * decomposed: (1) rows quantize into `microBins` monotone value cells and
+    * ONE combine-enabled aggregate counts per (group, cell); (2) a window
+    * over the ≤ |groups|·microBins cell rollup yields each cell's preceding-
+    * row count; (3) row_number runs per (group, CELL) — partitions of
+    * ~1/microBins of a group — and the global rank is the cell offset plus
+    * the within-cell rank. Exact integer ranks, identical to the naive
+    * window, but the biggest sort is a microBins-th of a group.
+    *
+    * `valueCol` must be non-null numeric; ties break by `tieCols`.
+    */
+  def cellRank(df: DataFrame,
+               groupCols: Seq[String],
+               valueCol: String,
+               tieCols: Seq[String],
+               microBins: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("_cr_mn"),
+                        max(col(valueCol)).cast("double").as("_cr_mx"))
+    // monotone value→cell map (exactness needs only monotone + consistent)
+    val rawCell = floor((col(valueCol).cast("double") - col("_cr_mn"))
+      * lit(microBins.toDouble) / (col("_cr_mx") - col("_cr_mn")))
+    val cell = when(col("_cr_mx") === col("_cr_mn"), lit(0L))
+      .otherwise(least(greatest(rawCell, lit(0.0)), lit(microBins - 1.0)))
+      .cast("long")
+    val withCell = df.crossJoin(broadcast(bounds))
+      .withColumn("_cr_cell", cell)
+      .drop("_cr_mn", "_cr_mx")
+    val gCols = groupCols.map(col)
+    val wCells = Window.partitionBy(gCols: _*).orderBy(col("_cr_cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGroup = Window.partitionBy(gCols: _*)
+    val offsets = withCell
+      .groupBy((gCols :+ col("_cr_cell")): _*)
+      .agg(count(lit(1)).as("_cr_cn"))
+      .withColumn("_cr_prev", sum(col("_cr_cn")).over(wCells) - col("_cr_cn"))
+      .withColumn("_cr_n", sum(col("_cr_cn")).over(wGroup))
+      .drop("_cr_cn")
+    val wInCell = Window
+      .partitionBy(gCols :+ col("_cr_cell"): _*)
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    withCell
+      .join(offsets, groupCols :+ "_cr_cell")
+      .withColumn("_rank", col("_cr_prev") + row_number().over(wInCell))
+      .withColumn("_n", col("_cr_n"))
+      .drop("_cr_cell", "_cr_prev", "_cr_n")
+  }
+
   def equiDepthBins(df: DataFrame, c: String,
                     lo: Double, hi: Double,
                     bins: Int, microBins: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = floor((col(c) - lit(lo)) * lit(microBins.toDouble) / lit(hi - lo))
     val micro = least(greatest(raw, lit(0.0)), lit(microBins - 1.0)).cast("long")
-    val wCum = Window.orderBy(col("micro"))
+    val wCum = Window.partitionBy(graft.functions.DimKey.one).orderBy(col("micro"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(lit(1))
+    val wAll = Window.partitionBy(graft.functions.DimKey.one)
     df.filter(col(c).isNotNull)
       .groupBy(micro.as("micro"))
       .agg(count(lit(1)).as("n"))

@@ -127,7 +127,7 @@ object Sampling {
       .withColumn("target_ppm", tcol)
       .withColumn("_f", expr("mass * 1000000 DIV target_ppm"))
       .withColumn("_fstar",
-                  min(col("_f")).over(Window.rowsBetween(
+                  min(col("_f")).over(Window.partitionBy(graft.functions.DimKey.one).rowsBetween(
                     Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn(
         "rate_ppm",

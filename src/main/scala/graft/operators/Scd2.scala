@@ -441,8 +441,9 @@ object Scd2 {
     val keys = cfg.uniqueKey.map(resolveCi(cols, _))
     val upd = updatedAtExpr.getOrElse(col(resolveCi(cols, cfg.updatedAtCol)))
     val check = cfg.checkColumns(cols)
-    val hash = md5(concat_ws("-",
-      check.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    // the engine's own content hash (P2) — variants counted here are exactly
+    // the variants the merge tie-break would see, collisions and all
+    val hash = surrogateKeyOf(check)
     delta
       .groupBy((keys.map(col) :+ upd.as("version_ts")): _*)
       .agg(count(lit(1)).as("n_rows"),

@@ -258,10 +258,14 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(expr("(idf_ppm * tfc_ppm) DIV 1000000")).as("score_ppm"),
            count(lit(1)).as("n_terms"))
+      // top-k via TakeOrdered (per-partition heaps), NOT a global rank
+      // window — the scored relation is corpus-sized; only the k survivors
+      // see the (declared single-partition) rank window
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
       .withColumn("rank",
-                  row_number().over(Window.orderBy(col("score_ppm").desc,
-                                                   col("doc_id"))))
-      .filter(col("rank") <= k)
+                  row_number().over(Window.partitionBy(graft.functions.DimKey.one)
+                    .orderBy(col("score_ppm").desc, col("doc_id"))))
       .select("rank", "doc_id", "score_ppm", "n_terms")
   }
 
@@ -283,7 +287,7 @@ object TextAnalysis {
     // evaluated twice per document; measured in the q72 plan).
     base.groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
-      .withColumn("_total", sum(col("n_docs")).over(Window.partitionBy(lit(1))))
+      .withColumn("_total", sum(col("n_docs")).over(Window.partitionBy(graft.functions.DimKey.one)))
       .withColumn("share_ppm", expr("(n_docs * 1000000) DIV _total"))
       .drop("_total")
   }
@@ -303,10 +307,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
                          explode_outer(tokens(col(textCol))).as("token"))
+    // top-vocabSize via TakeOrdered, not a global rank window over the
+    // whole (corpus-vocabulary-sized) term relation
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("_tf"))
-      .withColumn("_rk", row_number().over(
-        Window.orderBy(col("_tf").desc, col("token"))))
-      .filter(col("_rk") <= vocabSize)
+      .orderBy(col("_tf").desc, col("token"))
+      .limit(vocabSize)
       .select(col("token"), lit(1L).as("_inv"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy("doc_id")
@@ -362,9 +367,12 @@ object TextAnalysis {
       .withColumn("first_tf",
                   sum(col("tf")).over(Window.partitionBy(col("_w1"))))
       .withColumn("cond_ppm", expr("(tf * 1000000) DIV first_tf"))
+      // bigram vocabulary is corpus-scale-large: top-k via TakeOrdered,
+      // rank window only over the k survivors
+      .orderBy(col("tf").desc, col("bigram"))
+      .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("tf").desc, col("bigram"))))
-      .filter(col("rank") <= k)
+        Window.partitionBy(graft.functions.DimKey.one).orderBy(col("tf").desc, col("bigram"))))
       .select("rank", "bigram", "tf", "first_tf", "cond_ppm")
   }
 

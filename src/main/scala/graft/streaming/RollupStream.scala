@@ -55,17 +55,26 @@ object RollupStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = graft.operators.IncrementalAgg.rollup(
-          keyExprs(batch), keys, valueMicro)
-        val merged = graft.VersionedTable.latestVersion(spark, storeRoot) match {
-          case None => delta
-          case Some(_) =>
-            graft.operators.IncrementalAgg.merge(
-              graft.VersionedTable.read(spark, storeRoot), delta, keys)
+        // foreachBatch is at-least-once: a crash between publish and the
+        // checkpoint commit replays the last micro-batch on restart. The
+        // additive merge (count/sum) is NOT idempotent, so a replayed batch
+        // that was already merged must be skipped — the latest committed
+        // version records which batch produced it.
+        val alreadyApplied = graft.VersionedTable
+          .latestAppliedBatchId(spark, storeRoot).contains(batchId)
+        if (!alreadyApplied) {
+          val delta = graft.operators.IncrementalAgg.rollup(
+            keyExprs(batch), keys, valueMicro)
+          val merged = graft.VersionedTable.latestVersion(spark, storeRoot) match {
+            case None => delta
+            case Some(_) =>
+              graft.operators.IncrementalAgg.merge(
+                graft.VersionedTable.read(spark, storeRoot), delta, keys)
+          }
+          graft.VersionedTable.publish(spark, merged, storeRoot, Some(batchId))
         }
-        graft.VersionedTable.publish(spark, merged, storeRoot)
         ()
       }
       .start()
