@@ -79,20 +79,34 @@ object Contracts {
     if (v.nonEmpty) throw new ContractViolationException(v)
   }
 
-  /** Data-aware enforcement of `contract` on a computed relation: structural
-    * breaches (missing/undeclared/type) throw immediately off the schema; a
-    * declared-NOT-NULL column the plan cannot prove non-nullable is then
-    * settled by one narrow null-count aggregate (only those columns are
-    * scanned — combine-enabled, no shuffle beyond the final 1-row reduce).
+  /** Schema-only enforcement of the STRUCTURAL clauses (missing/undeclared/
+    * type): throws off `StructType` metadata alone, ignoring nullability.
+    * Free at any scale — run this against the plan schema BEFORE paying for
+    * the snapshot write, so a structurally-broken snapshot never even
+    * reaches disk.
     */
-  def enforce(df: DataFrame, contract: StructType): Unit = {
+  def enforceStructural(actual: StructType, contract: StructType): Unit = {
+    val structural =
+      violations(actual, contract).filterNot(_.kind == "nullability")
+    if (structural.nonEmpty) throw new ContractViolationException(structural)
+  }
+
+  /** Data-level enforcement of the declared-NOT-NULL clauses only: one
+    * narrow combine-enabled null-count aggregate over just those declared
+    * NOT NULL columns the plan cannot prove non-nullable (no shuffle beyond
+    * the final 1-row reduce). Extra columns in `df` are ignored — pair with
+    * [[enforceStructural]] for the full contract. Intended to run against
+    * the ALREADY-WRITTEN tmp output (a parquet column scan), so the
+    * snapshot plan is never executed twice just to validate it.
+    */
+  def enforceNotNull(df: DataFrame, contract: StructType): Unit = {
     import org.apache.spark.sql.functions.{col, lit, sum, when}
-    val (nullability, structural) =
-      violations(df.schema, contract).partition(_.kind == "nullability")
-    if (structural.nonEmpty)
-      throw new ContractViolationException(structural)
-    if (nullability.isEmpty) return
-    val cols = nullability.map(_.column)
+    val nullable = df.schema.fields
+      .map(f => f.name.toLowerCase -> f.nullable).toMap
+    val cols = contract.fields.toSeq
+      .filter(f => !f.nullable && nullable.getOrElse(f.name.toLowerCase, false))
+      .map(_.name)
+    if (cols.isEmpty) return
     val counts = df.select(cols.map(c =>
       sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(c)): _*).head()
     val confirmed = cols.zipWithIndex.flatMap { case (c, i) =>
@@ -104,16 +118,37 @@ object Contracts {
     if (confirmed.nonEmpty) throw new ContractViolationException(confirmed)
   }
 
-  /** Per-declared-column conformance report (one row each: column,
-    * expected_type, ok) — the driver-checkable face of [[violations]].
+  /** Data-aware enforcement of `contract` on a computed relation: structural
+    * breaches (missing/undeclared/type) throw immediately off the schema; a
+    * declared-NOT-NULL column the plan cannot prove non-nullable is then
+    * settled by one narrow null-count aggregate over `df`. NOTE this
+    * executes `df`'s plan — callers that subsequently write the same
+    * relation should prefer [[enforceStructural]] pre-write +
+    * [[enforceNotNull]] on the written output, which validates the parquet
+    * bytes instead of re-running the pipeline.
+    */
+  def enforce(df: DataFrame, contract: StructType): Unit = {
+    enforceStructural(df.schema, contract)
+    enforceNotNull(df, contract)
+  }
+
+  /** Per-column conformance report — the driver-checkable face of
+    * [[violations]]: one row per DECLARED column (column, expected_type,
+    * ok), plus one `ok=false` row per UNDECLARED actual column
+    * (expected_type=`<undeclared>`) so the report agrees with [[enforce]] —
+    * a relation carrying extra columns must not render all-green.
     */
   def report(spark: SparkSession, actual: StructType,
              contract: StructType): DataFrame = {
     import spark.implicits._
     val broken = violations(actual, contract).map(_.column.toLowerCase).toSet
-    contract.fields.toSeq
+    val declared = contract.fields.map(_.name.toLowerCase).toSet
+    val declaredRows = contract.fields.toSeq
       .map(f => (f.name, f.dataType.simpleString,
                  !broken.contains(f.name.toLowerCase)))
-      .toDF("column", "expected_type", "ok")
+    val undeclaredRows = actual.fields.toSeq
+      .filterNot(f => declared.contains(f.name.toLowerCase))
+      .map(f => (f.name, "<undeclared>", false))
+    (declaredRows ++ undeclaredRows).toDF("column", "expected_type", "ok")
   }
 }

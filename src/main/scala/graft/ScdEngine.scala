@@ -55,11 +55,22 @@ object ScdEngine {
     *
     * `contract` (dbt `contract: enforced`) declares the REQUIRED schema of
     * the final relation — names, Catalyst types, nullability
-    * ([[Contracts.enforce]]). Checked against every computed snapshot
-    * immediately before its swap, so a violating snapshot is never
-    * published; the cached delta batch is exempt, mirroring
+    * ([[Contracts]]). Structural clauses (names/types/undeclared) are
+    * checked off the plan schema BEFORE any write; declared NOT NULL is a
+    * data constraint settled by one narrow null-count over the
+    * ALREADY-WRITTEN tmp output right before the swap (the snapshot plan is
+    * never executed twice just to validate it). A violating snapshot is
+    * never published — its tmp directory is deleted and the old table
+    * survives untouched. The cached delta batch is exempt, mirroring
     * `create_temp_table_as.sql:1-5` (the temp holds raw business columns
     * only — audit columns arrive downstream).
+    *
+    * The first time a given contract passes in full against a target, a
+    * `_CONTRACT_OK_<hash>` marker lands at the table root; the pruned
+    * bucketed incremental path uses it to know whether UNTOUCHED buckets
+    * (which it never re-reads) were ever validated — absent marker, it pays
+    * one full-table null-count so adding or tightening a contract on an
+    * existing table cannot leave stale buckets unvalidated.
     */
   def run(spark: SparkSession,
           delta: DataFrame,
@@ -77,8 +88,9 @@ object ScdEngine {
     try {
       if (!exists || fullRefresh) {
         val snapshot = initial(batch, cfg)
-        contract.foreach(Contracts.enforce(snapshot, _))
-        atomicSwap(spark, fs, withBucket(snapshot, cfg, numBuckets), targetPath, numBuckets)
+        contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
+        atomicSwap(spark, fs, withBucket(snapshot, cfg, numBuckets), targetPath,
+                   numBuckets, contract)
       } else {
         numBuckets match {
           case Some(n) =>
@@ -86,8 +98,8 @@ object ScdEngine {
           case None =>
             val target = spark.read.parquet(targetPath)
             val snapshot = mergeWithPredicates(target, batch, cfg)
-            contract.foreach(Contracts.enforce(snapshot, _))
-            atomicSwap(spark, fs, snapshot, targetPath, numBuckets)
+            contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
+            atomicSwap(spark, fs, snapshot, targetPath, numBuckets, contract)
         }
       }
     } finally batch.unpersist() // S7: post-run temp drop
@@ -247,9 +259,9 @@ object ScdEngine {
     if (widens) {
       val target = spark.read.parquet(targetPath).drop(BucketCol)
       val snapshot = mergeWithPredicates(target, batch, cfg)
-      contract.foreach(Contracts.enforce(snapshot, _))
+      contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
       atomicSwap(spark, fs, withBucket(snapshot, cfg, Some(n)), targetPath,
-                 Some(n))
+                 Some(n), contract)
       return
     }
     // Tiny driver-side aggregate: which buckets does the batch touch?
@@ -264,13 +276,27 @@ object ScdEngine {
       .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
       .drop(BucketCol)
     val snapshot = mergeWithPredicates(target, batch, cfg)
-    contract.foreach(Contracts.enforce(snapshot, _))
+    contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
     val bucketed = withBucket(snapshot, cfg, Some(n))
 
     // Write the touched buckets to a tmp dir, then swap each bucket directory.
     val tmp = targetPath + ".tmp"
     fs.delete(new Path(tmp), true)
     bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
+    // NOT NULL off the written bytes (narrow column scan of the tmp output);
+    // a violation deletes tmp and throws BEFORE any bucket rename, so the
+    // live table keeps every bucket intact — no partial swap. Untouched
+    // buckets are only re-validated the FIRST time this contract is seen on
+    // this target (marker absent): the pruned path never reads them again,
+    // so a contract added/tightened on an existing table pays one
+    // full-coverage null-count, after which the marker certifies them.
+    try contract.foreach { c =>
+      Contracts.enforceNotNull(spark.read.parquet(tmp), c)
+      if (!fs.exists(contractMarkerPath(targetPath, c)))
+        Contracts.enforceNotNull(
+          spark.read.parquet(targetPath)
+            .filter(!col(BucketCol).isin(touched.toSeq: _*)), c)
+    } catch { case e: Throwable => fs.delete(new Path(tmp), true); throw e }
     for (b <- touched) {
       val dst = new Path(s"$targetPath/$BucketCol=$b")
       val src = new Path(s"$tmp/$BucketCol=$b")
@@ -278,26 +304,53 @@ object ScdEngine {
       if (fs.exists(src)) fs.rename(src, dst)
     }
     fs.delete(new Path(tmp), true)
+    contract.foreach(c =>
+      fs.create(contractMarkerPath(targetPath, c), true).close())
   }
 
   /** Write-new-dir-and-swap (SURVEY.md §4.3.2): breaks the read-write cycle on
     * `targetPath` (the snapshot's lineage reads the same path it replaces).
+    * With a `contract`, declared NOT NULL is settled against the WRITTEN tmp
+    * output (a narrow parquet column scan — the snapshot pipeline is not
+    * re-executed); a violation deletes tmp and throws before any rename, so
+    * the old table survives untouched. A passing full-snapshot validation
+    * certifies every row, so the contract marker lands post-swap.
     */
   private def atomicSwap(spark: SparkSession,
                          fs: FileSystem,
                          snapshot: DataFrame,
                          targetPath: String,
-                         numBuckets: Option[Int]): Unit = {
+                         numBuckets: Option[Int],
+                         contract: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val tmp = new Path(targetPath + ".tmp")
     val old = new Path(targetPath + ".old")
     val dst = new Path(targetPath)
     fs.delete(tmp, true)
     val writer = snapshot.write.mode("overwrite")
     numBuckets.fold(writer)(_ => writer.partitionBy(BucketCol)).parquet(tmp.toString)
+    try contract.foreach(c =>
+      Contracts.enforceNotNull(spark.read.parquet(tmp.toString), c))
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)
     fs.delete(old, true)
+    contract.foreach(c =>
+      fs.create(contractMarkerPath(targetPath, c), true).close())
+  }
+
+  /** Marker certifying "this exact contract passed in full against this
+    * table": `_CONTRACT_OK_<md5(contract.json) prefix>` at the table root —
+    * underscore-prefixed with no `=`, so parquet scans skip it. A changed
+    * (tightened or renamed) contract hashes differently and re-triggers the
+    * one-off full validation on the pruned bucketed path.
+    */
+  private def contractMarkerPath(targetPath: String,
+                                 contract: org.apache.spark.sql.types.StructType): Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(contract.json.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    new Path(s"$targetPath/_CONTRACT_OK_$hex")
   }
 
   private def fileSystem(spark: SparkSession, path: String): FileSystem =

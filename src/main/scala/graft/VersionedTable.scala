@@ -60,38 +60,47 @@ object VersionedTable {
     * isolation needs no coordination.
     */
   def publish(spark: SparkSession, snapshot: DataFrame, root: String): Long =
-    publish(spark, snapshot, root, batchId = None)
+    publish(spark, snapshot, root, batchToken = None)
 
-  /** [[publish]] carrying a streaming batch id: an idempotence marker file
-    * (`_BATCH_<id>`, underscore-prefixed so parquet readers skip it) lands
-    * in the version dir BEFORE the commit marker, so "which batch produced
-    * the latest committed version" survives a crash between publish and the
-    * stream's checkpoint commit — the at-least-once replay can then be
-    * detected and skipped instead of double-merged.
+  /** [[publish]] carrying a streaming batch token: an idempotence marker
+    * file (`_BATCH_<token>`, underscore-prefixed so parquet readers skip it)
+    * lands in the version dir BEFORE the commit marker, so "which batch
+    * produced the latest committed version" survives a crash between publish
+    * and the stream's checkpoint commit — the at-least-once replay can then
+    * be detected and skipped instead of double-merged.
+    *
+    * The token should embed the streaming QUERY id alongside the batch id
+    * (`<queryId>_<batchId>`): bare batch ids restart from 0 with a fresh
+    * checkpoint, so two runs (or two queries sharing one store) would
+    * collide and a legitimate batch would be silently skipped.
     */
   def publish(spark: SparkSession, snapshot: DataFrame, root: String,
-              batchId: Option[Long]): Long = {
+              batchToken: Option[String]): Long = {
+    require(batchToken.forall(t => t.nonEmpty && !t.exists("/=\\".contains(_))),
+            s"batch token must be a plain file-name fragment: $batchToken")
     val f = fs(spark, root)
     val next = committedVersions(f, root).lastOption.getOrElse(0L) + 1L
     val dir = s"$root/$VPrefix$next"
     f.delete(new Path(dir), true) // reclaim a crashed uncommitted attempt
     snapshot.write.mode("overwrite").parquet(dir)
-    batchId.foreach(id =>
-      f.create(new Path(s"$dir/$BatchPrefix$id"), true).close())
+    batchToken.foreach(t =>
+      f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
   }
 
-  /** The batch id recorded with the latest committed version, if that
-    * version carried one.
+  /** The batch token recorded with the latest committed version, if that
+    * version carried one. Pure string compare — a stray `_BATCH_*` file with
+    * an unexpected suffix is returned verbatim (and simply won't match any
+    * live token), never a parse error.
     */
-  def latestAppliedBatchId(spark: SparkSession, root: String): Option[Long] = {
+  def latestAppliedBatchToken(spark: SparkSession, root: String): Option[String] = {
     val f = fs(spark, root)
     latestVersion(spark, root).flatMap { v =>
       f.listStatus(new Path(s"$root/$VPrefix$v")).toSeq
         .map(_.getPath.getName)
         .find(_.startsWith(BatchPrefix))
-        .map(_.stripPrefix(BatchPrefix).toLong)
+        .map(_.stripPrefix(BatchPrefix))
     }
   }
 

@@ -61,9 +61,14 @@ object RollupStream {
         // checkpoint commit replays the last micro-batch on restart. The
         // additive merge (count/sum) is NOT idempotent, so a replayed batch
         // that was already merged must be skipped — the latest committed
-        // version records which batch produced it.
+        // version records which batch produced it. The marker embeds the
+        // streaming QUERY id (stable across restarts of the same
+        // checkpoint, fresh per new checkpoint), not the bare batch id:
+        // restarting with a new checkpoint resets batch ids to 0, and a
+        // bare-id match would silently skip that legitimate first batch.
+        val token = s"${queryId(spark, checkpoint)}_$batchId"
         val alreadyApplied = graft.VersionedTable
-          .latestAppliedBatchId(spark, storeRoot).contains(batchId)
+          .latestAppliedBatchToken(spark, storeRoot).contains(token)
         if (!alreadyApplied) {
           val delta = graft.operators.IncrementalAgg.rollup(
             keyExprs(batch), keys, valueMicro)
@@ -73,9 +78,31 @@ object RollupStream {
               graft.operators.IncrementalAgg.merge(
                 graft.VersionedTable.read(spark, storeRoot), delta, keys)
           }
-          graft.VersionedTable.publish(spark, merged, storeRoot, Some(batchId))
+          graft.VersionedTable.publish(spark, merged, storeRoot, Some(token))
         }
         ()
       }
       .start()
+
+  /** The streaming query id persisted in `<checkpoint>/metadata` (written at
+    * query start, before the first micro-batch): `{"id":"<uuid>"}`. Stable
+    * across restarts of the same checkpoint — exactly the scope a replayed
+    * batch id must be matched under. Read once per micro-batch (one tiny
+    * file, driver-side).
+    */
+  private def queryId(spark: org.apache.spark.sql.SparkSession,
+                      checkpoint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text) match {
+      case Some(m) => m.group(1)
+      case None =>
+        throw new IllegalStateException(
+          s"no query id in checkpoint metadata at $path: $text")
+    }
+  }
 }

@@ -91,6 +91,82 @@ class ContractsSpec extends SparkTestBase {
       })).isEmpty)
   }
 
+  test("report flags undeclared actual columns ok=false (agrees with enforce)") {
+    val actual = StructType(good.fields :+ StructField("stray", StringType))
+    val rows = Contracts.report(spark, actual, good)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.count(_._3 == false) === 1)
+    assert(rows.find(_._1 == "stray").get === ("stray", "<undeclared>", false))
+    // a conforming relation still renders all-green
+    assert(Contracts.report(spark, good, good).collect().forall(_.getBoolean(2)))
+  }
+
+  test("data-level NOT NULL breach on the PRUNED bucketed path: tmp deleted, no bucket renamed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contract4").toString
+    val path = s"$dir/dim"
+    // declare v NOT NULL — plan-nullable, so enforcement settles on data
+    val strict = StructType(good.fields.map {
+      case f if f.name == "v" => f.copy(nullable = false)
+      case f => f
+    })
+    ScdEngine.run(spark, batch("a", "2025-01-01 00:00:00"), path, cfg,
+                  numBuckets = Some(4), contract = Some(strict))
+    val before = VersionedTableSpecHelpers.snapshotFileList(path)
+    // same key (same bucket), NULL v: structural check passes, the written
+    // tmp fails the null-count — abort must leave every bucket + no .tmp
+    val nullV = Seq((1, null.asInstanceOf[String], ts("2025-01-02 00:00:00")))
+      .toDF("k", "v", "_updated_at")
+    val e = intercept[Contracts.ContractViolationException] {
+      ScdEngine.run(spark, nullV, path, cfg,
+                    numBuckets = Some(4), contract = Some(strict))
+    }
+    assert(e.violations.map(_.kind) === Seq("nullability"))
+    assert(VersionedTableSpecHelpers.snapshotFileList(path) === before)
+    assert(!new java.io.File(path + ".tmp").exists())
+  }
+
+  test("first contract on an existing table validates UNTOUCHED buckets once") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-contract5").toString
+    val path = s"$dir/dim"
+    // two keys in DIFFERENT buckets (probe the engine's own bucket fn)
+    val probe = (1 to 32).map(k => (k, "x", ts("2025-01-01 00:00:00")))
+      .toDF("k", "v", "_updated_at")
+      .select(col("k"), ScdEngine.bucketOf(Seq("k"), 4).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val kNull = probe.keys.head
+    val kOther = probe.keys.find(k => probe(k) != probe(kNull)).get
+    // build the table WITHOUT a contract; key kNull carries a NULL v
+    val seedBatch = Seq((kNull, null.asInstanceOf[String], ts("2025-01-01 00:00:00")),
+                        (kOther, "ok", ts("2025-01-01 00:00:00")))
+      .toDF("k", "v", "_updated_at")
+    ScdEngine.run(spark, seedBatch, path, cfg, numBuckets = Some(4))
+    val strict = StructType(good.fields.map {
+      case f if f.name == "v" => f.copy(nullable = false)
+      case f => f
+    })
+    // incremental touching ONLY kOther's bucket, now WITH the contract: the
+    // first-time full validation must surface kNull's null in the bucket
+    // this batch never touches
+    val before = VersionedTableSpecHelpers.snapshotFileList(path)
+    val e = intercept[Contracts.ContractViolationException] {
+      ScdEngine.run(spark,
+                    Seq((kOther, "ok2", ts("2025-01-02 00:00:00")))
+                      .toDF("k", "v", "_updated_at"),
+                    path, cfg, numBuckets = Some(4), contract = Some(strict))
+    }
+    assert(e.violations.map(_.kind) === Seq("nullability"))
+    assert(VersionedTableSpecHelpers.snapshotFileList(path) === before)
+    // a contract the data satisfies passes, writes its marker, and the NEXT
+    // run skips the full-table pass (marker present)
+    ScdEngine.run(spark,
+                  Seq((kOther, "ok2", ts("2025-01-02 00:00:00")))
+                    .toDF("k", "v", "_updated_at"),
+                  path, cfg, numBuckets = Some(4), contract = Some(good))
+    assert(new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("_CONTRACT_OK_")))
+  }
+
   test("breached bucketed incremental aborts before touching any bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-contract3").toString
     val path = s"$dir/dim"

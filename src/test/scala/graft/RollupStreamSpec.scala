@@ -90,4 +90,36 @@ class RollupStreamSpec extends SparkTestBase {
       .as[(String, Timestamp, Long, Long)].collect().toSet
     assert(got === expect)
   }
+
+  test("incrementalSink: fresh-checkpoint restart does NOT skip a colliding batch id") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    val root = java.nio.file.Files.createTempDirectory("rollup_store2").toString
+    def runOnce(rows: Seq[(Timestamp, String, Double)]): Unit = {
+      // each call = a fresh checkpoint = a NEW streaming query whose batch
+      // ids restart at 0; the store must still apply every batch (the
+      // replay marker embeds the query id, not the bare batch id)
+      val ckpt = java.nio.file.Files.createTempDirectory("rollup_ckpt2").toString
+      val source = MemoryStream[(Timestamp, String, Double)]
+      val query = RollupStream.incrementalSink(
+        source.toDF().toDF("ts", "event_type", "value"),
+        root,
+        keys = Seq("event_type", "day"),
+        keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
+        valueMicro = expr("CAST(floor(value * 1000000.0) AS BIGINT)"),
+        checkpoint = ckpt)
+      try { source.addData(rows: _*); query.processAllAvailable() }
+      finally query.stop()
+    }
+    runOnce(Seq((ts("2025-03-01 01:00:00"), "click", 1.0)))
+    runOnce(Seq((ts("2025-03-01 02:00:00"), "click", 2.0))) // batchId 0 again
+    val got = graft.VersionedTable.read(session, root)
+      .select("event_type", "n_rows", "value_micro")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("click", 2L, 3000000L)))
+  }
 }
