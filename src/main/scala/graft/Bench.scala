@@ -37,18 +37,30 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
+    // Noise robustness (round-4 lesson): ONE cold measurement per query let a
+    // contended box turn a flat perf profile into a phantom 2x regression —
+    // seven queries billed at 96 s combined re-timed warm at ~13 s. Measure
+    // each query REPS times back-to-back and report the MIN: contention and
+    // GC stalls only ever ADD time, so the min is the best estimate of the
+    // code's actual cost, and two back-to-back reps rarely land in the same
+    // stall. (Back-to-back also reuses the OS page cache for the parquet
+    // input, which production executors would have anyway.)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // localCheckpoint RDDs persist until the session dies; across 80+
-      // queries they pile up in the executor heap and the GC pressure shows
-      // up as 5-10x outliers on late queries. Nothing carries state across
-      // queries, so release them between measurements.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val s = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint RDDs persist until the session dies; across 80+
+        // queries they pile up in the executor heap and the GC pressure shows
+        // up as 5-10x outliers on late queries. Nothing carries state across
+        // queries, so release them between measurements.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        s
+      }.min
       name -> sec
     }
     // The driver captures only the last ~2000 chars of stdout and parses the

@@ -36,17 +36,28 @@ object Intervals {
     * `overlap_from`/`overlap_to`. Column names (besides `keys`) must be
     * disjoint between the two sides. Empty intervals (start >= end) never
     * match, mirroring half-open window semantics.
+    *
+    * Both sides are explicitly aliased and the condition resolves by
+    * qualified name: with `Dataset.apply` columns, a left/right pair sharing
+    * lineage (the common self-join-ish case — session spine and dimension
+    * both derived from one fact scan) hands the SAME attribute to both sides
+    * of `===`, and Spark's self-join rescue rewrites it with a "trivially
+    * true predicate" warning — the exact pattern that silently degrades to a
+    * cross join when a refactor moves the rescue out of reach.
     */
   def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                   lStart: String, lEnd: String,
-                  rStart: String, rEnd: String): DataFrame =
-    left.join(right,
-              keys.map(k => left(k) === right(k)).reduce(_ && _) &&
-                overlapCond(left(lStart), left(lEnd),
-                            right(rStart), right(rEnd)))
-      .drop(right(keys.head), keys.tail.map(right(_)): _*)
+                  rStart: String, rEnd: String): DataFrame = {
+    val (l, r) = (left.alias("_ovl_l"), right.alias("_ovl_r"))
+    def lc(c: String) = col(s"_ovl_l.$c")
+    def rc(c: String) = col(s"_ovl_r.$c")
+    l.join(r,
+           keys.map(k => lc(k) === rc(k)).reduce(_ && _) &&
+             overlapCond(lc(lStart), lc(lEnd), rc(rStart), rc(rEnd)))
+      .drop(rc(keys.head), keys.tail.map(rc): _*)
       .withColumn("overlap_from", greatest(col(lStart), col(rStart)))
       .withColumn("overlap_to", least(col(lEnd), col(rEnd)))
+  }
 
   /** Chunk-decomposed overlap join, result-identical to [[overlapJoin]].
     * `chunkMicros` is the grid width in event-time microseconds.
@@ -65,17 +76,22 @@ object Intervals {
                     // end is exclusive: an interval ending exactly on a chunk
                     // boundary does not enter the next chunk.
                     floor((unix_micros(end) - 1) / chunkMicros)))
+    // Aliased for the same shared-lineage reason as [[overlapJoin]].
     val l = left.withColumn("_chunk", explode(chunksOf(col(lStart), col(lEnd))))
+      .alias("_ovl_l")
     val r = right.withColumn("_chunk", explode(chunksOf(col(rStart), col(rEnd))))
+      .alias("_ovl_r")
+    def lc(c: String) = col(s"_ovl_l.$c")
+    def rc(c: String) = col(s"_ovl_r.$c")
     l.join(r,
-           (keys :+ "_chunk").map(k => l(k) === r(k)).reduce(_ && _) &&
-             overlapCond(l(lStart), l(lEnd), r(rStart), r(rEnd)))
+           (keys :+ "_chunk").map(k => lc(k) === rc(k)).reduce(_ && _) &&
+             overlapCond(lc(lStart), lc(lEnd), rc(rStart), rc(rEnd)))
       .withColumn("overlap_from", greatest(col(lStart), col(rStart)))
       .withColumn("overlap_to", least(col(lEnd), col(rEnd)))
       // Each pair appears once per shared chunk; keep only the chunk that
       // contains the overlap start — a filter, not a distinct shuffle.
-      .filter(l("_chunk") === floor(unix_micros(col("overlap_from")) / chunkMicros))
-      .drop(r(keys.head), (keys.tail :+ "_chunk").map(r(_)): _*)
+      .filter(lc("_chunk") === floor(unix_micros(col("overlap_from")) / chunkMicros))
+      .drop(rc(keys.head), (keys.tail :+ "_chunk").map(rc): _*)
       .drop("_chunk")
   }
 

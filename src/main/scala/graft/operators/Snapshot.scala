@@ -69,10 +69,15 @@ object Snapshot {
 
     val delta = target match {
       case Some(t) if invalidateHardDeletes =>
+        // Aliased sides + qualified names: target and snapshot often share
+        // lineage (both carved from one source scan), where Dataset.apply
+        // hands the SAME attribute to both sides of <=> and Spark's
+        // self-join rescue logs its trivially-true-predicate warning.
         val cur = t.filter(col(cfg.isCurrentCol) &&
-                           col(cfg.changeTypeCol) =!= "D")
-        val keyCond = cfg.uniqueKey.map(k => cur(k) <=> snap(k)).reduce(_ && _)
-        val gone = cur.join(snap, keyCond, "left_anti")
+                           col(cfg.changeTypeCol) =!= "D").alias("_snap_t")
+        val keyCond = cfg.uniqueKey
+          .map(k => col(s"_snap_t.$k") <=> col(s"_snap_b.$k")).reduce(_ && _)
+        val gone = cur.join(snap.alias("_snap_b"), keyCond, "left_anti")
         val delRows = gone.select(stamped.columns.map {
           case c if c == cfg.updatedAtCol => lit(asOf).as(c)
           case c if c == delName          => lit(asOf).cast("timestamp").as(c)
