@@ -2301,6 +2301,72 @@ object SparkEntry {
       ScdEngine.run(s, all.filter(col("event_id") % 2 === 1), target, evCfg,
                     contract = Some(contract))
       Contracts.report(s, Scd2.initialLoad(all, evCfg).schema, contract)
+    }),
+    "q198_stream_rollup" -> ((s, dir) => {
+      // Streaming incremental-rollup sink, driver-checked end-to-end: three
+      // micro-batches (event_id thirds) through RollupStream.incrementalSink
+      // (foreachBatch -> mergeable-partials merge into a VersionedTable
+      // store) must equal the one-shot batch rollup over the same rows —
+      // the merge-algebra guarantee, re-derived independently by the DuckDB
+      // oracle. MemoryStream is driver-fed BY DESIGN (it is the harness
+      // source; production reads Kafka/files and never collects), and the
+      // feed is bounded to the user_id%5 slice so driver volume stays
+      // trivial at any SF.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = ev(s, dir).filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+      val base = java.nio.file.Files.createTempDirectory("q198_stream").toString
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val q = graft.streaming.RollupStream.incrementalSink(
+        source.toDF().toDF("event_id", "ts", "event_type", "value"),
+        s"$base/store",
+        keys = Seq("event_type", "day"),
+        keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
+        valueMicro = floor(col("value") * lit(1000000.0)).cast("long"),
+        checkpoint = s"$base/ckpt")
+      try (0 until 3).foreach { i =>
+        source.addData(rows.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      VersionedTable.read(s, s"$base/store")
+        .select("event_type", "day", "n_rows", "value_micro",
+                "min_micro", "max_micro")
+    }),
+    "q199_stream_cdc_replay" -> ((s, dir) => {
+      // Streaming SCD2-with-CDC sink, driver-checked end-to-end: three
+      // micro-batches (event_id thirds — batch 2 interleaves out-of-order
+      // with merged history) through CdcStream.scdCdcSink, then the emitted
+      // changelog is REPLAYED from an empty base via Scd2.applyDelta. The
+      // replayed snapshot must equal the engine's three-merge result, which
+      // the oracle re-derives as three-phase SQL — one green row proves the
+      // sink, the changelog's sufficiency, and replay in a single query.
+      // (MemoryStream driver feed: harness source, bounded to user_id%5.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = ev(s, dir).filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+        .collect().toSeq
+      val base = java.nio.file.Files.createTempDirectory("q199_cdc").toString
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val q = graft.streaming.CdcStream.scdCdcSink(
+        source.toDF().toDF("event_id", "ts", "user_id", "event_type",
+                           "value", "props"),
+        s"$base/dim", s"$base/cdc", evCfg,
+        checkpointLocation = s"$base/ckpt").start()
+      try (0 until 3).foreach { i =>
+        source.addData(rows.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val target = s.read.parquet(s"$base/dim")
+      val log = s.read.parquet(s"$base/cdc")
+      (0L until 3L).foldLeft(target.limit(0))((snap, i) =>
+        Scd2.applyDelta(snap, log.filter(col("_batch_id") === i), evCfg))
     })
   )
 
@@ -2577,6 +2643,24 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q198: the store after three streamed micro-batches must equal the
+    // one-shot rollup over the same rows (merge algebra == full recompute).
+    "q198_stream_rollup" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src
+         |      WHERE user_id % 5 = 0)
+         |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(vm) AS BIGINT) AS value_micro,
+         |  min(vm) AS min_micro, max(vm) AS max_micro
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    // q199: changelog replay from empty == the engine's three-merge result,
+    // re-derived here as the three-phase incremental SQL.
+    "q199_stream_cdc_replay" ->
+      s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck,
+        "event_id % 3 = 0 AND user_id % 5 = 0",
+        "event_id % 3 = 1 AND user_id % 5 = 0",
+        "event_id % 3 = 2 AND user_id % 5 = 0")}",
     "q64_scd2_two_merges" ->
       s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck, "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2")}",
     "q65_scd2_two_merges_deletes" ->
