@@ -3455,9 +3455,14 @@ object SparkEntry {
          |  CAST(length(text) * 1000 // 8000 AS BIGINT) AS duration_ms,
          |  n_frames::INT AS n_frames
          |FROM m""".stripMargin,
+    // q26: byte stats over the payload PLUS the container-header round-trip —
+    // hdr_* recomputed here from the same text-derived parameters the ingest
+    // encodes into real PNG/WAV/MP4 binaries; the Spark side must PARSE them
+    // back out of the bytes (CRC-checked IHDR, RIFF chunk walk, mvhd box).
     "q26_multimodal_features" ->
       s"""WITH $MediaCte,
          |b AS (SELECT doc_id, modality, width, height, n_frames,
+         |    length(text) AS chars, 1 + (length(text) % 2) AS ch,
          |    octet_length(encode(text)) AS n_bytes,
          |    list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS bytes
          |  FROM m)
@@ -3468,7 +3473,17 @@ object SparkEntry {
          |       ELSE list_sum(bytes) * 10000 // n_bytes END AS BIGINT) AS mean_byte_e4,
          |  least(width, 224)::INT AS resized_width,
          |  least(height, 224)::INT AS resized_height,
-         |  array_to_string(list_sort(list_distinct([0, n_frames // 2, n_frames - 1])), ',') AS sampled_frames
+         |  array_to_string(list_sort(list_distinct([0, n_frames // 2, n_frames - 1])), ',') AS sampled_frames,
+         |  (CASE WHEN modality = 'image' THEN width ELSE 0 END)::INT AS hdr_width,
+         |  (CASE WHEN modality = 'image' THEN height ELSE 0 END)::INT AS hdr_height,
+         |  (CASE WHEN modality = 'image' THEN 8 ELSE 0 END)::INT AS hdr_bit_depth,
+         |  (CASE WHEN modality = 'audio' THEN ch ELSE 0 END)::INT AS hdr_channels,
+         |  (CASE WHEN modality = 'audio' THEN 8000 + (chars % 8) * 1000
+         |        ELSE 0 END)::INT AS hdr_sample_rate,
+         |  CAST(CASE WHEN modality = 'audio' THEN (n_bytes + ch - 1) // ch
+         |       ELSE 0 END AS BIGINT) AS hdr_n_samples,
+         |  CAST(CASE WHEN modality = 'video' THEN chars * 1000 // 8000
+         |       ELSE 0 END AS BIGINT) AS hdr_duration_ms
          |FROM b""".stripMargin,
     "q27_scd2_lineitem" -> Q27Sql,
     "q28_embed_neardup_lsh" ->

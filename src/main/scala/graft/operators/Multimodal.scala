@@ -1,20 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata; decode/feature/resize/frame-sample
   * run as batched per-partition JVM transforms (`mapPartitions` — the Scala
   * counterpart of an Arrow-batched pandas UDF: no shuffle, one pass over each
-  * partition, batch-at-a-time processing so a real codec could amortize
-  * per-call setup).
+  * partition, batch-at-a-time processing so the codec amortizes per-call
+  * setup).
   *
-  * The actual codecs are NOT in this container, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything around it — the schema, the
-  * binary column plumbing, the partition/batch shape, the feature contract —
-  * is real and tested. Swapping `decodeStub` for a JNI/ffmpeg/ImageIO call is
-  * a one-function change.
+  * The container layer is REAL, pure-JVM, and round-tripped end-to-end:
+  * ingest synthesizes spec-shaped PNG (signature + CRC32-protected IHDR +
+  * zlib-deflated IDAT + IEND), WAV (RIFF/WAVE with fmt + word-aligned data
+  * chunks), and MP4 (ftyp/moov/mvhd/mdat box tree) binaries; the decoder
+  * sniffs magic bytes and parses the headers back — PNG IHDR with CRC
+  * verification, a RIFF chunk walk, an ISO-BMFF box walk (mvhd v0 and v1).
+  * The driver oracle recomputes every header-derived field independently, so
+  * a parser that mis-reads endianness, chunk offsets, or box nesting fails
+  * the hash gate. Full pixel/sample decode (inflate + defilter, PCM DSP) is
+  * the one step a real deployment would widen — the headers, byte layout,
+  * CRCs, and chunk framing here are the genuine formats.
   *
   * Scale notes: payload bytes never participate in a shuffle (features are
   * extracted before any wide operation), and the batch size bounds per-task
@@ -22,23 +28,36 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** One media row: opaque payload + typed metadata. */
+  /** One media row: opaque container bytes + the raw payload they wrap +
+    * typed metadata.
+    */
   final case class MediaRecord(doc_id: Long,
                                modality: String,
                                data: Array[Byte],
+                               container: Array[Byte],
                                width: Int,
                                height: Int,
                                duration_ms: Long,
                                n_frames: Int)
 
-  /** Decoded form produced by the (stubbed) codec. */
-  final case class Decoded(pixels: Int, channels: Int, samples: Int)
+  /** Header parsed back out of a container by [[decode]]. Exactly one of the
+    * three shapes is populated per row (sniffed from magic bytes, never from
+    * caller-supplied modality strings).
+    */
+  sealed trait MediaHeader
+  final case class PngHeader(width: Int, height: Int, bitDepth: Int,
+                             colorType: Int) extends MediaHeader
+  final case class WavHeader(channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, nSamples: Long) extends MediaHeader
+  final case class Mp4Header(timescale: Int, durationMs: Long) extends MediaHeader
 
-  /** Extracted per-row features. */
-  /** `mean_byte_e4` is `floor(byte_sum * 10^4 / n_bytes)` — an exact integer
-    * (cross-engine float rounding would otherwise make the oracle flaky);
-    * `sampled_frames` is comma-joined for the same reason (list columns don't
-    * sort portably in the compare harness).
+  /** Extracted per-row features. Byte stats are over the raw payload;
+    * `hdr_*` fields come from parsing the container header (0 where the
+    * modality has no such field). `mean_byte_e4` is
+    * `floor(byte_sum * 10^4 / n_bytes)` — an exact integer (cross-engine
+    * float rounding would otherwise make the oracle flaky);
+    * `sampled_frames` is comma-joined for the same reason (list columns
+    * don't sort portably in the compare harness).
     */
   final case class MediaFeatures(doc_id: Long,
                                  modality: String,
@@ -48,17 +67,221 @@ object Multimodal {
                                  mean_byte_e4: Long,
                                  resized_width: Int,
                                  resized_height: Int,
-                                 sampled_frames: String)
+                                 sampled_frames: String,
+                                 hdr_width: Int,
+                                 hdr_height: Int,
+                                 hdr_bit_depth: Int,
+                                 hdr_channels: Int,
+                                 hdr_sample_rate: Int,
+                                 hdr_n_samples: Long,
+                                 hdr_duration_ms: Long)
 
-  /** Rows processed per decode batch (the "Arrow batch" shape: a real codec
-    * would decode these together to amortize setup).
+  /** Rows processed per decode batch (the "Arrow batch" shape: the codec
+    * decodes these together to amortize setup).
     */
   val BatchSize = 64
 
+  // ------------------------------------------------------------------
+  // Byte plumbing
+  // ------------------------------------------------------------------
+
+  private def be32(i: Int): Array[Byte] =
+    Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+  private def le32(i: Int): Array[Byte] =
+    Array(i.toByte, (i >>> 8).toByte, (i >>> 16).toByte, (i >>> 24).toByte)
+  private def le16(i: Int): Array[Byte] =
+    Array(i.toByte, (i >>> 8).toByte)
+  private def readBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // ------------------------------------------------------------------
+  // Container builders (the ingest side of the round-trip)
+  // ------------------------------------------------------------------
+
+  /** A PNG-spec chunk: length + type + data + CRC32(type ++ data). */
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def deflate(payload: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(payload); d.finish()
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Real PNG container: signature, IHDR (width/height/bit-depth/color-type,
+    * CRC-protected), one IDAT holding the zlib-deflated payload, IEND.
+    * (Scanline filtering of the IDAT content is out of scope — the decode
+    * side parses headers, it does not rasterize.)
+    */
+  def buildPng(width: Int, height: Int, bitDepth: Int, colorType: Int,
+               payload: Array[Byte]): Array[Byte] = {
+    val ihdr = be32(width) ++ be32(height) ++
+      Array(bitDepth.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    PngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", deflate(payload)) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Real WAV container: RIFF/WAVE, PCM `fmt ` chunk, `data` chunk holding
+    * the payload zero-padded to a whole number of sample frames, with the
+    * RIFF even-byte pad rule applied (pad byte excluded from chunk size).
+    */
+  def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+               payload: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * (bitsPerSample / 8)
+    val padded = payload ++ Array.fill(
+      (blockAlign - payload.length % blockAlign) % blockAlign)(0.toByte)
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
+    val dataPad = Array.fill(padded.length % 2)(0.toByte)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(padded.length) ++ padded ++ dataPad
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal ISO-BMFF (MP4) tree: `ftyp`, `moov`>`mvhd` (version 0, full
+    * 100-byte body: timescale + duration + rate/volume defaults + identity
+    * matrix + next-track-id), `mdat` holding the payload.
+    */
+  def buildMp4(timescale: Int, duration: Long, payload: Array[Byte]): Array[Byte] = {
+    def box(boxType: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ boxType.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++                       // version 0 + flags
+        be32(0) ++ be32(0) ++          // creation, modification
+        be32(timescale) ++ be32(duration.toInt) ++
+        be32(0x00010000) ++            // rate 1.0
+        Array(0x01.toByte, 0x00.toByte) ++ // volume 1.0 (BE 0x0100)
+        Array.fill(10)(0.toByte) ++    // reserved (2 + 8)
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000)) ++ // identity matrix
+        Array.fill(24)(0.toByte) ++    // pre_defined
+        be32(2))                       // next track id
+    ftyp ++ box("moov", mvhd) ++ box("mdat", payload)
+  }
+
+  // ------------------------------------------------------------------
+  // Header parsers (the decode side)
+  // ------------------------------------------------------------------
+
+  /** Parse a PNG's IHDR, verifying the signature and the IHDR CRC32. */
+  def parsePng(b: Array[Byte]): PngHeader = {
+    require(b.length >= 33 && PngSignature.indices.forall(i => b(i) == PngSignature(i)),
+            "not a PNG: bad signature")
+    val len = readBe32(b, 8)
+    require(tag(b, 12) == "IHDR" && len == 13, "not a PNG: first chunk not IHDR[13]")
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + len)
+    require(crc.getValue.toInt == readBe32(b, 16 + len), "PNG IHDR CRC mismatch")
+    PngHeader(width = readBe32(b, 16), height = readBe32(b, 20),
+              bitDepth = b(24) & 0xff, colorType = b(25) & 0xff)
+  }
+
+  /** Walk a RIFF/WAVE's chunks (word-aligned) for `fmt ` and `data`. */
+  def parseWav(b: Array[Byte]): WavHeader = {
+    require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+            "not a WAV: bad RIFF/WAVE header")
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val ct = tag(b, off)
+      val clen = readLe32(b, off + 4)
+      if (ct == "fmt ")
+        fmt = Some((readLe16(b, off + 10), readLe32(b, off + 12),
+                    readLe16(b, off + 22), readLe16(b, off + 20)))
+      else if (ct == "data") dataLen = clen.toLong
+      off += 8 + clen + (clen % 2) // RIFF chunks are word-aligned
+    }
+    val (channels, rate, bits, blockAlign) =
+      fmt.getOrElse(throw new IllegalArgumentException("WAV: no fmt chunk"))
+    require(dataLen >= 0, "WAV: no data chunk")
+    WavHeader(channels, rate, bits, nSamples = dataLen / blockAlign)
+  }
+
+  /** Walk top-level ISO-BMFF boxes for `moov`, then its children for `mvhd`
+    * (version 0 or 1); duration_ms = duration * 1000 / timescale.
+    */
+  def parseMp4(b: Array[Byte]): Mp4Header = {
+    def findBox(boxType: String, from: Int, until: Int): Option[Int] = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = readBe32(b, off)
+        if (tag(b, off + 4) == boxType) return Some(off)
+        require(size >= 8, s"MP4: bad box size $size")
+        off += size
+      }
+      None
+    }
+    val moov = findBox("moov", 0, b.length)
+      .getOrElse(throw new IllegalArgumentException("MP4: no moov box"))
+    val moovEnd = moov + readBe32(b, moov)
+    val mvhd = findBox("mvhd", moov + 8, moovEnd)
+      .getOrElse(throw new IllegalArgumentException("MP4: no mvhd box"))
+    val body = mvhd + 8
+    val version = b(body) & 0xff
+    val (timescale, duration) =
+      if (version == 0) (readBe32(b, body + 12), readBe32(b, body + 16).toLong)
+      else (readBe32(b, body + 20),
+            (readBe32(b, body + 24).toLong << 32) | (readBe32(b, body + 28).toLong & 0xffffffffL))
+    Mp4Header(timescale, durationMs = duration * 1000L / timescale)
+  }
+
+  /** Sniff the container format from magic bytes (never from metadata — a
+    * mislabeled row must fail loudly, not parse as the wrong format) and
+    * parse its header.
+    */
+  def decode(b: Array[Byte]): MediaHeader =
+    if (b.length >= 8 && PngSignature.indices.forall(i => b(i) == PngSignature(i)))
+      parsePng(b)
+    else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")
+      parseWav(b)
+    else if (b.length >= 8 && tag(b, 4) == "ftyp")
+      parseMp4(b)
+    else throw new IllegalArgumentException(
+      s"unrecognized container (${b.length} bytes)")
+
+  /** Deterministic frame sampling: first / middle / last (distinct, sorted). */
+  def sampleFrameIndices(nFrames: Int): Seq[Int] =
+    Seq(0, nFrames / 2, nFrames - 1).distinct.sorted
+
+  /** Aspect-preserving-ish resize target, capped at 224. */
+  def resizeDims(w: Int, h: Int): (Int, Int) =
+    (math.min(w, 224), math.min(h, 224))
+
+  // ------------------------------------------------------------------
+  // Pipeline
+  // ------------------------------------------------------------------
+
   /** Deterministic media synthesis from the `documents` table — the ingest
     * path a real pipeline would replace with reading blob files: payload =
-    * UTF-8 text bytes, modality cycled by id, metadata derived from payload
-    * size (so the oracle can recompute it).
+    * UTF-8 text bytes wrapped in a REAL container per modality (PNG with the
+    * metadata dimensions, 8-bit truecolor; mono-vs-stereo 8-bit WAV at a
+    * text-derived sample rate; MP4 at timescale 1000 with the metadata
+    * duration), metadata derived from text length (so the oracle can
+    * recompute every header field independently).
     */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
@@ -69,45 +292,37 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
                    (col("doc_id") % 3 + 1).cast("int")).as("modality"),
         encode(col("text"), "UTF-8").as("data"),
+        length(col("text")).cast("int").as("chars"),
         (lit(16) + length(col("text")) % 64).cast("int").as("width"),
         (lit(16) + length(col("text")) % 48).cast("int").as("height"),
         floor(length(col("text")).cast("long") * 1000L / 8000L)
           .cast("long").as("duration_ms"),
         (length(col("text")) % 30 + 1).cast("int").as("n_frames"))
-      .as[MediaRecord]
+      .as[(Long, String, Array[Byte], Int, Int, Int, Long, Int)]
+      .map { case (id, modality, data, chars, w, h, durMs, nFrames) =>
+        val container = modality match {
+          case "image" => buildPng(w, h, bitDepth = 8, colorType = 2, data)
+          case "audio" => buildWav(channels = 1 + chars % 2,
+                                   sampleRate = 8000 + (chars % 8) * 1000,
+                                   bitsPerSample = 8, data)
+          case _       => buildMp4(timescale = 1000, duration = durMs, data)
+        }
+        MediaRecord(id, modality, data, container, w, h, durMs, nFrames)
+      }
   }
 
-  /** STUB codec ???: a real deployment decodes image/audio/video here
-    * (ImageIO / javacv / ffmpeg bindings — not present in this container).
-    * The fake is deterministic so the pipeline around it is fully testable:
-    * it "decodes" payload bytes into shape metadata only.
-    */
-  def decodeStub(data: Array[Byte], modality: String): Decoded = modality match {
-    case "image" => Decoded(pixels = data.length, channels = 3, samples = 0)
-    case "audio" => Decoded(pixels = 0, channels = 1, samples = data.length * 8)
-    case _       => Decoded(pixels = data.length, channels = 3, samples = data.length)
-  }
-
-  /** Deterministic frame sampling: first / middle / last (distinct, sorted). */
-  def sampleFrameIndices(nFrames: Int): Seq[Int] =
-    Seq(0, nFrames / 2, nFrames - 1).distinct.sorted
-
-  /** Aspect-preserving-ish resize target, capped at 224. */
-  def resizeDims(w: Int, h: Int): (Int, Int) =
-    (math.min(w, 224), math.min(h, 224))
-
-  /** Batched per-partition feature extraction — decode (stub), byte stats,
-    * resize, frame-sample. One narrow pass; no shuffle.
+  /** Batched per-partition feature extraction — header decode (real parse of
+    * the container bytes), payload byte stats, resize, frame-sample. One
+    * narrow pass; no shuffle.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        // a real codec would decode `batch` in one call here
+        // the codec parses `batch`'s containers together (amortized setup)
         batch.map { r =>
-          val decoded = decodeStub(r.data, r.modality)
-          require(decoded.channels > 0, "decode produced no channels")
+          val header = decode(r.container)
           var sum = 0L
           val seen = new java.util.BitSet(256)
           var i = 0
@@ -118,6 +333,11 @@ object Multimodal {
             i += 1
           }
           val (rw, rh) = resizeDims(r.width, r.height)
+          val (hw, hh, hbd, hch, hsr, hns, hdm) = header match {
+            case PngHeader(w, h, bd, _)      => (w, h, bd, 0, 0, 0L, 0L)
+            case WavHeader(ch, sr, _, ns)    => (0, 0, 0, ch, sr, ns, 0L)
+            case Mp4Header(_, dm)            => (0, 0, 0, 0, 0, 0L, dm)
+          }
           MediaFeatures(
             doc_id = r.doc_id,
             modality = r.modality,
@@ -128,7 +348,14 @@ object Multimodal {
               if (r.data.isEmpty) 0L else sum * 10000L / r.data.length,
             resized_width = rw,
             resized_height = rh,
-            sampled_frames = sampleFrameIndices(r.n_frames).mkString(","))
+            sampled_frames = sampleFrameIndices(r.n_frames).mkString(","),
+            hdr_width = hw,
+            hdr_height = hh,
+            hdr_bit_depth = hbd,
+            hdr_channels = hch,
+            hdr_sample_rate = hsr,
+            hdr_n_samples = hns,
+            hdr_duration_ms = hdm)
         }
       }
     }

@@ -544,6 +544,38 @@ class PipelineOpsSpec extends SparkTestBase {
     // frame sampling: first/middle/last, deduped when they coincide
     assert(Multimodal.sampleFrameIndices(1) === Seq(0))
     assert(Multimodal.sampleFrameIndices(30) === Seq(0, 15, 29))
+    // header round-trip through the REAL containers: doc 0 is image (PNG),
+    // doc 1 audio (WAV, empty payload), doc 2 video (MP4)
+    assert(r0.getAs[Int]("hdr_width") === 16 + 3 % 64)
+    assert(r0.getAs[Int]("hdr_height") === 16 + 3 % 48)
+    assert(r0.getAs[Int]("hdr_bit_depth") === 8)
+    assert(feats(1).getAs[Int]("hdr_channels") === 1) // chars=0 -> mono
+    assert(feats(1).getAs[Int]("hdr_sample_rate") === 8000)
+    assert(feats(1).getAs[Long]("hdr_n_samples") === 0L)
+    assert(feats(2).getAs[Long]("hdr_duration_ms") === 300L * 1000 / 8000)
+  }
+
+  test("multimodal containers: byte-level parse round-trip and corruption detection") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    // PNG: exact header fields back, CRC verified
+    val png = Multimodal.buildPng(640, 480, 8, 2, payload)
+    assert(Multimodal.parsePng(png) ===
+      Multimodal.PngHeader(640, 480, 8, 2))
+    // corrupting one IHDR byte must fail the CRC, not return garbage
+    val bad = png.clone(); bad(17) = (bad(17) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.parsePng(bad))
+    // WAV: stereo 8-bit, odd payload pads to a whole frame
+    val wav = Multimodal.buildWav(2, 44100, 8, payload)
+    assert(Multimodal.parseWav(wav) ===
+      Multimodal.WavHeader(2, 44100, 8, (payload.length + 1) / 2))
+    // MP4: mvhd v0 timescale/duration -> milliseconds
+    val mp4 = Multimodal.buildMp4(600, 1800L, payload)
+    assert(Multimodal.parseMp4(mp4) === Multimodal.Mp4Header(600, 3000L))
+    // sniffing dispatches on magic bytes and rejects junk
+    assert(Multimodal.decode(png).isInstanceOf[Multimodal.PngHeader])
+    assert(Multimodal.decode(wav).isInstanceOf[Multimodal.WavHeader])
+    assert(Multimodal.decode(mp4).isInstanceOf[Multimodal.Mp4Header])
+    intercept[IllegalArgumentException](Multimodal.decode(payload))
   }
 
   test("contaminationStats: shingle overlap with the eval slice, 20% gate") {
