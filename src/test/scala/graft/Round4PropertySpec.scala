@@ -128,4 +128,50 @@ class Round4PropertySpec extends SparkTestBase {
     val violations = ScdInvariants.checkAll(target.get, cfg)
     assert(violations.forall(_._2 == 0L), s"violations: $violations")
   }
+
+  test("cellRank == naive row_number window: 200 random cases x microBins {1,2,10,10000}") {
+    import org.apache.spark.sql.expressions.Window
+    // 50 independent random datasets per microBins value (200 cases total),
+    // batched into ONE comparison each by making case_id part of the group
+    // key — bit-equality must hold per (case, group) regardless of how the
+    // global value->cell map bins OTHER cases' values. Heavy ties (values
+    // snapped to a coarse grid), negatives, singleton groups, and 1-row
+    // datasets all occur by construction.
+    def cases(seed: Int) = {
+      val rnd = new Random(seed)
+      val rows = for {
+        c <- 0 until 50
+        g <- 0 to rnd.nextInt(4)
+        _ <- 0 to rnd.nextInt(30)
+      } yield (c, s"g$g",
+               math.floor(rnd.nextGaussian() * 400) / 4.0, // gridded: many ties
+               rnd.nextLong())
+      rows.toDF("case_id", "grp", "v", "tie")
+    }
+    val grp = Seq("case_id", "grp")
+    val outCols = Seq("case_id", "grp", "v", "tie", "_rank", "_n")
+    def naive(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(grp.map(col): _*).orderBy(col("v"), col("tie"))
+      df.withColumn("_rank", row_number().over(w).cast("long"))
+        .withColumn("_n",
+                    count(lit(1)).over(Window.partitionBy(grp.map(col): _*)))
+        .select(outCols.map(col): _*)
+    }
+    for (mb <- Seq(1, 2, 10, 10000)) {
+      val df = cases(1000 + mb)
+      val got = graft.operators.Profile
+        .cellRank(df, grp, "v", Seq("tie"), microBins = mb)
+        .select(outCols.map(col): _*)
+      assert(rows(got) === rows(naive(df)), s"microBins=$mb")
+    }
+    // degenerate bounds: every value identical (mx == mn -> all rows cell 0)
+    val const = (1 to 40).map(i => (i % 3, "g", 7.5, i.toLong))
+      .toDF("case_id", "grp", "v", "tie")
+    for (mb <- Seq(1, 10000)) {
+      val got = graft.operators.Profile
+        .cellRank(const, grp, "v", Seq("tie"), microBins = mb)
+        .select(outCols.map(col): _*)
+      assert(rows(got) === rows(naive(const)), s"const microBins=$mb")
+    }
+  }
 }
