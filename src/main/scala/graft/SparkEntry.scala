@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Dedup, Funnel, IncrementalAgg, Intervals, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2367,6 +2367,117 @@ object SparkEntry {
       val log = s.read.parquet(s"$base/cdc")
       (0L until 3L).foldLeft(target.limit(0))((snap, i) =>
         Scd2.applyDelta(snap, log.filter(col("_batch_id") === i), evCfg))
+    }),
+    "q200_join_preflight" -> ((s, dir) => {
+      // Join cardinality pre-flight (X183): the exact output size and skew
+      // profile of events >< orders on user_id = o_custkey, computed from
+      // per-key counts BEFORE any fact-sized shuffle — two combine-enabled
+      // aggregates plus a key-sized join decide broadcast/salt/abort for
+      // the real join. Top-10 keys by contribution, exact ppm shares.
+      JoinPlanner.preflight(
+        ev(s, dir).select(col("user_id")),
+        Tables.spread(s, Tables.read(s, dir, "orders"))
+          .select(col("o_custkey").as("user_id")),
+        "user_id", "user_id", topK = 10)
+    }),
+    "q201_group_trend" -> ((s, dir) => {
+      // Per-type activity trend (X184): daily event counts regressed on the
+      // day index — closed-form OLS from six integer sufficient statistics,
+      // one combine-enabled exchange, no sort, no driver collection. The
+      // doubles are derived from exact integer sums, so slope/intercept/R²
+      // are bit-reproducible across engines and partitionings.
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+                 datediff(date_trunc("DAY", col("ts")),
+                          lit("2020-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      Trend.fit(daily, Seq("event_type"), col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+    "q202_compaction_plan" -> ((s, dir) => {
+      // Small-file compaction plan (X185): the (event_type, day) parquet
+      // fragments a per-batch streaming sink would leave behind, packed
+      // into ~64 KiB rewrite bins by one cumulative-sum window over the
+      // METADATA inventory — never the data. Oversized files isolate into
+      // their own bins (no wasted rewrite IO).
+      val inv = ev(s, dir)
+        .groupBy(col("event_type").as("part"),
+                 date_trunc("DAY", col("ts")).as("file"))
+        .agg((sum(length(col("props"))) +
+                count(lit(1)) * lit(16L)).as("bytes"))
+      Compaction.plan(inv, "part", "file", "bytes", "file",
+                      targetBytes = 65536L)
+    }),
+    "q203_bpe_pairs" -> ((s, dir) =>
+      // BPE vocabulary induction, round 1 (X186): adjacent character-pair
+      // frequencies weighted by word frequency — the merge statistic of a
+      // byte-pair tokenizer trainer. Text collapses to the vocabulary-sized
+      // word-count table FIRST; pair explosion runs over words, not
+      // documents, so the pass is bounded by Heaps'-law vocabulary growth.
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", topK = 30)),
+    "q204_skipping_report" -> ((s, dir) => {
+      // Data-skipping effectiveness (X187): per-cell min/max stats decide
+      // how many files a range predicate scans under two candidate layouts
+      // — single-column sort vs Z-order. The Z layout bounds BOTH key
+      // dimensions per cell, so each band predicate prunes most cells; the
+      // linear layout aces its own column and scans everything for the
+      // other. Pure integer metadata math — the measurement that justifies
+      // (or rejects) a 100 TB re-layout before paying for the write.
+      val l = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .withColumn("zx", expr("CAST(l_orderkey % 1024 AS BIGINT)"))
+        .withColumn("zy", expr("CAST(l_partkey % 1024 AS BIGINT)"))
+      Layout.skippingReport(
+        l,
+        layouts = Seq(
+          "zorder_xy" -> shiftright(Layout.zValue("zx", "zy", 10), 14),
+          "linear_x" -> shiftright(col("zx"), 4)),
+        predicates = Seq(
+          ("x_band", "zx", 128L, 255L),
+          ("y_band", "zy", 128L, 255L)))
+    }),
+    "q205_ivm_join" -> ((s, dir) => {
+      // Incremental join-view maintenance (X188): orders and lineitem each
+      // arrive in three uncorrelated delta batches; the materialized inner
+      // join advances per refresh as ΔA><B ∪ A><ΔB ∪ ΔA><ΔB — every term
+      // probes a full side with a batch-sized build, the full join is never
+      // recomputed. The final maintained state must equal the flat join,
+      // which the oracle runs directly; rolled up to priority × returnflag.
+      val o = Tables.spread(s, Tables.read(s, dir, "orders"))
+      val l = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val batches = (0 to 2).map(i =>
+        (o.filter(col("o_orderkey") % 3 === i),
+         l.filter(col("l_linenumber") % 3 === i)))
+      Ivm.maintain(batches, Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(floor(col("l_quantity") * 100).cast("long")).as("qty_centi"))
+    }),
+    "q206_stream_dedup" -> ((s, dir) => {
+      // Streaming exact-dedup sink, driver-checked end-to-end (X189): three
+      // micro-batches (doc_id thirds) through DedupStream.distinctDocs
+      // (flatMapGroupsWithState keyed by fingerprint); the emitted
+      // first-arrival set must equal the batch rule "min doc_id within the
+      // earliest batch containing the fingerprint", which the oracle
+      // re-derives as one window. (MemoryStream driver feed: harness
+      // source, bounded to the doc_id%5 slice like q198/q199.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val tbl = "q206_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.DedupStream
+        .distinctDocs(source.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      try (0 until 3).foreach { i =>
+        source.addData(rows.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(tbl).select("doc_id", "fingerprint")
     })
   )
 
@@ -2661,6 +2772,142 @@ object SparkEntry {
         "event_id % 3 = 0 AND user_id % 5 = 0",
         "event_id % 3 = 1 AND user_id % 5 = 0",
         "event_id % 3 = 2 AND user_id % 5 = 0")}",
+    // q200: exact join-size preflight = per-key count product; the oracle
+    // is the definitionally-same arithmetic over the same counts.
+    "q200_join_preflight" ->
+      s"""WITH $SrcCte,
+         |lc AS (SELECT user_id AS key, count(*) AS n_left FROM src GROUP BY 1),
+         |rc AS (SELECT o_custkey AS key, count(*) AS n_right FROM orders GROUP BY 1),
+         |pk AS (SELECT key, n_left, n_right, n_left * n_right AS out_rows
+         |       FROM lc JOIN rc USING (key)),
+         |t AS (SELECT CAST(coalesce(sum(out_rows), 0) AS BIGINT)
+         |        AS total_out_rows FROM pk)
+         |SELECT key, n_left, n_right, out_rows, total_out_rows,
+         |  out_rows * 1000000 // total_out_rows AS share_micro
+         |FROM pk, t ORDER BY out_rows DESC, key ASC LIMIT 10""".stripMargin,
+    // q201: OLS from integer sufficient statistics — identical closed form
+    // over exact integer sums, so the rounded doubles agree bit-for-bit.
+    "q201_group_trend" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT event_type,
+         |        date_diff('day', DATE '2020-01-01',
+         |                  CAST(date_trunc('day', ts) AS DATE)) AS x,
+         |        count(*) AS y
+         |      FROM src GROUP BY 1, 2),
+         |st AS (SELECT event_type, count(*) AS n,
+         |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |         sum(x * x) AS sxx, sum(y * y) AS syy
+         |       FROM d GROUP BY 1),
+         |k AS (SELECT event_type, n,
+         |        n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+         |        n * sxy - sx * sy AS cov, sx, sy
+         |      FROM st)
+         |SELECT event_type, n,
+         |  CASE WHEN dx <> 0
+         |    THEN round(CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+         |    AS slope,
+         |  CASE WHEN dx <> 0
+         |    THEN round((CAST(sy AS DOUBLE)
+         |                - CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE)
+         |                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END
+         |    AS intercept,
+         |  CASE WHEN dx <> 0 AND dy <> 0
+         |    THEN round(CAST(cov * cov AS DOUBLE) / CAST(dx * dy AS DOUBLE), 6)
+         |    END AS r2
+         |FROM k ORDER BY event_type""".stripMargin,
+    // q202: greedy sequential packing == floor(prev-cumsum / target), the
+    // same window algebra re-run over the same metadata inventory.
+    "q202_compaction_plan" ->
+      s"""WITH $SrcCte,
+         |inv AS (SELECT event_type AS part, date_trunc('day', ts) AS file,
+         |          CAST(sum(length(props)) + 16 * count(*) AS BIGINT) AS bytes
+         |        FROM src GROUP BY 1, 2),
+         |b0 AS (SELECT part, file, bytes, bytes >= 65536 AS big,
+         |         row_number() OVER (PARTITION BY part ORDER BY file) AS pos,
+         |         sum(CASE WHEN bytes >= 65536 THEN 0 ELSE bytes END)
+         |           OVER (PARTITION BY part, bytes >= 65536 ORDER BY file
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS cum
+         |       FROM inv),
+         |binned AS (SELECT part,
+         |             CAST(CASE WHEN big THEN -pos
+         |                  ELSE coalesce(cum, 0) // 65536 END AS BIGINT)
+         |               AS bin,
+         |             bytes, file
+         |           FROM b0)
+         |SELECT part, bin, count(*) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes,
+         |  min(file) AS from_order, max(file) AS to_order
+         |FROM binned GROUP BY 1, 2""".stripMargin,
+    // q203: word-frequency-weighted adjacent char pairs; vocabulary CTE
+    // first, then per-word pair explosion — same two-level aggregation.
+    "q203_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text),
+        |    '[^a-z]+')) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS wcnt FROM w0
+        |       WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT wcnt, unnest(list_transform(
+        |        generate_series(1, length(word) - 1),
+        |        i -> substring(word, i, 2))) AS pair
+        |      FROM wc)
+        |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count FROM p
+        |GROUP BY 1 ORDER BY pair_count DESC, pair ASC LIMIT 30""".stripMargin,
+    // q204: per-cell min/max (the parquet footer stats) vs band predicates
+    // under each layout's cell assignment — q132's exact z arithmetic.
+    "q204_skipping_report" ->
+      """WITH base AS (SELECT CAST(l_orderkey % 1024 AS BIGINT) AS zx,
+        |    CAST(l_partkey % 1024 AS BIGINT) AS zy FROM lineitem),
+        |zc AS (SELECT zx, zy,
+        |    CAST(list_sum(list_transform(generate_series(0, 9), b ->
+        |      (((zx >> b) & 1) << (2 * b)) + (((zy >> b) & 1) << (2 * b + 1))))
+        |      AS BIGINT) >> 14 AS cell FROM base),
+        |zs AS (SELECT cell, min(zx) AS min_zx, max(zx) AS max_zx,
+        |         min(zy) AS min_zy, max(zy) AS max_zy
+        |       FROM zc GROUP BY 1),
+        |lc AS (SELECT zx >> 4 AS cell, min(zx) AS min_zx, max(zx) AS max_zx,
+        |         min(zy) AS min_zy, max(zy) AS max_zy
+        |       FROM base GROUP BY 1),
+        |r AS (
+        |  SELECT 'zorder_xy' AS layout, 'x_band' AS predicate,
+        |    count(*) AS n_cells,
+        |    CAST(sum(CASE WHEN max_zx >= 128 AND min_zx <= 255
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS scan_cells FROM zs
+        |  UNION ALL
+        |  SELECT 'zorder_xy', 'y_band', count(*),
+        |    CAST(sum(CASE WHEN max_zy >= 128 AND min_zy <= 255
+        |             THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM zs
+        |  UNION ALL
+        |  SELECT 'linear_x', 'x_band', count(*),
+        |    CAST(sum(CASE WHEN max_zx >= 128 AND min_zx <= 255
+        |             THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lc
+        |  UNION ALL
+        |  SELECT 'linear_x', 'y_band', count(*),
+        |    CAST(sum(CASE WHEN max_zy >= 128 AND min_zy <= 255
+        |             THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lc)
+        |SELECT layout, predicate, n_cells, scan_cells,
+        |  scan_cells * 1000000 // n_cells AS scan_ppm FROM r""".stripMargin,
+    // q205: the maintained join state must equal the flat join — the oracle
+    // IS the flat join, rolled up the same way.
+    "q205_ivm_join" ->
+      """SELECT o_orderpriority, l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    // q206: streaming first-arrival dedup == min doc_id within the earliest
+    // batch (doc_id%3 ascending) containing the fingerprint.
+    "q206_stream_dedup" ->
+      s"""WITH $ToksCte,
+         |f AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint
+         |      FROM toks WHERE doc_id % 5 = 0),
+         |r AS (SELECT doc_id, fingerprint,
+         |        row_number() OVER (PARTITION BY fingerprint
+         |                           ORDER BY doc_id % 3, doc_id) AS rn
+         |      FROM f)
+         |SELECT doc_id, fingerprint FROM r WHERE rn = 1""".stripMargin,
     "q64_scd2_two_merges" ->
       s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck, "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2")}",
     "q65_scd2_two_merges_deletes" ->

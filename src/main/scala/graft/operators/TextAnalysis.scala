@@ -484,6 +484,38 @@ object TextAnalysis {
         expr(s"((length($textCol) - length(text_clean)) * 1000000) " +
           s"DIV greatest(length($textCol), 1)"))
 
+  /** One BPE vocabulary-induction round: the corpus's adjacent-symbol-pair
+    * frequencies, weighted by word frequency — the statistic a byte-pair
+    * tokenizer trainer maximizes each merge (Sennrich et al. 2016; the
+    * counting core of every GPT-style tokenizer build).
+    *
+    * The two-level aggregation is the scale story: raw text collapses to the
+    * WORD frequency table first (vocabulary-sized — Heaps' law, millions of
+    * rows at 100 TB, not trillions), and pair explosion runs over that table
+    * with the word count as a weight. Both aggregates are combine-enabled
+    * hash groupBys; the top-k is a TakeOrdered, never a global sort. Later
+    * merge rounds re-run the same pass over the re-segmented vocabulary —
+    * cost is bounded by vocabulary size from round one on.
+    *
+    * Symbols here are single characters ([a-z] words), i.e. round 1 of the
+    * trainer; ties break lexicographically so the merge choice is
+    * deterministic across engines.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"),
+              explode(expr(
+                "transform(sequence(1, length(word) - 1)," +
+                  " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each of the
     * document's ordered `n`-token shingles, then keep the minimum hash of
     * every `w`-long sliding window of consecutive shingle hashes. Guarantees

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compaction, Ivm, JoinPlanner, Layout, TextAnalysis, Trend}
+
+/** Round-5 operators: join pre-flight, OLS trends, compaction planning,
+  * BPE pair induction, skipping reports, incremental join maintenance.
+  */
+class Round5OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("JoinPlanner.preflight: exact output cardinality and skew shares") {
+    // many-to-many: key 1 is 3x2, key 2 is 1x4, key 3 left-only, 4 right-only
+    val left = Seq(1, 1, 1, 2, 3).toDF("k")
+    val right = Seq(1, 1, 2, 2, 2, 2, 4).toDF("r")
+    val pf = JoinPlanner.preflight(left, right, "k", "r", topK = 10)
+      .collect().map(r => (r.getAs[Any]("key").toString.toLong,
+                           r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+                           r.getAs[Long]("out_rows"),
+                           r.getAs[Long]("total_out_rows"),
+                           r.getAs[Long]("share_micro")))
+    assert(pf.toSeq === Seq((1L, 3L, 2L, 6L, 10L, 600000L),
+                            (2L, 1L, 4L, 4L, 10L, 400000L)))
+    // the prediction equals the actual join's cardinality
+    val actual = left.join(right, col("k") === col("r")).count()
+    assert(pf.map(_._4).sum === actual)
+  }
+
+  test("Trend.fit: perfect line is exact; degenerate groups are NULL") {
+    val df = Seq(
+      // g1: y = 3x + 7 exactly
+      ("g1", 0L, 7L), ("g1", 1L, 10L), ("g1", 2L, 13L), ("g1", 3L, 16L),
+      // g2: single point - no slope
+      ("g2", 5L, 11L),
+      // g3: constant y, varying x - slope 0, r2 NULL (zero y-variance)
+      ("g3", 1L, 4L), ("g3", 2L, 4L), ("g3", 3L, 4L))
+      .toDF("g", "x", "y")
+    val m = Trend.fit(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Any]("slope"), r.getAs[Any]("intercept"),
+          r.getAs[Any]("r2"), r.getAs[Long]("n")))).toMap
+    assert(m("g1") === ((3.0, 7.0, 1.0, 4L)))
+    assert(m("g2") === ((null, null, null, 1L)))
+    assert(m("g3") === ((0.0, 4.0, null, 3L)))
+  }
+
+  test("Compaction.plan: greedy sequential packing; oversized files isolate") {
+    val inv = Seq(
+      // partition p: four 30-byte files then one 90-byte (big), then 30
+      ("p", "f1", 30L, 1), ("p", "f2", 30L, 2), ("p", "f3", 30L, 3),
+      ("p", "f4", 30L, 4), ("p", "f5", 90L, 5), ("p", "f6", 30L, 6),
+      // partition q: single small file
+      ("q", "g1", 10L, 1))
+      .toDF("part", "file", "bytes", "ord")
+    val plan = Compaction.plan(inv, "part", "file", "bytes", "ord",
+                               targetBytes = 64L)
+    val rows = plan.collect().map(r =>
+      (r.getAs[String]("part"), r.getAs[Long]("bin"),
+       r.getAs[Long]("n_files"), r.getAs[Long]("bytes"))).toSet
+    // smalls pack [f1,f2,f3] (cum-before 0,30,60 -> bin 0 after 64 cut at
+    // f3? cum-before f3 = 60 < 64 -> bin 0; f4 cum 90 -> bin 1; f6 cum 120
+    // -> bin 1), big f5 isolates at -pos=-5
+    assert(rows === Set(("p", 0L, 3L, 90L), ("p", 1L, 2L, 60L),
+                        ("p", -5L, 1L, 90L), ("q", 0L, 1L, 10L)))
+    val sum = Compaction.summary(plan, "part").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("files_before"),
+                 r.getAs[Long]("files_after"))).toSet
+    assert(sum === Set(("p", 6L, 3L), ("q", 1L, 1L)))
+  }
+
+  test("bpePairCounts: weighted adjacent pairs, deterministic ties") {
+    val docs = Seq((1L, "aba aba cd"), (2L, "aba x")).toDF("doc_id", "text")
+    // words: aba(x3), cd(x1); x dropped (length 1)
+    // aba -> ab, ba each weight 3; cd -> cd weight 1
+    val top = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getAs[Long](1))).toSeq
+    assert(top === Seq(("ab", 3L), ("ba", 3L), ("cd", 1L)))
+  }
+
+  test("skippingReport: z-order bounds both dims, linear only its own") {
+    // full 32x32 grid: every (x, y) in [0, 32)^2
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val rep = Layout.skippingReport(
+      grid,
+      layouts = Seq(
+        // 16 z-cells: top 2 bits of each dim -> 4x4 macro-grid
+        "z" -> shiftright(Layout.zValue("x", "y", 5), 6),
+        // 16 x-range cells
+        "lx" -> shiftright(col("x"), 1)),
+      predicates = Seq(("px", "x", 8L, 15L), ("py", "y", 8L, 15L)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+                           r.getAs[Long]("n_cells"),
+                           r.getAs[Long]("scan_cells"))).toSet
+    // z: each band covers one macro-row/column = 4 of 16 cells
+    // lx: x-band = 4 of 16 cells, y-band = all 16 (no y locality)
+    assert(rep === Set(("z", "px", 16L, 4L), ("z", "py", 16L, 4L),
+                       ("lx", "px", 16L, 4L), ("lx", "py", 16L, 16L)))
+  }
+
+  test("Ivm.maintain: every intermediate state equals the recomputed join") {
+    val a = Seq((1, "a1"), (2, "a2"), (2, "a2b"), (3, "a3"), (5, "a5"))
+      .toDF("k", "av").withColumn("i", monotonically_increasing_id())
+    val b = Seq((1, "b1"), (1, "b1b"), (2, "b2"), (4, "b4"), (5, "b5"))
+      .toDF("k", "bv").withColumn("j", monotonically_increasing_id())
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "av", "bv").collect().map(_.toString).sorted.toSeq
+
+    val da = (0 until 3).map(i => a.filter(pmod(col("i"), lit(3)) === i).drop("i"))
+    val db = (0 until 3).map(i => b.filter(pmod(col("j"), lit(3)) === i).drop("j"))
+    // fold manually so intermediates are visible
+    var (ao, bo, m) = (da.head.limit(0), db.head.limit(0),
+                       da.head.join(db.head, Seq("k")).limit(0))
+    (0 until 3).foreach { i =>
+      m = m.unionByName(Ivm.joinDelta(ao, da(i), bo, db(i), Seq("k")))
+      ao = ao.unionByName(da(i)); bo = bo.unionByName(db(i))
+      assert(rows(m) === rows(ao.join(bo, Seq("k"))),
+             s"maintained state diverged after batch $i")
+    }
+    // the one-call API agrees
+    assert(rows(Ivm.maintain(da.zip(db), Seq("k"))) ===
+             rows(a.drop("i").join(b.drop("j"), Seq("k"))))
+  }
+}
