@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
+import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2478,7 +2478,26 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       s.table(tbl).select("doc_id", "fingerprint")
-    })
+    }),
+    "q207_history_twa" -> ((s, dir) => {
+      // Duration-weighted history analytics (X190): per-key time-weighted
+      // average of `value` across SCD2 validity intervals — weighted by how
+      // long each version HELD, not how often the key churned. Integer
+      // second-weights and an exact integer weighted sum (milli-scaled), so
+      // the aggregate is partitioning-independent; the open current version
+      // weighs up to the batch high-water mark, broadcast as one row.
+      val src = ev(s, dir)
+      val hist = Scd2.initialLoad(src, evCfg)
+      val horizon = src.agg(max(col("ts")).as("_horizon"))
+      Scd2.durationWeighted(hist, evCfg, floor(col("value") * 1000), horizon)
+    }),
+    "q208_cms_heavy" -> ((s, dir) =>
+      // Count-min-sketch heavy hitters (X191): the frequency-sketch member
+      // of the approximate tier. Exact top-20 keys are the ground truth the
+      // oracle recomputes; each row's verdict asserts the CMS estimate
+      // respects both bounds (never under the true count, over by at most
+      // 4N/width) — the error contract made driver-visible, like q96-q98.
+      Sketches.heavyHitters(ev(s, dir), "user_id", topK = 20))
   )
 
   /** Sketch/approximate operators: estimator VALUES are engine-specific
@@ -2897,6 +2916,40 @@ object SparkEntry {
         |    AS qty_centi
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2""".stripMargin,
+    // q207: the same no-deletes SCD2 timeline (q01's CTE chain), durations
+    // from lead(ts) with the max-ts horizon closing the open version —
+    // exact integer weights, ratio rounded from exact sums.
+    "q207_history_twa" ->
+      s"""WITH $SrcCte,
+         |hashed AS (SELECT user_id, ts, value,
+         |    md5(concat_ws('-', coalesce(CAST(event_type AS VARCHAR), ''),
+         |      coalesce(CAST(value AS VARCHAR), ''),
+         |      coalesce(CAST(props AS VARCHAR), ''))) AS _h FROM src),
+         |dedup AS (SELECT * FROM hashed
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY _h) = 1),
+         |co AS (SELECT * FROM (
+         |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph
+         |    FROM dedup) WHERE _ph IS NULL OR _h <> _ph),
+         |hz AS (SELECT max(ts) AS horizon FROM src),
+         |h AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vm,
+         |        (epoch_us(coalesce(lead(ts) OVER (PARTITION BY user_id
+         |                                          ORDER BY ts), horizon))
+         |         - epoch_us(ts)) // 1000000 AS dur
+         |      FROM co, hz)
+         |SELECT user_id, count(*) AS n_versions,
+         |  CAST(sum(dur) AS BIGINT) AS dur_sec_total,
+         |  CAST(sum(dur * vm) AS BIGINT) AS wsum_milli_sec,
+         |  CASE WHEN sum(dur) > 0
+         |    THEN round(CAST(sum(dur * vm) AS DOUBLE)
+         |               / CAST(sum(dur) AS DOUBLE), 6) END AS twa_milli
+         |FROM h GROUP BY 1""".stripMargin,
+    // q208: exact heavy-hitter counts; the CMS bound verdict is TRUE by the
+    // sketch's error contract (estimates stay engine-side, like q96-q98).
+    "q208_cms_heavy" ->
+      s"""WITH $SrcCte,
+         |c AS (SELECT user_id, count(*) AS n_rows FROM src GROUP BY 1)
+         |SELECT user_id, n_rows, TRUE AS cms_ok FROM c
+         |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

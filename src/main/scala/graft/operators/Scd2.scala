@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -540,6 +540,44 @@ object Scd2 {
     * NULL≡NULL grouping keeps NULL-bearing business keys as one key, same
     * as the merge's null-safe matching.
     */
+  /** Duration-weighted attribute analytics over the version history: per
+    * key, the time-weighted average of a (milli-scaled integer) value across
+    * its validity intervals — "what was this entity's typical value", where
+    * typical means weighted by HOW LONG each version held, not how often it
+    * changed (a plain AVG over versions overweights churn-heavy keys).
+    *
+    * Each closed version weighs `_valid_to - _valid_from`; the open current
+    * version weighs up to the caller-supplied horizon (the batch high-water
+    * mark — NOT the 2999 sentinel, which would drown every closed interval).
+    * All weights are integer seconds and the weighted sum is an exact
+    * integer, so the aggregate is partitioning-independent; only the final
+    * ratio is a double (rounded, derived from exact integers — stable).
+    * One combine-enabled exchange on the key plus a broadcast of the
+    * single-row horizon: at 100 TB this is a linear scan of the history.
+    */
+  def durationWeighted(snapshot: DataFrame, cfg: ScdConfig,
+                       valueMilli: Column, horizon: DataFrame): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val keys = cfg.uniqueKey.map(resolveCi(cols, _)).map(col)
+    val cur = col(resolveCi(cols, cfg.isCurrentCol))
+    val vf = col(resolveCi(cols, cfg.validFromCol))
+    val vt = col(resolveCi(cols, cfg.validToCol))
+    snapshot
+      .join(broadcast(horizon))
+      .withColumn("_end", when(cur, col("_horizon")).otherwise(vt))
+      .withColumn("_us", unix_micros(col("_end")) - unix_micros(vf))
+      .withColumn("_dur_sec", expr("_us DIV 1000000"))
+      .withColumn("_vm", valueMilli.cast("long"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_versions"),
+           sum(col("_dur_sec")).as("dur_sec_total"),
+           sum(col("_dur_sec") * col("_vm")).as("wsum_milli_sec"))
+      .withColumn("twa_milli",
+                  when(col("dur_sec_total") > 0L,
+                       round(col("wsum_milli_sec").cast("double") /
+                               col("dur_sec_total").cast("double"), 6)))
+  }
+
   def historyProfile(snapshot: DataFrame, cfg: ScdConfig): DataFrame = {
     val cols = snapshot.columns.toSeq
     val keys = cfg.uniqueKey.map(resolveCi(cols, _)).map(col)

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Compaction, Ivm, JoinPlanner, Layout, TextAnalysis, Trend}
+import graft.operators.{Compaction, Ivm, JoinPlanner, Layout, Scd2, Sketches, TextAnalysis, Trend}
+import graft.ScdConfig
 
 /** Round-5 operators: join pre-flight, OLS trends, compaction planning,
   * BPE pair induction, skipping reports, incremental join maintenance.
@@ -98,6 +99,52 @@ class Round5OpsSpec extends SparkTestBase {
     // lx: x-band = 4 of 16 cells, y-band = all 16 (no y locality)
     assert(rep === Set(("z", "px", 16L, 4L), ("z", "py", 16L, 4L),
                        ("lx", "px", 16L, 4L), ("lx", "py", 16L, 16L)))
+  }
+
+  test("durationWeighted: held-time weighting, horizon closes the open version") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "u")
+    // k=1: v=10 for 10s, then v=40 for 30s (closed by horizon)
+    //      twa = (10*10 + 40*30) / 40 = 32.5 -> 32500 milli
+    // k=2: single version v=7 held 40s (horizon)
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 00:00:10", 40.0),
+      (2L, "2024-01-01 00:00:00", 7.0))
+      .toDF("k", "u", "v").withColumn("u", to_timestamp(col("u")))
+    val horizon = Seq("2024-01-01 00:00:40").toDF("h")
+      .select(to_timestamp(col("h")).as("_horizon"))
+    val hist = Scd2.initialLoad(rows, cfg)
+    val out = Scd2.durationWeighted(hist, cfg, floor(col("v") * 1000), horizon)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_versions"), r.getAs[Long]("dur_sec_total"),
+          r.getAs[Long]("wsum_milli_sec"), r.getAs[Any]("twa_milli")))).toMap
+    assert(out(1L) === ((2L, 40L, 10000L * 10 + 40000L * 30, 32500.0)))
+    assert(out(2L) === ((1L, 40L, 7000L * 40, 7000.0)))
+  }
+
+  test("CMS: estimates never underestimate; exact when collision-free") {
+    val df = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong)).toDF("key")
+    val exact = df.groupBy("key").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wide sketch: 40 keys in 65536 buckets -> collision-free w.h.p., so
+    // the min-of-rows estimate is EXACTLY the true count
+    val cms = Sketches.cmsTable(df, "key", depth = 4, width = 65536)
+    assert(cms.agg(sum("cnt")).head.getLong(0) === 4L * df.count())
+    val est = Sketches.cmsEstimate(cms, df.select("key").distinct(),
+                                   "key", 4, 65536)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+    // narrow sketch: collisions force overestimates, never underestimates
+    val est8 = Sketches.cmsEstimate(
+      Sketches.cmsTable(df, "key", depth = 2, width = 8),
+      df.select("key").distinct(), "key", 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) => assert(est8(k) >= n, s"key $k under") }
+    // heavy hitters: top-5 by count with green bound verdicts
+    val hh = Sketches.heavyHitters(df, "key", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(hh.map(_._1).toSet === Set(40L, 39L, 38L, 37L, 36L))
+    assert(hh.forall(_._3), "CMS bound verdict must hold")
   }
 
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
