@@ -2497,8 +2497,47 @@ object SparkEntry {
       // oracle recomputes; each row's verdict asserts the CMS estimate
       // respects both bounds (never under the true count, over by at most
       // 4N/width) — the error contract made driver-visible, like q96-q98.
-      Sketches.heavyHitters(ev(s, dir), "user_id", topK = 20))
+      Sketches.heavyHitters(ev(s, dir), "user_id", topK = 20)),
+    "q209_exclusive_fault" -> ((s, dir) => {
+      // Exclusive-responsibility audit (X192, the TPC-H Q21 shape): returned
+      // lines whose supplier was the ONLY one to return anything on a
+      // multi-supplier order. The textbook formulation is EXISTS + NOT
+      // EXISTS (two more shuffle joins of the fact against itself — the
+      // oracle runs exactly that); here both correlated conditions collapse
+      // into window aggregates over ONE l_orderkey exchange: suppliers-per-
+      // order set size and total-vs-mine return counts.
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+      val wO = Window.partitionBy("l_orderkey")
+      val wOS = Window.partitionBy("l_orderkey", "l_suppkey")
+      l.withColumn("_r", when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .withColumn("_n_supp", size(collect_set(col("l_suppkey")).over(wO)))
+        .withColumn("_r_total", sum(col("_r")).over(wO))
+        .withColumn("_r_mine", sum(col("_r")).over(wOS))
+        .filter(col("_r") === 1L && col("_n_supp") > 1 &&
+                  col("_r_total") === col("_r_mine"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey").asc)
+        .limit(20)
+    }),
+    "q210_bpe_apply" -> ((s, dir) =>
+      // BPE tokenizer application (X193): fold the trained merge table over
+      // the corpus as a fixed chain of engine-exact string replaces (greedy
+      // single-pass per merge, rank order — earlier merges build the
+      // symbols later merges reference) and report the compression the
+      // vocabulary buys per language. Pure per-row projection until the
+      // final rollup: the production tokenize-100-TB shape.
+      TextAnalysis.bpeCompressionStats(docs(s, dir), "text", "lang", BpeMerges))
   )
+
+  /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
+    * oracle folds the identical chain (single-pass `replace` semantics are
+    * engine-exact either side).
+    */
+  private val BpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "in" -> "g", "a" -> "t", "e" -> "n")
 
   /** Sketch/approximate operators: estimator VALUES are engine-specific
     * (no cross-engine oracle can reproduce an HLL register set), so each
@@ -2950,6 +2989,41 @@ object SparkEntry {
          |c AS (SELECT user_id, count(*) AS n_rows FROM src GROUP BY 1)
          |SELECT user_id, n_rows, TRUE AS cms_ok FROM c
          |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin,
+    // q209: the EXISTS + NOT EXISTS textbook formulation — the Spark side's
+    // window collapse must produce identical audit rows.
+    "q209_exclusive_fault" ->
+      """SELECT l1.l_suppkey, count(*) AS numwait FROM lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+    // q210: identical replace chain over the identical char-spaced words.
+    "q210_bpe_apply" -> {
+      val chain = BpeMerges.foldLeft("s")((acc, m) =>
+        s"replace($acc, ' ${m._1} ${m._2} ', ' ${m._1}${m._2} ')")
+      s"""WITH w0 AS (SELECT lang, unnest(regexp_split_to_array(lower(text),
+         |    '[^a-z]+')) AS word FROM documents),
+         |w1 AS (SELECT lang, word FROM w0 WHERE length(word) >= 1),
+         |sp AS (SELECT lang, word,
+         |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+         |       FROM w1),
+         |m AS (SELECT lang, word, $chain AS s FROM sp),
+         |c AS (SELECT lang, CAST(length(word) AS BIGINT) AS b,
+         |        CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1
+         |             AS BIGINT) AS a
+         |      FROM m)
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(b) AS BIGINT) AS sym_before,
+         |  CAST(sum(a) AS BIGINT) AS sym_after,
+         |  (CAST(sum(b) AS BIGINT) - CAST(sum(a) AS BIGINT)) * 1000000
+         |    // CAST(sum(b) AS BIGINT) AS saved_ppm
+         |FROM c GROUP BY 1""".stripMargin
+    },
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -516,6 +516,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Apply a trained BPE merge table (greedy single-pass per merge, in rank
+    * order) and report the corpus-level compression it buys — the PRODUCTION
+    * side of BPE: [[bpePairCounts]] is the trainer's statistic, this is the
+    * tokenizer every ingest pipeline then runs over 100 TB of text.
+    *
+    * Symbols start as characters ("a b c", space-separated); each merge
+    * (A, B) rewrites " A B " -> " AB " left-to-right, so earlier merges
+    * produce the multi-char symbols later merges reference — the standard
+    * merge-chain. The whole pipeline is a fixed chain of string `replace`
+    * calls folded over the (literal, broadcast-free) merge list: per-row
+    * projection, codegen'd, zero shuffles before the final rollup; both the
+    * single-pass semantics and the operation order are engine-exact, so any
+    * engine reproduces identical token counts.
+    *
+    * Output per `groupCol`: `n_words, sym_before, sym_after, saved_ppm` —
+    * the vocabulary-compression report that decides whether a merge table
+    * is worth shipping.
+    */
+  def bpeCompressionStats(df: DataFrame, textCol: String, groupCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(
+      col(groupCol),
+      explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    // " a b c " — every symbol space-delimited, boundary spaces included
+    val spaced = concat(lit(" "),
+                        regexp_replace(col("word"), "(.)", "$1 "))
+    val merged = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    words
+      .withColumn("_before", length(col("word")).cast("long"))
+      // single-space-delimited symbols: count = inner gaps + 1
+      .withColumn("_after",
+                  (length(trim(merged)) -
+                     length(translate(trim(merged), " ", "")) + 1).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("_before")).as("sym_before"),
+           sum(col("_after")).as("sym_after"))
+      .withColumn("saved_ppm",
+                  expr("(sym_before - sym_after) * 1000000L DIV sym_before"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): md5 each of the
     * document's ordered `n`-token shingles, then keep the minimum hash of
     * every `w`-long sliding window of consecutive shingle hashes. Guarantees

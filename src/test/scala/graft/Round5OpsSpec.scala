@@ -147,6 +147,24 @@ class Round5OpsSpec extends SparkTestBase {
     assert(hh.forall(_._3), "CMS bound verdict must hold")
   }
 
+  test("bpeCompressionStats: merge chain builds multi-char symbols in order") {
+    val docs = Seq(("g", "the thin cat"), ("g", "ththth")).toDF("lang", "text")
+    val out = TextAnalysis.bpeCompressionStats(
+      docs, "text", "lang",
+      merges = Seq("t" -> "h", "th" -> "e", "i" -> "n"))
+      .collect().map(r => (r.getAs[Long]("n_words"),
+                           r.getAs[Long]("sym_before"),
+                           r.getAs[Long]("sym_after"),
+                           r.getAs[Long]("saved_ppm")))
+    // the: t h e -> th e -> the (1 sym, was 3)
+    // thin: t h i n -> th in (2, was 4);  cat: 3, was 3
+    // ththth: " t h t h t h " non-overlapping -> "th t h th" (4, was 6):
+    // the second " t h " occurrence shares its leading space with the
+    // first match's consumed region, so the single pass skips it — the
+    // greedy-single-pass semantics both engines share
+    assert(out.toSeq === Seq((4L, 16L, 10L, 375000L)))
+  }
+
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
     val a = Seq((1, "a1"), (2, "a2"), (2, "a2b"), (3, "a3"), (5, "a5"))
       .toDF("k", "av").withColumn("i", monotonically_increasing_id())
