@@ -2528,7 +2528,78 @@ object SparkEntry {
       // symbols later merges reference) and report the compression the
       // vocabulary buys per language. Pure per-row projection until the
       // final rollup: the production tokenize-100-TB shape.
-      TextAnalysis.bpeCompressionStats(docs(s, dir), "text", "lang", BpeMerges))
+      TextAnalysis.bpeCompressionStats(docs(s, dir), "text", "lang", BpeMerges)),
+    "q211_profile_drift" -> ((s, dir) => {
+      // Column-statistics drift (X194): first half-month vs second
+      // half-month of the event stream — null-rate ppm movement, distinct
+      // cardinality, range-endpoint shifts per column. Two profile passes
+      // (columnar scans, no fact-sized shuffle) joined on the column name:
+      // the data-observability gate that catches an upstream change before
+      // it poisons a training run.
+      val e = ev(s, dir)
+      val cut = to_timestamp(lit("2024-01-16"))
+      Profile.drift(e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+                    Seq("event_type", "value", "props", "user_id"))
+    }),
+    "q212_retract_rollup" -> ((s, dir) => {
+      // Retraction-capable incremental rollup (X195): three CDC batches
+      // (inserts + later deletes of earlier rows) folded through signed
+      // count/sum partials; keys whose live count hits zero leave the
+      // store. The oracle recomputes the survivors flat — the maintained
+      // store must match without ever rescanning history. min/max are
+      // deliberately absent: they are not retraction-mergeable (the
+      // operator's scaladoc is the design note).
+      val e = ev(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      def ins(i: Int) =
+        e.filter(col("event_id") % 3 === i).withColumn("_op", lit("I"))
+      val del1 = e.filter(col("event_id") % 3 === 0 && col("user_id") % 5 === 0)
+        .withColumn("_op", lit("D"))
+      val del2 = e.filter(col("event_id") % 3 === 1 && col("user_id") % 7 === 0)
+        .withColumn("_op", lit("D"))
+      val keys = Seq("event_type", "day")
+      val batches = Seq(ins(0), ins(1).unionByName(del1),
+                        ins(2).unionByName(del2))
+      batches.tail.foldLeft(
+        IncrementalAgg.retractRollup(batches.head, keys, col("vm"), "_op"))(
+        (store, b) => IncrementalAgg.retractMerge(
+          store, IncrementalAgg.retractRollup(b, keys, col("vm"), "_op"), keys))
+    }),
+    "q213_star_cost" -> ((s, dir) =>
+      // Join-order pre-flight for the customer star (X196): exact
+      // intermediate cardinality for each first-pair choice, from three
+      // key-count tables — the CBO estimate made exact. orders*customer
+      // first is the provably cheapest prefix; events*orders explodes.
+      JoinPlanner.starJoinOrders(Seq(
+        ("events", ev(s, dir).select(col("user_id")), "user_id"),
+        ("orders", Tables.spread(s, Tables.read(s, dir, "orders"))
+           .select(col("o_custkey")), "o_custkey"),
+        ("customer", Tables.read(s, dir, "customer")
+           .select(col("c_custkey")), "c_custkey")))),
+    "q214_mrl_recall" -> ((s, dir) => {
+      // Embedding-truncation quality (X197, the matryoshka-representation
+      // shape): recall@10 of brute-force search over the FIRST 16 of 64
+      // dims vs the full-dimension ground truth — the measurement that
+      // decides whether a 4x cheaper index (memory AND dot-product cost)
+      // is acceptable. Both sides deterministic, so recall is an oracle
+      // number; same semi-join ppm tail as q127.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 32)
+      val et = e.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val qt = q.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val trunc = Similarity.bruteForceTopK(qt, et, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_exact"))
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3024,6 +3095,92 @@ object SparkEntry {
          |    // CAST(sum(b) AS BIGINT) AS saved_ppm
          |FROM c GROUP BY 1""".stripMargin
     },
+    // q211: two q48-style profile sweeps joined on the column name.
+    "q211_profile_drift" -> {
+      val cols = Seq("event_type", "value", "props", "user_id")
+      def side(tag: String, where: String) = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_$tag,
+           |  (count(*) - count($c)) * 1000000 // count(*) AS null_ppm_$tag,
+           |  count(DISTINCT $c) AS ndv_$tag,
+           |  CAST(min($c) AS VARCHAR) AS _min_$tag,
+           |  CAST(max($c) AS VARCHAR) AS _max_$tag
+           |FROM src WHERE $where""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $SrcCte,
+         |r AS (${side("ref", "ts < TIMESTAMP '2024-01-16'")}),
+         |c AS (${side("cur", "ts >= TIMESTAMP '2024-01-16'")})
+         |SELECT r."column" AS "column", n_ref, null_ppm_ref, ndv_ref,
+         |  n_cur, null_ppm_cur, ndv_cur,
+         |  null_ppm_cur - null_ppm_ref AS null_ppm_delta,
+         |  _min_cur IS DISTINCT FROM _min_ref AS min_moved,
+         |  _max_cur IS DISTINCT FROM _max_ref AS max_moved
+         |FROM r JOIN c ON r."column" = c."column"""".stripMargin
+    },
+    // q212: the survivors, computed flat — the signed-partial store must
+    // equal it.
+    "q212_retract_rollup" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         |        event_id, user_id FROM src),
+         |live AS (SELECT * FROM e
+         |  WHERE NOT (event_id % 3 = 0 AND user_id % 5 = 0)
+         |    AND NOT (event_id % 3 = 1 AND user_id % 7 = 0))
+         |SELECT event_type, day, count(*) AS n_rows,
+         |  CAST(sum(vm) AS BIGINT) AS value_micro
+         |FROM live GROUP BY 1, 2""".stripMargin,
+    // q213: per-relation key counts; every plan's intermediate is a
+    // sum-of-products over them.
+    "q213_star_cost" ->
+      s"""WITH $SrcCte,
+         |ce AS (SELECT user_id AS key, count(*) AS c_events FROM src GROUP BY 1),
+         |co AS (SELECT o_custkey AS key, count(*) AS c_orders FROM orders GROUP BY 1),
+         |cc AS (SELECT c_custkey AS key, count(*) AS c_customer FROM customer GROUP BY 1),
+         |f AS (SELECT CAST(coalesce(sum(c_events * c_orders * c_customer), 0)
+         |        AS BIGINT) AS final_rows
+         |      FROM ce JOIN co USING (key) JOIN cc USING (key))
+         |SELECT plan, inter_rows, final_rows FROM (
+         |  SELECT 'events*orders' AS plan,
+         |    CAST(coalesce(sum(c_events * c_orders), 0) AS BIGINT) AS inter_rows
+         |  FROM ce JOIN co USING (key)
+         |  UNION ALL
+         |  SELECT 'events*customer',
+         |    CAST(coalesce(sum(c_events * c_customer), 0) AS BIGINT)
+         |  FROM ce JOIN cc USING (key)
+         |  UNION ALL
+         |  SELECT 'orders*customer',
+         |    CAST(coalesce(sum(c_orders * c_customer), 0) AS BIGINT)
+         |  FROM co JOIN cc USING (key)), f""".stripMargin,
+    // q214: q127's recall tail with the approx side = brute force over the
+    // first-16-dim truncation.
+    "q214_mrl_recall" ->
+      s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN bq q ON q.vec_id <> c.vec_id),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM bs) WHERE rnk <= 10),
+         |tr AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+         |tq AS (SELECT * FROM tr WHERE vec_id < 32),
+         |ss AS (SELECT tq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("tq.embedding", "c.embedding")} AS cosine
+         |  FROM tr c JOIN tq ON tq.vec_id <> c.vec_id),
+         |st AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM ss) WHERE rnk <= 10),
+         |h AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM bt JOIN st ON bt.query_id = st.query_id
+         |        AND bt.neighbor_id = st.neighbor_id GROUP BY 1),
+         |ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bt GROUP BY 1)
+         |SELECT ex.query_id, ex.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 AS BIGINT) // ex.n_exact
+         |    AS recall_ppm
+         |FROM ex LEFT JOIN h ON h.query_id = ex.query_id""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

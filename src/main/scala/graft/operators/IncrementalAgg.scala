@@ -54,4 +54,36 @@ object IncrementalAgg {
            min(col("min_micro")).as("min_micro"),
            max(col("max_micro")).as("max_micro"))
   }
+
+  /** Retraction-capable rollup of a CDC batch: rows tagged `opCol` ('I' or
+    * 'D') contribute SIGNED count/sum partials. The retractable algebra is
+    * deliberately count/sum ONLY — min/max are not retraction-mergeable
+    * (deleting the current minimum needs the runner-up, which the partials
+    * discarded; recovering it means rescanning history, exactly what an
+    * incremental rollup exists to avoid). A pipeline needing min/max under
+    * deletes keeps the insert-only [[rollup]]/[[merge]] pair and re-derives
+    * those per TOUCHED key — this operator is the honest upsert-sink face.
+    */
+  def retractRollup(batch: DataFrame, keys: Seq[String], valueMicro: Column,
+                    opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "D", -1L).otherwise(1L)
+    batch.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+           sum(sign * valueMicro).as("value_micro"))
+  }
+
+  /** Merge a retractable rollup with a CDC batch's signed partials; keys
+    * whose live count reaches zero leave the store (a later re-insert
+    * recreates them — no tombstone residue).
+    */
+  def retractMerge(existing: DataFrame, delta: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    val cols = keys ++ Seq("n_rows", "value_micro")
+    existing.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+           sum(col("value_micro")).as("value_micro"))
+      .filter(col("n_rows") =!= 0L)
+  }
 }

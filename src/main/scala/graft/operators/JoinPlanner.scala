@@ -58,4 +58,38 @@ object JoinPlanner {
       .orderBy(col("out_rows").desc, col("key").asc)
       .limit(topK)
   }
+
+  /** Join-ORDER pre-flight for a star chain on one shared key: for each
+    * choice of which pair to join first, the exact intermediate cardinality
+    * — the number a cost-based optimizer estimates from histograms, computed
+    * exactly from per-relation key counts (every term is Σ_k Π counts, so
+    * three dimension-sized count tables answer every ordering at once; the
+    * final cardinality is order-invariant and reported for scale context).
+    *
+    * At 100 TB picking the wrong first pair is the difference between a
+    * |fact|-sized and a |fact|²-sized shuffle feeding join two; this report
+    * costs one count aggregate per relation.
+    *
+    * @param relations (name, df, keyCol) — all joined on their keyCol
+    * @return one row per first-pair choice: `plan, inter_rows, final_rows`
+    */
+  def starJoinOrders(relations: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(relations.size == 3, "three-relation chains supported")
+    val counts = relations.map { case (name, df, k) =>
+      name -> df.groupBy(col(k).as("key")).agg(count(lit(1)).as(s"c_$name"))
+        .localCheckpoint(false)
+    }.toMap
+    val names = relations.map(_._1)
+    val finalRows = names.map(counts)
+      .reduce(_.join(_, "key"))
+      .agg(coalesce(sum(names.map(n => col(s"c_$n")).reduce(_ * _)), lit(0L))
+             .as("final_rows"))
+    names.combinations(2).toSeq.map { case Seq(a, b) =>
+      counts(a).join(counts(b), "key")
+        .agg(coalesce(sum(col(s"c_$a") * col(s"c_$b")), lit(0L))
+               .as("inter_rows"))
+        .select(lit(s"$a*$b").as("plan"), col("inter_rows"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(finalRows))
+  }
 }

@@ -50,6 +50,33 @@ object Profile {
       .select("p.*")
   }
 
+  /** Column-statistics drift between a reference slice and a current slice
+    * of the same relation — the data-observability report that catches a
+    * upstream schema/content change BEFORE it poisons a training run:
+    * null-rate movement (integer ppm), distinct-cardinality movement, and
+    * range endpoints shifting. Two [[profile]] passes (each a pair of
+    * columnar scans, no fact-sized shuffle) joined on the column name —
+    * at 100 TB the report costs two profile scans, nothing more.
+    */
+  def drift(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(
+        col("column"),
+        col("n_rows").as(s"n_$tag"),
+        expr(s"n_nulls * 1000000L DIV n_rows").as(s"null_ppm_$tag"),
+        col("n_distinct").as(s"ndv_$tag"),
+        col("min_str").as(s"_min_$tag"),
+        col("max_str").as(s"_max_$tag"))
+    side(ref, "ref").join(side(cur, "cur"), "column")
+      .withColumn("null_ppm_delta",
+                  col("null_ppm_cur") - col("null_ppm_ref"))
+      .withColumn("min_moved",
+                  !(col("_min_cur") <=> col("_min_ref")))
+      .withColumn("max_moved",
+                  !(col("_max_cur") <=> col("_max_ref")))
+      .drop("_min_ref", "_max_ref", "_min_cur", "_max_cur")
+  }
+
   /** The 100 TB scale path for [[profile]]: HyperLogLog distinct counts
     * (`approx_count_distinct`, default 5% rsd) instead of the exact Expand —
     * sketches merge order-independently, no multi-distinct rewrite, one

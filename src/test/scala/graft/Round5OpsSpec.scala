@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Compaction, Ivm, JoinPlanner, Layout, Scd2, Sketches, TextAnalysis, Trend}
+import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Scd2, Sketches, TextAnalysis, Trend}
 import graft.ScdConfig
 
 /** Round-5 operators: join pre-flight, OLS trends, compaction planning,
@@ -163,6 +163,51 @@ class Round5OpsSpec extends SparkTestBase {
     // first match's consumed region, so the single pass skips it — the
     // greedy-single-pass semantics both engines share
     assert(out.toSeq === Seq((4L, 16L, 10L, 375000L)))
+  }
+
+  test("retractRollup/retractMerge: signed partials; zeroed keys leave") {
+    val keys = Seq("k")
+    def cdc(rows: (String, Long, String)*) =
+      rows.toSeq.toDF("k", "vm", "_op")
+    val b1 = IncrementalAgg.retractRollup(
+      cdc(("a", 10L, "I"), ("a", 20L, "I"), ("b", 5L, "I")), keys, col("vm"), "_op")
+    // delete one 'a' row; delete ALL of 'b' -> b leaves the store
+    val b2 = IncrementalAgg.retractRollup(
+      cdc(("a", 10L, "D"), ("b", 5L, "D")), keys, col("vm"), "_op")
+    val s2 = IncrementalAgg.retractMerge(b1, b2, keys)
+    assert(s2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+             .toSet === Set(("a", 1L, 20L)))
+    // re-insert after zero: key reappears with fresh partials
+    val b3 = IncrementalAgg.retractRollup(cdc(("b", 7L, "I")), keys, col("vm"), "_op")
+    val s3 = IncrementalAgg.retractMerge(s2, b3, keys)
+    assert(s3.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+             .toSet === Set(("a", 1L, 20L), ("b", 1L, 7L)))
+  }
+
+  test("Profile.drift: null-rate movement and range shifts per column") {
+    val ref = Seq(("x", Some(1L)), ("y", Some(2L)), ("z", Some(3L)))
+      .toDF("s", "v")
+    val cur = Seq(("x", Some(5L)), ("y", None), ("w", Some(1L)))
+      .toDF("s", "v")
+    val d = Profile.drift(ref, cur, Seq("s", "v")).collect()
+      .map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("null_ppm_ref"), r.getAs[Long]("null_ppm_cur"),
+          r.getAs[Long]("null_ppm_delta"), r.getAs[Boolean]("min_moved"),
+          r.getAs[Boolean]("max_moved")))).toMap
+    assert(d("v") === ((0L, 333333L, 333333L, false, true))) // max 3 -> 5
+    assert(d("s") === ((0L, 0L, 0L, true, true)))            // x..z -> w..y
+  }
+
+  test("starJoinOrders: exact intermediates per first-pair choice") {
+    // key 1: e=2,o=1,c=1 ; key 2: e=1,o=3,c=1 ; key 3: o=1 only
+    val e = Seq(1, 1, 2).toDF("ek")
+    val o = Seq(1, 2, 2, 2, 3).toDF("ok")
+    val c = Seq(1, 2).toDF("ck")
+    val rows = JoinPlanner.starJoinOrders(Seq(
+      ("e", e, "ek"), ("o", o, "ok"), ("c", c, "ck")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // e*o: 2*1 + 1*3 = 5 ; e*c: 2+1 = 3 ; o*c: 1+3 = 4 ; final: 2+3 = 5
+    assert(rows === Set(("e*o", 5L, 5L), ("e*c", 3L, 5L), ("o*c", 4L, 5L)))
   }
 
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
