@@ -69,4 +69,33 @@ object Expectations {
         .select(lit(name).as("check"), col("violations"))
     }.reduce(_ unionByName _)
   }
+
+  /** Quarantine routing: tag every row with the (possibly empty) list of
+    * row-level rules it violates — the dead-letter pattern: clean rows flow
+    * to the target, violating rows route to a quarantine table WITH their
+    * reasons, nothing is silently dropped. One narrow projection (each rule
+    * is a codegen'd predicate over the row), zero shuffles: at 100 TB this
+    * is a free rider on the ingest scan. `report`-style aggregation of the
+    * result is [[quarantineSummary]].
+    */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    df.withColumn("_violations",
+      filter(array(rules.map { case (name, pred) =>
+               when(!coalesce(pred, lit(false)), lit(name))
+             }: _*),
+             v => v.isNotNull))
+  }
+
+  /** Per-rule violation counts plus the `_clean` row-through count — the
+    * routing report an ingest operator alarms on. One combine-enabled pass
+    * over [[quarantine]]'s output.
+    */
+  def quarantineSummary(df: DataFrame, rules: Seq[(String, Column)])
+      : DataFrame =
+    quarantine(df, rules)
+      .select(explode(
+        when(size(col("_violations")) === 0, array(lit("_clean")))
+          .otherwise(col("_violations"))).as("rule"))
+      .groupBy("rule").agg(count(lit(1)).as("n_rows"))
 }

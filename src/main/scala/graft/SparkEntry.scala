@@ -2599,7 +2599,31 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_exact"))
-    })
+    }),
+    "q215_timeline_align" -> ((s, dir) => {
+      // Temporal timeline alignment (X198): two SCD2 histories of the same
+      // key space (event_type changes vs props changes) stitched into the
+      // piecewise segments where one version of EACH holds — interval
+      // intersection per key, one equi-join exchange, |A|+|B|-1 segments
+      // per key max. The result is itself a valid SCD2 timeline whose
+      // change points are the union of both inputs'.
+      val src = ev(s, dir)
+      val dimA = Scd2.initialLoad(src, evTypeCfg)
+      val dimB = Scd2.initialLoad(src, evCfg.copy(changeInclude = Some(Seq("props"))))
+      Scd2Join.alignTimelines(dimA, dimB, evCfg,
+                              aPayload = Seq("event_type"),
+                              bPayload = Seq("props"))
+    }),
+    "q216_quarantine" -> ((s, dir) =>
+      // Dead-letter quarantine routing (X199): every ingest row tagged with
+      // ALL the row-level rules it violates (nothing silently dropped, a
+      // multi-violation row counts once per rule), plus the `_clean`
+      // pass-through count — one codegen'd projection + one combine-enabled
+      // rollup, a free rider on the ingest scan at 100 TB.
+      Expectations.quarantineSummary(ev(s, dir), Seq(
+        ("value_le_500", col("value") <= 500.0),
+        ("not_error", col("event_type") =!= "error"),
+        ("user_id_bounds", col("user_id") < 140))))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3181,6 +3205,45 @@ object SparkEntry {
          |  CAST(coalesce(h.n_hits, 0) * 1000000 AS BIGINT) // ex.n_exact
          |    AS recall_ppm
          |FROM ex LEFT JOIN h ON h.query_id = ex.query_id""".stripMargin,
+    // q215: both timelines re-derived with q02-style include-list chains,
+    // then interval intersection per key.
+    "q215_timeline_align" -> {
+      def chain(tag: String, payload: String) =
+        s"""h$tag AS (SELECT user_id, ts, $payload,
+           |    md5(concat_ws('-', coalesce(CAST($payload AS VARCHAR), '')))
+           |      AS _h FROM src),
+           |d$tag AS (SELECT * FROM h$tag
+           |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY _h) = 1),
+           |c$tag AS (SELECT * FROM (
+           |    SELECT *, lag(_h) OVER (PARTITION BY user_id ORDER BY ts) AS _ph
+           |    FROM d$tag) WHERE _ph IS NULL OR _h <> _ph),
+           |t$tag AS (SELECT user_id, $payload, ts AS vf,
+           |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           |             TIMESTAMP '2999-12-31 23:59:59') AS vt FROM c$tag)"""
+          .stripMargin
+      s"""WITH $SrcCte,
+         |${chain("A", "event_type")},
+         |${chain("B", "props")}
+         |SELECT a.user_id, greatest(a.vf, b.vf) AS seg_from,
+         |  least(a.vt, b.vt) AS seg_to, a.event_type, b.props
+         |FROM tA a JOIN tB b ON a.user_id = b.user_id
+         |  AND greatest(a.vf, b.vf) < least(a.vt, b.vt)""".stripMargin
+    },
+    // q216: identical rule predicates; rows explode to their violated rule
+    // names (or '_clean'), then one rollup.
+    "q216_quarantine" ->
+      s"""WITH $SrcCte,
+         |v AS (SELECT list_filter([
+         |    CASE WHEN NOT coalesce(value <= 500.0, false)
+         |      THEN 'value_le_500' END,
+         |    CASE WHEN NOT coalesce(event_type <> 'error', false)
+         |      THEN 'not_error' END,
+         |    CASE WHEN NOT coalesce(user_id < 140, false)
+         |      THEN 'user_id_bounds' END
+         |  ], x -> x IS NOT NULL) AS vs FROM src),
+         |u AS (SELECT unnest(CASE WHEN len(vs) = 0 THEN ['_clean']
+         |                    ELSE vs END) AS rule FROM v)
+         |SELECT rule, count(*) AS n_rows FROM u GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

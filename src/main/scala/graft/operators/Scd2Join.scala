@@ -29,6 +29,39 @@ object Scd2Join {
   private val spineAudit =
     Seq("_VALID_FROM", "_VALID_TO", "_IS_CURRENT", "_UPDATED_AT", "_CHANGE_TYPE")
 
+  /** Align two SCD2 timelines of the SAME key space into the piecewise
+    * segments where one version of EACH is valid — the dimension-to-
+    * dimension face of the temporal join (this object's `apply` joins
+    * facts to dimensions): the result is itself a valid SCD2 timeline
+    * whose change points are the union of both inputs', the canonical
+    * "stitch two attribute histories into one" operation (interval
+    * intersection per key).
+    *
+    * One equi-join exchange on the business key; the overlap predicate
+    * (`greatest(vf) < least(vt)`, half-open intervals so touching
+    * versions produce no zero-width segment) filters the per-key version
+    * cross product, which is bounded by |A_k|+|B_k|-1 surviving segments
+    * per key — never quadratic output. The 2999 open-version sentinel
+    * flows through greatest/least as +infinity, no special case.
+    */
+  def alignTimelines(a: DataFrame, b: DataFrame, cfg: ScdConfig,
+                     aPayload: Seq[String], bPayload: Seq[String])
+      : DataFrame = {
+    val keys = cfg.uniqueKey
+    val vf = cfg.validFromCol
+    val vt = cfg.validToCol
+    val aa = a.select(keys.map(col) ++ aPayload.map(col)
+                        :+ col(vf).as("_vf_a") :+ col(vt).as("_vt_a"): _*)
+    val bb = b.select(keys.map(col) ++ bPayload.map(col)
+                        :+ col(vf).as("_vf_b") :+ col(vt).as("_vt_b"): _*)
+    aa.join(bb, keys)
+      .withColumn("seg_from", greatest(col("_vf_a"), col("_vf_b")))
+      .withColumn("seg_to", least(col("_vt_a"), col("_vt_b")))
+      .filter(col("seg_from") < col("seg_to"))
+      .select(keys.map(col) ++ Seq(col("seg_from"), col("seg_to"))
+                ++ aPayload.map(col) ++ bPayload.map(col): _*)
+  }
+
   def apply(relations: Seq[(String, DataFrame)],
             joinKeys: Seq[String],
             cfg: ScdConfig = ScdConfig(uniqueKey = Seq("_unused_"))): DataFrame = {

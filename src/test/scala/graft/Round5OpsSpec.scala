@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Scd2, Sketches, TextAnalysis, Trend}
-import graft.ScdConfig
+import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Scd2, Scd2Join, Sketches, TextAnalysis, Trend}
+import graft.{Expectations, ScdConfig}
 
 /** Round-5 operators: join pre-flight, OLS trends, compaction planning,
   * BPE pair induction, skipping reports, incremental join maintenance.
@@ -208,6 +208,42 @@ class Round5OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // e*o: 2*1 + 1*3 = 5 ; e*c: 2+1 = 3 ; o*c: 1+3 = 4 ; final: 2+3 = 5
     assert(rows === Set(("e*o", 5L, 5L), ("e*c", 3L, 5L), ("o*c", 4L, 5L)))
+  }
+
+  test("alignTimelines: segment boundaries are the union of change points") {
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "u")
+    def hist(rows: Seq[(Long, String, String)], payload: String) =
+      Scd2.initialLoad(
+        rows.toDF("k", "u", payload).withColumn("u", to_timestamp(col("u"))),
+        cfg.copy(changeInclude = Some(Seq(payload))))
+    // A changes at 00, 20; B changes at 00, 10, 30
+    val a = hist(Seq((1L, "2024-01-01 00:00:00", "a1"),
+                     (1L, "2024-01-01 00:00:20", "a2")), "pa")
+    val b = hist(Seq((1L, "2024-01-01 00:00:00", "b1"),
+                     (1L, "2024-01-01 00:00:10", "b2"),
+                     (1L, "2024-01-01 00:00:30", "b3")), "pb")
+    val segs = Scd2Join.alignTimelines(a, b, cfg, Seq("pa"), Seq("pb"))
+      .orderBy("seg_from")
+      .collect().map(r => (r.getTimestamp(1).toString.substring(17, 19),
+                           r.getAs[String]("pa"), r.getAs[String]("pb")))
+    // expected segments: [00,10)a1b1 [10,20)a1b2 [20,30)a2b2 [30,inf)a2b3
+    assert(segs.toSeq === Seq(("00", "a1", "b1"), ("10", "a1", "b2"),
+                              ("20", "a2", "b2"), ("30", "a2", "b3")))
+  }
+
+  test("quarantine: rows tagged with ALL violated rules; summary adds _clean") {
+    val df = Seq((1L, 10.0), (2L, -1.0), (3L, 1000.0), (4L, -5.0))
+      .toDF("id", "v")
+    val rules = Seq(("nonneg", col("v") >= 0.0), ("lt100", col("v") < 100.0))
+    val tagged = Expectations.quarantine(df, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+    assert(tagged(1L) === Nil)
+    assert(tagged(2L) === List("nonneg"))
+    assert(tagged(3L) === List("lt100"))
+    assert(tagged(4L) === List("nonneg")) // -5 < 100: only one rule fails
+    val sum = Expectations.quarantineSummary(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum === Map("_clean" -> 1L, "nonneg" -> 2L, "lt100" -> 1L))
   }
 
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
