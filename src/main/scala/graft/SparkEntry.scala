@@ -2623,7 +2623,74 @@ object SparkEntry {
       Expectations.quarantineSummary(ev(s, dir), Seq(
         ("value_le_500", col("value") <= 500.0),
         ("not_error", col("event_type") =!= "error"),
-        ("user_id_bounds", col("user_id") < 140))))
+        ("user_id_bounds", col("user_id") < 140)))),
+    "q217_stream_join" -> ((s, dir) => {
+      // Stream-stream event-time join, driver-checked end-to-end (X200):
+      // view and click streams arrive in three interleaved micro-batches
+      // each; JoinStream.clickThrough (watermarked state-store join with
+      // the in-window time bound that lets state expire) must emit exactly
+      // the batch join's matched pairs. The watermark delay is set past the
+      // feed's 30-day span so the harness evicts nothing — replay equals
+      // the flat join the oracle runs; production uses a tight delay and
+      // pays only bounded state. (MemoryStream driver feed bounded to the
+      // user_id%7 slice.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(t: String) = ev(s, dir)
+        .filter(col("user_id") % 7 === 0 && col("event_type") === t)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      val (imps, clks) = (side("view"), side("click"))
+      val srcI = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val joined = graft.streaming.JoinStream.clickThrough(
+        srcI.toDF().toDF("imp_id", "imp_ts", "user_id"),
+        srcC.toDF().toDF("click_id", "click_ts", "user_id"),
+        Seq("user_id"), "imp_ts", "click_ts",
+        windowSec = 3600, watermarkDelay = "40 days")
+      val tbl = "q217_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      try (0 until 3).foreach { i =>
+        srcI.addData(imps.filter(_._1 % 3 == i): _*)
+        srcC.addData(clks.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(tbl)
+        .select("user_id", "imp_id", "imp_ts", "click_id", "click_ts")
+    }),
+    "q218_decayed_score" -> ((s, dir) =>
+      // Recency-decayed engagement (X201): integer-exact exponential decay
+      // (value >> floor(age/halflife), halflife 7 days) summed per user —
+      // no float exp, partial sums order-independent, every engine agrees
+      // to the last bit. One combine-enabled exchange + a broadcast
+      // single-row horizon.
+      Rolling.decayedScore(
+        ev(s, dir), Seq("user_id"), "ts",
+        floor(col("value") * lit(1000000.0)),
+        ev(s, dir).agg(max(col("ts")).as("_horizon")),
+        halflifeSec = 604800L)),
+    "q219_linear_fill" -> ((s, dir) => {
+      // Linear gap interpolation (X202): each user's daily purchase series
+      // densified over its own [first, last] day span, interior gaps filled
+      // as prev + (next-prev)*(elapsed fraction) — the training-curve /
+      // metric-series repair every dashboard needs, as one key exchange +
+      // two framed ignore-nulls window passes over the day-spine (spine
+      // rows ≈ keys x span days, never fact-sized).
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+                 datediff(date_trunc("DAY", col("ts")),
+                          lit("2024-01-01").cast("date")).as("d"))
+        .agg(sum(floor(col("value") * lit(1000000.0)).cast("long")).as("vm"))
+      val spine = p.groupBy("user_id")
+        .agg(min(col("d")).as("_d0"), max(col("d")).as("_d1"))
+        .select(col("user_id"),
+                explode(sequence(col("_d0"), col("_d1"))).as("d"))
+        .join(p, Seq("user_id", "d"), "left")
+      Rolling.linearFill(spine, Seq("user_id"), "d", "vm")
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3244,6 +3311,64 @@ object SparkEntry {
          |u AS (SELECT unnest(CASE WHEN len(vs) = 0 THEN ['_clean']
          |                    ELSE vs END) AS rule FROM v)
          |SELECT rule, count(*) AS n_rows FROM u GROUP BY 1""".stripMargin,
+    // q217: the flat in-window join — replay with an over-span watermark
+    // must equal it exactly.
+    "q217_stream_join" ->
+      s"""WITH $SrcCte,
+         |i AS (SELECT event_id AS imp_id, ts AS imp_ts, user_id FROM src
+         |      WHERE user_id % 7 = 0 AND event_type = 'view'),
+         |c AS (SELECT event_id AS click_id, ts AS click_ts, user_id FROM src
+         |      WHERE user_id % 7 = 0 AND event_type = 'click')
+         |SELECT user_id, imp_id, imp_ts, click_id, click_ts
+         |FROM i JOIN c USING (user_id)
+         |WHERE click_ts >= imp_ts
+         |  AND click_ts <= imp_ts + INTERVAL 3600 SECONDS""".stripMargin,
+    // q218: same shift-decay arithmetic over epoch-second ages.
+    "q218_decayed_score" ->
+      s"""WITH $SrcCte,
+         |hz AS (SELECT max(ts) AS h FROM src),
+         |e AS (SELECT user_id,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+         |        (epoch_us(h) - epoch_us(ts)) // 1000000 // 604800
+         |          AS halvings
+         |      FROM src, hz)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(vm) AS BIGINT) AS raw_micro,
+         |  CAST(sum(vm >> CAST(halvings AS INT)) AS BIGINT) AS decayed_micro
+         |FROM e GROUP BY 1""".stripMargin,
+    // q219: identical spine + ignore-nulls fill windows + the identical
+    // interpolation expression tree.
+    "q219_linear_fill" ->
+      s"""WITH $SrcCte,
+         |p AS (SELECT user_id,
+         |        date_diff('day', DATE '2024-01-01',
+         |                  CAST(date_trunc('day', ts) AS DATE)) AS d,
+         |        CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+         |             AS BIGINT) AS vm
+         |      FROM src WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM p GROUP BY 1),
+         |spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d
+         |          FROM span),
+         |j AS (SELECT spine.user_id, spine.d, p.vm
+         |      FROM spine LEFT JOIN p USING (user_id, d)),
+         |f AS (SELECT *,
+         |        last_value(vm IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN vm IS NOT NULL THEN d END IGNORE NULLS)
+         |          OVER wp AS pd,
+         |        first_value(vm IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN vm IS NOT NULL THEN d END IGNORE NULLS)
+         |          OVER wn AS nd
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+         |                    ROWS UNBOUNDED PRECEDING),
+         |             wn AS (PARTITION BY user_id ORDER BY d
+         |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, d, vm,
+         |  CASE WHEN vm IS NOT NULL THEN CAST(vm AS DOUBLE)
+         |       ELSE round(pv + (nv - pv) *
+         |                  ((d - pd) / CAST(nd - pd AS DOUBLE)), 6)
+         |  END AS vm_filled
+         |FROM f""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

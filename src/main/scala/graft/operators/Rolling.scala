@@ -56,4 +56,63 @@ object Rolling {
            max(col("_gap")).as("max_gap_micros"))
       .withColumn("avg_gap_micros", expr("sum_gap_micros DIV n_gaps"))
   }
+
+  /** Linear interpolation of interior gaps in a per-key integer series:
+    * given a DENSE index spine (`idxCol`, one row per step) with a nullable
+    * observed `valCol`, fill each missing step from its surrounding
+    * observations — `prev + (next − prev) · (i − i_prev)/(i_next − i_prev)`.
+    * Observed steps pass through exactly. No extrapolation: callers build
+    * the spine between each key's first and last observation, so prev/next
+    * always exist for interior nulls.
+    *
+    * One (key)-exchange, two framed window passes (running last-non-null
+    * forward, first-non-null backward) — the same ignore-nulls fill shape
+    * as X151, plus the weighted combine. Fill values are doubles derived
+    * from exact integers with a fixed expression tree, so any engine
+    * reproduces them bit-for-bit (rounded to 6).
+    */
+  def linearFill(spine: DataFrame, keys: Seq[String], idxCol: String,
+                 valCol: String): DataFrame = {
+    val wp = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(idxCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valCol)
+    val obsIdx = when(v.isNotNull, col(idxCol))
+    spine
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wp))
+      .withColumn("_pd", last(obsIdx, ignoreNulls = true).over(wp))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(wn))
+      .withColumn("_nd", first(obsIdx, ignoreNulls = true).over(wn))
+      .withColumn(s"${valCol}_filled",
+        when(v.isNotNull, v.cast("double"))
+          .otherwise(round(
+            col("_pv") + (col("_nv") - col("_pv")) *
+              ((col(idxCol) - col("_pd")) /
+                 (col("_nd") - col("_pd")).cast("double")), 6)))
+      .drop("_pv", "_pd", "_nv", "_nd")
+  }
+
+  /** Recency-decayed engagement: each event's integer micro-value halved
+    * once per elapsed half-life (`value >> floor(age/halflife)` — the
+    * INTEGER-EXACT exponential decay: no float `exp`, so partial sums are
+    * order-independent and any engine agrees to the last bit), summed per
+    * key against a broadcast single-row horizon. The standard "recent
+    * activity outweighs old" score with none of the usual float drift.
+    */
+  def decayedScore(df: DataFrame, keys: Seq[String], tsCol: String,
+                   valueMicro: org.apache.spark.sql.Column,
+                   horizon: DataFrame, halflifeSec: Long): DataFrame =
+    df.join(broadcast(horizon))
+      .withColumn("_vm", valueMicro.cast("long"))
+      .withColumn("_age_s",
+        expr(s"(unix_micros(_horizon) - unix_micros($tsCol)) DIV 1000000"))
+      .withColumn("_halvings", expr(s"_age_s DIV $halflifeSec"))
+      .withColumn("_dm", expr("shiftright(_vm, cast(_halvings AS INT))"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("_vm")).as("raw_micro"),
+           sum(col("_dm")).as("decayed_micro"))
 }

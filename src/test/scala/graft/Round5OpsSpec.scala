@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Scd2, Scd2Join, Sketches, TextAnalysis, Trend}
+import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Rolling, Scd2, Scd2Join, Sketches, TextAnalysis, Trend}
 import graft.{Expectations, ScdConfig}
 
 /** Round-5 operators: join pre-flight, OLS trends, compaction planning,
@@ -244,6 +244,39 @@ class Round5OpsSpec extends SparkTestBase {
     val sum = Expectations.quarantineSummary(df, rules)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sum === Map("_clean" -> 1L, "nonneg" -> 2L, "lt100" -> 1L))
+  }
+
+  test("linearFill: interior gaps interpolate, observations pass through") {
+    val spine = Seq(
+      ("a", 0, Some(100L)), ("a", 1, None), ("a", 2, None),
+      ("a", 3, Some(400L)), ("a", 4, Some(50L)),
+      ("b", 7, Some(9L)))
+      .toDF("k", "d", "vm")
+    val f = Rolling.linearFill(spine, Seq("k"), "d", "vm")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Double]("vm_filled")).toMap
+    assert(f(("a", 0)) === 100.0)
+    assert(f(("a", 1)) === 200.0) // 100 + 300 * 1/3
+    assert(f(("a", 2)) === 300.0)
+    assert(f(("a", 3)) === 400.0)
+    assert(f(("a", 4)) === 50.0)
+    assert(f(("b", 7)) === 9.0)
+  }
+
+  test("decayedScore: integer halvings per elapsed half-life") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1000L), // age 20s -> 2 halvings -> 250
+      (1L, "2024-01-01 00:00:15", 1000L), // age  5s -> 0 halvings -> 1000
+      (2L, "2024-01-01 00:00:05", 999L))  // age 15s -> 1 halving  -> 499
+      .toDF("k", "u", "vm").withColumn("u", to_timestamp(col("u")))
+    val horizon = Seq("2024-01-01 00:00:20").toDF("h")
+      .select(to_timestamp(col("h")).as("_horizon"))
+    val out = Rolling.decayedScore(df, Seq("k"), "u", col("vm"),
+                                   horizon, halflifeSec = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("raw_micro"), r.getAs[Long]("decayed_micro")))).toMap
+    assert(out(1L) === ((2000L, 1250L)))
+    assert(out(2L) === ((999L, 499L)))
   }
 
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
