@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
@@ -2690,7 +2690,48 @@ object SparkEntry {
                 explode(sequence(col("_d0"), col("_d1"))).as("d"))
         .join(p, Seq("user_id", "d"), "left")
       Rolling.linearFill(spine, Seq("user_id"), "d", "vm")
-    })
+    }),
+    "q220_ivf_balance" -> ((s, dir) => {
+      // IVF index-health report (X203): vectors per coarse cell + load ppm
+      // — the imbalance diagnostic that decides whether the centroid set
+      // needs retraining (a hot cell serializes its probes; an empty cell
+      // wastes a list). Deterministic md5-free centroid choice (lowest-id
+      // vectors, same as q24) so the oracle reproduces the assignment.
+      val e = emb(s, dir)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .join(broadcast(e.agg(count(lit(1)).as("_total"))))
+        .withColumn("load_ppm", expr("n_vecs * 1000000L DIV _total"))
+        .drop("_total")
+    }),
+    "q221_quantile_drift" -> ((s, dir) => {
+      // Quantile drift (X204): per-type decile ladder of the first
+      // half-month vs the second — exact rank-selection quantiles (X44's
+      // machinery) on both slices, joined to a shift report. Catches
+      // distribution movement that mean/null-rate drift (X194) misses;
+      // integer micro values end to end.
+      val cut = to_timestamp(lit("2024-01-16"))
+      def deciles(pred: Column) = Profile.discreteQuantiles(
+        ev(s, dir).filter(pred)
+          .select(col("event_type"),
+                  floor(col("value") * lit(1000000.0)).cast("long").as("vm")),
+        "event_type", "vm", percents = Seq(10, 25, 50, 75, 90))
+      deciles(col("ts") < cut)
+        .withColumnRenamed("q_value", "ref_micro")
+        .join(deciles(col("ts") >= cut)
+                .withColumnRenamed("q_value", "cur_micro"),
+              Seq("event_type", "q"))
+        .withColumn("shift_micro", col("cur_micro") - col("ref_micro"))
+    }),
+    "q222_motifs" -> ((s, dir) =>
+      // Behavioral motifs (X205): top-25 length-3 consecutive event-type
+      // sequences — the n-gram generalization of the transition matrix,
+      // built from lead windows (no sequence explode), counted
+      // combine-enabled, top-k as TakeOrdered.
+      Funnel.motifs(ev(s, dir), "user_id", "ts", "event_id", "event_type",
+                    n = 3, topK = 25))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3369,6 +3410,54 @@ object SparkEntry {
          |                  ((d - pd) / CAST(nd - pd AS DOUBLE)), 6)
          |  END AS vm_filled
          |FROM f""".stripMargin,
+    // q220: q24's centroid/assignment CTEs + a per-cell rollup.
+    "q220_ivf_balance" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings)
+         |SELECT centroid_id, count(*) AS n_vecs,
+         |  count(*) * 1000000 // total AS load_ppm
+         |FROM asg, t GROUP BY centroid_id, total""".stripMargin,
+    // q221: q128's rank-selection ladder on both slices + the shift join.
+    "q221_quantile_drift" -> {
+      def ladder(tag: String, where: String) =
+        s"""e$tag AS (SELECT event_type,
+           |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src
+           |  WHERE $where),
+           |r$tag AS (SELECT event_type, vm,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n FROM e$tag),
+           |q$tag AS (SELECT event_type, q, vm FROM r$tag,
+           |    unnest([10, 25, 50, 75, 90]) AS t(q)
+           |  WHERE rn = (n * q + 99) // 100)""".stripMargin
+      s"""WITH $SrcCte,
+         |${ladder("R", "ts < TIMESTAMP '2024-01-16'")},
+         |${ladder("C", "ts >= TIMESTAMP '2024-01-16'")}
+         |SELECT qR.event_type, qR.q, qR.vm AS ref_micro, qC.vm AS cur_micro,
+         |  qC.vm - qR.vm AS shift_micro
+         |FROM qR JOIN qC ON qR.event_type = qC.event_type AND qR.q = qC.q"""
+        .stripMargin
+    },
+    // q222: identical lead-window trigrams, counted and top-k'd.
+    "q222_motifs" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type AS t1,
+         |        lead(event_type, 1) OVER w AS t2,
+         |        lead(event_type, 2) OVER w AS t3
+         |      FROM src
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT t1 || '>' || t2 || '>' || t3 AS motif,
+         |  count(*) AS n_occurrences
+         |FROM g WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n_occurrences DESC, motif ASC LIMIT 25"""
+        .stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

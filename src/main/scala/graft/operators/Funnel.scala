@@ -149,6 +149,33 @@ object Funnel {
     * the ordering contract every window in the engine uses. One exchange on
     * the user key for the lag, then a vocabulary-squared-sized count.
     */
+  /** Top-k behavioral motifs: the most frequent length-`n` consecutive
+    * event-type sequences across all keys — the n-gram generalization of
+    * [[transitions]] (bigrams) that surfaces multi-step habits ("view >
+    * view > purchase"). One (key)-exchange window builds each row's
+    * forward n-gram via `lead` (no self-joins, no explode of sequences);
+    * the count is combine-enabled and the top-k plans as TakeOrdered —
+    * at 100 TB: one shuffle on the key, one on the (vocabulary-sized)
+    * motif space.
+    */
+  def motifs(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+             typeCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 2, "motif length >= 2")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val stepNames = (0 until n).map(i => s"_s$i")
+    val withSteps = (0 until n).foldLeft(df) {
+      case (acc, 0) => acc.withColumn("_s0", col(typeCol))
+      case (acc, i) => acc.withColumn(s"_s$i", lead(col(typeCol), i).over(w))
+    }
+    val steps = stepNames.map(col)
+    withSteps
+      .filter(steps.map(_.isNotNull).reduce(_ && _))
+      .groupBy(concat_ws(">", steps: _*).as("motif"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("motif").asc)
+      .limit(topK)
+  }
+
   def transitions(df: DataFrame,
                   userCol: String,
                   tsCol: String,

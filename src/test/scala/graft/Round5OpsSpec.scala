@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Compaction, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Rolling, Scd2, Scd2Join, Sketches, TextAnalysis, Trend}
+import graft.operators.{Compaction, Funnel, IncrementalAgg, Ivm, JoinPlanner, Layout, Profile, Rolling, Scd2, Scd2Join, Sketches, TextAnalysis, Trend}
 import graft.{Expectations, ScdConfig}
 
 /** Round-5 operators: join pre-flight, OLS trends, compaction planning,
@@ -277,6 +277,19 @@ class Round5OpsSpec extends SparkTestBase {
         ((r.getAs[Long]("raw_micro"), r.getAs[Long]("decayed_micro")))).toMap
     assert(out(1L) === ((2000L, 1250L)))
     assert(out(2L) === ((999L, 499L)))
+  }
+
+  test("motifs: n-grams stay within one key's timeline, deterministic ties") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (2L, 5L, "a"), (2L, 6L, "b"), (2L, 7L, "c"),
+      (3L, 8L, "x"), (3L, 9L, "y")) // too short for a trigram
+      .toDF("k", "id", "t")
+      .withColumn("ts", to_timestamp(lit("2024-01-01")) + expr("make_interval(0,0,0,0,0,0,id)"))
+    val m = Funnel.motifs(df, "k", "ts", "id", "t", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a>b>c occurs for k=1 and k=2; b>c>a only k=1; no cross-key grams
+    assert(m === Seq(("a>b>c", 2L), ("b>c>a", 1L)))
   }
 
   test("Ivm.maintain: every intermediate state equals the recomputed join") {
