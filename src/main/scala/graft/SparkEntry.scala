@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
+import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2731,7 +2731,65 @@ object SparkEntry {
       // built from lead windows (no sequence explode), counted
       // combine-enabled, top-k as TakeOrdered.
       Funnel.motifs(ev(s, dir), "user_id", "ts", "event_id", "event_type",
-                    n = 3, topK = 25))
+                    n = 3, topK = 25)),
+    "q223_idle_rich" -> ((s, dir) => {
+      // Decorrelated audience cut (X206, the TPC-H Q22 shape): customers
+      // whose balance is strictly above the positive-balance average but
+      // who placed no order since the lapse cutoff. The textbook form is a
+      // scalar subquery + NOT IN (the oracle runs exactly that); here the
+      // scalar becomes a broadcast one-row (sum, count) pair compared
+      // cross-multiplied in exact integers (cents*n > sum — no float
+      // average anywhere), and NOT IN becomes a left_anti join against the
+      // date-pruned slice of the order fact (the filter reaches the scan).
+      val c = Tables.read(s, dir, "customer")
+        .withColumn("cents", expr("CAST(floor(c_acctbal * 100) AS BIGINT)"))
+      val stats = c.filter(col("cents") > 0)
+        .agg(sum(col("cents")).as("_s"), count(lit(1)).as("_n"))
+      c.filter(col("cents") > 0)
+        .crossJoin(broadcast(stats))
+        .filter(col("cents") * col("_n") > col("_s"))
+        .join(Tables.read(s, dir, "orders")
+                .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+                .select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("bal_cents"))
+    }),
+    "q224_triangles" -> ((s, dir) => {
+      // Co-purchase graph health (X207): distinct part pairs sharing an
+      // order become the edge list; triangle count via degree-ordered
+      // orientation (out-degree bounded by O(sqrt(E)) even on hub parts)
+      // and the global closure coefficient in exact-integer ppm. The
+      // oracle recomputes the same orientation in SQL — the statistic is
+      // deterministic, not an estimate.
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+      Graph.triangleStats(
+        Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+    }),
+    "q225_skyline" -> ((s, dir) => {
+      // Pareto frontier (X208): orders not dominated on (earlier date,
+      // higher price). The textbook NOT EXISTS self-join is quadratic —
+      // the oracle runs it; here the frontier comes from the date
+      // dimension: per-day max price (fact-sized aggregate), strictly-
+      // earlier running max over the ~date-count-sized dim (bounded
+      // DimKey.one window), then one broadcast join back to the daily
+      // maxima. A survivor is a day's max that beats every earlier day.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.spread(s, Tables.read(s, dir, "orders"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      val daily = o.groupBy(col("o_orderdate"))
+        .agg(max(col("price_cents")).as("_day_max"))
+      val wPrev = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = daily
+        .withColumn("_prev_max", max(col("_day_max")).over(wPrev))
+        .filter(col("_prev_max").isNull || col("_day_max") > col("_prev_max"))
+      o.join(broadcast(frontier), Seq("o_orderdate"))
+        .filter(col("price_cents") === col("_day_max"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("price_cents"))
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3458,6 +3516,62 @@ object SparkEntry {
          |FROM g WHERE t2 IS NOT NULL AND t3 IS NOT NULL
          |GROUP BY 1 ORDER BY n_occurrences DESC, motif ASC LIMIT 25"""
         .stripMargin,
+    // q223: the textbook scalar-subquery + NOT IN formulation — the
+    // decorrelated broadcast/anti-join plan must produce identical rows.
+    // The average is compared cross-multiplied in integer cents on both
+    // sides, so no float average can diverge.
+    "q223_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |       CAST(sum(cents) AS BIGINT) AS bal_cents
+        |FROM c
+        |WHERE cents > 0
+        |  AND cents * (SELECT count(*) FROM c WHERE cents > 0)
+        |        > (SELECT sum(cents) FROM c WHERE cents > 0)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+    // q224: identical degree-ordered orientation in SQL — deterministic
+    // integer statistics, not an estimate.
+    "q224_triangles" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT l.i AS src, r.i AS dst
+        |      FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+        |               THEN e.src ELSE e.dst END AS u,
+        |             CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+        |               THEN e.dst ELSE e.src END AS v
+        |      FROM e JOIN deg ds ON e.src = ds.n
+        |             JOIN deg dd ON e.dst = dd.n),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM o e1 JOIN o e2 ON e1.v = e2.u
+        |                  JOIN o e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |base AS (SELECT count(*) AS n_nodes,
+        |           CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |         FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN n_triangles * 3 * 1000000 // n_wedges ELSE 0 END
+        |    AS closure_ppm
+        |FROM base, tri""".stripMargin,
+    // q225: the quadratic NOT EXISTS dominance test — the date-dim
+    // frontier plan must keep exactly the non-dominated rows.
+    "q225_skyline" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS d,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders)
+        |SELECT o_orderkey, d AS o_orderdate, c AS price_cents
+        |FROM o o1
+        |WHERE NOT EXISTS (SELECT 1 FROM o o2
+        |                  WHERE o2.d <= o1.d AND o2.c >= o1.c
+        |                    AND (o2.d < o1.d OR o2.c > o1.c))""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph statistics over edge lists derived from fact tables.
+  *
+  * The reference surface has no graph operator; this is the
+  * beyond-reference tier (SURVEY §2.12) serving training-data curation:
+  * co-occurrence graphs (parts bought together, docs sharing shingles)
+  * are the substrate for community detection and leakage analysis, and
+  * triangle/closure statistics are the standard graph-health numbers.
+  *
+  * Scale design: everything is an equi-join on edge endpoints — no
+  * adjacency lists collected to the driver, no vertex-centric iteration.
+  * Triangle counting uses the degree-ordered orientation (each edge is
+  * directed from its lower-(degree, id) endpoint to the higher one), the
+  * classic trick that bounds every vertex's out-degree by O(sqrt(|E|)) on
+  * skewed graphs, so the wedge join never explodes on a hub vertex the
+  * way naive id-ordering does. All outputs are integer-exact counts.
+  */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges (src < dst) between items
+    * sharing a group: one self-equi-join on the group key over the
+    * DISTINCT (group, item) projection — dedup BEFORE the join so a group
+    * containing an item k times contributes each pair once, and the join
+    * input is as small as possible.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame = {
+    val gi = df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
+    gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
+      .filter(col("_l._i") < col("_r._i"))
+      .select(col("_l._i").as("src"), col("_r._i").as("dst"))
+      .distinct()
+  }
+
+  /** One-row graph statistics: nodes, edges, wedges (open 2-paths),
+    * triangles, and the global closure ratio 3*triangles/wedges in ppm.
+    *
+    * Triangles: orient each undirected edge from the endpoint with the
+    * smaller (degree, id) to the larger, then count directed wedges
+    * a→b→c whose closing edge a→c exists — each triangle is counted
+    * exactly once because the orientation is a total order. Wedges use
+    * the UNDIRECTED degree d: sum(d*(d-1)/2), making closure_ppm the
+    * standard global clustering coefficient.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("_n"))
+      .union(edges.select(col("dst").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // Orient by (degree, id): lower endpoint first.
+    val oriented = edges
+      .join(deg.withColumnRenamed("_n", "src").withColumnRenamed("_d", "_ds"),
+            Seq("src"))
+      .join(deg.withColumnRenamed("_n", "dst").withColumnRenamed("_d", "_dd"),
+            Seq("dst"))
+      .select(
+        when(col("_ds") < col("_dd") ||
+               (col("_ds") === col("_dd") && col("src") < col("dst")),
+             struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v")))
+          .as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+    val tri = oriented.as("_e1")
+      .join(oriented.as("_e2"), col("_e1.v") === col("_e2.u"))
+      .join(oriented.as("_e3"),
+            col("_e1.u") === col("_e3.u") && col("_e2.v") === col("_e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(_d) DIV 2").as("n_edges"),
+      expr("sum(_d * (_d - 1) DIV 2)").as("n_wedges"))
+    base.crossJoin(broadcast(tri))
+      .withColumn(
+        "closure_ppm",
+        when(col("n_wedges") > 0,
+             expr("n_triangles * 3 * 1000000L DIV n_wedges")).otherwise(0L))
+  }
+}

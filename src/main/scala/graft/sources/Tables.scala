@@ -25,17 +25,31 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it via the
-    * documented escape hatch (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * floor to microseconds with integer arithmetic — `ts div 1000` — NOT
-    * double division, which loses precision above 2^53. DuckDB floors
-    * ns->us identically when casting to TIMESTAMP, so oracle comparisons
-    * agree exactly.
+  /** `events.parquet` has shipped in two encodings across driver testdata
+    * generations, so sniff the decoded type instead of assuming one:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]); the documented escape hatch
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) surfaces it as LONG, which
+    *    we floor to microseconds with integer arithmetic — `ts div 1000` —
+    *    NOT double division (loses precision above 2^53). DuckDB floors
+    *    ns->us identically when casting to TIMESTAMP.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): decodes as
+    *    TIMESTAMP_NTZ; the session is pinned UTC, so casting to the
+    *    session-zoned TIMESTAMP keeps every wall-clock value bit-identical
+    *    while restoring the type the downstream operators (and the
+    *    `CAST(ts AS TIMESTAMP)` oracle CTE) expect.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
