@@ -2789,7 +2789,30 @@ object SparkEntry {
       o.join(broadcast(frontier), Seq("o_orderdate"))
         .filter(col("price_cents") === col("_day_max"))
         .select(col("o_orderkey"), col("o_orderdate"), col("price_cents"))
-    })
+    }),
+    "q226_postings" -> ((s, dir) =>
+      // Inverted index (X209): per-term document frequency, collection
+      // frequency, and the delta-encoded posting list — the search-index
+      // storage layout. One fact-sized (term, doc) aggregate; the gap
+      // window reuses the term partitioning the posting grouping needs.
+      TextAnalysis.invertedIndex(
+        Tables.spread(s, docs(s, dir)), "doc_id", "text", minDf = 5)),
+    "q227_encoding_advisor" -> ((s, dir) =>
+      // Column-encoding advisor (X210): run-length + cardinality statistics
+      // under the physical sort order (event_id), distributed via
+      // per-bucket run counts stitched over the bounded bucket dim — the
+      // report that picks parquet encodings before a 100 TB rewrite.
+      Layout.encodingReport(ev(s, dir), "event_id",
+                            Seq("event_type", "user_id", "value", "props"),
+                            bucketSize = 4096L)),
+    "q228_concurrency" -> ((s, dir) =>
+      // Peak concurrent sessions (X211): sweep-line over session bounds,
+      // distributed as per-day local running sums + a prefix-sum carry
+      // over the bounded day dimension — never one global time-ordered
+      // window. The oracle runs the single-window textbook formulation.
+      Intervals.concurrency(
+        Sessionize.sessions(ev(s, dir), "user_id", "ts", "event_type", 30),
+        "session_start", "session_end"))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3572,6 +3595,76 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM o o2
         |                  WHERE o2.d <= o1.d AND o2.c >= o1.c
         |                    AND (o2.d < o1.d OR o2.c > o1.c))""".stripMargin,
+    // q226: identical tokenization; the gap sequence re-derived with the
+    // same lag-in-term-partition shape, aggregated in doc-id order.
+    "q226_postings" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT unnest(t) AS term, doc_id FROM toks),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |g AS (SELECT term, doc_id, tf,
+         |        doc_id - coalesce(lag(doc_id) OVER
+         |          (PARTITION BY term ORDER BY doc_id), 0) AS gap
+         |      FROM tf)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         |  string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+         |    AS postings_gaps
+         |FROM g GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // q227: the single-window textbook run count per column — the bucketed
+    // stitch must reproduce it exactly.
+    "q227_encoding_advisor" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(DISTINCT $c) + max(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS ndv,
+           |  CAST(sum(CASE WHEN rn = 1 OR v IS DISTINCT FROM pv
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+           |FROM (SELECT $c, CAST($c AS VARCHAR) AS v,
+           |        row_number() OVER (ORDER BY event_id) AS rn,
+           |        lag(CAST($c AS VARCHAR)) OVER (ORDER BY event_id) AS pv
+           |      FROM src)""".stripMargin
+      val cols = Seq("event_type", "user_id", "value", "props")
+      s"""WITH $SrcCte,
+         |u AS (${cols.map(side).mkString("\nUNION ALL\n")})
+         |SELECT "column", n_rows, ndv, n_runs,
+         |  n_runs * 1000000 // n_rows AS run_ppm,
+         |  ndv * 1000000 // n_rows AS ndv_ppm,
+         |  CASE WHEN n_runs * 1000000 // n_rows <= 200000 THEN 'RLE'
+         |       WHEN ndv * 1000000 // n_rows <= 100000 THEN 'DICT'
+         |       ELSE 'PLAIN' END AS suggestion
+         |FROM u""".stripMargin
+    },
+    // q228: q39's session derivation + ONE global sweep-line window (ends
+    // before starts at the same instant) — the per-day distributed carry
+    // must match it boundary for boundary.
+    "q228_concurrency" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |se AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                                      ROWS UNBOUNDED PRECEDING) AS sess,
+         |              ts FROM g),
+         |sp AS (SELECT min(ts) AS st, max(ts) AS en FROM se
+         |       GROUP BY user_id, sess),
+         |b AS (SELECT st AS ts, 1 AS d FROM sp
+         |      UNION ALL SELECT en, -1 FROM sp),
+         |r AS (SELECT ts, d, sum(d) OVER (ORDER BY ts, d
+         |                                 ROWS UNBOUNDED PRECEDING) AS run
+         |      FROM b),
+         |dt AS (SELECT date_trunc('day', ts) AS day, sum(d) AS tot
+         |       FROM b GROUP BY 1),
+         |ca AS (SELECT day, coalesce(sum(tot) OVER (ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS carry FROM dt),
+         |dy AS (SELECT date_trunc('day', ts) AS day,
+         |         max(run) AS mx, count(*) AS n_boundaries
+         |       FROM r GROUP BY 1)
+         |SELECT dy.day, CAST(greatest(mx, carry) AS BIGINT)
+         |         AS peak_concurrency, n_boundaries
+         |FROM dy JOIN ca USING (day)""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

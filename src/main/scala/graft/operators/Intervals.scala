@@ -127,4 +127,42 @@ object Intervals {
            max(col(toCol)).as("island_to"),
            count(lit(1)).as("n_intervals"))
   }
+
+  /** Per-day peak concurrency of `[start, end)` intervals — the sweep-line
+    * (+1 at start, -1 at end) made distributed: the classic formulation is
+    * ONE running sum over every boundary in time order, a single-partition
+    * scale-killer. Here each day computes its local running sum and its
+    * net delta in parallel (one exchange on the day key), then the
+    * carry-in offset per day is a prefix sum over the bounded day
+    * dimension ([[graft.functions.DimKey.one]] window over ~#days rows) —
+    * the textbook two-phase parallel prefix sum.
+    *
+    * A day's peak is `carry + max(0, max local running sum)`: the max(0,_)
+    * floor makes the midnight carry-in itself a peak candidate (a day that
+    * only closes intervals peaks at its first instant). Boundary ties sort
+    * ends (-1) before starts (+1), so back-to-back intervals never count
+    * as overlapping. Days with no boundaries don't appear (their
+    * concurrency is constant and visible from the neighbors).
+    */
+  def concurrency(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DimKey
+    val b = df.select(col(startCol).as("_ts"), lit(1L).as("_d"))
+      .unionAll(df.select(col(endCol).as("_ts"), lit(-1L).as("_d")))
+      .withColumn("_day", date_trunc("DAY", col("_ts")))
+    val wl = Window.partitionBy(col("_day")).orderBy(col("_ts"), col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayAgg = b.withColumn("_run", sum(col("_d")).over(wl))
+      .groupBy(col("_day"))
+      .agg(greatest(max(col("_run")), lit(0L)).as("_local_peak"),
+           sum(col("_d")).as("_tot"),
+           count(lit(1)).as("n_boundaries"))
+    val wd = Window.partitionBy(DimKey.one).orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dayAgg
+      .withColumn("_carry", coalesce(sum(col("_tot")).over(wd), lit(0L)))
+      .select(col("_day").as("day"),
+              (col("_carry") + col("_local_peak")).as("peak_concurrency"),
+              col("n_boundaries"))
+  }
 }

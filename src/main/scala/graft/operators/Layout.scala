@@ -88,4 +88,66 @@ object Layout {
     df.withColumn("_z", zValue(x, y, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
+
+  /** Per-column encoding advisor: run-length and cardinality statistics of
+    * each column under the table's physical sort order, plus the encoding
+    * a columnar writer should pick (RLE when runs are long, dictionary
+    * when the value set is small, plain otherwise) — the report that
+    * decides parquet encodings / sort-key choices before a 100 TB rewrite.
+    *
+    * Run counting under a GLOBAL order is the scale trap (one window over
+    * everything = one partition). Distributed formulation: bucket rows by
+    * `orderCol DIV bucketSize`, count value changes inside each bucket
+    * (one exchange, parallel windows), then stitch bucket boundaries over
+    * the bounded bucket dimension ([[graft.functions.DimKey.one]] window):
+    * total runs = Σ(in-bucket runs) − Σ(adjacent buckets whose facing
+    * values are equal). NDV counts NULL as one dictionary entry. All
+    * values compare as strings (injective per type either side), so the
+    * statistics are engine-exact integers.
+    */
+  def encodingReport(df: DataFrame, orderCol: String, cols: Seq[String],
+                     bucketSize: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DimKey
+    cols.map { c =>
+      val base = df.select(col(orderCol).as("_o"),
+                           col(c).cast("string").as("_v"))
+        .withColumn("_b", expr(s"_o DIV $bucketSize"))
+      val wl = Window.partitionBy(col("_b")).orderBy(col("_o"))
+      val marked = base
+        .withColumn("_rn", row_number().over(wl))
+        .withColumn("_chg",
+          when(col("_rn") === 1, lit(0L))
+            .otherwise((!(col("_v") <=> lag(col("_v"), 1).over(wl)))
+                         .cast("long")))
+      val buckets = marked.groupBy(col("_b")).agg(
+        count(lit(1)).as("_n"),
+        sum(col("_chg")).as("_c"),
+        expr("min_by(_v, _o)").as("_first"),
+        expr("max_by(_v, _o)").as("_last"))
+      val wd = Window.partitionBy(DimKey.one).orderBy(col("_b"))
+      val stitched = buckets
+        .withColumn("_bn", row_number().over(wd))
+        .withColumn("_merge",
+          when(col("_bn") === 1, lit(0L))
+            .otherwise((col("_first") <=> lag(col("_last"), 1).over(wd))
+                         .cast("long")))
+      // NDV needs a global distinct, not a per-bucket sum — one flat
+      // combine-enabled aggregate over the column.
+      val ndv = df.agg(
+        (countDistinct(col(c)) +
+           max(when(col(c).isNull, 1L).otherwise(0L))).as("ndv"))
+      stitched.agg(
+        sum(col("_n")).as("n_rows"),
+        (sum(col("_c")) + count(lit(1)) - sum(col("_merge"))).as("n_runs"))
+        .crossJoin(broadcast(ndv))
+        .select(lit(c).as("column"), col("n_rows"), col("ndv"), col("n_runs"),
+                expr("n_runs * 1000000L DIV n_rows").as("run_ppm"),
+                expr("ndv * 1000000L DIV n_rows").as("ndv_ppm"))
+        .withColumn("suggestion",
+          when(col("run_ppm") <= 200000L, lit("RLE"))
+            .when(col("ndv_ppm") <= 100000L, lit("DICT"))
+            .otherwise(lit("PLAIN")))
+    }.reduce(_ unionByName _)
+  }
 }

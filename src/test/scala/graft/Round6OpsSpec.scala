@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Graph
+import graft.operators.{Graph, Intervals, Layout, TextAnalysis}
 
 /** Round-6 operators: graph statistics (co-occurrence edges, degree-ordered
-  * triangle counting).
+  * triangle counting), inverted-index postings, the column-encoding
+  * advisor's distributed run counting, and sweep-line interval concurrency.
   */
 class Round6OpsSpec extends SparkTestBase {
 
@@ -51,5 +52,71 @@ class Round6OpsSpec extends SparkTestBase {
       .toDF("src", "dst")
     val r = Graph.triangleStats(edges).collect()(0)
     assert(r.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("TextAnalysis.invertedIndex: gaps, df/cf, minDf pruning") {
+    val df = Seq(
+      (7L, "alpha beta alpha"),
+      (10L, "beta gamma"),
+      (22L, "alpha beta")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+                           r.getAs[Long]("cf"),
+                           r.getAs[String]("postings_gaps"))).toSet
+    // alpha in docs 7,22 (3 occurrences): gaps 7,15; beta in all three.
+    // gamma df=1 is pruned by minDf=2.
+    assert(idx === Set(("alpha", 2L, 3L, "7,15"),
+                       ("beta", 3L, 3L, "7,3,12")))
+  }
+
+  test("Layout.encodingReport: bucket stitching matches a flat run count") {
+    // Order 1..9, bucketSize 3 => buckets {1,2},{3,4,5},{6,7,8},{9} (DIV
+    // semantics) with runs crossing every boundary, plus nulls that must
+    // merge with nulls (null-safe compare) and split from values.
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),           // one run across b0/b1
+      (4L, null), (5L, null), (6L, null),        // null run across b1/b2
+      (7L, "b"), (8L, "c"), (9L, "c")            // b,c runs across b2/b3
+    ).toDF("o", "v")
+    val r = Layout.encodingReport(df, "o", Seq("v"), bucketSize = 3L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === 9L)
+    assert(r.getAs[Long]("n_runs") === 4L)   // a, null, b, c
+    assert(r.getAs[Long]("ndv") === 4L)      // a, b, c, NULL
+  }
+
+  test("Layout.encodingReport: suggestion thresholds") {
+    // 100 rows constant => 1 run => RLE; 100 distinct => PLAIN (ndv too
+    // high for DICT); 100 rows alternating over 2 values => DICT (runs
+    // 100%, ndv 2%).
+    val const = (1L to 100L).map(i => (i, "k")).toDF("o", "v")
+    val uniq = (1L to 100L).map(i => (i, s"u$i")).toDF("o", "v")
+    val alt = (1L to 100L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("o", "v")
+    def sug(df: org.apache.spark.sql.DataFrame) =
+      Layout.encodingReport(df, "o", Seq("v"), 16L)
+        .collect()(0).getAs[String]("suggestion")
+    assert(sug(const) === "RLE")
+    assert(sug(uniq) === "PLAIN")
+    assert(sug(alt) === "DICT")
+  }
+
+  test("Intervals.concurrency: carry across midnight and tie semantics") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // day 1: two overlapping + one back-to-back (end == next start:
+      // must NOT overlap under end-before-start tie order)
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")),
+      (ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")),
+      // one interval spanning into day 2, where nothing else happens
+      // before it ends: day 2's peak is the midnight carry (1).
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"))
+    ).toDF("st", "en")
+    val r = Intervals.concurrency(df, "st", "en")
+      .collect().map(x => (x.getTimestamp(0).toString.take(10),
+                           x.getAs[Long]("peak_concurrency"))).toMap
+    assert(r("2024-01-01") === 2L)
+    assert(r("2024-01-02") === 1L)
   }
 }
