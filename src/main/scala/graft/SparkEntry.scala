@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TextAnalysis, Trend}
+import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Segmentation, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TableDiff, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2812,7 +2812,63 @@ object SparkEntry {
       // window. The oracle runs the single-window textbook formulation.
       Intervals.concurrency(
         Sessionize.sessions(ev(s, dir), "user_id", "ts", "event_type", 30),
-        "session_start", "session_end"))
+        "session_start", "session_end")),
+    "q229_rfm" -> ((s, dir) =>
+      // RFM segmentation (X212): recency/frequency/monetary quartiles per
+      // customer. The scoring avoids the ntile-over-everything global sort
+      // — each metric ranks through cellRank's micro-cell decomposition,
+      // quartile = arithmetic on the exact rank, ties broken by key so the
+      // oracle's plain row_number reproduces every score.
+      Segmentation.rfm(Tables.spread(s, Tables.read(s, dir, "orders")),
+                       "o_custkey", "o_orderdate", "o_totalprice")),
+    "q230_merkle_diff" -> ((s, dir) => {
+      // Merkle bucket diff (X213): which key buckets differ between two
+      // versions of the order table (simulated deletes %97, status updates
+      // %101, inserts %103 under shifted keys). Each side collapses to
+      // bucket (count, md5-prefix sum) — comparing 100 TB tables becomes
+      // two columnar scans + a KB-scale join; only differing buckets emit.
+      val v1 = Tables.read(s, dir, "orders")
+        .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+                    when(col("o_orderkey") % 101 === 0, lit("X"))
+                      .otherwise(col("o_orderstatus")))
+        .unionByName(
+          v1.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents",
+                     "o_orderdate", "o_orderpriority")
+      TableDiff.merkleDiff(v1, v2, "o_orderkey", 256, cols)
+    }),
+    "q231_rtbf_audit" -> ((s, dir) => {
+      // Right-to-be-forgotten residual audit (X214): after a deletion list
+      // is applied, how many rows still reference the listed keys, per
+      // table — customer directly, orders by custkey, lineitem transitively
+      // through its order. The list and its order slice stay broadcast;
+      // each fact pays one semi-join, no fact-sized shuffle.
+      val dl = Tables.read(s, dir, "customer")
+        .filter(col("c_custkey") % 251 === 0).select(col("c_custkey"))
+      val cust = Tables.read(s, dir, "customer")
+        .join(broadcast(dl), Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("c_custkey")).as("n_keys"))
+        .select(lit("customer").as("table_name"), col("n_rows"), col("n_keys"))
+      val ords = Tables.read(s, dir, "orders")
+        .join(broadcast(dl), col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_custkey")).as("n_keys"))
+        .select(lit("orders").as("table_name"), col("n_rows"), col("n_keys"))
+      val listedOrders = Tables.read(s, dir, "orders")
+        .join(broadcast(dl), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(listedOrders),
+              col("l_orderkey") === col("o_orderkey"), "inner")
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_custkey")).as("n_keys"))
+        .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_keys"))
+      cust.unionByName(ords).unionByName(li)
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -3665,6 +3721,79 @@ object SparkEntry {
          |SELECT dy.day, CAST(greatest(mx, carry) AS BIGINT)
          |         AS peak_concurrency, n_boundaries
          |FROM dy JOIN ca USING (day)""".stripMargin,
+    // q229: plain row_number quartiles — cellRank's micro-cell ranks with
+    // key tiebreak must reproduce every score bit-for-bit.
+    "q229_rfm" ->
+      """WITH m AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+        |             count(*) AS f,
+        |             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |                  AS BIGINT) AS m_cents
+        |           FROM orders GROUP BY 1),
+        |h AS (SELECT max(o_orderdate) AS hz FROM orders),
+        |b AS (SELECT o_custkey,
+        |        CAST(date_diff('day', last_d, hz) AS BIGINT) AS r_days,
+        |        f, m_cents FROM m, h),
+        |r AS (SELECT *,
+        |  (row_number() OVER (ORDER BY r_days, o_custkey) - 1) * 4
+        |    // count(*) OVER () + 1 AS r_q,
+        |  (row_number() OVER (ORDER BY f, o_custkey) - 1) * 4
+        |    // count(*) OVER () + 1 AS f_q,
+        |  (row_number() OVER (ORDER BY m_cents, o_custkey) - 1) * 4
+        |    // count(*) OVER () + 1 AS m_q
+        |  FROM b)
+        |SELECT o_custkey, r_days, f, m_cents, r_q, f_q, m_q,
+        |  r_q || '-' || f_q || '-' || m_q AS segment
+        |FROM r""".stripMargin,
+    // q230: identical md5-prefix bucket digests on both versions — the
+    // checksum algebra is engine-exact, so only truly differing buckets
+    // may surface.
+    "q230_merkle_diff" -> {
+      val hash = "CAST(sum(('0x' || substr(md5(concat_ws('|', " +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents",
+            "o_orderdate", "o_orderpriority")
+          .map(c => s"coalesce(CAST($c AS VARCHAR), '')").mkString(", ") +
+        ")), 1, 8))::UBIGINT) AS BIGINT)"
+      s"""WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         |              CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         |              o_orderpriority
+         |            FROM orders),
+         |v2 AS (SELECT o_orderkey, o_custkey,
+         |         CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         cents, o_orderdate, o_orderpriority
+         |       FROM v1 WHERE o_orderkey % 97 <> 0
+         |       UNION ALL
+         |       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         |         cents, o_orderdate, o_orderpriority
+         |       FROM v1 WHERE o_orderkey % 103 = 0),
+         |c1 AS (SELECT o_orderkey % 256 AS bucket, count(*) AS n_rows_v1,
+         |         $hash AS ck FROM v1 GROUP BY 1),
+         |c2 AS (SELECT o_orderkey % 256 AS bucket, count(*) AS n_rows_v2,
+         |         $hash AS ck FROM v2 GROUP BY 1)
+         |SELECT coalesce(c1.bucket, c2.bucket) AS bucket,
+         |  coalesce(n_rows_v1, 0) AS n_rows_v1,
+         |  coalesce(n_rows_v2, 0) AS n_rows_v2,
+         |  CASE WHEN c1.ck IS NULL THEN 'only_v2'
+         |       WHEN c2.ck IS NULL THEN 'only_v1'
+         |       ELSE 'differs' END AS status
+         |FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket
+         |WHERE c1.ck IS DISTINCT FROM c2.ck""".stripMargin
+    },
+    // q231: IN-subquery counts per table — the broadcast semi-join plans
+    // must return the same residual tallies.
+    "q231_rtbf_audit" ->
+      """WITH dl AS (SELECT c_custkey FROM customer WHERE c_custkey % 251 = 0)
+        |SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |       count(DISTINCT c_custkey) AS n_keys
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM dl)
+        |UNION ALL
+        |SELECT 'orders', count(*), count(DISTINCT o_custkey)
+        |FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dl)
+        |UNION ALL
+        |SELECT 'lineitem', count(*), count(DISTINCT o_custkey)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM dl)""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Intervals, Layout, TextAnalysis}
+import graft.operators.{Graph, Intervals, Layout, Segmentation, TableDiff, TextAnalysis}
 
 /** Round-6 operators: graph statistics (co-occurrence edges, degree-ordered
   * triangle counting), inverted-index postings, the column-encoding
@@ -118,5 +118,43 @@ class Round6OpsSpec extends SparkTestBase {
                            x.getAs[Long]("peak_concurrency"))).toMap
     assert(r("2024-01-01") === 2L)
     assert(r("2024-01-02") === 1L)
+  }
+
+  test("Segmentation.rfm: quartiles from exact ranks, key tiebreak") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 4 customers, clearly ordered on every metric.
+    val orders = Seq(
+      (1L, ts("2024-01-10"), 100.0), (1L, ts("2024-01-20"), 100.0),
+      (1L, ts("2024-02-01"), 100.0), (1L, ts("2024-02-10"), 100.0),
+      (2L, ts("2024-02-05"), 50.0), (2L, ts("2024-02-07"), 50.0),
+      (2L, ts("2024-02-08"), 50.0),
+      (3L, ts("2024-01-15"), 30.0), (3L, ts("2024-01-25"), 30.0),
+      (4L, ts("2024-01-05"), 10.0)
+    ).toDF("k", "d", "amt")
+    val r = Segmentation.rfm(orders, "k", "d", "amt")
+      .collect().map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("r_days"), x.getAs[Long]("f"),
+         x.getAs[Long]("m_cents"), x.getAs[String]("segment"))).toMap
+    // horizon = 2024-02-10. recency: c1=0d, c2=2d, c3=16d, c4=36d.
+    // frequency asc: c4=1, c3=2, c2=3, c1=4. monetary asc: c4 1000,
+    // c3 6000, c2 15000, c1 40000. With n=4 each rank is its own quartile.
+    assert(r(1L) === ((0L, 4L, 40000L, "1-4-4")))
+    assert(r(2L) === ((2L, 3L, 15000L, "2-3-3")))
+    assert(r(3L) === ((16L, 2L, 6000L, "3-2-2")))
+    assert(r(4L) === ((36L, 1L, 1000L, "4-1-1")))
+  }
+
+  test("TableDiff.merkleDiff: identical buckets vanish, changes classify") {
+    val v1 = Seq((0L, "a"), (1L, "b"), (2L, "c"), (10L, "d"))
+      .toDF("k", "v")   // buckets mod 10: 0 -> {0,10}, 1 -> {1}, 2 -> {2}
+    val v2 = Seq((0L, "a"), (1L, "B"), (10L, "d"), (25L, "e"))
+      .toDF("k", "v")   // bucket 1 differs, 2 only_v1, 5 only_v2, 0 equal
+    val d = TableDiff.merkleDiff(v1, v2, "k", 10, Seq("k", "v"))
+      .collect().map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_rows_v1"), x.getAs[Long]("n_rows_v2"),
+         x.getAs[String]("status"))).toMap
+    assert(d === Map(1L -> ((1L, 1L, "differs")),
+                     2L -> ((1L, 0L, "only_v1")),
+                     5L -> ((0L, 1L, "only_v2"))))
   }
 }
