@@ -2868,6 +2868,57 @@ object SparkEntry {
              countDistinct(col("o_custkey")).as("n_keys"))
         .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_keys"))
       cust.unionByName(ords).unionByName(li)
+    }),
+    "q232_fd_check" -> ((s, dir) =>
+      // Functional-dependency audit (X215): candidate key→attribute
+      // dependencies over the line fact, each one combine-planned
+      // two-level aggregate — the contract check a model runs before
+      // assuming a 1:1 (is a line's order really single-supplier?).
+      Profile.fdViolations(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        Seq("l_orderkey" -> "l_suppkey", "l_orderkey" -> "l_returnflag",
+            "l_partkey" -> "l_suppkey", "l_suppkey" -> "l_linestatus"))),
+    "q233_symspell" -> ((s, dir) =>
+      // SymSpell edit-distance join (X216): complete distance-1 pairs of
+      // part names via the deletion neighborhood — each vocab value
+      // explodes to length+1 variants, ONE variant equi-join generates
+      // candidates, levenshtein verifies exactly. The oracle runs the
+      // quadratic all-pairs levenshtein the neighborhood join avoids.
+      Linkage.symspellPairs(Tables.read(s, dir, "part"), "p_name")),
+    "q234_stream_sessions" -> ((s, dir) => {
+      // Streaming session windows, driver-checked end-to-end (X217):
+      // SessionStream (flatMapGroupsWithState, EventTimeTimeout) replayed
+      // over three time-ordered micro-batches must emit exactly the batch
+      // sessionization the oracle computes. Batches are ts prefixes (the
+      // ingest shape), the over-span watermark keeps late-merge hazards
+      // out of the harness, and two far-future sentinel batches advance
+      // the watermark so every open tail session times out and flushes.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val feed = ev(s, dir).filter(col("user_id") % 5 === 1)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+        .sortBy(_._2.getTime)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val sess = graft.streaming.SessionStream.sessions(
+        src.toDF().toDF("user_id", "ts", "event_type"),
+        gapMinutes = 30, watermarkDelay = "40 days")
+      val tbl = "q234_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sess.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      try {
+        val cut = feed.size / 3
+        Seq(feed.take(cut), feed.slice(cut, 2 * cut), feed.drop(2 * cut))
+          .foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+        src.addData((-1L, flush, "x")); q.processAllAvailable()
+        src.addData((-1L, new java.sql.Timestamp(flush.getTime + 3600000L), "x"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(tbl).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+                col("n_events"), col("n_event_types"))
     })
   )
 
@@ -3794,6 +3845,49 @@ object SparkEntry {
         |SELECT 'lineitem', count(*), count(DISTINCT o_custkey)
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey IN (SELECT c_custkey FROM dl)""".stripMargin,
+    // q232: textbook per-FD grouped distinct counts.
+    "q232_fd_check" -> {
+      def side(lhs: String, rhs: String) =
+        s"""SELECT '$lhs->$rhs' AS fd, count(*) AS n_lhs,
+           |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  max(ndv) AS max_fanout,
+           |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // count(*) AS violation_ppm
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS ndv
+           |      FROM lineitem GROUP BY 1)""".stripMargin
+      Seq("l_orderkey" -> "l_suppkey", "l_orderkey" -> "l_returnflag",
+          "l_partkey" -> "l_suppkey", "l_suppkey" -> "l_linestatus")
+        .map { case (l, r) => side(l, r) }.mkString("\nUNION ALL\n")
+    },
+    // q233: the quadratic all-pairs levenshtein over the distinct names —
+    // the deletion-neighborhood join must find exactly these pairs.
+    "q233_symspell" ->
+      """WITH v AS (SELECT lower(p_name) AS w, count(*) AS n FROM part
+        |           WHERE p_name IS NOT NULL AND length(p_name) > 0
+        |           GROUP BY 1)
+        |SELECT a.w AS value_a, b.w AS value_b,
+        |  CAST(levenshtein(a.w, b.w) AS INT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1""".stripMargin,
+    // q234: q39's batch sessionization on the user_id%5=1 slice — the
+    // streaming state machine must reproduce it session for session.
+    "q234_stream_sessions" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT * FROM src WHERE user_id % 5 = 1),
+         |g AS (SELECT user_id, ts, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                               ROWS UNBOUNDED PRECEDING) AS sess
+         |      FROM g)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events,
+         |       count(DISTINCT event_type) AS n_event_types
+         |FROM s GROUP BY user_id, sess""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

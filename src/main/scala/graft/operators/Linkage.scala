@@ -36,4 +36,43 @@ object Linkage {
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
       .filter(col("dist") <= maxDist)
   }
+
+  /** All edit-distance-≤1 pairs of distinct values of `textCol` via the
+    * SymSpell deletion neighborhood — no hand-chosen blocking key, and
+    * COMPLETE for distance 1 (unlike [[fuzzyPairs]], which misses pairs
+    * that differ inside the blocking key): two distinct strings are within
+    * one edit iff deleting at most one character from each makes them
+    * equal (substitution = same-position deletes; insert/delete =
+    * one-sided). Each value explodes to length+1 variants, pairs come from
+    * ONE equi-join on the variant (vocab-sized input, never the fact
+    * table), are deduped, then verified with `levenshtein` — the variant
+    * join is candidate generation only, so false positives (two deletes
+    * landing on the same string at distance 2) are filtered exactly.
+    *
+    * Output: `value_a` < `value_b`, `dist` (1), plus each value's source
+    * row count (the dedup/merge decision inputs).
+    */
+  def symspellPairs(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(lower(col(textCol)).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val variants = counts.select(col("w"),
+      explode(array_distinct(concat(array(col("w")),
+        expr("transform(sequence(1, length(w)), i -> " +
+             "concat(substring(w, 1, i - 1), substring(w, i + 1, 1000000)))"))))
+        .as("v"))
+    variants.as("_a")
+      .join(variants.as("_b"), col("_a.v") === col("_b.v"))
+      .filter(col("_a.w") < col("_b.w"))
+      .select(col("_a.w").as("value_a"), col("_b.w").as("value_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
+      .filter(col("dist") <= 1)
+      .join(counts.withColumnRenamed("w", "value_a")
+              .withColumnRenamed("n", "n_a"), Seq("value_a"))
+      .join(counts.withColumnRenamed("w", "value_b")
+              .withColumnRenamed("n", "n_b"), Seq("value_b"))
+      .select(col("value_a"), col("value_b"), col("dist"),
+              col("n_a"), col("n_b"))
+  }
 }

@@ -390,4 +390,29 @@ object Profile {
       .withColumn("lo_edge",
                   lit(lo) + col("micro_min") * lit((hi - lo) / microBins))
   }
+
+  /** Functional-dependency violation audit: for each candidate `lhs → rhs`
+    * how many lhs groups exist, how many carry more than one distinct rhs
+    * (the violations), and the worst fan-out. The schema-inference /
+    * data-contract check ("is order → supplier really 1:1?") run BEFORE a
+    * model assumes the dependency.
+    *
+    * Each FD is one two-level aggregate: Spark plans the distinct as a
+    * partial (lhs, rhs) combine, so nothing fact-sized shuffles twice and
+    * no group's rhs set ever materializes. NULL rhs is ignored (SQL
+    * semantics: a NULL can't witness a violation); NULL lhs forms its own
+    * group.
+    */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
+    fds.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("_ndv"))
+        .agg(count(lit(1)).as("n_lhs"),
+             sum(when(col("_ndv") > 1, 1L).otherwise(0L)).as("n_violating"),
+             max(col("_ndv")).as("max_fanout"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+                col("n_violating"), col("max_fanout"))
+        .withColumn("violation_ppm",
+                    expr("n_violating * 1000000L DIV n_lhs"))
+    }.reduce(_ unionByName _)
 }

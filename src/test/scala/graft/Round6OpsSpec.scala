@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Intervals, Layout, Segmentation, TableDiff, TextAnalysis}
+import graft.operators.{Graph, Intervals, Layout, Linkage, Profile, Segmentation, TableDiff, TextAnalysis}
 
 /** Round-6 operators: graph statistics (co-occurrence edges, degree-ordered
   * triangle counting), inverted-index postings, the column-encoding
@@ -156,5 +156,35 @@ class Round6OpsSpec extends SparkTestBase {
     assert(d === Map(1L -> ((1L, 1L, "differs")),
                      2L -> ((1L, 0L, "only_v1")),
                      5L -> ((0L, 1L, "only_v2"))))
+  }
+
+  test("Profile.fdViolations: holds, violated, fan-out, null rhs ignored") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),       // k=1 consistent
+      (2L, "b", "x"), (2L, "c", "x"),       // k=2 violates k->v (fanout 2)
+      (3L, "d", "y"), (3L, null, "y")       // null rhs can't witness
+    ).toDF("k", "v", "z")
+    val r = Profile.fdViolations(df, Seq("k" -> "v", "k" -> "z"))
+      .collect().map(x => x.getAs[String]("fd") ->
+        (x.getAs[Long]("n_lhs"), x.getAs[Long]("n_violating"),
+         x.getAs[Long]("max_fanout"))).toMap
+    assert(r("k->v") === ((3L, 1L, 2L)))
+    assert(r("k->z") === ((3L, 0L, 1L)))
+  }
+
+  test("Linkage.symspellPairs: substitution, insert/delete, not distance 2") {
+    val df = Seq("cold", "cold", "bold", "colds", "cavld", "zzzz")
+      .toDF("name")
+    val pairs = Linkage.symspellPairs(df, "name")
+      .collect().map(r => (r.getAs[String]("value_a"),
+                           r.getAs[String]("value_b"),
+                           r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSet
+    // cold~bold (substitution), cold~colds (insertion); cavld is distance
+    // 2 from cold (shares the deletion variant "cld" with... it doesn't —
+    // but shares "cvld"? cold deletes to {old,cld,cod,col,cold}; cavld
+    // deletes to {avld,cvld,cald,cavd,cavl,cavld}: disjoint, and even a
+    // shared variant would be rejected by the levenshtein verify).
+    assert(pairs === Set(("bold", "cold", 1L, 2L),
+                         ("cold", "colds", 2L, 1L)))
   }
 }
