@@ -2919,6 +2919,73 @@ object SparkEntry {
       s.table(tbl).filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),
                 col("n_events"), col("n_event_types"))
+    }),
+    "q235_small_qty_revenue" -> ((s, dir) => {
+      // Decorrelated per-group-average filter (X218, the TPC-H Q17 shape):
+      // revenue locked in lines ordering under 20% of their part's average
+      // quantity. The textbook correlated scalar subquery re-aggregates
+      // the fact per probe row — the oracle runs it; here ONE per-part
+      // (sum, count) rollup joins back and the 0.2·avg compare is integer
+      // cross-multiplied (5·qty·n < Σqty in micros — no float division,
+      // no order-dependent average).
+      val q = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_partkey"),
+                expr("CAST(floor(l_quantity * 1000000) AS BIGINT)").as("qm"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val pa = q.groupBy(col("l_partkey"))
+        .agg(sum(col("qm")).as("_sq"), count(lit(1)).as("_nq"))
+      q.join(pa, Seq("l_partkey"))
+        .filter(lit(5L) * col("qm") * col("_nq") < col("_sq"))
+        .agg(count(lit(1)).as("n_lines"),
+             coalesce(sum(col("cents")), lit(0L)).as("rev_cents"))
+    }),
+    "q236_cumulative_users" -> ((s, dir) => {
+      // Cumulative distinct users (X219): the running-distinct scale trap
+      // (a distinct set that only grows) solved by first-touch reduction —
+      // each user collapses to their first active day (one combine
+      // rollup), daily new-user counts prefix-sum over the bounded day
+      // dimension, and running distinct = cumulative new users. The
+      // oracle recomputes via the same identity with a plain window.
+      val e = ev(s, dir).select(col("user_id"),
+                                date_trunc("DAY", col("ts")).as("day"))
+      val active = e.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val news = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      active.join(news, Seq("day"), "left_outer")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("n_cum", sum(col("n_new")).over(wc))
+        .select(col("day"), col("n_new"), col("n_cum"), col("n_active"))
+    }),
+    "q237_langid_calibration" -> ((s, dir) => {
+      // Language-ID calibration (X220): does the stopword-vote margin
+      // predict accuracy? Margin deciles via cellRank exact ranks (no
+      // global ntile sort), accuracy against the labeled lang per decile
+      // in integer ppm — the eval table that picks the router threshold.
+      val langs = TextAnalysis.Stopwords.keys.toSeq
+      val votes = array(langs.map(l =>
+        struct(TextAnalysis.stopwordHits(col("text"), l).as("v"),
+               lit(l).as("lang"))): _*)
+      val scored = docs(s, dir)
+        .withColumn("_sorted", reverse(array_sort(votes)))
+        .select(col("doc_id"), col("lang"),
+                col("_sorted")(0).getField("lang").as("top_lang"),
+                (col("_sorted")(0).getField("v") -
+                 col("_sorted")(1).getField("v")).cast("long").as("margin"))
+        .withColumn("_all", lit(1))
+      Profile.cellRank(scored, Seq("_all"), "margin", Seq("doc_id"))
+        .withColumn("decile", expr("(_rank - 1) * 10 DIV _n + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("top_lang") === col("lang"), 1L).otherwise(0L))
+               .as("n_correct"),
+             min(col("margin")).as("margin_min"),
+             max(col("margin")).as("margin_max"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000L DIV n_docs"))
     })
   )
 
@@ -3888,6 +3955,61 @@ object SparkEntry {
          |       count(*) AS n_events,
          |       count(DISTINCT event_type) AS n_event_types
          |FROM s GROUP BY user_id, sess""".stripMargin,
+    // q235: the textbook correlated scalar-subquery formulation — the
+    // one-rollup decorrelated plan must produce the identical tally.
+    "q235_small_qty_revenue" ->
+      """WITH q AS (SELECT l_partkey,
+        |             CAST(floor(l_quantity * 1000000) AS BIGINT) AS qm,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem)
+        |SELECT count(*) AS n_lines,
+        |  coalesce(CAST(sum(cents) AS BIGINT), 0) AS rev_cents
+        |FROM q q1
+        |WHERE 5 * qm * (SELECT count(*) FROM q q2
+        |                WHERE q2.l_partkey = q1.l_partkey)
+        |    < (SELECT CAST(sum(qm) AS BIGINT) FROM q q3
+        |       WHERE q3.l_partkey = q1.l_partkey)""".stripMargin,
+    // q236: same first-touch identity, plain global window.
+    "q236_cumulative_users" ->
+      s"""WITH $SrcCte,
+         |e AS (SELECT user_id, date_trunc('day', ts) AS day FROM src),
+         |a AS (SELECT day, count(DISTINCT user_id) AS n_active
+         |      FROM e GROUP BY 1),
+         |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+         |n AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+         |SELECT a.day, coalesce(n_new, 0) AS n_new,
+         |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY a.day
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+         |  n_active
+         |FROM a LEFT JOIN n ON a.day = n.day""".stripMargin,
+    // q237: q177's vote/margin SQL + plain row_number deciles + the
+    // labeled-lang accuracy rollup.
+    "q237_langid_calibration" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS $l").mkString(",\n")}
+         |FROM (SELECT doc_id, text, lang,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |      FROM documents)),
+         |m AS (SELECT doc_id, lang, en, es, fr, de,
+         |        greatest(en, es, fr, de) AS mx FROM h),
+         |sc AS (SELECT doc_id, lang,
+         |  CASE WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+         |       WHEN en = mx THEN 'en' ELSE 'de' END AS top_lang,
+         |  CAST(mx - CASE WHEN fr = mx THEN greatest(es, en, de)
+         |                 WHEN es = mx THEN greatest(fr, en, de)
+         |                 WHEN en = mx THEN greatest(fr, es, de)
+         |                 ELSE greatest(fr, es, en) END AS BIGINT) AS margin
+         |  FROM m),
+         |r AS (SELECT *, (row_number() OVER (ORDER BY margin, doc_id) - 1)
+         |        * 10 // count(*) OVER () + 1 AS decile FROM sc)
+         |SELECT decile, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN top_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  min(margin) AS margin_min, max(margin) AS margin_max,
+         |  CAST(sum(CASE WHEN top_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS acc_ppm
+         |FROM r GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
