@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Segmentation, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TableDiff, TextAnalysis, Trend}
+import graft.operators.{Association, BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Segmentation, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TableDiff, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2986,6 +2986,40 @@ object SparkEntry {
              min(col("margin")).as("margin_min"),
              max(col("margin")).as("margin_max"))
         .withColumn("acc_ppm", expr("n_correct * 1000000L DIV n_docs"))
+    }),
+    "q238_basket_rules" -> ((s, dir) =>
+      // Market-basket association rules (X221): directed
+      // support/confidence/lift over order baskets — candidate pairs from
+      // one basket self-join on the DISTINCT (order, part) projection,
+      // item counts and the basket total broadcast back; DECIMAL-guarded
+      // lift stays exact-integer ppm.
+      Association.rules(Tables.spread(s, Tables.read(s, dir, "lineitem")),
+                        "l_orderkey", "l_partkey", minBaskets = 3L)),
+    "q239_id_gaps" -> ((s, dir) =>
+      // Sequence-gap audit (X222): missing event_id ranges within the
+      // click slice — in-bucket lead windows + facing-pair stitching over
+      // the bounded bucket dim; the oracle runs the id - row_number()
+      // islands trick over one global sort.
+      Intervals.sequenceGaps(
+        ev(s, dir).filter(col("event_type") === "click"), "event_id",
+        bucketSize = 1024L)),
+    "q240_bitemporal_point" -> ((s, dir) => {
+      // Bitemporal point query (X223): "what did we BELIEVE at load 1
+      // about the state valid at time T" — transaction-time cut (only the
+      // first load's rows exist) composed with a valid-time cut (asOf at
+      // the full-feed midpoint). Distinct from q99, which cuts valid time
+      // over full knowledge; here later-arriving corrections are invisible
+      // by construction.
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val t = row.getLong(0) + (row.getLong(1) - row.getLong(0)) / 2
+      val tTs = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        t / 1000000L, (t % 1000000L) * 1000L))
+      Scd2.asOf(
+        Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg),
+        tTs, evCfg)
     })
   )
 
@@ -4010,6 +4044,59 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN top_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
          |    * 1000000 // count(*) AS acc_ppm
          |FROM r GROUP BY 1""".stripMargin,
+    // q238: textbook pair counting + metric arithmetic, both directions.
+    "q238_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |ic AS (SELECT i, count(*) AS cnt FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT b) AS nb FROM items),
+        |p AS (SELECT a.i AS x, c.i AS y, count(*) AS n_both
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT x AS antecedent, y AS consequent, n_both FROM p
+        |      UNION ALL
+        |      SELECT y, x, n_both FROM p)
+        |SELECT antecedent, consequent, n_both,
+        |  n_both * 1000000 // nb AS support_ppm,
+        |  n_both * 1000000 // na.cnt AS confidence_ppm,
+        |  CAST(n_both * nb * 1000000 // (na.cnt * nc.cnt) AS BIGINT)
+        |    AS lift_ppm
+        |FROM d JOIN ic na ON d.antecedent = na.i
+        |       JOIN ic nc ON d.consequent = nc.i
+        |       CROSS JOIN tot""".stripMargin,
+    // q239: the id - row_number() islands trick over one global sort — the
+    // bucketed stitch must find exactly the same interior gaps.
+    "q239_id_gaps" ->
+      s"""WITH $SrcCte,
+         |ids AS (SELECT DISTINCT event_id AS id FROM src
+         |        WHERE event_type = 'click'),
+         |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp
+         |      FROM ids),
+         |i AS (SELECT min(id) AS lo, max(id) AS hi FROM g GROUP BY grp),
+         |gaps AS (SELECT hi + 1 AS gap_start,
+         |           lead(lo) OVER (ORDER BY lo) - 1 AS gap_end
+         |         FROM i)
+         |SELECT gap_start, gap_end, gap_end - gap_start + 1 AS gap_len
+         |FROM gaps WHERE gap_end IS NOT NULL""".stripMargin,
+    // q240: q99's as-of SELECT over a history built from ONLY the first
+    // load's rows (transaction-time cut), valid-time cut at the full-feed
+    // midpoint.
+    "q240_bitemporal_point" ->
+      s"""WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+         |               event_type, value, props FROM events
+         |             WHERE event_id % 2 = 0),
+         |b AS (SELECT epoch_us(min(CAST(ts AS TIMESTAMP))) AS lo,
+         |             epoch_us(max(CAST(ts AS TIMESTAMP))) AS hi
+         |      FROM events),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) // 2) AS t FROM b),
+         |hist AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  true AS _is_current, _valid_from, _valid_to, _change_type
+         |FROM hist
+         |WHERE _valid_from <= (SELECT t FROM cut)
+         |  AND _valid_to > (SELECT t FROM cut)""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -165,4 +165,37 @@ object Intervals {
               (col("_carry") + col("_local_peak")).as("peak_concurrency"),
               col("n_boundaries"))
   }
+
+  /** Missing ranges in an integer id sequence — the backfill/audit query
+    * ("which event ids never arrived") whose textbook form is the
+    * `id - row_number()` islands trick over ONE global sort. Distributed:
+    * ids bucket by `id DIV bucketSize`, in-bucket gaps come from parallel
+    * `lead` windows, and cross-bucket gaps from facing (last, next-first)
+    * pairs over the bounded bucket dimension — the encodingReport stitch,
+    * applied to sequence topology. Gaps interior to the observed range
+    * only (nothing before the min or after the max id).
+    */
+  def sequenceGaps(df: DataFrame, idCol: String,
+                   bucketSize: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DimKey
+    val ids = df.select(col(idCol).cast("long").as("_id")).distinct()
+      .withColumn("_b", expr(s"_id DIV $bucketSize"))
+    val wl = Window.partitionBy(col("_b")).orderBy(col("_id"))
+    val inner = ids.withColumn("_next", lead(col("_id"), 1).over(wl))
+      .filter(col("_next").isNotNull && col("_next") - col("_id") > 1)
+      .select((col("_id") + 1).as("gap_start"),
+              (col("_next") - 1).as("gap_end"))
+    val bounds = ids.groupBy(col("_b"))
+      .agg(min(col("_id")).as("_first"), max(col("_id")).as("_last"))
+    val wd = Window.partitionBy(DimKey.one).orderBy(col("_b"))
+    val cross = bounds
+      .withColumn("_nextFirst", lead(col("_first"), 1).over(wd))
+      .filter(col("_nextFirst").isNotNull &&
+                col("_nextFirst") - col("_last") > 1)
+      .select((col("_last") + 1).as("gap_start"),
+              (col("_nextFirst") - 1).as("gap_end"))
+    inner.unionByName(cross)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1L)
+  }
 }

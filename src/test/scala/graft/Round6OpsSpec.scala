@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Intervals, Layout, Linkage, Profile, Segmentation, TableDiff, TextAnalysis}
+import graft.operators.{Association, Graph, Intervals, Layout, Linkage, Profile, Segmentation, TableDiff, TextAnalysis}
 
 /** Round-6 operators: graph statistics (co-occurrence edges, degree-ordered
   * triangle counting), inverted-index postings, the column-encoding
@@ -186,5 +186,38 @@ class Round6OpsSpec extends SparkTestBase {
     // shared variant would be rejected by the levenshtein verify).
     assert(pairs === Set(("bold", "cold", 1L, 2L),
                          ("cold", "colds", 2L, 1L)))
+  }
+
+  test("Association.rules: support/confidence/lift on a known basket set") {
+    // 4 baskets: {1,2} {1,2} {1,3} {2}; duplicate items within a basket
+    // must collapse before counting.
+    val df = Seq((10, 1), (10, 2), (10, 2), (20, 1), (20, 2), (30, 1),
+                 (30, 3), (40, 2)).toDF("b", "i")
+    val r = Association.rules(df, "b", "i", minBaskets = 2L)
+      .collect().map(x => (x.getAs[Int]("antecedent"),
+                           x.getAs[Int]("consequent")) ->
+        (x.getAs[Long]("n_both"), x.getAs[Long]("support_ppm"),
+         x.getAs[Long]("confidence_ppm"), x.getAs[Long]("lift_ppm"))).toMap
+    // pair {1,2}: 2 baskets of 4; n(1)=3, n(2)=3.
+    // support 500000; conf 1->2 = 2/3 = 666666; lift = 2*4/(3*3) = 888888.
+    assert(r((1, 2)) === ((2L, 500000L, 666666L, 888888L)))
+    assert(r((2, 1)) === ((2L, 500000L, 666666L, 888888L)))
+    assert(!r.contains((1, 3))) // only 1 shared basket < minBaskets
+  }
+
+  test("Intervals.sequenceGaps: in-bucket and cross-bucket gaps") {
+    // bucketSize 10: ids 1,2,5 | 17 | 23,24. Gaps: 3-4 (in-bucket),
+    // 6-16 (cross: bucket 0 last=5 -> bucket 1 first=17), 18-22 (cross).
+    val df = Seq(1L, 2L, 5L, 17L, 23L, 24L, 24L).toDF("id")
+    val gaps = Intervals.sequenceGaps(df, "id", bucketSize = 10L)
+      .collect().map(r => (r.getAs[Long]("gap_start"),
+                           r.getAs[Long]("gap_end"),
+                           r.getAs[Long]("gap_len"))).toSet
+    assert(gaps === Set((3L, 4L, 2L), (6L, 16L, 11L), (18L, 22L, 5L)))
+  }
+
+  test("Intervals.sequenceGaps: dense sequence has none") {
+    val df = (100L to 120L).toDF("id")
+    assert(Intervals.sequenceGaps(df, "id", 7L).count() === 0L)
   }
 }
