@@ -3020,6 +3020,64 @@ object SparkEntry {
       Scd2.asOf(
         Scd2.initialLoad(all.filter(col("event_id") % 2 === 0), evCfg),
         tTs, evCfg)
+    }),
+    "q241_weighted_median" -> ((s, dir) =>
+      // Exact weighted median (X224): price cents weighted by quantity
+      // micros per return flag — cellRank's micro-cell two-phase carried
+      // to weights, so 3 groups over a 100 TB fact never sort in one
+      // partition. The oracle runs the textbook cumulative-weight window.
+      Profile.weightedMedian(
+        Tables.spread(s, Tables.read(s, dir, "lineitem"))
+          .select(col("l_returnflag"),
+                  expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                    .as("cents"),
+                  expr("CAST(floor(l_quantity * 1000000) AS BIGINT)")
+                    .as("qm")),
+        "l_returnflag", "cents", "qm")),
+    "q242_golden_record" -> ((s, dir) => {
+      // Golden-record survivorship (X225): parts sharing a (lowercased)
+      // name merge field-wise — modal brand/type with deterministic
+      // count-desc value-asc tiebreak via min(struct(-cnt, val)) (argmax
+      // without a window), min key as survivor id, max size/price. The
+      // MDM merge step after linkage finds the clusters.
+      val p = Tables.read(s, dir, "part")
+        .withColumn("cluster", lower(col("p_name")))
+        .withColumn("cents", expr("CAST(floor(p_retailprice * 100) AS BIGINT)"))
+      def modal(c: String, out: String) =
+        p.groupBy(col("cluster"), col(c)).agg(count(lit(1)).as("_n"))
+          .groupBy(col("cluster"))
+          .agg(min(struct((-col("_n")).as("_neg"), col(c).as("_v")))
+                 .getField("_v").as(out))
+      p.groupBy(col("cluster"))
+        .agg(min(col("p_partkey")).as("survivor_id"),
+             count(lit(1)).as("n_members"),
+             max(col("p_size")).as("max_size"),
+             max(col("cents")).as("max_price_cents"))
+        .join(modal("p_brand", "brand"), Seq("cluster"))
+        .join(modal("p_type", "type_"), Seq("cluster"))
+    }),
+    "q243_also_bought" -> ((s, dir) => {
+      // Per-item recommendations (X226): top-3 co-ordered partners per
+      // part by (co-order count desc, partner asc) — symmetrized pair
+      // counts off the distinct basket projection, ranked inside each
+      // item's partition (item keys are many: the window parallelizes,
+      // unlike a global top-k).
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val pairs = items.as("_a")
+        .join(items.as("_x"),
+              col("_a.b") === col("_x.b") && col("_a.i") < col("_x.i"))
+        .groupBy(col("_a.i").as("x"), col("_x.i").as("y"))
+        .agg(count(lit(1)).as("n_co"))
+      val sym = pairs.select(col("x").as("item"), col("y").as("partner"),
+                             col("n_co"))
+        .unionAll(pairs.select(col("y").as("item"), col("x").as("partner"),
+                               col("n_co")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("n_co").desc, col("partner").asc)
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
     })
   )
 
@@ -4097,6 +4155,59 @@ object SparkEntry {
          |FROM hist
          |WHERE _valid_from <= (SELECT t FROM cut)
          |  AND _valid_to > (SELECT t FROM cut)""".stripMargin,
+    // q241: the textbook cumulative-weight window — the two-phase pivot
+    // must select the identical lower weighted median.
+    "q241_weighted_median" ->
+      """WITH q AS (SELECT l_returnflag AS g,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |             CAST(floor(l_quantity * 1000000) AS BIGINT) AS wt
+        |           FROM lineitem),
+        |w AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS vw
+        |      FROM q GROUP BY 1, 2),
+        |c AS (SELECT g, v, vw,
+        |        CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS W
+        |      FROM w)
+        |SELECT g AS l_returnflag, v AS w_median, W AS total_weight
+        |FROM c WHERE 2 * cum >= W AND 2 * (cum - vw) < W""".stripMargin,
+    // q242: same field-wise survivorship with window-rank modal choice.
+    "q242_golden_record" ->
+      """WITH p AS (SELECT lower(p_name) AS cluster, p_partkey, p_brand,
+        |             p_type, p_size,
+        |             CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        |           FROM part),
+        |base AS (SELECT cluster, min(p_partkey) AS survivor_id,
+        |           count(*) AS n_members, max(p_size) AS max_size,
+        |           max(cents) AS max_price_cents
+        |         FROM p GROUP BY 1),
+        |b1 AS (SELECT cluster, p_brand AS brand, row_number() OVER
+        |         (PARTITION BY cluster
+        |          ORDER BY count(*) DESC, p_brand ASC) AS rn
+        |       FROM p GROUP BY cluster, p_brand),
+        |t1 AS (SELECT cluster, p_type AS type_, row_number() OVER
+        |         (PARTITION BY cluster
+        |          ORDER BY count(*) DESC, p_type ASC) AS rn
+        |       FROM p GROUP BY cluster, p_type)
+        |SELECT base.cluster, survivor_id, n_members, max_size,
+        |       max_price_cents, brand, type_
+        |FROM base JOIN b1 ON base.cluster = b1.cluster AND b1.rn = 1
+        |          JOIN t1 ON base.cluster = t1.cluster AND t1.rn = 1"""
+        .stripMargin,
+    // q243: identical symmetrized pair counts + per-item rank window.
+    "q243_also_bought" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y, count(*) AS n_co
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2),
+        |sym AS (SELECT x AS item, y AS partner, n_co FROM p
+        |        UNION ALL SELECT y, x, n_co FROM p),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |        ORDER BY n_co DESC, partner ASC) AS INT) AS rank
+        |      FROM sym)
+        |SELECT item, partner, n_co, rank FROM r WHERE rank <= 3"""
+        .stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -403,6 +403,61 @@ object Profile {
     * semantics: a NULL can't witness a violation); NULL lhs forms its own
     * group.
     */
+  /** Exact weighted median per group (lower weighted median: the smallest
+    * value v with 2·cumWeight(v) ≥ totalWeight) — the [[cellRank]] two-
+    * phase decomposition carried over to weights, so low-cardinality
+    * groups over a 100 TB fact never sort in one partition:
+    *
+    *  1. ONE combine-enabled aggregate rolls (group, micro-cell) weight
+    *     sums; a window over the ≤ groups·microBins rollup finds each
+    *     group's pivot cell (the first whose cumulative weight crosses
+    *     half) and the weight landing before it.
+    *  2. Only rows of the pivot cell re-aggregate per exact value
+    *     (~1/microBins of a group), and the median is the first value
+    *     whose offset + in-cell cumulative weight crosses half.
+    *
+    * Integer weights ⇒ the crossing test `2·cum ≥ W` is exact in any
+    * engine. Output: group, `w_median`, `total_weight`.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, microBins: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("_mn"),
+                        max(col(valueCol)).cast("double").as("_mx"))
+    val rawCell = floor((col(valueCol).cast("double") - col("_mn"))
+      * lit(microBins.toDouble) / (col("_mx") - col("_mn")))
+    val cellExpr = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(greatest(rawCell, lit(0.0)), lit(microBins - 1.0)))
+      .cast("long")
+    val withCell = df.crossJoin(broadcast(bounds))
+      .withColumn("_cell", cellExpr)
+      .select(col(groupCol), col(valueCol), col(weightCol), col("_cell"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col(groupCol))
+    val pivot = withCell
+      .groupBy(col(groupCol), col("_cell"))
+      .agg(sum(col(weightCol)).as("_cw"))
+      .withColumn("_cum", sum(col("_cw")).over(wCum))
+      .withColumn("_W", sum(col("_cw")).over(wG))
+      .filter(col("_cum") * 2 >= col("_W") &&
+                (col("_cum") - col("_cw")) * 2 < col("_W"))
+      .select(col(groupCol), col("_cell"),
+              (col("_cum") - col("_cw")).as("_before"), col("_W"))
+    val wVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withCell
+      .join(broadcast(pivot), Seq(groupCol, "_cell"))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("_vw"),
+           first(col("_before")).as("_before"), first(col("_W")).as("_W"))
+      .withColumn("_vcum", col("_before") + sum(col("_vw")).over(wVal))
+      .filter(col("_vcum") * 2 >= col("_W") &&
+                (col("_vcum") - col("_vw")) * 2 < col("_W"))
+      .select(col(groupCol), col(valueCol).as("w_median"),
+              col("_W").as("total_weight"))
+  }
+
   def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
     fds.map { case (lhs, rhs) =>
       df.groupBy(col(lhs))

@@ -220,4 +220,27 @@ class Round6OpsSpec extends SparkTestBase {
     val df = (100L to 120L).toDF("id")
     assert(Intervals.sequenceGaps(df, "id", 7L).count() === 0L)
   }
+
+  test("Profile.weightedMedian: lower weighted median, exact crossings") {
+    val df = Seq(
+      // g1: values 1(w3), 2(w1), 3(w2): W=6, cum(1)=3 -> 2*3 >= 6 => 1
+      ("g1", 1L, 3L), ("g1", 2L, 1L), ("g1", 3L, 2L),
+      // g2: values 10(w1), 20(w2): W=3, cum(10)=1 (2<3), cum(20)=3 => 20
+      ("g2", 10L, 1L), ("g2", 20L, 2L),
+      // g3: single value
+      ("g3", 7L, 5L)
+    ).toDF("g", "v", "wt")
+    val r = Profile.weightedMedian(df, "g", "v", "wt", microBins = 4)
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("w_median"), x.getAs[Long]("total_weight"))).toMap
+    assert(r === Map("g1" -> ((1L, 6L)), "g2" -> ((20L, 3L)),
+                     "g3" -> ((7L, 5L))))
+  }
+
+  test("Profile.weightedMedian: agrees with unweighted median at weight 1") {
+    val vals = Seq(5L, 1L, 9L, 3L, 7L, 11L, 13L) // median 7
+    val df = vals.map(v => ("g", v, 1L)).toDF("g", "v", "wt")
+    val r = Profile.weightedMedian(df, "g", "v", "wt").collect()(0)
+    assert(r.getAs[Long]("w_median") === 7L)
+  }
 }
