@@ -3078,6 +3078,80 @@ object SparkEntry {
         .orderBy(col("n_co").desc, col("partner").asc)
       sym.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
+    }),
+    "q244_accumulating_snapshot" -> ((s, dir) =>
+      // Accumulating-snapshot fact (X227): one row per order carrying its
+      // lifecycle milestones — line count, first/last ship, return flag,
+      // fulfillment days — the Kimball pattern for process-tracking facts.
+      // One line rollup + one key join; both sides shuffle once on the
+      // order key (co-partitioned, AQE-broadcastable when dims allow).
+      Tables.read(s, dir, "orders")
+        .join(Tables.spread(s, Tables.read(s, dir, "lineitem"))
+                .groupBy(col("l_orderkey"))
+                .agg(count(lit(1)).as("n_lines"),
+                     min(col("l_shipdate")).as("first_ship"),
+                     max(col("l_shipdate")).as("last_ship"),
+                     max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+                       .as("any_return")),
+              col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+                coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+                col("first_ship"), col("last_ship"),
+                coalesce(col("any_return"), lit(0L)).as("any_return"),
+                datediff(col("last_ship"), col("o_orderdate")).cast("long")
+                  .as("fulfillment_days"))),
+    "q245_cusum_break" -> ((s, dir) => {
+      // CUSUM change-point (X228): per event type, the day where the
+      // cumulative daily value-micro total deviates most from the uniform
+      // trajectory. dev_k = C_k·D − k·S is the CUSUM statistic multiplied
+      // through by D — pure integers, no rational mean ever computed; the
+      // argmax picks via min(struct(−|dev|, day)), DECIMAL guards the ppm.
+      // All windows live on the bounded (type × day) rollup.
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+                 date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("t"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("k", row_number().over(wOrd))
+        .withColumn("C", sum(col("t")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("D", count(lit(1)).over(wAll))
+        .withColumn("S", sum(col("t")).over(wAll))
+        .withColumn("dev", abs(col("C") * col("D") - col("k") * col("S")))
+        .groupBy(col("event_type"))
+        .agg(min(struct((-col("dev")).as("_nd"), col("day").as("_d")))
+               .as("_pick"),
+             first(col("D")).as("n_days"), first(col("S")).as("total_micro"))
+        .select(col("event_type"),
+                col("_pick").getField("_d").as("break_day"),
+                (-col("_pick").getField("_nd")).as("max_dev"),
+                col("n_days"), col("total_micro"))
+        .withColumn("dev_ppm", expr(
+          "CAST(CAST(max_dev AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(total_micro AS DECIMAL(38,0)) * n_days) AS BIGINT)"))
+    }),
+    "q246_session_handoff" -> ((s, dir) => {
+      // Session handoff matrix (X229): how sessions END versus how the
+      // user's NEXT session begins — the re-engagement transition the
+      // within-session matrix (q87) can't see. First/last event per
+      // session via one deterministic struct-min/max (ts, event_id
+      // tiebreak); the handoff lead window runs per user (many keys,
+      // parallel).
+      import org.apache.spark.sql.expressions.Window
+      val sess = Sessionize.assign(ev(s, dir), "user_id", "ts", 30)
+        .groupBy(col("user_id"), col("_session"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+               .getField("event_type").as("first_type"),
+             max(struct(col("ts"), col("event_id"), col("event_type")))
+               .getField("event_type").as("last_type"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("_session"))
+      sess.withColumn("to_type", lead(col("first_type"), 1).over(wU))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("last_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_handoffs"))
     })
   )
 
@@ -4208,6 +4282,74 @@ object SparkEntry {
         |      FROM sym)
         |SELECT item, partner, n_co, rank FROM r WHERE rank <= 3"""
         .stripMargin,
+    // q244: plain rollup + left join.
+    "q244_accumulating_snapshot" ->
+      """WITH l AS (SELECT l_orderkey, count(*) AS n_lines,
+        |             min(CAST(l_shipdate AS TIMESTAMP)) AS first_ship,
+        |             max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship,
+        |             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |               AS any_return
+        |           FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  o_orderstatus,
+        |  coalesce(n_lines, 0) AS n_lines, first_ship, last_ship,
+        |  CAST(coalesce(any_return, 0) AS BIGINT) AS any_return,
+        |  CAST(date_diff('day', CAST(o_orderdate AS TIMESTAMP), last_ship)
+        |       AS BIGINT) AS fulfillment_days
+        |FROM orders LEFT JOIN l ON o_orderkey = l_orderkey""".stripMargin,
+    // q245: same integer CUSUM with a rank-window argmax.
+    "q245_cusum_break" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS t
+         |      FROM src GROUP BY 1, 2),
+         |c AS (SELECT event_type, day, t,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |          AS k,
+         |        CAST(sum(t) OVER (PARTITION BY event_type ORDER BY day
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS C,
+         |        count(*) OVER (PARTITION BY event_type) AS D,
+         |        CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS S
+         |      FROM d),
+         |v AS (SELECT event_type, day, abs(C * D - k * S) AS dev, D, S
+         |      FROM c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY dev DESC, day ASC) AS rn FROM v)
+         |SELECT event_type, day AS break_day, dev AS max_dev,
+         |  CAST(D AS BIGINT) AS n_days, S AS total_micro,
+         |  CAST(dev * 1000000 // (S * D) AS BIGINT) AS dev_ppm
+         |FROM r WHERE rn = 1""".stripMargin,
+    // q246: q39's session derivation; first/last per session via rank
+    // windows (equivalent to the struct min/max under unique (ts, id)).
+    "q246_session_handoff" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |se AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sess
+         |       FROM g),
+         |x AS (SELECT user_id, sess, event_type,
+         |        row_number() OVER (PARTITION BY user_id, sess
+         |                           ORDER BY ts, event_id) AS rf,
+         |        row_number() OVER (PARTITION BY user_id, sess
+         |                           ORDER BY ts DESC, event_id DESC) AS rl
+         |      FROM se),
+         |fst AS (SELECT user_id, sess, event_type AS first_type
+         |        FROM x WHERE rf = 1),
+         |lst AS (SELECT user_id, sess, event_type AS last_type
+         |        FROM x WHERE rl = 1),
+         |j AS (SELECT f.user_id, f.sess, first_type, last_type
+         |      FROM fst f JOIN lst l
+         |        ON f.user_id = l.user_id AND f.sess = l.sess),
+         |h AS (SELECT last_type, lead(first_type) OVER
+         |        (PARTITION BY user_id ORDER BY sess) AS to_type FROM j)
+         |SELECT last_type AS from_type, to_type,
+         |  count(*) AS n_handoffs
+         |FROM h WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
