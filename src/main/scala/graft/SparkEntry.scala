@@ -3152,6 +3152,75 @@ object SparkEntry {
         .filter(col("to_type").isNotNull)
         .groupBy(col("last_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_handoffs"))
+    }),
+    "q247_watermark_advisor" -> ((s, dir) => {
+      // Watermark advisor (X230): per-key event-time disorder under the
+      // arrival order (event_id) — how late does an event arrive behind
+      // its user's running event-time max? The number that PICKS a
+      // watermark delay (and checks the upstream per-key ordering
+      // contract a keyed log claims). Per-user windows parallelize; the
+      // rollup is integer micros with DIV means.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("_um", unix_micros(col("ts")))
+        .withColumn("_prevMax", max(col("_um")).over(w))
+        .withColumn("late_us",
+          when(col("_prevMax").isNotNull && col("_prevMax") > col("_um"),
+               col("_prevMax") - col("_um")).otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+             max(col("late_us")).as("max_late_us"),
+             sum(col("late_us")).as("_sum_late"))
+        .withColumn("late_ppm", expr("n_late * 1000000L DIV n_events"))
+        .withColumn("mean_late_us",
+          expr("CASE WHEN n_late > 0 THEN _sum_late DIV n_late ELSE 0 END"))
+        .drop("_sum_late")
+    }),
+    "q248_log2_histogram" -> ((s, dir) =>
+      // Power-of-two histogram (X231): HDR-histogram bucketing of value
+      // micros per type — bucket = bit length of the integer (exact
+      // floor(log2)+1, no float log anywhere), constant memory per type
+      // at any scale, one combine aggregate.
+      ev(s, dir)
+        .withColumn("vm", expr("CAST(floor(value * 1000000) AS BIGINT)"))
+        .filter(col("vm").isNotNull)
+        .withColumn("bucket",
+          when(col("vm") <= 0, lit(0)).otherwise(length(bin(col("vm")))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("vm")).as("vm_min"), max(col("vm")).as("vm_max"))),
+    "q249_frequent_triples" -> ((s, dir) => {
+      // A-priori frequent triples (X232): 3-itemsets in ≥2 baskets,
+      // candidates generated ONLY from frequent pairs joined on a shared
+      // prefix item (the apriori pruning step — the all-triples explosion
+      // never happens), verified by one membership join per third item.
+      val minSup = 2L
+      val items = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val pairs = items.as("_a")
+        .join(items.as("_x"),
+              col("_a.b") === col("_x.b") && col("_a.i") < col("_x.i"))
+        .select(col("_a.b").as("b"), col("_a.i").as("x"), col("_x.i").as("y"))
+      val freqPairs = pairs.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("n_xy")).filter(col("n_xy") >= minSup)
+      // candidate (x, y, z): frequent (x,y) and frequent (x,z) with y < z
+      // (both sub-pairs sharing prefix x frequent — apriori necessary
+      // condition); count via basket membership of all three.
+      val cands = freqPairs.select(col("x"), col("y"))
+        .join(freqPairs.select(col("x"), col("y").as("z")), Seq("x"))
+        .filter(col("y") < col("z"))
+      cands
+        .join(pairs.withColumnRenamed("x", "cx").withColumnRenamed("y", "cy"),
+              col("x") === col("cx") && col("y") === col("cy"))
+        .select(col("b"), col("x"), col("y"), col("z"))
+        .join(items.withColumnRenamed("i", "z").as("_m"),
+              Seq("b", "z"), "left_semi")
+        .groupBy(col("x"), col("y"), col("z"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= minSup)
     })
   )
 
@@ -4350,6 +4419,54 @@ object SparkEntry {
          |SELECT last_type AS from_type, to_type,
          |  count(*) AS n_handoffs
          |FROM h WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // q247: identical per-key running-max lateness under event_id arrival
+    // order.
+    "q247_watermark_advisor" ->
+      s"""WITH $SrcCte,
+         |l AS (SELECT event_type,
+         |        CASE WHEN pm IS NOT NULL AND pm > um THEN pm - um
+         |             ELSE 0 END AS late_us
+         |      FROM (SELECT event_type, epoch_us(ts) AS um,
+         |              max(epoch_us(ts)) OVER (PARTITION BY user_id
+         |                ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND 1 PRECEDING) AS pm
+         |            FROM src))
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_late,
+         |  max(late_us) AS max_late_us,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS late_ppm,
+         |  CASE WHEN sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
+         |       THEN CAST(sum(late_us) AS BIGINT)
+         |            // CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+         |                    AS BIGINT)
+         |       ELSE 0 END AS mean_late_us
+         |FROM l GROUP BY 1""".stripMargin,
+    // q248: identical bit-length bucketing (bin has no leading zeros in
+    // either engine).
+    "q248_log2_histogram" ->
+      s"""WITH $SrcCte,
+         |v AS (SELECT event_type,
+         |        CAST(floor(value * 1000000) AS BIGINT) AS vm FROM src
+         |      WHERE value IS NOT NULL)
+         |SELECT event_type,
+         |  CASE WHEN vm <= 0 THEN 0
+         |       ELSE CAST(length(bin(vm)) AS INT) END AS bucket,
+         |  count(*) AS n, min(vm) AS vm_min, max(vm) AS vm_max
+         |FROM v GROUP BY 1, 2""".stripMargin,
+    // q249: the naive all-triples count — apriori candidate pruning must
+    // lose nothing (support monotonicity).
+    "q249_frequent_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |t AS (SELECT a.i AS x, c.i AS y, d.i AS z, count(*) AS n_baskets
+        |      FROM items a
+        |      JOIN items c ON a.b = c.b AND a.i < c.i
+        |      JOIN items d ON c.b = d.b AND c.i < d.i
+        |      GROUP BY 1, 2, 3)
+        |SELECT x, y, z, n_baskets FROM t WHERE n_baskets >= 2"""
+        .stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
