@@ -3221,7 +3221,70 @@ object SparkEntry {
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).as("n_baskets"))
         .filter(col("n_baskets") >= minSup)
-    })
+    }),
+    "q250_index_delta_plan" -> ((s, dir) => {
+      // Incremental index maintenance plan (X233): assign the new vector
+      // batch (vec_id%5=0) to the EXISTING index's coarse cells; cells
+      // whose new-vector share crosses 20% go on the rebuild list — the
+      // decision table that keeps a 100 TB ANN index fresh without a full
+      // retrain. Two assignment passes + a cell-sized join.
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", 16)
+      def cellCounts(df: DataFrame, out: String) =
+        Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+          .groupBy(col("centroid_id")).agg(count(lit(1)).as(out))
+      cents.select(col("centroid_id"))
+        .join(cellCounts(base, "n_base"), Seq("centroid_id"), "left_outer")
+        .join(cellCounts(fresh, "n_new"), Seq("centroid_id"), "left_outer")
+        .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("new_ppm", expr(
+          "CASE WHEN n_base + n_new > 0" +
+            " THEN n_new * 1000000L DIV (n_base + n_new) ELSE 0 END"))
+        .withColumn("rebuild", col("new_ppm") > 200000L)
+    }),
+    "q251_ab_uplift" -> ((s, dir) => {
+      // Stratified A/B readout (X234): users split into arms by md5 hash
+      // (the engine-exact assignment every deterministic experiment
+      // framework uses), stratified by activity tier; per (tier, arm)
+      // conversion ppm plus the per-tier A−B uplift via a tier-sized
+      // self-join — the stratification that removes activity-mix bias.
+      val users0 = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_cnt"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("_conv"))
+        .withColumn("arm",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 2 === 0, lit("A"))
+            .otherwise(lit("B")))
+        .withColumn("_all", lit(1))
+      // activity terciles from exact ranks — balanced at any scale factor
+      // (absolute thresholds would collapse to one tier as SF grows)
+      val users = Profile.cellRank(users0, Seq("_all"), "_cnt", Seq("user_id"))
+        .withColumn("tier", expr("(_rank - 1) * 3 DIV _n + 1"))
+      val cells = users.groupBy(col("tier"), col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_converted"))
+        .withColumn("conv_ppm", expr("n_converted * 1000000L DIV n_users"))
+      cells.join(
+          cells.select(col("tier"), col("arm").as("_arm2"),
+                       col("conv_ppm").as("_ppm2")),
+          Seq("tier"))
+        .filter(col("_arm2") =!= col("arm"))
+        .withColumn("uplift_ppm",
+          when(col("arm") === "A", col("conv_ppm") - col("_ppm2")))
+        .select(col("tier"), col("arm"), col("n_users"), col("n_converted"),
+                col("conv_ppm"), col("uplift_ppm"))
+    }),
+    "q252_position_attribution" -> ((s, dir) =>
+      // Position-based multi-touch attribution (X235): 40/20/40 credit
+      // split in exact integer ppm with largest-remainder middles —
+      // Σcredit = 1M·conversions is the invariant; purchases with no
+      // prior touch credit 'direct'. Same one per-user exchange as the
+      // last-touch model (q62) it generalizes.
+      Funnel.positionAttribution(ev(s, dir), "user_id", "ts", "event_id",
+                                 "event_type", "purchase"))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -4467,6 +4530,92 @@ object SparkEntry {
         |      GROUP BY 1, 2, 3)
         |SELECT x, y, z, n_baskets FROM t WHERE n_baskets >= 2"""
         .stripMargin,
+    // q250: q220's assignment machinery on the base slice's centroids,
+    // counted per origin batch.
+    "q250_index_delta_plan" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.vec_id % 5 = 0 AS is_new,
+         |    c.centroid_id, ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, is_new, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |b AS (SELECT centroid_id, count(*) AS n_base FROM asg
+         |      WHERE NOT is_new GROUP BY 1),
+         |n AS (SELECT centroid_id, count(*) AS n_new FROM asg
+         |      WHERE is_new GROUP BY 1)
+         |SELECT c.centroid_id, coalesce(n_base, 0) AS n_base,
+         |  coalesce(n_new, 0) AS n_new,
+         |  CASE WHEN coalesce(n_base, 0) + coalesce(n_new, 0) > 0
+         |    THEN coalesce(n_new, 0) * 1000000
+         |         // (coalesce(n_base, 0) + coalesce(n_new, 0))
+         |    ELSE 0 END AS new_ppm,
+         |  CASE WHEN coalesce(n_base, 0) + coalesce(n_new, 0) > 0
+         |    THEN coalesce(n_new, 0) * 1000000
+         |         // (coalesce(n_base, 0) + coalesce(n_new, 0))
+         |    ELSE 0 END > 200000 AS rebuild
+         |FROM cents c
+         |  LEFT JOIN b ON c.centroid_id = b.centroid_id
+         |  LEFT JOIN n ON c.centroid_id = n.centroid_id""".stripMargin,
+    // q251: identical md5 arm assignment + tier stratification + the
+    // tier-sized uplift self-join.
+    "q251_ab_uplift" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id, count(*) AS n,
+         |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |          AS conv
+         |      FROM src GROUP BY 1),
+         |t AS (SELECT user_id, conv,
+         |        CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |               1, 8))::UBIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |        (row_number() OVER (ORDER BY n, user_id) - 1) * 3
+         |          // count(*) OVER () + 1 AS tier
+         |      FROM u),
+         |c AS (SELECT tier, arm, count(*) AS n_users,
+         |        CAST(sum(conv) AS BIGINT) AS n_converted,
+         |        CAST(sum(conv) AS BIGINT) * 1000000 // count(*) AS conv_ppm
+         |      FROM t GROUP BY 1, 2)
+         |SELECT a.tier, a.arm, a.n_users, a.n_converted, a.conv_ppm,
+         |  CASE WHEN a.arm = 'A' THEN a.conv_ppm - o.conv_ppm END
+         |    AS uplift_ppm
+         |FROM c a JOIN c o ON a.tier = o.tier AND a.arm <> o.arm"""
+        .stripMargin,
+    // q252: the same 40/20/40 largest-remainder split in SQL windows; the
+    // per-channel totals must agree credit for credit.
+    "q252_position_attribution" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts, event_id, event_type,
+         |        coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+         |                          ELSE 0 END) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS grp
+         |      FROM src),
+         |tch AS (SELECT user_id, grp, event_type,
+         |          row_number() OVER (PARTITION BY user_id, grp
+         |                             ORDER BY ts, event_id) AS rn,
+         |          count(*) OVER (PARTITION BY user_id, grp) AS n
+         |        FROM g WHERE event_type <> 'purchase'),
+         |convs AS (SELECT DISTINCT user_id, grp FROM g
+         |          WHERE event_type = 'purchase'),
+         |cr AS (SELECT t.event_type AS channel,
+         |         CASE WHEN n = 1 THEN 1000000
+         |              WHEN n = 2 THEN 500000
+         |              WHEN rn = 1 OR rn = n THEN 400000
+         |              ELSE 200000 // (n - 2)
+         |                + CASE WHEN rn - 1 <= 200000 % (n - 2)
+         |                       THEN 1 ELSE 0 END END AS credit_ppm
+         |       FROM tch t JOIN convs c
+         |         ON t.user_id = c.user_id AND t.grp = c.grp),
+         |direct AS (SELECT 'direct' AS channel, 1000000 AS credit_ppm
+         |           FROM convs c
+         |           WHERE NOT EXISTS (SELECT 1 FROM tch t
+         |             WHERE t.user_id = c.user_id AND t.grp = c.grp)),
+         |allc AS (SELECT * FROM cr UNION ALL SELECT * FROM direct)
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+         |FROM allc GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

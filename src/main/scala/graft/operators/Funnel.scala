@@ -67,6 +67,63 @@ object Funnel {
       .agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    * conversion's credit of 1,000,000 ppm splits 40% to the first touch,
+    * 40% to the last, and 20% across the middles — integer-exactly, with
+    * the `200000 DIV m` base and the remainder going to the EARLIEST
+    * middles (largest-remainder rule, deterministic in any engine). One
+    * touch takes all; two touches split 50/50; no touches credit
+    * `direct`. Touches bind to their NEXT conversion (path = touches
+    * since the previous conversion), so Σcredit = 1M · conversions holds
+    * as an invariant the oracle can assert.
+    *
+    * Same single per-user exchange as [[lastTouchAttribution]]: the
+    * conversion-group id and the position indexes all ride (user) and
+    * (user, group) windows.
+    */
+  def positionAttribution(df: DataFrame,
+                          userCol: String,
+                          tsCol: String,
+                          idCol: String,
+                          typeCol: String,
+                          conversionType: String): DataFrame = {
+    val isConv = (col(typeCol) === conversionType).cast("long")
+    val wU = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val grouped = df
+      .withColumn("_g", coalesce(sum(isConv).over(
+        wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wG = Window.partitionBy(col(userCol), col("_g"))
+      .orderBy(col(tsCol), col(idCol))
+    val touches = grouped.filter(col(typeCol) =!= conversionType)
+      .withColumn("_rn", row_number().over(wG))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col(userCol), col("_g"))))
+    // keep only touch groups that actually end in a conversion (touches
+    // after a user's last conversion earn nothing)
+    val convGroups = grouped.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col("_g")).distinct()
+    val credited = touches
+      .join(convGroups, Seq(userCol, "_g"), "left_semi")
+      .withColumn("_m", col("_n") - 2)
+      .withColumn("credit_ppm",
+        when(col("_n") === 1, lit(1000000L))
+          .when(col("_n") === 2, lit(500000L))
+          .when(col("_rn") === 1 || col("_rn") === col("_n"), lit(400000L))
+          .otherwise(expr("200000L DIV _m") +
+                       when(col("_rn") - 1 <= expr("200000L % _m"), 1L)
+                         .otherwise(0L)))
+    val direct = grouped.filter(col(typeCol) === conversionType)
+      .join(touches.select(col(userCol), col("_g")).distinct(),
+            Seq(userCol, "_g"), "left_anti")
+      .select(lit("direct").as("channel"), lit(1000000L).as("credit_ppm"))
+    credited
+      .select(col(typeCol).as("channel"), col("credit_ppm"))
+      .unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+           sum(col("credit_ppm")).as("credit_ppm"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * `cohortType` event, counted as active in each later week they produced
     * ANY event. Week buckets are Monday-aligned `date_trunc` (identical

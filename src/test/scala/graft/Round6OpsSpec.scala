@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Association, Graph, Intervals, Layout, Linkage, Profile, Segmentation, TableDiff, TextAnalysis}
+import graft.operators.{Association, Funnel, Graph, Intervals, Layout, Linkage, Profile, Segmentation, TableDiff, TextAnalysis}
 
 /** Round-6 operators: graph statistics (co-occurrence edges, degree-ordered
   * triangle counting), inverted-index postings, the column-encoding
@@ -242,5 +242,40 @@ class Round6OpsSpec extends SparkTestBase {
     val df = vals.map(v => ("g", v, 1L)).toDF("g", "v", "wt")
     val r = Profile.weightedMedian(df, "g", "v", "wt").collect()(0)
     assert(r.getAs[Long]("w_median") === 7L)
+  }
+
+  test("Funnel.positionAttribution: 40/20/40 splits, direct, invariant") {
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val df = Seq(
+      // u1: 4 touches then buy: a=400k, b,c middles of 200k (100k each),
+      // d=400k
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "d"), (1L, ts(5), 5L, "purchase"),
+      // u2: single touch takes all
+      (2L, ts(1), 6L, "a"), (2L, ts(2), 7L, "purchase"),
+      // u3: bare purchase -> direct; trailing touch earns nothing
+      (3L, ts(1), 8L, "purchase"), (3L, ts(2), 9L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.positionAttribution(df, "user_id", "ts", "event_id",
+                                       "event_type", "purchase")
+      .collect().map(x => x.getAs[String]("channel") ->
+        x.getAs[Long]("credit_ppm")).toMap
+    assert(r === Map("a" -> 1400000L, "b" -> 100000L, "c" -> 100000L,
+                     "d" -> 400000L, "direct" -> 1000000L))
+    assert(r.values.sum === 3000000L) // 1M per conversion
+  }
+
+  test("Funnel.positionAttribution: 3 touches, remainder to early middle") {
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    // middles m=1: the single middle takes the whole 200k.
+    val df = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.positionAttribution(df, "user_id", "ts", "event_id",
+                                       "event_type", "purchase")
+      .collect().map(x => x.getAs[String]("channel") ->
+        x.getAs[Long]("credit_ppm")).toMap
+    assert(r === Map("a" -> 400000L, "b" -> 200000L, "c" -> 400000L))
   }
 }
