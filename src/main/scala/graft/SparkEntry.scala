@@ -3284,7 +3284,99 @@ object SparkEntry {
       // prior touch credit 'direct'. Same one per-user exchange as the
       // last-touch model (q62) it generalizes.
       Funnel.positionAttribution(ev(s, dir), "user_id", "ts", "event_id",
-                                 "event_type", "purchase"))
+                                 "event_type", "purchase")),
+    "q253_lift_curve" -> ((s, dir) => {
+      // Gains/lift table (X236): activity score vs purchase conversion —
+      // decile ranks from cellRank, per-decile conversion ppm, cumulative
+      // capture from the top decile down over the bounded decile dim, and
+      // lift against the broadcast base rate. The model-eval table that
+      // says "the top 20% of users hold X% of conversions".
+      import org.apache.spark.sql.expressions.Window
+      val users = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_score"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+               .as("_conv"))
+        .withColumn("_all", lit(1))
+      val deciled = Profile.cellRank(users, Seq("_all"), "_score",
+                                     Seq("user_id"))
+        .withColumn("decile", expr("(_rank - 1) * 10 DIV _n + 1"))
+      val cells = deciled.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_conv"))
+        .withColumn("conv_ppm", expr("n_conv * 1000000L DIV n_users"))
+      val totals = cells.agg(sum(col("n_conv")).as("_tc"),
+                             sum(col("n_users")).as("_tu"))
+      val wTop = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.crossJoin(broadcast(totals))
+        .withColumn("_cumc", sum(col("n_conv")).over(wTop))
+        .withColumn("cum_capture_ppm", expr("_cumc * 1000000L DIV _tc"))
+        .withColumn("lift_ppm",
+          expr("conv_ppm * 1000000L DIV (_tc * 1000000L DIV _tu)"))
+        .select(col("decile"), col("n_users"), col("n_conv"), col("conv_ppm"),
+                col("cum_capture_ppm"), col("lift_ppm"))
+    }),
+    "q254_price_integrity" -> ((s, dir) =>
+      // Price-integrity audit (X237): lines whose unit price strays ±10%
+      // from the part's retail price — the referential VALUE check beside
+      // the FD audit's structural one. The unit price is never divided
+      // out: both bounds compare integer cross-products (cents·micros),
+      // broadcast part dim, one fact scan.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_partkey"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("ec"),
+                expr("CAST(floor(l_quantity * 1000000) AS BIGINT)").as("qm"))
+        .join(broadcast(Tables.read(s, dir, "part")
+          .select(col("p_partkey"),
+                  expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("rc"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("_over", (col("ec") * 1000000L * 10L >
+                              col("rc") * col("qm") * 11L).cast("long"))
+        .withColumn("_under", (col("ec") * 1000000L * 10L <
+                               col("rc") * col("qm") * 9L).cast("long"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("_over")).as("n_over"),
+             sum(col("_under")).as("n_under"))
+        .withColumn("anomaly_ppm",
+                    expr("(n_over + n_under) * 1000000L DIV n_lines"))
+        .filter(col("n_over") + col("n_under") > 0)),
+    "q255_knn_accuracy" -> ((s, dir) => {
+      // kNN label accuracy (X238): 5-NN majority vote over a held-out
+      // fifth of the vectors against the rest — the embedding-quality
+      // eval. Votes argmax via min(struct(-cnt, label)) (deterministic
+      // tie: smallest label); per-class accuracy in ppm. Reuses the exact
+      // brute-force ranking the recall queries gate on.
+      val e = emb(s, dir)
+      val eval_ = e.filter(col("vec_id") % 5 === 1)
+      val train = e.filter(col("vec_id") % 5 =!= 1)
+      val nn = Similarity.bruteForceTopK(eval_, train, "vec_id", "embedding",
+                                         k = 5)
+      val labels = e.select(col("vec_id"), col("label"))
+      val votes = nn
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+                .withColumnRenamed("label", "_nl"), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("_nl")).agg(count(lit(1)).as("_v"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("_v")).as("_nv"), col("_nl").as("_l")))
+               .getField("_l").as("predicted"))
+      votes
+        .join(labels.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+             sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+               .as("n_correct"))
+        .withColumn("acc_ppm", expr("n_correct * 1000000L DIV n_queries"))
+    }),
+    "q256_dupgraph_closure" -> ((s, dir) =>
+      // Near-dup transitivity audit (X239): the verified MinHash pair list
+      // AS a graph — its closure coefficient measures how transitive the
+      // near-dup relation actually is (low closure ⇒ chain-shaped clusters
+      // where keep-one-per-component over-merges). Composes X19's pairs
+      // with X207's triangle machinery.
+      Graph.triangleStats(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                              bands = 4, rows = 3, tauNum = 1, tauDen = 2)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -4616,6 +4708,99 @@ object SparkEntry {
          |SELECT channel, count(*) AS n_credits,
          |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
          |FROM allc GROUP BY 1""".stripMargin,
+    // q253: plain row_number deciles + window cumulative capture.
+    "q253_lift_curve" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id, count(*) AS score,
+         |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |          AS conv
+         |      FROM src GROUP BY 1),
+         |d AS (SELECT *, (row_number() OVER (ORDER BY score, user_id) - 1)
+         |        * 10 // count(*) OVER () + 1 AS decile FROM u),
+         |c AS (SELECT decile, count(*) AS n_users,
+         |        CAST(sum(conv) AS BIGINT) AS n_conv,
+         |        CAST(sum(conv) AS BIGINT) * 1000000 // count(*) AS conv_ppm
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_conv) AS BIGINT) AS tc,
+         |             CAST(sum(n_users) AS BIGINT) AS tu FROM c)
+         |SELECT decile, n_users, n_conv, conv_ppm,
+         |  CAST(sum(n_conv) OVER (ORDER BY decile DESC
+         |       ROWS UNBOUNDED PRECEDING) * 1000000 // tc AS BIGINT)
+         |    AS cum_capture_ppm,
+         |  conv_ppm * 1000000 // (tc * 1000000 // tu) AS lift_ppm
+         |FROM c, t""".stripMargin,
+    // q254: identical integer cross-product bounds.
+    "q254_price_integrity" ->
+      """WITH j AS (SELECT l_partkey,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS ec,
+        |             CAST(floor(l_quantity * 1000000) AS BIGINT) AS qm,
+        |             CAST(floor(p_retailprice * 100) AS BIGINT) AS rc
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT l_partkey, count(*) AS n_lines,
+        |        CAST(sum(CASE WHEN ec * 1000000 * 10 > rc * qm * 11
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+        |        CAST(sum(CASE WHEN ec * 1000000 * 10 < rc * qm * 9
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_under
+        |      FROM j GROUP BY 1)
+        |SELECT l_partkey, n_lines, n_over, n_under,
+        |  (n_over + n_under) * 1000000 // n_lines AS anomaly_ppm
+        |FROM a WHERE n_over + n_under > 0""".stripMargin,
+    // q255: q22's exact ranking machinery + the same argmax vote.
+    "q255_knn_accuracy" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE vec_id % 5 = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN q ON q.vec_id <> c.vec_id
+         |  WHERE c.vec_id % 5 <> 1),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM scored),
+         |nn AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5),
+         |v AS (SELECT n.query_id, e.label AS nl, count(*) AS cnt
+         |      FROM nn n JOIN embeddings e ON n.neighbor_id = e.vec_id
+         |      GROUP BY 1, 2),
+         |p AS (SELECT query_id, nl AS predicted, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cnt DESC, nl ASC) AS rn
+         |      FROM v)
+         |SELECT e.label, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+         |       AS BIGINT) * 1000000 // count(*) AS acc_ppm
+         |FROM p JOIN embeddings e ON p.query_id = e.vec_id
+         |WHERE p.rn = 1 GROUP BY 1""".stripMargin,
+    // q256: q18's verified pair list fed through q224's triangle SQL.
+    "q256_dupgraph_closure" ->
+      s"""WITH $MinhashPairsCtes,
+         |verified AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |    JOIN sizes x ON x.doc_id = doc_a
+         |    JOIN sizes y ON y.doc_id = doc_b
+         |  WHERE overlap * 2 >= (x.n + y.n - overlap) * 1),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM verified),
+         |deg AS (SELECT n, count(*) AS d FROM (
+         |          SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+         |        GROUP BY 1),
+         |o AS (SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+         |               THEN e.src ELSE e.dst END AS u,
+         |             CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+         |               THEN e.dst ELSE e.src END AS v
+         |      FROM e JOIN deg ds ON e.src = ds.n
+         |             JOIN deg dd ON e.dst = dd.n),
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM o e1 JOIN o e2 ON e1.v = e2.u
+         |                  JOIN o e3 ON e1.u = e3.u AND e2.v = e3.v),
+         |base AS (SELECT count(*) AS n_nodes,
+         |           CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         |           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |         FROM deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN n_triangles * 3 * 1000000 // n_wedges ELSE 0 END
+         |    AS closure_ppm
+         |FROM base, tri""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
