@@ -3376,7 +3376,77 @@ object SparkEntry {
       Graph.triangleStats(
         Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
                               bands = 4, rows = 3, tauNum = 1, tauDen = 2)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+    "q257_sparse_coalesce" -> ((s, dir) => {
+      // Sparse-update coalescing (X240): CDC feeds often carry only the
+      // changed columns (the rest NULL) — the current row per key is each
+      // column's LAST NON-NULL by time, not the last row. One per-key
+      // window pass with ignoreNulls `last`; the simulated sparsity masks
+      // value/props on disjoint row classes so both paths exercise.
+      import org.apache.spark.sql.expressions.Window
+      val sparse = ev(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 3 =!= 0, col("value")).as("value"),
+        when(col("event_id") % 3 =!= 1, col("props")).as("props"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      sparse
+        .withColumn("_lv", last(col("value"), ignoreNulls = true).over(w))
+        .withColumn("_lp", last(col("props"), ignoreNulls = true).over(w))
+        .withColumn("_rn", row_number().over(wAll))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+                col("_lv").as("value"), col("_lp").as("props"))
+    }),
+    "q258_constrained_funnel" -> ((s, dir) => {
+      // Time-bounded funnel (X241): view → click within 1h → purchase
+      // within 24h of a QUALIFIED click. Each step is an ignoreNulls
+      // last-over-preceding window on the one per-user exchange — no
+      // self-joins, and the deadline predicate rides the window output.
+      // Contrast q60, whose steps are unbounded in time.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = ev(s, dir)
+        .withColumn("_um", unix_micros(col("ts")))
+        .withColumn("_lastView",
+          last(when(col("event_type") === "view", col("_um")),
+               ignoreNulls = true).over(w))
+        .withColumn("_qc",
+          col("event_type") === "click" && col("_lastView").isNotNull &&
+            col("_um") - col("_lastView") <= 3600L * 1000000L)
+        .withColumn("_lastQc",
+          last(when(col("_qc"), col("_um")), ignoreNulls = true).over(w))
+        .withColumn("_conv",
+          col("event_type") === "purchase" && col("_lastQc").isNotNull &&
+            col("_um") - col("_lastQc") <= 24L * 3600L * 1000000L)
+      e.agg(
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("n_viewers"),
+        countDistinct(when(col("_qc"), col("user_id")))
+          .as("n_qualified_clickers"),
+        countDistinct(when(col("_conv"), col("user_id")))
+          .as("n_converted"))
+    }),
+    "q259_keyset_page" -> ((s, dir) =>
+      // Keyset pagination (X242): the seek-method page read — rows
+      // strictly after the (date, key) cursor, ordered, first 100. Plans
+      // as filter + TakeOrderedAndProject: the cursor predicate prunes at
+      // the scan and no OFFSET ever materializes skipped rows (the
+      // anti-pattern this replaces).
+      Tables.read(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .filter(struct(col("o_orderdate"), col("o_orderkey")) >
+                  struct(to_timestamp(lit("1998-01-01")), lit(5000L)))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_orderdate"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .as("price_cents")))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -4801,6 +4871,59 @@ object SparkEntry {
          |    THEN n_triangles * 3 * 1000000 // n_wedges ELSE 0 END
          |    AS closure_ppm
          |FROM base, tri""".stripMargin,
+    // q257: identical sparsity mask + ignoreNulls-last windows.
+    "q257_sparse_coalesce" ->
+      s"""WITH $SrcCte,
+         |sp AS (SELECT user_id, ts, event_id,
+         |         CASE WHEN event_id % 3 <> 0 THEN value END AS value,
+         |         CASE WHEN event_id % 3 <> 1 THEN props END AS props
+         |       FROM src),
+         |f AS (SELECT user_id, ts,
+         |        last_value(value IGNORE NULLS) OVER wv AS lv,
+         |        last_value(props IGNORE NULLS) OVER wv AS lp,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM sp
+         |      WINDOW wv AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, ts AS last_ts, lv AS value, lp AS props
+         |FROM f WHERE rn = 1""".stripMargin,
+    // q258: identical stepwise deadline windows.
+    "q258_constrained_funnel" ->
+      s"""WITH $SrcCte,
+         |a AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS um,
+         |        last_value(CASE WHEN event_type = 'view'
+         |                        THEN epoch_us(ts) END IGNORE NULLS)
+         |          OVER wp AS lv
+         |      FROM src
+         |      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |b AS (SELECT *,
+         |        event_type = 'click' AND lv IS NOT NULL
+         |          AND um - lv <= 3600000000 AS qc
+         |      FROM a),
+         |c AS (SELECT *,
+         |        last_value(CASE WHEN qc THEN um END IGNORE NULLS) OVER
+         |          (PARTITION BY user_id ORDER BY um, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lqc
+         |      FROM b)
+         |SELECT
+         |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+         |    AS n_viewers,
+         |  count(DISTINCT CASE WHEN qc THEN user_id END)
+         |    AS n_qualified_clickers,
+         |  count(DISTINCT CASE WHEN event_type = 'purchase' AND lqc IS NOT
+         |    NULL AND um - lqc <= 86400000000 THEN user_id END)
+         |    AS n_converted
+         |FROM c""".stripMargin,
+    // q259: the same seek predicate and order, LIMIT 100.
+    "q259_keyset_page" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE (CAST(o_orderdate AS TIMESTAMP), o_orderkey)
+        |        > (TIMESTAMP '1998-01-01', 5000)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
