@@ -36,17 +36,31 @@ object Verify {
           case _ => col(f.name)
         }
       }.toSeq: _*)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    var failed = List.empty[String]
+    selected.foreach { case (name, fn) =>
       try normalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Release accumulated localCheckpoint RDDs (see Bench.scala).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // Round-5 lesson: a testdata encoding change made EVERY events query
+    // fail analysis, the per-query catch swallowed it, and the round's
+    // correctness silently shrank from 197 to 105 entries. Make partial
+    // dumps impossible to miss with a loud summary on stdout (the
+    // driver's captured stream). Exit code stays 0 — the dump that DID
+    // complete is still valid input for the oracle compare.
+    println(s"[verify] dumped ${selected.size - failed.size}/" +
+      s"${selected.size} queries" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(",")}"
+       else ""))
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size} queries FAILED — correctness dump is partial")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
