@@ -3446,7 +3446,97 @@ object SparkEntry {
         .limit(100)
         .select(col("o_orderkey"), col("o_orderdate"),
                 expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
-                  .as("price_cents")))
+                  .as("price_cents"))),
+    "q260_classifier_kappa" -> ((s, dir) => {
+      // Cohen's kappa (X243): chance-corrected agreement between the
+      // stopword-vote language router and the labeled language — computed
+      // ENTIRELY from confusion-matrix integer counts:
+      // kappa = (A·N − Σ row_k·col_k) / (N² − Σ row_k·col_k), emitted as
+      // DECIMAL-guarded ppm. The eval statistic that says whether the
+      // cheap router beats chance, beside q237's calibration and q255's
+      // accuracy.
+      val langs = TextAnalysis.Stopwords.keys.toSeq
+      val votes = array(langs.map(l =>
+        struct(TextAnalysis.stopwordHits(col("text"), l).as("v"),
+               lit(l).as("lang"))): _*)
+      val pred = docs(s, dir)
+        .withColumn("_sorted", reverse(array_sort(votes)))
+        .select(col("lang"),
+                col("_sorted")(0).getField("lang").as("pred"))
+      val cm = pred.groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val n = cm.agg(sum(col("n")).as("N"))
+      val agree = cm.filter(col("lang") === col("pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("A"))
+      val margins = cm.groupBy(col("lang")).agg(sum(col("n")).as("_row"))
+        .join(cm.groupBy(col("pred")).agg(sum(col("n")).as("_col")),
+              col("lang") === col("pred"), "full_outer")
+        .select(coalesce(col("_row"), lit(0L)).as("_row"),
+                coalesce(col("_col"), lit(0L)).as("_col"))
+        .agg(sum(col("_row") * col("_col")).as("E"))
+      n.crossJoin(broadcast(agree)).crossJoin(broadcast(margins))
+        .select(col("N"), col("A"), col("E"),
+                expr("A * 1000000L DIV N").as("po_ppm"),
+                expr("CAST(CAST(E AS DECIMAL(38,0)) * 1000000" +
+                     " DIV (CAST(N AS DECIMAL(38,0)) * N) AS BIGINT)")
+                  .as("pe_ppm"),
+                expr("CAST(CAST(A * N - E AS DECIMAL(38,0)) * 1000000" +
+                     " DIV (CAST(N AS DECIMAL(38,0)) * N - E) AS BIGINT)")
+                  .as("kappa_ppm"))
+    }),
+    "q261_partitioned_prune" -> ((s, dir) => {
+      // Partition-directory pruning end-to-end (X244): write the events
+      // fact partitioned BY TYPE into real parquet directories, read it
+      // back with a type predicate — the scan lists only the matching
+      // subdirectory (PartitionFilters, zero rows of other types ever
+      // decoded) — then roll up by day. The lake-layout pattern (q132's
+      // Z-order covers intra-file skipping; this is directory-level).
+      val tmp = "/tmp/graft_q261_partitioned"
+      ev(s, dir).withColumn("day", date_trunc("DAY", col("ts")))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val back = s.read.parquet(tmp).filter(col("event_type") === "purchase")
+      back.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("vm_sum"))
+    }),
+    "q262_business_days" -> ((s, dir) => {
+      // Business-day fulfillment (X245): weekdays between order and last
+      // ship via the calendar-table PREFIX SUM — cum_bd(d) = weekdays ≤ d
+      // over the bounded day spine (DimKey window), then business days in
+      // (od, sd] = cum(sd) − cum(od) with two broadcast EQUI-joins. Never
+      // a per-row range scan of the spine (the nested-loop calendar
+      // anti-pattern); weekday = Monday..Friday, engine-exact.
+      import org.apache.spark.sql.expressions.Window
+      val lastShip = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ship"))
+      val o = Tables.read(s, dir, "orders")
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+                date_trunc("MONTH", col("o_orderdate")).as("order_month"),
+                col("o_orderdate").cast("timestamp").as("od"),
+                col("ship").cast("timestamp").as("sd"))
+        .filter(col("sd") >= col("od"))
+      val wCum = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spine = o.agg(min(col("od")).as("_lo"), max(col("sd")).as("_hi"))
+        .select(explode(sequence(col("_lo"), col("_hi"),
+                                 expr("INTERVAL 1 DAY"))).as("d"))
+        .withColumn("_isbd", (weekday(col("d")) < 5).cast("long"))
+        .withColumn("cum_bd", sum(col("_isbd")).over(wCum))
+        .select(col("d"), col("cum_bd"))
+      o.join(broadcast(spine.withColumnRenamed("d", "od")
+               .withColumnRenamed("cum_bd", "_cb_od")), Seq("od"))
+        .join(broadcast(spine.withColumnRenamed("d", "sd")
+               .withColumnRenamed("cum_bd", "_cb_sd")), Seq("sd"))
+        .withColumn("_bd", col("_cb_sd") - col("_cb_od"))
+        .groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("_bd")).as("total_busdays"),
+             max(col("_bd")).as("max_busdays"))
+        .withColumn("mean_busdays_x100",
+                    expr("total_busdays * 100 DIV n_orders"))
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -4924,6 +5014,71 @@ object SparkEntry {
         |WHERE (CAST(o_orderdate AS TIMESTAMP), o_orderkey)
         |        > (TIMESTAMP '1998-01-01', 5000)
         |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    // q260: same confusion-matrix arithmetic from q177's vote SQL.
+    "q260_classifier_kappa" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS $l").mkString(",\n")}
+         |FROM (SELECT doc_id, text, lang,
+         |        regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |      FROM documents)),
+         |m AS (SELECT doc_id, lang, en, es, fr, de,
+         |        greatest(en, es, fr, de) AS mx FROM h),
+         |p AS (SELECT lang,
+         |  CASE WHEN fr = mx THEN 'fr' WHEN es = mx THEN 'es'
+         |       WHEN en = mx THEN 'en' ELSE 'de' END AS pred FROM m),
+         |cm AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cm),
+         |ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS A FROM cm
+         |       WHERE lang = pred),
+         |rw AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS r
+         |       FROM cm GROUP BY 1),
+         |cl AS (SELECT pred AS k, CAST(sum(n) AS BIGINT) AS c
+         |       FROM cm GROUP BY 1),
+         |e AS (SELECT CAST(sum(coalesce(r, 0) * coalesce(c, 0)) AS BIGINT)
+         |        AS E
+         |      FROM rw FULL OUTER JOIN cl ON rw.k = cl.k)
+         |SELECT N, A, E,
+         |  A * 1000000 // N AS po_ppm,
+         |  CAST(E * 1000000 // (N * N) AS BIGINT) AS pe_ppm,
+         |  CAST((A * N - E) * 1000000 // (N * N - E) AS BIGINT)
+         |    AS kappa_ppm
+         |FROM nn, ag, e""".stripMargin,
+    // q261: the same rollup off the original table — a partitioned
+    // write/read round-trip must lose and invent nothing.
+    "q261_partitioned_prune" ->
+      s"""WITH $SrcCte
+         |SELECT date_trunc('day', ts) AS day, count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS vm_sum
+         |FROM src WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // q262: the same calendar prefix sum in SQL.
+    "q262_business_days" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |              max(CAST(l_shipdate AS TIMESTAMP)) AS ship
+        |            FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |        date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |          AS order_month,
+        |        CAST(o_orderdate AS TIMESTAMP) AS od, ship AS sd
+        |      FROM orders JOIN ls ON o_orderkey = l_orderkey
+        |      WHERE ship >= CAST(o_orderdate AS TIMESTAMP)),
+        |b AS (SELECT min(od) AS lo, max(sd) AS hi FROM o),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        |       FROM b),
+        |cs AS (SELECT d, CAST(sum(CASE WHEN isodow(d) < 6 THEN 1 ELSE 0
+        |         END) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_bd
+        |       FROM sp),
+        |j AS (SELECT o.order_month,
+        |        s2.cum_bd - s1.cum_bd AS bd
+        |      FROM o JOIN cs s1 ON o.od = s1.d
+        |             JOIN cs s2 ON o.sd = s2.d)
+        |SELECT order_month, count(*) AS n_orders,
+        |  CAST(sum(bd) AS BIGINT) AS total_busdays,
+        |  max(bd) AS max_busdays,
+        |  CAST(sum(bd) AS BIGINT) * 100 // count(*) AS mean_busdays_x100
+        |FROM j GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
