@@ -3536,7 +3536,63 @@ object SparkEntry {
              max(col("_bd")).as("max_busdays"))
         .withColumn("mean_busdays_x100",
                     expr("total_busdays * 100 DIV n_orders"))
-    })
+    }),
+    "q263_audience_overlap" -> ((s, dir) => {
+      // Audience overlap matrix (X246): Jaccard + overlap coefficient
+      // between event-type user sets — one distinct (type, user)
+      // projection, a self-join on the user key, type-pair-sized output.
+      // The co-presence numbers behind "viewers who also purchase".
+      val tu = ev(s, dir).select(col("event_type").as("t"), col("user_id"))
+        .distinct().localCheckpoint()
+      val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      tu.as("_a").join(tu.as("_b"),
+          col("_a.user_id") === col("_b.user_id") && col("_a.t") < col("_b.t"))
+        .groupBy(col("_a.t").as("type_a"), col("_b.t").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.withColumnRenamed("t", "type_a")
+                .withColumnRenamed("n", "n_a")), Seq("type_a"))
+        .join(broadcast(sizes.withColumnRenamed("t", "type_b")
+                .withColumnRenamed("n", "n_b")), Seq("type_b"))
+        .withColumn("jaccard_ppm",
+          expr("n_both * 1000000L DIV (n_a + n_b - n_both)"))
+        .withColumn("overlap_ppm",
+          expr("n_both * 1000000L DIV least(n_a, n_b)"))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+                col("n_b"), col("jaccard_ppm"), col("overlap_ppm"))
+    }),
+    "q264_degree_distribution" -> ((s, dir) => {
+      // Degree distribution + power-law probe (X247): co-purchase node
+      // degrees bucketed by bit length (exact log2 tiers), and the
+      // log-log slope via Trend.fit's INTEGER sufficient statistics —
+      // slope ≈ −α of a power law, r² says whether the tail is power-ish
+      // at all. Composes X207's graph with X184's OLS.
+      val edges = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        "l_orderkey", "l_partkey").localCheckpoint()
+      val deg = edges.select(col("src").as("_n"))
+        .unionAll(edges.select(col("dst").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      val dist = deg.groupBy(length(bin(col("_d"))).as("deg_tier"))
+        .agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+      val fit = Trend.fit(dist.withColumn("_all", lit(1)), Seq("_all"),
+                          col("deg_tier"), length(bin(col("n_nodes"))))
+        .select(col("slope").as("loglog_slope"), col("r2"))
+      dist.crossJoin(broadcast(fit))
+    }),
+    "q265_rank_normalize" -> ((s, dir) =>
+      // Cross-source rank normalization (X248): each document's length
+      // mapped to its within-source rank ppm — the quantile-uniform
+      // feature transform that makes sources comparable before mixing;
+      // cellRank per source (no whole-source sort), key tiebreak so the
+      // oracle's row_number agrees rank for rank.
+      Profile.cellRank(docs(s, dir).select(col("doc_id"), col("source"),
+                                           col("n_chars")),
+                       Seq("source"), "n_chars", Seq("doc_id"))
+        .withColumn("rank_ppm",
+          expr("CASE WHEN _n > 1 THEN (_rank - 1) * 1000000L DIV (_n - 1)" +
+               " ELSE 0 END"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                col("rank_ppm")))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -5079,6 +5135,60 @@ object SparkEntry {
         |  max(bd) AS max_busdays,
         |  CAST(sum(bd) AS BIGINT) * 100 // count(*) AS mean_busdays_x100
         |FROM j GROUP BY 1""".stripMargin,
+    // q263: textbook distinct-pair self-join with set-size arithmetic.
+    "q263_audience_overlap" ->
+      s"""WITH $SrcCte,
+         |tu AS (SELECT DISTINCT event_type AS t, user_id FROM src),
+         |sz AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+         |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+         |      FROM tu a JOIN tu b
+         |        ON a.user_id = b.user_id AND a.t < b.t
+         |      GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+         |  n_both * 1000000 // (sa.n + sb.n - n_both) AS jaccard_ppm,
+         |  n_both * 1000000 // least(sa.n, sb.n) AS overlap_ppm
+         |FROM p JOIN sz sa ON p.type_a = sa.t
+         |       JOIN sz sb ON p.type_b = sb.t""".stripMargin,
+    // q264: q224's degree SQL + q201's integer-sufficient-statistics OLS.
+    "q264_degree_distribution" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT l.i AS src, r.i AS dst
+        |      FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+        |        GROUP BY 1),
+        |dist AS (SELECT CAST(length(bin(d)) AS INT) AS deg_tier,
+        |           count(*) AS n_nodes
+        |         FROM deg GROUP BY 1),
+        |pts AS (SELECT CAST(deg_tier AS BIGINT) AS x,
+        |          CAST(length(bin(n_nodes)) AS BIGINT) AS y FROM dist),
+        |st AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM pts),
+        |k AS (SELECT n, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+        |        n * sxy - sx * sy AS cov FROM st),
+        |f AS (SELECT
+        |  CASE WHEN dx <> 0
+        |    THEN round(CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+        |    AS loglog_slope,
+        |  CASE WHEN dx <> 0 AND dy <> 0
+        |    THEN round(CAST(cov * cov AS DOUBLE)
+        |               / CAST(dx * dy AS DOUBLE), 6) END AS r2
+        |  FROM k)
+        |SELECT deg_tier, n_nodes, loglog_slope, r2 FROM dist, f"""
+        .stripMargin,
+    // q265: plain per-source row_number ranks.
+    "q265_rank_normalize" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS n
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+        |       ELSE 0 END AS rank_ppm
+        |FROM r""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
