@@ -2976,7 +2976,7 @@ object SparkEntry {
                 col("_sorted")(0).getField("lang").as("top_lang"),
                 (col("_sorted")(0).getField("v") -
                  col("_sorted")(1).getField("v")).cast("long").as("margin"))
-        .withColumn("_all", lit(1))
+        .withColumn("_all", graft.functions.DimKey.one)
       Profile.cellRank(scored, Seq("_all"), "margin", Seq("doc_id"))
         .withColumn("decile", expr("(_rank - 1) * 10 DIV _n + 1"))
         .groupBy(col("decile"))
@@ -3259,7 +3259,7 @@ object SparkEntry {
           when(conv(substring(md5(col("user_id").cast("string")), 1, 8),
                     16, 10).cast("long") % 2 === 0, lit("A"))
             .otherwise(lit("B")))
-        .withColumn("_all", lit(1))
+        .withColumn("_all", graft.functions.DimKey.one)
       // activity terciles from exact ranks — balanced at any scale factor
       // (absolute thresholds would collapse to one tier as SF grows)
       val users = Profile.cellRank(users0, Seq("_all"), "_cnt", Seq("user_id"))
@@ -3296,7 +3296,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("_score"),
              max(when(col("event_type") === "purchase", 1L).otherwise(0L))
                .as("_conv"))
-        .withColumn("_all", lit(1))
+        .withColumn("_all", graft.functions.DimKey.one)
       val deciled = Profile.cellRank(users, Seq("_all"), "_score",
                                      Seq("user_id"))
         .withColumn("decile", expr("(_rank - 1) * 10 DIV _n + 1"))
@@ -3592,7 +3592,86 @@ object SparkEntry {
           expr("CASE WHEN _n > 1 THEN (_rank - 1) * 1000000L DIV (_n - 1)" +
                " ELSE 0 END"))
         .select(col("doc_id"), col("source"), col("n_chars"),
-                col("rank_ppm")))
+                col("rank_ppm"))),
+    "q266_row_diff_detail" -> ((s, dir) => {
+      // Row-level reconciliation (X249): stage 2 of the anti-entropy sync
+      // — INSIDE the buckets q230's checksums flagged, full-outer join the
+      // two versions on the key and emit each difference as I/D/U with
+      // the sorted changed-column list. At 100 TB both sides are first
+      // semi-joined to the (tiny, broadcast) differing-bucket list, so
+      // the row join touches only suspect data.
+      val v1 = Tables.read(s, dir, "orders")
+        .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+                    when(col("o_orderkey") % 101 === 0, lit("X"))
+                      .otherwise(col("o_orderstatus")))
+        .unionByName(
+          v1.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "cents",
+                     "o_orderdate", "o_orderpriority")
+      val dirty = TableDiff.merkleDiff(v1, v2, "o_orderkey", 256, cols)
+        .select(col("bucket"))
+      def slice(df: DataFrame) =
+        df.withColumn("_bkt", pmod(col("o_orderkey"), lit(256)).cast("long"))
+          .join(broadcast(dirty), col("_bkt") === col("bucket"), "left_semi")
+      val a = slice(v1).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st1"), col("cents").as("c1"),
+        col("o_custkey").as("ck1"))
+      val b = slice(v2).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st2"), col("cents").as("c2"),
+        col("o_custkey").as("ck2"))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("ck1").isNull, lit("I"))
+            .when(col("ck2").isNull, lit("D"))
+            .when(!(col("st1") <=> col("st2")) || !(col("c1") <=> col("c2")),
+                  lit("U")))
+        .filter(col("status").isNotNull)
+        .withColumn("changed_cols",
+          when(col("status") === "U",
+            concat_ws(",", array_sort(filter(array(
+              when(!(col("st1") <=> col("st2")), lit("o_orderstatus")),
+              when(!(col("c1") <=> col("c2")), lit("cents"))),
+              x => x.isNotNull)))).otherwise(lit("")))
+        .select(col("k").as("o_orderkey"), col("status"), col("changed_cols"))
+    }),
+    "q267_vector_hygiene" -> ((s, dir) =>
+      // Embedding hygiene audit (X250): the pre-index gate — dimension
+      // consistency, zero vectors (cosine undefined), NaN/null components,
+      // duplicate ids. One columnar pass of array expressions, all exact
+      // counts.
+      emb(s, dir).agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(size(col("embedding"))).as("n_dim_arities"),
+        min(size(col("embedding"))).as("min_dims"),
+        max(size(col("embedding"))).as("max_dims"),
+        sum(when(expr("forall(embedding, " +
+                      "x -> x IS NOT NULL AND x = CAST(0.0 AS FLOAT))"),
+                 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum(when(expr("exists(embedding, x -> isnan(x) OR x IS NULL)"),
+                 1L).otherwise(0L)).as("n_bad_component_vecs"),
+        (count(lit(1)) - countDistinct(col("vec_id"))).as("n_dup_ids"))),
+    "q268_fold_balance" -> ((s, dir) => {
+      // Cross-validation fold balance (X251): deterministic md5 fold
+      // assignment + per-(fold, label) counts vs the uniform expectation,
+      // deviation in DECIMAL-guarded ppm — the audit that catches a
+      // skewed fold before it skews the eval.
+      val folds = emb(s, dir).withColumn("fold",
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+           .cast("long") % 5).cast("int"))
+      val cells = folds.groupBy(col("fold"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val classTotals = folds.groupBy(col("label"))
+        .agg(count(lit(1)).as("_ct"))
+      cells.join(broadcast(classTotals), Seq("label"))
+        .withColumn("dev_ppm", expr(
+          "CAST(abs(CAST(n AS DECIMAL(38,0)) * 5 * 1000000 DIV _ct" +
+            " - 1000000) AS BIGINT)"))
+        .select(col("fold"), col("label"), col("n"), col("_ct").as("class_n"),
+                col("dev_ppm"))
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -5189,6 +5268,64 @@ object SparkEntry {
         |  CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
         |       ELSE 0 END AS rank_ppm
         |FROM r""".stripMargin,
+    // q266: the straightforward full-outer diff over ALL rows — the
+    // bucket-restricted two-stage plan must find exactly the same
+    // differences (checksums never miss a changed bucket).
+    "q266_row_diff_detail" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+        |              ELSE o_orderstatus END AS o_orderstatus, cents
+        |       FROM v1 WHERE o_orderkey % 97 <> 0
+        |       UNION ALL
+        |       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, cents
+        |       FROM v1 WHERE o_orderkey % 103 = 0),
+        |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |        CASE WHEN a.o_orderkey IS NULL THEN 'I'
+        |             WHEN b.o_orderkey IS NULL THEN 'D'
+        |             WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |               OR a.cents IS DISTINCT FROM b.cents THEN 'U' END
+        |          AS status,
+        |        a.o_orderstatus AS st1, b.o_orderstatus AS st2,
+        |        a.cents AS c1, b.cents AS c2
+        |      FROM v1 a FULL OUTER JOIN v2 b
+        |        ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status,
+        |  CASE WHEN status = 'U' THEN array_to_string(list_sort(
+        |    list_filter([CASE WHEN st1 IS DISTINCT FROM st2
+        |                   THEN 'o_orderstatus' END,
+        |                 CASE WHEN c1 IS DISTINCT FROM c2
+        |                   THEN 'cents' END], x -> x IS NOT NULL)), ',')
+        |  ELSE '' END AS changed_cols
+        |FROM d WHERE status IS NOT NULL""".stripMargin,
+    // q267: identical array-expression audits.
+    "q267_vector_hygiene" ->
+      """SELECT count(*) AS n_vecs,
+        |  count(DISTINCT len(embedding)) AS n_dim_arities,
+        |  CAST(min(len(embedding)) AS INT) AS min_dims,
+        |  CAST(max(len(embedding)) AS INT) AS max_dims,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding,
+        |    x -> x IS NULL OR x <> CAST(0.0 AS FLOAT))) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding,
+        |    x -> isnan(x) OR x IS NULL)) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad_component_vecs,
+        |  count(*) - count(DISTINCT vec_id) AS n_dup_ids
+        |FROM embeddings""".stripMargin,
+    // q268: identical md5 fold assignment + uniform-expectation ppm.
+    "q268_fold_balance" ->
+      """WITH f AS (SELECT label,
+        |             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+        |               1, 8))::UBIGINT % 5 AS INT) AS fold
+        |           FROM embeddings),
+        |c AS (SELECT fold, label, count(*) AS n FROM f GROUP BY 1, 2),
+        |t AS (SELECT label, CAST(sum(n) AS BIGINT) AS ct FROM c GROUP BY 1)
+        |SELECT c.fold, c.label, c.n, t.ct AS class_n,
+        |  CAST(abs(c.n * 5 * 1000000 // t.ct - 1000000) AS BIGINT)
+        |    AS dev_ppm
+        |FROM c JOIN t ON c.label = t.label""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

@@ -38,7 +38,7 @@ object Segmentation {
     val base = rolled.crossJoin(broadcast(horizon))
       .withColumn("r_days", datediff(col("_h"), col("_last")).cast("long"))
       .select(col(keyCol), col("r_days"), col("f"), col("m_cents"))
-      .withColumn("_all", lit(1))
+      .withColumn("_all", graft.functions.DimKey.one)
     val scored = Seq("r_days" -> "r_q", "f" -> "f_q", "m_cents" -> "m_q")
       .foldLeft(base) { case (df, (metric, score)) =>
         Profile.cellRank(df, Seq("_all"), metric, Seq(keyCol))
