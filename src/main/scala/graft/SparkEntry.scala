@@ -3671,6 +3671,82 @@ object SparkEntry {
             " - 1000000) AS BIGINT)"))
         .select(col("fold"), col("label"), col("n"), col("_ct").as("class_n"),
                 col("dev_ppm"))
+    }),
+    "q269_skipgrams" -> ((s, dir) => {
+      // Skip-gram extraction (X252): (center, context) pair counts within
+      // a ±2 token window — the word2vec-style training-data prep.
+      // Tokens explode WITH position; the pair join is an equi-join on
+      // (doc, center-position) against each fixed offset (4 narrow joins,
+      // never a positional range join), counts combine map-side. Top-50
+      // as TakeOrdered with lexicographic ties.
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+                posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint()
+      val pairs = Seq(1, 2).map { off =>
+        toks.as("_c").join(
+          toks.select(col("doc_id"), (col("p") - off).as("p"),
+                      col("w").as("ctx")).as("_x"),
+          Seq("doc_id", "p"))
+          .select(col("w").as("center"), col("ctx"))
+      }.reduce(_ unionAll _)
+      // symmetric window: count both directions
+      pairs.unionAll(pairs.select(col("ctx").as("center"),
+                                  col("center").as("ctx")))
+        .groupBy(col("center"), col("ctx"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("center").asc, col("ctx").asc)
+        .limit(50)
+    }),
+    "q270_token_zipf" -> ((s, dir) => {
+      // Token Zipf profile (X253): frequency tiers by bit length + the
+      // log-log OLS slope from integer sufficient statistics — X247's
+      // power-law probe pointed at the vocabulary (Zipf says slope < 0,
+      // heavy head). Vocabulary-sized after one token rollup.
+      val vocab = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("_f"))
+      val tiers = vocab.groupBy(length(bin(col("_f"))).as("freq_tier"))
+        .agg(count(lit(1)).as("n_terms")).localCheckpoint()
+      val fit = Trend.fit(tiers.withColumn("_all", lit(1)), Seq("_all"),
+                          col("freq_tier"), length(bin(col("n_terms"))))
+        .select(col("slope").as("loglog_slope"), col("r2"))
+      tiers.crossJoin(broadcast(fit))
+    }),
+    "q271_revenue_bridge" -> ((s, dir) => {
+      // Revenue bridge (X254): the month-over-month delta decomposed by
+      // market segment — per segment both months' cents, the delta, and
+      // its share of the total move in ppm (shares sum to 1M by
+      // construction; sign-safe via DECIMAL). The finance waterfall table
+      // from one fact rollup + a broadcast total.
+      val m1 = to_timestamp(lit("2001-06-01"))
+      val m2 = to_timestamp(lit("2001-07-01"))
+      val o = Tables.read(s, dir, "orders")
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .withColumn("m", date_trunc("MONTH", col("o_orderdate")))
+        .filter(col("m") === m1 || col("m") === m2)
+        .withColumn("cents", expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+      val seg = o.groupBy(col("c_mktsegment"))
+        .agg(sum(when(col("m") === m1, col("cents")).otherwise(0L))
+               .as("rev1_cents"),
+             sum(when(col("m") === m2, col("cents")).otherwise(0L))
+               .as("rev2_cents"))
+        .withColumn("delta_cents", col("rev2_cents") - col("rev1_cents"))
+      val tot = seg.agg(sum(col("delta_cents")).as("_td"))
+      // abs-division with an explicit sign: integer division of NEGATIVE
+      // values floors in DuckDB but truncates in Spark — dividing
+      // magnitudes keeps both engines on the same (truncating) semantics.
+      seg.crossJoin(broadcast(tot))
+        .withColumn("share_ppm",
+          expr("CASE WHEN _td <> 0 THEN" +
+               " (CASE WHEN (delta_cents < 0) != (_td < 0)" +
+               " THEN -1L ELSE 1L END)" +
+               " * (abs(delta_cents) * 1000000L DIV abs(_td)) END"))
+        .drop("_td")
     })
   )
 
@@ -5326,6 +5402,69 @@ object SparkEntry {
         |  CAST(abs(c.n * 5 * 1000000 // t.ct - 1000000) AS BIGINT)
         |    AS dev_ppm
         |FROM c JOIN t ON c.label = t.label""".stripMargin,
+    // q269: identical positional joins in SQL (token positions are
+    // 0-based in both engines' posexplode/list order).
+    "q269_skipgrams" ->
+      s"""WITH $ToksCte,
+         |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS w
+         |        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+         |        WHERE length(t[i]) > 0),
+         |pr AS (SELECT c.w AS center, x.w AS ctx
+         |       FROM pos c JOIN pos x
+         |         ON c.doc_id = x.doc_id AND x.p - c.p IN (1, 2)),
+         |sym AS (SELECT center, ctx FROM pr
+         |        UNION ALL SELECT ctx, center FROM pr)
+         |SELECT center, ctx, count(*) AS n_pairs
+         |FROM sym GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, center ASC, ctx ASC LIMIT 50""".stripMargin,
+    // q270: q264's tier + OLS machinery over the vocabulary.
+    "q270_token_zipf" ->
+      s"""WITH $ToksCte,
+         |w0 AS (SELECT unnest(t) AS w FROM toks),
+         |v AS (SELECT w, count(*) AS f FROM w0 WHERE length(w) > 0
+         |      GROUP BY 1),
+         |dist AS (SELECT CAST(length(bin(f)) AS INT) AS freq_tier,
+         |           count(*) AS n_terms FROM v GROUP BY 1),
+         |pts AS (SELECT CAST(freq_tier AS BIGINT) AS x,
+         |          CAST(length(bin(n_terms)) AS BIGINT) AS y FROM dist),
+         |st AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |       FROM pts),
+         |kk AS (SELECT n, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+         |         n * sxy - sx * sy AS cov FROM st),
+         |f AS (SELECT
+         |  CASE WHEN dx <> 0
+         |    THEN round(CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+         |    AS loglog_slope,
+         |  CASE WHEN dx <> 0 AND dy <> 0
+         |    THEN round(CAST(cov * cov AS DOUBLE)
+         |               / CAST(dx * dy AS DOUBLE), 6) END AS r2
+         |  FROM kk)
+         |SELECT freq_tier, n_terms, loglog_slope, r2 FROM dist, f"""
+        .stripMargin,
+    // q271: the same two-month rollup + share arithmetic.
+    "q271_revenue_bridge" ->
+      """WITH o AS (SELECT c_mktsegment,
+        |             date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |               AS m,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders JOIN customer ON o_custkey = c_custkey
+        |           WHERE date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |             IN (TIMESTAMP '2001-06-01', TIMESTAMP '2001-07-01')),
+        |s AS (SELECT c_mktsegment,
+        |        CAST(sum(CASE WHEN m = TIMESTAMP '2001-06-01'
+        |                 THEN cents ELSE 0 END) AS BIGINT) AS rev1_cents,
+        |        CAST(sum(CASE WHEN m = TIMESTAMP '2001-07-01'
+        |                 THEN cents ELSE 0 END) AS BIGINT) AS rev2_cents
+        |      FROM o GROUP BY 1),
+        |d AS (SELECT *, rev2_cents - rev1_cents AS delta_cents FROM s),
+        |t AS (SELECT CAST(sum(delta_cents) AS BIGINT) AS td FROM d)
+        |SELECT c_mktsegment, rev1_cents, rev2_cents, delta_cents,
+        |  CASE WHEN td <> 0 THEN
+        |    (CASE WHEN (delta_cents < 0) <> (td < 0) THEN -1 ELSE 1 END)
+        |    * CAST(abs(delta_cents) * 1000000 // abs(td) AS BIGINT)
+        |  END AS share_ppm
+        |FROM d, t""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
