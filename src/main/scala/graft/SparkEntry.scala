@@ -3747,6 +3747,112 @@ object SparkEntry {
                " THEN -1L ELSE 1L END)" +
                " * (abs(delta_cents) * 1000000L DIV abs(_td)) END"))
         .drop("_td")
+    }),
+    "q272_window_sweep" -> ((s, dir) => {
+      // Attribution-window sensitivity (X255): q258's constrained funnel
+      // swept over three click-deadline choices in ONE query — the rows
+      // explode to (row, window) BEFORE the per-user windows, so each
+      // sweep point gets its own (user, window) partition on a single 3×
+      // exchange; the report shows how brittle the conversion count is to
+      // the window parameter.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("win_s"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("win_s", explode(array(lit(900L), lit(3600L),
+                                           lit(14400L))))
+        .withColumn("_um", unix_micros(col("ts")))
+        .withColumn("_lastView",
+          last(when(col("event_type") === "view", col("_um")),
+               ignoreNulls = true).over(w))
+        .withColumn("_qc",
+          col("event_type") === "click" && col("_lastView").isNotNull &&
+            col("_um") - col("_lastView") <= col("win_s") * 1000000L)
+        .withColumn("_lastQc",
+          last(when(col("_qc"), col("_um")), ignoreNulls = true).over(w))
+        .withColumn("_conv",
+          col("event_type") === "purchase" && col("_lastQc").isNotNull &&
+            col("_um") - col("_lastQc") <= 24L * 3600L * 1000000L)
+        .groupBy(col("win_s"))
+        .agg(countDistinct(when(col("_qc"), col("user_id")))
+               .as("n_qualified_clickers"),
+             countDistinct(when(col("_conv"), col("user_id")))
+               .as("n_converted"))
+    }),
+    "q273_geo_shares" -> ((s, dir) => {
+      // Hierarchical percent-of-parent (X256): nation revenue share within
+      // its region and region share of total — two bounded-dimension
+      // windows over the 25-row geo rollup (DimKey-declared), broadcast
+      // dims on the fact join. The drill-down table every BI layer wants.
+      import org.apache.spark.sql.expressions.Window
+      val geo = Tables.read(s, dir, "customer")
+        .join(broadcast(Tables.read(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      val rolled = Tables.read(s, dir, "orders")
+        .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("rev_cents"))
+      val wR = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy(graft.functions.DimKey.one)
+      rolled
+        .withColumn("region_cents", sum(col("rev_cents")).over(wR))
+        .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
+        .withColumn("nation_in_region_ppm",
+          expr("rev_cents * 1000000L DIV region_cents"))
+        .withColumn("region_of_total_ppm",
+          expr("region_cents * 1000000L DIV total_cents"))
+    }),
+    "q274_dimension_profile" -> ((s, dir) =>
+      // Feature-wise embedding profile (X257): per-dimension min/max/sum
+      // in integer micros off one posexplode rollup — the
+      // per-feature-scaling audit (which dims are dead, which dominate)
+      // beside q267's vector-level hygiene.
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xm", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000)" +
+                               " AS BIGINT)"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+             min(col("xm")).as("min_micro"), max(col("xm")).as("max_micro"),
+             sum(col("xm")).as("sum_micro"),
+             sum(when(col("xm") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("mean_micro_trunc", expr(
+          "(CASE WHEN sum_micro < 0 THEN -1L ELSE 1L END)" +
+            " * (abs(sum_micro) DIV n)"))),
+    "q275_cdc_minimize" -> ((s, dir) => {
+      // Changelog minimization (X258): collapse each key's op sequence to
+      // its net effect (Flink-style changelog normalization) — I…D with
+      // no prior existence vanishes, I…U… nets to I, pre-existing keys
+      // net to U or D. One per-key struct-min/max pass; the payload is
+      // the last op's. Simulated feed: first-third events are the
+      // pre-existing table, the rest arrive as ops (delete when 'error').
+      val e = ev(s, dir).withColumn("_third", col("event_id") % 3)
+      val preExisting = e.filter(col("_third") === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_dummy"))
+        .select(col("user_id")).withColumn("_pre", lit(1L))
+      val ops = e.filter(col("_third") =!= 0)
+        .withColumn("op", when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")))
+      val netted = ops.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("op"),
+                        col("value"))).as("_lastRow"),
+             count(lit(1)).as("n_ops"))
+        .select(col("user_id"), col("n_ops"),
+                col("_lastRow").getField("op").as("_lastOp"),
+                col("_lastRow").getField("value").as("last_value"))
+      netted.join(preExisting, Seq("user_id"), "left_outer")
+        .withColumn("net_op",
+          when(col("_pre").isNull && col("_lastOp") === "D", lit(null))
+            .when(col("_pre").isNull, lit("I"))
+            .when(col("_lastOp") === "D", lit("D"))
+            .otherwise(lit("U")))
+        .filter(col("net_op").isNotNull)
+        .select(col("user_id"), col("net_op"), col("n_ops"),
+                when(col("net_op") =!= "D", col("last_value"))
+                  .as("last_value"))
     })
   )
 
@@ -5465,6 +5571,97 @@ object SparkEntry {
         |    * CAST(abs(delta_cents) * 1000000 // abs(td) AS BIGINT)
         |  END AS share_ppm
         |FROM d, t""".stripMargin,
+    // q272: q258's window logic per sweep point (cross join the window
+    // list, identical per-(user, window) windows).
+    "q272_window_sweep" ->
+      s"""WITH $SrcCte,
+         |wl AS (SELECT CAST(unnest([900, 3600, 14400]) AS BIGINT)
+         |         AS win_s),
+         |x AS (SELECT s.*, wl.win_s, epoch_us(ts) AS um
+         |      FROM src s CROSS JOIN wl),
+         |a AS (SELECT *,
+         |        last_value(CASE WHEN event_type = 'view' THEN um END
+         |          IGNORE NULLS) OVER wp AS lv
+         |      FROM x
+         |      WINDOW wp AS (PARTITION BY user_id, win_s
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |b AS (SELECT *, event_type = 'click' AND lv IS NOT NULL
+         |        AND um - lv <= win_s * 1000000 AS qc FROM a),
+         |c AS (SELECT *,
+         |        last_value(CASE WHEN qc THEN um END IGNORE NULLS) OVER
+         |          (PARTITION BY user_id, win_s ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lqc
+         |      FROM b)
+         |SELECT CAST(win_s AS BIGINT) AS win_s,
+         |  count(DISTINCT CASE WHEN qc THEN user_id END)
+         |    AS n_qualified_clickers,
+         |  count(DISTINCT CASE WHEN event_type = 'purchase' AND lqc IS NOT
+         |    NULL AND um - lqc <= 86400000000 THEN user_id END)
+         |    AS n_converted
+         |FROM c GROUP BY 1""".stripMargin,
+    // q273: the same two-level share windows over the tiny geo rollup.
+    "q273_geo_shares" ->
+      """WITH r AS (SELECT r_name, n_name,
+        |             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |                  AS BIGINT) AS rev_cents
+        |           FROM orders
+        |             JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |             JOIN region ON n_regionkey = r_regionkey
+        |           GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS region_cents,
+        |  CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+        |  rev_cents * 1000000
+        |    // CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS nation_in_region_ppm,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    * 1000000 // CAST(sum(rev_cents) OVER () AS BIGINT)
+        |    AS region_of_total_ppm
+        |FROM r""".stripMargin,
+    // q274: identical per-dimension integer-micro rollup (list positions
+    // are 0-based via i-1).
+    "q274_dimension_profile" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                  AS BIGINT) AS xm
+        |           FROM embeddings,
+        |             unnest(generate_series(1, len(embedding))) AS u(i))
+        |SELECT dim, count(*) AS n,
+        |  min(xm) AS min_micro, max(xm) AS max_micro,
+        |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+        |  CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  (CASE WHEN sum(xm) < 0 THEN -1 ELSE 1 END)
+        |    * CAST(abs(CAST(sum(xm) AS BIGINT)) // count(*) AS BIGINT)
+        |    AS mean_micro_trunc
+        |FROM x GROUP BY 1""".stripMargin,
+    // q275: identical last-op netting against the pre-existing key set.
+    "q275_cdc_minimize" ->
+      s"""WITH $SrcCte,
+         |pre AS (SELECT DISTINCT user_id FROM src WHERE event_id % 3 = 0),
+         |ops AS (SELECT user_id, ts, event_id, value,
+         |          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+         |            AS op
+         |        FROM src WHERE event_id % 3 <> 0),
+         |lastop AS (SELECT user_id, op AS last_op, value AS last_value,
+         |             n_ops FROM (
+         |           SELECT user_id, op, value,
+         |             row_number() OVER (PARTITION BY user_id
+         |               ORDER BY ts DESC, event_id DESC) AS rn,
+         |             count(*) OVER (PARTITION BY user_id) AS n_ops
+         |           FROM ops) WHERE rn = 1),
+         |net AS (SELECT l.user_id, n_ops, last_value,
+         |          CASE WHEN p.user_id IS NULL AND last_op = 'D' THEN NULL
+         |               WHEN p.user_id IS NULL THEN 'I'
+         |               WHEN last_op = 'D' THEN 'D'
+         |               ELSE 'U' END AS net_op
+         |        FROM lastop l LEFT JOIN pre p ON l.user_id = p.user_id)
+         |SELECT user_id, net_op, n_ops,
+         |  CASE WHEN net_op <> 'D' THEN last_value END AS last_value
+         |FROM net WHERE net_op IS NOT NULL""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
