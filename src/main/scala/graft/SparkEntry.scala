@@ -3853,6 +3853,56 @@ object SparkEntry {
         .select(col("user_id"), col("net_op"), col("n_ops"),
                 when(col("net_op") =!= "D", col("last_value"))
                   .as("last_value"))
+    }),
+    "q276_weighted_quartiles" -> ((s, dir) =>
+      // Weighted quantile ladder (X259): X224's two-phase micro-cell
+      // pivots generalized to a percent list — every rung rides the same
+      // two passes (the percents explode on the cell rollup, never the
+      // fact). Price cents weighted by quantity micros per return flag.
+      Profile.weightedQuantiles(
+        Tables.spread(s, Tables.read(s, dir, "lineitem"))
+          .select(col("l_returnflag"),
+                  expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                    .as("cents"),
+                  expr("CAST(floor(l_quantity * 1000000) AS BIGINT)")
+                    .as("qm")),
+        "l_returnflag", "cents", "qm", percents = Seq(25, 50, 75, 90))),
+    "q277_rate_violations" -> ((s, dir) =>
+      // Rate-limit audit (X260): (user, hour) windows exceeding the cap
+      // — the throttling report an ingest gateway reconciles against; one
+      // combine rollup, violators only, with the worst burst per user.
+      ev(s, dir)
+        .groupBy(col("user_id"),
+                 date_trunc("HOUR", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_in_hour"))
+        .filter(col("n_in_hour") > 1)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_violating_hours"),
+             max(col("n_in_hour")).as("worst_burst"),
+             sum(col("n_in_hour")).as("events_in_violations"))),
+    "q278_id_bridge" -> ((s, dir) => {
+      // Identity-bridge stitching (X261): duplicate identities re-map to
+      // a canonical id through a (broadcast) bridge table before any
+      // per-user analytics — the CDP merge step. Simulated bridge: users
+      // ≡3 (mod 7) alias into their predecessor. Report: per canonical
+      // id with ≥2 source ids, merged event count vs the largest single
+      // source id's count — the re-attribution gain the merge buys.
+      val bridge = ev(s, dir).select(col("user_id")).distinct()
+        .withColumn("canonical_id",
+          when(col("user_id") % 7 === 3, col("user_id") - 1)
+            .otherwise(col("user_id")))
+      val mapped = ev(s, dir)
+        .join(broadcast(bridge), Seq("user_id"))
+      val perSource = mapped.groupBy(col("canonical_id"), col("user_id"))
+        .agg(count(lit(1)).as("_n"))
+      perSource.groupBy(col("canonical_id"))
+        .agg(countDistinct(col("user_id")).as("n_source_ids"),
+             sum(col("_n")).as("merged_events"),
+             max(col("_n")).as("largest_source_events"))
+        .filter(col("n_source_ids") >= 2)
+        .withColumn("gain_ppm", expr(
+          "(merged_events - largest_source_events) * 1000000L" +
+            " DIV largest_source_events"))
     })
   )
 
@@ -5662,6 +5712,53 @@ object SparkEntry {
          |SELECT user_id, net_op, n_ops,
          |  CASE WHEN net_op <> 'D' THEN last_value END AS last_value
          |FROM net WHERE net_op IS NOT NULL""".stripMargin,
+    // q276: textbook cumulative-weight ladder per percent.
+    "q276_weighted_quartiles" ->
+      """WITH q0 AS (SELECT l_returnflag AS g,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |              CAST(floor(l_quantity * 1000000) AS BIGINT) AS wt
+        |            FROM lineitem),
+        |w AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS vw
+        |      FROM q0 GROUP BY 1, 2),
+        |c AS (SELECT g, v, vw,
+        |        CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS W
+        |      FROM w),
+        |p AS (SELECT unnest([25, 50, 75, 90]) AS q)
+        |SELECT g AS l_returnflag, q, v AS q_value, W AS total_weight
+        |FROM c CROSS JOIN p
+        |WHERE cum * 100 >= q * W AND (cum - vw) * 100 < q * W"""
+        .stripMargin,
+    // q277: plain two-level rollup.
+    "q277_rate_violations" ->
+      s"""WITH $SrcCte,
+         |m AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+         |        count(*) AS n FROM src GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_violating_hours,
+         |  max(n) AS worst_burst,
+         |  CAST(sum(n) AS BIGINT) AS events_in_violations
+         |FROM m WHERE n > 1 GROUP BY 1""".stripMargin,
+    // q278: identical bridge mapping + merge-gain arithmetic.
+    "q278_id_bridge" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT DISTINCT user_id,
+         |        CASE WHEN user_id % 7 = 3 THEN user_id - 1
+         |             ELSE user_id END AS canonical_id
+         |      FROM src),
+         |ps AS (SELECT b.canonical_id, s.user_id, count(*) AS n
+         |       FROM src s JOIN b ON s.user_id = b.user_id
+         |       GROUP BY 1, 2),
+         |m AS (SELECT canonical_id,
+         |        count(DISTINCT user_id) AS n_source_ids,
+         |        CAST(sum(n) AS BIGINT) AS merged_events,
+         |        max(n) AS largest_source_events
+         |      FROM ps GROUP BY 1)
+         |SELECT canonical_id, n_source_ids, merged_events,
+         |  largest_source_events,
+         |  (merged_events - largest_source_events) * 1000000
+         |    // largest_source_events AS gain_ppm
+         |FROM m WHERE n_source_ids >= 2""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->

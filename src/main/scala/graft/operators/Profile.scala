@@ -420,7 +420,21 @@ object Profile {
     * engine. Output: group, `w_median`, `total_weight`.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                     weightCol: String, microBins: Int = 10000): DataFrame = {
+                     weightCol: String, microBins: Int = 10000): DataFrame =
+    weightedQuantiles(df, groupCol, valueCol, weightCol, Seq(50), microBins)
+      .select(col(groupCol), col("q_value").as("w_median"),
+              col("total_weight"))
+
+  /** Exact weighted quantile LADDER per group — [[weightedMedian]]
+    * generalized to any percent list: for each p, the smallest value v
+    * with 100·cumWeight(v) ≥ p·totalWeight. Same two-phase micro-cell
+    * decomposition, one extra explode over the (tiny) percent list so
+    * every rung rides the same two passes. Output: group, `q` (percent),
+    * `q_value`, `total_weight`.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String, percents: Seq[Int],
+                        microBins: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(col(valueCol)).cast("double").as("_mn"),
                         max(col(valueCol)).cast("double").as("_mx"))
@@ -435,26 +449,29 @@ object Profile {
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wG = Window.partitionBy(col(groupCol))
-    val pivot = withCell
+    val pivots = withCell
       .groupBy(col(groupCol), col("_cell"))
       .agg(sum(col(weightCol)).as("_cw"))
       .withColumn("_cum", sum(col("_cw")).over(wCum))
       .withColumn("_W", sum(col("_cw")).over(wG))
-      .filter(col("_cum") * 2 >= col("_W") &&
-                (col("_cum") - col("_cw")) * 2 < col("_W"))
-      .select(col(groupCol), col("_cell"),
+      .select(col(groupCol), col("_cell"), col("_cw"), col("_cum"),
+              col("_W"), explode(lit(percents.toArray)).as("q"))
+      .filter(col("_cum") * 100 >= col("q") * col("_W") &&
+                (col("_cum") - col("_cw")) * 100 < col("q") * col("_W"))
+      .select(col(groupCol), col("q"), col("_cell"),
               (col("_cum") - col("_cw")).as("_before"), col("_W"))
-    val wVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wVal = Window.partitionBy(col(groupCol), col("q"))
+      .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withCell
-      .join(broadcast(pivot), Seq(groupCol, "_cell"))
-      .groupBy(col(groupCol), col(valueCol))
+      .join(broadcast(pivots), Seq(groupCol, "_cell"))
+      .groupBy(col(groupCol), col("q"), col(valueCol))
       .agg(sum(col(weightCol)).as("_vw"),
            first(col("_before")).as("_before"), first(col("_W")).as("_W"))
       .withColumn("_vcum", col("_before") + sum(col("_vw")).over(wVal))
-      .filter(col("_vcum") * 2 >= col("_W") &&
-                (col("_vcum") - col("_vw")) * 2 < col("_W"))
-      .select(col(groupCol), col(valueCol).as("w_median"),
+      .filter(col("_vcum") * 100 >= col("q") * col("_W") &&
+                (col("_vcum") - col("_vw")) * 100 < col("q") * col("_W"))
+      .select(col(groupCol), col("q"), col(valueCol).as("q_value"),
               col("_W").as("total_weight"))
   }
 
