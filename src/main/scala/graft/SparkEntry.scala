@@ -3903,6 +3903,93 @@ object SparkEntry {
         .withColumn("gain_ppm", expr(
           "(merged_events - largest_source_events) * 1000000L" +
             " DIV largest_source_events"))
+    }),
+    "q279_storage_model" -> ((s, dir) => {
+      // Storage cost model (X262): X210's run/NDV statistics priced into
+      // bytes — plain (raw string bytes), RLE (runs × (avg value + 8B
+      // header)), dictionary (distinct values + index bits via exact bit
+      // length) — the $$ column the encoding advisor's verdict implies.
+      // All integer arithmetic; the byte rollup shares the fact scan
+      // shape with the stats pass.
+      val colsq = Seq("event_type", "user_id", "value", "props")
+      val enc = Layout.encodingReport(ev(s, dir), "event_id", colsq, 4096L)
+      val bytes = colsq.map { c =>
+        ev(s, dir).agg(
+          coalesce(sum(length(col(c).cast("string"))), lit(0L))
+            .as("raw_bytes"))
+          .select(lit(c).as("column"), col("raw_bytes"))
+      }.reduce(_ unionByName _)
+      enc.join(bytes, Seq("column"))
+        .withColumn("avg_val_bytes", expr("raw_bytes DIV n_rows"))
+        .withColumn("est_rle_bytes",
+                    expr("n_runs * (avg_val_bytes + 8)"))
+        .withColumn("dict_bits",
+                    expr("CASE WHEN ndv <= 1 THEN 1" +
+                         " ELSE length(bin(ndv - 1)) END"))
+        .withColumn("est_dict_bytes",
+          expr("ndv * avg_val_bytes + n_rows * dict_bits DIV 8"))
+        .select(col("column"), col("n_rows"), col("ndv"), col("n_runs"),
+                col("raw_bytes"), col("est_rle_bytes"),
+                col("est_dict_bytes"), col("suggestion"))
+    }),
+    "q280_seq_patterns" -> ((s, dir) => {
+      // Sequential patterns (X263): "A then eventually B" within a
+      // session — ordered pair support counted on each type's FIRST
+      // occurrence per session (one rollup to session×type, then a
+      // session-key self-join of that bounded relation). The gap-tolerant
+      // complement of q222's consecutive motifs.
+      val sess = Sessionize.assign(ev(s, dir), "user_id", "ts", 30)
+        .groupBy(col("user_id"), col("_session"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("_first"))
+        .localCheckpoint()
+      sess.as("_a").join(sess.as("_b"),
+          col("_a.user_id") === col("_b.user_id") &&
+            col("_a._session") === col("_b._session") &&
+            col("_a.event_type") =!= col("_b.event_type") &&
+            col("_a._first") < col("_b._first"))
+        .groupBy(col("_a.event_type").as("first_type"),
+                 col("_b.event_type").as("then_type"))
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+    "q281_late_dim_repair" -> ((s, dir) => {
+      // Late-arriving dimension repair (X264): facts that arrived before
+      // their dimension row exist get the placeholder key, and the repair
+      // pass re-resolves them once the dimension catches up — the report
+      // quantifies both. Dim v1 = first-half events' SCD2 history; facts
+      // = orders keyed into the user space; repair = v2 (full history).
+      // Both lookups are the same asOf containment join.
+      val all = ev(s, dir)
+      val dimV1 = Scd2.initialLoad(
+        all.filter(col("event_id") % 2 === 0), evCfg).localCheckpoint()
+      val dimV2 = Scd2.initialLoad(all, evCfg).localCheckpoint()
+      val facts = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"),
+                (col("o_custkey") % 200).as("user_id"),
+                expr("timestampadd(DAY, CAST(o_orderkey % 30 AS INT)," +
+                     " TIMESTAMP '2024-01-05 00:00:00')").as("ts"))
+        .localCheckpoint()
+      def matchedStates(dim: DataFrame, out: String) =
+        facts.join(dim.select(col("user_id"), col("event_type"),
+                              col("_valid_from"), col("_valid_to")),
+                   Seq("user_id"))
+          .filter(col("_valid_from") <= col("ts") &&
+                    col("_valid_to") > col("ts"))
+          .groupBy(col("o_orderkey")).agg(max(col("event_type")).as(out))
+      facts
+        .join(matchedStates(dimV1, "state_v1"), Seq("o_orderkey"),
+              "left_outer")
+        .join(matchedStates(dimV2, "state_v2"), Seq("o_orderkey"),
+              "left_outer")
+        .agg(count(lit(1)).as("n_facts"),
+             sum(when(col("state_v1").isNull, 1L).otherwise(0L))
+               .as("n_placeholder_v1"),
+             sum(when(col("state_v1").isNull && col("state_v2").isNotNull,
+                      1L).otherwise(0L)).as("n_backfilled"),
+             sum(when(col("state_v1").isNotNull && col("state_v2").isNotNull
+                        && col("state_v1") =!= col("state_v2"), 1L)
+                   .otherwise(0L)).as("n_stale_repaired"),
+             sum(when(col("state_v2").isNull, 1L).otherwise(0L))
+               .as("n_still_unmatched"))
     })
   )
 
@@ -5759,6 +5846,96 @@ object SparkEntry {
          |  (merged_events - largest_source_events) * 1000000
          |    // largest_source_events AS gain_ppm
          |FROM m WHERE n_source_ids >= 2""".stripMargin,
+    // q279: q227's single-window stats + identical byte formulas.
+    "q279_storage_model" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(DISTINCT $c) + max(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |    AS ndv,
+           |  CAST(sum(CASE WHEN rn = 1 OR v IS DISTINCT FROM pv
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           |  CAST(coalesce(sum(length(v)), 0) AS BIGINT) AS raw_bytes
+           |FROM (SELECT $c, CAST($c AS VARCHAR) AS v,
+           |        row_number() OVER (ORDER BY event_id) AS rn,
+           |        lag(CAST($c AS VARCHAR)) OVER (ORDER BY event_id) AS pv
+           |      FROM src)""".stripMargin
+      val cols = Seq("event_type", "user_id", "value", "props")
+      s"""WITH $SrcCte,
+         |u AS (${cols.map(side).mkString("\nUNION ALL\n")}),
+         |e AS (SELECT *, raw_bytes // n_rows AS avg_val_bytes,
+         |        CASE WHEN ndv <= 1 THEN 1
+         |             ELSE length(bin(ndv - 1)) END AS dict_bits,
+         |        CASE WHEN n_runs * 1000000 // n_rows <= 200000 THEN 'RLE'
+         |             WHEN ndv * 1000000 // n_rows <= 100000 THEN 'DICT'
+         |             ELSE 'PLAIN' END AS suggestion
+         |      FROM u)
+         |SELECT "column", n_rows, ndv, n_runs, raw_bytes,
+         |  n_runs * (avg_val_bytes + 8) AS est_rle_bytes,
+         |  ndv * avg_val_bytes + n_rows * dict_bits // 8 AS est_dict_bytes,
+         |  suggestion
+         |FROM e""".stripMargin
+    },
+    // q280: same session×type first-occurrence self-join.
+    "q280_seq_patterns" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |se AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sess
+         |       FROM g),
+         |st AS (SELECT user_id, sess, event_type, ts, event_id,
+         |         row_number() OVER (PARTITION BY user_id, sess, event_type
+         |                            ORDER BY ts, event_id) AS rn
+         |       FROM se),
+         |fo AS (SELECT user_id, sess, event_type, ts, event_id
+         |       FROM st WHERE rn = 1)
+         |SELECT a.event_type AS first_type, b.event_type AS then_type,
+         |  count(*) AS n_sessions
+         |FROM fo a JOIN fo b
+         |  ON a.user_id = b.user_id AND a.sess = b.sess
+         |  AND a.event_type <> b.event_type
+         |  AND (a.ts, a.event_id) < (b.ts, b.event_id)
+         |GROUP BY 1, 2""".stripMargin,
+    // q281: the same two histories + two containment lookups.
+    "q281_late_dim_repair" ->
+      s"""WITH h1 AS (
+         |  WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |                 user_id, event_type, value, props FROM events
+         |               WHERE event_id % 2 = 0),
+         |  ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |h2 AS (
+         |  WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |                 user_id, event_type, value, props FROM events),
+         |  ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |f AS (SELECT o_orderkey, o_custkey % 200 AS user_id,
+         |        TIMESTAMP '2024-01-05 00:00:00'
+         |          + to_days(CAST(o_orderkey % 30 AS INT)) AS ts
+         |      FROM orders),
+         |m1 AS (SELECT o_orderkey, max(event_type) AS s1
+         |       FROM f JOIN h1 ON f.user_id = h1.user_id
+         |         AND h1._valid_from <= f.ts AND h1._valid_to > f.ts
+         |       GROUP BY 1),
+         |m2 AS (SELECT o_orderkey, max(event_type) AS s2
+         |       FROM f JOIN h2 ON f.user_id = h2.user_id
+         |         AND h2._valid_from <= f.ts AND h2._valid_to > f.ts
+         |       GROUP BY 1)
+         |SELECT count(*) AS n_facts,
+         |  CAST(sum(CASE WHEN s1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_placeholder_v1,
+         |  CAST(sum(CASE WHEN s1 IS NULL AND s2 IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_backfilled,
+         |  CAST(sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL
+         |      AND s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_stale_repaired,
+         |  CAST(sum(CASE WHEN s2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_still_unmatched
+         |FROM f LEFT JOIN m1 USING (o_orderkey)
+         |       LEFT JOIN m2 USING (o_orderkey)""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
