@@ -3990,6 +3990,72 @@ object SparkEntry {
                    .otherwise(0L)).as("n_stale_repaired"),
              sum(when(col("state_v2").isNull, 1L).otherwise(0L))
                .as("n_still_unmatched"))
+    }),
+    "q282_lsh_recall" -> ((s, dir) => {
+      // MinHash-LSH recall (X265): the banding config's MISS rate against
+      // the COMPLETE exact ground truth (any J>0 pair shares a shingle,
+      // so shared-shingle candidates lose nothing at τ=1/2) — the
+      // counterpart of q190's precision; together they price (bands,
+      // rows). LSH-verified pairs are a subset of truth by construction,
+      // so recall = |LSH| / |truth| and the misses list is an anti-join.
+      val truth = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+                                          n = 3, tauNum = 1, tauDen = 2)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val lsh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 3,
+                                      bands = 4, rows = 3,
+                                      tauNum = 1, tauDen = 2)
+        .select(col("doc_a"), col("doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+        .crossJoin(broadcast(
+          truth.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+            .agg(count(lit(1)).as("n_missed"))))
+        .withColumn("recall_ppm",
+          expr("CASE WHEN n_truth > 0 THEN n_lsh * 1000000L DIV n_truth" +
+               " ELSE 1000000L END"))
+    }),
+    "q283_markov_accuracy" -> ((s, dir) => {
+      // Markov next-event accuracy (X266): train the transition argmax on
+      // the first half-month, score next-event hit rate on the second —
+      // the eval that says whether the transition matrix (q87) carries
+      // predictive signal. Deterministic argmax via struct-min (count
+      // desc, type asc); both phases ride per-user lead windows.
+      import org.apache.spark.sql.expressions.Window
+      val cut = to_timestamp(lit("2024-01-16"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      def withNext(df: DataFrame) =
+        df.withColumn("_next", lead(col("event_type"), 1).over(w))
+          .filter(col("_next").isNotNull)
+      val model = withNext(ev(s, dir).filter(col("ts") < cut))
+        .groupBy(col("event_type"), col("_next"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("event_type"))
+        .agg(min(struct((-col("_n")).as("_neg"), col("_next").as("_t")))
+               .getField("_t").as("predicted"))
+      withNext(ev(s, dir).filter(col("ts") >= cut))
+        .join(broadcast(model), Seq("event_type"), "left_outer")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+             sum(when(col("_next") === col("predicted"), 1L).otherwise(0L))
+               .as("n_hits"))
+        .withColumn("acc_ppm", expr("n_hits * 1000000L DIV n_transitions"))
+    }),
+    "q284_fulfillment_trend" -> ((s, dir) => {
+      // Fulfillment percentile trend (X267): exact p50/p90 days from
+      // order to last ship per order month — X44 rank selection per
+      // month (bounded groups), the ops metric whose drift pages someone.
+      val lastShip = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ship"))
+      val days = Tables.read(s, dir, "orders")
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(date_trunc("MONTH", col("o_orderdate")).as("order_month"),
+                datediff(col("ship").cast("timestamp"),
+                         col("o_orderdate").cast("timestamp")).cast("long")
+                  .as("d"))
+        .filter(col("d") >= 0)
+      Profile.discreteQuantiles(days, "order_month", "d",
+                                percents = Seq(50, 90))
     })
   )
 
@@ -5936,6 +6002,73 @@ object SparkEntry {
          |    AS n_still_unmatched
          |FROM f LEFT JOIN m1 USING (o_orderkey)
          |       LEFT JOIN m2 USING (o_orderkey)""".stripMargin,
+    // q282: truth = q17's complete exact pairs; LSH = q18's verified
+    // pairs; recall arithmetic on the two counts.
+    "q282_lsh_recall" ->
+      s"""WITH $MinhashPairsCtes,
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+         |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM tp
+         |  JOIN sizes x ON x.doc_id = doc_a
+         |  JOIN sizes y ON y.doc_id = doc_b
+         |  WHERE overlap * 2 >= (x.n + y.n - overlap) * 1),
+         |lsh AS (SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes x ON x.doc_id = doc_a
+         |  JOIN sizes y ON y.doc_id = doc_b
+         |  WHERE overlap * 2 >= (x.n + y.n - overlap) * 1),
+         |ct AS (SELECT count(*) AS n_truth FROM truth),
+         |cl AS (SELECT count(*) AS n_lsh FROM lsh),
+         |cm AS (SELECT count(*) AS n_missed FROM truth t
+         |       WHERE NOT EXISTS (SELECT 1 FROM lsh l
+         |         WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b))
+         |SELECT n_truth, n_lsh, n_missed,
+         |  CASE WHEN n_truth > 0 THEN n_lsh * 1000000 // n_truth
+         |       ELSE 1000000 END AS recall_ppm
+         |FROM ct, cl, cm""".stripMargin,
+    // q283: identical split, argmax via rank window, same hit tally.
+    "q283_markov_accuracy" ->
+      s"""WITH $SrcCte,
+         |tr AS (SELECT event_type, lead(event_type) OVER w AS nxt
+         |       FROM src WHERE ts < TIMESTAMP '2024-01-16'
+         |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |cnt AS (SELECT event_type, nxt, count(*) AS n FROM tr
+         |        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |mdl AS (SELECT event_type, nxt AS predicted FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY event_type
+         |            ORDER BY n DESC, nxt ASC) AS rn FROM cnt)
+         |        WHERE rn = 1),
+         |te AS (SELECT event_type, lead(event_type) OVER w AS nxt
+         |       FROM src WHERE ts >= TIMESTAMP '2024-01-16'
+         |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT te.event_type, count(*) AS n_transitions,
+         |  CAST(sum(CASE WHEN te.nxt = m.predicted THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN te.nxt = m.predicted THEN 1 ELSE 0 END)
+         |       AS BIGINT) * 1000000 // count(*) AS acc_ppm
+         |FROM te LEFT JOIN mdl m ON te.event_type = m.event_type
+         |WHERE te.nxt IS NOT NULL GROUP BY 1""".stripMargin,
+    // q284: q59-style rank-selection quantiles per month.
+    "q284_fulfillment_trend" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |              max(CAST(l_shipdate AS TIMESTAMP)) AS ship
+        |            FROM lineitem GROUP BY 1),
+        |d AS (SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |        AS order_month,
+        |        CAST(date_diff('day', CAST(o_orderdate AS TIMESTAMP), ship)
+        |             AS BIGINT) AS d
+        |      FROM orders JOIN ls ON o_orderkey = l_orderkey
+        |      WHERE ship >= CAST(o_orderdate AS TIMESTAMP)),
+        |r AS (SELECT order_month, d,
+        |        row_number() OVER (PARTITION BY order_month ORDER BY d)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY order_month) AS n
+        |      FROM d),
+        |p AS (SELECT unnest([50, 90]) AS q)
+        |SELECT order_month, q, d AS q_value
+        |FROM r CROSS JOIN p
+        |WHERE rn = (n * q + 99) // 100""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
