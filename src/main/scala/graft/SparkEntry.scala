@@ -4056,6 +4056,72 @@ object SparkEntry {
         .filter(col("d") >= 0)
       Profile.discreteQuantiles(days, "order_month", "d",
                                 percents = Seq(50, 90))
+    }),
+    "q285_ltv_curve" -> ((s, dir) => {
+      // Cohort LTV curve (X268): cumulative revenue per acquisition
+      // cohort by age-in-months — first-order month per customer (one
+      // rollup), revenue by (cohort, age) via integer month arithmetic,
+      // cumulative over the bounded (cohort × age) grid (per-cohort
+      // window). The growth team's payback chart, exact cents.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.read(s, dir, "orders")
+        .select(col("o_custkey"),
+                date_trunc("MONTH", col("o_orderdate")).as("m"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+      val aged = o.join(cohort, Seq("o_custkey"))
+        .withColumn("age_months",
+          (months_between(col("m"), col("cohort"))).cast("long"))
+      val grid = aged.groupBy(col("cohort"), col("age_months"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+             sum(col("cents")).as("rev_cents"))
+      val wC = Window.partitionBy(col("cohort")).orderBy(col("age_months"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum_rev_cents", sum(col("rev_cents")).over(wC))
+    }),
+    "q286_constant_columns" -> ((s, dir) => {
+      // Drop-candidate audit (X269): columns that are all-NULL, constant,
+      // or constant-when-present across the table — the schema-hygiene
+      // verdicts a profile implies but nobody reads off it. One combine
+      // aggregate per column over the string cast (injective per type).
+      val colsq = Tables.read(s, dir, "part").columns.toSeq
+      colsq.map { c =>
+        Tables.read(s, dir, "part").agg(
+          count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_present"),
+          countDistinct(col(c).cast("string")).as("ndv"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_present"),
+                  col("ndv"))
+          .withColumn("verdict",
+            when(col("n_present") === 0, lit("ALL_NULL"))
+              .when(col("ndv") === 1 && col("n_present") === col("n_rows"),
+                    lit("CONSTANT"))
+              .when(col("ndv") === 1, lit("CONSTANT_OR_NULL"))
+              .otherwise(lit("KEEP")))
+      }.reduce(_ unionByName _)
+    }),
+    "q287_ann_mrr" -> ((s, dir) => {
+      // ANN mean reciprocal rank (X270): where does each query's TRUE
+      // nearest neighbor (brute top-1) land in the IVF result list?
+      // Reciprocal ranks in truncated integer micros (1M DIV rank —
+      // engine-exact, no float division); misses contribute 0. The
+      // rank-sensitive companion of q127's set recall.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 32)
+      val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id").as("_true_nn"))
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 10,
+                                   c = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val rr = truth.join(ivf,
+          truth("query_id") === ivf("query_id") &&
+            col("_true_nn") === col("neighbor_id"), "left_outer")
+        .select(truth("query_id"),
+                coalesce(expr("1000000L DIV `rank`"), lit(0L)).as("_rr"))
+      rr.agg(count(lit(1)).as("n_queries"),
+             sum(when(col("_rr") > 0, 1L).otherwise(0L)).as("n_found"),
+             sum(col("_rr")).as("sum_rr_micro"))
+        .withColumn("mrr_micro", expr("sum_rr_micro DIV n_queries"))
     })
   )
 
@@ -6069,6 +6135,85 @@ object SparkEntry {
         |SELECT order_month, q, d AS q_value
         |FROM r CROSS JOIN p
         |WHERE rn = (n * q + 99) // 100""".stripMargin,
+    // q285: identical cohort/age arithmetic + per-cohort running sum.
+    "q285_ltv_curve" ->
+      """WITH o AS (SELECT o_custkey,
+        |             date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+        |               AS m,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |ch AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+        |a AS (SELECT o.o_custkey, ch.cohort, o.cents,
+        |        CAST((date_part('year', o.m) - date_part('year', ch.cohort))
+        |          * 12 + date_part('month', o.m)
+        |          - date_part('month', ch.cohort) AS BIGINT) AS age_months
+        |      FROM o JOIN ch ON o.o_custkey = ch.o_custkey),
+        |g AS (SELECT cohort, age_months,
+        |        count(DISTINCT o_custkey) AS n_active,
+        |        CAST(sum(cents) AS BIGINT) AS rev_cents
+        |      FROM a GROUP BY 1, 2)
+        |SELECT cohort, age_months, n_active, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM g""".stripMargin,
+    // q286: per-column profile verdicts.
+    "q286_constant_columns" -> {
+      val cols = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                     "p_retailprice")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count($c) AS n_present,
+           |  count(DISTINCT CAST($c AS VARCHAR)) AS ndv,
+           |  CASE WHEN count($c) = 0 THEN 'ALL_NULL'
+           |       WHEN count(DISTINCT CAST($c AS VARCHAR)) = 1
+           |         AND count($c) = count(*) THEN 'CONSTANT'
+           |       WHEN count(DISTINCT CAST($c AS VARCHAR)) = 1
+           |         THEN 'CONSTANT_OR_NULL'
+           |       ELSE 'KEEP' END AS verdict
+           |FROM part""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+    // q287: q22's brute top-1 truth + q24's IVF list + reciprocal-rank
+    // integer arithmetic.
+    "q287_ann_mrr" ->
+      s"""WITH qq AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE vec_id < 32),
+         |bs AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosSql("qq.embedding", "c.embedding")} AS cosine
+         |       FROM embeddings c JOIN qq ON qq.vec_id <> c.vec_id),
+         |truth AS (SELECT query_id, neighbor_id AS true_nn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rn FROM bs)
+         |  WHERE rn = 1),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |q2 AS (SELECT * FROM asg WHERE id < 32),
+         |scored AS (
+         |  SELECT q2.id AS query_id, c.id AS neighbor_id,
+         |    ${cosSql("q2.embedding", "c.embedding")} AS cosine
+         |  FROM asg c JOIN q2 ON c.centroid_id = q2.centroid_id
+         |    AND q2.id <> c.id),
+         |ranked AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |    AS rk FROM scored),
+         |ivf AS (SELECT * FROM ranked WHERE rk <= 10),
+         |rr AS (SELECT t.query_id,
+         |         coalesce(1000000 // i.rk, 0) AS rr
+         |       FROM truth t LEFT JOIN ivf i
+         |         ON t.query_id = i.query_id AND t.true_nn = i.neighbor_id)
+         |SELECT count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  CAST(sum(rr) AS BIGINT) AS sum_rr_micro,
+         |  CAST(sum(rr) AS BIGINT) // count(*) AS mrr_micro
+         |FROM rr""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
