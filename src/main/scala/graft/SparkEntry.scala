@@ -4122,7 +4122,75 @@ object SparkEntry {
              sum(when(col("_rr") > 0, 1L).otherwise(0L)).as("n_found"),
              sum(col("_rr")).as("sum_rr_micro"))
         .withColumn("mrr_micro", expr("sum_rr_micro DIV n_queries"))
-    })
+    }),
+    "q288_excess_suppliers" -> ((s, dir) => {
+      // Nested semi-join chain (X271, the TPC-H Q20 shape): suppliers
+      // responsible for over 5% of the shipped quantity of any 'red'
+      // part. The textbook form nests IN-subqueries three deep (the
+      // oracle runs it); here each level is one combine rollup or
+      // broadcast semi-join and the 5% threshold compares integer
+      // cross-products (20·supplier_qty > part_qty in micros).
+      val redParts = Tables.read(s, dir, "part")
+        .filter(col("p_name").contains("red")).select(col("p_partkey"))
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+                expr("CAST(floor(l_quantity * 1000000) AS BIGINT)").as("qm"))
+        .localCheckpoint()
+      val partTotals = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qm")).as("_pt"))
+      li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qm")).as("_sq"))
+        .join(partTotals, Seq("l_partkey"))
+        .filter(col("_sq") * 20L > col("_pt"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated_parts"))
+        .join(Tables.read(s, dir, "supplier")
+                .select(col("s_suppkey"), col("s_name")),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
+    }),
+    "q289_seasonal_backtest" -> ((s, dir) => {
+      // Forecast backtest (X272): the seasonal-naive predictor (value =
+      // same weekday last week) scored against actuals — absolute
+      // percentage error in integer ppm per type, counted only where the
+      // lag exists. The eval harness that says whether q157's forecast
+      // beats the naive floor; one lag window on the bounded (type × day)
+      // rollup.
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("t"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("pred", lag(col("t"), 7).over(w))
+        .filter(col("pred").isNotNull && col("pred") > 0)
+        .withColumn("ape_ppm",
+                    expr("abs(t - pred) * 1000000L DIV pred"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("ape_ppm")).as("_sum_ape"),
+             max(col("ape_ppm")).as("worst_ape_ppm"))
+        .withColumn("mape_ppm", expr("_sum_ape DIV n_days"))
+        .drop("_sum_ape")
+    }),
+    "q290_dim_variance" -> ((s, dir) =>
+      // Per-dimension variance (X273): the exact integer variance
+      // numerator n·Σx² − (Σx)² per embedding dimension (micro-scaled
+      // components, no float accumulation) — which dimensions carry
+      // signal vs noise before whitening/truncation; q274's second
+      // moment.
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xm", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000)" +
+                               " AS BIGINT)"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sum_micro"),
+             sum(col("xm") * col("xm")).as("sumsq"))
+        .withColumn("var_numer", expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * sumsq" +
+            " - CAST(sum_micro AS DECIMAL(38,0)) * sum_micro AS BIGINT)"))
+        .select(col("dim"), col("n"), col("sum_micro"), col("sumsq"),
+                col("var_numer")))
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -6214,6 +6282,50 @@ object SparkEntry {
          |  CAST(sum(rr) AS BIGINT) AS sum_rr_micro,
          |  CAST(sum(rr) AS BIGINT) // count(*) AS mrr_micro
          |FROM rr""".stripMargin,
+    // q288: the textbook three-deep nested-subquery formulation.
+    "q288_excess_suppliers" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+        |             CAST(floor(l_quantity * 1000000) AS BIGINT) AS qm
+        |           FROM lineitem
+        |           WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                               WHERE p_name LIKE '%red%'))
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM (SELECT l_partkey, l_suppkey,
+        |        CAST(sum(qm) AS BIGINT) AS sq FROM q GROUP BY 1, 2) sp
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sq * 20 > (SELECT CAST(sum(qm) AS BIGINT) FROM q q2
+        |                 WHERE q2.l_partkey = sp.l_partkey)
+        |GROUP BY 1, 2""".stripMargin,
+    // q289: identical 7-day lag scoring.
+    "q289_seasonal_backtest" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS t
+         |      FROM src GROUP BY 1, 2),
+         |l AS (SELECT *, lag(t, 7) OVER (PARTITION BY event_type
+         |        ORDER BY day) AS pred FROM d),
+         |e AS (SELECT event_type,
+         |        abs(t - pred) * 1000000 // pred AS ape_ppm
+         |      FROM l WHERE pred IS NOT NULL AND pred > 0)
+         |SELECT event_type, count(*) AS n_days,
+         |  max(ape_ppm) AS worst_ape_ppm,
+         |  CAST(sum(ape_ppm) AS BIGINT) // count(*) AS mape_ppm
+         |FROM e GROUP BY 1""".stripMargin,
+    // q290: identical integer second moments per dimension.
+    "q290_dim_variance" ->
+      """WITH x AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |                  AS BIGINT) AS xm
+        |           FROM embeddings,
+        |             unnest(generate_series(1, len(embedding))) AS u(i))
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+        |  CAST(sum(xm * xm) AS BIGINT) AS sumsq,
+        |  CAST(count(*) * CAST(sum(xm * xm) AS HUGEINT)
+        |       - CAST(sum(xm) AS HUGEINT) * CAST(sum(xm) AS BIGINT)
+        |       AS BIGINT) AS var_numer
+        |FROM x GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
