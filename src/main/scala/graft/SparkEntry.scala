@@ -4190,7 +4190,91 @@ object SparkEntry {
           "CAST(CAST(n AS DECIMAL(38,0)) * sumsq" +
             " - CAST(sum_micro AS DECIMAL(38,0)) * sum_micro AS BIGINT)"))
         .select(col("dim"), col("n"), col("sum_micro"), col("sumsq"),
-                col("var_numer")))
+                col("var_numer"))),
+    "q291_alignment_evidence" -> ((s, dir) => {
+      // Near-dup alignment evidence (X274): for each verified near-dup
+      // pair, the longest CONTIGUOUS shared shingle run — the diagonal
+      // trick from sequence alignment: a shared shingle at positions
+      // (pa, pb) lies on diagonal pb−pa; consecutive pa values on one
+      // diagonal form a run, and run membership is pa − rank (the
+      // gaps-and-islands key). Shingle positions only materialize for
+      // pair members (semi-join first), never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+                                        n = 3, bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = docs(s, dir)
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+                posexplode(TextAnalysis.orderedShingles(
+                  TextAnalysis.tokens(col("text")), 3)).as(Seq("p", "sh")))
+      val shA = sh.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+                          col("sh").as("sha"))
+      val shB = sh.select(col("doc_id").as("db"), col("p").as("pb"),
+                          col("sh").as("shb"))
+      // shingle equality INSIDE the join condition: the pair-key AND the
+      // shingle hash both become equi-join keys, so the intermediate is
+      // |shared shingles| per pair, never |A| x |B|.
+      val hits = pairs.join(shA, Seq("doc_a"))
+        .join(shB, col("doc_b") === col("db") && col("sha") === col("shb"))
+      val wD = Window.partitionBy(col("doc_a"), col("doc_b"),
+                                  (col("pb") - col("pa")).as("_diag"))
+        .orderBy(col("pa"))
+      hits
+        .withColumn("_grp", col("pa") - row_number().over(wD))
+        .groupBy(col("doc_a"), col("doc_b"), (col("pb") - col("pa")).as("_d"),
+                 col("_grp"))
+        .agg(count(lit(1)).as("_run"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("_run")).as("longest_shared_run"),
+             sum(col("_run")).as("n_shared_positions"))
+    }),
+    "q292_lang_vocab_overlap" -> ((s, dir) => {
+      // Lexical distance matrix (X275): pairwise vocabulary Jaccard
+      // between languages off one distinct (lang, token) projection —
+      // the corpus-level language-contamination check (high overlap ⇒
+      // mislabeled docs or shared boilerplate).
+      val lv = docs(s, dir)
+        .select(col("lang"),
+                explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct().localCheckpoint()
+      val sizes = lv.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      lv.as("_a").join(lv.as("_b"),
+          col("_a.w") === col("_b.w") && col("_a.lang") < col("_b.lang"))
+        .groupBy(col("_a.lang").as("lang_a"), col("_b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.withColumnRenamed("lang", "lang_a")
+                .withColumnRenamed("n", "n_a")), Seq("lang_a"))
+        .join(broadcast(sizes.withColumnRenamed("lang", "lang_b")
+                .withColumnRenamed("n", "n_b")), Seq("lang_b"))
+        .withColumn("jaccard_ppm",
+          expr("n_shared * 1000000L DIV (n_a + n_b - n_shared)"))
+        .select(col("lang_a"), col("lang_b"), col("n_shared"), col("n_a"),
+                col("n_b"), col("jaccard_ppm"))
+    }),
+    "q293_retry_suppression" -> ((s, dir) => {
+      // Retry suppression (X276): an event repeating its user's previous
+      // (type, value) within 5 seconds is an at-least-once retry, not a
+      // signal — suppress it and report per type. One per-user window
+      // pass (the ingest-hygiene gate before any metric reads the feed).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("_um", unix_micros(col("ts")))
+        .withColumn("_retry",
+          (lag(col("event_type"), 1).over(w) <=> col("event_type")) &&
+            (lag(col("value"), 1).over(w) <=> col("value")) &&
+            (col("_um") - lag(col("_um"), 1).over(w) <= 5000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("_retry"), 1L).otherwise(0L)).as("n_suppressed"))
+        .withColumn("suppressed_ppm",
+                    expr("n_suppressed * 1000000L DIV n_events"))
+    })
   )
 
   /** Shared BPE merge table for q210 — rank-ordered, English-shaped; the
@@ -6326,6 +6410,69 @@ object SparkEntry {
         |       - CAST(sum(xm) AS HUGEINT) * CAST(sum(xm) AS BIGINT)
         |       AS BIGINT) AS var_numer
         |FROM x GROUP BY 1""".stripMargin,
+    // q291: q18's verified pairs + ORDERED (non-distinct) shingle
+    // positions + the textbook diagonal gaps-and-islands run count.
+    "q291_alignment_evidence" ->
+      s"""WITH $MinhashPairsCtes,
+         |verified AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |    JOIN sizes x ON x.doc_id = doc_a
+         |    JOIN sizes y ON y.doc_id = doc_b
+         |  WHERE overlap * 2 >= (x.n + y.n - overlap) * 1),
+         |osh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  ELSE list_transform(generate_series(0, len(t) - 3),
+         |         i -> array_to_string(t[i+1:i+3], ' ')) END AS oshs
+         |  FROM toks),
+         |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, oshs[i] AS sh
+         |        FROM osh, unnest(generate_series(1, len(oshs))) AS u(i)),
+         |hits AS (SELECT v.doc_a, v.doc_b, a.p AS pa, b.p AS pb
+         |         FROM verified v
+         |         JOIN pos a ON v.doc_a = a.doc_id
+         |         JOIN pos b ON v.doc_b = b.doc_id AND a.sh = b.sh),
+         |r AS (SELECT doc_a, doc_b, pb - pa AS d, pa,
+         |        row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+         |                           ORDER BY pa) AS rn
+         |      FROM hits),
+         |runs AS (SELECT doc_a, doc_b, d, pa - rn AS grp,
+         |           count(*) AS run
+         |         FROM r GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(max(run) AS BIGINT) AS longest_shared_run,
+         |  CAST(sum(run) AS BIGINT) AS n_shared_positions
+         |FROM runs GROUP BY 1, 2""".stripMargin,
+    // q292: plain distinct-projection vocabulary Jaccard.
+    "q292_lang_vocab_overlap" ->
+      s"""WITH lv AS (SELECT DISTINCT lang,
+         |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |lv2 AS (SELECT lang, w FROM lv WHERE length(w) > 0),
+         |sz AS (SELECT lang, count(*) AS n FROM lv2 GROUP BY 1),
+         |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |        count(*) AS n_shared
+         |      FROM lv2 a JOIN lv2 b
+         |        ON a.w = b.w AND a.lang < b.lang
+         |      GROUP BY 1, 2)
+         |SELECT lang_a, lang_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         |  n_shared * 1000000 // (sa.n + sb.n - n_shared) AS jaccard_ppm
+         |FROM p JOIN sz sa ON p.lang_a = sa.lang
+         |       JOIN sz sb ON p.lang_b = sb.lang""".stripMargin,
+    // q293: identical retry predicate on the per-user lag window.
+    "q293_retry_suppression" ->
+      s"""WITH $SrcCte,
+         |l AS (SELECT event_type,
+         |        lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+         |          AND lag(value) OVER w IS NOT DISTINCT FROM value
+         |          AND epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 5000000
+         |          AS retry
+         |      FROM src
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN retry THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_suppressed,
+         |  CAST(sum(CASE WHEN retry THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS suppressed_ppm
+         |FROM l GROUP BY 1""".stripMargin,
     // q206: streaming first-arrival dedup == min doc_id within the earliest
     // batch (doc_id%3 ascending) containing the fingerprint.
     "q206_stream_dedup" ->
