@@ -57,7 +57,7 @@ object SparkEntry {
       ScdConfig(uniqueKey = Seq("l_orderkey", "l_linenumber"),
                 updatedAtCol = "l_shipdate"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ sketchQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ sketchQueries ++ r6Queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- SCD2 (SURVEY §2: S1-S4, P1-P7, J1-J4, D1/D4, W1-W7, U1) ---------
@@ -4557,7 +4557,378 @@ object SparkEntry {
        |FROM k2""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // ---------------------------------------------------------------------
+  // Round-6 queries (X277+). Separate map: baseQueries' single Map(...)
+  // call site is near the JVM 64 KB method bytecode ceiling.
+  // ---------------------------------------------------------------------
+  private def r6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_benford" -> ((s, dir) => {
+      // Benford first-digit audit (X277): leading digit of the line price
+      // in cents vs Benford's law. The expectation log10(1+1/d) is
+      // pre-truncated to integer ppm CONSTANTS (identical literals in both
+      // engines — no runtime float log), so the whole report is exact
+      // integer arithmetic: one 9-row rollup, a broadcast of the 9-row
+      // expectation, and a bounded-dim window for the total.
+      import s.implicits._
+      val expected = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L,
+                         4 -> 96910L, 5 -> 79181L, 6 -> 66946L,
+                         7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+        .toDF("digit", "expected_ppm")
+      val byDigit = Tables.read(s, dir, "lineitem")
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"))
+        .filter(col("cents") > 0L)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.DimKey.one)
+      byDigit
+        .withColumn("_tot", sum(col("n")).over(w))
+        .join(broadcast(expected), Seq("digit"))
+        .withColumn("actual_ppm", expr("n * 1000000L DIV _tot"))
+        .select(col("digit"), col("n"), col("actual_ppm"),
+                col("expected_ppm"),
+                abs(col("actual_ppm") - col("expected_ppm"))
+                  .as("deviation_ppm"))
+    }),
+    "q295_corr_moments" -> ((s, dir) => {
+      // Pairwise Pearson sufficient statistics (X278): ONE combine
+      // aggregate computes every moment (4 sums, 4 sums of squares, 6
+      // cross-products) over overflow-safe integer units; the 6-pair
+      // "correlation matrix" is then a literal stack over the single
+      // result row — no second scan, no per-pair job. The covariance /
+      // variance NUMERATORS (n·Σxy − Σx·Σy) exceed int64 at scale, so
+      // they compute in DECIMAL(38,0) and ship as digit STRINGS — exact
+      // in both engines (DuckDB prints HUGEINT identically). corr itself
+      // needs a sqrt, so the exact report stops at the numerators: any
+      // reader can finish r = cov/√(varx·vary) in their own precision.
+      val li = Tables.read(s, dir, "lineitem").select(
+        expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("q"),
+        expr("CAST(floor(l_extendedprice) AS BIGINT)").as("p"),
+        expr("CAST(floor(l_discount * 1000) AS BIGINT)").as("d"),
+        expr("CAST(floor(l_tax * 1000) AS BIGINT)").as("t"))
+      li.agg(
+          count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+          sum(col("d")).as("sd"), sum(col("t")).as("st"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p") * col("p")).as("spp"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("q") * col("p")).as("sqp"),
+          sum(col("q") * col("d")).as("sqd"),
+          sum(col("q") * col("t")).as("sqt"),
+          sum(col("p") * col("d")).as("spd"),
+          sum(col("p") * col("t")).as("spt"),
+          sum(col("d") * col("t")).as("sdt"))
+        .selectExpr("n", "stack(6, " +
+          "'quantity', 'price',    sq, sp, sqq, spp, sqp, " +
+          "'quantity', 'discount', sq, sd, sqq, sdd, sqd, " +
+          "'quantity', 'tax',      sq, st, sqq, stt, sqt, " +
+          "'price',    'discount', sp, sd, spp, sdd, spd, " +
+          "'price',    'tax',      sp, st, spp, stt, spt, " +
+          "'discount', 'tax',      sd, st, sdd, stt, sdt) " +
+          "AS (x_name, y_name, sx, sy, sxx, syy, sxy)")
+        .selectExpr("x_name", "y_name", "n", "sx", "sy", "sxx", "syy",
+          "sxy",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS STRING) AS cov_numer",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING) AS varx_numer",
+          "CAST(CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy AS STRING) AS vary_numer")
+    }),
+    "q296_ri_scorecard" -> ((s, dir) => {
+      // Referential-integrity scorecard (X279): every FK edge of the star
+      // (plus the documents↔embeddings bridge) audited in one report —
+      // child volume, orphan rows (FK with no parent), orphan ppm. Each
+      // edge first COLLAPSES the child to distinct FK values (counts
+      // carried), so the anti-join probes |distinct keys| rows, never the
+      // fact; parent key sets join at dictionary size. The 8 one-row
+      // results union into the scorecard.
+      def edge(name: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val keys = child.select(col(fk).as("_k")).groupBy(col("_k"))
+          .agg(count(lit(1)).as("_n"))
+        val orphans = keys.join(parent.select(col(pk).as("_k")).distinct(),
+                                Seq("_k"), "left_anti")
+        keys.agg(coalesce(sum(col("_n")), lit(0L)).as("n_child")).crossJoin(
+            orphans.agg(coalesce(sum(col("_n")), lit(0L)).as("n_orphans")))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+                  expr("n_orphans * 1000000L DIV n_child").as("orphan_ppm"))
+      }
+      val li = Tables.read(s, dir, "lineitem")
+      val ord = Tables.read(s, dir, "orders")
+      val cust = Tables.read(s, dir, "customer")
+      val supp = Tables.read(s, dir, "supplier")
+      val nat = Tables.read(s, dir, "nation")
+      Seq(
+        edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey",
+             Tables.read(s, dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+        edge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        edge("supplier->nation", supp, "s_nationkey", nat, "n_nationkey"),
+        edge("nation->region", nat, "n_regionkey",
+             Tables.read(s, dir, "region"), "r_regionkey"),
+        edge("embeddings->documents", emb(s, dir), "vec_id",
+             docs(s, dir), "doc_id"))
+        .reduce(_ unionAll _)
+    }),
+    "q297_min_cost_supplier" -> ((s, dir) => {
+      // Min-cost supplier per part (X280, the TPC-H Q2 shape): for every
+      // SMALL-type part, the EUROPE supplier with the cheapest observed
+      // unit price. The classic correlated MIN subquery decorrelates to
+      // ONE (part, supplier) rollup; the per-part winner is a struct-min
+      // (price ties break to the smallest suppkey) — no re-probe join
+      // back onto the fact. Unit price is integer micros via DIV, exact
+      // in both engines; dimensions broadcast onto the fact scan.
+      val nat = Tables.read(s, dir, "nation")
+        .join(Tables.read(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.read(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val parts = Tables.read(s, dir, "part")
+        .filter(col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_name"))
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000000L" +
+               " DIV CAST(floor(l_quantity * 100) AS BIGINT)").as("up"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+                 col("s_name"), col("n_name"))
+        .agg(min(col("up")).as("up_micro"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(struct(col("up_micro"), col("s_suppkey"), col("s_name"),
+                        col("n_name"))).as("_w"))
+        .select(col("p_partkey"), col("p_name"),
+                col("_w.up_micro").as("up_micro"),
+                col("_w.s_suppkey").as("s_suppkey"),
+                col("_w.s_name").as("s_name"),
+                col("_w.n_name").as("n_name"))
+    }),
+    "q298_part_value_share" -> ((s, dir) => {
+      // Part value concentration (X281, the TPC-H Q11 shape): parts whose
+      // revenue from NATION_7 suppliers exceeds 1/2000 of that nation's
+      // total. HAVING-over-global-total decorrelates to one per-part
+      // rollup (localCheckpoint reused by both the scalar total and the
+      // filter — the fact scans once); the threshold is integer
+      // cross-multiplied (2000·part > total), no division in the filter.
+      val supp = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")
+                .filter(col("n_name") === "NATION_7")
+                .select(col("n_nationkey"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val rollup = Tables.read(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("value_cents"))
+        .select(col("p_partkey"), col("value_cents"))
+        .localCheckpoint()
+      rollup
+        .crossJoin(broadcast(
+          rollup.agg(sum(col("value_cents")).as("_total"))))
+        .filter(lit(2000L) * col("value_cents") > col("_total"))
+        .select(col("p_partkey"), col("value_cents"),
+                expr("value_cents * 1000000L DIV _total").as("share_ppm"))
+    }),
+    "q299_top_supplier" -> ((s, dir) => {
+      // Top supplier by windowed revenue, ties kept (X282, the TPC-H Q15
+      // shape): discounted revenue per supplier over one shipdate
+      // quarter, then every supplier matching the scalar max. The view +
+      // correlated max decorrelates to a checkpointed rollup reused by
+      // both sides; revenue is exact integer milli-cents
+      // (cents·(1000−disc_milli)); the supplier dimension broadcasts
+      // onto the 1-row-per-supplier result, never the fact.
+      val rollup = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+                      " * (1000L - CAST(floor(l_discount * 1000) AS BIGINT))"))
+          .as("rev_mc"))
+        .localCheckpoint()
+      rollup
+        .crossJoin(broadcast(rollup.agg(max(col("rev_mc")).as("_mx"))))
+        .filter(col("rev_mc") === col("_mx"))
+        .join(broadcast(Tables.read(s, dir, "supplier")
+                .select(col("s_suppkey"), col("s_name"))),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_mc"))
+    }),
+    "q300_supplier_variety" -> ((s, dir) => {
+      // Supplier variety per part segment (X283, the TPC-H Q16 shape):
+      // distinct suppliers serving each (brand, type, size) outside one
+      // excluded brand, with negative-balance suppliers NOT-IN'd out.
+      // The NOT IN decorrelates to a broadcast anti-join BEFORE the
+      // distinct rollup; the distinct collapses (segment, supplier) pairs
+      // map-side, so the exchange carries pairs, not lineitems.
+      val badSupp = Tables.read(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      val parts = Tables.read(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+                col("p_size"))
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+              "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"),
+                col("l_suppkey")).distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+    })
+  )
+
+  private def r6Oracle: Map[String, String] = Map(
+    "q294_benford" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |             AS cents FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |        AS digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM c WHERE cents > 0 GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |        (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |        (9, 45757)) t(digit, expected_ppm))
+        |SELECT d.digit, d.n,
+        |  CAST(d.n * 1000000 // (SELECT sum(n) FROM d) AS BIGINT)
+        |    AS actual_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs(d.n * 1000000 // (SELECT sum(n) FROM d)
+        |           - e.expected_ppm) AS BIGINT) AS deviation_ppm
+        |FROM d JOIN e USING (digit)""".stripMargin,
+    "q295_corr_moments" ->
+      """WITH u AS (SELECT CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+        |             CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |             CAST(floor(l_discount * 1000) AS BIGINT) AS d,
+        |             CAST(floor(l_tax * 1000) AS BIGINT) AS t
+        |           FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |        sum(q) AS sq, sum(p) AS sp, sum(d) AS sd, sum(t) AS st,
+        |        sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+        |        sum(t*t) AS stt, sum(q*p) AS sqp, sum(q*d) AS sqd,
+        |        sum(q*t) AS sqt, sum(p*d) AS spd, sum(p*t) AS spt,
+        |        sum(d*t) AS sdt
+        |      FROM u),
+        |pairs AS (SELECT * FROM (VALUES ('quantity', 'price'),
+        |  ('quantity', 'discount'), ('quantity', 'tax'),
+        |  ('price', 'discount'), ('price', 'tax'), ('discount', 'tax'))
+        |  v(x_name, y_name))
+        |SELECT x_name, y_name, CAST(m.n AS BIGINT) AS n,
+        |  CAST(CASE x_name WHEN 'quantity' THEN m.sq WHEN 'price' THEN m.sp
+        |       ELSE m.sd END AS BIGINT) AS sx,
+        |  CAST(CASE y_name WHEN 'price' THEN m.sp WHEN 'discount' THEN m.sd
+        |       ELSE m.st END AS BIGINT) AS sy,
+        |  CAST(CASE x_name WHEN 'quantity' THEN m.sqq WHEN 'price' THEN m.spp
+        |       ELSE m.sdd END AS BIGINT) AS sxx,
+        |  CAST(CASE y_name WHEN 'price' THEN m.spp WHEN 'discount' THEN m.sdd
+        |       ELSE m.stt END AS BIGINT) AS syy,
+        |  CAST(CASE x_name || '-' || y_name
+        |       WHEN 'quantity-price' THEN m.sqp
+        |       WHEN 'quantity-discount' THEN m.sqd
+        |       WHEN 'quantity-tax' THEN m.sqt
+        |       WHEN 'price-discount' THEN m.spd
+        |       WHEN 'price-tax' THEN m.spt ELSE m.sdt END AS BIGINT) AS sxy,
+        |  CAST(CAST(m.n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |       AS VARCHAR) AS cov_numer,
+        |  CAST(CAST(m.n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS VARCHAR) AS varx_numer,
+        |  CAST(CAST(m.n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |       AS VARCHAR) AS vary_numer
+        |FROM pairs, m""".stripMargin,
+    "q296_ri_scorecard" -> {
+      def edgeSql(name: String, child: String, fk: String,
+                  parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge,
+           |  (SELECT count(*) FROM $child) AS n_child,
+           |  (SELECT count(*) FROM $child
+           |   WHERE $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphans,
+           |  CAST((SELECT count(*) FROM $child
+           |        WHERE $fk NOT IN (SELECT $pk FROM $parent)) * 1000000
+           |       // (SELECT count(*) FROM $child) AS BIGINT)
+           |    AS orphan_ppm""".stripMargin
+      Seq(
+        edgeSql("lineitem->orders", "lineitem", "l_orderkey",
+                "orders", "o_orderkey"),
+        edgeSql("lineitem->part", "lineitem", "l_partkey",
+                "part", "p_partkey"),
+        edgeSql("lineitem->supplier", "lineitem", "l_suppkey",
+                "supplier", "s_suppkey"),
+        edgeSql("orders->customer", "orders", "o_custkey",
+                "customer", "c_custkey"),
+        edgeSql("customer->nation", "customer", "c_nationkey",
+                "nation", "n_nationkey"),
+        edgeSql("supplier->nation", "supplier", "s_nationkey",
+                "nation", "n_nationkey"),
+        edgeSql("nation->region", "nation", "n_regionkey",
+                "region", "r_regionkey"),
+        edgeSql("embeddings->documents", "embeddings", "vec_id",
+                "documents", "doc_id"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
+    "q297_min_cost_supplier" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ro AS (SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |    min(CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000000
+        |        // CAST(floor(l_quantity * 100) AS BIGINT)) AS up_micro
+        |  FROM lineitem
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |         ORDER BY up_micro, s_suppkey) AS rn FROM ro)
+        |SELECT p_partkey, p_name, CAST(up_micro AS BIGINT) AS up_micro,
+        |  s_suppkey, s_name, n_name
+        |FROM rk WHERE rn = 1""".stripMargin,
+    "q298_part_value_share" ->
+      """WITH r AS (SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7' GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM r)
+        |SELECT p_partkey, value_cents,
+        |  CAST(value_cents * 1000000 // t.total AS BIGINT) AS share_ppm
+        |FROM r, t WHERE 2000 * value_cents > t.total""".stripMargin,
+    "q299_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |         * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)))
+        |         AS BIGINT) AS rev_mc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_mc
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_mc = (SELECT max(rev_mc) FROM r)""".stripMargin,
+    "q300_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin
+  )
+
+  def oracleSql: Map[String, String] = r6Oracle ++ Map(
     // q198: the store after three streamed micro-batches must equal the
     // one-shot rollup over the same rows (merge algebra == full recompute).
     "q198_stream_rollup" ->
