@@ -4787,6 +4787,207 @@ object SparkEntry {
                 col("l_suppkey")).distinct()
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(count(lit(1)).as("supplier_cnt"))
+    }),
+    "q301_double_charge" -> ((s, dir) => {
+      // Band self-join without a range explosion (X284): two purchases by
+      // the same user within 10 minutes — the double-charge audit. The
+      // naive form is an inequality self-join (quadratic per user); here
+      // each event buckets to floor(us/600 s) and candidates come from
+      // TWO equi-joins — same bucket and adjacent bucket — so the shuffle
+      // key is (user, bucket) and every true pair appears in exactly one
+      // candidate stream. The band filter + (ts, id) ordering keeps each
+      // unordered pair once.
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", expr("us DIV 600000000L"))
+        .localCheckpoint()
+      val a = p.select(col("user_id"),
+        col("event_id").as("ea"), col("us").as("ua"), col("bkt"))
+      val b = p.select(col("user_id"),
+        col("event_id").as("eb"), col("us").as("ub"), col("bkt"))
+      a.join(b, Seq("user_id", "bkt"))
+        .filter((col("ua") < col("ub")) ||
+                (col("ua") === col("ub") && col("ea") < col("eb")))
+        .unionAll(
+          a.withColumn("bkt", col("bkt") + 1L)
+            .join(b, Seq("user_id", "bkt")))
+        .filter(col("ub") - col("ua") <= 600000000L)
+        .select(col("user_id"), col("ea").as("event_a"),
+                col("eb").as("event_b"), (col("ub") - col("ua")).as("gap_us"))
+    }),
+    "q302_hazard_rate" -> ((s, dir) => {
+      // Discrete survival hazard (X285): users collapse to (first, last)
+      // activity in one combine rollup; observed lifetime buckets to
+      // tenure weeks; week w's at-risk population is the suffix sum over
+      // the BOUNDED week dimension (reverse-cumulative window over tens
+      // of rows) — the retention curve's actuarial complement, exact
+      // integers throughout.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("week").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("fu"),
+             max(unix_micros(col("ts"))).as("lu"))
+        .select(expr("(lu - fu) DIV 604800000000L").as("week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+        .withColumn("n_at_risk", sum(col("n_churned")).over(w))
+        .select(col("week"), col("n_churned"), col("n_at_risk"),
+                expr("n_churned * 1000000L DIV n_at_risk").as("hazard_ppm"))
+    }),
+    "q303_partition_advisor" -> ((s, dir) => {
+      // Shuffle-partition advisor (X286): per table, exact row count +
+      // estimated uncompressed bytes from fixed type widths and measured
+      // string/array lengths, then the 128 MiB-target partition count the
+      // session should use for a shuffle of that relation — the
+      // boilerplate every job hand-tunes, derived from the data instead.
+      def t(name: String, df: DataFrame, rowBytes: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+               coalesce(sum(rowBytes.cast("long")), lit(0L)).as("est_bytes"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+                  col("est_bytes"),
+                  expr("(est_bytes + 134217727L) DIV 134217728L")
+                    .as("target_partitions"))
+      def ol(c: String): Column = octet_length(col(c))
+      Seq(
+        t("region", Tables.read(s, dir, "region"), lit(4) + ol("r_name")),
+        t("nation", Tables.read(s, dir, "nation"),
+          lit(8) + ol("n_name")),
+        t("customer", Tables.read(s, dir, "customer"),
+          lit(20) + ol("c_name") + ol("c_mktsegment")),
+        t("supplier", Tables.read(s, dir, "supplier"),
+          lit(20) + ol("s_name")),
+        t("part", Tables.read(s, dir, "part"),
+          lit(20) + ol("p_name") + ol("p_brand") + ol("p_type")),
+        t("orders", Tables.read(s, dir, "orders"),
+          lit(32) + ol("o_orderstatus") + ol("o_orderpriority")),
+        t("lineitem", Tables.read(s, dir, "lineitem"),
+          lit(68) + ol("l_returnflag") + ol("l_linestatus")),
+        t("events", ev(s, dir),
+          lit(32) + ol("event_type") + ol("props")),
+        t("documents", docs(s, dir),
+          lit(16) + ol("text") + ol("lang") + ol("source")),
+        t("embeddings", emb(s, dir),
+          lit(12) + size(col("embedding")) * 4))
+        .reduce(_ unionAll _)
+    }),
+    "q304_context_windows" -> ((s, dir) => {
+      // LM context-window carving (X287): fixed 32-token windows, stride
+      // 16, per document — the training-example prep that turns a ragged
+      // corpus into equal-length sequences. Window starts enumerate as a
+      // per-row `sequence` BEFORE the explode, the window content hashes
+      // to a fingerprint in the same projection, so the output is one
+      // narrow row per window, never one per token.
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 32)
+        .select(col("doc_id"), col("t"),
+                explode(sequence(lit(0),
+                  expr("CAST((size(t) - 32) DIV 16 AS INT)"))).as("wi"))
+        .select(col("doc_id"), col("wi").cast("long").as("win_idx"),
+                md5(concat_ws(" ",
+                  slice(col("t"), col("wi") * 16 + 1, lit(32))))
+                  .as("fingerprint"))
+    }),
+    "q305_negative_sampling" -> ((s, dir) => {
+      // Deterministic negative sampling (X288): each distinct skip-gram
+      // positive (center, context) draws k=2 negatives by hashing
+      // (center, context, j) into the frequency-ranked vocabulary —
+      // word2vec training-table prep with NO RNG, so every engine and
+      // every rerun emits the identical sample. The vocabulary index is
+      // one bounded-dim window; negatives resolve by equi-join on the
+      // hashed index, never a scan.
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+                posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint()
+      val pairs = Seq(1, 2).map { off =>
+        toks.as("_c").join(
+          toks.select(col("doc_id"), (col("p") - off).as("p"),
+                      col("w").as("ctx")).as("_x"),
+          Seq("doc_id", "p"))
+          .select(col("w").as("center"), col("ctx"))
+      }.reduce(_ unionAll _)
+      val sym = pairs.unionAll(pairs.select(col("ctx").as("center"),
+                                            col("center").as("ctx")))
+        .groupBy(col("center"), col("ctx")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("_cnt"))
+        .withColumn("idx",
+          row_number().over(Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("_cnt").desc, col("w"))).cast("long") - 1L)
+        .select(col("idx"), col("w")).localCheckpoint()
+      val negs = sym.select(col("center"), col("ctx"))
+        .crossJoin(broadcast(vocab.agg(count(lit(1)).as("_v"))))
+        .select(col("center"), col("ctx"),
+                explode(array(lit(0), lit(1))).as("j"), col("_v"))
+        .withColumn("idx",
+          conv(substring(md5(concat_ws("#", col("center"), col("ctx"),
+                                       col("j"))), 1, 15), 16, 10)
+            .cast("long") % col("_v"))
+        .join(vocab, Seq("idx"))
+        .select(col("center"), col("w").as("word"))
+        .groupBy(col("center"), col("word"))
+        .agg(count(lit(1)).as("n_samples"))
+        .select(col("center"), col("word"), lit(0).as("label"),
+                col("n_samples"))
+      sym.select(col("center"), col("ctx").as("word"), lit(1).as("label"),
+                 col("n").as("n_samples"))
+        .unionAll(negs)
+    }),
+    "q306_brand_diversity" -> ((s, dir) => {
+      // Supply diversity index (X289): Simpson's index of the brand mix
+      // each nation's suppliers ship, exact in ppm via the pair-counting
+      // identity Σnᵢ(nᵢ−1) / N(N−1) — no squared-share floats. One
+      // (nation, brand) rollup off the fact; dimensions broadcast.
+      val supp = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("ni"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("ni")).as("n_lines"),
+             count(lit(1)).as("n_brands"),
+             sum(col("ni") * (col("ni") - 1L)).as("_pairs"))
+        .select(col("n_name"), col("n_lines"), col("n_brands"),
+          expr("1000000L - _pairs * 1000000L DIV (n_lines * (n_lines - 1))")
+            .as("simpson_ppm"))
+    }),
+    "q307_containment" -> ((s, dir) => {
+      // Asymmetric containment (X290): Broder's complement to Jaccard —
+      // |A∩B|/|A| vs |A∩B|/|B| per verified near-dup pair, separating "B
+      // quotes A wholesale" from "they half-overlap". Pair overlap comes
+      // FREE from the LSH verify stage; only member docs get a shingle
+      // re-count (semi-join first), the corpus never re-materializes.
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+                                        n = 3, bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+        .localCheckpoint()
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sizes = docs(s, dir)
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+                size(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+                  .cast("long").as("n"))
+      pairs
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+                                     col("n").as("n_a"))), Seq("doc_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+                                     col("n").as("n_b"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"),
+                col("n_b"),
+                expr("overlap * 1000000L DIV n_a").as("cont_a_ppm"),
+                expr("overlap * 1000000L DIV n_b").as("cont_b_ppm"))
     })
   )
 
@@ -4925,7 +5126,124 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#1' AND p_size <= 25
         |  AND l_suppkey NOT IN
         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q301_double_charge" ->
+      s"""WITH $SrcCte,
+         |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+         |      FROM src WHERE event_type = 'purchase')
+         |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+         |  b.us - a.us AS gap_us
+         |FROM p a JOIN p b
+         |  ON a.user_id = b.user_id
+         |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+         |  AND b.us - a.us <= 600000000""".stripMargin,
+    "q302_hazard_rate" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id, min(epoch_us(ts)) AS fu,
+         |        max(epoch_us(ts)) AS lu FROM src GROUP BY 1),
+         |c AS (SELECT (lu - fu) // 604800000000 AS week,
+         |        CAST(count(*) AS BIGINT) AS n_churned
+         |      FROM u GROUP BY 1)
+         |SELECT week, n_churned,
+         |  CAST(sum(n_churned) OVER w AS BIGINT) AS n_at_risk,
+         |  CAST(n_churned * 1000000 // sum(n_churned) OVER w AS BIGINT)
+         |    AS hazard_ppm
+         |FROM c
+         |WINDOW w AS (ORDER BY week DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "q303_partition_advisor" ->
+      s"""WITH $SrcCte,
+         |b AS (
+         |  SELECT 'region' AS table_name, count(*) AS n_rows,
+         |    coalesce(sum(4 + strlen(r_name)), 0) AS est_bytes
+         |  FROM region
+         |  UNION ALL SELECT 'nation', count(*),
+         |    coalesce(sum(8 + strlen(n_name)), 0) FROM nation
+         |  UNION ALL SELECT 'customer', count(*),
+         |    coalesce(sum(20 + strlen(c_name)
+         |      + strlen(c_mktsegment)), 0) FROM customer
+         |  UNION ALL SELECT 'supplier', count(*),
+         |    coalesce(sum(20 + strlen(s_name)), 0) FROM supplier
+         |  UNION ALL SELECT 'part', count(*),
+         |    coalesce(sum(20 + strlen(p_name) + strlen(p_brand)
+         |      + strlen(p_type)), 0) FROM part
+         |  UNION ALL SELECT 'orders', count(*),
+         |    coalesce(sum(32 + strlen(o_orderstatus)
+         |      + strlen(o_orderpriority)), 0) FROM orders
+         |  UNION ALL SELECT 'lineitem', count(*),
+         |    coalesce(sum(68 + strlen(l_returnflag)
+         |      + strlen(l_linestatus)), 0) FROM lineitem
+         |  UNION ALL SELECT 'events', count(*),
+         |    coalesce(sum(32 + strlen(event_type)
+         |      + strlen(props)), 0) FROM src
+         |  UNION ALL SELECT 'documents', count(*),
+         |    coalesce(sum(16 + strlen(text) + strlen(lang)
+         |      + strlen(source)), 0) FROM documents
+         |  UNION ALL SELECT 'embeddings', count(*),
+         |    coalesce(sum(12 + 4 * len(embedding)), 0) FROM embeddings)
+         |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(est_bytes AS BIGINT) AS est_bytes,
+         |  CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+         |    AS target_partitions
+         |FROM b""".stripMargin,
+    "q304_context_windows" ->
+      s"""WITH $ToksCte,
+         |w AS (SELECT doc_id, t,
+         |        unnest(generate_series(0, (len(t) - 32) // 16)) AS wi
+         |      FROM toks WHERE len(t) >= 32)
+         |SELECT doc_id, CAST(wi AS BIGINT) AS win_idx,
+         |  md5(array_to_string(t[wi * 16 + 1 : wi * 16 + 32], ' '))
+         |    AS fingerprint
+         |FROM w""".stripMargin,
+    "q305_negative_sampling" ->
+      s"""WITH $ToksCte,
+         |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS w
+         |        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+         |        WHERE length(t[i]) > 0),
+         |pr AS (SELECT c.w AS center, x.w AS ctx
+         |       FROM pos c JOIN pos x
+         |         ON c.doc_id = x.doc_id AND x.p - c.p IN (1, 2)),
+         |sym AS (SELECT center, ctx FROM pr
+         |        UNION ALL SELECT ctx, center FROM pr),
+         |sp AS (SELECT center, ctx, CAST(count(*) AS BIGINT) AS n
+         |       FROM sym GROUP BY 1, 2),
+         |v AS (SELECT w, count(*) AS cnt FROM pos GROUP BY 1),
+         |vi AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1
+         |         AS BIGINT) AS idx FROM v),
+         |vc AS (SELECT count(*) AS nv FROM vi),
+         |ng AS (SELECT sp.center,
+         |        CAST(('0x' || substr(md5(sp.center || '#' || sp.ctx
+         |          || '#' || j), 1, 15))::UBIGINT % vc.nv AS BIGINT) AS idx
+         |       FROM sp, vc, (SELECT unnest([0, 1]) AS j) jj),
+         |negs AS (SELECT ng.center, vi.w AS word, 0 AS label,
+         |           CAST(count(*) AS BIGINT) AS n_samples
+         |         FROM ng JOIN vi USING (idx) GROUP BY 1, 2)
+         |SELECT center, ctx AS word, 1 AS label, n AS n_samples FROM sp
+         |UNION ALL SELECT * FROM negs""".stripMargin,
+    "q306_brand_diversity" ->
+      """WITH cell AS (SELECT n_name, p_brand, count(*) AS ni
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, CAST(sum(ni) AS BIGINT) AS n_lines,
+        |  CAST(count(*) AS BIGINT) AS n_brands,
+        |  CAST(1000000 - sum(ni * (ni - 1)) * 1000000
+        |       // (sum(ni) * (sum(ni) - 1)) AS BIGINT) AS simpson_ppm
+        |FROM cell GROUP BY 1""".stripMargin,
+    "q307_containment" ->
+      s"""WITH $MinhashPairsCtes,
+         |v AS (SELECT doc_a, doc_b, overlap, x.n AS n_a, y.n AS n_b
+         |      FROM pairs JOIN sizes x ON x.doc_id = doc_a
+         |                 JOIN sizes y ON y.doc_id = doc_b
+         |      WHERE overlap * 2 >= (x.n + y.n - overlap) * 1)
+         |SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(overlap * 1000000 // n_a AS BIGINT) AS cont_a_ppm,
+         |  CAST(overlap * 1000000 // n_b AS BIGINT) AS cont_b_ppm
+         |FROM v""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
