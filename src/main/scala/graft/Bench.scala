@@ -88,10 +88,13 @@ object Bench {
       val digits = p.dropWhile(!_.isDigit).dropWhile(_ == '0')
       if (digits.nonEmpty) digits else p
     }
-    def qsJson(f: Double => String): String =
-      results.zip(prefixes).map { case ((k, v), p) =>
+    def qsJsonOf(rs: Seq[((String, Double), String)],
+                 f: Double => String): String =
+      rs.map { case ((k, v), p) =>
         "\"" + (if (useShort) shortKey(p) else k) + "\":" + f(v)
       }.mkString("{", ",", "}")
+    def qsJson(f: Double => String): String =
+      qsJsonOf(results.zip(prefixes), f)
     val total = fmt(results.map(_._2).sum, 2)
     // sf as the directory basename and no extra fields: at 194 queries the
     // full-path variant put the line's END within ~60 bytes of the driver's
@@ -103,8 +106,19 @@ object Bench {
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
     // line's start being sheared off (rounds 1-2's parsed:null failure mode).
-    val out = if (full.length <= 1900) full
-              else line(qsJson(v => math.round(v).toString))
+    // 300+ queries overflow the window even integer-rounded (~8 bytes/entry
+    // x 300 > 2 KB): third tier keeps only the slowest 80 per-query values —
+    // the entries that carry the perf signal — while "value"/"n" still cover
+    // the whole suite. Deterministic order: slowest first, name tiebreak.
+    val intLine = line(qsJson(v => math.round(v).toString))
+    val out =
+      if (full.length <= 1900) full
+      else if (intLine.length <= 1900) intLine
+      else {
+        val top = results.zip(prefixes)
+          .sortBy { case ((k, v), _) => (-v, k) }.take(80)
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+      }
     println(out)
     spark.stop()
   }

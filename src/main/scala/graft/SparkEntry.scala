@@ -4988,6 +4988,206 @@ object SparkEntry {
                 col("n_b"),
                 expr("overlap * 1000000L DIV n_a").as("cont_a_ppm"),
                 expr("overlap * 1000000L DIV n_b").as("cont_b_ppm"))
+    }),
+    "q308_trade_lanes" -> ((s, dir) => {
+      // Bilateral trade lanes (X291, the TPC-H Q7 shape): shipped
+      // discounted revenue per (supplier nation → customer nation, year).
+      // The one unavoidable fact-sized shuffle is lineitem⋈orders on the
+      // order key; both nation lookups broadcast onto it, and the rollup
+      // lands on the bounded (25×25×years) lane grid. Exact milli-cents.
+      val sNat = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cNat = Tables.read(s, dir, "customer")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ordNat = Tables.read(s, dir, "orders")
+        .join(broadcast(cNat), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(sNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ordNat, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+                      " * (1000L - CAST(floor(l_discount * 1000) AS BIGINT))"))
+               .as("rev_mc"))
+    }),
+    "q309_dedup_shift" -> ((s, dir) => {
+      // Dedup survivor-bias audit (X292): does near-dup dedup shift the
+      // corpus mix? Language shares before vs after canonical-only
+      // filtering, exact ppm, signed shift — the demographic check a
+      // pipeline should run before training on what dedup kept.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      val d = docs(s, dir)
+      val kept = Dedup.keepCanonical(d, "doc_id",
+        Dedup.minhashLshPairs(d, "doc_id", "text", n = 3, bands = 4,
+                              rows = 3, tauNum = 1, tauDen = 2))
+      def mix(df: DataFrame, nCol: String, pCol: String): DataFrame =
+        df.groupBy(col("lang")).agg(count(lit(1)).as(nCol))
+          .withColumn("_tot", sum(col(nCol)).over(w))
+          .withColumn(pCol, expr(s"$nCol * 1000000L DIV _tot"))
+          .drop("_tot")
+      mix(d, "n_before", "ppm_before")
+        .join(mix(kept, "n_after", "ppm_after"), Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_before"),
+                coalesce(col("n_after"), lit(0L)).as("n_after"),
+                col("ppm_before"),
+                coalesce(col("ppm_after"), lit(0L)).as("ppm_after"),
+                (coalesce(col("ppm_after"), lit(0L)) - col("ppm_before"))
+                  .as("shift_ppm"))
+    }),
+    "q310_rec_coverage" -> ((s, dir) => {
+      // Recommendation catalog coverage (X293): what share of the catalog
+      // ever appears in a top-3 also-bought list, and how many items have
+      // one at all? Low partner coverage = the recommender amplifies head
+      // items. One rec build (q243's ranked pairs), two distinct counts,
+      // catalog total broadcast.
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val pairs = items.as("_a")
+        .join(items.as("_x"),
+              col("_a.b") === col("_x.b") && col("_a.i") < col("_x.i"))
+        .groupBy(col("_a.i").as("x"), col("_x.i").as("y"))
+        .agg(count(lit(1)).as("n_co"))
+      val sym = pairs.select(col("x").as("item"), col("y").as("partner"),
+                             col("n_co"))
+        .unionAll(pairs.select(col("y").as("item"), col("x").as("partner"),
+                               col("n_co")))
+      val wR = Window.partitionBy(col("item"))
+        .orderBy(col("n_co").desc, col("partner").asc)
+      sym.withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 3)
+        .agg(countDistinct(col("item")).as("n_items_with_recs"),
+             countDistinct(col("partner")).as("n_parts_recommended"))
+        .crossJoin(broadcast(Tables.read(s, dir, "part")
+          .agg(count(lit(1)).as("n_parts"))))
+        .select(col("n_parts"), col("n_items_with_recs"),
+                col("n_parts_recommended"),
+                expr("n_items_with_recs * 1000000L DIV n_parts")
+                  .as("item_cov_ppm"),
+                expr("n_parts_recommended * 1000000L DIV n_parts")
+                  .as("rec_cov_ppm"))
+    }),
+    "q311_pagerank3" -> ((s, dir) => {
+      // Fixed-point integer PageRank (X294): 3 unrolled iterations over
+      // the co-purchase item graph in micro-scaled integer arithmetic —
+      // bit-identical on every engine (float PageRank never
+      // hash-matches). Damping 0.85 is ×850000 DIV 1e6; per-node contrib
+      // is pr DIV outdeg. Each iteration is ONE shuffle on dst; the edge
+      // list and degree table build once and localCheckpoint.
+      val items = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val pairs = items.as("_a")
+        .join(items.as("_x"),
+              col("_a.b") === col("_x.b") && col("_a.i") < col("_x.i"))
+        .select(col("_a.i").as("x"), col("_x.i").as("y")).distinct()
+      val edges = pairs
+        .unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      var pr = deg.select(col("x").as("node"), lit(1000000L).as("pr"),
+                          col("outdeg"))
+      for (_ <- 1 to 3) {
+        val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
+        pr = edges.join(contrib, edges("x") === contrib("node"))
+          .groupBy(col("y")).agg(sum(col("c")).as("sc"))
+          .select(col("y").as("node"),
+                  expr("150000L + 850000L * sc DIV 1000000L").as("pr"))
+          .join(deg.select(col("x").as("node"), col("outdeg")), Seq("node"))
+      }
+      pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
+    }),
+    "q312_quantize_error" -> ((s, dir) => {
+      // Int8 reconstruction-error audit (X295): quantize each embedding
+      // to int8 on micro-scaled INTEGERS (sign-split magnitude division —
+      // trunc-vs-floor never disagrees on negatives), dequantize, and
+      // report per-label squared error and worst dimension error. All
+      // arithmetic is exact; the whole audit is one narrow projection +
+      // one rollup — no shuffle before the label grouping.
+      emb(s, dir)
+        .select(col("label"),
+          expr("transform(embedding, v ->" +
+               " CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("xm"))
+        .withColumn("sm", expr("array_max(transform(xm, v -> abs(v)))"))
+        .withColumn("errs", expr(
+          "transform(xm, v -> CASE WHEN sm = 0 THEN CAST(0 AS BIGINT)" +
+            " WHEN v >= 0 THEN v - (v * 127 DIV sm) * sm DIV 127" +
+            " ELSE v + ((-v) * 127 DIV sm) * sm DIV 127 END)"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(expr("aggregate(errs, CAST(0 AS BIGINT)," +
+                      " (a, e) -> a + e * e)")).as("sum_err_sq"),
+             max(expr("array_max(transform(errs, e -> abs(e)))"))
+               .as("max_abs_err"))
+    }),
+    "q313_vocab_budget" -> ((s, dir) => {
+      // Vocabulary budget curve (X296): OOV rate at vocab sizes
+      // 100 / 1000 / 10000 — the tokenizer-budget tradeoff read off ONE
+      // frequency ranking (bounded-dim window) and one (vocab × 3)
+      // conditional rollup; the corpus explodes once.
+      import org.apache.spark.sql.expressions.Window
+      val vocab = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("idx",
+          row_number().over(Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("cnt").desc, col("w"))).cast("long") - 1L)
+      vocab
+        .select(col("cnt"), col("idx"),
+                explode(array(lit(100L), lit(1000L), lit(10000L)))
+                  .as("budget"))
+        .groupBy(col("budget"))
+        .agg(sum(when(col("idx") >= col("budget"), col("cnt"))
+               .otherwise(0L)).as("oov_tokens"),
+             sum(col("cnt")).as("total_tokens"))
+        .select(col("budget"), col("oov_tokens"), col("total_tokens"),
+                expr("oov_tokens * 1000000L DIV total_tokens")
+                  .as("oov_ppm"))
+    }),
+    "q314_stream_late_drops" -> ((s, dir) => {
+      // Streaming watermark drop accounting (X297), driver-checked e2e:
+      // three micro-batches cut by day-thirds, with event_id%50
+      // "straggler" rows displaced one batch later; a row older than
+      // (committed max event time − 10 min) at its arrival batch is
+      // dropped and COUNTED — the observability signal `withWatermark`
+      // never surfaces. The oracle re-derives the same unrolled watermark
+      // recurrence in SQL. (MemoryStream driver feed: harness source,
+      // bounded to the user_id%5 slice.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = ev(s, dir).filter(col("user_id") % 5 === 0)
+        .withColumn("_b", least(
+          when(dayofmonth(col("ts")) <= 10, 0)
+            .when(dayofmonth(col("ts")) <= 20, 1).otherwise(2)
+            + when(col("event_id") % 50 === 0, 1).otherwise(0), lit(2)))
+        .select(col("event_id"), col("ts"), col("event_type"),
+                col("value"), col("_b"))
+        .as[(Long, java.sql.Timestamp, String, Double, Int)].collect().toSeq
+      val base =
+        java.nio.file.Files.createTempDirectory("q314_wm").toString
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double, Int)]
+      val q = graft.streaming.WatermarkStream.lateDropSink(
+        source.toDF().toDF("event_id", "ts", "event_type", "value", "b")
+          .select(col("ts"), col("event_type"), col("value")),
+        s"$base/store", 600000000L, s"$base/ckpt")
+      try (0 until 3).foreach { i =>
+        source.addData(rows.filter(_._5 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      VersionedTable.read(s, s"$base/store")
+        .select("event_type", "n_kept", "n_dropped", "value_micro_kept")
     })
   )
 
@@ -5243,7 +5443,155 @@ object SparkEntry {
          |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          |  CAST(overlap * 1000000 // n_a AS BIGINT) AS cont_a_ppm,
          |  CAST(overlap * 1000000 // n_b AS BIGINT) AS cont_b_ppm
-         |FROM v""".stripMargin
+         |FROM v""".stripMargin,
+    "q308_trade_lanes" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)))
+        |       AS BIGINT) AS rev_mc
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q309_dedup_shift" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |kept AS (SELECT * FROM documents WHERE doc_id NOT IN
+         |          (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)),
+         |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+         |      FROM documents GROUP BY 1),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+         |      FROM kept GROUP BY 1),
+         |tb AS (SELECT sum(n_before) AS t FROM b),
+         |ta AS (SELECT sum(n_after) AS t FROM a)
+         |SELECT b.lang, b.n_before, coalesce(a.n_after, 0) AS n_after,
+         |  CAST(b.n_before * 1000000 // tb.t AS BIGINT) AS ppm_before,
+         |  CAST(coalesce(a.n_after, 0) * 1000000 // ta.t AS BIGINT)
+         |    AS ppm_after,
+         |  CAST(coalesce(a.n_after, 0) * 1000000 // ta.t
+         |       - b.n_before * 1000000 // tb.t AS BIGINT) AS shift_ppm
+         |FROM b LEFT JOIN a ON b.lang = a.lang, tb, ta""".stripMargin,
+    "q310_rec_coverage" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y, count(*) AS n_co
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2),
+        |sym AS (SELECT x AS item, y AS partner, n_co FROM p
+        |        UNION ALL SELECT y, x, n_co FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY n_co DESC, partner ASC) AS rank
+        |      FROM sym),
+        |recs AS (SELECT item, partner FROM r WHERE rank <= 3),
+        |agg AS (SELECT CAST(count(DISTINCT item) AS BIGINT)
+        |          AS n_items_with_recs,
+        |        CAST(count(DISTINCT partner) AS BIGINT)
+        |          AS n_parts_recommended FROM recs),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part)
+        |SELECT n_parts, n_items_with_recs, n_parts_recommended,
+        |  CAST(n_items_with_recs * 1000000 // n_parts AS BIGINT)
+        |    AS item_cov_ppm,
+        |  CAST(n_parts_recommended * 1000000 // n_parts AS BIGINT)
+        |    AS rec_cov_ppm
+        |FROM agg, cat""".stripMargin,
+    "q311_pagerank3" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT DISTINCT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+        |e AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+        |deg AS (SELECT x AS node, count(*) AS outdeg FROM e GROUP BY 1),
+        |pr0 AS (SELECT node, 1000000 AS pr, outdeg FROM deg),
+        |i1 AS (SELECT e.y AS node,
+        |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+        |       FROM e JOIN pr0 ON e.x = pr0.node GROUP BY 1),
+        |pr1 AS (SELECT i1.node, pr, outdeg
+        |        FROM i1 JOIN deg ON i1.node = deg.node),
+        |i2 AS (SELECT e.y AS node,
+        |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+        |       FROM e JOIN pr1 ON e.x = pr1.node GROUP BY 1),
+        |pr2 AS (SELECT i2.node, pr, outdeg
+        |        FROM i2 JOIN deg ON i2.node = deg.node),
+        |i3 AS (SELECT e.y AS node,
+        |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+        |       FROM e JOIN pr2 ON e.x = pr2.node GROUP BY 1)
+        |SELECT i3.node, CAST(pr AS BIGINT) AS pr_micro,
+        |  CAST(outdeg AS BIGINT) AS outdeg
+        |FROM i3 JOIN deg ON i3.node = deg.node""".stripMargin,
+    "q312_quantize_error" ->
+      """WITH x AS (SELECT label, list_transform(embedding, v ->
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |s AS (SELECT label, xm,
+        |        list_max(list_transform(xm, v -> abs(v))) AS sm FROM x),
+        |e AS (SELECT label, list_transform(xm, v ->
+        |    CASE WHEN sm = 0 THEN 0
+        |    WHEN v >= 0 THEN v - (v * 127 // sm) * sm // 127
+        |    ELSE v + ((-v) * 127 // sm) * sm // 127 END) AS errs FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(list_sum(list_transform(errs, e -> e * e))) AS BIGINT)
+        |    AS sum_err_sq,
+        |  CAST(max(list_max(list_transform(errs, e -> abs(e)))) AS BIGINT)
+        |    AS max_abs_err
+        |FROM e GROUP BY 1""".stripMargin,
+    "q313_vocab_budget" ->
+      s"""WITH $ToksCte,
+         |w0 AS (SELECT unnest(t) AS w FROM toks),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0
+         |      WHERE length(w) > 0 GROUP BY 1),
+         |vi AS (SELECT cnt, CAST(row_number() OVER
+         |         (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS idx FROM v),
+         |bu AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT)
+         |         AS budget)
+         |SELECT budget,
+         |  CAST(sum(CASE WHEN idx >= budget THEN cnt ELSE 0 END)
+         |       AS BIGINT) AS oov_tokens,
+         |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN idx >= budget THEN cnt ELSE 0 END) * 1000000
+         |       // sum(cnt) AS BIGINT) AS oov_ppm
+         |FROM vi, bu GROUP BY 1""".stripMargin,
+    "q314_stream_late_drops" ->
+      s"""WITH $SrcCte,
+         |sl AS (SELECT event_type, value, epoch_us(ts) AS us,
+         |    least(CASE WHEN day(ts) <= 10 THEN 0
+         |               WHEN day(ts) <= 20 THEN 1 ELSE 2 END
+         |          + CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END, 2)
+         |      AS b
+         |  FROM src WHERE user_id % 5 = 0),
+         |m0 AS (SELECT max(us) AS m FROM sl WHERE b = 0),
+         |k1 AS (SELECT *, us >= (SELECT m FROM m0) - 600000000 AS keep
+         |       FROM sl WHERE b = 1),
+         |m1 AS (SELECT greatest((SELECT m FROM m0),
+         |         coalesce((SELECT max(us) FROM k1 WHERE keep), 0)) AS m),
+         |k2 AS (SELECT *, us >= (SELECT m FROM m1) - 600000000 AS keep
+         |       FROM sl WHERE b = 2),
+         |allr AS (
+         |  SELECT event_type, value, TRUE AS keep FROM sl WHERE b = 0
+         |  UNION ALL SELECT event_type, value, keep FROM k1
+         |  UNION ALL SELECT event_type, value, keep FROM k2)
+         |SELECT event_type,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN keep
+         |           THEN CAST(floor(value * 1000000.0) AS BIGINT)
+         |           ELSE 0 END) AS BIGINT) AS value_micro_kept
+         |FROM allr GROUP BY 1""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

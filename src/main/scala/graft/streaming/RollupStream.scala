@@ -90,8 +90,8 @@ object RollupStream {
     * batch id must be matched under. Read once per micro-batch (one tiny
     * file, driver-side).
     */
-  private def queryId(spark: org.apache.spark.sql.SparkSession,
-                      checkpoint: String): String = {
+  private[streaming] def queryId(spark: org.apache.spark.sql.SparkSession,
+                                 checkpoint: String): String = {
     val path = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(path)
