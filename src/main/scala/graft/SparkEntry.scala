@@ -4791,30 +4791,16 @@ object SparkEntry {
     "q301_double_charge" -> ((s, dir) => {
       // Band self-join without a range explosion (X284): two purchases by
       // the same user within 10 minutes — the double-charge audit. The
-      // naive form is an inequality self-join (quadratic per user); here
-      // each event buckets to floor(us/600 s) and candidates come from
-      // TWO equi-joins — same bucket and adjacent bucket — so the shuffle
-      // key is (user, bucket) and every true pair appears in exactly one
-      // candidate stream. The band filter + (ts, id) ordering keeps each
-      // unordered pair once.
-      val p = ev(s, dir).filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-                unix_micros(col("ts")).as("us"))
-        .withColumn("bkt", expr("us DIV 600000000L"))
-        .localCheckpoint()
-      val a = p.select(col("user_id"),
-        col("event_id").as("ea"), col("us").as("ua"), col("bkt"))
-      val b = p.select(col("user_id"),
-        col("event_id").as("eb"), col("us").as("ub"), col("bkt"))
-      a.join(b, Seq("user_id", "bkt"))
-        .filter((col("ua") < col("ub")) ||
-                (col("ua") === col("ub") && col("ea") < col("eb")))
-        .unionAll(
-          a.withColumn("bkt", col("bkt") + 1L)
-            .join(b, Seq("user_id", "bkt")))
-        .filter(col("ub") - col("ua") <= 600000000L)
-        .select(col("user_id"), col("ea").as("event_a"),
-                col("eb").as("event_b"), (col("ub") - col("ua")).as("gap_us"))
+      // naive form is an inequality self-join (quadratic per user);
+      // `Intervals.pointBandSelfJoin` buckets each event to its 600 s
+      // chunk and candidates come from TWO equi-joins (same + adjacent
+      // chunk), so every true pair appears in exactly one stream.
+      Intervals.pointBandSelfJoin(
+          ev(s, dir).filter(col("event_type") === "purchase"),
+          keys = Seq("user_id"), idCol = "event_id", tsCol = "ts",
+          bandUs = 600000000L)
+        .select(col("user_id"), col("id_a").as("event_a"),
+                col("id_b").as("event_b"), col("gap_us"))
     }),
     "q302_hazard_rate" -> ((s, dir) => {
       // Discrete survival hazard (X285): users collapse to (first, last)
@@ -5079,32 +5065,15 @@ object SparkEntry {
       // Fixed-point integer PageRank (X294): 3 unrolled iterations over
       // the co-purchase item graph in micro-scaled integer arithmetic —
       // bit-identical on every engine (float PageRank never
-      // hash-matches). Damping 0.85 is ×850000 DIV 1e6; per-node contrib
-      // is pr DIV outdeg. Each iteration is ONE shuffle on dst; the edge
-      // list and degree table build once and localCheckpoint.
-      val items = Tables.spread(s, Tables.read(s, dir, "lineitem"))
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
-      val pairs = items.as("_a")
-        .join(items.as("_x"),
-              col("_a.b") === col("_x.b") && col("_a.i") < col("_x.i"))
-        .select(col("_a.i").as("x"), col("_x.i").as("y")).distinct()
-      val edges = pairs
-        .unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
-        .localCheckpoint()
-      val deg = edges.groupBy(col("x")).agg(count(lit(1)).as("outdeg"))
-        .localCheckpoint()
-      var pr = deg.select(col("x").as("node"), lit(1000000L).as("pr"),
-                          col("outdeg"))
-      for (_ <- 1 to 3) {
-        val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
-        pr = edges.join(contrib, edges("x") === contrib("node"))
-          .groupBy(col("y")).agg(sum(col("c")).as("sc"))
-          .select(col("y").as("node"),
-                  expr("150000L + 850000L * sc DIV 1000000L").as("pr"))
-          .join(deg.select(col("x").as("node"), col("outdeg")), Seq("node"))
-      }
-      pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
+      // hash-matches); `Graph.pagerank` — damping ×850000 DIV 1e6,
+      // contrib pr DIV outdeg, one dst-shuffle per iteration.
+      val pairs = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey")
+      Graph.pagerank(
+        pairs.unionAll(pairs.select(col("dst").as("src"),
+                                    col("src").as("dst"))),
+        iters = 3)
     }),
     "q312_quantize_error" -> ((s, dir) => {
       // Int8 reconstruction-error audit (X295): quantize each embedding

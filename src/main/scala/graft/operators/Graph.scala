@@ -86,4 +86,39 @@ object Graph {
         when(col("n_wedges") > 0,
              expr("n_triangles * 3 * 1000000L DIV n_wedges")).otherwise(0L))
   }
+
+  /** Fixed-point integer PageRank over a directed edge list (src → dst):
+    * `iters` synchronous iterations in micro-scaled integer arithmetic —
+    * per-node contribution is `pr DIV outdeg`, the update is
+    * `(1e6 − dampingPpm) + dampingPpm·Σcontrib DIV 1e6`. No floats
+    * anywhere, so every engine (and every partitioning) reproduces the
+    * ranks bit-for-bit; float PageRank never survives a hash compare.
+    *
+    * Nodes are the edge SOURCES (feed symmetric edges for an undirected
+    * graph, e.g. [[coOccurrenceEdges]] + its mirror); a node must appear
+    * as both a source and a destination to retain rank, which symmetric
+    * edges guarantee. One shuffle on dst per iteration; the edge list and
+    * degree table build once and localCheckpoint.
+    *
+    * Output: (node, pr_micro, outdeg).
+    */
+  def pagerank(edges0: DataFrame, iters: Int = 3,
+               dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    val edges = edges0.localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"),
+                        col("outdeg"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
+      pr = edges.join(contrib, edges("src") === contrib("node"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+                expr(s"${1000000L - dampingPpm}L" +
+                     s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"))
+        .join(deg.select(col("src").as("node"), col("outdeg")), Seq("node"))
+    }
+    pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
+  }
 }

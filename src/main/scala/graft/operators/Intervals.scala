@@ -198,4 +198,39 @@ object Intervals {
     inner.unionByName(cross)
       .withColumn("gap_len", col("gap_end") - col("gap_start") + 1L)
   }
+
+  /** Point-event band self-join: every ordered pair of events sharing
+    * `keys` whose timestamps are within `bandUs` microseconds — the
+    * "two purchases within 10 minutes" shape. The naive form is an
+    * inequality self-join (quadratic per key); here each point lands in
+    * ONE chunk of width `bandUs`, and candidates come from exactly two
+    * equi-joins — same chunk and adjacent chunk — so the shuffle key is
+    * (keys, chunk), every qualifying pair appears in exactly one
+    * candidate stream, and no range join ever runs. Pairs order by
+    * (timestamp, id), ties broken on id, so each unordered pair emits
+    * once.
+    *
+    * Output: keys ++ (id_a, id_b, gap_us).
+    */
+  def pointBandSelfJoin(df: DataFrame, keys: Seq[String], idCol: String,
+                        tsCol: String, bandUs: Long): DataFrame = {
+    require(bandUs > 0, "bandUs must be positive")
+    val p = df.select(keys.map(col) ++ Seq(
+        col(idCol).as("_id"), unix_micros(col(tsCol)).as("_us")): _*)
+      .withColumn("_bkt", expr(s"_us DIV ${bandUs}L"))
+      .localCheckpoint()
+    val a = p.select(keys.map(col) ++ Seq(col("_id").as("_ida"),
+      col("_us").as("_ua"), col("_bkt")): _*)
+    val b = p.select(keys.map(col) ++ Seq(col("_id").as("_idb"),
+      col("_us").as("_ub"), col("_bkt")): _*)
+    val jk = keys :+ "_bkt"
+    a.join(b, jk)
+      .filter((col("_ua") < col("_ub")) ||
+              (col("_ua") === col("_ub") && col("_ida") < col("_idb")))
+      .unionAll(a.withColumn("_bkt", col("_bkt") + 1L).join(b, jk))
+      .filter(col("_ub") - col("_ua") <= bandUs)
+      .select(keys.map(col) ++ Seq(col("_ida").as("id_a"),
+        col("_idb").as("id_b"),
+        (col("_ub") - col("_ua")).as("gap_us")): _*)
+  }
 }

@@ -278,4 +278,36 @@ class Round6OpsSpec extends SparkTestBase {
         x.getAs[Long]("credit_ppm")).toMap
     assert(r === Map("a" -> 400000L, "b" -> 200000L, "c" -> 400000L))
   }
+
+  test("Graph.pagerank: 3 integer iterations on the path graph 1-2-3") {
+    // Symmetric path edges; hand-unrolled fixed-point arithmetic:
+    //   it1: pr = (575000, 1850000, 575000)
+    //   it2: pr = (936250, 1127500, 936250)
+    //   it3: pr = (629187, 1741625, 629187)
+    val p = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = p.unionAll(p.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+    val r = Graph.pagerank(edges, iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r === Set((1L, 629187L, 1L), (2L, 1741625L, 2L),
+                     (3L, 629187L, 1L)))
+  }
+
+  test("Intervals.pointBandSelfJoin: cross-chunk pairs found, band respected, ties ordered") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // band 600 s. Chunks: id1@100s, id3@100s -> chunk 0; id2@650s,
+    // id4@800s -> chunk 1. Expected pairs: (1,3) tie gap 0 (same chunk),
+    // (1,2) 550 s and (3,2) 550 s (adjacent chunk), (2,4) 150 s.
+    // (1,4)/(3,4) at 700 s exceed the band.
+    val df = Seq((7L, 1L, ts(100)), (7L, 2L, ts(650)), (7L, 3L, ts(100)),
+                 (7L, 4L, ts(800)), (8L, 5L, ts(100)))
+      .toDF("k", "id", "ts")
+    val r = Intervals.pointBandSelfJoin(df, Seq("k"), "id", "ts",
+                                        600000000L)
+      .collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("id_a"),
+                 x.getAs[Long]("id_b"), x.getAs[Long]("gap_us"))).toSet
+    assert(r === Set((7L, 1L, 3L, 0L), (7L, 1L, 2L, 550000000L),
+                     (7L, 3L, 2L, 550000000L), (7L, 2L, 4L, 150000000L)))
+  }
 }
