@@ -5157,6 +5157,98 @@ object SparkEntry {
       } finally q.stop()
       VersionedTable.read(s, s"$base/store")
         .select("event_type", "n_kept", "n_dropped", "value_micro_kept")
+    }),
+    "q315_profit_decomposition" -> ((s, dir) => {
+      // Product-line profit (X298, the TPC-H Q9 shape): per (supplier
+      // nation, ship year), discounted revenue minus quantity×catalog
+      // cost for PROMO parts — a two-measure decomposition where both
+      // measures stay exact integers (milli-cents): rev = cents·(1000−dm),
+      // cost = qty_centi·retail_cents·10. Both dimensions broadcast onto
+      // the single fact scan; the rollup lands on the bounded
+      // (nation × year) grid.
+      val supp = Tables.read(s, dir, "supplier")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.read(s, dir, "lineitem")
+        .join(broadcast(Tables.read(s, dir, "part")
+                .filter(col("p_type") === "PROMO")
+                .select(col("p_partkey"),
+                  expr("CAST(floor(p_retailprice * 100) AS BIGINT)")
+                    .as("rc"))),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("supp_nation"),
+                 year(col("l_shipdate")).as("ship_year"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+                 " * (1000L - CAST(floor(l_discount * 1000) AS BIGINT))"))
+               .as("rev_mc"),
+             sum(expr("CAST(floor(l_quantity * 100) AS BIGINT) * rc * 10L"))
+               .as("cost_mc"))
+        .withColumn("profit_mc", col("rev_mc") - col("cost_mc"))
+    }),
+    "q316_collocations" -> ((s, dir) => {
+      // Collocation mining (X299): top-10 adjacent-token bigrams per
+      // language by unigram-lift — n_ab·N_uni/(n_a·n_b) in ppm, computed
+      // as STEPWISE integer divisions (each step exact and
+      // overflow-bounded, so both engines reproduce the score
+      // bit-for-bit). Bigrams build from one positional self-join at
+      // offset 1; unigram counts broadcast back per language; ranking is
+      // a per-lang window over the n_ab≥5 survivors.
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+                posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint()
+      val uni = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("n_uni_w")).localCheckpoint()
+      val nUni = uni.groupBy(col("lang")).agg(sum(col("n_uni_w")).as("n_uni"))
+      val bi = toks.as("_a")
+        .join(toks.select(col("doc_id"), (col("p") - 1).as("p"),
+                          col("w").as("wb")).as("_b"),
+              Seq("doc_id", "p"))
+        .groupBy(col("lang"), col("w").as("wa"), col("wb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val scored = bi
+        .join(uni.select(col("lang"), col("w").as("wa"),
+                         col("n_uni_w").as("n_a")), Seq("lang", "wa"))
+        .join(uni.select(col("lang"), col("w").as("wb"),
+                         col("n_uni_w").as("n_b")), Seq("lang", "wb"))
+        .join(broadcast(nUni), Seq("lang"))
+        .withColumn("lift_ppm",
+          expr("(n_ab * 1000000L DIV n_a) * n_uni DIV n_b"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("lift_ppm").desc, col("wa"), col("wb"))))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("wa"), col("wb"), col("n_ab"),
+                col("n_a"), col("n_b"), col("lift_ppm"),
+                col("rk").cast("int").as("rk"))
+    }),
+    "q317_join_card_estimator" -> ((s, dir) => {
+      // Join-cardinality estimator validation (X300): the self-join
+      // |events ⋈ events on user| predicted by the planner's classic
+      // "top-k keys exact + uniform tail" model vs the exact Σn². The
+      // model's inputs (top-20 heavy keys, tail totals) and the ground
+      // truth all come from ONE per-key rollup; top-20 plans as
+      // TakeOrdered, never a global sort.
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val topAgg = u.orderBy(col("n").desc, col("user_id")).limit(20)
+        .agg(sum(col("n") * col("n")).as("top_sq"),
+             sum(col("n")).as("top_n"), count(lit(1)).as("top_k"))
+      u.agg(sum(col("n") * col("n")).as("exact_pairs"),
+            sum(col("n")).as("total_n"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(topAgg))
+        .withColumn("est_pairs", expr(
+          "top_sq + (total_n - top_n) * (total_n - top_n)" +
+            " DIV greatest(n_keys - top_k, 1L)"))
+        .select(col("n_keys"), col("exact_pairs"), col("est_pairs"),
+                expr("abs(est_pairs - exact_pairs) * 1000000L" +
+                     " DIV exact_pairs").as("err_ppm"))
     })
   )
 
@@ -5560,7 +5652,73 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN keep
          |           THEN CAST(floor(value * 1000000.0) AS BIGINT)
          |           ELSE 0 END) AS BIGINT) AS value_micro_kept
-         |FROM allr GROUP BY 1""".stripMargin
+         |FROM allr GROUP BY 1""".stripMargin,
+    "q315_profit_decomposition" ->
+      """SELECT n_name AS supp_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)))
+        |       AS BIGINT) AS rev_mc,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)
+        |       * CAST(floor(p_retailprice * 100) AS BIGINT) * 10)
+        |       AS BIGINT) AS cost_mc,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |       * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)))
+        |     - sum(CAST(floor(l_quantity * 100) AS BIGINT)
+        |       * CAST(floor(p_retailprice * 100) AS BIGINT) * 10)
+        |       AS BIGINT) AS profit_mc
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q316_collocations" ->
+      """WITH toks AS (SELECT lang, doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pos AS (SELECT lang, doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS w
+        |        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        |        WHERE length(t[i]) > 0),
+        |uni AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n_uni_w
+        |        FROM pos GROUP BY 1, 2),
+        |nu AS (SELECT lang, CAST(sum(n_uni_w) AS BIGINT) AS n_uni
+        |       FROM uni GROUP BY 1),
+        |bi AS (SELECT a.lang, a.w AS wa, b.w AS wb,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM pos a JOIN pos b
+        |         ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |       GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |sc AS (SELECT bi.lang, wa, wb, n_ab,
+        |         ua.n_uni_w AS n_a, ub.n_uni_w AS n_b,
+        |         (n_ab * 1000000 // ua.n_uni_w) * nu.n_uni // ub.n_uni_w
+        |           AS lift_ppm
+        |       FROM bi
+        |       JOIN uni ua ON ua.lang = bi.lang AND ua.w = wa
+        |       JOIN uni ub ON ub.lang = bi.lang AND ub.w = wb
+        |       JOIN nu ON nu.lang = bi.lang),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY lift_ppm DESC, wa, wb) AS INT) AS rk FROM sc)
+        |SELECT lang, wa, wb, n_ab, n_a, n_b,
+        |  CAST(lift_ppm AS BIGINT) AS lift_ppm, rk
+        |FROM rk WHERE rk <= 10""".stripMargin,
+    "q317_join_card_estimator" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |      FROM src GROUP BY 1),
+         |top AS (SELECT * FROM u ORDER BY n DESC, user_id LIMIT 20),
+         |ta AS (SELECT CAST(sum(n * n) AS BIGINT) AS top_sq,
+         |         CAST(sum(n) AS BIGINT) AS top_n,
+         |         CAST(count(*) AS BIGINT) AS top_k FROM top),
+         |aa AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs,
+         |         CAST(sum(n) AS BIGINT) AS total_n,
+         |         CAST(count(*) AS BIGINT) AS n_keys FROM u)
+         |SELECT n_keys, exact_pairs,
+         |  CAST(top_sq + (total_n - top_n) * (total_n - top_n)
+         |       // greatest(n_keys - top_k, 1) AS BIGINT) AS est_pairs,
+         |  CAST(abs(top_sq + (total_n - top_n) * (total_n - top_n)
+         |       // greatest(n_keys - top_k, 1) - exact_pairs) * 1000000
+         |       // exact_pairs AS BIGINT) AS err_ppm
+         |FROM aa, ta""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
