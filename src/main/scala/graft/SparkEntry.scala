@@ -5249,6 +5249,74 @@ object SparkEntry {
         .select(col("n_keys"), col("exact_pairs"), col("est_pairs"),
                 expr("abs(est_pairs - exact_pairs) * 1000000L" +
                      " DIV exact_pairs").as("err_ppm"))
+    }),
+    "q318_typo_linkage" -> ((s, dir) => {
+      // Edit-distance record linkage (X301): near-identical part names
+      // via blocking on the trailing noun — candidate pairs stay
+      // block-local, never all-pairs — then a Levenshtein ≤ 3 filter.
+      // Names dedupe to (name, count) BEFORE pairing, so the join scales
+      // with the name dictionary, not the table; levenshtein() is the
+      // identical classic DP in both engines, so the report is exact.
+      val names = Tables.read(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+        .localCheckpoint()
+      names.as("_a").join(names.as("_b"),
+          col("_a.blk") === col("_b.blk") &&
+            col("_a.p_name") < col("_b.p_name"))
+        .select(col("_a.p_name").as("name_a"),
+                col("_b.p_name").as("name_b"),
+                col("_a.n").as("n_a"), col("_b.n").as("n_b"),
+                levenshtein(col("_a.p_name"), col("_b.p_name")).as("dist"))
+        .filter(col("dist").between(1, 3))
+    }),
+    "q319_status_conformance" -> ((s, dir) => {
+      // Cross-table lifecycle conformance (X302): declared order status
+      // vs what the lines actually say — three rules evaluated off ONE
+      // per-order line rollup joined once (checkpointed); each rule
+      // reports checked/violations/ppm. The multi-rule audit shape: a
+      // new rule is one more CASE, never one more scan.
+      val l = Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+             max(col("l_shipdate")).as("last_ship"),
+             sum(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+               .as("n_f"))
+      val j = Tables.read(s, dir, "orders")
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .localCheckpoint()
+      def rule(name: String, checked: Column,
+               violated: Column): DataFrame =
+        j.agg(sum(when(checked, 1L).otherwise(0L)).as("n_checked"),
+              sum(when(checked && violated, 1L).otherwise(0L))
+                .as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+                  col("n_violations"),
+                  expr("n_violations * 1000000L DIV greatest(n_checked, 1L)")
+                    .as("violation_ppm"))
+      Seq(
+        rule("order_has_lines", lit(true), col("n_lines").isNull),
+        rule("F_all_lines_final",
+             col("o_orderstatus") === "F" && col("n_lines").isNotNull,
+             col("n_f") < col("n_lines")),
+        rule("O_open_recent",
+             col("o_orderstatus") === "O" && col("n_lines").isNotNull,
+             col("last_ship") < to_timestamp(lit("1996-01-01"))))
+        .reduce(_ unionAll _)
+    }),
+    "q320_sentence_quantiles" -> ((s, dir) => {
+      // Sentence-length profile (X303): exact p50/p90 tokens-per-sentence
+      // per language via X44 rank selection — the prose-shape audit
+      // (machine-generated text skews short and uniform). Sentences split
+      // once with q134's convention; lengths are small ints; quantiles
+      // are exact, no interpolation.
+      val sent = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), "[.!?]+")).as("_s"))
+        .withColumn("_s", trim(col("_s")))
+        .filter(length(col("_s")) > 0)
+        .select(col("lang"),
+                size(split(col("_s"), "\\s+")).cast("long").as("slen"))
+      Profile.discreteQuantiles(sent, "lang", "slen", Seq(50, 90))
     })
   )
 
@@ -5718,7 +5786,65 @@ object SparkEntry {
          |  CAST(abs(top_sq + (total_n - top_n) * (total_n - top_n)
          |       // greatest(n_keys - top_k, 1) - exact_pairs) * 1000000
          |       // exact_pairs AS BIGINT) AS err_ppm
-         |FROM aa, ta""".stripMargin
+         |FROM aa, ta""".stripMargin,
+    "q318_typo_linkage" ->
+      """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n,
+        |    (regexp_split_to_array(p_name, ' '))[-1] AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3"""
+        .stripMargin,
+    "q319_status_conformance" ->
+      """WITH l AS (SELECT l_orderkey, count(*) AS n_lines,
+        |    max(CAST(l_shipdate AS TIMESTAMP)) AS last_ship,
+        |    sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT * FROM orders
+        |      LEFT JOIN l ON o_orderkey = l_orderkey),
+        |r AS (
+        |  SELECT 'order_has_lines' AS rule,
+        |    count(*) AS n_checked,
+        |    sum(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END)
+        |      AS n_violations
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'F_all_lines_final',
+        |    sum(CASE WHEN o_orderstatus = 'F' AND n_lines IS NOT NULL
+        |        THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN o_orderstatus = 'F' AND n_lines IS NOT NULL
+        |        AND n_f < n_lines THEN 1 ELSE 0 END)
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'O_open_recent',
+        |    sum(CASE WHEN o_orderstatus = 'O' AND n_lines IS NOT NULL
+        |        THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN o_orderstatus = 'O' AND n_lines IS NOT NULL
+        |        AND last_ship < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END)
+        |  FROM j)
+        |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_violations * 1000000 // greatest(n_checked, 1) AS BIGINT)
+        |    AS violation_ppm
+        |FROM r""".stripMargin,
+    "q320_sentence_quantiles" ->
+      """WITH s0 AS (SELECT lang, trim(s) AS s FROM (SELECT lang,
+        |    unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        |  FROM documents)),
+        |s1 AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(s, '\s+')) AS BIGINT) AS slen
+        |  FROM s0 WHERE length(s) > 0),
+        |r AS (SELECT lang, slen,
+        |    row_number() OVER (PARTITION BY lang ORDER BY slen) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s1)
+        |SELECT lang, q, min(slen) AS q_value
+        |FROM r, (SELECT unnest([50, 90]) AS q)
+        |WHERE rn = (n * q + 99) // 100
+        |GROUP BY 1, 2""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
