@@ -108,16 +108,26 @@ object Graph {
     val edges = edges0.localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
+    // Attach the DESTINATION's out-degree to the edge list ONCE: each
+    // iteration's rollup then carries the outdeg the next contrib needs,
+    // so no per-iteration degree join exists — the plan is exactly one
+    // (edges ⋈ contrib) shuffle + one rollup per iteration, and the
+    // identical edge-side exchange is reused across iterations.
+    val edgesD = edges
+      .join(deg.select(col("src").as("dst"),
+                       col("outdeg").as("dst_outdeg")), Seq("dst"))
+      .localCheckpoint()
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"),
                         col("outdeg"))
     for (_ <- 1 to iters) {
       val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
-      pr = edges.join(contrib, edges("src") === contrib("node"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = edgesD.join(contrib, edgesD("src") === contrib("node"))
+        .groupBy(col("dst"), col("dst_outdeg"))
+        .agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
                 expr(s"${1000000L - dampingPpm}L" +
-                     s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"))
-        .join(deg.select(col("src").as("node"), col("outdeg")), Seq("node"))
+                     s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"),
+                col("dst_outdeg").as("outdeg"))
     }
     pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
   }
