@@ -5317,6 +5317,71 @@ object SparkEntry {
         .select(col("lang"),
                 size(split(col("_s"), "\\s+")).cast("long").as("slen"))
       Profile.discreteQuantiles(sent, "lang", "slen", Seq(50, 90))
+    }),
+    "q321_cross_lang_neardup" -> ((s, dir) => {
+      // Cross-language near-dup matrix (X304): verified near-dup pairs
+      // bucketed by their (lang, lang) combination — off-diagonal mass is
+      // mislabeled languages or translated/templated boilerplate, exactly
+      // what poisons per-language training mixes. Pair endpoints join the
+      // doc→lang projection (broadcast at dictionary size); the lang pair
+      // normalizes (least, greatest) so each unordered combination is one
+      // row.
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+                                        n = 3, bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+      val lg = docs(s, dir).select(col("doc_id"), col("lang"))
+      pairs
+        .join(broadcast(lg.select(col("doc_id").as("doc_a"),
+                                  col("lang").as("la"))), Seq("doc_a"))
+        .join(broadcast(lg.select(col("doc_id").as("doc_b"),
+                                  col("lang").as("lb"))), Seq("doc_b"))
+        .groupBy(least(col("la"), col("lb")).as("lang_a"),
+                 greatest(col("la"), col("lb")).as("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q322_source_syndication" -> ((s, dir) => {
+      // Source syndication matrix (X305): shared content (1-hash MinHash
+      // shingle fingerprint — exact dups AND heavy boilerplate collide)
+      // appearing under BOTH of a source pair: the "who republishes whom"
+      // audit near-dup clustering hides inside mixed clusters. Content
+      // collapses to DISTINCT (fingerprint, source) before the
+      // self-join, so the join input is dictionary-sized and
+      // within-source duplication never inflates the count.
+      val fs = docs(s, dir)
+        .select(TextAnalysis.shingleFingerprint(col("text"), n = 3)
+                  .as("fp"),
+                col("source")).distinct().localCheckpoint()
+      fs.as("_a").join(fs.as("_b"),
+          col("_a.fp") === col("_b.fp") &&
+            col("_a.source") < col("_b.source"))
+        .groupBy(col("_a.source").as("source_a"),
+                 col("_b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_docs"))
+    }),
+    "q323_link_prediction" -> ((s, dir) => {
+      // Common-neighbor link prediction (X306): for item pairs NOT yet
+      // co-purchased, the number of shared co-purchase partners — the
+      // classic graph-completion score. Wedges come from one self-join of
+      // the symmetric neighbor list on the middle node; existing edges
+      // anti-join out; top-50 by (score, pair) is a TakeOrdered. Wedge
+      // volume is Σdeg² — bounded by the basket-size cap the co-purchase
+      // projection inherits from orders.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey").localCheckpoint()
+      val nbr = p.unionAll(p.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+      val wedges = nbr.as("_l")
+        .join(nbr.as("_r"),
+              col("_l.src") === col("_r.src") &&
+                col("_l.dst") < col("_r.dst"))
+        .groupBy(col("_l.dst").as("a"), col("_r.dst").as("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      wedges
+        .join(p, wedges("a") === p("src") && wedges("b") === p("dst"),
+              "left_anti")
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(50)
     })
   )
 
@@ -5844,7 +5909,51 @@ object SparkEntry {
         |SELECT lang, q, min(slen) AS q_value
         |FROM r, (SELECT unnest([50, 90]) AS q)
         |WHERE rn = (n * q + 99) // 100
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q321_cross_lang_neardup" ->
+      s"""WITH $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql)
+         |SELECT least(da.lang, db.lang) AS lang_a,
+         |  greatest(da.lang, db.lang) AS lang_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM vp
+         |JOIN documents da ON da.doc_id = vp.doc_a
+         |JOIN documents db ON db.doc_id = vp.doc_b
+         |GROUP BY 1, 2""".stripMargin,
+    "q322_source_syndication" ->
+      s"""WITH $ToksCte,
+         |sh AS (SELECT doc_id, CASE WHEN len(t) < 3
+         |         THEN [array_to_string(t, ' ')]
+         |         ELSE list_distinct(list_transform(
+         |           generate_series(0, len(t) - 3),
+         |           i -> array_to_string(t[i+1:i+3], ' '))) END AS shs
+         |       FROM toks),
+         |fs AS (SELECT DISTINCT
+         |         list_min(list_transform(shs, s -> md5(s))) AS fp,
+         |         source
+         |       FROM sh JOIN documents USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_docs
+         |FROM fs a JOIN fs b
+         |  ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    "q323_link_prediction" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT DISTINCT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+        |nbr AS (SELECT x AS src, y AS dst FROM p
+        |        UNION ALL SELECT y, x FROM p),
+        |w AS (SELECT l.dst AS a, r.dst AS b,
+        |        CAST(count(*) AS BIGINT) AS common_neighbors
+        |      FROM nbr l JOIN nbr r
+        |        ON l.src = r.src AND l.dst < r.dst
+        |      GROUP BY 1, 2),
+        |nw AS (SELECT w.* FROM w
+        |       LEFT JOIN p ON w.a = p.x AND w.b = p.y
+        |       WHERE p.x IS NULL)
+        |SELECT a, b, common_neighbors FROM nw
+        |ORDER BY common_neighbors DESC, a, b LIMIT 50""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
