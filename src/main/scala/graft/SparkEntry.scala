@@ -5382,6 +5382,70 @@ object SparkEntry {
               "left_anti")
         .orderBy(col("common_neighbors").desc, col("a"), col("b"))
         .limit(50)
+    }),
+    "q324_ema_forecast" -> ((s, dir) => {
+      // EMA forecast state machine (X307): exponential smoothing
+      // (α=0.3) over each type's 30-day count series in micro-scaled
+      // INTEGER state — the recurrence that window functions can't
+      // express runs as an `aggregate` HOF over the per-type day array
+      // (bounded dimension, built once off a zero-filled spine), seeded
+      // with the first element to mirror DuckDB's list_reduce exactly.
+      // The result is the engine-exact next-day forecast.
+      val days = s.range(0, 30)
+        .select(expr("CAST(date_add(DATE'2024-01-01', CAST(id AS INT))" +
+                     " AS TIMESTAMP)").as("day"))
+      val types = ev(s, dir).select(col("event_type")).distinct()
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      broadcast(days).crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left_outer")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(collect_list(struct(col("day"), col("n"))).as("_c"))
+        .withColumn("arr",
+          expr("transform(sort_array(_c), x -> x.n * 1000000L)"))
+        .select(col("event_type"),
+                size(col("arr")).cast("long").as("n_days"),
+                expr("element_at(arr, -1) DIV 1000000L").as("last_n"),
+                expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0]," +
+                     " (a, x) -> (700000L * a + 300000L * x)" +
+                     " DIV 1000000L)").as("ema_micro"))
+    }),
+    "q325_drawdown" -> ((s, dir) => {
+      // Maximum drawdown (X308): per type, the deepest drop of the
+      // cumulative daily net value below its running peak — the classic
+      // risk statistic, exact in integer micros: cumulative sum, running
+      // max, max gap, all on the bounded (type × day) rollup.
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(1000000.0)).cast("long"))
+          .as("vm"))
+        .withColumn("cum", sum(col("vm")).over(wCum))
+        .withColumn("peak", max(col("cum")).over(wCum))
+        .groupBy(col("event_type"))
+        .agg(max(col("peak")).as("peak_micro"),
+             max(col("peak") - col("cum")).as("max_drawdown_micro"))
+    }),
+    "q326_basket_signatures" -> ((s, dir) => {
+      // Basket archetypes (X309): each order collapses to its SORTED
+      // distinct brand set — the exact-composition signature association
+      // rules never show — and the top-25 signatures rank by frequency.
+      // Per-order set build is one combine rollup; the signature rollup
+      // is signature-dimensional; top-k plans as TakeOrdered.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(",", sort_array(collect_set(col("p_brand"))))
+          .as("signature"))
+        .groupBy(col("signature")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("signature"))
+        .limit(25)
     })
   )
 
@@ -5953,7 +6017,53 @@ object SparkEntry {
         |       LEFT JOIN p ON w.a = p.x AND w.b = p.y
         |       WHERE p.x IS NULL)
         |SELECT a, b, common_neighbors FROM nw
-        |ORDER BY common_neighbors DESC, a, b LIMIT 50""".stripMargin
+        |ORDER BY common_neighbors DESC, a, b LIMIT 50""".stripMargin,
+    "q324_ema_forecast" ->
+      s"""WITH $SrcCte,
+         |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+         |           TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+         |types AS (SELECT DISTINCT event_type FROM src),
+         |daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+         |            CAST(count(*) AS BIGINT) AS n
+         |          FROM src GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type,
+         |           coalesce(daily.n, 0) * 1000000 AS nm, d.day
+         |         FROM days d CROSS JOIN types t
+         |         LEFT JOIN daily ON daily.day = d.day
+         |           AND daily.event_type = t.event_type),
+         |agged AS (SELECT event_type, list(nm ORDER BY day) AS arr
+         |          FROM grid GROUP BY 1)
+         |SELECT event_type, CAST(len(arr) AS BIGINT) AS n_days,
+         |  CAST(arr[-1] // 1000000 AS BIGINT) AS last_n,
+         |  CAST(list_reduce(arr, (a, x) ->
+         |    (700000 * a + 300000 * x) // 1000000) AS BIGINT) AS ema_micro
+         |FROM agged""".stripMargin,
+    "q325_drawdown" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+         |             AS BIGINT) AS vm
+         |      FROM src GROUP BY 1, 2),
+         |c1 AS (SELECT event_type, day, sum(vm) OVER w AS cum
+         |       FROM d
+         |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c2 AS (SELECT event_type, cum, max(cum) OVER w2 AS peak
+         |       FROM c1
+         |       WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_type, CAST(max(peak) AS BIGINT) AS peak_micro,
+         |  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_micro
+         |FROM c2 GROUP BY 1""".stripMargin,
+    "q326_basket_signatures" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    array_to_string(list_sort(list(DISTINCT p_brand)), ',')
+        |      AS signature
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT signature, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY 1
+        |ORDER BY n_orders DESC, signature LIMIT 25""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
