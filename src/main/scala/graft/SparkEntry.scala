@@ -5446,7 +5446,61 @@ object SparkEntry {
         .groupBy(col("signature")).agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("signature"))
         .limit(25)
-    })
+    }),
+    "q327_nprobe_sweep" -> ((s, dir) => {
+      // IVF nprobe tuning curve (X310): recall@10 at nprobe 1/2/4 against
+      // the brute-force truth in ONE report — the probe-count knob priced
+      // before anyone turns it in production. The truth set computes once
+      // (checkpointed); each probe level is the same bucketed IVF search,
+      // so cost scales with probed buckets, and recall is an exact oracle
+      // number (both sides deterministic), not an estimate.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 32)
+      val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+                                            k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 10, c = 16,
+                           nprobe = np)
+          .select("query_id", "neighbor_id")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_exact"))))
+          .select(lit(np).as("nprobe"), col("n_exact"), col("n_hits"),
+                  expr("n_hits * 1000000L DIV n_exact").as("recall_ppm"))
+      }.reduce(_ unionAll _)
+    }),
+    "q328_embedding_dups" -> ((s, dir) =>
+      // Exact-duplicate embeddings (X311): identical vectors under
+      // different ids waste ANN index space and skew recall; group by the
+      // micro-floored integer vector itself (array equality — no
+      // fingerprint collisions to reason about) and report the collapse.
+      emb(s, dir)
+        .select(expr("transform(embedding, v ->" +
+          " CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("xm"))
+        .groupBy(col("xm")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+             count(lit(1)).as("n_distinct"),
+             sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+             sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+               .as("n_redundant"))),
+    "q329_l_diversity" -> ((s, dir) =>
+      // l-diversity audit (X312): X64's k-anonymity says groups are big
+      // enough; this says the SENSITIVE attribute inside each
+      // quasi-identifier group is actually diverse — a group of 50 rows
+      // that all share one order priority still leaks it. One rollup on
+      // the bounded (nation × segment) grid, dims broadcast.
+      Tables.read(s, dir, "orders")
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .join(broadcast(Tables.read(s, dir, "nation")),
+                      col("c_nationkey") === col("n_nationkey"))
+                .select(col("c_custkey"), col("n_name"),
+                        col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_orderpriority")).as("l_distinct"))
+        .withColumn("diverse_ok", col("l_distinct") >= 3))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6063,7 +6117,72 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT signature, CAST(count(*) AS BIGINT) AS n_orders
         |FROM b GROUP BY 1
-        |ORDER BY n_orders DESC, signature LIMIT 25""".stripMargin
+        |ORDER BY n_orders DESC, signature LIMIT 25""".stripMargin,
+    "q327_nprobe_sweep" ->
+      s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 32),
+         |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN bq q ON q.vec_id <> c.vec_id),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rnk
+         |    FROM bs) WHERE rnk <= 10),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |qa AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0 WHERE id < 32)),
+         |probes AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |qn AS (SELECT p.nprobe, qa.id, qa.embedding, qa.centroid_id
+         |       FROM qa JOIN probes p ON qa.rn <= p.nprobe),
+         |sc AS (SELECT qn.nprobe, qn.id AS query_id, c.id AS neighbor_id,
+         |    ${cosSql("qn.embedding", "c.embedding")} AS cosine
+         |  FROM asg c JOIN qn ON c.centroid_id = qn.centroid_id
+         |    AND qn.id <> c.id),
+         |rk AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM sc) WHERE rnk <= 10),
+         |h AS (SELECT rk.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM rk JOIN bt ON rk.query_id = bt.query_id
+         |        AND rk.neighbor_id = bt.neighbor_id GROUP BY 1),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM bt)
+         |SELECT p.nprobe, ex.n_exact,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // ex.n_exact AS BIGINT)
+         |    AS recall_ppm
+         |FROM probes p LEFT JOIN h ON h.nprobe = p.nprobe, ex"""
+        .stripMargin,
+    "q328_embedding_dups" ->
+      """WITH x AS (SELECT list_transform(embedding, v ->
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |g AS (SELECT xm, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY xm)
+        |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_vectors,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_redundant
+        |FROM g""".stripMargin,
+    "q329_l_diversity" ->
+      """SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT o_orderpriority) >= 3 AS diverse_ok
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
