@@ -5500,7 +5500,61 @@ object SparkEntry {
         .groupBy(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"),
              countDistinct(col("o_orderpriority")).as("l_distinct"))
-        .withColumn("diverse_ok", col("l_distinct") >= 3))
+        .withColumn("diverse_ok", col("l_distinct") >= 3)),
+    "q330_late_shipments" -> ((s, dir) =>
+      // Late-shipment rate (X313, the TPC-H Q12 shape): lines shipped
+      // more than 90 days after their order, by (priority, order year) —
+      // ONE fact-sized shuffle (lineitem⋈orders); the 90-day test is
+      // integer micros on the join row; rollup lands on the bounded
+      // (priority × year) grid.
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.read(s, dir, "orders")
+                .select(col("o_orderkey"), col("o_orderdate"),
+                        col("o_orderpriority")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+                 year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(when(unix_micros(col("l_shipdate").cast("timestamp"))
+                        - unix_micros(col("o_orderdate").cast("timestamp"))
+                        > 90L * 86400000000L, 1L).otherwise(0L))
+               .as("n_late"))
+        .withColumn("late_ppm", expr("n_late * 1000000L DIV n_lines"))),
+    "q331_reach_venn" -> ((s, dir) =>
+      // Behavioral reach Venn (X314): users bucketed by WHICH of
+      // {view, click, purchase} they ever did — the full 2³ overlap
+      // diagram in one per-user bitmask rollup + one 8-row rollup, the
+      // unordered complement of the ordered funnel. Scoped to the first
+      // two days — over the full month every user reaches mask 7 and the
+      // diagram collapses.
+      ev(s, dir)
+        .filter(dayofmonth(col("ts")) <= 2)
+        .groupBy(col("user_id"))
+        .agg((max(when(col("event_type") === "view", 1).otherwise(0))
+                + max(when(col("event_type") === "click", 2).otherwise(0))
+                + max(when(col("event_type") === "purchase", 4)
+                    .otherwise(0))).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+        .select(col("mask"), col("n_users"),
+                (col("mask").bitwiseAND(1) > 0).as("did_view"),
+                (col("mask").bitwiseAND(2) > 0).as("did_click"),
+                (col("mask").bitwiseAND(4) > 0).as("did_purchase"))),
+    "q332_late_arrival_impact" -> ((s, dir) =>
+      // Late-data impact analysis (X315): which daily rollup rows would
+      // X297's displaced stragglers actually CHANGE, and by how much —
+      // the difference between "drop late rows" and "wait for them",
+      // priced per day. Two conditional aggregates over one scan, days
+      // where the delta is zero suppressed.
+      ev(s, dir)
+        .withColumn("_straggler",
+          col("event_id") % 50 === 0 && dayofmonth(col("ts")) <= 20)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_all"),
+             sum(when(!col("_straggler"), 1L).otherwise(0L))
+               .as("n_on_time"))
+        .withColumn("delta", col("n_all") - col("n_on_time"))
+        .filter(col("delta") > 0))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6182,7 +6236,44 @@ object SparkEntry {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q330_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |        - epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |        > 90 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(sum(CASE WHEN epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |        - epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |        > 90 * 86400000000 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS late_ppm
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q331_reach_venn" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |    + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+         |    + max(CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+         |      AS mask
+         |  FROM src WHERE day(ts) <= 2 GROUP BY 1)
+         |SELECT CAST(mask AS INT) AS mask,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  (mask & 1) > 0 AS did_view,
+         |  (mask & 2) > 0 AS did_click,
+         |  (mask & 4) > 0 AS did_purchase
+         |FROM u GROUP BY mask""".stripMargin,
+    "q332_late_arrival_impact" ->
+      s"""WITH $SrcCte,
+         |d AS (SELECT date_trunc('day', ts) AS day,
+         |        CAST(count(*) AS BIGINT) AS n_all,
+         |        CAST(sum(CASE WHEN event_id % 50 = 0 AND day(ts) <= 20
+         |             THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time
+         |      FROM src GROUP BY 1)
+         |SELECT day, n_all, n_on_time, n_all - n_on_time AS delta
+         |FROM d WHERE n_all - n_on_time > 0""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
