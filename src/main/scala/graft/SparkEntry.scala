@@ -5554,7 +5554,72 @@ object SparkEntry {
              sum(when(!col("_straggler"), 1L).otherwise(0L))
                .as("n_on_time"))
         .withColumn("delta", col("n_all") - col("n_on_time"))
-        .filter(col("delta") > 0))
+        .filter(col("delta") > 0)),
+    "q333_tau_sweep" -> ((s, dir) => {
+      // LSH verification-threshold sweep (X316): candidate and verified
+      // counts at τ = 1/3, 1/2, 2/3 off ONE signature+overlap pass
+      // (checkpointed) — the threshold knob priced like X310 prices
+      // nprobe; each τ is a cross-multiplied filter, never a re-pipeline.
+      val cand = Dedup.candidatesWithOverlap(docs(s, dir), "doc_id",
+                                             "text", n = 3, bands = 4,
+                                             rows = 3).localCheckpoint()
+      Seq((1, 3), (1, 2), (2, 3)).map { case (tn, td) =>
+        cand.agg(count(lit(1)).as("n_candidates"),
+                 sum(when(col("overlap") * td >= col("union_size") * tn,
+                          1L).otherwise(0L)).as("n_verified"))
+          .select(lit(s"$tn/$td").as("tau"), col("n_candidates"),
+                  col("n_verified"),
+                  expr("n_verified * 1000000L" +
+                       " DIV greatest(n_candidates, 1L)")
+                    .as("precision_ppm"))
+      }.reduce(_ unionAll _)
+    }),
+    "q334_kcore_peel" -> ((s, dir) => {
+      // k-core peeling (X317): three rounds toward the 2-core of the
+      // co-purchase graph — drop degree-1 nodes, re-derive degrees,
+      // repeat. Each round is one rollup + two semi-joins on the
+      // (shrinking, checkpointed) edge list; the fixed round count keeps
+      // the result engine-deterministic without a convergence loop.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey")
+      var e = p.unionAll(p.select(col("dst").as("src"),
+                                  col("src").as("dst"))).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).select(col("src")).localCheckpoint()
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
+                "left_semi")
+          .localCheckpoint()
+      }
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    }),
+    "q335_rank_footrule" -> ((s, dir) => {
+      // Rank-agreement footrule (X318): Spearman's footrule Σ|rank_brute −
+      // rank_ivf| over the top-10 members both rankers share, per query —
+      // the rank-DISPLACEMENT companion to X109's set recall and X270's
+      // MRR (same hit set can still be ordered badly). Exact integers;
+      // queries with zero common members surface as footrule 0 / n 0.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 32)
+      val bt = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+                                         k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+                col("rank").as("rb")).localCheckpoint()
+      val iv = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 10,
+                                  c = 16, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ri"))
+      val common = bt.join(iv, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"),
+             sum(abs(col("rb") - col("ri")).cast("long")).as("footrule"))
+      bt.select(col("query_id")).distinct()
+        .join(common, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+                coalesce(col("n_common"), lit(0L)).as("n_common"),
+                coalesce(col("footrule"), lit(0L)).as("footrule"))
+    })
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6273,7 +6338,83 @@ object SparkEntry {
          |             THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time
          |      FROM src GROUP BY 1)
          |SELECT day, n_all, n_on_time, n_all - n_on_time AS delta
-         |FROM d WHERE n_all - n_on_time > 0""".stripMargin
+         |FROM d WHERE n_all - n_on_time > 0""".stripMargin,
+    "q333_tau_sweep" ->
+      s"""WITH $MinhashPairsCtes,
+         |wp AS (SELECT doc_a, doc_b, overlap,
+         |         x.n + y.n - overlap AS union_size
+         |       FROM pairs JOIN sizes x ON x.doc_id = doc_a
+         |                  JOIN sizes y ON y.doc_id = doc_b),
+         |taus AS (SELECT * FROM (VALUES ('1/3', 1, 3), ('1/2', 1, 2),
+         |           ('2/3', 2, 3)) t(tau, tn, td))
+         |SELECT tau, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN overlap * td >= union_size * tn
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         |  CAST(sum(CASE WHEN overlap * td >= union_size * tn
+         |       THEN 1 ELSE 0 END) * 1000000
+         |       // greatest(count(*), 1) AS BIGINT) AS precision_ppm
+         |FROM wp, taus GROUP BY tau""".stripMargin,
+    "q334_kcore_peel" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT DISTINCT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+        |e0 AS (SELECT x AS src, y AS dst FROM p
+        |       UNION ALL SELECT y, x FROM p),
+        |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        |FROM e3 GROUP BY 1""".stripMargin,
+    "q335_rank_footrule" ->
+      s"""WITH bq AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 32),
+         |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN bq q ON q.vec_id <> c.vec_id),
+         |bt AS (SELECT query_id, neighbor_id, rnk AS rb FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rnk
+         |    FROM bs) WHERE rnk <= 10),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1),
+         |qn AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn
+         |    FROM asg0 WHERE id < 32) WHERE rn = 1),
+         |sc AS (SELECT qn.id AS query_id, c.id AS neighbor_id,
+         |    ${cosSql("qn.embedding", "c.embedding")} AS cosine
+         |  FROM asg c JOIN qn ON c.centroid_id = qn.centroid_id
+         |    AND qn.id <> c.id),
+         |iv AS (SELECT query_id, neighbor_id, rnk AS ri FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |      AS rnk
+         |    FROM sc) WHERE rnk <= 10),
+         |cm AS (SELECT bt.query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(sum(abs(bt.rb - iv.ri)) AS BIGINT) AS footrule
+         |       FROM bt JOIN iv ON bt.query_id = iv.query_id
+         |         AND bt.neighbor_id = iv.neighbor_id
+         |       GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(cm.footrule, 0) AS BIGINT) AS footrule
+         |FROM (SELECT DISTINCT query_id FROM bt) q
+         |LEFT JOIN cm ON cm.query_id = q.query_id""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

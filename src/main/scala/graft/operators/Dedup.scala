@@ -156,7 +156,7 @@ object Dedup {
     * banded candidate pair with its exact (overlap, union_size), BEFORE the
     * τ filter — signatures and shingle arrays are computed exactly once.
     */
-  private def candidatesWithOverlap(df: DataFrame,
+  private[graft] def candidatesWithOverlap(df: DataFrame,
                                     idCol: String,
                                     textCol: String,
                                     n: Int,
