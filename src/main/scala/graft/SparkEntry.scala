@@ -5619,7 +5619,82 @@ object SparkEntry {
         .select(col("query_id"),
                 coalesce(col("n_common"), lit(0L)).as("n_common"),
                 coalesce(col("footrule"), lit(0L)).as("footrule"))
-    })
+    }),
+    "q336_dead_stock" -> ((s, dir) =>
+      // Dead-stock report (X319): catalog parts with NO shipment in the
+      // final observed year, rolled up per brand with catalog share — the
+      // slow-mover anti-join the merch team runs weekly. The fact side
+      // filters at the scan and collapses to distinct sold keys BEFORE
+      // the anti-join, so the probe is dictionary-sized.
+      Tables.read(s, dir, "part")
+        .join(Tables.read(s, dir, "lineitem")
+                .filter(col("l_shipdate") >= lit("2001-01-01"))
+                .select(col("l_partkey").as("p_partkey")).distinct(),
+              Seq("p_partkey"), "left_anti")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_dead"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .groupBy(col("p_brand"))
+                .agg(count(lit(1)).as("n_catalog"))), Seq("p_brand"))
+        .withColumn("dead_ppm",
+                    expr("n_dead * 1000000L DIV n_catalog"))),
+    "q337_value_band_migration" -> ((s, dir) => {
+      // Customer value-band migration (X320): each user's purchase-value
+      // band (integer log2 tier of summed micros) in the first vs second
+      // half-month, crossed into the transition matrix — who moved up,
+      // who churned to NULL. Two conditional rollups in ONE pass (no
+      // second scan), bands from bit length, matrix is band²-sized.
+      val cut = to_timestamp(lit("2024-01-16"))
+      ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut,
+               floor(col("value") * lit(1000000.0)).cast("long"))
+               .otherwise(0L)).as("v1"),
+             sum(when(col("ts") >= cut,
+               floor(col("value") * lit(1000000.0)).cast("long"))
+               .otherwise(0L)).as("v2"))
+        .select(
+          when(col("v1") <= 0, lit(0))
+            .otherwise(length(expr("bin(v1)"))).as("band_h1"),
+          when(col("v2") <= 0, lit(0))
+            .otherwise(length(expr("bin(v2)"))).as("band_h2"))
+        .groupBy(col("band_h1"), col("band_h2"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    "q338_mix_shift_tvd" -> ((s, dir) => {
+      // Traffic mix shift (X321): event-type share drift between week 1
+      // and week 4 plus the total-variation distance — all integer via
+      // cross-multiplied shares over the two window totals; the
+      // distribution-level alarm beside q211's per-column drift. One
+      // scan, two conditional rollups, type-dimensional output.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      ev(s, dir)
+        .filter(dayofmonth(col("ts")) <= 7 || dayofmonth(col("ts")) >= 24)
+        .groupBy(col("event_type"))
+        .agg(sum(when(dayofmonth(col("ts")) <= 7, 1L).otherwise(0L))
+               .as("n1"),
+             sum(when(dayofmonth(col("ts")) >= 24, 1L).otherwise(0L))
+               .as("n2"))
+        .withColumn("t1", sum(col("n1")).over(w))
+        .withColumn("t2", sum(col("n2")).over(w))
+        .select(col("event_type"), col("n1"), col("n2"),
+                expr("n1 * 1000000L DIV t1").as("share1_ppm"),
+                expr("n2 * 1000000L DIV t2").as("share2_ppm"),
+                abs(expr("n1 * 1000000L DIV t1")
+                  - expr("n2 * 1000000L DIV t2")).as("drift_ppm"))
+    }),
+    "q339_quantile_stability" -> ((s, dir) =>
+      // Quantile stability via deterministic folds (X322): the p50 of
+      // purchase value per md5 fifth — a bootstrap-shaped spread with NO
+      // RNG (hash folds reproduce on any engine), whose min/max band
+      // says whether the corpus median is stable or an artifact. One
+      // rank-selection pass partitioned by fold.
+      Profile.discreteQuantiles(
+        ev(s, dir).filter(col("event_type") === "purchase")
+          .select(Sampling.hashBucket(col("event_id"), 5).as("fold"),
+                  floor(col("value") * lit(1000000.0)).cast("long")
+                    .as("vm")),
+        "fold", "vm", Seq(50)))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6414,7 +6489,67 @@ object SparkEntry {
          |  CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
          |  CAST(coalesce(cm.footrule, 0) AS BIGINT) AS footrule
          |FROM (SELECT DISTINCT query_id FROM bt) q
-         |LEFT JOIN cm ON cm.query_id = q.query_id""".stripMargin
+         |LEFT JOIN cm ON cm.query_id = q.query_id""".stripMargin,
+    "q336_dead_stock" ->
+      """WITH dead AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
+        |  FROM part
+        |  WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey
+        |    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        |  GROUP BY 1),
+        |cat AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_catalog
+        |        FROM part GROUP BY 1)
+        |SELECT dead.p_brand, n_dead, n_catalog,
+        |  CAST(n_dead * 1000000 // n_catalog AS BIGINT) AS dead_ppm
+        |FROM dead JOIN cat USING (p_brand)""".stripMargin,
+    "q337_value_band_migration" ->
+      s"""WITH $SrcCte,
+         |u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |         THEN CAST(floor(value * 1000000.0) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS v1,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |         THEN CAST(floor(value * 1000000.0) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS v2
+         |  FROM src WHERE event_type = 'purchase' GROUP BY 1),
+         |b AS (SELECT
+         |    CAST(CASE WHEN v1 <= 0 THEN 0
+         |         ELSE length(bin(v1)) END AS INT) AS band_h1,
+         |    CAST(CASE WHEN v2 <= 0 THEN 0
+         |         ELSE length(bin(v2)) END AS INT) AS band_h2
+         |  FROM u)
+         |SELECT band_h1, band_h2, CAST(count(*) AS BIGINT) AS n_users
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q338_mix_shift_tvd" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN day(ts) <= 7 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN day(ts) >= 24 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n2
+         |  FROM src WHERE day(ts) <= 7 OR day(ts) >= 24 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+         |        CAST(sum(n2) AS BIGINT) AS t2 FROM g)
+         |SELECT event_type, n1, n2,
+         |  CAST(n1 * 1000000 // t.t1 AS BIGINT) AS share1_ppm,
+         |  CAST(n2 * 1000000 // t.t2 AS BIGINT) AS share2_ppm,
+         |  CAST(abs(n1 * 1000000 // t.t1 - n2 * 1000000 // t.t2)
+         |       AS BIGINT) AS drift_ppm
+         |FROM g, t""".stripMargin,
+    "q339_quantile_stability" ->
+      s"""WITH $SrcCte,
+         |p AS (SELECT
+         |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |         ::UBIGINT % 5 AS BIGINT) AS fold,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+         |  FROM src WHERE event_type = 'purchase'),
+         |r AS (SELECT fold, vm,
+         |    row_number() OVER (PARTITION BY fold ORDER BY vm) AS rn,
+         |    count(*) OVER (PARTITION BY fold) AS n
+         |  FROM p)
+         |SELECT fold, q, min(vm) AS q_value
+         |FROM r, (SELECT unnest([50]) AS q)
+         |WHERE rn = (n * q + 99) // 100
+         |GROUP BY 1, 2""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
