@@ -5360,15 +5360,17 @@ object SparkEntry {
     }),
     "q323_link_prediction" -> ((s, dir) => {
       // Common-neighbor link prediction (X306): for item pairs NOT yet
-      // co-purchased, the number of shared co-purchase partners — the
-      // classic graph-completion score. Wedges come from one self-join of
-      // the symmetric neighbor list on the middle node; existing edges
-      // anti-join out; top-50 by (score, pair) is a TakeOrdered. Wedge
-      // volume is Σdeg² — bounded by the basket-size cap the co-purchase
-      // projection inherits from orders.
+      // strongly co-purchased, the number of shared strong partners — the
+      // classic graph-completion score. The graph is the STRONG-edge
+      // co-purchase graph (co-ordered ≥2 — the raw graph's median degree
+      // >100 makes Σdeg² wedge enumeration quadratic noise; repeated
+      // co-orders carry the signal at ~1/10⁴ the wedges). Wedges come
+      // from one self-join of the symmetric neighbor list on the middle
+      // node; existing edges anti-join out; top-50 is a TakeOrdered.
       val p = Graph.coOccurrenceEdges(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
-        groupCol = "l_orderkey", itemCol = "l_partkey").localCheckpoint()
+        groupCol = "l_orderkey", itemCol = "l_partkey",
+        minCount = 2).localCheckpoint()
       val nbr = p.unionAll(p.select(col("dst").as("src"),
                                     col("src").as("dst")))
       val wedges = nbr.as("_l")
@@ -5576,13 +5578,15 @@ object SparkEntry {
     }),
     "q334_kcore_peel" -> ((s, dir) => {
       // k-core peeling (X317): three rounds toward the 2-core of the
-      // co-purchase graph — drop degree-1 nodes, re-derive degrees,
-      // repeat. Each round is one rollup + two semi-joins on the
-      // (shrinking, checkpointed) edge list; the fixed round count keeps
-      // the result engine-deterministic without a convergence loop.
+      // STRONG co-purchase graph (co-ordered ≥2 — the raw dense graph has
+      // no degree-1 nodes to peel and only burns the rollups) — drop
+      // degree-1 nodes, re-derive degrees, repeat. Each round is one
+      // rollup + two semi-joins on the (shrinking, checkpointed) edge
+      // list; the fixed round count keeps the result deterministic
+      // without a convergence loop.
       val p = Graph.coOccurrenceEdges(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
-        groupCol = "l_orderkey", itemCol = "l_partkey")
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
       var e = p.unionAll(p.select(col("dst").as("src"),
                                   col("src").as("dst"))).localCheckpoint()
       for (_ <- 1 to 3) {
@@ -5694,7 +5698,90 @@ object SparkEntry {
           .select(Sampling.hashBucket(col("event_id"), 5).as("fold"),
                   floor(col("value") * lit(1000000.0)).cast("long")
                     .as("vm")),
-        "fold", "vm", Seq(50)))
+        "fold", "vm", Seq(50))),
+    "q340_asof_tolerance" -> ((s, dir) => {
+      // Tolerance-bounded as-of join (X323): the q56 containment lookup
+      // plus a max-staleness rule — a dimension version older than 7 days
+      // at event time does NOT count as a match (stale enrichment is
+      // worse than none in a feature pipeline). Per-day match/stale/miss
+      // accounting; the staleness test is integer micros on the joined
+      // row, costing nothing beyond q56's join.
+      val all = ev(s, dir)
+      val hist = Scd2.initialLoad(all.filter(col("event_id") % 2 === 0),
+                                  evCfg)
+        .select(col("user_id"), col("ts").as("dim_ts"),
+                col("_valid_from"), col("_valid_to"))
+      val facts = all.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      facts.join(hist,
+          facts("user_id") === hist("user_id") &&
+            col("_valid_from") <= facts("ts") &&
+            facts("ts") < col("_valid_to"),
+          "left_outer")
+        .withColumn("_matched", col("dim_ts").isNotNull)
+        .withColumn("_fresh",
+          col("_matched") &&
+            unix_micros(facts("ts")) - unix_micros(col("dim_ts"))
+              <= 7L * 86400000000L)
+        .groupBy(date_trunc("DAY", facts("ts")).as("day"))
+        .agg(count(lit(1)).as("n_facts"),
+             sum(when(col("_fresh"), 1L).otherwise(0L)).as("n_fresh"),
+             sum(when(col("_matched") && !col("_fresh"), 1L)
+               .otherwise(0L)).as("n_stale"),
+             sum(when(!col("_matched"), 1L).otherwise(0L)).as("n_miss"))
+    }),
+    "q341_change_frequency" -> ((s, dir) => {
+      // Column change-frequency audit (X324): across the SCD2 history,
+      // which tracked column actually drives new versions — the
+      // change-detection telemetry that decides whether a column belongs
+      // in check_cols at all. ONE per-key window pass computes all three
+      // per-column "differs from previous version" sums; the 3-row
+      // report is a literal stack.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("_valid_from"))
+      Scd2.initialLoad(ev(s, dir), evCfg)
+        .select(col("user_id"), col("_valid_from"), col("event_type"),
+                col("value"), col("props"))
+        .withColumn("_pe", lag(col("event_type"), 1).over(w))
+        .withColumn("_pv", lag(col("value"), 1).over(w))
+        .withColumn("_pp", lag(col("props"), 1).over(w))
+        .agg(
+          sum(when(col("_pe").isNotNull &&
+                   !(col("_pe") <=> col("event_type")), 1L).otherwise(0L))
+            .as("ce"),
+          sum(when(col("_pv").isNotNull &&
+                   !(col("_pv") <=> col("value")), 1L).otherwise(0L))
+            .as("cv"),
+          sum(when(col("_pp").isNotNull &&
+                   !(col("_pp") <=> col("props")), 1L).otherwise(0L))
+            .as("cp"))
+        .selectExpr("stack(3, 'event_type', ce, 'value', cv," +
+                    " 'props', cp) AS (column_name, n_changes)")
+    }),
+    "q342_write_amplification" -> ((s, dir) => {
+      // SCD write-amplification model (X325): input rows vs stored
+      // version rows after each of the three production merges — the
+      // storage price of history tracking, per batch. The stores reuse
+      // q64's checkpointed cadence; every count is a one-row aggregate;
+      // the oracle recomputes each store by the engine's own
+      // incremental==full-refresh guarantee.
+      val all = ev(s, dir)
+      def third(r: Int) = all.filter(col("event_id") % 3 === r)
+      def upTo(r: Int) = all.filter(col("event_id") % 3 <= r)
+      val t0 = Scd2.initialLoad(third(0), evCfg).localCheckpoint()
+      val t1 = Scd2.incremental(t0, third(1), evCfg).localCheckpoint()
+      val t2 = Scd2.incremental(t1, third(2), evCfg).localCheckpoint()
+      Seq((0, third(0), upTo(0), t0), (1, third(1), upTo(1), t1),
+          (2, third(2), upTo(2), t2)).map { case (b, inp, cum, store) =>
+        inp.agg(count(lit(1)).as("n_input"))
+          .crossJoin(cum.agg(count(lit(1)).as("n_cum_input")))
+          .crossJoin(store.agg(count(lit(1)).as("n_store_after")))
+          .select(lit(b).as("batch"), col("n_input"), col("n_cum_input"),
+                  col("n_store_after"),
+                  expr("n_store_after * 1000000L DIV n_cum_input")
+                    .as("amp_ppm"))
+      }.reduce(_ unionAll _)
+    })
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6252,8 +6339,9 @@ object SparkEntry {
     "q323_link_prediction" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |               FROM lineitem),
-        |p AS (SELECT DISTINCT a.i AS x, c.i AS y
-        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |nbr AS (SELECT x AS src, y AS dst FROM p
         |        UNION ALL SELECT y, x FROM p),
         |w AS (SELECT l.dst AS a, r.dst AS b,
@@ -6432,8 +6520,9 @@ object SparkEntry {
     "q334_kcore_peel" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |               FROM lineitem),
-        |p AS (SELECT DISTINCT a.i AS x, c.i AS y
-        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |e0 AS (SELECT x AS src, y AS dst FROM p
         |       UNION ALL SELECT y, x FROM p),
         |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
@@ -6549,7 +6638,84 @@ object SparkEntry {
          |SELECT fold, q, min(vm) AS q_value
          |FROM r, (SELECT unnest([50]) AS q)
          |WHERE rn = (n * q + 99) // 100
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    "q340_asof_tolerance" ->
+      s"""WITH hist AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
+                                        from = "(SELECT * FROM src WHERE event_id % 2 = 0)")}
+         |),
+         |f AS (WITH $SrcCte SELECT event_id, user_id, ts FROM src
+         |      WHERE event_id % 2 = 1),
+         |j AS (SELECT f.ts, h.ts AS dim_ts
+         |      FROM f LEFT JOIN hist h
+         |        ON f.user_id = h.user_id
+         |        AND h._valid_from <= f.ts AND f.ts < h._valid_to)
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_facts,
+         |  CAST(sum(CASE WHEN dim_ts IS NOT NULL
+         |       AND epoch_us(ts) - epoch_us(dim_ts) <= 7 * 86400000000
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+         |  CAST(sum(CASE WHEN dim_ts IS NOT NULL
+         |       AND epoch_us(ts) - epoch_us(dim_ts) > 7 * 86400000000
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+         |  CAST(sum(CASE WHEN dim_ts IS NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_miss
+         |FROM j GROUP BY 1""".stripMargin,
+    "q341_change_frequency" ->
+      s"""WITH hist AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |l AS (SELECT event_type, value, props,
+         |        lag(event_type) OVER w AS pe,
+         |        lag(value) OVER w AS pv,
+         |        lag(props) OVER w AS pp
+         |      FROM hist
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY _valid_from)),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN pe IS NOT NULL
+         |         AND pe IS DISTINCT FROM event_type
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         |    CAST(sum(CASE WHEN pv IS NOT NULL
+         |         AND pv IS DISTINCT FROM value
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+         |    CAST(sum(CASE WHEN pp IS NOT NULL
+         |         AND pp IS DISTINCT FROM props
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS cp
+         |  FROM l)
+         |SELECT 'event_type' AS column_name, ce AS n_changes FROM a
+         |UNION ALL SELECT 'value', cv FROM a
+         |UNION ALL SELECT 'props', cp FROM a""".stripMargin,
+    "q342_write_amplification" ->
+      s"""WITH h0 AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
+                                        from = "(SELECT * FROM src WHERE event_id % 3 = 0)")}
+         |),
+         |h1 AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
+                                        from = "(SELECT * FROM src WHERE event_id % 3 <= 1)")}
+         |),
+         |h2 AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |c AS (WITH $SrcCte SELECT
+         |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS i0,
+         |    CAST(sum(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS i1,
+         |    CAST(sum(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS i2
+         |  FROM src),
+         |st AS (SELECT (SELECT count(*) FROM h0) AS s0,
+         |              (SELECT count(*) FROM h1) AS s1,
+         |              (SELECT count(*) FROM h2) AS s2)
+         |SELECT 0 AS batch, i0 AS n_input, i0 AS n_cum_input,
+         |  CAST(s0 AS BIGINT) AS n_store_after,
+         |  CAST(s0 * 1000000 // i0 AS BIGINT) AS amp_ppm FROM c, st
+         |UNION ALL SELECT 1, i1, i0 + i1, CAST(s1 AS BIGINT),
+         |  CAST(s1 * 1000000 // (i0 + i1) AS BIGINT) FROM c, st
+         |UNION ALL SELECT 2, i2, i0 + i1 + i2, CAST(s2 AS BIGINT),
+         |  CAST(s2 * 1000000 // (i0 + i1 + i2) AS BIGINT) FROM c, st"""
+        .stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

@@ -28,12 +28,18 @@ object Graph {
     * input is as small as possible.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-                        itemCol: String): DataFrame = {
+                        itemCol: String, minCount: Int = 1): DataFrame = {
     val gi = df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
-    gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
+    val counted = gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
       .filter(col("_l._i") < col("_r._i"))
-      .select(col("_l._i").as("src"), col("_r._i").as("dst"))
-      .distinct()
+      .groupBy(col("_l._i").as("src"), col("_r._i").as("dst"))
+      .agg(count(lit(1)).as("_n"))
+    // minCount > 1 keeps only REPEATED co-occurrences — on dense group
+    // data (median co-purchase degree >100 at sf0.1) the raw graph's
+    // Σdeg² makes wedge-enumerating consumers (link prediction, k-core)
+    // quadratic; the strong-edge graph carries the signal at ~1/10⁴ the
+    // wedge volume.
+    counted.filter(col("_n") >= minCount).select(col("src"), col("dst"))
   }
 
   /** One-row graph statistics: nodes, edges, wedges (open 2-paths),

@@ -279,6 +279,15 @@ class Round6OpsSpec extends SparkTestBase {
     assert(r === Map("a" -> 400000L, "b" -> 200000L, "c" -> 400000L))
   }
 
+  test("Graph.coOccurrenceEdges: minCount keeps only repeated pairs") {
+    // pair (1,2) appears in groups 10 and 20; (1,3) only in group 10.
+    val df = Seq((10, 1), (10, 2), (10, 3), (20, 1), (20, 2))
+      .toDF("g", "i")
+    val strong = Graph.coOccurrenceEdges(df, "g", "i", minCount = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(strong === Set((1, 2)))
+  }
+
   test("Graph.pagerank: 3 integer iterations on the path graph 1-2-3") {
     // Symmetric path edges; hand-unrolled fixed-point arithmetic:
     //   it1: pr = (575000, 1850000, 575000)
