@@ -5781,7 +5781,78 @@ object SparkEntry {
                   expr("n_store_after * 1000000L DIV n_cum_input")
                     .as("amp_ppm"))
       }.reduce(_ unionAll _)
-    })
+    }),
+    "q343_centroid_shift" -> ((s, dir) => {
+      // Class separability probe (X326): per-label centroid distance²
+      // from the global centroid, micro-scaled integers with SIGN-SPLIT
+      // division (trunc-vs-floor never disagrees on negative sums) — if
+      // every label centroid sits on the global mean, the labels carry
+      // no linear signal. One posexplode rollup; the 64-row global
+      // centroid broadcasts back.
+      val sd = "CASE WHEN sx >= 0 THEN sx DIV n" +
+               " ELSE -((-sx) DIV n) END"
+      val cells = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .withColumn("xm", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000)" +
+                               " AS BIGINT)"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("xm")).as("sx"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val labelC = cells.select(col("label"), col("dim"),
+                                expr(sd).as("cl"), col("n"))
+      val globalC = cells.groupBy(col("dim"))
+        .agg(sum(col("sx")).as("sx"), sum(col("n")).as("n"))
+        .select(col("dim"), expr(sd).as("cg"))
+      labelC.join(broadcast(globalC), Seq("dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+             sum((col("cl") - col("cg")) * (col("cl") - col("cg")))
+               .as("dist2_micro2"))
+    }),
+    "q344_dedup_waterfall" -> ((s, dir) => {
+      // Dedup waterfall (X327): corpus volume after each dedup stage —
+      // raw → exact-fingerprint → near-dup canonical — as one
+      // accounting report (docs, tokens, retained ppm vs raw). Each
+      // stage reuses the production operator; the near stage runs on the
+      // EXACT survivors (the real pipeline order — exact dedup first is
+      // what makes LSH affordable).
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .localCheckpoint()
+      val exact = d
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val exactDocs = d.join(exact, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val near = Dedup.keepCanonical(exactDocs, "doc_id",
+        Dedup.minhashLshPairs(exactDocs, "doc_id", "text", n = 3,
+                              bands = 4, rows = 3, tauNum = 1, tauDen = 2))
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+               coalesce(sum(col("ntok")), lit(0L)).as("n_tokens"))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("_raw"))))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+                  expr("n_docs * 1000000L DIV _raw").as("retained_ppm"))
+      stage("raw", d)
+        .unionAll(stage("exact", exactDocs))
+        .unionAll(stage("near", near))
+    }),
+    "q345_weekend_lift" -> ((s, dir) =>
+      // Weekend lift (X328): weekend vs weekday daily-rate ratio per
+      // event type, exact integer ppm via day-count cross-multiplication
+      // (Jan 2024: 8 weekend days, 22 weekdays — identical literals both
+      // engines). The calendar-effect check behind staffing/capacity.
+      ev(s, dir)
+        .withColumn("_we", dayofmonth(col("ts"))
+          .isin(6, 7, 13, 14, 20, 21, 27, 28))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("_we"), 1L).otherwise(0L)).as("n_weekend"),
+             sum(when(!col("_we"), 1L).otherwise(0L)).as("n_weekday"))
+        .withColumn("lift_ppm",
+          expr("n_weekend * 22L * 1000000L" +
+               " DIV greatest(n_weekday * 8L, 1L)")))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6715,7 +6786,77 @@ object SparkEntry {
          |  CAST(s1 * 1000000 // (i0 + i1) AS BIGINT) FROM c, st
          |UNION ALL SELECT 2, i2, i0 + i1 + i2, CAST(s2 AS BIGINT),
          |  CAST(s2 * 1000000 // (i0 + i1 + i2) AS BIGINT) FROM c, st"""
-        .stripMargin
+        .stripMargin,
+    "q343_centroid_shift" ->
+      """WITH x AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS xm
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cells AS (SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sx,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM x GROUP BY 1, 2),
+        |lc AS (SELECT label, dim,
+        |         CASE WHEN sx >= 0 THEN sx // n
+        |         ELSE -((-sx) // n) END AS cl, n FROM cells),
+        |gc0 AS (SELECT dim, CAST(sum(sx) AS BIGINT) AS sx,
+        |          CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |gc AS (SELECT dim, CASE WHEN sx >= 0 THEN sx // n
+        |         ELSE -((-sx) // n) END AS cg FROM gc0)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |  CAST(sum((cl - cg) * (cl - cg)) AS BIGINT) AS dist2_micro2
+        |FROM lc JOIN gc USING (dim) GROUP BY 1""".stripMargin,
+    "q344_dedup_waterfall" ->
+      s"""WITH RECURSIVE toks0 AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, text, t,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(t) END AS BIGINT) AS ntok
+         |  FROM toks0),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM d)
+         |  GROUP BY fp),
+         |ed AS (SELECT d.* FROM d JOIN ex ON d.doc_id = ex.doc_id),
+         |toks AS (SELECT doc_id, text, t FROM ed),
+         |$MinhashPairsCtesNoToks,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |nd AS (SELECT ed.* FROM ed WHERE doc_id NOT IN
+         |        (SELECT doc_id FROM cc WHERE doc_id <> cluster_id))
+         |SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(ntok), 0) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) * 1000000 // (SELECT count(*) FROM d) AS BIGINT)
+         |    AS retained_ppm
+         |FROM d
+         |UNION ALL SELECT 'exact', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(ntok), 0) AS BIGINT),
+         |  CAST(count(*) * 1000000 // (SELECT count(*) FROM d) AS BIGINT)
+         |FROM ed
+         |UNION ALL SELECT 'near', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(ntok), 0) AS BIGINT),
+         |  CAST(count(*) * 1000000 // (SELECT count(*) FROM d) AS BIGINT)
+         |FROM nd""".stripMargin,
+    "q345_weekend_lift" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN day(ts) IN (6, 7, 13, 14, 20, 21, 27, 28)
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+         |    CAST(sum(CASE WHEN day(ts) IN (6, 7, 13, 14, 20, 21, 27, 28)
+         |         THEN 0 ELSE 1 END) AS BIGINT) AS n_weekday
+         |  FROM src GROUP BY 1)
+         |SELECT event_type, n_weekend, n_weekday,
+         |  CAST(n_weekend * 22 * 1000000
+         |       // greatest(n_weekday * 8, 1) AS BIGINT) AS lift_ppm
+         |FROM g""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
