@@ -5853,6 +5853,70 @@ object SparkEntry {
         .withColumn("lift_ppm",
           expr("n_weekend * 22L * 1000000L" +
                " DIV greatest(n_weekday * 8L, 1L)")))
+    ,
+    "q346_brand_lift_pairs" -> ((s, dir) => {
+      // Brand-pair lift (X329): which brand PAIRS co-occur in orders
+      // beyond what their solo popularity predicts — X299's collocation
+      // arithmetic lifted to baskets, on the bounded 25-brand dimension
+      // (≤300 pair rows). One distinct (order, brand) projection feeds
+      // the pair join AND the solo counts; stepwise integer divisions
+      // keep the score engine-exact.
+      val ob = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct().localCheckpoint()
+      val solo = ob.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val total = ob.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      ob.as("_a").join(ob.as("_x"),
+          col("_a.o") === col("_x.o") && col("_a.b") < col("_x.b"))
+        .groupBy(col("_a.b").as("brand_a"), col("_x.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(solo.select(col("b").as("brand_a"),
+                                    col("n").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(solo.select(col("b").as("brand_b"),
+                                    col("n").as("n_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift_ppm",
+          expr("(n_ab * 1000000L DIV n_a) * n_orders DIV n_b"))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+                col("n_b"), col("lift_ppm"))
+    }),
+    "q347_tenure_value_bands" -> ((s, dir) => {
+      // Spend-by-tenure curve (X330): purchase value by the buyer's
+      // tenure week at purchase time — does spend grow with account age?
+      // First-touch reduces per user in one combine rollup (broadcast
+      // back); the curve lands on the bounded week dimension; the
+      // average is safe integer division (micros are non-negative).
+      val first = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("fu"))
+      ev(s, dir).filter(col("event_type") === "purchase")
+        .join(broadcast(first), Seq("user_id"))
+        .groupBy(expr("(unix_micros(ts) - fu) DIV 604800000000L")
+          .as("tenure_week"))
+        .agg(count(lit(1)).as("n_purchases"),
+             sum(floor(col("value") * lit(1000000.0)).cast("long"))
+               .as("sum_micro"))
+        .withColumn("avg_micro", expr("sum_micro DIV n_purchases"))
+    }),
+    "q348_price_spread" -> ((s, dir) =>
+      // Unit-price spread audit (X331): parts whose observed unit price
+      // varies most across lines — top-20 by relative spread ppm, exact
+      // integer micros (X280's unit-price convention); one per-part
+      // combine rollup, TakeOrdered top-k, never a global sort.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_partkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000000L" +
+               " DIV CAST(floor(l_quantity * 100) AS BIGINT)").as("up"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), min(col("up")).as("min_up"),
+             max(col("up")).as("max_up"))
+        .withColumn("spread_ppm",
+                    expr("(max_up - min_up) * 1000000L DIV max_up"))
+        .orderBy(col("spread_ppm").desc, col("l_partkey"))
+        .limit(20))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6856,7 +6920,52 @@ object SparkEntry {
          |SELECT event_type, n_weekend, n_weekday,
          |  CAST(n_weekend * 22 * 1000000
          |       // greatest(n_weekday * 8, 1) AS BIGINT) AS lift_ppm
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    "q346_brand_lift_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |solo AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+        |         FROM ob GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+        |        FROM ob),
+        |pr AS (SELECT a.b AS brand_a, x.b AS brand_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM ob a JOIN ob x ON a.o = x.o AND a.b < x.b
+        |       GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+        |  CAST((n_ab * 1000000 // sa.n) * tot.n_orders // sb.n AS BIGINT)
+        |    AS lift_ppm
+        |FROM pr
+        |JOIN solo sa ON sa.b = brand_a
+        |JOIN solo sb ON sb.b = brand_b, tot""".stripMargin,
+    "q347_tenure_value_bands" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT user_id, min(epoch_us(ts)) AS fu
+         |      FROM src GROUP BY 1),
+         |p AS (SELECT (epoch_us(ts) - fu) // 604800000000
+         |        AS tenure_week,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+         |      FROM src JOIN f USING (user_id)
+         |      WHERE event_type = 'purchase')
+         |SELECT CAST(tenure_week AS BIGINT) AS tenure_week,
+         |  CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(vm) AS BIGINT) AS sum_micro,
+         |  CAST(sum(vm) // count(*) AS BIGINT) AS avg_micro
+         |FROM p GROUP BY 1""".stripMargin,
+    "q348_price_spread" ->
+      """WITH u AS (SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) * 1000000
+        |      // CAST(floor(l_quantity * 100) AS BIGINT) AS up
+        |  FROM lineitem),
+        |g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(min(up) AS BIGINT) AS min_up,
+        |        CAST(max(up) AS BIGINT) AS max_up
+        |      FROM u GROUP BY 1)
+        |SELECT l_partkey, n_lines, min_up, max_up,
+        |  CAST((max_up - min_up) * 1000000 // max_up AS BIGINT)
+        |    AS spread_ppm
+        |FROM g
+        |ORDER BY spread_ppm DESC, l_partkey LIMIT 20""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
