@@ -5916,7 +5916,42 @@ object SparkEntry {
         .withColumn("spread_ppm",
                     expr("(max_up - min_up) * 1000000L DIV max_up"))
         .orderBy(col("spread_ppm").desc, col("l_partkey"))
-        .limit(20))
+        .limit(20)),
+    "q349_basket_size_dist" -> ((s, dir) => {
+      // Basket-size distribution (X332): lines-per-order histogram with
+      // share ppm — the fact-design sanity check behind every co-purchase
+      // operator (the size cap bounds X229's pair explosion). One
+      // combine rollup to order grain, one bounded histogram rollup, a
+      // DimKey window for the total.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+        .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("_tot", sum(col("n_orders")).over(w))
+        .select(col("n_lines"), col("n_orders"),
+                expr("n_orders * 1000000L DIV _tot").as("share_ppm"))
+    }),
+    "q350_source_scorecard" -> ((s, dir) =>
+      // Per-source quality scorecard (X333): volume, mean tokens, short
+      // and empty shares per source — the ingest-feed report card read
+      // before a source's weight is set in the corpus mix. One narrow
+      // projection + one source-dimensional rollup.
+      docs(s, dir)
+        .select(col("source"),
+                TextAnalysis.tokenCount(col("text")).cast("long")
+                  .as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ntok")).as("n_tokens"),
+             sum(when(col("ntok") < 20, 1L).otherwise(0L))
+               .as("n_short"),
+             sum(when(col("ntok") === 0, 1L).otherwise(0L))
+               .as("n_empty"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+                expr("n_tokens DIV n_docs").as("mean_tokens"),
+                expr("n_short * 1000000L DIV n_docs").as("short_ppm"),
+                expr("n_empty * 1000000L DIV n_docs").as("empty_ppm")))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -6965,7 +7000,31 @@ object SparkEntry {
         |  CAST((max_up - min_up) * 1000000 // max_up AS BIGINT)
         |    AS spread_ppm
         |FROM g
-        |ORDER BY spread_ppm DESC, l_partkey LIMIT 20""".stripMargin
+        |ORDER BY spread_ppm DESC, l_partkey LIMIT 20""".stripMargin,
+    "q349_basket_size_dist" ->
+      """WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM o GROUP BY 1)
+        |SELECT n_lines, n_orders,
+        |  CAST(n_orders * 1000000 // (SELECT sum(n_orders) FROM h)
+        |       AS BIGINT) AS share_ppm
+        |FROM h""".stripMargin,
+    "q350_source_scorecard" ->
+      s"""WITH d AS (SELECT source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(lower(trim(text)),
+         |                                        '\\s+')) END AS BIGINT)
+         |      AS ntok
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ntok) // count(*) AS BIGINT) AS mean_tokens,
+         |  CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) * 1000000
+         |       // count(*) AS BIGINT) AS short_ppm,
+         |  CAST(sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) * 1000000
+         |       // count(*) AS BIGINT) AS empty_ppm
+         |FROM d GROUP BY 1""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
