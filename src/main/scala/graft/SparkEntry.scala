@@ -5951,7 +5951,357 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_tokens"),
                 expr("n_tokens DIV n_docs").as("mean_tokens"),
                 expr("n_short * 1000000L DIV n_docs").as("short_ppm"),
-                expr("n_empty * 1000000L DIV n_docs").as("empty_ppm")))
+                expr("n_empty * 1000000L DIV n_docs").as("empty_ppm"))),
+    "q351_cust_order_dist" -> ((s, dir) => {
+      // Orders-per-customer distribution (X334): TPC-H Q13's shape — how
+      // many customers placed exactly k orders, INCLUDING the zero-order
+      // tail every inner-join rollup structurally drops (left join +
+      // count of the nullable key). One fact rollup to customer grain,
+      // then a bounded histogram rollup.
+      val perCust = Tables.read(s, dir, "customer").select(col("c_custkey"))
+        .join(Tables.read(s, dir, "orders")
+                .select(col("o_custkey"), col("o_orderkey")),
+              col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+    "q352_market_share" -> ((s, dir) => {
+      // Regional market share (X335): TPC-H Q8's shape — each nation's
+      // revenue share of ASIA by order year, PROMO parts only. The part
+      // filter broadcasts into the fact scan, orders joins on its native
+      // key, the customer→nation→region geo map is resolved before the
+      // fact join, and the share window runs on the bounded year×nation
+      // grid. Revenue is exact integer e4 (cents × discount-pct), so
+      // every share is engine-exact.
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                year(col("o_orderdate")).as("o_year"))
+      val geo = Tables.read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")
+                          .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val promo = Tables.read(s, dir, "part")
+        .filter(col("p_type").startsWith("PROMO")).select(col("p_partkey"))
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+               " * (100 - CAST(floor(l_discount * 100) AS BIGINT))")
+            .as("rev_e4"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(geo, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"), col("n_name"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+        .withColumn("share_ppm", expr("rev_e4 * 1000000L DIV " +
+          "sum(rev_e4) OVER (PARTITION BY o_year)"))
+    }),
+    "q353_ar_lag_slope" -> ((s, dir) => {
+      // Daily-count autoregression (X336): lag-k AR slope per event type
+      // (k = 1..3) over the zero-filled January grid — "does today
+      // predict tomorrow", as Trend.fit's closed-form integer-OLS with
+      // the series regressed on its own lag. One fact rollup feeds a
+      // bounded 30-day × 5-type grid; the lag window partitions on the
+      // real (event_type) key.
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev(s, dir).select(col("event_type")).distinct()
+        .crossJoin(s.sql("SELECT explode(sequence(TIMESTAMP '2024-01-01'," +
+          " TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = grid
+        .select(col("event_type"), col("n"),
+                lag(col("n"), 1).over(w).as("x1"),
+                lag(col("n"), 2).over(w).as("x2"),
+                lag(col("n"), 3).over(w).as("x3"))
+        .selectExpr("event_type", "n",
+          "stack(3, 1, x1, 2, x2, 3, x3) AS (lag, x)")
+        .filter(col("x").isNotNull)
+      Trend.fit(pairs, Seq("event_type", "lag"), col("x"), col("n"))
+    }),
+    "q354_burstiness" -> ((s, dir) => {
+      // Traffic burstiness (X337): Fano factor (variance-to-mean) of
+      // hourly event counts per type over the zero-filled January grid —
+      // F ≈ 1 is Poisson-smooth, F ≫ 1 is bursty (the capacity-planning
+      // signal behind rate limits and autoscaling). Exact integer ppm
+      // via cross-multiplication: F = (nΣx²−(Σx)²) / (n·Σx); one fact
+      // rollup feeds the bounded 720-hour × 5-type grid.
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      ev(s, dir).select(col("event_type")).distinct()
+        .crossJoin(s.sql("SELECT explode(sequence(TIMESTAMP '2024-01-01'," +
+          " TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr"))
+        .join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), coalesce(col("n"), lit(0L)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"),
+             sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+          expr("(n_hours * sxx - sx * sx) * 1000000L" +
+               " DIV (n_hours * greatest(sx, 1L))").as("fano_ppm"))
+    }),
+    "q355_discount_band_revenue" -> ((s, dir) =>
+      // Forgone-revenue probe (X338): TPC-H Q6's shape — revenue that a
+      // discount band on small quantities gave away in one ship-year, as
+      // a single filter + scalar aggregate. The point at 100 TB is the
+      // SCAN: every predicate and both projected columns push into the
+      // parquet reader; integer e4 cents×pct keeps it engine-exact.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(year(col("l_shipdate")).as("yr"), col("l_quantity"),
+          expr("CAST(floor(l_discount * 100) AS BIGINT)").as("disc_pct"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("ep_c"))
+        .filter(col("yr") === 1996 && col("l_quantity") < 24 &&
+                col("disc_pct").between(5, 7))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(expr("ep_c * disc_pct")).as("discount_e4"))),
+    "q356_revenue_retention" -> ((s, dir) => {
+      // Net revenue retention (X339): purchase value per first-touch
+      // cohort week at each week offset, as ppm of that cohort's week-0
+      // revenue — the dollar-weighted complement of q100's user-count
+      // retention (a cohort can retain users yet lose revenue). First
+      // touch reduces per user in one combine rollup (broadcast back);
+      // the curve lands on the bounded cohort×offset grid; the week-0
+      // base joins back broadcast. Values are non-negative so the ppm
+      // division is sign-free and engine-exact.
+      val wk = "unix_micros(ts) DIV 604800000000L"
+      val first = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(expr(wk)).as("cohort_wk"))
+      val rev = ev(s, dir).filter(col("event_type") === "purchase")
+        .join(broadcast(first), Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+                 (expr(wk) - col("cohort_wk")).as("week_offset"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+               .as("rev_micro"))
+      val base = rev.filter(col("week_offset") === 0)
+        .select(col("cohort_wk"), col("rev_micro").as("base_micro"))
+      rev.join(broadcast(base), Seq("cohort_wk"), "left")
+        .select(col("cohort_wk"), col("week_offset"), col("rev_micro"),
+          expr("CASE WHEN base_micro IS NULL OR base_micro = 0 THEN NULL" +
+               " ELSE rev_micro * 1000000L DIV base_micro END")
+            .as("ndr_ppm"))
+    }),
+    "q357_bot_cadence" -> ((s, dir) => {
+      // Bot-cadence screen (X340): the 20 users whose inter-event gaps
+      // are most machine-regular — squared coefficient of variation of
+      // the gap-minutes series, exact integer per-mille via
+      // cross-multiplication (CV² = (nΣg²−(Σg)²)/(Σg)²; ppk keeps the
+      // widest product inside int64). One per-user window for gaps, one
+      // combine rollup, TakeOrdered — never a global sort.
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_min",
+          expr("(unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+               "(PARTITION BY user_id ORDER BY ts, event_id)))" +
+               " DIV 60000000L"))
+        .filter(col("gap_min").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_min")).as("sg"),
+             sum(col("gap_min") * col("gap_min")).as("sg2"))
+        .filter(col("n_gaps") >= 10)
+        .select(col("user_id"), col("n_gaps"),
+          expr("(n_gaps * sg2 - sg * sg) * 1000L" +
+               " DIV greatest(sg * sg, 1L)").as("cv2_ppk"))
+        .orderBy(col("cv2_ppk").asc, col("user_id"))
+        .limit(20)
+    }),
+    "q358_seasonal_anomaly" -> ((s, dir) => {
+      // Seasonal-adjusted anomaly days (X341): a day is anomalous for a
+      // type iff its count deviates from that weekday's mean by more
+      // than 3× the MAD of the type's residuals — q152's z-score with
+      // the day-of-week baseline removed FIRST (Sundays aren't outliers
+      // for being Sundays) and a robust scale. Residuals are exact
+      // integers on a ×20 lattice (LCM of the 4/5-per-dow day counts:
+      // r = (n·c_dow − s_dow)·(20/c_dow) — no division anywhere), the
+      // MAD is two ranked picks on the bounded 30-row-per-type grid.
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val grid = ev(s, dir).select(col("event_type")).distinct()
+        .crossJoin(s.sql("SELECT explode(sequence(TIMESTAMP '2024-01-01'," +
+          " TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n"),
+                expr("(unix_micros(day) DIV 86400000000L) % 7").as("dow"))
+      val wd = Window.partitionBy(col("event_type"), col("dow"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("r20")), col("day"))
+      grid
+        .withColumn("c_dow", count(lit(1)).over(wd))
+        .withColumn("s_dow", sum(col("n")).over(wd))
+        .withColumn("r20",
+          expr("(n * c_dow - s_dow) * (20L DIV c_dow)"))
+        .withColumn("_rn", row_number().over(wr))
+        .withColumn("mad2", sum(when(col("_rn").isin(15, 16),
+                                     abs(col("r20")))).over(wt))
+        .select(col("event_type"), col("day"), col("n"), col("r20"),
+                col("mad2"),
+                (abs(col("r20")) * 2 > col("mad2") * 3).as("anomalous"))
+    }),
+    "q359_neighbor_jaccard" -> ((s, dir) => {
+      // Neighborhood Jaccard similarity (X342): q323's common-neighbor
+      // counts normalized by the neighborhood union — the structural
+      // equivalence score that separates "share 3 of 4 partners" from
+      // "share 3 of 400". Same strong-edge graph and single wedge join;
+      // degrees broadcast back (part-dimension sized); top-50 by exact
+      // integer ppm rides a TakeOrdered.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey",
+        minCount = 2).localCheckpoint()
+      val nbr = p.unionAll(p.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+      val deg = nbr.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      nbr.as("_l")
+        .join(nbr.as("_r"),
+              col("_l.src") === col("_r.src") &&
+                col("_l.dst") < col("_r.dst"))
+        .groupBy(col("_l.dst").as("a"), col("_r.dst").as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .join(broadcast(deg.select(col("src").as("a"),
+                                   col("deg").as("deg_a"))), Seq("a"))
+        .join(broadcast(deg.select(col("src").as("b"),
+                                   col("deg").as("deg_b"))), Seq("b"))
+        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+          expr("cn * 1000000L DIV (deg_a + deg_b - cn)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+    "q360_price_elasticity" -> ((s, dir) => {
+      // Discount elasticity (X343): per brand, does a deeper discount
+      // move more units? Trend.fit's integer-OLS with x = discount pct,
+      // y = quantity units — the merchandising counterpart of q201's
+      // time trend. Part broadcasts into the fact scan; the regression
+      // reduces in one combine rollup per brand.
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(floor(l_discount * 100) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("y"))
+      Trend.fit(li, Seq("p_brand"), col("x"), col("y"))
+    }),
+    "q361_cycle_time_quantiles" -> ((s, dir) => {
+      // Repeat-purchase cycle time (X344): exact p25/p50/p75/p90 of the
+      // days between a customer's consecutive orders, by market segment —
+      // the replenishment-cadence read behind CRM timing. Per-customer
+      // lag window (real key), segment broadcast, then X44 rank-selected
+      // exact quantiles on the bounded 5-segment grouping.
+      val gaps = Tables.read(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("gap_days",
+          expr("datediff(o_orderdate, lag(o_orderdate, 1) OVER " +
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))"))
+        .filter(col("gap_days").isNotNull)
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("gap_days").cast("long").as("gap_days"))
+      Profile.discreteQuantiles(gaps, "c_mktsegment", "gap_days",
+                                Seq(25, 50, 75, 90))
+    }),
+    "q362_supplier_hhi" -> ((s, dir) =>
+      // Supply concentration (X345): Herfindahl index of supplier share
+      // per part in exact integer ppm (Σqᵢ²·10⁶ / (Σqᵢ)² — quantity
+      // units, no division until the final cross-multiplied ratio). The
+      // 25 most CONTESTED multi-supplier parts surface via TakeOrdered;
+      // single-supplier parts (HHI = 10⁶) are the boring majority.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("q"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("q")).as("q_total"),
+             sum(col("q") * col("q")).as("q2"))
+        .filter(col("n_suppliers") >= 2)
+        .select(col("l_partkey"), col("n_suppliers"), col("q_total"),
+          expr("q2 * 1000000L DIV (q_total * q_total)").as("hhi_ppm"))
+        .orderBy(col("hhi_ppm").asc, col("l_partkey"))
+        .limit(25)),
+    "q363_dormant_capital" -> ((s, dir) => {
+      // Dormant high-balance accounts (X346): TPC-H Q22's shape —
+      // customers whose balance beats the global average (exact
+      // cross-multiplied cents: bal·n > Σbal, no float mean) with no
+      // order since 2000 (anti-join on the recent-buyer key set), rolled
+      // up per segment. The sales-outreach list every CRM starts from.
+      val c = Tables.read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val tot = c.agg(sum(col("bal_c")).as("_s"),
+                      count(lit(1)).as("_n"))
+      val recent = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(tot))
+        .filter(expr("bal_c * _n > _s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_dormant"),
+             sum(col("bal_c")).as("dormant_cents"))
+    }),
+    "q364_below_list_share" -> ((s, dir) =>
+      // Below-list selling (X347): per brand, the share of lines whose
+      // realized unit price undercuts the part's list price — comparison
+      // via exact integer cross-multiplication (ep_c < retail_c × qty:
+      // the per-unit division never happens, so no rounding seam). Part
+      // attributes broadcast into the fact scan; one rollup per brand.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"),
+                  expr("CAST(floor(p_retailprice * 100) AS BIGINT)")
+                    .as("retail_c"))),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+               " < retail_c * CAST(floor(l_quantity) AS BIGINT)")
+            .as("below"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(when(col("below"), 1L).otherwise(0L)).as("n_below"))
+        .withColumn("below_ppm",
+                    expr("n_below * 1000000L DIV n_lines"))),
+    "q365_segment_brand_index" -> ((s, dir) => {
+      // Segment×brand purchase index (X348): how over/under-represented
+      // each brand is inside each market segment vs its overall share —
+      // the "index 100" (here ppk-1000) every merchandising deck leads
+      // with. Counts cross-multiply (n_sb·n_tot·1000 / (n_s·n_b)) so the
+      // bounded 5×25 matrix is engine-exact; dimensions broadcast into
+      // the one fact-sized join chain.
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(broadcast(Tables.read(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .join(Tables.read(s, dir, "orders")
+                .select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("p_brand")).localCheckpoint()
+      val sb = li.groupBy(col("c_mktsegment"), col("p_brand"))
+        .agg(count(lit(1)).as("n_sb"))
+      val bySeg = li.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_s"))
+      val byBrand = li.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      val tot = li.agg(count(lit(1)).as("n_tot"))
+      sb.join(broadcast(bySeg), Seq("c_mktsegment"))
+        .join(broadcast(byBrand), Seq("p_brand"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("p_brand"), col("n_sb"),
+          expr("n_sb * n_tot * 1000L DIV (n_s * n_b)").as("index_ppk"))
+    })
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -7024,7 +7374,276 @@ object SparkEntry {
          |       // count(*) AS BIGINT) AS short_ppm,
          |  CAST(sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) * 1000000
          |       // count(*) AS BIGINT) AS empty_ppm
-         |FROM d GROUP BY 1""".stripMargin
+         |FROM d GROUP BY 1""".stripMargin,
+    "q351_cust_order_dist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+    "q352_market_share" ->
+      """WITH geo AS (SELECT c_custkey, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |f AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type LIKE 'PROMO%'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN geo ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT o_year, n_name, rev_e4,
+        |  CAST(rev_e4 * 1000000 // sum(rev_e4) OVER (PARTITION BY o_year)
+        |       AS BIGINT) AS share_ppm
+        |FROM f""".stripMargin,
+    "q353_ar_lag_slope" ->
+      s"""WITH $SrcCte,
+         |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+         |           TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+         |types AS (SELECT DISTINCT event_type FROM src),
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |            CAST(count(*) AS BIGINT) AS n
+         |          FROM src GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, d.day, coalesce(daily.n, 0) AS n
+         |         FROM days d CROSS JOIN types t
+         |         LEFT JOIN daily ON daily.day = d.day
+         |           AND daily.event_type = t.event_type),
+         |lagged AS (SELECT event_type, n AS y,
+         |    lag(n, 1) OVER w AS x1, lag(n, 2) OVER w AS x2,
+         |    lag(n, 3) OVER w AS x3
+         |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |up AS (SELECT event_type, y,
+         |    unnest([1, 2, 3]) AS lag, unnest([x1, x2, x3]) AS x
+         |  FROM lagged),
+         |st AS (SELECT event_type, CAST(lag AS INT) AS lag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM up WHERE x IS NOT NULL GROUP BY 1, 2),
+         |k AS (SELECT event_type, lag, n,
+         |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+         |    n * sxy - sx * sy AS cov, sx, sy
+         |  FROM st)
+         |SELECT event_type, lag, n,
+         |  CASE WHEN dx <> 0
+         |    THEN round(CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+         |    AS slope,
+         |  CASE WHEN dx <> 0
+         |    THEN round((CAST(sy AS DOUBLE)
+         |                - CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE)
+         |                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END
+         |    AS intercept,
+         |  CASE WHEN dx <> 0 AND dy <> 0
+         |    THEN round(CAST(cov * cov AS DOUBLE) / CAST(dx * dy AS DOUBLE),
+         |               6) END AS r2
+         |FROM k""".stripMargin,
+    "q354_burstiness" ->
+      s"""WITH $SrcCte,
+         |hours AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+         |            TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR))
+         |            AS hr),
+         |types AS (SELECT DISTINCT event_type FROM src),
+         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |             CAST(count(*) AS BIGINT) AS n
+         |           FROM src GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, coalesce(hourly.n, 0) AS x
+         |         FROM hours h CROSS JOIN types t
+         |         LEFT JOIN hourly ON hourly.hr = h.hr
+         |           AND hourly.event_type = t.event_type)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |  CAST(sum(x) AS BIGINT) AS n_events,
+         |  CAST((count(*) * sum(x * x) - sum(x) * sum(x)) * 1000000
+         |       // (count(*) * greatest(sum(x), 1)) AS BIGINT) AS fano_ppm
+         |FROM grid GROUP BY 1""".stripMargin,
+    "q355_discount_band_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS discount_e4
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996 AND l_quantity < 24
+        |  AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
+    "q356_revenue_retention" ->
+      s"""WITH $SrcCte,
+         |f AS (SELECT user_id,
+         |        min(epoch_us(ts) // 604800000000) AS cohort_wk
+         |      FROM src GROUP BY 1),
+         |r AS (SELECT cohort_wk,
+         |        epoch_us(ts) // 604800000000 - cohort_wk AS week_offset,
+         |        CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+         |             AS BIGINT) AS rev_micro
+         |      FROM src JOIN f USING (user_id)
+         |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+         |b AS (SELECT cohort_wk, rev_micro AS base_micro FROM r
+         |      WHERE week_offset = 0)
+         |SELECT r.cohort_wk, r.week_offset, r.rev_micro,
+         |  CASE WHEN b.base_micro IS NULL OR b.base_micro = 0 THEN NULL
+         |       ELSE CAST(r.rev_micro * 1000000 // b.base_micro AS BIGINT)
+         |  END AS ndr_ppm
+         |FROM r LEFT JOIN b ON r.cohort_wk = b.cohort_wk""".stripMargin,
+    "q357_bot_cadence" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT user_id,
+         |        (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id)))
+         |          // 60000000 AS gap_min
+         |      FROM src),
+         |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |         sum(gap_min) AS sg, sum(gap_min * gap_min) AS sg2
+         |       FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+         |       HAVING count(*) >= 10)
+         |SELECT user_id, n_gaps,
+         |  CAST((n_gaps * sg2 - sg * sg) * 1000
+         |       // greatest(sg * sg, 1) AS BIGINT) AS cv2_ppk
+         |FROM st ORDER BY cv2_ppk ASC, user_id LIMIT 20""".stripMargin,
+    "q358_seasonal_anomaly" ->
+      s"""WITH $SrcCte,
+         |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+         |           TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS day),
+         |types AS (SELECT DISTINCT event_type FROM src),
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |            CAST(count(*) AS BIGINT) AS n
+         |          FROM src GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, d.day, coalesce(daily.n, 0) AS n,
+         |           (epoch_us(d.day) // 86400000000) % 7 AS dow
+         |         FROM days d CROSS JOIN types t
+         |         LEFT JOIN daily ON daily.day = d.day
+         |           AND daily.event_type = t.event_type),
+         |res AS (SELECT event_type, day, n,
+         |    (n * (count(*) OVER wd) - (sum(n) OVER wd))
+         |      * (20 // (count(*) OVER wd)) AS r20
+         |  FROM grid
+         |  WINDOW wd AS (PARTITION BY event_type, dow)),
+         |rk AS (SELECT *, row_number() OVER
+         |    (PARTITION BY event_type ORDER BY abs(r20), day) AS rn
+         |  FROM res),
+         |md AS (SELECT *, sum(CASE WHEN rn IN (15, 16) THEN abs(r20) END)
+         |    OVER (PARTITION BY event_type) AS mad2 FROM rk)
+         |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         |  CAST(r20 AS BIGINT) AS r20, CAST(mad2 AS BIGINT) AS mad2,
+         |  (abs(r20) * 2 > mad2 * 3) AS anomalous
+         |FROM md""".stripMargin,
+    "q359_neighbor_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT x AS src, y AS dst FROM p
+        |        UNION ALL SELECT y, x FROM p),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM nbr GROUP BY 1),
+        |w AS (SELECT l.dst AS a, r.dst AS b,
+        |        CAST(count(*) AS BIGINT) AS cn
+        |      FROM nbr l JOIN nbr r
+        |        ON l.src = r.src AND l.dst < r.dst
+        |      GROUP BY 1, 2)
+        |SELECT a, b, cn, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(cn * 1000000 // (da.deg + db.deg - cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM w JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+        |ORDER BY jaccard_ppm DESC, a, b LIMIT 50""".stripMargin,
+    "q360_price_elasticity" ->
+      """WITH d AS (SELECT p_brand,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM d GROUP BY 1),
+        |k AS (SELECT p_brand, n,
+        |        n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+        |        n * sxy - sx * sy AS cov, sx, sy
+        |      FROM st)
+        |SELECT p_brand, n,
+        |  CASE WHEN dx <> 0
+        |    THEN round(CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE), 6) END
+        |    AS slope,
+        |  CASE WHEN dx <> 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |                - CAST(cov AS DOUBLE) / CAST(dx AS DOUBLE)
+        |                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END
+        |    AS intercept,
+        |  CASE WHEN dx <> 0 AND dy <> 0
+        |    THEN round(CAST(cov * cov AS DOUBLE) / CAST(dx * dy AS DOUBLE),
+        |               6) END AS r2
+        |FROM k""".stripMargin,
+    "q361_cycle_time_quantiles" ->
+      """WITH g AS (SELECT o_custkey,
+        |    date_diff('day', lag(o_orderdate, 1) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS gap_days
+        |  FROM orders),
+        |sg AS (SELECT c_mktsegment, CAST(gap_days AS BIGINT) AS gap_days
+        |       FROM g JOIN customer ON o_custkey = c_custkey
+        |       WHERE gap_days IS NOT NULL),
+        |rk AS (SELECT c_mktsegment, gap_days,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY gap_days) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |       FROM sg)
+        |SELECT c_mktsegment, CAST(q AS INT) AS q, gap_days AS q_value
+        |FROM rk CROSS JOIN (SELECT unnest([25, 50, 75, 90]) AS q)
+        |WHERE rn = (n * q + 99) // 100""".stripMargin,
+    "q362_supplier_hhi" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |        CAST(sum(q) AS BIGINT) AS q_total,
+        |        CAST(sum(q * q) AS BIGINT) AS q2
+        |      FROM ps GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT l_partkey, n_suppliers, q_total,
+        |  CAST(q2 * 1000000 // (q_total * q_total) AS BIGINT) AS hhi_ppm
+        |FROM h ORDER BY hhi_ppm ASC, l_partkey LIMIT 25""".stripMargin,
+    "q363_dormant_capital" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |t AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_dormant,
+        |  CAST(sum(bal_c) AS BIGINT) AS dormant_cents
+        |FROM c CROSS JOIN t
+        |WHERE bal_c * n > s
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
+        |GROUP BY 1""".stripMargin,
+    "q364_below_list_share" ->
+      """WITH d AS (SELECT p_brand,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      < CAST(floor(p_retailprice * 100) AS BIGINT)
+        |        * CAST(floor(l_quantity) AS BIGINT) AS below
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN below THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(sum(CASE WHEN below THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS below_ppm
+        |FROM d GROUP BY 1""".stripMargin,
+    "q365_segment_brand_index" ->
+      """WITH li AS (SELECT c_mktsegment, p_brand
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |sb AS (SELECT c_mktsegment, p_brand,
+        |         CAST(count(*) AS BIGINT) AS n_sb FROM li GROUP BY 1, 2),
+        |s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_s
+        |      FROM li GROUP BY 1),
+        |b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM li)
+        |SELECT sb.c_mktsegment, sb.p_brand, sb.n_sb,
+        |  CAST(n_sb * n_tot * 1000 // (n_s * n_b) AS BIGINT) AS index_ppk
+        |FROM sb JOIN s USING (c_mktsegment) JOIN b USING (p_brand)
+        |CROSS JOIN t""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
