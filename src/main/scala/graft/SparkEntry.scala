@@ -6301,7 +6301,34 @@ object SparkEntry {
         .crossJoin(broadcast(tot))
         .select(col("c_mktsegment"), col("p_brand"), col("n_sb"),
           expr("n_sb * n_tot * 1000L DIV (n_s * n_b)").as("index_ppk"))
-    })
+    }),
+    "q366_communities" -> ((s, dir) => {
+      // Label-propagation communities (X349): deterministic sync LPA
+      // (neighbor-label mode, smallest-label ties) on the strong-edge
+      // co-purchase graph — the structure CC can't see: clusterPairs
+      // merges everything one bridge connects; LPA splits the dense
+      // regions the bridge joins. 3 fixed rounds, each one edge⋈label
+      // shuffle; the size window partitions on the real community key.
+      import org.apache.spark.sql.expressions.Window
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+      val nbr = p.unionAll(p.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+      Graph.labelPropagation(nbr, iters = 3)
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy(col("community"))))
+    }),
+    "q367_proximity_search" -> ((s, dir) =>
+      // Positional proximity search (X350): documents where 'spark' and
+      // 'window' sit within 3 tokens — the NEAR operator plain postings
+      // can't answer (q226 proves co-presence; positions prove
+      // adjacency). One posexplode projection; the per-term position
+      // lists join on the doc key only, so pair work is tf_a×tf_b per
+      // doc, never corpus-quadratic.
+      TextAnalysis.proximityHits(docs(s, dir), "doc_id", "text",
+                                 termA = "spark", termB = "window",
+                                 maxDist = 3))
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -7643,7 +7670,47 @@ object SparkEntry {
         |SELECT sb.c_mktsegment, sb.p_brand, sb.n_sb,
         |  CAST(n_sb * n_tot * 1000 // (n_s * n_b) AS BIGINT) AS index_ppk
         |FROM sb JOIN s USING (c_mktsegment) JOIN b USING (p_brand)
-        |CROSS JOIN t""".stripMargin
+        |CROSS JOIN t""".stripMargin,
+    "q366_communities" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS (SELECT x AS src, y AS dst FROM p
+        |        UNION ALL SELECT y, x FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM nbr),
+        |r1 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (SELECT *, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r1)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (SELECT *, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM (SELECT *, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r3)
+        |       WHERE rn = 1)
+        |SELECT node, lab AS community,
+        |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT)
+        |    AS community_size
+        |FROM l3""".stripMargin,
+    "q367_proximity_search" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term,
+         |          unnest(range(len(t))) AS pos FROM toks),
+         |a AS (SELECT doc_id, pos FROM tok WHERE term = 'spark'),
+         |b AS (SELECT doc_id, pos FROM tok WHERE term = 'window'),
+         |j AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+         |      FROM a JOIN b USING (doc_id))
+         |SELECT doc_id, CAST(count(DISTINCT pa) AS BIGINT) AS n_a,
+         |  CAST(count(DISTINCT pb) AS BIGINT) AS n_b,
+         |  CAST(min(abs(pa - pb)) AS BIGINT) AS min_dist
+         |FROM j GROUP BY 1 HAVING min(abs(pa - pb)) <= 3""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

@@ -137,4 +137,42 @@ object Graph {
     }
     pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
   }
+
+  /** Synchronous label-propagation community detection, fully
+    * deterministic: labels start as node ids; each round every node takes
+    * the MODE of its neighbors' labels, ties broken by the smallest label
+    * (row_number over (count DESC, label ASC) — no RNG, no async update
+    * order, so every engine and every partitioning converges to the same
+    * labels). A fixed iteration budget keeps the cost model explicit:
+    * each round is one (edges ⋈ labels) shuffle + one (node, label)
+    * rollup + one per-node window — label-sized relations throughout,
+    * `localCheckpoint` per round to stop lineage growth across rounds
+    * (same rationale as [[pagerank]]).
+    *
+    * Communities differ from connected components (clusterPairs): LPA
+    * splits a sparse bridge between two dense regions even though they
+    * are one component. Feed symmetric edges for an undirected graph.
+    *
+    * Output: (node, community).
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val edges = edges0.localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to iters) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lab").asc)
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

@@ -623,4 +623,33 @@ object TextAnalysis {
              .as("postings_gaps"))
       .filter(col("df") >= minDf)
   }
+
+  /** Positional proximity search: documents where `termA` and `termB`
+    * co-occur within `maxDist` token positions — the phrase/NEAR operator
+    * an inverted index alone can't answer (postings prove co-presence,
+    * positions prove adjacency). Positional postings come from one
+    * `posexplode` projection; each term's (tiny) position list joins on
+    * the document key only, so the pair work per document is
+    * |posA|×|posB| — bounded by per-document term frequency, never by
+    * corpus size.
+    *
+    * Output: (idCol, n_a, n_b, min_dist) for documents passing the
+    * proximity test.
+    */
+  def proximityHits(df: DataFrame, idCol: String, textCol: String,
+                    termA: String, termB: String, maxDist: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(termA, termB))
+    val a = tok.filter(col("term") === termA)
+      .select(col(idCol), col("pos").as("_pa"))
+    val b = tok.filter(col("term") === termB)
+      .select(col(idCol), col("pos").as("_pb"))
+    a.join(b, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_pa")).as("n_a"),
+           countDistinct(col("_pb")).as("n_b"),
+           min(abs(col("_pa") - col("_pb"))).as("min_dist"))
+      .filter(col("min_dist") <= maxDist)
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, TextAnalysis}
+
+/** Round-7 operators: deterministic label-propagation communities and
+  * positional proximity search.
+  */
+class Round7OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def sym(edges: Seq[(Long, Long)]) =
+    (edges ++ edges.map(_.swap)).toDF("src", "dst")
+
+  test("Graph.labelPropagation: two triangles joined by a bridge split") {
+    // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4: one connected
+    // component, but LPA's neighbor-mode keeps each triangle on its own
+    // minimum label (the bridge is outvoted by the two triangle edges).
+    val edges = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                        (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)))
+    val labs = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs(1L) === labs(2L) && labs(2L) === labs(3L))
+    assert(labs(4L) === labs(5L) && labs(5L) === labs(6L))
+    assert(labs(1L) !== labs(4L))
+  }
+
+  test("Graph.labelPropagation: deterministic min-label tie-break") {
+    // A single edge 7-9: each node's only neighbor label is the other's,
+    // so labels swap each round — after any fixed iteration count both
+    // runs agree (determinism), and a triangle {1,2,3} settles on 1.
+    val tri = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val a = Graph.labelPropagation(tri, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(tri, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet === Set(1L))
+  }
+
+  test("TextAnalysis.proximityHits: distance filter and tf counts") {
+    val docs = Seq(
+      (1L, "spark shuffle window"),         // dist 2 -> hit
+      (2L, "spark a b c d e f window"),     // dist 7 -> miss
+      (3L, "window spark window"),          // dist 1, tf_b = 2 -> hit
+      (4L, "spark only here"),              // no window -> miss
+      (5L, "no terms at all")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis
+      .proximityHits(docs, "doc_id", "text", "spark", "window", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getInt(3))).toSet
+    assert(hits === Set((1L, 1L, 1L, 2), (3L, 1L, 2L, 1)))
+  }
+}
