@@ -6328,7 +6328,53 @@ object SparkEntry {
       // doc, never corpus-quadratic.
       TextAnalysis.proximityHits(docs(s, dir), "doc_id", "text",
                                  termA = "spark", termB = "window",
-                                 maxDist = 3))
+                                 maxDist = 3)),
+    "q368_stream_heavy_hitters" -> ((s, dir) => {
+      // Streaming bounded-state heavy hitters (X351), driver-checked
+      // end-to-end: three micro-batches through TopKStream.misraGriesSink
+      // (per-bucket Misra–Gries, capacity 2×3 — far below the slice's
+      // key count, so every batch shrinks), then the MG guarantees are
+      // checked per key against exact counts computed in the same query:
+      // est ≤ true ≤ est + e_bucket, and true > e_bucket ⇒ present.
+      // The oracle recomputes the exact side and expects every verdict
+      // TRUE — a wrong shrink delta, a lost counter, or a broken merge
+      // fails the hash gate. MemoryStream is driver-fed BY DESIGN (the
+      // harness source; production reads Kafka/files), bounded to the
+      // user_id%5 slice so driver volume stays trivial at any SF.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = ev(s, dir).filter(col("user_id") % 5 === 1)
+        .select(col("event_id"), col("user_id"))
+        .as[(Long, Long)].collect().toSeq
+      val base = java.nio.file.Files
+        .createTempDirectory("q368_stream").toString
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = graft.streaming.TopKStream.misraGriesSink(
+        source.toDF().toDF("event_id", "user_id"), s"$base/store",
+        keyCol = "user_id", buckets = 2, m = 3,
+        checkpoint = s"$base/ckpt")
+      try (0 until 3).foreach { i =>
+        source.addData(rows.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val st = graft.VersionedTable.read(s, s"$base/store")
+      val counters = st.filter(col("kind") === "c")
+        .select(col("k").as("user_id"), col("est"))
+      val meta = st.filter(col("kind") === "m")
+        .select(col("bucket"), col("err"))
+      ev(s, dir).filter(col("user_id") % 5 === 1)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+        .withColumn("bucket", pmod(col("user_id"), lit(2L)))
+        .join(broadcast(meta), Seq("bucket"))
+        .join(broadcast(counters), Seq("user_id"), "left")
+        .select(col("user_id"), col("n_true"),
+          (col("est").isNull && col("n_true") <= col("err") ||
+             col("est").isNotNull && col("est") <= col("n_true") &&
+               col("n_true") - col("est") <= col("err")).as("mg_ok"),
+          (col("n_true") <= col("err") || col("est").isNotNull)
+            .as("covered_ok"))
+    })
   )
 
   private def r6Oracle: Map[String, String] = Map(
@@ -7710,7 +7756,12 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT pa) AS BIGINT) AS n_a,
          |  CAST(count(DISTINCT pb) AS BIGINT) AS n_b,
          |  CAST(min(abs(pa - pb)) AS BIGINT) AS min_dist
-         |FROM j GROUP BY 1 HAVING min(abs(pa - pb)) <= 3""".stripMargin
+         |FROM j GROUP BY 1 HAVING min(abs(pa - pb)) <= 3""".stripMargin,
+    "q368_stream_heavy_hitters" ->
+      s"""WITH $SrcCte
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  TRUE AS mg_ok, TRUE AS covered_ok
+         |FROM src WHERE user_id % 5 = 1 GROUP BY 1""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

@@ -40,6 +40,48 @@ class Round7OpsSpec extends SparkTestBase {
     assert(a.values.toSet === Set(1L))
   }
 
+  test("TopKStream.misraGries: hand-computed two-batch state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("mg_spec").toString
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.TopKStream.misraGriesSink(
+      source.toDF().toDF("k"), s"$base/store", "k",
+      buckets = 1, m = 2, checkpoint = s"$base/ckpt")
+    try {
+      // batch 1: {1:3, 2:2, 3:1} -> d = 3rd largest = 1 -> {1:2, 2:1}, e=1
+      source.addData(1L, 1L, 1L, 2L, 2L, 3L); q.processAllAvailable()
+      // batch 2: +{3:3} -> {1:2, 2:1, 3:3} -> d=1 -> {3:2, 1:1}, e=2, n=9
+      source.addData(3L, 3L, 3L); q.processAllAvailable()
+    } finally q.stop()
+    val rows = graft.streaming.TopKStream.readSummary(spark, s"$base/store")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("est"),
+                           r.getAs[Long]("err"), r.getAs[Long]("n_b"))).toSet
+    assert(rows === Set((3L, 2L, 2L, 9L), (1L, 1L, 2L, 9L)))
+  }
+
+  test("TopKStream.misraGries: replayed batch token is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("mg_replay").toString
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    def run() = graft.streaming.TopKStream.misraGriesSink(
+      source.toDF().toDF("k"), s"$base/store", "k",
+      buckets = 1, m = 2, checkpoint = s"$base/ckpt")
+    val q1 = run()
+    try { source.addData(1L, 1L, 2L); q1.processAllAvailable() }
+    finally q1.stop()
+    // restarting the SAME checkpoint replays nothing new: the summary is
+    // unchanged (the additive merge would double-count without the guard)
+    val before = graft.streaming.TopKStream.readSummary(spark, s"$base/store")
+      .collect().map(_.toString).sorted.toSeq
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = graft.streaming.TopKStream.readSummary(spark, s"$base/store")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
   test("TextAnalysis.proximityHits: distance filter and tf counts") {
     val docs = Seq(
       (1L, "spark shuffle window"),         // dist 2 -> hit
