@@ -6374,6 +6374,84 @@ object SparkEntry {
                col("n_true") - col("est") <= col("err")).as("mg_ok"),
           (col("n_true") <= col("err") || col("est").isNotNull)
             .as("covered_ok"))
+    }),
+    "q369_lexical_gini" -> ((s, dir) => {
+      // Lexical diversity per source (X352): Gini impurity of each doc's
+      // token distribution (1 − Σ(tf/n)², exact ppm via (n²−Σtf²)·10⁶
+      // DIV n² — the log-free diversity index, where entropy would drift
+      // between engines), aggregated per source. Low Gini = template/
+      // boilerplate feeds; the mix-weighting signal q350's length stats
+      // can't see. Two combine rollups, no window, no division until the
+      // final bounded grid.
+      val tf = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("source"), col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("tf")).as("n"), sum(expr("tf * tf")).as("s2"))
+        .select(col("source"),
+                expr("(n * n - s2) * 1000000L DIV (n * n)").as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("_sg"),
+             min(col("g")).as("min_gini_ppm"),
+             max(col("g")).as("max_gini_ppm"))
+        .select(col("source"), col("n_docs"),
+                expr("_sg DIV n_docs").as("avg_gini_ppm"),
+                col("min_gini_ppm"), col("max_gini_ppm"))
+    }),
+    "q370_open_order_aging" -> ((s, dir) =>
+      // Open-order aging (X353): the receivables-style aging report —
+      // non-finalized orders bucketed by age-years at the 2001-09-01
+      // reference, with order counts and exact open cents per (status,
+      // age) cell. One scan, one bounded rollup; the predicate and both
+      // columns push to parquet.
+      Tables.read(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderstatus"),
+          expr("datediff(TIMESTAMP '2001-09-01', o_orderdate) DIV 365")
+            .as("age_years"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_orderstatus"), col("age_years"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("open_cents"))),
+    "q371_simpson_check" -> ((s, dir) => {
+      // Simpson direction audit (X354): does each segment's 1996→1997
+      // discount-rate move agree with the aggregate move? Rates compare
+      // by exact cross-multiplication (s96·n97 vs s97·n96 — no division
+      // anywhere), the overall direction rides a DimKey window over the
+      // bounded 5-segment grid, and `disagrees` marks the segments that
+      // could flip the aggregate (the Simpson's-paradox ingredient).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .join(Tables.read(s, dir, "orders")
+                .select(col("o_orderkey"), col("o_custkey"),
+                        year(col("o_orderdate")).as("yr")),
+              col("l_orderkey") === col("o_orderkey"))
+        .filter(col("yr").isin(1996, 1997))
+        .join(broadcast(Tables.read(s, dir, "customer")
+                .select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(when(col("yr") === 1996,
+               expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+               .otherwise(0L)).as("s96"),
+             sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n96"),
+             sum(when(col("yr") === 1997,
+               expr("CAST(floor(l_discount * 100) AS BIGINT)"))
+               .otherwise(0L)).as("s97"),
+             sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n97"))
+        .withColumn("_t96s", sum(col("s96")).over(w))
+        .withColumn("_t96n", sum(col("n96")).over(w))
+        .withColumn("_t97s", sum(col("s97")).over(w))
+        .withColumn("_t97n", sum(col("n97")).over(w))
+        .select(col("c_mktsegment"), col("s96"), col("n96"), col("s97"),
+                col("n97"),
+          expr("s97 * n96 > s96 * n97").as("seg_up"),
+          expr("_t97s * _t96n > _t96s * _t97n").as("overall_up"),
+          expr("(s97 * n96 > s96 * n97) != (_t97s * _t96n > _t96s * _t97n)")
+            .as("disagrees"))
     })
   )
 
@@ -7761,7 +7839,57 @@ object SparkEntry {
       s"""WITH $SrcCte
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_true,
          |  TRUE AS mg_ok, TRUE AS covered_ok
-         |FROM src WHERE user_id % 5 = 1 GROUP BY 1""".stripMargin
+         |FROM src WHERE user_id % 5 = 1 GROUP BY 1""".stripMargin,
+    "q369_lexical_gini" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term <> '' GROUP BY 1, 2),
+         |per AS (SELECT doc_id, sum(tf) AS n, sum(tf * tf) AS s2
+         |        FROM tf GROUP BY 1),
+         |g AS (SELECT d.source,
+         |        (n * n - s2) * 1000000 // (n * n) AS g
+         |      FROM per JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(g) // count(*) AS BIGINT) AS avg_gini_ppm,
+         |  CAST(min(g) AS BIGINT) AS min_gini_ppm,
+         |  CAST(max(g) AS BIGINT) AS max_gini_ppm
+         |FROM g GROUP BY 1""".stripMargin,
+    "q370_open_order_aging" ->
+      """SELECT o_orderstatus,
+        |  date_diff('day', o_orderdate, TIMESTAMP '2001-09-01') // 365
+        |    AS age_years,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS open_cents
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2""".stripMargin,
+    "q371_simpson_check" ->
+      """WITH d AS (SELECT c_mktsegment,
+        |    CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS dp
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)),
+        |seg AS (SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN dp ELSE 0 END) AS BIGINT)
+        |      AS s96,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n96,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN dp ELSE 0 END) AS BIGINT)
+        |      AS s97,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n97
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT sum(s96) AS t96s, sum(n96) AS t96n,
+        |        sum(s97) AS t97s, sum(n97) AS t97n FROM seg)
+        |SELECT c_mktsegment, s96, n96, s97, n97,
+        |  s97 * n96 > s96 * n97 AS seg_up,
+        |  t97s * t96n > t96s * t97n AS overall_up,
+        |  (s97 * n96 > s96 * n97) <> (t97s * t96n > t96s * t97n)
+        |    AS disagrees
+        |FROM seg CROSS JOIN t""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
