@@ -6452,6 +6452,64 @@ object SparkEntry {
           expr("_t97s * _t96n > _t96s * _t97n").as("overall_up"),
           expr("(s97 * n96 > s96 * n97) != (_t97s * _t96n > _t96s * _t97n)")
             .as("disagrees"))
+    }),
+    "q372_gap_tail_permille" -> ((s, dir) => {
+      // Extreme-tail gap quantiles (X355): exact p50.0/p99.0/p99.9 of
+      // per-user inter-event gaps by arriving type — the pager-threshold
+      // read where sketches blur exactly the rank you care about. The
+      // permille ladder rides weightedQuantiles' micro-cell
+      // decomposition: NO task ever sorts a whole type's gaps (5 types ×
+      // 100 TB would serialize); the biggest sort is a micro-cell.
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("gap_min",
+          expr("(unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+               "(PARTITION BY user_id ORDER BY ts, event_id)))" +
+               " DIV 60000000L"))
+        .filter(col("gap_min").isNotNull)
+        .withColumn("w", lit(1L))
+      Profile.weightedQuantiles(gaps, "event_type", "gap_min", "w",
+                                Seq(500, 990, 999), denom = 1000)
+    }),
+    "q373_t_closeness" -> ((s, dir) =>
+      // t-closeness audit (X356): what each (nation, segment) class
+      // REVEALS about balances — total-variation distance between the
+      // class's banded-balance distribution and the global one, exact
+      // integer ppm with zero-fill cells; breach marks classes leaking
+      // more than t=150000 ppm. The release gate k-anonymity (q81)
+      // cannot express: a big class is still unsafe if it is skewed.
+      Privacy.tCloseness(
+        Tables.read(s, dir, "customer"),
+        qidCols = Seq("c_nationkey", "c_mktsegment"),
+        sensitive = expr("CAST(floor(c_acctbal / 2000) AS BIGINT)"),
+        tPpm = 150000L)),
+    "q374_next_purchase_pairs" -> ((s, dir) => {
+      // Cross-order purchase sequences (X357): part pairs where the same
+      // customer first bought A strictly before first buying B — the
+      // temporal "bought A, later bought B" signal q243's same-basket
+      // co-purchase cannot see. First-purchase reduces per (customer,
+      // part) in one combine rollup; the per-customer self-join is
+      // bounded by parts-per-customer, never corpus-quadratic; top-50
+      // rides a TakeOrdered.
+      val fp = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.read(s, dir, "orders")
+                .select(col("o_orderkey"), col("o_custkey"),
+                        col("o_orderdate")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(min(col("o_orderdate")).as("first_dt"))
+        .localCheckpoint()
+      fp.as("_a")
+        .join(fp.as("_b"),
+              col("_a.o_custkey") === col("_b.o_custkey") &&
+                col("_a.first_dt") < col("_b.first_dt"))
+        .groupBy(col("_a.l_partkey").as("part_a"),
+                 col("_b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("part_a"), col("part_b"))
+        .limit(50)
     })
   )
 
@@ -7889,7 +7947,61 @@ object SparkEntry {
         |  t97s * t96n > t96s * t97n AS overall_up,
         |  (s97 * n96 > s96 * n97) <> (t97s * t96n > t96s * t97n)
         |    AS disagrees
-        |FROM seg CROSS JOIN t""".stripMargin
+        |FROM seg CROSS JOIN t""".stripMargin,
+    "q372_gap_tail_permille" ->
+      s"""WITH $SrcCte,
+         |g AS (SELECT event_type,
+         |        (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id)))
+         |          // 60000000 AS gap_min
+         |      FROM src),
+         |rk AS (SELECT event_type, gap_min,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY gap_min) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |           AS n
+         |       FROM g WHERE gap_min IS NOT NULL)
+         |SELECT event_type, CAST(q AS INT) AS q, gap_min AS q_value,
+         |  n AS total_weight
+         |FROM rk CROSS JOIN (SELECT unnest([500, 990, 999]) AS q)
+         |WHERE rn = (n * q + 999) // 1000""".stripMargin,
+    "q373_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS cat
+        |  FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, cat,
+        |    CAST(count(*) AS BIGINT) AS ngc FROM base GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(ngc) AS BIGINT) AS ng FROM cells GROUP BY 1, 2),
+        |cats AS (SELECT cat, CAST(sum(ngc) AS BIGINT) AS nc
+        |         FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(nc) AS BIGINT) AS N FROM cats),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.ng,
+        |           cats.cat, cats.nc, t.N,
+        |           abs(coalesce(cells.ngc, 0) * t.N - cats.nc * cls.ng)
+        |             AS d
+        |         FROM cls CROSS JOIN cats CROSS JOIN t
+        |         LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+        |           AND cells.c_mktsegment = cls.c_mktsegment
+        |           AND cells.cat = cats.cat)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(ng AS BIGINT) AS class_size,
+        |  CAST(sum(d) * 1000000 // (2 * ng * max(N)) AS BIGINT)
+        |    AS tvd_ppm,
+        |  CAST(sum(d) * 1000000 // (2 * ng * max(N)) AS BIGINT) > 150000
+        |    AS breach
+        |FROM grid GROUP BY 1, 2, ng""".stripMargin,
+    "q374_next_purchase_pairs" ->
+      """WITH fp AS (SELECT o_custkey, l_partkey,
+        |    min(o_orderdate) AS first_dt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM fp a JOIN fp b ON a.o_custkey = b.o_custkey
+        |  AND a.first_dt < b.first_dt
+        |GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, part_a, part_b LIMIT 50""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(

@@ -81,4 +81,43 @@ object Privacy {
           regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           Ipv4Pattern, "<IP>"),
         PhonePattern, "<PHONE>"))
+
+  /** t-closeness audit (total-variation flavor): k-anonymity hides WHO is
+    * in an equivalence class; it says nothing about WHAT the class reveals
+    * — a class where every member shares the sensitive value leaks it to
+    * anyone who can place a person in the class. Per quasi-identifier
+    * class, the total-variation distance between the class's sensitive
+    * distribution and the global one:
+    *
+    *   TVD(g) = ½ Σ_c |n_gc/n_g − n_c/N|
+    *
+    * computed as exact integer ppm via cross-multiplication
+    * (Σ|n_gc·N − n_c·n_g| · 10⁶ DIV (2·n_g·N) — no float division), with
+    * `breach` = TVD > `tPpm`. Absent (class, category) cells contribute
+    * |0 − n_c·n_g| — the zero-fill grid is class-count × category-count
+    * sized (categories are bounded by construction: the caller passes a
+    * BANDED sensitive expression), never data-sized. Cost: one rollup to
+    * (class, category) grain, one class-sized cross join with the
+    * broadcast category margin.
+    */
+  def tCloseness(df: DataFrame, qidCols: Seq[String],
+                 sensitive: Column, tPpm: Long): DataFrame = {
+    val qs = qidCols.map(col)
+    val cells = df.select(qs :+ sensitive.as("_cat"): _*)
+      .groupBy(qs :+ col("_cat"): _*).agg(count(lit(1)).as("_ngc"))
+    val classes = cells.groupBy(qs: _*).agg(sum(col("_ngc")).as("_ng"))
+    val cats = cells.groupBy(col("_cat")).agg(sum(col("_ngc")).as("_nc"))
+    val total = cats.agg(sum(col("_nc")).as("_N"))
+    classes.crossJoin(broadcast(cats))
+      .join(cells, qidCols :+ "_cat", "left")
+      .crossJoin(broadcast(total))
+      .select(qs ++ Seq(col("_ng"), col("_N"),
+        abs(coalesce(col("_ngc"), lit(0L)) * col("_N") -
+              col("_nc") * col("_ng")).as("_d")): _*)
+      .groupBy(qs :+ col("_ng") :+ col("_N"): _*)
+      .agg(sum(col("_d")).as("_sd"))
+      .select(qs ++ Seq(col("_ng").as("class_size"),
+        expr("_sd * 1000000L DIV (2L * _ng * _N)").as("tvd_ppm")): _*)
+      .withColumn("breach", col("tvd_ppm") > tPpm)
+  }
 }

@@ -434,7 +434,8 @@ object Profile {
     */
   def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                         weightCol: String, percents: Seq[Int],
-                        microBins: Int = 10000): DataFrame = {
+                        microBins: Int = 10000,
+                        denom: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(col(valueCol)).cast("double").as("_mn"),
                         max(col(valueCol)).cast("double").as("_mx"))
@@ -456,8 +457,8 @@ object Profile {
       .withColumn("_W", sum(col("_cw")).over(wG))
       .select(col(groupCol), col("_cell"), col("_cw"), col("_cum"),
               col("_W"), explode(lit(percents.toArray)).as("q"))
-      .filter(col("_cum") * 100 >= col("q") * col("_W") &&
-                (col("_cum") - col("_cw")) * 100 < col("q") * col("_W"))
+      .filter(col("_cum") * denom >= col("q") * col("_W") &&
+                (col("_cum") - col("_cw")) * denom < col("q") * col("_W"))
       .select(col(groupCol), col("q"), col("_cell"),
               (col("_cum") - col("_cw")).as("_before"), col("_W"))
     val wVal = Window.partitionBy(col(groupCol), col("q"))
@@ -469,8 +470,8 @@ object Profile {
       .agg(sum(col(weightCol)).as("_vw"),
            first(col("_before")).as("_before"), first(col("_W")).as("_W"))
       .withColumn("_vcum", col("_before") + sum(col("_vw")).over(wVal))
-      .filter(col("_vcum") * 100 >= col("q") * col("_W") &&
-                (col("_vcum") - col("_vw")) * 100 < col("q") * col("_W"))
+      .filter(col("_vcum") * denom >= col("q") * col("_W") &&
+                (col("_vcum") - col("_vw")) * denom < col("q") * col("_W"))
       .select(col(groupCol), col("q"), col(valueCol).as("q_value"),
               col("_W").as("total_weight"))
   }

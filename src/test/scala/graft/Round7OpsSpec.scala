@@ -82,6 +82,39 @@ class Round7OpsSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("Privacy.tCloseness: hand-computed TVD and breach flag") {
+    // class A: {c1 x3, c2 x1}; class B: {c1 x1, c2 x3}; global 4/4 of 8.
+    // TVD = (|3*8-4*4| + |1*8-4*4|) / (2*4*8) = 16/64 = 250000 ppm.
+    val df = (Seq.fill(3)(("A", 1)) ++ Seq(("A", 2)) ++
+              Seq(("B", 1)) ++ Seq.fill(3)(("B", 2))).toDF("g", "c")
+    val out = graft.operators.Privacy
+      .tCloseness(df, Seq("g"), col("c"), tPpm = 200000L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("class_size"),
+                           r.getAs[Long]("tvd_ppm"),
+                           r.getAs[Boolean]("breach"))).toSet
+    assert(out === Set(("A", 4L, 250000L, true), ("B", 4L, 250000L, true)))
+  }
+
+  test("Privacy.tCloseness: absent cells count full mass") {
+    // class A holds only c1, class B only c2 — each class's distribution
+    // is a point mass: TVD = 1/2 vs the 50/50 global = 500000 ppm.
+    val df = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("g", "c")
+    val out = graft.operators.Privacy
+      .tCloseness(df, Seq("g"), col("c"), tPpm = 600000L)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("tvd_ppm"),
+                           r.getAs[Boolean]("breach"))).toSet
+    assert(out === Set(("A", 500000L, false), ("B", 500000L, false)))
+  }
+
+  test("Profile.weightedQuantiles: permille denominator selects the tail") {
+    val df = (1 to 1000).map(i => ("g", i.toLong, 1L)).toDF("g", "v", "w")
+    val out = graft.operators.Profile
+      .weightedQuantiles(df, "g", "v", "w", Seq(500, 999), denom = 1000)
+      .collect().map(r => r.getAs[Int]("q") -> r.getAs[Long]("q_value"))
+      .toMap
+    assert(out === Map(500 -> 500L, 999 -> 999L))
+  }
+
   test("TextAnalysis.proximityHits: distance filter and tf counts") {
     val docs = Seq(
       (1L, "spark shuffle window"),         // dist 2 -> hit
