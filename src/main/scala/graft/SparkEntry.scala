@@ -6510,6 +6510,93 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("part_a"), col("part_b"))
         .limit(50)
+    }),
+    "q375_heaps_curve" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth (X358): distinct-vocabulary size at
+      // each corpus decile — the saturation curve that decides whether
+      // more data still buys new tokens. One fact pass each for token
+      // first-seen (term grain) and per-doc counts (doc grain); the ten
+      // milestone doc-ids come from the micro-cell quantile path and
+      // broadcast into ≤-joins against DIMENSION-sized rollups, so the
+      // curve never rescans the corpus per milestone.
+      val milestones = Profile.weightedQuantiles(
+          docs(s, dir).select(lit("all").as("g"), col("doc_id"),
+                              lit(1L).as("w")),
+          "g", "doc_id", "w", (10 to 100 by 10))
+        .select(col("q").as("pct"), col("q_value").as("m_doc"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val firstSeen = tok.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("fs"))
+      val perDoc = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+      val vocab = firstSeen.join(broadcast(milestones),
+          col("fs") <= col("m_doc"))
+        .groupBy(col("pct"), col("m_doc"))
+        .agg(count(lit(1)).as("n_vocab"))
+      val mass = perDoc.join(broadcast(milestones),
+          col("doc_id") <= col("m_doc"))
+        .groupBy(col("pct"), col("m_doc"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      mass.join(vocab, Seq("pct", "m_doc"))
+        .select(col("pct"), col("m_doc"), col("n_docs"), col("n_tokens"),
+                col("n_vocab"))
+    }),
+    "q376_rrf_fusion" -> ((s, dir) => {
+      // Reciprocal-rank fusion (X359): hybrid retrieval — the BM25
+      // top-20 (q70's exact integer scorer) fused with a
+      // coordination-level ranking (distinct query terms hit, shortest
+      // doc first) via RRF: Σ 10⁶ DIV (60 + rank). The standard hybrid-
+      // search merge, integer-exact; both lists are k-sized so the
+      // fusion join is trivial, and only the 20-row lists ever see a
+      // rank window.
+      import org.apache.spark.sql.expressions.Window
+      val wOne = Window.partitionBy(graft.functions.DimKey.one)
+      val bm25 = TextAnalysis
+        .bm25TopK(docs(s, dir), "doc_id", "text", Bm25Terms, k = 20)
+        .select(col("doc_id"), col("rank").as("_ra"))
+      val hits = docs(s, dir)
+        .select(col("doc_id"),
+                size(TextAnalysis.tokens(col("text"))).cast("long")
+                  .as("dl"),
+                explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(countDistinct(col("term")).as("n_hit"))
+      val coord = hits
+        .orderBy(col("n_hit").desc, col("dl").asc, col("doc_id"))
+        .limit(20)
+        .withColumn("_rc", row_number().over(
+          wOne.orderBy(col("n_hit").desc, col("dl").asc, col("doc_id"))))
+        .select(col("doc_id"), col("_rc"))
+      bm25.join(coord, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000L DIV (60L + _ra)"), lit(0L)) +
+             coalesce(expr("1000000L DIV (60L + _rc)"), lit(0L)))
+            .as("rrf_ppm"),
+          col("_ra").isNotNull.as("in_bm25"),
+          col("_rc").isNotNull.as("in_coord"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          wOne.orderBy(col("rrf_ppm").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("rrf_ppm"),
+                col("in_bm25"), col("in_coord"))
+    }),
+    "q377_split_shipments" -> ((s, dir) => {
+      // Split-shipment fragmentation (X360): how many distinct ship
+      // dates each order's lines spread across — the fulfillment-cost
+      // histogram (every extra date is another box). One order-grain
+      // rollup, one bounded histogram rollup with exact cents per band.
+      Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_shipdate")).as("n_ship_dates"),
+             sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("cents"))
+        .groupBy(col("n_ship_dates"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
     })
   )
 
@@ -8001,7 +8088,76 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.o_custkey = b.o_custkey
         |  AND a.first_dt < b.first_dt
         |GROUP BY 1, 2
-        |ORDER BY n_pairs DESC, part_a, part_b LIMIT 50""".stripMargin
+        |ORDER BY n_pairs DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q375_heaps_curve" ->
+      s"""WITH $ToksCte,
+         |dq AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+         |         count(*) OVER () AS n FROM documents),
+         |m AS (SELECT CAST(q AS INT) AS pct, doc_id AS m_doc
+         |      FROM dq CROSS JOIN (SELECT unnest([10, 20, 30, 40, 50,
+         |        60, 70, 80, 90, 100]) AS q)
+         |      WHERE rn = (n * q + 99) // 100),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |fs AS (SELECT term, min(doc_id) AS fs FROM tok
+         |       WHERE term <> '' GROUP BY 1),
+         |pd AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(t) END AS BIGINT) AS ntok FROM toks),
+         |vocab AS (SELECT pct, m_doc, CAST(count(*) AS BIGINT) AS n_vocab
+         |          FROM fs JOIN m ON fs.fs <= m.m_doc GROUP BY 1, 2),
+         |mass AS (SELECT pct, m_doc, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |         FROM pd JOIN m ON pd.doc_id <= m.m_doc GROUP BY 1, 2)
+         |SELECT pct, m_doc, n_docs, n_tokens, n_vocab
+         |FROM mass JOIN vocab USING (pct, m_doc)""".stripMargin,
+    "q376_rrf_fusion" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |scal AS (SELECT count(*) AS n_docs,
+         |           CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT t.doc_id,
+         |    ((s.n_docs - f.df) * 1000000) // s.n_docs AS idf_ppm,
+         |    (t.tf * 44 * s.sdl * 1000000)
+         |      // (20*s.sdl*t.tf + 6*s.sdl + 18*d.dl*s.n_docs) AS tfc_ppm
+         |  FROM tf t JOIN dfq f USING (token) JOIN dl d USING (doc_id)
+         |  CROSS JOIN scal s),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum((idf_ppm * tfc_ppm) // 1000000) AS BIGINT)
+         |      AS score_ppm FROM scored GROUP BY 1),
+         |bm AS (SELECT doc_id, ra FROM (SELECT doc_id, row_number()
+         |    OVER (ORDER BY score_ppm DESC, doc_id) AS ra FROM agg)
+         |  WHERE ra <= 20),
+         |ch AS (SELECT t.doc_id, d.dl,
+         |         count(DISTINCT t.token) AS n_hit
+         |       FROM tf t JOIN dl d USING (doc_id) GROUP BY 1, 2),
+         |co AS (SELECT doc_id, rc FROM (SELECT doc_id, row_number()
+         |    OVER (ORDER BY n_hit DESC, dl ASC, doc_id) AS rc FROM ch)
+         |  WHERE rc <= 20),
+         |fused AS (SELECT coalesce(bm.doc_id, co.doc_id) AS doc_id,
+         |    coalesce(1000000 // (60 + bm.ra), 0)
+         |      + coalesce(1000000 // (60 + co.rc), 0) AS rrf_ppm,
+         |    bm.ra IS NOT NULL AS in_bm25,
+         |    co.rc IS NOT NULL AS in_coord
+         |  FROM bm FULL JOIN co ON bm.doc_id = co.doc_id)
+         |SELECT * FROM (SELECT row_number() OVER
+         |    (ORDER BY rrf_ppm DESC, doc_id) AS "rank", doc_id,
+         |    CAST(rrf_ppm AS BIGINT) AS rrf_ppm, in_bm25, in_coord
+         |  FROM fused)
+         |WHERE "rank" <= 10""".stripMargin,
+    "q377_split_shipments" ->
+      """WITH o AS (SELECT l_orderkey,
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT) AS n_ship_dates,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_ship_dates, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o GROUP BY 1""".stripMargin
   )
 
   def oracleSql: Map[String, String] = r6Oracle ++ Map(
