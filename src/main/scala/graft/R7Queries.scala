@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Round-6 session queries (q378+). Separate object: SparkEntry's map
+  * builders sit near the JVM 64 KB method-bytecode ceiling, so new surface
+  * accretes here and chains into `SparkEntry.queries` / `oracleSql`.
+  */
+object R7Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, Tables.read(s, dir, "documents"))
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q378_disjunctive_bands" -> ((s, dir) => {
+      // TPC-H Q19 shape: fact x small-dim join whose predicate is an OR of
+      // (brand, size-band, quantity-band) conjunctions. The join stays a
+      // BROADCAST hash join on the p_partkey equality; the disjunction rides
+      // as a residual condition evaluated inside the probe — the fact table
+      // never shuffles, which is the only plan that survives a 100 TB
+      // lineitem. Revenue in exact cent-milli units:
+      // floor(price*100) * (1000 - floor(disc*1000)).
+      val li = Tables.read(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(floor(l_discount * 1000) AS BIGINT)").as("disc_m"))
+      val p = Tables.read(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      def band(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p),
+              col("l_partkey") === col("p_partkey") &&
+                (band("Brand#1", 15, 1, 11) ||
+                 band("Brand#2", 25, 10, 20) ||
+                 band("Brand#3", 35, 20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(col("cents") * (lit(1000L) - col("disc_m")))
+               .as("revenue_cm"))
+    }),
+    "q379_readability" -> ((s, dir) => {
+      // Integer Flesch readability rollup per source: the per-doc projection
+      // is shuffle-free (TextAnalysis.readability); the only exchange is the
+      // vocabulary-sized per-source aggregate with map-side combine.
+      TextAnalysis.readability(docs(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             expr("sum(flesch_milli) DIV count(1)").as("avg_flesch_milli"),
+             min(col("flesch_milli")).as("min_flesch_milli"),
+             max(col("flesch_milli")).as("max_flesch_milli"))
+    }),
+    "q380_bootstrap_ci" -> ((s, dir) => {
+      // Hash-seeded Poisson bootstrap of the mean order value: 32 resamples,
+      // each order's weight in replicate r drawn from Poisson(1) via the
+      // md5(orderkey:r) residue against the fixed ppm CDF (truncated at 4).
+      // Fully deterministic — any engine replays the exact weights — and
+      // fully distributed: the 32x row expansion collapses immediately in a
+      // map-side combine, so the shuffle carries 32 rows per partition
+      // regardless of fact size. The replicate means ARE the bootstrap
+      // distribution; a reader takes order stats 2..31 for a ~94% CI.
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      o.select(col("o_orderkey"), col("cents"),
+               explode(sequence(lit(0), lit(31))).as("rep"))
+        .withColumn("b",
+          conv(substring(md5(concat(col("o_orderkey").cast("string"),
+                                    lit(":"), col("rep").cast("string"))),
+                         1, 8), 16, 10).cast("long") % 1000000L)
+        // Poisson(1) CDF in ppm: P0=367879, cum1=735759, cum2=919699,
+        // cum3=981012; the residual 1.9% mass lands on weight 4.
+        .withColumn("w",
+          when(col("b") < 367879L, 0L)
+            .when(col("b") < 735759L, 1L)
+            .when(col("b") < 919699L, 2L)
+            .when(col("b") < 981012L, 3L)
+            .otherwise(4L))
+        .groupBy(col("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+             expr("sum(w * cents) DIV sum(w)").as("mean_cents"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q378_disjunctive_bands" ->
+      """WITH li AS (SELECT l_partkey, l_quantity,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m
+        |  FROM lineitem)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(cents * (1000 - disc_m)) AS BIGINT) AS revenue_cm
+        |FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |         AND li.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |         AND li.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |         AND li.l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p.p_brand""".stripMargin,
+    "q379_readability" ->
+      """WITH r AS (SELECT source,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+        |    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vgroups
+        |  FROM documents),
+        |m AS (SELECT source,
+        |    n_words * 1000 // n_sents AS wps_milli,
+        |    n_vgroups * 1000 // greatest(n_words, 1) AS spw_milli
+        |  FROM r),
+        |f AS (SELECT source, 206835 - (1015 * wps_milli) // 1000
+        |    - (84600 * spw_milli) // 1000 AS flesch_milli FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(flesch_milli) // count(*) AS BIGINT) AS avg_flesch_milli,
+        |  CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
+        |  CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli
+        |FROM f GROUP BY source""".stripMargin,
+    "q380_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |x AS (SELECT o_orderkey, cents, r.rep,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |       || CAST(r.rep AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS b
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r),
+        |w AS (SELECT rep, cents,
+        |    CASE WHEN b < 367879 THEN 0 WHEN b < 735759 THEN 1
+        |         WHEN b < 919699 THEN 2 WHEN b < 981012 THEN 3
+        |         ELSE 4 END AS w
+        |  FROM x)
+        |SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+        |FROM w GROUP BY rep""".stripMargin
+  )
+}

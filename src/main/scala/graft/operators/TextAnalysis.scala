@@ -97,6 +97,35 @@ object TextAnalysis {
           col("n_stopwords") * 100 >= col("n_tokens"))
   }
 
+  /** Flesch-style readability proxy in exact integer milli-units: words per
+    * sentence and vowel-groups (syllable proxy) per word, combined with the
+    * classic 206.835 − 1.015·wps − 84.6·spw coefficients scaled ×1000 and
+    * evaluated with integer floor-division only — bit-identical on any
+    * engine, no float in the formula. A syllable proxy (maximal [aeiouy]+
+    * runs of the lower-cased text) keeps the measure dictionary-free; runs
+    * cannot span words because any non-letter breaks them.
+    *
+    * Scale: one narrow regexp projection per row — no shuffle, whole-stage
+    * codegen, embarrassingly parallel; readability gating on a 100 TB corpus
+    * costs exactly one scan.
+    */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_sents",
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1)))
+      .withColumn("n_words",
+        size(regexp_extract_all(t, lit("[A-Za-z]+"), lit(0))))
+      .withColumn("n_vgroups",
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))))
+      .withColumn("wps_milli",
+        expr("n_words * 1000L DIV n_sents"))
+      .withColumn("spw_milli",
+        expr("n_vgroups * 1000L DIV greatest(n_words, 1)"))
+      .withColumn("flesch_milli",
+        expr("206835L - (1015L * wps_milli) DIV 1000 " +
+             "- (84600L * spw_milli) DIV 1000"))
+  }
+
   /** Gopher-style repetition metrics: duplicate-token mass and the heaviest
     * repeated token/bigram per document (Rae et al. 2021 §A1.1 uses the same
     * shape: fraction of duplicate lines / most-common n-gram mass). Outputs
