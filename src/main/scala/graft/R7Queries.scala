@@ -87,6 +87,35 @@ object R7Queries {
         .groupBy(col("rep"))
         .agg(sum(col("w")).as("n_eff"),
              expr("sum(w * cents) DIV sum(w)").as("mean_cents"))
+    }),
+    "q381_cc_star" -> ((s, dir) => {
+      // Connected components of the strong co-purchase graph via the
+      // O(log² n)-round large-star/small-star contraction — the scale-path
+      // alternative to clusterPairs' O(diameter) min-label rounds, with no
+      // driver union-find at any graph size. Labels are component minima,
+      // so the result is bit-identical to any min-label CC.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+      Graph.connectedComponentsStar(p)
+        .select(col("doc_id").as("part_id"),
+                col("cluster_id").as("component_id"),
+                col("cluster_size").as("component_size"))
+    }),
+    "q382_bfs_hops" -> ((s, dir) => {
+      // Multi-source BFS reach: minimum hop distance from the 3 smallest
+      // part ids over the strong co-purchase graph, 4 levels. Seeds are
+      // derived from the edge list itself so both engines pick the same
+      // sources.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+        .localCheckpoint(false)
+      val seeds = p.select(col("src").as("node"))
+        .union(p.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(3)
+      Graph.bfsHops(p, seeds, maxHops = 4)
+        .select(col("node").as("part_id"), col("hop"))
     })
   )
 
@@ -138,6 +167,38 @@ object R7Queries {
         |  FROM x)
         |SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
         |  CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
-        |FROM w GROUP BY rep""".stripMargin
+        |FROM w GROUP BY rep""".stripMargin,
+    "q381_cc_star" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey AS i FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS src, y AS dst FROM p UNION SELECT y, x FROM p),
+        |reach AS (
+        |  SELECT src AS node, src AS lab FROM e
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+        |cc AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+        |SELECT node AS part_id, comp AS component_id,
+        |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT)
+        |    AS component_size
+        |FROM cc""".stripMargin,
+    "q382_bfs_hops" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey AS i FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS src, y AS dst FROM p UNION SELECT y, x FROM p),
+        |seeds AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+        |          ORDER BY node LIMIT 3),
+        |bfs AS (
+        |  SELECT node, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.hop < 4)
+        |SELECT node AS part_id, CAST(min(hop) AS INT) AS hop
+        |FROM bfs GROUP BY node""".stripMargin
   )
 }

@@ -175,4 +175,114 @@ object Graph {
     }
     labels.select(col("node"), col("lab").as("community"))
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * ACM SoCC 2014): every round contracts toward star graphs whose
+    * centers are component minima, converging in O(log² n) rounds versus
+    * the O(diameter) of plain min-label propagation
+    * (`Dedup.clusterPairs`) — on a 100 TB chain-shaped dup graph that is
+    * the difference between ~10 shuffle rounds and thousands. Each round
+    * is two groupBy-min aggregations over the edge list; no driver-side
+    * state at any size, no vertex-centric framework.
+    *
+    * large-star: every node's LARGER neighbors attach to the minimum of
+    * its closed neighborhood; small-star: every node's smaller-or-equal
+    * neighbors (and the node) attach to their minimum. Edges stay
+    * canonical (hi > lo) throughout; the fixpoint is a star forest whose
+    * edge (v, c) pairs each node with its component minimum.
+    *
+    * Output matches `Dedup.clusterPairs`: (doc_id, cluster_id,
+    * cluster_size) with cluster_id = the component's minimum node id.
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              aCol: String = "src",
+                              bCol: String = "dst",
+                              maxRounds: Int = 30): DataFrame = {
+    val init = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"),
+              least(col("u"), col("v")).as("lo"))
+      .distinct().localCheckpoint(false)
+    val allNodes = init.select(col("hi").as("node"))
+      .union(init.select(col("lo").as("node")))
+      .distinct().localCheckpoint(false)
+    def signature(e: DataFrame): (Long, Long) = {
+      // Two scalars per round decide convergence — the only driver data,
+      // independent of graph size (same budget as clusterPairs' count()).
+      // Hashes are masked to 32 bits before summing: ANSI mode makes a
+      // full-width xxhash64 sum overflow long on a handful of edges.
+      val r = e.agg(count(lit(1)),
+                    coalesce(sum(xxhash64(col("hi"), col("lo"))
+                                   .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = init
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val ls = nbrs.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      val sNbrs = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val sMins = sNbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = sNbrs.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .union(sMins.select(col("u").as("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(false)
+      val nextSig = signature(ss)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = ss
+      rounds += 1
+    }
+    val parents = edges.groupBy(col("hi").as("node"))
+      .agg(min(col("lo")).as("_lab"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    allNodes.join(parents, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+              coalesce(col("_lab"), col("node")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
+  /** Multi-source BFS: minimum hop distance from any seed, bounded by
+    * `maxHops`. One frontier⋈edges shuffle plus a visited anti-join per
+    * level — level-synchronous, the standard distributed BFS; frontier
+    * rows only (never the full reachable set) flow through each round's
+    * join. Output: (node, hop) for every node within `maxHops`.
+    */
+  def bfsHops(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var visited = seeds
+      .select(col(seeds.columns.head).cast("long").as("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    var frontier = visited.select("node")
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(sym("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h)).localCheckpoint(false)
+      // One count per level: materializes the checkpoint and decides
+      // whether the frontier died out before the hop budget.
+      exhausted = next.count() == 0L
+      visited = visited.union(next).localCheckpoint(false)
+      frontier = next.select("node")
+      h += 1
+    }
+    visited
+  }
 }

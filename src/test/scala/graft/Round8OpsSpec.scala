@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, TextAnalysis}
+
+/** Round-8 operators: large-star/small-star connected components,
+  * multi-source BFS, integer readability.
+  */
+class Round8OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("Graph.connectedComponentsStar == Dedup.clusterPairs on random graphs") {
+    // The star contraction must produce bit-identical (node, min-label,
+    // size) rows to the reference min-label propagation, whatever the
+    // topology: chains (worst case for propagation), random sparse, and a
+    // clique with satellites.
+    val rnd = new scala.util.Random(42)
+    val graphs = Seq(
+      (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq, // chain
+      Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2),                           // random
+      (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+        Seq((5L, 90L), (90L, 91L), (200L, 201L))              // clique+tail
+    )
+    for (es <- graphs) {
+      val pairs = es.toDF("doc_a", "doc_b")
+      val expected = Dedup.clusterPairs(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("Graph.connectedComponentsStar: chain converges in few rounds") {
+    // A 64-node chain has diameter 63 — plain propagation needs ~63
+    // rounds; the star contraction must land well under the maxRounds cap
+    // (O(log² n)), which is the whole point of the operator.
+    val pairs = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val out = Graph.connectedComponentsStar(pairs, "doc_a", "doc_b",
+                                            maxRounds = 12)
+    assert(out.select("cluster_id").distinct().count() === 1L)
+    assert(out.agg(max("cluster_size")).head().getLong(0) === 64L)
+  }
+
+  test("Graph.bfsHops: hand-computed hop distances") {
+    // 0-1-2-3-4 path plus branch 1-10; seeds {0}: hops are path distance,
+    // truncated at maxHops.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 10L -> 2, 3L -> 3))
+  }
+
+  test("Graph.bfsHops: min hop over multiple seeds, early exhaustion") {
+    // Two seeds on a 4-cycle: every node within 1 hop; a disconnected
+    // node never appears; the frontier dies before the hop budget.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (7L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 2L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+
+  test("TextAnalysis.readability: hand-computed integer score") {
+    // "The cat sat. It ran!" — 2 sentences, 5 words, 5 vowel groups.
+    // wps_milli = 2500, spw_milli = 1000;
+    // flesch_milli = 206835 - 1015*2500/1000 - 84600*1000/1000 = 119698.
+    val df = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df).head()
+    assert(r.getAs[Int]("n_sents") === 2)
+    assert(r.getAs[Int]("n_words") === 5)
+    assert(r.getAs[Int]("n_vgroups") === 5)
+    assert(r.getAs[Long]("wps_milli") === 2500L)
+    assert(r.getAs[Long]("spw_milli") === 1000L)
+    assert(r.getAs[Long]("flesch_milli") === 119698L)
+  }
+
+  test("TextAnalysis.readability: blank text floors at one sentence") {
+    val df = Seq((1L, ""), (2L, "zzz pfft")).toDF("doc_id", "text")
+    val rows = TextAnalysis.readability(df).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("n_sents") === 1)
+    assert(rows(0).getAs[Int]("n_words") === 0)
+    assert(rows(0).getAs[Long]("flesch_milli") === 206835L)
+    // no-vowel words: spw = 0, wps = 2000.
+    assert(rows(1).getAs[Long]("spw_milli") === 0L)
+    assert(rows(1).getAs[Long]("flesch_milli") === 206835L - 2030L)
+  }
+}
