@@ -116,6 +116,26 @@ object R7Queries {
         .distinct().orderBy(col("node")).limit(3)
       Graph.bfsHops(p, seeds, maxHops = 4)
         .select(col("node").as("part_id"), col("hop"))
+    }),
+    "q383_semdedup" -> ((s, dir) =>
+      // SemDeDup report: near-dup pairs are only sought inside each
+      // vector's IVF bin — O(n²/c) candidate volume, the published recipe
+      // for embedding dedup at corpus scale.
+      Dedup.semanticDedupReport(emb(s, dir), "vec_id", "embedding",
+                                c = 16, tau = 0.4)),
+    "q384_ppr" -> ((s, dir) => {
+      // Personalized PageRank from the 3 smallest items of the co-purchase
+      // graph: integer micro-rank with teleport restricted to the seeds —
+      // the related-items primitive, exact on any engine.
+      val pairs = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey")
+      val sym = pairs.unionAll(pairs.select(col("dst").as("src"),
+                                            col("src").as("dst")))
+        .localCheckpoint(false)
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(3)
+      Graph.personalizedPagerank(sym, seeds, iters = 3)
     })
   )
 
@@ -199,6 +219,68 @@ object R7Queries {
         |  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.node
         |  WHERE b.hop < 4)
         |SELECT node AS part_id, CAST(min(hop) AS INT) AS hop
-        |FROM bfs GROUP BY node""".stripMargin
+        |FROM bfs GROUP BY node""".stripMargin,
+    "q383_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS mv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |asg0 AS (SELECT e.vec_id AS id, e.embedding, c.centroid_id,
+         |    ${cosSql("e.embedding", "c.mv")} AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, centroid_id) AS rn FROM asg0)
+         |  WHERE rn = 1),
+         |pr AS (SELECT a.centroid_id, a.id AS id_a, b.id AS id_b
+         |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+         |    AND a.id < b.id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |m AS (SELECT centroid_id, count(*) AS n_members FROM asg
+         |      GROUP BY 1),
+         |st AS (SELECT centroid_id, count(*) AS n_pairs,
+         |         count(DISTINCT id_b) AS n_removed
+         |       FROM pr GROUP BY 1)
+         |SELECT m.centroid_id,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(n_members - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN st USING (centroid_id)""".stripMargin,
+    "q384_ppr" -> {
+      def round(i: Int, prev: String) =
+        s"""i$i AS (SELECT e.y AS node, sum(pr // outdeg) AS sc
+           |  FROM e JOIN $prev ON e.x = $prev.node GROUP BY 1),
+           |pr$i AS (SELECT i$i.node,
+           |    150000 * (CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END)
+           |      + 850000 * sc // 1000000 AS pr, outdeg
+           |  FROM i$i JOIN deg ON i$i.node = deg.node
+           |  LEFT JOIN seeds s ON i$i.node = s.node)""".stripMargin
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |               FROM lineitem),
+         |p AS (SELECT DISTINCT a.i AS x, c.i AS y
+         |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i),
+         |e AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+         |deg AS (SELECT x AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         |seeds AS (SELECT node FROM deg ORDER BY node LIMIT 3),
+         |pr0 AS (SELECT d.node,
+         |    CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS pr,
+         |    outdeg
+         |  FROM deg d LEFT JOIN seeds s ON d.node = s.node),
+         |${round(1, "pr0")},
+         |${round(2, "pr1")},
+         |${round(3, "pr2")}
+         |SELECT node, CAST(pr AS BIGINT) AS ppr_micro,
+         |  CAST(outdeg AS BIGINT) AS outdeg
+         |FROM pr3""".stripMargin
+    }
   )
+
+  /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
+    * uses for the ANN oracles; bit-identical to `Similarity.dot`'s fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 }

@@ -435,6 +435,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup report (Abbas et al.
+    * 2023, arXiv:2303.09540): vectors are first binned to their nearest of
+    * `c` centroids, then near-dup pairs (cosine >= tau) are found ONLY
+    * within a bin and the higher id of each pair is marked removed. The
+    * pair join is an equi-join on the centroid key, so candidate volume is
+    * O(n²/c) instead of O(n²) — the knob that makes embedding dedup
+    * feasible at 100 TB is `c` (lists sized to fit an executor). Removal
+    * is direct dominance (a smaller same-bin near-neighbor exists), the
+    * paper's keep-one-per-neighborhood rule, deterministic without any
+    * transitive closure.
+    *
+    * Output per centroid: members, qualifying pairs, removed, kept.
+    */
+  def semanticDedupReport(df: DataFrame,
+                          idCol: String,
+                          vecCol: String,
+                          c: Int = 16,
+                          tau: Double = 0.4): DataFrame = {
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, c)
+    val keyed = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+              Similarity.norm2(col(vecCol)).as("_n"))
+      .join(Similarity.ivfAssign(df, idCol, vecCol, cents)
+              .withColumnRenamed("id", "_id"), Seq("_id"))
+      .localCheckpoint(false) // feeds the member rollup AND both pair sides
+    val a = keyed.select(col("centroid_id"), col("_id").as("id_a"),
+                         col("_v").as("_va"), col("_n").as("_na"))
+    val b = keyed.select(col("centroid_id"), col("_id").as("id_b"),
+                         col("_v").as("_vb"), col("_n").as("_nb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+                  Similarity.dot(col("_va"), col("_vb")) /
+                    sqrt(col("_na") * col("_nb")))
+      .filter(col("cosine") >= tau)
+    val members = keyed.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val stats = pairs.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("id_b")).as("n_removed"))
+    members.join(stats, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("n_members"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+              (col("n_members") - coalesce(col("n_removed"), lit(0L)))
+                .as("n_kept"))
+  }
+
   /** Scale path for embedding near-dup: candidate pairs must share a sign-LSH
     * bucket (one equi-join shuffle on the bucket key instead of the full
     * O(n²) cross product), then the exact cosine threshold verifies. Output ⊆

@@ -138,6 +138,55 @@ object Graph {
     pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
   }
 
+  /** Personalized PageRank in exact integer micro-units: identical loop
+    * algebra to [[pagerank]] (damping in ppm, floor division, one edge⋈rank
+    * shuffle per iteration) except the teleport mass lands ONLY on the
+    * `seeds` set — rank init is 1e6 on seeds / 0 elsewhere and the
+    * (1−d) restart term is gated on seed membership. The result ranks
+    * nodes by proximity to the seeds (the standard recommendation /
+    * related-items primitive) rather than by global centrality.
+    *
+    * Seeds are broadcast (a seed set is query-sized, never corpus-sized);
+    * everything else scales exactly like [[pagerank]].
+    *
+    * Output: (node, ppr_micro, outdeg).
+    */
+  def personalizedPagerank(edges0: DataFrame, seeds0: DataFrame,
+                           iters: Int = 3,
+                           dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    val edges = edges0.localCheckpoint()
+    val seeds = seeds0
+      .select(col(seeds0.columns.head).cast("long").as("node")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val edgesD = edges
+      .join(deg.select(col("src").as("dst"),
+                       col("outdeg").as("dst_outdeg")), Seq("dst"))
+      .localCheckpoint()
+    val isSeed = broadcast(seeds.withColumn("_seed", lit(1L)))
+    def seedGate(df: DataFrame): DataFrame =
+      df.join(isSeed, Seq("node"), "left")
+        .withColumn("_s", coalesce(col("_seed"), lit(0L))).drop("_seed")
+    var pr = seedGate(deg.select(col("src").as("node"), col("outdeg")))
+      .select(col("node"), (col("_s") * lit(1000000L)).as("pr"),
+              col("outdeg"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
+      pr = seedGate(
+        edgesD.join(contrib, edgesD("src") === contrib("node"))
+          .groupBy(col("dst"), col("dst_outdeg"))
+          .agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"), col("sc"),
+                  col("dst_outdeg").as("outdeg")))
+        .select(col("node"),
+                expr(s"${1000000L - dampingPpm}L * _s" +
+                     s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"),
+                col("outdeg"))
+    }
+    pr.select(col("node"), col("pr").as("ppr_micro"), col("outdeg"))
+  }
+
   /** Synchronous label-propagation community detection, fully
     * deterministic: labels start as node ids; each round every node takes
     * the MODE of its neighbors' labels, ties broken by the smallest label

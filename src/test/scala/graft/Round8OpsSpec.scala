@@ -11,6 +11,9 @@ class Round8OpsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  private def sym(edges: Seq[(Long, Long)]) =
+    (edges ++ edges.map(_.swap)).toDF("src", "dst")
+
   test("Graph.connectedComponentsStar == Dedup.clusterPairs on random graphs") {
     // The star contraction must produce bit-identical (node, min-label,
     // size) rows to the reference min-label propagation, whatever the
@@ -66,6 +69,57 @@ class Round8OpsSpec extends SparkTestBase {
     val got = Graph.bfsHops(edges, seeds, maxHops = 5)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+
+  test("Graph.personalizedPagerank: teleport mass stays near the seed") {
+    // Path 1-2-3-4-5, seed {1}. The seed's whole initial mass flows to
+    // node 2 (outdeg(1)=1), so 2 outranks everyone; beyond 2 the rank
+    // decays with hop distance, and only the seed keeps a restart floor.
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val pr = Graph.personalizedPagerank(edges, Seq(1L).toDF("node"),
+                                        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(3L) && pr(3L) > pr(4L) && pr(4L) >= pr(5L))
+    assert(pr(1L) >= 150000L) // restart term lands only on the seed
+    assert(pr(5L) < pr(2L))
+    // Determinism: a second run is bit-identical.
+    val pr2 = Graph.personalizedPagerank(edges, Seq(1L).toDF("node"),
+                                         iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === pr2)
+  }
+
+  test("Graph.personalizedPagerank: hand-computed 1-iteration star") {
+    // Star: center 1 — leaves 2,3; seed {1}. outdeg(1)=2, outdeg(leaf)=1.
+    // contrib(1) = 1e6/2 = 500000 to each leaf; leaves contribute 0.
+    // pr(1) = 150000*1 + 850000*0//1e6 = 150000
+    // pr(leaf) = 0 + 850000*500000//1e6 = 425000
+    val edges = sym(Seq((1L, 2L), (1L, 3L)))
+    val pr = Graph.personalizedPagerank(edges, Seq(1L).toDF("node"),
+                                        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L))
+  }
+
+  test("Dedup.semanticDedupReport: pairs confined to bins, counts add up") {
+    // 6 vectors in 2 obvious bins (axis-aligned): centroids are the two
+    // smallest ids (c=2). Within-bin duplicates must be flagged; the
+    // cross-bin near-identical pair must NOT (bin scoping is the point).
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),   // centroids
+      (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),
+      (4L, Array(0.01f, 0.99f)), (5L, Array(1f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val rep = Dedup.semanticDedupReport(vecs, "vec_id", "embedding",
+                                        c = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bin 0: {0,2,3,5} all mutually cosine>0.9 -> 6 pairs, removed {2,3,5}.
+    assert(rep(0L) === ((4L, 6L, 3L, 1L)))
+    // bin 1: {1,4} near-dup pair -> removed {4}.
+    assert(rep(1L) === ((2L, 1L, 1L, 1L)))
+    // members total = input size; kept = members - removed.
+    assert(rep.values.map(_._1).sum === 6L)
   }
 
   test("TextAnalysis.readability: hand-computed integer score") {
