@@ -72,16 +72,19 @@ class Round8OpsSpec extends SparkTestBase {
   }
 
   test("Graph.personalizedPagerank: teleport mass stays near the seed") {
-    // Path 1-2-3-4-5, seed {1}. The seed's whole initial mass flows to
-    // node 2 (outdeg(1)=1), so 2 outranks everyone; beyond 2 the rank
-    // decays with hop distance, and only the seed keeps a restart floor.
+    // Path 1-2-3-4-5, seed {1}: synchronous point-mass rank travels in
+    // waves (node 4 receives its first mass exactly at iteration 3), so
+    // the spec pins the EXACT hand-computed integer fixed-point after 3
+    // rounds rather than a monotonicity that sync updates don't promise:
+    // i1: (150000, 850000, 0, 0, 0)
+    // i2: (511250, 127500, 361250, 0, 0)
+    // i3: (204187, 588093, 54187, 153531, 0)
     val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     val pr = Graph.personalizedPagerank(edges, Seq(1L).toDF("node"),
                                         iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(pr(2L) > pr(3L) && pr(3L) > pr(4L) && pr(4L) >= pr(5L))
-    assert(pr(1L) >= 150000L) // restart term lands only on the seed
-    assert(pr(5L) < pr(2L))
+    assert(pr === Map(1L -> 204187L, 2L -> 588093L, 3L -> 54187L,
+                      4L -> 153531L, 5L -> 0L))
     // Determinism: a second run is bit-identical.
     val pr2 = Graph.personalizedPagerank(edges, Seq(1L).toDF("node"),
                                          iters = 3)
