@@ -6598,10 +6598,60 @@ object SparkEntry {
                .as("cents"))
         .groupBy(col("n_ship_dates"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    }),
+    "q385_stream_enrich" -> ((s, dir) => {
+      // Streaming point-in-time enrichment, driver-checked end-to-end:
+      // odd-id facts stream in three micro-batches through
+      // EnrichStream.enrich against the STATIC SCD2 dimension built from
+      // even-id events. The stream-static broadcast containment join is
+      // state-free (the dimension is re-planned per batch), and replaying
+      // all batches must equal the batch as-of enrichment — the oracle is
+      // q56's containment SQL on the same slice. (MemoryStream driver feed
+      // bounded to the user_id%7 slice, as in q217.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = ev(s, dir).filter(col("user_id") % 7 === 0)
+      val dim = Scd2
+        .initialLoad(all.filter(col("event_id") % 2 === 0), evCfg)
+        .localCheckpoint()
+      val facts = all.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val enr = graft.streaming.EnrichStream.enrich(
+        src.toDF().toDF("event_id", "user_id", "ts"), "ts", dim,
+        Seq("user_id"), evCfg)
+      val tbl = "q385_enr_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = enr.writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      try (0 until 3).foreach { i =>
+        src.addData(facts.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(tbl).select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("dim_event_id"), col("dim_ts"), col("dim_event_type"),
+        col("dim_value"), col("dim_props"))
     })
   )
 
   private def r6Oracle: Map[String, String] = Map(
+    "q385_stream_enrich" ->
+      s"""WITH hist AS (
+         |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
+        from = "(SELECT * FROM src WHERE event_id % 2 = 0 AND user_id % 7 = 0)")}
+         |),
+         |f AS (WITH $SrcCte SELECT event_id, user_id, ts FROM src
+         |      WHERE event_id % 2 = 1 AND user_id % 7 = 0)
+         |SELECT f.event_id, f.user_id, f.ts,
+         |  h.event_id AS dim_event_id, h.ts AS dim_ts,
+         |  h.event_type AS dim_event_type, h.value AS dim_value,
+         |  h.props AS dim_props
+         |FROM f LEFT JOIN hist h
+         |  ON f.user_id = h.user_id
+         |  AND h._valid_from <= f.ts AND f.ts < h._valid_to""".stripMargin,
     "q294_benford" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
         |             AS cents FROM lineitem),
