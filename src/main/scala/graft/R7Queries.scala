@@ -136,6 +136,76 @@ object R7Queries {
       val seeds = sym.select(col("src").as("node")).distinct()
         .orderBy(col("node")).limit(3)
       Graph.personalizedPagerank(sym, seeds, iters = 3)
+    }),
+    "q386_qq_shift" -> ((s, dir) => {
+      // Weekday-vs-weekend QQ table of order value: exact decile values per
+      // class via Profile.weightedQuantiles (two-phase micro-cell pivot —
+      // no whole-class sort at scale), pivoted to one row per decile with
+      // the exact integer shift. The distributional view that a mean-lift
+      // report (q345) can't give.
+      val o = Tables.read(s, dir, "orders").select(
+        when(dayofweek(col("o_orderdate")).isin(1, 7), lit("weekend"))
+          .otherwise(lit("weekday")).as("day_class"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        lit(1L).as("w"))
+      Profile.weightedQuantiles(o, "day_class", "cents", "w",
+                                percents = Seq(10, 20, 30, 40, 50,
+                                               60, 70, 80, 90))
+        .groupBy(col("q"))
+        .agg(max(when(col("day_class") === "weekday", col("q_value")))
+               .as("weekday_cents"),
+             max(when(col("day_class") === "weekend", col("q_value")))
+               .as("weekend_cents"))
+        .withColumn("shift_cents",
+                    col("weekend_cents") - col("weekday_cents"))
+    }),
+    "q387_assortativity" -> ((s, dir) => {
+      // Degree-assortativity sufficient statistics of the co-purchase
+      // graph: one combine aggregate over the directed edge list carrying
+      // endpoint degrees — the standard mixing diagnostic (hubs linking
+      // hubs?) as exact integers; the covariance/variance NUMERATORS ship
+      // as DECIMAL(38,0) digit strings like q295, so any reader finishes
+      // r = cov/var in their own precision.
+      val p = Graph.coOccurrenceEdges(
+        Tables.spread(s, Tables.read(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+      val sym = p.unionAll(p.select(col("dst").as("src"),
+                                    col("src").as("dst")))
+        .localCheckpoint(false)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      sym
+        .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+        .agg(count(lit(1)).as("n"),
+             sum(col("dx")).as("sx"),
+             sum(col("dx") * col("dx")).as("sxx"),
+             sum(col("dx") * col("dy")).as("sxy"))
+        .selectExpr("n", "sx", "sxx", "sxy",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING) AS cov_numer",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING) AS var_numer")
+    }),
+    "q388_single_source_risk" -> ((s, dir) => {
+      // Supply-chain concentration: parts grouped by how many DISTINCT
+      // suppliers ever shipped them, with the revenue share concentrated
+      // in each band — the "one warehouse fire away" audit. Two combine
+      // rollups (part grain, then band grain); the share window runs on
+      // the band-sized relation only.
+      import org.apache.spark.sql.expressions.Window
+      val perPart = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+             sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      perPart.groupBy(col("n_suppliers"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+        .withColumn("_tot", sum(col("cents")).over(w))
+        .withColumn("share_ppm", expr("cents * 1000000L DIV _tot"))
+        .select(col("n_suppliers"), col("n_parts"), col("cents"),
+                col("share_ppm"))
     })
   )
 
@@ -271,7 +341,67 @@ object R7Queries {
          |SELECT node, CAST(pr AS BIGINT) AS ppr_micro,
          |  CAST(outdeg AS BIGINT) AS outdeg
          |FROM pr3""".stripMargin
-    }
+    },
+    "q386_qq_shift" ->
+      """WITH o AS (SELECT CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+        |      THEN 'weekend' ELSE 'weekday' END AS day_class,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |rk AS (SELECT day_class, cents,
+        |    row_number() OVER (PARTITION BY day_class ORDER BY cents)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY day_class) AS BIGINT) AS n
+        |  FROM o),
+        |qs AS (SELECT day_class, CAST(q AS INT) AS q, cents
+        |  FROM rk CROSS JOIN (SELECT unnest([10, 20, 30, 40, 50, 60,
+        |    70, 80, 90]) AS q)
+        |  WHERE rn = (n * q + 99) // 100)
+        |SELECT q,
+        |  CAST(max(CASE WHEN day_class = 'weekday' THEN cents END)
+        |       AS BIGINT) AS weekday_cents,
+        |  CAST(max(CASE WHEN day_class = 'weekend' THEN cents END)
+        |       AS BIGINT) AS weekend_cents,
+        |  CAST(max(CASE WHEN day_class = 'weekend' THEN cents END)
+        |     - max(CASE WHEN day_class = 'weekday' THEN cents END)
+        |       AS BIGINT) AS shift_cents
+        |FROM qs GROUP BY q""".stripMargin,
+    "q387_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS src, y AS dst FROM p
+        |      UNION ALL SELECT y, x FROM p),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY 1),
+        |j AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+        |      JOIN deg dx ON e.src = dx.node
+        |      JOIN deg dy ON e.dst = dy.node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(dx) AS BIGINT) AS sx,
+        |        CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |        CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |      FROM j)
+        |SELECT n, sx, sxx, sxy,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx
+        |       AS VARCHAR) AS cov_numer,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS VARCHAR) AS var_numer
+        |FROM m""".stripMargin,
+    "q388_single_source_risk" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM pp GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM b)
+        |SELECT n_suppliers, n_parts, cents,
+        |  CAST(cents * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM b, t""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
