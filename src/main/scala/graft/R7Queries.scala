@@ -206,6 +206,85 @@ object R7Queries {
         .withColumn("share_ppm", expr("cents * 1000000L DIV _tot"))
         .select(col("n_suppliers"), col("n_parts"), col("cents"),
                 col("share_ppm"))
+    }),
+    "q389_orc_roundtrip" -> ((s, dir) => {
+      // ORC source/sink roundtrip (columnar sibling to q142's JSONL and
+      // q143's CSV): corpus → ORC → back with the EXPLICIT schema, then
+      // the checksum rollup proves losslessness against the parquet
+      // original the oracle reads. ORC is the other splittable columnar
+      // lake format a 100 TB pipeline meets; schema-on-read, no inference
+      // pass.
+      val d = docs(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_orc_rt").getAbsolutePath
+      d.write.mode("overwrite").orc(path)
+      s.read.schema(d.schema).orc(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+             (sum(conv(substring(md5(concat_ws("-",
+                 coalesce(col("doc_id").cast("string"), lit("")),
+                 coalesce(col("text"), lit("")),
+                 coalesce(col("source"), lit("")),
+                 coalesce(col("n_chars").cast("string"), lit("")))),
+               1, 15), 16, 10).cast("decimal(38,0)"))
+               % lit(1000000000000000000L)).cast("long").as("checksum"))
+    }),
+    "q390_recursive_org" -> ((s, dir) => {
+      // WITH RECURSIVE through the SQL front end (Spark 4's recursive CTE):
+      // the supplier "org tree" (parent = s_suppkey DIV 2, root 1) walked
+      // top-down — each recursion level is one join against the previous
+      // frontier, the textbook hierarchy traversal a warehouse migration
+      // needs the engine to run verbatim. Depth-grain rollup with exact
+      // balance cents.
+      Tables.read(s, dir, "supplier")
+        .createOrReplaceTempView("supplier_q390")
+      s.sql("""
+        WITH RECURSIVE org AS (
+          SELECT s_suppkey AS node, 1 AS depth,
+                 CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM supplier_q390 WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, o.depth + 1,
+                 CAST(floor(s.s_acctbal * 100) AS BIGINT)
+          FROM supplier_q390 s JOIN org o ON s.s_suppkey DIV 2 = o.node)
+        SELECT depth, count(*) AS n_nodes,
+               min(node) AS min_node, max(node) AS max_node,
+               sum(bal_cents) AS bal_cents
+        FROM org GROUP BY depth""")
+    }),
+    "q391_stylometry_dist" -> ((s, dir) => {
+      // Stylometry-lite source fingerprint distance: relative frequency
+      // (ppm of ALL tokens) of 10 fixed function words per source, then
+      // pairwise Manhattan distance between sources — the Burrows-Delta
+      // family's shape with exact integer arithmetic. Two vocabulary-sized
+      // rollups plus a sources² self-join on a 10-term grid; the corpus is
+      // scanned once.
+      import s.implicits._
+      val fw = Seq("the", "of", "and", "to", "a",
+                   "in", "is", "that", "it", "as")
+      val toks = docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val totals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val grid = totals.select(col("source"), col("n_tokens"))
+        .crossJoin(broadcast(fw.toDF("w")))
+      val counts = toks.filter(col("tok").isin(fw: _*))
+        .groupBy(col("source"), col("tok").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val freqs = grid.join(counts, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+                expr("coalesce(cnt, 0L) * 1000000L DIV n_tokens")
+                  .as("freq_ppm"))
+      freqs.as("a")
+        .join(freqs.as("b"),
+              col("a.w") === col("b.w") &&
+                col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+                 col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_terms"),
+             sum(abs(col("a.freq_ppm") - col("b.freq_ppm")))
+               .as("delta_ppm"))
     })
   )
 
@@ -401,7 +480,53 @@ object R7Queries {
         |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM b)
         |SELECT n_suppliers, n_parts, cents,
         |  CAST(cents * 1000000 // tot AS BIGINT) AS share_ppm
-        |FROM b, t""".stripMargin
+        |FROM b, t""".stripMargin,
+    // Same lossless-roundtrip contract as q142/q143: the checksum of the
+    // ORC-roundtripped corpus must equal the oracle's parquet-side sum.
+    "q389_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(concat_ws('-',
+        |      coalesce(CAST(doc_id AS VARCHAR), ''), coalesce(text, ''),
+        |      coalesce(source, ''), coalesce(CAST(n_chars AS VARCHAR), ''))),
+        |    1, 15))::UBIGINT) % 1000000000000000000 AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q390_recursive_org" ->
+      """WITH RECURSIVE org AS (
+        |  SELECT s_suppkey AS node, 1 AS depth,
+        |         CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM supplier WHERE s_suppkey = 1
+        |  UNION ALL
+        |  SELECT s.s_suppkey, o.depth + 1,
+        |         CAST(floor(s.s_acctbal * 100) AS BIGINT)
+        |  FROM supplier s JOIN org o ON s.s_suppkey // 2 = o.node)
+        |SELECT CAST(depth AS INT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(min(node) AS BIGINT) AS min_node,
+        |       CAST(max(node) AS BIGINT) AS max_node,
+        |       CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+        |FROM org GROUP BY depth""".stripMargin,
+    "q391_stylometry_dist" ->
+      """WITH toks AS (SELECT source, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS tok FROM documents),
+        |tk AS (SELECT * FROM toks WHERE tok <> ''),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+        |        FROM tk GROUP BY 1),
+        |fw AS (SELECT unnest(['the', 'of', 'and', 'to', 'a',
+        |                      'in', 'is', 'that', 'it', 'as']) AS w),
+        |grid AS (SELECT source, n_tokens, w FROM tot CROSS JOIN fw),
+        |cnts AS (SELECT source, tok AS w, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM tk WHERE tok IN ('the', 'of', 'and', 'to', 'a',
+        |                               'in', 'is', 'that', 'it', 'as')
+        |         GROUP BY 1, 2),
+        |fr AS (SELECT g.source, g.w,
+        |         coalesce(c.cnt, 0) * 1000000 // g.n_tokens AS freq_ppm
+        |       FROM grid g LEFT JOIN cnts c
+        |         ON g.source = c.source AND g.w = c.w)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(abs(a.freq_ppm - b.freq_ppm)) AS BIGINT) AS delta_ppm
+        |FROM fr a JOIN fr b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
