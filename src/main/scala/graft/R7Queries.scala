@@ -285,6 +285,45 @@ object R7Queries {
         .agg(count(lit(1)).as("n_terms"),
              sum(abs(col("a.freq_ppm") - col("b.freq_ppm")))
                .as("delta_ppm"))
+    }),
+    "q392_ingest_idempotent" -> ((s, dir) => {
+      // Idempotent batched ingest, driver-checked end-to-end: even-id docs
+      // land as batch 1, odd-id docs as batch 2, then batch 1 REPLAYS
+      // (at-least-once upstream). The final store must equal the oracle's
+      // one-shot exact dedup with batch-1-wins precedence — a replay can
+      // never grow the corpus. The whole three-publish history runs inside
+      // the query against a temp VersionedTable root.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val root = java.nio.file.Files.createTempDirectory("q392_ingest")
+        .toString
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val b2 = d.filter(col("doc_id") % 2 === 1)
+      CorpusIngest.ingest(s, b1, root)
+      CorpusIngest.ingest(s, b2, root)
+      CorpusIngest.ingest(s, b1, root) // replay
+      VersionedTable.read(s, root)
+        .select(col("doc_id"), col("text"), col("fingerprint"))
+    }),
+    "q393_ingest_versions" -> ((s, dir) => {
+      // Time travel across the same ingest history: per committed version,
+      // the row count — version 3 (the replay) must be byte-identical in
+      // cardinality to version 2, making at-least-once delivery visibly
+      // idempotent, while version 1 is the batch-1 dedup alone.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val root = java.nio.file.Files.createTempDirectory("q393_ingest")
+        .toString
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val b2 = d.filter(col("doc_id") % 2 === 1)
+      CorpusIngest.ingest(s, b1, root)
+      CorpusIngest.ingest(s, b2, root)
+      CorpusIngest.ingest(s, b1, root) // replay
+      (1L to 3L).map { v =>
+        VersionedTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(v).as("version"), col("n_rows"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -526,7 +565,29 @@ object R7Queries {
         |  CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(sum(abs(a.freq_ppm - b.freq_ppm)) AS BIGINT) AS delta_ppm
         |FROM fr a JOIN fr b ON a.w = b.w AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // Batch-1-wins exact dedup: even-id docs were ingested first, so per
+    // fingerprint the winner is the min doc_id of the earliest batch
+    // containing it — ORDER BY (parity, doc_id) encodes exactly that.
+    "q392_ingest_idempotent" ->
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(array_to_string(regexp_split_to_array(lower(trim(text)),
+        |      '\s+'), ' ')) AS fingerprint
+        |  FROM documents),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+        |        ORDER BY (doc_id % 2), doc_id) AS rn FROM fp)
+        |SELECT doc_id, text, fingerprint FROM w WHERE rn = 1""".stripMargin,
+    "q393_ingest_versions" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(lower(trim(text)),
+        |      '\s+'), ' ')) AS f
+        |  FROM documents),
+        |e AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n FROM fp
+        |      WHERE doc_id % 2 = 0),
+        |a AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n FROM fp)
+        |SELECT CAST(1 AS BIGINT) AS version, e.n AS n_rows FROM e
+        |UNION ALL SELECT CAST(2 AS BIGINT), a.n FROM a
+        |UNION ALL SELECT CAST(3 AS BIGINT), a.n FROM a""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
