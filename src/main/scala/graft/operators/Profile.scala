@@ -447,9 +447,15 @@ object Profile {
     val withCell = df.crossJoin(broadcast(bounds))
       .withColumn("_cell", cellExpr)
       .select(col(groupCol), col(valueCol), col(weightCol), col("_cell"))
-    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_cell"))
+    // DimKey.one rides along in every partition spec: a caller may pass a
+    // LITERAL group ("whole corpus" curves); Spark 4's
+    // EliminateWindowPartitions would strip the foldable key and leave an
+    // accidental global window, while the declared-constant key survives
+    // and keeps the plan shape identical for real group columns.
+    val dimk = graft.functions.DimKey.one
+    val wCum = Window.partitionBy(col(groupCol), dimk).orderBy(col("_cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wG = Window.partitionBy(col(groupCol))
+    val wG = Window.partitionBy(col(groupCol), dimk)
     val pivots = withCell
       .groupBy(col(groupCol), col("_cell"))
       .agg(sum(col(weightCol)).as("_cw"))
@@ -461,7 +467,7 @@ object Profile {
                 (col("_cum") - col("_cw")) * denom < col("q") * col("_W"))
       .select(col(groupCol), col("q"), col("_cell"),
               (col("_cum") - col("_cw")).as("_before"), col("_W"))
-    val wVal = Window.partitionBy(col(groupCol), col("q"))
+    val wVal = Window.partitionBy(col(groupCol), col("q"), dimk)
       .orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withCell
