@@ -6634,10 +6634,50 @@ object SparkEntry {
         col("event_id"), col("user_id"), col("ts"),
         col("dim_event_id"), col("dim_ts"), col("dim_event_type"),
         col("dim_value"), col("dim_props"))
+    }),
+    "q394_stream_scd" -> ((s, dir) => {
+      // Streaming SCD2 maintenance, driver-checked end-to-end: the
+      // user_id%5 slice streams in three event_id-third micro-batches
+      // (hash split — late rows re-slot mid-history) through
+      // ScdStream.scdSink, each batch one ScdEngine merge into the parquet
+      // target. The final dimension must equal the three-phase incremental
+      // SQL the oracle runs — the q64 contract through the streaming
+      // front-end. (MemoryStream driver feed on the bounded slice.)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = ev(s, dir).filter(col("user_id") % 5 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+        .collect().toSeq
+      val base = java.nio.file.Files.createTempDirectory("q394_scd").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double,
+                       String)]
+      val q = graft.streaming.ScdStream.scdSink(
+        src.toDF().toDF("event_id", "ts", "user_id", "event_type",
+                        "value", "props"),
+        s"$base/dim", evCfg, checkpointLocation = s"$base/ckpt").start()
+      try (0 until 3).foreach { i =>
+        src.addData(rows.filter(_._1 % 3 == i): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$base/dim")
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"),
+                col("_is_current"), col("_valid_from"), col("_valid_to"),
+                col("_change_type"))
     })
   )
 
   private def r6Oracle: Map[String, String] = Map(
+    // q394: the streamed scdSink table == the three-phase incremental SQL
+    // over the same slice (q64's contract through the streaming front-end).
+    "q394_stream_scd" ->
+      s"WITH $SrcCte, ${scd2ThreePhaseSql(AllCheck,
+        "event_id % 3 = 0 AND user_id % 5 = 1",
+        "event_id % 3 = 1 AND user_id % 5 = 1",
+        "event_id % 3 = 2 AND user_id % 5 = 1")}",
     "q385_stream_enrich" ->
       s"""WITH hist AS (
          |  WITH $SrcCte, ${scd2FullSql(AllCheck, deletes = false,
