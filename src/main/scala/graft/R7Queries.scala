@@ -324,6 +324,66 @@ object R7Queries {
           .agg(count(lit(1)).as("n_rows"))
           .select(lit(v).as("version"), col("n_rows"))
       }.reduce(_ unionByName _)
+    }),
+    "q395_lead_lag_xcorr" -> ((s, dir) => {
+      // Lead-lag cross-correlation moments: does view activity LEAD
+      // purchase activity by k days? Exact integer sufficient statistics
+      // between the daily 'view' series and the k-shifted daily 'purchase'
+      // series for k = 0..7 — the reader finishes r(k) in their own
+      // precision from the shipped numerators. Two day-grain rollups (the
+      // only fact-sized work), then an 8-lag broadcast grid over
+      // dimension-sized series.
+      import s.implicits._
+      val d = Tables.events(s, dir).select(
+        col("event_type"),
+        expr("datediff(CAST(date_trunc('DAY', ts) AS DATE), " +
+             "DATE'2020-01-01')").as("d"))
+      def series(t: String, as: String) =
+        d.filter(col("event_type") === t).groupBy(col("d"))
+          .agg(count(lit(1)).as(as))
+      val xs = series("view", "x")
+      val ys = series("purchase", "y")
+      xs.crossJoin(broadcast((0 to 7).toDF("lag")))
+        .join(ys.select(col("d").as("_yd"), col("y")),
+              col("_yd") === col("d") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"),
+             sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("lag", "n", "sx", "sy", "sxx", "syy", "sxy",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS STRING) AS cov_numer",
+          "CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING) AS varx_numer",
+          "CAST(CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy AS STRING) AS vary_numer")
+    }),
+    "q396_independence_audit" -> ((s, dir) => {
+      // Contingency independence audit for (order priority x order month):
+      // each cell's observed count against the independence expectation
+      // n_i*n_j/N, deviation in exact ppm of N (|n_ij*N - n_i*n_j| scaled)
+      // — the chi-square numerator family without any float. One fact
+      // rollup to the grid, two margins derived FROM the grid, broadcast
+      // everywhere.
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.read(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+                month(col("o_orderdate")).as("mon"))
+        .groupBy(col("pri"), col("mon"))
+        .agg(count(lit(1)).as("n_ij"))
+      val wP = Window.partitionBy(col("pri"))
+      val wM = Window.partitionBy(col("mon"))
+      val wAll = Window.partitionBy(graft.functions.DimKey.one)
+      cells
+        .withColumn("n_i", sum(col("n_ij")).over(wP))
+        .withColumn("n_j", sum(col("n_ij")).over(wM))
+        .withColumn("n_tot", sum(col("n_ij")).over(wAll))
+        .select(col("pri"), col("mon"), col("n_ij"), col("n_i"),
+                col("n_j"),
+                expr("abs(n_ij * n_tot - n_i * n_j) * 1000000L " +
+                     "DIV (n_tot * n_tot)").as("dev_ppm"))
     })
   )
 
@@ -587,7 +647,50 @@ object R7Queries {
         |a AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n FROM fp)
         |SELECT CAST(1 AS BIGINT) AS version, e.n AS n_rows FROM e
         |UNION ALL SELECT CAST(2 AS BIGINT), a.n FROM a
-        |UNION ALL SELECT CAST(3 AS BIGINT), a.n FROM a""".stripMargin
+        |UNION ALL SELECT CAST(3 AS BIGINT), a.n FROM a""".stripMargin,
+    "q395_lead_lag_xcorr" ->
+      """WITH src AS (SELECT event_type,
+        |    date_diff('day', DATE '2020-01-01',
+        |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |                   AS DATE)) AS d
+        |  FROM events),
+        |xs AS (SELECT d, CAST(count(*) AS BIGINT) AS x FROM src
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |ys AS (SELECT d, CAST(count(*) AS BIGINT) AS y FROM src
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS lag),
+        |j AS (SELECT l.lag, xs.x, ys.y
+        |      FROM xs CROSS JOIN lags l
+        |      JOIN ys ON ys.d = xs.d + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT lag, n, sx, sy, sxx, syy, sxy,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |       AS VARCHAR) AS cov_numer,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |       AS VARCHAR) AS varx_numer,
+        |  CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |       AS VARCHAR) AS vary_numer
+        |FROM m""".stripMargin,
+    "q396_independence_audit" ->
+      """WITH cells AS (SELECT o_orderpriority AS pri,
+        |    CAST(month(o_orderdate) AS INT) AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_ij
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pri, mon, n_ij,
+        |  CAST(sum(n_ij) OVER (PARTITION BY pri) AS BIGINT) AS n_i,
+        |  CAST(sum(n_ij) OVER (PARTITION BY mon) AS BIGINT) AS n_j,
+        |  CAST(abs(n_ij * (sum(n_ij) OVER ())
+        |           - (sum(n_ij) OVER (PARTITION BY pri))
+        |             * (sum(n_ij) OVER (PARTITION BY mon))) * 1000000
+        |       // ((sum(n_ij) OVER ()) * (sum(n_ij) OVER ()))
+        |       AS BIGINT) AS dev_ppm
+        |FROM cells""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
