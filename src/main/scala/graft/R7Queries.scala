@@ -384,6 +384,41 @@ object R7Queries {
                 col("n_j"),
                 expr("abs(n_ij * n_tot - n_i * n_j) * 1000000L " +
                      "DIV (n_tot * n_tot)").as("dev_ppm"))
+    }),
+    "q397_null_semantics" -> ((s, dir) => {
+      // ANSI null-semantics parity audit, one row: the traps that silently
+      // diverge between engines during a warehouse migration. (1) NOT IN
+      // against a null-containing set matches NOTHING (three-valued
+      // logic) — Spark must plan the null-aware anti-join, not a plain
+      // anti; (2) IN against the same set still matches positives; (3)
+      // null-safe equality (<=>) counts null keys the equi-join drops.
+      // Each count is exact and must agree bit-for-bit with the oracle's
+      // textbook SQL.
+      val s2 = s
+      import s2.implicits._
+      val o = Tables.read(s, dir, "orders")
+      val probe = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(when(col("c_acctbal") < 0, lit(null).cast("long"))
+                  .otherwise(col("c_custkey")).as("k"))
+      probe.createOrReplaceTempView("probe_q397")
+      o.createOrReplaceTempView("orders_q397")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM orders_q397
+           WHERE o_custkey NOT IN (SELECT k FROM probe_q397))
+            AS not_in_with_null,
+          (SELECT count(*) FROM orders_q397
+           WHERE o_custkey IN (SELECT k FROM probe_q397))
+            AS in_with_null,
+          (SELECT count(*) FROM orders_q397
+           WHERE o_custkey NOT IN (SELECT k FROM probe_q397
+                                   WHERE k IS NOT NULL))
+            AS not_in_no_null,
+          (SELECT count(*) FROM probe_q397 a JOIN probe_q397 b
+           ON a.k <=> b.k) AS nullsafe_join_rows,
+          (SELECT count(*) FROM probe_q397 a JOIN probe_q397 b
+           ON a.k = b.k) AS equi_join_rows""")
     })
   )
 
@@ -690,7 +725,24 @@ object R7Queries {
         |             * (sum(n_ij) OVER (PARTITION BY mon))) * 1000000
         |       // ((sum(n_ij) OVER ()) * (sum(n_ij) OVER ()))
         |       AS BIGINT) AS dev_ppm
-        |FROM cells""".stripMargin
+        |FROM cells""".stripMargin,
+    "q397_null_semantics" ->
+      """WITH probe AS (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+        |    ELSE c_custkey END AS k
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM probe))
+        |    AS not_in_with_null,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey IN (SELECT k FROM probe)) AS in_with_null,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        |    AS not_in_no_null,
+        |  (SELECT count(*) FROM probe a JOIN probe b
+        |   ON a.k IS NOT DISTINCT FROM b.k) AS nullsafe_join_rows,
+        |  (SELECT count(*) FROM probe a JOIN probe b ON a.k = b.k)
+        |    AS equi_join_rows""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
