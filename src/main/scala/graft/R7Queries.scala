@@ -419,6 +419,30 @@ object R7Queries {
            ON a.k <=> b.k) AS nullsafe_join_rows,
           (SELECT count(*) FROM probe_q397 a JOIN probe_q397 b
            ON a.k = b.k) AS equi_join_rows""")
+    }),
+    "q398_bucketed_join" -> ((s, dir) => {
+      // Catalog-bucketed co-located join: both sides hash-bucketed by the
+      // join key at WRITE time, so the fact-side join plans with ZERO
+      // Exchange (BucketedJoinSpec pins that) — pay one shuffle when the
+      // table lands, never per query; THE lever for a repeatedly-joined
+      // 100 TB fact table. Values gate against the plain-join oracle; the
+      // merge hint keeps the bucket-matched sort-merge join (broadcast
+      // would hide the layout property being exercised).
+      val base = java.nio.file.Files.createTempDirectory("q398_bkt").toString
+      val li = Layout.writeBucketed(
+        Tables.read(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity")),
+        s"$base/li", "q398_li_b", nBuckets = 8, key = "l_orderkey")
+      val o = Layout.writeBucketed(
+        Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        s"$base/ord", "q398_ord_b", nBuckets = 8, key = "o_orderkey")
+      li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(expr("CAST(floor(l_quantity * 100) AS BIGINT)"))
+               .as("qty_centi"))
     })
   )
 
@@ -742,7 +766,13 @@ object R7Queries {
         |  (SELECT count(*) FROM probe a JOIN probe b
         |   ON a.k IS NOT DISTINCT FROM b.k) AS nullsafe_join_rows,
         |  (SELECT count(*) FROM probe a JOIN probe b ON a.k = b.k)
-        |    AS equi_join_rows""".stripMargin
+        |    AS equi_join_rows""".stripMargin,
+    "q398_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

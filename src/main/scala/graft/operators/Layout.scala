@@ -89,6 +89,24 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
 
+  /** Write `df` as a CATALOG-bucketed table (hash-bucketed by `key` into
+    * `nBuckets` files, sorted within buckets): the layout that makes every
+    * later equi-join/aggregation on `key` SHUFFLE-FREE — Spark matches the
+    * two sides' bucket specs and plans a sort-merge join with zero
+    * Exchange, the single biggest lever for a repeatedly-joined 100 TB
+    * fact table (pay one shuffle at write time, never again). External
+    * table at `path`; in-memory catalog, `overwrite` for idempotent
+    * re-publish.
+    */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+                    nBuckets: Int, key: String): DataFrame = {
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
   /** Per-column encoding advisor: run-length and cardinality statistics of
     * each column under the table's physical sort order, plus the encoding
     * a columnar writer should pick (RLE when runs are long, dictionary

@@ -125,6 +125,25 @@ class Round8OpsSpec extends SparkTestBase {
     assert(rep.values.map(_._1).sum === 6L)
   }
 
+  test("Layout.writeBucketed: equi-join on the bucket key plans zero Exchange") {
+    val base = java.nio.file.Files.createTempDirectory("bkt_spec").toString
+    val a = graft.operators.Layout.writeBucketed(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "va"),
+      s"$base/a", "bkt_spec_a", nBuckets = 4, key = "k")
+    val b = graft.operators.Layout.writeBucketed(
+      Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("k", "vb"),
+      s"$base/b", "bkt_spec_b", nBuckets = 4, key = "k")
+    val joined = a.hint("merge").join(b, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // The whole point of the bucketed layout: bucket specs match, so the
+    // sort-merge join runs with NO shuffle on either side.
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1),
+                                      r.getLong(2))).toSet ===
+      Set((1L, "x", 10L), (2L, "y", 20L)))
+  }
+
   test("TextAnalysis.readability: hand-computed integer score") {
     // "The cat sat. It ran!" — 2 sentences, 5 words, 5 vowel groups.
     // wps_milli = 2500, spw_milli = 1000;
