@@ -443,6 +443,28 @@ object R7Queries {
         .agg(count(lit(1)).as("n_lines"),
              sum(expr("CAST(floor(l_quantity * 100) AS BIGINT)"))
                .as("qty_centi"))
+    }),
+    "q399_dynamic_overwrite" -> ((s, dir) => {
+      // Dynamic partition overwrite — the incremental-publish primitive for
+      // partitioned lakes: a reprocessed slice replaces ONLY the partitions
+      // it contains (here: 'purchase' doubled), every untouched partition
+      // survives byte-for-byte. The oracle recomputes the expected final
+      // table with a CASE. Conf is set per-write via option(), not session
+      // state.
+      val base = java.nio.file.Files.createTempDirectory("q399_dyn")
+        .toString
+      val ev0 = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      ev0.write.partitionBy("event_type").mode("overwrite").parquet(base)
+      ev0.filter(col("event_type") === "purchase")
+        .withColumn("vm", col("vm") * 2L)
+        .write.partitionBy("event_type")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("vm")).as("vm_sum"))
     })
   )
 
@@ -772,7 +794,16 @@ object R7Queries {
         |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
         |    AS qty_centi
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // Untouched partitions keep v1 values; the overwritten 'purchase'
+    // partition carries the doubled reprocessed values.
+    "q399_dynamic_overwrite" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vm * 2
+        |           ELSE vm END) AS BIGINT) AS vm_sum
+        |FROM e GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

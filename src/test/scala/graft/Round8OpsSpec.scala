@@ -144,6 +144,22 @@ class Round8OpsSpec extends SparkTestBase {
       Set((1L, "x", 10L), (2L, "y", 20L)))
   }
 
+  test("top-k-per-group rank filter plans WindowGroupLimit") {
+    // Spark 4 pushes rank()<=k through the window as a per-partition
+    // group-limit (partial top-k before the shuffle) — the optimization
+    // every keep-last-k / top-k query here leans on. Pin that it fires.
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 3L), (1L, 5L), (1L, 1L), (2L, 9L), (2L, 4L))
+      .toDF("k", "v")
+    val top = df.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy(col("v").desc)))
+      .filter(col("rn") <= 1)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"missing group limit:\n$plan")
+    assert(top.select("k", "v").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet === Set((1L, 5L), (2L, 9L)))
+  }
+
   test("TextAnalysis.readability: hand-computed integer score") {
     // "The cat sat. It ran!" — 2 sentences, 5 words, 5 vowel groups.
     // wps_milli = 2500, spw_milli = 1000;
