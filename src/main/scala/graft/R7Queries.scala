@@ -465,6 +465,40 @@ object R7Queries {
       s.read.parquet(base)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"), sum(col("vm")).as("vm_sum"))
+    }),
+    "q400_variant_json" -> ((s, dir) => {
+      // Semi-structured props through Spark 4's VARIANT type: parse once,
+      // typed-path extraction (variant_get), aggregate — the open-schema
+      // column pattern for event payloads; shredding beats per-access
+      // string re-parsing (q76's get_json_object path) on a 100 TB scan.
+      // The k%10 rollup is exact integers; DuckDB extracts the same path
+      // from the raw JSON.
+      Tables.events(s, dir)
+        .select(col("event_type"),
+                expr("variant_get(parse_json(props), '$.k', 'bigint')")
+                  .as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+    }),
+    "q401_lateral_topn" -> ((s, dir) => {
+      // Correlated LATERAL top-n join through the SQL front end: for each
+      // BUILDING customer's order, its 2 highest-value lineitems — the
+      // decorrelation exercise (Spark plans the lateral LIMIT as a
+      // per-group window limit, not a per-row re-scan). Deterministic
+      // order (price desc, linenumber) both sides.
+      Tables.read(s, dir, "orders").createOrReplaceTempView("ord_q401")
+      Tables.read(s, dir, "lineitem").createOrReplaceTempView("li_q401")
+      Tables.read(s, dir, "customer").createOrReplaceTempView("cust_q401")
+      s.sql("""
+        SELECT o.o_orderkey, t.l_linenumber,
+               CAST(floor(t.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM ord_q401 o
+        JOIN cust_q401 c
+          ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING',
+        LATERAL (SELECT l.l_linenumber, l.l_extendedprice
+                 FROM li_q401 l WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l.l_extendedprice DESC, l.l_linenumber
+                 LIMIT 2) t""")
     })
   )
 
@@ -803,7 +837,24 @@ object R7Queries {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN vm * 2
         |           ELSE vm END) AS BIGINT) AS vm_sum
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+    "q400_variant_json" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(k % 10 AS BIGINT) AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q401_lateral_topn" ->
+      """SELECT o.o_orderkey, t.l_linenumber,
+        |  CAST(floor(t.l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |JOIN customer c
+        |  ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING',
+        |LATERAL (SELECT l.l_linenumber, l.l_extendedprice
+        |         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l.l_extendedprice DESC, l.l_linenumber
+        |         LIMIT 2) t""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
