@@ -499,6 +499,41 @@ object R7Queries {
                  FROM li_q401 l WHERE l.l_orderkey = o.o_orderkey
                  ORDER BY l.l_extendedprice DESC, l.l_linenumber
                  LIMIT 2) t""")
+    }),
+    "q402_session_window_builtin" -> ((s, dir) => {
+      // Spark's native session_window aggregation (the operator Structured
+      // Streaming shares): per-user gap-merged sessions in ONE groupBy —
+      // no window-function cumsum pass. Builtin boundary semantics: a gap
+      // of EXACTLY 30 min starts a new session (close >= next-start); the
+      // oracle replays that rule in integer micros.
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm"))
+        .select(col("user_id"),
+                col("session_window.start").as("w_start"),
+                col("session_window.end").as("w_end"),
+                col("n_events"), col("vm"))
+    }),
+    "q403_observed_metrics" -> ((s, dir) => {
+      // Observation API: pipeline run-metrics harvested DURING the pass
+      // (observe() attaches named aggregates to the plan; no second scan)
+      // — the SLA/row-count telemetry pattern for production jobs. The
+      // single action drives the metrics; the result relation IS the
+      // metric row, which the oracle recomputes declaratively.
+      val obs = new org.apache.spark.sql.Observation()
+      val df = Tables.events(s, dir).observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vm_sum"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      df.write.format("noop").mode("overwrite").save()
+      val row = obs.get
+      import s.implicits._
+      Seq((row("n_rows").asInstanceOf[Long],
+           row("vm_sum").asInstanceOf[Long],
+           row("n_errors").asInstanceOf[Long]))
+        .toDF("n_rows", "vm_sum", "n_errors")
     })
   )
 
@@ -854,7 +889,30 @@ object R7Queries {
         |LATERAL (SELECT l.l_linenumber, l.l_extendedprice
         |         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
         |         ORDER BY l.l_extendedprice DESC, l.l_linenumber
-        |         LIMIT 2) t""".stripMargin
+        |         LIMIT 2) t""".stripMargin,
+    "q402_session_window_builtin" ->
+      """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT user_id, ts, vm,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+        |SELECT user_id, min(ts) AS w_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vm) AS BIGINT) AS vm
+        |FROM sx GROUP BY user_id, sess""".stripMargin,
+    "q403_observed_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS vm_sum,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+        |       AS BIGINT) AS n_errors
+        |FROM events""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
