@@ -534,6 +534,92 @@ object R7Queries {
            row("vm_sum").asInstanceOf[Long],
            row("n_errors").asInstanceOf[Long]))
         .toDF("n_rows", "vm_sum", "n_errors")
+    }),
+    "q404_argmax_builtin" -> ((s, dir) => {
+      // max_by/min_by with a STRUCT ordering key: latest/earliest event
+      // value per user in one aggregate — no window, no self-join; the
+      // struct (ts, event_id) tiebreak makes the pick deterministic even
+      // on same-timestamp rows. One combine-enabled exchange.
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+                expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+        .groupBy(col("user_id"))
+        .agg(expr("max_by(vm, struct(ts, event_id))").as("last_vm"),
+             expr("min_by(vm, struct(ts, event_id))").as("first_vm"),
+             max(col("ts")).as("last_ts"),
+             count(lit(1)).as("n_events"))
+    }),
+    "q405_stream_restart" -> ((s, dir) => {
+      // Checkpoint-recovery, driver-checked: two micro-batches through the
+      // incremental rollup sink, query STOPPED, a NEW query resumed from
+      // the same checkpoint ingests batch 3 — the restarted sink must
+      // continue exactly-once (no re-apply of batches 1-2, no loss), so
+      // the final store equals the one-shot rollup the oracle recomputes.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.events(s, dir).filter(col("user_id") % 5 === 2)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+      val base = java.nio.file.Files.createTempDirectory("q405_restart")
+        .toString
+      def sink(src: org.apache.spark.sql.execution.streaming.runtime
+                 .MemoryStream[(Long, java.sql.Timestamp, String, Double)]) =
+        graft.streaming.RollupStream.incrementalSink(
+          src.toDF().toDF("event_id", "ts", "event_type", "value"),
+          s"$base/store",
+          keys = Seq("event_type", "day"),
+          keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
+          valueMicro = floor(col("value") * lit(1000000.0)).cast("long"),
+          checkpoint = s"$base/ckpt")
+      val src1 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val q1 = sink(src1)
+      try (0 until 2).foreach { i =>
+        src1.addData(rows.filter(_._1 % 3 == i): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // Fresh source + query on the SAME checkpoint: batches 1-2 are
+      // committed there; the new query must apply only batch 3.
+      val src2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      src2.addData(rows.filter(_._1 % 3 == 0): _*) // replayed duplicates
+      src2.addData(rows.filter(_._1 % 3 == 1): _*)
+      src2.addData(rows.filter(_._1 % 3 == 2): _*)
+      val q2 = sink(src2)
+      try q2.processAllAvailable() finally q2.stop()
+      VersionedTable.read(s, s"$base/store")
+        .select("event_type", "day", "n_rows", "value_micro",
+                "min_micro", "max_micro")
+    }),
+    "q406_csv_corrupt" -> ((s, dir) => {
+      // Malformed-input resilience: a CSV feed where every doc_id%50==0
+      // line is BROKEN (unparseable numeric) read in PERMISSIVE mode with
+      // a corrupt-record column — bad lines quarantine instead of failing
+      // the job (the production posture for 100 TB of third-party CSV).
+      // Counts gate against the oracle's replay of the corruption rule.
+      import org.apache.spark.sql.types._
+      val base = java.nio.file.Files.createTempDirectory("q406_csv")
+        .toString
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+                when(col("doc_id") % 50 === 0, lit("not_a_number"))
+                  .otherwise(col("n_chars").cast("string"))
+                  .as("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(base)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(base)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("_bad")).as("n_corrupt"),
+             sum(col("n_chars")).as("chars_sum"))
     })
   )
 
@@ -912,7 +998,37 @@ object R7Queries {
         |    AS vm_sum,
         |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
         |       AS BIGINT) AS n_errors
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q404_argmax_builtin" ->
+      """WITH src AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id DESC) AS rl,
+        |       row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC) AS rf
+        |       FROM src)
+        |SELECT user_id,
+        |  max(CASE WHEN rl = 1 THEN vm END) AS last_vm,
+        |  max(CASE WHEN rf = 1 THEN vm END) AS first_vm,
+        |  max(ts) AS last_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM rk GROUP BY 1""".stripMargin,
+    "q405_stream_restart" ->
+      """WITH src AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    value FROM events WHERE user_id % 5 = 2),
+        |e AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM src)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(vm) AS BIGINT) AS value_micro,
+        |  min(vm) AS min_micro, max(vm) AS max_micro
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q406_csv_corrupt" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 50 = 0 THEN NULL ELSE n_chars END)
+        |       AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
