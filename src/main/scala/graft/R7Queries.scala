@@ -620,6 +620,60 @@ object R7Queries {
         .agg(count(lit(1)).as("n_rows"),
              count(col("_bad")).as("n_corrupt"),
              sum(col("n_chars")).as("chars_sum"))
+    }),
+    "q407_hll_sliding" -> ((s, dir) => {
+      // Sketch-tiled sliding distinct: per-day HLL user sketches build
+      // ONCE, then every trailing-7-day window is a UNION of ≤7 tiles —
+      // the storage/merge pattern that replaces per-window raw distinct at
+      // 100 TB (exact distinct does not merge; sketches do). The estimate
+      // ships with an exact companion and an in-tolerance verdict the
+      // oracle recomputes (q98's contract, lgK=12 ⇒ 5% ≈ 3σ).
+      val ev0 = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+                date_trunc("DAY", col("ts")).as("day"))
+      val tiles = ev0.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(false)
+      val spine = tiles.select(col("event_type"),
+                               col("day").as("w_end")).distinct()
+      val approx = spine
+        .join(tiles,
+              tiles("event_type") === spine("event_type") &&
+                tiles("day") <= col("w_end") &&
+                tiles("day") >= col("w_end") - expr("INTERVAL 6 DAYS"))
+        .groupBy(spine("event_type"), col("w_end"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"),
+             count(lit(1)).as("n_tiles"))
+      val exact = ev0.as("e")
+        .join(spine.as("sp"),
+              col("e.event_type") === col("sp.event_type") &&
+                col("e.day") <= col("sp.w_end") &&
+                col("e.day") >= col("sp.w_end") - expr("INTERVAL 6 DAYS"))
+        .groupBy(col("sp.event_type").as("event_type"), col("sp.w_end"))
+        .agg(countDistinct(col("user_id")).as("_exact"))
+      approx.join(exact, Seq("event_type", "w_end"))
+        .select(col("event_type"), col("w_end"), col("n_tiles"),
+                col("_exact").as("mau_exact"),
+                (abs(col("_est") - col("_exact")) * 20 <= col("_exact"))
+                  .as("ndv_ok"))
+    }),
+    "q408_file_provenance" -> ((s, dir) => {
+      // Hidden _metadata provenance: after a partitioned single-file-per-
+      // partition publish, every row carries its physical file — the
+      // row-to-file lineage audit (which file do I rewrite / quarantine?).
+      // File counts are deterministic because the publish coalesces each
+      // partition to one file.
+      val base = java.nio.file.Files.createTempDirectory("q408_prov")
+        .toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(col("event_type")).coalesce(1)
+        .write.partitionBy("event_type").mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .select(col("event_type"), col("_metadata.file_path").as("fp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("fp")).as("n_files"))
     })
   )
 
@@ -1028,7 +1082,31 @@ object R7Queries {
         |    AS n_corrupt,
         |  CAST(sum(CASE WHEN doc_id % 50 = 0 THEN NULL ELSE n_chars END)
         |       AS BIGINT) AS chars_sum
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Estimates stay engine-side; the oracle recomputes the exact trailing
+    // distinct and the verdict contract (like q96-q98).
+    "q407_hll_sliding" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |t AS (SELECT DISTINCT event_type, day FROM e),
+        |sp AS (SELECT event_type, day AS w_end FROM t)
+        |SELECT sp.event_type, sp.w_end,
+        |  CAST((SELECT count(*) FROM t
+        |        WHERE t.event_type = sp.event_type
+        |          AND t.day <= sp.w_end
+        |          AND t.day >= sp.w_end - INTERVAL 6 DAY) AS BIGINT)
+        |    AS n_tiles,
+        |  CAST((SELECT count(DISTINCT e.user_id) FROM e
+        |        WHERE e.event_type = sp.event_type
+        |          AND e.day <= sp.w_end
+        |          AND e.day >= sp.w_end - INTERVAL 6 DAY) AS BIGINT)
+        |    AS mau_exact,
+        |  TRUE AS ndv_ok
+        |FROM sp""".stripMargin,
+    "q408_file_provenance" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
