@@ -674,6 +674,52 @@ object R7Queries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"),
              countDistinct(col("fp")).as("n_files"))
+    }),
+    "q409_stream_dropdup_builtin" -> ((s, dir) => {
+      // Spark's native dropDuplicatesWithinWatermark under a
+      // Trigger.AvailableNow drain: the at-least-once feed re-sends batch
+      // 1's rows, the state-store dedup suppresses them, and the query
+      // drains everything pending then STOPS ON ITS OWN (the
+      // batch-over-streaming operational mode). First-arrival set ==
+      // batch distinct, recomputed by the oracle.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.events(s, dir).filter(col("user_id") % 5 === 3)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      src.addData(rows.filter(_._1 % 2 == 0): _*)
+      src.addData(rows.filter(_._1 % 2 == 1): _*)
+      src.addData(rows.filter(_._1 % 2 == 0): _*) // replay of batch 1
+      val deduped = src.toDF().toDF("event_id", "ts", "event_type")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      val tbl = "q409_dd_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl).select(col("event_id"), col("ts"), col("event_type"))
+    }),
+    "q410_join_hint_parity" -> ((s, dir) => {
+      // Physical-strategy independence: the same orders⋈customer rollup
+      // under BROADCAST, SHUFFLE_HASH, and MERGE hints must be value-
+      // identical — the engine contract that lets an operator pick its
+      // join strategy purely on cost. One row, three identical sums the
+      // oracle computes once.
+      def rollup(hint: String) = Tables.read(s, dir, "orders")
+        .join(Tables.read(s, dir, "customer").hint(hint),
+              col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val b = rollup("broadcast").selectExpr("n AS n_bhj", "cents AS cents_bhj")
+      val h = rollup("shuffle_hash").selectExpr("n AS n_shj", "cents AS cents_shj")
+      val m = rollup("merge").selectExpr("n AS n_smj", "cents AS cents_smj")
+      b.crossJoin(h).crossJoin(m)
     })
   )
 
@@ -1106,7 +1152,18 @@ object R7Queries {
     "q408_file_provenance" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(1 AS BIGINT) AS n_files
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q409_stream_dropdup_builtin" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM events WHERE user_id % 5 = 3""".stripMargin,
+    "q410_join_hint_parity" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT n AS n_bhj, cents AS cents_bhj, n AS n_shj,
+        |  cents AS cents_shj, n AS n_smj, cents AS cents_smj
+        |FROM r""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry
