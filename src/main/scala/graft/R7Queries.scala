@@ -720,6 +720,31 @@ object R7Queries {
       val h = rollup("shuffle_hash").selectExpr("n AS n_shj", "cents AS cents_shj")
       val m = rollup("merge").selectExpr("n AS n_smj", "cents AS cents_smj")
       b.crossJoin(h).crossJoin(m)
+    }),
+    "q411_mv_rewrite" -> ((s, dir) => {
+      // Materialized-summary rewrite through Catalyst: publish the
+      // (returnflag, linestatus) roll-up once, register the rule, and the
+      // UNCHANGED aggregate over the base lineitem path silently reads the
+      // summary instead (Round8OpsSpec pins the plan substitution; here
+      // the driver gates the VALUES against the base-table oracle — the
+      // rewrite must be invisible to results). Sub-grouping by returnflag
+      // alone re-aggregates the summary: self-decomposable count/sum/
+      // min/max only.
+      val base = java.nio.file.Files.createTempDirectory("q411_mv")
+        .toString
+      val fact = Tables.read(s, dir, "lineitem")
+      graft.plans.SummaryRewrite.publish(
+        fact, Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"),
+        s"$base/summary")
+      graft.plans.SummaryRewrite.register(
+        s, s"$dir/lineitem.parquet", s"$base/summary",
+        Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"))
+      Tables.read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_partkey")).as("pk_sum"),
+             min(col("l_partkey")).as("pk_min"),
+             max(col("l_partkey")).as("pk_max"))
     })
   )
 
@@ -1163,7 +1188,15 @@ object R7Queries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT n AS n_bhj, cents AS cents_bhj, n AS n_shj,
         |  cents AS cents_shj, n AS n_smj, cents AS cents_smj
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // The rewrite must be result-invisible: the oracle aggregates the BASE
+    // table directly.
+    "q411_mv_rewrite" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+        |  CAST(min(l_partkey) AS BIGINT) AS pk_min,
+        |  CAST(max(l_partkey) AS BIGINT) AS pk_max
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

@@ -160,6 +160,49 @@ class Round8OpsSpec extends SparkTestBase {
       (r.getLong(0), r.getLong(1))).toSet === Set((1L, 5L), (2L, 9L)))
   }
 
+  test("SummaryRewrite: matching aggregate reads the summary, not the base") {
+    val base = java.nio.file.Files.createTempDirectory("mv_spec").toString
+    Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 10L), ("b", "y", 5L))
+      .toDF("g1", "g2", "m").write.mode("overwrite").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    graft.plans.SummaryRewrite.publish(fact, Seq("g1", "g2"), Seq("m"),
+                                       s"$base/sum")
+    graft.plans.SummaryRewrite.register(spark, s"$base/fact", s"$base/sum",
+                                        Seq("g1", "g2"), Seq("m"))
+    try {
+      def q = spark.read.parquet(s"$base/fact")
+        .groupBy(col("g1"), col("g2"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("ms"),
+             min(col("m")).as("mn"), max(col("m")).as("mx"))
+      // The relation's columns tell which table the plan reads: only the
+      // summary carries cnt/m_sum (plan strings don't show file paths).
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("m_sum#"), s"summary not used:\n$plan")
+      assert(!plan.contains("(m#"), s"base still scanned:\n$plan")
+      assert(q.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet ===
+        Set(("a", "x", 2L, 3L, 1L, 2L), ("a", "y", 1L, 10L, 10L, 10L),
+            ("b", "y", 1L, 5L, 5L, 5L)))
+
+      // Sub-grouping re-aggregates the summary (self-decomposable fns).
+      val sub = spark.read.parquet(s"$base/fact")
+        .groupBy(col("g1"))
+        .agg(count(lit(1)).as("n"), max(col("m")).as("mx"))
+      assert(sub.queryExecution.optimizedPlan.toString.contains("m_max#"))
+      assert(sub.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet === Set(("a", 3L, 10L), ("b", 1L, 5L)))
+
+      // Non-decomposable aggregate falls through to the base scan.
+      val avgQ = spark.read.parquet(s"$base/fact")
+        .groupBy(col("g1")).agg(avg(col("m")).as("a"))
+      assert(avgQ.queryExecution.optimizedPlan.toString.contains("(m#"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(
+          _.isInstanceOf[graft.plans.SummaryRewrite])
+    }
+  }
+
   test("TextAnalysis.readability: hand-computed integer score") {
     // "The cat sat. It ran!" — 2 sentences, 5 words, 5 vowel groups.
     // wps_milli = 2500, spw_milli = 1000;
