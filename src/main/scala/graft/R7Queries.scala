@@ -745,6 +745,92 @@ object R7Queries {
              sum(col("l_partkey")).as("pk_sum"),
              min(col("l_partkey")).as("pk_min"),
              max(col("l_partkey")).as("pk_max"))
+    }),
+    "q412_compaction_execute" -> ((s, dir) => {
+      // Compaction EXECUTED, not just planned: a 50-small-file layout is
+      // inventoried (row counts as the deterministic size proxy), binned
+      // by Compaction.assign's greedy cumulative packing, physically
+      // rewritten one file per bin, and the COMPACTED table is what the
+      // rollup reads — row preservation audited by per-bin id checksums
+      // the oracle replays arithmetically.
+      val base = java.nio.file.Files.createTempDirectory("q412_compact")
+        .toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+                (col("event_id") % 50).as("file_id"))
+        .repartition(col("file_id")).coalesce(1)
+        .write.partitionBy("file_id").mode("overwrite")
+        .parquet(s"$base/small")
+      val small = s.read.parquet(s"$base/small")
+      val inv = small.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("all").as("part"), col("file_id"), col("n_rows"))
+      val binMap = Compaction.assign(inv, "part", "file_id", "n_rows",
+                                     orderCol = "file_id",
+                                     targetBytes = 2100L)
+        .select(col("file_id"), col("bin"))
+      small.join(broadcast(binMap), Seq("file_id"))
+        .repartition(col("bin")).coalesce(1)
+        .write.partitionBy("bin").mode("overwrite")
+        .parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy(col("bin"))
+        .agg(countDistinct(col("file_id")).as("n_files"),
+             count(lit(1)).as("n_rows"),
+             sum(col("event_id")).as("id_sum"))
+    }),
+    "q413_cdf_grid" -> ((s, dir) => {
+      // CDF probe at a fixed value grid: P(order value <= g) in exact ppm
+      // for 8 thresholds — ONE conditional-sum pass over the fact (the
+      // ogive a pricing dashboard reads), no sort, no quantile machinery.
+      val grid = Seq(5000L, 10000L, 20000L, 50000L, 100000L,
+                     200000L, 300000L, 400000L)
+      val o = Tables.read(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .as("cents"))
+      val aggs = grid.map(g =>
+        sum(when(col("cents") <= g * 100, 1L).otherwise(0L))
+          .as(s"le_$g"))
+      val one = o.agg(count(lit(1)).as("n"), aggs: _*)
+      val stacked = grid.map(g =>
+        s"${g}L, le_$g * 1000000L DIV n").mkString(", ")
+      one.selectExpr(
+        s"stack(${grid.size}, $stacked) AS (threshold_dollars, cdf_ppm)",
+        "n AS n_orders")
+    }),
+    "q414_runs_test" -> ((s, dir) => {
+      // Wald-Wolfowitz-style runs diagnostic on daily revenue direction:
+      // sign of day-over-day change, number of sign runs, longest run —
+      // the randomness/trendiness read on a business series, exact
+      // integers end to end. Day rollup, one ordered window over the
+      // bounded day dimension, run-id via change-event cumsum.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.read(s, dir, "orders")
+        .groupBy(expr("CAST(date_trunc('DAY', o_orderdate) AS DATE)")
+                   .as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("day"))
+      val signed = daily
+        .withColumn("_prev", lag(col("cents"), 1).over(w))
+        .filter(col("_prev").isNotNull &&
+                  col("cents") =!= col("_prev"))
+        .withColumn("sign",
+                    when(col("cents") > col("_prev"), 1).otherwise(-1))
+      val runs = signed
+        .withColumn("_chg",
+          when(lag(col("sign"), 1).over(w).isNull ||
+                 lag(col("sign"), 1).over(w) =!= col("sign"), 1)
+            .otherwise(0))
+        .withColumn("run_id", sum(col("_chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy(col("sign"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("sign"))
+        .agg(count(lit(1)).as("n_runs"),
+             max(col("run_len")).as("longest_run"),
+             sum(col("run_len")).as("n_days"))
     })
   )
 
@@ -1196,7 +1282,69 @@ object R7Queries {
         |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
         |  CAST(min(l_partkey) AS BIGINT) AS pk_min,
         |  CAST(max(l_partkey) AS BIGINT) AS pk_max
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q412_compaction_execute" ->
+      """WITH f AS (SELECT event_id % 50 AS file_id, event_id FROM events),
+        |inv AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows
+        |        FROM f GROUP BY 1),
+        |b AS (SELECT file_id,
+        |    coalesce(sum(n_rows) OVER (ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 2100 AS bin
+        |  FROM inv),
+        |j AS (SELECT f.event_id, b.bin, b.file_id
+        |      FROM f JOIN b USING (file_id))
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY 1""".stripMargin,
+    "q413_cdf_grid" -> {
+      val grid = Seq(5000L, 10000L, 20000L, 50000L, 100000L,
+                     200000L, 300000L, 400000L)
+      val les = grid.map(g =>
+        s"sum(CASE WHEN cents <= ${g * 100} THEN 1 ELSE 0 END) AS le_$g")
+        .mkString(",\n|        ")
+      val cases = grid.map(g =>
+        s"WHEN ${g} THEN le_$g").mkString("\n|    ")
+      s"""WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+         |    AS cents FROM orders),
+         |m AS (SELECT count(*) AS n,
+         |        $les
+         |      FROM o),
+         |g AS (SELECT unnest([${grid.mkString(", ")}])
+         |        AS threshold_dollars)
+         |SELECT CAST(g.threshold_dollars AS BIGINT) AS threshold_dollars,
+         |  CAST((CASE g.threshold_dollars
+         |    $cases
+         |    END) * 1000000 // n AS BIGINT) AS cdf_ppm,
+         |  CAST(n AS BIGINT) AS n_orders
+         |FROM g, m""".stripMargin
+    },
+    "q414_runs_test" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev
+        |      FROM d),
+        |sgn AS (SELECT day,
+        |    CASE WHEN cents > prev THEN 1 ELSE -1 END AS sign
+        |  FROM p WHERE prev IS NOT NULL AND cents <> prev),
+        |chg AS (SELECT day, sign,
+        |    CASE WHEN lag(sign) OVER (ORDER BY day) IS NULL
+        |           OR lag(sign) OVER (ORDER BY day) <> sign
+        |         THEN 1 ELSE 0 END AS c
+        |  FROM sgn),
+        |r AS (SELECT sign, sum(c) OVER (ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS run_id FROM chg),
+        |rl AS (SELECT sign, run_id, count(*) AS run_len
+        |       FROM r GROUP BY 1, 2)
+        |SELECT sign, CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(run_len) AS BIGINT) AS longest_run,
+        |  CAST(sum(run_len) AS BIGINT) AS n_days
+        |FROM rl GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

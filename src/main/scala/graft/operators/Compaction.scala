@@ -36,13 +36,27 @@ object Compaction {
     *   negative bins keyed by order position (stable, distinct).
     */
   def plan(inventory: DataFrame, partitionCol: String, fileCol: String,
-           sizeCol: String, orderCol: String, targetBytes: Long): DataFrame = {
+           sizeCol: String, orderCol: String, targetBytes: Long): DataFrame =
+    assign(inventory, partitionCol, fileCol, sizeCol, orderCol, targetBytes)
+      .groupBy(col(partitionCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col(sizeCol)).as("bytes"),
+           min(col(orderCol)).as("from_order"),
+           max(col(orderCol)).as("to_order"))
+
+  /** Per-FILE bin assignment (the executable face of [[plan]]): every
+    * inventory row with its rewrite `bin` — what a rewrite job joins back
+    * to the data to route rows into compacted output files.
+    */
+  def assign(inventory: DataFrame, partitionCol: String, fileCol: String,
+             sizeCol: String, orderCol: String,
+             targetBytes: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partitionCol))
       .orderBy(col(orderCol), col(fileCol))
     val small = Window.partitionBy(col(partitionCol), col("_big"))
       .orderBy(col(orderCol), col(fileCol))
-    val binned = inventory
+    inventory
       .withColumn("_big", col(sizeCol) >= targetBytes)
       .withColumn("_pos", row_number().over(w))
       .withColumn("_cum",
@@ -51,11 +65,7 @@ object Compaction {
       .withColumn("bin",
         when(col("_big"), -col("_pos"))
           .otherwise(expr(s"coalesce(_cum, 0L) DIV $targetBytes")))
-    binned.groupBy(col(partitionCol), col("bin"))
-      .agg(count(lit(1)).as("n_files"),
-           sum(col(sizeCol)).as("bytes"),
-           min(col(orderCol)).as("from_order"),
-           max(col(orderCol)).as("to_order"))
+      .drop("_big", "_pos", "_cum")
   }
 
   /** Inventory-level summary: how much the plan shrinks the file count.
