@@ -831,6 +831,56 @@ object R7Queries {
         .agg(count(lit(1)).as("n_runs"),
              max(col("run_len")).as("longest_run"),
              sum(col("run_len")).as("n_days"))
+    }),
+    "q415_fifo_allocation" -> ((s, dir) => {
+      // FIFO waterfall allocation — the accounts-receivable primitive:
+      // each customer's payment budget (80% of their total, floor cents)
+      // applies to orders OLDEST-FIRST; an order receives
+      // clamp(budget − cumsum_before, 0, value). Pure cumulative-sum
+      // algebra per customer — no sequential loop, exact integers; the
+      // partial-payment frontier order falls out of the clamp.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("o_custkey"))
+      o.withColumn("_budget",
+          expr("CAST(sum(cents) OVER (PARTITION BY o_custkey) * 8 DIV 10" +
+               " AS BIGINT)"))
+        .withColumn("_before",
+          coalesce(sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("allocated",
+          greatest(lit(0L),
+                   least(col("cents"), col("_budget") - col("_before"))))
+        .withColumn("fully_paid", col("allocated") === col("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+                col("allocated"), col("fully_paid"))
+        .filter(col("o_custkey") % 20 === 0) // bounded detail slice
+    }),
+    "q416_local_peaks" -> ((s, dir) => {
+      // Local-maximum days of the revenue series: strictly above BOTH
+      // immediate neighbours (plateau days never qualify) — the
+      // peak-calendar read. Day rollup, one ordered pass over the
+      // bounded day dimension.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.read(s, dir, "orders")
+        .groupBy(expr("CAST(date_trunc('DAY', o_orderdate) AS DATE)")
+                   .as("day"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("day"))
+      daily
+        .withColumn("_p", lag(col("cents"), 1).over(w))
+        .withColumn("_n", lead(col("cents"), 1).over(w))
+        .filter(col("_p").isNotNull && col("_n").isNotNull &&
+                col("cents") > col("_p") && col("cents") > col("_n"))
+        .select(col("day"), col("cents"),
+                (col("cents") - col("_p")).as("rise_cents"),
+                (col("cents") - col("_n")).as("fall_cents"))
     })
   )
 
@@ -1344,7 +1394,39 @@ object R7Queries {
         |SELECT sign, CAST(count(*) AS BIGINT) AS n_runs,
         |  CAST(max(run_len) AS BIGINT) AS longest_run,
         |  CAST(sum(run_len) AS BIGINT) AS n_days
-        |FROM rl GROUP BY 1""".stripMargin
+        |FROM rl GROUP BY 1""".stripMargin,
+    "q415_fifo_allocation" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT o_custkey, o_orderkey, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY o_custkey) * 8 // 10
+        |         AS BIGINT) AS budget,
+        |    coalesce(sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey, cents,
+        |  CAST(greatest(0, least(cents, budget - bef)) AS BIGINT)
+        |    AS allocated,
+        |  greatest(0, least(cents, budget - bef)) = cents AS fully_paid
+        |FROM a WHERE o_custkey % 20 = 0""".stripMargin,
+    "q416_local_peaks" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+        |      AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT day, cents,
+        |    lag(cents) OVER (ORDER BY day) AS p,
+        |    lead(cents) OVER (ORDER BY day) AS n
+        |  FROM d)
+        |SELECT day, cents, CAST(cents - p AS BIGINT) AS rise_cents,
+        |  CAST(cents - n AS BIGINT) AS fall_cents
+        |FROM x
+        |WHERE p IS NOT NULL AND n IS NOT NULL
+        |  AND cents > p AND cents > n""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

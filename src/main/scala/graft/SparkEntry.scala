@@ -6667,10 +6667,62 @@ object SparkEntry {
                 col("event_type"), col("value"), col("props"),
                 col("_is_current"), col("_valid_from"), col("_valid_to"),
                 col("_change_type"))
+    }),
+    "q417_restatement" -> ((s, dir) => {
+      // As-was vs as-is restatement report (the bitemporal DIFF, q240's
+      // companion): the state believed valid at T under load-1 knowledge
+      // (even ids only) full-outer-joined with the state valid at T under
+      // full knowledge — keys whose selected version changed, appeared,
+      // or vanished once corrections landed. The audit a regulator asks
+      // for: what did the warehouse restate?
+      val all = ev(s, dir)
+      val row = all
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val t = row.getLong(0) + (row.getLong(1) - row.getLong(0)) / 2
+      val tTs = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        t / 1000000L, (t % 1000000L) * 1000L))
+      def cut(src: DataFrame) =
+        Scd2.asOf(Scd2.initialLoad(src, evCfg), tTs, evCfg)
+          .select(col("user_id"), col("event_id"))
+      val was = cut(all.filter(col("event_id") % 2 === 0))
+        .withColumnRenamed("event_id", "was_event_id")
+      val now = cut(all).withColumnRenamed("event_id", "now_event_id")
+      was.join(now, Seq("user_id"), "full_outer")
+        .filter(!(col("was_event_id") <=> col("now_event_id")))
+        .select(col("user_id"), col("was_event_id"), col("now_event_id"),
+                when(col("was_event_id").isNull, "appeared")
+                  .when(col("now_event_id").isNull, "vanished")
+                  .otherwise("restated").as("kind"))
     })
   )
 
   private def r6Oracle: Map[String, String] = Map(
+    "q417_restatement" ->
+      s"""WITH $SrcCte,
+         |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+         |      FROM src),
+         |cut AS (SELECT make_timestamp(lo + (hi - lo) // 2) AS t FROM b),
+         |h1 AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false,
+        from = "(SELECT * FROM src WHERE event_id % 2 = 0)")}
+         |),
+         |w1 AS (SELECT user_id, event_id AS was_event_id FROM h1
+         |       WHERE _valid_from <= (SELECT t FROM cut)
+         |         AND _valid_to > (SELECT t FROM cut)),
+         |h2 AS (
+         |  WITH ${scd2FullSql(AllCheck, deletes = false)}
+         |),
+         |w2 AS (SELECT user_id, event_id AS now_event_id FROM h2
+         |       WHERE _valid_from <= (SELECT t FROM cut)
+         |         AND _valid_to > (SELECT t FROM cut))
+         |SELECT coalesce(w1.user_id, w2.user_id) AS user_id,
+         |  was_event_id, now_event_id,
+         |  CASE WHEN was_event_id IS NULL THEN 'appeared'
+         |       WHEN now_event_id IS NULL THEN 'vanished'
+         |       ELSE 'restated' END AS kind
+         |FROM w1 FULL JOIN w2 ON w1.user_id = w2.user_id
+         |WHERE was_event_id IS DISTINCT FROM now_event_id""".stripMargin,
     // q394: the streamed scdSink table == the three-phase incremental SQL
     // over the same slice (q64's contract through the streaming front-end).
     "q394_stream_scd" ->
