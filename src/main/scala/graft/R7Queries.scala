@@ -571,22 +571,24 @@ object R7Queries {
           keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
           valueMicro = floor(col("value") * lit(1000000.0)).cast("long"),
           checkpoint = s"$base/ckpt")
+      SparkEntry.withStreamShuffle(s) {
       val src1 = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
-      val q1 = sink(src1)
-      try (0 until 2).foreach { i =>
-        src1.addData(rows.filter(_._1 % 3 == i): _*)
-        q1.processAllAvailable()
-      } finally q1.stop()
-      // Fresh source + query on the SAME checkpoint: batches 1-2 are
-      // committed there; the new query must apply only batch 3.
-      val src2 = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
-      src2.addData(rows.filter(_._1 % 3 == 0): _*) // replayed duplicates
-      src2.addData(rows.filter(_._1 % 3 == 1): _*)
-      src2.addData(rows.filter(_._1 % 3 == 2): _*)
-      val q2 = sink(src2)
-      try q2.processAllAvailable() finally q2.stop()
+          .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+        val q1 = sink(src1)
+        try (0 until 2).foreach { i =>
+          src1.addData(rows.filter(_._1 % 3 == i): _*)
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // Fresh source + query on the SAME checkpoint: batches 1-2 are
+        // committed there; the new query must apply only batch 3.
+        val src2 = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+        src2.addData(rows.filter(_._1 % 3 == 0): _*) // replayed duplicates
+        src2.addData(rows.filter(_._1 % 3 == 1): _*)
+        src2.addData(rows.filter(_._1 % 3 == 2): _*)
+        val q2 = sink(src2)
+        try q2.processAllAvailable() finally q2.stop()
+      }
       VersionedTable.read(s, s"$base/store")
         .select("event_type", "day", "n_rows", "value_micro",
                 "min_micro", "max_micro")
@@ -697,11 +699,13 @@ object R7Queries {
         .dropDuplicatesWithinWatermark("event_id")
       val tbl = "q409_dd_" + java.util.UUID.randomUUID.toString
         .replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
       val q = deduped.writeStream.format("memory").queryName(tbl)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(tbl).select(col("event_id"), col("ts"), col("event_type"))
     }),
     "q410_join_hint_parity" -> ((s, dir) => {
@@ -881,7 +885,38 @@ object R7Queries {
         .select(col("day"), col("cents"),
                 (col("cents") - col("_p")).as("rise_cents"),
                 (col("cents") - col("_n")).as("fall_cents"))
-    })
+    }),
+    "q420_multiset_ops" -> ((s, dir) => {
+      // Multiset set-operation parity: EXCEPT ALL / INTERSECT ALL keep
+      // per-value MULTIPLICITY (bag semantics: max(m−n,0) and min(m,n))
+      // where EXCEPT/INTERSECT collapse to sets — the four counts on the
+      // same two event slices must agree with the oracle's bag algebra
+      // exactly.
+      Tables.events(s, dir).createOrReplaceTempView("ev_q420")
+      s.sql("""
+        WITH a AS (SELECT event_type FROM ev_q420 WHERE user_id % 3 = 0),
+             b AS (SELECT event_type FROM ev_q420 WHERE user_id % 3 = 1)
+        SELECT
+          (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL
+                                 SELECT * FROM b)) AS except_all_rows,
+          (SELECT count(*) FROM (SELECT * FROM a EXCEPT
+                                 SELECT * FROM b)) AS except_rows,
+          (SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL
+                                 SELECT * FROM b)) AS intersect_all_rows,
+          (SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                 SELECT * FROM b)) AS intersect_rows""")
+    }),
+    "q421_string_agg" -> ((s, dir) =>
+      // Ordered string aggregation parity: the sorted-distinct event-type
+      // path signature per user — array_join(sort_array(collect_set))
+      // vs the oracle's ORDER BY string_agg; deterministic because the
+      // collation is explicit on both sides.
+      Tables.events(s, dir)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+               .as("type_signature"),
+             countDistinct(col("event_type")).as("n_types")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1426,7 +1461,27 @@ object R7Queries {
         |  CAST(cents - n AS BIGINT) AS fall_cents
         |FROM x
         |WHERE p IS NOT NULL AND n IS NOT NULL
-        |  AND cents > p AND cents > n""".stripMargin
+        |  AND cents > p AND cents > n""".stripMargin,
+    "q420_multiset_ops" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id % 3 = 0),
+        |b AS (SELECT event_type FROM events WHERE user_id % 3 = 1)
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL
+        |                         SELECT * FROM b)) AS except_all_rows,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT
+        |                         SELECT * FROM b)) AS except_rows,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL
+        |                         SELECT * FROM b)) AS intersect_all_rows,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
+        |                         SELECT * FROM b)) AS intersect_rows"""
+        .stripMargin,
+    "q421_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |    AS type_signature,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY 1""".stripMargin
   )
 
   /** Sequential-fold double cosine, DuckDB-side — same fragment SparkEntry

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Association, BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Segmentation, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TableDiff, TextAnalysis, Trend}
+import graft.operators.{Association, BloomPrune, Compaction, Dedup, Funnel, Graph, IncrementalAgg, Intervals, Ivm, JoinPlanner, Layout, Linkage, Multimodal, Packing, Privacy, Profile, Rolling, Sampling, Scd01, Scd2, Scd2Join, Scd3, Segmentation, Sessionize, Sketches, SkewJoin, Similarity, Snapshot, TableDiff, TextAnalysis, Trend}
 import graft.sources.{IncrementalSource, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,19 @@ object SparkEntry {
   // thirds), NOT time prefixes: the delta batch then interleaves with the
   // target's history, exercising out-of-order re-slotting, re-expiry, and
   // redundant-version collapse at every scale factor.
+
+  /** Scope a lower shuffle-partition count around an in-query STREAMING
+    * harness: every stateful micro-batch opens/commits one state store per
+    * shuffle partition, so a driver-fed harness stream paying 32 stores x
+    * N batches is pure overhead — its state is key-bounded and tiny. The
+    * conf is restored afterwards; batch relations built outside the scope
+    * keep the session's 32.
+    */
+  private[graft] def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -2321,17 +2334,19 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("q198_stream").toString
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      withStreamShuffle(s) {
       val q = graft.streaming.RollupStream.incrementalSink(
-        source.toDF().toDF("event_id", "ts", "event_type", "value"),
-        s"$base/store",
-        keys = Seq("event_type", "day"),
-        keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
-        valueMicro = floor(col("value") * lit(1000000.0)).cast("long"),
-        checkpoint = s"$base/ckpt")
-      try (0 until 3).foreach { i =>
-        source.addData(rows.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          source.toDF().toDF("event_id", "ts", "event_type", "value"),
+          s"$base/store",
+          keys = Seq("event_type", "day"),
+          keyExprs = _.withColumn("day", date_trunc("DAY", col("ts"))),
+          valueMicro = floor(col("value") * lit(1000000.0)).cast("long"),
+          checkpoint = s"$base/ckpt")
+        try (0 until 3).foreach { i =>
+          source.addData(rows.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       VersionedTable.read(s, s"$base/store")
         .select("event_type", "day", "n_rows", "value_micro",
                 "min_micro", "max_micro")
@@ -2355,15 +2370,17 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("q199_cdc").toString
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      withStreamShuffle(s) {
       val q = graft.streaming.CdcStream.scdCdcSink(
-        source.toDF().toDF("event_id", "ts", "user_id", "event_type",
-                           "value", "props"),
-        s"$base/dim", s"$base/cdc", evCfg,
-        checkpointLocation = s"$base/ckpt").start()
-      try (0 until 3).foreach { i =>
-        source.addData(rows.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          source.toDF().toDF("event_id", "ts", "user_id", "event_type",
+                             "value", "props"),
+          s"$base/dim", s"$base/cdc", evCfg,
+          checkpointLocation = s"$base/ckpt").start()
+        try (0 until 3).foreach { i =>
+          source.addData(rows.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       val target = s.read.parquet(s"$base/dim")
       val log = s.read.parquet(s"$base/cdc")
       (0L until 3L).foldLeft(target.limit(0))((snap, i) =>
@@ -2470,14 +2487,16 @@ object SparkEntry {
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val tbl = "q206_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      withStreamShuffle(s) {
       val q = graft.streaming.DedupStream
-        .distinctDocs(source.toDF().toDF("doc_id", "text"))
-        .writeStream.format("memory").queryName(tbl)
-        .outputMode("append").start()
-      try (0 until 3).foreach { i =>
-        source.addData(rows.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          .distinctDocs(source.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try (0 until 3).foreach { i =>
+          source.addData(rows.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(tbl).select("doc_id", "fingerprint")
     }),
     "q207_history_twa" -> ((s, dir) => {
@@ -2652,13 +2671,15 @@ object SparkEntry {
         Seq("user_id"), "imp_ts", "click_ts",
         windowSec = 3600, watermarkDelay = "40 days")
       val tbl = "q217_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(tbl)
-        .outputMode("append").start()
-      try (0 until 3).foreach { i =>
-        srcI.addData(imps.filter(_._1 % 3 == i): _*)
-        srcC.addData(clks.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      withStreamShuffle(s) {
+        val q = joined.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try (0 until 3).foreach { i =>
+          srcI.addData(imps.filter(_._1 % 3 == i): _*)
+          srcC.addData(clks.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(tbl)
         .select("user_id", "imp_id", "imp_ts", "click_id", "click_ts")
     }),
@@ -2906,17 +2927,19 @@ object SparkEntry {
         src.toDF().toDF("user_id", "ts", "event_type"),
         gapMinutes = 30, watermarkDelay = "40 days")
       val tbl = "q234_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      withStreamShuffle(s) {
       val q = sess.writeStream.format("memory").queryName(tbl)
-        .outputMode("append").start()
-      try {
-        val cut = feed.size / 3
-        Seq(feed.take(cut), feed.slice(cut, 2 * cut), feed.drop(2 * cut))
-          .foreach { b => src.addData(b: _*); q.processAllAvailable() }
-        val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
-        src.addData((-1L, flush, "x")); q.processAllAvailable()
-        src.addData((-1L, new java.sql.Timestamp(flush.getTime + 3600000L), "x"))
-        q.processAllAvailable()
-      } finally q.stop()
+          .outputMode("append").start()
+        try {
+          val cut = feed.size / 3
+          Seq(feed.take(cut), feed.slice(cut, 2 * cut), feed.drop(2 * cut))
+            .foreach { b => src.addData(b: _*); q.processAllAvailable() }
+          val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+          src.addData((-1L, flush, "x")); q.processAllAvailable()
+          src.addData((-1L, new java.sql.Timestamp(flush.getTime + 3600000L), "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(tbl).filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),
                 col("n_events"), col("n_event_types"))
@@ -5148,14 +5171,16 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory("q314_wm").toString
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, String, Double, Int)]
+      withStreamShuffle(s) {
       val q = graft.streaming.WatermarkStream.lateDropSink(
-        source.toDF().toDF("event_id", "ts", "event_type", "value", "b")
-          .select(col("ts"), col("event_type"), col("value")),
-        s"$base/store", 600000000L, s"$base/ckpt")
-      try (0 until 3).foreach { i =>
-        source.addData(rows.filter(_._5 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          source.toDF().toDF("event_id", "ts", "event_type", "value", "b")
+            .select(col("ts"), col("event_type"), col("value")),
+          s"$base/store", 600000000L, s"$base/ckpt")
+        try (0 until 3).foreach { i =>
+          source.addData(rows.filter(_._5 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       VersionedTable.read(s, s"$base/store")
         .select("event_type", "n_kept", "n_dropped", "value_micro_kept")
     }),
@@ -6351,14 +6376,16 @@ object SparkEntry {
         .createTempDirectory("q368_stream").toString
       val source = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long)]
+      withStreamShuffle(s) {
       val q = graft.streaming.TopKStream.misraGriesSink(
-        source.toDF().toDF("event_id", "user_id"), s"$base/store",
-        keyCol = "user_id", buckets = 2, m = 3,
-        checkpoint = s"$base/ckpt")
-      try (0 until 3).foreach { i =>
-        source.addData(rows.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          source.toDF().toDF("event_id", "user_id"), s"$base/store",
+          keyCol = "user_id", buckets = 2, m = 3,
+          checkpoint = s"$base/ckpt")
+        try (0 until 3).foreach { i =>
+          source.addData(rows.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       val st = graft.VersionedTable.read(s, s"$base/store")
       val counters = st.filter(col("kind") === "c")
         .select(col("k").as("user_id"), col("est"))
@@ -6624,12 +6651,14 @@ object SparkEntry {
         Seq("user_id"), evCfg)
       val tbl = "q385_enr_" + java.util.UUID.randomUUID.toString
         .replace("-", "")
+      withStreamShuffle(s) {
       val q = enr.writeStream.format("memory").queryName(tbl)
-        .outputMode("append").start()
-      try (0 until 3).foreach { i =>
-        src.addData(facts.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          .outputMode("append").start()
+        try (0 until 3).foreach { i =>
+          src.addData(facts.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(tbl).select(
         col("event_id"), col("user_id"), col("ts"),
         col("dim_event_id"), col("dim_ts"), col("dim_event_type"),
@@ -6654,14 +6683,16 @@ object SparkEntry {
       val src = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double,
                        String)]
+      withStreamShuffle(s) {
       val q = graft.streaming.ScdStream.scdSink(
-        src.toDF().toDF("event_id", "ts", "user_id", "event_type",
-                        "value", "props"),
-        s"$base/dim", evCfg, checkpointLocation = s"$base/ckpt").start()
-      try (0 until 3).foreach { i =>
-        src.addData(rows.filter(_._1 % 3 == i): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+          src.toDF().toDF("event_id", "ts", "user_id", "event_type",
+                          "value", "props"),
+          s"$base/dim", evCfg, checkpointLocation = s"$base/ckpt").start()
+        try (0 until 3).foreach { i =>
+          src.addData(rows.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$base/dim")
         .select(col("event_id"), col("ts"), col("user_id"),
                 col("event_type"), col("value"), col("props"),
@@ -6694,10 +6725,52 @@ object SparkEntry {
                 when(col("was_event_id").isNull, "appeared")
                   .when(col("now_event_id").isNull, "vanished")
                   .otherwise("restated").as("kind"))
-    })
+    }),
+    "q418_scd3" -> ((s, dir) =>
+      // SCD type 3 (X401): one row per key with current + previous
+      // DISTINCT event_type and the change-effective timestamp — the
+      // reorg-column variant completing the 0/1/2 family. Derived from the
+      // same change-collapsed timeline as type 2, one ascending window.
+      Scd3.snapshot(ev(s, dir), evTypeCfg, "event_type")),
+    "q419_scd6" -> ((s, dir) =>
+      // SCD type 6 (X402): the type-2 timeline with every historical row
+      // stamped with the key's CURRENT event_type — group-history-by-
+      // today's-taxonomy without a read-time self-join.
+      Scd3.history(ev(s, dir), evTypeCfg, "event_type")
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("_valid_from"), col("_valid_to"),
+                col("_is_current"), col("event_type_current")))
   )
 
   private def r6Oracle: Map[String, String] = Map(
+    "q418_scd3" ->
+      s"""WITH $SrcCte,
+         |hist AS (
+         |  WITH ${scd2FullSql(Seq("event_type"), deletes = false)}
+         |),
+         |x AS (SELECT user_id, event_type, _valid_from,
+         |    lag(event_type) OVER w AS prev_type,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS nv
+         |  FROM hist
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY _valid_from))
+         |SELECT user_id, event_type AS event_type_current,
+         |  prev_type AS event_type_previous,
+         |  _valid_from AS changed_at,
+         |  CAST(nv - 1 AS BIGINT) AS n_changes
+         |FROM x WHERE rn = nv""".stripMargin,
+    "q419_scd6" ->
+      s"""WITH $SrcCte,
+         |hist AS (
+         |  WITH ${scd2FullSql(Seq("event_type"), deletes = false)}
+         |)
+         |SELECT event_id, ts, user_id, event_type, _valid_from,
+         |  _valid_to, _is_current,
+         |  last_value(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY _valid_from
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |    AS event_type_current
+         |FROM hist""".stripMargin,
     "q417_restatement" ->
       s"""WITH $SrcCte,
          |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi

@@ -203,6 +203,33 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("Scd3.snapshot/history: hand-computed type-3 and type-6 views") {
+    import graft.operators.Scd3
+    val cfg = ScdConfig(uniqueKey = Seq("k"), updatedAtCol = "ts",
+                        changeInclude = Some(Seq("v")))
+    val delta = Seq(
+      (1L, "a", ts("2025-01-01 00:00:00")),
+      (1L, "a", ts("2025-01-02 00:00:00")), // no change — collapses
+      (1L, "b", ts("2025-01-03 00:00:00")),
+      (1L, "c", ts("2025-01-04 00:00:00")),
+      (2L, "x", ts("2025-01-01 00:00:00"))
+    ).toDF("k", "v", "ts")
+    val snap = Scd3.snapshot(delta, cfg, "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)), r.getLong(4))).toMap
+    // key 1: current c, previous b, 2 changes; key 2: never changed.
+    assert(snap(1L) === (("c", Some("b"), 2L)))
+    assert(snap(2L) === (("x", None, 0L)))
+
+    val hist = Scd3.history(delta, cfg, "v")
+      .select("k", "v", "v_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // every historical row of key 1 carries today's value 'c'.
+    assert(hist === Set((1L, "a", "c"), (1L, "b", "c"), (1L, "c", "c"),
+                        (2L, "x", "x")))
+  }
+
   test("TextAnalysis.readability: hand-computed integer score") {
     // "The cat sat. It ran!" — 2 sentences, 5 words, 5 vowel groups.
     // wps_milli = 2500, spw_milli = 1000;
