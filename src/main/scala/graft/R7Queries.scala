@@ -906,6 +906,36 @@ object R7Queries {
           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                  SELECT * FROM b)) AS intersect_rows""")
     }),
+    "q422_pipe_sql" -> ((s, dir) => {
+      // SQL pipe syntax (Spark 4's |> operators): the Q1 pricing-summary
+      // shape written as a linear dataflow — the modern-SQL surface a
+      // migrating team may arrive with; plans identically to the nested
+      // form. Exact integer measures.
+      Tables.read(s, dir, "lineitem").createOrReplaceTempView("li_q422")
+      s.sql("""
+        FROM li_q422
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |> EXTEND CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(floor(l_quantity * 100) AS BIGINT) AS qty_centi
+        |> AGGREGATE count(*) AS n_lines, sum(cents) AS cents,
+                     sum(qty_centi) AS qty_centi
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
+    }),
+    "q423_param_sql" -> ((s, dir) => {
+      // Parameterized SQL (named parameter markers): the injection-safe
+      // front-door for templated analytics — the literal never splices
+      // into the text; Catalyst binds it at parse time.
+      Tables.read(s, dir, "orders").createOrReplaceTempView("ord_q423")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+          |       AS BIGINT) AS cents
+          |FROM ord_q423
+          |WHERE o_totalprice >= :lo AND o_orderstatus = :st
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("lo" -> 1000.0, "st" -> "F"))
+    }),
     "q421_string_agg" -> ((s, dir) =>
       // Ordered string aggregation parity: the sorted-distinct event-type
       // path signature per user — array_join(sort_array(collect_set))
@@ -1475,6 +1505,23 @@ object R7Queries {
         |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
         |                         SELECT * FROM b)) AS intersect_rows"""
         .stripMargin,
+    "q422_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS cents,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_centi
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q423_param_sql" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
     "q421_string_agg" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)

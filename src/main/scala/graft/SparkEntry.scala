@@ -6739,10 +6739,43 @@ object SparkEntry {
       Scd3.history(ev(s, dir), evTypeCfg, "event_type")
         .select(col("event_id"), col("ts"), col("user_id"),
                 col("event_type"), col("_valid_from"), col("_valid_to"),
-                col("_is_current"), col("event_type_current")))
+                col("_is_current"), col("event_type_current"))),
+    "q424_dedup_keep_best" -> ((s, dir) => {
+      // Quality-aware dedup (X406): within each near-dup cluster keep the
+      // HIGHEST-n_chars member (ties to smallest id) — q46's pipeline with
+      // the keep-the-best-copy survivorship policy instead of smallest-id.
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+                                        bands = 4, rows = 3,
+                                        tauNum = 1, tauDen = 2)
+      Dedup.keepBest(d, "doc_id", pairs, "n_chars")
+        .select("doc_id", "source", "n_chars")
+    })
   )
 
   private def r6Oracle: Map[String, String] = Map(
+    "q424_dedup_keep_best" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |vp AS ($JaccardTailSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sc AS (SELECT cc.doc_id, cc.cluster_id, d.n_chars
+         |       FROM cc JOIN documents d USING (doc_id)),
+         |win AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM sc)
+         |  WHERE rn = 1)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM sc
+         |                     WHERE doc_id NOT IN (SELECT doc_id FROM win))"""
+        .stripMargin,
     "q418_scd3" ->
       s"""WITH $SrcCte,
          |hist AS (

@@ -296,6 +296,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-duplicate removal: within each dup cluster keep
+    * the member with the HIGHEST `scoreCol` (ties to the smallest id)
+    * instead of [[keepCanonical]]'s smallest-id rule — the practical
+    * policy when duplicates differ in quality (keep the longest / least
+    * boilerplate copy, shed the rest). Same shuffle shape as
+    * keepCanonical plus one cluster-sized window; the anti-join build side
+    * stays pair-graph-sized.
+    */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+               scoreCol: String,
+               aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clusterPairs(pairs, aCol, bCol)
+      .select(col("doc_id").as("_cid"), col("cluster_id"))
+    val scored = df
+      .select(col(idCol).as("_cid"), col(scoreCol).as("_score"))
+      .join(clusters, Seq("_cid"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_score").desc, col("_cid"))
+    val losers = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("_cid").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Driver-side union-find for the adaptive small-graph path: roots track
     * the component MINIMUM (union by min, path compression), so labels are
     * bit-identical to the distributed min-label propagation.
