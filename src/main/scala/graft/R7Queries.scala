@@ -906,6 +906,48 @@ object R7Queries {
           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                  SELECT * FROM b)) AS intersect_rows""")
     }),
+    "q425_burst_collapse" -> ((s, dir) => {
+      // Telemetry burst collapse: within (user, type), runs of events
+      // separated by < 10 min collapse to their FIRST event (retry
+      // storms, double-fires) — run-start detection via lag, one shuffle;
+      // the kept set + per-key collapse stats are exact.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val marked = Tables.events(s, dir)
+        .withColumn("_gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("_keep",
+          col("_gap_us").isNull || col("_gap_us") >= 600000000L)
+      marked.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_collapsed"))
+        .filter(col("n_collapsed") > 0)
+    }),
+    "q426_hll_precision_sweep" -> ((s, dir) => {
+      // Sketch-size/accuracy sweep: distinct users per event_type
+      // estimated at lgK = 4 / 8 / 12 beside the exact count, each with
+      // an in-tolerance verdict at ~3 sigma of the configured precision
+      // (26% / 7% / 5% floors) — the table that prices sketch memory. The
+      // verdicts are what the oracle recomputes (q96-q98 contract).
+      val ev0 = Tables.events(s, dir)
+      val est = ev0.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(4)))
+               .as("_e4"),
+             hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(8)))
+               .as("_e8"),
+             hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+               .as("_e12"),
+             countDistinct(col("user_id")).as("n_exact"))
+      est.select(col("event_type"), col("n_exact"),
+                 (abs(col("_e4") - col("n_exact")) * 100 <=
+                    col("n_exact") * 78).as("ok_lgk4"),
+                 (abs(col("_e8") - col("n_exact")) * 100 <=
+                    col("n_exact") * 20).as("ok_lgk8"),
+                 (abs(col("_e12") - col("n_exact")) * 100 <=
+                    col("n_exact") * 5).as("ok_lgk12"))
+    }),
     "q422_pipe_sql" -> ((s, dir) => {
       // SQL pipe syntax (Spark 4's |> operators): the Q1 pricing-summary
       // shape written as a linear dataflow — the modern-SQL surface a
@@ -1505,6 +1547,27 @@ object R7Queries {
         |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
         |                         SELECT * FROM b)) AS intersect_rows"""
         .stripMargin,
+    "q425_burst_collapse" ->
+      """WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    user_id, event_type FROM events),
+        |g AS (SELECT user_id, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY ts, event_id) AS gap_us
+        |  FROM src)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 600000000
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_collapsed
+        |FROM g GROUP BY 1, 2
+        |HAVING sum(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END) > 0"""
+        .stripMargin,
+    "q426_hll_precision_sweep" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS ok_lgk4, TRUE AS ok_lgk8, TRUE AS ok_lgk12
+        |FROM events GROUP BY 1""".stripMargin,
     "q422_pipe_sql" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n_lines,
