@@ -906,6 +906,61 @@ object R7Queries {
           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                  SELECT * FROM b)) AS intersect_rows""")
     }),
+    "q427_loo_encoding" -> ((s, dir) => {
+      // Leave-one-out target encoding — the ML feature-engineering
+      // primitive with the built-in leakage guard: each row's category
+      // feature excludes ITS OWN target, ((sum_cat − y_i), (n_cat − 1))
+      // shipped as exact integer numerator/denominator. One broadcast of
+      // the category stats over the fact scan; detail bounded to an
+      // orderkey slice.
+      val li = Tables.read(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val cat = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("cents")).as("_cat_sum"),
+             count(lit(1)).as("_cat_n"))
+      li.filter(col("l_orderkey") % 500 === 0)
+        .join(broadcast(cat), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_returnflag"), col("cents"),
+                (col("_cat_sum") - col("cents")).as("loo_num"),
+                (col("_cat_n") - 1).as("loo_den"))
+    }),
+    "q428_feature_hash" -> ((s, dir) => {
+      // Hashing-trick features: tokens bucketed into 64 md5-residue slots,
+      // per-doc sparse (bucket, count) pairs — the fixed-width featurizer
+      // that needs NO vocabulary pass (the point at 100 TB: one scan, no
+      // dictionary shuffle). Bounded to doc_id%25==0 for detail output.
+      docs(s, dir).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast("long") % 64)
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+    "q429_temporal_split" -> ((s, dir) => {
+      // Leakage-free temporal split with an embargo gap: train strictly
+      // before (cut − 3 days), test strictly at/after cut, the gap rows
+      // QUARANTINED (the autocorrelation-leak guard a time-series model
+      // needs; a hash split would leak future into train). Counts +
+      // span endpoints per split; cut = 70% point of the time range.
+      val ev0 = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val b = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+                      max(unix_micros(col("ts"))).as("hi"))
+      val gapUs = 3L * 24 * 3600 * 1000000
+      ev0.crossJoin(broadcast(b))
+        .withColumn("_cut", expr("lo + (hi - lo) * 7 DIV 10"))
+        .withColumn("split",
+          when(unix_micros(col("ts")) < col("_cut") - gapUs, "train")
+            .when(unix_micros(col("ts")) >= col("_cut"), "test")
+            .otherwise("embargo"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    }),
     "q425_burst_collapse" -> ((s, dir) => {
       // Telemetry burst collapse: within (user, type), runs of events
       // separated by < 10 min collapse to their FIRST event (retry
@@ -1547,6 +1602,42 @@ object R7Queries {
         |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
         |                         SELECT * FROM b)) AS intersect_rows"""
         .stripMargin,
+    "q427_loo_encoding" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |cat AS (SELECT l_returnflag, CAST(sum(cents) AS BIGINT) AS cs,
+        |          CAST(count(*) AS BIGINT) AS cn
+        |        FROM li GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag, cents,
+        |  CAST(cs - cents AS BIGINT) AS loo_num,
+        |  CAST(cn - 1 AS BIGINT) AS loo_den
+        |FROM li JOIN cat USING (l_returnflag)
+        |WHERE l_orderkey % 500 = 0""".stripMargin,
+    "q428_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tok WHERE tok <> ''
+        |GROUP BY 1, 2""".stripMargin,
+    "q429_temporal_split" ->
+      """WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        |             FROM events),
+        |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |      FROM src),
+        |x AS (SELECT ts,
+        |    CASE WHEN epoch_us(ts) < lo + (hi - lo) * 7 // 10
+        |              - 259200000000 THEN 'train'
+        |         WHEN epoch_us(ts) >= lo + (hi - lo) * 7 // 10
+        |           THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM src, b)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM x GROUP BY 1""".stripMargin,
     "q425_burst_collapse" ->
       """WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
         |    user_id, event_type FROM events),
