@@ -906,6 +906,41 @@ object R7Queries {
           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                  SELECT * FROM b)) AS intersect_rows""")
     }),
+    "q430_churn_labels" -> ((s, dir) => {
+      // Supervised-dataset construction: per user, FEATURES from the
+      // 10-day window before the reference cut (counts, value sum,
+      // recency) and the LABEL from the 10 days after (churned = zero
+      // activity) — the standard time-split label builder whose windows
+      // never leak across the cut. Cut = 60% point; exact integers.
+      val ev0 = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+                expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      val b = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+                      max(unix_micros(col("ts"))).as("hi"))
+      val day = 24L * 3600 * 1000000
+      val feat = ev0.crossJoin(broadcast(b))
+        .withColumn("_cut", expr("lo + (hi - lo) * 6 DIV 10"))
+        .withColumn("_us", unix_micros(col("ts")))
+      val features = feat
+        .filter(col("_us") < col("_cut") &&
+                col("_us") >= col("_cut") - lit(10 * day))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events_10d"),
+             sum(col("vm")).as("vm_10d"),
+             expr("CAST(max((_cut - _us) DIV 86400000000) AS BIGINT)")
+               .as("oldest_days"),
+             expr("CAST(min((_cut - _us) DIV 86400000000) AS BIGINT)")
+               .as("recency_days"))
+      val future = feat
+        .filter(col("_us") >= col("_cut") &&
+                col("_us") < col("_cut") + lit(10 * day))
+        .select(col("user_id")).distinct()
+        .withColumn("_active", lit(1))
+      features.join(future, Seq("user_id"), "left")
+        .withColumn("churned", col("_active").isNull)
+        .select(col("user_id"), col("n_events_10d"), col("vm_10d"),
+                col("recency_days"), col("oldest_days"), col("churned"))
+    }),
     "q427_loo_encoding" -> ((s, dir) => {
       // Leave-one-out target encoding — the ML feature-engineering
       // primitive with the built-in leakage guard: each row's category
@@ -1602,6 +1637,28 @@ object R7Queries {
         |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
         |                         SELECT * FROM b)) AS intersect_rows"""
         .stripMargin,
+    "q430_churn_labels" ->
+      """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |      FROM src),
+        |c AS (SELECT lo + (hi - lo) * 6 // 10 AS cut FROM b),
+        |f AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events_10d,
+        |    CAST(sum(vm) AS BIGINT) AS vm_10d,
+        |    CAST(max((cut - epoch_us(ts)) // 86400000000) AS BIGINT)
+        |      AS oldest_days,
+        |    CAST(min((cut - epoch_us(ts)) // 86400000000) AS BIGINT)
+        |      AS recency_days
+        |  FROM src, c
+        |  WHERE epoch_us(ts) < cut AND epoch_us(ts) >= cut - 864000000000
+        |  GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id FROM src, c
+        |      WHERE epoch_us(ts) >= cut
+        |        AND epoch_us(ts) < cut + 864000000000)
+        |SELECT f.user_id, n_events_10d, vm_10d, recency_days,
+        |  oldest_days, a.user_id IS NULL AS churned
+        |FROM f LEFT JOIN a ON f.user_id = a.user_id""".stripMargin,
     "q427_loo_encoding" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
