@@ -906,6 +906,63 @@ object R7Queries {
           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                  SELECT * FROM b)) AS intersect_rows""")
     }),
+    "q431_event_anchor" -> ((s, dir) => {
+      // Event-anchored alignment: activity histogram in days relative to
+      // each user's FIRST purchase (calendar cohorts answer "when did
+      // they join"; anchored curves answer "what happens around the
+      // conversion moment"). Two combine rollups + a broadcast anchor
+      // join; day offsets clipped to ±14.
+      val ev0 = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val anchor = ev0.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("_anchor_us"))
+      ev0.join(broadcast(anchor), Seq("user_id"))
+        .withColumn("day_offset",
+          expr("CAST(CASE WHEN unix_micros(ts) >= _anchor_us " +
+               "THEN (unix_micros(ts) - _anchor_us) DIV 86400000000 " +
+               "ELSE -(((_anchor_us - unix_micros(ts)) + 86399999999) " +
+               "DIV 86400000000) END AS BIGINT)"))
+        .filter(col("day_offset").between(-14, 14))
+        .groupBy(col("day_offset"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+    }),
+    "q432_df_pruning" -> ((s, dir) => {
+      // Vocabulary pruning by document frequency: surviving vocabulary
+      // size and retained token mass at min-df thresholds {2, 5, 10} —
+      // the min_df knob every featurizer exposes, priced exactly. One
+      // term-grain rollup feeds every tier (no rescan per threshold).
+      import s.implicits._
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+             count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      tf.crossJoin(broadcast(Seq(2, 5, 10).toDF("min_df")))
+        .groupBy(col("min_df"))
+        .agg(sum(when(col("df") >= col("min_df"), 1L).otherwise(0L))
+               .as("n_terms_kept"),
+             sum(when(col("df") >= col("min_df"), col("tf"))
+                   .otherwise(0L)).as("tokens_kept"),
+             count(lit(1)).as("n_terms_total"),
+             sum(col("tf")).as("tokens_total"))
+    }),
+    "q433_norm_ladder" -> ((s, dir) =>
+      // Normalization ladder: how many distinct documents remain at each
+      // canonicalization step (raw → lowercase → whitespace-collapsed →
+      // alnum-only) — prices each dedup-normalization rung in one scan.
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_raw"),
+        countDistinct(lower(col("text"))).as("distinct_lower"),
+        countDistinct(regexp_replace(lower(trim(col("text"))),
+                                     "\\s+", " ")).as("distinct_ws"),
+        countDistinct(regexp_replace(lower(col("text")),
+                                     "[^a-z0-9]+", "")).as("distinct_alnum"))),
     "q430_churn_labels" -> ((s, dir) => {
       // Supervised-dataset construction: per user, FEATURES from the
       // 10-day window before the reference cut (counts, value sum,
@@ -1637,6 +1694,46 @@ object R7Queries {
         |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT
         |                         SELECT * FROM b)) AS intersect_rows"""
         .stripMargin,
+    "q431_event_anchor" ->
+      """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |a AS (SELECT user_id, epoch_us(min(ts)) AS anchor FROM src
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |x AS (SELECT s.user_id,
+        |    CASE WHEN epoch_us(ts) >= anchor
+        |      THEN (epoch_us(ts) - anchor) // 86400000000
+        |      ELSE -(((anchor - epoch_us(ts)) + 86399999999)
+        |             // 86400000000) END AS day_offset
+        |  FROM src s JOIN a ON s.user_id = a.user_id)
+        |SELECT CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x WHERE day_offset BETWEEN -14 AND 14
+        |GROUP BY 1""".stripMargin,
+    "q432_df_pruning" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE tok <> '' GROUP BY 1),
+        |m AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS min_df)
+        |SELECT min_df,
+        |  CAST(sum(CASE WHEN df >= min_df THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms_kept,
+        |  CAST(sum(CASE WHEN df >= min_df THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(count(*) AS BIGINT) AS n_terms_total,
+        |  CAST(sum(tf) AS BIGINT) AS tokens_total
+        |FROM tf, m GROUP BY 1""".stripMargin,
+    "q433_norm_ladder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS distinct_raw,
+        |  CAST(count(DISTINCT lower(text)) AS BIGINT) AS distinct_lower,
+        |  CAST(count(DISTINCT regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g')) AS BIGINT) AS distinct_ws,
+        |  CAST(count(DISTINCT regexp_replace(lower(text),
+        |    '[^a-z0-9]+', '', 'g')) AS BIGINT) AS distinct_alnum
+        |FROM documents""".stripMargin,
     "q430_churn_labels" ->
       """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
