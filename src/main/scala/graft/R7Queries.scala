@@ -963,6 +963,69 @@ object R7Queries {
                                      "\\s+", " ")).as("distinct_ws"),
         countDistinct(regexp_replace(lower(col("text")),
                                      "[^a-z0-9]+", "")).as("distinct_alnum"))),
+    "q434_skyline" -> ((s, dir) => {
+      // Pareto-skyline of parts (minimize price, maximize size): the classic
+      // multi-objective dominance query. NOT the quadratic NOT-EXISTS the
+      // oracle runs: the scan combines to a size-grain min-price rollup
+      // (p_size is a bounded dimension), the frontier is a suffix-min over
+      // that tiny relation (declared DimKey window), and survivors come back
+      // via a broadcast join — 100 TB cost = one combine-enabled aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.read(s, dir, "part").select(
+        col("p_partkey"), col("p_size"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("price_c"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = p.groupBy(col("p_size")).agg(min(col("price_c")).as("m"))
+        .withColumn("best_larger", min(col("m")).over(w))
+        .filter(col("best_larger").isNull || col("m") < col("best_larger"))
+        .select(col("p_size").as("f_size"), col("m"))
+      p.join(broadcast(frontier),
+             col("p_size") === col("f_size") && col("price_c") === col("m"))
+        .select(col("p_partkey"), col("p_size"), col("price_c"))
+    }),
+    "q435_positional_index" -> ((s, dir) => {
+      // Positional inverted-index build: one posexplode pass → per-term df,
+      // total tf, and an order-free postings checksum (sum of
+      // doc_id*2^20+pos) that pins the exact posting set without
+      // materializing sorted lists. min-df 20 bounds the emitted dictionary
+      // slice; a full index write would partition postings by term hash.
+      docs(s, dir).select(
+          col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+             count(lit(1)).as("tf"),
+             sum(col("doc_id") * lit(1048576L) + col("pos"))
+               .as("postings_sum"))
+        .filter(col("df") >= 20)
+    }),
+    "q436_phrase_search" -> ((s, dir) => {
+      // Exact phrase search over the positional index: occurrences = word1
+      // postings joined to word2 postings at pos+1 in the same doc. The
+      // 6-term IN filter rides the explode output (survivors are tiny), the
+      // position join shuffles only those, and the phrase list broadcasts —
+      // the plan a phrase query takes against a sharded index.
+      import s.implicits._
+      val phrases = Seq("table hash", "customer join", "big order")
+      val terms = phrases.flatMap(_.split(" ")).distinct
+      val post = docs(s, dir).select(
+          col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(col("term").isin(terms: _*))
+      post.as("a")
+        .join(post.as("b"),
+              col("a.doc_id") === col("b.doc_id") &&
+                col("b.pos") === col("a.pos") + lit(1))
+        .select(col("a.doc_id").as("doc_id"),
+                concat_ws(" ", col("a.term"), col("b.term")).as("phrase"))
+        .join(broadcast(phrases.toDF("phrase")), Seq("phrase"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("doc_id")).as("n_docs"))
+    }),
     "q430_churn_labels" -> ((s, dir) => {
       // Supervised-dataset construction: per user, FEATURES from the
       // 10-day window before the reference cut (counts, value sum,
@@ -1734,6 +1797,41 @@ object R7Queries {
         |  CAST(count(DISTINCT regexp_replace(lower(text),
         |    '[^a-z0-9]+', '', 'g')) AS BIGINT) AS distinct_alnum
         |FROM documents""".stripMargin,
+    "q434_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c FROM part)
+        |SELECT a.p_partkey, a.p_size, a.price_c
+        |FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))"""
+        .stripMargin,
+    "q435_positional_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    unnest(range(len(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')))) AS pos
+        |  FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(sum(doc_id * 1048576 + pos) AS BIGINT) AS postings_sum
+        |FROM tok WHERE term <> '' GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 20""".stripMargin,
+    "q436_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    unnest(range(len(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')))) AS pos
+        |  FROM documents),
+        |f AS (SELECT * FROM tok WHERE term IN
+        |  ('table', 'hash', 'customer', 'join', 'big', 'order')),
+        |ph AS (SELECT unnest(['table hash', 'customer join', 'big order'])
+        |         AS phrase)
+        |SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs
+        |FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |JOIN ph p ON p.phrase = a.term || ' ' || b.term
+        |GROUP BY 1""".stripMargin,
     "q430_churn_labels" ->
       """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
