@@ -1026,6 +1026,46 @@ object R7Queries {
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "q437_skyline3d" -> ((s, dir) =>
+      // 3-objective Pareto skyline (max quantity, min price, max discount):
+      // the case q225/q434's bounded-dimension frontier CANNOT express —
+      // with 3 objectives no sort order resolves dominance. Distributed
+      // BNL: per-partition local skylines via mapPartitions, then one
+      // dimension-sized final pass; the oracle runs the quadratic
+      // NOT EXISTS on the same distinct point set.
+      Skyline.skyline(
+        Tables.read(s, dir, "lineitem")
+          .filter(col("l_partkey") <= 200)
+          .select(
+            expr("CAST(floor(l_quantity) AS BIGINT)").as("qty"),
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+              .as("price_c"),
+            expr("CAST(floor(l_discount * 1000) AS BIGINT)").as("disc_m")),
+        maximize = Seq("qty", "disc_m"), minimize = Seq("price_c"))
+        .select(col("qty"), col("price_c"), col("disc_m"))),
+    "q438_weighted_sssp" -> ((s, dir) => {
+      // Weighted shortest paths on the strong co-purchase graph: edge cost
+      // = 1000 DIV co_count (stronger ties are cheaper), 4 Bellman-Ford
+      // relaxation sweeps from the smallest node — the weighted companion
+      // to q382's BFS, exact for all ≤4-hop paths. Distinct-before-join
+      // keeps the pair build minimal; each sweep is one shuffle.
+      val gi = Tables.read(s, dir, "lineitem")
+        .select(col("l_orderkey").as("_g"), col("l_partkey").as("_i"))
+        .distinct()
+      val pairs = gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
+        .filter(col("_l._i") < col("_r._i"))
+        .groupBy(col("_l._i").as("x"), col("_r._i").as("y"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 2)
+        .withColumn("cost", expr("1000 DIV _n"))
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"),
+                               col("cost"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst"),
+                               col("cost")))
+      val seed = edges.select(min(col("src")).as("node"))
+      Graph.ssspRelax(edges, seed, rounds = 4)
+        .select(col("node").as("part_id"), col("cost"))
+    }),
     "q430_churn_labels" -> ((s, dir) => {
       // Supervised-dataset construction: per user, FEATURES from the
       // 10-day window before the reference cut (counts, value sum,
@@ -1832,6 +1872,46 @@ object R7Queries {
         |FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |JOIN ph p ON p.phrase = a.term || ' ' || b.term
         |GROUP BY 1""".stripMargin,
+    "q437_skyline3d" ->
+      """WITH p AS (SELECT DISTINCT
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m
+        |  FROM lineitem WHERE l_partkey <= 200)
+        |SELECT a.qty, a.price_c, a.disc_m
+        |FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.qty >= a.qty AND b.price_c <= a.price_c
+        |    AND b.disc_m >= a.disc_m
+        |    AND (b.qty > a.qty OR b.price_c < a.price_c
+        |         OR b.disc_m > a.disc_m))""".stripMargin,
+    "q438_weighted_sssp" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |    FROM lineitem),
+        |pr AS (SELECT a.i AS x, c.i AS y, count(*) AS n
+        |       FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS src, y AS dst, 1000 // n AS cost FROM pr
+        |      UNION ALL SELECT y, x, 1000 // n FROM pr),
+        |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS cost FROM e),
+        |d1 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT node, cost FROM d0 UNION ALL
+        |  SELECT e.dst, d0.cost + e.cost FROM d0 JOIN e ON d0.node = e.src)
+        |  GROUP BY 1),
+        |d2 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT node, cost FROM d1 UNION ALL
+        |  SELECT e.dst, d1.cost + e.cost FROM d1 JOIN e ON d1.node = e.src)
+        |  GROUP BY 1),
+        |d3 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT node, cost FROM d2 UNION ALL
+        |  SELECT e.dst, d2.cost + e.cost FROM d2 JOIN e ON d2.node = e.src)
+        |  GROUP BY 1),
+        |d4 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT node, cost FROM d3 UNION ALL
+        |  SELECT e.dst, d3.cost + e.cost FROM d3 JOIN e ON d3.node = e.src)
+        |  GROUP BY 1)
+        |SELECT node AS part_id, CAST(cost AS BIGINT) AS cost FROM d4"""
+        .stripMargin,
     "q430_churn_labels" ->
       """WITH src AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),

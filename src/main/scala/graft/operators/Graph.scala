@@ -334,4 +334,35 @@ object Graph {
     }
     visited
   }
+
+  /** Bounded-hop single-source shortest paths by synchronous Bellman-Ford
+    * relaxation (the Pregel pattern): `rounds` sweeps, each one
+    * distance ⋈ edges shuffle join followed by a min-combine, exact for
+    * every path of ≤ `rounds` edges. Unlike [[bfsHops]] there is no
+    * early-exit count — the plan is a fixed composition of `rounds`
+    * joins, so the whole computation is one job; lineage is truncated per
+    * sweep so the DAG stays linear in `rounds`, not exponential.
+    *
+    * `edges`: directed (src, dst, cost: long ≥ 0). `seed`: (node) rows at
+    * distance 0. Output: (node, cost) for every node reachable in ≤
+    * `rounds` hops, cost = exact min path cost over those paths.
+    */
+  def ssspRelax(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+                         col("dst").cast("long").as("dst"),
+                         col("cost").cast("long").as("cost"))
+      .localCheckpoint(false)
+    var dist = seed.select(col(seed.columns.head).cast("long").as("node"))
+      .distinct().withColumn("cost", lit(0L))
+    for (_ <- 1 to rounds) {
+      val d = dist.as("d")
+      val relaxed = d.join(e.as("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+                (col("d.cost") + col("e.cost")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, TextAnalysis}
+import graft.operators.{Dedup, Graph, Skyline, TextAnalysis}
 
 /** Round-8 operators: large-star/small-star connected components,
   * multi-source BFS, integer readability.
@@ -253,5 +253,57 @@ class Round8OpsSpec extends SparkTestBase {
     // no-vowel words: spw = 0, wps = 2000.
     assert(rows(1).getAs[Long]("spw_milli") === 0L)
     assert(rows(1).getAs[Long]("flesch_milli") === 206835L - 2030L)
+  }
+
+  test("Skyline.skyline == naive quadratic dominance filter (seeded trials)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val d = 2 + trial % 2 // alternate 2-D and 3-D
+      val n = 150 + rnd.nextInt(100)
+      // duplicates + negatives on purpose
+      val pts = (1 to n).map(_ => Seq.fill(d)(rnd.nextInt(21).toLong - 10))
+      val names = (0 until d).map(i => s"c$i")
+      val maxCols = names.take(d - 1)
+      val minCols = names.drop(d - 1) // last column minimized
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts.map(p =>
+          org.apache.spark.sql.Row.fromSeq(p)), 5),
+        org.apache.spark.sql.types.StructType(names.map(nm =>
+          org.apache.spark.sql.types.StructField(
+            nm, org.apache.spark.sql.types.LongType))))
+      val got = Skyline.skyline(df, maxCols, minCols)
+        .collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSet
+      // naive: normalize to all-maximize, dedup, quadratic filter
+      val norm = pts.map(p => p.init ++ Seq(-p.last)).distinct
+      def dom(a: Seq[Long], b: Seq[Long]) =
+        a.zip(b).forall { case (x, y) => x >= y } && a != b
+      val want = norm.filter(p => !norm.exists(q => dom(q, p)))
+        .map(p => p.init ++ Seq(-p.last)).toSet
+      assert(got === want, s"trial $trial d=$d n=$n")
+    }
+  }
+
+  test("Graph.ssspRelax == local Bellman-Ford at every round budget") {
+    val rnd = new scala.util.Random(11)
+    val nodes = 0L until 25L
+    val edges = (1 to 120).map { _ =>
+      (nodes(rnd.nextInt(25)), nodes(rnd.nextInt(25)), rnd.nextInt(9).toLong + 1)
+    }.filter { case (s0, d0, _) => s0 != d0 }.distinct
+    val edf = edges.toDF("src", "dst", "cost")
+    val seedDf = Seq(0L).toDF("node")
+    for (rounds <- 1 to 4) {
+      // independent local reference: dist over exactly <= rounds edges
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to rounds) {
+        val relaxed = edges.flatMap { case (s0, d0, c) =>
+          dist.get(s0).map(x => d0 -> (x + c))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      val got = graft.operators.Graph.ssspRelax(edf, seedDf, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === dist, s"rounds=$rounds")
+    }
   }
 }
