@@ -1015,6 +1015,7 @@ object R7Queries {
           col("doc_id"),
           posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
         .filter(col("term").isin(terms: _*))
+        .localCheckpoint(false) // both join sides read ONE corpus scan
       post.as("a")
         .join(post.as("b"),
               col("a.doc_id") === col("b.doc_id") &&
