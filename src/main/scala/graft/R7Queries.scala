@@ -1027,6 +1027,31 @@ object R7Queries {
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "q439_hof_docstats" -> ((s, dir) => {
+      // Explode-free per-document token statistics via higher-order array
+      // functions: distinct-token count (array_distinct) and adjacent
+      // repeated-token pairs (zip_with over the array and its shift) stay
+      // INSIDE each row — no generator, no explode blowup, the whole
+      // per-doc computation is one narrow codegen stage; the only exchange
+      // is the final per-source rollup. The oracle recomputes via unnest +
+      // position self-join (the plan shape this one avoids).
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir)
+        .select(col("source"),
+                size(toks).as("n_tok"),
+                size(array_distinct(toks)).as("n_distinct"),
+                expr("""size(filter(zip_with(
+                          slice(split(lower(trim(text)), '\\s+'), 1,
+                                size(split(lower(trim(text)), '\\s+')) - 1),
+                          slice(split(lower(trim(text)), '\\s+'), 2,
+                                size(split(lower(trim(text)), '\\s+')) - 1),
+                          (x, y) -> x = y), p -> p))""").as("n_adj_rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("tokens"),
+             sum(col("n_distinct")).as("distinct_tokens"),
+             sum(col("n_adj_rep")).as("adjacent_repeats"))
+    }),
     "q437_skyline3d" -> ((s, dir) =>
       // 3-objective Pareto skyline (max quantity, min price, max discount):
       // the case q225/q434's bounded-dimension frontier CANNOT express —
@@ -1873,6 +1898,28 @@ object R7Queries {
         |FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |JOIN ph p ON p.phrase = a.term || ' ' || b.term
         |GROUP BY 1""".stripMargin,
+    "q439_hof_docstats" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    unnest(range(len(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')))) AS pos
+        |  FROM documents),
+        |rep AS (SELECT a.doc_id, count(*) AS n_adj
+        |        FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        |          AND b.pos = a.pos + 1 AND a.term = b.term
+        |        GROUP BY 1),
+        |per AS (SELECT d.doc_id, d.source,
+        |    len(regexp_split_to_array(lower(trim(d.text)), '\s+'))
+        |      AS n_tok,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(d.text)),
+        |      '\s+'))) AS n_distinct,
+        |    coalesce(r.n_adj, 0) AS n_adj
+        |  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS distinct_tokens,
+        |  CAST(sum(n_adj) AS BIGINT) AS adjacent_repeats
+        |FROM per GROUP BY 1""".stripMargin,
     "q437_skyline3d" ->
       """WITH p AS (SELECT DISTINCT
         |    CAST(floor(l_quantity) AS BIGINT) AS qty,

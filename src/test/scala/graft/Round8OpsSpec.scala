@@ -283,6 +283,30 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed table: point predicate on the bucket key prunes buckets") {
+    // Complement to the zero-Exchange join pin above: a point filter on
+    // the bucket key must read ONE bucket, not the whole table — the scan
+    // advertises SelectedBucketsCount. This is the read-side payoff of
+    // Layout.writeBucketed at 100 TB: key lookups touch 1/N of the files.
+    val base = java.nio.file.Files.createTempDirectory("bkt_prune").toString
+    val t = graft.operators.Layout.writeBucketed(
+      (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v"),
+      s"$base/t", "bkt_prune_t", nBuckets = 8, key = "k")
+    // Spark's DisableUnnecessaryBucketedScan heuristic only values the
+    // OUTPUT partitioning (joins/aggs) and would flip this single-table
+    // scan back to unbucketed, losing pruning; pin it on for the probe.
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val q = t.filter(col("k") === 7L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+             s"bucket pruning did not fire:\n$plan")
+      assert(q.collect().map(_.getString(1)).toSeq === Seq("v7"))
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("Graph.ssspRelax == local Bellman-Ford at every round budget") {
     val rnd = new scala.util.Random(11)
     val nodes = 0L until 25L
