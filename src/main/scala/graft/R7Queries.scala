@@ -638,12 +638,13 @@ object R7Queries {
         .localCheckpoint(false)
       val spine = tiles.select(col("event_type"),
                                col("day").as("w_end")).distinct()
-      val approx = spine
-        .join(tiles,
-              tiles("event_type") === spine("event_type") &&
-                tiles("day") <= col("w_end") &&
-                tiles("day") >= col("w_end") - expr("INTERVAL 6 DAYS"))
-        .groupBy(spine("event_type"), col("w_end"))
+      val approx = spine.as("w")
+        .join(tiles.as("t"),
+              col("t.event_type") === col("w.event_type") &&
+                col("t.day") <= col("w.w_end") &&
+                col("t.day") >= col("w.w_end") - expr("INTERVAL 6 DAYS"))
+        .groupBy(col("w.event_type").as("event_type"),
+                 col("w.w_end").as("w_end"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"),
              count(lit(1)).as("n_tiles"))
       val exact = ev0.as("e")

@@ -5739,17 +5739,17 @@ object SparkEntry {
                 col("_valid_from"), col("_valid_to"))
       val facts = all.filter(col("event_id") % 2 === 1)
         .select(col("event_id"), col("user_id"), col("ts"))
-      facts.join(hist,
-          facts("user_id") === hist("user_id") &&
-            col("_valid_from") <= facts("ts") &&
-            facts("ts") < col("_valid_to"),
+      facts.as("f").join(hist.as("h"),
+          col("f.user_id") === col("h.user_id") &&
+            col("h._valid_from") <= col("f.ts") &&
+            col("f.ts") < col("h._valid_to"),
           "left_outer")
         .withColumn("_matched", col("dim_ts").isNotNull)
         .withColumn("_fresh",
           col("_matched") &&
-            unix_micros(facts("ts")) - unix_micros(col("dim_ts"))
+            unix_micros(col("f.ts")) - unix_micros(col("dim_ts"))
               <= 7L * 86400000000L)
-        .groupBy(date_trunc("DAY", facts("ts")).as("day"))
+        .groupBy(date_trunc("DAY", col("f.ts")).as("day"))
         .agg(count(lit(1)).as("n_facts"),
              sum(when(col("_fresh"), 1L).otherwise(0L)).as("n_fresh"),
              sum(when(col("_matched") && !col("_fresh"), 1L)
