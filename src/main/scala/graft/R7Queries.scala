@@ -1028,6 +1028,45 @@ object R7Queries {
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "q440_set_cover" -> ((s, dir) => {
+      // Greedy maximum-coverage source selection: 3 rounds of "pick the
+      // source covering the most still-uncovered vocabulary" — the
+      // (1-1/e)-approximate set-cover recipe for choosing corpus slices
+      // under a coverage budget. Each round is one join + combine-enabled
+      // aggregate; only the single winning (source, gain) row ever reaches
+      // the driver, and the uncovered set shrinks monotonically (lazy
+      // checkpoint per round keeps lineage linear). The oracle unrolls the
+      // same 3 rounds in SQL; ties break on source name in both engines.
+      import s.implicits._
+      // Coverage universe = bigrams (unigram vocabulary saturates in one
+      // pick on this corpus); built explode-free per row via zip_with.
+      val st = docs(s, dir)
+        .select(col("source"),
+                explode(expr("""zip_with(
+                  slice(split(lower(trim(text)), '\\s+'), 1,
+                        size(split(lower(trim(text)), '\\s+')) - 1),
+                  slice(split(lower(trim(text)), '\\s+'), 2,
+                        size(split(lower(trim(text)), '\\s+')) - 1),
+                  (x, y) -> concat(x, ' ', y))""")).as("tok"))
+        .distinct()
+        .localCheckpoint(false)
+      var uncov = st.select(col("tok")).distinct()
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      for (step <- 1 to 3) {
+        val best = st.join(uncov, Seq("tok"))
+          .groupBy(col("source")).agg(count(lit(1)).as("g"))
+          .orderBy(col("g").desc, col("source"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val src = best(0).getString(0)
+          chosen += ((step, src, best(0).getLong(1)))
+          uncov = uncov.join(
+            st.filter(col("source") === src).select(col("tok")),
+            Seq("tok"), "left_anti").localCheckpoint(false)
+        }
+      }
+      chosen.toSeq.toDF("step", "source", "newly_covered")
+    }),
     "q439_hof_docstats" -> ((s, dir) => {
       // Explode-free per-document token statistics via higher-order array
       // functions: distinct-token count (array_distinct) and adjacent
@@ -1899,6 +1938,32 @@ object R7Queries {
         |FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |JOIN ph p ON p.phrase = a.term || ' ' || b.term
         |GROUP BY 1""".stripMargin,
+    "q440_set_cover" ->
+      """WITH tp AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    unnest(range(len(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')))) AS pos
+        |  FROM documents),
+        |st AS (SELECT DISTINCT a.source, a.term || ' ' || b.term AS tok
+        |       FROM tp a JOIN tp b ON a.doc_id = b.doc_id
+        |         AND b.pos = a.pos + 1),
+        |g1 AS (SELECT source, count(*) AS g FROM st GROUP BY 1),
+        |b1 AS (SELECT source, g FROM g1 ORDER BY g DESC, source LIMIT 1),
+        |u1 AS (SELECT tok FROM (SELECT DISTINCT tok FROM st)
+        |       WHERE tok NOT IN
+        |         (SELECT tok FROM st JOIN b1 USING (source))),
+        |g2 AS (SELECT s.source, count(*) AS g FROM st s JOIN u1 USING (tok)
+        |       GROUP BY 1),
+        |b2 AS (SELECT source, g FROM g2 ORDER BY g DESC, source LIMIT 1),
+        |u2 AS (SELECT tok FROM u1 WHERE tok NOT IN
+        |         (SELECT tok FROM st JOIN b2 USING (source))),
+        |g3 AS (SELECT s.source, count(*) AS g FROM st s JOIN u2 USING (tok)
+        |       GROUP BY 1),
+        |b3 AS (SELECT source, g FROM g3 ORDER BY g DESC, source LIMIT 1)
+        |SELECT CAST(1 AS INT) AS step, source,
+        |  CAST(g AS BIGINT) AS newly_covered FROM b1
+        |UNION ALL SELECT 2, source, g FROM b2
+        |UNION ALL SELECT 3, source, g FROM b3""".stripMargin,
     "q439_hof_docstats" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
