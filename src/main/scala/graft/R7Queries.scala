@@ -1028,6 +1028,30 @@ object R7Queries {
         .agg(count(lit(1)).as("n_occurrences"),
              countDistinct(col("doc_id")).as("n_docs"))
     }),
+    "q441_transpose" -> ((s, dir) => {
+      // Native Dataset.transpose (Spark 4): the bounded region revenue
+      // rollup pivoted so regions become COLUMNS — the report-shape
+      // operator, exercised through the first-class API instead of a
+      // hand-built conditional-aggregate pivot. Only the 5-row rollup is
+      // ever transposed (transpose collects the index column — safe
+      // precisely because the relation is dimension-sized).
+      val li = Tables.read(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"))
+      val sup = Tables.read(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables.read(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val reg = Tables.read(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(regexp_replace(col("r_name"), " ", "_").as("r_name"))
+        .agg(sum(col("cents")).as("revenue_c"))
+        .transpose(col("r_name"))
+    }),
     "q440_set_cover" -> ((s, dir) => {
       // Greedy maximum-coverage source selection: 3 rounds of "pick the
       // source covering the most still-uncovered vocabulary" — the
@@ -1938,6 +1962,23 @@ object R7Queries {
         |FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |JOIN ph p ON p.phrase = a.term || ' ' || b.term
         |GROUP BY 1""".stripMargin,
+    "q441_transpose" ->
+      """WITH j AS (SELECT r.r_name AS rn,
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT 'revenue_c' AS key,
+        |  CAST(sum(CASE WHEN rn = 'AFRICA' THEN c END) AS BIGINT)
+        |    AS AFRICA,
+        |  CAST(sum(CASE WHEN rn = 'AMERICA' THEN c END) AS BIGINT)
+        |    AS AMERICA,
+        |  CAST(sum(CASE WHEN rn = 'ASIA' THEN c END) AS BIGINT) AS ASIA,
+        |  CAST(sum(CASE WHEN rn = 'EUROPE' THEN c END) AS BIGINT)
+        |    AS EUROPE,
+        |  CAST(sum(CASE WHEN rn = 'MIDDLE EAST' THEN c END) AS BIGINT)
+        |    AS MIDDLE_EAST
+        |FROM j""".stripMargin,
     "q440_set_cover" ->
       """WITH tp AS (SELECT doc_id, source,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
