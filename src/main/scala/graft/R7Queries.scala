@@ -215,8 +215,8 @@ object R7Queries {
       // lake format a 100 TB pipeline meets; schema-on-read, no inference
       // pass.
       val d = docs(s, dir)
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_orc_rt").getAbsolutePath
+      val path = java.nio.file.Files.createTempDirectory("q389_orc")
+        .toString + "/orc"
       d.write.mode("overwrite").orc(path)
       s.read.schema(d.schema).orc(path)
         .groupBy(col("lang"))
@@ -744,12 +744,22 @@ object R7Queries {
       graft.plans.SummaryRewrite.register(
         s, s"$dir/lineitem.parquet", s"$base/summary",
         Seq("l_returnflag", "l_linestatus"), Seq("l_partkey"))
-      Tables.read(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"),
-             sum(col("l_partkey")).as("pk_sum"),
-             min(col("l_partkey")).as("pk_min"),
-             max(col("l_partkey")).as("pk_max"))
+      // The rule lives on session-global extraOptimizations: execute the
+      // rewritten aggregate HERE and deregister in finally, so no other
+      // query in this session can be silently redirected to a summary
+      // whose temp directory may be gone by then. The collected result
+      // (≤|returnflag| rows) is returned as a local relation.
+      try {
+        val out = Tables.read(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("l_partkey")).as("pk_sum"),
+               min(col("l_partkey")).as("pk_min"),
+               max(col("l_partkey")).as("pk_max"))
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
+                          out.schema)
+      } finally graft.plans.SummaryRewrite.deregister(
+        s, s"$dir/lineitem.parquet")
     }),
     "q412_compaction_execute" -> ((s, dir) => {
       // Compaction EXECUTED, not just planned: a 50-small-file layout is

@@ -147,7 +147,13 @@ object Graph {
     * related-items primitive) rather than by global centrality.
     *
     * Seeds are broadcast (a seed set is query-sized, never corpus-sized);
-    * everything else scales exactly like [[pagerank]].
+    * everything else scales exactly like [[pagerank]]. Seed nodes are
+    * unioned back into every iteration's rollup with zero received mass,
+    * so a seed with no in-edges (an isolated source, or a directed graph
+    * without the symmetric-edge convention) keeps its (1−d) teleport term
+    * instead of dropping out of the node set after one round. Like
+    * [[pagerank]], the node universe is the edge SOURCES: a seed that is
+    * not a source of any edge is outside the graph and gets no rank.
     *
     * Output: (node, ppr_micro, outdeg).
     */
@@ -171,10 +177,17 @@ object Graph {
     var pr = seedGate(deg.select(col("src").as("node"), col("outdeg")))
       .select(col("node"), (col("_s") * lit(1000000L)).as("pr"),
               col("outdeg"))
+    // Teleport anchor: seed ∩ sources as zero-contribution rows riding the
+    // per-iteration rollup, so in-edge-less seeds survive each round.
+    val seedZero = deg.join(broadcast(seeds), deg("src") === seeds("node"))
+      .select(deg("src").as("dst"), deg("outdeg").as("dst_outdeg"),
+              lit(0L).as("c"))
     for (_ <- 1 to iters) {
       val contrib = pr.select(col("node"), expr("pr DIV outdeg").as("c"))
       pr = seedGate(
         edgesD.join(contrib, edgesD("src") === contrib("node"))
+          .select(col("dst"), col("dst_outdeg"), col("c"))
+          .unionByName(seedZero)
           .groupBy(col("dst"), col("dst_outdeg"))
           .agg(sum(col("c")).as("sc"))
           .select(col("dst").as("node"), col("sc"),
@@ -294,6 +307,14 @@ object Graph {
       edges = ss
       rounds += 1
     }
+    // Non-convergence must not masquerade as a result: intermediate star
+    // labels are WRONG component ids. O(log² n) rounds suffice for any
+    // realistic graph, so hitting the cap means the caller's budget is
+    // too small (or the input is degenerate) — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxRounds rounds; " +
+          "raise maxRounds — intermediate labels are not component ids")
     val parents = edges.groupBy(col("hi").as("node"))
       .agg(min(col("lo")).as("_lab"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")

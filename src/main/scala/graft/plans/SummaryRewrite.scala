@@ -107,7 +107,14 @@ final case class SummaryRewrite(
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case Sum(m: AttributeReference, _) => measureCols(m.name.toLowerCase)
+        // Decimal sums are NOT rewritable: sum(decimal(p,s)) widens to
+        // decimal(p+10,s), so re-summing the already-widened m_sum column
+        // would produce a datatype differing from the original attribute
+        // parents resolved against (under the reused exprId — an invalid
+        // plan). Integral/floating sums are type-stable under re-summing.
+        case Sum(m: AttributeReference, _) =>
+          measureCols(m.name.toLowerCase) &&
+            !m.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
         case Min(m: AttributeReference) => measureCols(m.name.toLowerCase)
         case Max(m: AttributeReference) => measureCols(m.name.toLowerCase)
         case Count(Seq(Literal(_, _))) => true
@@ -150,5 +157,19 @@ object SummaryRewrite {
         case SummaryRewrite(p, _, _, _) => p == basePath
         case _ => false
       } :+ rule
+  }
+
+  /** Remove the rewrite for `basePath` from this session. Callers that
+    * register inside a query MUST deregister in a finally once the result
+    * is materialized — the rule is session-global, and leaving it
+    * installed silently redirects every later matching aggregate to a
+    * summary whose backing files may no longer exist.
+    */
+  def deregister(spark: SparkSession, basePath: String): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot {
+        case SummaryRewrite(p, _, _, _) => p == basePath
+        case _ => false
+      }
   }
 }
