@@ -1,0 +1,399 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Round-7 session queries (q442+). Separate object: SparkEntry's and
+  * R7Queries' map builders sit near the JVM 64 KB method-bytecode ceiling,
+  * so new surface accretes here and chains into `SparkEntry.queries` /
+  * `oracleSql`.
+  */
+object R8Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q442_auc_rank" -> ((s, dir) => {
+      // Exact ROC AUC by rank statistics: label = user ever logged a
+      // high-value purchase (value > 90 — rare enough that both classes
+      // survive every scale factor), score = activity count. AUC = P(score_pos > score_neg) + ½·P(=)
+      // computed at SCORE grain — one combine-enabled aggregate to the
+      // distinct-score relation (bounded by max activity, never
+      // user-count-sized), then a dimension-sized cumulative window. The
+      // ×2 numerator keeps tie half-credits integral, so the statistic is
+      // engine-exact; the per-pair O(P·N) comparison never runs.
+      val users = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+             max(when(col("event_type") === "purchase" &&
+                        col("value") > 90, 1L).otherwise(0L))
+               .as("label"))
+      val byScore = users.groupBy(col("score"))
+        .agg(sum(col("label")).as("npos"),
+             sum(lit(1L) - col("label")).as("nneg"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("_cumneg", sum(col("nneg")).over(w) - col("nneg"))
+        .agg(sum(col("npos")).as("n_pos"), sum(col("nneg")).as("n_neg"),
+             sum(col("npos") * (lit(2L) * col("_cumneg") + col("nneg")))
+               .as("auc_num2"))
+        .withColumn("auc_ppm",
+          expr("CASE WHEN n_pos > 0 AND n_neg > 0 THEN" +
+               " auc_num2 * 1000000L DIV (2L * n_pos * n_neg)" +
+               " ELSE NULL END"))
+    }),
+    "q443_quantile_normalize" -> ((s, dir) => {
+      // Quantile normalization across groups: each order's value is
+      // replaced by the GLOBAL value at the same relative rank, so every
+      // priority class ends up with samples from one common distribution —
+      // the batch-effect remover (microarray lineage) re-expressed for
+      // warehouse features. Exact integer algebra: per-group rank r of n
+      // maps to global rank ceil(r·N/n); both rank passes run through
+      // cellRank's two-phase micro-cell selection (no whole-corpus
+      // single-partition sort), and the value lookup is ONE equi-join of
+      // the ranked corpus against the global (rank → value) relation.
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+      val ranked = Profile.cellRank(o, Seq("grp"), "cents",
+                                    Seq("o_orderkey"))
+      val globalRanked = Profile
+        .cellRank(o.withColumn("_all", graft.functions.DimKey.one),
+                  Seq("_all"), "cents", Seq("o_orderkey"))
+        .select(col("cents").as("gcents"), col("_rank").as("grank"))
+      val total = o.agg(count(lit(1)).as("_gtot"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("_tr", expr("(_rank * _gtot + _n - 1) DIV _n"))
+        .join(globalRanked, col("_tr") === col("grank"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("gcents")).as("norm_sum_cents"),
+             min(col("gcents")).as("norm_min_cents"),
+             max(col("gcents")).as("norm_max_cents"))
+    }),
+    "q444_scd4_split" -> ((s, dir) => {
+      // SCD Type 4 materialization: the dimension splits into a CURRENT
+      // table (one row per key, latest business values, no audit columns —
+      // the type-1-shaped table OLTP-style readers join) and an
+      // append-only HISTORY table carrying every version with the full
+      // audit set. Both derive from ONE SCD2 construction pass; the union
+      // is tagged so the driver checks both tables in one relation.
+      // Current-table rows null the audit columns at the history schema so
+      // the branches union losslessly.
+      val hist = Scd2.initialLoad(SparkEntry.ev(s, dir), SparkEntry.evCfg)
+      val history = hist.select(
+        lit("history").as("tbl"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"),
+        col("_is_current"), col("_valid_from"), col("_valid_to"),
+        col("_change_type"))
+      val current = hist.filter(col("_is_current")).select(
+        lit("current").as("tbl"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"),
+        // keep the (trivially-true) flag: a NULL BOOLEAN column round-trips
+        // as object-None in Spark parquet but float-NaN from DuckDB, which
+        // the stringified compare can't unify; timestamps/strings null fine
+        col("_is_current"),
+        lit(null).cast("timestamp").as("_valid_from"),
+        lit(null).cast("timestamp").as("_valid_to"),
+        lit(null).cast("string").as("_change_type"))
+      history.unionByName(current)
+    }),
+    "q445_theil_sen" -> ((s, dir) => {
+      // Robust daily-revenue trend: the Theil–Sen estimator (median of all
+      // pairwise slopes) beside its OLS companion, both in EXACT integer
+      // milli-cents-per-day. Pairwise slopes enumerate at DAY grain (the
+      // year's 365-row aggregate, never order rows), so the quadratic term
+      // is bounded; the median is rank selection over that bounded
+      // relation. Slopes can be negative: both engines' integer division
+      // TRUNCATES toward zero on BIGINT (Spark DIV and DuckDB //, verified
+      // -7//2 = -3 on both), so the quotients agree with no floor-identity
+      // shim; the convention is pinned here because trunc-vs-floor is the
+      // classic cross-engine trap for negative numerators.
+      val daily = Tables.read(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_orderdate"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("rev"))
+        .select(datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+                  .as("x"),
+                col("rev"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), col("b.x") > col("a.x"))
+        .select(col("a.x").as("xa"), col("b.x").as("xb"),
+                (col("b.rev") - col("a.rev")).as("dy"),
+                (col("b.x") - col("a.x")).as("dx"))
+        .withColumn("slope_milli", expr("dy * 1000L DIV dx"))
+      val wMed = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("slope_milli"), col("xa"), col("xb"))
+      val med = pairs
+        .withColumn("_rn", row_number().over(wMed))
+        .withColumn("_np", count(lit(1)).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+        .filter(col("_rn") === expr("(_np + 1) DIV 2"))
+        .select(col("_np").as("n_pairs"),
+                col("slope_milli").as("theil_sen_slope_milli"))
+      val ols = daily
+        .agg(count(lit(1)).as("_n"), sum(col("x")).as("_sx"),
+             sum(col("rev")).as("_sy"), sum(col("x") * col("x")).as("_sxx"),
+             sum(col("x") * col("rev")).as("_sxy"))
+        .select(col("_n").as("n_days"),
+                expr("(_n * _sxy - _sx * _sy) * 1000L" +
+                     " DIV (_n * _sxx - _sx * _sx)").as("ols_slope_milli"))
+      med.crossJoin(broadcast(ols))
+        .select(col("n_days"), col("n_pairs"),
+                col("theil_sen_slope_milli"), col("ols_slope_milli"))
+    }),
+    "q446_cms_join_size" -> ((s, dir) => {
+      // Join-size estimation by count-min inner product — the optimizer
+      // primitive that prices a self-join WITHOUT running it: the
+      // per-row Σ bucket² of the CMS grid upper-bounds Σ c_u² (collisions
+      // only add cross terms), and min over the d rows tightens it. The
+      // sketch is one combine-enabled aggregate over the fact; the exact
+      // companion (the true self-join cardinality on user_id) comes from
+      // the key-grain rollup, never the join itself. Verdicts are
+      // driver-checked: the estimate must dominate the exact size and sit
+      // inside the 4·N²/width Markov slop (xxhash64 has no DuckDB
+      // counterpart, so the oracle replays the exact side and the verdict
+      // booleans — the q208 pattern).
+      val evd = SparkEntry.ev(s, dir).select(col("user_id"))
+      val exact = evd.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+             sum(col("c") * col("c")).as("exact_pairs"))
+      val width = 4096
+      val est = Sketches.cmsTable(evd, "user_id", depth = 3, width = width)
+        .groupBy(col("row"))
+        .agg(sum(col("cnt") * col("cnt")).as("_ip"))
+        .agg(min(col("_ip")).as("cms_pairs"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_rows"), col("exact_pairs"),
+                (col("cms_pairs") >= col("exact_pairs")).as("est_dominates"),
+                (col("cms_pairs") <= col("exact_pairs")
+                   + expr(s"4L * n_rows * n_rows DIV $width"))
+                  .as("est_within_slop"))
+    }),
+    "q447_ks_distance" -> ((s, dir) => {
+      // Exact two-sample Kolmogorov–Smirnov distance between weekday and
+      // weekend order-value distributions, all-integer: the step-function
+      // supremum is attained at observed values, so D = max over the
+      // VALUE-GRAIN rollup of |cum_wd·n_we − cum_we·n_wd| (cross-products
+      // instead of rational CDFs). Cumulatives run through
+      // Profile.cumSumByValue's micro-cell two-phase plan — no
+      // whole-relation single-partition sort anywhere; the classic
+      // distribution-shift test with a hash-checkable answer.
+      val o = Tables.read(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        when(dayofweek(col("o_orderdate")).isin(1, 7), 1L).otherwise(0L)
+          .as("is_we"))
+      val byValue = o.groupBy(col("cents"))
+        .agg(sum(lit(1L) - col("is_we")).as("n_wd"),
+             sum(col("is_we")).as("n_we"))
+      Profile.cumSumByValue(byValue, "cents", Seq("n_wd", "n_we"))
+        .crossJoin(broadcast(
+          o.agg(sum(lit(1L) - col("is_we")).as("t_wd"),
+                sum(col("is_we")).as("t_we"))))
+        .select(col("t_wd"), col("t_we"),
+                abs(col("cum_n_wd") * col("t_we")
+                      - col("cum_n_we") * col("t_wd")).as("_d"))
+        .groupBy(col("t_wd"), col("t_we"))
+        .agg(max(col("_d")).as("d_num"))
+        .select(col("t_wd").as("n_weekday"), col("t_we").as("n_weekend"),
+                col("d_num"),
+                expr("d_num * 1000000L DIV (t_wd * t_we)").as("ks_ppm"))
+    }),
+    "q448_hll_intersect" -> ((s, dir) => {
+      // Audience-overlap estimation by HLL inclusion–exclusion:
+      // |A∩B| ≈ |A| + |B| − |A∪B| from three approx_count_distinct
+      // sketches (first-half vs second-half active users) — the overlap
+      // you can answer from PRE-AGGREGATED per-period sketches without
+      // re-scanning either period. Inclusion–exclusion AMPLIFIES sketch
+      // error (three ±rsd estimates combine), which is exactly what the
+      // exact companion + tolerance verdict prices: the driver re-derives
+      // the exact intersection and checks the estimate inside 15% + 5.
+      val cut = to_timestamp(lit("2024-01-16"))
+      val e = SparkEntry.ev(s, dir)
+        .select(col("user_id"), (col("ts") < cut).as("_first"))
+      val est = e.agg(
+        approx_count_distinct(when(col("_first"), col("user_id")), 0.05)
+          .as("est_a"),
+        approx_count_distinct(when(!col("_first"), col("user_id")), 0.05)
+          .as("est_b"),
+        approx_count_distinct(col("user_id"), 0.05).as("est_u"))
+        .withColumn("est_intersect", col("est_a") + col("est_b")
+                      - col("est_u"))
+      val exact = e.groupBy(col("user_id"))
+        .agg(max(when(col("_first"), 1L).otherwise(0L)).as("_a"),
+             max(when(!col("_first"), 1L).otherwise(0L)).as("_b"))
+        .agg(sum(col("_a") * col("_b")).as("exact_intersect"))
+      est.crossJoin(broadcast(exact))
+        .select(col("exact_intersect"),
+                (abs(col("est_intersect") - col("exact_intersect"))
+                   <= expr("exact_intersect * 15 DIV 100 + 5"))
+                  .as("est_in_tolerance"))
+    }),
+    "q449_business_days" -> ((s, dir) => {
+      // Order-to-last-ship fulfillment lag in BUSINESS days per priority:
+      // the Mon–Fri interval count from functions.DateArith's closed-form
+      // prefix f(d) = 5·⌊t/7⌋ + min(t mod 7, 5) — pure integer day
+      // algebra, no session calendar, no UDF, replayed verbatim by the
+      // oracle. The SLA metric calendars make subtly engine-dependent,
+      // pinned exact. Last-ship aggregates BEFORE the orders join, so the
+      // join carries one row per order.
+      val lastShip = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("_ship_d"))
+      Tables.read(s, dir, "orders")
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+                graft.functions.DateArith
+                  .businessDaysBetween(to_date(col("o_orderdate")),
+                                       col("_ship_d"))
+                  .as("_bd"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("_bd")).as("sum_bdays"),
+             min(col("_bd")).as("min_bdays"),
+             max(col("_bd")).as("max_bdays"))
+        .withColumn("avg_bdays_milli",
+                    expr("sum_bdays * 1000L DIV n_orders"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q442_auc_rank" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, count(*) AS score,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 90
+         |        THEN 1 ELSE 0 END)
+         |      AS label
+         |  FROM src GROUP BY 1),
+         |b AS (SELECT score, sum(label) AS npos, sum(1 - label) AS nneg
+         |  FROM u GROUP BY 1),
+         |c AS (SELECT *, sum(nneg) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nneg
+         |      AS cumneg FROM b)
+         |SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+         |  CAST(sum(nneg) AS BIGINT) AS n_neg,
+         |  CAST(sum(npos * (2 * cumneg + nneg)) AS BIGINT) AS auc_num2,
+         |  CAST(CASE WHEN sum(npos) > 0 AND sum(nneg) > 0 THEN
+         |    sum(npos * (2 * cumneg + nneg)) * 1000000
+         |      // (2 * sum(npos) * sum(nneg)) END AS BIGINT) AS auc_ppm
+         |FROM c""".stripMargin,
+    "q443_quantile_normalize" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders),
+        |g AS (SELECT *,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM o),
+        |gl AS (SELECT cents AS gcents,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS grank FROM o),
+        |t AS (SELECT grp, (r * (SELECT count(*) FROM o) + n - 1) // n AS tr
+        |  FROM g)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(gcents) AS BIGINT) AS norm_sum_cents,
+        |  CAST(min(gcents) AS BIGINT) AS norm_min_cents,
+        |  CAST(max(gcents) AS BIGINT) AS norm_max_cents
+        |FROM t JOIN gl ON t.tr = gl.grank
+        |GROUP BY grp""".stripMargin,
+    "q444_scd4_split" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |scd AS (
+         |  WITH ${SparkEntry.scd2FullSql(SparkEntry.AllCheck,
+                                          deletes = false)})
+         |SELECT 'history' AS tbl, event_id, ts, user_id, event_type, value,
+         |  props, _is_current, _valid_from, _valid_to, _change_type
+         |FROM scd
+         |UNION ALL
+         |SELECT 'current', event_id, ts, user_id, event_type, value, props,
+         |  _is_current, CAST(NULL AS TIMESTAMP),
+         |  CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+         |FROM scd WHERE _is_current""".stripMargin,
+    "q445_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |p AS (SELECT a.x AS xa, b.x AS xb,
+        |    (b.rev - a.rev) * 1000 AS dy1000, b.x - a.x AS dx
+        |  FROM daily a JOIN daily b ON b.x > a.x),
+        |sl AS (SELECT xa, xb, dy1000 // dx AS slope_milli FROM p),
+        |r AS (SELECT slope_milli,
+        |    row_number() OVER (ORDER BY slope_milli, xa, xb) AS rn,
+        |    count(*) OVER () AS np FROM sl),
+        |med AS (SELECT CAST(np AS BIGINT) AS n_pairs,
+        |    CAST(slope_milli AS BIGINT) AS theil_sen_slope_milli
+        |  FROM r WHERE rn = (np + 1) // 2),
+        |st AS (SELECT count(*) AS n, sum(x) AS sx, sum(rev) AS sy,
+        |    sum(x * x) AS sxx, sum(x * rev) AS sxy FROM daily),
+        |ols AS (SELECT CAST(n AS BIGINT) AS n_days,
+        |    CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+        |      AS BIGINT) AS ols_slope_milli FROM st)
+        |SELECT n_days, n_pairs, theil_sen_slope_milli, ols_slope_milli
+        |FROM med CROSS JOIN ols""".stripMargin,
+    "q446_cms_join_size" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |c AS (SELECT user_id, count(*) AS c FROM src GROUP BY 1)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+         |  TRUE AS est_dominates, TRUE AS est_within_slop
+         |FROM c""".stripMargin,
+    "q447_ks_distance" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END
+        |      AS is_we
+        |  FROM orders),
+        |b AS (SELECT cents, sum(1 - is_we) AS n_wd, sum(is_we) AS n_we
+        |  FROM o GROUP BY 1),
+        |c AS (SELECT *,
+        |    sum(n_wd) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_wd,
+        |    sum(n_we) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_we
+        |  FROM b),
+        |t AS (SELECT sum(1 - is_we) AS t_wd, sum(is_we) AS t_we FROM o)
+        |SELECT CAST(t_wd AS BIGINT) AS n_weekday,
+        |  CAST(t_we AS BIGINT) AS n_weekend,
+        |  CAST(max(abs(cum_wd * t_we - cum_we * t_wd)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum_wd * t_we - cum_we * t_wd)) * 1000000
+        |       // (t_wd * t_we) AS BIGINT) AS ks_ppm
+        |FROM c CROSS JOIN t GROUP BY t_wd, t_we""".stripMargin,
+    "q448_hll_intersect" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |x AS (SELECT user_id,
+         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+         |      AS a,
+         |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+         |      AS b
+         |  FROM src GROUP BY 1)
+         |SELECT CAST(sum(a * b) AS BIGINT) AS exact_intersect,
+         |  TRUE AS est_in_tolerance
+         |FROM x""".stripMargin,
+    "q449_business_days" ->
+      """WITH ls AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS sd
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority,
+        |    date_diff('day', DATE '1970-01-05',
+        |              CAST(o.o_orderdate AS DATE)) AS t1,
+        |    date_diff('day', DATE '1970-01-05', ls.sd) AS t2
+        |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+        |f AS (SELECT o_orderpriority,
+        |    ((t2 - t2 % 7) // 7 * 5 + least(t2 % 7, 5))
+        |  - ((t1 - t1 % 7) // 7 * 5 + least(t1 % 7, 5)) AS bd
+        |  FROM d)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(bd) AS BIGINT) AS sum_bdays,
+        |  CAST(min(bd) AS BIGINT) AS min_bdays,
+        |  CAST(max(bd) AS BIGINT) AS max_bdays,
+        |  CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS avg_bdays_milli
+        |FROM f GROUP BY 1""".stripMargin
+  )
+}

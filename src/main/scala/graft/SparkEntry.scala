@@ -20,7 +20,7 @@ object SparkEntry {
   /** SCD2 config used by the event-stream queries: key = user_id,
     * event time = ts; event_id never participates in change detection.
     */
-  private val evCfg = ScdConfig(
+  private[graft] val evCfg = ScdConfig(
     uniqueKey = Seq("user_id"),
     updatedAtCol = "ts",
     changeExclude = Seq("event_id"))
@@ -48,7 +48,7 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  private def ev(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
   /** events with a soft-delete column derived from the payload: an 'error'
@@ -71,7 +71,7 @@ object SparkEntry {
                 updatedAtCol = "l_shipdate"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries
+    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries ++ R8Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- SCD2 (SURVEY §2: S1-S4, P1-P7, J1-J4, D1/D4, W1-W7, U1) ---------
@@ -4404,7 +4404,7 @@ object SparkEntry {
 
   // Shared DuckDB fragments. `ts` is TIMESTAMP_NS in DuckDB; CAST floors to
   // microseconds exactly like the Spark-side `timestamp_micros(ts div 1000)`.
-  private val SrcCte =
+  private[graft] val SrcCte =
     "src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
   private val SrcDelCte =
     "src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props, " +
@@ -4414,7 +4414,7 @@ object SparkEntry {
     * get_initial_load_scd2_sql.sql with the same md5 surrogate hashing so the
     * kept-row set matches exactly.
     */
-  private def scd2FullSql(checkCols: Seq[String],
+  private[graft] def scd2FullSql(checkCols: Seq[String],
                           deletes: Boolean,
                           from: String = "src"): String = {
     val hash = "md5(concat_ws('-', " +
@@ -4452,7 +4452,7 @@ object SparkEntry {
        |FROM changes_only""".stripMargin
   }
 
-  private val AllCheck = Seq("event_type", "value", "props")
+  private[graft] val AllCheck = Seq("event_type", "value", "props")
 
   /** Two-phase SCD2 simulation, DuckDB-side: initial load over `targetWhere`
     * rows, then an incremental run with the `deltaWhere` rows.
@@ -8409,7 +8409,7 @@ object SparkEntry {
         |FROM o GROUP BY 1""".stripMargin
   )
 
-  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ R8Queries.oracleSql ++ Map(
     // q198: the store after three streamed micro-batches must equal the
     // one-shot rollup over the same rows (merge algebra == full recompute).
     "q198_stream_rollup" ->

@@ -494,4 +494,57 @@ object Profile {
         .withColumn("violation_ppm",
                     expr("n_violating * 1000000L DIV n_lhs"))
     }.reduce(_ unionByName _)
+
+  /** Scale-safe exact running sums over a value-ordered relation: for each
+    * row, the cumulative (inclusive) sum of every column in `measures`
+    * across all rows with a smaller-or-equal `valueCol` — the prefix-sum
+    * primitive behind empirical CDFs and KS-style distribution distances.
+    *
+    * The naive `sum(m).over(orderBy(value))` is ONE task sorting the whole
+    * relation. Here the [[cellRank]] decomposition applies to sums: rows
+    * quantize into `microBins` monotone cells, one combine-enabled
+    * aggregate produces per-cell totals, a window over the ≤ microBins
+    * cell rollup yields each cell's preceding-cells total, and the
+    * within-cell running sum runs per CELL partition; the global cumulative
+    * is the cell prefix plus the within-cell running sum. Exact longs,
+    * bit-identical to the naive window.
+    *
+    * `valueCol` must be distinct per row (value-grain input — aggregate
+    * first), non-null, numeric; `measures` must be integral.
+    */
+  def cumSumByValue(df: DataFrame, valueCol: String,
+                    measures: Seq[String],
+                    microBins: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("_cs_mn"),
+                        max(col(valueCol)).cast("double").as("_cs_mx"))
+    val rawCell = floor((col(valueCol).cast("double") - col("_cs_mn"))
+      * lit(microBins.toDouble) / (col("_cs_mx") - col("_cs_mn")))
+    val cell = when(col("_cs_mx") === col("_cs_mn"), lit(0L))
+      .otherwise(least(greatest(rawCell, lit(0.0)), lit(microBins - 1.0)))
+      .cast("long")
+    val withCell = df.crossJoin(broadcast(bounds))
+      .withColumn("_cs_cell", cell)
+      .drop("_cs_mn", "_cs_mx")
+    // The cell rollup is ≤ microBins rows — the sanctioned dimension-sized
+    // single-partition window (declared via DimKey.one for the lint).
+    val wCells = Window.partitionBy(graft.functions.DimKey.one)
+      .orderBy(col("_cs_cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withCell
+      .groupBy(col("_cs_cell"))
+      .agg(measures.map(m => sum(col(m)).as(s"_cs_t_$m")).head,
+           measures.map(m => sum(col(m)).as(s"_cs_t_$m")).tail: _*)
+      .select(col("_cs_cell") +: measures.map(m =>
+        (sum(col(s"_cs_t_$m")).over(wCells) - col(s"_cs_t_$m"))
+          .as(s"_cs_p_$m")): _*)
+    val wInCell = Window.partitionBy(col("_cs_cell")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    measures.foldLeft(withCell.join(offsets, Seq("_cs_cell"))) {
+      (acc, m) =>
+        acc.withColumn(s"cum_$m",
+                       col(s"_cs_p_$m") + sum(col(m)).over(wInCell))
+          .drop(s"_cs_p_$m")
+    }.drop("_cs_cell")
+  }
 }
