@@ -260,6 +260,38 @@ object R8Queries {
              max(col("_bd")).as("max_bdays"))
         .withColumn("avg_bdays_milli",
                     expr("sum_bdays * 1000L DIV n_orders"))
+    }),
+    "q450_txn_publish" -> ((s, dir) => {
+      // The q444 SCD Type 4 pair driven through STORAGE with the
+      // multi-table transaction layer: current + history are published by
+      // ONE VersionedTable.publishAll (write-ahead txn file = the commit
+      // point, so no reader can ever join a new current against an old
+      // history), read back via readAllLatest's pinned-version view, and
+      // union-tagged. The oracle is the same relation q444 derives in
+      // memory — the storage round trip and txn plumbing must be
+      // invisible to results.
+      val base = java.nio.file.Files.createTempDirectory("q450_txn")
+        .toString
+      val hist = Scd2.initialLoad(SparkEntry.ev(s, dir), SparkEntry.evCfg)
+      val currentStored = hist.filter(col("_is_current")).select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      VersionedTable.publishAll(
+        s, Seq("current" -> currentStored, "history" -> hist), base)
+      val t = VersionedTable.readAllLatest(s, base)
+      val history = t("history").select(
+        lit("history").as("tbl"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"),
+        col("_is_current"), col("_valid_from"), col("_valid_to"),
+        col("_change_type"))
+      val current = t("current").select(
+        lit("current").as("tbl"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"),
+        lit(true).as("_is_current"),
+        lit(null).cast("timestamp").as("_valid_from"),
+        lit(null).cast("timestamp").as("_valid_to"),
+        lit(null).cast("string").as("_change_type"))
+      history.unionByName(current)
     })
   )
 
@@ -394,6 +426,19 @@ object R8Queries {
         |  CAST(min(bd) AS BIGINT) AS min_bdays,
         |  CAST(max(bd) AS BIGINT) AS max_bdays,
         |  CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS avg_bdays_milli
-        |FROM f GROUP BY 1""".stripMargin
+        |FROM f GROUP BY 1""".stripMargin,
+    "q450_txn_publish" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |scd AS (
+         |  WITH ${SparkEntry.scd2FullSql(SparkEntry.AllCheck,
+                                          deletes = false)})
+         |SELECT 'history' AS tbl, event_id, ts, user_id, event_type, value,
+         |  props, _is_current, _valid_from, _valid_to, _change_type
+         |FROM scd
+         |UNION ALL
+         |SELECT 'current', event_id, ts, user_id, event_type, value, props,
+         |  TRUE, CAST(NULL AS TIMESTAMP),
+         |  CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+         |FROM scd WHERE _is_current""".stripMargin
   )
 }

@@ -160,4 +160,117 @@ object VersionedTable {
     }
     publish(spark, next, root)
   }
+
+  // -------------------------------------------------------------------
+  // Multi-table transactions
+  // -------------------------------------------------------------------
+
+  private val TxnDir = "_txn"
+
+  /** Atomically publish SEVERAL tables as one transaction: every table in
+    * `snapshots` becomes visible to [[readAllLatest]] together, or not at
+    * all. The mechanism is a write-ahead commit file: all data directories
+    * land first (invisible — no markers), then ONE `<base>/_txn/<id>` file
+    * (atomic create) pins each table's new version; that file IS the
+    * commit point. Per-table `_COMMITTED` markers are then derived so
+    * single-table readers ([[read]]) converge too — a crash between the
+    * txn file and the markers is repaired by [[recoverMarkers]], never
+    * half-visible: txn readers were already consistent, and single-table
+    * readers stay on the previous version until repair.
+    *
+    * This is what a current+history SCD Type 4 pair, or a fact table and
+    * its aggregate summary, need so no reader ever joins table A's new
+    * version against table B's old one. Same single-writer assumption as
+    * [[publish]].
+    *
+    * Returns the txn id.
+    */
+  def publishAll(spark: SparkSession,
+                 snapshots: Seq[(String, DataFrame)],
+                 base: String): Long = {
+    require(snapshots.nonEmpty &&
+              snapshots.map(_._1).distinct.size == snapshots.size,
+            "snapshots must be non-empty with distinct table names")
+    require(snapshots.forall(!_._1.exists("/=\\".contains(_))),
+            "table names must be plain path fragments")
+    val f = fs(spark, base)
+    // Next version per table counts EVERY existing v-dir (committed or
+    // not): an uncommitted dir may already be pinned by a txn file racing
+    // through marker repair, so numbers are never reused.
+    val pinned = snapshots.map { case (name, df) =>
+      val root = s"$base/$name"
+      val rootPath = new Path(root)
+      val existing =
+        if (!f.exists(rootPath)) Seq.empty[Long]
+        else f.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(VPrefix))
+          .map(_.getPath.getName.stripPrefix(VPrefix).toLong)
+      val next = (existing.sorted.lastOption.getOrElse(0L)) + 1L
+      df.write.mode("overwrite").parquet(s"$root/$VPrefix$next")
+      name -> next
+    }
+    val txnId = latestTxnId(f, base).getOrElse(0L) + 1L
+    val out = f.create(new Path(s"$base/$TxnDir/$txnId"), false)
+    out.write(pinned.map { case (n, v) => s"$n $v" }
+                .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    recoverMarkers(spark, base)
+    txnId
+  }
+
+  private def latestTxnId(f: FileSystem, base: String): Option[Long] = {
+    val dir = new Path(s"$base/$TxnDir")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted.lastOption
+  }
+
+  private def txnPins(f: FileSystem, base: String,
+                      txnId: Long): Seq[(String, Long)] = {
+    val in = f.open(new Path(s"$base/$TxnDir/$txnId"))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(n, v) = line.split(" ")
+        n -> v.toLong
+      }
+  }
+
+  /** The latest transaction's consistent cross-table view: each pinned
+    * table read at exactly the version the txn committed — immune to a
+    * concurrent publish that has landed some tables' data but not its txn
+    * file.
+    */
+  def readAllLatest(spark: SparkSession,
+                    base: String): Map[String, DataFrame] = {
+    val f = fs(spark, base)
+    val txnId = latestTxnId(f, base).getOrElse(
+      throw new IllegalStateException(s"no committed transaction at $base"))
+    txnPins(f, base, txnId).map { case (name, v) =>
+      name -> spark.read.parquet(s"$base/$name/$VPrefix$v")
+    }.toMap
+  }
+
+  /** Repair per-table `_COMMITTED` markers from committed txn files (the
+    * write-ahead log is the source of truth). Idempotent; call after a
+    * crash between a txn commit and its marker fan-out.
+    */
+  def recoverMarkers(spark: SparkSession, base: String): Unit = {
+    val f = fs(spark, base)
+    latestTxnId(f, base).foreach { txnId =>
+      (1L to txnId).foreach { id =>
+        if (f.exists(new Path(s"$base/$TxnDir/$id")))
+          txnPins(f, base, id).foreach { case (name, v) =>
+            val marker = new Path(s"$base/$name/$VPrefix$v/$Committed")
+            if (!f.exists(marker)) f.create(marker, true).close()
+          }
+      }
+    }
+  }
 }
