@@ -292,7 +292,24 @@ object R8Queries {
         lit(null).cast("timestamp").as("_valid_to"),
         lit(null).cast("string").as("_change_type"))
       history.unionByName(current)
-    })
+    }),
+    "q451_conformance" -> ((s, dir) =>
+      // Process-conformance histogram: per-user 6-event traces measured by
+      // character levenshtein against the deterministic MODAL trace
+      // (struct-min argmax over the path rollup — an aggregate, no global
+      // window). The process-mining "how far do journeys deviate" report.
+      Funnel.conformance(SparkEntry.ev(s, dir), "user_id", "ts",
+                         "event_id", "event_type", maxLen = 6)),
+    "q452_audio_frames" -> ((s, dir) =>
+      // Sample-level PCM analytics off the REAL WAV container: frame
+      // energy over the data chunk's 8-bit unsigned samples ((v−128)²,
+      // 100-byte frames), total/max/loud-frame counts — the VAD /
+      // silence-trim front door of audio curation, all-integer so the
+      // oracle recomputes every number from the same text-derived bytes
+      // (including the stereo even-byte padding rule).
+      Multimodal.audioFrameStats(
+        Multimodal.fromDocuments(
+          Tables.spread(s, Tables.read(s, dir, "documents")))).toDF())
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -439,6 +456,43 @@ object R8Queries {
          |SELECT 'current', event_id, ts, user_id, event_type, value, props,
          |  TRUE, CAST(NULL AS TIMESTAMP),
          |  CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
-         |FROM scd WHERE _is_current""".stripMargin
+         |FROM scd WHERE _is_current""".stripMargin,
+    "q451_conformance" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |p AS (SELECT user_id, array_to_string(
+         |    (list(event_type ORDER BY ts, event_id))[1:6], '>') AS trace
+         |  FROM src GROUP BY 1),
+         |m AS (SELECT trace AS modal FROM (
+         |    SELECT trace, count(*) AS n FROM p GROUP BY 1)
+         |  ORDER BY n DESC, trace ASC LIMIT 1)
+         |SELECT m.modal AS modal_trace,
+         |  CAST(levenshtein(p.trace, m.modal) AS INT) AS dist,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM p CROSS JOIN m GROUP BY 1, 2""".stripMargin,
+    "q452_audio_frames" ->
+      """WITH a AS (SELECT doc_id, text, length(text) AS chars
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |c AS (SELECT doc_id, text, chars, 1 + chars % 2 AS channels FROM a),
+        |p AS (SELECT *,
+        |    chars + (channels - chars % channels) % channels AS plen
+        |  FROM c),
+        |b0 AS (SELECT doc_id, channels, plen, chars, text,
+        |    unnest(range(1, plen + 1)) AS i FROM p),
+        |b AS (SELECT doc_id, channels, plen,
+        |    CASE WHEN i <= chars
+        |         THEN ascii(substr(text, CAST(i AS INT), 1))
+        |         ELSE 0 END AS v,
+        |    i FROM b0),
+        |e AS (SELECT doc_id, channels, plen, (i - 1) // 100 AS frame,
+        |    sum((v - 128) * (v - 128)) AS fe
+        |  FROM b GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(channels AS INT) AS channels,
+        |  CAST(plen AS BIGINT) AS n_bytes,
+        |  CAST(sum(fe) AS BIGINT) AS total_energy,
+        |  CAST(max(fe) AS BIGINT) AS max_frame_energy,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN fe >= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_loud_frames
+        |FROM e GROUP BY 1, 2, 3""".stripMargin
   )
 }

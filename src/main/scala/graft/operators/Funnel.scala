@@ -268,4 +268,41 @@ object Funnel {
           x => x.getField("y")), ">").as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** Process-conformance report: how far each user's event trace strays
+    * from the corpus's MODAL trace, as a distance histogram. Trace = the
+    * ordered first-`maxLen` event types joined by '>' (same construction
+    * as [[paths]]); the modal trace is the deterministic argmax of the
+    * path rollup (count desc, trace asc via struct-min — an AGGREGATE,
+    * never a global window); deviation is character-level `levenshtein`
+    * against the broadcast modal — one narrow pass over user-grain rows.
+    * The process-mining primitive ("which journeys deviate, and by how
+    * much") with an engine-exact answer.
+    *
+    * Output: (modal_trace, dist, n_users).
+    */
+  def conformance(df: DataFrame,
+                  userCol: String,
+                  tsCol: String,
+                  idCol: String,
+                  typeCol: String,
+                  maxLen: Int = 6): DataFrame = {
+    val traces = df.groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(struct(col(tsCol).as("t"),
+                                               col(idCol).as("i"),
+                                               col(typeCol).as("y")))),
+                1, maxLen),
+          x => x.getField("y")), ">").as("trace"))
+    val modal = traces.groupBy(col("trace"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(min(struct((-col("_n")).as("_neg"), col("trace").as("_t")))
+             .getField("_t").as("modal_trace"))
+    traces.crossJoin(broadcast(modal))
+      .select(col("modal_trace"),
+              levenshtein(col("trace"), col("modal_trace")).as("dist"))
+      .groupBy(col("modal_trace"), col("dist"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

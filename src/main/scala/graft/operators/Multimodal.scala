@@ -364,4 +364,71 @@ object Multimodal {
   /** The full pipeline over `documents`: ingest → batched decode/feature. */
   def featuresFromDocuments(docs: DataFrame): DataFrame =
     extractFeatures(fromDocuments(docs)).toDF()
+
+  /** Locate a WAV's `data` chunk inside the container and return exactly
+    * its bytes (the padded PCM stream) — a real chunk walk, so the sample
+    * analytics below run off the CONTAINER, not the pre-container payload.
+    */
+  def wavDataChunk(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+            "not a WAV: bad RIFF/WAVE header")
+    var off = 12
+    while (off + 8 <= b.length) {
+      val ct = tag(b, off)
+      val clen = readLe32(b, off + 4)
+      if (ct == "data") return java.util.Arrays.copyOfRange(b, off + 8, off + 8 + clen)
+      off += 8 + clen + (clen % 2)
+    }
+    throw new IllegalArgumentException("WAV: no data chunk")
+  }
+
+  final case class AudioFrameStats(doc_id: Long,
+                                   channels: Int,
+                                   n_bytes: Long,
+                                   total_energy: Long,
+                                   max_frame_energy: Long,
+                                   n_frames: Long,
+                                   n_loud_frames: Long)
+
+  /** Sample-level PCM analytics over the audio rows: 8-bit unsigned PCM
+    * (silence midpoint 128), energy per byte = (v−128)², frames of
+    * `frameBytes` bytes, a frame is "loud" when its energy ≥ `loudMin`.
+    * All-integer, computed from the container's data chunk via
+    * [[wavDataChunk]] in one batched `mapPartitions` pass — the
+    * silence-trim / VAD front-door of an audio curation pipeline, with the
+    * same Spark plumbing a real codec UDF would use.
+    */
+  def audioFrameStats(media: Dataset[MediaRecord],
+                      frameBytes: Int = 100,
+                      loudMin: Long = 50000L): Dataset[AudioFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val pcm = wavDataChunk(r.container)
+          val hdr = parseWav(r.container)
+          var total = 0L
+          var maxFrame = 0L
+          var loud = 0L
+          var frameSum = 0L
+          var i = 0
+          while (i < pcm.length) {
+            val d = (pcm(i) & 0xff) - 128
+            frameSum += d.toLong * d
+            i += 1
+            if (i % frameBytes == 0 || i == pcm.length) {
+              total += frameSum
+              if (frameSum > maxFrame) maxFrame = frameSum
+              if (frameSum >= loudMin) loud += 1
+              frameSum = 0L
+            }
+          }
+          val nFrames = (pcm.length.toLong + frameBytes - 1) / frameBytes
+          AudioFrameStats(r.doc_id, hdr.channels, pcm.length.toLong,
+                          total, maxFrame, nFrames, loud)
+        }
+      }
+    }
+  }
 }
