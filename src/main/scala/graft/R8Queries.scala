@@ -309,7 +309,62 @@ object R8Queries {
       // (including the stereo even-byte padding rule).
       Multimodal.audioFrameStats(
         Multimodal.fromDocuments(
-          Tables.spread(s, Tables.read(s, dir, "documents")))).toDF())
+          Tables.spread(s, Tables.read(s, dir, "documents")))).toDF()),
+    "q453_plan_contract" -> ((s, dir) => {
+      // Physical-plan CONTRACTS inside the correctness gate: the
+      // scale-critical shapes the verdicts audit by hand — star joins stay
+      // all-broadcast with no SMJ, the top-k plans TakeOrderedAndProject
+      // with no global Sort, the SCD2 construction pays exactly ONE
+      // exchange, the bloom prune keeps its pushed scan filter — pinned as
+      // booleans the oracle expects TRUE. A plan regression (lost
+      // broadcast, resurrected global sort, extra shuffle) now fails the
+      // driver hash compare immediately instead of surfacing as a bench
+      // anomaly rounds later. Counts probed stable across sf0.001/sf0.01
+      // under the harness session conf.
+      import graft.plans.PlanContract._
+      import s.implicits._
+      val star = SparkEntry.queries("q57_star_join")(s, dir)
+      val topk = SparkEntry.queries("q94_shipping_priority")(s, dir)
+      val scd = SparkEntry.queries("q01_scd2_initial")(s, dir)
+      val bloom = SparkEntry.queries("q122_bloom_prune")(s, dir)
+      Seq(
+        ("star_all_broadcast",
+         count(star, "BroadcastHashJoin") == 3 &&
+           count(star, "SortMergeJoin") == 0),
+        ("star_three_exchanges", count(star, "Exchange") == 3),
+        ("topk_take_ordered",
+         count(topk, "TakeOrderedAndProject") == 1 &&
+           count(topk, "Sort") == 0),
+        ("topk_broadcast_dims",
+         count(topk, "BroadcastHashJoin") == 2 &&
+           count(topk, "SortMergeJoin") == 0),
+        ("scd2_single_exchange",
+         count(scd, "Exchange") == 1 && count(scd, "Sort") == 1 &&
+           count(scd, "Window") == 3),
+        ("bloom_pushed_scan",
+         contains(bloom, "PushedFilters: [Is") &&
+           count(bloom, "BroadcastHashJoin") == 1)
+      ).toDF("contract", "ok")
+    }),
+    "q454_result_cache" -> ((s, dir) => {
+      // Fingerprint-keyed result cache: the same rollup built TWICE as
+      // independent DataFrames runs once — the second call keys into the
+      // canonicalized-optimized-plan md5 and reads the materialized
+      // parquet. Emits the rollup plus both hit flags (miss, then hit);
+      // the cache being semantic (exprId-normalized), not object-identity,
+      // is the point under test.
+      val base = java.nio.file.Files.createTempDirectory("q454_rc")
+        .toString
+      def rollup = Tables.read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val (_, h1) = graft.plans.ResultCache.through(rollup, base)
+      val (r2, h2) = graft.plans.ResultCache.through(rollup, base)
+      r2.withColumn("first_was_hit", lit(h1))
+        .withColumn("second_was_hit", lit(h2))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -493,6 +548,18 @@ object R8Queries {
         |  CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST(sum(CASE WHEN fe >= 50000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_loud_frames
-        |FROM e GROUP BY 1, 2, 3""".stripMargin
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q453_plan_contract" ->
+      """SELECT contract, TRUE AS ok FROM (VALUES
+        |  ('star_all_broadcast'), ('star_three_exchanges'),
+        |  ('topk_take_ordered'), ('topk_broadcast_dims'),
+        |  ('scd2_single_exchange'), ('bloom_pushed_scan')) AS t(contract)
+        |""".stripMargin,
+    "q454_result_cache" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  FALSE AS first_was_hit, TRUE AS second_was_hit
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }
