@@ -364,6 +364,31 @@ object R8Queries {
       val (r2, h2) = graft.plans.ResultCache.through(rollup, base)
       r2.withColumn("first_was_hit", lit(h1))
         .withColumn("second_was_hit", lit(h2))
+    }),
+    "q455_join_elimination" -> ((s, dir) => {
+      // FK-based join elimination through Catalyst: the BI-tool query
+      // shape — orders joined to customer though the report reads ONLY
+      // order columns — loses the join entirely under the declared
+      // referential-integrity constraint (rewritten to a null-FK filter,
+      // preserving inner-join semantics bit-exactly). The oracle runs the
+      // JOINED SQL, so the rewrite must be invisible to results; the
+      // plan boolean pins that no join survived. Session-global rule,
+      // so collect + deregister in finally (the q411 discipline).
+      val dimPath = s"$dir/customer.parquet"
+      graft.plans.JoinElimination.register(s, dimPath, "c_custkey")
+      try {
+        val out = Tables.read(s, dir, "orders")
+          .join(Tables.read(s, dir, "customer"),
+                col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                 .as("cents"))
+        val eliminated = !graft.plans.PlanContract.contains(out, "Join")
+        val rows = out.withColumn("join_eliminated", lit(eliminated))
+        s.createDataFrame(java.util.Arrays.asList(rows.collect(): _*),
+                          rows.schema)
+      } finally graft.plans.JoinElimination.deregister(s, dimPath)
     })
   )
 
@@ -560,6 +585,13 @@ object R8Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents,
         |  FALSE AS first_was_hit, TRUE AS second_was_hit
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q455_join_elimination" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS join_eliminated
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin
   )
 }
