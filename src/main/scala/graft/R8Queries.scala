@@ -389,6 +389,58 @@ object R8Queries {
         s.createDataFrame(java.util.Arrays.asList(rows.collect(): _*),
                           rows.schema)
       } finally graft.plans.JoinElimination.deregister(s, dimPath)
+    }),
+    "q456_decision_stump" -> ((s, dir) => {
+      // Exact decision-stump training: the best single-feature threshold
+      // split (CART's inner loop) found by EXACT misclassification counts
+      // at score grain — cumulative class counts via cumSumByValue's
+      // two-phase plan, both orientations priced per candidate threshold,
+      // argmin by struct-min aggregate with (err, orientation, threshold)
+      // tiebreak. No impurity floats, no sampled thresholds — the split
+      // search at 100 TB is one combine-enabled rollup + a bounded scan.
+      val users = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+             max(when(col("event_type") === "purchase" &&
+                        col("value") > 90, 1L).otherwise(0L))
+               .as("label"))
+      val byScore = users.groupBy(col("score"))
+        .agg(sum(col("label")).as("npos"),
+             sum(lit(1L) - col("label")).as("nneg"))
+      val tot = byScore.agg(sum(col("npos")).as("_P"),
+                            sum(col("nneg")).as("_N"))
+      val cands = Profile.cumSumByValue(byScore, "score",
+                                        Seq("npos", "nneg"))
+        .crossJoin(broadcast(tot))
+        .select(explode(array(
+          struct(expr("cum_npos + (_N - cum_nneg)").as("err"),
+                 lit("right1").as("orient"), col("score").as("thr")),
+          struct(expr("cum_nneg + (_P - cum_npos)").as("err"),
+                 lit("left1").as("orient"), col("score").as("thr"))))
+          .as("c"))
+      cands.agg(min(col("c")).as("best"))
+        .crossJoin(broadcast(tot))
+        .select(col("best.thr").as("threshold"),
+                col("best.orient").as("orientation"),
+                col("best.err").as("n_errors"),
+                expr("(_P + _N - best.err) * 1000000L DIV (_P + _N)")
+                  .as("acc_ppm"))
+    }),
+    "q457_column_lineage" -> ((s, dir) => {
+      // Column-level lineage extracted from the ANALYZED plan the engine
+      // executes (plans.ColumnLineage): every output column of the
+      // segment-revenue report maps to its (source table, source column)
+      // leaves — pass-through grouping attribute, computed aggregate, and
+      // count-over-key each resolving through the join. The governance
+      // answer ("what breaks if I drop o_totalprice") that hand-kept docs
+      // drift away from; the oracle pins the expected triples.
+      val q = Tables.read(s, dir, "orders")
+        .join(Tables.read(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      graft.plans.ColumnLineage.lineageDf(q)
     })
   )
 
@@ -592,6 +644,41 @@ object R8Queries {
         |    AS cents,
         |  TRUE AS join_eliminated
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q456_decision_stump" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, count(*) AS score,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 90
+         |        THEN 1 ELSE 0 END) AS label
+         |  FROM src GROUP BY 1),
+         |b AS (SELECT score, sum(label) AS npos, sum(1 - label) AS nneg
+         |  FROM u GROUP BY 1),
+         |c AS (SELECT *,
+         |    sum(npos) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_npos,
+         |    sum(nneg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_nneg
+         |  FROM b),
+         |t AS (SELECT sum(npos) AS p, sum(nneg) AS n FROM b),
+         |e AS (SELECT score AS thr, 'right1' AS orient,
+         |    cum_npos + (t.n - cum_nneg) AS err FROM c CROSS JOIN t
+         |  UNION ALL
+         |  SELECT score, 'left1', cum_nneg + (t.p - cum_npos)
+         |  FROM c CROSS JOIN t),
+         |best AS (SELECT * FROM e ORDER BY err, orient, thr LIMIT 1)
+         |SELECT CAST(best.thr AS BIGINT) AS threshold,
+         |  best.orient AS orientation,
+         |  CAST(best.err AS BIGINT) AS n_errors,
+         |  CAST((t.p + t.n - best.err) * 1000000 // (t.p + t.n) AS BIGINT)
+         |    AS acc_ppm
+         |FROM best CROSS JOIN t""".stripMargin,
+    "q457_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('c_mktsegment', 'customer', 'c_mktsegment'),
+        |  ('cents', 'orders', 'o_totalprice'),
+        |  ('n_orders', 'orders', 'o_orderkey'))
+        |  AS t(out_col, src_table, src_col)""".stripMargin
   )
 }
