@@ -441,6 +441,33 @@ object R8Queries {
              sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
                .as("cents"))
       graft.plans.ColumnLineage.lineageDf(q)
+    }),
+    "q458_native_asof" -> ((s, dir) => {
+      // Point-in-time enrichment through the NATIVE as-of operator — the
+      // full custom tier (logical AsOfJoin node → injected strategy →
+      // AsOfJoinExec merge with O(1) state per partition). Facts probe 30
+      // minutes after each 5th event; on the gapless SCD2 timeline the
+      // as-of pick equals interval containment, which is exactly what the
+      // oracle runs. The plan boolean pins that the custom node (not a
+      // window fill or SMJ detour) did the work.
+      val all = SparkEntry.ev(s, dir)
+      val dim = Scd2.initialLoad(all, SparkEntry.evCfg)
+        .select(col("user_id").as("d_user_id"),
+                col("event_type").as("d_event_type"),
+                col("_valid_from").as("d_valid_from"))
+      val fact = all.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"),
+                col("user_id"),
+                (col("ts") + expr("INTERVAL 30 MINUTES")).as("fact_ts"))
+      val enriched = graft.plans.NativeAsOf.join(
+        fact, dim, Seq("user_id" -> "d_user_id"),
+        "fact_ts", "d_valid_from")
+      enriched
+        .select(col("event_id"), col("user_id"), col("fact_ts"),
+                col("d_event_type"), col("d_valid_from"))
+        .withColumn("native_plan",
+                    lit(graft.plans.PlanContract.contains(enriched,
+                                                          "AsOfJoin")))
     })
   )
 
@@ -679,6 +706,20 @@ object R8Queries {
         |  ('c_mktsegment', 'customer', 'c_mktsegment'),
         |  ('cents', 'orders', 'o_totalprice'),
         |  ('n_orders', 'orders', 'o_orderkey'))
-        |  AS t(out_col, src_table, src_col)""".stripMargin
+        |  AS t(out_col, src_table, src_col)""".stripMargin,
+    "q458_native_asof" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |scd AS (
+         |  WITH ${SparkEntry.scd2FullSql(SparkEntry.AllCheck,
+                                          deletes = false)}),
+         |fact AS (SELECT event_id, user_id,
+         |    ts + INTERVAL 30 MINUTE AS fact_ts
+         |  FROM src WHERE event_id % 5 = 0)
+         |SELECT f.event_id, f.user_id, f.fact_ts,
+         |  d.event_type AS d_event_type, d._valid_from AS d_valid_from,
+         |  TRUE AS native_plan
+         |FROM fact f LEFT JOIN scd d
+         |  ON f.user_id = d.user_id
+         |  AND d._valid_from <= f.fact_ts AND f.fact_ts < d._valid_to""".stripMargin
   )
 }
