@@ -323,6 +323,12 @@ object R8Queries {
       // under the harness session conf.
       import graft.plans.PlanContract._
       import s.implicits._
+      // Plan probes must see the PRODUCTION plan, not a cache substitute:
+      // q43 caches the exact q01 logical plan, and Spark's CacheManager
+      // then swaps InMemoryRelation into ANY later identical plan — the
+      // SCD2 probe would count zero Windows. Clearing the (per-query,
+      // perf-only) cache makes the contracts order-independent.
+      s.catalog.clearCache()
       val star = SparkEntry.queries("q57_star_join")(s, dir)
       val topk = SparkEntry.queries("q94_shipping_priority")(s, dir)
       val scd = SparkEntry.queries("q01_scd2_initial")(s, dir)
