@@ -474,6 +474,84 @@ object R8Queries {
         .withColumn("native_plan",
                     lit(graft.plans.PlanContract.contains(enriched,
                                                           "AsOfJoin")))
+    }),
+    "q459_cbo_stats" -> ((s, dir) => {
+      // Statistics-driven planning (ANALYZE + CBO): a filtered dimension's
+      // size estimate without column stats is its FULL relation size, so
+      // under a tight broadcast threshold the join plans as SMJ; after
+      // `ANALYZE TABLE ... FOR COLUMNS` with spark.sql.cbo.enabled, the
+      // filter estimate shrinks to ~1/25 and the SAME query plans a
+      // broadcast join. Both plan verdicts ride the gate beside the
+      // (strategy-independent) rollup values. Catalog tables + session
+      // confs are scoped and restored in finally.
+      import graft.plans.PlanContract
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val ct = s"q459_cust_$tag"
+      val ot = s"q459_ord_$tag"
+      val oldCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        Tables.read(s, dir, "customer").write.saveAsTable(ct)
+        Tables.read(s, dir, "orders").write.saveAsTable(ot)
+        def q = s.table(ot)
+          .join(s.table(ct).filter(col("c_nationkey") === 3),
+                col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+        s.conf.set("spark.sql.cbo.enabled", "false")
+        // Scale-independent threshold: half the NO-STATS estimate of the
+        // pruned+filtered build side. Without column stats the filter
+        // doesn't shrink the estimate, so this sits above the CBO estimate
+        // (~1/|nations| of it) at every scale factor — the flip is then a
+        // property of statistics, not of a constant tuned to one SF.
+        val noStatsEst = s.table(ct).filter(col("c_nationkey") === 3)
+          .select(col("c_custkey"))
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   (noStatsEst / 2).toString)
+        val without = PlanContract.count(q, "SortMergeJoin") == 1 &&
+          PlanContract.count(q, "BroadcastHashJoin") == 0
+        s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS FOR COLUMNS " +
+              "c_nationkey, c_custkey")
+        s.sql(s"ANALYZE TABLE $ot COMPUTE STATISTICS")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val withStats = PlanContract.count(q, "BroadcastHashJoin") == 1
+        val out = q
+          .withColumn("smj_without_stats", lit(without))
+          .withColumn("bhj_with_stats", lit(withStats))
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
+                          out.schema)
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", oldCbo)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+        s.sql(s"DROP TABLE IF EXISTS $ct")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+      }
+    }),
+    "q460_aqe_coalesce" -> ((s, dir) => {
+      // AQE runtime re-planning pinned in the gate: a deliberately
+      // over-partitioned rollup (200 shuffle partitions for KBs of data)
+      // must come back COALESCED by adaptive execution — the final
+      // executed plan carries AQEShuffleRead with far fewer partitions.
+      // The boolean is read from the POST-execution adaptive plan (the
+      // pre-execution string only says isFinalPlan=false).
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "200")
+        val q = Tables.read(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                 .as("cents"))
+        val rows = q.collect() // drives AQE to its final plan
+        val finalPlan = q.queryExecution.executedPlan.toString
+        val coalesced = finalPlan.contains("AQEShuffleRead coalesced")
+        val out = q.withColumn("aqe_coalesced", lit(coalesced))
+        s.createDataFrame(
+          java.util.Arrays.asList(rows.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ coalesced)): _*),
+          out.schema)
+      } finally s.conf.set("spark.sql.shuffle.partitions", old)
     })
   )
 
@@ -726,6 +804,18 @@ object R8Queries {
          |  TRUE AS native_plan
          |FROM fact f LEFT JOIN scd d
          |  ON f.user_id = d.user_id
-         |  AND d._valid_from <= f.fact_ts AND f.fact_ts < d._valid_to""".stripMargin
+         |  AND d._valid_from <= f.fact_ts AND f.fact_ts < d._valid_to""".stripMargin,
+    "q459_cbo_stats" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  TRUE AS smj_without_stats, TRUE AS bhj_with_stats
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 3
+        |GROUP BY 1""".stripMargin,
+    "q460_aqe_coalesce" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS aqe_coalesced
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

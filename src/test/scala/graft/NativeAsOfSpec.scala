@@ -78,4 +78,20 @@ class NativeAsOfSpec extends SparkTestBase {
       NativeAsOf.join(l, l, Seq("k" -> "k"), "ts", "ts")
     }
   }
+
+  test("composite keys: both must match; ordering is key-major") {
+    val l = Seq((1L, "a", "x", 10L), (2L, "a", "y", 10L),
+                (3L, "b", "x", 10L))
+      .toDF("lid", "k1", "k2", "lts")
+    val r = Seq(("a", "x", 5L, 100L), ("a", "y", 7L, 101L),
+                ("b", "x", 11L, 102L))
+      .toDF("rk1", "rk2", "rts", "rv")
+    val got = NativeAsOf.join(l, r, Seq("k1" -> "rk1", "k2" -> "rk2"),
+                              "lts", "rts")
+      .select(col("lid"), col("rv"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    // (b, x)'s only version starts at 11 > 10 → no match.
+    assert(got === Set((1L, Some(100L)), (2L, Some(101L)), (3L, None)))
+  }
 }
