@@ -552,6 +552,54 @@ object R8Queries {
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ coalesced)): _*),
           out.schema)
       } finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }),
+    "q461_map_features" -> ((s, dir) => {
+      // Map-typed feature bags: each doc's token→count MAP built in one
+      // per-row expression chain (aggregate over the token array — no
+      // explode, no shuffle until the final rollup), then interrogated
+      // with the map higher-order functions (map_filter, transform_values
+      // via map_zip_with-free arithmetic, map_entries fold): size, max
+      // count, tokens above a threshold, and an order-independent
+      // Σ md5(token)·count checksum. The oracle computes identical values
+      // the relational way (token-grain GROUP BY) — the MAP plan must be
+      // semantically invisible.
+      val docs = Tables.spread(s, Tables.read(s, dir, "documents"))
+      docs.select(col("doc_id"), col("lang"),
+          expr("""aggregate(
+                    filter(split(lower(text), '[^a-z]+'), t -> t != ''),
+                    CAST(map() AS MAP<STRING, INT>),
+                    (acc, t) -> map_concat(
+                      map_filter(acc, (k, v) -> k != t),
+                      map(t, coalesce(try_element_at(acc, t), 0) + 1)))""")
+            .as("bag"))
+        .select(col("doc_id"), col("lang"),
+          size(col("bag")).as("n_distinct_tokens"),
+          expr("array_max(map_values(bag))").as("max_tf"),
+          size(expr("map_filter(bag, (k, v) -> v >= 3)"))
+            .as("n_tokens_ge3"),
+          expr("""aggregate(map_entries(bag), 0L,
+                    (acc, e) -> acc + (CAST(conv(substring(md5(e.key),
+                        1, 8), 16, 10) AS BIGINT) % 1000000L) * e.value)""")
+            .as("bag_checksum"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_distinct_tokens")).as("sum_distinct"),
+             max(col("max_tf")).as("max_tf"),
+             sum(col("n_tokens_ge3")).as("sum_ge3"),
+             sum(col("bag_checksum")).as("checksum"))
+    }),
+    "q462_group_by_all" -> ((s, dir) => {
+      // GROUP BY ALL through the SQL front end: the BI-sugar surface
+      // (every non-aggregate select item becomes a grouping key) must
+      // produce the identical relation DuckDB — where the syntax
+      // originated — computes.
+      Tables.read(s, dir, "orders").createOrReplaceTempView("orders_q462")
+      s.sql("""
+        SELECT o_orderpriority, year(o_orderdate) AS yr,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders_q462
+        GROUP BY ALL""")
     })
   )
 
@@ -816,6 +864,33 @@ object R8Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents,
         |  TRUE AS aqe_coalesced
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q461_map_features" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z]+'), t -> t != '')) AS t
+        |  FROM documents),
+        |bag AS (SELECT doc_id, lang, t, count(*) AS v
+        |  FROM tok GROUP BY 1, 2, 3),
+        |per_doc AS (SELECT doc_id, lang,
+        |    count(*) AS n_distinct_tokens,
+        |    max(v) AS max_tf,
+        |    sum(CASE WHEN v >= 3 THEN 1 ELSE 0 END) AS n_tokens_ge3,
+        |    sum((('0x' || substr(md5(t), 1, 8))::UBIGINT % 1000000)
+        |        * v) AS bag_checksum
+        |  FROM bag GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_distinct_tokens) AS BIGINT) AS sum_distinct,
+        |  CAST(max(max_tf) AS INT) AS max_tf,
+        |  CAST(sum(n_tokens_ge3) AS BIGINT) AS sum_ge3,
+        |  CAST(sum(bag_checksum) AS BIGINT) AS checksum
+        |FROM per_doc GROUP BY 1""".stripMargin,
+    "q462_group_by_all" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |GROUP BY ALL""".stripMargin
   )
 }
