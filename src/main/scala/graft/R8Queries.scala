@@ -600,8 +600,165 @@ object R8Queries {
                sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
         FROM orders_q462
         GROUP BY ALL""")
+    }),
+    "q463_deletion_vectors" -> ((s, dir) => {
+      // Merge-on-read deletion vectors: two deletes against a versioned
+      // events table publish KEY LISTS (KBs), never touching the base
+      // snapshot's data files — the amortized physical-delete path
+      // (retention, right-to-be-forgotten) that at 100 TB replaces a full
+      // table rewrite. The driver-checked relation proves three things at
+      // once: the MOR read (base anti-join stacked DVs, broadcast-sized)
+      // equals the predicate-delete semantics, compaction folds the DVs
+      // into an identical standalone snapshot, and the base's data files
+      // were byte-identical throughout (base_untouched).
+      val tmp = java.nio.file.Files.createTempDirectory("q463_dv")
+        .toString + "/t"
+      val base = SparkEntry.ev(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val v1 = VersionedTable.publish(s, base, tmp)
+      def baseFiles(): Map[String, (Long, Long)] = {
+        val d = new java.io.File(s"$tmp/v=$v1")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+      }
+      val before = baseFiles()
+      VersionedTable.deleteWhere(s, tmp,
+        col("event_type") === "click" && col("cents") < 500, Seq("event_id"))
+      VersionedTable.deleteWhere(s, tmp,
+        col("user_id") % 97 === 0, Seq("event_id"))
+      val untouched = baseFiles() == before
+      def rollup(df: DataFrame, arm: String) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .withColumn("arm", lit(arm))
+          .withColumn("base_untouched", lit(untouched))
+      val mor = rollup(VersionedTable.read(s, tmp), "mor").localCheckpoint()
+      VersionedTable.compact(s, tmp)
+      mor.unionByName(rollup(VersionedTable.read(s, tmp), "compacted"))
+    }),
+    "q464_kcore" -> ((s, dir) => {
+      // k-core of the strong co-purchase graph (parts repeatedly bought
+      // together): 12 fixed peeling sweeps — each one two semi-joins + a
+      // combine-enabled degree count, never an adjacency list on the
+      // driver — converge to the exact 3-core at this graph's peel depth
+      // (11 sweeps at sf0.01); the fixed unroll keeps the relation
+      // bit-reproducible in the oracle even mid-peel. Strong edges
+      // (minCount=2) bound Σdeg² the way the q224/q311 family does.
+      val li = Tables.read(s, dir, "lineitem")
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+                                          minCount = 2)
+      Graph.kcore(edges, k = 3, sweeps = 12)
+        .agg(count(lit(1)).as("n_core_nodes"),
+             expr("CAST(sum(deg) DIV 2 AS BIGINT)").as("n_core_edges"),
+             min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+    }),
+    "q465_hits" -> ((s, dir) => {
+      // HITS over the supplier→customer fulfillment graph: hubs =
+      // suppliers serving well-connected customers, authorities =
+      // customers served by strong suppliers. Two unnormalized integer
+      // double-sweeps (ranking identical to normalized HITS — the scale
+      // factor per iteration is a positive scalar), top-10 per role via
+      // TakeOrderedAndProject. Role columns never mix even though both
+      // id spaces are longs: hub scores only ever aggregate over src,
+      // authority scores over dst.
+      val e = Tables.read(s, dir, "lineitem")
+        .join(Tables.read(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+      val hs = Graph.hits(e, iters = 2).localCheckpoint()
+      val hubs = hs.filter(col("hub") > 0)
+        .select(lit("hub").as("role"), col("node"), col("hub").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      val auths = hs.filter(col("auth") > 0)
+        .select(lit("auth").as("role"), col("node"), col("auth").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      hubs.unionByName(auths)
+    }),
+    "q466_chi2_terms" -> ((s, dir) => {
+      // χ² feature selection: which tokens discriminate English documents?
+      // Exact rational statistic (no float, no log) over the 2×2
+      // presence/label contingency, one presence explode + one
+      // vocabulary-grain combine — the quadratic (token × label) cross
+      // join never appears. Top-20 by (chi2_ppm desc, token) via
+      // TakeOrderedAndProject.
+      val d = Tables.spread(s, Tables.read(s, dir, "documents"))
+        .withColumn("is_en", (col("lang") === "en").cast("long"))
+      TextAnalysis.chi2Terms(d, "doc_id", "text", "is_en",
+                             minDf = 5L, k = 20)
+    }),
+    "q467_collocations" -> ((s, dir) => {
+      // Collocation detection by exact lift ratio P(xy)/(P(x)P(y)) in ppm
+      // (PMI's monotone rational twin): one explode pass feeds the unigram
+      // and bigram aggregates; margins semi-pruned to bigram survivors
+      // before the broadcast join back. Top-20 by (lift desc, x, y).
+      TextAnalysis.collocations(
+        Tables.spread(s, Tables.read(s, dir, "documents")),
+        "doc_id", "text", minCount = 5L, k = 20)
+    }),
+    "q468_nfc_dedup" -> ((s, dir) => {
+      // Unicode NFC normalization as a native codegen'd expression
+      // (`functions.NfcNormalize` — Spark ships none, corpus dedup needs
+      // it): each doc's lead token is expanded into a composed-é variant
+      // and a decomposed e+U+0301 variant — distinct BYTE strings that any
+      // exact-dedup treats as different documents — and the rollup proves
+      // NFC collapses exactly 2→1 per group while byte-count sees 2. The
+      // normalized strings themselves flow into the driver hash, so the
+      // compare is against DuckDB's independent utf8proc NFC.
+      import graft.functions.NfcNormalize
+      val base = Tables.spread(s, Tables.read(s, dir, "documents"))
+        .select(element_at(filter(TextAnalysis.tokens(col("text")),
+                                  t => t =!= ""), 1).as("tok"))
+      base.select(col("tok"), explode(array(
+          concat(col("tok"), lit("\u00e9")),           // composed
+          concat(col("tok"), lit("e\u0301")))).as("raw")) // decomposed
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("raw")).as("n_raw"),
+             countDistinct(NfcNormalize(col("raw"))).as("n_nfc"),
+             min(NfcNormalize(col("raw"))).as("nfc_key"))
+    }),
+    "q469_gram_matrix" -> ((s, dir) => {
+      // One-pass Gram matrix of the embedding slab (16-dim slice): the
+      // sufficient statistic behind PCA/whitening, integer-quantized so a
+      // tree-aggregated distributed sum is bit-exact. The pair expansion
+      // is narrow; the (i,j) groupBy combines map-side to ≤136 rows per
+      // partition before the exchange — corpus size never crosses the
+      // shuffle.
+      Similarity.gramMatrix(
+        Tables.spread(s, Tables.read(s, dir, "embeddings")),
+        "embedding", dims = 16, scale = 1000)
     })
   )
+
+  /** The strong co-purchase graph + `sweeps` unrolled k-core peels,
+    * DuckDB-side — one CTE per sweep, the same fixed unroll the Spark
+    * operator runs. Every per-sweep CTE is referenced twice (both
+    * endpoints), so AS MATERIALIZED is load-bearing: plain CTEs inline
+    * and the plan doubles per sweep — 2^12 copies of the co-occurrence
+    * join (measured: hang vs 0.14 s).
+    */
+  private def kcoreOracleSql(k: Int, sweeps: Int): String = {
+    val peels = (2 to sweeps).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM sym
+         |  WHERE src IN (SELECT node FROM a${r - 1})
+         |    AND dst IN (SELECT node FROM a${r - 1})
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+       |            FROM lineitem),
+       |e0 AS (SELECT l.i AS src, r.i AS dst, count(*) AS n
+       |       FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i GROUP BY 1, 2),
+       |e AS (SELECT src, dst FROM e0 WHERE n >= 2),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e
+       |                     UNION ALL SELECT dst, src FROM e),
+       |a1 AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM sym
+       |       GROUP BY 1 HAVING count(*) >= $k),
+       |$peels
+       |SELECT CAST(count(*) AS BIGINT) AS n_core_nodes,
+       |  CAST(sum(d) // 2 AS BIGINT) AS n_core_edges,
+       |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+       |FROM a$sweeps""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q442_auc_rank" ->
@@ -891,6 +1048,106 @@ object R8Queries {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents
         |FROM orders
-        |GROUP BY ALL""".stripMargin
+        |GROUP BY ALL""".stripMargin,
+    "q463_deletion_vectors" ->
+      """WITH base AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |kept AS (SELECT * FROM base
+        |  WHERE NOT (event_type = 'click' AND cents < 500)
+        |    AND NOT (user_id % 97 = 0)),
+        |r AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM kept GROUP BY 1)
+        |SELECT event_type, n_events, sum_cents, 'mor' AS arm,
+        |  TRUE AS base_untouched FROM r
+        |UNION ALL
+        |SELECT event_type, n_events, sum_cents, 'compacted', TRUE FROM r"""
+        .stripMargin,
+    "q464_kcore" -> kcoreOracleSql(k = 3, sweeps = 12),
+    "q465_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS h FROM e),
+        |a1 AS (SELECT dst AS node, CAST(sum(h0.h) AS BIGINT) AS a
+        |       FROM e JOIN h0 ON e.src = h0.node GROUP BY 1),
+        |h1 AS (SELECT src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |a2 AS (SELECT dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |h2 AS (SELECT src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+        |       FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1)
+        |SELECT * FROM (SELECT 'hub' AS role, node, h AS score FROM h2
+        |               ORDER BY h DESC, node LIMIT 10)
+        |UNION ALL
+        |SELECT * FROM (SELECT 'auth' AS role, node, a AS score FROM a2
+        |               ORDER BY a DESC, node LIMIT 10)""".stripMargin,
+    "q466_chi2_terms" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(lang = 'en' AS BIGINT) AS y,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS npos FROM d),
+        |cells AS (SELECT token, CAST(sum(y) AS BIGINT) AS n11,
+        |    CAST(sum(1 - y) AS BIGINT) AS n10
+        |  FROM (SELECT y, unnest(toks) AS token FROM d)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |x AS (SELECT token, n11, n10, npos - n11 AS n01,
+        |    n - npos - n10 AS n00, n FROM cells, tot),
+        |s AS (SELECT token, n11, n10, n01, n00,
+        |    ((((( (n11*n00 - n10*n01) * (n11*n00 - n10*n01) )
+        |       // (n11+n10)) * 1000000) // (n01+n00)) * n
+        |       // (n11+n01)) // (n10+n00) AS chi2_ppm
+        |  FROM x
+        |  WHERE n11+n10 > 0 AND n01+n00 > 0 AND n11+n01 > 0
+        |    AND n10+n00 > 0)
+        |SELECT token, n11, n10, n01, n00, CAST(chi2_ppm AS BIGINT)
+        |  AS chi2_ppm
+        |FROM s ORDER BY chi2_ppm DESC, token LIMIT 20""".stripMargin,
+    "q467_collocations" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1),
+        |tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uni),
+        |bg AS (SELECT toks[i] AS x, toks[i + 1] AS y
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d
+        |        WHERE len(toks) >= 2)),
+        |bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tb AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS tb FROM d
+        |       WHERE len(toks) >= 2),
+        |s AS (SELECT bi.x, bi.y, c_xy, ux.c AS c_x, uy.c AS c_y,
+        |    ((((c_xy * tu.tu) // ux.c) * tu.tu) // uy.c) * 1000000 // tb.tb
+        |      AS lift_ppm
+        |  FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w,
+        |       tu, tb)
+        |SELECT x, y, c_xy, c_x, c_y, CAST(lift_ppm AS BIGINT) AS lift_ppm
+        |FROM s ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin,
+    "q468_nfc_dedup" ->
+      """WITH base AS (SELECT list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')[1] AS tok
+        |    FROM documents),
+        |v AS (SELECT tok, unnest([tok || chr(233),
+        |                          tok || chr(101) || chr(769)]) AS raw
+        |      FROM base)
+        |SELECT tok, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  min(nfc_normalize(raw)) AS nfc_key
+        |FROM v GROUP BY 1""".stripMargin,
+    "q469_gram_matrix" ->
+      """WITH q AS (SELECT list_transform(embedding[1:16],
+        |    x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings)
+        |SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+        |  CAST(sum(q.q[CAST(t1.i AS INT)] * q.q[CAST(t2.j AS INT)])
+        |    AS BIGINT) AS g
+        |FROM q, generate_series(1, 16) t1(i), generate_series(1, 16) t2(j)
+        |WHERE t2.j >= t1.i
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -29,6 +29,10 @@ object VersionedTable {
   // EXCEPT those containing '=' (partition-dir convention), which a parquet
   // scan would then try to read as data.
   private val BatchPrefix = "_BATCH_"
+  // Marks a version directory as a DELETION VECTOR: its parquet is a
+  // key-list to subtract from the nearest older full snapshot, not a
+  // snapshot itself.
+  private val DeleteMarker = "_DELETE"
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
@@ -104,19 +108,115 @@ object VersionedTable {
     }
   }
 
-  /** Read the latest committed snapshot. */
+  /** Read the latest committed snapshot (merge-on-read: deletion-vector
+    * versions are resolved against their base snapshot, see
+    * [[publishDelete]]).
+    */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root,
                 latestVersion(spark, root).getOrElse(
                   throw new IllegalStateException(s"no committed version at $root")))
 
-  /** Time travel: read a specific committed version. */
+  private def isDelete(f: FileSystem, root: String, v: Long): Boolean =
+    f.exists(new Path(s"$root/$VPrefix$v/$DeleteMarker"))
+
+  /** Base snapshot a version resolves against: itself for full snapshots,
+    * else the newest full snapshot beneath it.
+    */
+  private def baseOf(f: FileSystem, root: String, v: Long): Long =
+    if (!isDelete(f, root, v)) v
+    else committedVersions(f, root).filter(_ < v).reverse
+      .find(!isDelete(f, root, _))
+      .getOrElse(throw new IllegalStateException(
+        s"version $v at $root is a deletion vector with no base snapshot"))
+
+  /** Time travel: read a specific committed version. A deletion-vector
+    * version reads as its base snapshot anti-joined with every DV stacked
+    * in between — one broadcast anti-join when the DVs are small (the
+    * design point; [[compact]] is the pressure valve), a shuffled
+    * anti-join past 256 MB of DV bytes.
+    */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val f = fs(spark, root)
     val dir = s"$root/$VPrefix$v"
-    require(fs(spark, root).exists(new Path(s"$dir/$Committed")),
+    require(f.exists(new Path(s"$dir/$Committed")),
             s"version $v not committed at $root")
-    spark.read.parquet(dir)
+    if (!isDelete(f, root, v)) spark.read.parquet(dir)
+    else {
+      val base = baseOf(f, root, v)
+      // Everything committed in (base, v] is a DV by construction: a full
+      // snapshot there would itself have been the base.
+      val dvVersions =
+        committedVersions(f, root).filter(n => n > base && n <= v)
+      val dvBytes = dvVersions.map(n =>
+        f.getContentSummary(new Path(s"$root/$VPrefix$n")).getLength).sum
+      val dv = dvVersions.map(n => spark.read.parquet(s"$root/$VPrefix$n"))
+        .reduce(_.unionByName(_)).distinct()
+      val probe =
+        if (dvBytes < 256L * 1024 * 1024)
+          org.apache.spark.sql.functions.broadcast(dv)
+        else dv
+      spark.read.parquet(s"$root/$VPrefix$base")
+        .join(probe, dv.columns.toSeq, "left_anti")
+    }
   }
+
+  // -------------------------------------------------------------------
+  // Deletion vectors (merge-on-read deletes)
+  // -------------------------------------------------------------------
+
+  /** Delete by key WITHOUT rewriting the snapshot: `keys` (distinct rows of
+    * the identity columns — every column of `keys` participates in the
+    * anti-join) is published as a lightweight deletion-vector version. At
+    * 100 TB a full-snapshot delete rewrites the table; this writes KBs.
+    * Readers of the new version see base MINUS all stacked DVs; time travel
+    * to the pre-delete version still sees the rows (nothing was touched).
+    * Stacked DVs must share one key schema (the first DV fixes it).
+    *
+    * Cite: the reference handles deletes logically inside the merge
+    * (`get_incremental_scd2_sql.sql` deleted_at handling); physical
+    * row removal (retention, right-to-be-forgotten) is out of its scope
+    * and rewrites the warehouse table — this is the amortized alternative.
+    */
+  def publishDelete(spark: SparkSession, keys: DataFrame,
+                    root: String): Long = {
+    val f = fs(spark, root)
+    val prev = committedVersions(f, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot to delete from at $root"))
+    if (isDelete(f, root, prev)) {
+      val existing = spark.read.parquet(s"$root/$VPrefix$prev").columns.toSeq
+      require(existing.sorted == keys.columns.toSeq.sorted,
+              s"DV key schema ${keys.columns.toSeq} != established $existing")
+    }
+    val next = prev + 1L
+    val dir = s"$root/$VPrefix$next"
+    f.delete(new Path(dir), true)
+    keys.distinct().write.mode("overwrite").parquet(dir)
+    f.create(new Path(s"$dir/$DeleteMarker"), true).close()
+    f.create(new Path(s"$dir/$Committed"), true).close()
+    next
+  }
+
+  /** [[publishDelete]] driven by a predicate: the keys of currently-visible
+    * rows matching `cond`. One pruned scan of the read view (the predicate
+    * and the key projection both push down to parquet), one tiny write.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column,
+                  keyCols: Seq[String]): Long =
+    publishDelete(
+      spark,
+      read(spark, root).filter(cond)
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      root)
+
+  /** Fold stacked deletion vectors into a fresh full snapshot (the
+    * merge-on-read → copy-on-write compaction). Subsequent reads resolve
+    * with zero anti-joins; older versions stay time-travelable until
+    * [[vacuum]].
+    */
+  def compact(spark: SparkSession, root: String): Long =
+    publish(spark, read(spark, root), root)
 
   /** Roll back: de-commit every version above `v` (data kept for forensics
     * until vacuum). Readers immediately resolve `v` again.
@@ -129,14 +229,19 @@ object VersionedTable {
   }
 
   /** Drop uncommitted directories and all but the newest `keep` committed
-    * versions.
+    * versions — plus whatever those versions resolve through: a kept
+    * deletion-vector version pins its base snapshot and every DV between,
+    * so vacuum can never break merge-on-read resolution.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     val f = fs(spark, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) return
     val committed = committedVersions(f, root)
-    val keepSet = committed.takeRight(keep).toSet
+    val keepSet = committed.takeRight(keep).toSet.flatMap { (v: Long) =>
+      val b = baseOf(f, root, v)
+      committed.filter(n => n >= b && n <= v)
+    }
     f.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(VPrefix))
       .foreach { s =>

@@ -386,4 +386,72 @@ object Graph {
     }
     dist
   }
+
+  /** Fixed-sweep k-core peeling: `sweeps` rounds of "drop every node whose
+    * degree in the surviving induced subgraph is < k". Each sweep is two
+    * semi-joins (restrict edges to surviving endpoints) + one count — the
+    * same shuffle shape as one BFS level; lineage truncates per sweep.
+    * The result is the exact k-core once the peel reaches its fixpoint
+    * (node set stops shrinking — peeling is monotone decreasing, so with
+    * sweeps ≥ the peel depth the output IS the k-core); with fewer sweeps
+    * it is the deterministic partial peel, bit-reproducible in any engine
+    * that unrolls the same rounds. Callers wanting a convergence proof run
+    * one extra sweep and compare counts (cheap: node-set sized).
+    *
+    * Input: undirected distinct edges (src, dst). Output: (node, deg)
+    * survivors with their degree at the LAST sweep's filter.
+    */
+  def kcore(edges0: DataFrame, k: Int, sweeps: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst")).distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).localCheckpoint(false)
+    for (_ <- 2 to sweeps) {
+      val alive = deg.select("node")
+      deg = sym
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).localCheckpoint(false)
+    }
+    deg
+  }
+
+  /** HITS hubs/authorities, integer-exact: unnormalized mutual
+    * reinforcement a←Σh, h←Σa over directed edges for a fixed `iters`
+    * double-sweeps, starting from h=1. Per half-sweep one equi-join + one
+    * combine-enabled sum — the pagerank shuffle shape. Skipping the usual
+    * L2 normalization keeps every score an exact BIGINT (the RANKING is
+    * identical — normalization is a positive scalar per iteration);
+    * magnitudes grow like (Σdeg²)^iters, so iters stays small (2-3) and
+    * hub-heavy graphs at extreme scale would move the columns to
+    * DECIMAL(38,0) before overflow territory (~1e18).
+    *
+    * Output: (node, hub, auth) with 0 for nodes lacking a role.
+    */
+  def hits(edges0: DataFrame, iters: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst")).distinct()
+      .localCheckpoint(false)
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1L)).localCheckpoint(false)
+    var auth = e.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(false)
+      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(false)
+    }
+    hub.join(auth, Seq("node"), "full_outer")
+      .select(col("node"),
+              coalesce(col("h"), lit(0L)).as("hub"),
+              coalesce(col("a"), lit(0L)).as("auth"))
+  }
 }

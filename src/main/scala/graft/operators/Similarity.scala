@@ -375,4 +375,31 @@ object Similarity {
         x => floor(x.cast("double") * lit(127.0) / ma).cast("int")))
     df.select(col(idCol).as("vec_id"), posexplode(codes).as(Seq("i", "code")))
   }
+
+  /** Upper-triangle Gram matrix Σᵥ q(v)ᵢ·q(v)ⱼ of the corpus's embedding
+    * slab — the one-pass sufficient statistic behind PCA/whitening/ridge
+    * (the d×d covariance follows from Gram + the mean vector). Elements
+    * quantized `floor(x·scale)` to BIGINT so the accumulation is exact in
+    * any engine (float sums are order-dependent; a 1000-executor
+    * tree-aggregate would hash differently run to run).
+    *
+    * Shuffle shape: the per-row pair expansion is a NARROW generate
+    * (d·(d+1)/2 rows per vector), and the groupBy on (i, j) is
+    * combine-enabled — partial sums collapse to ≤ d² rows per partition
+    * before the exchange, so the shuffle moves O(d²·partitions) rows
+    * regardless of corpus size. 64-bit safe while n·(scale·max|x|)² <
+    * 9e18 — ~1e10 unit-scale vectors at scale=1000; shrink `scale` or
+    * lift to DECIMAL beyond.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, dims: Int,
+                 scale: Int = 1000): DataFrame =
+    df.select(expr(
+        s"""flatten(transform(sequence(1, $dims), i ->
+           |  transform(sequence(i, $dims), j -> struct(i AS i, j AS j,
+           |    CAST(floor(element_at($vecCol, i) * $scale) AS BIGINT) *
+           |    CAST(floor(element_at($vecCol, j) * $scale) AS BIGINT)
+           |      AS p))))""".stripMargin).as("_ps"))
+      .select(explode(col("_ps")).as("_e"))
+      .groupBy(col("_e.i").as("i"), col("_e.j").as("j"))
+      .agg(sum(col("_e.p")).as("g"))
 }

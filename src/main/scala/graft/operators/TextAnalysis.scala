@@ -681,4 +681,96 @@ object TextAnalysis {
            min(abs(col("_pa") - col("_pb"))).as("min_dist"))
       .filter(col("min_dist") <= maxDist)
   }
+
+  /** χ² feature selection at document grain: for each token (df ≥ `minDf`),
+    * the 2×2 presence/label contingency and the χ² statistic in integer ppm.
+    * The statistic is a RATIONAL in the four cells — no float ever:
+    *
+    *   a        = n11*n00 - n10*n01
+    *   chi2_ppm = ((((a*a DIV (n11+n10)) * 1000000) DIV (n01+n00)) * N
+    *               DIV (n11+n01)) DIV (n10+n00)
+    *
+    * with that exact operation ORDER (interleaved DIVs keep every
+    * intermediate ≤ ~N²·1e6, 64-bit safe to ~1e5 docs per selection run —
+    * chunk by label stratum or lift to DECIMAL(38,0) beyond). Tokens with
+    * a zero margin are excluded (χ² undefined; they carry no signal).
+    *
+    * Shuffle shape: one doc-grain presence explode (array_distinct BEFORE
+    * explode, so a token repeated in a doc costs one row), ONE map-side
+    * combined aggregate to vocabulary grain, scalar label totals broadcast
+    * back. The quadratic "per (token, label) cross join" formulation never
+    * appears.
+    */
+  def chi2Terms(df: DataFrame, idCol: String, textCol: String,
+                labelCol: String, minDf: Long = 5L, k: Int = 20): DataFrame = {
+    val docs = df.select(col(idCol).as("_id"),
+                         col(labelCol).cast("long").as("_y"),
+                         array_distinct(filter(tokens(col(textCol)),
+                                               t => t =!= "")).as("_toks"))
+    val totals = docs.agg(count(lit(1)).as("_n"), sum(col("_y")).as("_npos"))
+    val cells = docs
+      .select(col("_y"), explode(col("_toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("_y")).as("n11"),
+           sum(lit(1L) - col("_y")).as("n10"))
+      .filter(col("n11") + col("n10") >= minDf)
+      .crossJoin(broadcast(totals))
+      .withColumn("n01", col("_npos") - col("n11"))
+      .withColumn("n00", col("_n") - col("_npos") - col("n10"))
+      .filter(col("n11") + col("n10") > 0 && col("n01") + col("n00") > 0 &&
+              col("n11") + col("n01") > 0 && col("n10") + col("n00") > 0)
+      .withColumn("chi2_ppm", expr(
+        """((((( (n11*n00 - n10*n01) * (n11*n00 - n10*n01) )
+          |   DIV (n11+n10)) * 1000000) DIV (n01+n00)) * _n
+          |   DIV (n11+n01)) DIV (n10+n00)""".stripMargin))
+    cells.orderBy(col("chi2_ppm").desc, col("token")).limit(k)
+      .select("token", "n11", "n10", "n01", "n00", "chi2_ppm")
+  }
+
+  /** Collocation detection by exact lift ratio P(xy)/(P(x)·P(y)) in integer
+    * ppm — the rational cousin of PMI (log of the same ratio; the RANKING
+    * is identical because log is monotone), so the statistic hashes
+    * bit-identically in any engine:
+    *
+    *   lift_ppm = ((((c_xy * Tu) DIV c_x) * Tu) DIV c_y) * 1000000 DIV Tb
+    *
+    * in that exact order (c_xy ≤ c_x bounds the first quotient by Tu;
+    * 64-bit safe to ~3e9 corpus tokens, DECIMAL(38,0) beyond). One explode
+    * pass feeds BOTH the unigram and bigram aggregates; margins join back
+    * at vocabulary grain (broadcast — the bigram table above `minCount`
+    * is tiny relative to the corpus).
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+                         filter(tokens(col(textCol)), t => t =!= "")
+                           .as("_toks"))
+      .localCheckpoint(false)
+    val uni = toks.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val tu = uni.agg(sum(col("c")).as("_tu"))
+    val bi = toks.filter(size(col("_toks")) >= 2)
+      .select(explode(orderedShingles(col("_toks"), 2)).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("x", expr("split_part(_bg, ' ', 1)"))
+      .withColumn("y", expr("split_part(_bg, ' ', 2)"))
+    val tb = toks.filter(size(col("_toks")) >= 2)
+      .agg(sum(size(col("_toks")) - 1).cast("long").as("_tb"))
+    // Margins join at bigram-survivor grain: semi-prune the (potentially
+    // huge) unigram vocabulary to tokens that appear in a surviving bigram
+    // BEFORE broadcasting — the broadcast is then bounded by 2·|bi|.
+    val members = bi.select(col("x").as("w"))
+      .union(bi.select(col("y").as("w"))).distinct()
+    val margins = uni.join(members, Seq("w"), "left_semi")
+    bi.join(broadcast(margins.withColumnRenamed("w", "x")
+                        .withColumnRenamed("c", "c_x")), Seq("x"))
+      .join(broadcast(margins.withColumnRenamed("w", "y")
+                        .withColumnRenamed("c", "c_y")), Seq("y"))
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .withColumn("lift_ppm", expr(
+        "((((c_xy * _tu) DIV c_x) * _tu) DIV c_y) * 1000000 DIV _tb"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
+      .select("x", "y", "c_xy", "c_x", "c_y", "lift_ppm")
+  }
 }
