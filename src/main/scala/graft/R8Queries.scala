@@ -727,6 +727,69 @@ object R8Queries {
       Similarity.gramMatrix(
         Tables.spread(s, Tables.read(s, dir, "embeddings")),
         "embedding", dims = 16, scale = 1000)
+    }),
+    "q470_stream_sessions_tws" -> ((s, dir) => {
+      // Sessionization through transformWithState (Spark 4's
+      // arbitrary-state v2 API, RocksDB state store): the q234 replay
+      // contract on a different user slice — three time-ordered
+      // micro-batches + two watermark-advancing sentinels must reproduce
+      // the batch sessionization exactly, with closure driven by explicit
+      // named timers instead of GroupState's timeout slot.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val feed = SparkEntry.ev(s, dir).filter(col("user_id") % 5 === 2)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+        .sortBy(_._2.getTime)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val sess = graft.streaming.SessionStreamTws.sessions(
+        src.toDF().toDF("user_id", "ts", "event_type"),
+        gapMinutes = 30, watermarkDelay = "40 days")
+      val tbl = "q470_sess_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, graft.streaming.SessionStreamTws.RocksDbProvider)
+      try SparkEntry.withStreamShuffle(s) {
+        val q = sess.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try {
+          val cut = feed.size / 3
+          Seq(feed.take(cut), feed.slice(cut, 2 * cut), feed.drop(2 * cut))
+            .foreach { b => src.addData(b: _*); q.processAllAvailable() }
+          val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+          src.addData((-1L, flush, "x")); q.processAllAvailable()
+          src.addData((-1L,
+            new java.sql.Timestamp(flush.getTime + 3600000L), "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally oldProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.table(tbl).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+                col("n_events"), col("n_event_types"))
+    }),
+    "q471_topk_udaf" -> ((s, dir) => {
+      // Per-group top-k through a typed Aggregator UDAF with map-side
+      // combine: each map task reduces to a ≤3-element buffer per
+      // priority class BEFORE the exchange, so the shuffle carries
+      // k·partitions rows per group instead of the whole orders table —
+      // the TakeOrderedAndProject argument applied per group, where the
+      // row_number window (which the oracle runs) must shuffle+sort
+      // everything.
+      val o = Tables.spread(s, Tables.read(s, dir, "orders")).select(
+        col("o_orderpriority").as("prio"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+      o.groupBy(col("prio"))
+        .agg(graft.functions.TopKAgg.topK(3)(col("cents"),
+                                             col("o_orderkey")).as("top"))
+        .select(col("prio"), posexplode(col("top")).as(Seq("idx", "e")))
+        .select(col("prio"), (col("idx") + 1).as("rank"),
+                col("e._1").as("cents"), col("e._2").as("o_orderkey"))
     })
   )
 
@@ -1148,6 +1211,29 @@ object R8Queries {
         |    AS BIGINT) AS g
         |FROM q, generate_series(1, 16) t1(i), generate_series(1, 16) t2(j)
         |WHERE t2.j >= t1.i
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q470_stream_sessions_tws" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |f AS (SELECT * FROM src WHERE user_id % 5 = 2),
+         |g AS (SELECT user_id, ts, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |       THEN 1 ELSE 0 END AS brk
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |                               ROWS UNBOUNDED PRECEDING) AS sess
+         |      FROM g)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events,
+         |       count(DISTINCT event_type) AS n_event_types
+         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "q471_topk_udaf" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY prio
+        |    ORDER BY cents DESC, o_orderkey) AS rank FROM o)
+        |SELECT prio, CAST(rank AS INT) AS rank, cents, o_orderkey
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }

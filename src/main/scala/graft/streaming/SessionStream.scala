@@ -37,14 +37,14 @@ object SessionStream extends Serializable {
                      n_events: Long,
                      n_event_types: Long)
 
-  private def micros(t: Timestamp): Long =
+  private[streaming] def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  private def toTs(us: Long): Timestamp =
+  private[streaming] def toTs(us: Long): Timestamp =
     Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
-  private def summarize(u: Long, s: OpenSession): Session =
+  private[streaming] def summarize(u: Long, s: OpenSession): Session =
     Session(u, toTs(s.startMicros), toTs(s.endMicros), s.nEvents,
             s.types.size.toLong)
 
