@@ -790,6 +790,44 @@ object R8Queries {
         .select(col("prio"), posexplode(col("top")).as(Seq("idx", "e")))
         .select(col("prio"), (col("idx") + 1).as("rank"),
                 col("e._1").as("cents"), col("e._2").as("o_orderkey"))
+    }),
+    "q472_zone_map" -> ((s, dir) => {
+      // Zone-map secondary index + pruned read: orders range-clustered on
+      // o_orderdate into 8 files, a file-level (min, max, rows) manifest
+      // built once from _metadata, and a half-year range read that OPENS
+      // only overlapping files (driver consults the metadata-scale index;
+      // pruned files are never listed into the scan). files_pruned=TRUE
+      // pins that skipping really happened — robust to range-sampling
+      // jitter because a 6-month window can overlap at most a couple of
+      // 8-way year-range splits. The rollup must equal the plain filtered
+      // SQL (pruning is an optimization contract; the residual filter is
+      // the correctness contract).
+      val tmp = java.nio.file.Files.createTempDirectory("q472_zm")
+        .toString + "/orders"
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(tmp)
+      val idx = Layout.zoneMapIndex(s.read.parquet(tmp), "o_orderdate")
+        .localCheckpoint()
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1996-06-30 23:59:59"))
+      val (pruned, scanned, total) =
+        Layout.zoneMapRead(s, idx, "o_orderdate", lo, hi)
+      pruned.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("files_pruned", lit(scanned < total))
+    }),
+    "q473_bigram_kn" -> ((s, dir) => {
+      // Absolutely-discounted (Kneser-Ney-style) bigram LM: the smoothing
+      // tier above q79's raw MLE table — discount mass D=3/4 redistributed
+      // by CONTINUATION diversity, all in pinned-order integer ppm so the
+      // probabilities hash bit-identically. One corpus explode; every
+      // margin re-aggregates the bigram table.
+      TextAnalysis.bigramLmKn(
+        Tables.spread(s, Tables.read(s, dir, "documents")),
+        "doc_id", "text", k = 25)
     })
   )
 
@@ -1234,6 +1272,40 @@ object R8Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY prio
         |    ORDER BY cents DESC, o_orderkey) AS rank FROM o)
         |SELECT prio, CAST(rank AS INT) AS rank, cents, o_orderkey
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "q472_zone_map" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS files_pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59'
+        |GROUP BY 1""".stripMargin,
+    "q473_bigram_kn" ->
+      """WITH d AS (SELECT list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d
+        |        WHERE len(toks) >= 2)),
+        |bi AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |heads AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1_head FROM bi GROUP BY 1),
+        |conts AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_cont
+        |  FROM bi GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+        |s AS (SELECT bi.w1, bi.w2, c12, c1, n1_head, n1_cont,
+        |    (n1_cont * 1000000) // t.t AS cont_ppm,
+        |    (greatest(4 * c12 - 3, 0) * 1000000) // (4 * c1) +
+        |    (3 * n1_head * ((n1_cont * 1000000) // t.t)) // (4 * c1)
+        |      AS p_ppm
+        |  FROM bi JOIN heads ON bi.w1 = heads.w1
+        |          JOIN conts ON bi.w2 = conts.w2, t)
+        |SELECT w1, w2, c12, c1, n1_head, n1_cont,
+        |  CAST(cont_ppm AS BIGINT) AS cont_ppm, CAST(p_ppm AS BIGINT)
+        |    AS p_ppm
+        |FROM s ORDER BY c12 DESC, w1, w2 LIMIT 25""".stripMargin
   )
 }

@@ -168,4 +168,44 @@ object Layout {
             .otherwise(lit("PLAIN")))
     }.reduce(_ unionByName _)
   }
+
+  // -------------------------------------------------------------------
+  // Zone-map secondary index (file-level min/max skipping)
+  // -------------------------------------------------------------------
+
+  /** Build a file-level zone map for `colName`: one narrow scan emitting
+    * (file, min, max, n_rows) per physical file via the `_metadata` hidden
+    * column. This is the manifest-stats table a lakehouse format keeps per
+    * data file — materialized once (ANALYZE-style) and consulted at
+    * planning time; it is metadata-scale (one row per FILE), so at 100 TB
+    * with 1 GB files it is ~10⁵ rows against 10¹⁰+ data rows.
+    */
+  def zoneMapIndex(df: DataFrame, colName: String): DataFrame =
+    df.select(col("_metadata.file_path").as("file"), col(colName).as("_v"))
+      .groupBy(col("file"))
+      .agg(min(col("_v")).as("zmin"), max(col("_v")).as("zmax"),
+           count(lit(1)).as("n_rows"))
+
+  /** Range read through the zone map: open ONLY the files whose
+    * [zmin, zmax] overlaps [lo, hi], then apply the residual row filter.
+    * The stats consult is a driver-side scan of the metadata-scale index
+    * (the same place a format's planning phase runs it); the data scan
+    * never lists, opens, or row-filters a pruned file. Returns the pruned
+    * frame plus (filesScanned, filesTotal) so callers can assert the
+    * skipping actually happened. Correct for any layout — a file written
+    * without clustering on `colName` simply never prunes (zone maps are
+    * an optimization contract, the residual filter is the correctness
+    * contract); cluster by [[zorderWrite]]/repartitionByRange to make
+    * them selective.
+    */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession,
+                  index: DataFrame, colName: String,
+                  lo: Column, hi: Column): (DataFrame, Long, Long) = {
+    val keep = index.filter(col("zmax") >= lo && col("zmin") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val total = index.count()
+    val pruned = spark.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col(colName) >= lo && col(colName) <= hi)
+    (pruned, keep.length.toLong, total)
+  }
 }

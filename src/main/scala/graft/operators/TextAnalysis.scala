@@ -773,4 +773,48 @@ object TextAnalysis {
       .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
       .select("x", "y", "c_xy", "c_x", "c_y", "lift_ppm")
   }
+
+  /** Kneser-Ney-style absolutely-discounted bigram LM in exact integer
+    * ppm (the smoothing [[bigramLm]]'s raw MLE lacks — unseen-mass
+    * redistribution weighted by CONTINUATION diversity, the KenLM/CCNet
+    * model family). Discount D = 3/4 folded rationally (×4 both sides):
+    *
+    *   cont_ppm(w2)  = (N1+(·w2) · 1e6) DIV T          T = #bigram types
+    *   disc_ppm      = (max(4·c12 − 3, 0) · 1e6) DIV (4·c1)
+    *   backoff_ppm   = (3 · N1+(w1·) · cont_ppm) DIV (4·c1)
+    *   p_ppm         = disc_ppm + backoff_ppm
+    *
+    * in exactly that operation order — every engine reproduces the DIVs
+    * bit-identically, no float log ever. One corpus explode feeds the
+    * bigram aggregate; c1 / N1+(w1·) / N1+(·w2) / T are all
+    * vocabulary-grain re-aggregates of the bigram table itself (no second
+    * corpus pass). Top-`k` bigrams by count, deterministic ties.
+    */
+  def bigramLmKn(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 20): DataFrame = {
+    val toks = df.select(filter(tokens(col(textCol)), t => t =!= "")
+                           .as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    val bi = toks
+      .select(explode(orderedShingles(col("_toks"), 2)).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", expr("split_part(_bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(_bg, ' ', 2)"))
+      .drop("_bg").localCheckpoint(false)
+    val heads = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_head"))
+    val conts = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1_cont"))
+    val types = bi.agg(count(lit(1)).as("_t"))
+    bi.join(broadcast(heads), Seq("w1"))
+      .join(broadcast(conts), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("cont_ppm", expr("(n1_cont * 1000000L) DIV _t"))
+      .withColumn("p_ppm", expr(
+        """(greatest(4L * c12 - 3L, 0L) * 1000000L) DIV (4L * c1) +
+          |(3L * n1_head * ((n1_cont * 1000000L) DIV _t)) DIV (4L * c1)"""
+          .stripMargin))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(k)
+      .select("w1", "w2", "c12", "c1", "n1_head", "n1_cont",
+              "cont_ppm", "p_ppm")
+  }
 }
