@@ -828,6 +828,100 @@ object R8Queries {
       TextAnalysis.bigramLmKn(
         Tables.spread(s, Tables.read(s, dir, "documents")),
         "doc_id", "text", k = 25)
+    }),
+    "q474_occ_publish" -> ((s, dir) => {
+      // Optimistic concurrency in the gate: writer A reads the base
+      // rollup, a concurrent writer lands +7 cents between A's read and
+      // commit, A's CAS publish detects the conflict and RECOMPUTES its
+      // ×2 against the winner's table — so the final relation is
+      // (base+7)×2, never base×2 (the blind overwrite) nor (base×2)+7
+      // (the lost update). Version count pins the retry really happened.
+      val tmp = java.nio.file.Files.createTempDirectory("q474_occ")
+        .toString + "/t"
+      val base = Tables.read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      VersionedTable.publish(s, base, tmp)
+      var injected = false
+      VersionedTable.commitRetrying(s, tmp, { cur =>
+        val c = cur.get
+        if (!injected) {
+          injected = true
+          VersionedTable.publish(s, c.withColumn("cents",
+            col("cents") + 7L), tmp)
+        }
+        c.withColumn("cents", col("cents") * 2L)
+      })
+      VersionedTable.read(s, tmp)
+        .withColumn("final_version",
+                    lit(VersionedTable.latestVersion(s, tmp).get))
+    }),
+    "q475_nested_pruning" -> ((s, dir) => {
+      // Nested schema pruning pinned in the gate: events re-written with
+      // the payload nested in a struct, then a rollup touching ONE leaf —
+      // the parquet ReadSchema must contain only that leaf (struct<
+      // payload:struct<event_type:string>>), not the full struct. At
+      // 100 TB wide structs, reading the whole struct for a one-field
+      // rollup is the difference between a column and the table.
+      val tmp = java.nio.file.Files.createTempDirectory("q475_nest")
+        .toString + "/t"
+      Tables.events(s, dir)
+        .select(col("event_id"),
+                struct(col("user_id"), col("event_type"), col("value"))
+                  .as("payload"))
+        .write.mode("overwrite").parquet(tmp)
+      val q = s.read.parquet(tmp)
+        .groupBy(col("payload.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val pruned = graft.plans.PlanContract.contains(q,
+        "ReadSchema: struct<payload:struct<event_type:string>>")
+      q.withColumn("schema_pruned", lit(pruned))
+    }),
+    "q476_exchange_reuse" -> ((s, dir) => {
+      // Exchange reuse pinned in the gate: parts with identical total
+      // ordered quantity — both sides of the self-join are THE SAME
+      // aggregate, so the runtime must compute its shuffle once and wire
+      // a ReusedExchange into the second side (probed from the
+      // POST-execution adaptive plan, q460-style). Without reuse the
+      // corpus-sized aggregate runs twice.
+      val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
+      val agg = li.groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100) AS BIGINT)")).as("q"))
+      val j = agg.as("a").join(agg.as("b"),
+          col("a.q") === col("b.q") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .agg(count(lit(1)).as("n_twin_pairs"),
+             countDistinct(col("a.l_partkey")).as("n_left_parts"))
+      val rows = j.collect()
+      val reused = j.queryExecution.executedPlan.toString
+        .contains("ReusedExchange")
+      s.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ reused)): _*),
+        j.withColumn("exchange_reused", lit(reused)).schema)
+    }),
+    "q477_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: observed leading-digit
+      // shares vs the Benford expectation (log10(1+1/d), pre-folded ppm
+      // literals — no runtime log), the standard forensic screen for
+      // fabricated monetary data. Digit extraction is integer/string only.
+      val exp = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+                    5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+                    9 -> 45757L)
+      val expCol = exp.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+      val o = Tables.read(s, dir, "orders")
+        .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100)" +
+                     " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      val tot = o.agg(count(lit(1)).as("_n"))
+      o.groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("n_orders * 1000000L DIV _n"))
+        .withColumn("exp_ppm", expCol)
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .drop("_n")
     })
   )
 
@@ -1306,6 +1400,45 @@ object R8Queries {
         |SELECT w1, w2, c12, c1, n1_head, n1_cont,
         |  CAST(cont_ppm AS BIGINT) AS cont_ppm, CAST(p_ppm AS BIGINT)
         |    AS p_ppm
-        |FROM s ORDER BY c12 DESC, w1, w2 LIMIT 25""".stripMargin
+        |FROM s ORDER BY c12 DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q474_occ_publish" ->
+      """SELECT o_orderpriority,
+        |  (CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     + 7) * 2 AS cents,
+        |  CAST(3 AS BIGINT) AS final_version
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q475_nested_pruning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  TRUE AS schema_pruned
+        |FROM events GROUP BY 1""".stripMargin,
+    "q476_exchange_reuse" ->
+      """WITH a AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_twin_pairs,
+        |  CAST(count(DISTINCT x.l_partkey) AS BIGINT) AS n_left_parts,
+        |  TRUE AS exchange_reused
+        |FROM a x JOIN a y ON x.q = y.q AND x.l_partkey < y.l_partkey"""
+        .stripMargin,
+    "q477_benford" ->
+      """WITH o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice
+        |      * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM o
+        |      GROUP BY 1)
+        |SELECT digit, n_orders,
+        |  CAST(n_orders * 1000000 // t.n AS BIGINT) AS obs_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |    WHEN 9 THEN 45757 ELSE 0 END AS BIGINT) AS exp_ppm,
+        |  CAST(abs(n_orders * 1000000 // t.n -
+        |    CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |    WHEN 9 THEN 45757 ELSE 0 END) AS BIGINT) AS dev_ppm
+        |FROM g, t""".stripMargin
   )
 }

@@ -218,6 +218,62 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String): Long =
     publish(spark, read(spark, root), root)
 
+  // -------------------------------------------------------------------
+  // Optimistic concurrency (CAS publish)
+  // -------------------------------------------------------------------
+
+  /** Compare-and-swap publish: commit the snapshot ONLY if the latest
+    * committed version is still `expected` (None = table must not exist
+    * yet) AND this writer wins the atomic mkdir claim on the next version
+    * directory. Returns Some(newVersion), or None on conflict — a
+    * concurrent writer committed (or claimed) first, so this writer's
+    * snapshot was derived from a stale read and must be recomputed
+    * ([[commitRetrying]] is that loop).
+    *
+    * This replaces [[publish]]'s single-writer assumption with the
+    * optimistic protocol lakehouse formats use: readers still need no
+    * coordination, and writers coordinate only through the atomic
+    * create. A crashed claimant leaves an uncommitted directory that
+    * keeps reporting conflict — [[vacuum]] reclaims it (deliberate:
+    * silently stealing a live writer's claim would corrupt its commit).
+    */
+  def publishIf(spark: SparkSession, snapshot: DataFrame, root: String,
+                expected: Option[Long]): Option[Long] = {
+    val f = fs(spark, root)
+    if (committedVersions(f, root).lastOption != expected) return None
+    val next = expected.getOrElse(0L) + 1L
+    val dir = new Path(s"$root/$VPrefix$next")
+    if (f.exists(dir) || !f.mkdirs(dir)) return None
+    // append into the freshly-claimed (empty) dir: overwrite would delete
+    // and re-create it, reopening the claim window a racer could steal
+    snapshot.write.mode("append").parquet(s"$root/$VPrefix$next")
+    f.create(new Path(s"$root/$VPrefix$next/$Committed"), true).close()
+    Some(next)
+  }
+
+  /** The OCC loop: read the latest snapshot (None before first commit),
+    * derive the next one with `compute`, CAS-publish; on conflict,
+    * re-read and recompute — the transformation is re-run against the
+    * winner's table so no committed work is ever overwritten blindly.
+    * Throws after `maxAttempts` conflicts.
+    */
+  def commitRetrying(spark: SparkSession, root: String,
+                     compute: Option[DataFrame] => DataFrame,
+                     maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val f = fs(spark, root)
+      val base = committedVersions(f, root).lastOption
+      val next = compute(base.map(v => readVersion(spark, root, v)))
+      publishIf(spark, next, root, base) match {
+        case Some(v) => return v
+        case None    => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"OCC publish lost $maxAttempts straight races at $root")
+  }
+
   /** Roll back: de-commit every version above `v` (data kept for forensics
     * until vacuum). Readers immediately resolve `v` again.
     */
