@@ -922,8 +922,40 @@ object R8Queries {
         .withColumn("exp_ppm", expCol)
         .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
         .drop("_n")
+    }),
+    "q478_bpe_learn" -> ((s, dir) => {
+      // TRUE 3-round BPE vocabulary learning (recount → argmax → greedy
+      // merge, repeated — q110's bpePairCounts is only round 1): the
+      // merge table must match an engine that re-derives each round from
+      // scratch. The greedy merge is ONE built-in replace over the
+      // double-space token string per round — no per-token loop, no UDF —
+      // and each recount is a corpus-narrow split+explode into a
+      // combine-enabled count. Round 2's argmax differs from round 1's
+      // runner-up, which is exactly the recount at work.
+      TextAnalysis.bpeLearn(
+        Tables.spread(s, Tables.read(s, dir, "documents")),
+        "text", rounds = 3)
     })
   )
+
+  /** One BPE round, DuckDB-side: recount pairs over the current
+    * segmentation `d<r>`, argmax merge `m<r>`, apply into `d<r+1>`.
+    * MATERIALIZED throughout — each CTE is referenced twice downstream.
+    */
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS MATERIALIZED (SELECT t[i] AS w1, t[i+1] AS w2,
+       |    CAST(count(*) AS BIGINT) AS pair_count
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+       |        FROM (SELECT string_split(trim(d$r.str), '  ') AS t
+       |              FROM d$r)
+       |        WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |m$r AS MATERIALIZED (SELECT w1, w2, pair_count FROM p$r
+       |  ORDER BY pair_count DESC, w1, w2 LIMIT 1),
+       |d${r + 1} AS MATERIALIZED (SELECT replace(str,
+       |    ' ' || m.w1 || '  ' || m.w2 || ' ',
+       |    ' ' || m.w1 || m.w2 || ' ') AS str FROM d$r, m$r m)"""
+      .stripMargin
 
   /** The strong co-purchase graph + `sweeps` unrolled k-core peels,
     * DuckDB-side — one CTE per sweep, the same fixed unroll the Spark
@@ -1439,6 +1471,17 @@ object R8Queries {
         |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
         |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
         |    WHEN 9 THEN 45757 ELSE 0 END) AS BIGINT) AS dev_ppm
-        |FROM g, t""".stripMargin
+        |FROM g, t""".stripMargin,
+    "q478_bpe_learn" ->
+      s"""WITH d1 AS MATERIALIZED (SELECT ' ' || array_to_string(
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                x -> x <> ''), '  ') || ' ' AS str
+         |  FROM documents),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT 1 AS round, w1, w2, pair_count FROM m1
+         |UNION ALL SELECT 2, w1, w2, pair_count FROM m2
+         |UNION ALL SELECT 3, w1, w2, pair_count FROM m3""".stripMargin
   )
 }

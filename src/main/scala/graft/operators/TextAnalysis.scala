@@ -817,4 +817,55 @@ object TextAnalysis {
       .select("w1", "w2", "c12", "c1", "n1_head", "n1_cont",
               "cont_ppm", "p_ppm")
   }
+
+  /** TRUE multi-round BPE vocabulary learning — per round: recount all
+    * adjacent pairs over the CURRENT segmentation, take the argmax pair
+    * (count desc, pair asc), merge it greedily left-to-right everywhere,
+    * repeat. [[bpePairCounts]] is round 1 of this; the recount is what
+    * makes it BPE rather than a frequency table.
+    *
+    * The corpus representation is the double-space token string
+    * `" t1  t2  ...  tn "`: pair (a, b) occurs exactly as the substring
+    * `" a  b "`, and because a match consumes only the FIRST trailing
+    * space, a built-in left-to-right `replace` merges non-overlapping
+    * consecutive occurrences while correctly skipping the overlapped one
+    * in runs (`a a a` → `aa a`) — greedy BPE application as ONE codegen'd
+    * string op per round, no per-token loop, no UDF. Both the recount
+    * (split + explode + combine-enabled count) and the merge (broadcast
+    * 1-row argmax cross join + replace) are corpus-sized narrow passes;
+    * rounds are unrolled, so the whole learn is `rounds` shuffles.
+    *
+    * Returns (round, w1, w2, pair_count): the merge table in order.
+    */
+  def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    var docs = df.select(
+      concat(lit(" "),
+             concat_ws("  ", filter(tokens(col(textCol)), t => t =!= "")),
+             lit(" ")).as("str")).localCheckpoint(false)
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = docs
+        .select(split(trim(col("str")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1,
+            |              element_at(t, i + 1) AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("w1"), col("w2")).limit(1)
+        .localCheckpoint(false)
+      merges ::= best.withColumn("round", lit(r))
+      docs = docs.crossJoin(broadcast(best))
+        .select(expr(
+          """replace(str, concat(' ', w1, '  ', w2, ' '),
+            |             concat(' ', w1, w2, ' '))""".stripMargin)
+          .as("str"))
+        .localCheckpoint(false)
+    }
+    merges.reverse.reduce(_ unionByName _)
+      .select("round", "w1", "w2", "pair_count")
+  }
 }
