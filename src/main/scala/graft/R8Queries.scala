@@ -935,6 +935,88 @@ object R8Queries {
       TextAnalysis.bpeLearn(
         Tables.spread(s, Tables.read(s, dir, "documents")),
         "text", rounds = 3)
+    }),
+    "q479_stream_distinct_mapstate" -> ((s, dir) => {
+      // Exact per-user distinct counting through transformWithState
+      // MapState (the v2 API's keyed-map tier: membership tests hit the
+      // state store's map index, never deserializing the whole set).
+      // Emissions are monotone counts, so max-per-user over the sink is
+      // the exact distinct count regardless of batch slicing — checked
+      // against DuckDB's COUNT(DISTINCT).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val feed = SparkEntry.ev(s, dir).filter(col("user_id") % 5 === 4)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val counts = graft.streaming.DistinctStream.distinctCounts(
+        src.toDF().toDF("event_id", "user_id", "value"))
+      val tbl = "q479_dist_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, graft.streaming.SessionStreamTws.RocksDbProvider)
+      try SparkEntry.withStreamShuffle(s) {
+        val q = counts.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try (0 until 3).foreach { i =>
+          src.addData(feed.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally oldProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.table(tbl).groupBy(col("user_id"))
+        .agg(max(col("n_distinct")).as("n_distinct"))
+    }),
+    "q480_read_asof_ts" -> ((s, dir) => {
+      // Timestamp time travel with DATA-time commit stamps (not
+      // wall-clock — replays stay deterministic): three stamped publishes
+      // of widening order rollups; AS OF 2500 must resolve the middle
+      // version exactly.
+      val tmp = java.nio.file.Files.createTempDirectory("q480_asof")
+        .toString + "/t"
+      def roll(maxYear: Int) = Tables.read(s, dir, "orders")
+        .filter(year(col("o_orderdate")) < maxYear)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      VersionedTable.publishStamped(s, roll(1997), tmp, 1000L)
+      VersionedTable.publishStamped(s, roll(1999), tmp, 2000L)
+      VersionedTable.publishStamped(s, roll(3000), tmp, 3000L)
+      VersionedTable.readAsOf(s, tmp, 2500L)
+    }),
+    "q481_checked_publish" -> ((s, dir) => {
+      // CHECK-constrained publish: a corrupted snapshot (urgent rollup
+      // negated) is REJECTED whole — per-check violation counts come
+      // back, the table stays unborn — then the clean snapshot commits
+      // as v1. The published relation carries the rejected attempt's
+      // violation tally, both driver-checked.
+      val tmp = java.nio.file.Files.createTempDirectory("q481_chk")
+        .toString + "/t"
+      val good = Tables.read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val bad = good.withColumn("cents",
+        when(col("o_orderpriority") === "1-URGENT", -col("cents"))
+          .otherwise(col("cents")))
+      val checks = Seq(
+        "cents_nonneg" -> (col("cents") >= 0L),
+        "prio_notnull" -> col("o_orderpriority").isNotNull)
+      val rejected = VersionedTable.publishChecked(s, bad, tmp, checks)
+        .left.getOrElse(Seq.empty)
+      require(VersionedTable.latestVersion(s, tmp).isEmpty,
+              "rejected publish must not commit")
+      val v = VersionedTable.publishChecked(s, good, tmp, checks)
+        .getOrElse(sys.error("clean publish rejected"))
+      VersionedTable.read(s, tmp)
+        .withColumn("rejected_violations",
+                    lit(rejected.map(_._2).sum))
+        .withColumn("final_version", lit(v))
     })
   )
 
@@ -1482,6 +1564,24 @@ object R8Queries {
          |${bpeRoundSql(3)}
          |SELECT 1 AS round, w1, w2, pair_count FROM m1
          |UNION ALL SELECT 2, w1, w2, pair_count FROM m2
-         |UNION ALL SELECT 3, w1, w2, pair_count FROM m3""".stripMargin
+         |UNION ALL SELECT 3, w1, w2, pair_count FROM m3""".stripMargin,
+    "q479_stream_distinct_mapstate" ->
+      s"""WITH ${SparkEntry.SrcCte}
+         |SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)
+         |  AS n_distinct
+         |FROM src WHERE user_id % 5 = 4 GROUP BY 1""".stripMargin,
+    "q480_read_asof_ts" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE year(o_orderdate) < 1999
+        |GROUP BY 1""".stripMargin,
+    "q481_checked_publish" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(1 AS BIGINT) AS rejected_violations,
+        |  CAST(1 AS BIGINT) AS final_version
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -219,6 +219,78 @@ object VersionedTable {
     publish(spark, read(spark, root), root)
 
   // -------------------------------------------------------------------
+  // Timestamp time travel + checked publish
+  // -------------------------------------------------------------------
+
+  // Commit-timestamp stamp file (same naming rules as _BATCH_).
+  private val TsPrefix = "_TS_"
+
+  /** [[publish]] carrying an explicit commit timestamp (epoch millis) for
+    * [[readAsOf]]. The stamp is caller-supplied, not wall-clock: event
+    * pipelines stamp with their batch watermark so time travel aligns
+    * with DATA time and replays are deterministic — wall-clock stamps
+    * would make "AS OF" irreproducible across reruns. Stamps must be
+    * non-decreasing across publishes (enforced).
+    */
+  def publishStamped(spark: SparkSession, snapshot: DataFrame, root: String,
+                     commitMillis: Long): Long = {
+    val f = fs(spark, root)
+    committedVersions(f, root).lastOption.foreach { v =>
+      val prev = stampOf(f, root, v)
+      require(prev.forall(_ <= commitMillis),
+              s"commit stamp $commitMillis regresses below ${prev.get}")
+    }
+    val next = publish(spark, snapshot, root)
+    f.create(new Path(s"$root/$VPrefix$next/$TsPrefix$commitMillis"), true)
+      .close()
+    next
+  }
+
+  private def stampOf(f: FileSystem, root: String, v: Long): Option[Long] =
+    f.listStatus(new Path(s"$root/$VPrefix$v")).toSeq
+      .map(_.getPath.getName).find(_.startsWith(TsPrefix))
+      .map(_.stripPrefix(TsPrefix).toLong)
+
+  /** Time travel by timestamp: the newest committed version whose stamp
+    * is ≤ `asOfMillis` (versions published without a stamp are ignored).
+    * Deletion-vector versions resolve as usual.
+    */
+  def readAsOf(spark: SparkSession, root: String,
+               asOfMillis: Long): DataFrame = {
+    val f = fs(spark, root)
+    val v = committedVersions(f, root)
+      .filter(n => stampOf(f, root, n).exists(_ <= asOfMillis))
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"no committed version at or before $asOfMillis in $root"))
+    readVersion(spark, root, v)
+  }
+
+  /** Publish gated on row-level CHECK constraints: every (name,
+    * mustHold) predicate is counted over the snapshot in ONE pass; any
+    * violation rejects the WHOLE publish (the table never exposes a
+    * half-valid snapshot) and returns the per-check violation counts.
+    * NULL predicate results count as violations (a check that cannot
+    * prove itself true fails) — the write-path complement of the SCD
+    * engine's output contracts.
+    */
+  def publishChecked(spark: SparkSession, snapshot: DataFrame, root: String,
+                     checks: Seq[(String, org.apache.spark.sql.Column)])
+      : Either[Seq[(String, Long)], Long] = {
+    require(checks.nonEmpty, "publishChecked needs at least one check")
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    def cnt(c: org.apache.spark.sql.Column, n: String) =
+      coalesce(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)),
+               lit(0L)).as(n)
+    val cols = checks.map { case (n, c) => cnt(c, n) }
+    val counts = snapshot.agg(cols.head, cols.tail: _*).head()
+    val violated = checks.zipWithIndex.collect {
+      case ((n, _), i) if counts.getLong(i) > 0 => n -> counts.getLong(i)
+    }
+    if (violated.nonEmpty) Left(violated)
+    else Right(publish(spark, snapshot, root))
+  }
+
+  // -------------------------------------------------------------------
   // Optimistic concurrency (CAS publish)
   // -------------------------------------------------------------------
 
