@@ -1017,8 +1017,38 @@ object R8Queries {
         .withColumn("rejected_violations",
                     lit(rejected.map(_._2).sum))
         .withColumn("final_version", lit(v))
+    }),
+    "q482_kmeans_lloyd" -> ((s, dir) => {
+      // FULL Lloyd k-means, 3 exact integer rounds (q53's kmeansStep is
+      // one assignment; this recomputes centroids and reassigns — the
+      // semantic-dedup clustering loop): non-negative quantization grid
+      // because Spark DIV truncates while DuckDB // floors and they only
+      // agree on non-negative operands; assignment = broadcast k·d
+      // centroid join + (d², cluster) argmin; update = one
+      // combine-enabled (cluster, dim) aggregate. Cluster sizes pin the
+      // assignment, centroids pin the arithmetic.
+      Similarity.kmeansLloyd(
+        Tables.spread(s, Tables.read(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 4, dims = 8, rounds = 3)
     })
   )
+
+  /** One Lloyd round, DuckDB-side: argmin assignment vs centroids
+    * `c<r-1>`, centroid update into `c<r>`.
+    */
+  private def kmeansRoundSql(r: Int): String =
+    s"""a$r AS MATERIALIZED (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cluster) AS rn
+       |  FROM (SELECT v.vec_id, c.cluster,
+       |          sum((v.q - c.c) * (v.q - c.c)) AS d2
+       |        FROM vecs v JOIN c${r - 1} c ON v.dim = c.dim
+       |        GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |c$r AS MATERIALIZED (SELECT a.cluster, v.dim,
+       |    CAST(sum(v.q) // count(*) AS BIGINT) AS c
+       |  FROM vecs v JOIN a$r a USING (vec_id) GROUP BY 1, 2)"""
+      .stripMargin
 
   /** One BPE round, DuckDB-side: recount pairs over the current
     * segmentation `d<r>`, argmax merge `m<r>`, apply into `d<r+1>`.
@@ -1582,6 +1612,22 @@ object R8Queries {
         |    AS cents,
         |  CAST(1 AS BIGINT) AS rejected_violations,
         |  CAST(1 AS BIGINT) AS final_version
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q482_kmeans_lloyd" ->
+      s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT)
+         |    AS dim,
+         |    CAST(greatest(least(floor(embedding[CAST(i AS INT)] * 1000),
+         |      1000), -1000) AS BIGINT) + 1000 AS q
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, 9)) AS i
+         |        FROM embeddings)),
+         |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster, dim,
+         |    q AS c FROM vecs WHERE vec_id < 4),
+         |${kmeansRoundSql(1)},
+         |${kmeansRoundSql(2)},
+         |${kmeansRoundSql(3)}
+         |SELECT c3.cluster, dim, c, n_members FROM c3
+         |JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |      FROM a3 GROUP BY 1) s ON c3.cluster = s.cluster"""
+        .stripMargin
   )
 }

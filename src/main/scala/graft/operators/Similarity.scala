@@ -391,6 +391,55 @@ object Similarity {
     * 9e18 — ~1e10 unit-scale vectors at scale=1000; shrink `scale` or
     * lift to DECIMAL beyond.
     */
+  /** Full Lloyd k-means, `rounds` exact integer iterations (the
+    * multi-round upgrade of [[kmeansStep]]'s single assignment): vectors
+    * quantized to the NON-NEGATIVE integer grid
+    * `clamp(floor(x·1000), ±1000) + 1000` — non-negativity is load-bearing
+    * for cross-engine exactness, because Spark's `DIV` truncates toward
+    * zero while DuckDB's `//` floors, and they agree only on non-negative
+    * operands (centroid updates divide sums by counts). Seeds = the k
+    * lowest-id vectors. Assignment is a (vector-dim × k-centroid)
+    * equi-join on dim with the centroid side broadcast (k·d rows), argmin
+    * by (distance², cluster); update is one combine-enabled (cluster,
+    * dim) aggregate. Per round: one broadcast join + two narrow
+    * aggregates — corpus never shuffles except by (cluster, dim) at
+    * k·d·partitions rows.
+    *
+    * Returns the final centroid table (cluster, dim, c) plus each
+    * cluster's member count.
+    */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, dims: Int, rounds: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"), posexplode(expr(
+        s"""transform(slice($vecCol, 1, $dims),
+           |  x -> CAST(greatest(least(floor(x * 1000), 1000.0D),
+           |                     -1000.0D) AS BIGINT) + 1000L)"""
+          .stripMargin)).as(Seq("dim", "q")))
+      .localCheckpoint(false)
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"),
+              col("dim"), col("q").as("c"))
+      .localCheckpoint(false)
+    var assign: DataFrame = null
+    for (_ <- 1 to rounds) {
+      assign = vecs.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("_d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
+        .select(col("vec_id"), col("_m.cluster").as("cluster"))
+        .localCheckpoint(false)
+      cent = vecs.join(assign, Seq("vec_id"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr("sum(q) DIV count(1)").as("c"))
+        .localCheckpoint(false)
+    }
+    val sizes = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    cent.join(sizes, Seq("cluster"))
+      .select("cluster", "dim", "c", "n_members")
+  }
+
   def gramMatrix(df: DataFrame, vecCol: String, dims: Int,
                  scale: Int = 1000): DataFrame =
     df.select(expr(
