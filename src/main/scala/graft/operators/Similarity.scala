@@ -441,14 +441,23 @@ object Similarity {
   }
 
   def gramMatrix(df: DataFrame, vecCol: String, dims: Int,
-                 scale: Int = 1000): DataFrame =
-    df.select(expr(
+                 scale: Int = 1000): DataFrame = {
+    // Implementation is functions.GramAgg — a typed Aggregator whose
+    // buffer IS the flat d·(d+1)/2 triangle, accumulated by a primitive
+    // nested loop per row. No per-pair row ever exists: one buffer per
+    // map task crosses the shuffle. (The first formulation exploded
+    // d·(d+1)/2 struct rows per vector through generate+hash-agg and
+    // paid 14.8 s / 250 k vectors; same math, array-arithmetic speed.)
+    val tri = df.agg(
+      graft.functions.GramAgg.gram(dims, scale)(col(vecCol)).as("_g"))
+    // unpack the buffer to (i, j, g) rows: regenerate the (i, j) index
+    // walk and zip with the values — metadata-sized
+    tri.select(posexplode(expr(
         s"""flatten(transform(sequence(1, $dims), i ->
-           |  transform(sequence(i, $dims), j -> struct(i AS i, j AS j,
-           |    CAST(floor(element_at($vecCol, i) * $scale) AS BIGINT) *
-           |    CAST(floor(element_at($vecCol, j) * $scale) AS BIGINT)
-           |      AS p))))""".stripMargin).as("_ps"))
-      .select(explode(col("_ps")).as("_e"))
-      .groupBy(col("_e.i").as("i"), col("_e.j").as("j"))
-      .agg(sum(col("_e.p")).as("g"))
+           |  transform(sequence(i, $dims), j ->
+           |    struct(i AS i, j AS j))))""".stripMargin))
+        .as(Seq("_idx", "_ij")), col("_g"))
+      .select(col("_ij.i").as("i"), col("_ij.j").as("j"),
+              expr("element_at(_g, _idx + 1)").as("g"))
+  }
 }
