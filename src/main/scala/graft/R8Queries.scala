@@ -1030,6 +1030,27 @@ object R8Queries {
       Similarity.kmeansLloyd(
         Tables.spread(s, Tables.read(s, dir, "embeddings")),
         "vec_id", "embedding", k = 4, dims = 8, rounds = 3)
+    }),
+    "q483_power_iteration" -> ((s, dir) => {
+      // Top principal axis by power iteration on the Gram matrix: the
+      // corpus collapses to the d(d+1)/2 triangle in ONE GramAgg pass,
+      // then two exact integer matrix-vector products (rescaled DIV 1e6
+      // in pinned order; the oracle folds the sign because Spark DIV
+      // truncates while DuckDB // floors). d-sized algebra after the
+      // one corpus pass — PCA direction-finding with no per-row float.
+      val gram = Similarity.gramMatrix(
+        Tables.spread(s, Tables.read(s, dir, "embeddings")),
+        "embedding", dims = 8, scale = 1000)
+      Similarity.powerIteration(gram, iters = 2)
+    }),
+    "q484_covariance" -> ((s, dir) => {
+      // Exact n²-scaled covariance surface: ncov(i,j) = n·G(i,j) −
+      // S(i)·S(j) — pure integer algebra over the Gram triangle + the
+      // per-dim sums, so the full matrix hashes bit-identically where a
+      // float covariance would be partition-order-dependent.
+      Similarity.covarianceMatrix(
+        Tables.spread(s, Tables.read(s, dir, "embeddings")),
+        "embedding", dims = 8, scale = 1000)
     })
   )
 
@@ -1628,6 +1649,44 @@ object R8Queries {
          |SELECT c3.cluster, dim, c, n_members FROM c3
          |JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
          |      FROM a3 GROUP BY 1) s ON c3.cluster = s.cluster"""
+        .stripMargin,
+    "q483_power_iteration" ->
+      """WITH q AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS dim,
+        |    CAST(floor(embedding[CAST(i AS INT)] * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, 9)) AS i
+        |        FROM embeddings)),
+        |g AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS g
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        |  GROUP BY 1, 2),
+        |f AS MATERIALIZED (SELECT i, j, g FROM g
+        |  UNION ALL SELECT j, i, g FROM g WHERE i <> j),
+        |v0 AS (SELECT DISTINCT i AS j,
+        |    CAST(CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+        |  FROM f),
+        |s1 AS (SELECT f.i, CAST(sum(f.g * v.v) AS BIGINT) AS s
+        |  FROM f JOIN v0 v ON f.j = v.j GROUP BY 1),
+        |v1 AS MATERIALIZED (SELECT i AS j, CASE WHEN s >= 0
+        |    THEN s // 1000000 ELSE -((-s) // 1000000) END AS v FROM s1),
+        |s2 AS (SELECT f.i, CAST(sum(f.g * v.v) AS BIGINT) AS s
+        |  FROM f JOIN v1 v ON f.j = v.j GROUP BY 1),
+        |v2 AS (SELECT i AS j, CASE WHEN s >= 0
+        |    THEN s // 1000000 ELSE -((-s) // 1000000) END AS v FROM s2)
+        |SELECT j AS dim, CAST(v AS BIGINT) AS v FROM v2""".stripMargin,
+    "q484_covariance" ->
+      """WITH q AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS dim,
+        |    CAST(floor(embedding[CAST(i AS INT)] * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, 9)) AS i
+        |        FROM embeddings)),
+        |g AS (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(sum(a.q * b.q) AS BIGINT) AS g
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        |  GROUP BY 1, 2),
+        |s AS MATERIALIZED (SELECT dim, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1)
+        |SELECT g.i, g.j,
+        |  CAST(si.n * g.g - si.s * sj.s AS BIGINT) AS ncov
+        |FROM g JOIN s si ON g.i = si.dim JOIN s sj ON g.j = sj.dim"""
         .stripMargin
   )
 }

@@ -460,4 +460,57 @@ object Similarity {
       .select(col("_ij.i").as("i"), col("_ij.j").as("j"),
               expr("element_at(_g, _idx + 1)").as("g"))
   }
+
+  /** Power iteration on an (upper-triangle) Gram relation: `iters` exact
+    * integer matrix-vector products starting from e₁·10⁶, each rescaled
+    * `DIV 10⁶` in pinned order — the dominant-eigenvector direction of
+    * the embedding second-moment matrix (top principal axis, unscaled:
+    * normalization is a positive scalar that cannot change the
+    * direction's ratios beyond the shared DIV truncation, which the
+    * oracle reproduces exactly). Components go NEGATIVE, and Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` floors — so a
+    * cross-engine oracle must fold the sign: `-((-s) // b)` for s < 0.
+    * Everything is d-sized: mirror the triangle, join, combine — the
+    * corpus was already reduced by [[gramMatrix]].
+    */
+  def powerIteration(gram: DataFrame, iters: Int): DataFrame = {
+    val full = gram.unionByName(
+        gram.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("g")))
+      .localCheckpoint(false)
+    var v = full.select(col("i").as("j")).distinct()
+      .withColumn("v", when(col("j") === 1, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      v = full.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(expr("sum(g * v) DIV 1000000L").as("v"))
+        .withColumnRenamed("i", "j")
+    }
+    v.select(col("j").as("dim"), col("v"))
+  }
+
+  /** Exact n²-scaled covariance matrix from the Gram triangle plus the
+    * per-dimension sums: ncov(i,j) = n·G(i,j) − S(i)·S(j) — integer
+    * algebra only, so the full covariance surface hashes bit-identically
+    * (the float covariance would be order-dependent). One [[gramMatrix]]
+    * pass + one d-row sums aggregate; the join is d²-sized.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dims: Int,
+                       scale: Int = 1000): DataFrame = {
+    val gram = gramMatrix(df, vecCol, dims, scale)
+    val sums = df.select(posexplode(expr(
+        s"""transform(slice($vecCol, 1, $dims),
+           |  x -> CAST(floor(x * $scale) AS BIGINT))""".stripMargin))
+        .as(Seq("_d0", "q")))
+      .groupBy((col("_d0") + 1).as("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    gram
+      .join(broadcast(sums.select(col("dim").as("i"), col("s").as("_si"),
+                                  col("n").as("_n"))), Seq("i"))
+      .join(broadcast(sums.select(col("dim").as("j"), col("s").as("_sj"))),
+            Seq("j"))
+      .select(col("i"), col("j"),
+              (col("_n") * col("g") - col("_si") * col("_sj")).as("ncov"))
+  }
 }
