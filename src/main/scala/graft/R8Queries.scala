@@ -1051,6 +1051,41 @@ object R8Queries {
       Similarity.covarianceMatrix(
         Tables.spread(s, Tables.read(s, dir, "embeddings")),
         "embedding", dims = 8, scale = 1000)
+    }),
+    "q485_clamped_balance" -> ((s, dir) => {
+      // Inventory balances that cannot go negative: the sequential
+      // recurrence S_t = max(0, S_{t-1}+Δ) via its closed form
+      // S_t = P_t − least(0, min≤t P) (Rolling.clampedRunningSum) — two
+      // stacked windows on one partition sort, where the "engines can't
+      // do resets" folklore reaches for iterative/UDF state. Returns
+      // flagged 'R' lines drain stock; top-20 most-active parts report
+      // final/peak/trough balances.
+      val x = Tables.spread(s, Tables.read(s, dir, "lineitem")).select(
+        col("l_partkey").as("part"),
+        (when(col("l_returnflag") === "R", -1L).otherwise(1L) *
+           expr("CAST(floor(l_quantity * 100) AS BIGINT)")).as("dq"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val b = Rolling.clampedRunningSum(
+          x, Seq("part"), Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          "dq")
+        .withColumn("_revn", row_number().over(
+          Window.partitionBy(col("part"))
+            .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+                     col("l_linenumber").desc)))
+      b.groupBy(col("part"))
+        .agg(count(lit(1)).as("n_moves"), max(col("bal")).as("peak"),
+             min(col("bal")).as("trough"),
+             max(when(col("_revn") === 1, col("bal"))).as("final_bal"))
+        .orderBy(col("n_moves").desc, col("part")).limit(20)
+    }),
+    "q486_markov_absorption" -> ((s, dir) => {
+      // Bounded-horizon Markov absorption: P(reach 'purchase' within 3
+      // transitions) per state under the empirical transition matrix —
+      // Markov attribution without matrix inversion. One lead-window
+      // corpus pass, then state-count-sized exact-ppm vector algebra.
+      Funnel.markovAbsorption(SparkEntry.ev(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        absorb = "purchase", horizon = 3)
     })
   )
 
@@ -1687,6 +1722,62 @@ object R8Queries {
         |SELECT g.i, g.j,
         |  CAST(si.n * g.g - si.s * sj.s AS BIGINT) AS ncov
         |FROM g JOIN s si ON g.i = si.dim JOIN s sj ON g.j = sj.dim"""
-        .stripMargin
+        .stripMargin,
+    "q485_clamped_balance" ->
+      """WITH x AS (SELECT l_partkey AS part,
+        |    CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END *
+        |      CAST(floor(l_quantity * 100) AS BIGINT) AS dq,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |pf AS (SELECT part, l_shipdate, l_orderkey, l_linenumber,
+        |    sum(dq) OVER (PARTITION BY part
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM x),
+        |b AS (SELECT part,
+        |    p - least(min(p) OVER (PARTITION BY part
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING), 0) AS bal,
+        |    row_number() OVER (PARTITION BY part
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |               l_linenumber DESC) AS revn
+        |  FROM pf),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n_moves,
+        |    CAST(max(bal) AS BIGINT) AS peak,
+        |    CAST(min(bal) AS BIGINT) AS trough,
+        |    CAST(max(CASE WHEN revn = 1 THEN bal END) AS BIGINT)
+        |      AS final_bal
+        |  FROM b GROUP BY 1)
+        |SELECT * FROM g ORDER BY n_moves DESC, part LIMIT 20"""
+        .stripMargin,
+    "q486_markov_absorption" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |nx AS (SELECT event_type AS a, lead(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS b FROM src),
+         |c AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+         |  FROM nx WHERE b IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT a, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+         |p AS MATERIALIZED (SELECT c.a, c.b, (c.n * 1000000) // tot.t AS p
+         |  FROM c JOIN tot ON c.a = tot.a),
+         |s AS MATERIALIZED (SELECT DISTINCT a AS st FROM p
+         |  UNION SELECT DISTINCT b FROM p),
+         |a0 AS (SELECT st, CAST(CASE WHEN st = 'purchase' THEN 1000000
+         |  ELSE 0 END AS BIGINT) AS ap FROM s),
+         |a1 AS MATERIALIZED (SELECT s.st,
+         |  CAST(CASE WHEN s.st = 'purchase' THEN 1000000
+         |    ELSE coalesce((SELECT sum(p.p * a0.ap) // 1000000
+         |      FROM p JOIN a0 ON p.b = a0.st WHERE p.a = s.st), 0) END
+         |    AS BIGINT) AS ap FROM s),
+         |a2 AS MATERIALIZED (SELECT s.st,
+         |  CAST(CASE WHEN s.st = 'purchase' THEN 1000000
+         |    ELSE coalesce((SELECT sum(p.p * a1.ap) // 1000000
+         |      FROM p JOIN a1 ON p.b = a1.st WHERE p.a = s.st), 0) END
+         |    AS BIGINT) AS ap FROM s),
+         |a3 AS (SELECT s.st,
+         |  CAST(CASE WHEN s.st = 'purchase' THEN 1000000
+         |    ELSE coalesce((SELECT sum(p.p * a2.ap) // 1000000
+         |      FROM p JOIN a2 ON p.b = a2.st WHERE p.a = s.st), 0) END
+         |    AS BIGINT) AS ap FROM s)
+         |SELECT st AS state, ap AS absorb_ppm FROM a3""".stripMargin
   )
 }

@@ -305,4 +305,47 @@ object Funnel {
       .groupBy(col("modal_trace"), col("dist"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Bounded-horizon Markov absorption: for each event-type state, the
+    * probability (integer ppm) of reaching `absorb` within `horizon`
+    * transitions under the empirical per-user transition matrix — the
+    * Markov-chain attribution number ("how close is each state to
+    * conversion") without the matrix inversion the unbounded version
+    * needs. One corpus pass builds the transition counts (lead window per
+    * user); everything after is state-count-sized vector algebra, `p` and
+    * `a` joined and combined per step with pinned `DIV 1e6` rescaling so
+    * any engine reproduces the ppm exactly. The absorbing state is pinned
+    * to 1e6 each step; states with no outgoing edges absorb nothing.
+    */
+  def markovAbsorption(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String,
+                       absorb: String, horizon: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val nx = events
+      .withColumn("_b", lead(col(typeCol), 1).over(w))
+      .filter(col("_b").isNotNull)
+      .select(col(typeCol).as("_a"), col("_b"))
+    val c = nx.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_n"))
+    val tot = c.groupBy(col("_a")).agg(sum(col("_n")).as("_t"))
+    val p = c.join(tot, Seq("_a"))
+      .select(col("_a"), col("_b"), expr("_n * 1000000L DIV _t").as("_p"))
+      .localCheckpoint(false)
+    val states = p.select(col("_a").as("state"))
+      .union(p.select(col("_b").as("state"))).distinct()
+      .localCheckpoint(false)
+    var av = states.withColumn("absorb_ppm",
+      when(col("state") === absorb, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to horizon) {
+      val contrib = p
+        .join(av.withColumnRenamed("state", "_b"), Seq("_b"))
+        .groupBy(col("_a").as("state"))
+        .agg(expr("sum(_p * absorb_ppm) DIV 1000000L").as("_c"))
+      av = states.join(contrib, Seq("state"), "left")
+        .select(col("state"),
+                when(col("state") === absorb, lit(1000000L))
+                  .otherwise(coalesce(col("_c"), lit(0L))).as("absorb_ppm"))
+        .localCheckpoint(false)
+    }
+    av
+  }
 }

@@ -115,4 +115,29 @@ object Rolling {
       .agg(count(lit(1)).as("n_events"),
            sum(col("_vm")).as("raw_micro"),
            sum(col("_dm")).as("decayed_micro"))
+
+  /** Clamped-at-zero running balance: the "inventory can't go negative"
+    * recurrence S_t = max(0, S_{t-1} + Δ_t), which looks sequential (and
+    * is usually dismissed as not-window-expressible) but has the closed
+    * form
+    *
+    *   S_t = P_t − least(0, min_{k≤t} P_k)      (P = plain prefix sums)
+    *
+    * — every clamp event resets the baseline to the running minimum of
+    * the unclamped walk. Two stacked windows on the SAME partition/order
+    * spec (one sort, one exchange per partition key), no iteration, no
+    * UDF; the recurrence identity is spec-checked against direct
+    * simulation. Appends `outCol` holding S_t per row.
+    */
+  def clampedRunningSum(df: DataFrame, partCols: Seq[String],
+                        orderCols: Seq[String], deltaCol: String,
+                        outCol: String = "bal"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_p", sum(col(deltaCol)).over(w))
+      .withColumn("_floor", least(min(col("_p")).over(w), lit(0L)))
+      .withColumn(outCol, col("_p") - col("_floor"))
+      .drop("_p", "_floor")
+  }
 }
