@@ -1086,6 +1086,53 @@ object R8Queries {
       Funnel.markovAbsorption(SparkEntry.ev(s, dir),
         "user_id", "ts", "event_id", "event_type",
         absorb = "purchase", horizon = 3)
+    }),
+    "q487_dynamic_partition_pruning" -> ((s, dir) => {
+      // Dynamic partition pruning pinned in the gate: orders re-written
+      // partitioned by priority, a parquet-backed tag dim filtered to
+      // one tag — the fact scan must carry a dynamicpruning partition
+      // filter fed from the dim's broadcast (at 100 TB this is reading
+      // one partition instead of the table; DPP needs a scan-backed
+      // filtering side, which is why the dim is parquet, not a local
+      // relation). Rollup checked against the static-predicate SQL.
+      val base = java.nio.file.Files.createTempDirectory("q487_dpp")
+        .toString
+      Tables.read(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .write.partitionBy("o_orderpriority").mode("overwrite")
+        .parquet(s"$base/fact")
+      import s.implicits._
+      Seq(("1-URGENT", "u"), ("2-HIGH", "h"), ("3-MEDIUM", "m"),
+          ("4-NOT SPECIFIED", "n"), ("5-LOW", "l")).toDF("prio", "tag")
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim")
+      val q = fact.join(dim.filter(col("tag") === "u"),
+                        fact("o_orderpriority") === dim("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val dpp = graft.plans.PlanContract.planString(q)
+        .toLowerCase.contains("dynamicpruning")
+      q.withColumn("dpp_active", lit(dpp))
+    }),
+    "q488_prefix_filter_join" -> ((s, dir) => {
+      // Exact set-similarity self-join with PPJoin prefix filtering:
+      // candidates must share a token from the rarest-first PREFIX
+      // (pigeonhole: J ≥ τ forces a shared prefix token), then exact
+      // Jaccard verifies — recall 1.0 where MinHash-LSH trades recall,
+      // and the rare-token prefixes keep join groups tiny where
+      // share-any-token joins explode on stopwords. Part names, τ=1/2;
+      // candidate + verified counts and the overlap mass all
+      // driver-checked against the identical SQL derivation.
+      val parts = Tables.spread(s, Tables.read(s, dir, "part"))
+      val cands = Dedup.prefixCandidates(parts, "p_partkey", "p_name",
+                                         tauNum = 1, tauDen = 2)
+      val pairs = Dedup.prefixJaccardPairs(parts, "p_partkey", "p_name",
+                                           tauNum = 1, tauDen = 2)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("overlap")), lit(0L)).as("sum_overlap"))))
     })
   )
 
@@ -1778,6 +1825,43 @@ object R8Queries {
          |    ELSE coalesce((SELECT sum(p.p * a2.ap) // 1000000
          |      FROM p JOIN a2 ON p.b = a2.st WHERE p.a = s.st), 0) END
          |    AS BIGINT) AS ap FROM s)
-         |SELECT st AS state, ap AS absorb_ppm FROM a3""".stripMargin
+         |SELECT st AS state, ap AS absorb_ppm FROM a3""".stripMargin,
+    "q487_dynamic_partition_pruning" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS dpp_active
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q488_prefix_filter_join" ->
+      """WITH toks AS MATERIALIZED (SELECT p_partkey AS id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(trim(p_name)), '\s+'),
+        |      x -> x <> ''))) AS t
+        |  FROM part),
+        |rk AS MATERIALIZED (SELECT t, row_number() OVER
+        |    (ORDER BY count(*), t) AS rk FROM toks GROUP BY t),
+        |sz AS (SELECT id, t, rk.rk, count(*) OVER (PARTITION BY id) AS n,
+        |    row_number() OVER (PARTITION BY id ORDER BY rk.rk) AS pos
+        |  FROM toks JOIN rk USING (t)),
+        |pref AS MATERIALIZED (SELECT id, t FROM sz
+        |  WHERE pos <= n - (n * 1 + 2 - 1) // 2 + 1),
+        |cand AS MATERIALIZED (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        |  FROM pref a JOIN pref b ON a.t = b.t AND a.id < b.id),
+        |sets AS MATERIALIZED (SELECT p_partkey AS id,
+        |    list_distinct(list_filter(string_split_regex(lower(trim(
+        |      p_name)), '\s+'), x -> x <> '')) AS s
+        |  FROM part),
+        |v AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS overlap,
+        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+        |      AS BIGINT) AS us
+        |  FROM cand JOIN sets sa ON doc_a = sa.id
+        |             JOIN sets sb ON doc_b = sb.id),
+        |p AS (SELECT * FROM v WHERE overlap * 2 >= us * 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand)
+        |    AS n_candidates,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(sum(overlap), 0) AS BIGINT) AS sum_overlap
+        |FROM p""".stripMargin
   )
 }

@@ -723,4 +723,65 @@ object Dedup {
       .select("contained_id", "container_id", "overlap", "n_contained",
               "containment_ppm")
   }
+
+  /** Prefix-filtered exact set-similarity candidates (the PPJoin family's
+    * core trick): order the vocabulary globally by (document frequency
+    * asc, token asc) — rarest first — and keep only each document's first
+    * `|d| − ⌈τ·|d|⌉ + 1` tokens in that order as its PREFIX. Two sets
+    * with Jaccard ≥ τ MUST share a prefix token (pigeonhole on the
+    * τ-fraction they share), so the candidate join runs on prefixes
+    * only. Unlike MinHash-LSH this is EXACT (recall 1.0) — the scale win
+    * is that rare-token prefixes fan out tiny join groups where
+    * share-any-token joins explode on stopwords. Returns distinct
+    * (doc_a < doc_b) candidate pairs over whitespace token SETS.
+    */
+  def prefixCandidates(df: DataFrame, idCol: String, textCol: String,
+                       tauNum: Int, tauDen: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        explode(array_distinct(filter(
+          TextAnalysis.tokens(col(textCol)), t => t =!= ""))).as("_t"))
+      .localCheckpoint(false)
+    val rank = toks.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.DimKey.one)
+          .orderBy(col("_df"), col("_t"))))
+      .select("_t", "_rk")
+    val sized = toks.join(broadcast(rank), Seq("_t"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
+      .withColumn("_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
+          .orderBy(col("_rk"))))
+      // prefix length |d| − ceil(τ|d|) + 1, integer: n − (n·tauNum +
+      // tauDen − 1) DIV tauDen + 1 (Column./ is fractional — DIV only)
+      .filter(col("_pos") <= expr(
+        s"_n - (_n * $tauNum + $tauDen - 1) DIV $tauDen + 1"))
+    sized.as("a").join(sized.as("b"),
+        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[prefixCandidates]] + exact Jaccard verification on the full token
+    * sets — output schema matches [[ngramJaccardPairs]] (verified pairs
+    * only), computed with recall 1.0 at prefix-join cost.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val sets = df.select(col(idCol).as("_id"),
+        array_distinct(filter(TextAnalysis.tokens(col(textCol)),
+                              t => t =!= "")).as("_s"))
+      .localCheckpoint(false)
+    prefixCandidates(df, idCol, textCol, tauNum, tauDen)
+      .join(sets.select(col("_id").as("doc_a"), col("_s").as("_sa")), "doc_a")
+      .join(sets.select(col("_id").as("doc_b"), col("_s").as("_sb")), "doc_b")
+      .withColumn("overlap",
+                  size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("union_size",
+                  (size(col("_sa")) + size(col("_sb"))).cast("long") -
+                    col("overlap"))
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("doc_a", "doc_b", "overlap", "union_size")
+  }
 }
