@@ -1133,6 +1133,54 @@ object R8Queries {
         .crossJoin(broadcast(pairs.agg(
           count(lit(1)).as("n_pairs"),
           coalesce(sum(col("overlap")), lit(0L)).as("sum_overlap"))))
+    }),
+    "q489_apportionment" -> ((s, dir) => {
+      // Largest-remainder (Hamilton) apportionment: allocate a 1000-doc
+      // sampling budget across (source, lang) strata exactly
+      // proportionally — floor quotas, then the leftover seats go to the
+      // largest remainders (N·c mod C, ties by stratum) — the
+      // class-balanced-mix allocator whose quotas sum EXACTLY to N,
+      // which proportional rounding never guarantees. Pure integer
+      // arithmetic over a strata-sized relation.
+      val st = Tables.spread(s, Tables.read(s, dir, "documents"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = st.agg(sum(col("n_docs")).as("_c"),
+                       count(lit(1)).as("_k"))
+      val n = 1000L
+      val base = st.crossJoin(broadcast(tot))
+        .withColumn("_floor", expr(s"$n * n_docs DIV _c"))
+        .withColumn("_rem", expr(s"($n * n_docs) % _c"))
+      val wr = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("_rem").desc, col("source"), col("lang"))
+      val wl = Window.partitionBy(graft.functions.DimKey.one)
+      base
+        .withColumn("_rk", row_number().over(wr))
+        .withColumn("_left", lit(n) - sum(col("_floor")).over(wl))
+        .withColumn("quota",
+          col("_floor") + when(col("_rk") <= col("_left"), 1L)
+            .otherwise(0L))
+        .select("source", "lang", "n_docs", "quota")
+    }),
+    "q490_conformal" -> ((s, dir) => {
+      // Split-conformal calibration thresholds per segment: the
+      // ⌈(n+1)(1−α)⌉-th smallest score (α = 1/10) — the
+      // distribution-free prediction-interval bound, as an exact rank
+      // selection (no float quantile interpolation to disagree on).
+      // Rank via one per-group window; k in pinned integer ceil form.
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("score"),
+        col("o_orderkey"))
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("score"), col("o_orderkey"))
+      o.withColumn("_rk", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(col("grp"))))
+        .withColumn("_k", expr("((_n + 1) * 9 + 9) DIV 10"))
+        .filter(col("_rk") === least(col("_k"), col("_n")))
+        .select(col("grp"), col("_n").as("n_cal"), col("_k").as("k"),
+                col("score").as("threshold_cents"))
     })
   )
 
@@ -1862,6 +1910,35 @@ object R8Queries {
         |    AS n_candidates,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(coalesce(sum(overlap), 0) AS BIGINT) AS sum_overlap
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "q489_apportionment" ->
+      """WITH st AS (SELECT source, lang, CAST(count(*) AS BIGINT)
+        |    AS n_docs FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM st),
+        |b AS (SELECT source, lang, n_docs,
+        |    1000 * n_docs // tot.c AS f,
+        |    (1000 * n_docs) % tot.c AS rem
+        |  FROM st, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source,
+        |    lang) AS rk,
+        |    1000 - sum(f) OVER () AS leftover
+        |  FROM b)
+        |SELECT source, lang, n_docs,
+        |  CAST(f + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r""".stripMargin,
+    "q490_conformal" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS score, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT grp, score,
+        |    row_number() OVER (PARTITION BY grp ORDER BY score,
+        |      o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM o)
+        |SELECT grp, CAST(n AS BIGINT) AS n_cal,
+        |  CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k,
+        |  score AS threshold_cents
+        |FROM r WHERE rk = least(((n + 1) * 9 + 9) // 10, n)"""
+        .stripMargin
   )
 }
