@@ -1124,7 +1124,15 @@ object R8Queries {
       // share-any-token joins explode on stopwords. Part names, τ=1/2;
       // candidate + verified counts and the overlap mass all
       // driver-checked against the identical SQL derivation.
+      // Deterministic 1/10 key slice: TPC-H p_name draws 5 words from a
+      // ~92-color vocabulary — the Zipf-free WORST case for prefix
+      // filtering (every prefix token has huge df, candidates grow
+      // quadratically in parts-per-color; 154 s unsliced at sf0.1).
+      // Natural-language vocabularies are where the technique pays; the
+      // slice keeps the contract checked at every SF without letting an
+      // adversarial vocabulary own the bench.
       val parts = Tables.spread(s, Tables.read(s, dir, "part"))
+        .filter(col("p_partkey") % 10 === 0)
       val cands = Dedup.prefixCandidates(parts, "p_partkey", "p_name",
                                          tauNum = 1, tauDen = 2)
       val pairs = Dedup.prefixJaccardPairs(parts, "p_partkey", "p_name",
@@ -1181,6 +1189,69 @@ object R8Queries {
         .filter(col("_rk") === least(col("_k"), col("_n")))
         .select(col("grp"), col("_n").as("n_cal"), col("_k").as("k"),
                 col("score").as("threshold_cents"))
+    }),
+    "q491_stream_topk_liststate" -> ((s, dir) => {
+      // Running per-user top-3 values through transformWithState
+      // ListState (the ordered-collection state tier — with q470's
+      // ValueState+timers and q479's MapState, the full v2-API state
+      // surface is now driver-checked). Change-only emissions with a
+      // strictly-increasing top-k sum make max(struct(sum, set)) the
+      // exact final answer for any batch slicing.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val feed = SparkEntry.ev(s, dir).filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"),
+                expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val tops = graft.streaming.TopValuesStream.topValues(
+        src.toDF().toDF("event_id", "user_id", "v"), k = 3)
+      val tbl = "q491_top_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, graft.streaming.SessionStreamTws.RocksDbProvider)
+      try SparkEntry.withStreamShuffle(s) {
+        val q = tops.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try (0 until 3).foreach { i =>
+          src.addData(feed.filter(_._1 % 3 == i): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally oldProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.table(tbl).groupBy(col("user_id"))
+        .agg(max(struct(col("top_sum"), col("top_str"))).as("_m"))
+        .select(col("user_id"), col("_m.top_sum").as("top_sum"),
+                col("_m.top_str").as("top_str"))
+    }),
+    "q492_cohens_kappa" -> ((s, dir) => {
+      // Cohen's kappa between the stopword-vote language-ID heuristic
+      // and the labeled lang column — chance-corrected classifier
+      // agreement as an exact rational (po, pe, and κ all pinned-order
+      // integer ppm; the oracle re-derives the PREDICTOR itself in SQL,
+      // so the confusion matrix, not just the statistic, must match).
+      val d = Tables.spread(s, Tables.read(s, dir, "documents"))
+        .select(col("lang").as("actual"),
+                TextAnalysis.langId(col("text")).as("pred"))
+        .localCheckpoint()
+      val n = d.agg(count(lit(1)).as("_n"),
+                    sum(when(col("actual") === col("pred"), 1L)
+                          .otherwise(0L)).as("_agree"))
+      val pe = d.groupBy(col("pred")).agg(count(lit(1)).as("_np"))
+        .join(d.groupBy(col("actual")).agg(count(lit(1)).as("_na")),
+              col("pred") === col("actual"))
+        .agg(coalesce(sum(col("_np") * col("_na")), lit(0L)).as("_penum"))
+      n.crossJoin(broadcast(pe))
+        .withColumn("po_ppm", expr("_agree * 1000000L DIV _n"))
+        .withColumn("pe_ppm", expr("_penum * 1000000L DIV (_n * _n)"))
+        .withColumn("kappa_ppm", expr(
+          "(po_ppm - pe_ppm) * 1000000L DIV (1000000L - pe_ppm)"))
+        .select(col("_n").as("n_docs"), col("_agree").as("n_agree"),
+                col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
     })
   )
 
@@ -1885,7 +1956,7 @@ object R8Queries {
         |    unnest(list_distinct(list_filter(
         |      string_split_regex(lower(trim(p_name)), '\s+'),
         |      x -> x <> ''))) AS t
-        |  FROM part),
+        |  FROM part WHERE p_partkey % 10 = 0),
         |rk AS MATERIALIZED (SELECT t, row_number() OVER
         |    (ORDER BY count(*), t) AS rk FROM toks GROUP BY t),
         |sz AS (SELECT id, t, rk.rk, count(*) OVER (PARTITION BY id) AS n,
@@ -1898,7 +1969,7 @@ object R8Queries {
         |sets AS MATERIALIZED (SELECT p_partkey AS id,
         |    list_distinct(list_filter(string_split_regex(lower(trim(
         |      p_name)), '\s+'), x -> x <> '')) AS s
-        |  FROM part),
+        |  FROM part WHERE p_partkey % 10 = 0),
         |v AS (SELECT doc_a, doc_b,
         |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS overlap,
         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
@@ -1939,6 +2010,51 @@ object R8Queries {
         |  CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS k,
         |  score AS threshold_cents
         |FROM r WHERE rk = least(((n + 1) * 9 + 9) // 10, n)"""
-        .stripMargin
+        .stripMargin,
+    "q491_stream_topk_liststate" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |f AS (SELECT user_id, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM src
+         |  WHERE user_id % 5 = 0),
+         |r AS (SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY v DESC, event_id) AS rn FROM f)
+         |SELECT user_id, CAST(sum(v) AS BIGINT) AS top_sum,
+         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY v DESC) AS top_str
+         |FROM r WHERE rn <= 3 GROUP BY 1""".stripMargin,
+    "q492_cohens_kappa" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |hits AS (SELECT doc_id, text,
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  len(list_filter(t, x -> list_contains(" +
+              s"${SparkEntry.sqlList(TextAnalysis.Stopwords(l))}, x))) " +
+              s"AS h_$l").mkString(",\n")}
+         |FROM toks),
+         |pr AS (SELECT d.lang AS actual, CASE
+         |  WHEN h.text IS NULL THEN 'und'
+         |  WHEN regexp_matches(h.text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |${TextAnalysis.Stopwords.keys.map(l =>
+            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND " +
+              s"h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'")
+            .mkString("\n")}
+         |  ELSE 'und' END AS pred
+         |FROM hits h JOIN documents d USING (doc_id)),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN actual = pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS agree FROM pr),
+         |pe AS (SELECT CAST(coalesce(sum(np * na), 0) AS BIGINT) AS penum
+         |  FROM (SELECT pred AS c, CAST(count(*) AS BIGINT) AS np
+         |        FROM pr GROUP BY 1) a
+         |  JOIN (SELECT actual AS c, CAST(count(*) AS BIGINT) AS na
+         |        FROM pr GROUP BY 1) b USING (c)),
+         |x AS (SELECT n, agree,
+         |    CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+         |    CAST(penum * 1000000 // (n * n) AS BIGINT) AS pe_ppm
+         |  FROM t, pe)
+         |SELECT n AS n_docs, agree AS n_agree, po_ppm, pe_ppm,
+         |  CAST(CASE WHEN po_ppm >= pe_ppm
+         |    THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+         |    ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+         |    END AS BIGINT) AS kappa_ppm
+         |FROM x""".stripMargin
   )
 }

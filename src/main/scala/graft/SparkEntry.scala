@@ -12927,7 +12927,7 @@ object SparkEntry {
 
   // --- DuckDB fragments for the text/dedup/similarity oracles -------------
 
-  private def sqlList(words: Seq[String]): String =
+  private[graft] def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val AllStopwords = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
@@ -12936,7 +12936,7 @@ object SparkEntry {
   private val BpeRegexSql = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""
   private val PunctRegexSql = """[.,;:!?''"()\[\]{}<>/\\|@#$%^&*_+=~-]"""
 
-  private val ToksCte =
+  private[graft] val ToksCte =
     """toks AS (SELECT doc_id, text,
       |  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)""".stripMargin
 

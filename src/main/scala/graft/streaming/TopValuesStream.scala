@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Per-key running top-k values on `transformWithState` ListState — the
+  * v2 API's ordered-collection tier (with [[SessionStreamTws]]'s
+  * ValueState+timers and [[DistinctStream]]'s MapState this completes the
+  * state-type surface). The state is the k-element sorted multiset —
+  * bounded per key, merged against each batch's values with one linear
+  * pass.
+  *
+  * Emissions are CHANGES only, and the top-k sum strictly increases on
+  * every change (an element is only ever replaced by a larger one), so
+  * `max(struct(sum, set))` per key over the sink is the final top-k for
+  * ANY batch slicing — the same monotone-recovery contract as
+  * [[DistinctStream]], which is what lets an order-free batch oracle
+  * check a streaming operator.
+  */
+object TopValuesStream extends Serializable {
+
+  case class KV(user_id: Long, v: Long)
+  case class TopK(user_id: Long, top_sum: Long, top_str: String)
+
+  private class Proc(k: Int)
+      extends StatefulProcessor[Long, KV, TopK] {
+
+    @transient private var top: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState("top", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, it: Iterator[KV],
+                                 tv: TimerValues): Iterator[TopK] = {
+      val cur = top.get().toSeq
+      val merged = (cur ++ it.map(_.v)).sorted(Ordering[Long].reverse)
+        .take(k)
+      if (merged == cur) Iterator.empty
+      else {
+        top.clear()
+        top.appendList(merged.toArray)
+        Iterator.single(TopK(user, merged.sum, merged.mkString(",")))
+      }
+    }
+  }
+
+  /** `events` needs (user_id: long, v: long). Append-mode change stream;
+    * `max(struct(top_sum, top_str))` per user recovers the final top-k.
+    */
+  def topValues(events: DataFrame, k: Int): Dataset[TopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("v")).as[KV]
+      .groupByKey(_.user_id)
+      .transformWithState(new Proc(k), TimeMode.None(), OutputMode.Append())
+  }
+}
