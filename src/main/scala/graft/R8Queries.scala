@@ -1252,6 +1252,80 @@ object R8Queries {
           "(po_ppm - pe_ppm) * 1000000L DIV (1000000L - pe_ppm)"))
         .select(col("_n").as("n_docs"), col("_agree").as("n_agree"),
                 col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+    }),
+    "q493_permutation_test" -> ((s, dir) => {
+      // Hash-permutation test: 64 deterministic pseudo-random
+      // re-assignments (md5(user, rep) nibble parity — reproducible in
+      // any engine, unlike RNG permutations) of users to arms; p = share
+      // of replicates whose |mean gap| ≥ the observed user_id%2 split's.
+      // Mean gaps compared in pinned non-negative ppm — no float t-test,
+      // no distributional assumption. One corpus pass to user grain;
+      // replicates explode a user-count-sized relation only.
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint()
+      def gap(df: DataFrame, armCol: org.apache.spark.sql.Column,
+              keys: Seq[org.apache.spark.sql.Column]) =
+        df.withColumn("_arm", armCol)
+          .groupBy(keys: _*)
+          .agg(sum(when(col("_arm") === 0, col("cents"))).as("_sa"),
+               count(when(col("_arm") === 0, lit(1))).as("_na"),
+               sum(when(col("_arm") === 1, col("cents"))).as("_sb"),
+               count(when(col("_arm") === 1, lit(1))).as("_nb"))
+          .withColumn("dppm", abs(expr("_sa * 1000000L DIV _na") -
+                                  expr("_sb * 1000000L DIV _nb")))
+      val obs = gap(u, (col("user_id") % 2).cast("int"), Seq(lit(1).as("_k")))
+        .select(col("dppm").as("obs_dppm"))
+      val reps = gap(
+        u.select(col("user_id"), col("cents"),
+                 explode(expr("sequence(1, 64)")).as("r")),
+        expr("""CASE WHEN substring(md5(concat(CAST(user_id AS STRING),
+                '-', CAST(r AS STRING))), 1, 1)
+                IN ('0','1','2','3','4','5','6','7')
+                THEN 0 ELSE 1 END"""),
+        Seq(col("r")))
+      reps.crossJoin(broadcast(obs))
+        .agg(max(col("obs_dppm")).as("observed_dppm"),
+             count(lit(1)).as("n_reps"),
+             sum(when(col("dppm") >= col("obs_dppm"), 1L).otherwise(0L))
+               .as("n_extreme"))
+        .withColumn("p_ppm", expr("n_extreme * 1000000L DIV n_reps"))
+    }),
+    "q494_cuped" -> ((s, dir) => {
+      // CUPED variance reduction: θ from pooled pre-period activity x vs
+      // post-period revenue y (θ = n²cov/n²var, rescaled ×1000 against
+      // 64-bit overflow, denominator floored at 1), per-arm adjusted
+      // means ȳ − θ(x̄_arm − x̄_pool) — every step pinned integer DIV
+      // (Spark truncation; the oracle sign-folds the possibly-negative
+      // divisions, and θ's numerator IS negative at sf0.1). The A/B
+      // readout that shrinks confidence intervals with zero extra data.
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(when(col("ts") < cut, lit(1))).as("x"),
+             coalesce(sum(when(col("ts") >= cut,
+               expr("CAST(floor(value * 100) AS BIGINT)"))), lit(0L))
+               .as("y"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+        .localCheckpoint()
+      val th = u.agg(count(lit(1)).as("pn"), sum(col("x")).as("psx"),
+                     sum(col("y")).as("_sy"),
+                     sum(col("x") * col("y")).as("_sxy"),
+                     sum(col("x") * col("x")).as("_sxx"))
+        .select(col("pn"), col("psx"), expr(
+          """(pn * _sxy - psx * _sy) * 1000L DIV
+            |  greatest((pn * _sxx - psx * psx) DIV 1000L, 1L)"""
+            .stripMargin).as("theta_ppm"))
+      u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("_ax"),
+             sum(col("y")).as("_ay"))
+        .crossJoin(broadcast(th))
+        .withColumn("raw_mean_micro", expr("_ay * 1000000L DIV n_users"))
+        .withColumn("cuped_mean_micro", expr(
+          """raw_mean_micro - (theta_ppm *
+            |  (_ax * 1000000L DIV n_users - psx * 1000000L DIV pn))
+            |  DIV 1000000L""".stripMargin))
+        .select("arm", "n_users", "theta_ppm", "raw_mean_micro",
+                "cuped_mean_micro")
     })
   )
 
@@ -2055,6 +2129,79 @@ object R8Queries {
          |    THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
          |    ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
          |    END AS BIGINT) AS kappa_ppm
-         |FROM x""".stripMargin
+         |FROM x""".stripMargin,
+    "q493_permutation_test" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS MATERIALIZED (SELECT user_id,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM src GROUP BY 1),
+         |obs AS (SELECT
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents END) AS BIGINT)
+         |      AS sa,
+         |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+         |      AS na,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents END) AS BIGINT)
+         |      AS sb,
+         |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+         |      AS nb
+         |  FROM u),
+         |reps AS (SELECT r,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cents END) AS BIGINT) AS sa,
+         |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cents END) AS BIGINT) AS sb,
+         |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nb
+         |  FROM (SELECT u.user_id, u.cents, r,
+         |      CASE WHEN substring(md5(CAST(u.user_id AS VARCHAR) || '-'
+         |          || CAST(r AS VARCHAR)), 1, 1)
+         |        IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END
+         |        AS arm
+         |    FROM u, unnest(range(1, 65)) t(r))
+         |  GROUP BY 1),
+         |d AS (SELECT r, abs(sa * 1000000 // na - sb * 1000000 // nb)
+         |    AS dppm FROM reps),
+         |o2 AS (SELECT abs(sa * 1000000 // na - sb * 1000000 // nb)
+         |    AS dppm FROM obs)
+         |SELECT CAST((SELECT dppm FROM o2) AS BIGINT) AS observed_dppm,
+         |  CAST(count(*) AS BIGINT) AS n_reps,
+         |  CAST(sum(CASE WHEN d.dppm >= (SELECT dppm FROM o2)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+         |  CAST(sum(CASE WHEN d.dppm >= (SELECT dppm FROM o2)
+         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS p_ppm
+         |FROM d""".stripMargin,
+    "q494_cuped" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS MATERIALIZED (SELECT user_id, CAST(user_id % 2 AS INT)
+         |    AS arm,
+         |    CAST(count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM src GROUP BY 1, 2),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS pn,
+         |    CAST(sum(x) AS BIGINT) AS psx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM u),
+         |th AS (SELECT pn, psx,
+         |    CASE WHEN pn * sxy - psx * sy >= 0
+         |      THEN (pn * sxy - psx * sy) * 1000
+         |        // greatest((pn * sxx - psx * psx) // 1000, 1)
+         |      ELSE -((psx * sy - pn * sxy) * 1000
+         |        // greatest((pn * sxx - psx * psx) // 1000, 1)) END
+         |      AS theta_ppm
+         |  FROM g),
+         |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+         |  FROM u GROUP BY 1),
+         |z AS (SELECT arm, n_users, CAST(theta_ppm AS BIGINT) AS theta_ppm,
+         |    CAST(ay * 1000000 // n_users AS BIGINT) AS raw_mean_micro,
+         |    theta_ppm * (ax * 1000000 // n_users - psx * 1000000 // pn)
+         |      AS t
+         |  FROM a, th)
+         |SELECT arm, n_users, theta_ppm, raw_mean_micro,
+         |  CAST(raw_mean_micro - (CASE WHEN t >= 0 THEN t // 1000000
+         |    ELSE -((-t) // 1000000) END) AS BIGINT) AS cuped_mean_micro
+         |FROM z""".stripMargin
   )
 }
