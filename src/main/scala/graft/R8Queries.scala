@@ -1326,6 +1326,54 @@ object R8Queries {
             |  DIV 1000000L""".stripMargin))
         .select("arm", "n_users", "theta_ppm", "raw_mean_micro",
                 "cuped_mean_micro")
+    }),
+    "q495_average_precision" -> ((s, dir) => {
+      // Exact average precision (PR-AUC's rank-metric sibling to q442's
+      // ROC AUC): rank users by activity desc (user_id tiebreak → total
+      // order), AP_ppm = (Σ_{positives} precision@k·1e6) DIV n_pos with
+      // every precision a pinned integer DIV. The ranking window is
+      // user-DIMENSION-sized (declared DimKey.one; the corpus already
+      // collapsed to user grain).
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+             max(when(col("event_type") === "purchase" &&
+                        col("value") > 90, 1L).otherwise(0L)).as("label"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("score").desc, col("user_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("k", row_number().over(w))
+        .withColumn("cumpos", sum(col("label")).over(wc))
+        .agg(sum(col("label")).as("n_pos"), count(lit(1)).as("n_users"),
+             sum(when(col("label") === 1L,
+                      expr("cumpos * 1000000L DIV k")).otherwise(0L))
+               .as("_apnum"))
+        .withColumn("ap_ppm", expr(
+          "CASE WHEN n_pos > 0 THEN _apnum DIV n_pos END"))
+        .select("n_users", "n_pos", "ap_ppm")
+    }),
+    "q496_calibration" -> ((s, dir) => {
+      // Reliability table (calibration curve): users bucketed into score
+      // deciles by exact rank, per-decile predicted-score mean vs
+      // observed positive rate, both integer ppm — the diagram that says
+      // whether "high activity" MEANS higher purchase propensity, with
+      // no float binning to disagree on. Complements q490's conformal
+      // thresholds.
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+             max(when(col("event_type") === "purchase" &&
+                        col("value") > 90, 1L).otherwise(0L)).as("label"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("score"), col("user_id"))
+      u.withColumn("_rk", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+        .withColumn("decile", expr("(( _rk - 1) * 10) DIV _n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"),
+             sum(col("score")).as("_ssum"))
+        .withColumn("pos_ppm", expr("n_pos * 1000000L DIV n_users"))
+        .withColumn("mean_score_ppm", expr("_ssum * 1000000L DIV n_users"))
+        .select("decile", "n_users", "n_pos", "pos_ppm", "mean_score_ppm")
     })
   )
 
@@ -2202,6 +2250,43 @@ object R8Queries {
          |SELECT arm, n_users, theta_ppm, raw_mean_micro,
          |  CAST(raw_mean_micro - (CASE WHEN t >= 0 THEN t // 1000000
          |    ELSE -((-t) // 1000000) END) AS BIGINT) AS cuped_mean_micro
-         |FROM z""".stripMargin
+         |FROM z""".stripMargin,
+    "q495_average_precision" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 90
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS label
+         |  FROM src GROUP BY 1),
+         |r AS (SELECT label,
+         |    row_number() OVER (ORDER BY score DESC, user_id) AS k,
+         |    sum(label) OVER (ORDER BY score DESC, user_id
+         |      ROWS UNBOUNDED PRECEDING) AS cumpos
+         |  FROM u),
+         |a AS (SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+         |    CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(CASE WHEN label = 1
+         |      THEN cumpos * 1000000 // k ELSE 0 END) AS BIGINT) AS apnum
+         |  FROM r)
+         |SELECT n_users, n_pos,
+         |  CAST(CASE WHEN n_pos > 0 THEN apnum // n_pos END AS BIGINT)
+         |    AS ap_ppm
+         |FROM a""".stripMargin,
+    "q496_calibration" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 90
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS label
+         |  FROM src GROUP BY 1),
+         |r AS (SELECT score, label,
+         |    row_number() OVER (ORDER BY score, user_id) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM u)
+         |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS pos_ppm,
+         |  CAST(sum(score) * 1000000 // count(*) AS BIGINT)
+         |    AS mean_score_ppm
+         |FROM r GROUP BY 1""".stripMargin
   )
 }
