@@ -1374,6 +1374,65 @@ object R8Queries {
         .withColumn("pos_ppm", expr("n_pos * 1000000L DIV n_users"))
         .withColumn("mean_score_ppm", expr("_ssum * 1000000L DIV n_users"))
         .select("decile", "n_users", "n_pos", "pos_ppm", "mean_score_ppm")
+    }),
+    "q497_aqe_skew_join" -> ((s, dir) => {
+      // AQE skew-join pinned in the gate: 90% of lineitem keyed onto ONE
+      // hot order key, broadcast disabled, skew thresholds tightened —
+      // the post-execution plan must show SortMergeJoin(skew=true) with
+      // the hot partition SPLIT by AQEShuffleRead. This is the runtime
+      // complement of the salting operator (q82): at 100 TB one hot key
+      // otherwise serializes the join into a single straggler task. The
+      // rollup equals the static SQL regardless.
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        // without force, OptimizeSkewedJoin vetoes itself whenever the
+        // split would add a shuffle for downstream distribution
+        // requirements — the veto fires under the harness session's
+        // plan even though the split is exactly what we want to pin
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+      val old = confs.map { case (key, _) => key -> s.conf.getOption(key) }
+      confs.foreach { case (key, v) => s.conf.set(key, v) }
+      try {
+        // spread() is load-bearing, not cosmetic: AQE splits a skewed
+        // REDUCE partition along its MAP-output block boundaries, so a
+        // single-mapper input (one small parquet file) makes the hot
+        // partition one atomic block — unsplittable, no skew=true.
+        // Multiple map tasks are what give the optimizer cut points.
+        val l = Tables.spread(s, Tables.read(s, dir, "lineitem")).select(
+          when(col("l_orderkey") % 10 === 0, col("l_orderkey"))
+            .otherwise(lit(1L)).as("k"),
+          expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("q"))
+        val r = Tables.read(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val j = l.join(r, Seq("k"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("q") + col("cents")).as("checksum"))
+        val rows = j.collect()
+        val skewed = j.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        s.createDataFrame(
+          java.util.Arrays.asList(rows.map(x =>
+            org.apache.spark.sql.Row.fromSeq(x.toSeq :+ skewed)): _*),
+          j.withColumn("skew_optimized", lit(skewed)).schema)
+      } finally old.foreach {
+        case (key, Some(v)) => s.conf.set(key, v)
+        case (key, None)    => s.conf.unset(key)
+      }
+    }),
+    "q498_rake_keyphrases" -> ((s, dir) => {
+      // RAKE keyphrase extraction: stopword-delimited candidate phrases,
+      // word score deg/freq, phrase score = Σ member word scores — all
+      // integer ppm with pinned DIVs. One posexplode pass; run ids from
+      // a per-doc cumulative stopword count; the word-score table
+      // broadcasts back onto unique phrases.
+      TextAnalysis.rakeKeyphrases(
+        Tables.spread(s, Tables.read(s, dir, "documents")),
+        "doc_id", "text", lang = "en", k = 15)
     })
   )
 
@@ -2287,6 +2346,51 @@ object R8Queries {
          |  CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS pos_ppm,
          |  CAST(sum(score) * 1000000 // count(*) AS BIGINT)
          |    AS mean_score_ppm
-         |FROM r GROUP BY 1""".stripMargin
+         |FROM r GROUP BY 1""".stripMargin,
+    "q497_aqe_skew_join" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN l_orderkey
+        |      ELSE 1 END AS k,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS q FROM lineitem),
+        |r AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(q + cents) AS BIGINT) AS checksum,
+        |  TRUE AS skew_optimized
+        |FROM l JOIN r USING (k)""".stripMargin,
+    "q498_rake_keyphrases" ->
+      """WITH pos AS MATERIALIZED (SELECT doc_id, i - 1 AS p, t[i] AS w,
+        |    list_contains(['the','and','of','to','a','in','is','that',
+        |      'it','for'], t[i]) AS isstop
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                  x -> x <> '') AS t
+        |    FROM documents), unnest(range(1, len(t) + 1)) u(i)),
+        |runs AS (SELECT doc_id, p, w,
+        |    sum(CASE WHEN isstop THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+        |      AS run, isstop
+        |  FROM pos),
+        |phrases AS MATERIALIZED (SELECT doc_id, run,
+        |    string_agg(w, ' ' ORDER BY p) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM runs WHERE NOT isstop GROUP BY 1, 2),
+        |words AS MATERIALIZED (SELECT w,
+        |    CAST(sum(len) AS BIGINT) * 1000000
+        |      // CAST(count(*) AS BIGINT) AS wscore
+        |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+        |        FROM phrases)
+        |  GROUP BY 1),
+        |uniq AS MATERIALIZED (SELECT phrase,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM phrases GROUP BY 1),
+        |scored AS (SELECT phrase, CAST(sum(wscore) AS BIGINT)
+        |    AS score_ppm
+        |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        |        FROM uniq) pw
+        |  JOIN words USING (w) GROUP BY 1)
+        |SELECT uniq.phrase, n_occurrences, score_ppm
+        |FROM uniq JOIN scored ON uniq.phrase = scored.phrase
+        |ORDER BY score_ppm DESC, uniq.phrase LIMIT 15""".stripMargin
   )
 }

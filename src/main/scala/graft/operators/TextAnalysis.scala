@@ -868,4 +868,55 @@ object TextAnalysis {
     merges.reverse.reduce(_ unionByName _)
       .select("round", "w1", "w2", "pair_count")
   }
+
+  /** RAKE-style keyphrase extraction, integer-exact: candidate phrases
+    * are the maximal stopword-free token runs (stopwords delimit, they
+    * never appear in a phrase), each word scores deg/freq — deg(w) =
+    * Σ_{occurrences in phrases} len(phrase), freq(w) = occurrence count —
+    * and a phrase scores the sum of its words' scores (ppm, pinned DIV
+    * per word). Top-`k` phrases by (score desc, phrase asc) with corpus
+    * occurrence counts.
+    *
+    * Shuffle shape: one posexplode pass; phrase identity = (doc, run id)
+    * where run id is a per-doc cumulative stopword count (window on the
+    * doc key — bounded by doc length); everything after is
+    * phrase/word-vocabulary-grain aggregates with the word-score table
+    * broadcast back.
+    */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+                     lang: String = "en", k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Stopwords(lang)
+    val pos = df.select(col(idCol).as("_id"),
+        posexplode(filter(tokens(col(textCol)), t => t =!= ""))
+          .as(Seq("_p", "_w")))
+      .withColumn("_isstop", col("_w").isInCollection(stop))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = pos
+      .withColumn("_run", sum(col("_isstop").cast("long")).over(w))
+      .filter(!col("_isstop"))
+    val phrases = runs
+      .groupBy(col("_id"), col("_run"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("_p"),
+             col("_w")))).getField("_w")).as("phrase"),
+           count(lit(1)).as("_len"))
+      .localCheckpoint(false)
+    val words = phrases
+      .select(col("_len"), explode(split(col("phrase"), " ")).as("_w"))
+      .groupBy(col("_w"))
+      .agg(sum(col("_len")).as("_deg"), count(lit(1)).as("_freq"))
+      .withColumn("_wscore", expr("_deg * 1000000L DIV _freq"))
+    val uniq = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences")).localCheckpoint(false)
+    // score once per UNIQUE phrase, member words with multiplicity
+    // (re-split the phrase string), so score is occurrence-independent
+    val scored = uniq.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("_w"))
+      .join(broadcast(words.select(col("_w"), col("_wscore"))), Seq("_w"))
+      .groupBy(col("phrase")).agg(sum(col("_wscore")).as("score_ppm"))
+    uniq.join(scored, Seq("phrase"))
+      .orderBy(col("score_ppm").desc, col("phrase")).limit(k)
+      .select("phrase", "n_occurrences", "score_ppm")
+  }
 }
