@@ -1433,6 +1433,65 @@ object R8Queries {
       TextAnalysis.rakeKeyphrases(
         Tables.spread(s, Tables.read(s, dir, "documents")),
         "doc_id", "text", lang = "en", k = 15)
+    }),
+    "q499_scd_mor_retention" -> ((s, dir) => {
+      // The lakehouse write path composed with the SCD engine: three
+      // incremental merges land through VersionedTable.runScd (the
+      // incremental ≡ full-refresh contract makes the final snapshot
+      // equal one full-refresh SQL), then RETENTION runs as a
+      // merge-on-read deletion vector — closed pre-cutoff versions are
+      // deleted by (event_id, _valid_from) KEY LIST, base snapshot files
+      // untouched — and the MOR read must equal the full-refresh SQL
+      // with the same retention filter. At 100 TB this is history trim
+      // without rewriting the dimension.
+      val tmp = java.nio.file.Files.createTempDirectory("q499_mor")
+        .toString + "/dim"
+      val src = SparkEntry.ev(s, dir).filter(col("user_id") % 7 === 1)
+      (0 until 3).foreach { i =>
+        VersionedTable.runScd(s, src.filter(col("event_id") % 3 === i),
+                              tmp, SparkEntry.evCfg)
+      }
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+      VersionedTable.deleteWhere(s, tmp,
+        !col("_is_current") && col("_valid_to") < cutoff,
+        Seq("event_id", "_valid_from"))
+      VersionedTable.read(s, tmp)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"),
+                col("_is_current"), col("_valid_from"), col("_valid_to"),
+                col("_change_type"))
+    }),
+    "q500_curation_capstone" -> ((s, dir) => {
+      // Capstone composition of the session's tiers: NFC-normalize the
+      // corpus (native expression — byte-distinct spellings collapse),
+      // exact-dedup on the normalized fingerprint, then allocate a
+      // 500-doc sampling budget across (source, lang) strata of the
+      // SURVIVORS by largest-remainder apportionment. One pipeline,
+      // three driver-checked stages in one relation.
+      import graft.functions.NfcNormalize
+      val survivors = Tables.spread(s, Tables.read(s, dir, "documents"))
+        .withColumn("_nfc", NfcNormalize(col("text")))
+        .withColumn("_fp", md5(col("_nfc")))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("_fp")).orderBy(col("doc_id"))))
+        .filter(col("_rk") === 1)
+      val st = survivors.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = st.agg(sum(col("n_docs")).as("_c"))
+      val n = 500L
+      val base = st.crossJoin(broadcast(tot))
+        .withColumn("_floor", expr(s"$n * n_docs DIV _c"))
+        .withColumn("_rem", expr(s"($n * n_docs) % _c"))
+      val wr = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("_rem").desc, col("source"), col("lang"))
+      val wl = Window.partitionBy(graft.functions.DimKey.one)
+      base
+        .withColumn("_rk", row_number().over(wr))
+        .withColumn("_left", lit(n) - sum(col("_floor")).over(wl))
+        .withColumn("quota",
+          col("_floor") + when(col("_rk") <= col("_left"), 1L)
+            .otherwise(0L))
+        .select("source", "lang", "n_docs", "quota")
     })
   )
 
@@ -2391,6 +2450,36 @@ object R8Queries {
         |  JOIN words USING (w) GROUP BY 1)
         |SELECT uniq.phrase, n_occurrences, score_ppm
         |FROM uniq JOIN scored ON uniq.phrase = scored.phrase
-        |ORDER BY score_ppm DESC, uniq.phrase LIMIT 15""".stripMargin
+        |ORDER BY score_ppm DESC, uniq.phrase LIMIT 15""".stripMargin,
+    "q499_scd_mor_retention" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |f AS (SELECT * FROM src WHERE user_id % 7 = 1),
+         |hist AS (
+         |  WITH ${SparkEntry.scd2FullSql(SparkEntry.AllCheck,
+                                          deletes = false, from = "f")}
+         |)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  _is_current, _valid_from, _valid_to, _change_type
+         |FROM hist
+         |WHERE NOT (NOT _is_current AND
+         |  coalesce(_valid_to < TIMESTAMP '2024-01-10 00:00:00', FALSE))"""
+        .stripMargin,
+    "q500_curation_capstone" ->
+      """WITH s0 AS (SELECT doc_id, source, lang,
+        |    md5(nfc_normalize(text)) AS fp FROM documents),
+        |surv AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY fp ORDER BY doc_id) AS rk FROM s0)
+        |  WHERE rk = 1),
+        |st AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM surv GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM st),
+        |b AS (SELECT source, lang, n_docs, 500 * n_docs // tot.c AS f,
+        |    (500 * n_docs) % tot.c AS rem FROM st, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source,
+        |    lang) AS rk, 500 - sum(f) OVER () AS leftover FROM b)
+        |SELECT source, lang, n_docs,
+        |  CAST(f + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM r""".stripMargin
   )
 }
