@@ -1492,6 +1492,53 @@ object R8Queries {
           col("_floor") + when(col("_rk") <= col("_left"), 1L)
             .otherwise(0L))
         .select("source", "lang", "n_docs", "quota")
+    }),
+    "q501_r2_trend" -> ((s, dir) => {
+      // Goodness-of-fit for the per-type daily linear trend: R² as the
+      // squared Pearson correlation in exact rational form,
+      // r²·1e6 = num²·1e6 / (denx·deny) with num = nΣxy−ΣxΣy — the
+      // interleaved-DIV order ((num² DIV denx)·1e6 DIV deny) keeps every
+      // intermediate 64-bit; num is squared so no sign fold; zero
+      // variance floors at 1. Completes the regression tier (OLS slope,
+      // Theil-Sen) with a fit-quality number that hashes.
+      val daily = SparkEntry.ev(s, dir)
+        .groupBy(col("event_type"),
+                 expr("CAST(datediff(CAST(ts AS DATE)," +
+                      " DATE '2024-01-01') AS BIGINT)").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("_sx"),
+             sum(col("y")).as("_sy"), sum(col("x") * col("y")).as("_sxy"),
+             sum(col("x") * col("x")).as("_sxx"),
+             sum(col("y") * col("y")).as("_syy"))
+        .withColumn("r2_ppm", expr(
+          """(((n_days * _sxy - _sx * _sy) * (n_days * _sxy - _sx * _sy)
+            |  DIV greatest(n_days * _sxx - _sx * _sx, 1L)) * 1000000L)
+            |  DIV greatest(n_days * _syy - _sy * _sy, 1L)"""
+            .stripMargin))
+        .select("event_type", "n_days", "r2_ppm")
+    }),
+    "q502_eta_squared" -> ((s, dir) => {
+      // η² (ANOVA variance explained): how much of order-value variance
+      // the priority class explains — between-group sum of squares over
+      // total, in pinned integer arithmetic: a = Σ_g S_g² DIV n_g,
+      // b = S² DIV n, c = Σy²; η²_ppm = (a−b)·1e6 DIV (c−b), floored at
+      // 0 against truncation jitter. One combine-enabled group pass +
+      // one scalar pass; no float variance anywhere.
+      val o = Tables.read(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(floor(o_totalprice / 100) AS BIGINT)").as("y"))
+      val g = o.groupBy(col("grp"))
+        .agg(sum(col("y")).as("_s"), count(lit(1)).as("_n"))
+        .agg(sum(expr("_s * _s DIV _n")).as("_a"),
+             sum(col("_s")).as("_st"), sum(col("_n")).as("_nt"))
+      val t = o.agg(sum(col("y") * col("y")).as("_c"))
+      g.crossJoin(broadcast(t))
+        .withColumn("_b", expr("_st * _st DIV _nt"))
+        .withColumn("eta2_ppm", expr(
+          "greatest(_a - _b, 0L) * 1000000L DIV greatest(_c - _b, 1L)"))
+        .select(col("_nt").as("n_orders"), col("_a").as("ssb_scaled"),
+                col("_c").as("ss_total"), col("eta2_ppm"))
     })
   )
 
@@ -2480,6 +2527,37 @@ object R8Queries {
         |SELECT source, lang, n_docs,
         |  CAST(f + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS quota
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "q501_r2_trend" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |d AS (SELECT event_type,
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS x,
+         |    CAST(count(*) AS BIGINT) AS y
+         |  FROM src GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM d GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  CAST((((n_days * sxy - sx * sy) * (n_days * sxy - sx * sy)
+         |    // greatest(n_days * sxx - sx * sx, 1)) * 1000000)
+         |    // greatest(n_days * syy - sy * sy, 1) AS BIGINT) AS r2_ppm
+         |FROM g""".stripMargin,
+    "q502_eta_squared" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice / 100) AS BIGINT) AS y FROM orders),
+        |g AS (SELECT grp, CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |a AS (SELECT CAST(sum(s * s // n) AS BIGINT) AS a,
+        |    CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM g),
+        |c AS (SELECT CAST(sum(y * y) AS BIGINT) AS c FROM o)
+        |SELECT nt AS n_orders, a AS ssb_scaled, c.c AS ss_total,
+        |  CAST(greatest(a - st * st // nt, 0) * 1000000
+        |    // greatest(c.c - st * st // nt, 1) AS BIGINT) AS eta2_ppm
+        |FROM a, c""".stripMargin
   )
 }
