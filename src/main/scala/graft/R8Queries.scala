@@ -1539,6 +1539,81 @@ object R8Queries {
           "greatest(_a - _b, 0L) * 1000000L DIV greatest(_c - _b, 1L)"))
         .select(col("_nt").as("n_orders"), col("_a").as("ssb_scaled"),
                 col("_c").as("ss_total"), col("eta2_ppm"))
+    }),
+    "q503_spearman" -> ((s, dir) => {
+      // Spearman rank correlation between user activity and revenue,
+      // tie-correct and exact: fractional average ranks become INTEGER
+      // double-ranks (2·min_rank + ties − 1), then Pearson on the
+      // double-ranks via the q501 rational machinery — ρ² in ppm plus
+      // the sign, no float anywhere. Rank windows are user-dimension-
+      // sized (DimKey.one over the aggregated grain).
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a"),
+             sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("b"))
+      def drank(c: String) = {
+        val wv = Window.partitionBy(graft.functions.DimKey.one)
+          .orderBy(col(c))
+        // double average rank: 2*min_rank + (ties-1), via rank() + count
+        // over the value group
+        (rank().over(wv) * 2 +
+           count(lit(1)).over(Window.partitionBy(col(c))) - 1)
+          .cast("long")
+      }
+      val r = u.withColumn("rx", drank("a")).withColumn("ry", drank("b"))
+      // ranks grow with the user dimension, so the centered moments are
+      // ~n³ and num² would overflow int64 past ~1e3 users: prescale num
+      // and both denominators DIV 1e4 (the scale cancels in the ratio;
+      // truncation is pinned identically in the oracle — coarser at tiny
+      // SFs, still bit-reproducible)
+      r.agg(count(lit(1)).as("n"), sum(col("rx")).as("_sx"),
+            sum(col("ry")).as("_sy"),
+            sum(col("rx") * col("ry")).as("_sxy"),
+            sum(col("rx") * col("rx")).as("_sxx"),
+            sum(col("ry") * col("ry")).as("_syy"))
+        .withColumn("_num", expr("n * _sxy - _sx * _sy"))
+        .withColumn("_ns", expr("_num DIV 10000L"))
+        .withColumn("rho2_ppm", expr(
+          """((_ns * _ns
+            |   DIV greatest((n * _sxx - _sx * _sx) DIV 10000L, 1L))
+            |  * 1000000L)
+            |  DIV greatest((n * _syy - _sy * _sy) DIV 10000L, 1L)"""
+            .stripMargin))
+        .withColumn("rho_sign", signum(col("_num")).cast("int"))
+        .select("n", "rho2_ppm", "rho_sign")
+    }),
+    "q504_lead_lag" -> ((s, dir) => {
+      // Lead-lag cross-correlation: daily click volume vs daily purchase
+      // volume at lags −3..+3 — does one series LEAD the other? Per lag,
+      // ρ² (q501 rational form) + sign over the overlapping days; the
+      // lag join is a self-equi-join on shifted day index, the whole
+      // table 7 rows. The time-series diagnostic behind "marketing
+      // clicks convert with a 2-day delay" questions.
+      val daily = SparkEntry.ev(s, dir)
+        .groupBy(expr("CAST(datediff(CAST(ts AS DATE)," +
+                      " DATE '2024-01-01') AS BIGINT)").as("d"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val clicks = daily.filter(col("event_type") === "click")
+        .select(col("d"), col("n").as("x"))
+      val buys = daily.filter(col("event_type") === "purchase")
+        .select(col("d"), col("n").as("y"))
+      val lags = (-3 to 3).map { l =>
+        clicks.join(buys.withColumn("d", col("d") - l), Seq("d"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("_sx"),
+               sum(col("y")).as("_sy"),
+               sum(col("x") * col("y")).as("_sxy"),
+               sum(col("x") * col("x")).as("_sxx"),
+               sum(col("y") * col("y")).as("_syy"))
+          .withColumn("lag", lit(l))
+      }.reduce(_ unionByName _)
+      lags
+        .withColumn("_num", expr("n_days * _sxy - _sx * _sy"))
+        .withColumn("rho2_ppm", expr(
+          """((_num * _num DIV greatest(n_days * _sxx - _sx * _sx, 1L))
+            |  * 1000000L) DIV greatest(n_days * _syy - _sy * _sy, 1L)"""
+            .stripMargin))
+        .withColumn("rho_sign", signum(col("_num")).cast("int"))
+        .select("lag", "n_days", "rho2_ppm", "rho_sign")
     })
   )
 
@@ -2558,6 +2633,63 @@ object R8Queries {
         |SELECT nt AS n_orders, a AS ssb_scaled, c.c AS ss_total,
         |  CAST(greatest(a - st * st // nt, 0) * 1000000
         |    // greatest(c.c - st * st // nt, 1) AS BIGINT) AS eta2_ppm
-        |FROM a, c""".stripMargin
+        |FROM a, c""".stripMargin,
+    "q503_spearman" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS b
+         |  FROM src GROUP BY 1),
+         |r AS (SELECT
+         |    CAST(2 * rank() OVER (ORDER BY a)
+         |      + count(*) OVER (PARTITION BY a) - 1 AS BIGINT) AS rx,
+         |    CAST(2 * rank() OVER (ORDER BY b)
+         |      + count(*) OVER (PARTITION BY b) - 1 AS BIGINT) AS ry
+         |  FROM u),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         |    CAST(sum(ry * ry) AS BIGINT) AS syy FROM r),
+         |z AS (SELECT n, n * sxy - sx * sy AS num,
+         |    CASE WHEN n * sxy - sx * sy >= 0
+         |      THEN (n * sxy - sx * sy) // 10000
+         |      ELSE -((sx * sy - n * sxy) // 10000) END AS ns,
+         |    greatest((n * sxx - sx * sx) // 10000, 1) AS dx,
+         |    greatest((n * syy - sy * sy) // 10000, 1) AS dy
+         |  FROM g)
+         |SELECT n, CAST(((ns * ns // dx) * 1000000) // dy AS BIGINT)
+         |    AS rho2_ppm,
+         |  CAST(sign(num) AS INT) AS rho_sign
+         |FROM z""".stripMargin,
+    "q504_lead_lag" -> {
+      val lagSelects = (-3 to 3).map { l =>
+        s"""SELECT $l AS lag, CAST(count(*) AS BIGINT) AS n_days,
+           |  CAST(sum(c.x) AS BIGINT) AS sx, CAST(sum(p.y) AS BIGINT)
+           |    AS sy,
+           |  CAST(sum(c.x * p.y) AS BIGINT) AS sxy,
+           |  CAST(sum(c.x * c.x) AS BIGINT) AS sxx,
+           |  CAST(sum(p.y * p.y) AS BIGINT) AS syy
+           |FROM c JOIN p ON c.d = p.d - $l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${SparkEntry.SrcCte},
+         |daily AS MATERIALIZED (SELECT
+         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS d,
+         |    event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM src GROUP BY 1, 2),
+         |c AS MATERIALIZED (SELECT d, n AS x FROM daily
+         |  WHERE event_type = 'click'),
+         |p AS MATERIALIZED (SELECT d, n AS y FROM daily
+         |  WHERE event_type = 'purchase'),
+         |lg AS ($lagSelects),
+         |z AS (SELECT lag, n_days, n_days * sxy - sx * sy AS num,
+         |    greatest(n_days * sxx - sx * sx, 1) AS dx,
+         |    greatest(n_days * syy - sy * sy, 1) AS dy FROM lg)
+         |SELECT lag, n_days,
+         |  CAST(((num * num // dx) * 1000000) // dy AS BIGINT)
+         |    AS rho2_ppm,
+         |  CAST(sign(num) AS INT) AS rho_sign
+         |FROM z""".stripMargin
+    }
   )
 }
