@@ -1614,6 +1614,48 @@ object R8Queries {
             .stripMargin))
         .withColumn("rho_sign", signum(col("_num")).cast("int"))
         .select("lag", "n_days", "rho2_ppm", "rho_sign")
+    }),
+    "q505_stream_warm_start" -> ((s, dir) => {
+      // transformWithState with INITIAL STATE (the state-migration path:
+      // yesterday's batch aggregate boots today's stream without
+      // replaying history): even-id events pre-aggregate into the seed
+      // state, odd-id events stream in two batches, and each user's
+      // recovered top-3 must equal the batch top-3 over BOTH halves —
+      // provable only if the warm start really loaded (streamed values
+      // alone cannot reproduce seed-dominated top sets).
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = SparkEntry.ev(s, dir).filter(col("user_id") % 5 === 3)
+        .select(col("event_id"), col("user_id"),
+                expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      val seeds = base.filter(col("event_id") % 2 === 0)
+        .select("user_id", "v")
+      val feed = base.filter(col("event_id") % 2 === 1)
+        .as[(Long, Long, Long)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val tops = graft.streaming.TopValuesStream.topValuesWithInit(
+        src.toDF().toDF("event_id", "user_id", "v"), seeds, k = 3)
+      val tbl = "q505_warm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProv = s.conf.getOption(provKey)
+      s.conf.set(provKey, graft.streaming.SessionStreamTws.RocksDbProvider)
+      try SparkEntry.withStreamShuffle(s) {
+        val q = tops.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try (0 until 2).foreach { i =>
+          src.addData(feed.filter(_._1 % 4 == 2 * i + 1): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally oldProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+      s.table(tbl).groupBy(col("user_id"))
+        .agg(max(struct(col("top_sum"), col("top_str"))).as("_m"))
+        .select(col("user_id"), col("_m.top_sum").as("top_sum"),
+                col("_m.top_str").as("top_str"))
     })
   )
 
@@ -2690,6 +2732,19 @@ object R8Queries {
          |    AS rho2_ppm,
          |  CAST(sign(num) AS INT) AS rho_sign
          |FROM z""".stripMargin
-    }
+    },
+    "q505_stream_warm_start" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |f AS (SELECT user_id, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM src
+         |  WHERE user_id % 5 = 3),
+         |streamers AS (SELECT DISTINCT user_id FROM f
+         |  WHERE event_id % 2 = 1),
+         |r AS (SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY v DESC, event_id) AS rn
+         |  FROM f WHERE user_id IN (SELECT user_id FROM streamers))
+         |SELECT user_id, CAST(sum(v) AS BIGINT) AS top_sum,
+         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY v DESC) AS top_str
+         |FROM r WHERE rn <= 3 GROUP BY 1""".stripMargin
   )
 }

@@ -55,4 +55,57 @@ object TopValuesStream extends Serializable {
       .groupByKey(_.user_id)
       .transformWithState(new Proc(k), TimeMode.None(), OutputMode.Append())
   }
+
+  /** [[topValues]] warm-started from a BATCH state table
+    * (`StatefulProcessorWithInitialState` — the state-migration /
+    * bootstrap path: yesterday's batch aggregate becomes today's stream
+    * state without replaying history). `handleInitialState` fires once
+    * per initial ROW before any input batch, folding each seed value
+    * into the ListState exactly like a streamed value, so the recovered
+    * final top-k equals batch top-k over (seed ∪ streamed) — which is
+    * what lets one order-free oracle check the warm start really
+    * happened.
+    */
+  private class ProcInit(k: Int)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[Long, KV, TopK, KV] {
+
+    @transient private var top: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState("top", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, seed: KV,
+                                    tv: TimerValues): Unit = {
+      val merged = (top.get().toSeq :+ seed.v)
+        .sorted(Ordering[Long].reverse).take(k)
+      top.clear()
+      top.appendList(merged.toArray)
+    }
+
+    override def handleInputRows(user: Long, it: Iterator[KV],
+                                 tv: TimerValues): Iterator[TopK] = {
+      val cur = top.get().toSeq
+      val merged = (cur ++ it.map(_.v)).sorted(Ordering[Long].reverse)
+        .take(k)
+      top.clear()
+      top.appendList(merged.toArray)
+      // emit unconditionally: the warm-started state must surface even
+      // for users whose streamed rows change nothing
+      Iterator.single(TopK(user, merged.sum, merged.mkString(",")))
+    }
+  }
+
+  /** `init` and `events` both need (user_id: long, v: long). */
+  def topValuesWithInit(events: DataFrame, init: DataFrame,
+                        k: Int): Dataset[TopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val initState = init.select(col("user_id"), col("v")).as[KV]
+      .groupByKey(_.user_id)
+    events.select(col("user_id"), col("v")).as[KV]
+      .groupByKey(_.user_id)
+      .transformWithState(new ProcInit(k), TimeMode.None(),
+                          OutputMode.Append(), initState)
+  }
 }
