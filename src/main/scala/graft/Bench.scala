@@ -37,32 +37,56 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
-    // Noise robustness (round-4 lesson): ONE cold measurement per query let a
-    // contended box turn a flat perf profile into a phantom 2x regression —
-    // seven queries billed at 96 s combined re-timed warm at ~13 s. Measure
-    // each query REPS times back-to-back and report the MIN: contention and
-    // GC stalls only ever ADD time, so the min is the best estimate of the
-    // code's actual cost, and two back-to-back reps rarely land in the same
-    // stall. (Back-to-back also reuses the OS page cache for the parquet
-    // input, which production executors would have anyway.)
+    // Noise robustness (round-4 lesson, revised round-8): ONE cold
+    // measurement per query let a contended box turn a flat perf profile
+    // into a phantom 2x regression. Round 7 proved min-of-2 BACK-TO-BACK
+    // reps insufficient: both reps land inside the same contended window
+    // (a co-busy box billed 51 s for a 5.1 s query because rep 1 and
+    // rep 2 ran seconds apart under the same external load). Fix: run the
+    // reps as SEPARATED FULL PASSES over the whole suite — pass 1 times
+    // every query, then pass 2 times every query — so a query's two
+    // samples land ~20 minutes apart and a contention burst can poison at
+    // most one of them. Report the per-query MIN across passes: stalls
+    // only ever ADD time, so the min is the best estimate of the code's
+    // actual cost. (The warmup loop above already paid codegen+page-cache,
+    // so pass 1 is not cold-biased.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val s = (System.nanoTime() - t0) / 1e9
-        // localCheckpoint RDDs persist until the session dies; across 80+
-        // queries they pile up in the executor heap and the GC pressure shows
-        // up as 5-10x outliers on late queries. Nothing carries state across
-        // queries, so release them between measurements.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        s
-      }.min
-      name -> sec
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Canary: re-time the first query (q01, sub-second on a quiet box)
+    // every 50 queries and print the observed spread to stderr. A
+    // contended run is then self-evident from the canary trace — a 5x
+    // canary spread says "environment", not "regression" — without
+    // touching the size-budgeted JSON line.
+    val canaryFn = ordered.head._2
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint RDDs persist until the session dies; across 80+
+      // queries they pile up in the executor heap and the GC pressure shows
+      // up as 5-10x outliers on late queries. Nothing carries state across
+      // queries, so release them between measurements.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      s
     }
+    val samples = Array.fill(ordered.size)(Double.MaxValue)
+    for (rep <- 1 to reps; (qi, i) <- ordered.zipWithIndex) {
+      val (name, fn) = qi
+      samples(i) = math.min(samples(i), runOnce(name, fn))
+      if (i % 50 == 49) {
+        val c = runOnce("canary", canaryFn)
+        canaries += c
+        System.err.println(f"[bench] canary rep=$rep i=${i + 1} ${c}%.2f s")
+      }
+    }
+    if (canaries.nonEmpty)
+      System.err.println(f"[bench] canary spread min=${canaries.min}%.2f " +
+        f"max=${canaries.max}%.2f over ${canaries.size} samples")
+    val results = ordered.map(_._1).zip(samples.toSeq)
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
     // full query names + full float precision overflowed it). Keep the line
@@ -96,12 +120,19 @@ object Bench {
     def qsJson(f: Double => String): String =
       qsJsonOf(results.zip(prefixes), f)
     val total = fmt(results.map(_._2).sum, 2)
+    // Batch vs streaming subtotals: the MemoryStream replay queries
+    // (name contains "_stream") re-run full micro-batch lifecycles per
+    // measurement — their awaitTermination latency is real but fixed-cost,
+    // and folding it into one headline masks batch perf trends. Split the
+    // subtotals so the batch trend is readable round-over-round.
+    val streamSec = results.collect { case (n, v) if n.contains("_stream") => v }.sum
+    val batchSec = fmt(results.map(_._2).sum - streamSec, 2)
     // sf as the directory basename and no extra fields: at 194 queries the
     // full-path variant put the line's END within ~60 bytes of the driver's
     // ~2000-char stdout tail (which the trailing sbt [success] line shares).
     val sfName = new java.io.File(sfDir).getName
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the

@@ -1124,23 +1124,16 @@ object R8Queries {
       // share-any-token joins explode on stopwords. Part names, τ=1/2;
       // candidate + verified counts and the overlap mass all
       // driver-checked against the identical SQL derivation.
-      // Deterministic 1/10 key slice: TPC-H p_name draws 5 words from a
-      // ~92-color vocabulary — the Zipf-free WORST case for prefix
-      // filtering (every prefix token has huge df, candidates grow
-      // quadratically in parts-per-color; 154 s unsliced at sf0.1).
-      // Natural-language vocabularies are where the technique pays; the
-      // slice keeps the contract checked at every SF without letting an
-      // adversarial vocabulary own the bench.
+      // FULL key set (round 8): TPC-H p_name draws 5 words from a
+      // ~92-color vocabulary — the Zipf-free WORST case for the prefix
+      // filter ALONE (every prefix token has huge df; 154 s at sf0.1
+      // with prefix-only filtering forced a 1/10 key slice in r7). The
+      // published positional + length filters now ride in the candidate
+      // join (see prefixCandidates), which is exactly what PPJoin adds
+      // for low-entropy vocabularies — the slice is gone.
       val parts = Tables.spread(s, Tables.read(s, dir, "part"))
-        .filter(col("p_partkey") % 10 === 0)
-      val cands = Dedup.prefixCandidates(parts, "p_partkey", "p_name",
-                                         tauNum = 1, tauDen = 2)
-      val pairs = Dedup.prefixJaccardPairs(parts, "p_partkey", "p_name",
-                                           tauNum = 1, tauDen = 2)
-      cands.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(pairs.agg(
-          count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("overlap")), lit(0L)).as("sum_overlap"))))
+      Dedup.prefixJoinStats(parts, "p_partkey", "p_name",
+                            tauNum = 1, tauDen = 2)
     }),
     "q489_apportionment" -> ((s, dir) => {
       // Largest-remainder (Hamilton) apportionment: allocate a 1000-doc
@@ -2360,20 +2353,23 @@ object R8Queries {
         |    unnest(list_distinct(list_filter(
         |      string_split_regex(lower(trim(p_name)), '\s+'),
         |      x -> x <> ''))) AS t
-        |  FROM part WHERE p_partkey % 10 = 0),
+        |  FROM part),
         |rk AS MATERIALIZED (SELECT t, row_number() OVER
         |    (ORDER BY count(*), t) AS rk FROM toks GROUP BY t),
         |sz AS (SELECT id, t, rk.rk, count(*) OVER (PARTITION BY id) AS n,
         |    row_number() OVER (PARTITION BY id ORDER BY rk.rk) AS pos
         |  FROM toks JOIN rk USING (t)),
-        |pref AS MATERIALIZED (SELECT id, t FROM sz
+        |pref AS MATERIALIZED (SELECT id, t, n, pos FROM sz
         |  WHERE pos <= n - (n * 1 + 2 - 1) // 2 + 1),
         |cand AS MATERIALIZED (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-        |  FROM pref a JOIN pref b ON a.t = b.t AND a.id < b.id),
+        |  FROM pref a JOIN pref b ON a.t = b.t AND a.id < b.id
+        |    AND a.n * 1 <= b.n * 2 AND b.n * 1 <= a.n * 2
+        |    AND (1 + least(a.n - a.pos, b.n - b.pos)) * (1 + 2)
+        |      >= (a.n + b.n) * 1),
         |sets AS MATERIALIZED (SELECT p_partkey AS id,
         |    list_distinct(list_filter(string_split_regex(lower(trim(
         |      p_name)), '\s+'), x -> x <> '')) AS s
-        |  FROM part WHERE p_partkey % 10 = 0),
+        |  FROM part),
         |v AS (SELECT doc_a, doc_b,
         |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS overlap,
         |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))

@@ -79,7 +79,18 @@ object VersionedTable {
     * collide and a legitimate batch would be silently skipped.
     */
   def publish(spark: SparkSession, snapshot: DataFrame, root: String,
-              batchToken: Option[String]): Long = {
+              batchToken: Option[String]): Long =
+    publish(spark, snapshot, root, batchToken, preCommitFiles = Nil)
+
+  /** All marker files (batch token, commit stamp) land BEFORE the commit
+    * marker: the marker is the linearization point, so anything meant to
+    * describe the committed version must already be in place when it
+    * appears — a crash between "committed" and "described" would otherwise
+    * leave a version that readers see but time travel silently skips.
+    */
+  private def publish(spark: SparkSession, snapshot: DataFrame, root: String,
+                      batchToken: Option[String],
+                      preCommitFiles: Seq[String]): Long = {
     require(batchToken.forall(t => t.nonEmpty && !t.exists("/=\\".contains(_))),
             s"batch token must be a plain file-name fragment: $batchToken")
     val f = fs(spark, root)
@@ -89,6 +100,8 @@ object VersionedTable {
     snapshot.write.mode("overwrite").parquet(dir)
     batchToken.foreach(t =>
       f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
+    preCommitFiles.foreach(n =>
+      f.create(new Path(s"$dir/$n"), true).close())
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
   }
@@ -179,8 +192,25 @@ object VersionedTable {
     * and rewrites the warehouse table — this is the amortized alternative.
     */
   def publishDelete(spark: SparkSession, keys: DataFrame,
-                    root: String): Long = {
+                    root: String): Long =
+    publishDelete(spark, keys, root, stampMillis = None)
+
+  /** [[publishDelete]] with an explicit commit stamp for [[readAsOf]]
+    * (without one the DV inherits the nearest older stamp — see
+    * [[effectiveStampOf]]). Non-decreasing rule enforced as in
+    * [[publishStamped]]; the stamp lands before the commit marker.
+    */
+  def publishDelete(spark: SparkSession, keys: DataFrame,
+                    root: String, stampMillis: Option[Long]): Long = {
     val f = fs(spark, root)
+    stampMillis.foreach { ts =>
+      val prior = committedVersions(f, root)
+      prior.lastOption.foreach { v =>
+        val prev = effectiveStampOf(f, root, prior, v)
+        require(prev.forall(_ <= ts),
+                s"commit stamp $ts regresses below ${prev.get}")
+      }
+    }
     val prev = committedVersions(f, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no snapshot to delete from at $root"))
     if (isDelete(f, root, prev)) {
@@ -193,6 +223,8 @@ object VersionedTable {
     f.delete(new Path(dir), true)
     keys.distinct().write.mode("overwrite").parquet(dir)
     f.create(new Path(s"$dir/$DeleteMarker"), true).close()
+    stampMillis.foreach(ts =>
+      f.create(new Path(s"$dir/$TsPrefix$ts"), true).close())
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
   }
@@ -235,15 +267,17 @@ object VersionedTable {
   def publishStamped(spark: SparkSession, snapshot: DataFrame, root: String,
                      commitMillis: Long): Long = {
     val f = fs(spark, root)
-    committedVersions(f, root).lastOption.foreach { v =>
-      val prev = stampOf(f, root, v)
+    val prior = committedVersions(f, root)
+    prior.lastOption.foreach { v =>
+      val prev = effectiveStampOf(f, root, prior, v)
       require(prev.forall(_ <= commitMillis),
               s"commit stamp $commitMillis regresses below ${prev.get}")
     }
-    val next = publish(spark, snapshot, root)
-    f.create(new Path(s"$root/$VPrefix$next/$TsPrefix$commitMillis"), true)
-      .close()
-    next
+    // The stamp rides as a pre-commit file: stamp and commit are atomic
+    // with respect to each other (a crash leaves an UNCOMMITTED dir that
+    // readers ignore, never a committed version time travel skips).
+    publish(spark, snapshot, root, batchToken = None,
+            preCommitFiles = Seq(s"$TsPrefix$commitMillis"))
   }
 
   private def stampOf(f: FileSystem, root: String, v: Long): Option[Long] =
@@ -251,15 +285,29 @@ object VersionedTable {
       .map(_.getPath.getName).find(_.startsWith(TsPrefix))
       .map(_.stripPrefix(TsPrefix).toLong)
 
-  /** Time travel by timestamp: the newest committed version whose stamp
-    * is ≤ `asOfMillis` (versions published without a stamp are ignored).
+  /** Effective commit stamp of `v`: its own stamp, else inherited from the
+    * nearest OLDER stamped version. Inheritance is what makes unstamped
+    * versions (deletion vectors from [[publishDelete]] without a stamp,
+    * plain [[publish]] calls in a stamped table) visible to time travel at
+    * all — without it a DV commit is invisible to `readAsOf` until the
+    * next stamped publish, so "AS OF now" and `read` disagree.
+    */
+  private def effectiveStampOf(f: FileSystem, root: String,
+                               versions: Seq[Long], v: Long): Option[Long] =
+    versions.filter(_ <= v).reverse.iterator
+      .map(stampOf(f, root, _)).collectFirst { case Some(s) => s }
+
+  /** Time travel by timestamp: the newest committed version whose
+    * EFFECTIVE stamp (own, else inherited from the nearest older stamped
+    * version — see [[effectiveStampOf]]) is ≤ `asOfMillis`.
     * Deletion-vector versions resolve as usual.
     */
   def readAsOf(spark: SparkSession, root: String,
                asOfMillis: Long): DataFrame = {
     val f = fs(spark, root)
-    val v = committedVersions(f, root)
-      .filter(n => stampOf(f, root, n).exists(_ <= asOfMillis))
+    val vs = committedVersions(f, root)
+    val v = vs
+      .filter(n => effectiveStampOf(f, root, vs, n).exists(_ <= asOfMillis))
       .lastOption.getOrElse(throw new IllegalStateException(
         s"no committed version at or before $asOfMillis in $root"))
     readVersion(spark, root, v)

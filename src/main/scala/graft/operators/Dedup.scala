@@ -734,9 +734,43 @@ object Dedup {
     * is that rare-token prefixes fan out tiny join groups where
     * share-any-token joins explode on stopwords. Returns distinct
     * (doc_a < doc_b) candidate pairs over whitespace token SETS.
+    *
+    * The full published PPJoin filter suite rides in the join condition
+    * (they are what keeps a LOW-ENTROPY vocabulary — TPC-H's 92-color
+    * `p_name` — from going quadratic, the prefix filter's adversarial
+    * case):
+    *  - LENGTH filter: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ, as cross
+    *    products `a.n·tauNum ≤ b.n·tauDen` both ways.
+    *  - POSITIONAL filter: a shared prefix token at (1-based) sorted
+    *    positions (i, j) bounds the overlap by `1 + min(|a|−i, |b|−j)`,
+    *    which must reach the τ-minimum overlap α = ⌈τ(|a|+|b|)/(1+τ)⌉ —
+    *    checked multiply-form (`ub·(tauNum+tauDen) ≥ tauNum·(|a|+|b|)`)
+    *    so no integer division is involved at all.
+    * Recall stays exactly 1.0: for a truly-similar pair the FIRST common
+    * token in global order sits inside both prefixes (its preceding
+    * tokens are all non-shared, and there are at most |d|−⌈τ|d|⌉ of
+    * those) and every common token sits at position ≥ that match, so its
+    * `1+min` bound ≥ the true overlap ≥ α — at least one matching row
+    * always survives the filters.
     */
   def prefixCandidates(df: DataFrame, idCol: String, textCol: String,
-                       tauNum: Int, tauDen: Int): DataFrame = {
+                       tauNum: Int, tauDen: Int): DataFrame =
+    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
+               tauNum, tauDen)
+      .select("doc_a", "doc_b")
+
+  /** Per-doc PPJoin prefix rows in the INTEGER RANK domain: tokens map to
+    * their global frequency rank (df asc, token asc) and every downstream
+    * comparison — the join key, the first-shared-token dedup, the overlap
+    * count — runs on sorted int arrays instead of strings. One row per
+    * PREFIX rank carrying its 1-based position `_pos`, the doc's set size
+    * `_n`, the sorted prefix rank array `_pre` and the full sorted rank
+    * array `_s`. One token-explode, one broadcast rank join, one per-doc
+    * aggregate, checkpointed — doc-count-sized, narrow relative to the
+    * candidate join it feeds twice.
+    */
+  private def ppjPrefixRows(df: DataFrame, idCol: String, textCol: String,
+                            tauNum: Int, tauDen: Int): DataFrame = {
     val toks = df.select(col(idCol).as("_id"),
         explode(array_distinct(filter(
           TextAnalysis.tokens(col(textCol)), t => t =!= ""))).as("_t"))
@@ -747,41 +781,86 @@ object Dedup {
           .partitionBy(graft.functions.DimKey.one)
           .orderBy(col("_df"), col("_t"))))
       .select("_t", "_rk")
-    val sized = toks.join(broadcast(rank), Seq("_t"))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
-      .withColumn("_pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))
-          .orderBy(col("_rk"))))
+    toks.join(broadcast(rank), Seq("_t"))
+      .groupBy(col("_id"))
+      .agg(array_sort(collect_list(col("_rk"))).as("_s"))
+      .withColumn("_n", size(col("_s")).cast("long"))
       // prefix length |d| − ceil(τ|d|) + 1, integer: n − (n·tauNum +
       // tauDen − 1) DIV tauDen + 1 (Column./ is fractional — DIV only)
-      .filter(col("_pos") <= expr(
-        s"_n - (_n * $tauNum + $tauDen - 1) DIV $tauDen + 1"))
-    sized.as("a").join(sized.as("b"),
-        col("a._t") === col("b._t") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
-      .distinct()
+      .withColumn("_plen", expr(
+        s"CAST(_n - (_n * $tauNum + ${tauDen - 1}) DIV $tauDen + 1 AS INT)"))
+      .withColumn("_pre", expr("slice(_s, 1, _plen)"))
+      .select(col("_id"), col("_n"), col("_pre"), col("_s"),
+              posexplode(col("_pre")).as(Seq("_p0", "_rk")))
+      .withColumn("_pos", (col("_p0") + 1).cast("long"))
+      .drop("_p0")
+      .localCheckpoint(false)
+  }
+
+  /** The PPJoin candidate join over [[ppjPrefixRows]], emitting each
+    * qualifying pair EXACTLY ONCE with its overlap already computed — no
+    * pair-level shuffle anywhere (at sf0.1's 18 M candidates the
+    * previous distinct-then-verify shape spent 20 s shuffling what this
+    * computes inline in codegen).
+    *
+    * Structural dedup: a pair that shares several filter-passing prefix
+    * tokens is emitted only at the FIRST shared prefix rank
+    * (`SortedFirstCommon(a._pre, b._pre) = a._rk` — a native two-pointer
+    * merge, see `functions/SortedIntOps`). This is exact, not heuristic:
+    * the global order means shared tokens sit in the same relative order
+    * in both docs, so the first shared token has the strictly best
+    * positional bound — if ANY shared token passes the positional filter,
+    * the first one does, and the emitted pair set equals the DISTINCT of
+    * all filter-passing matches. Overlap is the native sorted-merge count
+    * over the full rank arrays, inline in the same codegen stage.
+    */
+  private def ppjMatches(pref: DataFrame,
+                         tauNum: Int, tauDen: Int): DataFrame = {
+    val (an, bn) = (col("a._n"), col("b._n"))
+    val ubound = lit(1L) +
+      least(an - col("a._pos"), bn - col("b._pos"))
+    pref.as("a").join(pref.as("b"),
+        col("a._rk") === col("b._rk") && col("a._id") < col("b._id") &&
+          an * tauNum <= bn * tauDen && bn * tauNum <= an * tauDen &&
+          ubound * (tauNum + tauDen) >= (an + bn) * tauNum &&
+          graft.functions.SortedFirstCommon(col("a._pre"), col("b._pre"))
+            === col("a._rk"))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
+              an.as("_na"), bn.as("_nb"),
+              graft.functions.SortedIntersectSize(col("a._s"), col("b._s"))
+                .cast("long").as("overlap"))
+      .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
+      .drop("_na", "_nb")
+  }
+
+  /** One-row PPJoin summary — candidate count plus verified-pair count
+    * and overlap mass — in a SINGLE pass: prefix join → inline verify →
+    * global aggregate, zero pair-level shuffles (the shape that holds at
+    * 100 TB: per-executor partial aggregates are the only thing that
+    * crosses the wire after the join).
+    */
+  def prefixJoinStats(df: DataFrame, idCol: String, textCol: String,
+                      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val verified = col("overlap") * tauDen >= col("union_size") * tauNum
+    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
+               tauNum, tauDen)
+      .agg(count(lit(1)).as("n_candidates"),
+           coalesce(sum(when(verified, 1L).otherwise(0L)), lit(0L))
+             .as("n_pairs"),
+           coalesce(sum(when(verified, col("overlap"))), lit(0L))
+             .as("sum_overlap"))
   }
 
   /** [[prefixCandidates]] + exact Jaccard verification on the full token
     * sets — output schema matches [[ngramJaccardPairs]] (verified pairs
-    * only), computed with recall 1.0 at prefix-join cost.
+    * only), computed with recall 1.0 at prefix-join cost. Verification is
+    * inline in the candidate join ([[ppjMatches]]) — the full token sets
+    * ride on the prefix rows, so no second join re-attaches them.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
-    val sets = df.select(col(idCol).as("_id"),
-        array_distinct(filter(TextAnalysis.tokens(col(textCol)),
-                              t => t =!= "")).as("_s"))
-      .localCheckpoint(false)
-    prefixCandidates(df, idCol, textCol, tauNum, tauDen)
-      .join(sets.select(col("_id").as("doc_a"), col("_s").as("_sa")), "doc_a")
-      .join(sets.select(col("_id").as("doc_b"), col("_s").as("_sb")), "doc_b")
-      .withColumn("overlap",
-                  size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
-      .withColumn("union_size",
-                  (size(col("_sa")) + size(col("_sb"))).cast("long") -
-                    col("overlap"))
+                         tauNum: Int = 1, tauDen: Int = 2): DataFrame =
+    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
+               tauNum, tauDen)
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("doc_a", "doc_b", "overlap", "union_size")
-  }
 }

@@ -204,8 +204,21 @@ object Layout {
     val keep = index.filter(col("zmax") >= lo && col("zmin") <= hi)
       .select("file").collect().map(_.getString(0))
     val total = index.count()
-    val pruned = spark.read.parquet(keep.toIndexedSeq: _*)
-      .filter(col(colName) >= lo && col(colName) <= hi)
+    val pruned =
+      if (keep.nonEmpty)
+        spark.read.parquet(keep.toIndexedSeq: _*)
+          .filter(col(colName) >= lo && col(colName) <= hi)
+      else {
+        // No zone overlaps [lo, hi]: the answer is an EMPTY relation, not
+        // an error — Spark can't infer a schema from a zero-path read, so
+        // recover the schema from any indexed file's footer (planning-
+        // phase metadata work, same cost class as the stats consult).
+        val any = index.select("file").limit(1).collect()
+        if (any.isEmpty) spark.emptyDataFrame
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(any(0).getString(0)).schema)
+      }
     (pruned, keep.length.toLong, total)
   }
 }

@@ -416,9 +416,17 @@ object Similarity {
            |                     -1000.0D) AS BIGINT) + 1000L)"""
           .stripMargin)).as(Seq("dim", "q")))
       .localCheckpoint(false)
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"),
-              col("dim"), col("q").as("c"))
+    // Seeds = the k ACTUAL lowest ids (rank, not `vec_id < k`): with
+    // sparse or offset id domains the filter form silently seeds fewer
+    // than k clusters. Cluster index = dense rank 0..k-1, which equals
+    // vec_id on dense 0-based ids (bit-identical to the oracle there).
+    // k rows — driver-sized; the single-partition window is fine.
+    val seedIds = vecs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    var cent = vecs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("cluster"), col("dim"), col("q").as("c"))
       .localCheckpoint(false)
     var assign: DataFrame = null
     for (_ <- 1 to rounds) {

@@ -48,6 +48,41 @@ object SessionStream extends Serializable {
     Session(u, toTs(s.startMicros), toTs(s.endMicros), s.nEvents,
             s.types.size.toLong)
 
+  /** Fold the prior open session and a batch's events into closed sessions
+    * plus the new open session, as one start-sorted INTERVAL merge (merge
+    * when `next.start − cur.end ≤ gap`). This reproduces the sorted-batch
+    * sessionization exactly for any within-watermark arrival order — in
+    * particular a late event arriving more than `gap` BEFORE the open
+    * session closes as its own earlier session instead of gluing across an
+    * arbitrarily large backward gap (the naive `em − end ≤ gap` merge test
+    * is vacuously true for any older event, a divergence time-sorted feeds
+    * never exercise).
+    */
+  private[streaming] def foldSorted(user: Long, prior: Option[OpenSession],
+                                    evs: Array[SessionEvent],
+                                    gapMicros: Long)
+      : (List[Session], Option[OpenSession]) = {
+    val entities = (prior.toList ++ evs.toList.map { e =>
+        val em = micros(e.ts)
+        OpenSession(em, em, 1L, Set(e.event_type))
+      }).sortBy(s => (s.startMicros, s.endMicros))
+    var closed = List.empty[Session]
+    var open: Option[OpenSession] = None
+    for (s2 <- entities) {
+      open = open match {
+        case Some(s1) if s2.startMicros - s1.endMicros <= gapMicros =>
+          Some(OpenSession(s1.startMicros,
+                           math.max(s1.endMicros, s2.endMicros),
+                           s1.nEvents + s2.nEvents, s1.types ++ s2.types))
+        case Some(s1) =>
+          closed ::= summarize(user, s1)
+          Some(s2)
+        case None => Some(s2)
+      }
+    }
+    (closed.reverse, open)
+  }
+
   /** The keyed state transition; partially applied below so the executor
     * closure captures only this (serializable) object and two longs.
     */
@@ -61,23 +96,8 @@ object SessionStream extends Serializable {
       state.remove()
       out
     } else {
-      val evs = it.toArray.sortBy(e => micros(e.ts))
-      var closed = List.empty[Session]
-      var cur = state.getOption
-      for (e <- evs) {
-        val em = micros(e.ts)
-        cur = cur match {
-          case Some(s) if em - s.endMicros <= gapMicros =>
-            Some(OpenSession(math.min(s.startMicros, em),
-                             math.max(s.endMicros, em),
-                             s.nEvents + 1, s.types + e.event_type))
-          case Some(s) =>
-            closed ::= summarize(user, s)
-            Some(OpenSession(em, em, 1L, Set(e.event_type)))
-          case None =>
-            Some(OpenSession(em, em, 1L, Set(e.event_type)))
-        }
-      }
+      val (closed, cur) =
+        foldSorted(user, state.getOption, it.toArray, gapMicros)
       cur.foreach { s =>
         state.update(s)
         // never set a timeout at/before the current watermark
@@ -85,7 +105,7 @@ object SessionStream extends Serializable {
           math.max(s.endMicros / 1000L + gapMs,
                    state.getCurrentWatermarkMs + 1L))
       }
-      closed.reverse.iterator
+      closed.iterator
     }
 
   /** `events` needs columns (user_id: long, ts: timestamp, event_type:

@@ -45,23 +45,9 @@ object SessionStreamTws extends Serializable {
     override def handleInputRows(user: Long,
                                  it: Iterator[SessionEvent],
                                  tv: TimerValues): Iterator[Session] = {
-      val evs = it.toArray.sortBy(e => micros(e.ts))
-      var closed = List.empty[Session]
-      var cur = if (open.exists()) Some(open.get()) else None
-      for (e <- evs) {
-        val em = micros(e.ts)
-        cur = cur match {
-          case Some(s) if em - s.endMicros <= gapMicros =>
-            Some(OpenSession(math.min(s.startMicros, em),
-                             math.max(s.endMicros, em),
-                             s.nEvents + 1, s.types + e.event_type))
-          case Some(s) =>
-            closed ::= summarize(user, s)
-            Some(OpenSession(em, em, 1L, Set(e.event_type)))
-          case None =>
-            Some(OpenSession(em, em, 1L, Set(e.event_type)))
-        }
-      }
+      val (closed, cur) = SessionStream.foldSorted(
+        user, if (open.exists()) Some(open.get()) else None,
+        it.toArray, gapMicros)
       cur.foreach { s =>
         open.update(s)
         // re-arm the closure timer: drop whatever was armed for the older
@@ -72,7 +58,7 @@ object SessionStreamTws extends Serializable {
         h.registerTimer(math.max(s.endMicros / 1000L + gapMs,
                                  tv.getCurrentWatermarkInMs + 1L))
       }
-      closed.reverse.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long,

@@ -11,7 +11,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * bounded per key, merged against each batch's values with one linear
   * pass.
   *
-  * Emissions are CHANGES only, and the top-k sum strictly increases on
+  * Emissions are CHANGES only, and — for the REQUIRED non-negative
+  * inputs (enforced with `require`; a negative value entering a
+  * not-yet-full list would change state while decreasing the sum) — the
+  * top-k sum strictly increases on
   * every change (an element is only ever replaced by a larger one), so
   * `max(struct(sum, set))` per key over the sink is the final top-k for
   * ANY batch slicing — the same monotone-recovery contract as
@@ -34,7 +37,15 @@ object TopValuesStream extends Serializable {
     override def handleInputRows(user: Long, it: Iterator[KV],
                                  tv: TimerValues): Iterator[TopK] = {
       val cur = top.get().toSeq
-      val merged = (cur ++ it.map(_.v)).sorted(Ordering[Long].reverse)
+      // The monotone-recovery contract (top-k sum strictly increases on
+      // every change) holds ONLY for non-negative values: a negative v
+      // entering a not-yet-full list would change state while DECREASING
+      // top_sum, making max(struct(sum, set)) recover a stale answer.
+      // Enforce the precondition rather than ship the silent divergence.
+      val vs = it.map(_.v).toArray
+      require(vs.forall(_ >= 0L),
+        s"topValues monotone recovery requires non-negative values; got ${vs.filter(_ < 0L).head} for key $user")
+      val merged = (cur ++ vs).sorted(Ordering[Long].reverse)
         .take(k)
       if (merged == cur) Iterator.empty
       else {

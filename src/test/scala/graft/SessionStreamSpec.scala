@@ -92,4 +92,37 @@ class SessionStreamSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       (1L, ts("2025-01-01 10:05:00"), ts("2025-01-01 10:20:00"), 2L, 2L)))
   }
+
+  test("late event more than gap BEFORE the open session closes as its own session") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val source = MemoryStream[SessionEvent]
+    val query = SessionStream
+      .sessions(source.toDF(), gapMinutes = 30, watermarkDelay = "300 minutes")
+      .writeStream.format("memory").queryName("sessions_backgap")
+      .outputMode("append").start()
+    try {
+      source.addData(se(1, "2025-01-01 12:00:00", "view"))
+      query.processAllAvailable()
+      // within-watermark late event 120 min BEFORE the open session: the
+      // naive `em - end <= gap` merge test is vacuously true for any
+      // older event and would glue across the 2 h backward gap; sorted
+      // batch semantics close it as its own earlier session
+      source.addData(se(1, "2025-01-01 10:00:00", "click"))
+      query.processAllAvailable()
+      // close the 12:00 session in-stream
+      source.addData(se(1, "2025-01-01 15:00:00", "view"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("sessions_backgap")
+      .orderBy("session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, ts("2025-01-01 10:00:00"), ts("2025-01-01 10:00:00"), 1L, 1L),
+      (1L, ts("2025-01-01 12:00:00"), ts("2025-01-01 12:00:00"), 1L, 1L)))
+  }
 }
