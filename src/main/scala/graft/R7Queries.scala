@@ -94,7 +94,7 @@ object R7Queries {
       // alternative to clusterPairs' O(diameter) min-label rounds, with no
       // driver union-find at any graph size. Labels are component minima,
       // so the result is bit-identical to any min-label CC.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
       Graph.connectedComponentsStar(p)
@@ -107,7 +107,7 @@ object R7Queries {
       // part ids over the strong co-purchase graph, 4 levels. Seeds are
       // derived from the edge list itself so both engines pick the same
       // sources.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
         .localCheckpoint(false)
@@ -127,7 +127,7 @@ object R7Queries {
       // Personalized PageRank from the 3 smallest items of the co-purchase
       // graph: integer micro-rank with teleport restricted to the seeds —
       // the related-items primitive, exact on any engine.
-      val pairs = Graph.coOccurrenceEdges(
+      val pairs = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey")
       val sym = pairs.unionAll(pairs.select(col("dst").as("src"),
@@ -166,7 +166,7 @@ object R7Queries {
       // hubs?) as exact integers; the covariance/variance NUMERATORS ship
       // as DECIMAL(38,0) digit strings like q295, so any reader finishes
       // r = cov/var in their own precision.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
       val sym = p.unionAll(p.select(col("dst").as("src"),

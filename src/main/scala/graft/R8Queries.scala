@@ -468,12 +468,33 @@ object R8Queries {
       val enriched = graft.plans.NativeAsOf.join(
         fact, dim, Seq("user_id" -> "d_user_id"),
         "fact_ts", "d_valid_from")
+      // The operator's 100 TB contract, machine-checked: over
+      // checkpointed inputs (so only the as-of's own plan is visible)
+      // the join must cost EXACTLY its two SMJ-layout shuffles + two
+      // sorts — no planner detour (window fill, theta join) sneaking in —
+      // and AsOfJoinExec's declared outputOrdering (keys, ts) must be
+      // REUSED: a downstream partition-local sort on (user_id, fact_ts)
+      // adds zero Sort nodes (RemoveRedundantSorts sees the ordering) —
+      // which is the whole point of a merge-shaped operator at scale:
+      // downstream per-key consumers inherit the layout for free.
+      import graft.plans.{NativeAsOf, PlanContract}
+      val factCk = fact.localCheckpoint(false)
+      val dimCk = dim.localCheckpoint(false)
+      val minimal = NativeAsOf.join(factCk, dimCk,
+        Seq("user_id" -> "d_user_id"), "fact_ts", "d_valid_from")
+      val twoShuffles = PlanContract.count(minimal, "Exchange") == 2 &&
+        PlanContract.count(minimal, "Sort") == 2
+      val reSorted = minimal.sortWithinPartitions(col("user_id"),
+                                                  col("fact_ts"))
+      val orderingReused = PlanContract.count(reSorted, "Sort") == 2 &&
+        PlanContract.count(reSorted, "Exchange") == 2
       enriched
         .select(col("event_id"), col("user_id"), col("fact_ts"),
                 col("d_event_type"), col("d_valid_from"))
         .withColumn("native_plan",
-                    lit(graft.plans.PlanContract.contains(enriched,
-                                                          "AsOfJoin")))
+                    lit(PlanContract.contains(enriched, "AsOfJoin")))
+        .withColumn("asof_two_shuffles_only", lit(twoShuffles))
+        .withColumn("ordering_reused", lit(orderingReused))
     }),
     "q459_cbo_stats" -> ((s, dir) => {
       // Statistics-driven planning (ANALYZE + CBO): a filtered dimension's
@@ -646,7 +667,7 @@ object R8Queries {
       // bit-reproducible in the oracle even mid-peel. Strong edges
       // (minCount=2) bound Σdeg² the way the q224/q311 family does.
       val li = Tables.read(s, dir, "lineitem")
-      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+      val edges = Graph.coOccurrenceEdgesCached(li, "l_orderkey", "l_partkey",
                                           minCount = 2)
       Graph.kcore(edges, k = 3, sweeps = 12)
         .agg(count(lit(1)).as("n_core_nodes"),
@@ -1964,7 +1985,8 @@ object R8Queries {
          |  FROM src WHERE event_id % 5 = 0)
          |SELECT f.event_id, f.user_id, f.fact_ts,
          |  d.event_type AS d_event_type, d._valid_from AS d_valid_from,
-         |  TRUE AS native_plan
+         |  TRUE AS native_plan, TRUE AS asof_two_shuffles_only,
+         |  TRUE AS ordering_reused
          |FROM fact f LEFT JOIN scd d
          |  ON f.user_id = d.user_id
          |  AND d._valid_from <= f.fact_ts AND f.fact_ts < d._valid_to""".stripMargin,

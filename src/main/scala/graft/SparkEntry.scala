@@ -2786,7 +2786,7 @@ object SparkEntry {
       // deterministic, not an estimate.
       val li = Tables.spread(s, Tables.read(s, dir, "lineitem"))
       Graph.triangleStats(
-        Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+        Graph.coOccurrenceEdgesCached(li, "l_orderkey", "l_partkey"))
     }),
     "q225_skyline" -> ((s, dir) => {
       // Pareto frontier (X208): orders not dominated on (earlier date,
@@ -3590,7 +3590,7 @@ object SparkEntry {
       // log-log slope via Trend.fit's INTEGER sufficient statistics —
       // slope ≈ −α of a power law, r² says whether the tail is power-ish
       // at all. Composes X207's graph with X184's OLS.
-      val edges = Graph.coOccurrenceEdges(
+      val edges = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         "l_orderkey", "l_partkey").localCheckpoint()
       val deg = edges.select(col("src").as("_n"))
@@ -5091,7 +5091,7 @@ object SparkEntry {
       // bit-identical on every engine (float PageRank never
       // hash-matches); `Graph.pagerank` — damping ×850000 DIV 1e6,
       // contrib pr DIV outdeg, one dst-shuffle per iteration.
-      val pairs = Graph.coOccurrenceEdges(
+      val pairs = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey")
       Graph.pagerank(
@@ -5393,7 +5393,7 @@ object SparkEntry {
       // co-orders carry the signal at ~1/10⁴ the wedges). Wedges come
       // from one self-join of the symmetric neighbor list on the middle
       // node; existing edges anti-join out; top-50 is a TakeOrdered.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey",
         minCount = 2).localCheckpoint()
@@ -5610,7 +5610,7 @@ object SparkEntry {
       // rollup + two semi-joins on the (shrinking, checkpointed) edge
       // list; the fixed round count keeps the result deterministic
       // without a convergence loop.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
       var e = p.unionAll(p.select(col("dst").as("src"),
@@ -6184,7 +6184,7 @@ object SparkEntry {
       // "share 3 of 400". Same strong-edge graph and single wedge join;
       // degrees broadcast back (part-dimension sized); top-50 by exact
       // integer ppm rides a TakeOrdered.
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey",
         minCount = 2).localCheckpoint()
@@ -6336,7 +6336,7 @@ object SparkEntry {
       // regions the bridge joins. 3 fixed rounds, each one edge⋈label
       // shuffle; the size window partitions on the real community key.
       import org.apache.spark.sql.expressions.Window
-      val p = Graph.coOccurrenceEdges(
+      val p = Graph.coOccurrenceEdgesCached(
         Tables.spread(s, Tables.read(s, dir, "lineitem")),
         groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
       val nbr = p.unionAll(p.select(col("dst").as("src"),

@@ -28,17 +28,56 @@ object Graph {
     * input is as small as possible.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String,
-                        itemCol: String, minCount: Int = 1): DataFrame = {
-    val gi = df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
-    val counted = gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
-      .filter(col("_l._i") < col("_r._i"))
-      .groupBy(col("_l._i").as("src"), col("_r._i").as("dst"))
-      .agg(count(lit(1)).as("_n"))
+                        itemCol: String, minCount: Int = 1): DataFrame =
     // minCount > 1 keeps only REPEATED co-occurrences — on dense group
     // data (median co-purchase degree >100 at sf0.1) the raw graph's
     // Σdeg² makes wedge-enumerating consumers (link prediction, k-core)
     // quadratic; the strong-edge graph carries the signal at ~1/10⁴ the
     // wedge volume.
+    coOccurrenceCounted(df, groupCol, itemCol)
+      .filter(col("_n") >= minCount).select(col("src"), col("dst"))
+
+  /** The counted pair relation behind [[coOccurrenceEdges]]:
+    * (src, dst, _n) with src < dst.
+    */
+  def coOccurrenceCounted(df: DataFrame, groupCol: String,
+                          itemCol: String): DataFrame = {
+    val gi = df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
+    gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
+      .filter(col("_l._i") < col("_r._i"))
+      .groupBy(col("_l._i").as("src"), col("_r._i").as("dst"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  // Per-JVM disk cache for the counted pair relation: created lazily,
+  // deleted on JVM exit, so entries can never go stale across runs.
+  private lazy val edgeCacheDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_edge_cache")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
+  /** [[coOccurrenceEdges]] through `plans.ResultCache` on a per-JVM temp
+    * dir. Seven gate queries (triangles, degree distribution, neighbor
+    * Jaccard, PageRank, k-core, label propagation, connected components)
+    * derive from the SAME co-purchase pair build — the most expensive
+    * shared subplan in the suite (~8 s at sf0.1). The counted relation is
+    * materialized once per (plan fingerprint) and every variant — any
+    * `minCount` — reads the files back; results are byte-identical to the
+    * direct computation (the cache returns the same rows, and every
+    * consumer aggregates). This is the materialized-view discipline a
+    * 100 TB deployment would use for a shared derived table, expressed
+    * with the library's own result cache.
+    */
+  def coOccurrenceEdgesCached(df: DataFrame, groupCol: String,
+                              itemCol: String, minCount: Int = 1): DataFrame = {
+    val (counted, _) = graft.plans.ResultCache.through(
+      coOccurrenceCounted(df, groupCol, itemCol), edgeCacheDir)
     counted.filter(col("_n") >= minCount).select(col("src"), col("dst"))
   }
 

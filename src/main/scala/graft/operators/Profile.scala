@@ -337,15 +337,31 @@ object Profile {
                tieCols: Seq[String],
                microBins: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bounds = df.agg(min(col(valueCol)).cast("double").as("_cr_mn"),
-                        max(col(valueCol)).cast("double").as("_cr_mx"))
+    // Bounds PER GROUP (not global): groups whose value ranges differ by
+    // orders of magnitude would otherwise collapse into a handful of
+    // cells — e.g. three stacked metrics ranked in one pass (rfm), where
+    // cents span 1e7 and day counts 1e2, would put every day-count row in
+    // cell 0 and the "within-cell" sort would be the whole group again.
+    // Output is IDENTICAL either way (the cell map only has to be
+    // monotone + consistent within a group; ranks are exact regardless) —
+    // this is purely the partition-size guarantee. Bounds relation is
+    // group-count-sized → broadcast.
+    val bounds =
+      if (groupCols.isEmpty)
+        df.agg(min(col(valueCol)).cast("double").as("_cr_mn"),
+               max(col(valueCol)).cast("double").as("_cr_mx"))
+      else
+        df.groupBy(groupCols.map(col): _*)
+          .agg(min(col(valueCol)).cast("double").as("_cr_mn"),
+               max(col(valueCol)).cast("double").as("_cr_mx"))
     // monotone value→cell map (exactness needs only monotone + consistent)
     val rawCell = floor((col(valueCol).cast("double") - col("_cr_mn"))
       * lit(microBins.toDouble) / (col("_cr_mx") - col("_cr_mn")))
     val cell = when(col("_cr_mx") === col("_cr_mn"), lit(0L))
       .otherwise(least(greatest(rawCell, lit(0.0)), lit(microBins - 1.0)))
       .cast("long")
-    val withCell = df.crossJoin(broadcast(bounds))
+    val withCell = (if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+                    else df.join(broadcast(bounds), groupCols))
       .withColumn("_cr_cell", cell)
       .drop("_cr_mn", "_cr_mx")
     val gCols = groupCols.map(col)
