@@ -208,6 +208,271 @@ object R9Queries {
         .withColumn("rel_risk_ppm",
           expr("a * (c + d) * 1000000L DIV greatest(c * (a + b), 1L)"))
         .select("a", "b", "c", "d", "odds_ratio_ppm", "rel_risk_ppm")
+    }),
+    "q511_moods_median" -> ((s, dir) => {
+      // Mood's median test: split per-user activity at the EXACT global
+      // median (k-th order statistic via cellRank, no float percentile)
+      // and χ²-test the above/at-or-below counts across the two hash
+      // arms — the median-based sibling of Mann-Whitney (q506), robust
+      // to the heavy right tail activity counts always have. χ²·1000 in
+      // interleaved non-negative DIVs ((ad−bc)² first, so no sign fold;
+      // 64-bit safe to ~10⁹ users).
+      val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("v"))
+      val ranked = Profile.cellRank(
+        u.withColumn("_all", graft.functions.DimKey.one),
+        Seq("_all"), "v", Seq("user_id"))
+      val med = ranked.filter(col("_rank") === expr("(_n + 1) DIV 2"))
+        .select(col("v").as("med_v"))
+      u.crossJoin(broadcast(med))
+        .agg(first(col("med_v")).as("med_v"),
+             sum(when(col("user_id") % 2 === 0 && col("v") > col("med_v"),
+                      1L).otherwise(0L)).as("a"),
+             sum(when(col("user_id") % 2 === 0 && col("v") <= col("med_v"),
+                      1L).otherwise(0L)).as("b"),
+             sum(when(col("user_id") % 2 === 1 && col("v") > col("med_v"),
+                      1L).otherwise(0L)).as("c"),
+             sum(when(col("user_id") % 2 === 1 && col("v") <= col("med_v"),
+                      1L).otherwise(0L)).as("d"),
+             count(lit(1)).as("n"))
+        .withColumn("chi2_milli", expr(
+          "(((a*d - b*c) * (a*d - b*c) DIV (a+b)) * n DIV (c+d)) * 1000" +
+            " DIV (a+c) DIV (b+d)"))
+        .select("med_v", "a", "b", "c", "d", "chi2_milli")
+    }),
+    "q512_lorenz" -> ((s, dir) => {
+      // Lorenz curve by spend decile: the distribution behind q181's
+      // Gini scalar — per-decile customer spend share and the cumulative
+      // curve, all exact (deciles from cellRank's exact ranks, shares as
+      // cents·1e6 DIV total so both engines truncate identically; the
+      // cumulative is summed in CENTS first, one DIV at the end — summing
+      // truncated ppm terms would drift). Rank window decomposed by
+      // micro-cell; everything after the rollup is decile-sized.
+      val spend = Tables.spread(s, Tables.read(s, dir, "orders"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val ranked = Profile.cellRank(
+        spend.withColumn("_all", graft.functions.DimKey.one),
+        Seq("_all"), "cents", Seq("o_custkey"))
+      val tot = spend.agg(sum(col("cents")).as("_total"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.DimKey.one).orderBy(col("decile"))
+      ranked
+        .withColumn("decile", expr("(_rank - 1) * 10 DIV _n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("sum_cents * 1000000L DIV _total"))
+        .withColumn("cum_cents", sum(col("sum_cents")).over(wCum))
+        .withColumn("cum_share_ppm", expr("cum_cents * 1000000L DIV _total"))
+        .select("decile", "n_cust", "sum_cents", "share_ppm",
+                "cum_share_ppm")
+    }),
+    "q513_cramers_v" -> ((s, dir) => {
+      // Cramér's V² for (market segment × region): the normalized
+      // association strength that makes χ² comparable across table
+      // shapes — V² = χ²/(n·min(r−1,c−1)), here both emitted as pinned
+      // integers (per-cell (o·n − row·col)²·1000 DIV (n·row·col), summed;
+      // margins broadcast onto the 25-cell relation). Completes the
+      // categorical tier beside kappa (q492) and the 2×2 tests.
+      val j = Tables.read(s, dir, "customer")
+        .join(broadcast(Tables.read(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
+      val o = j.groupBy(col("seg"), col("reg"))
+        .agg(count(lit(1)).as("o"))
+      val mr = o.groupBy(col("seg")).agg(sum(col("o")).as("rn"))
+      val mc = o.groupBy(col("reg")).agg(sum(col("o")).as("cn"))
+      val t = o.agg(sum(col("o")).as("n"))
+      o.join(broadcast(mr), Seq("seg")).join(broadcast(mc), Seq("reg"))
+        .crossJoin(broadcast(t))
+        .withColumn("term_milli", expr(
+          "(o * n - rn * cn) * (o * n - rn * cn) * 1000 DIV (n * rn * cn)"))
+        .agg(first(col("n")).as("n"),
+             sum(col("term_milli")).as("chi2_milli"))
+        .withColumn("v2_ppm", expr("chi2_milli * 1000 DIV (n * 4)"))
+        .select("n", "chi2_milli", "v2_ppm")
+    }),
+    "q514_cochran_armitage" -> ((s, dir) => {
+      // Cochran-Armitage trend test: does the high-value-order rate move
+      // MONOTONICALLY with priority level (ordered 0..4)? T = Σw(x_k·N −
+      // n_k·X) with the exact median-cents outcome split; z²·1000 via
+      // abs-then-prescale (|T| DIV 1000 squares inside 64 bits to ~10⁸
+      // orders; abs BEFORE any DIV so floor-vs-truncate never diverges)
+      // and interleaved variance divisors E1 = X(N−X) DIV N,
+      // E2 = (NΣw²n − (Σwn)²) DIV N. The ordered complement of the
+      // unordered χ² tests — catches dose-response the 2×k χ² dilutes.
+      val o = Tables.spread(s, Tables.read(s, dir, "orders"))
+        .select((substring(col("o_orderpriority"), 1, 1).cast("long") - 1)
+                  .as("w"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .as("cents"),
+                col("o_orderkey"))
+      val ranked = Profile.cellRank(
+        o.withColumn("_all", graft.functions.DimKey.one),
+        Seq("_all"), "cents", Seq("o_orderkey"))
+      val med = ranked.filter(col("_rank") === expr("(_n + 1) DIV 2"))
+        .select(col("cents").as("med"))
+      val lv = o.crossJoin(broadcast(med))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_k"),
+             sum(when(col("cents") > col("med"), 1L).otherwise(0L))
+               .as("x_k"))
+      lv.agg(sum(col("n_k")).as("n"), sum(col("x_k")).as("x"),
+             sum(col("w") * col("n_k")).as("swn"),
+             sum(col("w") * col("w") * col("n_k")).as("sw2n"),
+             sum(col("w") * col("x_k")).as("swx"))
+        .withColumn("t_abs", abs(col("swx") * col("n") -
+                                 col("swn") * col("x")))
+        .withColumn("t_sign",
+                    when(col("swx") * col("n") - col("swn") * col("x")
+                           >= 0, 1L).otherwise(-1L))
+        .withColumn("e1", expr("x * (n - x) DIV n"))
+        .withColumn("e2", expr("(n * sw2n - swn * swn) DIV n"))
+        .withColumn("z2_milli", expr(
+          "((t_abs DIV 1000) * (t_abs DIV 1000) * 1000 DIV e1)" +
+            " * 1000000 DIV e2"))
+        .select("n", "x", "t_abs", "t_sign", "e1", "e2", "z2_milli")
+    }),
+    "q515_nelson_aalen" -> ((s, dir) => {
+      // Nelson-Aalen cumulative hazard for days-to-first-purchase, with
+      // non-purchasers right-censored at the horizon. Each term
+      // d_t·1e6 DIV n_risk(t) is pinned individually and the cumulative
+      // is a SUM of those integers — the estimator whose per-term
+      // truncation both engines reproduce exactly, where Kaplan-Meier's
+      // survival PRODUCT would compound truncation unpredictably. The
+      // risk set is a suffix count over the (dimension-sized) distinct
+      // follow-up times — no per-user window, no correlated subquery.
+      val ev = SparkEntry.ev(s, dir)
+      val epoch = lit("1970-01-01").cast("date")
+      val u = ev.groupBy(col("user_id"))
+        .agg(datediff(to_date(min(col("ts"))), epoch).cast("long").as("f"),
+             datediff(to_date(min(when(col("event_type") === "purchase",
+                                       col("ts")))), epoch).cast("long")
+               .as("p"))
+      val h = ev.agg(datediff(to_date(max(col("ts"))), epoch).cast("long")
+                       .as("maxd"))
+      val tt = u.crossJoin(broadcast(h))
+        .withColumn("tau", coalesce(col("p") - col("f"),
+                                    col("maxd") - col("f")))
+        .withColumn("is_event", col("p").isNotNull)
+      val wSuffix = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("tau").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+                       .unboundedPreceding, 0)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.DimKey.one).orderBy(col("t"))
+      tt.groupBy(col("tau"))
+        .agg(count(lit(1)).as("_all_cnt"),
+             sum(when(col("is_event"), 1L).otherwise(0L)).as("d"))
+        .withColumn("n_risk", sum(col("_all_cnt")).over(wSuffix))
+        .filter(col("d") > 0)
+        .select(col("tau").as("t"), col("d"), col("n_risk"))
+        .withColumn("h_term_ppm", expr("d * 1000000L DIV n_risk"))
+        .withColumn("h_cum_ppm", sum(col("h_term_ppm")).over(wCum))
+    }),
+    "q516_dow_seasonality" -> ((s, dir) => {
+      // Day-of-week seasonal index: per-weekday mean daily volume over
+      // the all-days mean, in ppm. Weekday id = days-since-epoch mod 7
+      // (0 = Thursday) — pure integer arithmetic both engines share,
+      // instead of dayofweek() whose numbering differs across engines.
+      // One fact-sized daily rollup; everything after is 7 rows.
+      val dly = SparkEntry.ev(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow_id",
+          (datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+            .cast("long"))
+      val tot = dly.agg(sum(col("cnt")).as("total"),
+                        count(lit(1)).as("n_days"))
+      dly.groupBy(col("dow_id"))
+        .agg(count(lit(1)).as("n_days_dow"), sum(col("cnt")).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .withColumn("index_ppm",
+          expr("n_events * n_days * 1000000L DIV (n_days_dow * total)"))
+        .select("dow_id", "n_days_dow", "n_events", "index_ppm")
+    }),
+    "q517_schema_evolution" -> ((s, dir) => {
+      // Schema evolution across snapshot versions: v2 adds a column v1
+      // never had, and the cross-version history read resolves by NAME
+      // with missing columns null-filled (unionByName allowMissing — the
+      // mergeSchema discipline), so old snapshots stay readable after
+      // the table grows columns. The lakehouse complement of the SCD
+      // engine's onSchemaChange contract.
+      val tmp = java.nio.file.Files.createTempDirectory("q517_evo")
+        .toString + "/t"
+      def roll(yr: Int) = Tables.read(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      VersionedTable.publish(s, roll(1996), tmp)
+      VersionedTable.publish(
+        s, Tables.read(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                 .as("cents"),
+               count(lit(1)).as("n_orders")), tmp)
+      val v1 = VersionedTable.readVersion(s, tmp, 1L)
+        .withColumn("version", lit(1L))
+      val v2 = VersionedTable.readVersion(s, tmp, 2L)
+        .withColumn("version", lit(2L))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .select("version", "prio", "cents", "n_orders")
+    }),
+    "q518_table_history" -> ((s, dir) => {
+      // Table history as a relation (the DESCRIBE HISTORY analog): two
+      // stamped snapshot publishes, then a STAMPED deletion-vector
+      // commit — history must show the DV's own stamp AND full versions'
+      // effective stamps, plus each version's physical row count
+      // (key-list rows for the DV, snapshot rows otherwise). Exercises
+      // the crash-safe stamp-before-commit path and DV stamp visibility
+      // end-to-end against literal expectations.
+      val tmp = java.nio.file.Files.createTempDirectory("q518_hist")
+        .toString + "/t"
+      def roll(maxYear: Int) = Tables.read(s, dir, "orders")
+        .filter(year(col("o_orderdate")) < maxYear)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      VersionedTable.publishStamped(s, roll(1997), tmp, 1000L)
+      VersionedTable.publishStamped(s, roll(1999), tmp, 2000L)
+      VersionedTable.publishDelete(
+        s, VersionedTable.read(s, tmp)
+          .filter(col("prio") === "5-LOW").select(col("prio")),
+        tmp, stampMillis = Some(2500L))
+      VersionedTable.history(s, tmp)
+    }),
+    "q519_union_pushdown" -> ((s, dir) => {
+      // Filter pushdown THROUGH a union, pinned in the gate: a predicate
+      // over unionByName of two parquet scans must reach BOTH scans'
+      // PushedFilters (Catalyst's PushDownPredicates through Union) —
+      // the property that keeps a multi-source read from scanning either
+      // side fully at 100 TB. Values + the plan boolean driver-checked.
+      val base = java.nio.file.Files.createTempDirectory("q519_up")
+        .toString
+      val o = Tables.read(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) < 1997)
+        .write.mode("overwrite").parquet(s"$base/p1")
+      o.filter(year(col("o_orderdate")) >= 1997)
+        .write.mode("overwrite").parquet(s"$base/p2")
+      val u = s.read.parquet(s"$base/p1")
+        .unionByName(s.read.parquet(s"$base/p2"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val ps = graft.plans.PlanContract.planString(u)
+      val pushedBoth =
+        "EqualTo\\(o_orderpriority,1-URGENT\\)".r
+          .findAllMatchIn(ps).length >= 2
+      u.withColumn("pushed_both_scans", lit(pushedBoth))
     })
   )
 
@@ -342,6 +607,166 @@ object R9Queries {
         |    AS odds_ratio_ppm,
         |  CAST(a * (c + d) * 1000000 // greatest(c * (a + b), 1)
         |    AS BIGINT) AS rel_risk_ppm
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "q511_moods_median" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+         |  FROM src GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY v, user_id) AS rk,
+         |        count(*) OVER () AS n FROM u),
+         |m AS (SELECT v AS med_v FROM r WHERE rk = (n + 1) // 2),
+         |g AS (SELECT
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 AND v > med_v
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 AND v <= med_v
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1 AND v > med_v
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1 AND v <= med_v
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |  CAST(count(*) AS BIGINT) AS n FROM u, m)
+         |SELECT (SELECT med_v FROM m) AS med_v, a, b, c, d,
+         |  CAST((((a*d - b*c) * (a*d - b*c) // (a+b)) * n // (c+d))
+         |    * 1000 // (a+c) // (b+d) AS BIGINT) AS chi2_milli
+         |FROM g""".stripMargin,
+    "q512_lorenz" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cents, o_custkey)
+        |        AS rk, count(*) OVER () AS n,
+        |        CAST(sum(cents) OVER () AS BIGINT) AS total FROM s),
+        |d AS (SELECT (rk - 1) * 10 // n AS decile,
+        |        CAST(count(*) AS BIGINT) AS n_cust,
+        |        CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |        max(total) AS total FROM r GROUP BY 1)
+        |SELECT decile, n_cust, sum_cents,
+        |  CAST(sum_cents * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(sum(sum_cents) OVER (ORDER BY decile) * 1000000 // total
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM d""".stripMargin,
+    "q513_cramers_v" ->
+      """WITH j AS (SELECT c.c_mktsegment AS seg, r.r_name AS reg
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |o AS (SELECT seg, reg, CAST(count(*) AS BIGINT) AS o
+        |  FROM j GROUP BY 1, 2),
+        |mr AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rn FROM o GROUP BY 1),
+        |mc AS (SELECT reg, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |cell AS (SELECT
+        |    (o.o * t.n - mr.rn * mc.cn) * (o.o * t.n - mr.rn * mc.cn)
+        |      * 1000 // (t.n * mr.rn * mc.cn) AS term_milli
+        |  FROM o JOIN mr USING (seg) JOIN mc USING (reg), t)
+        |SELECT (SELECT n FROM t) AS n,
+        |  CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
+        |  CAST(sum(term_milli) * 1000 // ((SELECT n FROM t) * 4)
+        |    AS BIGINT) AS v2_ppm
+        |FROM cell""".stripMargin,
+    "q514_cochran_armitage" ->
+      """WITH o AS (SELECT
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1 AS w,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cents, o_orderkey)
+        |        AS rk, count(*) OVER () AS nn FROM o),
+        |m AS (SELECT cents AS med FROM r WHERE rk = (nn + 1) // 2),
+        |lv AS (SELECT w, CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(CASE WHEN cents > (SELECT med FROM m)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_k
+        |  FROM o GROUP BY 1),
+        |s AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |    CAST(sum(x_k) AS BIGINT) AS x,
+        |    CAST(sum(w * n_k) AS BIGINT) AS swn,
+        |    CAST(sum(w * w * n_k) AS BIGINT) AS sw2n,
+        |    CAST(sum(w * x_k) AS BIGINT) AS swx FROM lv),
+        |t AS (SELECT n, x,
+        |    abs(swx * n - swn * x) AS t_abs,
+        |    CASE WHEN swx * n - swn * x >= 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(-1 AS BIGINT) END AS t_sign,
+        |    x * (n - x) // n AS e1,
+        |    (n * sw2n - swn * swn) // n AS e2 FROM s)
+        |SELECT n, x, t_abs, t_sign, e1, e2,
+        |  CAST(((t_abs // 1000) * (t_abs // 1000) * 1000 // e1)
+        |    * 1000000 // e2 AS BIGINT) AS z2_milli
+        |FROM t""".stripMargin,
+    "q515_nelson_aalen" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |u AS (SELECT user_id,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(min(ts) AS DATE)) AS BIGINT) AS f,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+         |        AS DATE)) AS BIGINT) AS p
+         |  FROM src GROUP BY 1),
+         |h AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |    CAST(max(ts) AS DATE)) AS BIGINT) AS maxd FROM src),
+         |tt AS (SELECT user_id, coalesce(p - f, maxd - f) AS tau,
+         |    p IS NOT NULL AS is_event FROM u, h),
+         |g AS (SELECT tau, CAST(count(*) AS BIGINT) AS all_cnt,
+         |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d
+         |  FROM tt GROUP BY 1),
+         |rk AS (SELECT *, CAST(sum(all_cnt) OVER (ORDER BY tau DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_risk FROM g)
+         |SELECT tau AS t, d, n_risk,
+         |  CAST(d * 1000000 // n_risk AS BIGINT) AS h_term_ppm,
+         |  CAST(sum(d * 1000000 // n_risk) OVER (ORDER BY tau)
+         |    AS BIGINT) AS h_cum_ppm
+         |FROM rk WHERE d > 0""".stripMargin,
+    "q516_dow_seasonality" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |dly AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+         |w AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day) % 7
+         |    AS BIGINT) AS dow_id, cnt FROM dly),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS n_days FROM w)
+         |SELECT dow_id, CAST(count(*) AS BIGINT) AS n_days_dow,
+         |  CAST(sum(cnt) AS BIGINT) AS n_events,
+         |  CAST(sum(cnt) * (SELECT n_days FROM tot) * 1000000
+         |    // (count(*) * (SELECT total FROM tot)) AS BIGINT)
+         |    AS index_ppm
+         |FROM w GROUP BY 1""".stripMargin,
+    "q517_schema_evolution" ->
+      """WITH r96 AS (SELECT o_orderpriority AS prio,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |r97 AS (SELECT o_orderpriority AS prio,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS version, prio, cents,
+        |  CAST(NULL AS BIGINT) AS n_orders FROM r96
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, prio, cents, n_orders
+        |FROM r97""".stripMargin,
+    "q518_table_history" ->
+      """WITH r97 AS (SELECT CAST(count(DISTINCT o_orderpriority)
+        |    AS BIGINT) AS n FROM orders WHERE year(o_orderdate) < 1997),
+        |r99 AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |    AS n FROM orders WHERE year(o_orderdate) < 1999)
+        |SELECT CAST(1 AS BIGINT) AS version, FALSE AS is_dv,
+        |  CAST(1000 AS BIGINT) AS own_stamp,
+        |  CAST(1000 AS BIGINT) AS effective_stamp,
+        |  (SELECT n FROM r97) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), FALSE, CAST(2000 AS BIGINT),
+        |  CAST(2000 AS BIGINT), (SELECT n FROM r99)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), TRUE, CAST(2500 AS BIGINT),
+        |  CAST(2500 AS BIGINT), CAST(1 AS BIGINT)""".stripMargin,
+    "q519_union_pushdown" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS pushed_both_scans
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -282,7 +282,10 @@ object ScdEngine {
     // Write the touched buckets to a tmp dir, then swap each bucket directory.
     val tmp = targetPath + ".tmp"
     fs.delete(new Path(tmp), true)
-    bucketed.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
+    // repartition on the bucket col: ~1 file per touched bucket directory
+    // instead of tasks × buckets (see atomicSwap)
+    bucketed.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
     // NOT NULL off the written bytes (narrow column scan of the tmp output);
     // a violation deletes tmp and throws BEFORE any bucket rename, so the
     // live table keeps every bucket intact — no partial swap. Untouched
@@ -326,7 +329,16 @@ object ScdEngine {
     val old = new Path(targetPath + ".old")
     val dst = new Path(targetPath)
     fs.delete(tmp, true)
-    val writer = snapshot.write.mode("overwrite")
+    // Cluster rows onto their bucket BEFORE the partitioned write: without
+    // it every write task appends to every touched bucket directory —
+    // tasks × buckets files (32 × 1000 = 32k at Stress10's probe, a ~100 s
+    // flat small-files tax regardless of data size, and the metadata storm
+    // that kills object-store listings at 100 TB). Repartitioned on the
+    // bucket column, each bucket directory gets exactly the files of the
+    // partitions holding it (~1 per bucket).
+    val clustered = numBuckets.fold(snapshot)(_ =>
+      snapshot.repartition(org.apache.spark.sql.functions.col(BucketCol)))
+    val writer = clustered.write.mode("overwrite")
     numBuckets.fold(writer)(_ => writer.partitionBy(BucketCol)).parquet(tmp.toString)
     try contract.foreach(c =>
       Contracts.enforceNotNull(spark.read.parquet(tmp.toString), c))

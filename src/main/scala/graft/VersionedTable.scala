@@ -250,6 +250,29 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String): Long =
     publish(spark, read(spark, root), root)
 
+  /** Table history as a relation — the DESCRIBE HISTORY analog: one row
+    * per committed version with its kind (full snapshot vs deletion
+    * vector), its own commit stamp (null when inherited — see
+    * [[effectiveStampOf]] for resolution), the effective stamp time
+    * travel uses, and the version's physical row count (snapshot rows
+    * for full versions, key-list rows for DVs). Metadata-scale: one
+    * driver listing plus a count per version directory.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val vs = committedVersions(f, root)
+    val rows = vs.map { v =>
+      (v, isDelete(f, root, v), stampOf(f, root, v),
+       effectiveStampOf(f, root, vs, v),
+       spark.read.parquet(s"$root/$VPrefix$v").count())
+    }
+    import org.apache.spark.sql.functions.col
+    spark.createDataFrame(rows)
+      .toDF("version", "is_dv", "own_stamp", "effective_stamp", "n_rows")
+      .select(col("version"), col("is_dv"), col("own_stamp"),
+              col("effective_stamp"), col("n_rows"))
+  }
+
   // -------------------------------------------------------------------
   // Timestamp time travel + checked publish
   // -------------------------------------------------------------------
