@@ -473,6 +473,83 @@ object R9Queries {
         "EqualTo\\(o_orderpriority,1-URGENT\\)".r
           .findAllMatchIn(ps).length >= 2
       u.withColumn("pushed_both_scans", lit(pushedBoth))
+    }),
+    "q520_bucketed_join" -> ((s, dir) => {
+      // Spark-native bucketed tables (bucketBy + saveAsTable): both sides
+      // bucketed 8-way on the join key, so the SMJ reads co-located
+      // buckets and the join plans with ZERO Exchange — the storage-level
+      // co-location lever (the engine's own _scd2_bucket layout is the
+      // same discipline on plain parquet; this pins Spark's catalog
+      // variant). Broadcast disabled inside the probe so the contract
+      // tests the bucketed SMJ, not a broadcast bailout; conf + tables
+      // restored/dropped in finally.
+      import graft.plans.PlanContract
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val ct = s"q520_c_$tag"
+      val ot = s"q520_o_$tag"
+      val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Tables.read(s, dir, "customer")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(ct)
+        Tables.read(s, dir, "orders")
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(ot)
+        val j = s.table(ot).join(s.table(ct),
+                                 col("o_custkey") === col("c_custkey"))
+        val colocated = PlanContract.count(j, "Exchange") == 0 &&
+          PlanContract.count(j, "SortMergeJoin") == 1
+        // eager checkpoint: the result must materialize BEFORE finally
+        // drops the catalog tables it reads (queries return lazily)
+        j.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                 .as("cents"))
+          .withColumn("join_no_shuffle", lit(colocated))
+          .localCheckpoint()
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+        s.sql(s"DROP TABLE IF EXISTS $ct")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+      }
+    }),
+    "q521_kmv_sketch" -> ((s, dir) => {
+      // KMV distinct sketches with EXACT cross-engine arithmetic: per
+      // event type the k=64 smallest md5-prefix user hashes (both
+      // engines hash identically, so unlike HLL the sketch itself
+      // hash-compares), estimate (k−1)·2³² DIV h_k; pairwise UNION
+      // sketches merge as k-min of the union and intersections follow by
+      // inclusion-exclusion — the mergeable distinct-counting algebra
+      // that replaces global COUNT(DISTINCT) at 100 TB. Sets = customers
+      // per order priority (~86% pairwise overlap — real intersection
+      // structure); pair spine is 10 rows broadcast onto the distinct
+      // (priority, customer) relation; rank selection via cellRank (no
+      // whole-set sort).
+      val uh = Tables.spread(s, Tables.read(s, dir, "orders"))
+        .select(col("o_orderpriority").as("set_id"),
+                col("o_custkey").as("elem")).distinct()
+        .localCheckpoint(false)
+      val per = Sketches.kmvSketch(uh, Seq("set_id"), "elem", 64)
+      val types = uh.select(col("set_id")).distinct()
+      val pr = types.select(col("set_id").as("t1"))
+        .join(types.select(col("set_id").as("t2")),
+              col("t1") < col("t2"))
+      val u2 = broadcast(pr)
+        .join(uh, col("set_id") === col("t1") ||
+                  col("set_id") === col("t2"))
+        .select(col("t1"), col("t2"), col("elem")).distinct()
+      val un = Sketches.kmvSketch(u2, Seq("t1", "t2"), "elem", 64)
+        .select(col("t1"), col("t2"), col("est_distinct").as("est_union"))
+      un.join(broadcast(per.select(col("set_id").as("t1"),
+                                   col("est_distinct").as("est_a"))),
+              Seq("t1"))
+        .join(broadcast(per.select(col("set_id").as("t2"),
+                                   col("est_distinct").as("est_b"))),
+              Seq("t2"))
+        .withColumn("est_intersect",
+                    col("est_a") + col("est_b") - col("est_union"))
+        .select("t1", "t2", "est_a", "est_b", "est_union", "est_intersect")
     })
   )
 
@@ -767,6 +844,48 @@ object R9Queries {
         |    AS cents,
         |  TRUE AS pushed_both_scans
         |FROM orders WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q520_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  TRUE AS join_no_shuffle
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q521_kmv_sketch" ->
+      """WITH uh AS MATERIALIZED (SELECT DISTINCT
+        |    o_orderpriority AS set_id, o_custkey AS elem,
+        |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+        |      ::UBIGINT AS BIGINT) AS h
+        |  FROM orders),
+        |per AS (SELECT set_id, max(h) AS h_k,
+        |    CAST(count(*) AS BIGINT) AS n_le_k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY set_id
+        |          ORDER BY h, elem) AS rk FROM uh)
+        |  WHERE rk <= 64 GROUP BY 1),
+        |pe AS (SELECT set_id,
+        |    CASE WHEN n_le_k < 64 THEN n_le_k
+        |         ELSE 63 * 4294967296 // greatest(h_k, 1) END AS est
+        |  FROM per),
+        |ty AS (SELECT DISTINCT set_id FROM uh),
+        |pr AS (SELECT a.set_id AS t1, b.set_id AS t2
+        |  FROM ty a JOIN ty b ON a.set_id < b.set_id),
+        |u2 AS (SELECT DISTINCT pr.t1, pr.t2, uh.elem, uh.h
+        |  FROM pr JOIN uh ON uh.set_id = pr.t1 OR uh.set_id = pr.t2),
+        |unr AS (SELECT t1, t2, max(h) AS h_k,
+        |    CAST(count(*) AS BIGINT) AS n_le_k
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY t1, t2
+        |          ORDER BY h, elem) AS rk FROM u2)
+        |  WHERE rk <= 64 GROUP BY 1, 2),
+        |ue AS (SELECT t1, t2,
+        |    CASE WHEN n_le_k < 64 THEN n_le_k
+        |         ELSE 63 * 4294967296 // greatest(h_k, 1) END AS est_union
+        |  FROM unr)
+        |SELECT t1, t2, CAST(pa.est AS BIGINT) AS est_a,
+        |  CAST(pb.est AS BIGINT) AS est_b,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(pa.est + pb.est - est_union AS BIGINT) AS est_intersect
+        |FROM ue JOIN pe pa ON pa.set_id = t1
+        |        JOIN pe pb ON pb.set_id = t2""".stripMargin
   )
 }

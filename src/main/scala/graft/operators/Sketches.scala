@@ -79,4 +79,36 @@ object Sketches {
                       col("_n") * 4L)
       .select(col(keyCol), col("n_rows"), col("cms_ok"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per set: keep each
+    * set's k smallest DETERMINISTIC element hashes (md5 prefix — both
+    * engines hash identically, so unlike HLL the whole sketch is
+    * exact-arithmetic and hash-compares across engines); the estimate is
+    * the classic (k−1)·|hash space| DIV h_k. Sketches of different sets
+    * MERGE by taking the k smallest of the union — the property that
+    * makes distinct counting mergeable across partitions/days at 100 TB
+    * without a global distinct — and set INTERSECTION estimates by
+    * inclusion-exclusion over merged sketches (the query-side composition
+    * this function leaves to callers).
+    *
+    * `df` must already be (setCols, element)-distinct. Rank selection of
+    * the k-th minimum runs through [[Profile.cellRank]] — no whole-set
+    * sort even when one set holds most of the corpus. Returns one row per
+    * set: (setCols..., h_k, n_le_k, est_distinct) where n_le_k < k flags
+    * a set smaller than k (estimate = exact count then).
+    */
+  def kmvSketch(df: DataFrame, setCols: Seq[String], elemCol: String,
+                k: Int): DataFrame = {
+    val hashed = df.withColumn("_h", expr(
+      s"CAST(conv(substring(md5(CAST($elemCol AS STRING)), 1, 8), 16, 10)" +
+        " AS BIGINT)"))
+    Profile.cellRank(hashed, setCols, "_h", Seq(elemCol))
+      .filter(col("_rank") <= k)
+      .groupBy(setCols.map(col): _*)
+      .agg(max(col("_h")).as("h_k"), count(lit(1)).as("n_le_k"))
+      .withColumn("est_distinct",
+        when(col("n_le_k") < k, col("n_le_k")) // exact below k
+          .otherwise(expr(
+            s"(${k - 1}) * 4294967296L DIV greatest(h_k, 1L)")))
+  }
 }
