@@ -95,7 +95,10 @@ object GraftExtensions {
     FloatVecDot.functionDescriptor,
     SimHashBits.functionDescriptor,
     SignLshBucket.functionDescriptor,
-    Md5ConcatWs.functionDescriptor)
+    Md5ConcatWs.functionDescriptor,
+    NfcNormalize.functionDescriptor,
+    SortedIntOpsSql.intersectDescriptor,
+    SortedIntOpsSql.firstCommonDescriptor)
 
   def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>

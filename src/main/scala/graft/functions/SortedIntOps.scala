@@ -101,3 +101,29 @@ object SortedFirstCommon {
     ColumnShim.column(SortedFirstCommon(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }
+
+/** SQL registration descriptors for the sorted-merge expressions
+  * (`sorted_intersect_size`, `sorted_first_common`) — wired into
+  * [[GraftExtensions]] so SQL users get the same codegen natives the
+  * DataFrame API uses in the PPJoin hot path.
+  */
+object SortedIntOpsSql {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val intersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_size"),
+    new ExpressionInfo(classOf[SortedIntersectSize].getName,
+                       "sorted_intersect_size"),
+    (children: Seq[Expression]) =>
+      SortedIntersectSize(children(0), children(1)))
+
+  val firstCommonDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_first_common"),
+    new ExpressionInfo(classOf[SortedFirstCommon].getName,
+                       "sorted_first_common"),
+    (children: Seq[Expression]) =>
+      SortedFirstCommon(children(0), children(1)))
+}

@@ -22,7 +22,26 @@ object Tables {
     */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // Partition count from the FILE layout, not df.rdd.getNumPartitions:
+    // the rdd conversion forces a full plan translation per call — pure
+    // driver-side work, but it runs inside timed query bodies. The scan's
+    // split count is (file size / maxPartitionBytes) rounded up per file,
+    // which the input file listing gives directly.
+    val maxSplit =
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val files = df.inputFiles
+    val est =
+      if (files.isEmpty) target // not file-backed: leave the plan alone
+      else {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(files.head),
+          spark.sparkContext.hadoopConfiguration)
+        files.map { f =>
+          val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+          ((len + maxSplit - 1) / maxSplit).toInt.max(1)
+        }.sum
+      }
+    if (est * 2 <= target) df.repartition(target) else df
   }
 
   /** `events.parquet` has shipped in two encodings across driver testdata

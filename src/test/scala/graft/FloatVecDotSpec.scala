@@ -71,6 +71,14 @@ class FloatVecDotSpec extends SparkTestBase {
       "SELECT float_vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
       .as[Double].head()
     assert(r === 11.0)
+    val nfc = spark.sql("SELECT nfc_normalize('café') AS s")
+      .as[String].head()
+    assert(nfc === "café")
+    val (isz, fc) = spark.sql(
+      "SELECT sorted_intersect_size(array(1, 3, 5), array(3, 4, 5)) AS i," +
+        " sorted_first_common(array(1, 3, 5), array(3, 4, 5)) AS f")
+      .as[(Int, Int)].head()
+    assert(isz === 2 && fc === 3)
   }
 
   test("optimizer rule rewrites md5(concat_ws('-', ...)) to the native expr") {
