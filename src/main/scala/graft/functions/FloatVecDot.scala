@@ -98,7 +98,8 @@ object GraftExtensions {
     Md5ConcatWs.functionDescriptor,
     NfcNormalize.functionDescriptor,
     SortedIntOpsSql.intersectDescriptor,
-    SortedIntOpsSql.firstCommonDescriptor)
+    SortedIntOpsSql.firstCommonDescriptor,
+    JaroWinkler.functionDescriptor)
 
   def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph statistics over edge lists derived from fact tables.
@@ -514,5 +515,151 @@ object Graph {
       .select(col("node"),
               coalesce(col("h"), lit(0L)).as("hub"),
               coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
+  /** Per-source bounded BFS: like [[bfsHops]] but the frontier carries its
+    * root, so each of the (few) seed roots gets its own exact hop
+    * distances in ONE synchronized sweep — the landmark pattern for
+    * closeness/distance estimation at scale (k landmarks, k·|V| state,
+    * never all-pairs). Output: (root, node, hop) with hop = min #edges
+    * from that root, hop ≤ maxHops.
+    */
+  def multiSourceHops(edges0: DataFrame, seeds: DataFrame,
+                      maxHops: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var visited = seeds
+      .select(col(seeds.columns.head).cast("long").as("root")).distinct()
+      .select(col("root"), col("root").as("node"))
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    var frontier = visited.select("root", "node")
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(frontier("root"), sym("dst").as("node")).distinct()
+        .join(visited, Seq("root", "node"), "left_anti")
+        .withColumn("hop", lit(h)).localCheckpoint(false)
+      exhausted = next.count() == 0L
+      visited = visited.union(next).localCheckpoint(false)
+      frontier = next.select("root", "node")
+      h += 1
+    }
+    visited
+  }
+
+  /** Strongly connected components on a DIRECTED graph by mutual
+    * reachability: closure via `doublingRounds` rounds of path doubling
+    * (R ← R ∪ R∘R covers paths of 2^rounds edges), then
+    * scc_id(v) = min(v, min{u : v⇝u ∧ u⇝v}).
+    *
+    * The closure is O(|V|·reach) pairs — exact and cheap on the
+    * dimension-grain graphs it serves here (entity/category graphs whose
+    * node set is dimension-sized even at 100 TB fact scale, e.g. the
+    * nation-trade graph: facts aggregate to |V|² ≤ 625 edges BEFORE the
+    * graph algorithm runs). For billion-node graphs the published scale
+    * path is trim + forward-backward reach partitioning instead of
+    * closure; this entry point documents that boundary rather than
+    * pretending closure scales past dimension grain.
+    *
+    * Output: (node, scc_id, scc_size).
+    */
+  def sccMutualReach(edges0: DataFrame, doublingRounds: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var r = e.localCheckpoint(false)
+    for (_ <- 1 to doublingRounds) {
+      val a = r.as("a"); val b = r.as("b")
+      r = r.union(a.join(b, col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        .distinct().localCheckpoint(false)
+    }
+    val mutual = r.as("f")
+      .join(r.as("g"), col("f.src") === col("g.dst") &&
+                       col("f.dst") === col("g.src"))
+      .select(col("f.src").as("node"), col("f.dst").as("peer"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val sccId = nodes.join(mutual, Seq("node"), "left_outer")
+      .groupBy(col("node"))
+      .agg(least(min(col("peer")), first(col("node"))).as("scc_id"))
+      .select(col("node"),
+              coalesce(col("scc_id"), col("node")).as("scc_id"))
+    val sizes = sccId.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    sccId.join(sizes, Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+  }
+
+  /** Minimax (bottleneck) path closure: for every ordered connected pair
+    * (u,v), the minimum over u→v paths of the MAXIMUM edge rank on the
+    * path — the (min, max) semiring closure, computed with the same
+    * path-doubling recurrence as [[sccMutualReach]] (R ← min(R, R∘R with
+    * max-combine), `rounds` rounds cover paths of 2^rounds edges).
+    *
+    * Input must be SYMMETRIC for undirected semantics: (src, dst, r).
+    * Output: (src, dst, r = minimax rank), self-pairs excluded.
+    */
+  def minimaxClosure(rankedEdges: DataFrame, rounds: Int): DataFrame = {
+    var r = rankedEdges
+      .select(col("src").cast("long").as("src"),
+              col("dst").cast("long").as("dst"),
+              col("r").cast("long").as("r"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("r")).as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val a = r.as("a"); val b = r.as("b")
+      val comp = a.join(b, col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+                greatest(col("a.r"), col("b.r")).as("r"))
+        .filter(col("src") =!= col("dst"))
+      r = r.union(comp)
+        .groupBy(col("src"), col("dst")).agg(min(col("r")).as("r"))
+        .localCheckpoint(false)
+    }
+    r
+  }
+
+  /** Minimum spanning forest by the cycle property over a TOTAL edge
+    * order: with ranks made distinct by tiebreak, edge e=(u,v, rank r)
+    * is in the MSF iff no u→v path exists using only strictly smaller
+    * ranks — equivalently iff the minimax closure rank of (u,v) equals
+    * e's own rank (the closure includes e itself, so minimax ≤ r always,
+    * with equality exactly when no better path exists). One closure + one
+    * join replaces union-find's sequential merges — the same
+    * dimension-grain contract as [[sccMutualReach]]: exact and cheap when
+    * the graph is entity/category-grain (facts pre-aggregate to |V|²
+    * edges before the algorithm); for billion-node graphs the published
+    * scale path is Boruvka rounds with hash-min contraction instead of
+    * closure.
+    *
+    * Input: UNDIRECTED canonical edges (src < dst) with a `w` column;
+    * rank = row_number over (w, src, dst) — ascending w gives the
+    * minimum spanning forest, pass negated weights for the maximum one.
+    * Output: the forest's edges (src, dst, w).
+    */
+  def mstBottleneck(edges0: DataFrame, doublingRounds: Int): DataFrame = {
+    val ranked = edges0
+      .select(col("src").cast("long").as("src"),
+              col("dst").cast("long").as("dst"),
+              col("w").cast("long").as("w"))
+      .filter(col("src") < col("dst"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(graft.functions.DimKey.one)
+          .orderBy(col("w"), col("src"), col("dst"))).cast("long"))
+      .localCheckpoint(false)
+    val sym = ranked.select(col("src"), col("dst"), col("r"))
+      .union(ranked.select(col("dst").as("src"), col("src").as("dst"),
+                           col("r")))
+    val mm = minimaxClosure(sym, doublingRounds)
+    ranked.as("e")
+      .join(mm.as("c"), col("e.src") === col("c.src") &&
+                        col("e.dst") === col("c.dst") &&
+                        col("e.r") === col("c.r"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
   }
 }
