@@ -99,7 +99,8 @@ object GraftExtensions {
     NfcNormalize.functionDescriptor,
     SortedIntOpsSql.intersectDescriptor,
     SortedIntOpsSql.firstCommonDescriptor,
-    JaroWinkler.functionDescriptor)
+    JaroWinkler.functionDescriptor,
+    DamerauLevenshtein.functionDescriptor)
 
   def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
