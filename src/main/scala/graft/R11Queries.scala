@@ -54,6 +54,30 @@ object R11Queries {
         expr("(n_distinct - n_missing) * 1000000 DIV n_distinct"))
   }
 
+  /** Undirected nation-trade edges (canonical src < dst) with the fact
+    * rollup done FIRST — the dimension-grain contract all the graph
+    * queries below ride: 100 TB of lineitem collapses to ≤ |V|² edges
+    * before any graph algorithm runs.
+    */
+  private def tradeEdges(s: SparkSession, dir: String,
+                         minCount: Long): DataFrame = {
+    val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("src"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q535_damerau_blocked" -> ((s, dir) => {
       // Fuzzy-key linkage with the native UNRESTRICTED Damerau-
@@ -227,6 +251,245 @@ object R11Queries {
           edges.select(col("src"), col("dst"), (-col("n")).as("w")),
           doublingRounds = 5)
         .select(col("src"), col("dst"), (-col("w")).as("n_items"))
+    }),
+    "q541_stress_centrality" -> ((s, dir) => {
+      // Stress centrality (the integer-exact Brandes variant): for every
+      // node v, the number of shortest s-t paths passing through v —
+      // σ_st(v) = σ_sv·σ_vt when d(s,v)+d(v,t) = d(s,t). Distances come
+      // from the synchronized multi-source BFS; path counts σ come from
+      // walk counts (the #length-d(s,t) walks ARE the shortest paths —
+      // no shorter walk exists, so every such walk is simple), i.e. 3
+      // rounds of adjacency composition, never path enumeration. All-
+      // pairs is deliberate and bounded: the dimension-grain contract
+      // (≤25 nations) — betweenness at billion-node scale uses sampled
+      // sources over the same two building blocks.
+      val edges = tradeEdges(s, dir, 260).select("src", "dst")
+        .localCheckpoint(false)
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(false)
+      val nodes = sym.select(col("src").as("n")).distinct()
+      val hops = Graph.multiSourceHops(edges, nodes, maxHops = 4)
+        .filter(col("hop") > 0)
+      var w = sym.withColumn("k", lit(1)).withColumn("sig", lit(1L))
+      var walks = w
+      for (k <- 2 to 4) {
+        w = w.as("a").join(sym.as("b"), col("a.dst") === col("b.src"))
+          .groupBy(col("a.src").as("src"), col("b.dst").as("dst"))
+          .agg(sum(col("sig")).as("sig"))
+          .withColumn("k", lit(k))
+        walks = walks.unionByName(w).localCheckpoint(false)
+      }
+      val sig = hops.join(walks,
+          hops("root") === walks("src") && hops("node") === walks("dst") &&
+          hops("hop") === walks("k"))
+        .select(col("root").as("u"), col("node").as("v"),
+                col("hop").cast("long").as("dd"), col("sig"))
+        .localCheckpoint(false)
+      val stress = sig.as("c").filter(col("c.u") < col("c.v"))
+        .join(sig.as("a"), col("a.u") === col("c.u"))
+        .join(sig.as("b"),
+          col("b.u") === col("c.v") && col("b.v") === col("a.v") &&
+          col("a.dd") + col("b.dd") === col("c.dd") &&
+          col("a.v") =!= col("c.u") && col("a.v") =!= col("c.v"))
+        .groupBy(col("a.v").as("node"))
+        .agg(sum(col("a.sig") * col("b.sig")).as("stress"))
+      nodes.select(col("n").as("node"))
+        .join(stress, Seq("node"), "left")
+        .select(col("node"),
+                coalesce(col("stress"), lit(0L)).as("stress"))
+    }),
+    "q542_lis_user" -> ((s, dir) => {
+      // Longest increasing subsequence of each user's last 15 event
+      // values (the engagement-streak length), EXACT via max-plus path
+      // doubling on the increase DAG: edges (i<j, v_i<v_j), then 4
+      // rounds of P ← max(P, P∘P with length-add) cover chains of 16
+      // edges ≥ the 14 possible. Everything keys by user_id — one
+      // shuffle lane; the per-user pair set is bounded at 15²/2.
+      val e = SparkEntry.ev(s, dir)
+        .withColumn("vc", expr("CAST(floor(value * 100) AS BIGINT)"))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wAsc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val idx = e.withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") <= 15)
+        .withColumn("i", row_number().over(wAsc))
+        .select(col("user_id"), col("i").cast("long").as("i"), col("vc"))
+        .localCheckpoint(false)
+      val lhs = idx.select(col("user_id"), col("i").as("xi"),
+                           col("vc").as("xv"))
+      val rhs = idx.select(col("user_id"), col("i").as("yj"),
+                           col("vc").as("yv"))
+      var p = lhs.join(rhs, Seq("user_id"))
+        .filter(col("xi") < col("yj") && col("xv") < col("yv"))
+        .select(col("user_id"), col("xi").as("i"), col("yj").as("j"))
+        .withColumn("len", lit(1L)).localCheckpoint(false)
+      for (_ <- 1 to 4) {
+        val a = p.select(col("user_id"), col("i"), col("j").as("mid"),
+                         col("len").as("la"))
+        val b = p.select(col("user_id"), col("i").as("mid"), col("j"),
+                         col("len").as("lb"))
+        val comp = a.join(b, Seq("user_id", "mid"))
+          .select(col("user_id"), col("i"), col("j"),
+                  (col("la") + col("lb")).as("len"))
+        p = p.union(comp)
+          .groupBy(col("user_id"), col("i"), col("j"))
+          .agg(max(col("len")).as("len")).localCheckpoint(false)
+      }
+      val lis = p.groupBy(col("user_id"))
+        .agg((max(col("len")) + 1L).as("lis"))
+      idx.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .join(lis, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"),
+                coalesce(col("lis"), lit(1L)).as("lis"))
+    }),
+    "q543_temporal_reach" -> ((s, dir) => {
+      // Time-respecting reachability (information/contagion diffusion):
+      // earliest arrival month from each nation over DIRECTED monthly
+      // trade edges, where a path must use non-decreasing months. 5
+      // fixed relaxation rounds (deterministic partial relax, the same
+      // fixed-sweep contract as kcore) — each round one A⋈edges join +
+      // one min rollup on the dimension×months edge grain.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val em = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+                 col("s_nationkey").cast("long").as("dst"),
+                 expr("CAST((year(o_orderdate) - 1992) * 12" +
+                      " + month(o_orderdate) - 1 AS BIGINT)").as("m"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
+        .select("src", "dst", "m").localCheckpoint(false)
+      var arr = em.select(col("src").as("s"))
+        .union(em.select(col("dst").as("s"))).distinct()
+        .select(col("s"), col("s").as("v"))
+        .withColumn("arr", lit(-1L)).localCheckpoint(false)
+      for (_ <- 1 to 5) {
+        val relax = arr.join(em,
+            arr("v") === em("src") && em("m") >= arr("arr"))
+          .select(col("s"), em("dst").as("v"), em("m").as("arr"))
+        arr = arr.union(relax).groupBy(col("s"), col("v"))
+          .agg(min(col("arr")).as("arr")).localCheckpoint(false)
+      }
+      arr.filter(col("s") =!= col("v"))
+        .groupBy(col("s").as("src_nation"))
+        .agg(count(lit(1)).as("n_reached"),
+             min(col("arr")).as("min_arrival"),
+             max(col("arr")).as("max_arrival"),
+             sum(col("arr")).as("sum_arrival"))
+    }),
+    "q544_harmonic" -> ((s, dir) => {
+      // Harmonic centrality Σ 1/d(v,u) — the closeness variant defined
+      // on disconnected graphs — exact in ppm integers (1e6 DIV hop,
+      // summed): one synchronized all-source BFS over the dimension-
+      // grain trade graph, one rollup.
+      val edges = tradeEdges(s, dir, 260).select("src", "dst")
+      val nodes = edges.select(col("src").as("n"))
+        .union(edges.select(col("dst").as("n"))).distinct()
+      Graph.multiSourceHops(edges, nodes, maxHops = 4)
+        .filter(col("hop") > 0)
+        .groupBy(col("root").as("node"))
+        .agg(count(lit(1)).as("n_reached"),
+             sum(expr("1000000 DIV hop")).as("harmonic_ppm"))
+    }),
+    "q545_backbone_ecc" -> ((s, dir) => {
+      // Eccentricity / diameter / radius of the maximum spanning
+      // backbone (q540's tree): per-node farthest-hop over the forest
+      // via the synchronized all-source BFS — the tree's stretched
+      // geometry is what the dense graph's diameter-2 hub structure
+      // hides. BFS rounds stop at the tree's actual depth (the frontier
+      // empties), not the 24-round ceiling.
+      val edges = tradeEdges(s, dir, 1L)
+      val mst = Graph.mstBottleneck(
+          edges.select(col("src"), col("dst"), (-col("n")).as("w")),
+          doublingRounds = 5)
+        .select("src", "dst").localCheckpoint(false)
+      val nodes = mst.select(col("src").as("n"))
+        .union(mst.select(col("dst").as("n"))).distinct()
+      val ecc = Graph.multiSourceHops(mst, nodes, maxHops = 24)
+        .groupBy(col("root").as("node"))
+        .agg(max(col("hop")).cast("long").as("ecc"),
+             count(lit(1)).as("n_reached"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      ecc.withColumn("diameter", max(col("ecc")).over(w))
+         .withColumn("radius", min(col("ecc")).over(w))
+    }),
+    "q546_assortativity" -> ((s, dir) => {
+      // Degree assortativity of the strong co-purchase graph: Pearson r
+      // over edge-endpoint degrees, exact — num/den as int64 (the 64-bit
+      // bound holds through sf0.1's ~1e5 edges × 1e3 degrees; beyond
+      // that the sums move to DECIMAL like r_ppm here), r_ppm via
+      // sign-folded 128-bit DIV (Spark DECIMAL(38) / oracle HUGEINT)
+      // because truncating DIV only matches floor on non-negative
+      // operands. Degrees are one rollup; the edge join broadcasts the
+      // degree table.
+      val p = Graph.coOccurrenceEdgesCached(
+        Tables.spread(s, rd(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+      val sym = p.unionAll(
+        p.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(false)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      sym
+        .join(broadcast(deg.select(col("node").as("src"),
+                                   col("deg").as("x"))), Seq("src"))
+        .join(broadcast(deg.select(col("node").as("dst"),
+                                   col("deg").as("y"))), Seq("dst"))
+        .agg(count(lit(1)).as("m_edges"),
+             sum(col("x") * col("y")).as("sum_xy"),
+             sum(col("x")).as("sum_x"),
+             sum(col("x") * col("x")).as("sum_x2"))
+        .withColumn("num", expr("m_edges * sum_xy - sum_x * sum_x"))
+        .withColumn("den", expr("m_edges * sum_x2 - sum_x * sum_x"))
+        .withColumn("r_ppm", expr(
+          """CAST(CASE WHEN den = 0 THEN 0
+            |WHEN num >= 0 THEN
+            |  CAST(num AS DECIMAL(38,0)) * 1000000 DIV den
+            |ELSE -(CAST(-num AS DECIMAL(38,0)) * 1000000 DIV den)
+            |END AS BIGINT)""".stripMargin))
+    }),
+    "q547_modularity" -> ((s, dir) => {
+      // Newman modularity of the q366 label-propagation communities,
+      // exact: per community c, q_contrib = 4m·e_c − vol_c² (modularity
+      // scaled by (2m)², keeping every term int64). Three aggregate
+      // passes over the edge list — intra-edge count, volume, global m —
+      // each one partial-aggregated shuffle; the community labels join
+      // broadcasts.
+      val p = Graph.coOccurrenceEdgesCached(
+          Tables.spread(s, rd(s, dir, "lineitem")),
+          groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+        .localCheckpoint(false)
+      val sym = p.unionAll(
+        p.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = Graph.labelPropagation(sym, iters = 3)
+        .localCheckpoint(false)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val vol = deg.join(labels, Seq("node"))
+        .groupBy(col("community"))
+        .agg(sum(col("deg")).as("vol"), count(lit(1)).as("n_nodes"))
+      val ein = p
+        .join(broadcast(labels.select(col("node").as("src"),
+                                      col("community").as("ca"))),
+              Seq("src"))
+        .join(broadcast(labels.select(col("node").as("dst"),
+                                      col("community").as("cb"))),
+              Seq("dst"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+      vol.join(ein, Seq("community"), "left")
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("m_edges"))))
+        .select(col("community"), col("n_nodes"), col("vol"),
+                coalesce(col("e_in"), lit(0L)).as("e_in"), col("m_edges"))
+        .withColumn("q_contrib",
+                    expr("4 * m_edges * e_in - vol * vol"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -441,5 +704,297 @@ object R11Queries {
         |SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
         |  CAST(e.n AS BIGINT) AS n_items
         |FROM rk e JOIN m5 c
-        |  ON c.src = e.src AND c.dst = e.dst AND c.r = e.r""".stripMargin)
+        |  ON c.src = e.src AND c.dst = e.dst AND c.r = e.r""".stripMargin,
+    "q541_stress_centrality" ->
+      s"""WITH RECURSIVE $TradeSymCte,
+         |bfs(root, node, hop) AS (
+         |  SELECT DISTINCT src, src, 0 FROM sym
+         |  UNION
+         |  SELECT b.root, s.dst, b.hop + 1 FROM bfs b
+         |  JOIN sym s ON b.node = s.src WHERE b.hop < 4),
+         |d AS MATERIALIZED (
+         |  SELECT root, node, min(hop) AS hop FROM bfs GROUP BY 1, 2
+         |  HAVING min(hop) > 0),
+         |w1 AS MATERIALIZED (
+         |  SELECT src, dst, 1 AS k, CAST(1 AS BIGINT) AS sig FROM sym),
+         |w2 AS MATERIALIZED (
+         |  SELECT a.src, b.dst, 2 AS k, CAST(sum(a.sig) AS BIGINT) AS sig
+         |  FROM w1 a JOIN sym b ON a.dst = b.src GROUP BY 1, 2),
+         |w3 AS MATERIALIZED (
+         |  SELECT a.src, b.dst, 3 AS k, CAST(sum(a.sig) AS BIGINT) AS sig
+         |  FROM w2 a JOIN sym b ON a.dst = b.src GROUP BY 1, 2),
+         |w4 AS MATERIALIZED (
+         |  SELECT a.src, b.dst, 4 AS k, CAST(sum(a.sig) AS BIGINT) AS sig
+         |  FROM w3 a JOIN sym b ON a.dst = b.src GROUP BY 1, 2),
+         |sig AS MATERIALIZED (
+         |  SELECT d.root AS u, d.node AS v, d.hop AS dd, w.sig
+         |  FROM d JOIN (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+         |               UNION ALL SELECT * FROM w3
+         |               UNION ALL SELECT * FROM w4) w
+         |    ON w.src = d.root AND w.dst = d.node AND w.k = d.hop),
+         |tri AS (
+         |  SELECT a.v AS node, sum(a.sig * b.sig) AS stress
+         |  FROM sig c JOIN sig a ON a.u = c.u
+         |  JOIN sig b ON b.u = c.v AND b.v = a.v
+         |  WHERE c.u < c.v AND a.v <> c.u AND a.v <> c.v
+         |    AND a.dd + b.dd = c.dd
+         |  GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym)
+         |SELECT CAST(n.node AS BIGINT) AS node,
+         |  CAST(coalesce(t.stress, 0) AS BIGINT) AS stress
+         |FROM nodes n LEFT JOIN tri t ON t.node = n.node""".stripMargin,
+    "q542_lis_user" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS vc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |      event_id DESC) AS rn
+        |  FROM events),
+        |idx AS MATERIALIZED (
+        |  SELECT user_id, vc, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS i
+        |  FROM ev WHERE rn <= 15),
+        |p0 AS MATERIALIZED (
+        |  SELECT x.user_id, x.i AS i, y.i AS j, CAST(1 AS BIGINT) AS len
+        |  FROM idx x JOIN idx y ON x.user_id = y.user_id AND x.i < y.i
+        |    AND x.vc < y.vc),
+        |p1 AS MATERIALIZED (SELECT user_id, i, j, max(len) AS len FROM (
+        |  SELECT user_id, i, j, len FROM p0 UNION ALL
+        |  SELECT a.user_id, a.i, b.j, a.len + b.len FROM p0 a
+        |  JOIN p0 b ON a.user_id = b.user_id AND a.j = b.i)
+        |  GROUP BY 1, 2, 3),
+        |p2 AS MATERIALIZED (SELECT user_id, i, j, max(len) AS len FROM (
+        |  SELECT user_id, i, j, len FROM p1 UNION ALL
+        |  SELECT a.user_id, a.i, b.j, a.len + b.len FROM p1 a
+        |  JOIN p1 b ON a.user_id = b.user_id AND a.j = b.i)
+        |  GROUP BY 1, 2, 3),
+        |p3 AS MATERIALIZED (SELECT user_id, i, j, max(len) AS len FROM (
+        |  SELECT user_id, i, j, len FROM p2 UNION ALL
+        |  SELECT a.user_id, a.i, b.j, a.len + b.len FROM p2 a
+        |  JOIN p2 b ON a.user_id = b.user_id AND a.j = b.i)
+        |  GROUP BY 1, 2, 3),
+        |p4 AS MATERIALIZED (SELECT user_id, i, j, max(len) AS len FROM (
+        |  SELECT user_id, i, j, len FROM p3 UNION ALL
+        |  SELECT a.user_id, a.i, b.j, a.len + b.len FROM p3 a
+        |  JOIN p3 b ON a.user_id = b.user_id AND a.j = b.i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+        |  CAST(coalesce(l.lis, 1) AS BIGINT) AS lis
+        |FROM (SELECT user_id, count(*) AS n_events FROM idx GROUP BY 1) n
+        |LEFT JOIN (SELECT user_id, max(len) + 1 AS lis FROM p4
+        |           GROUP BY 1) l
+        |  ON l.user_id = n.user_id""".stripMargin,
+    "q543_temporal_reach" ->
+      """WITH em AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |    CAST((year(o.o_orderdate) - 1992) * 12
+        |      + month(o.o_orderdate) - 1 AS BIGINT) AS m
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |a0 AS MATERIALIZED (
+        |  SELECT s, v, min(arr) AS arr FROM (
+        |    SELECT src AS s, src AS v, CAST(-1 AS BIGINT) AS arr FROM em
+        |    UNION ALL SELECT dst, dst, CAST(-1 AS BIGINT) FROM em)
+        |  GROUP BY 1, 2),
+        |a1 AS MATERIALIZED (SELECT s, v, min(arr) AS arr FROM (
+        |  SELECT s, v, arr FROM a0 UNION ALL
+        |  SELECT a.s, e.dst, e.m FROM a0 a JOIN em e ON a.v = e.src
+        |  WHERE e.m >= a.arr) GROUP BY 1, 2),
+        |a2 AS MATERIALIZED (SELECT s, v, min(arr) AS arr FROM (
+        |  SELECT s, v, arr FROM a1 UNION ALL
+        |  SELECT a.s, e.dst, e.m FROM a1 a JOIN em e ON a.v = e.src
+        |  WHERE e.m >= a.arr) GROUP BY 1, 2),
+        |a3 AS MATERIALIZED (SELECT s, v, min(arr) AS arr FROM (
+        |  SELECT s, v, arr FROM a2 UNION ALL
+        |  SELECT a.s, e.dst, e.m FROM a2 a JOIN em e ON a.v = e.src
+        |  WHERE e.m >= a.arr) GROUP BY 1, 2),
+        |a4 AS MATERIALIZED (SELECT s, v, min(arr) AS arr FROM (
+        |  SELECT s, v, arr FROM a3 UNION ALL
+        |  SELECT a.s, e.dst, e.m FROM a3 a JOIN em e ON a.v = e.src
+        |  WHERE e.m >= a.arr) GROUP BY 1, 2),
+        |a5 AS MATERIALIZED (SELECT s, v, min(arr) AS arr FROM (
+        |  SELECT s, v, arr FROM a4 UNION ALL
+        |  SELECT a.s, e.dst, e.m FROM a4 a JOIN em e ON a.v = e.src
+        |  WHERE e.m >= a.arr) GROUP BY 1, 2)
+        |SELECT CAST(s AS BIGINT) AS src_nation,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(min(arr) AS BIGINT) AS min_arrival,
+        |  CAST(max(arr) AS BIGINT) AS max_arrival,
+        |  CAST(sum(arr) AS BIGINT) AS sum_arrival
+        |FROM a5 WHERE s <> v GROUP BY 1""".stripMargin,
+    "q544_harmonic" ->
+      s"""WITH RECURSIVE $TradeSymCte,
+         |bfs(root, node, hop) AS (
+         |  SELECT DISTINCT src, src, 0 FROM sym
+         |  UNION
+         |  SELECT b.root, s.dst, b.hop + 1 FROM bfs b
+         |  JOIN sym s ON b.node = s.src WHERE b.hop < 4),
+         |d AS (SELECT root, node, min(hop) AS hop FROM bfs GROUP BY 1, 2
+         |      HAVING min(hop) > 0)
+         |SELECT CAST(root AS BIGINT) AS node,
+         |  CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_ppm
+         |FROM d GROUP BY 1""".stripMargin,
+    "q545_backbone_ecc" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS src,
+        |         greatest(c.c_nationkey, s.s_nationkey) AS dst,
+        |         count(*) AS n
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS MATERIALIZED (
+        |  SELECT src, dst, n,
+        |    row_number() OVER (ORDER BY n DESC, src, dst) AS r FROM e0),
+        |m0 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM rk
+        |    UNION ALL SELECT dst, src, r FROM rk)
+        |  WHERE src <> dst GROUP BY 1, 2),
+        |m1 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM m0
+        |    UNION ALL
+        |    SELECT a.src, b.dst, greatest(a.r, b.r) FROM m0 a
+        |    JOIN m0 b ON a.dst = b.src WHERE a.src <> b.dst)
+        |  GROUP BY 1, 2),
+        |m2 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM m1
+        |    UNION ALL
+        |    SELECT a.src, b.dst, greatest(a.r, b.r) FROM m1 a
+        |    JOIN m1 b ON a.dst = b.src WHERE a.src <> b.dst)
+        |  GROUP BY 1, 2),
+        |m3 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM m2
+        |    UNION ALL
+        |    SELECT a.src, b.dst, greatest(a.r, b.r) FROM m2 a
+        |    JOIN m2 b ON a.dst = b.src WHERE a.src <> b.dst)
+        |  GROUP BY 1, 2),
+        |m4 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM m3
+        |    UNION ALL
+        |    SELECT a.src, b.dst, greatest(a.r, b.r) FROM m3 a
+        |    JOIN m3 b ON a.dst = b.src WHERE a.src <> b.dst)
+        |  GROUP BY 1, 2),
+        |m5 AS MATERIALIZED (
+        |  SELECT src, dst, min(r) AS r FROM (
+        |    SELECT src, dst, r FROM m4
+        |    UNION ALL
+        |    SELECT a.src, b.dst, greatest(a.r, b.r) FROM m4 a
+        |    JOIN m4 b ON a.dst = b.src WHERE a.src <> b.dst)
+        |  GROUP BY 1, 2),
+        |mst AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM rk e JOIN m5 c
+        |    ON c.src = e.src AND c.dst = e.dst AND c.r = e.r),
+        |msym AS MATERIALIZED (
+        |  SELECT src, dst FROM mst UNION ALL SELECT dst, src FROM mst),
+        |bfs(root, node, hop) AS (
+        |  SELECT DISTINCT src, src, 0 FROM msym
+        |  UNION
+        |  SELECT b.root, s.dst, b.hop + 1 FROM bfs b
+        |  JOIN msym s ON b.node = s.src WHERE b.hop < 24),
+        |d AS MATERIALIZED (
+        |  SELECT root, node, min(hop) AS hop FROM bfs GROUP BY 1, 2),
+        |ecc AS MATERIALIZED (SELECT root AS node, max(hop) AS ecc,
+        |  count(*) AS n_reached FROM d GROUP BY 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(ecc AS BIGINT) AS ecc,
+        |  CAST(n_reached AS BIGINT) AS n_reached,
+        |  CAST((SELECT max(ecc) FROM ecc) AS BIGINT) AS diameter,
+        |  CAST((SELECT min(ecc) FROM ecc) AS BIGINT) AS radius
+        |FROM ecc""".stripMargin,
+    "q546_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS MATERIALIZED (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM p
+        |        UNION ALL SELECT y, x FROM p),
+        |deg AS MATERIALIZED (SELECT src AS node,
+        |  CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |e AS (SELECT dx.deg AS x, dy.deg AS y FROM sym s
+        |  JOIN deg dx ON dx.node = s.src JOIN deg dy ON dy.node = s.dst),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM e),
+        |nd AS (SELECT m_edges, sum_xy, sum_x, sum_x2,
+        |  CAST(m_edges * sum_xy - sum_x * sum_x AS BIGINT) AS num,
+        |  CAST(m_edges * sum_x2 - sum_x * sum_x AS BIGINT) AS den
+        |  FROM agg)
+        |SELECT m_edges, sum_xy, sum_x, sum_x2, num, den,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    WHEN num >= 0 THEN CAST(num AS HUGEINT) * 1000000 // den
+        |    ELSE -(CAST(-num AS HUGEINT) * 1000000 // den) END
+        |    AS BIGINT) AS r_ppm
+        |FROM nd""".stripMargin,
+    "q547_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |               FROM lineitem),
+        |p AS MATERIALIZED (SELECT a.i AS x, c.i AS y
+        |      FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nbr AS MATERIALIZED (SELECT x AS src, y AS dst FROM p
+        |        UNION ALL SELECT y, x FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM nbr),
+        |r1 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (SELECT *, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r1)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (SELECT *, row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT e.src AS node, l.lab, count(*) AS c
+        |       FROM nbr e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (SELECT node, lab FROM (SELECT *,
+        |         row_number() OVER
+        |         (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM r3)
+        |       WHERE rn = 1),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM nbr GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM p),
+        |vol AS (SELECT l.lab AS community,
+        |  CAST(sum(d.deg) AS BIGINT) AS vol,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+        |ein AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT)
+        |    AS e_in
+        |  FROM p JOIN l3 la ON la.node = p.x JOIN l3 lb ON lb.node = p.y
+        |  WHERE la.lab = lb.lab GROUP BY 1)
+        |SELECT v.community, v.n_nodes, v.vol,
+        |  CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, m.m_edges,
+        |  CAST(4 * m.m_edges * coalesce(e.e_in, 0) - v.vol * v.vol
+        |    AS BIGINT) AS q_contrib
+        |FROM vol v LEFT JOIN ein e ON e.community = v.community
+        |CROSS JOIN m""".stripMargin)
+
+  /** Shared oracle fragment: the thresholded undirected nation-trade
+    * graph + its symmetric edge list (q541/q544).
+    */
+  private val TradeSymCte: String =
+    """e0 AS MATERIALIZED (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS src,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 260),
+      |sym AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+      .stripMargin
 }
