@@ -490,6 +490,146 @@ object R11Queries {
                 coalesce(col("e_in"), lit(0L)).as("e_in"), col("m_edges"))
         .withColumn("q_contrib",
                     expr("4 * m_edges * e_in - vol * vol"))
+    }),
+    "q548_item_item_topk" -> ((s, dir) => {
+      // Item-item collaborative filtering: top-3 neighbors per sampled
+      // item by cosine² over co-purchase counts — cos² = n²/(d_i·d_j)
+      // ranked as exact 1e6-ppm integers (squaring dodges the sqrt no
+      // two engines round alike). The similarity matrix stays sparse
+      // (strong co-pairs only); degrees broadcast; the per-item top-k
+      // is one item-keyed window over the candidate rows, never a
+      // global sort.
+      val gi = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+        .distinct().localCheckpoint(false)
+      val cnt = Graph.coOccurrenceCounted(
+        gi, groupCol = "g", itemCol = "i")
+        .filter(col("_n") >= 2)
+      val sym = cnt.select(col("src").as("i"), col("dst").as("j"),
+                           col("_n").as("n"))
+        .unionAll(cnt.select(col("dst").as("i"), col("src").as("j"),
+                             col("_n").as("n")))
+      val d = gi.groupBy(col("i")).agg(count(lit(1)).as("di"))
+      val cos = sym.filter(col("i") % 50 === 0)
+        .join(broadcast(d.select(col("i"), col("di"))), Seq("i"))
+        .join(broadcast(d.select(col("i").as("j"), col("di").as("dj"))),
+              Seq("j"))
+        .withColumn("cos2_ppm",
+                    expr("n * n * 1000000 DIV (di * dj)"))
+      val w = Window.partitionBy(col("i"))
+        .orderBy(col("cos2_ppm").desc, col("j"))
+      cos.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("i").cast("long").as("item"), col("rnk"),
+                col("j").cast("long").as("neighbor"), col("cos2_ppm"))
+    }),
+    "q549_forecast_eval" -> ((s, dir) => {
+      // Forecast backtest: hold out the last 12 complete months of order
+      // volume, score a seasonal-naive forecaster (y[m-12]) and a
+      // train-mean forecaster with exact integer error metrics — MASE
+      // scaled by the in-sample naive-1 MAE (the scale-free accuracy
+      // measure), sMAPE terms as pinned 2e6·|e| DIV (y+f). The fact
+      // table only ever feeds the 80-row monthly rollup.
+      val m = rd(s, dir, "orders")
+        .groupBy(expr("CAST((year(o_orderdate) - 1992) * 12" +
+                      " + month(o_orderdate) - 1 AS BIGINT)").as("mi"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(false)
+      val tr = m.filter(col("mi") <= 67)
+      val te = m.filter(col("mi") >= 68)
+      val ins = tr.as("a").join(tr.as("b"),
+          col("b.mi") === col("a.mi") - 1)
+        .agg(sum(abs(col("a.y") - col("b.y"))).as("sae_in"),
+             count(lit(1)).as("n_in"))
+      val mean = tr.agg(expr("sum(y) DIV count(1)").as("mu"))
+      val fc = te.as("t")
+        .join(m.as("p"), col("p.mi") === col("t.mi") - 12)
+        .select(lit("seasonal_naive").as("forecaster"),
+                col("t.y").as("y"), col("p.y").as("f"))
+        .unionByName(te.crossJoin(broadcast(mean))
+          .select(lit("train_mean").as("forecaster"), col("y"),
+                  col("mu").as("f")))
+      fc.groupBy(col("forecaster"))
+        .agg(sum(abs(col("y") - col("f"))).as("sae_test"),
+             count(lit(1)).as("n_test"),
+             sum(expr("2000000 * abs(y - f) DIV (y + f)"))
+               .as("smape_sum_ppm"))
+        .crossJoin(broadcast(ins))
+        .withColumn("mase_ppm", expr(
+          "sae_test * n_in * 1000000 DIV (n_test * sae_in)"))
+        .select("forecaster", "sae_test", "smape_sum_ppm", "mase_ppm")
+    }),
+    "q550_truss" -> ((s, dir) => {
+      // 3-truss of the strong co-purchase graph: keep edges supported by
+      // ≥1 triangle, recompute support on the survivors, peel again —
+      // the cohesion filter that strips tree-like tendrils clustering
+      // coefficient can't. Two fixed peel sweeps + a final support pass
+      // (the kcore fixed-sweep determinism contract); each support pass
+      // is two endpoint joins + one rollup over the shared cached edge
+      // set, the same shuffle shape as one triangle count.
+      def support(e: DataFrame): DataFrame = {
+        val sm = e.select(col("x").as("src"), col("y").as("dst"))
+          .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+        e.join(sm.select(col("src").as("x"), col("dst").as("w")),
+               Seq("x"))
+          .join(sm.select(col("src").as("y"), col("dst").as("w")),
+                Seq("y", "w"))
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("support"))
+      }
+      var e = Graph.coOccurrenceEdgesCached(
+          Tables.spread(s, rd(s, dir, "lineitem")),
+          groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+        .select(col("src").as("x"), col("dst").as("y"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 2)
+        e = support(e).filter(col("support") >= 1)
+          .select("x", "y").localCheckpoint(false)
+      support(e).filter(col("support") >= 1)
+        .select(col("x").cast("long").as("src"),
+                col("y").cast("long").as("dst"), col("support"))
+    }),
+    "q551_condensation_levels" -> ((s, dir) => {
+      // Condensation DAG layering: collapse the directed nation-trade
+      // graph's SCCs (q526's mutual-reachability closure), project the
+      // edges onto scc_ids, and assign longest-path levels by 5 fixed
+      // max-relax rounds — the dependency-stratification op (which
+      // trade blocs feed which). Everything after the fact rollup is
+      // dimension-grain.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+                 col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 110)
+        .select("src", "dst").localCheckpoint(false)
+      val scc = Graph.sccMutualReach(edges, doublingRounds = 5)
+        .localCheckpoint(false)
+      val ce = edges
+        .join(scc.select(col("node").as("src"), col("scc_id").as("sa")),
+              Seq("src"))
+        .join(scc.select(col("node").as("dst"), col("scc_id").as("sb")),
+              Seq("dst"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("csrc"), col("sb").as("cdst")).distinct()
+        .localCheckpoint(false)
+      var lvl = scc.select(col("scc_id")).distinct()
+        .withColumn("lvl", lit(0L)).localCheckpoint(false)
+      for (_ <- 1 to 5) {
+        val bump = lvl.join(ce, lvl("scc_id") === ce("csrc"))
+          .select(col("cdst").as("scc_id"), (col("lvl") + 1L).as("lvl"))
+        lvl = lvl.union(bump).groupBy(col("scc_id"))
+          .agg(max(col("lvl")).as("lvl")).localCheckpoint(false)
+      }
+      scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+        .join(lvl, Seq("scc_id"))
+        .select(col("scc_id"), col("scc_size"), col("lvl").as("level"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -979,7 +1119,138 @@ object R11Queries {
         |  CAST(4 * m.m_edges * coalesce(e.e_in, 0) - v.vol * v.vol
         |    AS BIGINT) AS q_contrib
         |FROM vol v LEFT JOIN ein e ON e.community = v.community
-        |CROSS JOIN m""".stripMargin)
+        |CROSS JOIN m""".stripMargin,
+    "q548_item_item_topk" ->
+      """WITH gi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |cnt AS MATERIALIZED (
+        |  SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS n
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT x AS i, y AS j, n FROM cnt
+        |        UNION ALL SELECT y, x, n FROM cnt),
+        |d AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS di
+        |  FROM gi GROUP BY 1),
+        |cos AS (SELECT s.i, s.j,
+        |    s.n * s.n * 1000000 // (da.di * db.di) AS c2
+        |  FROM sym s JOIN d da ON da.i = s.i JOIN d db ON db.i = s.j
+        |  WHERE s.i % 50 = 0),
+        |rk AS (SELECT i, j, c2, row_number() OVER
+        |    (PARTITION BY i ORDER BY c2 DESC, j) AS rn FROM cos)
+        |SELECT CAST(i AS BIGINT) AS item, CAST(rn AS BIGINT) AS rnk,
+        |  CAST(j AS BIGINT) AS neighbor, CAST(c2 AS BIGINT) AS cos2_ppm
+        |FROM rk WHERE rn <= 3""".stripMargin,
+    "q549_forecast_eval" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12
+        |    + month(o_orderdate) - 1 AS BIGINT) AS mi,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tr AS (SELECT * FROM m WHERE mi <= 67),
+        |te AS (SELECT * FROM m WHERE mi >= 68),
+        |ins AS (SELECT CAST(sum(abs(a.y - b.y)) AS BIGINT) AS sae_in,
+        |  CAST(count(*) AS BIGINT) AS n_in
+        |  FROM tr a JOIN tr b ON b.mi = a.mi - 1),
+        |mn AS (SELECT CAST(sum(y) // count(*) AS BIGINT) AS mu FROM tr),
+        |fc AS (
+        |  SELECT 'seasonal_naive' AS forecaster, t.y, p.y AS f
+        |  FROM te t JOIN m p ON p.mi = t.mi - 12
+        |  UNION ALL
+        |  SELECT 'train_mean', t.y, mn.mu FROM te t CROSS JOIN mn),
+        |err AS (SELECT forecaster,
+        |  CAST(sum(abs(y - f)) AS BIGINT) AS sae_test,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(2000000 * abs(y - f) // (y + f)) AS BIGINT)
+        |    AS smape_sum_ppm
+        |  FROM fc GROUP BY 1)
+        |SELECT e.forecaster, e.sae_test, e.smape_sum_ppm,
+        |  CAST(e.sae_test * i.n_in * 1000000 // (e.n_test * i.sae_in)
+        |    AS BIGINT) AS mase_ppm
+        |FROM err e CROSS JOIN ins i""".stripMargin,
+    "q550_truss" ->
+      """WITH gi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.i AS x, b.i AS y FROM gi a
+        |  JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s0 AS MATERIALIZED (SELECT x AS src, y AS dst FROM e0
+        |  UNION ALL SELECT y, x FROM e0),
+        |sup0 AS MATERIALIZED (
+        |  SELECT e.x, e.y, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e0 e JOIN s0 a ON a.src = e.x JOIN s0 b
+        |    ON b.src = e.y AND b.dst = a.dst
+        |  GROUP BY 1, 2),
+        |e1 AS MATERIALIZED (SELECT x, y FROM sup0 WHERE sup >= 1),
+        |s1 AS MATERIALIZED (SELECT x AS src, y AS dst FROM e1
+        |  UNION ALL SELECT y, x FROM e1),
+        |sup1 AS MATERIALIZED (
+        |  SELECT e.x, e.y, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e1 e JOIN s1 a ON a.src = e.x JOIN s1 b
+        |    ON b.src = e.y AND b.dst = a.dst
+        |  GROUP BY 1, 2),
+        |e2 AS MATERIALIZED (SELECT x, y FROM sup1 WHERE sup >= 1),
+        |s2 AS MATERIALIZED (SELECT x AS src, y AS dst FROM e2
+        |  UNION ALL SELECT y, x FROM e2),
+        |sup2 AS (
+        |  SELECT e.x, e.y, CAST(count(*) AS BIGINT) AS sup
+        |  FROM e2 e JOIN s2 a ON a.src = e.x JOIN s2 b
+        |    ON b.src = e.y AND b.dst = a.dst
+        |  GROUP BY 1, 2)
+        |SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst,
+        |  sup AS support
+        |FROM sup2 WHERE sup >= 1""".stripMargin,
+    "q551_condensation_levels" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 110),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e0
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+        |mutual AS (SELECT f.src AS node, f.dst AS peer FROM reach f
+        |  JOIN reach g ON g.src = f.dst AND g.dst = f.src),
+        |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        |scc AS MATERIALIZED (
+        |  SELECT n.node, CAST(coalesce(least(min(m.peer), n.node),
+        |    n.node) AS BIGINT) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY 1),
+        |ce AS MATERIALIZED (
+        |  SELECT DISTINCT a.scc_id AS src, b.scc_id AS dst
+        |  FROM e0 e JOIN scc a ON a.node = e.src
+        |  JOIN scc b ON b.node = e.dst
+        |  WHERE a.scc_id <> b.scc_id),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT scc_id, CAST(0 AS BIGINT) AS lvl FROM scc),
+        |l1 AS MATERIALIZED (SELECT scc_id, max(lvl) AS lvl FROM (
+        |  SELECT scc_id, lvl FROM l0 UNION ALL
+        |  SELECT e.dst, a.lvl + 1 FROM l0 a JOIN ce e ON e.src = a.scc_id)
+        |  GROUP BY 1),
+        |l2 AS MATERIALIZED (SELECT scc_id, max(lvl) AS lvl FROM (
+        |  SELECT scc_id, lvl FROM l1 UNION ALL
+        |  SELECT e.dst, a.lvl + 1 FROM l1 a JOIN ce e ON e.src = a.scc_id)
+        |  GROUP BY 1),
+        |l3 AS MATERIALIZED (SELECT scc_id, max(lvl) AS lvl FROM (
+        |  SELECT scc_id, lvl FROM l2 UNION ALL
+        |  SELECT e.dst, a.lvl + 1 FROM l2 a JOIN ce e ON e.src = a.scc_id)
+        |  GROUP BY 1),
+        |l4 AS MATERIALIZED (SELECT scc_id, max(lvl) AS lvl FROM (
+        |  SELECT scc_id, lvl FROM l3 UNION ALL
+        |  SELECT e.dst, a.lvl + 1 FROM l3 a JOIN ce e ON e.src = a.scc_id)
+        |  GROUP BY 1),
+        |l5 AS MATERIALIZED (SELECT scc_id, max(lvl) AS lvl FROM (
+        |  SELECT scc_id, lvl FROM l4 UNION ALL
+        |  SELECT e.dst, a.lvl + 1 FROM l4 a JOIN ce e ON e.src = a.scc_id)
+        |  GROUP BY 1),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY 1)
+        |SELECT l.scc_id, s.scc_size, l.lvl AS level
+        |FROM l5 l JOIN sz s ON s.scc_id = l.scc_id""".stripMargin)
 
   /** Shared oracle fragment: the thresholded undirected nation-trade
     * graph + its symmetric edge list (q541/q544).
