@@ -67,7 +67,635 @@ object R12Queries {
       lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
   }
 
+  /** Undirected nation-trade edges (canonical src < dst) with the fact
+    * rollup done FIRST — same contract as the R11 graph tier: 100 TB of
+    * lineitem collapses to ≤ |V|² edges before any graph work.
+    */
+  private def tradeEdges(s: SparkSession, dir: String,
+                         minCount: Long): DataFrame = {
+    val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("src"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Canonical co-purchase item graph (x < y, ≥ 2 shared orders) — the
+    * same edge contract as the triangle/truss tier: the fact table
+    * collapses to per-order item pairs (items-per-order is bounded, so
+    * the expansion is linear in lineitem), then one count rollup. All
+    * graph statistics below run on this dimension-sized edge list.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val gi = rd(s, dir, "lineitem")
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    gi.as("a").join(gi.as("b"),
+        col("a.g") === col("b.g") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("x"), col("b.i").as("y"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2L)
+      .select("x", "y")
+  }
+
+  private def symEdges(e0: DataFrame): DataFrame =
+    e0.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+
+  /** Monthly order-count series keyed by month index (1995-01 = 0) —
+    * the ≤ 80-row rollup the time-series statistics below ride.
+    */
+  private def monthlySeries(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .groupBy(expr("CAST((year(o_orderdate) - 1995) * 12" +
+                    " + month(o_orderdate) - 1 AS BIGINT)").as("mi"))
+      .agg(count(lit(1)).cast("long").as("y"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q558_local_clustering" -> ((s, dir) => {
+      // Local clustering coefficient per node: edges among neighbors /
+      // C(deg, 2), in ppm. Wedges enumerate per center (a.dst < b.dst),
+      // close against the canonical x<y edge list — the per-node version
+      // of the q224 triangle count; wedge volume is Σ C(deg, 2), bounded
+      // by the co-purchase graph's order-size cap.
+      val e0 = copurchaseEdges(s, dir).localCheckpoint(false)
+      val sym = symEdges(e0)
+      val deg = sym.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val tri = sym.as("a").join(sym.as("b"),
+          col("b.src") === col("a.src") && col("b.dst") > col("a.dst"))
+        .join(e0, col("x") === col("a.dst") && col("y") === col("b.dst"))
+        .groupBy(col("a.src").as("v"))
+        .agg(count(lit(1)).cast("long").as("tri"))
+      deg.join(tri, Seq("v"), "left").na.fill(0L, Seq("tri"))
+        .filter(col("deg") >= 2L)
+        .select(col("v").cast("long").as("node"), col("deg"), col("tri"),
+                expr("(2000000 * tri) DIV (deg * (deg - 1))").as("cc_ppm"))
+    }),
+    "q559_resource_allocation" -> ((s, dir) => {
+      // Resource-allocation link-prediction index over NON-adjacent item
+      // pairs with ≥ 2 common neighbors: RA = Σ_z 1/deg(z) in ppm as a
+      // sum of per-z pinned DIVs (order-free exact ints). Candidates
+      // come from the wedge expansion, the anti-join strips existing
+      // edges — the degree-penalized common-neighbor scorer.
+      val e0 = copurchaseEdges(s, dir).localCheckpoint(false)
+      val sym = symEdges(e0)
+      val deg = sym.groupBy(col("src").as("z"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val cand = sym.as("a").join(sym.as("b"),
+          col("b.src") === col("a.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.dst").as("u"), col("b.dst").as("w"),
+                col("a.src").as("z"))
+      cand.join(e0, col("x") === col("u") && col("y") === col("w"),
+                "left_anti")
+        .join(deg, Seq("z"))
+        .groupBy(col("u").cast("long").as("u"),
+                 col("w").cast("long").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_common"),
+             sum(expr("1000000 DIV deg")).cast("long").as("ra_ppm"))
+        .filter(col("n_common") >= 2L)
+    }),
+    "q560_square_count" -> ((s, dir) => {
+      // Global 4-cycle census: squares = Σ_{u<w} C(codeg(u,w), 2) / 2
+      // (each square is counted by both of its opposite pairs). One
+      // wedge expansion + one rollup — the codegree decomposition that
+      // never materializes a cycle; wedge volume Σ C(deg,2) is the
+      // scale bound, same as the triangle tier.
+      val sym = symEdges(copurchaseEdges(s, dir))
+      sym.as("a").join(sym.as("b"),
+          col("b.src") === col("a.src") && col("a.dst") < col("b.dst"))
+        .groupBy(col("a.dst").as("u"), col("b.dst").as("w"))
+        .agg(count(lit(1)).cast("long").as("cd"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             sum(col("cd")).cast("long").as("n_wedges"),
+             expr("sum(cd * (cd - 1)) DIV 4").as("n_squares"),
+             max(col("cd")).cast("long").as("max_codeg"))
+    }),
+    "q561_matrix_profile_sad" -> ((s, dir) => {
+      // SAD matrix profile (discord/motif primitive) over the monthly
+      // order-count series, window 6, exclusion zone |i−j| ≥ 6: for each
+      // complete window, the nearest other window by sum-of-absolute-
+      // differences, tie-broken by start index. The series is an 80-row
+      // rollup, so the all-pairs window join is dimension-grain; exact
+      // integer distances end-to-end.
+      val m = monthlySeries(s, dir).localCheckpoint(false)
+      val win = m.as("a").join(m.as("b"),
+          col("b.mi") >= col("a.mi") && col("b.mi") <= col("a.mi") + 5)
+        .select(col("a.mi").as("i"), (col("b.mi") - col("a.mi")).as("t"),
+                col("b.y").as("y"))
+      val full = win.groupBy(col("i")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === 6L).select("i")
+      val sad = win.as("a").join(win.as("b"),
+          col("b.t") === col("a.t") &&
+          abs(col("b.i") - col("a.i")) >= 6)
+        .join(full.as("fa"), col("fa.i") === col("a.i"))
+        .join(full.as("fb"), col("fb.i") === col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(abs(col("a.y") - col("b.y"))).cast("long").as("sad"))
+      val w = Window.partitionBy(col("i")).orderBy(col("sad"), col("j"))
+      sad.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("i").cast("long").as("win_start"),
+                col("j").cast("long").as("nn_start"),
+                col("sad").as("nn_sad"))
+    }),
+    "q562_seasonal_decompose" -> ((s, dir) => {
+      // Classical additive decomposition of the monthly series, period
+      // 12: centered MA(12) trend ×24 (half-weight end lags keep it
+      // integral), detrended ×24, seasonal index = per-calendar-month
+      // sign-folded mean DIV, residual by subtraction. One fact rollup,
+      // then a 13-offset self-join on the 80-row series.
+      val m = monthlySeries(s, dir).localCheckpoint(false)
+      val tr = m.as("a").join(m.as("b"),
+          col("b.mi") >= col("a.mi") - 6 && col("b.mi") <= col("a.mi") + 6)
+        .groupBy(col("a.mi").as("mi"))
+        .agg(sum(when(abs(col("b.mi") - col("a.mi")) === 6, col("b.y"))
+                   .otherwise(lit(2L) * col("b.y"))).cast("long")
+               .as("trend_x24"),
+             count(lit(1)).as("nw"))
+        .filter(col("nw") === 13L)
+      val det = tr.join(m, Seq("mi"))
+        .select(col("mi"), col("trend_x24"),
+                (lit(24L) * col("y") - col("trend_x24")).as("detr_x24"),
+                expr("mi % 12").as("mo"))
+      val seas = det.groupBy(col("mo"))
+        .agg(expr("""CASE WHEN sum(detr_x24) >= 0
+                    | THEN sum(detr_x24) DIV count(1)
+                    | ELSE -((-sum(detr_x24)) DIV count(1)) END"""
+               .stripMargin).as("seas_x24"))
+      det.join(broadcast(seas), Seq("mo"))
+        .select(col("mi"), col("trend_x24"), col("detr_x24"),
+                col("seas_x24"),
+                (col("detr_x24") - col("seas_x24")).cast("long")
+                  .as("resid_x24"))
+    }),
+    "q563_ljung_box" -> ((s, dir) => {
+      // Ljung–Box serial-correlation audit, lags 1–12, on n-scaled
+      // deviations e = n·y − Σy (exact ints, no mean division): per-lag
+      // ACF in sign-folded ppm and the LB term 1e6·n(n+2)·num²/(den²·
+      // (n−k)) via DECIMAL(38) (num² overflows int64). The cumulative Q
+      // runs over the 12-row lag table — a DimKey.one dimension window.
+      val m = monthlySeries(s, dir)
+      val g = m.agg(count(lit(1)).cast("long").as("n"),
+                    sum(col("y")).cast("long").as("sy"))
+      val e = m.crossJoin(broadcast(g))
+        .select(col("mi"), (col("n") * col("y") - col("sy")).as("e"),
+                col("n")).localCheckpoint(false)
+      val den = e.agg(sum((col("e") * col("e")).cast("decimal(38,0)"))
+                        .as("d2"))
+      val lags = s.range(1, 13).select(col("id").as("k"))
+      val num = lags.join(
+          e.as("a").join(e.as("b"), lit(true))
+            .select((col("b.mi") - col("a.mi")).as("k"),
+                    (col("a.e") * col("b.e")).as("p")),
+          Seq("k"), "left")
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col("p")), lit(0L)).cast("long").as("num"))
+      val r = num.crossJoin(broadcast(den)).crossJoin(broadcast(g))
+        .select(col("k").as("lag"), col("num").as("acf_num"),
+          expr("""CAST(CASE WHEN num >= 0
+                 | THEN (1000000 * CAST(num AS DECIMAL(38,0))) DIV d2
+                 | ELSE -((1000000 * CAST(-num AS DECIMAL(38,0))) DIV d2)
+                 | END AS BIGINT)""".stripMargin).as("acf_ppm"),
+          expr("""CAST((1000000 * n * (n+2)
+                 |  * CAST(num AS DECIMAL(38,0)) * num)
+                 | DIV (d2 * d2 * (n - k)) AS BIGINT)""".stripMargin)
+            .as("lb_term_ppm"))
+      val w = Window.partitionBy(DimKey.one).orderBy(col("lag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("lb_q_ppm", sum(col("lb_term_ppm")).over(w)
+          .cast("long"))
+        .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
+    }),
+    "q570_bridges" -> ((s, dir) => {
+      // Cut edges (bridges) of the thresholded nation-trade graph: for
+      // every edge, reachability in G∖{e} via 5 path-DOUBLING rounds —
+      // 2⁵ = 32 hops covers any simple path on ≤ 25 nations, so the
+      // result is provably exact (not a fixed-sweep approximation). The
+      // per-edge state is (edge, a, b) over a ≤ |E|·|V|² relation —
+      // dimension-grain after the one fact rollup. Connectivity
+      // robustness: which trade lanes have no alternative route.
+      val e0 = tradeEdges(s, dir, 300L)
+        .select(col("src").as("x"), col("dst").as("y"),
+                col("n").as("w"))
+        .localCheckpoint(false)
+      val eid = e0.withColumn("e", col("x") * 100 + col("y"))
+      val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+      val adj = eid.select("e", "x", "y").crossJoin(sym)
+        .filter(!((col("src") === col("x") && col("dst") === col("y")) ||
+                  (col("src") === col("y") && col("dst") === col("x"))))
+        .select(col("e"), col("src"), col("dst"))
+      val r0 = adj.select(col("e"), col("src").as("a"), col("dst").as("b"))
+        .unionByName(adj.select(col("e"), col("src").as("a"),
+                                col("src").as("b")))
+        .distinct()
+      val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
+        val nxt = r.as("p").join(r.as("q"),
+            col("q.e") === col("p.e") && col("q.a") === col("p.b"))
+          .select(col("p.e").as("e"), col("p.a").as("a"),
+                  col("q.b").as("b"))
+        r.unionByName(nxt).distinct().localCheckpoint(false)
+      }
+      eid.as("d").join(r5.as("r"),
+          col("r.e") === col("d.e") && col("r.a") === col("d.x") &&
+          col("r.b") === col("d.y"), "left")
+        .select(col("d.x").cast("long").as("src"),
+                col("d.y").cast("long").as("dst"),
+                col("d.w").as("weight"),
+                when(col("r.a").isNull, 1L).otherwise(0L).as("is_bridge"))
+    }),
+    "q571_shapley_attribution" -> ((s, dir) => {
+      // Exact Shapley-value channel attribution over the 3 touch
+      // channels (view/click/signup, counted strictly before the user's
+      // first purchase): users collapse to their touch-subset masks, the
+      // 8-subset coalition table v(S) = conversions reachable within S,
+      // and φ comes from the closed 3-player form (weights 2/1/2, ×6 to
+      // stay integral; Σφ_x6 = 6·v(full) — the efficiency axiom as a
+      // built-in check). One fact pass, then 8-row lattice joins.
+      val ev = Tables.events(s, dir)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_purchase"))
+      def touch(t: String) = max(
+        when(col("event_type") === t &&
+             (col("first_purchase").isNull ||
+              col("ts") < col("first_purchase")), 1L).otherwise(0L))
+      val u = ev.join(fp, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(touch("view").as("cv"), touch("click").as("cc"),
+             touch("signup").as("cs"),
+             max(when(col("event_type") === "purchase", 1L)
+                   .otherwise(0L)).as("conv"))
+      val sub = u.filter(col("cv") + col("cc") + col("cs") > 0L)
+        .groupBy("cv", "cc", "cs")
+        .agg(sum(col("conv")).cast("long").as("conv"))
+      val masks = s.range(0, 8).select(col("id").as("m"))
+      val vs = masks.crossJoin(broadcast(sub))
+        .groupBy(col("m"))
+        .agg(coalesce(sum(when(
+            (col("cv") === 0L || expr("m % 2 = 1")) &&
+            (col("cc") === 0L || expr("(m DIV 2) % 2 = 1")) &&
+            (col("cs") === 0L || expr("(m DIV 4) % 2 = 1")),
+            col("conv")).otherwise(0L)), lit(0L)).cast("long").as("v"))
+        .localCheckpoint(false)
+      val bits = {
+        import s.implicits._
+        Seq(("view", 1L), ("click", 2L), ("signup", 4L))
+          .toDF("channel", "bit")
+      }
+      val phi = broadcast(bits).join(vs.as("s"),
+          expr("(s.m DIV bit) % 2 = 0"))
+        .join(vs.as("t"), col("t.m") === col("s.m") + col("bit"))
+        .groupBy(col("channel"))
+        .agg(sum(expr("""CASE (s.m % 2) + ((s.m DIV 2) % 2)
+                        |  + ((s.m DIV 4) % 2)
+                        | WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END"""
+                   .stripMargin) * (col("t.v") - col("s.v")))
+               .cast("long").as("phi_x6"))
+      val tot = phi.agg(sum(col("phi_x6")).cast("long").as("total_x6"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("phi_x6"),
+                expr("(1000000 * phi_x6) DIV total_x6").as("share_ppm"))
+    }),
+    "q572_youden_threshold" -> ((s, dir) => {
+      // Youden-J-optimal decision threshold for the brand return-rate
+      // forecaster (fit 1995–96, scored 1997): candidate thresholds are
+      // the ≤ |brands| distinct permille scores, the confusion counts
+      // come from one threshold×score-bin grid join (never a per-row
+      // scan per threshold), TPR/FPR as pinned DIVs, argmax tie-broken
+      // by the smaller threshold.
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)
+                  .as("y"))
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), expr("year(o_orderdate)").as("yr"))
+      val p = rd(s, dir, "part").select("p_partkey", "p_brand")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val fit = joined.filter(col("yr").isin(1995, 1996))
+        .groupBy(col("p_brand"))
+        .agg(expr("(1000 * sum(y)) DIV count(1)").as("p"))
+      val bins = joined.filter(col("yr") === 1997)
+        .join(broadcast(fit), Seq("p_brand"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("y")).cast("long").as("pos"))
+        .localCheckpoint(false)
+      val tot = bins.agg(sum(col("pos")).cast("long").as("pos"),
+                         (sum(col("n")) - sum(col("pos"))).cast("long")
+                           .as("neg"))
+      val th = bins.select(col("p").as("t")).distinct()
+      val conf = th.crossJoin(bins)
+        .groupBy(col("t"))
+        .agg(sum(when(col("p") >= col("t"), col("pos")).otherwise(0L))
+               .cast("long").as("tp"),
+             sum(when(col("p") >= col("t"), col("n") - col("pos"))
+                   .otherwise(0L)).cast("long").as("fp"))
+      val j = conf.crossJoin(broadcast(tot))
+        .select(col("t"),
+                expr("(1000000 * tp) DIV pos").as("tpr_ppm"),
+                expr("(1000000 * fp) DIV neg").as("fpr_ppm"))
+        .withColumn("j_ppm", col("tpr_ppm") - col("fpr_ppm"))
+      val w = Window.partitionBy(DimKey.one)
+        .orderBy(col("j_ppm").desc, col("t"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("t").cast("long").as("threshold_pm"),
+                col("tpr_ppm").cast("long").as("tpr_ppm"),
+                col("fpr_ppm").cast("long").as("fpr_ppm"),
+                col("j_ppm").cast("long").as("j_ppm"))
+    }),
+    "q573_page_trend" -> ((s, dir) => {
+      // Page's L trend test — the ordered-alternative companion to q553:
+      // same Friedman rank layout (blocks = 1996 months, treatments =
+      // the NATURALLY ORDERED priorities 1..5), L = Σ j·R_j with doubled
+      // tie-average ranks, alongside its null expectation n·k(k+1)²/2
+      // (×2 scale matched). A monotone priority→volume trend pushes
+      // L_x2 above e_l_x2_x2.
+      val v = rd(s, dir, "orders")
+        .filter(expr("year(o_orderdate) = 1996"))
+        .groupBy(expr("CAST(month(o_orderdate) AS BIGINT)").as("blk"),
+                 col("o_orderpriority").as("trt"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val rs = rankX2(v, Seq(col("blk")), col("y"))
+        .groupBy(col("trt"))
+        .agg(sum(col("rank_x2")).cast("long").as("r_sum_x2"))
+        .withColumn("j", expr("CAST(substr(trt, 1, 1) AS BIGINT)"))
+      val nBlocks = v.select(col("blk")).distinct()
+        .agg(count(lit(1)).cast("long").as("nb"))
+      rs.agg(count(lit(1)).cast("long").as("k"),
+             sum(col("j") * col("r_sum_x2")).cast("long").as("l_x2"))
+        .crossJoin(broadcast(nBlocks))
+        .select(col("l_x2"), col("nb").as("n_blocks"),
+                col("k").as("n_treatments"),
+                expr("nb * k * (k+1) * (k+1)").as("e_l_x2_x2"))
+    }),
+    "q574_partial_correlation" -> ((s, dir) => {
+      // First-order partial correlation r²(quantity, price | discount),
+      // signed, from the nine n²-scaled moment sums: the sqrt-free form
+      // r² = (num/dx)·(num/dy) evaluated as two pinned ppm DIVs whose
+      // product is re-quantized once — every intermediate bounded by
+      // 1e36 (documented), DECIMAL(38) here / HUGEINT in the oracle.
+      // One combine-enabled aggregate over the fact table; no shuffle
+      // beyond the 10-sum rollup.
+      val d = rd(s, dir, "lineitem").select(
+        expr("CAST(l_quantity AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT) DIV 1000")
+          .as("y"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("z"))
+      val sums = d.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("z")).cast("long").as("sz"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("z") * col("z")).cast("long").as("szz"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("z")).cast("long").as("sxz"),
+        sum(col("y") * col("z")).cast("long").as("syz"))
+      val c = sums.select(
+        expr("CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy")
+          .as("cxy"),
+        expr("CAST(n AS DECIMAL(38,0))*sxz - CAST(sx AS DECIMAL(38,0))*sz")
+          .as("cxz"),
+        expr("CAST(n AS DECIMAL(38,0))*syz - CAST(sy AS DECIMAL(38,0))*sz")
+          .as("cyz"),
+        expr("CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx")
+          .as("vx"),
+        expr("CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy")
+          .as("vy"),
+        expr("CAST(n AS DECIMAL(38,0))*szz - CAST(sz AS DECIMAL(38,0))*sz")
+          .as("vz"))
+      c.select(
+        expr("""CAST(CASE WHEN cxy*vz - cxz*cyz >= 0
+               | THEN (((1000000 * (cxy*vz - cxz*cyz))
+               |         DIV (vx*vz - cxz*cxz))
+               |      * ((1000000 * (cxy*vz - cxz*cyz))
+               |         DIV (vy*vz - cyz*cyz))) DIV 1000000
+               | ELSE -((((1000000 * (cxz*cyz - cxy*vz))
+               |         DIV (vx*vz - cxz*cxz))
+               |      * ((1000000 * (cxz*cyz - cxy*vz))
+               |         DIV (vy*vz - cyz*cyz))) DIV 1000000)
+               | END AS BIGINT)""".stripMargin)
+          .as("partial_r2_signed_ppm"),
+        expr("""CAST(CASE WHEN cxy >= 0
+               | THEN (((1000000 * cxy) DIV vx)
+               |      * ((1000000 * cxy) DIV vy)) DIV 1000000
+               | ELSE -((((1000000 * (-cxy)) DIV vx)
+               |      * ((1000000 * (-cxy)) DIV vy)) DIV 1000000)
+               | END AS BIGINT)""".stripMargin)
+          .as("marginal_r2_signed_ppm"))
+    }),
+    "q564_goodman_kruskal_gamma" -> ((s, dir) => {
+      // Goodman–Kruskal gamma between two ordinal lineitem attributes
+      // (quantity, discount band) via the contingency-grid decomposition:
+      // concordant/discordant pair counts come from the ≤ 550-cell grid
+      // cross join, never the O(n²) row pairs — the fact table feeds one
+      // rollup. Counts are doubled (both pair orders); the ratio is
+      // invariant.
+      val cells = rd(s, dir, "lineitem")
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("xi"),
+                 expr("CAST(floor(l_discount * 100) AS BIGINT)").as("yi"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      cells.as("a").crossJoin(cells.as("b"))
+        .agg(sum(when(col("b.xi") > col("a.xi") &&
+                      col("b.yi") > col("a.yi"),
+                      col("a.n") * col("b.n")).otherwise(0L))
+               .cast("long").as("conc2"),
+             sum(when(col("b.xi") > col("a.xi") &&
+                      col("b.yi") < col("a.yi"),
+                      col("a.n") * col("b.n")).otherwise(0L))
+               .cast("long").as("disc2"))
+        .select(expr("conc2 DIV 2").as("conc"),
+                expr("disc2 DIV 2").as("disc"),
+                expr("""CASE WHEN conc2 >= disc2
+                       | THEN (1000000 * (conc2 - disc2))
+                       |   DIV (conc2 + disc2)
+                       | ELSE -((1000000 * (disc2 - conc2))
+                       |   DIV (conc2 + disc2)) END""".stripMargin)
+                  .as("gamma_ppm"))
+    }),
+    "q565_somers_d" -> ((s, dir) => {
+      // Somers' D in both directions from the same contingency grid as
+      // q564: (C − D) over the pairs untied on the conditioning
+      // variable, N² − Σ marginal² (doubled counts cancel). The
+      // asymmetric ordinal-association measure — d_yx treats quantity
+      // as predictor, d_xy discount.
+      val cells = rd(s, dir, "lineitem")
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("xi"),
+                 expr("CAST(floor(l_discount * 100) AS BIGINT)").as("yi"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint(false)
+      val cd = cells.as("a").crossJoin(cells.as("b"))
+        .agg(sum(when(col("b.xi") > col("a.xi") &&
+                      col("b.yi") > col("a.yi"),
+                      col("a.n") * col("b.n")).otherwise(0L))
+               .cast("long").as("conc2"),
+             sum(when(col("b.xi") > col("a.xi") &&
+                      col("b.yi") < col("a.yi"),
+                      col("a.n") * col("b.n")).otherwise(0L))
+               .cast("long").as("disc2"))
+      val rowsq = cells.groupBy(col("xi"))
+        .agg(sum(col("n")).as("rn"))
+        .agg(sum(col("rn") * col("rn")).cast("long").as("rowsq"))
+      val colsq = cells.groupBy(col("yi"))
+        .agg(sum(col("n")).as("cn"))
+        .agg(sum(col("cn") * col("cn")).cast("long").as("colsq"))
+      val nn = cells.agg(sum(col("n")).cast("long").as("nn"))
+      cd.crossJoin(broadcast(nn)).crossJoin(broadcast(rowsq))
+        .crossJoin(broadcast(colsq))
+        .select(
+          expr("""CASE WHEN conc2 >= disc2
+                 | THEN (1000000 * (conc2 - disc2))
+                 |   DIV (nn * nn - rowsq)
+                 | ELSE -((1000000 * (disc2 - conc2))
+                 |   DIV (nn * nn - rowsq)) END""".stripMargin)
+            .as("somers_d_yx_ppm"),
+          expr("""CASE WHEN conc2 >= disc2
+                 | THEN (1000000 * (conc2 - disc2))
+                 |   DIV (nn * nn - colsq)
+                 | ELSE -((1000000 * (disc2 - conc2))
+                 |   DIV (nn * nn - colsq)) END""".stripMargin)
+            .as("somers_d_xy_ppm"))
+    }),
+    "q566_cronbach_alpha" -> ((s, dir) => {
+      // Cronbach's alpha over the three RFM sub-scores: deterministic
+      // quintile scores 1..5 via row_number over (value, custkey) — no
+      // ntile tie ambiguity — then the n²-scaled variance identity
+      // n·Σx² − (Σx)² keeps every term integral; alpha in one
+      // sign-folded DIV. Internal-consistency reliability of the
+      // customer-value scorecard.
+      val base = rd(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(unix_millis(col("o_orderdate").cast("timestamp")))
+               .cast("long").as("rec"),
+             count(lit(1)).cast("long").as("freq"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .cast("long").as("mon"))
+        .localCheckpoint(false)
+      def score(df: DataFrame, c: String, as: String) =
+        Profile.cellRank(df, Seq.empty, c, Seq("ck"))
+          .withColumn(as, expr("1 + (5 * (_rank - 1)) DIV _n"))
+          .drop("_rank", "_n")
+      val sc = score(score(score(base, "rec", "r"), "freq", "f"),
+                     "mon", "m")
+        .select("r", "f", "m")
+      sc.agg(count(lit(1)).cast("long").as("n"),
+             expr("CAST(count(1)*sum(r*r) - sum(r)*sum(r) AS BIGINT)")
+               .as("var_r_n2"),
+             expr("CAST(count(1)*sum(f*f) - sum(f)*sum(f) AS BIGINT)")
+               .as("var_f_n2"),
+             expr("CAST(count(1)*sum(m*m) - sum(m)*sum(m) AS BIGINT)")
+               .as("var_m_n2"),
+             expr("CAST(count(1)*sum((r+f+m)*(r+f+m))" +
+                  " - sum(r+f+m)*sum(r+f+m) AS BIGINT)").as("var_tot_n2"))
+        .withColumn("alpha_ppm", expr(
+          """CASE WHEN var_tot_n2 - var_r_n2 - var_f_n2 - var_m_n2 >= 0
+            | THEN (1000000 * 3
+            |   * (var_tot_n2 - var_r_n2 - var_f_n2 - var_m_n2))
+            |   DIV (2 * var_tot_n2)
+            | ELSE -((1000000 * 3
+            |   * (var_r_n2 + var_f_n2 + var_m_n2 - var_tot_n2))
+            |   DIV (2 * var_tot_n2)) END""".stripMargin))
+    }),
+    "q567_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa for 3 deterministic document-quality "raters"
+      // (char length, word count, 'e'-frequency thresholds), binary
+      // categories: the closed form collapses to two global sums
+      // (pairwise-agreement Σ nᵢⱼ² and the good-vote total), so kappa is
+      // one sign-folded DIV over exact ints — inter-rater reliability
+      // with zero shuffles beyond a single aggregate.
+      val votes = rd(s, dir, "documents").select(
+        (when(col("n_chars") >= 250L, 1L).otherwise(0L) +
+         when(expr("length(text) - length(replace(text, ' ', '')) + 1")
+                >= 40L, 1L).otherwise(0L) +
+         when(expr("length(text) - length(replace(text, 'e', ''))")
+                >= 20L, 1L).otherwise(0L)).as("ng"))
+      votes.agg(count(lit(1)).cast("long").as("nn"),
+                sum(expr("ng*ng + (3-ng)*(3-ng) - 3")).cast("long")
+                  .as("s1"),
+                sum(col("ng")).cast("long").as("g"))
+        .select(col("nn").as("n_docs"), col("g").as("n_good_votes"),
+          expr("""CAST(CASE
+                 | WHEN 3*nn*s1 - 2*(g*g + (3*nn-g)*(3*nn-g)) >= 0
+                 | THEN (1000000*(3*nn*s1 - 2*(g*g + (3*nn-g)*(3*nn-g))))
+                 |   DIV (2*(9*nn*nn - g*g - (3*nn-g)*(3*nn-g)))
+                 | ELSE -((1000000*(2*(g*g + (3*nn-g)*(3*nn-g))
+                 |     - 3*nn*s1))
+                 |   DIV (2*(9*nn*nn - g*g - (3*nn-g)*(3*nn-g))))
+                 | END AS BIGINT)""".stripMargin).as("kappa_ppm"))
+    }),
+    "q568_lin_ccc" -> ((s, dir) => {
+      // Lin's concordance correlation between paired 1996/1997 monthly
+      // nation revenue (unit: cent·pct DIV 1e6): CCC = 2·cov / (var_x +
+      // var_y + (x̄−ȳ)²), all terms on the shared n² scale so one
+      // DECIMAL(38) sign-folded DIV finishes it. Agreement (not just
+      // correlation) between consecutive-year revenue profiles.
+      val rev = nationMonthRevenue(s, dir)
+        .filter(col("yr").isin(1996L, 1997L))
+        .select(col("nk"), col("yr"), col("mo"),
+                expr("rev DIV 1000000").as("v"))
+      val p = rev.as("a").join(rev.as("b"),
+          col("b.nk") === col("a.nk") && col("b.mo") === col("a.mo") &&
+          col("a.yr") === 1996L && col("b.yr") === 1997L)
+        .select(col("a.v").as("x"), col("b.v").as("y"))
+      p.agg(count(lit(1)).cast("long").as("n"),
+            sum(col("x")).cast("long").as("sx"),
+            sum(col("y")).cast("long").as("sy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"),
+            sum(col("y") * col("y")).cast("long").as("syy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("CAST(n*sxy - sx*sy AS BIGINT)").as("cov_n2"),
+          expr("""CAST(CASE WHEN n*sxy - sx*sy >= 0
+                 | THEN (2000000 * (CAST(n AS DECIMAL(38,0))*sxy
+                 |     - CAST(sx AS DECIMAL(38,0))*sy))
+                 |   DIV ((CAST(n AS DECIMAL(38,0))*sxx
+                 |     - CAST(sx AS DECIMAL(38,0))*sx)
+                 |    + (CAST(n AS DECIMAL(38,0))*syy
+                 |     - CAST(sy AS DECIMAL(38,0))*sy)
+                 |    + CAST(sx-sy AS DECIMAL(38,0))*(sx-sy))
+                 | ELSE -((2000000 * (CAST(sx AS DECIMAL(38,0))*sy
+                 |     - CAST(n AS DECIMAL(38,0))*sxy))
+                 |   DIV ((CAST(n AS DECIMAL(38,0))*sxx
+                 |     - CAST(sx AS DECIMAL(38,0))*sx)
+                 |    + (CAST(n AS DECIMAL(38,0))*syy
+                 |     - CAST(sy AS DECIMAL(38,0))*sy)
+                 |    + CAST(sx-sy AS DECIMAL(38,0))*(sx-sy)))
+                 | END AS BIGINT)""".stripMargin).as("ccc_ppm"))
+    }),
+    "q569_jonckheere_terpstra" -> ((s, dir) => {
+      // Jonckheere–Terpstra ordered-alternative test: does quantity
+      // trend across ordered discount bands? JT doubled (2·gt + eq per
+      // ordered band pair) stays integral through the tie convention;
+      // computed on the ≤ 550-cell (band, quantity) grid — all ordered
+      // band-pair products, never row pairs.
+      val cells = rd(s, dir, "lineitem")
+        .groupBy(expr("CAST(floor(l_discount * 100) AS BIGINT)")
+                   .as("band"),
+                 expr("CAST(l_quantity AS BIGINT)").as("q"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      cells.as("a").join(cells.as("b"), col("b.band") > col("a.band"))
+        .agg(sum(when(col("b.q") > col("a.q"),
+                      lit(2L) * col("a.n") * col("b.n"))
+               .when(col("b.q") === col("a.q"), col("a.n") * col("b.n"))
+               .otherwise(0L)).cast("long").as("jt_x2"),
+             sum(col("a.n") * col("b.n")).cast("long").as("n_pairs"))
+        .withColumn("jt_norm_ppm",
+                    expr("(1000000 * jt_x2) DIV (2 * n_pairs)"))
+    }),
     "q552_wilcoxon_signed_rank" -> ((s, dir) => {
       // Paired-sample Wilcoxon signed-rank over (nation, month) revenue,
       // 1996 vs 1997: d = rev97 − rev96, zero diffs dropped, |d| ranked
@@ -279,7 +907,500 @@ object R12Queries {
              (min(col("w")) + max(col("w"))).cast("long").as("hl_x4"))
     }))
 
+  /** Shared oracle fragment: the canonical co-purchase item graph
+    * (x < y, ≥ 2 shared orders) + its symmetric adjacency — mirrors
+    * [[copurchaseEdges]]/[[symEdges]].
+    */
+  private val CopurchaseCte: String =
+    """e0 AS MATERIALIZED (
+      |  SELECT a.i AS x, b.i AS y FROM
+      |    (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |     FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |        FROM lineitem) b
+      |    ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS MATERIALIZED (
+      |  SELECT x AS src, y AS dst FROM e0
+      |  UNION ALL SELECT y, x FROM e0)""".stripMargin
+
+  /** Shared oracle fragment: the monthly order-count series
+    * (mi 0-based from 1995-01) — mirrors [[monthlySeries]].
+    */
+  private val MonthlyCte: String =
+    """m AS MATERIALIZED (
+      |  SELECT CAST((year(o_orderdate)-1995)*12 + month(o_orderdate)-1
+      |    AS BIGINT) AS mi, CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** Shared oracle fragment: the ordinal (quantity × discount-band)
+    * contingency grid (q564/q565).
+    */
+  private val OrdinalCellsCte: String =
+    """cells AS MATERIALIZED (
+      |  SELECT CAST(l_quantity AS BIGINT) AS xi,
+      |    CAST(floor(l_discount*100) AS BIGINT) AS yi,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    CAST(coalesce(sum(a.n * b.n) FILTER (WHERE b.xi > a.xi
+      |      AND b.yi > a.yi), 0) AS BIGINT) AS conc2,
+      |    CAST(coalesce(sum(a.n * b.n) FILTER (WHERE b.xi > a.xi
+      |      AND b.yi < a.yi), 0) AS BIGINT) AS disc2
+      |  FROM cells a CROSS JOIN cells b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q570_bridges" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS x,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS y,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 300),
+        |eid AS MATERIALIZED (SELECT x, y, w, x*100 + y AS e FROM e0),
+        |adj AS MATERIALIZED (
+        |  SELECT r.e, s.src, s.dst FROM eid r
+        |  CROSS JOIN (SELECT x AS src, y AS dst FROM e0
+        |              UNION ALL SELECT y, x FROM e0) s
+        |  WHERE NOT ((s.src = r.x AND s.dst = r.y)
+        |          OR (s.src = r.y AND s.dst = r.x))),
+        |r0 AS MATERIALIZED (
+        |  SELECT e, src AS a, dst AS b FROM adj
+        |  UNION SELECT e, src, src FROM adj),
+        |r1 AS MATERIALIZED (
+        |  SELECT DISTINCT e, a, b FROM (
+        |    SELECT e, a, b FROM r0 UNION ALL
+        |    SELECT p.e, p.a, q.b FROM r0 p
+        |    JOIN r0 q ON q.e = p.e AND q.a = p.b)),
+        |r2 AS MATERIALIZED (
+        |  SELECT DISTINCT e, a, b FROM (
+        |    SELECT e, a, b FROM r1 UNION ALL
+        |    SELECT p.e, p.a, q.b FROM r1 p
+        |    JOIN r1 q ON q.e = p.e AND q.a = p.b)),
+        |r3 AS MATERIALIZED (
+        |  SELECT DISTINCT e, a, b FROM (
+        |    SELECT e, a, b FROM r2 UNION ALL
+        |    SELECT p.e, p.a, q.b FROM r2 p
+        |    JOIN r2 q ON q.e = p.e AND q.a = p.b)),
+        |r4 AS MATERIALIZED (
+        |  SELECT DISTINCT e, a, b FROM (
+        |    SELECT e, a, b FROM r3 UNION ALL
+        |    SELECT p.e, p.a, q.b FROM r3 p
+        |    JOIN r3 q ON q.e = p.e AND q.a = p.b)),
+        |r5 AS MATERIALIZED (
+        |  SELECT DISTINCT e, a, b FROM (
+        |    SELECT e, a, b FROM r4 UNION ALL
+        |    SELECT p.e, p.a, q.b FROM r4 p
+        |    JOIN r4 q ON q.e = p.e AND q.a = p.b))
+        |SELECT CAST(d.x AS BIGINT) AS src, CAST(d.y AS BIGINT) AS dst,
+        |  d.w AS weight,
+        |  CAST(CASE WHEN r.a IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_bridge
+        |FROM eid d LEFT JOIN r5 r
+        |  ON r.e = d.e AND r.a = d.x AND r.b = d.y""".stripMargin,
+    "q571_shapley_attribution" ->
+      """WITH fp AS MATERIALIZED (
+        |  SELECT user_id, min(ts) AS first_purchase FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS MATERIALIZED (
+        |  SELECT e.user_id,
+        |    CAST(max(CASE WHEN event_type = 'view'
+        |      AND (f.first_purchase IS NULL OR e.ts < f.first_purchase)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+        |    CAST(max(CASE WHEN event_type = 'click'
+        |      AND (f.first_purchase IS NULL OR e.ts < f.first_purchase)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(max(CASE WHEN event_type = 'signup'
+        |      AND (f.first_purchase IS NULL OR e.ts < f.first_purchase)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM events e LEFT JOIN fp f ON f.user_id = e.user_id
+        |  GROUP BY 1),
+        |sub AS MATERIALIZED (
+        |  SELECT cv, cc, cs, CAST(sum(conv) AS BIGINT) AS conv
+        |  FROM u WHERE cv + cc + cs > 0 GROUP BY 1, 2, 3),
+        |masks AS (SELECT unnest(range(0, 8)) AS m),
+        |vs AS MATERIALIZED (
+        |  SELECT g.m,
+        |    CAST(coalesce(sum(s.conv) FILTER (WHERE
+        |      (s.cv = 0 OR g.m % 2 = 1)
+        |      AND (s.cc = 0 OR (g.m // 2) % 2 = 1)
+        |      AND (s.cs = 0 OR (g.m // 4) % 2 = 1)), 0) AS BIGINT) AS v
+        |  FROM masks g LEFT JOIN sub s ON TRUE
+        |  GROUP BY 1),
+        |bits AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+        |  ('signup', 4)) AS t(channel, bit)),
+        |phi AS MATERIALIZED (
+        |  SELECT b.channel,
+        |    CAST(sum((CASE (s.m % 2) + ((s.m // 2) % 2)
+        |        + ((s.m // 4) % 2)
+        |      WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+        |      * (t.v - s.v)) AS BIGINT) AS phi_x6
+        |  FROM bits b
+        |  JOIN vs s ON (s.m // b.bit) % 2 = 0
+        |  JOIN vs t ON t.m = s.m + b.bit
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(phi_x6) AS BIGINT) AS total_x6 FROM phi)
+        |SELECT p.channel, p.phi_x6,
+        |  CAST((1000000 * p.phi_x6) // t.total_x6 AS BIGINT)
+        |    AS share_ppm
+        |FROM phi p CROSS JOIN tot t""".stripMargin,
+    "q572_youden_threshold" ->
+      """WITH fit AS MATERIALIZED (
+        |  SELECT p.p_brand AS brand,
+        |    CAST((1000 * sum(CASE WHEN l.l_returnflag = 'R' THEN 1
+        |      ELSE 0 END)) // count(*) AS BIGINT) AS p
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996) GROUP BY 1),
+        |bins AS MATERIALIZED (
+        |  SELECT fit.p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN fit ON fit.brand = p.p_brand
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) = 1997
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pos,
+        |  CAST(sum(n) - sum(pos) AS BIGINT) AS neg FROM bins),
+        |th AS (SELECT DISTINCT p AS t FROM bins),
+        |conf AS MATERIALIZED (
+        |  SELECT th.t,
+        |    CAST(sum(CASE WHEN b.p >= th.t THEN b.pos ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN b.p >= th.t THEN b.n - b.pos ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM th CROSS JOIN bins b GROUP BY 1),
+        |j AS (
+        |  SELECT c.t, (1000000*c.tp) // o.pos AS tpr_ppm,
+        |    (1000000*c.fp) // o.neg AS fpr_ppm,
+        |    (1000000*c.tp) // o.pos - (1000000*c.fp) // o.neg AS j_ppm
+        |  FROM conf c CROSS JOIN tot o)
+        |SELECT CAST(t AS BIGINT) AS threshold_pm,
+        |  CAST(tpr_ppm AS BIGINT) AS tpr_ppm,
+        |  CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+        |  CAST(j_ppm AS BIGINT) AS j_ppm
+        |FROM j QUALIFY row_number() OVER (ORDER BY j_ppm DESC, t) = 1"""
+        .stripMargin,
+    "q573_page_trend" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS blk,
+        |    o_orderpriority AS trt, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT blk, trt, 2*rank() OVER (PARTITION BY blk ORDER BY y)
+        |    + count(*) OVER (PARTITION BY blk, y) - 1 AS rank_x2
+        |  FROM v),
+        |rs AS MATERIALIZED (
+        |  SELECT trt, CAST(substr(trt, 1, 1) AS BIGINT) AS j,
+        |    CAST(sum(rank_x2) AS BIGINT) AS r_sum_x2
+        |  FROM r GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  (SELECT CAST(count(DISTINCT blk) AS BIGINT) FROM v) AS nb,
+        |  CAST(sum(j * r_sum_x2) AS BIGINT) AS l_x2 FROM rs)
+        |SELECT l_x2, nb AS n_blocks, k AS n_treatments,
+        |  CAST(nb*k*(k+1)*(k+1) AS BIGINT) AS e_l_x2_x2
+        |FROM g""".stripMargin,
+    "q574_partial_correlation" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice*100) AS BIGINT) // 1000 AS y,
+        |    CAST(floor(l_discount*100) AS BIGINT) AS z
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(z) AS HUGEINT) AS sz,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(z*z) AS HUGEINT) AS szz,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x*z) AS HUGEINT) AS sxz,
+        |    CAST(sum(y*z) AS HUGEINT) AS syz
+        |  FROM d),
+        |c AS (
+        |  SELECT n*sxy - sx*sy AS cxy, n*sxz - sx*sz AS cxz,
+        |    n*syz - sy*sz AS cyz, n*sxx - sx*sx AS vx,
+        |    n*syy - sy*sy AS vy, n*szz - sz*sz AS vz
+        |  FROM s)
+        |SELECT CAST(CASE WHEN cxy*vz - cxz*cyz >= 0
+        |  THEN (((1000000 * (cxy*vz - cxz*cyz))
+        |          // (vx*vz - cxz*cxz))
+        |       * ((1000000 * (cxy*vz - cxz*cyz))
+        |          // (vy*vz - cyz*cyz))) // 1000000
+        |  ELSE -((((1000000 * (cxz*cyz - cxy*vz))
+        |          // (vx*vz - cxz*cxz))
+        |       * ((1000000 * (cxz*cyz - cxy*vz))
+        |          // (vy*vz - cyz*cyz))) // 1000000)
+        |  END AS BIGINT) AS partial_r2_signed_ppm,
+        |  CAST(CASE WHEN cxy >= 0
+        |    THEN (((1000000 * cxy) // vx) * ((1000000 * cxy) // vy))
+        |      // 1000000
+        |    ELSE -((((1000000 * (-cxy)) // vx)
+        |      * ((1000000 * (-cxy)) // vy)) // 1000000)
+        |    END AS BIGINT) AS marginal_r2_signed_ppm
+        |FROM c""".stripMargin,
+    "q564_goodman_kruskal_gamma" ->
+      s"""WITH $OrdinalCellsCte
+        |SELECT conc2 // 2 AS conc, disc2 // 2 AS disc,
+        |  CAST(CASE WHEN conc2 >= disc2
+        |    THEN (1000000*(conc2 - disc2)) // (conc2 + disc2)
+        |    ELSE -((1000000*(disc2 - conc2)) // (conc2 + disc2)) END
+        |    AS BIGINT) AS gamma_ppm
+        |FROM cd""".stripMargin,
+    "q565_somers_d" ->
+      s"""WITH $OrdinalCellsCte,
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    (SELECT CAST(sum(rn*rn) AS BIGINT) FROM
+        |      (SELECT sum(n) AS rn FROM cells GROUP BY xi)) AS rowsq,
+        |    (SELECT CAST(sum(cn*cn) AS BIGINT) FROM
+        |      (SELECT sum(n) AS cn FROM cells GROUP BY yi)) AS colsq
+        |  FROM cells)
+        |SELECT
+        |  CAST(CASE WHEN c.conc2 >= c.disc2
+        |    THEN (1000000*(c.conc2 - c.disc2)) // (t.nn*t.nn - t.rowsq)
+        |    ELSE -((1000000*(c.disc2 - c.conc2))
+        |      // (t.nn*t.nn - t.rowsq)) END AS BIGINT)
+        |    AS somers_d_yx_ppm,
+        |  CAST(CASE WHEN c.conc2 >= c.disc2
+        |    THEN (1000000*(c.conc2 - c.disc2)) // (t.nn*t.nn - t.colsq)
+        |    ELSE -((1000000*(c.disc2 - c.conc2))
+        |      // (t.nn*t.nn - t.colsq)) END AS BIGINT)
+        |    AS somers_d_xy_ppm
+        |FROM cd c CROSS JOIN tot t""".stripMargin,
+    "q566_cronbach_alpha" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_custkey AS ck,
+        |    CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS mon
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |sc AS MATERIALIZED (
+        |  SELECT
+        |    1 + (5*(row_number() OVER (ORDER BY rec, ck) - 1)) // n.n
+        |      AS r,
+        |    1 + (5*(row_number() OVER (ORDER BY freq, ck) - 1)) // n.n
+        |      AS f,
+        |    1 + (5*(row_number() OVER (ORDER BY mon, ck) - 1)) // n.n
+        |      AS m
+        |  FROM base CROSS JOIN n),
+        |v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*)*sum(r*r) - sum(r)*sum(r) AS BIGINT)
+        |      AS var_r_n2,
+        |    CAST(count(*)*sum(f*f) - sum(f)*sum(f) AS BIGINT)
+        |      AS var_f_n2,
+        |    CAST(count(*)*sum(m*m) - sum(m)*sum(m) AS BIGINT)
+        |      AS var_m_n2,
+        |    CAST(count(*)*sum((r+f+m)*(r+f+m))
+        |      - sum(r+f+m)*sum(r+f+m) AS BIGINT) AS var_tot_n2
+        |  FROM sc)
+        |SELECT n, var_r_n2, var_f_n2, var_m_n2, var_tot_n2,
+        |  CAST(CASE WHEN var_tot_n2 - var_r_n2 - var_f_n2 - var_m_n2 >= 0
+        |    THEN (1000000 * 3
+        |      * (var_tot_n2 - var_r_n2 - var_f_n2 - var_m_n2))
+        |      // (2 * var_tot_n2)
+        |    ELSE -((1000000 * 3
+        |      * (var_r_n2 + var_f_n2 + var_m_n2 - var_tot_n2))
+        |      // (2 * var_tot_n2)) END AS BIGINT) AS alpha_ppm
+        |FROM v""".stripMargin,
+    "q567_fleiss_kappa" ->
+      """WITH votes AS MATERIALIZED (
+        |  SELECT CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+        |    + CASE WHEN length(text) - length(replace(text, ' ', ''))
+        |        + 1 >= 40 THEN 1 ELSE 0 END
+        |    + CASE WHEN length(text) - length(replace(text, 'e', ''))
+        |        >= 20 THEN 1 ELSE 0 END AS BIGINT) AS ng
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(ng*ng + (3-ng)*(3-ng) - 3) AS BIGINT) AS s1,
+        |    CAST(sum(ng) AS BIGINT) AS g
+        |  FROM votes)
+        |SELECT nn AS n_docs, g AS n_good_votes,
+        |  CAST(CASE WHEN 3*nn*s1 - 2*(g*g + (3*nn-g)*(3*nn-g)) >= 0
+        |    THEN (1000000*(3*nn*s1 - 2*(g*g + (3*nn-g)*(3*nn-g))))
+        |      // (2*(9*nn*nn - g*g - (3*nn-g)*(3*nn-g)))
+        |    ELSE -((1000000*(2*(g*g + (3*nn-g)*(3*nn-g)) - 3*nn*s1))
+        |      // (2*(9*nn*nn - g*g - (3*nn-g)*(3*nn-g)))) END AS BIGINT)
+        |    AS kappa_ppm
+        |FROM agg""".stripMargin,
+    "q568_lin_ccc" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS yr,
+        |    month(o.o_orderdate) AS mo,
+        |    CAST(sum(CAST(floor(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(floor(l.l_discount*100) AS BIGINT)))
+        |      // 1000000 AS BIGINT) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE year(o.o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2, 3),
+        |p AS MATERIALIZED (
+        |  SELECT a.v AS x, b.v AS y
+        |  FROM rev a JOIN rev b ON b.nk = a.nk AND b.mo = a.mo
+        |    AND a.yr = 1996 AND b.yr = 1997),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM p)
+        |SELECT n, sx, sy,
+        |  CAST(n*sxy - sx*sy AS BIGINT) AS cov_n2,
+        |  CAST(CASE WHEN n*sxy - sx*sy >= 0
+        |    THEN (2000000 * (CAST(n AS HUGEINT)*sxy
+        |        - CAST(sx AS HUGEINT)*sy))
+        |      // ((CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+        |       + (CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy)
+        |       + CAST(sx-sy AS HUGEINT)*(sx-sy))
+        |    ELSE -((2000000 * (CAST(sx AS HUGEINT)*sy
+        |        - CAST(n AS HUGEINT)*sxy))
+        |      // ((CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+        |       + (CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy)
+        |       + CAST(sx-sy AS HUGEINT)*(sx-sy))) END AS BIGINT)
+        |    AS ccc_ppm
+        |FROM s""".stripMargin,
+    "q569_jonckheere_terpstra" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(floor(l_discount*100) AS BIGINT) AS band,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |jt AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN b.q > a.q THEN 2*a.n*b.n
+        |      WHEN b.q = a.q THEN a.n*b.n ELSE 0 END) AS BIGINT)
+        |      AS jt_x2,
+        |    CAST(sum(a.n*b.n) AS BIGINT) AS n_pairs
+        |  FROM cells a JOIN cells b ON b.band > a.band)
+        |SELECT jt_x2, n_pairs,
+        |  CAST((1000000 * jt_x2) // (2 * n_pairs) AS BIGINT)
+        |    AS jt_norm_ppm
+        |FROM jt""".stripMargin,
+    "q558_local_clustering" ->
+      s"""WITH $CopurchaseCte,
+        |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |tri AS (
+        |  SELECT a.src AS v, CAST(count(*) AS BIGINT) AS tri
+        |  FROM sym a JOIN sym b ON b.src = a.src AND b.dst > a.dst
+        |  JOIN e0 e ON e.x = a.dst AND e.y = b.dst
+        |  GROUP BY 1)
+        |SELECT CAST(d.v AS BIGINT) AS node, d.deg,
+        |  coalesce(t.tri, 0) AS tri,
+        |  CAST((2000000 * coalesce(t.tri, 0)) // (d.deg * (d.deg - 1))
+        |    AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN tri t ON t.v = d.v
+        |WHERE d.deg >= 2""".stripMargin,
+    "q559_resource_allocation" ->
+      s"""WITH $CopurchaseCte,
+        |deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |cand AS (
+        |  SELECT a.dst AS u, b.dst AS w, a.src AS z
+        |  FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst),
+        |ne AS (
+        |  SELECT c.u, c.w, c.z FROM cand c
+        |  LEFT JOIN e0 e ON e.x = c.u AND e.y = c.w
+        |  WHERE e.x IS NULL)
+        |SELECT CAST(ne.u AS BIGINT) AS u, CAST(ne.w AS BIGINT) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_ppm
+        |FROM ne JOIN deg d ON d.z = ne.z
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q560_square_count" ->
+      s"""WITH $CopurchaseCte,
+        |codeg AS (
+        |  SELECT a.dst AS u, b.dst AS w, CAST(count(*) AS BIGINT) AS cd
+        |  FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(cd) AS BIGINT) AS n_wedges,
+        |  CAST(sum(cd*(cd-1)) // 4 AS BIGINT) AS n_squares,
+        |  CAST(max(cd) AS BIGINT) AS max_codeg
+        |FROM codeg""".stripMargin,
+    "q561_matrix_profile_sad" ->
+      s"""WITH $MonthlyCte,
+        |win AS MATERIALIZED (
+        |  SELECT a.mi AS i, b.mi - a.mi AS t, b.y
+        |  FROM m a JOIN m b ON b.mi BETWEEN a.mi AND a.mi + 5),
+        |full_w AS MATERIALIZED (
+        |  SELECT i FROM win GROUP BY 1 HAVING count(*) = 6),
+        |sad AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS sad
+        |  FROM win a JOIN win b ON b.t = a.t AND abs(b.i - a.i) >= 6
+        |  JOIN full_w fa ON fa.i = a.i JOIN full_w fb ON fb.i = b.i
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT i, j, sad,
+        |    row_number() OVER (PARTITION BY i ORDER BY sad, j) AS rn
+        |  FROM sad)
+        |SELECT CAST(i AS BIGINT) AS win_start,
+        |  CAST(j AS BIGINT) AS nn_start, sad AS nn_sad
+        |FROM best WHERE rn = 1""".stripMargin,
+    "q562_seasonal_decompose" ->
+      s"""WITH $MonthlyCte,
+        |tr AS MATERIALIZED (
+        |  SELECT a.mi,
+        |    CAST(sum(CASE WHEN abs(b.mi - a.mi) = 6 THEN b.y
+        |      ELSE 2*b.y END) AS BIGINT) AS trend_x24,
+        |    count(*) AS nw
+        |  FROM m a JOIN m b ON b.mi BETWEEN a.mi - 6 AND a.mi + 6
+        |  GROUP BY 1 HAVING count(*) = 13),
+        |det AS MATERIALIZED (
+        |  SELECT t.mi, t.trend_x24, 24*m.y - t.trend_x24 AS detr_x24,
+        |    m.mi % 12 AS mo
+        |  FROM tr t JOIN m ON m.mi = t.mi),
+        |seas AS MATERIALIZED (
+        |  SELECT mo, CAST(CASE WHEN sum(detr_x24) >= 0
+        |    THEN sum(detr_x24) // count(*)
+        |    ELSE -((-sum(detr_x24)) // count(*)) END AS BIGINT)
+        |    AS seas_x24
+        |  FROM det GROUP BY 1)
+        |SELECT d.mi, d.trend_x24, d.detr_x24, s.seas_x24,
+        |  CAST(d.detr_x24 - s.seas_x24 AS BIGINT) AS resid_x24
+        |FROM det d JOIN seas s ON s.mo = d.mo""".stripMargin,
+    "q563_ljung_box" ->
+      s"""WITH $MonthlyCte,
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS sy FROM m),
+        |e AS MATERIALIZED (
+        |  SELECT mi, CAST(g.n * m.y - g.sy AS BIGINT) AS e
+        |  FROM m CROSS JOIN g),
+        |den AS (SELECT CAST(sum(CAST(e AS HUGEINT)*e) AS HUGEINT) AS d2
+        |  FROM e),
+        |lags AS (SELECT unnest(range(1, 13)) AS k),
+        |num AS MATERIALIZED (
+        |  SELECT l.k, CAST(coalesce(sum(a.e * b.e), 0) AS BIGINT) AS num
+        |  FROM lags l LEFT JOIN e a ON TRUE
+        |  LEFT JOIN e b ON b.mi = a.mi + l.k
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT n.k AS lag, n.num AS acf_num,
+        |    CAST(CASE WHEN n.num >= 0
+        |      THEN (1000000 * CAST(n.num AS HUGEINT)) // d.d2
+        |      ELSE -((1000000 * CAST(-n.num AS HUGEINT)) // d.d2) END
+        |      AS BIGINT) AS acf_ppm,
+        |    CAST((1000000 * g.n * (g.n+2) * CAST(n.num AS HUGEINT)
+        |      * n.num) // (d.d2 * d.d2 * (g.n - n.k)) AS BIGINT)
+        |      AS lb_term_ppm
+        |  FROM num n CROSS JOIN den d CROSS JOIN g)
+        |SELECT lag, acf_num, acf_ppm, lb_term_ppm,
+        |  CAST(sum(lb_term_ppm) OVER (ORDER BY lag) AS BIGINT)
+        |    AS lb_q_ppm
+        |FROM r""".stripMargin,
     "q552_wilcoxon_signed_rank" ->
       """WITH rev AS MATERIALIZED (
         |  SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS yr,
