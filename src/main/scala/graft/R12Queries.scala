@@ -296,24 +296,35 @@ object R12Queries {
         .filter(!((col("src") === col("x") && col("dst") === col("y")) ||
                   (col("src") === col("y") && col("dst") === col("x"))))
         .select(col("e"), col("src"), col("dst"))
-      val r0 = adj.select(col("e"), col("src").as("a"), col("dst").as("b"))
-        .unionByName(adj.select(col("e"), col("src").as("a"),
-                                col("src").as("b")))
-        .distinct()
-      val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
-        val nxt = r.as("p").join(r.as("q"),
-            col("q.e") === col("p.e") && col("q.a") === col("p.b"))
-          .select(col("p.e").as("e"), col("p.a").as("a"),
-                  col("q.b").as("b"))
-        r.unionByName(nxt).distinct().localCheckpoint(false)
+      // Only x(e) → y(e) reachability is asked, so the state is the
+      // SINGLE-SOURCE reachable set per removed edge — ≤ |E|·|V| rows,
+      // not the |E|·|V|² all-pairs closure. BFS to the FIXPOINT (row
+      // count is monotone; equal counts == exact reachability, ≤ |V|
+      // rounds always terminates — no fixed-round approximation). Joins
+      // stay hash-partitioned on the edge id, so every round is one
+      // co-partitioned dimension-sized shuffle.
+      val adjC = adj.select(col("e").as("ae"), col("src").as("asrc"),
+          col("dst").as("adst"))
+        .repartition(col("ae")).localCheckpoint(false)
+      var reach = eid.select(col("e"), col("x").as("b")).distinct()
+        .localCheckpoint(false)
+      var prev = -1L
+      var grown = reach.count()
+      while (grown != prev) {
+        prev = grown
+        val nxt = reach.join(adjC, col("e") === col("ae") &&
+            col("b") === col("asrc"))
+          .select(col("e"), col("adst").as("b"))
+        reach = reach.unionByName(nxt).distinct()
+          .localCheckpoint(false)
+        grown = reach.count()
       }
-      eid.as("d").join(r5.as("r"),
-          col("r.e") === col("d.e") && col("r.a") === col("d.x") &&
-          col("r.b") === col("d.y"), "left")
+      eid.as("d").join(reach.as("r"),
+          col("r.e") === col("d.e") && col("r.b") === col("d.y"), "left")
         .select(col("d.x").cast("long").as("src"),
                 col("d.y").cast("long").as("dst"),
                 col("d.w").as("weight"),
-                when(col("r.a").isNull, 1L).otherwise(0L).as("is_bridge"))
+                when(col("r.b").isNull, 1L).otherwise(0L).as("is_bridge"))
     }),
     "q571_shapley_attribution" -> ((s, dir) => {
       // Exact Shapley-value channel attribution over the 3 touch
