@@ -277,6 +277,182 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q575_anderson_darling" -> ((s, dir) => {
+      // Tie-adjusted (midrank) two-sample Anderson–Darling A²akN on
+      // whole-dollar order value, URGENT vs LOW: both samples collapse to
+      // ONE value-grain histogram, cumulative counts via cumSumByValue's
+      // two-phase prefix (no global single-partition sort), and each
+      // distinct value contributes one pinned HUGEINT/DECIMAL(38) DIV
+      // term (num² overflows int64; bound ≤ 1e33 documented). The
+      // tail-sensitive EDF distance — heavier tails than KS (q447).
+      val x = rd(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+                   .otherwise(0L)).as("na"),
+             sum(when(col("o_orderpriority") === "5-LOW", 1L)
+                   .otherwise(0L)).as("nb"))
+      val c = Profile.cumSumByValue(x, "v", Seq("na", "nb"))
+        .withColumnRenamed("cum_na", "ha").withColumnRenamed("cum_nb", "hb")
+        .withColumn("h", col("na") + col("nb"))
+      val tot = x.agg(sum(col("na")).cast("long").as("n1"),
+                      sum(col("nb")).cast("long").as("n2"),
+                      (sum(col("na")) + sum(col("nb"))).cast("long")
+                        .as("nn"),
+                      count(lit(1)).cast("long").as("n_distinct"))
+      def termSql(hi: String, ni: String, gi: String) =
+        s"""(1000000 * CAST(nn - 1 AS DECIMAL(38,0)) * h
+           |  * (CAST(nn AS DECIMAL(38,0))*(2*$hi - $ni)
+           |     - CAST($gi AS DECIMAL(38,0))*(2*(ha+hb) - h))
+           |  * (CAST(nn AS DECIMAL(38,0))*(2*$hi - $ni)
+           |     - CAST($gi AS DECIMAL(38,0))*(2*(ha+hb) - h)))
+           | DIV (CAST(nn AS DECIMAL(38,0)) * nn * $gi
+           |  * (CAST(2*(ha+hb) - h AS DECIMAL(38,0))
+           |      * (2*nn - 2*(ha+hb) + h)
+           |     - CAST(nn AS DECIMAL(38,0)) * h))""".stripMargin
+      c.crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+             max(col("n_distinct")).as("n_distinct"),
+             (sum(expr(termSql("ha", "na", "n1"))) +
+              sum(expr(termSql("hb", "nb", "n2")))).cast("long")
+               .as("ad_a2akn_ppm"))
+    }),
+    "q576_mmr_retrieval" -> ((s, dir) => {
+      // Maximal-marginal-relevance diversified retrieval: per query the
+      // greedy pick maximizing 0.7·cos(q,d) − 0.3·max cos(d, selected),
+      // 4 unrolled rounds over a top-12 relevance prefetch. The prefetch
+      // is the only corpus-wide pass; the MMR lattice (≤ 12² pairs per
+      // query) is dimension-grain. Ties break by neighbor id — engine-
+      // exact under the shared float-fold convention (FloatVecDot).
+      import graft.operators.Similarity
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.select(col("vec_id").as("nid"),
+                            col("embedding").as("cv"))
+        .join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("rel", Similarity.cosine(col("qv"), col("cv")))
+      val wPre = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("nid"))
+      val pre = scored.withColumn("rn", row_number().over(wPre))
+        .filter(col("rn") <= 12).drop("rn", "qv")
+        .localCheckpoint(false)
+      val pairs = pre.as("a").join(pre.as("b"),
+          col("b.qid") === col("a.qid") && col("b.nid") =!= col("a.nid"))
+        .select(col("a.qid").as("qid"), col("a.nid").as("a"),
+                col("b.nid").as("b"),
+                Similarity.cosine(col("a.cv"), col("b.cv")).as("sim"))
+        .localCheckpoint(false)
+      val cand = pre.select("qid", "nid", "rel")
+      val w1 = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("nid"))
+      var sel = cand.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(1L).as("pick_rank"),
+                col("rel").as("mmr"))
+      for (r <- 2 to 4) {
+        val remaining = cand.join(sel.select("qid", "nid"),
+                                  Seq("qid", "nid"), "left_anti")
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("mmr").desc, col("nid"))
+        val next = remaining.as("p")
+          .join(sel.select(col("qid"), col("nid").as("snid")), Seq("qid"))
+          .join(pairs.as("pp"), col("pp.qid") === col("p.qid") &&
+              col("pp.a") === col("p.nid") &&
+              col("pp.b") === col("snid"))
+          .groupBy(col("p.qid").as("qid"), col("p.nid").as("nid"),
+                   col("p.rel").as("rel"))
+          .agg(max(col("sim")).as("msim"))
+          .withColumn("mmr", lit(0.7) * col("rel") -
+                             lit(0.3) * col("msim"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid"), lit(r.toLong).as("pick_rank"),
+                  col("mmr"))
+        sel = sel.unionByName(next).localCheckpoint(false)
+      }
+      sel.select(col("qid").cast("long").as("query_id"),
+                 col("pick_rank"), col("nid").cast("long")
+                   .as("neighbor_id"),
+                 round(col("mmr"), 4).as("mmr_score"))
+    }),
+    "q577_stream_chained_stateful" -> ((s, dir) => {
+      // CHAINED stateful streaming — dropDuplicatesWithinWatermark
+      // followed by a windowed aggregation in ONE streaming query (two
+      // state stores, event-time propagated through the dedup): in-batch
+      // duplicate sends are suppressed by the first operator, the second
+      // rolls up daily counts, a far-future sentinel row drives the final
+      // watermark past every real window so append mode flushes them all.
+      // Equal to the batch distinct→rollup, re-derived by the oracle.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.events(s, dir).filter(col("user_id") % 5 === 2)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val sentinel = (-1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "__wm__")
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      // All real rows (plus in-batch duplicates of the even half) land in
+      // ONE batch: a stateful operator drops input older than the
+      // watermark, so a second data batch would lose rows behind the
+      // first batch's high-water mark. Batch 2 carries only the sentinel
+      // that flushes the windows.
+      val b1 = rows.filter(_._1 % 2 == 0)
+      src.addData(b1 ++ rows ++ b1: _*)
+      src.addData(sentinel)
+      val out = src.toDF().toDF("event_id", "ts", "event_type")
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_type") =!= "__wm__")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .count()
+      val tbl = "q577_ch_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
+        val q = out.writeStream.format("memory").queryName(tbl)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(tbl).select(col("w.start").as("day"), col("event_type"),
+                          col("count").cast("long").as("n"))
+    }),
+    "q578_partition_evolution" -> ((s, dir) => {
+      // Partition-spec evolution: the table's history half lives under
+      // the LEGACY spec (unpartitioned, 4 files) and the current half
+      // under the EVOLVED spec (one directory per month); one logical
+      // read unions both, and a month-range predicate prunes the evolved
+      // half to its 6 matching directories while the legacy half must
+      // scan all its files — the migration-without-rewrite contract,
+      // with the scanned-file counts emitted as proof.
+      val base = java.nio.file.Files
+        .createTempDirectory("q578_pe").toString
+      val o = rd(s, dir, "orders")
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .drop("m").repartition(4)
+        .write.mode("overwrite").parquet(s"$base/v1")
+      o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .repartition(col("m"))
+        .write.mode("overwrite").partitionBy("m").parquet(s"$base/v2")
+      val lo = "1996-07"
+      val hi = "1997-06"
+      val v1 = s.read.parquet(s"$base/v1")
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+        .filter(col("m") >= lo && col("m") <= hi)
+      val v2 = s.read.parquet(s"$base/v2")
+        .filter(col("m") >= lo && col("m") <= hi)
+        .select(v1.columns.map(col): _*)
+      val v1Files = v1.select(input_file_name()).distinct().count()
+      val v2Files = v2.select(input_file_name()).distinct().count()
+      v1.unionByName(v2)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("v1_files_read", lit(v1Files))
+        .withColumn("v2_files_read", lit(v2Files))
+    }),
     "q570_bridges" -> ((s, dir) => {
       // Cut edges (bridges) of the thresholded nation-trade graph: for
       // every edge, reachability in G∖{e} via 5 path-DOUBLING rounds —
@@ -961,7 +1137,129 @@ object R12Queries {
       |      AND b.yi < a.yi), 0) AS BIGINT) AS disc2
       |  FROM cells a CROSS JOIN cells b)""".stripMargin
 
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** One unrolled MMR greedy round (q576): pick r from the remaining
+    * prefetch candidates by 0.7·rel − 0.3·max(sim to selected).
+    */
+  private def mmrRound(r: Int): String =
+    s"""s$r AS MATERIALIZED (
+       |  SELECT * FROM s${r - 1}
+       |  UNION ALL
+       |  SELECT qid, nid, $r AS pick_rank, mmr FROM (
+       |    SELECT p.qid, p.nid,
+       |      0.7 * p.rel - 0.3 * max(pp.sim) AS mmr,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY 0.7 * p.rel - 0.3 * max(pp.sim) DESC, p.nid)
+       |        AS rn
+       |    FROM pre p
+       |    JOIN s${r - 1} s ON s.qid = p.qid
+       |    JOIN pairs pp ON pp.qid = p.qid AND pp.a = p.nid
+       |      AND pp.b = s.nid
+       |    WHERE p.nid NOT IN (SELECT nid FROM s${r - 1} x
+       |                        WHERE x.qid = p.qid)
+       |    GROUP BY p.qid, p.nid, p.rel)
+       |  WHERE rn = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q575_anderson_darling" ->
+      """WITH x AS MATERIALIZED (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+        |      AS BIGINT) AS nb
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT v, na, nb, na + nb AS h,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ha,
+        |    CAST(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS hb
+        |  FROM x),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |  CAST(sum(nb) AS BIGINT) AS n2,
+        |  CAST(sum(na + nb) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS n_distinct FROM x)
+        |SELECT t.n1, t.n2, t.n_distinct,
+        |  CAST((SELECT
+        |    sum((1000000 * CAST(t.nn - 1 AS HUGEINT) * c.h
+        |      * (CAST(t.nn AS HUGEINT)*(2*c.ha - c.na)
+        |         - CAST(t.n1 AS HUGEINT)*(2*(c.ha+c.hb) - c.h))
+        |      * (CAST(t.nn AS HUGEINT)*(2*c.ha - c.na)
+        |         - CAST(t.n1 AS HUGEINT)*(2*(c.ha+c.hb) - c.h)))
+        |     // (CAST(t.nn AS HUGEINT) * t.nn * t.n1
+        |      * (CAST(2*(c.ha+c.hb) - c.h AS HUGEINT)
+        |          * (2*t.nn - 2*(c.ha+c.hb) + c.h)
+        |         - CAST(t.nn AS HUGEINT) * c.h)))
+        |    + sum((1000000 * CAST(t.nn - 1 AS HUGEINT) * c.h
+        |      * (CAST(t.nn AS HUGEINT)*(2*c.hb - c.nb)
+        |         - CAST(t.n2 AS HUGEINT)*(2*(c.ha+c.hb) - c.h))
+        |      * (CAST(t.nn AS HUGEINT)*(2*c.hb - c.nb)
+        |         - CAST(t.n2 AS HUGEINT)*(2*(c.ha+c.hb) - c.h)))
+        |     // (CAST(t.nn AS HUGEINT) * t.nn * t.n2
+        |      * (CAST(2*(c.ha+c.hb) - c.h AS HUGEINT)
+        |          * (2*t.nn - 2*(c.ha+c.hb) + c.h)
+        |         - CAST(t.nn AS HUGEINT) * c.h)))
+        |    FROM c) AS BIGINT) AS ad_a2akn_ppm
+        |FROM tot t""".stripMargin,
+    "q576_mmr_retrieval" ->
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 16),
+        |scored AS MATERIALIZED (
+        |  SELECT q.qid, c.vec_id AS nid, c.embedding AS cv,
+        |    ${cosSql("q.qv", "c.embedding")} AS rel
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.qid),
+        |pre AS MATERIALIZED (
+        |  SELECT qid, nid, cv, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, nid) AS rn FROM scored)
+        |  WHERE rn <= 12),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.qid, a.nid AS a, b.nid AS b,
+        |    ${cosSql("a.cv", "b.cv")} AS sim
+        |  FROM pre a JOIN pre b ON b.qid = a.qid AND b.nid <> a.nid),
+        |s1 AS MATERIALIZED (
+        |  SELECT qid, nid, 1 AS pick_rank, rel AS mmr FROM (
+        |    SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, nid) AS rn FROM pre)
+        |  WHERE rn = 1),
+        |${(2 to 4).map(mmrRound).mkString(",\n")}
+        |SELECT CAST(qid AS BIGINT) AS query_id,
+        |  CAST(pick_rank AS BIGINT) AS pick_rank,
+        |  CAST(nid AS BIGINT) AS neighbor_id,
+        |  round(mmr, 4) AS mmr_score
+        |FROM s4""".stripMargin,
+    "q577_stream_chained_stateful" ->
+      """WITH src AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE user_id % 5 = 2),
+        |d AS (SELECT DISTINCT event_id, ts, event_type FROM src)
+        |SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q578_partition_evolution" ->
+      """WITH mr AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1997-07-01'
+        |  GROUP BY 1),
+        |v2f AS (
+        |  SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+        |    AS BIGINT) AS v2_files_read
+        |  FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01')
+        |SELECT mr.m, mr.n, CAST(4 AS BIGINT) AS v1_files_read,
+        |  v2f.v2_files_read
+        |FROM mr CROSS JOIN v2f""".stripMargin,
     "q570_bridges" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT least(c.c_nationkey, s.s_nationkey) AS x,
