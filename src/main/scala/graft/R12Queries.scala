@@ -277,6 +277,374 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q585_luby_mis" -> ((s, dir) => {
+      // Luby's maximal independent set with DETERMINISTIC md5 priorities
+      // (60-bit, collision-free over item ids): each round every
+      // undecided node beating all undecided neighbors joins the MIS and
+      // knocks its neighbors out — 4 fixed rounds (the fixed-sweep
+      // determinism contract; this graph fully decides in 4). The
+      // O(log n)-round symmetric-breaking primitive behind distributed
+      // scheduling and graph coloring.
+      val sym = symEdges(copurchaseEdges(s, dir)).localCheckpoint(false)
+      val prio = expr("CAST(conv(substring(md5(CAST(v AS STRING)), 1, " +
+                      "15), 16, 10) AS BIGINT)")
+      var u = sym.select(col("src").as("v")).distinct()
+        .withColumn("pr", prio).localCheckpoint(false)
+      var mis = u.filter(lit(false)).select(col("v"))
+      for (_ <- 1 to 4) {
+        val nbmax = sym.join(u.select(col("v").as("dst"),
+                                      col("pr").as("npr")), Seq("dst"))
+          .join(u.select(col("v").as("src")), Seq("src"))
+          .groupBy(col("src").as("v"))
+          .agg(max(col("npr")).as("mx"))
+        val win = u.join(nbmax, Seq("v"), "left")
+          .filter(col("mx").isNull || col("pr") > col("mx"))
+          .select("v").localCheckpoint(false)
+        mis = mis.unionByName(win).distinct()
+        val knocked = sym.join(win.select(col("v").as("dst")), Seq("dst"))
+          .select(col("src").as("v")).distinct()
+        u = u.join(win, Seq("v"), "left_anti")
+          .join(knocked, Seq("v"), "left_anti")
+          .localCheckpoint(false)
+      }
+      mis.select(col("v").cast("long").as("node"), lit(1L).as("in_mis"))
+        .unionByName(u.select(col("v").cast("long").as("node"),
+                              lit(0L).as("in_mis")))
+    }),
+    "q586_sorted_neighborhood" -> ((s, dir) => {
+      // Sorted-neighborhood entity-resolution blocking: rank part names
+      // lexicographically (order-preserving 8-byte ascii pack feeds
+      // cellRank — no single-partition sort), pair each record with its
+      // 3 successors, verify candidates with the native jaro_winkler.
+      // Emits the blocking-efficiency audit: candidates vs all pairs
+      // (reduction ratio) and survivors — the window-blocking
+      // alternative to LSH (q18) and prefix filtering (q488).
+      val packed = (1 to 8).map(i =>
+        s"ascii(substr(nm, $i, 1)) * ${math.pow(256.0, 8 - i).toLong}L")
+        .mkString(" + ")
+      val e = rd(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        .withColumn("packed", expr(packed))
+      val rk = Profile.cellRank(e, Seq.empty, "packed", Seq("nm", "id"))
+        .select(col("id"), col("nm"), col("_rank").as("rk"))
+        .localCheckpoint(false)
+      val tot = rk.agg(count(lit(1)).cast("long").as("n"))
+      rk.as("a").join(rk.as("b"),
+          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + 3)
+        .select(graft.functions.JaroWinkler(col("a.nm"), col("b.nm"))
+                  .as("jw"))
+        .crossJoin(broadcast(tot))
+        .agg(count(lit(1)).cast("long").as("n_candidates"),
+             sum(when(col("jw") >= 0.94, 1L).otherwise(0L)).cast("long")
+               .as("n_matches"),
+             expr("CAST(1000000 - (1000000 * count(1) * 2)" +
+                  " DIV (max(n) * (max(n) - 1)) AS BIGINT)")
+               .as("reduction_ratio_ppm"))
+    }),
+    "q587_consistent_hash" -> ((s, dir) => {
+      // Consistent-hashing ring audit: 8 servers × 32 md5-placed virtual
+      // nodes, every customer key routed to its clockwise successor
+      // (wraparound = global min vnode). The ring is dimension-sized and
+      // BROADCAST — each key's successor resolves map-side with a
+      // partial-agg min, no shuffle of the key×vnode product. Emits the
+      // per-server load and share — the balance proof V virtual nodes
+      // are supposed to buy.
+      import s.implicits._
+      def h(sqlExpr: String) = expr(
+        s"CAST(conv(substring(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)")
+      val vn = (0 until 8).flatMap(si => (0 until 32).map(vi =>
+          (s"s$si", s"s$si-$vi"))).toDF("server", "vkey")
+        .withColumn("vh", h("vkey")).drop("vkey")
+        .localCheckpoint(false)
+      val wrap = vn.agg(min(col("vh")).as("wrap"))
+      val keys = rd(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+        .withColumn("kh", h("CAST(k AS STRING)"))
+      val asg = keys.join(broadcast(vn), col("vh") >= col("kh"), "left")
+        .groupBy(col("k"))
+        .agg(min(col("vh")).as("tvh"))
+        .crossJoin(broadcast(wrap))
+        .select(col("k"), coalesce(col("tvh"), col("wrap")).as("tvh"))
+      val byServer = asg.join(broadcast(vn), col("vh") === col("tvh"))
+        .groupBy(col("server"))
+        .agg(count(lit(1)).cast("long").as("n_keys"))
+      val tot = byServer.agg(sum(col("n_keys")).cast("long").as("n"))
+      byServer.crossJoin(broadcast(tot))
+        .select(col("server"), col("n_keys"),
+                expr("(1000000 * n_keys) DIV n").as("share_ppm"))
+    }),
+    "q588_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry strength from pairwise monthly-revenue wins across
+      // regions (the arena-style ranking-from-comparisons model): the MM
+      // update p'ᵢ = wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ) run 3 fixed rounds with pinned
+      // 1e12 DIVs and a 5e6-sum renormalization per round. Comparisons
+      // collapse to the |items|² table before any iteration.
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"),
+                                             revUnit.as("r"))
+      val rev = li
+        .join(rd(s, dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("item"),
+                 expr("year(o_orderdate) * 12 + month(o_orderdate)")
+                   .as("mi"))
+        .agg(sum(col("r")).as("v"))
+      val comp = rev.as("a").join(rev.as("b"),
+          col("b.mi") === col("a.mi") && col("b.item") =!= col("a.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).cast("long").as("n_ij"),
+             sum(when(col("a.v") > col("b.v") ||
+                      (col("a.v") === col("b.v") &&
+                       col("a.item") < col("b.item")), 1L).otherwise(0L))
+               .cast("long").as("w_ij"))
+        .localCheckpoint(false)
+      val wins = comp.groupBy(col("i").as("item"))
+        .agg(sum(col("w_ij")).cast("long").as("w"))
+        .localCheckpoint(false)
+      var p = wins.select(col("item"), lit(1000000L).as("p"))
+      for (_ <- 1 to 3) {
+        val d = comp
+          .join(p.select(col("item").as("i"), col("p").as("pi")),
+                Seq("i"))
+          .join(p.select(col("item").as("j"), col("p").as("pj")),
+                Seq("j"))
+          .groupBy(col("i").as("item"))
+          .agg(sum(expr("(n_ij * 1000000000000L) DIV (pi + pj)"))
+                 .cast("long").as("d"))
+        val praw = wins.join(d, Seq("item"))
+          .select(col("item"), expr("(w * 1000000000000L) DIV d")
+                    .as("praw"))
+        val tot = praw.agg(sum(col("praw")).cast("long").as("tp"))
+        p = praw.crossJoin(broadcast(tot))
+          .select(col("item"), expr("(praw * 5000000) DIV tp").as("p"))
+          .localCheckpoint(false)
+      }
+      p.join(wins, Seq("item"))
+        .select(col("item"), col("w").as("wins"),
+                col("p").as("bt_strength_ppm"))
+    }),
+    "q579_dhondt" -> ((s, dir) => {
+      // D'Hondt highest-averages apportionment: 20 slots across regions
+      // by order volume. Quotients v/d are compared through one pinned
+      // 1e12-quantization (deterministic; ties then break by party, d).
+      // Votes collapse in one rollup; the quotient lattice is
+      // |parties|·|slots| ≤ 100 rows — the divisor-method counterpart to
+      // q489's largest-remainder.
+      val votes = rd(s, dir, "orders")
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("party"))
+        .agg(count(lit(1)).cast("long").as("v"))
+      val quo = votes.crossJoin(s.range(1, 21).select(col("id").as("d")))
+        .withColumn("q", expr("(v * 1000000000000L) DIV d"))
+      val w = Window.partitionBy(DimKey.one)
+        .orderBy(col("q").desc, col("party"), col("d"))
+      quo.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy(col("party"))
+        .agg(max(col("v")).cast("long").as("votes"),
+             count(lit(1)).cast("long").as("seats"))
+    }),
+    "q580_ipf_raking" -> ((s, dir) => {
+      // Iterative proportional fitting (raking): calibrate the 1996
+      // (region × priority) cell counts to the 1997 row and column
+      // margins — two row+column sweeps, each a pinned micro-weight DIV
+      // (the product needs DECIMAL(38); weights stay int64). The survey-
+      // reweighting primitive; every sweep is one margin rollup + one
+      // broadcast join over the 25-cell grid.
+      val cell = rd(s, dir, "orders")
+        .filter(expr("year(o_orderdate) IN (1996, 1997)"))
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("reg"), col("o_orderpriority").as("pri"))
+        .agg(sum(expr("CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END"))
+               .cast("long").as("n96"),
+             sum(expr("CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END"))
+               .cast("long").as("n97"))
+        .localCheckpoint(false)
+      val rt = cell.groupBy(col("reg")).agg(sum(col("n97")).cast("long").as("rt"))
+      val ct = cell.groupBy(col("pri")).agg(sum(col("n97")).cast("long").as("ct"))
+      def rowSweep(w: DataFrame): DataFrame = {
+        val rs = w.groupBy(col("reg")).agg(sum(col("w")).cast("long").as("rs"))
+        w.join(broadcast(rt), Seq("reg")).join(broadcast(rs), Seq("reg"))
+          .withColumn("w", expr(
+            "CAST((CAST(w AS DECIMAL(38,0)) * rt * 1000000) DIV rs AS BIGINT)"))
+          .drop("rt", "rs")
+      }
+      def colSweep(w: DataFrame): DataFrame = {
+        val cs = w.groupBy(col("pri")).agg(sum(col("w")).cast("long").as("cs"))
+        w.join(broadcast(ct), Seq("pri")).join(broadcast(cs), Seq("pri"))
+          .withColumn("w", expr(
+            "CAST((CAST(w AS DECIMAL(38,0)) * ct * 1000000) DIV cs AS BIGINT)"))
+          .drop("ct", "cs")
+      }
+      val w0 = cell.select(col("reg"), col("pri"),
+                           (col("n96") * 1000000L).as("w"))
+      val w4 = colSweep(rowSweep(colSweep(rowSweep(w0))))
+      w4.join(broadcast(rt), Seq("reg"))
+        .select(col("reg"), col("pri"), col("w").as("weight_micro"),
+                col("rt").as("row_target"))
+    }),
+    "q581_delong_auc" -> ((s, dir) => {
+      // DeLong AUC with its variance components: placements of positives
+      // among negatives (and vice versa) per DISTINCT score value via
+      // cumSumByValue (tie-aware ×2), then the n²-scaled placement
+      // variances S10/S01 in ppb — the machinery behind AUC confidence
+      // intervals, exact to the quantization. Score = brand return-rate
+      // permille fit on 1995–96, outcomes 1997.
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), expr("year(o_orderdate)").as("yr"))
+      val p = rd(s, dir, "part").select("p_partkey", "p_brand")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val fit = joined.filter(col("yr").isin(1995, 1996))
+        .groupBy(col("p_brand"))
+        .agg(expr("(1000 * sum(y)) DIV count(1)").as("v"))
+      val h = joined.filter(col("yr") === 1997)
+        .join(broadcast(fit), Seq("p_brand"))
+        .groupBy(col("v"))
+        .agg(sum(col("y")).as("hp"),
+             sum(lit(1L) - col("y")).as("hn"))
+      val c = Profile.cumSumByValue(h, "v", Seq("hp", "hn"))
+        .withColumn("cn_lt", col("cum_hn") - col("hn"))
+        .withColumn("cp_lt", col("cum_hp") - col("hp"))
+      val tot = h.agg(sum(col("hp")).cast("long").as("np"),
+                      sum(col("hn")).cast("long").as("nn"))
+      val pl = c.crossJoin(broadcast(tot))
+        .withColumn("plp_x2", lit(2L) * col("cn_lt") + col("hn"))
+        .withColumn("pln_x2",
+          lit(2L) * (col("np") - col("cp_lt") - col("hp")) + col("hp"))
+      pl.agg(
+          sum((col("hp") * col("plp_x2")).cast("decimal(38,0)")).as("sp1"),
+          sum(col("hp") * col("plp_x2").cast("decimal(38,0)")
+              * col("plp_x2")).as("sp2"),
+          sum((col("hn") * col("pln_x2")).cast("decimal(38,0)")).as("sn1"),
+          sum(col("hn") * col("pln_x2").cast("decimal(38,0)")
+              * col("pln_x2")).as("sn2"),
+          max(col("np")).as("np"), max(col("nn")).as("nn"))
+        .select(col("np"), col("nn"),
+          expr("CAST((1000000 * sp1) DIV (2 * np * nn) AS BIGINT)")
+            .as("auc_ppm"),
+          expr("""CAST((1000000000 * (np * sp2 - sp1 * sp1))
+                 | DIV (CAST(np AS DECIMAL(38,0)) * np * (np - 1)
+                 |      * 4 * nn * nn) AS BIGINT)""".stripMargin)
+            .as("s10_ppb"),
+          expr("""CAST((1000000000 * (nn * sn2 - sn1 * sn1))
+                 | DIV (CAST(nn AS DECIMAL(38,0)) * nn * (nn - 1)
+                 |      * 4 * np * np) AS BIGINT)""".stripMargin)
+            .as("s01_ppb"))
+    }),
+    "q582_mantel_haenszel" -> ((s, dir) => {
+      // Mantel–Haenszel pooled odds ratio across region strata (exposure
+      // = URGENT priority, outcome = returned): per-stratum ad/n and
+      // bc/n as pinned ppm DIVs, pooled as the ratio of their sums —
+      // the confounding-safe pooling that q371's Simpson check motivates.
+      // One fact pass to the 5-stratum 2×2 table.
+      val strata = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+        .join(rd(s, dir, "orders")
+                .select(col("o_orderkey"), col("o_custkey"),
+                        when(col("o_orderpriority") === "1-URGENT", 1L)
+                          .otherwise(0L).as("exp")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("stratum"))
+        .agg(sum(when(col("exp") === 1L && col("ret") === 1L, 1L)
+                   .otherwise(0L)).cast("long").as("a"),
+             sum(when(col("exp") === 1L && col("ret") === 0L, 1L)
+                   .otherwise(0L)).cast("long").as("b"),
+             sum(when(col("exp") === 0L && col("ret") === 1L, 1L)
+                   .otherwise(0L)).cast("long").as("c"),
+             sum(when(col("exp") === 0L && col("ret") === 0L, 1L)
+                   .otherwise(0L)).cast("long").as("d"))
+        .withColumn("num_ppm", expr("(1000000 * a * d) DIV (a+b+c+d)"))
+        .withColumn("den_ppm", expr("(1000000 * b * c) DIV (a+b+c+d)"))
+        .localCheckpoint(false)
+      val pooled = strata.agg(
+        expr("CAST((1000000 * sum(num_ppm)) DIV sum(den_ppm) AS BIGINT)")
+          .as("mh_or_ppm"))
+      strata.crossJoin(broadcast(pooled))
+        .select("stratum", "a", "b", "c", "d", "num_ppm", "den_ppm",
+                "mh_or_ppm")
+    }),
+    "q583_cochran_q" -> ((s, dir) => {
+      // Cochran's Q for the 3 correlated binary raters of q567: marginal
+      // homogeneity over matched documents — Q = 2·Σ(3C_j − S)² /
+      // (3·(3S − ΣR²)) in ppm, all from ONE aggregate over the votes
+      // (the k=3 closed form; blocks never materialize beyond their
+      // row sums).
+      val votes = rd(s, dir, "documents").select(
+        when(col("n_chars") >= 250L, 1L).otherwise(0L).as("r1"),
+        when(expr("length(text) - length(replace(text, ' ', '')) + 1")
+               >= 40L, 1L).otherwise(0L).as("r2"),
+        when(expr("length(text) - length(replace(text, 'e', ''))")
+               >= 20L, 1L).otherwise(0L).as("r3"))
+      votes.agg(count(lit(1)).cast("long").as("n"),
+                sum(col("r1")).cast("long").as("c1"),
+                sum(col("r2")).cast("long").as("c2"),
+                sum(col("r3")).cast("long").as("c3"),
+                sum(col("r1") + col("r2") + col("r3")).cast("long")
+                  .as("sr"),
+                sum((col("r1") + col("r2") + col("r3")) *
+                    (col("r1") + col("r2") + col("r3"))).cast("long")
+                  .as("sr2"))
+        .select(col("n"), col("c1"), col("c2"), col("c3"),
+          expr("""CAST((1000000 * 2 * ((3*c1-sr)*(3*c1-sr)
+                 |  + (3*c2-sr)*(3*c2-sr) + (3*c3-sr)*(3*c3-sr)))
+                 | DIV (3 * (3*sr - sr2)) AS BIGINT)""".stripMargin)
+            .as("q_ppm"))
+    }),
+    "q584_wasserstein" -> ((s, dir) => {
+      // Wasserstein-1 (earth mover's) distance between the URGENT and
+      // LOW order-value distributions: W1 = ∫|F_A − F_B| dx on the
+      // dollar grid, scaled ×n1·n2 to stay integral — cumulative counts
+      // via cumSumByValue, consecutive-value gaps via cellRank + a
+      // rank+1 self-join (no single-partition sort anywhere). The
+      // actual-transport-cost companion to TVD (q338) and KS (q447).
+      val x = rd(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+                   .otherwise(0L)).as("na"),
+             sum(when(col("o_orderpriority") === "5-LOW", 1L)
+                   .otherwise(0L)).as("nb"))
+      val c = Profile.cellRank(
+          Profile.cumSumByValue(x, "v", Seq("na", "nb")),
+          Seq.empty, "v", Seq.empty)
+        .select(col("v"), col("_rank").as("rk"),
+                col("cum_na").as("ca"), col("cum_nb").as("cb"))
+        .localCheckpoint(false)
+      val tot = x.agg(sum(col("na")).cast("long").as("n1"),
+                      sum(col("nb")).cast("long").as("n2"))
+      c.as("a").join(c.as("b"), col("b.rk") === col("a.rk") + 1)
+        .select(col("a.ca").as("ca"), col("a.cb").as("cb"),
+                (col("b.v") - col("a.v")).as("dv"))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+             sum(abs(col("n2") * col("ca") - col("n1") * col("cb"))
+                 * col("dv")).cast("long").as("w1_scaled"))
+        .withColumn("w1_milli_dollars",
+                    expr("(1000 * w1_scaled) DIV (n1 * n2)"))
+    }),
     "q575_anderson_darling" -> ((s, dir) => {
       // Tie-adjusted (midrank) two-sample Anderson–Darling A²akN on
       // whole-dollar order value, URGENT vs LOW: both samples collapse to
@@ -1166,7 +1534,326 @@ object R12Queries {
        |    GROUP BY p.qid, p.nid, p.rel)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Shared oracle fragment: orders joined to their customer's region
+    * name (q579/q580/q582).
+    */
+  private val OrdersRegionCte: String =
+    """oreg AS MATERIALIZED (
+      |  SELECT o.*, r.r_name AS reg
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey)""".stripMargin
+
+  /** One Luby round (q585): undecided beating all undecided neighbors
+    * joins the MIS; winners and their neighbors leave the undecided set.
+    */
+  private def lubyRound(r: Int): String =
+    s"""nbmax$r AS MATERIALIZED (
+       |  SELECT a.src AS v, CAST(max(b.pr) AS BIGINT) AS mx
+       |  FROM sym a JOIN u${r - 1} b ON b.v = a.dst
+       |  WHERE a.src IN (SELECT v FROM u${r - 1})
+       |  GROUP BY 1),
+       |win$r AS MATERIALIZED (
+       |  SELECT u.v FROM u${r - 1} u LEFT JOIN nbmax$r nb ON nb.v = u.v
+       |  WHERE nb.v IS NULL OR u.pr > nb.mx),
+       |s$r AS MATERIALIZED (
+       |  SELECT v FROM s${r - 1} UNION SELECT v FROM win$r),
+       |u$r AS MATERIALIZED (
+       |  SELECT u.v, u.pr FROM u${r - 1} u
+       |  WHERE u.v NOT IN (SELECT v FROM win$r)
+       |    AND u.v NOT IN (SELECT a.src FROM sym a
+       |                    JOIN win$r w ON w.v = a.dst))""".stripMargin
+
+  /** One Bradley–Terry MM round (q588): p' = w / Σ n/(p_i+p_j), pinned
+    * 1e12 DIVs, renormalized to sum 5e6.
+    */
+  private def btRound(r: Int): String =
+    s"""praw$r AS MATERIALIZED (
+       |  SELECT w.item, CAST((w.w * 1000000000000) // d.d AS BIGINT)
+       |    AS praw
+       |  FROM wins w JOIN (
+       |    SELECT c.i AS item,
+       |      CAST(sum((c.n_ij * 1000000000000) // (pa.p + pb.p))
+       |        AS BIGINT) AS d
+       |    FROM comp c JOIN p${r - 1} pa ON pa.item = c.i
+       |    JOIN p${r - 1} pb ON pb.item = c.j
+       |    GROUP BY 1) d ON d.item = w.item),
+       |p$r AS MATERIALIZED (
+       |  SELECT item, CAST((praw * 5000000)
+       |    // (SELECT sum(praw) FROM praw$r) AS BIGINT) AS p
+       |  FROM praw$r)""".stripMargin
+
+  /** md5-derived 60-bit deterministic hash (q585/q587), DuckDB-side. */
+  private def mdHashSql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::UBIGINT::BIGINT)"
+
   def oracleSql: Map[String, String] = Map(
+    "q585_luby_mis" ->
+      s"""WITH $CopurchaseCte,
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS v, ${mdHashSql("CAST(src AS VARCHAR)")} AS pr
+        |  FROM (SELECT DISTINCT src FROM sym)),
+        |u0 AS MATERIALIZED (SELECT v, pr FROM nodes),
+        |s0 AS MATERIALIZED (SELECT v FROM nodes WHERE 1 = 0),
+        |${(1 to 4).map(lubyRound).mkString(",\n")}
+        |SELECT CAST(v AS BIGINT) AS node, CAST(1 AS BIGINT) AS in_mis
+        |FROM s4
+        |UNION ALL
+        |SELECT CAST(v AS BIGINT), 0 FROM u4""".stripMargin,
+    "q586_sorted_neighborhood" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+        |  FROM part),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |cand AS (
+        |  SELECT a.nm AS nm_a, b.nm AS nm_b
+        |  FROM e a JOIN e b ON b.rk > a.rk AND b.rk <= a.rk + 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN jaro_winkler_similarity(nm_a, nm_b) >= 0.94
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        |  CAST(1000000 - (1000000 * count(*) * 2)
+        |    // (t.n * (t.n - 1)) AS BIGINT) AS reduction_ratio_ppm
+        |FROM cand CROSS JOIN tot t GROUP BY t.n""".stripMargin,
+    "q587_consistent_hash" ->
+      s"""WITH servers AS (SELECT 's' || CAST(si AS VARCHAR) AS server
+        |  FROM (SELECT unnest(range(0, 8)) AS si)),
+        |vn AS MATERIALIZED (
+        |  SELECT server,
+        |    ${mdHashSql("server || '-' || CAST(vi AS VARCHAR)")} AS vh
+        |  FROM servers CROSS JOIN (SELECT unnest(range(0, 32)) AS vi) v),
+        |mn AS (SELECT min(vh) AS wrap FROM vn),
+        |keys AS MATERIALIZED (
+        |  SELECT c_custkey AS k,
+        |    ${mdHashSql("CAST(c_custkey AS VARCHAR)")} AS kh
+        |  FROM customer),
+        |asg AS MATERIALIZED (
+        |  SELECT k.k, coalesce(min(vn.vh) FILTER (WHERE vn.vh >= k.kh),
+        |    (SELECT wrap FROM mn)) AS tvh
+        |  FROM keys k CROSS JOIN vn GROUP BY k.k),
+        |byserver AS (
+        |  SELECT v.server, CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM asg a JOIN vn v ON v.vh = a.tvh GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_keys) AS BIGINT) AS n FROM byserver)
+        |SELECT b.server, b.n_keys,
+        |  CAST((1000000 * b.n_keys) // t.n AS BIGINT) AS share_ppm
+        |FROM byserver b CROSS JOIN tot t""".stripMargin,
+    "q588_bradley_terry" ->
+      s"""WITH $OrdersRegionCte,
+        |rev AS MATERIALIZED (
+        |  SELECT o.reg AS item,
+        |    year(o.o_orderdate)*12 + month(o.o_orderdate) AS mi,
+        |    CAST(sum(CAST(floor(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(floor(l.l_discount*100) AS BIGINT)))
+        |      AS BIGINT) AS v
+        |  FROM lineitem l JOIN oreg o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |comp AS MATERIALIZED (
+        |  SELECT a.item AS i, b.item AS j,
+        |    CAST(count(*) AS BIGINT) AS n_ij,
+        |    CAST(sum(CASE WHEN a.v > b.v
+        |      OR (a.v = b.v AND a.item < b.item) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_ij
+        |  FROM rev a JOIN rev b ON b.mi = a.mi AND b.item <> a.item
+        |  GROUP BY 1, 2),
+        |wins AS MATERIALIZED (
+        |  SELECT i AS item, CAST(sum(w_ij) AS BIGINT) AS w
+        |  FROM comp GROUP BY 1),
+        |p0 AS MATERIALIZED (
+        |  SELECT item, CAST(1000000 AS BIGINT) AS p FROM wins),
+        |${(1 to 3).map(btRound).mkString(",\n")}
+        |SELECT p3.item, w.w AS wins, p3.p AS bt_strength_ppm
+        |FROM p3 JOIN wins w ON w.item = p3.item""".stripMargin,
+    "q579_dhondt" ->
+      s"""WITH $OrdersRegionCte,
+        |votes AS MATERIALIZED (
+        |  SELECT reg AS party, CAST(count(*) AS BIGINT) AS v
+        |  FROM oreg GROUP BY 1),
+        |quo AS (
+        |  SELECT party, v, d.d,
+        |    CAST((v * 1000000000000) // d.d AS BIGINT) AS q
+        |  FROM votes CROSS JOIN (SELECT unnest(range(1, 21)) AS d) d),
+        |top AS (SELECT *, row_number() OVER (ORDER BY q DESC, party, d)
+        |  AS rn FROM quo)
+        |SELECT party, CAST(max(v) AS BIGINT) AS votes,
+        |  CAST(count(*) AS BIGINT) AS seats
+        |FROM top WHERE rn <= 20 GROUP BY 1""".stripMargin,
+    "q580_ipf_raking" ->
+      s"""WITH $OrdersRegionCte,
+        |cell AS MATERIALIZED (
+        |  SELECT reg, o_orderpriority AS pri,
+        |    CAST(count(*) FILTER (WHERE year(o_orderdate) = 1996)
+        |      AS BIGINT) AS n96,
+        |    CAST(count(*) FILTER (WHERE year(o_orderdate) = 1997)
+        |      AS BIGINT) AS n97
+        |  FROM oreg WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |rt AS MATERIALIZED (SELECT reg, CAST(sum(n97) AS BIGINT) AS t
+        |  FROM cell GROUP BY 1),
+        |ct AS MATERIALIZED (SELECT pri, CAST(sum(n97) AS BIGINT) AS t
+        |  FROM cell GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT reg, pri,
+        |  CAST(n96 * 1000000 AS BIGINT) AS w FROM cell),
+        |w1 AS MATERIALIZED (
+        |  SELECT w0.reg, w0.pri,
+        |    CAST((CAST(w0.w AS HUGEINT) * rt.t * 1000000) // rs.s
+        |      AS BIGINT) AS w
+        |  FROM w0 JOIN rt ON rt.reg = w0.reg
+        |  JOIN (SELECT reg, CAST(sum(w) AS BIGINT) AS s FROM w0
+        |        GROUP BY 1) rs ON rs.reg = w0.reg),
+        |w2 AS MATERIALIZED (
+        |  SELECT w1.reg, w1.pri,
+        |    CAST((CAST(w1.w AS HUGEINT) * ct.t * 1000000) // cs.s
+        |      AS BIGINT) AS w
+        |  FROM w1 JOIN ct ON ct.pri = w1.pri
+        |  JOIN (SELECT pri, CAST(sum(w) AS BIGINT) AS s FROM w1
+        |        GROUP BY 1) cs ON cs.pri = w1.pri),
+        |w3 AS MATERIALIZED (
+        |  SELECT w2.reg, w2.pri,
+        |    CAST((CAST(w2.w AS HUGEINT) * rt.t * 1000000) // rs.s
+        |      AS BIGINT) AS w
+        |  FROM w2 JOIN rt ON rt.reg = w2.reg
+        |  JOIN (SELECT reg, CAST(sum(w) AS BIGINT) AS s FROM w2
+        |        GROUP BY 1) rs ON rs.reg = w2.reg),
+        |w4 AS MATERIALIZED (
+        |  SELECT w3.reg, w3.pri,
+        |    CAST((CAST(w3.w AS HUGEINT) * ct.t * 1000000) // cs.s
+        |      AS BIGINT) AS w
+        |  FROM w3 JOIN ct ON ct.pri = w3.pri
+        |  JOIN (SELECT pri, CAST(sum(w) AS BIGINT) AS s FROM w3
+        |        GROUP BY 1) cs ON cs.pri = w3.pri)
+        |SELECT w4.reg, w4.pri, w4.w AS weight_micro,
+        |  CAST(rt.t AS BIGINT) AS row_target
+        |FROM w4 JOIN rt ON rt.reg = w4.reg""".stripMargin,
+    "q581_delong_auc" ->
+      """WITH fit AS MATERIALIZED (
+        |  SELECT p.p_brand AS brand,
+        |    CAST((1000 * sum(CASE WHEN l.l_returnflag = 'R' THEN 1
+        |      ELSE 0 END)) // count(*) AS BIGINT) AS v
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996) GROUP BY 1),
+        |h AS MATERIALIZED (
+        |  SELECT fit.v,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hp,
+        |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS hn
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN fit ON fit.brand = p.p_brand
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(o.o_orderdate) = 1997 GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT v, hp, hn,
+        |    CAST(coalesce(sum(hn) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cn_lt,
+        |    CAST(coalesce(sum(hp) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cp_lt
+        |  FROM h),
+        |tot AS (SELECT CAST(sum(hp) AS BIGINT) AS np,
+        |  CAST(sum(hn) AS BIGINT) AS nn FROM h),
+        |pl AS (
+        |  SELECT c.hp, c.hn,
+        |    2*c.cn_lt + c.hn AS plp_x2,
+        |    2*(t.np - c.cp_lt - c.hp) + c.hp AS pln_x2
+        |  FROM c CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(hp * plp_x2) AS HUGEINT) AS sp1,
+        |    CAST(sum(hp * CAST(plp_x2 AS HUGEINT) * plp_x2) AS HUGEINT)
+        |      AS sp2,
+        |    CAST(sum(hn * pln_x2) AS HUGEINT) AS sn1,
+        |    CAST(sum(hn * CAST(pln_x2 AS HUGEINT) * pln_x2) AS HUGEINT)
+        |      AS sn2
+        |  FROM pl)
+        |SELECT t.np, t.nn,
+        |  CAST((1000000 * a.sp1) // (2 * t.np * t.nn) AS BIGINT)
+        |    AS auc_ppm,
+        |  CAST((1000000000 * (t.np * a.sp2 - a.sp1*a.sp1))
+        |    // (CAST(t.np AS HUGEINT)*t.np*(t.np-1)*4*t.nn*t.nn)
+        |    AS BIGINT) AS s10_ppb,
+        |  CAST((1000000000 * (t.nn * a.sn2 - a.sn1*a.sn1))
+        |    // (CAST(t.nn AS HUGEINT)*t.nn*(t.nn-1)*4*t.np*t.np)
+        |    AS BIGINT) AS s01_ppb
+        |FROM agg a CROSS JOIN tot t""".stripMargin,
+    "q582_mantel_haenszel" ->
+      s"""WITH $OrdersRegionCte,
+        |st AS MATERIALIZED (
+        |  SELECT o.reg AS stratum,
+        |    CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |      AND l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+        |      AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+        |      AND l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+        |      AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d
+        |  FROM lineitem l JOIN oreg o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |t AS MATERIALIZED (
+        |  SELECT stratum, a, b, c, d,
+        |    CAST((1000000 * a * d) // (a+b+c+d) AS BIGINT) AS num_ppm,
+        |    CAST((1000000 * b * c) // (a+b+c+d) AS BIGINT) AS den_ppm
+        |  FROM st),
+        |pooled AS (SELECT CAST((1000000 * sum(num_ppm)) // sum(den_ppm)
+        |  AS BIGINT) AS mh_or_ppm FROM t)
+        |SELECT t.stratum, t.a, t.b, t.c, t.d, t.num_ppm, t.den_ppm,
+        |  p.mh_or_ppm
+        |FROM t CROSS JOIN pooled p""".stripMargin,
+    "q583_cochran_q" ->
+      """WITH votes AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+        |      >= 40 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN length(text) - length(replace(text, 'e', ''))
+        |      >= 20 THEN 1 ELSE 0 END AS r3
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r1) AS BIGINT) AS c1, CAST(sum(r2) AS BIGINT) AS c2,
+        |    CAST(sum(r3) AS BIGINT) AS c3,
+        |    CAST(sum(r1+r2+r3) AS BIGINT) AS sr,
+        |    CAST(sum((r1+r2+r3)*(r1+r2+r3)) AS BIGINT) AS sr2
+        |  FROM votes)
+        |SELECT n, c1, c2, c3,
+        |  CAST((1000000 * 2 * ((3*c1-sr)*(3*c1-sr)
+        |    + (3*c2-sr)*(3*c2-sr) + (3*c3-sr)*(3*c3-sr)))
+        |    // (3 * (3*sr - sr2)) AS BIGINT) AS q_ppm
+        |FROM agg""".stripMargin,
+    "q584_wasserstein" ->
+      """WITH x AS MATERIALIZED (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |      AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+        |      AS BIGINT) AS nb
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |    CAST(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        |  FROM x),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |  CAST(sum(nb) AS BIGINT) AS n2 FROM x),
+        |seg AS (
+        |  SELECT b.v - a.v AS dv, a.ca, a.cb
+        |  FROM c a JOIN c b ON b.rk = a.rk + 1)
+        |SELECT t.n1, t.n2,
+        |  CAST(sum(abs(t.n2 * s.ca - t.n1 * s.cb) * s.dv) AS BIGINT)
+        |    AS w1_scaled,
+        |  CAST((1000 * sum(abs(t.n2 * s.ca - t.n1 * s.cb) * s.dv))
+        |    // (t.n1 * t.n2) AS BIGINT) AS w1_milli_dollars
+        |FROM seg s CROSS JOIN tot t GROUP BY t.n1, t.n2""".stripMargin,
     "q575_anderson_darling" ->
       """WITH x AS MATERIALIZED (
         |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,

@@ -365,9 +365,15 @@ object Profile {
       .withColumn("_cr_cell", cell)
       .drop("_cr_mn", "_cr_mx")
     val gCols = groupCols.map(col)
-    val wCells = Window.partitionBy(gCols: _*).orderBy(col("_cr_cell"))
+    // With no group columns the cell rollup (≤ microBins rows) is the
+    // sanctioned dimension-sized single-partition window — declare it via
+    // DimKey.one so the plan has a non-empty partition spec (lint) while
+    // keeping the one-hash-partition shape.
+    val wCols =
+      if (gCols.isEmpty) Seq(graft.functions.DimKey.one) else gCols
+    val wCells = Window.partitionBy(wCols: _*).orderBy(col("_cr_cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wGroup = Window.partitionBy(gCols: _*)
+    val wGroup = Window.partitionBy(wCols: _*)
     val offsets = withCell
       .groupBy((gCols :+ col("_cr_cell")): _*)
       .agg(count(lit(1)).as("_cr_cn"))
