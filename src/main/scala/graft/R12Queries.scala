@@ -277,6 +277,221 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q589_greedy_matching" -> ((s, dir) => {
+      // Greedy locally-heaviest matching (the ½-approx distributed
+      // matching primitive): each round an edge that is the heaviest
+      // incident edge of BOTH endpoints (ties by (x,y)) enters the
+      // matching and its endpoints leave — 6 fixed rounds (this graph
+      // matches maximally in 6; fixed-sweep determinism contract). The
+      // edge relation is dimension-sized and kept single-partition so
+      // the rounds cost scheduling, not shuffles.
+      val e0 = tradeEdges(s, dir, 300L)
+        .select(col("src").as("x"), col("dst").as("y"), col("n").as("w"))
+        .coalesce(1).localCheckpoint(false)
+      var e = e0
+      var m = e0.filter(lit(false))
+      for (_ <- 1 to 6) {
+        val inc = e.select(col("x").as("v"), col("x"), col("y"), col("w"))
+          .unionByName(e.select(col("y").as("v"), col("x"), col("y"),
+                                col("w")))
+        val wBest = Window.partitionBy(col("v"))
+          .orderBy(col("w").desc, col("x"), col("y"))
+        val best = inc.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1).select("v", "x", "y")
+        val pick = best.as("a").join(best.as("b"),
+            col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
+            col("a.v") === col("a.x") && col("b.v") === col("b.y"))
+          .select(col("a.x").as("x"), col("a.y").as("y"))
+        m = m.unionByName(e.join(pick, Seq("x", "y")))
+          .coalesce(1).localCheckpoint(false)
+        val matched = pick.select(col("x").as("v"))
+          .unionByName(pick.select(col("y").as("v"))).distinct()
+        e = e.join(matched.select(col("v").as("x")), Seq("x"), "left_anti")
+          .join(matched.select(col("v").as("y")), Seq("y"), "left_anti")
+          .coalesce(1).localCheckpoint(false)
+      }
+      m.select(col("x").cast("long").as("src"),
+               col("y").cast("long").as("dst"), col("w").as("weight"))
+    }),
+    "q590_articulation_points" -> ((s, dir) => {
+      // Articulation (cut) vertices of the thresholded trade graph: for
+      // each removed node, all-pairs reachability of the residual graph
+      // via 5 path-DOUBLING rounds (2⁵ = 32 ≥ any simple path on ≤ 25
+      // nations — provably exact), then "articulation" iff some
+      // neighbor is unreachable from the removed node's smallest
+      // neighbor. Node-cut robustness, the vertex dual of q570's
+      // bridges; state ≤ |V|·|V|² rows, dimension-grain.
+      val e0 = tradeEdges(s, dir, 300L).select(col("src").as("x"),
+                                               col("dst").as("y"))
+        .localCheckpoint(false)
+      val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
+      val deg = sym.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val adj = deg.select(col("v").as("rm")).crossJoin(sym)
+        .filter(col("src") =!= col("rm") && col("dst") =!= col("rm"))
+      val r0 = adj.select(col("rm"), col("src").as("a"),
+                          col("dst").as("b"))
+        .unionByName(adj.select(col("rm"), col("src").as("a"),
+                                col("src").as("b")))
+        .distinct().coalesce(1).localCheckpoint(false)
+      val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
+        val nxt = r.as("p").join(r.as("q"),
+            col("q.rm") === col("p.rm") && col("q.a") === col("p.b"))
+          .select(col("p.rm").as("rm"), col("p.a").as("a"),
+                  col("q.b").as("b"))
+        r.unionByName(nxt).distinct().coalesce(1).localCheckpoint(false)
+      }
+      val seed = sym.groupBy(col("src").as("rm"))
+        .agg(min(col("dst")).as("a0"))
+      val reach = r5
+      val miss = sym.select(col("src").as("rm"), col("dst").as("nbv"))
+        .join(seed, Seq("rm"))
+        .join(reach.withColumnRenamed("rm", "crm"),
+              col("crm") === col("rm") && col("a") === col("a0") &&
+              col("b") === col("nbv"), "left")
+        .filter(col("b").isNull)
+        .groupBy(col("rm")).agg(count(lit(1)).as("n_unreached"))
+      deg.join(miss.withColumnRenamed("rm", "v"), Seq("v"), "left")
+        .select(col("v").cast("long").as("node"), col("deg").as("degree"),
+                when(col("n_unreached").isNull, 0L).otherwise(1L)
+                  .as("is_articulation"))
+    }),
+    "q591_dyad_census" -> ((s, dir) => {
+      // Directed dyad census of the nation-trade network (arcs = ≥150
+      // shipments cust-nation → supp-nation): mutual / asymmetric /
+      // null dyad counts and the reciprocity ratio in ppm — the
+      // directed-structure audit under the SCC/condensation tier. One
+      // fact rollup + one self-join on the arc table.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val d0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+                 col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 150L)
+        .select("src", "dst").localCheckpoint(false)
+      val nn = d0.select(col("src").as("v"))
+        .unionByName(d0.select(col("dst").as("v"))).distinct()
+        .agg(count(lit(1)).cast("long").as("n"))
+      val pairs = d0.as("f").join(d0.as("r"),
+          col("r.src") === col("f.dst") && col("r.dst") === col("f.src"),
+          "left")
+        .agg(sum(when(col("r.src").isNotNull, 1L).otherwise(0L))
+               .cast("long").as("m2"),
+             count(lit(1)).cast("long").as("arcs"))
+      pairs.crossJoin(broadcast(nn))
+        .select(col("n").as("n_nodes"), col("arcs"),
+                expr("m2 DIV 2").as("mutual"),
+                (col("arcs") - col("m2")).as("asymmetric"),
+                expr("n*(n-1) DIV 2 - m2 DIV 2 - (arcs - m2)")
+                  .as("null_dyads"),
+                expr("(1000000 * m2) DIV arcs").as("reciprocity_ppm"))
+    }),
+    "q592_kcenter_greedy" -> ((s, dir) => {
+      // Gonzalez farthest-point (k-center) seeding, k = 4, on the
+      // milli-quantized embedding space (exact int64 squared L2): each
+      // round picks the point farthest from the chosen set (ties by
+      // vec_id) and tightens every point's min-distance — the
+      // 2-approximation k-center seeder that replaces random k-means++
+      // initialization with a deterministic scan. Each round is ONE
+      // broadcast of the new center + one map-side min.
+      val e = rd(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("q"))
+      val d2 = expr("aggregate(zip_with(q, cq, (x, y) -> (x-y)*(x-y))," +
+                    " 0L, (acc, v) -> acc + v)")
+      val c1 = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      var d = e.crossJoin(broadcast(c1)).select(col("vec_id"), col("q"),
+                                                d2.as("dmin"))
+        .localCheckpoint(false)
+      var centers = c1.select(lit(1L).as("pick_order"),
+                              col("cid").as("center_id"))
+      for (k <- 2 to 4) {
+        val w = Window.partitionBy(DimKey.one)
+          .orderBy(col("dmin").desc, col("vec_id"))
+        val ck = d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+          .localCheckpoint(false)
+        centers = centers.unionByName(
+          ck.select(lit(k.toLong).as("pick_order"),
+                    col("cid").as("center_id")))
+        d = d.crossJoin(broadcast(ck))
+          .select(col("vec_id"), col("q"),
+                  least(col("dmin"), d2).as("dmin"))
+          .localCheckpoint(false)
+      }
+      val radius = d.agg(max(col("dmin")).cast("long")
+                           .as("covering_radius_sq"))
+      centers.crossJoin(broadcast(radius))
+        .select(col("pick_order"), col("center_id").cast("long")
+                  .as("center_id"), col("covering_radius_sq"))
+    }),
+    "q593_silhouette" -> ((s, dir) => {
+      // Exact silhouette audit of the labeled embedding space (sampled
+      // vec_id % 2 = 0): a(i) = quantized mean intra-label squared-L2,
+      // b(i) = min over other labels, s in sign-folded ppm, rolled up
+      // per label. NO pair join: Σⱼ‖a−bⱼ‖² = cntₗ·‖a‖² + Σⱼ‖bⱼ‖² −
+      // 2·a·(Σⱼbⱼ) — exact integer algebra, so the per-(point, label)
+      // distance sums come from ONE per-label sum-vector (O(n·L), not
+      // O(n²); the all-pairs form was 10 s at sf0.1, this is sub-second
+      // and bit-identical).
+      val e = rd(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("label").cast("long").as("lab"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("q"))
+        .withColumn("n2",
+          expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+        .localCheckpoint(false)
+      val dims = e.select(col("lab"), posexplode(col("q"))
+                            .as(Seq("dim", "qv")))
+      val sv = dims.groupBy(col("lab"), col("dim"))
+        .agg(sum(col("qv")).as("sq"))
+        .groupBy(col("lab"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, sq)))," +
+                  " p -> p.sq)").as("sv"))
+      val stats = e.groupBy(col("lab"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             sum(col("n2")).cast("long").as("s2"))
+        .join(sv, Seq("lab"))
+        .withColumnRenamed("lab", "lj")
+      val pd = e.crossJoin(broadcast(stats))
+        .withColumn("dotsv",
+          expr("aggregate(zip_with(q, sv, (x, y) -> x * y), 0L," +
+               " (acc, v) -> acc + v)"))
+        .select(col("vec_id").as("i"), col("lab").as("li"), col("lj"),
+          // the self term contributes 0 to the sum, so sd needs no
+          // correction — only the divisor drops the self pair
+          (col("cnt") * col("n2") + col("s2") -
+           lit(2L) * col("dotsv")).as("sd"),
+          when(col("lj") === col("lab"), col("cnt") - 1L)
+            .otherwise(col("cnt")).as("cnt"))
+      val ab = pd.groupBy(col("i"), col("li"))
+        .agg(max(when(col("lj") === col("li"), expr("sd DIV cnt")))
+               .as("a"),
+             min(when(col("lj") =!= col("li"), expr("sd DIV cnt")))
+               .as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      ab.select(col("li"),
+          expr("""CASE WHEN b >= a
+                 | THEN (1000000 * (b - a)) DIV greatest(a, b)
+                 | ELSE -((1000000 * (a - b)) DIV greatest(a, b))
+                 | END""".stripMargin).as("s_ppm"))
+        .groupBy(col("li").as("label"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             expr("""CAST(CASE WHEN sum(s_ppm) >= 0
+                    | THEN sum(s_ppm) DIV count(1)
+                    | ELSE -((-sum(s_ppm)) DIV count(1)) END AS BIGINT)"""
+               .stripMargin).as("mean_silhouette_ppm"))
+    }),
     "q585_luby_mis" -> ((s, dir) => {
       // Luby's maximal independent set with DETERMINISTIC md5 priorities
       // (60-bit, collision-free over item ids): each round every
@@ -1587,7 +1802,177 @@ object R12Queries {
   private def mdHashSql(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::UBIGINT::BIGINT)"
 
+  /** Shared oracle fragment: thresholded (≥300) undirected weighted
+    * trade edges (q589/q590).
+    */
+  private val Trade300Cte: String =
+    """e0 AS MATERIALIZED (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS x,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS y,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 300)""".stripMargin
+
+  /** One greedy locally-heaviest matching round (q589). */
+  private def matchRound(r: Int): String =
+    s"""best$r AS MATERIALIZED (
+       |  SELECT v, x, y FROM (
+       |    SELECT s.v, s.x, s.y,
+       |      row_number() OVER (PARTITION BY s.v
+       |        ORDER BY s.w DESC, s.x, s.y) AS rn
+       |    FROM (SELECT x AS v, x, y, w FROM e${r - 1}
+       |          UNION ALL SELECT y, x, y, w FROM e${r - 1}) s)
+       |  WHERE rn = 1),
+       |pick$r AS MATERIALIZED (
+       |  SELECT a.x, a.y FROM best$r a JOIN best$r b
+       |  ON a.x = b.x AND a.y = b.y AND a.v = a.x AND b.v = a.y),
+       |m$r AS MATERIALIZED (
+       |  SELECT x, y, w FROM m${r - 1}
+       |  UNION ALL SELECT e.x, e.y, e.w FROM e${r - 1} e
+       |  JOIN pick$r p ON p.x = e.x AND p.y = e.y),
+       |e$r AS MATERIALIZED (
+       |  SELECT e.x, e.y, e.w FROM e${r - 1} e
+       |  WHERE e.x NOT IN (SELECT x FROM pick$r UNION
+       |                    SELECT y FROM pick$r)
+       |    AND e.y NOT IN (SELECT x FROM pick$r UNION
+       |                    SELECT y FROM pick$r))""".stripMargin
+
+  /** One per-removed-node path-doubling round (q590). */
+  private def rmDoubleRound(r: Int): String =
+    s"""r$r AS MATERIALIZED (
+       |  SELECT DISTINCT rm, a, b FROM (
+       |    SELECT rm, a, b FROM r${r - 1} UNION ALL
+       |    SELECT p.rm, p.a, q.b FROM r${r - 1} p
+       |    JOIN r${r - 1} q ON q.rm = p.rm AND q.a = p.b))""".stripMargin
+
+  /** Integer milli-space squared L2 over quantized lists (q592/q593). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> " +
+      s"CAST(($a[i]-$b[i])*($a[i]-$b[i]) AS BIGINT)))"
+
+  /** One Gonzalez farthest-point round (q592). */
+  private def kcenterRound(k: Int): String =
+    s"""c$k AS MATERIALIZED (
+       |  SELECT vec_id, q FROM d${k - 1}
+       |  QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1),
+       |d$k AS MATERIALIZED (
+       |  SELECT a.vec_id, a.q,
+       |    least(a.dmin, ${sqDistSql("a.q", "b.q")}) AS dmin
+       |  FROM d${k - 1} a CROSS JOIN c$k b)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q589_greedy_matching" ->
+      s"""WITH $Trade300Cte,
+        |m0 AS MATERIALIZED (SELECT x, y, w FROM e0 WHERE 1 = 0),
+        |${(1 to 6).map(matchRound).mkString(",\n")}
+        |SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst,
+        |  w AS weight
+        |FROM m6""".stripMargin,
+    "q590_articulation_points" ->
+      s"""WITH $Trade300Cte,
+        |sym AS MATERIALIZED (
+        |  SELECT x AS src, y AS dst FROM e0
+        |  UNION ALL SELECT y, x FROM e0),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |adj AS MATERIALIZED (
+        |  SELECT d.v AS rm, s.src, s.dst FROM deg d CROSS JOIN sym s
+        |  WHERE s.src <> d.v AND s.dst <> d.v),
+        |r0 AS MATERIALIZED (
+        |  SELECT DISTINCT rm, src AS a, dst AS b FROM adj
+        |  UNION SELECT rm, src, src FROM adj),
+        |${(1 to 5).map(rmDoubleRound).mkString(",\n")},
+        |seed AS MATERIALIZED (
+        |  SELECT src AS rm, min(dst) AS a0 FROM sym GROUP BY 1),
+        |miss AS (
+        |  SELECT n.rm, count(*) AS n_unreached
+        |  FROM (SELECT src AS rm, dst AS nbv FROM sym) n
+        |  JOIN seed sd ON sd.rm = n.rm
+        |  LEFT JOIN r5 r ON r.rm = n.rm AND r.a = sd.a0 AND r.b = n.nbv
+        |  WHERE r.b IS NULL GROUP BY 1)
+        |SELECT CAST(d.v AS BIGINT) AS node,
+        |  CAST(d.deg AS BIGINT) AS degree,
+        |  CAST(CASE WHEN m.rm IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_articulation
+        |FROM deg d LEFT JOIN miss m ON m.rm = d.v""".stripMargin,
+    "q591_dyad_census" ->
+      """WITH d0 AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 150),
+        |nodes AS (SELECT src AS v FROM d0 UNION SELECT dst FROM d0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |pairs AS (
+        |  SELECT CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS m2,
+        |    CAST(count(*) AS BIGINT) AS arcs
+        |  FROM d0 f LEFT JOIN d0 r
+        |    ON r.src = f.dst AND r.dst = f.src)
+        |SELECT nn.n AS n_nodes, p.arcs,
+        |  CAST(p.m2 // 2 AS BIGINT) AS mutual,
+        |  CAST(p.arcs - p.m2 AS BIGINT) AS asymmetric,
+        |  CAST(nn.n*(nn.n-1)//2 - p.m2//2 - (p.arcs - p.m2) AS BIGINT)
+        |    AS null_dyads,
+        |  CAST((1000000 * p.m2) // p.arcs AS BIGINT) AS reciprocity_ppm
+        |FROM pairs p CROSS JOIN nn""".stripMargin,
+    "q592_kcenter_greedy" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x*1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id
+        |  LIMIT 1),
+        |d1 AS MATERIALIZED (
+        |  SELECT a.vec_id, a.q, ${sqDistSql("a.q", "b.q")} AS dmin
+        |  FROM e a CROSS JOIN c1 b),
+        |${(2 to 4).map(kcenterRound).mkString(",\n")}
+        |SELECT CAST(c.k AS BIGINT) AS pick_order,
+        |  CAST(c.vec_id AS BIGINT) AS center_id,
+        |  (SELECT CAST(max(dmin) AS BIGINT) FROM d4)
+        |    AS covering_radius_sq
+        |FROM (SELECT 1 AS k, vec_id FROM c1
+        |      UNION ALL SELECT 2, vec_id FROM c2
+        |      UNION ALL SELECT 3, vec_id FROM c3
+        |      UNION ALL SELECT 4, vec_id FROM c4) c""".stripMargin,
+    "q593_silhouette" ->
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(x*1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |pd AS MATERIALIZED (
+        |  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+        |    CAST(sum(${sqDistSql("a.q", "b.q")}) AS BIGINT) AS sd,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2, 3),
+        |ab AS MATERIALIZED (
+        |  SELECT i, li,
+        |    CAST(max(CASE WHEN lj = li THEN sd // cnt END) AS BIGINT)
+        |      AS a,
+        |    CAST(min(CASE WHEN lj <> li THEN sd // cnt END) AS BIGINT)
+        |      AS b
+        |  FROM pd GROUP BY 1, 2),
+        |s AS (
+        |  SELECT li,
+        |    CAST(CASE WHEN b >= a
+        |      THEN (1000000 * (b - a)) // greatest(a, b)
+        |      ELSE -((1000000 * (a - b)) // greatest(a, b)) END
+        |      AS BIGINT) AS s_ppm
+        |  FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+        |SELECT CAST(li AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CASE WHEN sum(s_ppm) >= 0 THEN sum(s_ppm) // count(*)
+        |    ELSE -((-sum(s_ppm)) // count(*)) END AS BIGINT)
+        |    AS mean_silhouette_ppm
+        |FROM s GROUP BY 1""".stripMargin,
     "q585_luby_mis" ->
       s"""WITH $CopurchaseCte,
         |nodes AS MATERIALIZED (
