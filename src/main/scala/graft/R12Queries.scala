@@ -285,33 +285,34 @@ object R12Queries {
       // matches maximally in 6; fixed-sweep determinism contract). The
       // edge relation is dimension-sized and kept single-partition so
       // the rounds cost scheduling, not shuffles.
-      val e0 = tradeEdges(s, dir, 300L)
+      // The nation graph is SCHEMA-bounded (≤ 25² edges whatever the
+      // fact volume), so after the one distributed rollup the 6 rounds
+      // run on the driver — the same gated-bounded pattern as the
+      // ≤1M-edge union-find; a 6-round DataFrame fold spent ~5 s on
+      // scheduling alone. Semantics identical to the oracle's unrolled
+      // rounds.
+      import s.implicits._
+      var e = tradeEdges(s, dir, 300L)
         .select(col("src").as("x"), col("dst").as("y"), col("n").as("w"))
-        .coalesce(1).localCheckpoint(false)
-      var e = e0
-      var m = e0.filter(lit(false))
-      for (_ <- 1 to 6) {
-        val inc = e.select(col("x").as("v"), col("x"), col("y"), col("w"))
-          .unionByName(e.select(col("y").as("v"), col("x"), col("y"),
-                                col("w")))
-        val wBest = Window.partitionBy(col("v"))
-          .orderBy(col("w").desc, col("x"), col("y"))
-        val best = inc.withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1).select("v", "x", "y")
-        val pick = best.as("a").join(best.as("b"),
-            col("a.x") === col("b.x") && col("a.y") === col("b.y") &&
-            col("a.v") === col("a.x") && col("b.v") === col("b.y"))
-          .select(col("a.x").as("x"), col("a.y").as("y"))
-        m = m.unionByName(e.join(pick, Seq("x", "y")))
-          .coalesce(1).localCheckpoint(false)
-        val matched = pick.select(col("x").as("v"))
-          .unionByName(pick.select(col("y").as("v"))).distinct()
-        e = e.join(matched.select(col("v").as("x")), Seq("x"), "left_anti")
-          .join(matched.select(col("v").as("y")), Seq("y"), "left_anti")
-          .coalesce(1).localCheckpoint(false)
+        .as[(Long, Long, Long)].collect().toSeq
+      require(e.size <= 100000, s"edge list not dimension-sized: ${e.size}")
+      val m = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for (_ <- 1 to 6 if e.nonEmpty) {
+        val best = e.flatMap { case t @ (x, y, _) => Seq(x -> t, y -> t) }
+          .groupBy(_._1)
+          .map { case (v, inc) =>
+            v -> inc.map(_._2).minBy { case (x, y, w) => (-w, x, y) }
+          }
+        val pick = e.filter { case t @ (x, y, _) =>
+          best.get(x).contains(t) && best.get(y).contains(t)
+        }
+        m ++= pick
+        val matched = pick.flatMap { case (x, y, _) => Seq(x, y) }.toSet
+        e = e.filterNot { case (x, y, _) =>
+          matched(x) || matched(y)
+        }
       }
-      m.select(col("x").cast("long").as("src"),
-               col("y").cast("long").as("dst"), col("w").as("weight"))
+      m.toSeq.toDF("src", "dst", "weight")
     }),
     "q590_articulation_points" -> ((s, dir) => {
       // Articulation (cut) vertices of the thresholded trade graph: for
@@ -321,41 +322,32 @@ object R12Queries {
       // neighbor is unreachable from the removed node's smallest
       // neighbor. Node-cut robustness, the vertex dual of q570's
       // bridges; state ≤ |V|·|V|² rows, dimension-grain.
-      val e0 = tradeEdges(s, dir, 300L).select(col("src").as("x"),
-                                               col("dst").as("y"))
-        .localCheckpoint(false)
-      val sym = e0.select(col("x").as("src"), col("y").as("dst"))
-        .unionByName(e0.select(col("y").as("src"), col("x").as("dst")))
-      val deg = sym.groupBy(col("src").as("v"))
-        .agg(count(lit(1)).cast("long").as("deg"))
-      val adj = deg.select(col("v").as("rm")).crossJoin(sym)
-        .filter(col("src") =!= col("rm") && col("dst") =!= col("rm"))
-      val r0 = adj.select(col("rm"), col("src").as("a"),
-                          col("dst").as("b"))
-        .unionByName(adj.select(col("rm"), col("src").as("a"),
-                                col("src").as("b")))
-        .distinct().coalesce(1).localCheckpoint(false)
-      val r5 = (1 to 5).foldLeft(r0) { (r, _) =>
-        val nxt = r.as("p").join(r.as("q"),
-            col("q.rm") === col("p.rm") && col("q.a") === col("p.b"))
-          .select(col("p.rm").as("rm"), col("p.a").as("a"),
-                  col("q.b").as("b"))
-        r.unionByName(nxt).distinct().coalesce(1).localCheckpoint(false)
+      // Schema-bounded nation graph (≤ 25² edges) — after the one
+      // distributed rollup, the per-node removal BFS runs gated on the
+      // driver (union-find precedent); exact, same answer as the
+      // oracle's provably-complete 5 doubling rounds.
+      import s.implicits._
+      val edges = tradeEdges(s, dir, 300L)
+        .select(col("src"), col("dst"))
+        .as[(Long, Long)].collect().toSeq
+      require(edges.size <= 100000,
+              s"edge list not dimension-sized: ${edges.size}")
+      val adjAll = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      def reach(src: Long, rm: Long): Set[Long] = {
+        val seen = scala.collection.mutable.Set(src)
+        val stack = scala.collection.mutable.Stack(src)
+        while (stack.nonEmpty) {
+          val u = stack.pop()
+          for (v <- adjAll.getOrElse(u, Set.empty)
+               if v != rm && !seen(v)) { seen += v; stack.push(v) }
+        }
+        seen.toSet
       }
-      val seed = sym.groupBy(col("src").as("rm"))
-        .agg(min(col("dst")).as("a0"))
-      val reach = r5
-      val miss = sym.select(col("src").as("rm"), col("dst").as("nbv"))
-        .join(seed, Seq("rm"))
-        .join(reach.withColumnRenamed("rm", "crm"),
-              col("crm") === col("rm") && col("a") === col("a0") &&
-              col("b") === col("nbv"), "left")
-        .filter(col("b").isNull)
-        .groupBy(col("rm")).agg(count(lit(1)).as("n_unreached"))
-      deg.join(miss.withColumnRenamed("rm", "v"), Seq("v"), "left")
-        .select(col("v").cast("long").as("node"), col("deg").as("degree"),
-                when(col("n_unreached").isNull, 0L).otherwise(1L)
-                  .as("is_articulation"))
+      adjAll.toSeq.map { case (v, nbs) =>
+        val r = reach(nbs.min, v)
+        (v, nbs.size.toLong, if (nbs.exists(n => !r(n))) 1L else 0L)
+      }.toDF("node", "degree", "is_articulation")
     }),
     "q591_dyad_census" -> ((s, dir) => {
       // Directed dyad census of the nation-trade network (arcs = ≥150
@@ -544,8 +536,14 @@ object R12Queries {
         .select(col("id"), col("nm"), col("_rank").as("rk"))
         .localCheckpoint(false)
       val tot = rk.agg(count(lit(1)).cast("long").as("n"))
-      rk.as("a").join(rk.as("b"),
-          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + 3)
+      // b.rk BETWEEN a.rk+1 AND a.rk+3 is a non-equi join Spark plans as
+      // a nested loop (20k × 20k comparisons at sf0.1) — explode the 3
+      // offsets instead so each successor resolves through one hash
+      // equi-join on the rank.
+      rk.as("a")
+        .crossJoin(s.range(1, 4).select(col("id").as("off")))
+        .withColumn("brk", col("a.rk") + col("off"))
+        .join(rk.as("b"), col("b.rk") === col("brk"))
         .select(graft.functions.JaroWinkler(col("a.nm"), col("b.nm"))
                   .as("jw"))
         .crossJoin(broadcast(tot))
