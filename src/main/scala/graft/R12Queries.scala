@@ -277,6 +277,108 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q594_recursive_cte_native" -> ((s, dir) => {
+      // Spark 4's NATIVE recursive CTE (UnionLoop plan): hop-bounded
+      // reachability from nation 0 over the ≥150 directed trade arcs,
+      // written as WITH RECURSIVE ... UNION ALL and resolved by the
+      // engine's loop operator instead of the hand-unrolled rounds the
+      // older graph tier uses. min(hop) per destination; bound 4 keeps
+      // the recursion finite on the cyclic graph.
+      rd(s, dir, "lineitem").createOrReplaceTempView("q594_li")
+      rd(s, dir, "orders").createOrReplaceTempView("q594_o")
+      rd(s, dir, "customer").createOrReplaceTempView("q594_c")
+      rd(s, dir, "supplier").createOrReplaceTempView("q594_s")
+      s.sql(
+        """WITH RECURSIVE arcs AS (
+          |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          |    CAST(su.s_nationkey AS BIGINT) AS dst
+          |  FROM q594_li l JOIN q594_o o ON l.l_orderkey = o.o_orderkey
+          |  JOIN q594_c c ON o.o_custkey = c.c_custkey
+          |  JOIN q594_s su ON l.l_suppkey = su.s_suppkey
+          |  WHERE c.c_nationkey <> su.s_nationkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 110),
+          |reach(dst, hop) AS (
+          |  SELECT dst, CAST(1 AS BIGINT) AS hop FROM arcs WHERE src = 0
+          |  UNION ALL
+          |  SELECT a.dst, r.hop + 1 FROM reach r
+          |  JOIN arcs a ON a.src = r.dst
+          |  WHERE r.hop < 4)
+          |SELECT dst AS nationkey, CAST(min(hop) AS BIGINT) AS min_hops
+          |FROM reach GROUP BY 1""".stripMargin)
+    }),
+    "q595_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining for contrastive training: per query vector
+      // the most-similar corpus vector with a DIFFERENT label — the
+      // pair a random negative sampler (q305) would almost never find.
+      // One broadcast of the queries, top-1 per query by (cosine desc,
+      // id); the standard retrieval-training data op.
+      import graft.operators.Similarity
+      val e = rd(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+                col("embedding").as("qv"))
+      val scored = e.select(col("vec_id").as("nid"),
+                            col("label").as("nlab"),
+                            col("embedding").as("cv"))
+        .join(broadcast(q), col("nlab") =!= col("qlab"))
+        .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid").cast("long").as("query_id"),
+                col("qlab").cast("long").as("query_label"),
+                col("nid").cast("long").as("hard_negative_id"),
+                col("nlab").cast("long").as("negative_label"),
+                round(col("cosine"), 4).as("cosine"))
+    }),
+    "q596_length_batching" -> ((s, dir) => {
+      // Length-grouped batching (the LLM training sampler): documents
+      // ranked by token count via cellRank (no global sort), chunked
+      // into batches of 25 consecutive lengths, padding waste per batch
+      // = Σ(max−len)/(25·max) in ppm. Emits the packing-efficiency
+      // audit that justifies length bucketing over random batching.
+      val d = rd(s, dir, "documents").select(col("doc_id"),
+        expr("length(text) - length(replace(text, ' ', '')) + 1")
+          .cast("long").as("toks"))
+      val rk = Profile.cellRank(d, Seq.empty, "toks", Seq("doc_id"))
+        .withColumn("batch", expr("(_rank - 1) DIV 25"))
+      rk.groupBy(col("batch"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             max(col("toks")).cast("long").as("max_toks"),
+             sum(col("toks")).cast("long").as("sum_toks"))
+        .filter(col("n") === 25L)
+        .withColumn("waste_ppm", expr(
+          "(1000000 * (n * max_toks - sum_toks)) DIV (n * max_toks)"))
+        .select("batch", "n", "max_toks", "waste_ppm")
+    }),
+    "q597_cascade_delete_plan" -> ((s, dir) => {
+      // GDPR cascade-delete planning across the FK graph: a seed
+      // customer predicate (nation 3, negative balance) propagates
+      // customer → orders → lineitem, emitting the per-table delete
+      // footprint BEFORE any mutation — each hop one semi-join down the
+      // key chain, the dry-run the deletion-vector writer (q463/q499)
+      // consumes.
+      val seed = rd(s, dir, "customer")
+        .filter(col("c_nationkey") === 3 && col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+        .localCheckpoint(false)
+      val ords = rd(s, dir, "orders")
+        .join(broadcast(seed), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+        .localCheckpoint(false)
+      val lis = rd(s, dir, "lineitem")
+        .join(broadcast(ords.select(col("o_orderkey").as("ok"))),
+              col("l_orderkey") === col("ok"))
+      val a = seed.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("customer").as("table_name"), col("n"))
+      val b = ords.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("orders").as("table_name"), col("n"))
+      val cnt = lis.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("lineitem").as("table_name"), col("n"))
+      a.unionByName(b).unionByName(cnt)
+        .withColumnRenamed("n", "n_rows_to_delete")
+    }),
     "q589_greedy_matching" -> ((s, dir) => {
       // Greedy locally-heaviest matching (the ½-approx distributed
       // matching primitive): each round an edge that is the heaviest
@@ -1862,6 +1964,74 @@ object R12Queries {
        |  FROM d${k - 1} a CROSS JOIN c$k b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q594_recursive_cte_native" ->
+      """WITH RECURSIVE arcs AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(su.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |  WHERE c.c_nationkey <> su.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 110),
+        |reach(dst, hop) AS (
+        |  SELECT dst, CAST(1 AS BIGINT) AS hop FROM arcs WHERE src = 0
+        |  UNION ALL
+        |  SELECT a.dst, r.hop + 1 FROM reach r
+        |  JOIN arcs a ON a.src = r.dst
+        |  WHERE r.hop < 4)
+        |SELECT dst AS nationkey, CAST(min(hop) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY 1""".stripMargin,
+    "q595_hard_negatives" ->
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id AS qid, label AS qlab, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT q.qid, q.qlab, c.vec_id AS nid, c.label AS nlab,
+        |    ${cosSql("q.qv", "c.embedding")} AS cosine
+        |  FROM embeddings c JOIN q ON c.label <> q.qlab)
+        |SELECT CAST(qid AS BIGINT) AS query_id,
+        |  CAST(qlab AS BIGINT) AS query_label,
+        |  CAST(nid AS BIGINT) AS hard_negative_id,
+        |  CAST(nlab AS BIGINT) AS negative_label,
+        |  round(cosine, 4) AS cosine
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY cosine DESC, nid) = 1""".stripMargin,
+    "q596_length_batching" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |rk AS (
+        |  SELECT toks,
+        |    (row_number() OVER (ORDER BY toks, doc_id) - 1) // 25
+        |      AS batch
+        |  FROM d)
+        |SELECT CAST(batch AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(toks) AS BIGINT) AS max_toks,
+        |  CAST((1000000 * (count(*) * max(toks) - sum(toks)))
+        |    // (count(*) * max(toks)) AS BIGINT) AS waste_ppm
+        |FROM rk GROUP BY 1 HAVING count(*) = 25""".stripMargin,
+    "q597_cascade_delete_plan" ->
+      """WITH seed AS MATERIALIZED (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_nationkey = 3 AND c_acctbal < 0),
+        |ords AS MATERIALIZED (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM seed)),
+        |lis AS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM seed)
+        |    AS n_rows_to_delete
+        |UNION ALL
+        |SELECT 'orders', (SELECT CAST(count(*) AS BIGINT) FROM ords)
+        |UNION ALL
+        |SELECT 'lineitem', (SELECT CAST(count(*) AS BIGINT) FROM lis)"""
+        .stripMargin,
     "q589_greedy_matching" ->
       s"""WITH $Trade300Cte,
         |m0 AS MATERIALIZED (SELECT x, y, w FROM e0 WHERE 1 = 0),
