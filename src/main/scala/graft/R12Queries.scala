@@ -277,6 +277,88 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q598_qte_deciles" -> ((s, dir) => {
+      // Quantile treatment effect: exact deciles of order value, URGENT
+      // vs LOW, from the value-grain histogram's cumulative counts
+      // (decile d = smallest v with cum ≥ ⌈d·n/10⌉) — per-quantile
+      // group differences, the distributional-effect view a mean-only
+      // uplift (q251) hides. Cumulatives run per group over distinct
+      // prices, never rows.
+      val x = rd(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(when(col("o_orderpriority") === "1-URGENT", "a")
+                  .otherwise("b").as("g"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+      val h = x.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("g"))
+      val c = h.withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("cnt", sum(col("n")).over(wTot))
+      val dec = s.range(1, 10).select(col("id").as("d"))
+      val qv = c.join(broadcast(dec),
+          col("cum") >= expr("(d * cnt + 9) DIV 10"))
+        .groupBy(col("g"), col("d"))
+        .agg(min(col("v")).as("qv"))
+      qv.filter(col("g") === "a").as("a")
+        .join(qv.filter(col("g") === "b").as("b"),
+              col("b.d") === col("a.d"))
+        .select(col("a.d").as("decile"),
+                col("a.qv").as("urgent_cents"),
+                col("b.qv").as("low_cents"),
+                (col("a.qv") - col("b.qv")).cast("long").as("qte_cents"))
+    }),
+    "q599_page_hinkley" -> ((s, dir) => {
+      // Page–Hinkley drift detector over the monthly order-count series:
+      // per-step n-scaled deviation (t·yₜ − Σy) quantized by one pinned
+      // sign-folded DIV, cumulated, and the PH statistic = cumdev −
+      // running min — the streaming-ML change detector next to CUSUM
+      // (q245). The series is the 80-row rollup; windows are DimKey.
+      val m = monthlySeries(s, dir)
+      val w = Window.partitionBy(DimKey.one).orderBy(col("mi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = m.withColumn("sy", sum(col("y")).over(w))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(DimKey.one).orderBy(col("mi"))).cast("long"))
+      val d = c.select(col("mi"),
+        expr("""CAST(CASE WHEN t*y - sy >= 0 THEN (t*y - sy) DIV t
+               | ELSE -((sy - t*y) DIV t) END AS BIGINT)"""
+          .stripMargin).as("dev"))
+      d.withColumn("cumdev", sum(col("dev")).over(w).cast("long"))
+        .withColumn("ph_stat",
+          (col("cumdev") - min(col("cumdev")).over(w)).cast("long"))
+    }),
+    "q600_v_pattern" -> ((s, dir) => {
+      // Row-pattern matching (MATCH_RECOGNIZE-style) without the SQL
+      // feature: V-shape detection in the monthly series — direction
+      // runs via change-event run ids, adjacent (down, up) run pairs
+      // become V events with trough month, depth, recovery, and
+      // v_score = min(depth, recovery). The declarative RLE
+      // decomposition that replaces per-row pattern automata.
+      val m = monthlySeries(s, dir)
+      val wOrd = Window.partitionBy(DimKey.one).orderBy(col("mi"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+      val diff = m.withColumn("d", col("y") - lag(col("y"), 1).over(wOrd))
+        .filter(col("d").isNotNull && col("d") =!= 0L)
+        .withColumn("dir", signum(col("d")).cast("long"))
+      val runs = diff
+        .withColumn("chg", when(lag(col("dir"), 1).over(wOrd).isNull ||
+            lag(col("dir"), 1).over(wOrd) =!= col("dir"), 1L)
+          .otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(wCum))
+        .groupBy(col("run_id"), col("dir"))
+        .agg(max(col("mi")).cast("long").as("end_mi"),
+             sum(col("d")).cast("long").as("move"))
+      runs.as("a").join(runs.as("b"),
+          col("b.run_id") === col("a.run_id") + 1 &&
+          col("a.dir") === -1L && col("b.dir") === 1L)
+        .select(col("a.end_mi").as("trough_mi"),
+                (-col("a.move")).as("depth"),
+                col("b.move").as("recovery"),
+                least(-col("a.move"), col("b.move")).as("v_score"))
+    }),
     "q594_recursive_cte_native" -> ((s, dir) => {
       // Spark 4's NATIVE recursive CTE (UnionLoop plan): hop-bounded
       // reachability from nation 0 over the ≥150 directed trade arcs,
@@ -1964,6 +2046,79 @@ object R12Queries {
        |  FROM d${k - 1} a CROSS JOIN c$k b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q598_qte_deciles" ->
+      """WITH x AS MATERIALIZED (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+        |    ELSE 'b' END AS g,
+        |    CAST(floor(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |h AS MATERIALIZED (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM x
+        |  GROUP BY 1, 2),
+        |c AS MATERIALIZED (
+        |  SELECT g, v, n,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS cnt
+        |  FROM h),
+        |dec AS (SELECT unnest(range(1, 10)) AS d),
+        |qv AS MATERIALIZED (
+        |  SELECT c.g, dec.d, min(c.v) AS qv
+        |  FROM c JOIN dec ON c.cum >= (dec.d * c.cnt + 9) // 10
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.d AS BIGINT) AS decile, a.qv AS urgent_cents,
+        |  b.qv AS low_cents, CAST(a.qv - b.qv AS BIGINT) AS qte_cents
+        |FROM qv a JOIN qv b ON b.d = a.d AND a.g = 'a' AND b.g = 'b'"""
+        .stripMargin,
+    "q599_page_hinkley" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT CAST((year(o_orderdate)-1995)*12 + month(o_orderdate)-1
+        |    AS BIGINT) AS mi, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT mi, y,
+        |    CAST(sum(y) OVER (ORDER BY mi ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS sy,
+        |    CAST(row_number() OVER (ORDER BY mi) AS BIGINT) AS t
+        |  FROM m),
+        |d AS MATERIALIZED (
+        |  SELECT mi, CAST(CASE WHEN t*y - sy >= 0 THEN (t*y - sy) // t
+        |    ELSE -((sy - t*y) // t) END AS BIGINT) AS dev
+        |  FROM c),
+        |ph AS (
+        |  SELECT mi, dev,
+        |    CAST(sum(dev) OVER (ORDER BY mi ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cumdev
+        |  FROM d)
+        |SELECT mi, dev, cumdev,
+        |  CAST(cumdev - min(cumdev) OVER (ORDER BY mi ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ph_stat
+        |FROM ph""".stripMargin,
+    "q600_v_pattern" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT CAST((year(o_orderdate)-1995)*12 + month(o_orderdate)-1
+        |    AS BIGINT) AS mi, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |diff AS MATERIALIZED (
+        |  SELECT mi, d, CAST(CASE WHEN d > 0 THEN 1 ELSE -1 END
+        |    AS BIGINT) AS dir
+        |  FROM (SELECT mi, y - lag(y) OVER (ORDER BY mi) AS d FROM m)
+        |  WHERE d IS NOT NULL AND d <> 0),
+        |runs AS MATERIALIZED (
+        |  SELECT run_id, dir, CAST(max(mi) AS BIGINT) AS end_mi,
+        |    CAST(sum(d) AS BIGINT) AS move
+        |  FROM (
+        |    SELECT mi, d, dir,
+        |      CAST(sum(CASE WHEN pd IS NULL OR pd <> dir THEN 1 ELSE 0
+        |        END) OVER (ORDER BY mi ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS BIGINT) AS run_id
+        |    FROM (SELECT mi, d, dir, lag(dir) OVER (ORDER BY mi) AS pd
+        |          FROM diff))
+        |  GROUP BY 1, 2)
+        |SELECT a.end_mi AS trough_mi, -a.move AS depth,
+        |  b.move AS recovery, least(-a.move, b.move) AS v_score
+        |FROM runs a JOIN runs b ON b.run_id = a.run_id + 1
+        |  AND a.dir = -1 AND b.dir = 1""".stripMargin,
     "q594_recursive_cte_native" ->
       """WITH RECURSIVE arcs AS (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
