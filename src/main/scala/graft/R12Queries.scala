@@ -277,6 +277,222 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q601_transitive_reduction" -> ((s, dir) => {
+      // Transitive reduction of the low-to-high nation trade DAG (arcs
+      // src < dst by construction, so acyclic): an arc is redundant iff
+      // a ≥2-hop path connects its endpoints — closure via 5 doubling
+      // rounds (2⁵ = 32 ≥ the longest possible chain on 25 ranked
+      // nations — provably exact) composed once with the arcs. The
+      // dependency-minimization pass a scheduler runs before
+      // materializing a DAG.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val arcs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") < col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+                 col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 150L)
+        .select("src", "dst").localCheckpoint(false)
+      val r5 = (1 to 5).foldLeft(arcs) { (r, _) =>
+        r.as("a").join(r.as("b"), col("b.src") === col("a.dst"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .unionByName(r).distinct().localCheckpoint(false)
+      }
+      val ge2 = arcs.as("a")
+        .join(r5.as("b"), col("b.src") === col("a.dst"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+      arcs.join(ge2.withColumn("_hit", lit(1)), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+                when(col("_hit").isNull, 1L).otherwise(0L)
+                  .as("in_reduction"))
+    }),
+    "q602_girth" -> ((s, dir) => {
+      // Girth audit: for each edge of the thresholded trade graph, the
+      // shortest ALTERNATIVE path between its endpoints (BFS in G∖{e});
+      // cycle length through the edge = 1 + that distance, graph girth
+      // = the minimum. Schema-bounded nation graph → gated driver BFS
+      // after the one rollup (union-find precedent); the oracle
+      // recomputes via min-plus doubling (provably exact in 5 rounds).
+      import s.implicits._
+      val edges = tradeEdges(s, dir, 300L)
+        .select(col("src"), col("dst"))
+        .as[(Long, Long)].collect().toSeq
+      require(edges.size <= 100000,
+              s"edge list not dimension-sized: ${edges.size}")
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      def dist(src: Long, tgt: Long, skip: (Long, Long)): Long = {
+        var frontier = Set(src)
+        val seen = scala.collection.mutable.Set(src)
+        var d = 0L
+        while (frontier.nonEmpty && !seen(tgt)) {
+          d += 1
+          frontier = frontier.flatMap(u =>
+            adj.getOrElse(u, Set.empty).filter(v =>
+              !seen(v) &&
+              (math.min(u, v), math.max(u, v)) != skip))
+          seen ++= frontier
+        }
+        if (seen(tgt)) d else 0L
+      }
+      val rows = edges.map { case (x, y) =>
+        val alt = dist(x, y, (x, y))
+        (x, y, alt, if (alt > 0) alt + 1 else 0L)
+      }
+      rows.toDF("src", "dst", "alt_dist", "cycle_len")
+    }),
+    "q603_percolation_sweep" -> ((s, dir) => {
+      // Percolation / connectivity phase sweep: connected-component
+      // structure of the trade graph across a threshold ladder — nodes,
+      // edges, component count, and giant-component size per threshold.
+      // One weighted rollup feeds every threshold; the CC runs gated on
+      // the driver (schema-bounded graph), the oracle via per-threshold
+      // doubling closure. The robustness curve behind "at what volume
+      // does the trade network fragment?".
+      import s.implicits._
+      val all = tradeEdges(s, dir, 110L)
+        .select(col("src"), col("dst"), col("n"))
+        .as[(Long, Long, Long)].collect().toSeq
+      require(all.size <= 100000,
+              s"edge list not dimension-sized: ${all.size}")
+      val rows = Seq(110L, 150L, 200L, 250L, 300L, 350L).flatMap { th =>
+        val es = all.filter(_._3 >= th)
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val adj = (es.map(e => (e._1, e._2)) ++
+                   es.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        val seen = scala.collection.mutable.Set.empty[Long]
+        var comps = 0L
+        var giant = 0L
+        for (n <- nodes.sorted if !seen(n)) {
+          comps += 1
+          var size = 0L
+          val stack = scala.collection.mutable.Stack(n)
+          seen += n
+          while (stack.nonEmpty) {
+            val u = stack.pop(); size += 1
+            for (v <- adj.getOrElse(u, Set.empty) if !seen(v)) {
+              seen += v; stack.push(v)
+            }
+          }
+          giant = math.max(giant, size)
+        }
+        if (es.isEmpty) None
+        else Some((th, nodes.size.toLong, es.size.toLong, comps, giant))
+      }
+      rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
+                "giant_size")
+    }),
+    "q604_decorrelation_parity" -> ((s, dir) => {
+      // Correlated-subquery decorrelation as an engine contract: an
+      // EXISTS predicate plus two correlated scalar subqueries (per-
+      // customer max/min order cents) rolled up by nation — Spark must
+      // rewrite all three into joins/aggregates; the plan is asserted
+      // free of nested-loop/cartesian operators, and the values match
+      // DuckDB running the IDENTICAL correlated SQL.
+      rd(s, dir, "customer").createOrReplaceTempView("q604_c")
+      rd(s, dir, "orders").createOrReplaceTempView("q604_o")
+      val out = s.sql(
+        """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+          |  CAST(count(*) AS BIGINT) AS n_customers
+          |FROM q604_c c
+          |WHERE EXISTS (SELECT 1 FROM q604_o o
+          |              WHERE o.o_custkey = c.c_custkey)
+          |  AND (SELECT max(CAST(floor(o_totalprice * 100) AS BIGINT))
+          |       FROM q604_o o WHERE o.o_custkey = c.c_custkey)
+          |    > 3 * (SELECT min(CAST(floor(o_totalprice * 100)
+          |                      AS BIGINT))
+          |           FROM q604_o o WHERE o.o_custkey = c.c_custkey)
+          |GROUP BY 1""".stripMargin)
+      val plan = out.queryExecution.executedPlan
+      def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+        val self = p match {
+          case _: org.apache.spark.sql.execution.joins
+                   .BroadcastNestedLoopJoinExec => true
+          case _: org.apache.spark.sql.execution.joins
+                   .CartesianProductExec => true
+          case _ => false
+        }
+        self || p.children.exists(bad)
+      }
+      require(!bad(plan),
+              "correlated subqueries did not decorrelate: " + plan)
+      out
+    }),
+    "q605_self_similarity" -> ((s, dir) => {
+      // Corpus diversity audit (self-BLEU flavor): mean pairwise 3-gram
+      // Jaccard over a deterministic 40-doc sample, per-pair pinned ppm
+      // DIVs — generation-health telemetry: a corpus drifting toward
+      // itself pushes this up long before exact dedup fires. Distinct
+      // grams collapse each doc before the pair intersection.
+      val grams = rd(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3) // sequence() descends on stop<start
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w) - 3),
+            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"""
+            .stripMargin)).as("g"))
+        .distinct().localCheckpoint(false)
+      val sizes = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("b.g") === col("a.g") && col("b.doc_id") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).cast("long").as("i"))
+      sizes.as("sa").join(sizes.as("sb"),
+          col("sb.doc_id") > col("sa.doc_id"))
+        .join(inter, col("da") === col("sa.doc_id") &&
+                     col("db") === col("sb.doc_id"), "left")
+        .na.fill(0L, Seq("i"))
+        .select(col("i"),
+                (col("sa.n") + col("sb.n") - col("i")).as("u"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             sum(expr("(1000000 * i) DIV u")).cast("long")
+               .as("jaccard_ppm_sum"))
+        .withColumn("mean_jaccard_ppm",
+                    expr("jaccard_ppm_sum DIV n_pairs"))
+    }),
+    "q606_mmd_linear" -> ((s, dir) => {
+      // Linear-kernel maximum mean discrepancy between two embedding
+      // groups: MMD² = ‖μ_a − μ_b‖², exact in milli-int space via the
+      // per-group SUM VECTORS (q593's identity — no pair join, one
+      // per-dim rollup); counts-scaled numerator in DECIMAL(38). The
+      // embedding-space distribution-shift detector.
+      val e = rd(s, dir, "embeddings")
+        .filter(col("label").isin(0, 1))
+        .select(col("label").cast("long").as("lab"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("q"))
+      val dims = e.select(col("lab"), posexplode(col("q"))
+                            .as(Seq("dim", "qv")))
+        .groupBy(col("lab"), col("dim"))
+        .agg(sum(col("qv")).cast("long").as("sv"))
+      val cnt = e.groupBy(col("lab"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val wide = dims.filter(col("lab") === 0L)
+        .select(col("dim"), col("sv").as("sa"))
+        .join(dims.filter(col("lab") === 1L)
+                .select(col("dim"), col("sv").as("sb")), Seq("dim"))
+        .crossJoin(broadcast(
+          cnt.filter(col("lab") === 0L).select(col("n").as("na"))))
+        .crossJoin(broadcast(
+          cnt.filter(col("lab") === 1L).select(col("n").as("nb"))))
+      wide.agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(expr("(CAST(nb AS DECIMAL(38,0))*sa - CAST(na AS " +
+                   "DECIMAL(38,0))*sb) * (CAST(nb AS DECIMAL(38,0))*sa" +
+                   " - CAST(na AS DECIMAL(38,0))*sb)")).as("num"))
+        .select(col("na"), col("nb"),
+                expr("CAST(num AS DECIMAL(38,0))").cast("string")
+                  .as("mmd2_num_str"),
+                expr("CAST(num DIV (CAST(na AS DECIMAL(38,0))*na*nb*nb)" +
+                     " AS BIGINT)").as("mmd2_milli2"))
+    }),
     "q598_qte_deciles" -> ((s, dir) => {
       // Quantile treatment effect: exact deciles of order value, URGENT
       // vs LOW, from the value-grain histogram's cumulative counts
@@ -2045,7 +2261,171 @@ object R12Queries {
        |    least(a.dmin, ${sqDistSql("a.q", "b.q")}) AS dmin
        |  FROM d${k - 1} a CROSS JOIN c$k b)""".stripMargin
 
+  /** One undirected-closure doubling round keyed by threshold (q603). */
+  private def thDoubleRound(r: Int): String =
+    s"""t$r AS MATERIALIZED (
+       |  SELECT DISTINCT th, a, b FROM (
+       |    SELECT th, a, b FROM t${r - 1} UNION ALL
+       |    SELECT p.th, p.a, q.b FROM t${r - 1} p
+       |    JOIN t${r - 1} q ON q.th = p.th AND q.a = p.b))""".stripMargin
+
+  /** One min-plus doubling round over per-edge residual distances
+    * (q602): d₂ₖ(a,b) = min(dₖ(a,b), min over m of dₖ(a,m)+dₖ(m,b)).
+    */
+  private def minPlusRound(r: Int): String =
+    s"""d$r AS MATERIALIZED (
+       |  SELECT e, a, b, CAST(min(d) AS BIGINT) AS d FROM (
+       |    SELECT e, a, b, d FROM d${r - 1} UNION ALL
+       |    SELECT p.e, p.a, q.b, p.d + q.d FROM d${r - 1} p
+       |    JOIN d${r - 1} q ON q.e = p.e AND q.a = p.b)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q601_transitive_reduction" ->
+      s"""WITH arcs AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey < s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 150),
+        |r0 AS MATERIALIZED (SELECT src, dst FROM arcs),
+        |${(1 to 5).map(r =>
+           s"""r$r AS MATERIALIZED (
+              |  SELECT DISTINCT a.src, b.dst FROM r${r - 1} a
+              |  JOIN r${r - 1} b ON b.src = a.dst
+              |  UNION SELECT src, dst FROM r${r - 1})""".stripMargin)
+          .mkString(",\n")},
+        |ge2 AS (SELECT DISTINCT a.src, b.dst FROM arcs a
+        |  JOIN r5 b ON b.src = a.dst)
+        |SELECT a.src, a.dst,
+        |  CAST(CASE WHEN g.src IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_reduction
+        |FROM arcs a LEFT JOIN ge2 g
+        |  ON g.src = a.src AND g.dst = a.dst""".stripMargin,
+    "q602_girth" ->
+      s"""WITH $Trade300Cte,
+        |eid AS MATERIALIZED (SELECT x, y, x*100 + y AS e FROM e0),
+        |adj AS MATERIALIZED (
+        |  SELECT r.e, s.src, s.dst FROM eid r
+        |  CROSS JOIN (SELECT x AS src, y AS dst FROM e0
+        |              UNION ALL SELECT y, x FROM e0) s
+        |  WHERE NOT ((s.src = r.x AND s.dst = r.y)
+        |          OR (s.src = r.y AND s.dst = r.x))),
+        |d0 AS MATERIALIZED (
+        |  SELECT e, src AS a, dst AS b, CAST(1 AS BIGINT) AS d FROM adj),
+        |${(1 to 5).map(minPlusRound).mkString(",\n")}
+        |SELECT CAST(t.x AS BIGINT) AS src, CAST(t.y AS BIGINT) AS dst,
+        |  CAST(coalesce(d.d, 0) AS BIGINT) AS alt_dist,
+        |  CAST(CASE WHEN d.d IS NULL THEN 0 ELSE d.d + 1 END AS BIGINT)
+        |    AS cycle_len
+        |FROM eid t LEFT JOIN d5 d
+        |  ON d.e = t.e AND d.a = t.x AND d.b = t.y""".stripMargin,
+    "q603_percolation_sweep" ->
+      s"""WITH base AS MATERIALIZED (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS x,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS y,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 110),
+        |ths AS (SELECT unnest([110, 150, 200, 250, 300, 350]) AS th),
+        |e AS MATERIALIZED (
+        |  SELECT t.th, b.x, b.y FROM ths t JOIN base b ON b.w >= t.th),
+        |t0 AS MATERIALIZED (
+        |  SELECT th, src AS a, dst AS b FROM (
+        |    SELECT th, x AS src, y AS dst FROM e
+        |    UNION ALL SELECT th, y, x FROM e) s
+        |  UNION SELECT th, src, src FROM (
+        |    SELECT th, x AS src FROM e UNION ALL SELECT th, y FROM e) n),
+        |${(1 to 5).map(thDoubleRound).mkString(",\n")},
+        |comp AS MATERIALIZED (
+        |  SELECT th, a AS v, min(b) AS cid FROM t5 GROUP BY 1, 2),
+        |sizes AS MATERIALIZED (
+        |  SELECT th, cid, CAST(count(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT th, CAST(count(*) AS BIGINT) AS n_components,
+        |    CAST(max(sz) AS BIGINT) AS giant_size,
+        |    CAST(sum(sz) AS BIGINT) AS n_nodes
+        |  FROM sizes GROUP BY 1),
+        |ecnt AS (SELECT th, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(s.th AS BIGINT) AS threshold, s.n_nodes, ec.n_edges,
+        |  s.n_components, s.giant_size
+        |FROM stats s JOIN ecnt ec ON ec.th = s.th""".stripMargin,
+    "q604_decorrelation_parity" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND (SELECT max(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |       FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    > 3 * (SELECT min(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q605_self_similarity" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 40),
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(w)) AS BIGINT) FROM toks))) AS i) s
+        |  WHERE i + 2 <= len(w)),
+        |sizes AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM grams GROUP BY 1),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM grams a JOIN grams b ON b.g = a.g
+        |    AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT coalesce(i.i, 0) AS i,
+        |    sa.n + sb.n - coalesce(i.i, 0) AS u
+        |  FROM sizes sa JOIN sizes sb ON sb.doc_id > sa.doc_id
+        |  LEFT JOIN inter i ON i.da = sa.doc_id AND i.db = sb.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum((1000000 * i) // u) AS BIGINT) AS jaccard_ppm_sum,
+        |  CAST(sum((1000000 * i) // u) // count(*) AS BIGINT)
+        |    AS mean_jaccard_ppm
+        |FROM pairs""".stripMargin,
+    "q606_mmd_linear" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(x*1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE label IN (0, 1)),
+        |dims AS MATERIALIZED (
+        |  SELECT label, i.i AS dim, CAST(sum(q[i.i]) AS BIGINT) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |    i
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT
+        |  CAST(count(*) FILTER (WHERE label = 0) AS BIGINT) AS na,
+        |  CAST(count(*) FILTER (WHERE label = 1) AS BIGINT) AS nb
+        |  FROM e),
+        |dd AS (
+        |  SELECT a.sv AS sa, b.sv AS sb
+        |  FROM dims a JOIN dims b ON b.dim = a.dim
+        |    AND a.label = 0 AND b.label = 1)
+        |SELECT c.na, c.nb,
+        |  CAST(sum((CAST(c.nb AS HUGEINT)*d.sa
+        |      - CAST(c.na AS HUGEINT)*d.sb)
+        |    * (CAST(c.nb AS HUGEINT)*d.sa - CAST(c.na AS HUGEINT)*d.sb))
+        |    AS VARCHAR) AS mmd2_num_str,
+        |  CAST(sum((CAST(c.nb AS HUGEINT)*d.sa
+        |      - CAST(c.na AS HUGEINT)*d.sb)
+        |    * (CAST(c.nb AS HUGEINT)*d.sa - CAST(c.na AS HUGEINT)*d.sb))
+        |    // (CAST(c.na AS HUGEINT)*c.na*c.nb*c.nb) AS BIGINT)
+        |    AS mmd2_milli2
+        |FROM dd d CROSS JOIN cnt c GROUP BY c.na, c.nb""".stripMargin,
     "q598_qte_deciles" ->
       """WITH x AS MATERIALIZED (
         |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
