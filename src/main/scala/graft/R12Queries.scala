@@ -277,6 +277,118 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q607_semantic_chunking" -> ((s, dir) => {
+      // Semantic chunk-boundary detection (TextTiling shape): 20-token
+      // blocks per document, adjacent-block distinct-token Jaccard in
+      // pinned ppm, boundary where cohesion < 0.15 — the
+      // topic-boundary chunker that replaces fixed-length splitting
+      // (q118) for RAG corpora. Everything runs at (doc, block) grain.
+      val toks = rd(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bt = toks
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+        .select(col("doc_id"), expr("i DIV 20").as("b"), col("tok"))
+        .distinct()
+      val sizes = bt.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint(false)
+      val inter = bt.as("a").join(bt.as("b2"),
+          col("b2.doc_id") === col("a.doc_id") &&
+          col("b2.b") === col("a.b") + 1 &&
+          col("b2.tok") === col("a.tok"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.b").as("b"))
+        .agg(count(lit(1)).cast("long").as("i"))
+      sizes.as("sa").join(sizes.as("sb"),
+          col("sb.doc_id") === col("sa.doc_id") &&
+          col("sb.b") === col("sa.b") + 1)
+        .join(inter.as("inter"),
+              col("inter.doc_id") === col("sa.doc_id") &&
+              col("inter.b") === col("sa.b"), "left")
+        .na.fill(0L, Seq("i"))
+        .select(col("sa.doc_id").cast("long").as("doc_id"),
+                (col("sa.b") + 1).cast("long").as("boundary_block"),
+                expr("(1000000 * i) DIV (sa.n + sb.n - i)")
+                  .as("jaccard_ppm"))
+        .filter(col("jaccard_ppm") < 150000L)
+    }),
+    "q608_count_distinct_expand" -> ((s, dir) => {
+      // Multiple count(DISTINCT) in one aggregate as an engine
+      // contract: Spark must plan the Expand decomposition (one scan,
+      // grouping-id replicated rows, partial aggregation) instead of N
+      // self-joins — asserted on the physical plan, values re-derived
+      // by the oracle. Monthly distinct customers / clerks-proxy /
+      // price points over orders.
+      val out = rd(s, dir, "orders")
+        .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+             countDistinct(col("o_orderpriority")).as("n_prios"),
+             countDistinct(expr("CAST(floor(o_totalprice) AS BIGINT)"))
+               .as("n_prices"))
+      val plan = out.queryExecution.executedPlan
+      def hasExpand(p: org.apache.spark.sql.execution.SparkPlan)
+          : Boolean =
+        p.isInstanceOf[org.apache.spark.sql.execution.ExpandExec] ||
+          p.children.exists(hasExpand) ||
+          (p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                     .AdaptiveSparkPlanExec => hasExpand(a.executedPlan)
+            case _ => false
+          })
+      require(hasExpand(plan),
+              "multi-distinct did not plan the Expand decomposition")
+      out
+    }),
+    "q609_knn_label_propagation" -> ((s, dir) => {
+      // Semi-supervised kNN label propagation: top-3 cosine neighbors
+      // per vector (one ranked pass), seeds keep their labels
+      // (vec_id < 100), two majority-vote rounds (ties → smaller
+      // label), then the coverage/accuracy audit against ground truth.
+      // The transductive labeling pass that bootstraps classifier
+      // training data from a small seed set.
+      import graft.operators.Similarity
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                col("embedding"))
+        .localCheckpoint(false)
+      val scored = e.select(col("vec_id").as("i"),
+                            col("embedding").as("qv"))
+        .join(e.select(col("vec_id").as("j"),
+                       col("embedding").as("cv")),
+              col("j") =!= col("i"))
+        .withColumn("c", Similarity.cosine(col("qv"), col("cv")))
+      val w = Window.partitionBy(col("i"))
+        .orderBy(col("c").desc, col("j"))
+      val knn = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("i", "j")
+        .localCheckpoint(false)
+      var l = e.select(col("vec_id").as("v"),
+        when(col("vec_id") < 100, col("label")).as("lab"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 2) {
+        val wVote = Window.partitionBy(col("i"))
+          .orderBy(col("cnt").desc, col("lab"))
+        val m = knn.join(l.select(col("v").as("j"),
+                                  col("lab").as("nlab")), Seq("j"))
+          .filter(col("nlab").isNotNull)
+          .groupBy(col("i"), col("nlab").as("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wVote))
+          .filter(col("rn") === 1)
+          .select(col("i").as("v"), col("lab").as("mlab"))
+        l = l.join(m, Seq("v"), "left")
+          .select(col("v"), coalesce(col("lab"), col("mlab")).as("lab"))
+          .localCheckpoint(false)
+      }
+      l.join(e.select(col("vec_id").as("v"), col("label")), Seq("v"))
+        .agg(sum(when(col("lab").isNotNull, 1L).otherwise(0L))
+               .cast("long").as("n_labeled"),
+             sum(when(col("lab").isNull, 1L).otherwise(0L))
+               .cast("long").as("n_unlabeled"),
+             sum(when(col("v") >= 100 && col("lab") === col("label"),
+                      1L).otherwise(0L)).cast("long").as("n_correct"),
+             sum(when(col("v") >= 100 && col("lab").isNotNull, 1L)
+                   .otherwise(0L)).cast("long").as("n_predicted"))
+    }),
     "q601_transitive_reduction" -> ((s, dir) => {
       // Transitive reduction of the low-to-high nation trade DAG (arcs
       // src < dst by construction, so acyclic): an arc is redundant iff
@@ -2288,7 +2400,80 @@ object R12Queries {
        |    JOIN d${r - 1} q ON q.e = p.e AND q.a = p.b)
        |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** One kNN majority-vote propagation round (q609). */
+  private def propRound(r: Int): String =
+    s"""l$r AS MATERIALIZED (
+       |  SELECT l${r - 1}.v, coalesce(l${r - 1}.lab, m.lab) AS lab
+       |  FROM l${r - 1}
+       |  LEFT JOIN (
+       |    SELECT i AS v, lab FROM (
+       |      SELECT k.i, n.lab, count(*) AS cnt,
+       |        row_number() OVER (PARTITION BY k.i
+       |          ORDER BY count(*) DESC, n.lab) AS rn
+       |      FROM knn k JOIN l${r - 1} n ON n.v = k.j
+       |      WHERE n.lab IS NOT NULL
+       |      GROUP BY k.i, n.lab)
+       |    WHERE rn = 1) m ON m.v = l${r - 1}.v)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q607_semantic_chunking" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 60),
+        |blk AS MATERIALIZED (
+        |  SELECT doc_id, (i-1) // 20 AS b, w[i] AS tok
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(w)) AS BIGINT) FROM toks))) AS i) s
+        |  WHERE i <= len(w)),
+        |bt AS MATERIALIZED (SELECT DISTINCT doc_id, b, tok FROM blk),
+        |sizes AS MATERIALIZED (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM bt GROUP BY 1, 2),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id, a.b AS b, CAST(count(*) AS BIGINT) AS i
+        |  FROM bt a JOIN bt b2 ON b2.doc_id = a.doc_id
+        |    AND b2.b = a.b + 1 AND b2.tok = a.tok
+        |  GROUP BY 1, 2),
+        |adj AS (
+        |  SELECT sa.doc_id, sa.b, coalesce(i.i, 0) AS i,
+        |    sa.n + sb.n - coalesce(i.i, 0) AS u
+        |  FROM sizes sa JOIN sizes sb ON sb.doc_id = sa.doc_id
+        |    AND sb.b = sa.b + 1
+        |  LEFT JOIN inter i ON i.doc_id = sa.doc_id AND i.b = sa.b)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(b + 1 AS BIGINT) AS boundary_block,
+        |  CAST((1000000 * i) // u AS BIGINT) AS jaccard_ppm
+        |FROM adj WHERE (1000000 * i) // u < 150000""".stripMargin,
+    "q608_count_distinct_expand" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        |  CAST(count(DISTINCT CAST(floor(o_totalprice) AS BIGINT))
+        |    AS BIGINT) AS n_prices
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q609_knn_label_propagation" ->
+      s"""WITH scored AS MATERIALIZED (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+        |        b.vec_id) AS rn
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+        |knn AS MATERIALIZED (SELECT i, j FROM scored WHERE rn <= 3),
+        |l0 AS MATERIALIZED (
+        |  SELECT vec_id AS v, CASE WHEN vec_id < 100
+        |    THEN CAST(label AS BIGINT) END AS lab
+        |  FROM embeddings),
+        |${(1 to 2).map(propRound).mkString(",\n")}
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE l2.lab IS NOT NULL) AS BIGINT)
+        |    AS n_labeled,
+        |  CAST(count(*) FILTER (WHERE l2.lab IS NULL) AS BIGINT)
+        |    AS n_unlabeled,
+        |  CAST(count(*) FILTER (WHERE l2.v >= 100 AND l2.lab = e.label)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(count(*) FILTER (WHERE l2.v >= 100
+        |    AND l2.lab IS NOT NULL) AS BIGINT) AS n_predicted
+        |FROM l2 JOIN embeddings e ON e.vec_id = l2.v""".stripMargin,
     "q601_transitive_reduction" ->
       s"""WITH arcs AS MATERIALIZED (
         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
