@@ -277,6 +277,172 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q610_shift_share" -> ((s, dir) => {
+      // Shift-share decomposition of 1996→1997 order growth per
+      // (region, priority): national-growth, industry-mix and local-
+      // competitiveness components, each a pinned milli-unit DIV with
+      // cross-multiplied sign folds (no rational subtraction ever
+      // materializes). The BI growth-attribution standard; one fact
+      // rollup feeds the 25-cell grid.
+      val cell = rd(s, dir, "orders")
+        .filter(expr("year(o_orderdate) IN (1996, 1997)"))
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("reg"), col("o_orderpriority").as("pri"))
+        .agg(sum(expr("CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END"))
+               .cast("long").as("n96"),
+             sum(expr("CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END"))
+               .cast("long").as("n97"))
+        .localCheckpoint(false)
+      val nat = cell.agg(sum(col("n96")).cast("long").as("t96"),
+                         sum(col("n97")).cast("long").as("t97"))
+      val ind = cell.groupBy(col("pri"))
+        .agg(sum(col("n96")).cast("long").as("i96"),
+             sum(col("n97")).cast("long").as("i97"))
+      cell.crossJoin(broadcast(nat)).join(broadcast(ind), Seq("pri"))
+        .select(col("reg"), col("pri"), col("n96"), col("n97"),
+          (col("n97") - col("n96")).as("actual_change_x1"),
+          expr("""CAST(CASE WHEN t97 >= t96
+                 | THEN (1000 * n96 * (t97 - t96)) DIV t96
+                 | ELSE -((1000 * n96 * (t96 - t97)) DIV t96)
+                 | END AS BIGINT)""".stripMargin).as("national_milli"),
+          expr("""CAST(CASE WHEN i97*t96 >= i96*t97
+                 | THEN (1000 * n96 * (i97*t96 - i96*t97))
+                 |   DIV (i96*t96)
+                 | ELSE -((1000 * n96 * (i96*t97 - i97*t96))
+                 |   DIV (i96*t96)) END AS BIGINT)""".stripMargin)
+            .as("mix_milli"),
+          expr("""CAST(CASE WHEN n97*i96 >= n96*i97
+                 | THEN (1000 * (n97*i96 - n96*i97)) DIV i96
+                 | ELSE -((1000 * (n96*i97 - n97*i96)) DIV i96)
+                 | END AS BIGINT)""".stripMargin).as("local_milli"))
+    }),
+    "q611_concentration_index" -> ((s, dir) => {
+      // Concentration index: revenue concentration ranked by a
+      // DIFFERENT variable (order frequency — the tenure proxy), the
+      // health-economics generalization of Gini (q181): C = 2·Σ r·rev /
+      // (n·total) − (n+1)/n, one sign-folded DIV over exact ints; ranks
+      // from cellRank, never a global sort.
+      val cust = rd(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).cast("long").as("freq"),
+             sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .cast("long").as("rev"))
+      Profile.cellRank(cust, Seq.empty, "freq", Seq("ck"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("_rank") * col("rev")).cast("decimal(38,0)")
+               .as("srr"),
+             sum(col("rev")).cast("long").as("tot"))
+        .select(col("n").as("n_customers"),
+          expr("""CAST(CASE
+                 | WHEN 2*srr - CAST((n+1) AS DECIMAL(38,0))*tot >= 0
+                 | THEN (1000000 * (2*srr
+                 |     - CAST((n+1) AS DECIMAL(38,0))*tot))
+                 |   DIV (CAST(n AS DECIMAL(38,0))*tot)
+                 | ELSE -((1000000 * (CAST((n+1) AS DECIMAL(38,0))*tot
+                 |     - 2*srr))
+                 |   DIV (CAST(n AS DECIMAL(38,0))*tot))
+                 | END AS BIGINT)""".stripMargin)
+            .as("concentration_ppm"))
+    }),
+    "q612_design_effect" -> ((s, dir) => {
+      // Survey design effect for customer-clustered order values:
+      // ICC-proxy = SSB/(SSB+SSW) from the per-cluster sufficient
+      // statistics (s1, s2) with one pinned per-cluster DIV, DEFF =
+      // 1 + (m̄−1)·ICC in ppm — what cluster sampling costs versus SRS.
+      // One combine-enabled aggregate per cluster, then a 5-number
+      // rollup; DECIMAL(38)/HUGEINT for the squared sums.
+      val g = rd(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+        .groupBy(col("ck"))
+        .agg(count(lit(1)).cast("long").as("m"),
+             sum(col("y")).cast("long").as("s1"),
+             sum((col("y") * col("y")).cast("decimal(38,0)")).as("s2"))
+      g.agg(sum(col("m")).cast("long").as("n"),
+            count(lit(1)).cast("long").as("k"),
+            sum(col("s1")).cast("decimal(38,0)").as("st"),
+            sum(col("s2")).as("s2t"),
+            sum(expr("CAST((s1 * s1) DIV m AS DECIMAL(38,0))"))
+              .as("ssb_q"))
+        // st²/n exceeds int64, and Spark's DIV returns LONG — do the
+        // floor division in DECIMAL as (x − x % n) / n (exact; operands
+        // non-negative so truncation == floor, matching HUGEINT //)
+        .select(col("n").as("n_orders"), col("k").as("n_clusters"),
+                expr("""ssb_q - CAST((st*st - (st*st) % n) / n
+                       | AS DECIMAL(38,0))""".stripMargin).as("ssb"),
+                expr("s2t - ssb_q").as("ssw"), col("n"), col("k"))
+        .select(col("n_orders"), col("n_clusters"),
+          expr("CAST((1000000 * ssb) DIV (ssb + ssw) AS BIGINT)")
+            .as("icc_proxy_ppm"),
+          expr("CAST((1000 * n) DIV k AS BIGINT)").as("mbar_milli"),
+          expr("""CAST(1000000 + (((1000 * n) DIV k - 1000)
+                 |  * ((1000000 * ssb) DIV (ssb + ssw))) DIV 1000
+                 | AS BIGINT)""".stripMargin).as("deff_ppm"))
+    }),
+    "q613_xmr_chart" -> ((s, dir) => {
+      // XmR (individuals + moving range) control chart over the monthly
+      // order-count series — the canonical SPC chart: CL = x̄, limits
+      // x̄ ± 2.66·M̄R, the out-of-control test cross-multiplied so no
+      // rational ever materializes (|1000·n·nm·y − 1000·Σy·nm| >
+      // 2660·ΣMR·n). Emits the flag per month plus the milli-unit
+      // center and half-width.
+      val m = monthlySeries(s, dir).localCheckpoint(false)
+      val mr = m.as("a").join(m.as("b"), col("b.mi") === col("a.mi") - 1)
+        .select(abs(col("a.y") - col("b.y")).as("mr"))
+      val gg = m.agg(count(lit(1)).cast("long").as("n"),
+                     sum(col("y")).cast("long").as("sy"))
+      val gm = mr.agg(count(lit(1)).cast("long").as("nm"),
+                      sum(col("mr")).cast("long").as("smr"))
+      m.crossJoin(broadcast(gg)).crossJoin(broadcast(gm))
+        .select(col("mi"), col("y"),
+          expr("""CAST(CASE WHEN abs(1000 * n * nm * y
+                 |    - 1000 * sy * nm) > 2660 * smr * n
+                 | THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+            .as("out_of_control"),
+          expr("CAST((1000 * sy) DIV n AS BIGINT)").as("center_milli"),
+          expr("CAST((2660 * smr) DIV nm AS BIGINT)")
+            .as("limit_halfwidth_milli"))
+    }),
+    "q614_data_vault_load" -> ((s, dir) => {
+      // Data-vault modeling load (the dbt-world warehouse pattern the
+      // reference package lives next to): hub keys, link keys, and a
+      // satellite HASHDIFF computed for two loads (pre-1997 state vs
+      // full) — changed vs unchanged satellite rows are exactly the
+      // delta the vault's insert-only satellite appends. md5 business
+      // keys match the engine's surrogate-hash convention.
+      val c = rd(s, dir, "customer").select(col("c_custkey"))
+        .localCheckpoint(false)
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                col("o_orderpriority"))
+        .localCheckpoint(false)
+      def sat(filtered: DataFrame) = c
+        .join(filtered, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(md5(concat_ws("|",
+               count(col("o_orderkey")).cast("string"),
+               coalesce(max(col("o_orderpriority")), lit(""))))
+             .as("hashdiff"))
+      val s1 = sat(o.filter(
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")))
+      val s2 = sat(o)
+      val hub = c.select(md5(col("c_custkey").cast("string")).as("hk"))
+        .distinct().agg(count(lit(1)).cast("long").as("hub_rows"))
+      val link = o.select(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"))).as("lk"))
+        .distinct().agg(count(lit(1)).cast("long").as("link_rows"))
+      val satDelta = s1.as("s1").join(s2.as("s2"), Seq("c_custkey"))
+        .agg(sum(when(col("s1.hashdiff") =!= col("s2.hashdiff"), 1L)
+                   .otherwise(0L)).cast("long").as("sat_changed"),
+             sum(when(col("s1.hashdiff") === col("s2.hashdiff"), 1L)
+                   .otherwise(0L)).cast("long").as("sat_unchanged"))
+      hub.crossJoin(broadcast(link)).crossJoin(broadcast(satDelta))
+    }),
     "q607_semantic_chunking" -> ((s, dir) => {
       // Semantic chunk-boundary detection (TextTiling shape): 20-token
       // blocks per document, adjacent-block distinct-token Jaccard in
@@ -2416,6 +2582,137 @@ object R12Queries {
        |    WHERE rn = 1) m ON m.v = l${r - 1}.v)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q610_shift_share" ->
+      s"""WITH $OrdersRegionCte,
+        |cell AS MATERIALIZED (
+        |  SELECT reg, o_orderpriority AS pri,
+        |    CAST(count(*) FILTER (WHERE year(o_orderdate) = 1996)
+        |      AS BIGINT) AS n96,
+        |    CAST(count(*) FILTER (WHERE year(o_orderdate) = 1997)
+        |      AS BIGINT) AS n97
+        |  FROM oreg WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |nat AS (SELECT CAST(sum(n96) AS BIGINT) AS t96,
+        |  CAST(sum(n97) AS BIGINT) AS t97 FROM cell),
+        |ind AS MATERIALIZED (
+        |  SELECT pri, CAST(sum(n96) AS BIGINT) AS i96,
+        |    CAST(sum(n97) AS BIGINT) AS i97 FROM cell GROUP BY 1)
+        |SELECT cell.reg, cell.pri, cell.n96, cell.n97,
+        |  CAST(cell.n97 - cell.n96 AS BIGINT) AS actual_change_x1,
+        |  CAST(CASE WHEN nat.t97 >= nat.t96
+        |    THEN (1000 * cell.n96 * (nat.t97 - nat.t96)) // nat.t96
+        |    ELSE -((1000 * cell.n96 * (nat.t96 - nat.t97)) // nat.t96)
+        |    END AS BIGINT) AS national_milli,
+        |  CAST(CASE WHEN ind.i97*nat.t96 >= ind.i96*nat.t97
+        |    THEN (1000 * cell.n96 * (ind.i97*nat.t96 - ind.i96*nat.t97))
+        |      // (ind.i96*nat.t96)
+        |    ELSE -((1000 * cell.n96
+        |        * (ind.i96*nat.t97 - ind.i97*nat.t96))
+        |      // (ind.i96*nat.t96)) END AS BIGINT) AS mix_milli,
+        |  CAST(CASE WHEN cell.n97*ind.i96 >= cell.n96*ind.i97
+        |    THEN (1000 * (cell.n97*ind.i96 - cell.n96*ind.i97))
+        |      // ind.i96
+        |    ELSE -((1000 * (cell.n96*ind.i97 - cell.n97*ind.i96))
+        |      // ind.i96) END AS BIGINT) AS local_milli
+        |FROM cell CROSS JOIN nat JOIN ind ON ind.pri = cell.pri"""
+        .stripMargin,
+    "q611_concentration_index" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT rev, CAST(row_number() OVER (ORDER BY freq, ck)
+        |    AS HUGEINT) AS r
+        |  FROM cust),
+        |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(r*rev) AS HUGEINT) AS srr,
+        |  CAST(sum(rev) AS HUGEINT) AS tot FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(CASE WHEN 2*srr - (n+1)*tot >= 0
+        |    THEN (1000000 * (2*srr - (n+1)*tot)) // (n*tot)
+        |    ELSE -((1000000 * ((n+1)*tot - 2*srr)) // (n*tot)) END
+        |    AS BIGINT) AS concentration_ppm
+        |FROM agg""".stripMargin,
+    "q612_design_effect" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)
+        |      * CAST(floor(o_totalprice*100) AS BIGINT)) AS HUGEINT)
+        |      AS s2
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(m) AS HUGEINT) AS n,
+        |    CAST(count(*) AS HUGEINT) AS k,
+        |    CAST(sum(s1) AS HUGEINT) AS st,
+        |    CAST(sum(s2) AS HUGEINT) AS s2t,
+        |    CAST(sum((s1*s1) // m) AS HUGEINT) AS ssb_q
+        |  FROM g),
+        |ms AS (
+        |  SELECT n, k, ssb_q - (st*st) // n AS ssb, s2t - ssb_q AS ssw
+        |  FROM tot)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  CAST(k AS BIGINT) AS n_clusters,
+        |  CAST((1000000 * ssb) // (ssb + ssw) AS BIGINT)
+        |    AS icc_proxy_ppm,
+        |  CAST((1000 * n) // k AS BIGINT) AS mbar_milli,
+        |  CAST(1000000 + (((1000 * n) // k - 1000)
+        |    * ((1000000 * ssb) // (ssb + ssw))) // 1000 AS BIGINT)
+        |    AS deff_ppm
+        |FROM ms""".stripMargin,
+    "q613_xmr_chart" ->
+      s"""WITH $MonthlyCte,
+        |mr AS MATERIALIZED (
+        |  SELECT abs(a.y - b.y) AS mr
+        |  FROM m a JOIN m b ON b.mi = a.mi - 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS sy FROM m),
+        |gm AS (SELECT CAST(count(*) AS BIGINT) AS nm,
+        |  CAST(sum(mr) AS BIGINT) AS smr FROM mr)
+        |SELECT m.mi, m.y,
+        |  CAST(CASE WHEN abs(1000 * g.n * gm.nm * m.y
+        |      - 1000 * g.sy * gm.nm) > 2660 * gm.smr * g.n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS out_of_control,
+        |  CAST((1000 * g.sy) // g.n AS BIGINT) AS center_milli,
+        |  CAST((2660 * gm.smr) // gm.nm AS BIGINT)
+        |    AS limit_halfwidth_milli
+        |FROM m CROSS JOIN g CROSS JOIN gm""".stripMargin,
+    "q614_data_vault_load" ->
+      """WITH hub AS MATERIALIZED (
+        |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk FROM customer),
+        |link AS MATERIALIZED (
+        |  SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+        |    || CAST(o_custkey AS VARCHAR)) AS lk FROM orders),
+        |sat1 AS MATERIALIZED (
+        |  SELECT c.c_custkey,
+        |    md5(CAST(count(o.o_orderkey) AS VARCHAR) || '|'
+        |      || coalesce(max(o.o_orderpriority), '')) AS hashdiff
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate < '1997-01-01'
+        |  GROUP BY 1),
+        |sat2 AS MATERIALIZED (
+        |  SELECT c.c_custkey,
+        |    md5(CAST(count(o.o_orderkey) AS VARCHAR) || '|'
+        |      || coalesce(max(o.o_orderpriority), '')) AS hashdiff
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT hk) AS BIGINT) FROM hub)
+        |    AS hub_rows,
+        |  (SELECT CAST(count(DISTINCT lk) AS BIGINT) FROM link)
+        |    AS link_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sat1 s1
+        |   JOIN sat2 s2 ON s2.c_custkey = s1.c_custkey
+        |   WHERE s2.hashdiff <> s1.hashdiff) AS sat_changed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sat1 s1
+        |   JOIN sat2 s2 ON s2.c_custkey = s1.c_custkey
+        |   WHERE s2.hashdiff = s1.hashdiff) AS sat_unchanged"""
+        .stripMargin,
     "q607_semantic_chunking" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
