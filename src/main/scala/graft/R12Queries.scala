@@ -516,12 +516,17 @@ object R12Queries {
         .select(col("vec_id"), col("label").cast("long").as("label"),
                 col("embedding"))
         .localCheckpoint(false)
+      // norms precomputed per vector: one fold per PAIR instead of
+      // three (float-identical — same trick as bruteForceTopK)
       val scored = e.select(col("vec_id").as("i"),
-                            col("embedding").as("qv"))
+                            col("embedding").as("qv"),
+                            Similarity.norm2(col("embedding")).as("qn"))
         .join(e.select(col("vec_id").as("j"),
-                       col("embedding").as("cv")),
+                       col("embedding").as("cv"),
+                       Similarity.norm2(col("embedding")).as("cn")),
               col("j") =!= col("i"))
-        .withColumn("c", Similarity.cosine(col("qv"), col("cv")))
+        .withColumn("c", Similarity.dot(col("qv"), col("cv")) /
+                         sqrt(col("qn") * col("cn")))
       val w = Window.partitionBy(col("i"))
         .orderBy(col("c").desc, col("j"))
       val knn = scored.withColumn("rn", row_number().over(w))
