@@ -277,6 +277,160 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q615_graph_evolution" -> ((s, dir) => {
+      // Temporal graph evolution: the 1996 vs 1997 co-trade edge sets
+      // (≥20 shipments per year) — stable / removed / added edges and
+      // the edge-set Jaccard in ppm. One year-partitioned rollup, two
+      // anti-joins; the drift telemetry for any periodically-rebuilt
+      // graph artifact.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_orderdate")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey") &&
+                expr("year(o_orderdate) IN (1996, 1997)"))
+        .groupBy(expr("year(o_orderdate)").as("yr"),
+                 least(col("c_nationkey"), col("s_nationkey")).as("x"),
+                 greatest(col("c_nationkey"), col("s_nationkey"))
+                   .as("y"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 20L)
+        .select("yr", "x", "y").localCheckpoint(false)
+      val a = e.filter(col("yr") === 1996).select("x", "y")
+      val b = e.filter(col("yr") === 1997).select("x", "y")
+      val stable = a.join(b, Seq("x", "y"))
+        .agg(count(lit(1)).cast("long").as("stable"))
+      val removed = a.join(b, Seq("x", "y"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("removed"))
+      val added = b.join(a, Seq("x", "y"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("added"))
+      stable.crossJoin(broadcast(removed)).crossJoin(broadcast(added))
+        .withColumn("edge_jaccard_ppm", expr(
+          "(1000000 * stable) DIV (stable + removed + added)"))
+    }),
+    "q616_preferential_attachment" -> ((s, dir) => {
+      // Preferential-attachment ("rich get richer") audit: Spearman
+      // rank correlation between a node's 1996 degree and its 1997
+      // degree GAIN — doubled tie-average ranks (exact ints), signed r²
+      // via the two-pinned-DIV product (q574's sqrt-free form). Over
+      // the ≤25-node dimension graph after one year-keyed rollup.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_orderdate")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey") &&
+                expr("year(o_orderdate) IN (1996, 1997)"))
+        .groupBy(expr("year(o_orderdate)").as("yr"),
+                 least(col("c_nationkey"), col("s_nationkey")).as("x"),
+                 greatest(col("c_nationkey"), col("s_nationkey"))
+                   .as("y"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 20L)
+      val deg = e.select(col("yr"), col("x").as("v"))
+        .unionByName(e.select(col("yr"), col("y").as("v")))
+        .groupBy(col("v"))
+        .agg(sum(when(col("yr") === 1996, 1L).otherwise(0L))
+               .cast("long").as("d96"),
+             sum(when(col("yr") === 1997, 1L).otherwise(0L))
+               .cast("long").as("d97"))
+      val rk = rankX2(
+        rankX2(deg.withColumn("gain", col("d97") - col("d96")),
+               Seq.empty, col("d96"))
+          .withColumnRenamed("rank_x2", "r1"),
+        Seq.empty, col("gain"))
+        .withColumnRenamed("rank_x2", "r2")
+      rk.agg(count(lit(1)).cast("long").as("n"),
+             sum(col("r1")).cast("decimal(38,0)").as("s1"),
+             sum(col("r2")).cast("decimal(38,0)").as("s2"),
+             sum(col("r1") * col("r1")).cast("decimal(38,0)").as("s11"),
+             sum(col("r2") * col("r2")).cast("decimal(38,0)").as("s22"),
+             sum(col("r1") * col("r2")).cast("decimal(38,0)").as("s12"))
+        .select(col("n").as("n_nodes"),
+          expr("""CAST(CASE WHEN n*s12 - s1*s2 >= 0
+                 | THEN (((1000000 * (n*s12 - s1*s2))
+                 |     DIV (n*s11 - s1*s1))
+                 |   * ((1000000 * (n*s12 - s1*s2))
+                 |     DIV (n*s22 - s2*s2))) DIV 1000000
+                 | ELSE -((((1000000 * (s1*s2 - n*s12))
+                 |     DIV (n*s11 - s1*s1))
+                 |   * ((1000000 * (s1*s2 - n*s12))
+                 |     DIV (n*s22 - s2*s2))) DIV 1000000)
+                 | END AS BIGINT)""".stripMargin)
+            .as("spearman_r2_signed_ppm"))
+    }),
+    "q617_triplet_mining" -> ((s, dir) => {
+      // Metric-learning triplet mining: per anchor its HARDEST positive
+      // (least-similar same-label vector) and HARDEST negative (most-
+      // similar different-label vector), plus the margin-violation flag
+      // (neg + 0.05 > pos) — the batch-hard sampler contrastive/triplet
+      // training uses; one broadcast of the anchors, two ranked passes.
+      import graft.operators.Similarity
+      val e = rd(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < 24)
+        .select(col("vec_id").as("aid"), col("label").as("alab"),
+                col("embedding").as("av"))
+      val scored = e.select(col("vec_id").as("cid"),
+                            col("label").as("clab"),
+                            col("embedding").as("cv"))
+        .join(broadcast(anchors), col("cid") =!= col("aid"))
+        .withColumn("c", Similarity.cosine(col("av"), col("cv")))
+        .localCheckpoint(false)
+      val wPos = Window.partitionBy(col("aid"))
+        .orderBy(col("c").asc, col("cid"))
+      val pos = scored.filter(col("clab") === col("alab"))
+        .withColumn("rn", row_number().over(wPos))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("cid").as("pos_id"), col("c").as("pc"))
+      val wNeg = Window.partitionBy(col("aid"))
+        .orderBy(col("c").desc, col("cid"))
+      val neg = scored.filter(col("clab") =!= col("alab"))
+        .withColumn("rn", row_number().over(wNeg))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("cid").as("neg_id"), col("c").as("nc"))
+      pos.join(neg, Seq("aid"))
+        .select(col("aid").cast("long").as("anchor_id"),
+                col("pos_id").cast("long").as("hardest_positive_id"),
+                round(col("pc"), 4).as("pos_cosine"),
+                col("neg_id").cast("long").as("hardest_negative_id"),
+                round(col("nc"), 4).as("neg_cosine"),
+                when(col("nc") + 0.05 > col("pc"), 1L).otherwise(0L)
+                  .as("margin_violation"))
+    }),
+    "q618_trading_day_adjust" -> ((s, dir) => {
+      // Trading-day adjustment (X-11 style calendar correction): the
+      // expected monthly volume from each month's weekday composition ×
+      // the global per-weekday daily rate (pinned milli DIVs), and the
+      // calendar-corrected residual. One daily rollup feeds both the
+      // weekday rates and the month profile.
+      val days = rd(s, dir, "orders")
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint(false)
+      val dow = days.groupBy(expr("dayofweek(d)").as("dw"))
+        .agg(sum(col("n")).cast("long").as("tot"),
+             count(lit(1)).cast("long").as("ndays"))
+      val mo = days.groupBy(
+          expr("CAST((year(d) - 1995) * 12 + month(d) - 1 AS BIGINT)")
+            .as("mi"),
+          expr("dayofweek(d)").as("dw"))
+        .agg(count(lit(1)).cast("long").as("ndw"),
+             sum(col("n")).cast("long").as("actual_part"))
+      mo.join(broadcast(dow), Seq("dw"))
+        .groupBy(col("mi"))
+        .agg(sum(col("actual_part")).cast("long").as("actual"),
+             sum(expr("(1000 * ndw * tot) DIV ndays")).cast("long")
+               .as("expected_milli"))
+        .withColumn("residual_milli",
+                    expr("1000 * actual - expected_milli"))
+    }),
     "q610_shift_share" -> ((s, dir) => {
       // Shift-share decomposition of 1996→1997 order growth per
       // (region, priority): national-growth, industry-mix and local-
@@ -2586,7 +2740,120 @@ object R12Queries {
        |      GROUP BY k.i, n.lab)
        |    WHERE rn = 1) m ON m.v = l${r - 1}.v)""".stripMargin
 
+  /** Shared oracle fragment: year-keyed ≥20-shipment trade edges for
+    * 1996/1997 (q615/q616).
+    */
+  private val YearEdgeCte: String =
+    """e AS MATERIALIZED (
+      |  SELECT year(o.o_orderdate) AS yr,
+      |    least(c.c_nationkey, s.s_nationkey) AS x,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS y
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |    AND year(o.o_orderdate) IN (1996, 1997)
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 20)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q615_graph_evolution" ->
+      s"""WITH $YearEdgeCte,
+        |a AS (SELECT x, y FROM e WHERE yr = 1996),
+        |b AS (SELECT x, y FROM e WHERE yr = 1997),
+        |j AS (SELECT
+        |  CAST((SELECT count(*) FROM a JOIN b USING (x, y)) AS BIGINT)
+        |    AS stable,
+        |  CAST((SELECT count(*) FROM a ANTI JOIN b USING (x, y))
+        |    AS BIGINT) AS removed,
+        |  CAST((SELECT count(*) FROM b ANTI JOIN a USING (x, y))
+        |    AS BIGINT) AS added)
+        |SELECT stable, removed, added,
+        |  CAST((1000000 * stable) // (stable + removed + added)
+        |    AS BIGINT) AS edge_jaccard_ppm
+        |FROM j""".stripMargin,
+    "q616_preferential_attachment" ->
+      s"""WITH $YearEdgeCte,
+        |deg AS MATERIALIZED (
+        |  SELECT v,
+        |    CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS d96,
+        |    CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) AS d97
+        |  FROM (SELECT yr, x AS v FROM e UNION ALL SELECT yr, y FROM e)
+        |    s
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT
+        |    2*rank() OVER (ORDER BY d96)
+        |      + count(*) OVER (PARTITION BY d96) - 1 AS r1,
+        |    2*rank() OVER (ORDER BY d97 - d96)
+        |      + count(*) OVER (PARTITION BY d97 - d96) - 1 AS r2
+        |  FROM deg),
+        |st AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(r1) AS HUGEINT) AS s1,
+        |    CAST(sum(r2) AS HUGEINT) AS s2,
+        |    CAST(sum(r1*r1) AS HUGEINT) AS s11,
+        |    CAST(sum(r2*r2) AS HUGEINT) AS s22,
+        |    CAST(sum(r1*r2) AS HUGEINT) AS s12
+        |  FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_nodes,
+        |  CAST(CASE WHEN n*s12 - s1*s2 >= 0
+        |    THEN (((1000000 * (n*s12 - s1*s2)) // (n*s11 - s1*s1))
+        |      * ((1000000 * (n*s12 - s1*s2)) // (n*s22 - s2*s2)))
+        |      // 1000000
+        |    ELSE -((((1000000 * (s1*s2 - n*s12)) // (n*s11 - s1*s1))
+        |      * ((1000000 * (s1*s2 - n*s12)) // (n*s22 - s2*s2)))
+        |      // 1000000) END AS BIGINT) AS spearman_r2_signed_ppm
+        |FROM st""".stripMargin,
+    "q617_triplet_mining" ->
+      s"""WITH anchors AS MATERIALIZED (
+        |  SELECT vec_id AS aid, label AS alab, embedding AS av
+        |  FROM embeddings WHERE vec_id < 24),
+        |scored AS MATERIALIZED (
+        |  SELECT a.aid, a.alab, c.vec_id AS cid, c.label AS clab,
+        |    ${cosSql("a.av", "c.embedding")} AS c
+        |  FROM embeddings c JOIN anchors a ON c.vec_id <> a.aid),
+        |pos AS (
+        |  SELECT aid, cid AS pos_id, c AS pc FROM scored
+        |  WHERE clab = alab
+        |  QUALIFY row_number() OVER (PARTITION BY aid
+        |    ORDER BY c ASC, cid) = 1),
+        |neg AS (
+        |  SELECT aid, cid AS neg_id, c AS nc FROM scored
+        |  WHERE clab <> alab
+        |  QUALIFY row_number() OVER (PARTITION BY aid
+        |    ORDER BY c DESC, cid) = 1)
+        |SELECT CAST(p.aid AS BIGINT) AS anchor_id,
+        |  CAST(p.pos_id AS BIGINT) AS hardest_positive_id,
+        |  round(p.pc, 4) AS pos_cosine,
+        |  CAST(n.neg_id AS BIGINT) AS hardest_negative_id,
+        |  round(n.nc, 4) AS neg_cosine,
+        |  CAST(CASE WHEN n.nc + 0.05 > p.pc THEN 1 ELSE 0 END
+        |    AS BIGINT) AS margin_violation
+        |FROM pos p JOIN neg n ON n.aid = p.aid""".stripMargin,
+    "q618_trading_day_adjust" ->
+      """WITH days AS MATERIALIZED (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |dow AS MATERIALIZED (
+        |  SELECT dayofweek(d) AS dw, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS ndays
+        |  FROM days GROUP BY 1),
+        |mo AS MATERIALIZED (
+        |  SELECT CAST((year(d)-1995)*12 + month(d)-1 AS BIGINT) AS mi,
+        |    dayofweek(d) AS dw,
+        |    CAST(count(*) AS BIGINT) AS ndw,
+        |    CAST(sum(n) AS BIGINT) AS actual_part
+        |  FROM days GROUP BY 1, 2)
+        |SELECT mo.mi,
+        |  CAST(sum(mo.actual_part) AS BIGINT) AS actual,
+        |  CAST(sum((1000 * mo.ndw * dow.tot) // dow.ndays) AS BIGINT)
+        |    AS expected_milli,
+        |  CAST(1000 * sum(mo.actual_part)
+        |    - sum((1000 * mo.ndw * dow.tot) // dow.ndays) AS BIGINT)
+        |    AS residual_milli
+        |FROM mo JOIN dow ON dow.dw = mo.dw
+        |GROUP BY 1""".stripMargin,
     "q610_shift_share" ->
       s"""WITH $OrdersRegionCte,
         |cell AS MATERIALIZED (
