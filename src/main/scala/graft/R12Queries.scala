@@ -277,6 +277,174 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q619_two_way_anova" -> ((s, dir) => {
+      // Two-way ANOVA decomposition (region × priority on order cents):
+      // main-effect, interaction and within sums of squares against the
+      // quantized cell/margin means (every mean one pinned DIV, SSW
+      // exact against the quantized cell mean — q556's identity), the
+      // four variance shares in ppm. One fact pass to the 25-cell
+      // sufficient statistics.
+      val cell = rd(s, dir, "orders")
+        .join(broadcast(rd(s, dir, "customer")
+                .select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("a"), col("o_orderpriority").as("b"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("y"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("y")).cast("long").as("s"),
+             sum((col("y") * col("y")).cast("decimal(38,0)")).as("s2"))
+        .localCheckpoint(false)
+      val g = cell.agg(sum(col("n")).cast("long").as("gn"),
+                       sum(col("s")).cast("long").as("gs"))
+        .withColumn("gm", expr("gs DIV gn"))
+      val am = cell.groupBy(col("a"))
+        .agg(expr("sum(s) DIV sum(n)").as("am"),
+             sum(col("n")).cast("long").as("an"))
+      val bmr = cell.groupBy(col("b"))
+        .agg(expr("sum(s) DIV sum(n)").as("bm"),
+             sum(col("n")).cast("long").as("bn"))
+      val ssa = am.crossJoin(broadcast(g))
+        .agg(sum(expr("CAST(an * (am - gm) * (am - gm)" +
+                      " AS DECIMAL(38,0))")).as("ssa"))
+      val ssb = bmr.crossJoin(broadcast(g))
+        .agg(sum(expr("CAST(bn * (bm - gm) * (bm - gm)" +
+                      " AS DECIMAL(38,0))")).as("ssb"))
+      val ssab = cell.join(broadcast(am), Seq("a"))
+        .join(broadcast(bmr), Seq("b")).crossJoin(broadcast(g))
+        .agg(sum(expr(
+          """CAST(n * (s DIV n - am - bm + gm)
+            |  * (s DIV n - am - bm + gm) AS DECIMAL(38,0))"""
+            .stripMargin)).as("ssab"))
+      val ssw = cell.agg(sum(expr(
+          """s2 - 2 * CAST(s DIV n AS DECIMAL(38,0)) * s
+            | + CAST(n AS DECIMAL(38,0)) * (s DIV n) * (s DIV n)"""
+            .stripMargin)).as("ssw"))
+      ssa.crossJoin(broadcast(ssb)).crossJoin(broadcast(ssab))
+        .crossJoin(broadcast(ssw))
+        .select(
+          expr("CAST((1000000 * ssa) DIV (ssa+ssb+ssab+ssw) AS BIGINT)")
+            .as("region_share_ppm"),
+          expr("CAST((1000000 * ssb) DIV (ssa+ssb+ssab+ssw) AS BIGINT)")
+            .as("priority_share_ppm"),
+          expr("CAST((1000000 * ssab) DIV (ssa+ssb+ssab+ssw) AS BIGINT)")
+            .as("interaction_share_ppm"),
+          expr("CAST((1000000 * ssw) DIV (ssa+ssb+ssab+ssw) AS BIGINT)")
+            .as("within_share_ppm"))
+    }),
+    "q620_rbo" -> ((s, dir) => {
+      // Rank-biased overlap (p = 9/10, depth 10) between the brand
+      // ranking by revenue and by volume: p^(d−1) is RATIONAL with
+      // denominator 10^(d−1), so every term is one pinned ppb DIV
+      // (9^9·1e9·10 < 2^63 — documented bound). The top-weighted
+      // rank-similarity IR metric next to footrule (q335).
+      val br = rd(s, dir, "lineitem")
+        .join(broadcast(rd(s, dir, "part").select("p_partkey", "p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .cast("long").as("rev"),
+             count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint(false)
+      val wA = Window.partitionBy(DimKey.one)
+        .orderBy(col("rev").desc, col("brand"))
+      val wB = Window.partitionBy(DimKey.one)
+        .orderBy(col("cnt").desc, col("brand"))
+      val ra = br.withColumn("r", row_number().over(wA))
+        .select(col("brand"), col("r").as("ra"))
+      val rb = br.withColumn("r", row_number().over(wB))
+        .select(col("brand"), col("r").as("rb"))
+      val ov = s.range(1, 11).select(col("id").as("d"))
+        .join(ra.join(rb, Seq("brand")), col("ra") <= col("d") &&
+                                         col("rb") <= col("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).cast("long").as("inter"))
+      ov.select(col("d"), col("inter"),
+          expr("""CAST((1000000000 * CAST(pow(9, d-1) AS BIGINT)
+                 |  * inter)
+                 | DIV (CAST(pow(10, d) AS BIGINT) * d) AS BIGINT)"""
+            .stripMargin).as("term_ppb"))
+        .agg(sum(col("term_ppb")).cast("long").as("rbo10_ppb"),
+             max(when(col("d") === 10, col("inter"))).cast("long")
+               .as("inter_at_10"))
+    }),
+    "q622_median_polish" -> ((s, dir) => {
+      // Tukey median polish (2 full row+column sweeps) of the
+      // month-of-year × year order-count matrix — the OUTLIER-ROBUST
+      // decomposition next to the mean-based q562: each sweep subtracts
+      // doubled medians (min+max of the two middle order stats keeps
+      // everything integral; residuals ×16 after four halvings).
+      val m = rd(s, dir, "orders")
+        .filter(expr("year(o_orderdate) BETWEEN 1995 AND 2000"))
+        .groupBy(expr("CAST(month(o_orderdate) AS BIGINT)").as("mo"),
+                 expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(false)
+      def sweep(df: DataFrame, part: String): DataFrame = {
+        val w = Window.partitionBy(col(part)).orderBy(col("y"))
+        val wc = Window.partitionBy(col(part))
+        val med = df
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") === expr("(cnt + 1) DIV 2") ||
+                  col("rn") === expr("(cnt + 2) DIV 2"))
+          .groupBy(col(part))
+          .agg((min(col("y")) + max(col("y"))).as("m2"))
+        df.join(broadcast(med), Seq(part))
+          .select(col("mo"), col("yr"),
+                  (lit(2L) * col("y") - col("m2")).as("y"))
+      }
+      val out = sweep(sweep(sweep(sweep(m, "mo"), "yr"), "mo"), "yr")
+      out.select(col("mo"), col("yr"), col("y").as("residual_x16"))
+    }),
+    "q623_capture_recapture" -> ((s, dir) => {
+      // Lincoln–Petersen / Chapman capture-recapture population
+      // estimate: samples = customers active in 1996 and in 1997,
+      // overlap = recaptures — the mark-recapture estimator for "how
+      // many active customers exist beyond what either year saw".
+      // Two distinct sets + one join; estimators as pinned DIVs.
+      val o = rd(s, dir, "orders")
+      def yr(y: Int) = o.filter(expr(s"year(o_orderdate) = $y"))
+        .select(col("o_custkey").as("ck")).distinct()
+      val a = yr(1996).localCheckpoint(false)
+      val b = yr(1997).localCheckpoint(false)
+      val n1 = a.agg(count(lit(1)).cast("long").as("n1"))
+      val n2 = b.agg(count(lit(1)).cast("long").as("n2"))
+      val mm = a.join(b, Seq("ck"))
+        .agg(count(lit(1)).cast("long").as("m"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(mm))
+        .withColumn("lincoln_petersen", expr("(n1 * n2) DIV m"))
+        .withColumn("chapman",
+                    expr("((n1+1) * (n2+1)) DIV (m+1) - 1"))
+    }),
+    "q624_chao1_richness" -> ((s, dir) => {
+      // Chao1 species-richness and Good–Turing coverage of the corpus
+      // TRIGRAM vocabulary: richness = V + f1²/(2·f2) from the
+      // frequency-of-frequencies, coverage = 1 − f1/N — the "how much
+      // vocabulary have we NOT seen yet" estimators that size a corpus
+      // crawl; one token pass + two rollups.
+      val grams = rd(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 3),
+            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"""
+            .stripMargin)).as("t"))
+      val vc = grams.groupBy(col("t"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      vc.agg(count(lit(1)).cast("long").as("vocab"),
+             sum(col("c")).cast("long").as("tokens"),
+             sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+               .as("f1"),
+             sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long")
+               .as("f2"))
+        .withColumn("chao1_richness",
+                    expr("vocab + (f1 * f1) DIV (2 * f2)"))
+        .withColumn("good_turing_coverage_ppm",
+                    expr("1000000 - (1000000 * f1) DIV tokens"))
+    }),
     "q615_graph_evolution" -> ((s, dir) => {
       // Temporal graph evolution: the 1996 vs 1997 co-trade edge sets
       // (≥20 shipments per year) — stable / removed / added edges and
@@ -2755,7 +2923,142 @@ object R12Queries {
       |    AND year(o.o_orderdate) IN (1996, 1997)
       |  GROUP BY 1, 2, 3 HAVING count(*) >= 20)""".stripMargin
 
+  /** One median-polish sweep, DuckDB-side (q622): doubled median of `v`
+    * per `part`, subtracted.
+    */
+  private def polishSweep(part: String, src: String,
+                          out: String): String =
+    s"""${out}_m AS MATERIALIZED (
+       |  SELECT $part, CAST(min(x) + max(x) AS BIGINT) AS m2 FROM (
+       |    SELECT $part, y AS x,
+       |      row_number() OVER (PARTITION BY $part ORDER BY y) AS rn,
+       |      count(*) OVER (PARTITION BY $part) AS cnt FROM $src) t
+       |  WHERE rn IN ((cnt+1)//2, (cnt+2)//2) GROUP BY $part),
+       |$out AS MATERIALIZED (
+       |  SELECT $src.mo, $src.yr, 2*$src.y - ${out}_m.m2 AS y
+       |  FROM $src JOIN ${out}_m ON ${out}_m.$part = $src.$part)"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q619_two_way_anova" ->
+      s"""WITH $OrdersRegionCte,
+        |cell AS MATERIALIZED (
+        |  SELECT reg AS a, o_orderpriority AS b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS s,
+        |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)
+        |      * CAST(floor(o_totalprice*100) AS BIGINT)) AS HUGEINT)
+        |      AS s2
+        |  FROM oreg GROUP BY 1, 2),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+        |  CAST(sum(s) AS BIGINT) AS gs,
+        |  CAST(sum(s) // sum(n) AS BIGINT) AS gm FROM cell),
+        |am AS MATERIALIZED (SELECT a,
+        |  CAST(sum(s) // sum(n) AS BIGINT) AS am,
+        |  CAST(sum(n) AS BIGINT) AS an FROM cell GROUP BY 1),
+        |bm AS MATERIALIZED (SELECT b,
+        |  CAST(sum(s) // sum(n) AS BIGINT) AS bm,
+        |  CAST(sum(n) AS BIGINT) AS bn FROM cell GROUP BY 1),
+        |ss AS (SELECT
+        |  (SELECT CAST(sum(an * (am.am - g.gm) * (am.am - g.gm))
+        |     AS HUGEINT) FROM am CROSS JOIN g) AS ssa,
+        |  (SELECT CAST(sum(bn * (bm.bm - g.gm) * (bm.bm - g.gm))
+        |     AS HUGEINT) FROM bm CROSS JOIN g) AS ssb,
+        |  (SELECT CAST(sum(cell.n
+        |      * (cell.s // cell.n - am.am - bm.bm + g.gm)
+        |      * (cell.s // cell.n - am.am - bm.bm + g.gm)) AS HUGEINT)
+        |   FROM cell JOIN am ON am.a = cell.a
+        |   JOIN bm ON bm.b = cell.b CROSS JOIN g) AS ssab,
+        |  (SELECT CAST(sum(cell.s2
+        |      - 2*CAST(cell.s // cell.n AS HUGEINT)*cell.s
+        |      + CAST(cell.n AS HUGEINT)*(cell.s // cell.n)
+        |        *(cell.s // cell.n)) AS HUGEINT) FROM cell) AS ssw)
+        |SELECT
+        |  CAST((1000000 * ssa) // (ssa+ssb+ssab+ssw) AS BIGINT)
+        |    AS region_share_ppm,
+        |  CAST((1000000 * ssb) // (ssa+ssb+ssab+ssw) AS BIGINT)
+        |    AS priority_share_ppm,
+        |  CAST((1000000 * ssab) // (ssa+ssb+ssab+ssw) AS BIGINT)
+        |    AS interaction_share_ppm,
+        |  CAST((1000000 * ssw) // (ssa+ssb+ssab+ssw) AS BIGINT)
+        |    AS within_share_ppm
+        |FROM ss""".stripMargin,
+    "q620_rbo" ->
+      """WITH br AS MATERIALIZED (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(sum(CAST(floor(l.l_extendedprice*100) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |ra AS MATERIALIZED (SELECT brand,
+        |  row_number() OVER (ORDER BY rev DESC, brand) AS r FROM br),
+        |rb AS MATERIALIZED (SELECT brand,
+        |  row_number() OVER (ORDER BY cnt DESC, brand) AS r FROM br),
+        |depths AS (SELECT unnest(range(1, 11)) AS d),
+        |ov AS MATERIALIZED (
+        |  SELECT d.d, CAST(count(*) AS BIGINT) AS inter
+        |  FROM depths d JOIN ra ON ra.r <= d.d
+        |  JOIN rb ON rb.brand = ra.brand AND rb.r <= d.d
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT d, inter,
+        |    CAST((1000000000 * CAST(POW(9, d-1) AS BIGINT) * inter)
+        |      // (CAST(POW(10, d) AS BIGINT) * d) AS BIGINT) AS term_ppb
+        |  FROM ov)
+        |SELECT CAST(sum(term_ppb) AS BIGINT) AS rbo10_ppb,
+        |  CAST(max(CASE WHEN d = 10 THEN inter END) AS BIGINT)
+        |    AS inter_at_10
+        |FROM t""".stripMargin,
+    "q622_median_polish" ->
+      s"""WITH m AS MATERIALIZED (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+        |  GROUP BY 1, 2),
+        |${polishSweep("mo", "m", "d1")},
+        |${polishSweep("yr", "d1", "d2")},
+        |${polishSweep("mo", "d2", "d3")},
+        |${polishSweep("yr", "d3", "d4")}
+        |SELECT mo, yr, CAST(y AS BIGINT) AS residual_x16
+        |FROM d4""".stripMargin,
+    "q623_capture_recapture" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1997),
+        |s AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (ck))
+        |    AS m)
+        |SELECT n1, n2, m,
+        |  CAST((n1 * n2) // m AS BIGINT) AS lincoln_petersen,
+        |  CAST(((n1+1) * (n2+1)) // (m+1) - 1 AS BIGINT) AS chapman
+        |FROM s""".stripMargin,
+    "q624_chao1_richness" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(w)) AS BIGINT) FROM toks))) AS i) s
+        |  WHERE i + 2 <= len(w)),
+        |vc AS MATERIALIZED (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |ff AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS tokens,
+        |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+        |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+        |  FROM vc)
+        |SELECT vocab, tokens, f1, f2,
+        |  CAST(vocab + (f1*f1) // (2*f2) AS BIGINT) AS chao1_richness,
+        |  CAST(1000000 - (1000000 * f1) // tokens AS BIGINT)
+        |    AS good_turing_coverage_ppm
+        |FROM ff""".stripMargin,
     "q615_graph_evolution" ->
       s"""WITH $YearEdgeCte,
         |a AS (SELECT x, y FROM e WHERE yr = 1996),
