@@ -370,6 +370,40 @@ object R12Queries {
              max(when(col("d") === 10, col("inter"))).cast("long")
                .as("inter_at_10"))
     }),
+    "q621_state_store_reader" -> ((s, dir) => {
+      // Spark 4's STATE STORE DATA SOURCE: after an update-mode
+      // streaming aggregation drains, `spark.read.format("statestore")`
+      // opens the checkpoint and returns the operator's live state as a
+      // DataFrame — the ops/debugging surface for stateful pipelines.
+      // The state rows (running per-type counts) must equal the batch
+      // rollup of the same feed, re-derived by the oracle.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.events(s, dir).filter(col("user_id") % 5 === 4)
+        .select(col("event_id"), col("event_type"))
+        .as[(Long, String)].collect().toSeq
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      src.addData(rows.filter(_._1 % 2 == 0): _*)
+      src.addData(rows.filter(_._1 % 2 == 1): _*)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q621_ssr").toString
+      val tbl = "q621_ss_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
+        val q = src.toDF().toDF("event_id", "event_type")
+          .groupBy(col("event_type")).count()
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+                col("value.count").cast("long").as("n"))
+    }),
     "q622_median_polish" -> ((s, dir) => {
       // Tukey median polish (2 full row+column sweeps) of the
       // month-of-year × year order-count matrix — the OUTLIER-ROBUST
@@ -3011,6 +3045,10 @@ object R12Queries {
         |  CAST(max(CASE WHEN d = 10 THEN inter END) AS BIGINT)
         |    AS inter_at_10
         |FROM t""".stripMargin,
+    "q621_state_store_reader" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE user_id % 5 = 4
+        |GROUP BY 1""".stripMargin,
     "q622_median_polish" ->
       s"""WITH m AS MATERIALIZED (
         |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
