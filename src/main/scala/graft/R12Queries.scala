@@ -534,14 +534,14 @@ object R12Queries {
                  least(col("c_nationkey"), col("s_nationkey")).as("x"),
                  greatest(col("c_nationkey"), col("s_nationkey"))
                    .as("y"))
-        .agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).cast("long").as("_n"))
         .filter(col("_n") >= 20L)
-      val deg = e.select(col("yr"), col("x").as("v"))
-        .unionByName(e.select(col("yr"), col("y").as("v")))
+      val deg = e.select(col("yr"), col("x").as("v"), col("_n"))
+        .unionByName(e.select(col("yr"), col("y").as("v"), col("_n")))
         .groupBy(col("v"))
-        .agg(sum(when(col("yr") === 1996, 1L).otherwise(0L))
+        .agg(sum(when(col("yr") === 1996, col("_n")).otherwise(0L))
                .cast("long").as("d96"),
-             sum(when(col("yr") === 1997, 1L).otherwise(0L))
+             sum(when(col("yr") === 1997, col("_n")).otherwise(0L))
                .cast("long").as("d97"))
       val rk = rankX2(
         rankX2(deg.withColumn("gain", col("d97") - col("d96")),
@@ -556,7 +556,9 @@ object R12Queries {
              sum(col("r2") * col("r2")).cast("decimal(38,0)").as("s22"),
              sum(col("r1") * col("r2")).cast("decimal(38,0)").as("s12"))
         .select(col("n").as("n_nodes"),
-          expr("""CAST(CASE WHEN n*s12 - s1*s2 >= 0
+          expr("""CAST(CASE
+                 | WHEN n*s11 - s1*s1 = 0 OR n*s22 - s2*s2 = 0 THEN 0
+                 | WHEN n*s12 - s1*s2 >= 0
                  | THEN (((1000000 * (n*s12 - s1*s2))
                  |     DIV (n*s11 - s1*s1))
                  |   * ((1000000 * (n*s12 - s1*s2))
@@ -2949,7 +2951,8 @@ object R12Queries {
     """e AS MATERIALIZED (
       |  SELECT year(o.o_orderdate) AS yr,
       |    least(c.c_nationkey, s.s_nationkey) AS x,
-      |    greatest(c.c_nationkey, s.s_nationkey) AS y
+      |    greatest(c.c_nationkey, s.s_nationkey) AS y,
+      |    CAST(count(*) AS BIGINT) AS w
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -3116,10 +3119,12 @@ object R12Queries {
       s"""WITH $YearEdgeCte,
         |deg AS MATERIALIZED (
         |  SELECT v,
-        |    CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS d96,
-        |    CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) AS d97
-        |  FROM (SELECT yr, x AS v FROM e UNION ALL SELECT yr, y FROM e)
-        |    s
+        |    CAST(coalesce(sum(w) FILTER (WHERE yr = 1996), 0)
+        |      AS BIGINT) AS d96,
+        |    CAST(coalesce(sum(w) FILTER (WHERE yr = 1997), 0)
+        |      AS BIGINT) AS d97
+        |  FROM (SELECT yr, x AS v, w FROM e
+        |        UNION ALL SELECT yr, y, w FROM e) s
         |  GROUP BY 1),
         |rk AS (
         |  SELECT
@@ -3137,7 +3142,9 @@ object R12Queries {
         |    CAST(sum(r1*r2) AS HUGEINT) AS s12
         |  FROM rk)
         |SELECT CAST(n AS BIGINT) AS n_nodes,
-        |  CAST(CASE WHEN n*s12 - s1*s2 >= 0
+        |  CAST(CASE
+        |    WHEN n*s11 - s1*s1 = 0 OR n*s22 - s2*s2 = 0 THEN 0
+        |    WHEN n*s12 - s1*s2 >= 0
         |    THEN (((1000000 * (n*s12 - s1*s2)) // (n*s11 - s1*s1))
         |      * ((1000000 * (n*s12 - s1*s2)) // (n*s22 - s2*s2)))
         |      // 1000000
