@@ -277,6 +277,101 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q625_kendall_distance" -> ((s, dir) => {
+      // Kendall distance between two RANKINGS of the same items (brand
+      // by revenue vs by volume): discordant pairs / all pairs in ppm —
+      // the bubble-sort distance between lists, complementing q508's
+      // data-level τ-b and q620's top-weighted RBO. The pair compare
+      // runs on the |brands|² dimension grid.
+      val br = rd(s, dir, "lineitem")
+        .join(broadcast(rd(s, dir, "part").select("p_partkey", "p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .cast("long").as("rev"),
+             count(lit(1)).cast("long").as("cnt"))
+      val wA = Window.partitionBy(DimKey.one)
+        .orderBy(col("rev").desc, col("brand"))
+      val wB = Window.partitionBy(DimKey.one)
+        .orderBy(col("cnt").desc, col("brand"))
+      val rk = br.withColumn("ra", row_number().over(wA))
+        .withColumn("rb", row_number().over(wB))
+        .select("brand", "ra", "rb").localCheckpoint(false)
+      rk.as("a").join(rk.as("b"), col("b.brand") > col("a.brand"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             sum(when((col("a.ra") < col("b.ra")) =!=
+                      (col("a.rb") < col("b.rb")), 1L).otherwise(0L))
+               .cast("long").as("discordant"))
+        .withColumn("kendall_distance_ppm",
+                    expr("(1000000 * discordant) DIV n_pairs"))
+    }),
+    "q626_qn_scale" -> ((s, dir) => {
+      // Rousseeuw–Croux Qn robust scale estimator (raw): the k-th order
+      // statistic of all pairwise |yᵢ−yⱼ| with k = C(⌊n/2⌋+1, 2) — 50%
+      // breakdown WITHOUT a location estimate, the robust-scale
+      // companion to MAD (q155). Pairs are bounded by the 80-row series
+      // (~3.2k); the k-th value comes off cellRank, not a global sort.
+      val m = monthlySeries(s, dir).localCheckpoint(false)
+      val g = m.agg(count(lit(1)).cast("long").as("n"))
+      val pd = m.as("a").join(m.as("b"), col("b.mi") > col("a.mi"))
+        .select(abs(col("a.y") - col("b.y")).as("d"),
+                (col("a.mi") * 1000 + col("b.mi")).as("pid"))
+      val rk = Profile.cellRank(pd, Seq.empty, "d", Seq("pid"))
+      rk.crossJoin(broadcast(g))
+        .agg(max(col("n")).as("n_points"),
+             max(col("_n")).cast("long").as("n_pairs"),
+             max(expr("((n DIV 2 + 1) * (n DIV 2)) DIV 2")).as("k"),
+             max(when(col("_rank") ===
+                 expr("((n DIV 2 + 1) * (n DIV 2)) DIV 2"), col("d")))
+               .cast("long").as("qn_raw"))
+    }),
+    "q627_seasonal_mann_kendall" -> ((s, dir) => {
+      // Seasonal Mann–Kendall trend test: S = Σ sign(y_j − y_i) over
+      // same-calendar-month year pairs (1995–2000), plus the exact ×18
+      // no-ties variance Σ n(n−1)(2n+5) — the environmental-statistics
+      // monotone-trend test that ignores seasonality by construction
+      // (the hypothesis-test companion to Theil–Sen's q445 slope).
+      val m = rd(s, dir, "orders")
+        .filter(expr("year(o_orderdate) BETWEEN 1995 AND 2000"))
+        .groupBy(expr("CAST(month(o_orderdate) AS BIGINT)").as("mo"),
+                 expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(false)
+      val sStat = m.as("a").join(m.as("b"),
+          col("b.mo") === col("a.mo") && col("b.yr") > col("a.yr"))
+        .agg(sum(when(col("b.y") > col("a.y"), 1L)
+                   .when(col("b.y") < col("a.y"), -1L).otherwise(0L))
+               .cast("long").as("s_stat"),
+             count(lit(1)).cast("long").as("n_pairs"))
+      val v = m.groupBy(col("mo")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * (cnt-1) * (2*cnt+5)")).cast("long")
+               .as("var_x18"))
+      sStat.crossJoin(broadcast(v))
+        .select("s_stat", "n_pairs", "var_x18")
+    }),
+    "q628_simpson_diversity" -> ((s, dir) => {
+      // Simpson concentration / Gini–Simpson diversity of the trigram
+      // vocabulary per source: Σc(c−1)/(N(N−1)) exact in ppm — the
+      // probability two random trigrams collide, the lexical-diversity
+      // telemetry next to q369's lexical Gini and q624's richness.
+      val grams = rd(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(w) - 3),
+            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"""
+            .stripMargin)).as("t"))
+      grams.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("vocab"),
+             sum(col("c")).cast("long").as("n"),
+             expr("""CAST((1000000 * sum(c*(c-1)))
+                    | DIV (sum(c) * (sum(c)-1)) AS BIGINT)"""
+               .stripMargin).as("simpson_conc_ppm"))
+        .withColumn("gini_simpson_ppm",
+                    (lit(1000000L) - col("simpson_conc_ppm")))
+    }),
     "q619_two_way_anova" -> ((s, dir) => {
       // Two-way ANOVA decomposition (region × priority on order cents):
       // main-effect, interaction and within sums of squares against the
@@ -2977,6 +3072,77 @@ object R12Queries {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q625_kendall_distance" ->
+      """WITH br AS MATERIALIZED (
+        |  SELECT p.p_brand AS brand,
+        |    CAST(sum(CAST(floor(l.l_extendedprice*100) AS BIGINT))
+        |      AS BIGINT) AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |rk AS MATERIALIZED (
+        |  SELECT brand, row_number() OVER (ORDER BY rev DESC, brand)
+        |    AS ra,
+        |    row_number() OVER (ORDER BY cnt DESC, brand) AS rb
+        |  FROM br),
+        |pairs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (a.ra < b.ra) <> (a.rb < b.rb) THEN 1
+        |      ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM rk a JOIN rk b ON b.brand > a.brand)
+        |SELECT n_pairs, discordant,
+        |  CAST((1000000 * discordant) // n_pairs AS BIGINT)
+        |    AS kendall_distance_ppm
+        |FROM pairs""".stripMargin,
+    "q626_qn_scale" ->
+      s"""WITH $MonthlyCte,
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        |pd AS MATERIALIZED (
+        |  SELECT abs(a.y - b.y) AS d FROM m a JOIN m b ON b.mi > a.mi),
+        |rk AS (
+        |  SELECT d, row_number() OVER (ORDER BY d) AS r,
+        |    count(*) OVER () AS np
+        |  FROM pd)
+        |SELECT g.n AS n_points, CAST(max(rk.np) AS BIGINT) AS n_pairs,
+        |  CAST(((g.n // 2 + 1) * (g.n // 2)) // 2 AS BIGINT) AS k,
+        |  CAST(max(CASE WHEN rk.r = ((g.n // 2 + 1) * (g.n // 2)) // 2
+        |    THEN rk.d END) AS BIGINT) AS qn_raw
+        |FROM rk CROSS JOIN g GROUP BY g.n""".stripMargin,
+    "q627_seasonal_mann_kendall" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 2000
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM m a JOIN m b ON b.mo = a.mo AND b.yr > a.yr),
+        |v AS (
+        |  SELECT CAST(sum(cnt*(cnt-1)*(2*cnt+5)) AS BIGINT) AS var_x18
+        |  FROM (SELECT mo, count(*) AS cnt FROM m GROUP BY 1))
+        |SELECT s.s_stat, s.n_pairs, v.var_x18
+        |FROM s CROSS JOIN v""".stripMargin,
+    "q628_simpson_diversity" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(w)) AS BIGINT) FROM toks))) AS i) s
+        |  WHERE i + 2 <= len(w)),
+        |vc AS MATERIALIZED (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  CAST((1000000 * sum(c*(c-1))) // (sum(c) * (sum(c)-1))
+        |    AS BIGINT) AS simpson_conc_ppm,
+        |  CAST(1000000 - (1000000 * sum(c*(c-1)))
+        |    // (sum(c) * (sum(c)-1)) AS BIGINT) AS gini_simpson_ppm
+        |FROM vc GROUP BY 1""".stripMargin,
     "q619_two_way_anova" ->
       s"""WITH $OrdersRegionCte,
         |cell AS MATERIALIZED (
