@@ -277,6 +277,87 @@ object R12Queries {
           .cast("long"))
         .select("lag", "acf_num", "acf_ppm", "lb_term_ppm", "lb_q_ppm")
     }),
+    "q629_binary_segmentation" -> ((s, dir) => {
+      // Binary-segmentation changepoint scan: for every split point of
+      // the monthly series, total two-segment SSE from PREFIX SUMS
+      // (len·Σx² − (Σx)², milli-quantized per side — no per-candidate
+      // rescans), top-3 candidate splits emitted. The segmentation
+      // primitive under PELT-style detectors, next to CUSUM (q245) and
+      // Page–Hinkley (q599).
+      val m = monthlySeries(s, dir)
+      val w = Window.partitionBy(DimKey.one).orderBy(col("mi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(DimKey.one)
+      val c = m
+        .withColumn("cs", sum(col("y")).over(w))
+        .withColumn("cs2", sum(col("y") * col("y")).over(w))
+        .withColumn("t", row_number().over(
+          Window.partitionBy(DimKey.one).orderBy(col("mi"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+        .withColumn("ts", sum(col("y")).over(wAll))
+        .withColumn("ts2", sum(col("y") * col("y")).over(wAll))
+      val cand = c.filter(col("t") < col("n"))
+        .withColumn("sse_milli", expr(
+          """(1000 * (t * cs2 - cs*cs)) DIV t
+            | + (1000 * ((n - t) * (ts2 - cs2) - (ts - cs)*(ts - cs)))
+            |   DIV (n - t)""".stripMargin))
+      val wRank = Window.partitionBy(DimKey.one)
+        .orderBy(col("sse_milli"), col("mi"))
+      cand.withColumn("split_rank", row_number().over(wRank))
+        .filter(col("split_rank") <= 3)
+        .select(col("split_rank").cast("long").as("split_rank"),
+                col("mi").as("split_mi"),
+                col("sse_milli").cast("long").as("sse_milli"))
+    }),
+    "q630_matching_att" -> ((s, dir) => {
+      // 1:1 nearest-value matching estimator (propensity-free synthetic
+      // control): every URGENT order matches its value-nearest LOW
+      // order (below/above candidates via cumSumByValue's cumulative
+      // control count + cellRank — equijoins only, never a range join),
+      // ATT on the order-status outcome in ppm. The causal-matching
+      // companion to CUPED (q494) and uplift (q251).
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey").as("k"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .as("v"),
+                when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+                  .as("yout"),
+                when(col("o_orderpriority") === "1-URGENT", 1L)
+                  .otherwise(0L).as("treated"))
+        .localCheckpoint(false)
+      val ctl = o.filter(col("treated") === 0L)
+      val ranked = Profile.cellRank(ctl, Seq.empty, "v", Seq("k"))
+        .select(col("k").as("ck"), col("v").as("cv"),
+                col("yout").as("cy"), col("_rank").as("r"))
+        .localCheckpoint(false)
+      val grid = o.groupBy(col("v"))
+        .agg(sum(lit(1L) - col("treated")).as("nc"))
+      val cum = Profile.cumSumByValue(grid, "v", Seq("nc"))
+        .select(col("v"), col("cum_nc").as("rb"))
+      val t = o.filter(col("treated") === 1L)
+        .join(cum, Seq("v"))
+      val below = t.join(ranked, col("r") === col("rb"), "left")
+        .select(col("k"), col("v"), col("yout"), col("ck"), col("cy"),
+                abs(col("cv") - col("v")).as("dist"))
+      val above = t.join(ranked, col("r") === col("rb") + 1, "left")
+        .select(col("k"), col("v"), col("yout"), col("ck"), col("cy"),
+                abs(col("cv") - col("v")).as("dist"))
+      val wPick = Window.partitionBy(col("k"))
+        .orderBy(col("dist").asc_nulls_last, col("ck"))
+      below.unionByName(above)
+        .filter(col("ck").isNotNull)
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .agg(count(lit(1)).cast("long").as("n_matched"),
+             sum(col("yout")).cast("long").as("treated_f"),
+             sum(col("cy")).cast("long").as("control_f"))
+        .withColumn("att_ppm", expr(
+          """CASE WHEN treated_f >= control_f
+            | THEN (1000000 * (treated_f - control_f)) DIV n_matched
+            | ELSE -((1000000 * (control_f - treated_f))
+            |   DIV n_matched) END""".stripMargin))
+    }),
     "q625_kendall_distance" -> ((s, dir) => {
       // Kendall distance between two RANKINGS of the same items (brand
       // by revenue vs by volume): discordant pairs / all pairs in ppm —
@@ -3072,6 +3153,70 @@ object R12Queries {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q629_binary_segmentation" ->
+      s"""WITH $MonthlyCte,
+        |c AS MATERIALIZED (
+        |  SELECT mi, y,
+        |    CAST(sum(y) OVER w AS BIGINT) AS cs,
+        |    CAST(sum(y*y) OVER w AS BIGINT) AS cs2,
+        |    CAST(row_number() OVER (ORDER BY mi) AS BIGINT) AS t,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(y) OVER () AS BIGINT) AS ts,
+        |    CAST(sum(y*y) OVER () AS BIGINT) AS ts2
+        |  FROM m WINDOW w AS (ORDER BY mi ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)),
+        |cand AS (
+        |  SELECT mi,
+        |    (1000 * (t * cs2 - cs*cs)) // t
+        |    + (1000 * ((n - t) * (ts2 - cs2) - (ts - cs)*(ts - cs)))
+        |      // (n - t) AS sse_milli
+        |  FROM c WHERE t < n)
+        |SELECT CAST(row_number() OVER (ORDER BY sse_milli, mi)
+        |    AS BIGINT) AS split_rank,
+        |  mi AS split_mi, CAST(sse_milli AS BIGINT) AS sse_milli
+        |FROM cand QUALIFY split_rank <= 3""".stripMargin,
+    "q630_matching_att" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice*100) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS yout,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS treated
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |ranked AS MATERIALIZED (
+        |  SELECT k AS ck, v AS cv, yout AS cy,
+        |    CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r
+        |  FROM o WHERE treated = 0),
+        |grid AS MATERIALIZED (
+        |  SELECT v, CAST(sum(1 - treated) AS BIGINT) AS nc
+        |  FROM o GROUP BY 1),
+        |cum AS MATERIALIZED (
+        |  SELECT v, CAST(sum(nc) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rb
+        |  FROM grid),
+        |t AS MATERIALIZED (
+        |  SELECT o.k, o.v, o.yout, cum.rb FROM o
+        |  JOIN cum ON cum.v = o.v WHERE o.treated = 1),
+        |cand AS (
+        |  SELECT t.k, t.yout, r.ck, r.cy, abs(r.cv - t.v) AS dist
+        |  FROM t JOIN ranked r ON r.r = t.rb
+        |  UNION ALL
+        |  SELECT t.k, t.yout, r.ck, r.cy, abs(r.cv - t.v)
+        |  FROM t JOIN ranked r ON r.r = t.rb + 1),
+        |pick AS (
+        |  SELECT k, yout, cy FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY dist, ck) AS rn FROM cand)
+        |  WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(sum(yout) AS BIGINT) AS treated_f,
+        |  CAST(sum(cy) AS BIGINT) AS control_f,
+        |  CAST(CASE WHEN sum(yout) >= sum(cy)
+        |    THEN (1000000 * (sum(yout) - sum(cy))) // count(*)
+        |    ELSE -((1000000 * (sum(cy) - sum(yout))) // count(*)) END
+        |    AS BIGINT) AS att_ppm
+        |FROM pick""".stripMargin,
     "q625_kendall_distance" ->
       """WITH br AS MATERIALIZED (
         |  SELECT p.p_brand AS brand,
