@@ -59,6 +59,13 @@ object Bench {
     // touching the size-budgeted JSON line.
     val canaryFn = ordered.head._2
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Window bookkeeping for contention-aware retiming: every measurement
+    // belongs to the canary window that closes after it (one window per 50
+    // queries per rep). If BOTH of a query's samples landed in windows whose
+    // canary ran >2x the quietest canary, neither sample is trustworthy and
+    // the min-of-passes defense failed for that query — re-time it once at
+    // the end (the tail of the run is empirically the quietest stretch).
+    val windowOf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -74,18 +81,47 @@ object Bench {
       s
     }
     val samples = Array.fill(ordered.size)(Double.MaxValue)
-    for (rep <- 1 to reps; (qi, i) <- ordered.zipWithIndex) {
-      val (name, fn) = qi
-      samples(i) = math.min(samples(i), runOnce(name, fn))
-      if (i % 50 == 49) {
+    for (rep <- 1 to reps) {
+      val base = canaries.size // windows already closed by prior reps
+      for ((qi, i) <- ordered.zipWithIndex) {
+        val (name, fn) = qi
+        samples(i) = math.min(samples(i), runOnce(name, fn))
+        if (i % 50 == 49) {
+          val c = runOnce("canary", canaryFn)
+          canaries += c
+          System.err.println(f"[bench] canary rep=$rep i=${i + 1} ${c}%.2f s")
+        }
+      }
+      // trailing partial window: close it with one more canary sample
+      if (ordered.size % 50 != 0) {
         val c = runOnce("canary", canaryFn)
         canaries += c
-        System.err.println(f"[bench] canary rep=$rep i=${i + 1} ${c}%.2f s")
+        System.err.println(f"[bench] canary rep=$rep tail ${c}%.2f s")
       }
+      // query i's window in this rep is the canary that closed after it
+      windowOf += scala.collection.mutable.ArrayBuffer(
+        ordered.indices.map(i => base + i / 50): _*)
     }
     if (canaries.nonEmpty)
       System.err.println(f"[bench] canary spread min=${canaries.min}%.2f " +
         f"max=${canaries.max}%.2f over ${canaries.size} samples")
+    // Retime queries whose every sample fell in a contention-flagged window
+    // (canary > 2x the quietest canary). Bounded: at most 40 retimes so a
+    // globally-noisy box can't double the run.
+    if (canaries.nonEmpty && canaries.max > 2 * canaries.min) {
+      val flagged = canaries.zipWithIndex.collect {
+        case (c, w) if c > 2 * canaries.min => w
+      }.toSet
+      val toRetime = ordered.indices.filter { i =>
+        windowOf.forall(rw => flagged.contains(rw(i)))
+      }.take(40)
+      if (toRetime.nonEmpty)
+        System.err.println(s"[bench] retiming ${toRetime.size} queries from flagged windows")
+      toRetime.foreach { i =>
+        val (name, fn) = ordered(i)
+        samples(i) = math.min(samples(i), runOnce(name, fn))
+      }
+    }
     val results = ordered.map(_._1).zip(samples.toSeq)
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
@@ -131,8 +167,14 @@ object Bench {
     // full-path variant put the line's END within ~60 bytes of the driver's
     // ~2000-char stdout tail (which the trailing sbt [success] line shares).
     val sfName = new java.io.File(sfDir).getName
+    // Canary spread in the JSON line (round-8 verdict ask): lets the judge
+    // see environment noise without digging through stderr. "[min,max]" in
+    // 0.1 s granularity costs ~25 bytes.
+    val cspread =
+      if (canaries.isEmpty) "[]"
+      else s"[${fmtTrim(canaries.min)},${fmtTrim(canaries.max)}]"
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
@@ -140,7 +182,8 @@ object Bench {
     // 300+ queries overflow the window even integer-rounded (~8 bytes/entry
     // x 300 > 2 KB): third tier keeps only the slowest 80 per-query values —
     // the entries that carry the perf signal — while "value"/"n" still cover
-    // the whole suite. Deterministic order: slowest first, name tiebreak.
+    // the whole suite, and (round-8 verdict ask) the batch/streaming
+    // subtotals + canary spread stay on the line in EVERY tier.
     val intLine = line(qsJson(v => math.round(v).toString))
     val out =
       if (full.length <= 1900) full
@@ -148,7 +191,7 @@ object Bench {
       else {
         val top = results.zip(prefixes)
           .sortBy { case ((k, v), _) => (-v, k) }.take(80)
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
       }
     println(out)
     spark.stop()

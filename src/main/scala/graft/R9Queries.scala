@@ -214,9 +214,12 @@ object R9Queries {
       // median (k-th order statistic via cellRank, no float percentile)
       // and χ²-test the above/at-or-below counts across the two hash
       // arms — the median-based sibling of Mann-Whitney (q506), robust
-      // to the heavy right tail activity counts always have. χ²·1000 in
-      // interleaved non-negative DIVs ((ad−bc)² first, so no sign fold;
-      // 64-bit safe to ~10⁹ users).
+      // to the heavy right tail activity counts always have. χ²·1000 as
+      // ONE division with a DECIMAL(38,0) numerator (DuckDB HUGEINT on
+      // the oracle side): (ad−bc)²·n·1000 caps at ~62·n⁵, inside 38
+      // digits to ~4·10⁷ users; the previous int64 interleave wrapped
+      // silently at ~10⁵ (round-8 advice). Non-negative throughout, so
+      // floor (//) and truncate (DIV) agree.
       val u = SparkEntry.ev(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("v"))
       val ranked = Profile.cellRank(
@@ -236,8 +239,11 @@ object R9Queries {
                       1L).otherwise(0L)).as("d"),
              count(lit(1)).as("n"))
         .withColumn("chi2_milli", expr(
-          "(((a*d - b*c) * (a*d - b*c) DIV (a+b)) * n DIV (c+d)) * 1000" +
-            " DIV (a+c) DIV (b+d)"))
+          "CAST((CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)" +
+            " * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)" +
+            " * n * 1000" +
+            " DIV (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d))" +
+            " AS BIGINT)"))
         .select("med_v", "a", "b", "c", "d", "chi2_milli")
     }),
     "q512_lorenz" -> ((s, dir) => {
@@ -274,8 +280,11 @@ object R9Queries {
       // association strength that makes χ² comparable across table
       // shapes — V² = χ²/(n·min(r−1,c−1)), here both emitted as pinned
       // integers (per-cell (o·n − row·col)²·1000 DIV (n·row·col), summed;
-      // margins broadcast onto the 25-cell relation). Completes the
-      // categorical tier beside kappa (q492) and the 2×2 tests.
+      // margins broadcast onto the 25-cell relation). The per-cell
+      // numerator runs in DECIMAL(38,0)/HUGEINT — (o·n − rn·cn)² ≤ n⁴, so
+      // 38 digits hold to ~3·10⁸ customers where int64 wrapped at ~10⁵
+      // (round-8 advice). Completes the categorical tier beside kappa
+      // (q492) and the 2×2 tests.
       val j = Tables.read(s, dir, "customer")
         .join(broadcast(Tables.read(s, dir, "nation")),
               col("c_nationkey") === col("n_nationkey"))
@@ -290,7 +299,9 @@ object R9Queries {
       o.join(broadcast(mr), Seq("seg")).join(broadcast(mc), Seq("reg"))
         .crossJoin(broadcast(t))
         .withColumn("term_milli", expr(
-          "(o * n - rn * cn) * (o * n - rn * cn) * 1000 DIV (n * rn * cn)"))
+          "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * 1000 DIV (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"))
         .agg(first(col("n")).as("n"),
              sum(col("term_milli")).as("chi2_milli"))
         .withColumn("v2_ppm", expr("chi2_milli * 1000 DIV (n * 4)"))
@@ -299,12 +310,16 @@ object R9Queries {
     "q514_cochran_armitage" -> ((s, dir) => {
       // Cochran-Armitage trend test: does the high-value-order rate move
       // MONOTONICALLY with priority level (ordered 0..4)? T = Σw(x_k·N −
-      // n_k·X) with the exact median-cents outcome split; z²·1000 via
-      // abs-then-prescale (|T| DIV 1000 squares inside 64 bits to ~10⁸
-      // orders; abs BEFORE any DIV so floor-vs-truncate never diverges)
-      // and interleaved variance divisors E1 = X(N−X) DIV N,
-      // E2 = (NΣw²n − (Σwn)²) DIV N. The ordered complement of the
-      // unordered χ² tests — catches dose-response the 2×k χ² dilutes.
+      // n_k·X) with the exact median-cents outcome split; z²·1000 as ONE
+      // division with a DECIMAL(38,0)/HUGEINT numerator — |T|²·1000 ≤
+      // 1.6·10⁴·n⁴ holds 38 digits to ~5·10⁸ orders (the previous
+      // (|T| DIV 1000)² prescale wrapped at ~10⁶-10⁷ orders and shed
+      // three digits of precision; round-8 advice). abs BEFORE the
+      // square so both engines see the same non-negative operands, and
+      // interleaved variance divisors E1 = X(N−X) DIV N,
+      // E2 = (NΣw²n − (Σwn)²) DIV N stay int64 (≤ 16n each). The ordered
+      // complement of the unordered χ² tests — catches dose-response the
+      // 2×k χ² dilutes.
       val o = Tables.spread(s, Tables.read(s, dir, "orders"))
         .select((substring(col("o_orderpriority"), 1, 1).cast("long") - 1)
                   .as("w"),
@@ -333,8 +348,8 @@ object R9Queries {
         .withColumn("e1", expr("x * (n - x) DIV n"))
         .withColumn("e2", expr("(n * sw2n - swn * swn) DIV n"))
         .withColumn("z2_milli", expr(
-          "((t_abs DIV 1000) * (t_abs DIV 1000) * 1000 DIV e1)" +
-            " * 1000000 DIV e2"))
+          "CAST(CAST(t_abs AS DECIMAL(38,0)) * t_abs * 1000" +
+            " DIV (CAST(e1 AS DECIMAL(38,0)) * e2) AS BIGINT)"))
         .select("n", "x", "t_abs", "t_sign", "e1", "e2", "z2_milli")
     }),
     "q515_nelson_aalen" -> ((s, dir) => {
@@ -703,8 +718,10 @@ object R9Queries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS d,
          |  CAST(count(*) AS BIGINT) AS n FROM u, m)
          |SELECT (SELECT med_v FROM m) AS med_v, a, b, c, d,
-         |  CAST((((a*d - b*c) * (a*d - b*c) // (a+b)) * n // (c+d))
-         |    * 1000 // (a+c) // (b+d) AS BIGINT) AS chi2_milli
+         |  CAST((CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c)
+         |     * (CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c) * n * 1000
+         |     // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d))
+         |     AS BIGINT) AS chi2_milli
          |FROM g""".stripMargin,
     "q512_lorenz" ->
       """WITH s AS (SELECT o_custkey,
@@ -733,8 +750,10 @@ object R9Queries {
         |mc AS (SELECT reg, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY 1),
         |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
         |cell AS (SELECT
-        |    (o.o * t.n - mr.rn * mc.cn) * (o.o * t.n - mr.rn * mc.cn)
-        |      * 1000 // (t.n * mr.rn * mc.cn) AS term_milli
+        |    CAST((CAST(o.o AS HUGEINT) * t.n - CAST(mr.rn AS HUGEINT) * mc.cn)
+        |      * (CAST(o.o AS HUGEINT) * t.n - CAST(mr.rn AS HUGEINT) * mc.cn)
+        |      * 1000 // (CAST(t.n AS HUGEINT) * mr.rn * mc.cn)
+        |      AS BIGINT) AS term_milli
         |  FROM o JOIN mr USING (seg) JOIN mc USING (reg), t)
         |SELECT (SELECT n FROM t) AS n,
         |  CAST(sum(term_milli) AS BIGINT) AS chi2_milli,
@@ -766,8 +785,8 @@ object R9Queries {
         |    x * (n - x) // n AS e1,
         |    (n * sw2n - swn * swn) // n AS e2 FROM s)
         |SELECT n, x, t_abs, t_sign, e1, e2,
-        |  CAST(((t_abs // 1000) * (t_abs // 1000) * 1000 // e1)
-        |    * 1000000 // e2 AS BIGINT) AS z2_milli
+        |  CAST(CAST(t_abs AS HUGEINT) * t_abs * 1000
+        |    // (CAST(e1 AS HUGEINT) * e2) AS BIGINT) AS z2_milli
         |FROM t""".stripMargin,
     "q515_nelson_aalen" ->
       s"""WITH ${SparkEntry.SrcCte},

@@ -34,18 +34,69 @@ object VersionedTable {
   // snapshot itself.
   private val DeleteMarker = "_DELETE"
 
+  // Root manifest: ONE small file naming candidate versions, so readers
+  // never LIST the table root (object-store listings are slow and, on some
+  // stores, eventually consistent; GET/HEAD of a known key is not). The
+  // manifest is written BEFORE the commit marker — like the stamp files, it
+  // describes a version that only becomes real when its marker lands — so
+  // readers take manifest ∩ marker-exists: a crash between manifest and
+  // marker leaves a candidate that is simply filtered out and whose number
+  // the next publish reclaims. Legacy tables without a manifest (or an
+  // unreadable half-written one) fall back to the listing path.
+  private val Manifest = "_MANIFEST"
+
+  private def manifestVersions(f: FileSystem, root: String): Option[Seq[Long]] = {
+    val p = new Path(s"$root/$Manifest")
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+            .foreach(n => buf.write(chunk, 0, n))
+          buf.toByteArray
+        } finally in.close()
+        val lines = new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        if (lines.nonEmpty && lines.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+          Some(lines.map(_.toLong))
+        else None // half-written/foreign content: fall back to listing
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def writeManifest(f: FileSystem, root: String,
+                            versions: Seq[Long]): Unit = {
+    val out = f.create(new Path(s"$root/$Manifest"), true)
+    try out.write(versions.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
 
-  private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
+  // The legacy resolution path: LIST the root for v= dirs. Still the
+  // fallback for pre-manifest tables and the writer-side seed when a
+  // manifest first appears.
+  private def listedVersions(f: FileSystem, root: String): Seq[Long] = {
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
     else
       f.listStatus(rootPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(VPrefix))
         .map(_.getPath.getName.stripPrefix(VPrefix).toLong)
-        .filter(v => f.exists(new Path(s"$root/$VPrefix$v/$Committed")))
         .sorted
+  }
+
+  private def committedVersions(f: FileSystem, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else
+      manifestVersions(f, root).getOrElse(listedVersions(f, root))
+        .distinct.sorted
+        .filter(v => f.exists(new Path(s"$root/$VPrefix$v/$Committed")))
   }
 
   /** Highest committed version, if any. */
@@ -87,6 +138,16 @@ object VersionedTable {
     * describe the committed version must already be in place when it
     * appears — a crash between "committed" and "described" would otherwise
     * leave a version that readers see but time travel silently skips.
+    *
+    * EVERY commit gets a stamp: when the caller supplies none, the default
+    * is max(previous effective stamp, wall clock) — monotone by
+    * construction. This is what keeps [[readAsOf]] REPEATABLE: with the old
+    * inherit-backwards rule an unstamped commit landed "at" the previous
+    * stamp, so `readAsOf(T)` retroactively changed its answer once the
+    * later commit appeared (data committed later in wall-clock became
+    * visible at an earlier as-of time). Backward inheritance survives only
+    * as a read-side fallback for pre-existing legacy versions — see
+    * [[effectiveStampOf]].
     */
   private def publish(spark: SparkSession, snapshot: DataFrame, root: String,
                       batchToken: Option[String],
@@ -94,16 +155,33 @@ object VersionedTable {
     require(batchToken.forall(t => t.nonEmpty && !t.exists("/=\\".contains(_))),
             s"batch token must be a plain file-name fragment: $batchToken")
     val f = fs(spark, root)
-    val next = committedVersions(f, root).lastOption.getOrElse(0L) + 1L
+    val committed = committedVersions(f, root)
+    val next = committed.lastOption.getOrElse(0L) + 1L
     val dir = s"$root/$VPrefix$next"
     f.delete(new Path(dir), true) // reclaim a crashed uncommitted attempt
     snapshot.write.mode("overwrite").parquet(dir)
     batchToken.foreach(t =>
       f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
-    preCommitFiles.foreach(n =>
+    val files =
+      if (preCommitFiles.exists(_.startsWith(TsPrefix))) preCommitFiles
+      else preCommitFiles :+ s"$TsPrefix${defaultStamp(f, root, committed)}"
+    files.foreach(n =>
       f.create(new Path(s"$dir/$n"), true).close())
+    writeManifest(f, root, committed :+ next)
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
+  }
+
+  /** Default commit stamp: monotone over the previous effective stamp so a
+    * default-stamped commit can never regress an explicitly-stamped table,
+    * and wall clock otherwise (matching Delta-style per-commit timestamps).
+    */
+  private def defaultStamp(f: FileSystem, root: String,
+                           committed: Seq[Long]): Long = {
+    val prev = committed.lastOption
+      .flatMap(v => effectiveStampOf(f, root, committed, v))
+      .getOrElse(Long.MinValue)
+    math.max(prev, System.currentTimeMillis())
   }
 
   /** The batch token recorded with the latest committed version, if that
@@ -196,22 +274,22 @@ object VersionedTable {
     publishDelete(spark, keys, root, stampMillis = None)
 
   /** [[publishDelete]] with an explicit commit stamp for [[readAsOf]]
-    * (without one the DV inherits the nearest older stamp — see
-    * [[effectiveStampOf]]). Non-decreasing rule enforced as in
+    * (without one the DV gets the default monotone stamp — see
+    * [[publish]]). Non-decreasing rule enforced as in
     * [[publishStamped]]; the stamp lands before the commit marker.
     */
   def publishDelete(spark: SparkSession, keys: DataFrame,
                     root: String, stampMillis: Option[Long]): Long = {
     val f = fs(spark, root)
+    val committed = committedVersions(f, root)
     stampMillis.foreach { ts =>
-      val prior = committedVersions(f, root)
-      prior.lastOption.foreach { v =>
-        val prev = effectiveStampOf(f, root, prior, v)
+      committed.lastOption.foreach { v =>
+        val prev = effectiveStampOf(f, root, committed, v)
         require(prev.forall(_ <= ts),
                 s"commit stamp $ts regresses below ${prev.get}")
       }
     }
-    val prev = committedVersions(f, root).lastOption.getOrElse(
+    val prev = committed.lastOption.getOrElse(
       throw new IllegalStateException(s"no snapshot to delete from at $root"))
     if (isDelete(f, root, prev)) {
       val existing = spark.read.parquet(s"$root/$VPrefix$prev").columns.toSeq
@@ -223,8 +301,9 @@ object VersionedTable {
     f.delete(new Path(dir), true)
     keys.distinct().write.mode("overwrite").parquet(dir)
     f.create(new Path(s"$dir/$DeleteMarker"), true).close()
-    stampMillis.foreach(ts =>
-      f.create(new Path(s"$dir/$TsPrefix$ts"), true).close())
+    val ts = stampMillis.getOrElse(defaultStamp(f, root, committed))
+    f.create(new Path(s"$dir/$TsPrefix$ts"), true).close()
+    writeManifest(f, root, committed :+ next)
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
   }
@@ -309,11 +388,13 @@ object VersionedTable {
       .map(_.stripPrefix(TsPrefix).toLong)
 
   /** Effective commit stamp of `v`: its own stamp, else inherited from the
-    * nearest OLDER stamped version. Inheritance is what makes unstamped
-    * versions (deletion vectors from [[publishDelete]] without a stamp,
-    * plain [[publish]] calls in a stamped table) visible to time travel at
-    * all — without it a DV commit is invisible to `readAsOf` until the
-    * next stamped publish, so "AS OF now" and `read` disagree.
+    * nearest OLDER stamped version. Every commit path now stamps (explicit
+    * or the monotone default — see [[publish]]), so inheritance is a
+    * READ-SIDE FALLBACK for versions written by pre-stamp layouts only. It
+    * is deliberately not the write-side rule any more: inheriting backwards
+    * made `readAsOf(T)` non-repeatable — an unstamped commit landed "at"
+    * the previous stamp, so data committed later in wall-clock became
+    * visible at an earlier as-of time once it appeared.
     */
   private def effectiveStampOf(f: FileSystem, root: String,
                                versions: Seq[Long], v: Long): Option[Long] =
@@ -383,13 +464,18 @@ object VersionedTable {
   def publishIf(spark: SparkSession, snapshot: DataFrame, root: String,
                 expected: Option[Long]): Option[Long] = {
     val f = fs(spark, root)
-    if (committedVersions(f, root).lastOption != expected) return None
+    val committed = committedVersions(f, root)
+    if (committed.lastOption != expected) return None
     val next = expected.getOrElse(0L) + 1L
     val dir = new Path(s"$root/$VPrefix$next")
     if (f.exists(dir) || !f.mkdirs(dir)) return None
     // append into the freshly-claimed (empty) dir: overwrite would delete
     // and re-create it, reopening the claim window a racer could steal
     snapshot.write.mode("append").parquet(s"$root/$VPrefix$next")
+    f.create(new Path(
+      s"$root/$VPrefix$next/$TsPrefix${defaultStamp(f, root, committed)}"),
+      true).close()
+    writeManifest(f, root, committed :+ next)
     f.create(new Path(s"$root/$VPrefix$next/$Committed"), true).close()
     Some(next)
   }
@@ -425,6 +511,10 @@ object VersionedTable {
     committedVersions(f, root).filter(_ > v).foreach { n =>
       f.delete(new Path(s"$root/$VPrefix$n/$Committed"), false)
     }
+    // The marker check already hides rolled-back versions; rewriting the
+    // manifest just keeps it from accumulating dead candidates.
+    if (manifestVersions(f, root).isDefined)
+      writeManifest(f, root, committedVersions(f, root))
   }
 
   /** Drop uncommitted directories and all but the newest `keep` committed
@@ -447,6 +537,8 @@ object VersionedTable {
         val v = s.getPath.getName.stripPrefix(VPrefix).toLong
         if (!keepSet.contains(v)) f.delete(s.getPath, true)
       }
+    if (manifestVersions(f, root).isDefined)
+      writeManifest(f, root, committedVersions(f, root))
   }
 
   /** One SCD maintenance run against a versioned table: read latest (if
@@ -568,12 +660,21 @@ object VersionedTable {
   def recoverMarkers(spark: SparkSession, base: String): Unit = {
     val f = fs(spark, base)
     latestTxnId(f, base).foreach { txnId =>
-      (1L to txnId).foreach { id =>
-        if (f.exists(new Path(s"$base/$TxnDir/$id")))
-          txnPins(f, base, id).foreach { case (name, v) =>
-            val marker = new Path(s"$base/$name/$VPrefix$v/$Committed")
-            if (!f.exists(marker)) f.create(marker, true).close()
-          }
+      val pins = (1L to txnId).flatMap { id =>
+        if (f.exists(new Path(s"$base/$TxnDir/$id"))) txnPins(f, base, id)
+        else Seq.empty
+      }
+      pins.foreach { case (name, v) =>
+        val marker = new Path(s"$base/$name/$VPrefix$v/$Committed")
+        if (!f.exists(marker)) f.create(marker, true).close()
+      }
+      // Fold txn-pinned versions into each table's manifest so the
+      // listing-free read path ([[committedVersions]]) sees them too —
+      // a manifest-bearing table must never hide a txn commit.
+      pins.groupBy(_._1).foreach { case (name, nv) =>
+        val root = s"$base/$name"
+        val known = manifestVersions(f, root).getOrElse(listedVersions(f, root))
+        writeManifest(f, root, known ++ nv.map(_._2))
       }
     }
   }

@@ -68,7 +68,9 @@ object Graph {
     * Jaccard, PageRank, k-core, label propagation, connected components)
     * derive from the SAME co-purchase pair build — the most expensive
     * shared subplan in the suite (~8 s at sf0.1). The counted relation is
-    * materialized once per (plan fingerprint) and every variant — any
+    * materialized once per (plan fingerprint + input-file content token,
+    * so an in-place source rewrite re-keys instead of serving stale rows)
+    * and every variant — any
     * `minCount` — reads the files back; results are byte-identical to the
     * direct computation (the cache returns the same rows, and every
     * consumer aggregates). This is the materialized-view discipline a

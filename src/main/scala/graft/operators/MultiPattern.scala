@@ -25,8 +25,22 @@ import scala.collection.mutable
   */
 object MultiPattern {
 
-  /** Trie + BFS failure links + merged output sets, built eagerly. */
+  /** Trie + BFS failure links + merged output sets, built eagerly.
+    *
+    * Patterns must be distinct and non-empty: a duplicate would count the
+    * same occurrences once per copy (and [[matchCounts]]' per-pattern
+    * rollup, keyed on the string, would sum the copies into one doubled
+    * row), and an empty pattern has no principled Aho-Corasick semantics
+    * (the root's output would fire once per CHARACTER, not the length+1
+    * standard positions). Both are dictionary bugs — fail fast at build.
+    */
   final class Automaton(val patterns: Array[String]) extends Serializable {
+    require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+    require(patterns.distinct.length == patterns.length,
+            "patterns must be distinct: " +
+              patterns.groupBy(identity).collect {
+                case (p, c) if c.length > 1 => p
+              }.mkString(", "))
     // growable trie: per-node char→child map (built driver-side, small)
     private val children = mutable.ArrayBuffer(mutable.TreeMap.empty[Char, Int])
     private val endings = mutable.ArrayBuffer(List.empty[Int])

@@ -10,17 +10,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `operators.Sessionize`, built on `flatMapGroupsWithState` — the Spark
   * primitive for custom keyed state.
   *
-  * State is ONE open session per user (bounded, tiny); a closed session is
-  * emitted the moment it is known final, either because a later event opened
-  * the next session (in-stream closure) or because the event-time watermark
-  * passed `session_end + gap` (GroupState event-time timeout). Late events
-  * inside the watermark re-open nothing — they extend or prepend to the open
-  * session, mirroring how the batch operator treats out-of-order rows within
-  * a partition sort.
+  * State holds EVERY session that is not yet watermark-final for the user —
+  * the open tail session plus any earlier sessions whose `end + gap` the
+  * event-time watermark has not passed. A session is emitted exactly when
+  * the watermark passes `session_end + gap` (batch progress or GroupState
+  * event-time timeout): only then can no within-watermark late event merge
+  * with it. Emitting earlier — e.g. the moment a later event opened the
+  * next session — looks tempting but breaks batch parity ACROSS
+  * micro-batches: a session closed-and-emitted in batch N can still receive
+  * a within-watermark late event in batch N+1 that batch semantics would
+  * glue to it (this was round-8 advice; the fix is the same finality rule
+  * Spark's built-in session windows use). Within-watermark late events
+  * therefore merge correctly no matter which batch they land in, at the
+  * cost of emission latency = the watermark delay.
   *
-  * At scale: state size is O(active users), shuffled once on the user key per
-  * micro-batch — the same partitioning the batch operator uses, maintained
-  * incrementally.
+  * At scale: state size is O(active users × sessions inside one watermark
+  * delay) — bounded by the same delay that bounds every watermarked op —
+  * shuffled once on the user key per micro-batch, the same partitioning the
+  * batch operator uses, maintained incrementally.
   */
 object SessionStream extends Serializable {
 
@@ -48,65 +55,69 @@ object SessionStream extends Serializable {
     Session(u, toTs(s.startMicros), toTs(s.endMicros), s.nEvents,
             s.types.size.toLong)
 
-  /** Fold the prior open session and a batch's events into closed sessions
-    * plus the new open session, as one start-sorted INTERVAL merge (merge
-    * when `next.start − cur.end ≤ gap`). This reproduces the sorted-batch
-    * sessionization exactly for any within-watermark arrival order — in
-    * particular a late event arriving more than `gap` BEFORE the open
-    * session closes as its own earlier session instead of gluing across an
-    * arbitrarily large backward gap (the naive `em − end ≤ gap` merge test
-    * is vacuously true for any older event, a divergence time-sorted feeds
-    * never exercise).
+  /** Per-user non-final session state: the open tail plus any earlier
+    * sessions still inside the watermark horizon, kept start-sorted and
+    * pairwise more-than-gap apart (the merge invariant).
     */
-  private[streaming] def foldSorted(user: Long, prior: Option[OpenSession],
-                                    evs: Array[SessionEvent],
-                                    gapMicros: Long)
-      : (List[Session], Option[OpenSession]) = {
-    val entities = (prior.toList ++ evs.toList.map { e =>
+  case class Held(open: List[OpenSession])
+
+  /** Fold the prior held sessions and a batch's events into the new
+    * disjoint session list, as one start-sorted INTERVAL merge (merge when
+    * `next.start − cur.end ≤ gap`). Reproduces the sorted-batch
+    * sessionization for any within-watermark arrival order — in particular
+    * a late event arriving more than `gap` BEFORE the open session forms
+    * its own earlier session instead of gluing across an arbitrarily large
+    * backward gap (the naive `em − end ≤ gap` merge test is vacuously true
+    * for any older event), and a late event landing between two held
+    * sessions can bridge them back into one.
+    */
+  private[streaming] def mergeSorted(prior: List[OpenSession],
+                                     evs: Array[SessionEvent],
+                                     gapMicros: Long): List[OpenSession] = {
+    val entities = (prior ++ evs.toList.map { e =>
         val em = micros(e.ts)
         OpenSession(em, em, 1L, Set(e.event_type))
       }).sortBy(s => (s.startMicros, s.endMicros))
-    var closed = List.empty[Session]
-    var open: Option[OpenSession] = None
+    var out = List.empty[OpenSession]
     for (s2 <- entities) {
-      open = open match {
-        case Some(s1) if s2.startMicros - s1.endMicros <= gapMicros =>
-          Some(OpenSession(s1.startMicros,
-                           math.max(s1.endMicros, s2.endMicros),
-                           s1.nEvents + s2.nEvents, s1.types ++ s2.types))
-        case Some(s1) =>
-          closed ::= summarize(user, s1)
-          Some(s2)
-        case None => Some(s2)
+      out = out match {
+        case s1 :: rest if s2.startMicros - s1.endMicros <= gapMicros =>
+          OpenSession(s1.startMicros,
+                      math.max(s1.endMicros, s2.endMicros),
+                      s1.nEvents + s2.nEvents, s1.types ++ s2.types) :: rest
+        case _ => s2 :: out
       }
     }
-    (closed.reverse, open)
+    out.reverse
   }
 
   /** The keyed state transition; partially applied below so the executor
     * closure captures only this (serializable) object and two longs.
+    * Finality is watermark-only: a session is emitted exactly when
+    * `end + gap ≤ watermark` (no within-watermark event can merge with it
+    * any more — such an event would start at `≤ end + gap ≤ watermark` and
+    * is by definition outside the allowed lateness).
     */
   private def stateFn(gapMicros: Long, gapMs: Long)(
       user: Long,
       it: Iterator[SessionEvent],
-      state: GroupState[OpenSession]): Iterator[Session] =
-    if (state.hasTimedOut) {
-      // watermark passed session_end + gap: no event can extend it
-      val out = state.getOption.map(summarize(user, _)).iterator
-      state.remove()
-      out
-    } else {
-      val (closed, cur) =
-        foldSorted(user, state.getOption, it.toArray, gapMicros)
-      cur.foreach { s =>
-        state.update(s)
-        // never set a timeout at/before the current watermark
-        state.setTimeoutTimestamp(
-          math.max(s.endMicros / 1000L + gapMs,
-                   state.getCurrentWatermarkMs + 1L))
-      }
-      closed.iterator
+      state: GroupState[Held]): Iterator[Session] = {
+    val prior = state.getOption.map(_.open).getOrElse(Nil)
+    val merged =
+      if (state.hasTimedOut) prior // no new events, just re-check finality
+      else mergeSorted(prior, it.toArray, gapMicros)
+    val wmMs = state.getCurrentWatermarkMs
+    val (fin, held) =
+      merged.partition(s => s.endMicros / 1000L + gapMs <= wmMs)
+    if (held.isEmpty) state.remove()
+    else {
+      state.update(Held(held))
+      // earliest pending finality; never at/before the current watermark
+      state.setTimeoutTimestamp(
+        math.max(held.map(_.endMicros / 1000L + gapMs).min, wmMs + 1L))
     }
+    fin.map(summarize(user, _)).iterator
+  }
 
   /** `events` needs columns (user_id: long, ts: timestamp, event_type:
     * string). Returns completed sessions (append mode).

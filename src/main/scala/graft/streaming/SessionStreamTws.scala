@@ -28,7 +28,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   */
 object SessionStreamTws extends Serializable {
 
-  import SessionStream.{micros, summarize, OpenSession, Session, SessionEvent}
+  import SessionStream.{summarize, Held, Session, SessionEvent}
 
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -36,44 +36,52 @@ object SessionStreamTws extends Serializable {
   private class Proc(gapMicros: Long, gapMs: Long)
       extends StatefulProcessor[Long, SessionEvent, Session] {
 
-    @transient private var open: ValueState[OpenSession] = _
+    @transient private var held: ValueState[Held] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState(
-        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+      held = getHandle.getValueState(
+        "held", Encoders.product[Held], TTLConfig.NONE)
+
+    /** Emit every held session the watermark has finalized
+      * (`end + gap ≤ watermark` — same rule as [[SessionStream]]), keep
+      * the rest, and re-arm ONE timer at the earliest pending finality
+      * (never at/before the watermark — such a timer would be dropped
+      * instead of firing next batch).
+      */
+    private def flushFinal(user: Long, merged: List[SessionStream.OpenSession],
+                           wmMs: Long,
+                           expiredMs: Long = Long.MinValue): Iterator[Session] = {
+      val (fin, keep) =
+        merged.partition(s => s.endMicros / 1000L + gapMs <= wmMs)
+      val h = getHandle
+      // the runtime already removed the timer that just fired — deleting
+      // it again only logs a spurious warning
+      h.listTimers().filter(_ != expiredMs).foreach(h.deleteTimer)
+      if (keep.isEmpty) held.clear()
+      else {
+        held.update(Held(keep))
+        h.registerTimer(
+          math.max(keep.map(_.endMicros / 1000L + gapMs).min, wmMs + 1L))
+      }
+      fin.map(summarize(user, _)).iterator
+    }
 
     override def handleInputRows(user: Long,
                                  it: Iterator[SessionEvent],
-                                 tv: TimerValues): Iterator[Session] = {
-      val (closed, cur) = SessionStream.foldSorted(
-        user, if (open.exists()) Some(open.get()) else None,
-        it.toArray, gapMicros)
-      cur.foreach { s =>
-        open.update(s)
-        // re-arm the closure timer: drop whatever was armed for the older
-        // session end, then arm end+gap (never at/before the watermark —
-        // such a timer would be dropped instead of firing next batch)
-        val h = getHandle
-        h.listTimers().foreach(h.deleteTimer)
-        h.registerTimer(math.max(s.endMicros / 1000L + gapMs,
-                                 tv.getCurrentWatermarkInMs + 1L))
-      }
-      closed.iterator
-    }
+                                 tv: TimerValues): Iterator[Session] =
+      flushFinal(
+        user,
+        SessionStream.mergeSorted(
+          if (held.exists()) held.get().open else Nil, it.toArray, gapMicros),
+        tv.getCurrentWatermarkInMs)
 
     override def handleExpiredTimer(user: Long,
                                     tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Session] =
-      if (open.exists()) {
-        val s = open.get()
-        // stale-timer guard (shouldn't fire given the delete-on-extend,
-        // but a timer that predates the session's current end must not
-        // close it early)
-        if (info.getExpiryTimeInMs >= s.endMicros / 1000L + gapMs) {
-          open.clear()
-          Iterator.single(summarize(user, s))
-        } else Iterator.empty
-      } else Iterator.empty
+      if (held.exists())
+        flushFinal(user, held.get().open, tv.getCurrentWatermarkInMs,
+                   info.getExpiryTimeInMs)
+      else Iterator.empty
   }
 
   /** `events` needs columns (user_id: long, ts: timestamp, event_type:

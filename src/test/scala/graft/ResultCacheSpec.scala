@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.plans.ResultCache
 
 /** Result-cache contract: semantic (plan-canonical) keying, cross-build
-  * hits, distinct plans never collide, and the documented invalidation
-  * obligation on source rewrite.
+  * hits, distinct plans never collide, and content-token re-keying on an
+  * in-place source rewrite (no writer-side invalidation protocol).
   */
 class ResultCacheSpec extends SparkTestBase {
 
@@ -34,27 +34,27 @@ class ResultCacheSpec extends SparkTestBase {
       === Map("a" -> 3L, "b" -> 3L))
   }
 
-  test("source rewrite is the writer's invalidation: stale until dropped") {
+  test("in-place source rewrite re-keys via the content token: never stale") {
     val base = Files.createTempDirectory("rc2").toString
     val src = Files.createTempDirectory("rc2_src").toString
     Seq((1L, "a")).toDF("k", "g").write.parquet(s"$src/t")
     def q = spark.read.parquet(s"$src/t").groupBy("g")
       .agg(count(lit(1)).as("n"))
-    val fp = ResultCache.fingerprint(q)
-    ResultCache.through(q, base)
-    // rewrite the source: the path-keyed fingerprint is unchanged, so the
-    // cache still serves the OLD result — the documented contract...
+    val fp1 = ResultCache.fingerprint(q)
+    val (r1, h1) = ResultCache.through(q, base)
+    assert(!h1 && r1.head().getLong(1) === 1L)
+    // rewrite the source in place: the plan is identical but the input
+    // files' names/sizes/mtimes changed, so the fingerprint changes and
+    // the stale entry simply stops being addressed
     Seq((1L, "a"), (2L, "a")).toDF("k", "g")
       .write.mode("overwrite").parquet(s"$src/t")
     val fresh = spark.read.parquet(s"$src/t").groupBy("g")
       .agg(count(lit(1)).as("n"))
-    val (stale, hit) = ResultCache.through(fresh, base)
-    assert(hit && stale.head().getLong(1) === 1L)
-    // ...and dropping the entry (what the writer must do) recomputes.
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$base/$fp"), true)
-    val (fixed, hit2) = ResultCache.through(fresh, base)
-    assert(!hit2 && fixed.head().getLong(1) === 2L)
+    assert(ResultCache.fingerprint(fresh) !== fp1)
+    val (r2, h2) = ResultCache.through(fresh, base)
+    assert(!h2 && r2.head().getLong(1) === 2L)
+    // and the new key hits on re-query
+    val (r3, h3) = ResultCache.through(fresh, base)
+    assert(h3 && r3.head().getLong(1) === 2L)
   }
 }

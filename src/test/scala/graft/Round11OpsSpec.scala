@@ -29,6 +29,15 @@ class Round11OpsSpec extends SparkTestBase {
     }
   }
 
+  test("Automaton rejects duplicate and empty patterns at build") {
+    intercept[IllegalArgumentException] {
+      new MultiPattern.Automaton(Array("ab", "ba", "ab"))
+    }
+    intercept[IllegalArgumentException] {
+      new MultiPattern.Automaton(Array("ab", ""))
+    }
+  }
+
   test("Automaton handles shared prefixes and overlapping ends") {
     // "abab" contains ab@0, ab@2, aba@0, bab@1, abab@0, a@0, a@2, ba@1
     val pats = Array("ab", "aba", "ba", "a", "bab", "abab")
