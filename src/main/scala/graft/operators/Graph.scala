@@ -664,4 +664,297 @@ object Graph {
                         col("e.r") === col("c.r"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
   }
+
+  // -------------------------------------------------------------------
+  // Gated driver loops with distributed fallbacks
+  //
+  // Schema-bounded graphs (the nation trade network: ≤ 25² edges whatever
+  // the fact volume) are fastest on the driver after the one distributed
+  // rollup — a DataFrame round fold spends seconds on scheduling alone.
+  // But "schema-bounded" is an input property, not an operator guarantee:
+  // each operator below COUNTS the edge list first and, past `gateEdges`,
+  // degrades to a distributed fold with identical semantics (the
+  // Dedup.clusterPairs precedent) instead of throwing.
+  // -------------------------------------------------------------------
+
+  /** Greedy locally-heaviest matching (the ½-approx distributed matching
+    * primitive): each round an edge that is the heaviest incident edge of
+    * BOTH endpoints (ties by (x, y)) enters the matching and its endpoints
+    * leave. Input: (x, y, w). Output: (src, dst, weight).
+    *
+    * Below `gateEdges` the rounds run on the driver; above, each round is
+    * one vertex-partitioned window (best incident edge per vertex) + two
+    * joins + two anti-joins — O(rounds) shuffles, no driver state.
+    */
+  def greedyMatching(edges0: DataFrame, rounds: Int,
+                     gateEdges: Long = 100000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0.select(col(edges0.columns(0)).cast("long").as("x"),
+                             col(edges0.columns(1)).cast("long").as("y"),
+                             col(edges0.columns(2)).cast("long").as("w"))
+      .localCheckpoint(false)
+    if (base.count() <= gateEdges) {
+      var e = base.as[(Long, Long, Long)].collect().toSeq
+      val m = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for (_ <- 1 to rounds if e.nonEmpty) {
+        val best = e.flatMap { case t @ (x, y, _) => Seq(x -> t, y -> t) }
+          .groupBy(_._1)
+          .map { case (v, inc) =>
+            v -> inc.map(_._2).minBy { case (x, y, w) => (-w, x, y) }
+          }
+        val pick = e.filter { case t @ (x, y, _) =>
+          best.get(x).contains(t) && best.get(y).contains(t)
+        }
+        m ++= pick
+        val matched = pick.flatMap { case (x, y, _) => Seq(x, y) }.toSet
+        e = e.filterNot { case (x, y, _) => matched(x) || matched(y) }
+      }
+      m.toSeq.toDF("src", "dst", "weight")
+    } else {
+      var e = base
+      var m = base.filter(lit(false)) // empty, same schema
+      var live = true
+      for (_ <- 1 to rounds if live) {
+        val inc = e.select(col("x").as("v"), col("x"), col("y"), col("w"))
+          .unionByName(e.select(col("y").as("v"), col("x"), col("y"),
+                                col("w")))
+        // best incident edge per vertex — same total order as the driver
+        // path's minBy((-w, x, y))
+        val best = inc.withColumn("_rk", row_number().over(
+            Window.partitionBy(col("v"))
+              .orderBy(col("w").desc, col("x"), col("y"))))
+          .filter(col("_rk") === 1)
+          .select(col("v"), col("x").as("bx"), col("y").as("by"))
+          .localCheckpoint(false)
+        val pick = e
+          .join(best.as("l"), col("x") === col("l.v") &&
+                  col("x") === col("l.bx") && col("y") === col("l.by"))
+          .join(best.as("r"), col("y") === col("r.v") &&
+                  col("x") === col("r.bx") && col("y") === col("r.by"))
+          .select(col("x"), col("y"), col("w"))
+          .localCheckpoint(false)
+        val matched = pick.select(col("x").as("v"))
+          .unionByName(pick.select(col("y").as("v"))).distinct()
+        m = m.unionByName(pick).localCheckpoint(false)
+        e = e.join(matched.withColumnRenamed("v", "x"), Seq("x"), "left_anti")
+          .join(matched.withColumnRenamed("v", "y"), Seq("y"), "left_anti")
+          .localCheckpoint(false)
+        live = e.count() > 0L
+      }
+      m.toDF("src", "dst", "weight")
+    }
+  }
+
+  /** Per-edge girth audit: for each undirected edge (src, dst), the
+    * shortest ALTERNATIVE path between its endpoints (BFS in G∖{e}); the
+    * cycle length through the edge is 1 + that distance (0 = no cycle).
+    * Output: (src, dst, alt_dist, cycle_len).
+    *
+    * Below `gateEdges`: per-edge driver BFS. Above: one level-synchronous
+    * labeled BFS over ALL edges at once — frontier rows (eid, node) join
+    * the shared adjacency, with only the removed edge's own hop filtered
+    * per eid; O(diameter) shuffles, state ≤ |E|·|V| rows.
+    */
+  def girthPerEdge(edges0: DataFrame,
+                   gateEdges: Long = 100000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0.select(col("src").cast("long").as("src"),
+                             col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    if (base.count() <= gateEdges) {
+      val edges = base.as[(Long, Long)].collect().toSeq
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      def dist(src: Long, tgt: Long, skip: (Long, Long)): Long = {
+        var frontier = Set(src)
+        val seen = scala.collection.mutable.Set(src)
+        var d = 0L
+        while (frontier.nonEmpty && !seen(tgt)) {
+          d += 1
+          frontier = frontier.flatMap(u =>
+            adj.getOrElse(u, Set.empty).filter(v =>
+              !seen(v) &&
+              (math.min(u, v), math.max(u, v)) != skip))
+          seen ++= frontier
+        }
+        if (seen(tgt)) d else 0L
+      }
+      edges.map { case (x, y) =>
+        val alt = dist(x, y, (math.min(x, y), math.max(x, y)))
+        (x, y, alt, if (alt > 0) alt + 1 else 0L)
+      }.toDF("src", "dst", "alt_dist", "cycle_len")
+    } else {
+      val e = base.withColumn("eid", monotonically_increasing_id())
+        .localCheckpoint(false)
+      val adj = base.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint(false)
+      var frontier = e.select(col("eid"), col("src"), col("dst"),
+                              col("src").as("node")).localCheckpoint(false)
+      var seen = frontier.select(col("eid"), col("node"))
+        .localCheckpoint(false)
+      var found = e.select(col("eid")).filter(lit(false))
+        .withColumn("alt_dist", lit(0L)).localCheckpoint(false)
+      var d = 0L
+      var live = frontier.count() > 0L
+      while (live) {
+        d += 1
+        val nxt = frontier.join(adj, col("node") === col("u"))
+          .filter(!(col("node") === col("src") && col("v") === col("dst")) &&
+                  !(col("node") === col("dst") && col("v") === col("src")))
+          .select(col("eid"), col("src"), col("dst"), col("v").as("node"))
+          .distinct()
+          .join(seen, Seq("eid", "node"), "left_anti")
+          .localCheckpoint(false)
+        val hit = nxt.filter(col("node") === col("dst"))
+          .select(col("eid")).distinct().withColumn("alt_dist", lit(d))
+        found = found.unionByName(hit).localCheckpoint(false)
+        seen = seen.unionByName(nxt.select(col("eid"), col("node")))
+          .localCheckpoint(false)
+        frontier = nxt.join(found.select("eid"), Seq("eid"), "left_anti")
+          .localCheckpoint(false)
+        live = frontier.count() > 0L
+      }
+      e.join(found, Seq("eid"), "left")
+        .select(col("src"), col("dst"),
+                coalesce(col("alt_dist"), lit(0L)).as("alt_dist"),
+                when(coalesce(col("alt_dist"), lit(0L)) > 0L,
+                     col("alt_dist") + 1L).otherwise(0L).as("cycle_len"))
+    }
+  }
+
+  /** Articulation (cut) vertices: for each node v, BFS the residual graph
+    * G∖{v} from v's smallest neighbor; v is an articulation point iff some
+    * neighbor of v is unreachable. Output: (node, degree, is_articulation).
+    *
+    * Below `gateEdges`: per-node driver BFS. Above: one labeled BFS over
+    * all removals at once — state (rm, node), the removed node filtered
+    * per label; O(diameter) shuffles, state ≤ |V|² rows.
+    */
+  def articulationPoints(edges0: DataFrame,
+                         gateEdges: Long = 100000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0.select(col("src").cast("long").as("src"),
+                             col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    if (base.count() <= gateEdges) {
+      val edges = base.as[(Long, Long)].collect().toSeq
+      val adjAll = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      def reach(src: Long, rm: Long): Set[Long] = {
+        val seen = scala.collection.mutable.Set(src)
+        val stack = scala.collection.mutable.Stack(src)
+        while (stack.nonEmpty) {
+          val u = stack.pop()
+          for (v <- adjAll.getOrElse(u, Set.empty)
+               if v != rm && !seen(v)) { seen += v; stack.push(v) }
+        }
+        seen.toSet
+      }
+      adjAll.toSeq.map { case (v, nbs) =>
+        val r = reach(nbs.min, v)
+        (v, nbs.size.toLong, if (nbs.exists(n => !r(n))) 1L else 0L)
+      }.toDF("node", "degree", "is_articulation")
+    } else {
+      val adj = base.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
+        .distinct().localCheckpoint(false)
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("degree"), min(col("v")).as("start"))
+        .localCheckpoint(false)
+      var frontier = deg.select(col("node").as("rm"),
+                                col("start").as("node"))
+        .localCheckpoint(false)
+      var seen = frontier
+      var live = frontier.count() > 0L
+      while (live) {
+        val nxt = frontier.join(adj, col("node") === col("u"))
+          .select(col("rm"), col("v").as("node"))
+          .filter(col("node") =!= col("rm"))
+          .distinct()
+          .join(seen, Seq("rm", "node"), "left_anti")
+          .localCheckpoint(false)
+        seen = seen.unionByName(nxt).localCheckpoint(false)
+        frontier = nxt
+        live = frontier.count() > 0L
+      }
+      val unreachable = adj.select(col("u").as("rm"), col("v").as("node"))
+        .join(seen, Seq("rm", "node"), "left_anti")
+        .select(col("rm").as("node")).distinct()
+        .withColumn("_cut", lit(1L))
+      deg.join(unreachable, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+                coalesce(col("_cut"), lit(0L)).as("is_articulation"))
+    }
+  }
+
+  /** Percolation / connectivity sweep: connected-component structure of a
+    * weighted graph across a threshold ladder — (threshold, n_nodes,
+    * n_edges, n_components, giant_size), skipping empty thresholds.
+    * Input: (src, dst, n).
+    *
+    * Below `gateEdges`: one collect, per-threshold driver DFS. Above:
+    * per-threshold [[graft.operators.Dedup.clusterPairs]] (which itself
+    * degrades from driver union-find to distributed min-label rounds), so
+    * an unexpectedly dense graph slows down instead of failing.
+    */
+  def percolationSweep(edges0: DataFrame, thresholds: Seq[Long],
+                       gateEdges: Long = 100000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val base = edges0.select(col("src").cast("long").as("src"),
+                             col("dst").cast("long").as("dst"),
+                             col("n").cast("long").as("n"))
+      .localCheckpoint(false)
+    if (base.count() <= gateEdges) {
+      val all = base.as[(Long, Long, Long)].collect().toSeq
+      val rows = thresholds.flatMap { th =>
+        val es = all.filter(_._3 >= th)
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val adj = (es.map(e => (e._1, e._2)) ++
+                   es.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        val seen = scala.collection.mutable.Set.empty[Long]
+        var comps = 0L
+        var giant = 0L
+        for (n <- nodes.sorted if !seen(n)) {
+          comps += 1
+          var size = 0L
+          val stack = scala.collection.mutable.Stack(n)
+          seen += n
+          while (stack.nonEmpty) {
+            val u = stack.pop(); size += 1
+            for (v <- adj.getOrElse(u, Set.empty) if !seen(v)) {
+              seen += v; stack.push(v)
+            }
+          }
+          giant = math.max(giant, size)
+        }
+        if (es.isEmpty) None
+        else Some((th, nodes.size.toLong, es.size.toLong, comps, giant))
+      }
+      rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
+                "giant_size")
+    } else {
+      val rows = thresholds.flatMap { th =>
+        val es = base.filter(col("n") >= th).select("src", "dst")
+          .localCheckpoint(false)
+        val nE = es.count()
+        if (nE == 0L) None
+        else {
+          val cc = graft.operators.Dedup.clusterPairs(es, "src", "dst")
+            .localCheckpoint(false)
+          val r = cc.agg(count(lit(1)).as("nodes"),
+                         countDistinct(col("cluster_id")).as("comps"),
+                         max(col("cluster_size")).as("giant")).head()
+          Some((th, r.getLong(0), nE, r.getLong(1), r.getLong(2)))
+        }
+      }
+      rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
+                "giant_size")
+    }
+  }
 }
