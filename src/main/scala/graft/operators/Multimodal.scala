@@ -50,6 +50,13 @@ object Multimodal {
   final case class WavHeader(channels: Int, sampleRate: Int,
                              bitsPerSample: Int, nSamples: Long) extends MediaHeader
   final case class Mp4Header(timescale: Int, durationMs: Long) extends MediaHeader
+  /** JPEG frame header (from the SOFn marker) + EXIF orientation (from the
+    * APP1 TIFF IFD0, tag 0x0112; 0 when absent). `progressive` is 1 for
+    * SOF2 (progressive DCT), 0 for baseline SOF0/extended SOF1.
+    */
+  final case class JpegHeader(width: Int, height: Int, precision: Int,
+                              nComponents: Int, progressive: Int,
+                              orientation: Int) extends MediaHeader
 
   /** Extracted per-row features. Byte stats are over the raw payload;
     * `hdr_*` fields come from parsing the container header (0 where the
@@ -182,6 +189,42 @@ object Multimodal {
     ftyp ++ box("moov", mvhd) ++ box("mdat", payload)
   }
 
+  private def be16(v: Int): Array[Byte] =
+    Array((v >>> 8).toByte, (v & 0xff).toByte)
+  private def readBe16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Real JPEG container: SOI, APP1/Exif (big-endian TIFF, IFD0 holding the
+    * orientation tag 0x0112), a DQT, SOF0 (baseline) or SOF2 (progressive)
+    * with 3 components, SOS, the payload as entropy-coded bytes with the
+    * mandatory 0xFF→0xFF 0x00 byte stuffing, EOI. Web corpora are
+    * JPEG-dominated; this is the ingest side of the marker-walk round-trip.
+    */
+  def buildJpeg(width: Int, height: Int, orientation: Int,
+                progressive: Boolean, payload: Array[Byte]): Array[Byte] = {
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
+    val tiff =
+      "MM".getBytes("US-ASCII") ++ be16(42) ++ be32(8) ++ // header, IFD0 at 8
+        be16(1) ++                                        // one entry
+        be16(0x0112) ++ be16(3) ++ be32(1) ++             // orientation, SHORT×1
+        be16(orientation) ++ be16(0) ++                   // value in hi half
+        be32(0)                                           // no next IFD
+    val app1 = seg(0xe1,
+      "Exif".getBytes("US-ASCII") ++ Array(0.toByte, 0.toByte) ++ tiff)
+    val dqt = seg(0xdb, Array(0.toByte) ++ Array.fill(64)(16.toByte))
+    val sof = seg(if (progressive) 0xc2 else 0xc0,
+      Array(8.toByte) ++ be16(height) ++ be16(width) ++ Array(3.toByte) ++
+        Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val sos = seg(0xda,
+      Array(3.toByte) ++ Array[Byte](1, 0x00, 2, 0x11, 3, 0x11) ++
+        Array[Byte](0, 63, 0))
+    val stuffed = payload.flatMap(v =>
+      if (v == 0xff.toByte) Array(0xff.toByte, 0x00.toByte) else Array(v))
+    Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ dqt ++ sof ++ sos ++
+      stuffed ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
   // ------------------------------------------------------------------
   // Header parsers (the decode side)
   // ------------------------------------------------------------------
@@ -249,6 +292,84 @@ object Multimodal {
     Mp4Header(timescale, durationMs = duration * 1000L / timescale)
   }
 
+  /** Walk a JPEG's marker segments up to SOS: SOFn (C0–CF minus the
+    * DHT/JPG/DAC pseudo-SOFs C4/C8/CC) for dimensions / precision /
+    * component count / progressive flag, APP1 "Exif" for the TIFF IFD0
+    * orientation (0 when absent; both II and MM byte orders handled).
+    * Standalone markers (TEM, RSTn) and fill bytes are skipped per spec;
+    * truncation anywhere before SOF fails loudly rather than returning a
+    * half-parsed header.
+    */
+  def parseJpeg(b: Array[Byte]): JpegHeader = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+            "not a JPEG: bad SOI")
+    var off = 2
+    var sof: Option[(Int, Int, Int, Int, Int)] = None
+    var orientation = 0
+    var done = false
+    while (!done) {
+      require(off + 2 <= b.length, "JPEG: truncated before a marker")
+      require((b(off) & 0xff) == 0xff, s"JPEG: expected a marker at $off")
+      // fill bytes: any number of 0xFF may pad before the marker id
+      while ((b(off + 1) & 0xff) == 0xff) {
+        off += 1
+        require(off + 2 <= b.length, "JPEG: truncated in fill bytes")
+      }
+      val m = b(off + 1) & 0xff
+      if (m == 0xd9) done = true // EOI before SOS (no entropy data)
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+      else {
+        require(off + 4 <= b.length, "JPEG: truncated segment header")
+        val len = readBe16(b, off + 2)
+        require(len >= 2 && off + 2 + len <= b.length,
+                s"JPEG: truncated segment body (marker $m len $len)")
+        val body = off + 4
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          require(len >= 8, "JPEG: SOF segment too short")
+          sof = Some((readBe16(b, body + 3), readBe16(b, body + 1),
+                      b(body) & 0xff, b(body + 5) & 0xff,
+                      if (m == 0xc2) 1 else 0))
+        } else if (m == 0xe1 && len >= 2 + 6 + 8 &&
+                   b(body) == 'E' && b(body + 1) == 'x' &&
+                   b(body + 2) == 'i' && b(body + 3) == 'f' &&
+                   b(body + 4) == 0 && b(body + 5) == 0) {
+          orientation =
+            exifOrientation(b, body + 6, off + 2 + len).getOrElse(0)
+        } else if (m == 0xda) done = true // SOS: header walk complete
+        if (!done) off += 2 + len
+      }
+    }
+    val (w, h, prec, ncomp, prog) = sof.getOrElse(
+      throw new IllegalArgumentException("JPEG: no SOF marker before SOS/EOI"))
+    JpegHeader(w, h, prec, ncomp, prog, orientation)
+  }
+
+  /** TIFF IFD0 walk for the EXIF orientation tag (0x0112, SHORT×1). */
+  private def exifOrientation(b: Array[Byte], tiffOff: Int,
+                              until: Int): Option[Int] = {
+    if (tiffOff + 8 > until) return None
+    val le = b(tiffOff) == 'I' && b(tiffOff + 1) == 'I'
+    val isBe = b(tiffOff) == 'M' && b(tiffOff + 1) == 'M'
+    if (!le && !isBe) return None
+    def r16(o: Int) = if (le) readLe16(b, o) else readBe16(b, o)
+    def r32(o: Int) = if (le) readLe32(b, o) else readBe32(b, o)
+    if (r16(tiffOff + 2) != 42) return None
+    val ifd = tiffOff + r32(tiffOff + 4)
+    if (ifd < tiffOff || ifd + 2 > until) return None
+    val n = r16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      if (e + 12 > until) return None
+      // SHORT values pack into the leading bytes of the 4-byte value slot,
+      // in the TIFF byte order
+      if (r16(e) == 0x0112 && r16(e + 2) == 3 && r32(e + 4) == 1)
+        return Some(r16(e + 8))
+      i += 1
+    }
+    None
+  }
+
   /** Sniff the container format from magic bytes (never from metadata — a
     * mislabeled row must fail loudly, not parse as the wrong format) and
     * parse its header.
@@ -256,6 +377,8 @@ object Multimodal {
   def decode(b: Array[Byte]): MediaHeader =
     if (b.length >= 8 && PngSignature.indices.forall(i => b(i) == PngSignature(i)))
       parsePng(b)
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      parseJpeg(b)
     else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")
       parseWav(b)
     else if (b.length >= 8 && tag(b, 4) == "ftyp")
@@ -364,6 +487,48 @@ object Multimodal {
   /** The full pipeline over `documents`: ingest → batched decode/feature. */
   def featuresFromDocuments(docs: DataFrame): DataFrame =
     extractFeatures(fromDocuments(docs)).toDF()
+
+  final case class JpegFeatures(doc_id: Long,
+                                hdr_width: Int,
+                                hdr_height: Int,
+                                bit_precision: Int, // "precision" is reserved in the oracle engine
+                                n_components: Int,
+                                is_progressive: Long,
+                                orientation: Int,
+                                n_bytes: Int)
+
+  /** JPEG round-trip over `documents`: every doc becomes a REAL JPEG
+    * (EXIF orientation from text length, baseline/progressive alternating
+    * by doc id, text bytes as byte-stuffed entropy data) and the batched
+    * decode pass walks the markers back out — dimensions and component
+    * layout from SOFn, orientation from the APP1 TIFF IFD. The oracle
+    * recomputes every field from the text independently, so a walk that
+    * misreads segment lengths, stuffing, or IFD endianness fails the hash
+    * gate. Same no-shuffle mapPartitions shape as [[extractFeatures]].
+    */
+  def jpegFeaturesFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+              encode(col("text"), "UTF-8").as("data"),
+              length(col("text")).cast("int").as("chars"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, data, chars) =>
+            val container = buildJpeg(
+              width = 16 + chars % 64, height = 16 + chars % 48,
+              orientation = 1 + chars % 8,
+              progressive = id % 2 == 0, payload = data)
+            val h = parseJpeg(container)
+            JpegFeatures(id, h.width, h.height, h.precision,
+                         h.nComponents, h.progressive.toLong,
+                         h.orientation, data.length)
+          }
+        }
+      }.toDF()
+  }
 
   /** Locate a WAV's `data` chunk inside the container and return exactly
     * its bytes (the padded PCM stream) — a real chunk walk, so the sample

@@ -578,6 +578,58 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.decode(payload))
   }
 
+  test("jpeg: marker walk round-trip, progressive flag, EXIF endianness, truncation") {
+    // payload deliberately contains 0xFF bytes: the builder must stuff
+    // them (FF 00) or the walk would misparse entropy data as markers
+    val payload =
+      Array[Byte](1, 2, 0xff.toByte, 3, 0xff.toByte, 0xff.toByte, 4)
+    val base = Multimodal.buildJpeg(800, 600, orientation = 6,
+                                    progressive = false, payload)
+    assert(Multimodal.parseJpeg(base) ===
+      Multimodal.JpegHeader(800, 600, 8, 3, 0, 6))
+    val prog = Multimodal.buildJpeg(320, 200, orientation = 1,
+                                    progressive = true, payload)
+    assert(Multimodal.parseJpeg(prog) ===
+      Multimodal.JpegHeader(320, 200, 8, 3, 1, 1))
+    // sniffing dispatches FFD8 to the JPEG walk
+    assert(Multimodal.decode(base) ===
+      Multimodal.JpegHeader(800, 600, 8, 3, 0, 6))
+
+    // little-endian (II) EXIF: hand-build the APP1 with an Intel TIFF —
+    // value bytes land in the LOW half of the value slot
+    def be16(v: Int) = Array((v >>> 8).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+                             ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+    val tiffLe = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++
+      le16(1) ++ le16(0x0112) ++ le16(3) ++ le32(1) ++
+      le16(8) ++ le16(0) ++ le32(0)
+    val app1Body = "Exif".getBytes("US-ASCII") ++
+      Array(0.toByte, 0.toByte) ++ tiffLe
+    val app1 = Array(0xff.toByte, 0xe1.toByte) ++
+      be16(app1Body.length + 2) ++ app1Body
+    val sof = Array(0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array(8.toByte) ++ be16(10) ++ be16(20) ++
+      Array[Byte](1) ++ Array[Byte](1, 0x11, 0) // ncomp=1, comp spec
+    val eoi = Array(0xff.toByte, 0xd9.toByte)
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    assert(Multimodal.parseJpeg(soi ++ app1 ++ sof ++ eoi) ===
+      Multimodal.JpegHeader(20, 10, 8, 1, 0, 8))
+
+    // truncation anywhere before SOF fails loudly, never a partial header
+    val cutInSegment = base.take(12) // mid-APP1
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(cutInSegment))
+    val cutBeforeSof = soi ++ app1 // walk runs off the end
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(cutBeforeSof))
+    // SOS before any SOF: loud failure, not orientation-only output
+    val sosOnly = soi ++ (Array(0xff.toByte, 0xda.toByte) ++ be16(4) ++
+      Array[Byte](0, 0))
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(sosOnly))
+    // declared segment length running past the buffer = truncated body
+    val badLen = soi ++ (Array(0xff.toByte, 0xe1.toByte) ++ be16(9999))
+    intercept[IllegalArgumentException](Multimodal.parseJpeg(badLen))
+  }
+
   test("contaminationStats: shingle overlap with the eval slice, 20% gate") {
     // doc 10 is the eval doc; doc 1 copies it verbatim (full overlap),
     // doc 2 shares nothing, doc 3 shares a prefix
