@@ -1348,15 +1348,17 @@ object R12Queries {
       // engine's loop operator instead of the hand-unrolled rounds the
       // older graph tier uses. min(hop) per destination; bound 4 keeps
       // the recursion finite on the cyclic graph.
-      // Materialize the fact-rollup arcs BEFORE the loop: a CTE
-      // referenced from the recursive term is re-planned per iteration,
-      // so an un-pinned anchor re-scans lineitem every round (4.6 s →
-      // sub-second with the checkpointed arc view).
+      // Anchor pinned through plans.RecursiveCte (round-8 verdict ask):
+      // a CTE referenced from the recursive term is re-planned per
+      // iteration, so an un-pinned anchor re-scans lineitem every round
+      // (4.6 s → sub-second pinned); the helper checkpoints the arc
+      // rollup and asserts from the analyzed plan that the loop's
+      // recursive branch carries no live file scan.
       val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
       val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
       val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val arcs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
         .filter(col("c_nationkey") =!= col("s_nationkey"))
@@ -1365,9 +1367,7 @@ object R12Queries {
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") >= 110L)
         .select("src", "dst")
-        .localCheckpoint(false)
-        .createOrReplaceTempView("q594_arcs")
-      s.sql(
+      graft.plans.RecursiveCte.run(s,
         """WITH RECURSIVE reach(dst, hop) AS (
           |  SELECT dst, CAST(1 AS BIGINT) AS hop FROM q594_arcs
           |  WHERE src = 0
@@ -1376,7 +1376,8 @@ object R12Queries {
           |  JOIN q594_arcs a ON a.src = r.dst
           |  WHERE r.hop < 4)
           |SELECT dst AS nationkey, CAST(min(hop) AS BIGINT) AS min_hops
-          |FROM reach GROUP BY 1""".stripMargin)
+          |FROM reach GROUP BY 1""".stripMargin,
+        "q594_arcs" -> arcs)
     }),
     "q595_hard_negatives" -> ((s, dir) => {
       // Hard-negative mining for contrastive training: per query vector
