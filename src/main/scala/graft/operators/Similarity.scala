@@ -342,11 +342,20 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("qdist")).as("adc_dist2"))
-      .withColumn("rank",
-                  row_number().over(Window.partitionBy(col("query_id"))
-                    .orderBy(col("adc_dist2"), col("neighbor_id"))))
-      .filter(col("rank") <= topK)
-      .select("query_id", "rank", "neighbor_id", "adc_dist2")
+      // top-k via the map-side-combining Aggregator, not a per-query
+      // window: row_number over partitionBy(query) sorts the ENTIRE
+      // n·|queries| scored relation through |queries| partitions, while
+      // the Aggregator's partial buffers cap the final exchange at
+      // topK·partitions rows per query (Stress11 decade-up finding).
+      // Ordering is identical: (-adc) desc, neighbor asc == adc asc,
+      // neighbor asc.
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(topK)(
+             -col("adc_dist2"), col("neighbor_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+              col("_t._2").as("neighbor_id"),
+              (-col("_t._1")).as("adc_dist2"))
   }
 
   /** Shared ranking: top-k per query with deterministic (cosine desc, id asc)
