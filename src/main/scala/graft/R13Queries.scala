@@ -1,8 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DimKey
+import graft.operators.TextAnalysis
 import graft.sources.Tables
 
 /** Round-9 queries (q631+). Separate object: the earlier query objects'
@@ -14,6 +17,26 @@ object R13Queries {
 
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     Tables.read(s, dir, t)
+
+  /** Daily order counts — the ~2,400-row series every time-series
+    * diagnostic below rides: ONE combine-enabled fact rollup, so 100 TB
+    * of orders feeds a dimension-sized relation before any window.
+    */
+  private def dailyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, rd(s, dir, "orders"))
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** URGENT-vs-LOW order cents — the two-sample pair the distribution
+    * tests below compare; value-grid shaped (distinct cents), never the
+    * raw row pairing.
+    */
+  private def twoSampleCents(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, rd(s, dir, "orders"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"),
+              col("o_orderkey"),
+              (col("o_orderpriority") === "1-URGENT").as("isa"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q631_jpeg_metadata" -> ((s, dir) => {
@@ -28,6 +51,210 @@ object R13Queries {
       // shuffle; payload bytes never leave the partition.
       graft.operators.Multimodal.jpegFeaturesFromDocuments(
         Tables.spread(s, rd(s, dir, "documents")))
+    }),
+    "q632_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson serial-correlation diagnostic over the daily order
+      // series: DW = Σ(e_t − e_{t−1})² / Σe_t² with residuals vs the
+      // global mean SCALED to integers (e_t = n·cnt_t − Σcnt — the
+      // common n× factor cancels in the ratio, so no float mean). Both
+      // quadratic sums run in DECIMAL(38,0)/HUGEINT: e ≤ n·Σcnt ~ 10¹⁴
+      // at 10⁴ days × 10¹⁰ rows, e² ~ 10²⁸ — far past int64, inside 38
+      // digits. Adjacent means ROW-adjacent by date (gaps documented).
+      // The lag-1 regression-residual companion to the lead-lag
+      // cross-correlation ladder (q395).
+      val tot = dailyOrders(s, dir)
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+      val e = dailyOrders(s, dir).crossJoin(broadcast(tot))
+        .withColumn("e", expr("n * cnt - s"))
+        .withColumn("pe", lag(col("e"), 1).over(
+          Window.partitionBy(DimKey.one).orderBy(col("day"))))
+      e.agg(count(lit(1)).as("n_days"),
+            sum(expr("CAST(e AS DECIMAL(38,0)) * e")).as("_den"),
+            sum(expr("CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(38,0))" +
+                     " ELSE CAST(e - pe AS DECIMAL(38,0)) * (e - pe) END"))
+              .as("_num"))
+        .select(col("n_days"),
+                expr("CAST(_num * 1000 DIV _den AS BIGINT)").as("dw_milli"))
+    }),
+    "q633_cramer_von_mises" -> ((s, dir) => {
+      // Two-sample Cramér–von Mises: Σ over pooled observations of the
+      // squared ECDF gap, in the exact integer form d = n₂·cumA − n₁·cumB
+      // per distinct value, weighted by that value's multiplicity —
+      // cumSumByValue's value-grid discipline (the fact collapses to
+      // distinct cents before the one ordered prefix pass), d² through
+      // DECIMAL(38,0)/HUGEINT (d ≤ n₁n₂ ~ 10¹⁸ at 10⁹-row groups —
+      // documented margin), one final division pins cvm_ppm ∈ [0, 10⁶].
+      // The quadratic-weight companion to KS/TVD (sup-norm) and
+      // Wasserstein (L1, q584).
+      val g = twoSampleCents(s, dir)
+        .groupBy(col("c"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+             sum(when(col("isa"), 0L).otherwise(1L)).as("nb"))
+      val wv = Window.partitionBy(DimKey.one).orderBy(col("c"))
+      val cum = g.withColumn("ca", sum(col("na")).over(wv))
+        .withColumn("cb", sum(col("nb")).over(wv))
+      val tot = g.agg(sum(col("na")).as("n1"), sum(col("nb")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+             sum(expr(
+               "(na + nb) * (CAST(n2 AS DECIMAL(38,0)) * ca - CAST(n1 AS DECIMAL(38,0)) * cb)" +
+                 " * (CAST(n2 AS DECIMAL(38,0)) * ca - CAST(n1 AS DECIMAL(38,0)) * cb)"))
+               .as("t"))
+        .select(col("n1"), col("n2"),
+                expr("CAST(t * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n1" +
+                     " * n2 * n2 * (n1 + n2)) AS BIGINT)").as("cvm_ppm"))
+    }),
+    "q634_energy_distance" -> ((s, dir) => {
+      // Two-sample energy distance E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|,
+      // every pairwise-|diff| sum EXACT without pairing rows: within-group
+      // sums via the sorted-coefficient identity Σᵢ<ⱼ|xᵢ−xⱼ| =
+      // Σᵢ(2i−n−1)·x₍ᵢ₎ (cellRank-style global row_number), the cross
+      // term via A's value-grid cumulative (count, sum) evaluated at each
+      // distinct B value — Σᵢ|aᵢ−v| = (cA·v − sA) + ((SA−sA) − (nA−cA)·v).
+      // All numerators DECIMAL(38,0)/HUGEINT; the three per-pair means
+      // are pinned in milli-cents with the SAME division order in both
+      // engines (each DIV operand non-negative, so floor == truncate; the
+      // final subtraction is plain integer arithmetic). The
+      // characteristic-function-free distribution distance beside CvM
+      // (q633) and Wasserstein (q584).
+      val v = twoSampleCents(s, dir)
+      val wA = Window.partitionBy(DimKey.one)
+        .orderBy(col("c"), col("o_orderkey"))
+      val wAll = Window.partitionBy(DimKey.one)
+      def withinSum(side: DataFrame): DataFrame = side
+        .withColumn("i", row_number().over(wA))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(sum(expr("CAST(2 * i - n - 1 AS DECIMAL(38,0)) * c")).as("s"),
+             max(col("n")).cast("long").as("n"))
+      val sxx = withinSum(v.filter(col("isa")))
+        .select(col("s").as("sxx"), col("n").as("n1"))
+      val syy = withinSum(v.filter(!col("isa")))
+        .select(col("s").as("syy"), col("n").as("n2"))
+      val ga = v.filter(col("isa")).groupBy(col("c"))
+        .agg(count(lit(1)).as("na"))
+      val gb = v.filter(!col("isa")).groupBy(col("c"))
+        .agg(count(lit(1)).as("nb"))
+      val grid = ga.select("c").unionByName(gb.select("c")).distinct()
+      val wv = Window.partitionBy(DimKey.one).orderBy(col("c"))
+      val cums = grid
+        .join(ga, Seq("c"), "left").join(gb, Seq("c"), "left")
+        .withColumn("na0", coalesce(col("na"), lit(0L)))
+        .withColumn("nb0", coalesce(col("nb"), lit(0L)))
+        .withColumn("cA", sum(col("na0")).over(wv))
+        .withColumn("sA", sum(expr("CAST(na0 AS DECIMAL(38,0)) * c")).over(wv))
+        .drop("na", "nb") // Spark's case-insensitive resolver would
+                          // otherwise collide them with totA's _na_tot
+      val totA = ga.agg(sum(col("na")).as("_na_tot"),
+                        sum(expr("CAST(na AS DECIMAL(38,0)) * c")).as("sAll"))
+      val sxy = cums.crossJoin(broadcast(totA))
+        .agg(sum(expr(
+          "nb0 * ((CAST(cA AS DECIMAL(38,0)) * c - sA)" +
+            " + ((sAll - sA) - CAST(_na_tot - cA AS DECIMAL(38,0)) * c))"))
+          .as("sxy"))
+      sxx.crossJoin(syy).crossJoin(sxy)
+        .select(col("n1"), col("n2"),
+          expr("CAST(2 * sxy * 1000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("mean_xy_milli"),
+          expr("CAST(2 * sxx * 1000 DIV (CAST(n1 AS DECIMAL(38,0)) * n1) AS BIGINT)")
+            .as("mean_xx_milli"),
+          expr("CAST(2 * syy * 1000 DIV (CAST(n2 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("mean_yy_milli"),
+          expr("CAST(2 * sxy * 1000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2)" +
+               " - 2 * sxx * 1000 DIV (CAST(n1 AS DECIMAL(38,0)) * n1)" +
+               " - 2 * syy * 1000 DIV (CAST(n2 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+            .as("energy_milli"))
+    }),
+    "q635_hurst_rs" -> ((s, dir) => {
+      // Rescaled-range (Hurst) ladder over the daily order series:
+      // tumbling windows of 8/16/32 days, per-window (R/S)² exact — devs
+      // scaled by w (d = w·cnt − Σcnt), cumulative range including the
+      // implicit 0 start, (R/S)² = R²·w / Σd² (the w³ scale cancels),
+      // ×1000 pinned, per-size mean over full windows only. Long-range
+      // dependence slope without a single float: rs2 growing ~linearly
+      // in w is H≈0.5 noise; faster is persistence. DECIMAL squares
+      // (R ≤ w²·maxcnt).
+      import s.implicits._
+      val rk = dailyOrders(s, dir)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(DimKey.one).orderBy(col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(DimKey.one)))
+      val wd = rk.crossJoin(
+          broadcast(Seq(8L, 16L, 32L).toDF("w")))
+        .withColumn("wid", expr("(r - 1) DIV w"))
+        .filter(expr("(r - 1) DIV w < n DIV w"))
+      val st = wd.groupBy(col("w"), col("wid"))
+        .agg(sum(col("cnt")).as("s"))
+      val dev = wd.join(st, Seq("w", "wid"))
+        .withColumn("d", expr("w * cnt - s"))
+      val cum = dev.withColumn("cm", sum(col("d")).over(
+        Window.partitionBy(col("w"), col("wid")).orderBy(col("day"))))
+      val per = cum.groupBy(col("w"), col("wid"))
+        .agg((greatest(max(col("cm")), lit(0L)) -
+              least(min(col("cm")), lit(0L))).as("rng"),
+             sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sd2"))
+      per.filter(col("sd2") > 0)
+        .withColumn("rs2_milli",
+          expr("CAST(CAST(rng AS DECIMAL(38,0)) * rng * w * 1000 DIV sd2 AS BIGINT)"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_windows"),
+             expr("CAST(sum(rs2_milli) DIV count(1) AS BIGINT)")
+               .as("avg_rs2_milli"))
+        .select("w", "n_windows", "avg_rs2_milli")
+    }),
+    "q636_chunk_ttr" -> ((s, dir) => {
+      // Chunked type-token ratio (the MATTR-style lexical-diversity
+      // gate): 25-token tumbling chunks per document (full chunks only),
+      // TTR = distinct/25 per chunk, per-doc mean in exact ppm
+      // (Σdistinct·10⁶ DIV (25·chunks)), corpus min/max/mean. Windowed
+      // TTR decays with document length where raw TTR just shrinks —
+      // the per-chunk form is the length-fair repetition screen beside
+      // repetitionMetrics (q42) and Simpson diversity (q628). Explode is
+      // per-doc-token (the corpus-token grain the text tier already
+      // pays); everything after the (doc, chunk) rollup is doc-sized.
+      val toks = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .withColumn("len_t", size(col("t")))
+      val per = toks
+        .select(col("doc_id"), col("len_t"),
+                posexplode(col("t")).as(Seq("p", "tok")))
+        .withColumn("chunk", expr("p DIV 25"))
+        .filter(expr("p DIV 25 < len_t DIV 25"))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(countDistinct(col("tok")).as("n_distinct"))
+      per.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             expr("CAST(sum(n_distinct) * 1000000 DIV (25 * count(1)) AS BIGINT)")
+               .as("mattr_ppm"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chunks")).as("n_chunks"),
+             min(col("mattr_ppm")).as("min_ppm"),
+             max(col("mattr_ppm")).as("max_ppm"),
+             expr("CAST(sum(mattr_ppm) DIV count(1) AS BIGINT)").as("mean_ppm"))
+    }),
+    "q637_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer fertility by detected language: BPE-ish subword count
+      // per whitespace word (the cost-of-tokenization metric a training
+      // pipeline budgets context length with), on text augmented with
+      // each doc's source tag + char count (digit/punct-bearing tokens —
+      // the shape web text has; the raw corpus is pure lowercase words
+      // and would pin fertility at exactly 1.0). Language from the
+      // stopword-vote router (q14's langId); fertility as the ratio of
+      // SUMS (Σbpe·10⁶ DIV Σws — stable, unlike a mean of ratios). One
+      // narrow codegen'd projection + one combine-enabled rollup.
+      val aug = concat(col("text"), lit(" "), col("source"), lit("-"),
+                       col("n_chars").cast("string"))
+      Tables.spread(s, rd(s, dir, "documents"))
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"),
+                when(length(trim(aug)) === 0, 0)
+                  .otherwise(size(TextAnalysis.tokens(aug)))
+                  .cast("long").as("n_ws"),
+                TextAnalysis.bpeTokenCount(aug).cast("long").as("n_bpe"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_ws")).as("sum_ws_tokens"),
+             sum(col("n_bpe")).as("sum_bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("sum_bpe_tokens * 1000000 DIV greatest(sum_ws_tokens, 1)"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -40,5 +267,169 @@ object R13Queries {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_progressive,
         |  (1 + chars % 8)::INT AS orientation, nb::INT AS n_bytes
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "q632_durbin_watson" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cnt) AS BIGINT) AS s FROM dly),
+        |e AS (SELECT day, CAST(n * cnt - s AS BIGINT) AS e,
+        |    lag(CAST(n * cnt - s AS BIGINT)) OVER (ORDER BY day) AS pe
+        |  FROM dly, tot),
+        |agg AS (SELECT
+        |    CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS den,
+        |    CAST(sum(CASE WHEN pe IS NULL THEN 0
+        |         ELSE CAST(e - pe AS HUGEINT) * (e - pe) END) AS HUGEINT)
+        |      AS num,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM e)
+        |SELECT n_days, CAST(num * 1000 // den AS BIGINT) AS dw_milli
+        |FROM agg""".stripMargin,
+    "q633_cramer_von_mises" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+        |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS gb
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (SELECT c, CAST(sum(ga) AS BIGINT) AS na,
+        |    CAST(sum(gb) AS BIGINT) AS nb FROM v GROUP BY 1),
+        |cum AS (SELECT c, na, nb,
+        |    CAST(sum(na) OVER (ORDER BY c) AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER (ORDER BY c) AS BIGINT) AS cb FROM g),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |    CAST(sum(nb) AS BIGINT) AS n2 FROM g),
+        |agg AS (SELECT n1, n2,
+        |    CAST(sum((na + nb)
+        |      * (CAST(n2 AS HUGEINT) * ca - CAST(n1 AS HUGEINT) * cb)
+        |      * (CAST(n2 AS HUGEINT) * ca - CAST(n1 AS HUGEINT) * cb))
+        |      AS HUGEINT) AS t
+        |  FROM cum, tot GROUP BY 1, 2)
+        |SELECT n1, n2,
+        |  CAST(t * 1000000 // (CAST(n1 AS HUGEINT) * n1 * n2 * n2
+        |    * (n1 + n2)) AS BIGINT) AS cvm_ppm
+        |FROM agg""".stripMargin,
+    "q634_energy_distance" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    o_orderkey, o_orderpriority = '1-URGENT' AS isa
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |ra AS (SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS i,
+        |    count(*) OVER () AS n FROM v WHERE isa),
+        |rb AS (SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS i,
+        |    count(*) OVER () AS n FROM v WHERE NOT isa),
+        |sxx AS (SELECT CAST(sum(CAST(2 * i - n - 1 AS HUGEINT) * c)
+        |    AS HUGEINT) AS sxx, CAST(max(n) AS BIGINT) AS n1 FROM ra),
+        |syy AS (SELECT CAST(sum(CAST(2 * i - n - 1 AS HUGEINT) * c)
+        |    AS HUGEINT) AS syy, CAST(max(n) AS BIGINT) AS n2 FROM rb),
+        |ga AS (SELECT c, CAST(count(*) AS BIGINT) AS na FROM ra GROUP BY 1),
+        |gb AS (SELECT c, CAST(count(*) AS BIGINT) AS nb FROM rb GROUP BY 1),
+        |grid AS (SELECT c FROM ga UNION SELECT c FROM gb),
+        |cums AS (SELECT g.c,
+        |    coalesce(gb.nb, 0) AS nb0,
+        |    CAST(sum(coalesce(ga.na, 0)) OVER (ORDER BY g.c) AS BIGINT)
+        |      AS cA,
+        |    CAST(sum(coalesce(ga.na, 0) * g.c) OVER (ORDER BY g.c)
+        |      AS HUGEINT) AS sA
+        |  FROM grid g LEFT JOIN ga ON ga.c = g.c LEFT JOIN gb ON gb.c = g.c),
+        |totA AS (SELECT CAST(sum(na) AS BIGINT) AS nA,
+        |    CAST(sum(CAST(na AS HUGEINT) * c) AS HUGEINT) AS sAll FROM ga),
+        |sxy AS (SELECT CAST(sum(nb0 * ((CAST(cA AS HUGEINT) * c - sA)
+        |      + ((sAll - sA) - CAST(nA - cA AS HUGEINT) * c))) AS HUGEINT)
+        |      AS sxy
+        |  FROM cums, totA)
+        |SELECT n1, n2,
+        |  CAST(2 * sxy * 1000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+        |    AS mean_xy_milli,
+        |  CAST(2 * sxx * 1000 // (CAST(n1 AS HUGEINT) * n1) AS BIGINT)
+        |    AS mean_xx_milli,
+        |  CAST(2 * syy * 1000 // (CAST(n2 AS HUGEINT) * n2) AS BIGINT)
+        |    AS mean_yy_milli,
+        |  CAST(2 * sxy * 1000 // (CAST(n1 AS HUGEINT) * n2)
+        |   - 2 * sxx * 1000 // (CAST(n1 AS HUGEINT) * n1)
+        |   - 2 * syy * 1000 // (CAST(n2 AS HUGEINT) * n2) AS BIGINT)
+        |    AS energy_milli
+        |FROM sxx, syy, sxy""".stripMargin,
+    "q635_hurst_rs" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+        |rk AS (SELECT day, cnt, row_number() OVER (ORDER BY day) AS r,
+        |    count(*) OVER () AS n FROM dly),
+        |ws AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS w),
+        |wd AS (SELECT w, (r - 1) // w AS wid, day, cnt FROM rk, ws
+        |  WHERE (r - 1) // w < n // w),
+        |st AS (SELECT w, wid, CAST(sum(cnt) AS BIGINT) AS s
+        |  FROM wd GROUP BY 1, 2),
+        |dev AS (SELECT wd.w, wd.wid, wd.day,
+        |    CAST(wd.w * wd.cnt - st.s AS BIGINT) AS d
+        |  FROM wd JOIN st ON st.w = wd.w AND st.wid = wd.wid),
+        |cum AS (SELECT w, wid, d,
+        |    CAST(sum(d) OVER (PARTITION BY w, wid ORDER BY day) AS BIGINT)
+        |      AS cm FROM dev),
+        |per AS (SELECT w, wid,
+        |    CAST(greatest(max(cm), 0) - least(min(cm), 0) AS BIGINT) AS rng,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sd2
+        |  FROM cum GROUP BY 1, 2),
+        |rs AS (SELECT w, wid,
+        |    CAST(CAST(rng AS HUGEINT) * rng * w * 1000 // sd2 AS BIGINT)
+        |      AS rs2_milli
+        |  FROM per WHERE sd2 > 0)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(rs2_milli) // count(*) AS BIGINT) AS avg_rs2_milli
+        |FROM rs GROUP BY 1""".stripMargin,
+    "q636_chunk_ttr" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(t) AS len_t FROM toks),
+        |pos AS (SELECT toks.doc_id, unnest(t) AS tok,
+        |    generate_subscripts(t, 1) - 1 AS p FROM toks),
+        |ch AS (SELECT pos.doc_id, p // 25 AS chunk, tok
+        |  FROM pos JOIN lens ON lens.doc_id = pos.doc_id
+        |  WHERE p // 25 < len_t // 25),
+        |per AS (SELECT doc_id, chunk,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |  FROM ch GROUP BY 1, 2),
+        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(n_distinct) * 1000000 // (25 * count(*)) AS BIGINT)
+        |      AS mattr_ppm
+        |  FROM per GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(min(mattr_ppm) AS BIGINT) AS min_ppm,
+        |  CAST(max(mattr_ppm) AS BIGINT) AS max_ppm,
+        |  CAST(sum(mattr_ppm) // count(*) AS BIGINT) AS mean_ppm
+        |FROM doc""".stripMargin,
+    "q637_tokenizer_fertility" -> {
+      val stop = TextAnalysis.Stopwords
+      def sqlList(ws: Seq[String]): String =
+        ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hits = stop.keys.map(l =>
+        s"len(list_filter(t, x -> list_contains(${sqlList(stop(l))}, x))) AS h_$l")
+        .mkString(",\n    ")
+      val whens = stop.keys.map(l =>
+        s"WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = " +
+          s"greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n    ")
+      s"""WITH aug AS (SELECT doc_id, text,
+         |    text || ' ' || source || '-' || n_chars AS atext
+         |  FROM documents),
+         |toks AS (SELECT doc_id, text, atext,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM aug),
+         |hits AS (SELECT doc_id, text, atext, t,
+         |    $hits FROM toks),
+         |lang AS (SELECT doc_id,
+         |    CASE WHEN text IS NULL THEN 'und'
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    $whens
+         |    ELSE 'und' END AS lang_pred,
+         |    CASE WHEN length(trim(atext)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(lower(trim(atext)), '\\s+'))
+         |      END AS n_ws,
+         |    len(regexp_extract_all(atext,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe
+         |  FROM hits)
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+         |  CAST(sum(n_bpe) * 1000000 // greatest(sum(n_ws), 1) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM lang GROUP BY 1""".stripMargin
+    })
 }
