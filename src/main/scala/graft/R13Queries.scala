@@ -255,6 +255,183 @@ object R13Queries {
              sum(col("n_bpe")).as("sum_bpe_tokens"))
         .withColumn("fertility_ppm",
           expr("sum_bpe_tokens * 1000000 DIV greatest(sum_ws_tokens, 1)"))
+    }),
+    "q638_null_order_contract" -> ((s, dir) => {
+      // NULL-ordering contract, pinned in the gate: the engines DISAGREE
+      // by default (Spark sorts ASC nulls-first, the oracle engine
+      // nulls-last), so any ranking over a nullable measure silently
+      // diverges unless the null position is explicit on BOTH sides.
+      // Top-3 per priority under DESC NULLS LAST and ASC NULLS FIRST
+      // (the first ranks real values, the second surfaces the null rows
+      // deterministically by key) — a wrong null placement fails the
+      // hash gate.
+      val v = Tables.spread(s, rd(s, dir, "orders"))
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+                when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+                  .otherwise(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+                  .as("cents"))
+      def top3(variant: String, order: Seq[Column]) = v
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("prio")).orderBy(order: _*)).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(lit(variant).as("variant"), col("prio"), col("rk"),
+                col("o_orderkey"), col("cents"))
+      top3("desc_nulls_last",
+           Seq(col("cents").desc_nulls_last, col("o_orderkey")))
+        .unionByName(top3("asc_nulls_first",
+           Seq(col("cents").asc_nulls_first, col("o_orderkey"))))
+    }),
+    "q639_manifest_lifecycle" -> ((s, dir) => {
+      // The round-9 _MANIFEST read path end-to-end: two publishes, then a
+      // PLANTED committed-looking v=3 directory that no commit path
+      // produced (in the listing, NOT in the manifest) — reads must stay
+      // on v2, proving version resolution is manifest-driven, not
+      // listing-driven (the object-store-safety contract); then rollback
+      // to v1 re-resolves through the marker check. Literal oracle
+      // recomputes every row count from orders.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("q639_mani")
+        .toString + "/t"
+      def roll(maxYear: Int, byYear: Boolean) = {
+        val base = Tables.spread(s, rd(s, dir, "orders"))
+          .filter(year(col("o_orderdate")) < maxYear)
+        if (byYear)
+          base.groupBy(col("o_orderpriority").as("prio"),
+                       year(col("o_orderdate")).as("yr"))
+            .agg(count(lit(1)).as("n"))
+        else base.groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"))
+      }
+      VersionedTable.publish(s, roll(1997, byYear = false), tmp)
+      VersionedTable.publish(s, roll(1999, byYear = true), tmp)
+      val v1Rows = VersionedTable.readVersion(s, tmp, 1L).count()
+      val v2Rows = VersionedTable.readVersion(s, tmp, 2L).count()
+      // plant the foreign committed-looking version
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq((0L, 0L)).toDF("a", "b").write.parquet(s"$tmp/v=3")
+      fs.create(new org.apache.hadoop.fs.Path(s"$tmp/v=3/_COMMITTED"),
+                true).close()
+      val latestPlanted = VersionedTable.read(s, tmp).count()
+      VersionedTable.rollback(s, tmp, 1L)
+      val afterRollback = VersionedTable.read(s, tmp).count()
+      val historyAfter = VersionedTable.history(s, tmp).count()
+      Seq(("v1_rows", v1Rows), ("v2_rows", v2Rows),
+          ("latest_with_planted_v3", latestPlanted),
+          ("after_rollback", afterRollback),
+          ("history_after_rollback", historyAfter))
+        .toDF("step", "n_rows")
+    }),
+    "q640_recursive_min_cost" -> ((s, dir) => {
+      // Weighted hop-bounded cheapest path through the NATIVE recursive
+      // CTE (UnionLoop), anchor pinned via plans.RecursiveCte: arc cost =
+      // 10⁶ DIV shipment count (rarer lanes cost more), min cumulative
+      // cost from nation 0 within ≤4 hops. The oracle runs the SAME
+      // WITH RECURSIVE text — both engines' loop operators must agree on
+      // the frontier algebra. Second recursion through the helper (q594
+      // is the unweighted sibling), proving the pinning discipline is
+      // reusable, not a one-off.
+      val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val arcs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+                 col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 110L)
+        .select(col("src"), col("dst"),
+                expr("CAST(1000000 DIV n AS BIGINT)").as("cost"))
+      graft.plans.RecursiveCte.run(s,
+        """WITH RECURSIVE reach(dst, cost, hop) AS (
+          |  SELECT dst, cost, CAST(1 AS BIGINT) AS hop FROM q640_arcs
+          |  WHERE src = 0
+          |  UNION ALL
+          |  SELECT a.dst, r.cost + a.cost, r.hop + 1 FROM reach r
+          |  JOIN q640_arcs a ON a.src = r.dst
+          |  WHERE r.hop < 4)
+          |SELECT dst AS nationkey, CAST(min(cost) AS BIGINT) AS min_cost
+          |FROM reach GROUP BY 1""".stripMargin,
+        "q640_arcs" -> arcs)
+    }),
+    "q641_code_prose_detect" -> ((s, dir) => {
+      // Code-vs-prose screen (a web-corpus router before tokenizer /
+      // quality gates): every 4th doc gets a deterministic code suffix;
+      // code-likeness = 10⁶·(count of {};=()) DIV chars, bucketed at
+      // 0.05 steps. Pure narrow codegen'd projection + one rollup —
+      // the integer sibling of the punctuation-density quality gate
+      // (q13), specialized to code syntax characters.
+      val aug = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" { x = f(y); if (x > 0) { z = x * 2; } } // "),
+                     col("doc_id").cast("string"))).otherwise(lit("")))
+            .as("text"))
+      aug
+        .select(col("doc_id"),
+                regexp_count(col("text"), lit("[{};=()]")).cast("long")
+                  .as("n_code"),
+                length(col("text")).cast("long").as("n_chars"))
+        .withColumn("score_ppm", expr("n_code * 1000000 DIV n_chars"))
+        .withColumn("bucket", expr("score_ppm DIV 50000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_code")).as("sum_code_chars"),
+             expr("CAST(sum(score_ppm) DIV count(1) AS BIGINT)")
+               .as("avg_score_ppm"))
+    }),
+    "q642_calendar_clamp" -> ((s, dir) => {
+      // Calendar-arithmetic contract: add_months clamps end-of-month
+      // (Jan 31 + 1 month = Feb 28/29) and last_day pins month ends —
+      // both engines must agree on every date in the corpus, leap years
+      // included, or windowed/monthly rollups drift silently at the
+      // boundaries. Per-year counts of month-end orders and of dates the
+      // +1-month clamp actually moved.
+      Tables.spread(s, rd(s, dir, "orders"))
+        .select(col("o_orderdate").cast("date").as("d"))
+        .withColumn("m1", add_months(col("d"), 1))
+        .withColumn("ld", last_day(col("d")))
+        .groupBy(year(col("d")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(when(col("d") === col("ld"), 1L).otherwise(0L))
+               .as("n_on_month_end"),
+             sum(when(dayofmonth(col("d")) > dayofmonth(col("m1")), 1L)
+                   .otherwise(0L)).as("n_clamped_add_month"))
+    }),
+    "q643_url_canonicalize" -> ((s, dir) => {
+      // URL canonicalization dedup (the crawl-frontier/doc-identity op):
+      // lowercase the host, strip query string + fragment + trailing
+      // slash — UTM-tagged and fragment-tagged copies of one page
+      // collapse to one canonical key. Synthetic URLs with mixed-case
+      // hosts and deterministic tag noise; per-canonical counts of raw
+      // URLs and distinct raw spellings. RE2-safe regex on both sides;
+      // one narrow projection + one combine-enabled rollup on a
+      // web-host-bounded key.
+      val w = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(lit("https://WWW.Example"),
+                 (col("doc_id") % 5).cast("string"), lit(".COM/path"),
+                 (col("doc_id") % 3).cast("string"),
+                 when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+                 when(col("doc_id") % 3 === 0,
+                      concat(lit("?utm_source=x&ref="),
+                             col("doc_id").cast("string")))
+                   .otherwise(lit("")),
+                 when(col("doc_id") % 4 === 0, lit("#frag"))
+                   .otherwise(lit(""))).as("url"))
+      w.select(col("url"),
+          concat(
+            lower(regexp_extract(col("url"), "https?://([^/?#]+)", 1)),
+            regexp_replace(
+              regexp_extract(col("url"), "https?://[^/?#]+([^?#]*)", 1),
+              "/+$", "")).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_urls"),
+             countDistinct(col("url")).as("n_distinct_raw"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -431,5 +608,95 @@ object R13Queries {
          |  CAST(sum(n_bpe) * 1000000 // greatest(sum(n_ws), 1) AS BIGINT)
          |    AS fertility_ppm
          |FROM lang GROUP BY 1""".stripMargin
-    })
+    },
+    "q638_null_order_contract" ->
+      """WITH v AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
+        |  FROM orders),
+        |d AS (SELECT 'desc_nulls_last' AS variant, prio, o_orderkey, cents,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY cents DESC NULLS LAST, o_orderkey) AS rk FROM v),
+        |a AS (SELECT 'asc_nulls_first' AS variant, prio, o_orderkey, cents,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY cents ASC NULLS FIRST, o_orderkey) AS rk FROM v)
+        |SELECT variant, prio, CAST(rk AS BIGINT) AS rk, o_orderkey, cents
+        |FROM (SELECT * FROM d WHERE rk <= 3
+        |      UNION ALL SELECT * FROM a WHERE rk <= 3)""".stripMargin,
+    "q639_manifest_lifecycle" ->
+      """WITH v1 AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |    AS n FROM orders WHERE year(o_orderdate) < 1997),
+        |v2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT DISTINCT o_orderpriority, year(o_orderdate)
+        |    FROM orders WHERE year(o_orderdate) < 1999))
+        |SELECT 'v1_rows' AS step, (SELECT n FROM v1) AS n_rows
+        |UNION ALL SELECT 'v2_rows', (SELECT n FROM v2)
+        |UNION ALL SELECT 'latest_with_planted_v3', (SELECT n FROM v2)
+        |UNION ALL SELECT 'after_rollback', (SELECT n FROM v1)
+        |UNION ALL SELECT 'history_after_rollback', CAST(1 AS BIGINT)""".stripMargin,
+    "q640_recursive_min_cost" ->
+      """WITH RECURSIVE arcs AS MATERIALIZED (
+        |  SELECT src, dst, CAST(1000000 // n AS BIGINT) AS cost FROM (
+        |    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |           CAST(s.s_nationkey AS BIGINT) AS dst,
+        |           CAST(count(*) AS BIGINT) AS n
+        |    FROM lineitem l
+        |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    WHERE c.c_nationkey <> s.s_nationkey
+        |    GROUP BY 1, 2) WHERE n >= 110),
+        |reach(dst, cost, hop) AS (
+        |  SELECT dst, cost, CAST(1 AS BIGINT) FROM arcs WHERE src = 0
+        |  UNION ALL
+        |  SELECT a.dst, r.cost + a.cost, r.hop + 1 FROM reach r
+        |  JOIN arcs a ON a.src = r.dst WHERE r.hop < 4)
+        |SELECT dst AS nationkey, CAST(min(cost) AS BIGINT) AS min_cost
+        |FROM reach GROUP BY 1""".stripMargin,
+    "q641_code_prose_detect" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0
+        |      THEN ' { x = f(y); if (x > 0) { z = x * 2; } } // ' || doc_id
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[{};=()]')) AS BIGINT)
+        |      AS n_code,
+        |    CAST(length(text) AS BIGINT) AS n_chars FROM aug),
+        |b AS (SELECT doc_id, n_code,
+        |    n_code * 1000000 // n_chars AS score_ppm,
+        |    (n_code * 1000000 // n_chars) // 50000 AS bucket FROM sc)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_code) AS BIGINT) AS sum_code_chars,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm
+        |FROM b GROUP BY 1""".stripMargin,
+    "q642_calendar_clamp" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |x AS (SELECT d, CAST(d + INTERVAL 1 MONTH AS DATE) AS m1,
+        |    last_day(d) AS ld FROM d)
+        |SELECT CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN d = ld THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_on_month_end,
+        |  CAST(sum(CASE WHEN day(d) > day(m1) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_add_month
+        |FROM x GROUP BY 1""".stripMargin,
+    "q643_url_canonicalize" ->
+      """WITH w AS (SELECT doc_id,
+        |    'https://WWW.Example' || (doc_id % 5) || '.COM/path' ||
+        |    (doc_id % 3) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&ref=' || doc_id
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT url,
+        |    lower(regexp_extract(url, 'https?://([^/?#]+)', 1)) ||
+        |    regexp_replace(
+        |      regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1), '/+$', '')
+        |      AS canon
+        |  FROM w)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+        |FROM c GROUP BY 1""".stripMargin)
 }
