@@ -27,6 +27,27 @@ object R13Queries {
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Canonical (src < dst) nation trade edges with shipment counts — the
+    * R12 tradeEdges contract, rebuilt here for the R13 graph tier.
+    */
+  private def tradeArcs(s: SparkSession, dir: String,
+                        minCount: Long): DataFrame = {
+    val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(
+        least(col("c_nationkey"), col("s_nationkey")).cast("long").as("src"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** URGENT-vs-LOW order cents — the two-sample pair the distribution
     * tests below compare; value-grid shaped (distinct cents), never the
     * raw row pairing.
@@ -432,6 +453,184 @@ object R13Queries {
         .groupBy(col("canon"))
         .agg(count(lit(1)).as("n_urls"),
              countDistinct(col("url")).as("n_distinct_raw"))
+    }),
+    "q644_cdc_chunking" -> ((s, dir) => {
+      // Content-defined chunking (the Rabin-style dedup-friendly
+      // chunker): a boundary wherever the 8-char polynomial hash of the
+      // window ENDING at i divides by 32, so identical content re-chunks
+      // identically REGARDLESS of what precedes it — the property
+      // fixed-width chunking lacks and storage/corpus dedup needs. The
+      // per-char code array is let-bound via a 1-element transform (the
+      // winnowing trick) so interpreted HOF lambdas don't re-split the
+      // text per window: O(len·8), not O(len²). Chunks are md5'd and
+      // rolled up corpus-wide: duplicate-chunk mass is the dedup
+      // opportunity estimate.
+      val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+                     29791L, 961L, 31L, 1L)
+      val powsCol = array(pows.map(lit): _*)
+      val codes = transform(split(col("text"), ""),
+                            c => ascii(c).cast("long"))
+      val bnds = element_at(transform(array(codes), cs =>
+        filter(sequence(lit(8L), size(cs).cast("long")), i =>
+          aggregate(sequence(lit(0L), lit(7L)), lit(0L),
+            (acc, j) => acc +
+              element_at(cs, (i - 7L + j).cast("int")) *
+              element_at(powsCol, (j + 1L).cast("int"))) % 32L === 0L)), 1)
+      val withB = Tables.spread(s, rd(s, dir, "documents"))
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+                length(col("text")).cast("long").as("len"),
+                bnds.as("bnds"))
+      val chunks = withB
+        .select(col("doc_id"), col("text"),
+          explode(filter(
+            arrays_zip(
+              concat(array(lit(0L)), col("bnds")).as("st"),
+              concat(col("bnds"), array(col("len"))).as("en")),
+            z => z.getField("st") < z.getField("en"))).as("z"))
+        .select(col("doc_id"),
+                col("z.st").as("st"), col("z.en").as("en"),
+                md5(expr("substring(text, CAST(z.st + 1 AS INT)," +
+                         " CAST(z.en - z.st AS INT))")).as("h"))
+      chunks.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"),
+        expr("CAST((count(1) - count(DISTINCT h)) * 1000000 DIV count(1)" +
+             " AS BIGINT)").as("dup_chunk_ppm"),
+        sum(col("en") - col("st")).as("sum_chunk_chars"))
+    }),
+    "q645_versioned_cdf" -> ((s, dir) => {
+      // Change data feed between two published versions
+      // (VersionedTable.changeFeed — the Delta-CDF analog): v1 = per
+      // (priority, year) order counts through 1997, v2 = the 1996–1998
+      // window excluding every 7th order — the diff must classify 1995
+      // keys D, 1998 keys I, shared keys U (count changed), and DROP
+      // unchanged keys. One full-outer join on the key; the oracle
+      // recomputes both rollups and the classification independently.
+      val tmp = java.nio.file.Files.createTempDirectory("q645_cdf")
+        .toString + "/t"
+      val base = Tables.spread(s, rd(s, dir, "orders"))
+      VersionedTable.publish(s,
+        base.filter(year(col("o_orderdate")) <= 1997)
+          .groupBy(col("o_orderpriority").as("prio"),
+                   year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n")), tmp)
+      VersionedTable.publish(s,
+        base.filter(year(col("o_orderdate")).between(1996, 1998) &&
+                    col("o_orderkey") % 7 =!= 0)
+          .groupBy(col("o_orderpriority").as("prio"),
+                   year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n")), tmp)
+      VersionedTable.changeFeed(s, tmp, 1L, 2L, Seq("prio", "yr"))
+    }),
+    "q646_skew_kurtosis" -> ((s, dir) => {
+      // Exact higher-moment shape diagnostics: skewness² and kurtosis
+      // about the INTEGER-TRUNCATED mean (μ̂ = Σx DIV n — a pinned
+      // anchor both engines compute identically; the <1-dollar offset
+      // from the true mean is part of the pinned definition). Power sums
+      // Σd², Σd³, Σd⁴ in DECIMAL(38,0)/HUGEINT; the ratios interleave
+      // divisions in a documented order (operands non-negative via
+      // abs-then-sign, so floor == truncate): skew²·10⁶ =
+      // ((|Σd³|·10⁶ DIV Σd²)·|Σd³| DIV Σd²)·n DIV Σd², kurt·10⁶ =
+      // (Σd⁴·10⁶ DIV Σd²)·n DIV Σd². Headroom documented to ~10⁹ rows.
+      val v = Tables.spread(s, rd(s, dir, "orders"))
+        .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("x"))
+      val m = v.agg(count(lit(1)).as("n"),
+                    expr("CAST(sum(x) DIV count(1) AS BIGINT)").as("mu"))
+      v.crossJoin(broadcast(m))
+        .withColumn("d", col("x") - col("mu"))
+        .agg(max(col("n")).as("n"),
+             sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("s2"),
+             sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("s3"),
+             sum(expr("CAST(d AS DECIMAL(38,0)) * d * d * d")).as("s4"))
+        .select(col("n"),
+          expr("CAST(CASE WHEN s3 >= 0 THEN 1 ELSE -1 END AS BIGINT)")
+            .as("skew_sign"),
+          expr("CAST(CAST(CAST(abs(s3) * 1000000 DIV s2 AS DECIMAL(38,0))" +
+               " * abs(s3) DIV s2 AS DECIMAL(38,0)) * n DIV s2 AS BIGINT)")
+            .as("skew2_micro"),
+          expr("CAST(CAST(s4 * 1000000 DIV s2 AS DECIMAL(38,0)) * n" +
+               " DIV s2 AS BIGINT)").as("kurt_micro"))
+    }),
+    "q647_bipartite_audit" -> ((s, dir) => {
+      // Two-colorability audit of the ≥300-shipment trade graph:
+      // components via clusterPairs (min-label = the color seed), BFS
+      // parity from each component's minimum node (one synchronized
+      // multi-seed sweep — seeds can't leak across components), odd
+      // edges = endpoints at equal parity. n_odd_edges == 0 ⟺
+      // bipartite; the count itself is the frustration measure (how far
+      // from two-sided the market graph is). Oracle: recursive-CTE
+      // closure + BFS (the q544 pattern).
+      val e = tradeArcs(s, dir, 300L).select("src", "dst")
+        .localCheckpoint(false)
+      val cc = graft.operators.Dedup.clusterPairs(e, "src", "dst")
+        .localCheckpoint(false)
+      val seeds = cc.select(col("cluster_id")).distinct()
+      val hops = graft.operators.Graph.bfsHops(e, seeds, maxHops = 30)
+        .select(col("node"), (col("hop") % 2).as("par"))
+      val odd = e
+        .join(hops.withColumnRenamed("node", "src")
+                .withColumnRenamed("par", "pa"), Seq("src"))
+        .join(hops.withColumnRenamed("node", "dst")
+                .withColumnRenamed("par", "pb"), Seq("dst"))
+        .agg(sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
+               .as("n_odd_edges"))
+      cc.agg(countDistinct(col("cluster_id")).as("n_components"),
+             count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(odd)
+        .withColumn("is_bipartite", col("n_odd_edges") === 0L)
+    }),
+    "q648_rich_club" -> ((s, dir) => {
+      // Rich-club coefficient ladder: for each degree threshold k, the
+      // edge density among nodes of degree > k vs the complete graph on
+      // them — do the high-degree trade hubs preferentially interconnect?
+      // Dimension-grain after the one arc rollup (≤25 nodes); φ in exact
+      // ppm of 2·E_k/(n_k(n_k−1)). The density complement of
+      // assortativity (q546) and modularity (q547).
+      import s.implicits._
+      val e = tradeArcs(s, dir, 110L).select("src", "dst")
+        .localCheckpoint(false)
+      val deg = e.select(col("src").as("u"))
+        .unionByName(e.select(col("dst").as("u")))
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val ks = Seq(2L, 4L, 8L, 12L, 16L).toDF("k")
+      val rich = broadcast(ks).join(deg, col("deg") > col("k"))
+      val nk = rich.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val ek = broadcast(ks)
+        .join(e, lit(true))
+        .join(deg.select(col("node").as("src"), col("deg").as("da")),
+              Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("db")),
+              Seq("dst"))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      nk.join(ek, Seq("k"), "left")
+        .withColumn("e_k", coalesce(col("e_k"), lit(0L)))
+        .withColumn("phi_ppm",
+          expr("CAST(CASE WHEN n_k >= 2" +
+               " THEN e_k * 2000000 DIV (n_k * (n_k - 1))" +
+               " ELSE 0 END AS BIGINT)"))
+        .select("k", "n_k", "e_k", "phi_ppm")
+    }),
+    "q649_zipf_product" -> ((s, dir) => {
+      // Zipf product ladder: rank·frequency for the top-30 corpus tokens
+      // in ppm of total token mass — under Zipf's law the product is
+      // ~constant, so the ladder IS the fit diagnostic without a single
+      // float log. One combine-enabled tf rollup (vocabulary-sized), one
+      // global rank window on the vocabulary relation, top 30.
+      val tf = Tables.spread(s, rd(s, dir, "documents"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val tot = tf.agg(sum(col("f")).as("n"))
+      tf.withColumn("rank", row_number().over(
+          Window.partitionBy(DimKey.one)
+            .orderBy(col("f").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 30)
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("tok"), col("f"),
+                expr("rank * f * 1000000 DIV n").as("zipf_product_ppm"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -698,5 +897,139 @@ object R13Queries {
         |  FROM w)
         |SELECT canon, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
-        |FROM c GROUP BY 1""".stripMargin)
+        |FROM c GROUP BY 1""".stripMargin,
+    "q644_cdc_chunking" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS len,
+        |    list_filter(generate_series(8, length(text)), i ->
+        |      (list_sum(list_transform(generate_series(0, 7), j ->
+        |         ord(substr(text, i - 7 + j, 1))
+        |           * ([27512614111, 887503681, 28629151, 923521,
+        |               29791, 961, 31, 1])[j + 1]))) % 32 = 0) AS bnds
+        |  FROM documents WHERE length(text) > 0),
+        |ck AS (SELECT doc_id, text, len,
+        |    list_prepend(0, bnds) AS starts,
+        |    list_append(bnds, len) AS ends FROM b),
+        |ch AS (SELECT doc_id,
+        |    unnest(list_filter(list_zip(starts, ends), z -> z[1] < z[2]))
+        |      AS z
+        |  FROM ck),
+        |cc AS (SELECT doc_id, z[1] AS st, z[2] AS en,
+        |    md5(substr(text, CAST(z[1] AS INT) + 1,
+        |               CAST(z[2] - z[1] AS INT))) AS h
+        |  FROM ch JOIN documents USING (doc_id))
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+        |  CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+        |    AS BIGINT) AS dup_chunk_ppm,
+        |  CAST(sum(en - st) AS BIGINT) AS sum_chunk_chars
+        |FROM cc""".stripMargin,
+    "q645_versioned_cdf" ->
+      """WITH v1 AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1, 2),
+        |v2 AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        |    AND o_orderkey % 7 <> 0 GROUP BY 1, 2)
+        |SELECT coalesce(v1.prio, v2.prio) AS prio,
+        |  coalesce(v1.yr, v2.yr) AS yr,
+        |  CASE WHEN v1.prio IS NULL THEN 'I'
+        |       WHEN v2.prio IS NULL THEN 'D' ELSE 'U' END AS change_type,
+        |  v1.n AS old_n, v2.n AS new_n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.prio = v2.prio AND v1.yr = v2.yr
+        |WHERE v1.prio IS NULL OR v2.prio IS NULL
+        |   OR v1.n IS DISTINCT FROM v2.n""".stripMargin,
+    "q646_skew_kurtosis" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS x
+        |  FROM orders),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS mu FROM v),
+        |d AS (SELECT x - mu AS d, n FROM v, m),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(d AS HUGEINT) * d * d * d) AS HUGEINT) AS s4
+        |  FROM d)
+        |SELECT n,
+        |  CAST(CASE WHEN s3 >= 0 THEN 1 ELSE -1 END AS BIGINT)
+        |    AS skew_sign,
+        |  CAST(((abs(s3) * 1000000 // s2) * abs(s3) // s2) * n // s2
+        |    AS BIGINT) AS skew2_micro,
+        |  CAST((s4 * 1000000 // s2) * n // s2 AS BIGINT) AS kurt_micro
+        |FROM agg""".stripMargin,
+    "q647_bipartite_audit" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT)
+        |      AS src,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 300),
+        |sym AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |comp AS (SELECT a AS node, min(b) AS root FROM reach GROUP BY 1),
+        |bfs(root, node, hop) AS (
+        |  SELECT root, root, 0 FROM (SELECT DISTINCT root FROM comp)
+        |  UNION
+        |  SELECT b.root, s.dst, b.hop + 1 FROM bfs b
+        |  JOIN sym s ON b.node = s.src WHERE b.hop < 30),
+        |dist AS (SELECT c.node, min(b.hop) AS hop
+        |  FROM comp c JOIN bfs b ON b.root = c.root AND b.node = c.node
+        |  GROUP BY 1),
+        |odd AS (SELECT count(*) AS n_odd FROM e0
+        |  JOIN dist da ON da.node = e0.src
+        |  JOIN dist db ON db.node = e0.dst
+        |  WHERE da.hop % 2 = db.hop % 2)
+        |SELECT CAST((SELECT count(DISTINCT root) FROM comp) AS BIGINT)
+        |    AS n_components,
+        |  CAST((SELECT count(*) FROM comp) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+        |  CAST((SELECT n_odd FROM odd) AS BIGINT) AS n_odd_edges,
+        |  (SELECT n_odd FROM odd) = 0 AS is_bipartite""".stripMargin,
+    "q648_rich_club" ->
+      """WITH e AS (SELECT
+        |    CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS src,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 110),
+        |und AS (SELECT src AS u FROM e UNION ALL SELECT dst FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([2, 4, 8, 12, 16]) AS BIGINT) AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+        |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+        |ek AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+        |  FROM ks JOIN e ON TRUE
+        |  JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+        |  WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY 1)
+        |SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+        |  CAST(CASE WHEN nk.n_k >= 2
+        |    THEN coalesce(ek.e_k, 0) * 2000000 // (nk.n_k * (nk.n_k - 1))
+        |    ELSE 0 END AS BIGINT) AS phi_ppm
+        |FROM nk LEFT JOIN ek ON ek.k = nk.k""".stripMargin,
+    "q649_zipf_product" ->
+      """WITH toks AS (SELECT
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM tf),
+        |rk AS (SELECT tok, f,
+        |    row_number() OVER (ORDER BY f DESC, tok) AS r FROM tf)
+        |SELECT CAST(r AS BIGINT) AS rank, tok, f,
+        |  CAST(r * f * 1000000 // (SELECT n FROM tot) AS BIGINT)
+        |    AS zipf_product_ppm
+        |FROM rk WHERE r <= 30""".stripMargin)
 }

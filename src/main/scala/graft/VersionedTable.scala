@@ -329,6 +329,44 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String): Long =
     publish(spark, read(spark, root), root)
 
+  /** Change data feed between two committed versions: one row per key
+    * whose presence or non-key values changed — `change_type` I (only in
+    * `toV`), D (only in `fromV`), U (in both, any value column differs
+    * null-safely); unchanged keys are dropped. Value columns come back as
+    * `old_<c>` / `new_<c>` pairs. One full-outer join on the key — the
+    * Delta-CDF analog for consumers that want the delta, not the
+    * snapshot; at 100 TB this reads two versions once instead of letting
+    * every downstream re-diff them.
+    */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromV: Long, toV: Long,
+                 keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, root, fromV)
+    val b = readVersion(spark, root, toV)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+            s"schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    require(keyCols.nonEmpty && keyCols.forall(a.columns.contains),
+            s"key columns $keyCols not all present")
+    val vals = a.columns.filterNot(keyCols.contains).toSeq.sorted
+    val oldSide = a.select(
+      keyCols.map(col) ++ vals.map(c => col(c).as(s"old_$c")) :+
+        lit(1).as("_in_old"): _*)
+    val newSide = b.select(
+      keyCols.map(col) ++ vals.map(c => col(c).as(s"new_$c")) :+
+        lit(1).as("_in_new"): _*)
+    oldSide.join(newSide, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, lit("I"))
+          .when(col("_in_new").isNull, lit("D"))
+          .otherwise(lit("U")))
+      .filter(col("change_type") =!= "U" ||
+        vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+          .reduceOption(_ || _).getOrElse(lit(false)))
+      .select((keyCols.map(col) :+ col("change_type")) ++
+        vals.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Table history as a relation — the DESCRIBE HISTORY analog: one row
     * per committed version with its kind (full snapshot vs deletion
     * vector), its own commit stamp (null when inherited — see
