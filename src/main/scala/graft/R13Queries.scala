@@ -631,6 +631,139 @@ object R13Queries {
         .crossJoin(broadcast(tot))
         .select(col("rank"), col("tok"), col("f"),
                 expr("rank * f * 1000000 DIV n").as("zipf_product_ppm"))
+    }),
+    "q650_token_bucket" -> ((s, dir) => {
+      // Per-user token-bucket rate limiter, replayed deterministically
+      // over the event stream: cap 2 tokens (milli-token state), cost 1
+      // per event, continuous refill 1 token / 2 h (µs DIV 7 200 000
+      // milli-tokens — integer, engine-exact). The quota/abuse screen an
+      // ingestion edge runs; per-user fold via the aggregate() HOF over
+      // the time-sorted event array (per-user sequential state is
+      // inherently a fold — the array is user-sized, never corpus-wide).
+      // Oracle: per-user recursive-CTE fold — the DuckDB list_reduce
+      // fold silently MISCOMPILED this lambda (multi-field struct state;
+      // validated against an independent simulation), so the oracle uses
+      // the recursion the engine gets right.
+      val arr = SparkEntry.ev(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("p"),
+                col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sort_array(collect_list(struct(col("p"), col("event_id"))))
+               .as("evs"))
+      arr.withColumn("st", expr(
+          """aggregate(evs,
+            |  named_struct('p', CAST(-1 AS BIGINT),
+            |               'tk', CAST(2000 AS BIGINT),
+            |               'ac', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    'p', e.p,
+            |    'tk', CASE WHEN least(2000, acc.tk +
+            |        CASE WHEN acc.p < 0 THEN 0
+            |             ELSE (e.p - acc.p) DIV 7200000 END) >= 1000
+            |      THEN least(2000, acc.tk +
+            |        CASE WHEN acc.p < 0 THEN 0
+            |             ELSE (e.p - acc.p) DIV 7200000 END) - 1000
+            |      ELSE least(2000, acc.tk +
+            |        CASE WHEN acc.p < 0 THEN 0
+            |             ELSE (e.p - acc.p) DIV 7200000 END) END,
+            |    'ac', acc.ac + CASE WHEN least(2000, acc.tk +
+            |        CASE WHEN acc.p < 0 THEN 0
+            |             ELSE (e.p - acc.p) DIV 7200000 END) >= 1000
+            |      THEN 1 ELSE 0 END))""".stripMargin))
+        .select(col("user_id"), col("n_events"),
+                col("st.ac").as("n_accepted"),
+                (col("n_events") - col("st.ac")).as("n_rejected"))
+    }),
+    "q651_hilbert_layout" -> ((s, dir) => {
+      // Hilbert-curve layout keys (the locality-better sibling of the
+      // Morton/Z-order tier, q132): xy2d order-8 over
+      // (custkey mod 256, epoch-day mod 256), as EIGHT unrolled
+      // bit-level steps of pure integer arithmetic — the quadrant term
+      // uses 3rx+ry−2·rx·ry (≡ (3rx) XOR ry on {0,1}², spelled
+      // arithmetically so both engines share one formula), reflection
+      // about the full grid (255−·). Per-4096-cell bucket rollup: the
+      // clustering histogram a Hilbert OPTIMIZE would produce. Both
+      // sides unroll the same 8 steps — fold primitives proved
+      // untrustworthy for multi-field state in the oracle engine.
+      var df = Tables.spread(s, rd(s, dir, "orders"))
+        .select(col("o_orderkey"),
+                (col("o_custkey") % 256).cast("long").as("x"),
+                expr("CAST(datediff(CAST(o_orderdate AS DATE)," +
+                     " DATE '1970-01-01') % 256 AS BIGINT)").as("y"))
+        .withColumn("d", lit(0L))
+      for (lv <- Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)) {
+        df = df
+          .withColumn("_rx", when((col("x").bitwiseAND(lit(lv))) > 0, 1L)
+                               .otherwise(0L))
+          .withColumn("_ry", when((col("y").bitwiseAND(lit(lv))) > 0, 1L)
+                               .otherwise(0L))
+          .withColumn("d", col("d") + lit(lv * lv) *
+            (lit(3L) * col("_rx") + col("_ry") -
+             lit(2L) * col("_rx") * col("_ry")))
+          .withColumn("_nx", when(col("_ry") === 0,
+              when(col("_rx") === 1, lit(255L) - col("y"))
+                .otherwise(col("y"))).otherwise(col("x")))
+          .withColumn("_ny", when(col("_ry") === 0,
+              when(col("_rx") === 1, lit(255L) - col("x"))
+                .otherwise(col("x"))).otherwise(col("y")))
+          .withColumn("x", col("_nx")).withColumn("y", col("_ny"))
+          .drop("_rx", "_ry", "_nx", "_ny")
+      }
+      df.groupBy(expr("d DIV 4096").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+    }),
+    "q652_trimmed_mean" -> ((s, dir) => {
+      // 10% two-sided trimmed mean per priority: rank-selection trim
+      // (drop ranks ≤ n DIV 10 and > n − n DIV 10 under (cents, key)
+      // order — exact, deterministic), trimmed mean vs raw mean in
+      // cents. The outlier-robust location estimate beside winsorize
+      // (q128: clamp) and MAD (q155: scale) — trim REMOVES the tails
+      // instead of clamping them. One priority-keyed window pass.
+      val v = Tables.spread(s, rd(s, dir, "orders"))
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      val w = Window.partitionBy(col("prio"))
+        .orderBy(col("c"), col("o_orderkey"))
+      val wn = Window.partitionBy(col("prio"))
+      v.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n"),
+             expr("CAST(sum(c) DIV count(1) AS BIGINT)").as("raw_mean_cents"),
+             sum(when(col("rk") > expr("n DIV 10") &&
+                      col("rk") <= expr("n - n DIV 10"), col("c"))
+                   .otherwise(0L)).as("_ts"),
+             sum(when(col("rk") > expr("n DIV 10") &&
+                      col("rk") <= expr("n - n DIV 10"), 1L)
+                   .otherwise(0L)).as("n_kept"))
+        .withColumn("trimmed_mean_cents", expr("CAST(_ts DIV n_kept AS BIGINT)"))
+        .select("prio", "n", "n_kept", "raw_mean_cents",
+                "trimmed_mean_cents")
+    }),
+    "q653_p_chart" -> ((s, dir) => {
+      // Binomial p-chart (SPC control chart) for the daily error-event
+      // share: day flagged when |x/n − p̂| > 3σ, tested EXACTLY in the
+      // cross-multiplied integer form (x·N − n·X)² > 9·X·(N−X)·n — no
+      // square root, no float; squares in DECIMAL(38,0)/HUGEINT. The
+      // attribute-chart complement of the MAD-based anomaly screens
+      // (q358/q531): binomial variance, not robust-scale. Per-year
+      // flagged-day counts.
+      val dly = SparkEntry.ev(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("event_type") === "error", 1L).otherwise(0L))
+               .as("x"))
+      val tot = dly.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
+      dly.crossJoin(broadcast(tot))
+        .withColumn("flag", expr(
+          "CASE WHEN (CAST(x AS DECIMAL(38,0)) * nn - CAST(n AS DECIMAL(38,0)) * xx)" +
+            " * (CAST(x AS DECIMAL(38,0)) * nn - CAST(n AS DECIMAL(38,0)) * xx)" +
+            " > 9 * CAST(xx AS DECIMAL(38,0)) * (nn - xx) * n" +
+            " THEN 1 ELSE 0 END"))
+        .groupBy(year(col("day")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_days"), sum(col("flag")).as("n_flagged"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1031,5 +1164,91 @@ object R13Queries {
         |SELECT CAST(r AS BIGINT) AS rank, tok, f,
         |  CAST(r * f * 1000000 // (SELECT n FROM tot) AS BIGINT)
         |    AS zipf_product_ppm
-        |FROM rk WHERE r <= 30""".stripMargin)
+        |FROM rk WHERE r <= 30""".stripMargin,
+    "q650_token_bucket" ->
+      s"""WITH RECURSIVE ${SparkEntry.SrcCte},
+         |rk AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS p,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS i,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM src),
+         |st(user_id, i, p, tk, ac) AS (
+         |  SELECT user_id, i, p, CAST(1000 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.user_id, r.i, r.p,
+         |    CASE WHEN least(2000, s.tk + (r.p - s.p) // 7200000) >= 1000
+         |         THEN least(2000, s.tk + (r.p - s.p) // 7200000) - 1000
+         |         ELSE least(2000, s.tk + (r.p - s.p) // 7200000) END,
+         |    s.ac + CASE WHEN least(2000, s.tk + (r.p - s.p) // 7200000)
+         |                     >= 1000 THEN 1 ELSE 0 END
+         |  FROM st s JOIN rk r ON r.user_id = s.user_id AND r.i = s.i + 1)
+         |SELECT st.user_id, CAST(nn.n AS BIGINT) AS n_events,
+         |  CAST(st.ac AS BIGINT) AS n_accepted,
+         |  CAST(nn.n - st.ac AS BIGINT) AS n_rejected
+         |FROM (SELECT user_id, max(i) AS mi FROM st GROUP BY 1) last
+         |JOIN st ON st.user_id = last.user_id AND st.i = last.mi
+         |JOIN (SELECT user_id, max(n) AS n FROM rk GROUP BY 1) nn
+         |  ON nn.user_id = st.user_id""".stripMargin,
+    "q651_hilbert_layout" -> {
+      val steps = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex
+        .map { case (s, i) =>
+          s"""st${i + 1} AS (SELECT o_orderkey,
+             |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+             |      THEN 255 - y ELSE y END) ELSE x END AS x,
+             |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+             |      THEN 255 - x ELSE x END) ELSE y END AS y,
+             |    d + ${s * s} * (3 * rx + ry - 2 * rx * ry) AS d
+             |  FROM (SELECT *,
+             |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+             |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+             |    FROM st$i))""".stripMargin
+        }.mkString(",\n")
+      s"""WITH st0 AS (SELECT o_orderkey,
+         |    CAST(o_custkey % 256 AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM orders),
+         |$steps
+         |SELECT CAST(d // 4096 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+         |FROM st8 GROUP BY 1""".stripMargin
+    },
+    "q652_trimmed_mean" ->
+      """WITH v AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |r AS (SELECT prio, c,
+        |    row_number() OVER (PARTITION BY prio ORDER BY c, o_orderkey)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM v)
+        |SELECT prio, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(c) // count(*) AS BIGINT) AS raw_mean_cents,
+        |  CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+        |    THEN c ELSE 0 END)
+        |   // sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_cents
+        |FROM r GROUP BY 1""".stripMargin,
+    "q653_p_chart" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |dly AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM src GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(x) AS BIGINT) AS xx FROM dly),
+         |f AS (SELECT day,
+         |    CASE WHEN (CAST(x AS HUGEINT) * nn - CAST(n AS HUGEINT) * xx)
+         |         * (CAST(x AS HUGEINT) * nn - CAST(n AS HUGEINT) * xx)
+         |         > 9 * CAST(xx AS HUGEINT) * (nn - xx) * n
+         |      THEN 1 ELSE 0 END AS flag
+         |  FROM dly, tot)
+         |SELECT CAST(year(day) AS BIGINT) AS yr,
+         |  CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(flag) AS BIGINT) AS n_flagged
+         |FROM f GROUP BY 1""".stripMargin)
 }
