@@ -764,6 +764,133 @@ object R13Queries {
             " THEN 1 ELSE 0 END"))
         .groupBy(year(col("day")).cast("long").as("yr"))
         .agg(count(lit(1)).as("n_days"), sum(col("flag")).as("n_flagged"))
+    }),
+    "q654_stream_rate_limit" -> ((s, dir) => {
+      // The q650 token bucket as STREAMING keyed state
+      // (RateLimitStream, flatMapGroupsWithState): per-event admission
+      // decisions emitted as events arrive, replayed over three
+      // time-ordered micro-batches (the q234 ingest shape) — the
+      // decisions must match the batch fold's recursive-CTE oracle
+      // event for event, proving the streaming state machine IS the
+      // batch one maintained incrementally. 15th streaming component.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val feed = SparkEntry.ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+        .sortBy(e => (e._2.getTime, e._3))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val dec = graft.streaming.RateLimitStream.decisions(
+        src.toDF().toDF("user_id", "ts", "event_id"))
+      val tbl = "q654_rl_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
+        val q = dec.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try {
+          val cut = feed.size / 3
+          Seq(feed.take(cut), feed.slice(cut, 2 * cut), feed.drop(2 * cut))
+            .foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        } finally q.stop()
+      }
+      s.table(tbl).select(col("user_id"), col("event_id"),
+                          col("accepted"))
+    }),
+    "q655_inbatch_negatives" -> ((s, dir) => {
+      // In-batch negative audit for contrastive training: with batches
+      // assigned by id (vec_id DIV 32), how many "negative" pairs inside
+      // a batch actually share the anchor's label (false negatives — the
+      // pairs a contrastive loss wrongly pushes apart)? Within-batch
+      // pair join only (32² per batch, never corpus²); corpus rollup in
+      // exact ppm. The training-batch sibling of the split-leakage
+      // audit (q656).
+      val b = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                expr("vec_id DIV 32").as("batch"))
+      b.as("a").join(b.as("b"),
+          col("a.batch") === col("b.batch") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.batch"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("a.label") === col("b.label"), 1L).otherwise(0L))
+               .as("n_false_neg"))
+        .agg(count(lit(1)).as("n_batches"),
+             sum(col("n_pairs")).as("n_pairs"),
+             sum(col("n_false_neg")).as("n_false_negatives"),
+             expr("CAST(sum(n_false_neg) * 1000000 DIV sum(n_pairs)" +
+                  " AS BIGINT)").as("fn_ppm"))
+    }),
+    "q656_split_leakage" -> ((s, dir) => {
+      // Split-leakage audit: near-duplicate pairs (the q18 MinHash-LSH
+      // pipeline, exact-Jaccard verified) that CROSS the deterministic
+      // 90/10 train/test hash split — every cross pair is test data the
+      // model effectively saw in training. The split is the md5-residue
+      // assignment (q50), so the audit is replayable on any engine;
+      // output is the within/cross pair census.
+      val docs = Tables.spread(s, rd(s, dir, "documents"))
+      val sp = graft.operators.Sampling.split(
+          docs.select("doc_id"), "doc_id",
+          Seq("train" -> 900, "test" -> 100))
+        .select(col("doc_id"), col("split"))
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text")
+      pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+              Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+              Seq("doc_b"))
+        .withColumn("pair_type",
+          when(col("sa") === col("sb"), concat(lit("within_"), col("sa")))
+            .otherwise(lit("cross_split")))
+        .groupBy(col("pair_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q657_not_in_null_contract" -> ((s, dir) => {
+      // The NOT IN / NOT EXISTS NULL-semantics contract: a NULL in the
+      // IN-list makes NOT IN empty (three-valued logic — every
+      // comparison is UNKNOWN, never TRUE) while NOT EXISTS counts
+      // non-matches; IN still matches the non-null values. Both engines
+      // must agree on all three counts or anti-join rewrites silently
+      // change results. Probe side nulls every 11th key; list side
+      // nulls every nation ≡3 (mod 7).
+      rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("nk", when(col("c_custkey") % 11 === 0,
+                               lit(null).cast("long"))
+                            .otherwise(col("c_nationkey").cast("long")))
+        .createOrReplaceTempView("q657_probe")
+      rd(s, dir, "nation")
+        .select(when(col("n_nationkey") % 7 === 3, lit(null).cast("long"))
+                  .otherwise(col("n_nationkey").cast("long")).as("v"))
+        .createOrReplaceTempView("q657_inlist")
+      s.sql(
+        """SELECT
+          |  CAST((SELECT count(*) FROM q657_probe
+          |        WHERE nk NOT IN (SELECT v FROM q657_inlist)) AS BIGINT)
+          |    AS n_not_in,
+          |  CAST((SELECT count(*) FROM q657_probe p WHERE NOT EXISTS
+          |    (SELECT 1 FROM q657_inlist i WHERE i.v = p.nk)) AS BIGINT)
+          |    AS n_not_exists,
+          |  CAST((SELECT count(*) FROM q657_probe
+          |        WHERE nk IN (SELECT v FROM q657_inlist)) AS BIGINT)
+          |    AS n_in""".stripMargin)
+    }),
+    "q658_lateral_topk" -> ((s, dir) => {
+      // Correlated LATERAL subquery contract: per nation, the top-2
+      // customers by (balance desc, key) via a LATERAL ORDER BY/LIMIT —
+      // the decorrelation Spark must plan as a ranked join (and the
+      // oracle engine executes natively). The per-group-top-k idiom in
+      // its SQL-standard spelling, pinned beside the window spelling
+      // the rest of the suite uses.
+      rd(s, dir, "customer").createOrReplaceTempView("q658_c")
+      rd(s, dir, "nation").createOrReplaceTempView("q658_n")
+      s.sql(
+        """SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, t.c_custkey,
+          |  CAST(floor(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+          |FROM q658_n n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM q658_c c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1250,5 +1377,74 @@ object R13Queries {
          |SELECT CAST(year(day) AS BIGINT) AS yr,
          |  CAST(count(*) AS BIGINT) AS n_days,
          |  CAST(sum(flag) AS BIGINT) AS n_flagged
-         |FROM f GROUP BY 1""".stripMargin)
+         |FROM f GROUP BY 1""".stripMargin,
+    "q654_stream_rate_limit" ->
+      s"""WITH RECURSIVE ${SparkEntry.SrcCte},
+         |rk AS MATERIALIZED (SELECT user_id, event_id, epoch_us(ts) AS p,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS i
+         |  FROM src),
+         |st(user_id, i, p, tk, acc) AS (
+         |  SELECT user_id, i, p, CAST(1000 AS BIGINT), TRUE
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.user_id, r.i, r.p,
+         |    CASE WHEN least(2000, s.tk + (r.p - s.p) // 7200000) >= 1000
+         |         THEN least(2000, s.tk + (r.p - s.p) // 7200000) - 1000
+         |         ELSE least(2000, s.tk + (r.p - s.p) // 7200000) END,
+         |    least(2000, s.tk + (r.p - s.p) // 7200000) >= 1000
+         |  FROM st s JOIN rk r ON r.user_id = s.user_id AND r.i = s.i + 1)
+         |SELECT rk.user_id, rk.event_id, st.acc AS accepted
+         |FROM st JOIN rk ON rk.user_id = st.user_id AND rk.i = st.i""".stripMargin,
+    "q655_inbatch_negatives" ->
+      """WITH b AS (SELECT vec_id, label, vec_id // 32 AS batch
+        |  FROM embeddings),
+        |p AS (SELECT a.batch, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_false_neg
+        |  FROM b a JOIN b b ON a.batch = b.batch AND a.vec_id < b.vec_id
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(sum(n_false_neg) AS BIGINT) AS n_false_negatives,
+        |  CAST(sum(n_false_neg) * 1000000 // sum(n_pairs) AS BIGINT)
+        |    AS fn_ppm
+        |FROM p""".stripMargin,
+    "q656_split_leakage" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        ::UBIGINT % 1000 < 900 THEN 'train' ELSE 'test' END
+         |      AS split
+         |  FROM documents)
+         |SELECT CASE WHEN sa.split = sb.split THEN 'within_' || sa.split
+         |       ELSE 'cross_split' END AS pair_type,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM vp JOIN sp sa ON sa.doc_id = vp.doc_a
+         |JOIN sp sb ON sb.doc_id = vp.doc_b
+         |GROUP BY 1""".stripMargin,
+    "q657_not_in_null_contract" ->
+      """WITH probe AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |         ELSE CAST(c_nationkey AS BIGINT) END AS nk
+        |  FROM customer),
+        |inlist AS (SELECT CASE WHEN n_nationkey % 7 = 3 THEN NULL
+        |    ELSE CAST(n_nationkey AS BIGINT) END AS v FROM nation)
+        |SELECT
+        |  CAST((SELECT count(*) FROM probe
+        |        WHERE nk NOT IN (SELECT v FROM inlist)) AS BIGINT)
+        |    AS n_not_in,
+        |  CAST((SELECT count(*) FROM probe p WHERE NOT EXISTS
+        |    (SELECT 1 FROM inlist i WHERE i.v = p.nk)) AS BIGINT)
+        |    AS n_not_exists,
+        |  CAST((SELECT count(*) FROM probe
+        |        WHERE nk IN (SELECT v FROM inlist)) AS BIGINT) AS n_in""".stripMargin,
+    "q658_lateral_topk" ->
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, t.c_custkey,
+        |  CAST(floor(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
 }

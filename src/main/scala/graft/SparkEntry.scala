@@ -12998,9 +12998,9 @@ object SparkEntry {
        |              JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
        |  GROUP BY 1, 2)""".stripMargin
 
-  private lazy val MinhashPairsCtes = s"$ToksCte, $MinhashPairsCtesNoToks"
+  private[graft] lazy val MinhashPairsCtes = s"$ToksCte, $MinhashPairsCtesNoToks"
 
-  private val JaccardTailSql =
+  private[graft] val JaccardTailSql =
     """SELECT doc_a, doc_b, overlap, x.n + y.n - overlap AS union_size
       |FROM pairs JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
       |WHERE overlap * 2 >= (x.n + y.n - overlap) * 1""".stripMargin
