@@ -891,6 +891,123 @@ object R13Queries {
           |LATERAL (SELECT c_custkey, c_acctbal FROM q658_c c
           |         WHERE c.c_nationkey = n.n_nationkey
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+    "q659_betweenness" -> ((s, dir) => {
+      // Exact betweenness centrality of the ≥300-shipment trade graph
+      // (Graph.betweennessExact): distributed Brandes forward σ-BFS from
+      // every root in ONE synchronized sweep, then the |V|³ triple join —
+      // pinned as Σ σ_sv·σ_vt·10⁶ DIV σ_st over composing pairs (per-pair
+      // truncation identical in both engines). The broker-score
+      // completion of the centrality tier (harmonic q544, eccentricity
+      // q545, PageRank q22). Oracle counts shortest paths by min-hop walk
+      // enumeration (diameter-bounded) and composes the same triple join.
+      graft.operators.Graph.betweennessExact(
+        tradeArcs(s, dir, 300L).select("src", "dst"))
+    }),
+    "q660_distance_distribution" -> ((s, dir) => {
+      // Pairwise shortest-path hop distribution + effective diameter
+      // (min h with ≥90% of reachable ordered pairs within h) of the
+      // ≥110 trade graph — the hop histogram capacity planners read
+      // (how many 2-hop neighborhoods does a broadcast reach). One
+      // synchronized all-source BFS (multiSourceHops would lose the
+      // per-root identity, so the frontier carries its root), then a
+      // dimension-sized rollup.
+      val e = tradeArcs(s, dir, 110L).select("src", "dst")
+        .localCheckpoint(false)
+      val sym = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(false)
+      val seeds = sym.select(col("src").as("root")).distinct()
+      var visited = seeds.select(col("root"), col("root").as("node"),
+                                 lit(0L).as("hop")).localCheckpoint(false)
+      var frontier = visited
+      var h = 0L
+      var live = true
+      while (live) {
+        h += 1
+        val nxt = frontier.join(sym, col("node") === col("src"))
+          .select(col("root"), col("dst").as("node")).distinct()
+          .join(visited.select(col("root"), col("node")),
+                Seq("root", "node"), "left_anti")
+          .withColumn("hop", lit(h))
+          .select(col("root"), col("node"), col("hop"))
+          .localCheckpoint(false)
+        visited = visited.unionByName(nxt).localCheckpoint(false)
+        frontier = nxt
+        live = nxt.count() > 0L
+      }
+      val hist = visited.filter(col("hop") > 0)
+        .groupBy(col("hop").as("d")).agg(count(lit(1)).as("n_pairs"))
+      val wv = Window.partitionBy(DimKey.one).orderBy(col("d"))
+      val withCum = hist
+        .withColumn("cum", sum(col("n_pairs")).over(wv))
+        .crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("tot"))))
+      val eff = withCum.filter(col("cum") * 10 >= col("tot") * 9)
+        .agg(min(col("d")).as("effective_diameter"))
+      withCum
+        .withColumn("cum_ppm", expr("cum * 1000000 DIV tot"))
+        .crossJoin(broadcast(eff))
+        .select("d", "n_pairs", "cum_ppm", "effective_diameter")
+    }),
+    "q661_consistent_hash_ring" -> ((s, dir) => {
+      // Consistent-hash ring placement audit: 8 shards × 32 virtual
+      // nodes at md5 positions, every customer key assigned to its
+      // successor vnode (wraparound = global min); then the ring with a
+      // NINTH shard added — consistent hashing's contract is that keys
+      // only move TO the new shard (old shards only shrink), ~1/9 of
+      // them. Per-shard before/after counts make the contract auditable;
+      // everything md5-integer, so placement is replayable on any
+      // engine. Vnode table is 288 rows — broadcast; the successor
+      // lookup is a broadcast range join (the 100 TB shape).
+      import s.implicits._
+      def vnodes(nShards: Int) = (0 until nShards).flatMap(i =>
+        (0 until 32).map(v => (s"s$i", s"shard:$i:$v"))).toDF("shard", "tag")
+        .select(col("shard"),
+                conv(substring(md5(col("tag")), 1, 8), 16, 10)
+                  .cast("long").as("vpos"))
+      val keys = rd(s, dir, "customer")
+        .select(col("c_custkey"),
+                conv(substring(md5(col("c_custkey").cast("string")), 1, 8),
+                     16, 10).cast("long").as("kpos"))
+      def assign(vn: DataFrame) = {
+        val succ = keys.join(broadcast(vn), col("vpos") >= col("kpos"))
+          .groupBy(col("c_custkey"))
+          .agg(min(struct(col("vpos"), col("shard"))).as("_s"))
+          .select(col("c_custkey"), col("_s.shard").as("shard"))
+        val wrapRow = vn
+          .agg(min(struct(col("vpos"), col("shard"))).as("_w"))
+          .select(col("_w.shard").as("_wrap"))
+        keys.select("c_custkey")
+          .join(succ, Seq("c_custkey"), "left")
+          .crossJoin(broadcast(wrapRow))
+          .select(col("c_custkey"),
+                  coalesce(col("shard"), col("_wrap")).as("shard"))
+      }
+      val before = assign(vnodes(8)).withColumnRenamed("shard", "s_before")
+      val after = assign(vnodes(9)).withColumnRenamed("shard", "s_after")
+      val both = before.join(after, Seq("c_custkey"))
+      both.groupBy(col("s_before").as("shard"))
+        .agg(count(lit(1)).as("n_before"))
+        .join(both.groupBy(col("s_after").as("shard"))
+                .agg(count(lit(1)).as("n_after")),
+              Seq("shard"), "full_outer")
+        .withColumn("n_before", coalesce(col("n_before"), lit(0L)))
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .select("shard", "n_before", "n_after")
+    }),
+    "q662_iso_week_contract" -> ((s, dir) => {
+      // ISO week-numbering contract at the year boundary: Jan 1–4 dates
+      // land in ISO week 52/53 of the PREVIOUS iso-year or week 1 of
+      // their own — the exact cross-engine trap for weekly rollups
+      // (both engines must agree on yearofweek/weekofyear for every
+      // boundary date, leap weeks included).
+      Tables.spread(s, rd(s, dir, "orders"))
+        .filter(month(col("o_orderdate")) === 1 &&
+                dayofmonth(col("o_orderdate")) <= 4)
+        .groupBy(expr("CAST(extract(YEAROFWEEK FROM o_orderdate) AS BIGINT)")
+                   .as("iso_yr"),
+                 weekofyear(col("o_orderdate")).cast("long").as("iso_wk"))
+        .agg(count(lit(1)).as("n"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1446,5 +1563,110 @@ object R13Queries {
         |FROM nation n,
         |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey
-        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+    "q659_betweenness" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT)
+        |      AS src,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 300),
+        |sym AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |walks(root, node, hop) AS (
+        |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM sym)
+        |  UNION ALL
+        |  SELECT w.root, s.dst, w.hop + 1 FROM walks w
+        |  JOIN sym s ON w.node = s.src WHERE w.hop < 6),
+        |dmin AS (SELECT root, node, min(hop) AS d FROM walks GROUP BY 1, 2),
+        |sig AS (SELECT w.root, w.node, d.d,
+        |    CAST(count(*) AS BIGINT) AS sigma
+        |  FROM walks w JOIN dmin d ON d.root = w.root AND d.node = w.node
+        |    AND w.hop = d.d
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.node AS node,
+        |  CAST(sum(a.sigma * b.sigma * 1000000 // st.sigma) AS BIGINT)
+        |    AS bc_ppm,
+        |  CAST(count(*) AS BIGINT) AS n_pairs_routed
+        |FROM sig a
+        |JOIN sig b ON b.root = a.node
+        |JOIN sig st ON st.root = a.root AND st.node = b.node
+        |WHERE a.node <> a.root AND a.node <> b.node AND a.root <> b.node
+        |  AND a.d + b.d = st.d
+        |GROUP BY 1""".stripMargin,
+    "q660_distance_distribution" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT)
+        |      AS src,
+        |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 110),
+        |sym AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |bfs(root, node, hop) AS (
+        |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM sym)
+        |  UNION
+        |  SELECT b.root, s.dst, b.hop + 1 FROM bfs b
+        |  JOIN sym s ON b.node = s.src WHERE b.hop < 30),
+        |dd AS (SELECT root, node, min(hop) AS d FROM bfs GROUP BY 1, 2
+        |      HAVING min(hop) > 0),
+        |h AS (SELECT d, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM dd GROUP BY 1),
+        |c AS (SELECT d, n_pairs, sum(n_pairs) OVER (ORDER BY d) AS cum,
+        |    (SELECT sum(n_pairs) FROM h) AS tot FROM h)
+        |SELECT CAST(d AS BIGINT) AS d, n_pairs,
+        |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_ppm,
+        |  CAST((SELECT min(d) FROM c c2 WHERE c2.cum * 10 >= c2.tot * 9)
+        |    AS BIGINT) AS effective_diameter
+        |FROM c""".stripMargin,
+    "q661_consistent_hash_ring" -> {
+      def vn(n: Int, name: String) =
+        s"""$name AS (SELECT 's' || i AS shard,
+           |    CAST(('0x' || substr(md5('shard:' || i || ':' || v), 1, 8))
+           |      ::UBIGINT AS BIGINT) AS vpos
+           |  FROM range($n) t(i), range(32) u(v))""".stripMargin
+      def assign(vnName: String, out: String) =
+        s"""s_$out AS (SELECT k.c_custkey,
+           |    min(struct_pack(v := vn.vpos, s := vn.shard)) AS m
+           |  FROM keys k JOIN $vnName vn ON vn.vpos >= k.kpos GROUP BY 1),
+           |w_$out AS (SELECT min(struct_pack(v := vpos, s := shard)) AS m
+           |  FROM $vnName),
+           |$out AS (SELECT k.c_custkey,
+           |    coalesce(s_$out.m.s, (SELECT m.s FROM w_$out)) AS shard
+           |  FROM keys k LEFT JOIN s_$out ON s_$out.c_custkey = k.c_custkey)"""
+          .stripMargin
+      s"""WITH ${vn(8, "vn8")},
+         |${vn(9, "vn9")},
+         |keys AS (SELECT c_custkey,
+         |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+         |      ::UBIGINT AS BIGINT) AS kpos
+         |  FROM customer),
+         |${assign("vn8", "a8")},
+         |${assign("vn9", "a9")},
+         |bo AS (SELECT a8.c_custkey, a8.shard AS s_before,
+         |    a9.shard AS s_after
+         |  FROM a8 JOIN a9 ON a9.c_custkey = a8.c_custkey),
+         |nb AS (SELECT s_before AS shard, CAST(count(*) AS BIGINT)
+         |    AS n_before FROM bo GROUP BY 1),
+         |na AS (SELECT s_after AS shard, CAST(count(*) AS BIGINT)
+         |    AS n_after FROM bo GROUP BY 1)
+         |SELECT coalesce(nb.shard, na.shard) AS shard,
+         |  CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after
+         |FROM nb FULL OUTER JOIN na ON na.shard = nb.shard""".stripMargin
+    },
+    "q662_iso_week_contract" ->
+      """SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS iso_yr,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_wk,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE month(o_orderdate) = 1 AND day(o_orderdate) <= 4
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -891,6 +891,66 @@ object Graph {
     }
   }
 
+  /** Exact betweenness centrality, pinned-integer form: bc_ppm(v) =
+    * Σ over ordered pairs (s,t), s≠v≠t, of σ_st(v)·10⁶ DIV σ_st, with
+    * σ_st(v) = σ_sv·σ_vt when d(s,v)+d(v,t) = d(s,t) (the Bellman
+    * criterion). Fully distributed, no driver loop:
+    *
+    *  1. forward σ-BFS from ALL roots in one synchronized sweep — frontier
+    *     rows (root, node, cnt) join the shared adjacency, arrivals at an
+    *     unvisited (root, node) sum parent counts into σ (the Brandes
+    *     forward pass, level-synchronous); state ≤ |V|² rows, O(diameter)
+    *     shuffles;
+    *  2. one triple self-join of the (root, node, d, σ) relation evaluates
+    *     every (s, v, t) — the |V|³ cost exact betweenness genuinely has
+    *     (sampled-root approximation is the scale path past that).
+    *
+    * Output: (node, bc_ppm, n_pairs_routed) for nodes on ≥1 shortest path.
+    */
+  def betweennessExact(edges0: DataFrame): DataFrame = {
+    val base = edges0.select(col("src").cast("long").as("src"),
+                             col("dst").cast("long").as("dst"))
+      .distinct()
+    val sym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    val seeds = sym.select(col("src").as("root")).distinct()
+    var visited = seeds
+      .select(col("root"), col("root").as("node"), lit(0L).as("d"),
+              lit(1L).as("sigma")).localCheckpoint(false)
+    var frontier = visited.select(col("root"), col("node"), col("sigma"))
+    var h = 0L
+    var live = frontier.count() > 0L
+    while (live) {
+      h += 1
+      val arrivals = frontier.join(sym, col("node") === col("src"))
+        .groupBy(col("root"), col("dst").as("_n"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("_n", "node")
+        .join(visited.select(col("root"), col("node")),
+              Seq("root", "node"), "left_anti")
+        .withColumn("d", lit(h))
+        .select(col("root"), col("node"), col("d"), col("sigma"))
+        .localCheckpoint(false)
+      visited = visited.unionByName(arrivals).localCheckpoint(false)
+      frontier = arrivals.select(col("root"), col("node"), col("sigma"))
+      live = arrivals.count() > 0L
+    }
+    val sig = visited
+    sig.as("a")
+      .join(sig.as("b"), col("b.root") === col("a.node"))
+      .join(sig.as("st"), col("st.root") === col("a.root") &&
+                          col("st.node") === col("b.node"))
+      .filter(col("a.node") =!= col("a.root") &&
+              col("a.node") =!= col("b.node") &&
+              col("a.root") =!= col("b.node") &&
+              col("a.d") + col("b.d") === col("st.d"))
+      .groupBy(col("a.node").as("node"))
+      .agg(sum(expr("a.sigma * b.sigma * 1000000 DIV st.sigma"))
+             .as("bc_ppm"),
+           count(lit(1)).as("n_pairs_routed"))
+  }
+
   /** Percolation / connectivity sweep: connected-component structure of a
     * weighted graph across a threshold ladder — (threshold, n_nodes,
     * n_edges, n_components, giant_size), skipping empty thresholds.
