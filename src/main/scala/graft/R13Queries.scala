@@ -1008,6 +1008,89 @@ object R13Queries {
                    .as("iso_yr"),
                  weekofyear(col("o_orderdate")).cast("long").as("iso_wk"))
         .agg(count(lit(1)).as("n"))
+    }),
+    "q663_hoover_index" -> ((s, dir) => {
+      // Hoover (Robin Hood) index of customer spend: ½·Σ|xᵢ/X − 1/n| =
+      // the share of total spend that would have to move to equalize
+      // customers — cross-multiplied to Σ|n·xᵢ − X|·10⁶ DIV (2·n·X),
+      // exact integers end-to-end (the log-free inequality measure
+      // beside Gini q181 and the Lorenz curve q512). One customer
+      // rollup + one global agg.
+      val sp = Tables.spread(s, rd(s, dir, "orders"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("c"))
+      val t = sp.agg(count(lit(1)).as("n"), sum(col("c")).as("x"))
+      sp.crossJoin(broadcast(t))
+        .agg(first(col("n")).as("n"), first(col("x")).as("x"),
+             sum(expr("abs(CAST(n AS DECIMAL(38,0)) * c - x)")).as("_s"))
+        .select(col("n"), col("x"),
+                expr("CAST(_s * 1000000 DIV (2 * CAST(n AS DECIMAL(38,0))" +
+                     " * x) AS BIGINT)").as("hoover_ppm"))
+    }),
+    "q664_interval_scheduling" -> ((s, dir) => {
+      // Greedy interval scheduling per supplier (the classic
+      // earliest-end-first maximum non-overlapping set — capacity audit:
+      // how many shipments could one dock serve?): intervals
+      // [shipdate, shipdate + 1 + (orderkey+linenumber) mod 14], fold in
+      // (end, start, key) order via the aggregate() HOF over the
+      // per-supplier array (greedy state is inherently sequential; the
+      // array is supplier-sized). Oracle: per-supplier recursive-CTE
+      // fold (the q650 discipline — never the engine's list_reduce).
+      val iv = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(col("l_suppkey").as("k"),
+                expr("CAST(datediff(CAST(l_shipdate AS DATE)," +
+                     " DATE '1970-01-01') AS BIGINT)").as("st"),
+                col("l_orderkey"), col("l_linenumber"))
+        .withColumn("en",
+          expr("st + 1 + (l_orderkey + l_linenumber) % 14"))
+      val folded = iv
+        .groupBy(col("k"))
+        .agg(sort_array(collect_list(struct(col("en"), col("st"),
+               col("l_orderkey"), col("l_linenumber")))).as("arr"))
+        .withColumn("kept", expr(
+          """aggregate(arr,
+            |  named_struct('le', CAST(-1000000 AS BIGINT),
+            |               'kept', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    'le', CASE WHEN e.st > acc.le THEN e.en ELSE acc.le END,
+            |    'kept', acc.kept +
+            |      CASE WHEN e.st > acc.le THEN 1 ELSE 0 END),
+            |  acc -> acc.kept)""".stripMargin))
+      folded.agg(count(lit(1)).as("n_suppliers"),
+                 sum(col("kept")).as("total_kept"),
+                 min(col("kept")).as("min_kept"),
+                 max(col("kept")).as("max_kept"))
+    }),
+    "q665_try_cast_contract" -> ((s, dir) => {
+      // TRY_CAST parsing contract: clean digits parse, trailing junk
+      // nulls, surrounding whitespace is trimmed by the cast — the
+      // dirty-column ingestion semantics both engines must share before
+      // any try_cast-based cleansing rule is trusted cross-engine.
+      Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("doc_id").cast("string"))
+            .when(col("doc_id") % 3 === 1,
+                  concat(col("doc_id").cast("string"), lit("x")))
+            .otherwise(concat(lit(" "), col("doc_id").cast("string"),
+                              lit(" "))).as("raw"))
+        .agg(count(lit(1)).as("n"),
+             count(expr("try_cast(raw AS BIGINT)")).as("n_parsed"),
+             sum(coalesce(expr("try_cast(raw AS BIGINT)"), lit(0L)))
+               .as("sum_parsed"))
+    }),
+    "q666_decimal_rounding" -> ((s, dir) => {
+      // DECIMAL rounding contract on exact .5 halves (orderkey/2 at
+      // scale 1 — representable exactly, never a float): round() must be
+      // half-away-from-zero in BOTH engines (2.5→3, 3.5→4), floor/ceil
+      // pin the envelope. Monetary rollups silently drift half a unit
+      // per row if the engines disagree here.
+      Tables.spread(s, rd(s, dir, "orders"))
+        .select(expr("CAST(o_orderkey AS DECIMAL(38,1)) / 2").as("h"))
+        .agg(sum(expr("CAST(round(h, 0) AS BIGINT)")).as("sum_round"),
+             sum(expr("CAST(floor(h) AS BIGINT)")).as("sum_floor"),
+             sum(expr("CAST(ceil(h) AS BIGINT)")).as("sum_ceil"),
+             count(lit(1)).as("n"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1668,5 +1751,59 @@ object R13Queries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders
         |WHERE month(o_orderdate) = 1 AND day(o_orderdate) <= 4
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q663_hoover_index" ->
+      """WITH s AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS x FROM s)
+        |SELECT n, x,
+        |  CAST(sum(abs(CAST(n AS HUGEINT) * c - x)) * 1000000
+        |    // (2 * CAST(n AS HUGEINT) * x) AS BIGINT) AS hoover_ppm
+        |FROM s, t GROUP BY 1, 2""".stripMargin,
+    "q664_interval_scheduling" ->
+      """WITH RECURSIVE rk AS MATERIALIZED (SELECT k, st,
+        |    st + 1 + (l_orderkey + l_linenumber) % 14 AS en,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY st + 1 + (l_orderkey + l_linenumber) % 14, st,
+        |               l_orderkey, l_linenumber) AS i
+        |  FROM (SELECT l_suppkey AS k, l_orderkey, l_linenumber,
+        |      CAST(date_diff('day', DATE '1970-01-01',
+        |        CAST(l_shipdate AS DATE)) AS BIGINT) AS st
+        |    FROM lineitem)),
+        |st(k, i, last_en, kept) AS (
+        |  SELECT k, i, en, CAST(1 AS BIGINT) FROM rk WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.k, r.i,
+        |    CASE WHEN r.st > s.last_en THEN r.en ELSE s.last_en END,
+        |    s.kept + CASE WHEN r.st > s.last_en THEN 1 ELSE 0 END
+        |  FROM st s JOIN rk r ON r.k = s.k AND r.i = s.i + 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(kept) AS BIGINT) AS total_kept,
+        |  CAST(min(kept) AS BIGINT) AS min_kept,
+        |  CAST(max(kept) AS BIGINT) AS max_kept
+        |FROM (SELECT k, max(i) AS mi FROM st GROUP BY 1) l
+        |JOIN st ON st.k = l.k AND st.i = l.mi""".stripMargin,
+    "q665_try_cast_contract" ->
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN CAST(doc_id AS VARCHAR) || 'x'
+        |         ELSE ' ' || CAST(doc_id AS VARCHAR) || ' ' END AS raw
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(TRY_CAST(raw AS BIGINT)) AS BIGINT) AS n_parsed,
+        |  CAST(sum(coalesce(TRY_CAST(raw AS BIGINT), 0)) AS BIGINT)
+        |    AS sum_parsed
+        |FROM s""".stripMargin,
+    "q666_decimal_rounding" ->
+      """WITH v AS (SELECT CAST(o_orderkey AS DECIMAL(38,1)) / 2 AS h
+        |  FROM orders)
+        |SELECT CAST(sum(CAST(round(h, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_round,
+        |  CAST(sum(CAST(floor(h) AS BIGINT)) AS BIGINT) AS sum_floor,
+        |  CAST(sum(CAST(ceil(h) AS BIGINT)) AS BIGINT) AS sum_ceil,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM v""".stripMargin)
 }
