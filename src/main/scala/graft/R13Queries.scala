@@ -1091,6 +1091,92 @@ object R13Queries {
              sum(expr("CAST(floor(h) AS BIGINT)")).as("sum_floor"),
              sum(expr("CAST(ceil(h) AS BIGINT)")).as("sum_ceil"),
              count(lit(1)).as("n"))
+    }),
+    "q667_log2_histogram" -> ((s, dir) => {
+      // Power-of-two (decade) histogram of order cents WITHOUT logs:
+      // bucket = ⌊log₂ c⌋ = length(bin(c)) − 1 — a pure string/integer
+      // identity both engines compute bit-identically, where float log2
+      // would disagree in the last ulp at bucket edges. The long-tail
+      // shape diagnostic (is spend log-uniform?) as one combine-enabled
+      // rollup.
+      Tables.spread(s, rd(s, dir, "orders"))
+        .filter(col("o_totalprice") > 0)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy((length(bin(col("c"))) - 1).cast("long")
+                   .as("log2_bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    }),
+    "q668_pii_redaction" -> ((s, dir) => {
+      // PII redaction round-trip (the right-to-privacy pass before any
+      // corpus release): deterministic email/phone injection, regex
+      // redaction to [EMAIL]/[PHONE], then the AUDIT — tag counts must
+      // equal the injection counts and the residual-PII scan must be
+      // ZERO (a redaction pass without a residual check is a policy
+      // hole). RE2-safe patterns shared verbatim with the oracle; the
+      // count-only companion is q104. Narrow projections, one rollup.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{4}-\\d{4}|\\d{3}-\\d{2}-\\d{4}"
+      val w = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                     lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-01"),
+                     lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+                     lit("-"),
+                     lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("t"))
+      w.withColumn("red",
+          regexp_replace(regexp_replace(col("t"), email, "[EMAIL]"),
+                         phone, "[PHONE]"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("t") =!= col("red"), 1L).otherwise(0L))
+               .as("n_redacted"),
+             sum(regexp_count(col("red"), lit("\\[EMAIL\\]")))
+               .as("n_email_tags"),
+             sum(regexp_count(col("red"), lit("\\[PHONE\\]")))
+               .as("n_phone_tags"),
+             sum(regexp_count(col("red"), lit(email)))
+               .as("n_residual_emails"),
+             sum(length(col("t")) - length(col("red"))).as("chars_delta"))
+    }),
+    "q669_dataset_card" -> ((s, dir) => {
+      // One-row dataset card — the release-notes numbers a corpus ships
+      // with, each drawn from an operator the suite verifies separately:
+      // docs, whitespace/BPE token mass, distinct languages + English
+      // share (langId), exact-duplicate rate (normalized-token md5
+      // fingerprint), quality-gate pass rate (the q13 thresholds), total
+      // chars. One narrow pass + one fingerprint distinct; the card is
+      // the composition contract (if any component drifts, this row
+      // drifts with it).
+      val t = TextAnalysis
+      val base = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"), col("text"),
+                length(col("text")).cast("long").as("n_chars"),
+                when(length(trim(col("text"))) === 0, 0L)
+                  .otherwise(size(t.tokens(col("text")))).as("n_tokens"),
+                t.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+                t.punctCount(col("text")).cast("long").as("n_punct"),
+                t.stopwordHitsAny(col("text")).cast("long").as("n_stop"),
+                t.langId(col("text")).as("lang_pred"),
+                md5(array_join(t.tokens(col("text")), " ")).as("fp"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_ws_tokens"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        countDistinct(col("lang_pred")).as("n_langs"),
+        expr("CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)" +
+             " * 1000000 DIV count(1) AS BIGINT)").as("en_share_ppm"),
+        expr("CAST((count(1) - count(DISTINCT fp)) * 1000000" +
+             " DIV count(1) AS BIGINT)").as("exact_dup_ppm"),
+        expr("CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000" +
+             " AND n_punct * 5 < n_chars AND n_stop * 100 >= n_tokens" +
+             " THEN 1 ELSE 0 END) * 1000000 DIV count(1) AS BIGINT)")
+          .as("quality_pass_ppm"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1805,5 +1891,89 @@ object R13Queries {
         |  CAST(sum(CAST(floor(h) AS BIGINT)) AS BIGINT) AS sum_floor,
         |  CAST(sum(CAST(ceil(h) AS BIGINT)) AS BIGINT) AS sum_ceil,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM v""".stripMargin)
+        |FROM v""".stripMargin,
+    "q667_log2_histogram" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c
+        |FROM v GROUP BY 1""".stripMargin,
+    "q668_pii_redaction" ->
+      """WITH w AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id ||
+        |      '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '[EMAIL]', 'g'),
+        |      '\d{3}-\d{4}-\d{4}|\d{3}-\d{2}-\d{4}', '[PHONE]', 'g') AS red
+        |  FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN t <> red THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_redacted,
+        |  CAST(sum(len(regexp_extract_all(red, '\[EMAIL\]'))) AS BIGINT)
+        |    AS n_email_tags,
+        |  CAST(sum(len(regexp_extract_all(red, '\[PHONE\]'))) AS BIGINT)
+        |    AS n_phone_tags,
+        |  CAST(sum(len(regexp_extract_all(red,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |    AS n_residual_emails,
+        |  CAST(sum(length(t) - length(red)) AS BIGINT) AS chars_delta
+        |FROM r""".stripMargin,
+    "q669_dataset_card" -> {
+      val stop = TextAnalysis.Stopwords
+      def sqlList(ws: Seq[String]): String =
+        ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val allStop = sqlList(stop.values.flatten.toSeq.distinct)
+      val hits = stop.keys.map(l =>
+        s"len(list_filter(t, x -> list_contains(${sqlList(stop(l))}, x))) AS h_$l")
+        .mkString(",\n    ")
+      val whens = stop.keys.map(l =>
+        s"WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = " +
+          s"greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n    ")
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |hits AS (SELECT doc_id, text, t,
+         |    $hits FROM toks),
+         |b AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(t) END
+         |      AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[.,;:!?''"()\\[\\]{}<>/\\\\|@#$$%^&*_+=~-]')) AS BIGINT)
+         |      AS n_punct,
+         |    CAST(len(list_filter(t, x -> list_contains($allStop, x)))
+         |      AS BIGINT) AS n_stop,
+         |    CASE WHEN text IS NULL THEN 'und'
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    $whens
+         |    ELSE 'und' END AS lang_pred,
+         |    md5(array_to_string(t, ' ')) AS fp
+         |  FROM hits)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS en_share_ppm,
+         |  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
+         |    AS BIGINT) AS exact_dup_ppm,
+         |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+         |    AND n_punct * 5 < n_chars AND n_stop * 100 >= n_tokens
+         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |    AS quality_pass_ppm
+         |FROM b""".stripMargin
+    })
 }
