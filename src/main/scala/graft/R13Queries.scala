@@ -1177,6 +1177,31 @@ object R13Queries {
              " AND n_punct * 5 < n_chars AND n_stop * 100 >= n_tokens" +
              " THEN 1 ELSE 0 END) * 1000000 DIV count(1) AS BIGINT)")
           .as("quality_pass_ppm"))
+    }),
+    "q670_mutual_knn" -> ((s, dir) => {
+      // Mutual-kNN graph audit (the symmetrization step HNSW/kNN-graph
+      // builders run): exact cosine top-5 per vector over the even-id
+      // half, mutuality rate = directed edges whose reverse also made
+      // the other side's top-5. Low mutuality flags hubness — the known
+      // failure mode of high-dim kNN graphs. Queries broadcast; float
+      // cosine ties broken by id (the q23 ranking discipline, proven
+      // hash-stable across engines).
+      val sub = rd(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val tk = graft.operators.Similarity
+        .bruteForceTopK(sub, sub, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false)
+      val mutual = tk.as("a").join(tk.as("b"),
+          col("b.query_id") === col("a.neighbor_id") &&
+          col("b.neighbor_id") === col("a.query_id") &&
+          col("a.query_id") < col("a.neighbor_id"))
+        .agg(count(lit(1)).as("n_mutual_pairs"))
+      sub.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(tk.agg(count(lit(1)).as("n_directed")))
+        .crossJoin(mutual)
+        .withColumn("mutual_ppm",
+          expr("n_mutual_pairs * 2 * 1000000 DIV n_directed"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1975,5 +2000,28 @@ object R13Queries {
          |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
          |    AS quality_pass_ppm
          |FROM b""".stripMargin
+    },
+    "q670_mutual_knn" -> {
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> " +
+          s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      val cos = s"(${dotSql("a.embedding", "b.embedding")} / " +
+        s"sqrt(${dotSql("a.embedding", "a.embedding")} * " +
+        s"${dotSql("b.embedding", "b.embedding")}))"
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 2 = 0),
+         |sc AS (SELECT a.vec_id AS q, b.vec_id AS n, $cos AS cosine
+         |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT q, n,
+         |    row_number() OVER (PARTITION BY q ORDER BY cosine DESC, n)
+         |      AS r FROM sc),
+         |d AS (SELECT q, n FROM rk WHERE r <= 5),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual_pairs
+         |  FROM d a JOIN d b ON b.q = a.n AND b.n = a.q AND a.q < a.n)
+         |SELECT CAST((SELECT count(*) FROM sub) AS BIGINT) AS n_nodes,
+         |  CAST((SELECT count(*) FROM d) AS BIGINT) AS n_directed,
+         |  (SELECT n_mutual_pairs FROM m) AS n_mutual_pairs,
+         |  CAST((SELECT n_mutual_pairs FROM m) * 2 * 1000000
+         |    // (SELECT count(*) FROM d) AS BIGINT) AS mutual_ppm""".stripMargin
     })
 }
