@@ -1202,6 +1202,58 @@ object R13Queries {
         .crossJoin(mutual)
         .withColumn("mutual_ppm",
           expr("n_mutual_pairs * 2 * 1000000 DIV n_directed"))
+    }),
+    "q671_topo_layers" -> ((s, dir) => {
+      // Topological layering of the trade network's SCC condensation:
+      // SCCs via mutual-reach doubling (Graph.sccMutualReach — provably
+      // complete in 5 rounds on ≤25 nations), condensation arcs between
+      // SCC labels, layer = LONGEST path from the sources by max-relax
+      // rounds to a counted fixpoint (the stage schedule a dependency
+      // planner derives: everything in layer k can run after layers
+      // < k). Completes the directed tier beside SCC census and dyads.
+      val arcs = {
+        val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") =!= col("s_nationkey"))
+          .groupBy(col("c_nationkey").cast("long").as("src"),
+                   col("s_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") >= 150L)
+          .select("src", "dst").localCheckpoint(false)
+      }
+      val scc = graft.operators.Graph.sccMutualReach(arcs, 5)
+        .localCheckpoint(false)
+      val ce = arcs
+        .join(scc.select(col("node").as("src"), col("scc_id").as("sa")),
+              Seq("src"))
+        .join(scc.select(col("node").as("dst"), col("scc_id").as("sb")),
+              Seq("dst"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("csrc"), col("sb").as("cdst")).distinct()
+        .localCheckpoint(false)
+      var lay = scc.select(col("scc_id")).distinct()
+        .withColumn("layer", lit(0L)).localCheckpoint(false)
+      var converged = false
+      while (!converged) {
+        val nxt = lay
+          .unionByName(lay.join(ce, col("scc_id") === col("csrc"))
+            .select(col("cdst").as("scc_id"),
+                    (col("layer") + 1L).as("layer")))
+          .groupBy(col("scc_id")).agg(max(col("layer")).as("layer"))
+          .localCheckpoint(false)
+        converged = nxt.join(lay.withColumnRenamed("layer", "_old"),
+                             Seq("scc_id"))
+          .filter(col("layer") =!= col("_old")).count() == 0L
+        lay = nxt
+      }
+      scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
+        .join(lay, Seq("scc_id"))
+        .select("scc_id", "n_members", "layer")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2023,5 +2075,41 @@ object R13Queries {
          |  (SELECT n_mutual_pairs FROM m) AS n_mutual_pairs,
          |  CAST((SELECT n_mutual_pairs FROM m) * 2 * 1000000
          |    // (SELECT count(*) FROM d) AS BIGINT) AS mutual_ppm""".stripMargin
-    })
+    },
+    "q671_topo_layers" ->
+      """WITH RECURSIVE arcs AS MATERIALIZED (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 150),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM arcs
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN arcs s ON r.b = s.src),
+        |nodes AS (SELECT src AS n FROM arcs
+        |  UNION SELECT DISTINCT dst FROM arcs),
+        |mut AS (SELECT r1.a AS node, r1.b AS peer FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |scc AS (SELECT n.n AS node,
+        |    least(n.n, coalesce(min(mut.peer), n.n)) AS scc_id
+        |  FROM nodes n LEFT JOIN mut ON mut.node = n.n GROUP BY 1),
+        |ce AS (SELECT DISTINCT sa.scc_id AS src, sb.scc_id AS dst
+        |  FROM arcs JOIN scc sa ON sa.node = arcs.src
+        |  JOIN scc sb ON sb.node = arcs.dst
+        |  WHERE sa.scc_id <> sb.scc_id),
+        |lay(scc_id, layer) AS (
+        |  SELECT scc_id, CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT scc_id FROM scc)
+        |  UNION ALL
+        |  SELECT ce.dst, l.layer + 1 FROM lay l JOIN ce ON ce.src = l.scc_id
+        |  WHERE l.layer < 30),
+        |fin AS (SELECT scc_id, CAST(max(layer) AS BIGINT) AS layer
+        |  FROM lay GROUP BY 1),
+        |mem AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM scc GROUP BY 1)
+        |SELECT f.scc_id, mem.n_members, f.layer
+        |FROM fin f JOIN mem ON mem.scc_id = f.scc_id""".stripMargin)
 }
