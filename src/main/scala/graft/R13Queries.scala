@@ -1254,6 +1254,103 @@ object R13Queries {
       scc.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
         .join(lay, Seq("scc_id"))
         .select("scc_id", "n_members", "layer")
+    }),
+    "q672_kfold_balance" -> ((s, dir) => {
+      // K-fold assignment balance audit: md5-residue folds (k=5), per
+      // (fold, label) cell deviation from perfect stratification in ppm —
+      // |n·N − n_label·n_fold| DIV (n_label·n_fold), exact integers. The
+      // cross-validation sanity check run before trusting fold variance;
+      // deterministic splits make it replayable on any engine.
+      val f = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                graft.operators.Sampling.hashBucket(col("vec_id"), 5)
+                  .as("fold"))
+      val cell = f.groupBy(col("fold"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = f.agg(count(lit(1)).as("nn"))
+      val lt = cell.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+      val ft = cell.groupBy(col("fold")).agg(sum(col("n")).as("nf"))
+      cell.join(broadcast(lt), Seq("label"))
+        .join(broadcast(ft), Seq("fold"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("label"), col("n"),
+          expr("CAST(abs(CAST(n AS DECIMAL(38,0)) * nn -" +
+               " CAST(nl AS DECIMAL(38,0)) * nf) * 1000000" +
+               " DIV (CAST(nl AS DECIMAL(38,0)) * nf) AS BIGINT)")
+            .as("dev_ppm"))
+    }),
+    "q673_embedding_quality" -> ((s, dir) => {
+      // Embedding-column quality audit: squared-norm histogram (milli
+      // units — asserts the unit-norm invariant holds corpus-wide),
+      // zero-component mass, wrong-dimension count. The ingest gate an
+      // embedding pipeline runs before ANN indexing (a single NaN/zero
+      // vector poisons IVF centroids); narrow codegen'd projection,
+      // one rollup.
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(graft.operators.Similarity.norm2(col("embedding"))
+                  .cast("double") * 1000).cast("long").as("n2m"),
+          size(col("embedding")).cast("long").as("dim"),
+          size(filter(col("embedding"), x => x === 0.0f)).cast("long")
+            .as("n_zero"))
+        .groupBy(expr("n2m DIV 5000").as("norm2_bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+             min(col("n2m")).as("min_n2m"), max(col("n2m")).as("max_n2m"),
+             sum(col("n_zero")).as("total_zero_components"),
+             sum(when(col("dim") =!= 64, 1L).otherwise(0L))
+               .as("n_bad_dim"))
+    }),
+    "q674_mom_growth" -> ((s, dir) => {
+      // Month-over-month revenue growth in exact ppm (the reporting
+      // ladder every dashboard carries, pinned): monthly cents rollup,
+      // lag, (cur − prev)·10⁶ DIV prev — sign-safe because DuckDB //
+      // floors and Spark DIV truncates, so the ORACLE sign-folds; first
+      // month NULL. Fact scan collapses to ≤ 84 months before the
+      // window.
+      val m = Tables.spread(s, rd(s, dir, "orders"))
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("mon"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("cents"))
+      m.withColumn("prev", lag(col("cents"), 1).over(
+          Window.partitionBy(DimKey.one).orderBy(col("mon"))))
+        .select(
+          (year(col("mon")) * 100 + month(col("mon"))).cast("long")
+            .as("yyyymm"),
+          col("cents"),
+          expr("CASE WHEN prev IS NULL THEN NULL" +
+               " WHEN cents >= prev THEN (cents - prev) * 1000000 DIV prev" +
+               " ELSE -((prev - cents) * 1000000 DIV prev) END")
+            .as("mom_ppm"))
+    }),
+    "q675_ngram_novelty" -> ((s, dir) => {
+      // Token-trigram TYPE novelty of the test split vs train (the
+      // generalization-gap screen beside contamination q68, which
+      // measures the opposite — overlap): distinct trigram types per
+      // split, novel = test types absent from train (anti-join on the
+      // type key), novelty in ppm. Trigram expansion is corpus-token
+      // grain; everything after the per-split DISTINCT is
+      // vocabulary-sized.
+      val sp = Tables.spread(s, rd(s, dir, "documents"))
+        .withColumn("split",
+          when(graft.operators.Sampling.hashBucket(col("doc_id"), 1000)
+                 < 900, "train").otherwise("test"))
+        .select(col("split"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val tri = sp.select(col("split"),
+          explode(expr(
+            "transform(sequence(1, size(t) - 2), i -> " +
+              "concat_ws(' ', element_at(t, i), element_at(t, i + 1)," +
+              " element_at(t, i + 2)))")).as("g"))
+        .distinct().localCheckpoint(false)
+      val tr = tri.filter(col("split") === "train").select("g")
+      val te = tri.filter(col("split") === "test").select("g")
+      val novel = te.join(tr, Seq("g"), "left_anti")
+        .agg(count(lit(1)).as("n_novel"))
+      tr.agg(count(lit(1)).as("n_train_types"))
+        .crossJoin(te.agg(count(lit(1)).as("n_test_types")))
+        .crossJoin(novel)
+        .withColumn("novelty_ppm",
+          expr("n_novel * 1000000 DIV n_test_types"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2111,5 +2208,76 @@ object R13Queries {
         |mem AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
         |  FROM scc GROUP BY 1)
         |SELECT f.scc_id, mem.n_members, f.layer
-        |FROM fin f JOIN mem ON mem.scc_id = f.scc_id""".stripMargin)
+        |FROM fin f JOIN mem ON mem.scc_id = f.scc_id""".stripMargin,
+    "q672_kfold_balance" ->
+      """WITH f AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      % 5 AS fold
+        |  FROM embeddings),
+        |cell AS (SELECT fold, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM f),
+        |lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl
+        |  FROM cell GROUP BY 1),
+        |ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nf
+        |  FROM cell GROUP BY 1)
+        |SELECT CAST(cell.fold AS BIGINT) AS fold, cell.label, cell.n,
+        |  CAST(abs(CAST(cell.n AS HUGEINT) * nn - CAST(nl AS HUGEINT) * nf)
+        |    * 1000000 // (CAST(nl AS HUGEINT) * nf) AS BIGINT) AS dev_ppm
+        |FROM cell JOIN lt ON lt.label = cell.label
+        |JOIN ft ON ft.fold = cell.fold, tot""".stripMargin,
+    "q673_embedding_quality" ->
+      """WITH n AS (SELECT vec_id,
+        |    CAST(floor(list_sum(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE)
+        |        * CAST(embedding[i] AS DOUBLE))) * 1000) AS BIGINT) AS n2m,
+        |    len(embedding) AS dim,
+        |    len(list_filter(embedding, x -> x = 0)) AS n_zero
+        |  FROM embeddings)
+        |SELECT CAST(n2m // 5000 AS BIGINT) AS norm2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(min(n2m) AS BIGINT) AS min_n2m,
+        |  CAST(max(n2m) AS BIGINT) AS max_n2m,
+        |  CAST(sum(n_zero) AS BIGINT) AS total_zero_components,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_dim
+        |FROM n GROUP BY 1""".stripMargin,
+    "q674_mom_growth" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+        |    AS mon,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT mon, cents, lag(cents) OVER (ORDER BY mon) AS prev
+        |  FROM m)
+        |SELECT CAST(year(mon) * 100 + month(mon) AS BIGINT) AS yyyymm,
+        |  cents,
+        |  CAST(CASE WHEN prev IS NULL THEN NULL
+        |    WHEN cents >= prev THEN (cents - prev) * 1000000 // prev
+        |    ELSE -((prev - cents) * 1000000 // prev) END AS BIGINT)
+        |    AS mom_ppm
+        |FROM l""".stripMargin,
+    "q675_ngram_novelty" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        ::UBIGINT % 1000 < 900 THEN 'train' ELSE 'test' END
+        |      AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM sp),
+        |tri AS (SELECT DISTINCT split,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2))
+        |    AS i)
+        |  WHERE len(t) >= 3),
+        |tr AS (SELECT g FROM tri WHERE split = 'train'),
+        |te AS (SELECT g FROM tri WHERE split = 'test')
+        |SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_train_types,
+        |  CAST((SELECT count(*) FROM te) AS BIGINT) AS n_test_types,
+        |  CAST((SELECT count(*) FROM te WHERE g NOT IN (SELECT g FROM tr))
+        |    AS BIGINT) AS n_novel,
+        |  CAST((SELECT count(*) FROM te WHERE g NOT IN (SELECT g FROM tr))
+        |    * 1000000 // (SELECT count(*) FROM te) AS BIGINT)
+        |    AS novelty_ppm""".stripMargin)
 }
