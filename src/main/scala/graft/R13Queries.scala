@@ -1351,6 +1351,120 @@ object R13Queries {
         .crossJoin(novel)
         .withColumn("novelty_ppm",
           expr("n_novel * 1000000 DIV n_test_types"))
+    }),
+    "q676_gain_curve" -> ((s, dir) => {
+      // Targeting gain (cumulative-capture) curve: customers ranked by
+      // PRIOR-period spend (1995–96), next-period (1997) spend captured
+      // per decile, cumulative in exact ppm — the uplift-model
+      // evaluation chart (how much of next year's revenue does mailing
+      // the top decile reach?). The cross-period sibling of the Lorenz
+      // curve (q512, same-variable). cellRank-free: one global ranking
+      // window over the customer-grain rollup.
+      val base = Tables.spread(s, rd(s, dir, "orders"))
+      val prior = base
+        .filter(year(col("o_orderdate")).between(1995, 1996))
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("pc"))
+      val nxt = base.filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("nc"))
+      val j = prior.join(nxt, Seq("o_custkey"), "left")
+        .withColumn("nc", coalesce(col("nc"), lit(0L)))
+      val r = j
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(DimKey.one)
+            .orderBy(col("pc").desc, col("o_custkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(DimKey.one)))
+      val d = r.groupBy(expr("(rk - 1) * 10 DIV n").as("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("nc")).as("next_cents"))
+      d.crossJoin(broadcast(d.agg(sum(col("next_cents")).as("tot"))))
+        .withColumn("cum", sum(col("next_cents")).over(
+          Window.partitionBy(DimKey.one).orderBy(col("decile"))))
+        .withColumn("cum_capture_ppm", expr(
+          "CAST(CASE WHEN tot > 0 THEN cum * 1000000 DIV tot" +
+            " ELSE 0 END AS BIGINT)"))
+        .select("decile", "n_cust", "next_cents", "cum_capture_ppm")
+    }),
+    "q677_audience_overlap" -> ((s, dir) => {
+      // Month-over-month active-customer Jaccard ladder: audience
+      // churn/retention at set level (|A∩B| / |A∪B| ppm per adjacent
+      // month pair) — the overlap every retention dashboard implies but
+      // rarely pins exactly. Distinct (month, customer) rollup once;
+      // the pair join is month-keyed (≤84 pairs drive it).
+      val mc = Tables.spread(s, rd(s, dir, "orders"))
+        .select(trunc(col("o_orderdate").cast("date"), "month").as("mon"),
+                col("o_custkey")).distinct().localCheckpoint(false)
+      val ms = mc.select("mon").distinct()
+      val pairs = ms.as("a").join(ms.as("b"),
+          col("b.mon") === add_months(col("a.mon"), 1))
+        .select(col("a.mon").as("m1"), col("b.mon").as("m2"))
+      val ov = pairs
+        .join(mc.select(col("mon").as("m1"), col("o_custkey")), Seq("m1"))
+        .join(mc.select(col("mon").as("m2"), col("o_custkey")),
+              Seq("m2", "o_custkey"))
+        .groupBy(col("m1"), col("m2")).agg(count(lit(1)).as("inter"))
+      val sz = mc.groupBy(col("mon")).agg(count(lit(1)).as("n"))
+      ov.join(sz.select(col("mon").as("m1"), col("n").as("n_m1")),
+              Seq("m1"))
+        .join(sz.select(col("mon").as("m2"), col("n").as("n_m2")),
+              Seq("m2"))
+        .select(
+          (year(col("m1")) * 100 + month(col("m1"))).cast("long")
+            .as("yyyymm"),
+          col("n_m1"), col("n_m2"), col("inter"),
+          expr("inter * 1000000 DIV (n_m1 + n_m2 - inter)")
+            .as("jaccard_ppm"))
+    }),
+    "q678_heaps_vocab_growth" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth ladder: V(k) and token mass at
+      // doc-count checkpoints, computed from each token TYPE's
+      // first-occurrence doc (one vocabulary-sized rollup — never a
+      // distinct-per-checkpoint rescan). The corpus-sizing curve ("how
+      // much new vocabulary does the next shard buy") beside Chao1
+      // (q624) and Zipf (q649).
+      val tok = Tables.spread(s, rd(s, dir, "documents"))
+        .select(col("doc_id"),
+                explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .localCheckpoint(false)
+      val fo = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val percDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+      import s.implicits._
+      val cks = Seq(100L, 200L, 300L, 400L, 500L).toDF("k")
+      broadcast(cks)
+        .join(percDoc, col("doc_id") < col("k"))
+        .groupBy(col("k")).agg(sum(col("ntok")).as("n_tokens"))
+        .join(broadcast(cks)
+                .join(fo, col("first_doc") < col("k"))
+                .groupBy(col("k")).agg(count(lit(1)).as("vocab")),
+              Seq("k"))
+        .select("k", "n_tokens", "vocab")
+    }),
+    "q679_coverage_k" -> ((s, dir) => {
+      // Vocabulary coverage-k: the smallest top-k token set covering
+      // 50/80/95% of corpus token mass — the stopword-list sizing and
+      // tokenizer-vocab budgeting question, exact (cum·denominator
+      // cross-multiplied, no percent floats). One vocabulary rollup +
+      // one ordered prefix pass.
+      val tf = Tables.spread(s, rd(s, dir, "documents"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val wv = Window.partitionBy(DimKey.one)
+        .orderBy(col("f").desc, col("tok"))
+      val r = tf
+        .withColumn("rk", row_number().over(wv).cast("long"))
+        .withColumn("cum", sum(col("f")).over(wv))
+        .crossJoin(broadcast(tf.agg(sum(col("f")).as("tot"),
+                                    count(lit(1)).as("vocab"))))
+        .localCheckpoint(false)
+      r.agg(max(col("vocab")).as("vocab"), max(col("tot")).as("n_tokens"),
+            min(when(col("cum") * 10 >= col("tot") * 5, col("rk")))
+              .as("k50"),
+            min(when(col("cum") * 10 >= col("tot") * 8, col("rk")))
+              .as("k80"),
+            min(when(col("cum") * 100 >= col("tot") * 95, col("rk")))
+              .as("k95"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2279,5 +2393,84 @@ object R13Queries {
         |    AS BIGINT) AS n_novel,
         |  CAST((SELECT count(*) FROM te WHERE g NOT IN (SELECT g FROM tr))
         |    * 1000000 // (SELECT count(*) FROM te) AS BIGINT)
-        |    AS novelty_ppm""".stripMargin)
+        |    AS novelty_ppm""".stripMargin,
+    "q676_gain_curve" ->
+      """WITH prior AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS pc
+        |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+        |  GROUP BY 1),
+        |nxt AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS nc
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |j AS (SELECT p.o_custkey, p.pc, coalesce(n.nc, 0) AS nc
+        |  FROM prior p LEFT JOIN nxt n ON n.o_custkey = p.o_custkey),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pc DESC, o_custkey)
+        |    AS rk, count(*) OVER () AS n FROM j),
+        |d AS (SELECT (rk - 1) * 10 // n AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(nc) AS BIGINT) AS next_cents
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(next_cents) AS BIGINT) AS tot FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_cust, next_cents,
+        |  CAST(CASE WHEN tot > 0
+        |    THEN sum(next_cents) OVER (ORDER BY decile) * 1000000 // tot
+        |    ELSE 0 END AS BIGINT) AS cum_capture_ppm
+        |FROM d, t""".stripMargin,
+    "q677_audience_overlap" ->
+      """WITH mc AS (SELECT DISTINCT
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+        |    o_custkey
+        |  FROM orders),
+        |ms AS (SELECT DISTINCT mon FROM mc),
+        |pairs AS (SELECT a.mon AS m1, b.mon AS m2 FROM ms a JOIN ms b
+        |  ON b.mon = a.mon + INTERVAL 1 MONTH),
+        |ov AS (SELECT p.m1, p.m2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM pairs p JOIN mc a ON a.mon = p.m1
+        |  JOIN mc b ON b.mon = p.m2 AND b.o_custkey = a.o_custkey
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT mon, CAST(count(*) AS BIGINT) AS n
+        |  FROM mc GROUP BY 1)
+        |SELECT CAST(year(ov.m1) * 100 + month(ov.m1) AS BIGINT) AS yyyymm,
+        |  sa.n AS n_m1, sb.n AS n_m2, ov.inter,
+        |  CAST(ov.inter * 1000000 // (sa.n + sb.n - ov.inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM ov JOIN sz sa ON sa.mon = ov.m1
+        |JOIN sz sb ON sb.mon = ov.m2""".stripMargin,
+    "q678_heaps_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |fo AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM tok GROUP BY 1),
+        |tokcum AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+        |  FROM tok GROUP BY 1),
+        |cks AS (SELECT CAST(unnest([100, 200, 300, 400, 500]) AS BIGINT)
+        |  AS k)
+        |SELECT k,
+        |  CAST((SELECT sum(ntok) FROM tokcum WHERE doc_id < k) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST((SELECT count(*) FROM fo WHERE first_doc < k) AS BIGINT)
+        |    AS vocab
+        |FROM cks""".stripMargin,
+    "q679_coverage_k" ->
+      """WITH tok AS (SELECT
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM tok GROUP BY 1),
+        |r AS (SELECT tok, f,
+        |    row_number() OVER (ORDER BY f DESC, tok) AS rk,
+        |    sum(f) OVER (ORDER BY f DESC, tok) AS cum,
+        |    (SELECT sum(f) FROM tf) AS tot FROM tf)
+        |SELECT CAST((SELECT count(*) FROM tf) AS BIGINT) AS vocab,
+        |  CAST(max(tot) AS BIGINT) AS n_tokens,
+        |  CAST((SELECT min(rk) FROM r WHERE cum * 10 >= tot * 5)
+        |    AS BIGINT) AS k50,
+        |  CAST((SELECT min(rk) FROM r WHERE cum * 10 >= tot * 8)
+        |    AS BIGINT) AS k80,
+        |  CAST((SELECT min(rk) FROM r WHERE cum * 100 >= tot * 95)
+        |    AS BIGINT) AS k95
+        |FROM r""".stripMargin)
 }
