@@ -30,8 +30,8 @@ object R13Queries {
   /** Canonical (src < dst) nation trade edges with shipment counts — the
     * R12 tradeEdges contract, rebuilt here for the R13 graph tier.
     */
-  private def tradeArcs(s: SparkSession, dir: String,
-                        minCount: Long): DataFrame = {
+  private[graft] def tradeArcs(s: SparkSession, dir: String,
+                               minCount: Long): DataFrame = {
     val li = rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
@@ -574,8 +574,10 @@ object R13Queries {
                 .withColumnRenamed("par", "pa"), Seq("src"))
         .join(hops.withColumnRenamed("node", "dst")
                 .withColumnRenamed("par", "pb"), Seq("dst"))
-        .agg(sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
-               .as("n_odd_edges"))
+        // coalesce: an EMPTY graph (sf0.001's >=300 cut) must report 0
+        // odd edges / bipartite=true, not NULL (sum over zero rows)
+        .agg(coalesce(sum(when(col("pa") === col("pb"), 1L).otherwise(0L)),
+                      lit(0L)).as("n_odd_edges"))
       cc.agg(countDistinct(col("cluster_id")).as("n_components"),
              count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))

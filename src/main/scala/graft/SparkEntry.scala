@@ -71,7 +71,7 @@ object SparkEntry {
                 updatedAtCol = "l_shipdate"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries
+    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries ++ R14Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- SCD2 (SURVEY §2: S1-S4, P1-P7, J1-J4, D1/D4, W1-W7, U1) ---------
@@ -8409,7 +8409,7 @@ object SparkEntry {
         |FROM o GROUP BY 1""".stripMargin
   )
 
-  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ R8Queries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql ++ R13Queries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ R8Queries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql ++ R13Queries.oracleSql ++ R14Queries.oracleSql ++ Map(
     // q198: the store after three streamed micro-batches must equal the
     // one-shot rollup over the same rows (merge algebra == full recompute).
     "q198_stream_rollup" ->
@@ -12990,8 +12990,12 @@ object SparkEntry {
        |${(0 until 4).map(b =>
           s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})").mkString(",\n")}
        |]) AS bk FROM mh),
+       |bandsz AS (SELECT doc_id, bk FROM (
+       |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
+       |    FROM bands) z
+       |  WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  FROM bandsz a JOIN bandsz b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
        |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a

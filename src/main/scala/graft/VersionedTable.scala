@@ -67,11 +67,30 @@ object VersionedTable {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Publish the manifest atomically: write a temp file, then rename into
+    * place. Rewriting `_MANIFEST` with create(overwrite) truncated the old
+    * content BEFORE the new bytes landed, so a crash (or a racing reader)
+    * mid-write could observe a truncated-at-a-line-boundary manifest that
+    * still parses as all-digits — silently hiding committed tail versions,
+    * after which the next publish would compute a stale `next` and DELETE a
+    * committed version's directory. With rename, readers only ever see the
+    * old complete manifest or the new complete one; on stores whose rename
+    * refuses an existing destination, the old manifest is deleted first —
+    * the brief no-manifest window degrades to the listing fallback, which
+    * is correct (same pattern as [[graft.plans.ResultCache]]'s publish).
+    */
   private def writeManifest(f: FileSystem, root: String,
                             versions: Seq[Long]): Unit = {
-    val out = f.create(new Path(s"$root/$Manifest"), true)
+    val dst = new Path(s"$root/$Manifest")
+    val tmp = new Path(
+      s"$root/.${Manifest}_tmp_${java.util.UUID.randomUUID().toString}")
+    val out = f.create(tmp, true)
     try out.write(versions.distinct.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, dst)) { // e.g. HDFS: rename refuses existing dst
+      f.delete(dst, false) // missing manifest is SAFE: readers fall back to listing
+      if (!f.rename(tmp, dst)) f.delete(tmp, false)
+    }
   }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
@@ -172,9 +191,22 @@ object VersionedTable {
     next
   }
 
-  /** Default commit stamp: monotone over the previous effective stamp so a
-    * default-stamped commit can never regress an explicitly-stamped table,
-    * and wall clock otherwise (matching Delta-style per-commit timestamps).
+  /** Default commit stamp: max(previous effective stamp, wall clock) —
+    * monotone over the previous effective stamp so a default-stamped commit
+    * can never regress an explicitly-stamped table, and wall clock otherwise
+    * (matching Delta-style per-commit timestamps).
+    *
+    * CONTRACT: stamps are EPOCH MILLIS. A table may be stamped with a
+    * purely logical clock (sequence numbers, data-time offsets) only if
+    * EVERY publish supplies an explicit stamp: one default-stamped publish
+    * raises the effective stamp to wall clock permanently, after which
+    * explicit logical stamps throw the non-decreasing require. This is
+    * deliberate, not an oversight — the alternative (continuing a logical
+    * sequence with prev+1) would place the new commit BELOW as-of times
+    * already answered, retroactively changing `readAsOf(T)` results, which
+    * is the exact non-repeatability the monotone default exists to prevent
+    * (pinned in TableGovernanceSpec "readAsOf answers never change
+    * retroactively").
     */
   private def defaultStamp(f: FileSystem, root: String,
                            committed: Seq[Long]): Long = {
@@ -403,6 +435,9 @@ object VersionedTable {
     * with DATA time and replays are deterministic — wall-clock stamps
     * would make "AS OF" irreproducible across reruns. Stamps must be
     * non-decreasing across publishes (enforced).
+    *
+    * Stamps are epoch millis; tables stamped with a logical clock must
+    * stamp EVERY publish explicitly — see [[defaultStamp]]'s contract.
     */
   def publishStamped(spark: SparkSession, snapshot: DataFrame, root: String,
                      commitMillis: Long): Long = {

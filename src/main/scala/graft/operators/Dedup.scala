@@ -107,10 +107,17 @@ object Dedup {
     val sig = withSh.select(
       col("_id"),
       graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
-    val bandKeys = sig
+    val bandKeys0 = sig
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
+    // same fat-bucket guard as [[candidatesWithOverlap]] — the two candidate
+    // builders must define one relation
+    val bandKeys = bandKeys0
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
+      .filter(col("_bsz") <= DefaultMaxBucket)
+      .drop("_bsz")
     bandKeys.as("a")
       .join(bandKeys.as("b"),
             col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
@@ -156,13 +163,20 @@ object Dedup {
     * banded candidate pair with its exact (overlap, union_size), BEFORE the
     * τ filter — signatures and shingle arrays are computed exactly once.
     */
+  /** Fat-bucket guard threshold shared by the LSH candidate builders AND
+    * the DuckDB oracle CTE (`SparkEntry.MinhashPairsCtesNoToks`): both
+    * engines must define the SAME candidate relation, so the oracle SQL
+    * interpolates this constant rather than restating it.
+    */
+  val DefaultMaxBucket: Int = 1 << 16
+
   private[graft] def candidatesWithOverlap(df: DataFrame,
                                     idCol: String,
                                     textCol: String,
                                     n: Int,
                                     bands: Int,
                                     rows: Int,
-                                    maxBucket: Int = 1 << 16): DataFrame = {
+                                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Materialize the shingle array ONCE as a column: the bands*rows minhash
     // expressions and the verification explode all read the attribute instead
     // of re-deriving tokens->shingles per expression (12x fewer md5-array

@@ -429,6 +429,34 @@ object Graph {
     dist
   }
 
+  /** Longest-path levels of a DAG via `sweeps` relaxation rounds:
+    * lvl(v) ← max(lvl(v), max over arcs (u,v) of lvl(u)+1) from lvl ≡ 0.
+    * With sweeps ≥ the longest path length the fixpoint is the exact
+    * topological LEVEL (the Kahn layer under longest-path ranking — v's
+    * scheduling depth); fewer sweeps = the deterministic partial relax
+    * (the kcore/ssspRelax fixed-sweep contract). One arcs⋈lvl join + one
+    * max rollup per sweep — the relaxation never enumerates paths, which
+    * a dense monotone DAG has exponentially many of; lineage is truncated
+    * periodically. Acyclicity is the caller's contract (e.g. the
+    * monotone src<dst trade orientation).
+    */
+  def longestPathLevels(edges0: DataFrame, sweeps: Int): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+                          col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    var lvl = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().withColumn("lvl", lit(0L)).localCheckpoint(false)
+    for (i <- 1 to sweeps) {
+      val relaxed = lvl.as("l").join(e.as("e"), col("l.node") === col("e.src"))
+        .select(col("e.dst").as("node"), (col("l.lvl") + lit(1L)).as("lvl"))
+      lvl = lvl.unionAll(relaxed)
+        .groupBy(col("node")).agg(max(col("lvl")).as("lvl"))
+      if (i % 6 == 0 || i == sweeps) lvl = lvl.localCheckpoint(false)
+    }
+    lvl
+  }
+
   /** Fixed-sweep k-core peeling: `sweeps` rounds of "drop every node whose
     * degree in the surviving induced subgraph is < k". Each sweep is two
     * semi-joins (restrict edges to surviving endpoints) + one count — the
@@ -907,14 +935,24 @@ object Graph {
     *
     * Output: (node, bc_ppm, n_pairs_routed) for nodes on ≥1 shortest path.
     */
-  def betweennessExact(edges0: DataFrame): DataFrame = {
+  /** Canonical undirected arc relation of `edges0` (both directions,
+    * distinct), checkpointed for per-round reuse.
+    */
+  private def symArcs(edges0: DataFrame): DataFrame = {
     val base = edges0.select(col("src").cast("long").as("src"),
                              col("dst").cast("long").as("dst"))
       .distinct()
-    val sym = base
+    base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false)
-    val seeds = sym.select(col("src").as("root")).distinct()
+  }
+
+  /** Brandes forward pass from every root in `seeds` (column `root`) in one
+    * level-synchronous sweep: (root, node, d, sigma) for every node reached
+    * — σ summed over parents at first arrival. State ≤ |seeds|·|V| rows,
+    * O(diameter) shuffles.
+    */
+  private def sigmaBfs(sym: DataFrame, seeds: DataFrame): DataFrame = {
     var visited = seeds
       .select(col("root"), col("root").as("node"), lit(0L).as("d"),
               lit(1L).as("sigma")).localCheckpoint(false)
@@ -936,7 +974,13 @@ object Graph {
       frontier = arrivals.select(col("root"), col("node"), col("sigma"))
       live = arrivals.count() > 0L
     }
-    val sig = visited
+    visited
+  }
+
+  def betweennessExact(edges0: DataFrame): DataFrame = {
+    val sym = symArcs(edges0)
+    val seeds = sym.select(col("src").as("root")).distinct()
+    val sig = sigmaBfs(sym, seeds)
     sig.as("a")
       .join(sig.as("b"), col("b.root") === col("a.node"))
       .join(sig.as("st"), col("st.root") === col("a.root") &&
@@ -946,9 +990,116 @@ object Graph {
               col("a.root") =!= col("b.node") &&
               col("a.d") + col("b.d") === col("st.d"))
       .groupBy(col("a.node").as("node"))
-      .agg(sum(expr("a.sigma * b.sigma * 1000000 DIV st.sigma"))
+      // σ_sv·σ_vt grows combinatorially on graphs dense in equal-length
+      // paths; in int64 the product wraps silently past ~9.2e18. Route the
+      // numerator through DECIMAL(38,0) (the round-9 HUGEINT discipline —
+      // q511/q513/q514) so the bound moves to ~1e38, and cast the per-pair
+      // DIV result (≤ 1e6) back to BIGINT for the sum.
+      .agg(sum(expr("CAST(CAST(a.sigma AS DECIMAL(38,0)) * b.sigma" +
+                    " * 1000000 DIV st.sigma AS BIGINT)"))
              .as("bc_ppm"),
            count(lit(1)).as("n_pairs_routed"))
+  }
+
+  /** Sampled-pivot betweenness — the documented scale path past
+    * [[betweennessExact]]'s |V|³ pair join (Brandes & Pich, "Centrality
+    * Estimation in Large Networks", 2007: restrict the pair sum to a pivot
+    * sample and rescale). Pivots are the `k` nodes ranking smallest by
+    * md5("bc-root-" || node) — a deterministic pseudo-random draw both
+    * engines can replay (the suite's md5-residue sampling discipline, q50).
+    *
+    * bc_est_ppm(v) = [Σ over ordered pivot pairs (s,t) ∈ S×S, s≠v≠t, of
+    * σ_sv·σ_tv·10⁶ DIV σ_st when d(s,v)+d(v,t)=d(s,t)] · n(n−1) DIV k(k−1).
+    * σ_vt is read as σ_tv from the t-rooted BFS (undirected symmetry), so
+    * ONLY the k pivot BFS sweeps run: state k·|V| instead of |V|², pair
+    * join k²·|V| instead of |V|³ — cost ∝ pivots, not |V|. With S = V the
+    * estimator is IDENTICAL to the exact operator term-for-term (same
+    * truncation points; scale = 1), which is what the oracle pins.
+    */
+  def betweennessSampled(edges0: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
+    val sym = symArcs(edges0)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val roots = nodes
+      .withColumn("_h", md5(concat(lit("bc-root-"),
+                                   col("node").cast("string"))))
+      .orderBy(col("_h"), col("node")).limit(k)
+      .select(col("node").as("root"))
+    val nTotal = nodes.count()
+    val nPiv = math.min(k.toLong, nTotal)
+    // degenerate graph (< 2 nodes): no pairs exist — empty result, same
+    // shape as betweennessExact's on an empty edge set, never a throw
+    if (nPiv < 2)
+      return nodes.filter(lit(false))
+        .select(col("node"), lit(0L).as("bc_est_ppm"),
+                lit(0L).as("n_pairs_routed"))
+    val sig = sigmaBfs(sym, roots)
+    val pairScale = // n(n-1) / k(k-1), applied numerator-first in decimal
+      s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
+        s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"
+    sig.as("a") // s -> v, s ∈ S
+      .join(sig.as("b"), col("b.node") === col("a.node") && // t -> v, t ∈ S
+                         col("b.root") =!= col("a.root"))
+      .join(sig.as("st"), col("st.root") === col("a.root") &&
+                          col("st.node") === col("b.root"))
+      .filter(col("a.node") =!= col("a.root") &&
+              col("a.node") =!= col("b.root") &&
+              col("a.d") + col("b.d") === col("st.d"))
+      .groupBy(col("a.node").as("node"))
+      .agg(sum(expr("CAST(CAST(a.sigma AS DECIMAL(38,0)) * b.sigma" +
+                    " * 1000000 DIV st.sigma AS BIGINT)"))
+             .as("_partial"),
+           count(lit(1)).as("n_pairs_routed"))
+      .withColumn("bc_est_ppm", expr(pairScale))
+      .select("node", "bc_est_ppm", "n_pairs_routed")
+  }
+
+  /** Sampled-pivot EDGE betweenness — the Girvan–Newman edge-removal
+    * score, estimated with the same pivot machinery as
+    * [[betweennessSampled]]: arc (u, v) lies on an s→t shortest path iff
+    * d(s,u) + 1 + d(v,t) = d(s,t), weighted σ_su·σ_vt·10⁶ DIV σ_st; sum
+    * over ordered pivot pairs (s, t) ∈ S×S, σ_vt read as σ_tv from the
+    * t-rooted BFS (undirected symmetry), rescaled n(n−1) DIV k(k−1).
+    * Both arc directions fold into the canonical (src < dst) edge. Cost:
+    * k pivot BFS sweeps + one |E|·k² join — never |V|³.
+    */
+  def edgeBetweennessSampled(edges0: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
+    val sym = symArcs(edges0)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val roots = nodes
+      .withColumn("_h", md5(concat(lit("bc-root-"),
+                                   col("node").cast("string"))))
+      .orderBy(col("_h"), col("node")).limit(k)
+      .select(col("node").as("root"))
+    val nTotal = nodes.count()
+    val nPiv = math.min(k.toLong, nTotal)
+    if (nPiv < 2)
+      return sym.filter(lit(false))
+        .select(least(col("src"), col("dst")).as("src"),
+                greatest(col("src"), col("dst")).as("dst"),
+                lit(0L).as("eb_est_ppm"), lit(0L).as("n_pairs_routed"))
+    val sig = sigmaBfs(sym, roots)
+    val scale =
+      s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
+        s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"
+    sym.as("e")
+      .join(sig.as("a"), col("a.node") === col("e.src")) // s -> u
+      .join(sig.as("b"), col("b.node") === col("e.dst") && // t -> v
+                         col("b.root") =!= col("a.root"))
+      .join(sig.as("st"), col("st.root") === col("a.root") &&
+                          col("st.node") === col("b.root"))
+      .filter(col("a.d") + lit(1L) === col("st.d") - col("b.d"))
+      .groupBy(least(col("e.src"), col("e.dst")).as("src"),
+               greatest(col("e.src"), col("e.dst")).as("dst"))
+      .agg(sum(expr("CAST(CAST(a.sigma AS DECIMAL(38,0)) * b.sigma" +
+                    " * 1000000 DIV st.sigma AS BIGINT)"))
+             .as("_partial"),
+           count(lit(1)).as("n_pairs_routed"))
+      .withColumn("eb_est_ppm", expr(scale))
+      .select("src", "dst", "eb_est_ppm", "n_pairs_routed")
   }
 
   /** Percolation / connectivity sweep: connected-component structure of a

@@ -596,4 +596,124 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Mixed-corpus container sniffing (round-9 verdict ask)
+  // ------------------------------------------------------------------
+
+  /** One sniffed row of a mixed-container corpus. `format` comes from the
+    * magic bytes alone; `parse_ok` is 0 when the format is unknown OR a
+    * recognized container fails its header parse (truncated, corrupt) —
+    * degraded rows carry zeros in every `hdr_*` field, never an exception:
+    * one bad blob in a 100 TB corpus must not kill the scan.
+    */
+  final case class SniffedFeatures(doc_id: Long,
+                                   format: String,
+                                   parse_ok: Long,
+                                   hdr_width: Int,
+                                   hdr_height: Int,
+                                   hdr_bit_depth: Int,
+                                   hdr_channels: Int,
+                                   hdr_sample_rate: Int,
+                                   hdr_n_samples: Long,
+                                   hdr_duration_ms: Long,
+                                   hdr_orientation: Int)
+
+  /** Magic-byte format sniff ONLY (no parse): png / jpeg / wav / mp4 /
+    * unknown. The dispatch half of [[decode]], split out so unknown
+    * formats can degrade instead of throwing.
+    */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && PngSignature.indices.forall(i => b(i) == PngSignature(i)))
+      "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      "jpeg"
+    else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")
+      "wav"
+    else if (b.length >= 8 && tag(b, 4) == "ftyp")
+      "mp4"
+    else "unknown"
+
+  /** Sniff + best-effort parse of one blob — total (never throws). */
+  def sniffOne(docId: Long, blob: Array[Byte]): SniffedFeatures = {
+    val fmt = sniffFormat(blob)
+    val degraded = SniffedFeatures(docId, fmt, 0L, 0, 0, 0, 0, 0, 0L, 0L, 0)
+    if (fmt == "unknown") degraded
+    else
+      try {
+        val header = fmt match {
+          case "png"  => parsePng(blob)
+          case "jpeg" => parseJpeg(blob)
+          case "wav"  => parseWav(blob)
+          case _      => parseMp4(blob)
+        }
+        header match {
+          case PngHeader(w, h, bd, _) =>
+            SniffedFeatures(docId, fmt, 1L, w, h, bd, 0, 0, 0L, 0L, 0)
+          case JpegHeader(w, h, p, _, _, ori) =>
+            SniffedFeatures(docId, fmt, 1L, w, h, p, 0, 0, 0L, 0L, ori)
+          case WavHeader(ch, sr, bits, ns) =>
+            SniffedFeatures(docId, fmt, 1L, 0, 0, bits, ch, sr, ns, 0L, 0)
+          case Mp4Header(_, dm) =>
+            SniffedFeatures(docId, fmt, 1L, 0, 0, 0, 0, 0, 0L, dm, 0)
+        }
+      } catch { case scala.util.control.NonFatal(_) => degraded }
+
+  }
+
+  /** Batched sniff-dispatch over (doc_id, blob) rows: the ingest front door
+    * for a mixed real-world corpus where PNG, JPEG, WAV, MP4, and plain
+    * junk arrive interleaved. Same no-shuffle `mapPartitions` batch shape
+    * as [[extractFeatures]]; blobs never leave their partition.
+    */
+  def sniffFeatures(blobs: Dataset[(Long, Array[Byte])]): Dataset[SniffedFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { case (id, blob) => sniffOne(id, blob) }
+      }
+    }
+  }
+
+  /** Deterministic MIXED corpus from `documents` + the sniff pass: doc_id
+    * mod 5 rotates the container (png / jpeg / wav / mp4 / raw text bytes
+    * — the .txt file every real media crawl contains), and every 31st
+    * media row is TRUNCATED to its first 12 bytes (every magic intact —
+    * WAV's spans bytes 8–11 — header gone) to exercise the
+    * recognized-but-corrupt degrade path under the oracle gate. Header parameters reuse the [[fromDocuments]] /
+    * [[jpegFeaturesFromDocuments]] text-derived formulas so the oracle
+    * recomputes every field independently.
+    */
+  def sniffFeaturesFromMixedDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blobs = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+              encode(col("text"), "UTF-8").as("data"),
+              length(col("text")).cast("int").as("chars"),
+              floor(length(col("text")).cast("long") * 1000L / 8000L)
+                .cast("long").as("duration_ms"))
+      .as[(Long, Array[Byte], Int, Long)]
+      .map { case (id, data, chars, durMs) =>
+        val container = (id % 5) match {
+          case 0 => buildPng(16 + chars % 64, 16 + chars % 48,
+                             bitDepth = 8, colorType = 2, data)
+          case 1 => buildJpeg(16 + chars % 64, 16 + chars % 48,
+                              orientation = 1 + chars % 8,
+                              progressive = id % 2 == 0, payload = data)
+          case 2 => buildWav(channels = 1 + chars % 2,
+                             sampleRate = 8000 + (chars % 8) * 1000,
+                             bitsPerSample = 8, data)
+          case 3 => buildMp4(timescale = 1000, duration = durMs, data)
+          case _ => data // raw text bytes: no container, no magic
+        }
+        val blob =
+          if (id % 31 == 0 && id % 5 != 4)
+            java.util.Arrays.copyOfRange(container, 0, 12)
+          else container
+        (id, blob)
+      }
+    sniffFeatures(blobs).toDF()
+  }
 }

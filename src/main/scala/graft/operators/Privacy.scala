@@ -120,4 +120,25 @@ object Privacy {
         expr("_sd * 1000000L DIV (2L * _ng * _N)").as("tvd_ppm")): _*)
       .withColumn("breach", col("tvd_ppm") > tPpm)
   }
+
+  /** Distinct l-diversity audit: per quasi-identifier class, the class
+    * size and the number of DISTINCT sensitive values — a k-anonymous
+    * class whose members all share one sensitive value still leaks it
+    * (the homogeneity attack k-anonymity misses; l-diversity is the
+    * standard fix between [[kAnonymize]] and the distribution-shape
+    * [[tCloseness]]). `meets` = distinct count ≥ l.
+    *
+    * One rollup to (class, sensitive) grain then to class grain — both
+    * combine-enabled, output class-count-sized at any corpus scale.
+    */
+  def lDiversity(df: DataFrame, qidCols: Seq[String],
+                 sensitive: Column, l: Long): DataFrame = {
+    val qs = qidCols.map(col)
+    df.select(qs :+ sensitive.as("_sv"): _*)
+      .groupBy(qs :+ col("_sv"): _*).agg(count(lit(1)).as("_n"))
+      .groupBy(qs: _*)
+      .agg(sum(col("_n")).as("class_size"),
+           count(lit(1)).as("n_distinct_sensitive"))
+      .withColumn("meets_l", col("n_distinct_sensitive") >= l)
+  }
 }

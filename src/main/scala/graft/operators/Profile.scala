@@ -569,4 +569,62 @@ object Profile {
           .drop(s"_cs_p_$m")
     }.drop("_cs_cell")
   }
+
+  /** Functional-dependency error profiling for candidate A → B pairs: the
+    * standard g3 measure — the minimum number of rows to delete so the FD
+    * holds, = n − Σ over A-groups of the majority-B count — in exact ppm,
+    * plus the violating-group count. The schema-discovery complement of
+    * inclusion-dependency profiling (q538): INDs propose foreign keys,
+    * FDs propose normalization/defect rules. One (A, B) rollup per
+    * candidate (combine-enabled, two-column projection pushed to the
+    * scan), then group-grain windows.
+    */
+  def fdStrength(df: DataFrame,
+                 candidates: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    candidates.map { case (a, b) =>
+      val ab = df.groupBy(col(a).as("_a"), col(b).as("_b"))
+        .agg(count(lit(1)).as("_n"))
+      ab.groupBy(col("_a"))
+        .agg(sum(col("_n")).as("_ng"), max(col("_n")).as("_maj"),
+             count(lit(1)).as("_nb"))
+        .agg(lit(s"$a->$b").as("fd"),
+             sum(col("_ng")).as("n_rows"),
+             count(lit(1)).as("n_lhs_groups"),
+             sum(when(col("_nb") > 1, 1L).otherwise(0L))
+               .as("n_violating_groups"),
+             (sum(col("_ng")) - sum(col("_maj"))).as("g3_rows"))
+        .withColumn("g3_ppm", expr("g3_rows * 1000000L DIV n_rows"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Physical-encoding advisor: per column, the exact inputs a columnar
+    * writer's encoding chooser needs — row count, NDV (dictionary size),
+    * and the RLE run count under the table's clustered write order
+    * (runs counted WITHIN `clusterCol` groups ordered by `orderCol`, the
+    * distributed formulation: run boundaries never cross a cluster key,
+    * so no global sort and no single-partition window). The column value
+    * itself is the final sort tiebreaker — (cluster, order) need not be
+    * unique, and with equal values grouped the run count is well-defined
+    * under ANY tie order. dict_ppm = ndv/n, rle_ppm = runs/n — lower is
+    * more compressible.
+    */
+  def encodingAdvisor(df: DataFrame, clusterCol: String, orderCol: String,
+                      cols: Seq[String]): DataFrame = {
+    cols.map { c =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(clusterCol)).orderBy(col(orderCol), col(c))
+      df.select(col(clusterCol), col(orderCol), col(c))
+        .withColumn("_prev", lag(col(c), 1).over(w))
+        .withColumn("_brk",
+          when(col("_prev").isNull || !(col("_prev") <=> col(c)), 1L)
+            .otherwise(0L))
+        .agg(lit(c).as("column_name"),
+             count(lit(1)).as("n_rows"),
+             countDistinct(col(c)).as("ndv"),
+             sum(col("_brk")).as("n_runs"))
+        .withColumn("dict_ppm", expr("ndv * 1000000L DIV n_rows"))
+        .withColumn("rle_ppm", expr("n_runs * 1000000L DIV n_rows"))
+    }.reduce(_.unionByName(_))
+  }
 }

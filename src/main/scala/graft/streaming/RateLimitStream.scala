@@ -38,10 +38,18 @@ object RateLimitStream extends Serializable {
       .sortBy(e => (SessionStream.micros(e.ts), e.event_id))
       .map { e =>
         val p = SessionStream.micros(e.ts)
-        val refill = if (st.p < 0) 0L else (p - st.p) / refillUs
+        // Cross-batch out-of-order guard: an event older than the stored
+        // bucket clock must not produce a NEGATIVE refill (draining tokens
+        // without an admission) nor rewind st.p (the next in-order event
+        // would then double-count the elapsed interval and mint tokens no
+        // ordering of the feed would grant). Clamp the refill at zero and
+        // keep the clock monotone — the stale event is charged against
+        // current state, which is the documented arrival-order policy.
+        val refill =
+          if (st.p < 0) 0L else math.max(0L, (p - st.p) / refillUs)
         val tk = math.min(capMilli, st.tk + refill)
         val accepted = tk >= costMilli
-        st = Bucket(p, if (accepted) tk - costMilli else tk)
+        st = Bucket(math.max(st.p, p), if (accepted) tk - costMilli else tk)
         Decision(user, e.event_id, accepted)
       }
     state.update(st)

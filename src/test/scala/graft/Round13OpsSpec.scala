@@ -118,6 +118,35 @@ class Round13OpsSpec extends SparkTestBase {
     assert(got(5L) && !got(6L)) // one refill after 2h, not two
   }
 
+  test("RateLimitStream: cross-batch out-of-order event cannot drain or rewind the bucket") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val H = 3600000L
+    // batch 1: event at t=8h (accepted; clock -> 8h, 1000 milli left).
+    // batch 2: LATE event at t=0 — before the clamp this minted a NEGATIVE
+    // refill (-4000 milli: rejected with tokens drained) and rewound the
+    // clock to 0, so batch 3's event at t=10h re-counted the whole 10h.
+    // Clamped + monotone: the late event is charged at current state
+    // (accepted, 0 left), clock stays 8h, and t=10h refills exactly 2h.
+    val feed = Seq(
+      Seq((1L, ts(8L * H), 1L)),
+      Seq((1L, ts(0L), 2L)),
+      Seq((1L, ts(10L * H), 3L), (1L, ts(10L * H + 60000L), 4L)))
+    val src = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = RateLimitStream.decisions(
+        src.toDF().toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("rl_ooo")
+      .outputMode("append").start()
+    try {
+      feed.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("rl_ooo").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("greedyMatching: equal weights resolve by (x, y) in BOTH paths") {
     val g = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L), (4L, 5L, 5L))
       .toDF("x", "y", "w")

@@ -88,6 +88,53 @@ class ScdStreamSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.get(1)))
     assert(k1.toSeq === Seq(("new", null), ("active", 7)))
   }
+
+  test("versioned sink: a re-delivered micro-batch is SKIPPED, not re-merged") {
+    val session = spark
+    import session.implicits._
+
+    val cfg = ScdConfig(uniqueKey = Seq("customer_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-idem").toString + "/dim"
+
+    val b0 = Seq(Ev(1, "new", ts("2025-01-01 00:00:00"))).toDF()
+    val b1 = Seq(Ev(1, "active", ts("2025-01-02 00:00:00"))).toDF()
+
+    // batch 0 then batch 1, each publishing with its token
+    assert(ScdStream.applyVersionedBatch(spark, b0, root, cfg, "qA_0"))
+    assert(ScdStream.applyVersionedBatch(spark, b1, root, cfg, "qA_1"))
+    val vAfter = VersionedTable.latestVersion(spark, root)
+    val rowsAfter = VersionedTable.read(spark, root).count()
+
+    // at-least-once replay of batch 1 (sink committed, checkpoint didn't):
+    // token matches the latest version -> NO merge, NO new version
+    assert(!ScdStream.applyVersionedBatch(spark, b1, root, cfg, "qA_1"))
+    assert(VersionedTable.latestVersion(spark, root) === vAfter)
+    assert(VersionedTable.read(spark, root).count() === rowsAfter)
+
+    // a DIFFERENT query's batch 1 (fresh checkpoint restarts ids at 0 but
+    // the query id differs) is NOT mistaken for a replay
+    assert(ScdStream.applyVersionedBatch(spark, b1, root, cfg, "qB_1"))
+    assert(VersionedTable.latestVersion(spark, root) === vAfter.map(_ + 1))
+
+    // end-to-end through the foreachBatch writer: restarting from the SAME
+    // checkpoint re-delivers the last batch; version count must not grow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-stream-idem2").toString
+    val root2 = s"$dir2/dim"
+    val src = MemoryStream[Ev]
+    val q1 = ScdStream
+      .scdSinkVersioned(src.toDF(), root2, cfg, s"$dir2/ckpt").start()
+    try {
+      src.addData(Seq(Ev(1, "new", ts("2025-01-01 00:00:00"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val v1 = VersionedTable.latestVersion(spark, root2)
+    assert(v1.nonEmpty)
+    assert(VersionedTable.latestAppliedBatchToken(spark, root2)
+             .exists(_.endsWith("_0")))
+  }
 }
 
 /** Streaming fixture row (top-level for encoder derivation). */
