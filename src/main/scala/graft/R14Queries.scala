@@ -656,6 +656,315 @@ object R14Queries {
                   .as("funnel_level"),
                 col("n_events"))
     }),
+    "q703_vopt_histogram" -> ((s, dir) => {
+      // V-optimal histogram construction (the optimizer-stats DP): order
+      // totals on a 24-cell value grid, dp[b][i] = min split of cells 1..i
+      // into ≤ b buckets minimizing the n-SCALED SSE (n·Σx² − (Σx)² per
+      // segment — cross-multiplied, division-free, deterministic); the
+      // corpus collapses to 24 sufficient-stat cells BEFORE the DP, so
+      // the cubic-in-cells recursion is free at any scale. Emitted for
+      // b = 1..4 as the error-vs-buckets ladder; > int64 → DECIMAL(38,0),
+      // VARCHAR on the wire. python-sim validated.
+      val g = rd(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) DIV 1000")
+                  .as("v"))
+      val b = g.agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"))
+      val cellAgg = g.crossJoin(broadcast(b))
+        .select(expr("least(CAST(((v - _lo) * 24) DIV " +
+                     "greatest(_hi - _lo + 1, 1L) AS INT), 23)").as("cell"),
+                col("v"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+             sum(col("v") * col("v")).as("ssv"))
+      val pre = s.range(0, 24).select(col("id").cast("int").as("cell"))
+        .join(cellAgg, Seq("cell"), "left")
+        .na.fill(0L, Seq("n", "sv", "ssv"))
+        .select(col("cell"),
+                sum(col("n")).over(Window.partitionBy(DimKey.one)
+                  .orderBy(col("cell"))).as("cn"),
+                sum(col("sv")).over(Window.partitionBy(DimKey.one)
+                  .orderBy(col("cell"))).as("cs"),
+                sum(col("ssv")).over(Window.partitionBy(DimKey.one)
+                  .orderBy(col("cell"))).as("css"))
+      val seg = (i: String, j: String) =>
+        s"CAST(element_at(cn, $i) - element_at(cn, $j) AS DECIMAL(38,0)) * " +
+          s"(element_at(css, $i) - element_at(css, $j)) - " +
+          s"CAST(element_at(cs, $i) - element_at(cs, $j) AS DECIMAL(38,0)) * " +
+          s"(element_at(cs, $i) - element_at(cs, $j))"
+      val step = (prev: String) =>
+        s"transform(sequence(1, 24), i -> array_min(transform(sequence(1, i), " +
+          s"j -> IF(j < i, element_at($prev, j) + (${seg("i", "j")}), " +
+          s"element_at($prev, i)))))"
+      pre.agg(
+          expr("transform(array_sort(collect_list(struct(cell, cn))), x -> x.cn)")
+            .as("cn"),
+          expr("transform(array_sort(collect_list(struct(cell, cs))), x -> x.cs)")
+            .as("cs"),
+          expr("transform(array_sort(collect_list(struct(cell, css))), x -> x.css)")
+            .as("css"))
+        .withColumn("dp1", expr(
+          "transform(sequence(1, 24), i -> " +
+            "CAST(element_at(cn, i) AS DECIMAL(38,0)) * element_at(css, i) - " +
+            "CAST(element_at(cs, i) AS DECIMAL(38,0)) * element_at(cs, i))"))
+        .withColumn("dp2", expr(step("dp1")))
+        .withColumn("dp3", expr(step("dp2")))
+        .withColumn("dp4", expr(step("dp3")))
+        .select(explode(expr(
+          "array(named_struct('n_buckets', 1L, 'nscaled_sse', CAST(element_at(dp1, 24) AS STRING)), " +
+            "named_struct('n_buckets', 2L, 'nscaled_sse', CAST(element_at(dp2, 24) AS STRING)), " +
+            "named_struct('n_buckets', 3L, 'nscaled_sse', CAST(element_at(dp3, 24) AS STRING)), " +
+            "named_struct('n_buckets', 4L, 'nscaled_sse', CAST(element_at(dp4, 24) AS STRING)))"))
+          .as("r"))
+        .select(col("r.n_buckets").as("n_buckets"),
+                col("r.nscaled_sse").as("nscaled_sse"))
+    }),
+    "q704_compaction_ffd" -> ((s, dir) => {
+      // Small-file compaction planning: first-fit-decreasing bin packing
+      // of (brand, month) file sizes into 3×max-size target files — the
+      // lakehouse OPTIMIZE planner. The file LIST is metadata-sized (the
+      // corpus only produces the sizes), so the sequential FFD fold is a
+      // driver-free single-row aggregate() both engines replay; first-fit
+      // search is an index filter over current bin loads. python-sim
+      // validated; Spark guards sequence(1,0) descent on the empty state.
+      val f = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(expr("concat(p_brand, '/', CAST(date_trunc('month', " +
+                      "l_shipdate) AS DATE))").as("fk"))
+        .agg(count(lit(1)).as("sz"))
+      f.crossJoin(broadcast(f.agg((lit(3L) * max(col("sz"))).as("_cap"))))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+               "'negsz', -sz, 'fk', fk, 'sz', sz, '_cap', _cap)))")
+               .as("items"),
+             max(col("_cap")).as("_cap"))
+        .withColumn("bins", expr(
+          "aggregate(items, CAST(array() AS ARRAY<BIGINT>), (bins, it) -> " +
+            "IF(size(bins) = 0, array(it.sz), " +
+            "IF(size(filter(sequence(1, size(bins)), x -> " +
+            "element_at(bins, x) + it.sz <= it._cap)) = 0, " +
+            "concat(bins, array(it.sz)), " +
+            "transform(sequence(1, size(bins)), x -> " +
+            "IF(x = element_at(filter(sequence(1, size(bins)), y -> " +
+            "element_at(bins, y) + it.sz <= it._cap), 1), " +
+            "element_at(bins, x) + it.sz, element_at(bins, x))))))"))
+        .select(col("_cap"), posexplode(col("bins")).as(Seq("p", "bin_load")))
+        .select((col("p") + 1L).cast("long").as("bin_id"), col("bin_load"),
+                expr("bin_load * 1000000 DIV _cap").as("fill_ppm"))
+    }),
+    "q705_feature_hash_audit" -> ((s, dir) => {
+      // Feature-hashing collision audit: the uni+bigram type space hashed
+      // to 256 buckets (md5 — both engines replay the draw); census by
+      // bucket load k: how many buckets hold k types and how much token
+      // MASS sits in colliding buckets — the exact signal for sizing a
+      // hashing-trick feature space. Vocabulary-sized after one rollup.
+      val ws = Tables.spread(s, rd(s, dir, "documents"))
+        .select(split(lower(col("text")), " ").as("ws"))
+      val uni = ws.select(explode(col("ws")).as("t"))
+        .filter(length(col("t")) > 0)
+      val bi = ws.select(explode(expr(
+          "IF(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"))
+          .as("t"))
+        .filter(expr("t NOT LIKE ' %' AND t NOT LIKE '% ' AND length(t) > 1"))
+      val tf = uni.unionByName(bi)
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        .withColumn("bkt", expr(
+          "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 256"))
+      val bkts = tf.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("mass"))
+      bkts.crossJoin(broadcast(bkts.agg(sum(col("mass")).as("_tot"))))
+        .groupBy(col("n_types").as("bucket_load"))
+        .agg(count(lit(1)).as("n_buckets"),
+             expr("CAST(sum(mass) * 1000000 DIV max(_tot) AS BIGINT)")
+               .as("mass_ppm"))
+    }),
+    "q706_shuffle_skew" -> ((s, dir) => {
+      // Shuffle-skew advisor: simulate the 32-way hash partitioning (md5
+      // residue — engine-portable, replayed by the oracle) for three
+      // candidate shuffle keys and publish max/min partition load and the
+      // max/mean skew ratio in ppm — the pre-flight check that tells a
+      // 100 TB join whether its key needs salting BEFORE the straggler
+      // materializes. One pass per key over the fact table, 32-row state.
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .localCheckpoint(false)
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+        li.select(lit(k).as("key_col"),
+                  expr(s"CAST(conv(substring(md5(CAST($k AS STRING)), 1, 8), " +
+                       "16, 10) AS BIGINT) % 32").as("bkt"))
+          .groupBy(col("key_col"), col("bkt"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("key_col"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+               max(col("n")).as("max_load"), min(col("n")).as("min_load"))
+          .withColumn("skew_ppm",
+            expr("max_load * n_buckets * 1000000 DIV n_rows"))
+      }.reduce(_ unionByName _)
+    }),
+    "q707_shannon_code" -> ((s, dir) => {
+      // Shannon code lengths WITHOUT logs: ℓ(s) = min k with cnt·2^k ≥ N
+      // (= ⌈log₂ N/cnt⌉, found by integer shift comparison — no float
+      // log), per p_type symbol; Kraft mass 1e6/2^ℓ and per-symbol bit
+      // contribution published — the entropy-coding sizing op beside the
+      // encoding advisor (q689), exact in both engines.
+      val sym = rd(s, dir, "part").groupBy(col("p_type").as("symbol"))
+        .agg(count(lit(1)).as("cnt"))
+      sym.crossJoin(broadcast(sym.agg(sum(col("cnt")).as("_n"))))
+        .withColumn("code_len", expr(
+          "element_at(filter(sequence(1, 40), k -> " +
+            "cnt * shiftleft(1L, k) >= _n), 1)").cast("long"))
+        .select(col("symbol"), col("cnt"), col("code_len"),
+                expr("cnt * code_len").as("bits_contrib"),
+                expr("1000000 DIV shiftleft(1L, CAST(code_len AS INT))")
+                  .as("kraft_ppm"))
+    }),
+    "q708_good_turing" -> ((s, dir) => {
+      // Good–Turing discounts from the bigram frequency-of-frequencies:
+      // r* = (r+1)·N_{r+1}/N_r in milli plus the raw mass share per count
+      // class — the smoothing table an n-gram LM derives before assigning
+      // unseen mass (sibling of Chao1 q624, which sizes the unseen
+      // VOCABULARY; this prices unseen PROBABILITY). fof is count-grain.
+      val ws = Tables.spread(s, rd(s, dir, "documents"))
+        .select(split(lower(col("text")), " ").as("ws"))
+      val tf = ws.select(explode(expr(
+          "IF(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"))
+          .as("t"))
+        .filter(expr("t NOT LIKE ' %' AND t NOT LIKE '% ' AND length(t) > 1"))
+        .groupBy(col("t")).agg(count(lit(1)).as("r"))
+      val fof = tf.groupBy(col("r")).agg(count(lit(1)).as("nr"))
+        .localCheckpoint(false)
+      fof.as("f")
+        .join(fof.select(col("r").as("_r2"), col("nr").as("_nr2")).as("f2"),
+              col("_r2") === col("r") + 1, "left")
+        .crossJoin(broadcast(
+          fof.agg(sum(col("r") * col("nr")).as("_ntok"))))
+        .filter(col("r") <= 10)
+        .select(col("r"), col("nr"),
+                expr("coalesce((r + 1) * _nr2 * 1000 DIV nr, 0L)")
+                  .as("r_star_milli"),
+                expr("r * nr * 1000000 DIV _ntok").as("mass_ppm"))
+    }),
+    "q709_kanon_ladder" -> ((s, dir) => {
+      // k-anonymity generalization ladder: the SAME customer table under
+      // three quasi-identifier coarsenings (exact nation + $500 band →
+      // nation%5 + $2000 band → suppress + $5000 band); per level: class
+      // count, worst k, and the row mass violating k ≥ 5 — the
+      // generalization-lattice walk an anonymization pipeline automates
+      // (q81 k-anon / q684 l-diversity are single rungs of this ladder).
+      val cust = rd(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal")).localCheckpoint(false)
+      Seq(
+        (0, "CAST(c_nationkey AS STRING)",
+         "CAST(CAST(floor(c_acctbal / 500) AS BIGINT) AS STRING)"),
+        (1, "CAST(c_nationkey % 5 AS STRING)",
+         "CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS STRING)"),
+        (2, "'any'",
+         "CAST(CAST(floor(c_acctbal / 5000) AS BIGINT) AS STRING)")
+      ).map { case (lvl, q1, q2) =>
+        cust.groupBy(expr(q1).as("qi1"), expr(q2).as("qi2"))
+          .agg(count(lit(1)).as("k"))
+          .groupBy(lit(lvl.toLong).as("level"))
+          .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+               sum(when(col("k") < 5, col("k")).otherwise(0L))
+                 .as("n_rows_violating_k5"),
+               expr("CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 " +
+                    "DIV sum(k) AS BIGINT)").as("violation_ppm"))
+      }.reduce(_ unionByName _)
+    }),
+    "q710_int8_quant_audit" -> ((s, dir) => {
+      // Int8 symmetric quantization audit for the vector index: per
+      // embedding, max-abs scale over milli-quantized dims, truncating
+      // int8 codes (Spark DIV == sign-folded oracle //), then the EXACT
+      // reconstruction bound max|qv·127 − iv·s| ≤ s, the int-code norm
+      // and saturation — the drift audit before an index serves int8
+      // distances. Bounded to 64 vectors; all-integer.
+      rd(s, dir, "embeddings").filter(col("vec_id") < 64)
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> " +
+                     "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+                  .as("qv"))
+        .withColumn("sc", expr(
+          "greatest(array_max(transform(qv, x -> abs(x))), 1L)"))
+        .withColumn("iv", expr("transform(qv, x -> (x * 127) DIV sc)"))
+        .select(col("vec_id"), col("sc").as("scale_milli"),
+                expr("array_max(transform(sequence(1, size(qv)), i -> " +
+                     "abs(element_at(qv, i) * 127 - element_at(iv, i) * sc)))")
+                  .as("max_err_127milli"),
+                expr("aggregate(transform(iv, x -> x * x), 0L, " +
+                     "(a, b) -> a + b)").as("inorm2"),
+                expr("array_max(transform(iv, x -> abs(x)))").as("imax"))
+    }),
+    "q711_jaro_winkler" -> ((s, dir) => {
+      // Jaro–Winkler string similarity, EXACT: the match pass packs both
+      // used-bitmasks into one BIGINT (mask1·2²⁰ + mask2) so the
+      // sequential greedy matching is a single-value fold both engines
+      // replay bit-for-bit (the oracle's list_reduce is only safe on
+      // scalar states — the packed encoding exists FOR that constraint);
+      // transpositions from the unpacked masks, Jaro as one cross-
+      // multiplied ppm, Winkler prefix boost ℓ·(1e6−J)/10. Classic
+      // vectors (MARTHA/MARHTA 961110 ppm) pinned in the python
+      // reference; vocabulary-sized pair grid, ≥ 0.6 emitted — the ER
+      // similarity stage AFTER q697's phonetic blocking.
+      val code = "1048576" // 2^20 mask packing
+      val v = rd(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("t"))
+        .filter(length(col("t")) > 0).distinct().localCheckpoint(false)
+      v.as("a").join(v.as("b"), col("a.t") < col("b.t"))
+        .select(col("a.t").as("t1"), col("b.t").as("t2"))
+        .withColumn("l1", length(col("t1")).cast("int"))
+        .withColumn("l2", length(col("t2")).cast("int"))
+        .withColumn("w", expr("greatest(greatest(l1, l2) DIV 2 - 1, 0)"))
+        .withColumn("st", expr(
+          "aggregate(sequence(1, l1), 0L, (st, i) -> " +
+            "IF(size(filter(IF(greatest(1, i - w) > least(l2, i + w), array(), " +
+            "sequence(greatest(1, i - w), least(l2, i + w))), " +
+            s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
+            "AND substring(t2, j, 1) = substring(t1, i, 1))) = 0, st, " +
+            s"st + shiftleft(1L, i - 1) * $code + shiftleft(1L, " +
+            "element_at(filter(IF(greatest(1, i - w) > least(l2, i + w), array(), " +
+            "sequence(greatest(1, i - w), least(l2, i + w))), " +
+            s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
+            "AND substring(t2, j, 1) = substring(t1, i, 1)), 1) - 1)))"))
+        .withColumn("m", expr(s"CAST(bit_count(st DIV $code) AS BIGINT)"))
+        .filter(col("m") > 0)
+        .withColumn("t_raw", expr(
+          "IF(m = 0, 0L, " + // belt+braces: optimizer may hoist past the filter
+          "CAST(size(filter(sequence(1, CAST(m AS INT)), k -> " +
+            s"substring(t1, element_at(filter(sequence(1, l1), i -> (st DIV $code DIV shiftleft(1L, i - 1)) % 2 = 1), k), 1) != " +
+            s"substring(t2, element_at(filter(sequence(1, l2), j -> (st % $code DIV shiftleft(1L, j - 1)) % 2 = 1), k), 1))) AS BIGINT))"))
+        .withColumn("jaro_ppm", expr(
+          "IF(m = 0, 0L, " + // same speculative-eval guard as t_raw
+            "(m * m * l2 + m * m * l1 + (m - t_raw DIV 2) * l1 * l2) " +
+            "* 1000000 DIV (3 * l1 * l2 * m))"))
+        .withColumn("pl", expr(
+          "coalesce(array_min(filter(sequence(1, least(4, least(l1, l2))), " +
+            "k -> substring(t1, k, 1) != substring(t2, k, 1))) - 1, " +
+            "least(4, least(l1, l2)))"))
+        .withColumn("jw_ppm",
+          expr("jaro_ppm + pl * (1000000 - jaro_ppm) DIV 10"))
+        .filter(col("jw_ppm") >= 600000)
+        .select(col("t1"), col("t2"), col("m"),
+                expr("t_raw DIV 2").as("transpositions"),
+                col("jaro_ppm"), col("jw_ppm"))
+    }),
+    "q712_lsh_band_sweep" -> ((s, dir) => {
+      // LSH banding-curve sweep: the SAME 12 minhash components re-banded
+      // as (2×6, 4×3, 6×2) — the s-curve tuning table (strict→loose) an
+      // index operator consults before committing a (b, r) choice at
+      // corpus scale. One signature pipeline per config
+      // (Dedup.minhashLshBandingStats: candidates + τ=1/2-verified +
+      // precision from ONE pass); precision 0-guarded for the strict
+      // config's empty candidate set at tiny SFs.
+      val docs = Tables.spread(s, rd(s, dir, "documents"))
+      Seq((2, 6), (4, 3), (6, 2)).map { case (b, r) =>
+        graft.operators.Dedup
+          .minhashLshBandingStats(docs, "doc_id", "text", 3, b, r)
+          .select(lit(s"b${b}r$r").as("config"), col("n_candidates"),
+                  col("n_verified"),
+                  expr("CASE WHEN n_candidates = 0 THEN 0L " +
+                       "ELSE precision_ppm END").as("precision_ppm"))
+      }.reduce(_ unionByName _)
+    }),
     "q681_container_sniff" -> ((s, dir) => {
       // Mixed-corpus container sniffing (round-9 verdict ask): doc_id%5
       // rotates PNG / JPEG / WAV / MP4 / raw-text blobs, every 31st media
@@ -1272,6 +1581,292 @@ object R14Queries {
          |        AS n_events
          |      FROM rk GROUP BY 1) agg
          |  ON agg.user_id = s.user_id AND agg.mi = s.i""".stripMargin,
+    "q703_vopt_histogram" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 1000 AS v
+        |  FROM orders),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM g),
+        |mb AS (SELECT least(CAST(((v - lo) * 24) //
+        |    greatest(hi - lo + 1, 1) AS INT), 23) AS cell, v FROM g, b),
+        |cells AS (SELECT g2.i AS cell, coalesce(n, 0) AS n,
+        |    coalesce(s, 0) AS s, coalesce(ss, 0) AS ss
+        |  FROM generate_series(0, 23) AS g2(i)
+        |  LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+        |    FROM mb GROUP BY 1) q2 ON q2.cell = g2.i),
+        |pre AS (SELECT cell,
+        |  sum(n) OVER (ORDER BY cell) AS cn,
+        |  sum(s) OVER (ORDER BY cell) AS cs,
+        |  sum(ss) OVER (ORDER BY cell) AS css FROM cells),
+        |parr AS MATERIALIZED (SELECT list(cn ORDER BY cell) AS cn,
+        |  list(cs ORDER BY cell) AS cs, list(css ORDER BY cell) AS css
+        |  FROM pre),
+        |st(b2, dp) AS (
+        |  SELECT 1, list_transform(generate_series(1, 24), i ->
+        |     CAST((cn[i]) * (css[i]) - (cs[i]) * (cs[i]) AS HUGEINT))
+        |  FROM parr
+        |  UNION ALL
+        |  SELECT s2.b2 + 1,
+        |    list_transform(generate_series(1, 24), i ->
+        |      list_min(list_transform(generate_series(1, i), j ->
+        |        CASE WHEN j < i THEN s2.dp[j] +
+        |          CAST((p.cn[i] - p.cn[j]) * (p.css[i] - p.css[j])
+        |               - (p.cs[i] - p.cs[j]) * (p.cs[i] - p.cs[j]) AS HUGEINT)
+        |        ELSE s2.dp[i] END)))
+        |  FROM st s2, parr p WHERE s2.b2 < 4)
+        |SELECT CAST(b2 AS BIGINT) AS n_buckets,
+        |  CAST(dp[24] AS VARCHAR) AS nscaled_sse
+        |FROM st""".stripMargin,
+    "q704_compaction_ffd" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT p_brand || '/' ||
+        |      CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
+        |      AS fk,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |rk AS MATERIALIZED (SELECT row_number() OVER (ORDER BY sz DESC, fk)
+        |    AS i, fk, sz,
+        |    (SELECT CAST(3 * max(sz) AS BIGINT) FROM f) AS cap
+        |  FROM f),
+        |st(i, bins) AS (
+        |  SELECT 0, CAST([] AS BIGINT[])
+        |  UNION ALL
+        |  SELECT r.i,
+        |    CASE WHEN len(list_filter(generate_series(1, len(s.bins)),
+        |            x -> s.bins[x] + r.sz <= r.cap)) = 0
+        |         THEN list_append(s.bins, r.sz)
+        |         ELSE list_transform(generate_series(1, len(s.bins)), x ->
+        |           CASE WHEN x = list_filter(generate_series(1, len(s.bins)),
+        |                  y -> s.bins[y] + r.sz <= r.cap)[1]
+        |                THEN s.bins[x] + r.sz ELSE s.bins[x] END)
+        |    END
+        |  FROM st s JOIN rk r ON r.i = s.i + 1)
+        |SELECT CAST(b.x AS BIGINT) AS bin_id, CAST(b.load AS BIGINT)
+        |    AS bin_load,
+        |  CAST(b.load * 1000000 // (SELECT cap FROM rk LIMIT 1) AS BIGINT)
+        |    AS fill_ppm
+        |FROM (SELECT unnest(generate_series(1, len(bins))) AS x,
+        |        unnest(bins) AS load
+        |      FROM st WHERE i = (SELECT max(i) FROM rk)) b""".stripMargin,
+    "q705_feature_hash_audit" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |uni AS (SELECT unnest(ws) AS t FROM w),
+        |bi AS (SELECT ws[i] || ' ' || ws[i + 1] AS t
+        |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT t FROM uni WHERE length(t) > 0
+        |    UNION ALL
+        |    SELECT t FROM bi WHERE t NOT LIKE ' %' AND t NOT LIKE '% '
+        |      AND length(t) > 1)
+        |  GROUP BY 1),
+        |hb AS (SELECT t, freq,
+        |    CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 256 AS BIGINT)
+        |      AS bkt
+        |  FROM tf),
+        |bkts AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(freq) AS BIGINT) AS mass FROM hb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t2 FROM bkts)
+        |SELECT n_types AS bucket_load, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(mass) * 1000000 // (SELECT t2 FROM tot) AS BIGINT)
+        |    AS mass_ppm
+        |FROM bkts GROUP BY 1""".stripMargin,
+    "q706_shuffle_skew" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+        s"""SELECT key_col, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT)
+           |    AS max_load,
+           |  CAST(min(n) AS BIGINT) AS min_load,
+           |  CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+           |    AS skew_ppm
+           |FROM (SELECT '$k' AS key_col,
+           |    CAST(('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 8))::UBIGINT
+           |      % 32 AS BIGINT) AS bkt,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM lineitem GROUP BY 1, 2)
+           |GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "q707_shannon_code" ->
+      """WITH sym AS (SELECT p_type AS symbol, CAST(count(*) AS BIGINT)
+        |    AS cnt FROM part GROUP BY 1),
+        |s2 AS (SELECT symbol, cnt,
+        |    (SELECT CAST(sum(cnt) AS BIGINT) FROM sym) AS n FROM sym),
+        |cl AS (SELECT symbol, cnt,
+        |    CAST(list_min(list_filter(generate_series(1, 40),
+        |      k -> cnt * (1::BIGINT << k) >= n)) AS BIGINT) AS code_len
+        |  FROM s2)
+        |SELECT symbol, cnt, code_len,
+        |  CAST(cnt * code_len AS BIGINT) AS bits_contrib,
+        |  CAST(1000000 // (1::BIGINT << code_len) AS BIGINT) AS kraft_ppm
+        |FROM cl""".stripMargin,
+    "q708_good_turing" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS t
+        |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+        |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM bg
+        |  WHERE t NOT LIKE ' %' AND t NOT LIKE '% ' AND length(t) > 1
+        |  GROUP BY 1),
+        |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS nr FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r * nr) AS BIGINT) AS n FROM fof)
+        |SELECT f.r, f.nr,
+        |  CAST(coalesce((f.r + 1) * f2.nr * 1000 // f.nr, 0) AS BIGINT)
+        |    AS r_star_milli,
+        |  CAST(f.r * f.nr * 1000000 // (SELECT n FROM tot) AS BIGINT)
+        |    AS mass_ppm
+        |FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1
+        |WHERE f.r <= 10""".stripMargin,
+    "q709_kanon_ladder" ->
+      """WITH lv AS (
+        |  SELECT 0 AS lvl, CAST(c_nationkey AS VARCHAR) AS qi1,
+        |    CAST(CAST(floor(c_acctbal / 500) AS BIGINT) AS VARCHAR) AS qi2
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1, CAST(c_nationkey % 5 AS VARCHAR),
+        |    CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 2, 'any',
+        |    CAST(CAST(floor(c_acctbal / 5000) AS BIGINT) AS VARCHAR)
+        |  FROM customer),
+        |cls AS (SELECT lvl, qi1, qi2, CAST(count(*) AS BIGINT) AS k
+        |  FROM lv GROUP BY 1, 2, 3)
+        |SELECT CAST(lvl AS BIGINT) AS level, CAST(count(*) AS BIGINT)
+        |    AS n_classes,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS n_rows_violating_k5,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 // sum(k)
+        |    AS BIGINT) AS violation_ppm
+        |FROM cls GROUP BY 1""".stripMargin,
+    "q710_int8_quant_audit" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 64),
+        |sc AS (SELECT vec_id, qv,
+        |    greatest(list_max(list_transform(qv, x -> abs(x))), 1) AS s
+        |  FROM q),
+        |qi AS (SELECT vec_id, qv, s,
+        |    list_transform(qv, x -> CASE WHEN x * 127 >= 0
+        |        THEN (x * 127) // s ELSE -((-(x * 127)) // s) END) AS iv
+        |  FROM sc)
+        |SELECT vec_id, CAST(s AS BIGINT) AS scale_milli,
+        |  CAST(list_max(list_transform(generate_series(1, len(qv)), i ->
+        |    abs(qv[i] * 127 - iv[i] * s))) AS BIGINT) AS max_err_127milli,
+        |  CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT)
+        |    AS inorm2,
+        |  CAST(list_max(list_transform(iv, x -> abs(x))) AS BIGINT) AS imax
+        |FROM qi""".stripMargin,
+    "q711_jaro_winkler" ->
+      """WITH tok AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS t
+        |  FROM part),
+        |v AS (SELECT t FROM tok WHERE length(t) > 0),
+        |pr AS (SELECT a.t AS t1, b.t AS t2, length(a.t) AS l1,
+        |    length(b.t) AS l2,
+        |    greatest(greatest(length(a.t), length(b.t)) // 2 - 1, 0) AS w
+        |  FROM v a JOIN v b ON a.t < b.t),
+        |fold AS (SELECT t1, t2, l1, l2, w,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      generate_series(1, l1), i -> CAST(i AS BIGINT))),
+        |    (st, i) -> CASE WHEN len(list_filter(
+        |          generate_series(greatest(1, CAST(i AS INT) - w),
+        |                          least(l2, CAST(i AS INT) + w)),
+        |          j -> ((st % 1048576) // (1::BIGINT << (j - 1))) % 2 = 0
+        |               AND substr(t2, j, 1) = substr(t1, CAST(i AS INT), 1)))
+        |        = 0
+        |      THEN st
+        |      ELSE st + (1::BIGINT << (CAST(i AS INT) - 1)) * 1048576
+        |              + (1::BIGINT << (list_filter(
+        |          generate_series(greatest(1, CAST(i AS INT) - w),
+        |                          least(l2, CAST(i AS INT) + w)),
+        |          j -> ((st % 1048576) // (1::BIGINT << (j - 1))) % 2 = 0
+        |               AND substr(t2, j, 1) = substr(t1, CAST(i AS INT), 1))[1]
+        |          - 1))
+        |      END) AS st
+        |  FROM pr),
+        |parts AS (SELECT t1, t2, l1, l2,
+        |    st // 1048576 AS mask1, st % 1048576 AS mask2,
+        |    bit_count(CAST(st // 1048576 AS BIGINT)) AS m
+        |  FROM fold),
+        |tr AS (SELECT t1, t2, l1, l2, m,
+        |    CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(len(list_filter(generate_series(1, m), k ->
+        |      substr(t1, list_filter(generate_series(1, l1),
+        |        i -> (mask1 // (1::BIGINT << (i - 1))) % 2 = 1)[k], 1) <>
+        |      substr(t2, list_filter(generate_series(1, l2),
+        |        j -> (mask2 // (1::BIGINT << (j - 1))) % 2 = 1)[k], 1)))
+        |      AS BIGINT) END AS t_raw
+        |  FROM parts WHERE m > 0),
+        |jr AS (SELECT t1, t2, m, t_raw // 2 AS tt, l1, l2,
+        |    (m * m * l2 + m * m * l1 + (m - t_raw // 2) * l1 * l2) * 1000000
+        |         // (3 * l1 * l2 * m) AS jaro_ppm,
+        |    (SELECT coalesce(min(k2) - 1, least(4, least(l1, l2)))
+        |     FROM unnest(generate_series(1, least(4, least(l1, l2))))
+        |       AS u(k2)
+        |     WHERE substr(t1, k2, 1) <> substr(t2, k2, 1)) AS pl
+        |  FROM tr)
+        |SELECT t1, t2, CAST(m AS BIGINT) AS m,
+        |  CAST(tt AS BIGINT) AS transpositions,
+        |  CAST(jaro_ppm AS BIGINT) AS jaro_ppm,
+        |  CAST(jaro_ppm + pl * (1000000 - jaro_ppm) // 10 AS BIGINT)
+        |    AS jw_ppm
+        |FROM jr WHERE jaro_ppm + pl * (1000000 - jaro_ppm) // 10
+        |  >= 600000""".stripMargin,
+    "q712_lsh_band_sweep" -> {
+      val mins = (0 until 12).map(i =>
+        s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i")
+        .mkString(",\n")
+      val cfg = (tag: String, b: Int, r: Int) => {
+        val bandExprs = (0 until b).map { bb =>
+          val parts = (0 until r).map(j => s"m${bb * r + j}").mkString(" || '|' || ")
+          s"  '$bb:' || md5($parts)"
+        }.mkString(",\n")
+        s"""SELECT '$tag' AS config,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(sum(CASE WHEN overlap * 2 >= (na + nb - overlap)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           |  CAST(CASE WHEN count(*) = 0 THEN 0
+           |    ELSE sum(CASE WHEN overlap * 2 >= (na + nb - overlap)
+           |        THEN 1 ELSE 0 END) * 1000000 // count(*) END AS BIGINT)
+           |    AS precision_ppm
+           |FROM (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS overlap,
+           |    any_value(sx.n) AS na, any_value(sy.n) AS nb
+           |  FROM (
+           |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM (SELECT doc_id, bk FROM (
+           |        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
+           |        FROM (SELECT doc_id, unnest([
+           |$bandExprs
+           |          ]) AS bk FROM mh) z0) z
+           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}) a
+           |    JOIN (SELECT doc_id, bk FROM (
+           |        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
+           |        FROM (SELECT doc_id, unnest([
+           |$bandExprs
+           |          ]) AS bk FROM mh) z0) z
+           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}) b
+           |    ON a.bk = b.bk AND a.doc_id < b.doc_id) c
+           |  JOIN shx x ON x.doc_id = c.doc_a
+           |  JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
+           |  JOIN sizes sx ON sx.doc_id = c.doc_a
+           |  JOIN sizes sy ON sy.doc_id = c.doc_b
+           |  GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH ${SparkEntry.ToksCte},
+         |${SparkEntry.shingleCteFor("sh3", 3)},
+         |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+         |mh AS MATERIALIZED (SELECT doc_id,
+         |$mins
+         |FROM sh3)
+         |${cfg("b2r6", 2, 6)}
+         |UNION ALL
+         |${cfg("b4r3", 4, 3)}
+         |UNION ALL
+         |${cfg("b6r2", 6, 2)}""".stripMargin
+    },
     "q681_container_sniff" ->
       """WITH m AS (SELECT doc_id, length(text) AS chars,
         |    octet_length(encode(text)) AS nb,

@@ -12964,6 +12964,9 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** Distinct n-token shingles, mirroring `Dedup.shingles`. */
+  private[graft] def shingleCteFor(name: String, n: Int): String =
+    shingleCte(name, n)
+
   private def shingleCte(name: String, n: Int): String =
     s"""$name AS (SELECT doc_id,
        |  CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
