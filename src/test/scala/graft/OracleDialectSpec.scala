@@ -10,7 +10,15 @@ class OracleDialectSpec extends SparkTestBase {
   // simulation and have held across rounds of the hash gate. ONLY scalar
   // accumulators may ever be added here — a multi-field struct accumulator
   // is the miscompiling shape regardless of validation at one data point.
-  private val ValidatedScalarListReduce = Set("q324_ema_forecast")
+  private val ValidatedScalarListReduce = Set(
+    "q324_ema_forecast",
+    // round-10: single-VARCHAR state (prev-code ‖ digits), python-validated
+    // against the classic Soundex table
+    "q697_soundex_blocking",
+    // round-10: single-BIGINT state (mask1·2²⁰ + mask2 packed — the packing
+    // exists precisely to keep the accumulator scalar), python-validated
+    // against the classic Jaro-Winkler vectors (MARTHA/MARHTA 961110 ppm)
+    "q711_jaro_winkler")
 
   test("list_reduce in oracles is restricted to validated SCALAR folds (DuckDB miscompiles struct lambdas)") {
     // PERF.md, round-9: a list_reduce fold over a multi-field struct
