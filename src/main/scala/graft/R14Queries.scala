@@ -1840,13 +1840,17 @@ object R14Queries {
            |        FROM (SELECT doc_id, unnest([
            |$bandExprs
            |          ]) AS bk FROM mh) z0) z
-           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}) a
+           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
+           |        AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
+           |          * (SELECT count(*) FROM sh3)) a
            |    JOIN (SELECT doc_id, bk FROM (
            |        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
            |        FROM (SELECT doc_id, unnest([
            |$bandExprs
            |          ]) AS bk FROM mh) z0) z
-           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}) b
+           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
+           |        AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
+           |          * (SELECT count(*) FROM sh3)) b
            |    ON a.bk = b.bk AND a.doc_id < b.doc_id) c
            |  JOIN shx x ON x.doc_id = c.doc_a
            |  JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s

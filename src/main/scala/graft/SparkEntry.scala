@@ -12996,7 +12996,9 @@ object SparkEntry {
        |bandsz AS (SELECT doc_id, bk FROM (
        |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
        |    FROM bands) z
-       |  WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}),
+       |  WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
+       |    AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
+       |      * (SELECT count(*) FROM sh3)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandsz a JOIN bandsz b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |pairs AS (

@@ -111,13 +111,15 @@ object Dedup {
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
-    // same fat-bucket guard as [[candidatesWithOverlap]] — the two candidate
-    // builders must define one relation
+    // same fat-bucket + pair-budget guards as [[candidatesWithOverlap]] —
+    // the two candidate builders must define one relation
     val bandKeys = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
-      .filter(col("_bsz") <= DefaultMaxBucket)
-      .drop("_bsz")
+      .crossJoin(broadcast(withSh.agg(count(lit(1)).as("_ndocs"))))
+      .filter(col("_bsz") <= DefaultMaxBucket &&
+        col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
+      .drop("_bsz", "_ndocs")
     bandKeys.as("a")
       .join(bandKeys.as("b"),
             col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
@@ -170,6 +172,22 @@ object Dedup {
     */
   val DefaultMaxBucket: Int = 1 << 16
 
+  /** Corpus-RELATIVE candidate-pair budget (Stress12 decade-up finding,
+    * round 10): the absolute `DefaultMaxBucket` ceiling is not enough at
+    * 10M+ docs — a 5%-boilerplate corpus grows a ~47k-doc band bucket
+    * that slips UNDER 65536 yet emits ~1.1e9 candidate pairs (observed:
+    * 80 GB of shuffle spill, job death). A bucket of size s costs s²/2
+    * pairs, so the sane invariant is pairs-per-bucket ∝ corpus size:
+    * buckets with s² > factor·n_docs are dropped alongside the absolute
+    * ceiling. factor = 8 ⇒ per-bucket pair cost ≤ 4·n (linear), and the
+    * threshold (√(8n): 63 @ 500 docs, 200 @ 5k, 8.9k @ 10M) sits orders
+    * of magnitude above every real near-dup cluster in the gate corpora
+    * (measured max bucket: 4) while killing the boilerplate bomb at every
+    * decade. Mirrored verbatim in the oracle CTEs — both engines define
+    * one relation.
+    */
+  val PairBudgetFactor: Int = 8
+
   private[graft] def candidatesWithOverlap(df: DataFrame,
                                     idCol: String,
                                     textCol: String,
@@ -207,8 +225,10 @@ object Dedup {
     val bandKeys = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+      .crossJoin(broadcast(withSh.agg(count(lit(1)).as("_ndocs"))))
+      .filter(col("_bsz") <= maxBucket &&
+        col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
+      .drop("_bsz", "_ndocs")
     val candidates = bandKeys.as("a")
       .join(bandKeys.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))

@@ -66,7 +66,10 @@ object Stress12 {
     }
 
     if (which == "all" || which == "minhash") {
-      for (n <- Seq(1000000L, 3000000L, 10000000L)) {
+      val sizes = args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.trim.toLong))
+        .getOrElse(Seq(1000000L, 3000000L, 10000000L))
+      for (n <- sizes) {
         val d = time(f"docs build       n=$n") { val x = docs(n); x.count(); x }
         time(f"minhashLshPairs  n=$n") {
           noop(Dedup.minhashLshPairs(d, "doc_id", "text"))
