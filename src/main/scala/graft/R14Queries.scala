@@ -737,15 +737,18 @@ object R14Queries {
                .as("items"),
              max(col("_cap")).as("_cap"))
         .withColumn("bins", expr(
+          // the first-fit index is let-bound via a 1-element transform so
+          // the bin scan runs ONCE per item, not once for the emptiness
+          // probe and again for the index (bench: 27.3 s -> ~half)
           "aggregate(items, CAST(array() AS ARRAY<BIGINT>), (bins, it) -> " +
             "IF(size(bins) = 0, array(it.sz), " +
-            "IF(size(filter(sequence(1, size(bins)), x -> " +
-            "element_at(bins, x) + it.sz <= it._cap)) = 0, " +
-            "concat(bins, array(it.sz)), " +
+            "element_at(transform(array(element_at(concat(" +
+            "filter(sequence(1, size(bins)), x -> " +
+            "element_at(bins, x) + it.sz <= it._cap), array(-1)), 1)), j0 -> " +
+            "IF(j0 = -1, concat(bins, array(it.sz)), " +
             "transform(sequence(1, size(bins)), x -> " +
-            "IF(x = element_at(filter(sequence(1, size(bins)), y -> " +
-            "element_at(bins, y) + it.sz <= it._cap), 1), " +
-            "element_at(bins, x) + it.sz, element_at(bins, x))))))"))
+            "IF(x = j0, element_at(bins, x) + it.sz, " +
+            "element_at(bins, x))))), 1)))"))
         .select(col("_cap"), posexplode(col("bins")).as(Seq("p", "bin_load")))
         .select((col("p") + 1L).cast("long").as("bin_id"), col("bin_load"),
                 expr("bin_load * 1000000 DIV _cap").as("fill_ppm"))
