@@ -142,6 +142,33 @@ class Round14OpsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH pair budget: a boilerplate bucket over sqrt(8n) is dropped; honest clusters under it survive") {
+    val session = spark
+    import session.implicits._
+    // n = 310 docs -> budget threshold floor(sqrt(8*310)) = 49.
+    // 300 identical docs collide on EVERY band: bucket 300 > 49 (yet far
+    // under the absolute 65536 ceiling) -> the Stress12 bomb shape; all
+    // its C(300,2) pairs must be refused by the SIGNATURE stage.
+    val bomb = (0 until 300).map(i => (i.toLong,
+        "the quick brown fox jumps over the lazy dog again and again")) ++
+      (300 until 310).map(i => (i.toLong, s"unique doc $i with words $i"))
+    val bombPairs = graft.operators.Dedup
+      .minhashLshPairs(bomb.toDF("doc_id", "text"), "doc_id", "text")
+      .count()
+    assert(bombPairs === 0L,
+      s"budget failed to drop the boilerplate bucket: $bombPairs pairs")
+    // 30 identical docs in the same n: 30*30 = 900 <= 8*310 -> the bucket
+    // is a legitimate near-dup cluster and keeps all its pairs
+    val ok = (0 until 30).map(i => (i.toLong,
+        "the quick brown fox jumps over the lazy dog again and again")) ++
+      (30 until 310).map(i => (i.toLong, s"unique doc $i with words $i"))
+    val okPairs = graft.operators.Dedup
+      .minhashLshPairs(ok.toDF("doc_id", "text"), "doc_id", "text")
+      .count()
+    assert(okPairs === 30L * 29 / 2,
+      s"budget bit a legitimate cluster: $okPairs of ${30 * 29 / 2} pairs")
+  }
+
   test("manifest publish is atomic: rename into place, no tmp residue, fallback intact") {
     val session = spark
     import session.implicits._
