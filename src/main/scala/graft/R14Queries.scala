@@ -968,6 +968,30 @@ object R14Queries {
                        "ELSE precision_ppm END").as("precision_ppm"))
       }.reduce(_ unionByName _)
     }),
+    "q713_pack_ladder" -> ((s, dir) => {
+      // Context-length efficiency ladder: the SAME corpus packed at 512 /
+      // 1024 / 2048 token budgets (Packing.packBins, one cumsum window per
+      // lang shard each) → bins, packed mass, waste ppm, ≥95%-full bin
+      // count per budget — the sizing table behind a training run's
+      // context-length choice. Waste can go NEGATIVE (a crossing doc
+      // overfills its bin), so the oracle sign-folds its floor-// to match
+      // DIV; everything after the per-bin rollup is budget-grain.
+      val docs = Tables.spread(s, rd(s, dir, "documents"))
+      Seq(512L, 1024L, 2048L).map { b =>
+        graft.operators.Packing.packBins(docs, "doc_id", "text", b,
+                                         Seq("lang"))
+          .agg(count(lit(1)).as("n_bins"),
+               sum(col("n_docs")).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens"),
+               sum(when(col("fill_ppm") >= 950000, 1L).otherwise(0L))
+                 .as("n_full_bins"))
+          .select(lit(b).as("budget"), col("n_bins"), col("n_docs"),
+                  col("n_tokens"),
+                  expr(s"CAST((n_bins * $b - n_tokens) * 1000000 DIV " +
+                       s"(n_bins * $b) AS BIGINT)").as("waste_ppm"),
+                  col("n_full_bins"))
+      }.reduce(_ unionByName _)
+    }),
     "q681_container_sniff" -> ((s, dir) => {
       // Mixed-corpus container sniffing (round-9 verdict ask): doc_id%5
       // rotates PNG / JPEG / WAV / MP4 / raw-text blobs, every 31st media
@@ -1874,6 +1898,36 @@ object R14Queries {
          |UNION ALL
          |${cfg("b6r2", 6, 2)}""".stripMargin
     },
+    "q713_pack_ladder" ->
+      Seq(512L, 1024L, 2048L).map { b =>
+        s"""SELECT * FROM (
+           |WITH sized AS (SELECT lang, doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           |       END AS nt
+           |  FROM documents),
+           |cum AS (SELECT lang, doc_id, nt,
+           |  CAST(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM sized),
+           |per_bin AS (SELECT lang, (c - nt) // $b AS bin_id,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(nt) AS BIGINT) AS n_tokens
+           |  FROM cum GROUP BY 1, 2),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN n_tokens * 1000000 >= 950000 * $b
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS n_full_bins
+           |  FROM per_bin)
+           |SELECT CAST($b AS BIGINT) AS budget, n_bins, n_docs, n_tokens,
+           |  CASE WHEN n_bins * $b - n_tokens >= 0
+           |    THEN CAST((n_bins * $b - n_tokens) * 1000000
+           |         // (n_bins * $b) AS BIGINT)
+           |    ELSE CAST(-((n_tokens - n_bins * $b) * 1000000
+           |         // (n_bins * $b)) AS BIGINT) END AS waste_ppm,
+           |  n_full_bins
+           |FROM agg)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q681_container_sniff" ->
       """WITH m AS (SELECT doc_id, length(text) AS chars,
         |    octet_length(encode(text)) AS nb,
