@@ -27,8 +27,13 @@ object R14Queries {
       // in DECIMAL(38,0). A REAL sampled case (k < |V|), hash-pinned:
       // the oracle replays the identical pivot draw (md5 rank), walk
       // enumeration, per-pair truncation, and rescale.
+      // oracleHopCap = 6: the oracle's walk recursion stops at hop 6
+      // (`w.hop < 6` extends to 6) — the operator asserts every pivot
+      // distance fits under it, so a deeper graph at another SF fails
+      // LOUD instead of hash-mismatching (round-11 ADVICE fix).
       graft.operators.Graph.betweennessSampled(
-        R13Queries.tradeArcs(s, dir, 300L).select("src", "dst"), k = 6)
+        R13Queries.tradeArcs(s, dir, 300L).select("src", "dst"), k = 6,
+        oracleHopCap = Some(6))
     }),
     "q682_stream_versioned_sink" -> ((s, dir) => {
       // scdSinkVersioned's batch-token idempotence under the gate: three
@@ -186,8 +191,10 @@ object R14Queries {
       // q680 pivot draw: arc (u,v) on an s→t geodesic iff d(s,u)+1+d(v,t)
       // = d(s,t), σ-weighted, S×S pair sum, n(n−1) DIV k(k−1) rescale.
       // k BFS sweeps + one |E|·k² join — never |V|³.
+      // oracleHopCap mirrors the q680 diameter contract (ADVICE fix)
       graft.operators.Graph.edgeBetweennessSampled(
-        R13Queries.tradeArcs(s, dir, 300L).select("src", "dst"), k = 6)
+        R13Queries.tradeArcs(s, dir, 300L).select("src", "dst"), k = 6,
+        oracleHopCap = Some(6))
     }),
     "q688_conductance" -> ((s, dir) => {
       // Community conductance of the region partition over the ≥110
@@ -909,9 +916,16 @@ object R14Queries {
       // reference; vocabulary-sized pair grid, ≥ 0.6 emitted — the ER
       // similarity stage AFTER q697's phonetic blocking.
       val code = "1048576" // 2^20 mask packing
+      // length <= 20 ENFORCED, not assumed: the packed-BIGINT encoding is
+      // only valid for tokens up to 20 chars (bit j >= 21 of mask2 would
+      // land in mask1's low bits and corrupt both masks IDENTICALLY in
+      // both engines — a green gate over a statistically wrong value).
+      // TPC-H p_name words satisfy it today; the filter (mirrored in the
+      // oracle) turns the assumption into a contract.
       val v = rd(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("t"))
-        .filter(length(col("t")) > 0).distinct().localCheckpoint(false)
+        .filter(length(col("t")) > 0 && length(col("t")) <= 20)
+        .distinct().localCheckpoint(false)
       v.as("a").join(v.as("b"), col("a.t") < col("b.t"))
         .select(col("a.t").as("t1"), col("b.t").as("t2"))
         .withColumn("l1", length(col("t1")).cast("int"))
@@ -1788,7 +1802,7 @@ object R14Queries {
     "q711_jaro_winkler" ->
       """WITH tok AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS t
         |  FROM part),
-        |v AS (SELECT t FROM tok WHERE length(t) > 0),
+        |v AS (SELECT t FROM tok WHERE length(t) > 0 AND length(t) <= 20),
         |pr AS (SELECT a.t AS t1, b.t AS t2, length(a.t) AS l1,
         |    length(b.t) AS l2,
         |    greatest(greatest(length(a.t), length(b.t)) // 2 - 1, 0) AS w

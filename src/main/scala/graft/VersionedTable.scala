@@ -610,6 +610,16 @@ object VersionedTable {
         val v = s.getPath.getName.stripPrefix(VPrefix).toLong
         if (!keepSet.contains(v)) f.delete(s.getPath, true)
       }
+    // Orphaned manifest temp files: writeManifest publishes via
+    // temp-write + rename, so a crash between create and rename (or a
+    // doubly-failed rename) can strand `._MANIFEST_tmp_<uuid>` at the
+    // root forever — nothing else ever names that uuid again. They are
+    // dead weight (readers only open `_MANIFEST` exactly), so vacuum is
+    // the natural reclaim point, same as uncommitted version dirs.
+    f.listStatus(rootPath).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(s".${Manifest}_tmp_"))
+      .foreach(s => f.delete(s.getPath, false))
     if (manifestVersions(f, root).isDefined)
       writeManifest(f, root, committedVersions(f, root))
   }

@@ -101,9 +101,14 @@ object Dedup {
                            n: Int = 3,
                            bands: Int = 4,
                            rows: Int = 3): DataFrame = {
+    // cached: the bandKeys self-join below reads BOTH sides from this
+    // relation — uncached, the tokenize→shingle→md5 pipeline (the
+    // expensive part) would run twice (round-11 adjudication of the
+    // q424/q38 bench delta; [[minhashLshPairs]] already caches its copy)
     val withSh = df
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .cache()
     val sig = withSh.select(
       col("_id"),
       graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
@@ -112,11 +117,14 @@ object Dedup {
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
     // same fat-bucket + pair-budget guards as [[candidatesWithOverlap]] —
-    // the two candidate builders must define one relation
+    // the two candidate builders must define one relation. _ndocs counts
+    // the RAW id column (column-pruned scan, no shingle work) — counting
+    // the shingle relation forced a full pipeline materialization just to
+    // learn the row count (same count: select preserves cardinality).
     val bandKeys = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
-      .crossJoin(broadcast(withSh.agg(count(lit(1)).as("_ndocs"))))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
       .filter(col("_bsz") <= DefaultMaxBucket &&
         col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
       .drop("_bsz", "_ndocs")
@@ -222,10 +230,15 @@ object Dedup {
     // first, and genuinely-near-dup pairs keep their other bands-1
     // chances to collide. The size rollup rides the same _bk shuffle the
     // join needs anyway.
+    // _ndocs over the RAW id column (round-11 q424/q38 adjudication): the
+    // count subquery broadcasts before the main job, and counting the
+    // cached shingle relation made the driver BLOCK on materializing the
+    // whole tokenize→shingle→md5 cache just to learn the corpus size; a
+    // pruned count over the input reads no text at all.
     val bandKeys = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
-      .crossJoin(broadcast(withSh.agg(count(lit(1)).as("_ndocs"))))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
       .filter(col("_bsz") <= maxBucket &&
         col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
       .drop("_bsz", "_ndocs")

@@ -977,6 +977,28 @@ object Graph {
     visited
   }
 
+  /** Inject a LOUD runtime guard on the σ-BFS distance column: the DuckDB
+    * oracle replays enumerate walks under a hard hop cap (a recursive-CTE
+    * cost bound — walk count grows exponentially in the cap, so it cannot
+    * simply be raised to |V|), which silently drops (root, node) sigma
+    * rows whenever some pivot-to-node shortest distance exceeds the cap —
+    * the gate would then fail as a mysterious hash mismatch while the
+    * operator is correct. Asserted HERE, the same situation fails as an
+    * explicit error naming the violated diameter assumption. `assert_true`
+    * returns NULL on success (every row passes the isNull filter
+    * untouched) and throws on the first violating row.
+    */
+  private def capChecked(sig: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) => sig
+        .withColumn("_dchk", assert_true(col("d") <= c,
+          concat(lit(s"pivot BFS distance exceeds the oracle walk cap $c" +
+            " - regenerate the oracle hop bound for this graph; d="),
+            col("d").cast("string"))))
+        .filter(col("_dchk").isNull).drop("_dchk")
+      case None => sig
+    }
+
   def betweennessExact(edges0: DataFrame): DataFrame = {
     val sym = symArcs(edges0)
     val seeds = sym.select(col("src").as("root")).distinct()
@@ -1016,7 +1038,8 @@ object Graph {
     * estimator is IDENTICAL to the exact operator term-for-term (same
     * truncation points; scale = 1), which is what the oracle pins.
     */
-  def betweennessSampled(edges0: DataFrame, k: Int): DataFrame = {
+  def betweennessSampled(edges0: DataFrame, k: Int,
+                         oracleHopCap: Option[Int] = None): DataFrame = {
     require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
     val sym = symArcs(edges0)
     val nodes = sym.select(col("src").as("node")).distinct()
@@ -1034,7 +1057,7 @@ object Graph {
       return nodes.filter(lit(false))
         .select(col("node"), lit(0L).as("bc_est_ppm"),
                 lit(0L).as("n_pairs_routed"))
-    val sig = sigmaBfs(sym, roots)
+    val sig = capChecked(sigmaBfs(sym, roots), oracleHopCap)
     val pairScale = // n(n-1) / k(k-1), applied numerator-first in decimal
       s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
         s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"
@@ -1064,7 +1087,8 @@ object Graph {
     * Both arc directions fold into the canonical (src < dst) edge. Cost:
     * k pivot BFS sweeps + one |E|·k² join — never |V|³.
     */
-  def edgeBetweennessSampled(edges0: DataFrame, k: Int): DataFrame = {
+  def edgeBetweennessSampled(edges0: DataFrame, k: Int,
+                             oracleHopCap: Option[Int] = None): DataFrame = {
     require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
     val sym = symArcs(edges0)
     val nodes = sym.select(col("src").as("node")).distinct()
@@ -1081,7 +1105,7 @@ object Graph {
         .select(least(col("src"), col("dst")).as("src"),
                 greatest(col("src"), col("dst")).as("dst"),
                 lit(0L).as("eb_est_ppm"), lit(0L).as("n_pairs_routed"))
-    val sig = sigmaBfs(sym, roots)
+    val sig = capChecked(sigmaBfs(sym, roots), oracleHopCap)
     val scale =
       s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
         s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"

@@ -504,7 +504,8 @@ object Profile {
               col("_W").as("total_weight"))
   }
 
-  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
+  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "fdViolations: at least one (lhs, rhs) FD pair required")
     fds.map { case (lhs, rhs) =>
       df.groupBy(col(lhs))
         .agg(countDistinct(col(rhs)).as("_ndv"))
@@ -516,6 +517,7 @@ object Profile {
         .withColumn("violation_ppm",
                     expr("n_violating * 1000000L DIV n_lhs"))
     }.reduce(_ unionByName _)
+  }
 
   /** Scale-safe exact running sums over a value-ordered relation: for each
     * row, the cumulative (inclusive) sum of every column in `measures`
@@ -581,6 +583,8 @@ object Profile {
     */
   def fdStrength(df: DataFrame,
                  candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty,
+            "fdStrength: at least one (a, b) candidate FD required")
     val spark = df.sparkSession
     candidates.map { case (a, b) =>
       val ab = df.groupBy(col(a).as("_a"), col(b).as("_b"))
@@ -611,6 +615,7 @@ object Profile {
     */
   def encodingAdvisor(df: DataFrame, clusterCol: String, orderCol: String,
                       cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "encodingAdvisor: at least one column required")
     cols.map { c =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(clusterCol)).orderBy(col(orderCol), col(c))
