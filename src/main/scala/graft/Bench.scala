@@ -11,6 +11,29 @@ import org.apache.spark.sql.SparkSession
   * production runs.
   */
 object Bench {
+  /** The `moved` JSON fragment: short query keys whose current value grew
+    * > 1.3x AND > 0.5 s absolute over the same key in a prior round's
+    * bench JSON (`priorTxt` — either the raw one-line stdout form or the
+    * driver's pretty-printed re-serialization). The prior file's third
+    * tier keeps only the slowest ~80 entries, so absence of a key is NOT
+    * evidence of movement — only shared keys are compared.
+    */
+  private[graft] def movedList(priorTxt: String,
+                               current: Seq[(String, Double)]): String = {
+    val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(priorTxt).map(_.group(1)).getOrElse("")
+    val prev = """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val ms = current.collect {
+      case (k, cur)
+          if prev.get(k).exists(pv => cur > 1.3 * pv && cur - pv > 0.5) =>
+        k
+    }
+    if (ms.isEmpty) "[]"
+    else if (ms.size > 40) s""""n>40""""
+    else ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -192,8 +215,35 @@ object Bench {
         .map(i => "\"" + (if (useShort) shortKey(prefixes(i))
                           else ordered(i)._1) + "\"")
         .mkString("[", ",", "]")
+    // Round-over-round movement disclosure (round-10 verdict ask): the
+    // `contended` rule (both passes in flagged canary windows) misses
+    // clean-box regressions entirely — three r10 queries moved >30% with
+    // `contended:[]` and each cost a manual quiet-box protocol run. Emit
+    // `moved`: queries shared with the newest BENCH_r*.json in cwd whose
+    // value grew >1.3x AND >0.5s absolute (sub-second jitter excluded) —
+    // the exact candidate list the adjudication protocol starts from, now
+    // machine-made. Parsing is a 12-line regex over the prior line's
+    // `"queries":{...}` map (short keys are the bare query numbers);
+    // anything unexpected (no prior file, tier-3 truncation, renamed keys)
+    // degrades to [] rather than failing the bench.
+    val moved: String = try {
+      val prior = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+        .lastOption
+      prior match {
+        case None => "[]"
+        case Some(f) =>
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          movedList(txt, results.zip(prefixes).map {
+            case ((_, cur), p) => shortKey(p) -> cur
+          })
+      }
+    } catch { case _: Throwable => "[]" }
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
@@ -210,7 +260,7 @@ object Bench {
       else {
         val top = results.zip(prefixes)
           .sortBy { case ((k, v), _) => (-v, k) }.take(80)
-        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
       }
     println(out)
     spark.stop()
