@@ -915,53 +915,23 @@ object R14Queries {
       // vectors (MARTHA/MARHTA 961110 ppm) pinned in the python
       // reference; vocabulary-sized pair grid, ≥ 0.6 emitted — the ER
       // similarity stage AFTER q697's phonetic blocking.
-      val code = "1048576" // 2^20 mask packing
       // length <= 20 ENFORCED, not assumed: the packed-BIGINT encoding is
       // only valid for tokens up to 20 chars (bit j >= 21 of mask2 would
       // land in mask1's low bits and corrupt both masks IDENTICALLY in
       // both engines — a green gate over a statistically wrong value).
       // TPC-H p_name words satisfy it today; the filter (mirrored in the
-      // oracle) turns the assumption into a contract.
+      // oracle) turns the assumption into a contract, and the fold itself
+      // (round 11: shared with Linkage.jaroWinklerPairs via
+      // Linkage.withJaroWinklerPpm) re-asserts it row-level.
       val v = rd(s, dir, "part")
         .select(explode(split(col("p_name"), " ")).as("t"))
         .filter(length(col("t")) > 0 && length(col("t")) <= 20)
         .distinct().localCheckpoint(false)
-      v.as("a").join(v.as("b"), col("a.t") < col("b.t"))
+      val pairs = v.as("a").join(v.as("b"), col("a.t") < col("b.t"))
         .select(col("a.t").as("t1"), col("b.t").as("t2"))
-        .withColumn("l1", length(col("t1")).cast("int"))
-        .withColumn("l2", length(col("t2")).cast("int"))
-        .withColumn("w", expr("greatest(greatest(l1, l2) DIV 2 - 1, 0)"))
-        .withColumn("st", expr(
-          "aggregate(sequence(1, l1), 0L, (st, i) -> " +
-            "IF(size(filter(IF(greatest(1, i - w) > least(l2, i + w), array(), " +
-            "sequence(greatest(1, i - w), least(l2, i + w))), " +
-            s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
-            "AND substring(t2, j, 1) = substring(t1, i, 1))) = 0, st, " +
-            s"st + shiftleft(1L, i - 1) * $code + shiftleft(1L, " +
-            "element_at(filter(IF(greatest(1, i - w) > least(l2, i + w), array(), " +
-            "sequence(greatest(1, i - w), least(l2, i + w))), " +
-            s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
-            "AND substring(t2, j, 1) = substring(t1, i, 1)), 1) - 1)))"))
-        .withColumn("m", expr(s"CAST(bit_count(st DIV $code) AS BIGINT)"))
-        .filter(col("m") > 0)
-        .withColumn("t_raw", expr(
-          "IF(m = 0, 0L, " + // belt+braces: optimizer may hoist past the filter
-          "CAST(size(filter(sequence(1, CAST(m AS INT)), k -> " +
-            s"substring(t1, element_at(filter(sequence(1, l1), i -> (st DIV $code DIV shiftleft(1L, i - 1)) % 2 = 1), k), 1) != " +
-            s"substring(t2, element_at(filter(sequence(1, l2), j -> (st % $code DIV shiftleft(1L, j - 1)) % 2 = 1), k), 1))) AS BIGINT))"))
-        .withColumn("jaro_ppm", expr(
-          "IF(m = 0, 0L, " + // same speculative-eval guard as t_raw
-            "(m * m * l2 + m * m * l1 + (m - t_raw DIV 2) * l1 * l2) " +
-            "* 1000000 DIV (3 * l1 * l2 * m))"))
-        .withColumn("pl", expr(
-          "coalesce(array_min(filter(sequence(1, least(4, least(l1, l2))), " +
-            "k -> substring(t1, k, 1) != substring(t2, k, 1))) - 1, " +
-            "least(4, least(l1, l2)))"))
-        .withColumn("jw_ppm",
-          expr("jaro_ppm + pl * (1000000 - jaro_ppm) DIV 10"))
-        .filter(col("jw_ppm") >= 600000)
-        .select(col("t1"), col("t2"), col("m"),
-                expr("t_raw DIV 2").as("transpositions"),
+      graft.operators.Linkage.withJaroWinklerPpm(pairs, "t1", "t2")
+        .filter(col("m") > 0 && col("jw_ppm") >= 600000)
+        .select(col("t1"), col("t2"), col("m"), col("transpositions"),
                 col("jaro_ppm"), col("jw_ppm"))
     }),
     "q712_lsh_band_sweep" -> ((s, dir) => {

@@ -52,6 +52,97 @@ object Linkage {
     * Output: `value_a` < `value_b`, `dist` (1), plus each value's source
     * row count (the dedup/merge decision inputs).
     */
+  /** Append exact integer Jaro–Winkler columns — `m` (match count),
+    * `transpositions`, `jaro_ppm`, `jw_ppm` — for the string columns
+    * `c1`, `c2` of every row.
+    *
+    * The greedy match pass is a single `aggregate()` fold whose state
+    * packs BOTH used-bitmasks into one BIGINT (`mask1·2²⁰ + mask2`) so
+    * the DuckDB oracle can replay it with `list_reduce` (which only
+    * trusts scalar states — the packed encoding exists FOR that
+    * constraint, see q711). The packing is only valid for strings of
+    * 1..20 chars; that precondition is ENFORCED with a row-level
+    * `assert_true` — a longer string would set bit j ≥ 21 of mask2 into
+    * mask1's low bits and corrupt both masks identically in both engines,
+    * i.e. a green gate over a statistically wrong similarity.
+    *
+    * All-integer, windowless, and codegen-friendly except the two HOF
+    * folds — per ROW cost is O(len²) worst case, so keep the input at
+    * candidate-pair grain (blocked, never all-pairs).
+    */
+  def withJaroWinklerPpm(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val code = "1048576" // 2^20 mask packing
+    df
+      .withColumn("_jw_ok", assert_true(
+        length(col(c1)).between(1, 20) && length(col(c2)).between(1, 20),
+        concat(lit(s"jaroWinkler packed-bitmask fold requires 1..20 chars" +
+          s" in $c1/$c2, got: "), col(c1), lit(" / "), col(c2))))
+      .filter(col("_jw_ok").isNull)
+      .withColumn("_l1", length(col(c1)).cast("int"))
+      .withColumn("_l2", length(col(c2)).cast("int"))
+      .withColumn("_w", expr("greatest(greatest(_l1, _l2) DIV 2 - 1, 0)"))
+      .withColumn("_st", expr(
+        "aggregate(sequence(1, _l1), 0L, (st, i) -> " +
+          "IF(size(filter(IF(greatest(1, i - _w) > least(_l2, i + _w), array(), " +
+          "sequence(greatest(1, i - _w), least(_l2, i + _w))), " +
+          s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
+          s"AND substring($c2, j, 1) = substring($c1, i, 1))) = 0, st, " +
+          s"st + shiftleft(1L, i - 1) * $code + shiftleft(1L, " +
+          "element_at(filter(IF(greatest(1, i - _w) > least(_l2, i + _w), array(), " +
+          "sequence(greatest(1, i - _w), least(_l2, i + _w))), " +
+          s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
+          s"AND substring($c2, j, 1) = substring($c1, i, 1)), 1) - 1)))"))
+      .withColumn("m", expr(s"CAST(bit_count(_st DIV $code) AS BIGINT)"))
+      .withColumn("_t_raw", expr(
+        "IF(m = 0, 0L, " + // speculative-eval guard (ANSI hoists past filters)
+        "CAST(size(filter(sequence(1, CAST(m AS INT)), k -> " +
+          s"substring($c1, element_at(filter(sequence(1, _l1), i -> (_st DIV $code DIV shiftleft(1L, i - 1)) % 2 = 1), k), 1) != " +
+          s"substring($c2, element_at(filter(sequence(1, _l2), j -> (_st % $code DIV shiftleft(1L, j - 1)) % 2 = 1), k), 1))) AS BIGINT))"))
+      .withColumn("jaro_ppm", expr(
+        "IF(m = 0, 0L, " +
+          "(m * m * _l2 + m * m * _l1 + (m - _t_raw DIV 2) * _l1 * _l2) " +
+          "* 1000000 DIV (3 * _l1 * _l2 * m))"))
+      .withColumn("_pl", expr(
+        s"coalesce(array_min(filter(sequence(1, least(4, least(_l1, _l2))), " +
+          s"k -> substring($c1, k, 1) != substring($c2, k, 1))) - 1, " +
+          "least(4, least(_l1, _l2)))"))
+      .withColumn("jw_ppm", expr(
+        "IF(m = 0, 0L, jaro_ppm + _pl * (1000000 - jaro_ppm) DIV 10)"))
+      .withColumn("transpositions", expr("_t_raw DIV 2"))
+      .drop("_jw_ok", "_l1", "_l2", "_w", "_st", "_t_raw", "_pl")
+  }
+
+  /** Blocked Jaro–Winkler linkage — the SAME blocking interface as
+    * [[fuzzyPairs]] (candidate pairs = an equi-join on caller-chosen
+    * blocking keys, `id_a < id_b`), with the verifier swapped from
+    * Levenshtein to exact integer Jaro–Winkler. The ER tier thus offers
+    * both verifiers behind one blocking contract: edit distance counts
+    * mutations anywhere (typo linkage), Jaro–Winkler up-weights shared
+    * prefixes and forgives transpositions (name linkage) — the two
+    * genuinely DISAGREE (e.g. CRATE/TRACE is lev 2 but JW 0.73;
+    * PENNSYLVANIA/PENCILVENIA is JW 0.88 but lev 4), which is why both
+    * exist.
+    *
+    * Output: blocking cols, `id_a`, `id_b`, `text_a`, `text_b`, `m`,
+    * `transpositions`, `jaro_ppm`, `jw_ppm`, filtered to
+    * `jw_ppm >= minJwPpm`. Texts must be 1..20 chars (enforced — see
+    * [[withJaroWinklerPpm]]).
+    */
+  def jaroWinklerPairs(df: DataFrame,
+                       idCol: String,
+                       textCol: String,
+                       blockCols: Seq[String],
+                       minJwPpm: Long): DataFrame = {
+    def side(tag: String) =
+      df.select(blockCols.map(col) ++ Seq(
+        col(idCol).as(s"id_$tag"), col(textCol).as(s"text_$tag")): _*)
+    val candidates = side("a")
+      .join(side("b"), blockCols)
+      .filter(col("id_a") < col("id_b"))
+    withJaroWinklerPpm(candidates, "text_a", "text_b")
+      .filter(col("jw_ppm") >= minJwPpm)
+  }
+
   def symspellPairs(df: DataFrame, textCol: String): DataFrame = {
     val counts = df.select(lower(col(textCol)).as("w"))
       .filter(col("w").isNotNull && length(col("w")) > 0)

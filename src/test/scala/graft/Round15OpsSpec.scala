@@ -108,6 +108,64 @@ class Round15OpsSpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // Linkage: Jaro–Winkler verifier
+  // ---------------------------------------------------------------
+
+  test("withJaroWinklerPpm: classic vectors pin the exact integer fold") {
+    val session = spark
+    import session.implicits._
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"), // m=6 t=1 jaro 944444, pl=3 -> 961110
+      ("DWAYNE", "DUANE"),  // m=4 t=0 jaro 822222, pl=1 -> 839999
+      ("CRATE", "TRACE"),   // m=3 t=0 jaro 733333, pl=0 -> 733333
+      ("ABCD", "DCBA")      // window w=1: only B,C match, both transposed
+    ).toDF("t1", "t2")
+    val got = graft.operators.Linkage.withJaroWinklerPpm(pairs, "t1", "t2")
+      .select("t1", "m", "transpositions", "jaro_ppm", "jw_ppm")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("MARTHA") === ((6L, 1L, 944444L, 961110L)))
+    assert(got("DWAYNE") === ((4L, 0L, 822222L, 839999L)))
+    assert(got("CRATE") === ((3L, 0L, 733333L, 733333L)))
+    assert(got("ABCD")._1 === 2L) // m: only the in-window matches
+  }
+
+  test("withJaroWinklerPpm: >20-char input fails LOUD (packed-mask contract)") {
+    val session = spark
+    import session.implicits._
+    val bad = Seq(("abcdefghijklmnopqrstu", "abc")).toDF("t1", "t2")
+    val e = intercept[Exception] {
+      graft.operators.Linkage.withJaroWinklerPpm(bad, "t1", "t2").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1..20"))
+  }
+
+  test("jaroWinklerPairs: blocked candidates, both-verifier disagreement surfaces") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, "largebolt"), (2L, "largeplate"), (3L, "hotbolt"),
+      (4L, "hotrod"), (5L, "zzz")
+    ).toDF("id", "name").withColumn("blk", substring(col("name"), 1, 1))
+    val jw = graft.operators.Linkage
+      .jaroWinklerPairs(df, "id", "name", Seq("blk"), minJwPpm = 0L)
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+      .collect().map(r => (r.getAs[String]("text_a"),
+        r.getAs[String]("text_b"), r.getAs[Long]("jw_ppm"),
+        r.getAs[Int]("lev"))).toList
+    // same block only: (largebolt, largeplate) and (hotbolt, hotrod);
+    // zzz has no partner
+    assert(jw.size === 2)
+    val lg = jw.find(_._1 == "largebolt").get
+    val hot = jw.find(_._1 == "hotbolt").get
+    // jw-only acceptance: largebolt/largeplate jw 895555 >= 840000, lev 4 > 3
+    // (integer DIV truncation: float JW is 0.8955_5recurring)
+    assert(lg._3 === 895555L && lg._4 === 4)
+    // lev-only acceptance: hotbolt/hotrod jw 822221 < 840000, lev 3 <= 3
+    assert(hot._3 === 822221L && hot._4 === 3)
+  }
+
+  // ---------------------------------------------------------------
   // Profile empty-input contracts
   // ---------------------------------------------------------------
 
