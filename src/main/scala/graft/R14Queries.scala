@@ -1833,6 +1833,19 @@ object R14Queries {
           val parts = (0 until r).map(j => s"m${bb * r + j}").mkString(" || '|' || ")
           s"  '$bb:' || md5($parts)"
         }.mkString(",\n")
+        // guards + spanning-path degrade mirrored from
+        // Dedup.candidatesWithOverlap (round 11) — one relation per config
+        val z0 =
+          s"""SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz,
+             |          lag(doc_id) OVER (PARTITION BY bk ORDER BY doc_id)
+             |            AS prev
+             |        FROM (SELECT doc_id, unnest([
+             |$bandExprs
+             |          ]) AS bk FROM mh) z0""".stripMargin
+        val okCond =
+          s"z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket} " +
+            s"AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}" +
+            " * (SELECT count(*) FROM sh3)"
         s"""SELECT '$tag' AS config,
            |  CAST(count(*) AS BIGINT) AS n_candidates,
            |  CAST(sum(CASE WHEN overlap * 2 >= (na + nb - overlap)
@@ -1845,24 +1858,19 @@ object R14Queries {
            |  SELECT c.doc_a, c.doc_b, count(*) AS overlap,
            |    any_value(sx.n) AS na, any_value(sy.n) AS nb
            |  FROM (
-           |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |    FROM (SELECT doc_id, bk FROM (
-           |        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
-           |        FROM (SELECT doc_id, unnest([
-           |$bandExprs
-           |          ]) AS bk FROM mh) z0) z
-           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
-           |        AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
-           |          * (SELECT count(*) FROM sh3)) a
-           |    JOIN (SELECT doc_id, bk FROM (
-           |        SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
-           |        FROM (SELECT doc_id, unnest([
-           |$bandExprs
-           |          ]) AS bk FROM mh) z0) z
-           |      WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
-           |        AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
-           |          * (SELECT count(*) FROM sh3)) b
-           |    ON a.bk = b.bk AND a.doc_id < b.doc_id) c
+           |    SELECT DISTINCT doc_a, doc_b FROM (
+           |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |      FROM (SELECT doc_id, bk FROM (
+           |        $z0) z
+           |        WHERE $okCond) a
+           |      JOIN (SELECT doc_id, bk FROM (
+           |        $z0) z
+           |        WHERE $okCond) b
+           |      ON a.bk = b.bk AND a.doc_id < b.doc_id
+           |      UNION ALL
+           |      SELECT z.prev AS doc_a, z.doc_id AS doc_b FROM (
+           |        $z0) z
+           |      WHERE NOT ($okCond) AND z.prev IS NOT NULL) cu) c
            |  JOIN shx x ON x.doc_id = c.doc_a
            |  JOIN shx y ON y.doc_id = c.doc_b AND y.s = x.s
            |  JOIN sizes sx ON sx.doc_id = c.doc_a

@@ -12993,14 +12993,23 @@ object SparkEntry {
        |${(0 until 4).map(b =>
           s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})").mkString(",\n")}
        |]) AS bk FROM mh),
-       |bandsz AS (SELECT doc_id, bk FROM (
-       |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
-       |    FROM bands) z
-       |  WHERE z.bsz <= ${graft.operators.Dedup.DefaultMaxBucket}
-       |    AND z.bsz * z.bsz <= ${graft.operators.Dedup.PairBudgetFactor}
-       |      * (SELECT count(*) FROM sh3)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bandsz a JOIN bandsz b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |bandsz0 AS (
+       |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz,
+       |      lag(doc_id) OVER (PARTITION BY bk ORDER BY doc_id) AS prev,
+       |      (count(*) OVER (PARTITION BY bk)
+       |         <= ${graft.operators.Dedup.DefaultMaxBucket}
+       |       AND count(*) OVER (PARTITION BY bk)
+       |         * count(*) OVER (PARTITION BY bk)
+       |         <= ${graft.operators.Dedup.PairBudgetFactor}
+       |         * (SELECT count(*) FROM sh3)) AS ok
+       |    FROM bands),
+       |bandsz AS (SELECT doc_id, bk FROM bandsz0 WHERE ok),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsz a JOIN bandsz b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT prev, doc_id FROM bandsz0
+       |  WHERE NOT ok AND prev IS NOT NULL) cu),
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
        |  FROM cand c JOIN shx x ON x.doc_id = c.doc_a

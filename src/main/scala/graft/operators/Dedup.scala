@@ -116,22 +116,37 @@ object Dedup {
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
-    // same fat-bucket + pair-budget guards as [[candidatesWithOverlap]] —
-    // the two candidate builders must define one relation. _ndocs counts
-    // the RAW id column (column-pruned scan, no shingle work) — counting
-    // the shingle relation forced a full pipeline materialization just to
-    // learn the row count (same count: select preserves cardinality).
-    val bandKeys = bandKeys0
+    // same fat-bucket + pair-budget guards (and the same spanning-path
+    // degrade) as [[candidatesWithOverlap]] — the two candidate builders
+    // must define one relation. _ndocs counts the RAW id column
+    // (column-pruned scan, no shingle work) — counting the shingle
+    // relation forced a full pipeline materialization just to learn the
+    // row count (same count: select preserves cardinality).
+    // cached: the self-join reads this twice and the over-budget path
+    // branch a third time — one window pass instead of three. The lag
+    // (which needs a per-bucket SORT) runs only over the over-budget
+    // residue, which is empty on healthy corpora.
+    val bandSz = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
-      .filter(col("_bsz") <= DefaultMaxBucket &&
+      .withColumn("_ok", col("_bsz") <= DefaultMaxBucket &&
         col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
-      .drop("_bsz", "_ndocs")
+      .select(col("_id"), col("_bk"), col("_ok"))
+      .cache()
+    val bandKeys = bandSz.filter(col("_ok")).select(col("_id"), col("_bk"))
+    val pathPairs = bandSz
+      .filter(!col("_ok"))
+      .withColumn("_prev", lag(col("_id"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_bk")).orderBy(col("_id"))))
+      .filter(col("_prev").isNotNull)
+      .select(col("_prev").as("doc_a"), col("_id").as("doc_b"))
     bandKeys.as("a")
       .join(bandKeys.as("b"),
             col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .unionByName(pathPairs)
       .distinct()
   }
 
@@ -186,13 +201,16 @@ object Dedup {
     * that slips UNDER 65536 yet emits ~1.1e9 candidate pairs (observed:
     * 80 GB of shuffle spill, job death). A bucket of size s costs s²/2
     * pairs, so the sane invariant is pairs-per-bucket ∝ corpus size:
-    * buckets with s² > factor·n_docs are dropped alongside the absolute
-    * ceiling. factor = 8 ⇒ per-bucket pair cost ≤ 4·n (linear), and the
-    * threshold (√(8n): 63 @ 500 docs, 200 @ 5k, 8.9k @ 10M) sits orders
-    * of magnitude above every real near-dup cluster in the gate corpora
-    * (measured max bucket: 4) while killing the boilerplate bomb at every
-    * decade. Mirrored verbatim in the oracle CTEs — both engines define
-    * one relation.
+    * buckets with s² > factor·n_docs DEGRADE TO A SPANNING PATH
+    * (consecutive-id pairs, s−1 of them — round 11; previously dropped
+    * outright) alongside the absolute ceiling. factor = 8 ⇒ per-bucket
+    * pair cost ≤ 4·n (linear), and the threshold (√(8n): 63 @ 500 docs,
+    * 200 @ 5k, 8.9k @ 10M) sits orders of magnitude above every real
+    * near-dup cluster in the gate corpora (measured max bucket: 4) while
+    * killing the boilerplate bomb at every decade — and the path keeps a
+    * LEGITIMATE giant cluster connected, so downstream union-find yields
+    * the same clusters the unbudgeted pipeline would. Mirrored verbatim
+    * in the oracle CTEs — both engines define one relation.
     */
   val PairBudgetFactor: Int = 8
 
@@ -235,16 +253,41 @@ object Dedup {
     // cached shingle relation made the driver BLOCK on materializing the
     // whole tokenize→shingle→md5 cache just to learn the corpus size; a
     // pruned count over the input reads no text at all.
-    val bandKeys = bandKeys0
+    //
+    // Over-threshold buckets DEGRADE TO A SPANNING PATH instead of being
+    // dropped (round-11): a legitimate giant near-dup cluster (> √(8n)
+    // members agreeing on a band) would otherwise lose the band entirely
+    // and depend on its bands−1 other draws. Consecutive-id pairing
+    // (lag over the SAME _bk window the size rollup rides — one exchange,
+    // one sort) keeps every over-budget bucket CONNECTED at s−1 pairs, so
+    // downstream union-find yields the identical clusters while the
+    // quadratic s²/2 blowup (the Stress12 bomb) stays impossible; the
+    // path pairs still face exact-Jaccard verification, so boilerplate
+    // collisions die at the τ filter, not in a shuffle spill.
+    // cached: the self-join reads this twice and the over-budget path
+    // branch a third time — one window pass instead of three; the lag's
+    // per-bucket SORT runs only over the over-budget residue (empty on
+    // healthy corpora).
+    val bandSz = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
-      .filter(col("_bsz") <= maxBucket &&
+      .withColumn("_ok", col("_bsz") <= maxBucket &&
         col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
-      .drop("_bsz", "_ndocs")
+      .select(col("_id"), col("_bk"), col("_ok"))
+      .cache()
+    val bandKeys = bandSz.filter(col("_ok")).select(col("_id"), col("_bk"))
+    val pathPairs = bandSz
+      .filter(!col("_ok"))
+      .withColumn("_prev", lag(col("_id"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_bk")).orderBy(col("_id"))))
+      .filter(col("_prev").isNotNull)
+      .select(col("_prev").as("doc_a"), col("_id").as("doc_b"))
     val candidates = bandKeys.as("a")
       .join(bandKeys.as("b"), col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .unionByName(pathPairs)
       .distinct()
 
     // verify candidates with exact Jaccard: attach each side's (distinct)

@@ -142,21 +142,27 @@ class Round14OpsSpec extends SparkTestBase {
     }
   }
 
-  test("LSH pair budget: a boilerplate bucket over sqrt(8n) is dropped; honest clusters under it survive") {
+  test("LSH pair budget: a bucket over sqrt(8n) degrades to a spanning path; honest clusters under it survive") {
     val session = spark
     import session.implicits._
     // n = 310 docs -> budget threshold floor(sqrt(8*310)) = 49.
     // 300 identical docs collide on EVERY band: bucket 300 > 49 (yet far
-    // under the absolute 65536 ceiling) -> the Stress12 bomb shape; all
-    // its C(300,2) pairs must be refused by the SIGNATURE stage.
+    // under the absolute 65536 ceiling) -> the Stress12 bomb shape. The
+    // SIGNATURE stage must refuse the C(300,2) quadratic blowup but keep
+    // the bucket CONNECTED (round 11): consecutive-id path pairs, 299 of
+    // them, all tau-verified true here because the docs are identical —
+    // downstream union-find yields the same single cluster the unbudgeted
+    // pipeline would, at linear cost.
     val bomb = (0 until 300).map(i => (i.toLong,
         "the quick brown fox jumps over the lazy dog again and again")) ++
       (300 until 310).map(i => (i.toLong, s"unique doc $i with words $i"))
     val bombPairs = graft.operators.Dedup
       .minhashLshPairs(bomb.toDF("doc_id", "text"), "doc_id", "text")
-      .count()
-    assert(bombPairs === 0L,
-      s"budget failed to drop the boilerplate bucket: $bombPairs pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bombPairs.size === 299,
+      s"expected the 299-pair spanning path, got ${bombPairs.size} pairs")
+    assert(bombPairs === (1 until 300).map(i => (i - 1L, i.toLong)).toSet,
+      "path must pair consecutive ids within the over-budget bucket")
     // 30 identical docs in the same n: 30*30 = 900 <= 8*310 -> the bucket
     // is a legitimate near-dup cluster and keeps all its pairs
     val ok = (0 until 30).map(i => (i.toLong,
