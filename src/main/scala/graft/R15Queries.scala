@@ -55,8 +55,357 @@ object R15Queries {
         .select(col("id_a").as("value_a"), col("id_b").as("value_b"),
                 col("lev"), col("jw_ppm"),
                 col("jw_accepts"), col("lev_accepts"))
+    }),
+    "q715_temporal_join_histories" -> ((s, dir) => {
+      // SCD2 × SCD2 temporal join (Intervals.overlapJoin): two per-customer
+      // version histories — order-priority versions keyed on order dates,
+      // return-flag versions keyed on ship dates — intersected into
+      // composite validity periods, the classic two-history "effective
+      // dating" join a warehouse needs when BOTH dimensions are slowly
+      // changing. Key-equal equi-join + overlap theta (half-open
+      // intervals), so the shuffle is on the customer key, never a range
+      // cross product; lead() closes each history with the 2999 sentinel
+      // exactly like the SCD2 writer's high watermark.
+      import org.apache.spark.sql.expressions.Window
+      val sentinel = lit("2999-12-31 23:59:59").cast("timestamp")
+      val o = rd(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .localCheckpoint(false)
+      val wA = Window.partitionBy(col("custkey")).orderBy(col("vfrom"))
+      val hA = o
+        .groupBy(col("o_custkey").as("custkey"),
+                 col("o_orderdate").as("vfrom"))
+        .agg(min(col("o_orderpriority")).as("priority"))
+        .withColumn("vto",
+          coalesce(lead(col("vfrom"), 1).over(wA), sentinel))
+      val wB = Window.partitionBy(col("custkey")).orderBy(col("bfrom"))
+      val hB = rd(s, dir, "lineitem")
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"),
+                 col("l_shipdate").as("bfrom"))
+        .agg(min(col("l_returnflag")).as("flag"))
+        .withColumn("bto",
+          coalesce(lead(col("bfrom"), 1).over(wB), sentinel))
+      graft.operators.Intervals
+        .overlapJoin(hA, hB, Seq("custkey"), "vfrom", "vto", "bfrom", "bto")
+        .select(col("custkey"), col("overlap_from"), col("overlap_to"),
+                col("priority"), col("flag"))
+    }),
+    "q716_ndcg" -> ((s, dir) => {
+      // Reranker-style nDCG@10: graded relevance (2 = same label, 1 =
+      // adjacent label) over the exact cosine top-10 (the q22 relation —
+      // ranks are deterministic because both engines rank the identical
+      // IEEE cosine), ideal ordering = the retrieved list resorted by
+      // relevance. The log2 discount table is pinned as integer micro
+      // literals (floor(1e6/log2(r+1))) IN BOTH ENGINES — nDCG stays
+      // exact-integer end-to-end, so the gate hashes it like any count.
+      import org.apache.spark.sql.expressions.Window
+      val e = rd(s, dir, "embeddings")
+      val topk = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 64), e, "vec_id", "embedding", k = 10)
+      val lbl = e.select(col("vec_id"), col("label").cast("long").as("lbl"))
+      val disc = array(NdcgDiscMicro.map(lit): _*)
+      val wI = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("rank"))
+      topk
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+                                   col("lbl").as("qlbl"))), "query_id")
+        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"),
+                                   col("lbl").as("nlbl"))), "neighbor_id")
+        .withColumn("rel",
+          when(col("qlbl") === col("nlbl"), 2L)
+            .when(abs(col("qlbl") - col("nlbl")) === 1L, 1L).otherwise(0L))
+        .withColumn("dcg_term", col("rel") * element_at(disc, col("rank").cast("int")))
+        .withColumn("irank", row_number().over(wI))
+        .withColumn("idcg_term",
+          col("rel") * element_at(disc, col("irank").cast("int")))
+        .groupBy(col("query_id"))
+        .agg(sum(col("dcg_term")).as("dcg_micro"),
+             sum(col("idcg_term")).as("idcg_micro"))
+        .withColumn("ndcg_ppm",
+          when(col("idcg_micro") > 0,
+               expr("dcg_micro * 1000000L DIV idcg_micro")).otherwise(0L))
+    }),
+    "q717_four_cliques" -> ((s, dir) => {
+      // 4-clique census (Graph.fourCliqueStats) on the STRONG co-purchase
+      // graph (pairs sharing ≥ 2 orders — the raw graph's wedge volume
+      // makes clique counting quadratic, the counted filter is the
+      // documented thinning lever): triangles from the degree-ordered
+      // orientation, 4-cliques = triangles extended by a common
+      // out-neighbor of all three corners — each clique counted exactly
+      // once because the orientation is a total order (the q224 design,
+      // one join deeper). Equi-joins only; out-degree stays O(√E).
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+      graft.operators.Graph.fourCliqueStats(
+        graft.operators.Graph.coOccurrenceEdgesCached(
+          li, "l_orderkey", "l_partkey", minCount = 2))
+    }),
+    "q718_rmst" -> ((s, dir) => {
+      // Restricted mean survival time at τ = 60 days (Survival.rmst): the
+      // area under q683's Kaplan–Meier step curve — the standard KM
+      // companion when median survival is undefined. Same cohort as q683
+      // (first event → first %13 error, right-censored at last event);
+      // the integral is a windowed sum over the days-sized ladder in
+      // exact ppm·day integers, so both engines agree bit-for-bit.
+      val life = SparkEntry.ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("first_day"),
+             min(when(col("event_type") === "error" &&
+                        col("event_id") % 13 === 0, col("ts")))
+               .cast("date").as("err_day"),
+             max(col("ts")).cast("date").as("last_day"))
+      val subj = life.select(
+        datediff(coalesce(col("err_day"), col("last_day")),
+                 col("first_day")).cast("long").as("dur"),
+        when(col("err_day").isNull, 1).otherwise(0).as("censored"))
+      graft.operators.Survival.rmst(subj, "dur", "censored", tau = 60L)
+    }),
+    "q719_blocking_quality" -> ((s, dir) => {
+      // Blocking-quality audit for the ER tier: reduction ratio (how many
+      // comparisons blocking saves) and pairs completeness (how much
+      // ground truth survives the blocks) for the (first letter, length
+      // band) blocking key over the p_name first-word vocabulary, with
+      // truth = Levenshtein ≤ 2. The full pair relation is VOCABULARY-
+      // sized (≤ ~100 values at any SF — TPC-H color words), so the audit
+      // is honest: exactly the bounded-domain cross the blocked joins
+      // themselves avoid on row-sized inputs. One scan, one aggregate.
+      val v = rd(s, dir, "part")
+        .select(split(col("p_name"), " ").getItem(0).as("t")).distinct()
+        .withColumn("blk", concat(substring(col("t"), 1, 1), lit(":"),
+                                  expr("CAST(length(t) DIV 3 AS STRING)")))
+      v.select(col("t").as("ta"), col("blk").as("ba"))
+        .join(v.select(col("t").as("tb"), col("blk").as("bb")),
+              col("ta") < col("tb"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_cand"),
+          sum(when(levenshtein(col("ta"), col("tb")) <= 2, 1L).otherwise(0L))
+            .as("n_truth"),
+          sum(when(col("ba") === col("bb") &&
+                     levenshtein(col("ta"), col("tb")) <= 2, 1L)
+                .otherwise(0L)).as("n_found"))
+        .withColumn("rr_ppm",
+          expr("(n_pairs - n_cand) * 1000000L DIV n_pairs"))
+        .withColumn("pc_ppm",
+          expr("CASE WHEN n_truth > 0 THEN n_found * 1000000L DIV n_truth" +
+               " ELSE 0L END"))
+    }),
+    "q720_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi–Sunter agreement weights for the ER tier: over the labeled
+      // vocabulary pair relation (truth = Levenshtein ≤ 2, q719's bounded
+      // domain), per-comparator m = P(agree | match) and u = P(agree |
+      // non-match) in exact ppm, and the match/non-match odds m/u — the
+      // classical record-linkage score the blocked verifiers (q714)
+      // threshold on, kept in ratio form so no logs touch the gate. One
+      // vocabulary-sized pair scan, one stack, one aggregate.
+      val v = rd(s, dir, "part")
+        .select(split(col("p_name"), " ").getItem(0).as("t")).distinct()
+      v.select(col("t").as("ta"))
+        .join(v.select(col("t").as("tb")), col("ta") < col("tb"))
+        .withColumn("m", levenshtein(col("ta"), col("tb")) <= 2)
+        .select(col("m"), expr(
+          "stack(3," +
+            " 'first_letter', substring(ta, 1, 1) = substring(tb, 1, 1)," +
+            " 'length_eq', length(ta) = length(tb)," +
+            " 'last_letter', substring(ta, length(ta), 1) =" +
+            "   substring(tb, length(tb), 1)) AS (field, agree)"))
+        .groupBy(col("field"))
+        .agg(sum(when(col("m"), 1L).otherwise(0L)).as("n_match"),
+             sum(when(!col("m"), 1L).otherwise(0L)).as("n_unmatch"),
+             sum(when(col("m") && col("agree"), 1L).otherwise(0L)).as("_am"),
+             sum(when(!col("m") && col("agree"), 1L).otherwise(0L)).as("_au"))
+        .withColumn("m_ppm",
+          expr("CASE WHEN n_match > 0 THEN _am * 1000000L DIV n_match" +
+               " ELSE 0L END"))
+        .withColumn("u_ppm",
+          expr("CASE WHEN n_unmatch > 0 THEN _au * 1000000L DIV n_unmatch" +
+               " ELSE 0L END"))
+        .withColumn("odds_ppm",
+          expr("CASE WHEN u_ppm > 0 THEN m_ppm * 1000000L DIV u_ppm" +
+               " ELSE 0L END"))
+        .drop("_am", "_au")
+    }),
+    "q721_pinball_loss" -> ((s, dir) => {
+      // Pinball (quantile) loss — the eval that scores a QUANTILE forecast
+      // the way MAE scores a point forecast: per-brand monthly revenue,
+      // train = first 24 calendar months, forecast = the exact ceil(q·n)
+      // order statistic of the train months (deterministic, no averaged
+      // medians), eval months pay q·(y−f) when under-forecast and
+      // (1−q)·(f−y) when over, q ∈ {0.5, 0.9} in permille. Exact
+      // cents-integer arithmetic end-to-end; everything past the fact
+      // rollup is (brand × month)-sized.
+      import org.apache.spark.sql.expressions.Window
+      val rev = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("rev_cents"))
+        .localCheckpoint(false)
+      val w = Window.partitionBy(col("brand")).orderBy(col("rev_cents"), col("mi"))
+      val train = rev.filter(col("mi") <= 24)
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+      val fc = train
+        .crossJoin(spark_qs(s))
+        .filter(col("_rn") === expr("(_n * q_permille + 999) DIV 1000"))
+        .select(col("brand"), col("q_permille"),
+                col("rev_cents").as("forecast_cents"))
+      rev.filter(col("mi") > 24).as("e")
+        .join(broadcast(fc), Seq("brand"))
+        .groupBy(col("brand"), col("q_permille"))
+        .agg(max(col("forecast_cents")).as("forecast_cents"),
+             count(lit(1)).as("n_eval"),
+             sum(expr(
+               "CASE WHEN rev_cents >= forecast_cents" +
+                 " THEN q_permille * (rev_cents - forecast_cents)" +
+                 " ELSE (1000 - q_permille) * (forecast_cents - rev_cents)" +
+                 " END")).as("pinball_milli_cents"))
+    }),
+    "q722_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction: the adjacency (window-1 co-occurrence)
+      // graph of the corpus vocabulary, thinned to pairs seen ≥ 3 times,
+      // symmetrized, then 3 rounds of the library's EXACT-INTEGER PageRank
+      // (Graph.pagerank — micro-scaled DIV arithmetic, so both engines
+      // reproduce the ranks bit-for-bit; float PageRank never survives a
+      // hash gate) and the top-20 keywords. Corpus scan → vocabulary-sized
+      // graph; the iteration shuffles are vocabulary-sized too.
+      import org.apache.spark.sql.expressions.Window
+      val bg = rd(s, dir, "documents")
+        .select(graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        .select(explode(expr(
+          "IF(size(t) < 2, array()," +
+            " transform(sequence(1, size(t) - 1)," +
+            " i -> struct(element_at(t, i) AS w1," +
+            "             element_at(t, i + 1) AS w2)))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val pc = bg
+        .groupBy(least(col("w1"), col("w2")).as("a"),
+                 greatest(col("w1"), col("w2")).as("b"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= 3)
+      val edges = pc.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pc.select(col("b").as("src"), col("a").as("dst")))
+      val pr = graft.operators.Graph.pagerank(edges, iters = 3)
+      pr.withColumn("rnk", row_number().over(
+          Window.partitionBy(DimKey.one)
+            .orderBy(col("pr_micro").desc, col("node"))))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk").cast("long").as("rnk"), col("node").as("keyword"),
+                col("pr_micro"), col("outdeg"))
+    }),
+    "q723_curriculum_schedule" -> ((s, dir) => {
+      // Curriculum pacing schedule: order the corpus easy→hard (difficulty
+      // = whitespace token count), stream it into 4 equal token-budget
+      // phases (phase boundary = quarter of the total token mass, not of
+      // the doc count — the budget a training run actually spends), and
+      // report each phase's doc count, token mass, share, and difficulty
+      // span. One sort-order window pass over doc-level rollups; the
+      // phase assignment is pure integer arithmetic off the running sum.
+      import org.apache.spark.sql.expressions.Window
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("diff"))
+      val w = Window.partitionBy(DimKey.one).orderBy(col("diff"), col("doc_id"))
+      d.withColumn("cum", sum(col("diff")).over(w))
+        .crossJoin(broadcast(d.agg(sum(col("diff")).as("total"))))
+        .withColumn("phase",
+          least(lit(4L), expr("(cum - diff) * 4 DIV total") + 1L))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("diff")).as("tokens"),
+             min(col("diff")).as("min_difficulty"),
+             max(col("diff")).as("max_difficulty"),
+             max(col("total")).as("_total"))
+        .withColumn("share_ppm", expr("tokens * 1000000L DIV _total"))
+        .drop("_total")
+    }),
+    "q724_rouge_overlap" -> ((s, dir) => {
+      // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
+      // (the summarization-eval metric, run as a corpus hygiene probe):
+      // multiset-CLIPPED n-gram overlap — each candidate token credits at
+      // most its count in the reference — with the F1 identity
+      // 2·overlap/(len_c + len_r), which keeps the whole metric in exact
+      // integer ppm (no intermediate precision/recall rationals). Token
+      // counts roll up per doc once; the pair joins are equi-joins on
+      // (doc, gram).
+      import org.apache.spark.sql.expressions.Window
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(false)
+      val pr = docs
+        .select(col("source"), col("doc_id"),
+          lead(col("doc_id"), 1).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id")))
+            .as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+        .select(col("doc_id").as("cand_id"), col("ref_id"))
+      def grams(n: Int) = {
+        val toks = docs
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+                  graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        val g =
+          if (n == 1) toks.select(col("doc_id"), explode(col("t")).as("g"))
+          else toks.select(col("doc_id"), explode(expr(
+            "IF(size(t) < 2, array()," +
+              " transform(sequence(1, size(t) - 1)," +
+              " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))"))
+            .as("g"))
+        g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
+      }
+      def overlap(gr: DataFrame, out: String) = pr
+        .join(gr.select(col("doc_id").as("cand_id"), col("g"),
+                        col("cnt").as("_cc")), Seq("cand_id"))
+        .join(gr.select(col("doc_id").as("ref_id"), col("g"),
+                        col("cnt").as("_rc")), Seq("ref_id", "g"))
+        .groupBy(col("cand_id"), col("ref_id"))
+        .agg(sum(least(col("_cc"), col("_rc"))).as(out))
+      def lens(gr: DataFrame, out: String) = gr
+        .groupBy(col("doc_id")).agg(sum(col("cnt")).as(out))
+      val (g1, g2) = (grams(1), grams(2))
+      pr.join(overlap(g1, "ov1"), Seq("cand_id", "ref_id"), "left")
+        .join(overlap(g2, "ov2"), Seq("cand_id", "ref_id"), "left")
+        .join(lens(g1, "_lc1").withColumnRenamed("doc_id", "cand_id"),
+              Seq("cand_id"), "left")
+        .join(lens(g1, "_lr1").withColumnRenamed("doc_id", "ref_id"),
+              Seq("ref_id"), "left")
+        .join(lens(g2, "_lc2").withColumnRenamed("doc_id", "cand_id"),
+              Seq("cand_id"), "left")
+        .join(lens(g2, "_lr2").withColumnRenamed("doc_id", "ref_id"),
+              Seq("ref_id"), "left")
+        .select(col("cand_id"), col("ref_id"),
+          coalesce(col("ov1"), lit(0L)).as("ov1"),
+          coalesce(col("ov2"), lit(0L)).as("ov2"),
+          expr("CASE WHEN coalesce(_lc1, 0L) + coalesce(_lr1, 0L) > 0" +
+               " THEN coalesce(ov1, 0L) * 2 * 1000000L" +
+               " DIV (coalesce(_lc1, 0L) + coalesce(_lr1, 0L))" +
+               " ELSE 0L END").as("r1_f1_ppm"),
+          expr("CASE WHEN coalesce(_lc2, 0L) + coalesce(_lr2, 0L) > 0" +
+               " THEN coalesce(ov2, 0L) * 2 * 1000000L" +
+               " DIV (coalesce(_lc2, 0L) + coalesce(_lr2, 0L))" +
+               " ELSE 0L END").as("r2_f1_ppm"))
     })
   )
+
+  /** The two pinball quantiles as a broadcastable relation. */
+  private def spark_qs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(500L, 900L).toDF("q_permille")
+  }
+
+  /** floor(1e6 / log2(rank + 1)) for ranks 1..10 — pinned as literals so
+    * nDCG is exact-integer in both engines (no runtime log2).
+    */
+  private val NdcgDiscMicro: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+        356207L, 333333L, 315464L, 301029L, 289064L)
+
+  private def ndcgDiscSql(rankExpr: String): String =
+    s"([${NdcgDiscMicro.mkString(", ")}])[$rankExpr]"
 
   /** The q711 packed-bitmask Jaro–Winkler fold as reusable oracle CTEs:
     * given a `v(t)` vocabulary CTE body and a pair predicate, yields
@@ -132,6 +481,298 @@ object R15Queries {
           |    AS jw_accepts,
           |  CAST(CASE WHEN lev <= 3 THEN 1 ELSE 0 END AS BIGINT)
           |    AS lev_accepts
-          |FROM fin WHERE jw_ppm >= 840000 OR lev <= 3""".stripMargin)
+          |FROM fin WHERE jw_ppm >= 840000 OR lev <= 3""".stripMargin),
+    "q715_temporal_join_histories" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_custkey % 2 = 0),
+        |ha AS (SELECT custkey, vfrom, priority,
+        |    coalesce(lead(vfrom) OVER (PARTITION BY custkey ORDER BY vfrom),
+        |             TIMESTAMP '2999-12-31 23:59:59') AS vto
+        |  FROM (SELECT o_custkey AS custkey, o_orderdate AS vfrom,
+        |          min(o_orderpriority) AS priority
+        |        FROM o GROUP BY 1, 2)),
+        |hb AS (SELECT custkey, bfrom, flag,
+        |    coalesce(lead(bfrom) OVER (PARTITION BY custkey ORDER BY bfrom),
+        |             TIMESTAMP '2999-12-31 23:59:59') AS bto
+        |  FROM (SELECT o_custkey AS custkey, l_shipdate AS bfrom,
+        |          min(l_returnflag) AS flag
+        |        FROM lineitem JOIN o ON l_orderkey = o_orderkey
+        |        GROUP BY 1, 2))
+        |SELECT a.custkey,
+        |  greatest(a.vfrom, b.bfrom) AS overlap_from,
+        |  least(a.vto, b.bto) AS overlap_to,
+        |  a.priority, b.flag
+        |FROM ha a JOIN hb b ON a.custkey = b.custkey
+        |  AND a.vfrom < b.bto AND b.bfrom < a.vto""".stripMargin,
+    "q716_ndcg" ->
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${SparkEntry.cosSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings c JOIN q ON q.vec_id <> c.vec_id),
+         |topk AS (SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM scored) WHERE rnk <= 10),
+         |rel AS (SELECT t.query_id, t.rnk,
+         |    CAST(CASE WHEN ql.label = nl.label THEN 2
+         |         WHEN abs(CAST(ql.label AS BIGINT) - nl.label) = 1 THEN 1
+         |         ELSE 0 END AS BIGINT) AS rel
+         |  FROM topk t
+         |  JOIN embeddings ql ON ql.vec_id = t.query_id
+         |  JOIN embeddings nl ON nl.vec_id = t.neighbor_id),
+         |terms AS (SELECT query_id,
+         |    rel * ${ndcgDiscSql("rnk")} AS dcg_term,
+         |    rel * ${ndcgDiscSql(
+                "CAST(row_number() OVER (PARTITION BY query_id " +
+                  "ORDER BY rel DESC, rnk) AS INT)")} AS idcg_term
+         |  FROM rel)
+         |SELECT query_id, CAST(sum(dcg_term) AS BIGINT) AS dcg_micro,
+         |  CAST(sum(idcg_term) AS BIGINT) AS idcg_micro,
+         |  CAST(CASE WHEN sum(idcg_term) > 0
+         |    THEN sum(dcg_term) * 1000000 // sum(idcg_term)
+         |    ELSE 0 END AS BIGINT) AS ndcg_ppm
+         |FROM terms GROUP BY 1""".stripMargin,
+    "q717_four_cliques" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |            FROM lineitem),
+        |e AS (SELECT l.i AS src, r.i AS dst
+        |      FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+        |               THEN e.src ELSE e.dst END AS u,
+        |             CASE WHEN (ds.d, e.src) < (dd.d, e.dst)
+        |               THEN e.dst ELSE e.src END AS v
+        |      FROM e JOIN deg ds ON e.src = ds.n
+        |        JOIN deg dd ON e.dst = dd.n),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM o e1 JOIN o e2 ON e1.v = e2.u
+        |          JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+        |fc AS (SELECT CAST(count(*) AS BIGINT) AS n_four_cliques
+        |       FROM tri
+        |       JOIN o x ON x.u = tri.a
+        |       JOIN o y ON y.u = tri.b AND y.v = x.v
+        |       JOIN o z ON z.u = tri.c AND z.v = x.v)
+        |SELECT t.n_triangles, fc.n_four_cliques,
+        |  CAST(CASE WHEN t.n_triangles > 0
+        |    THEN fc.n_four_cliques * 1000000 // t.n_triangles
+        |    ELSE 0 END AS BIGINT) AS cliques_per_triangle_ppm
+        |FROM t, fc""".stripMargin,
+    "q718_rmst" ->
+      s"""WITH RECURSIVE ${SparkEntry.SrcCte},
+         |life AS (SELECT user_id,
+         |    CAST(min(ts) AS DATE) AS first_day,
+         |    CAST(min(CASE WHEN event_type = 'error' AND event_id % 13 = 0
+         |             THEN ts END) AS DATE) AS err_day,
+         |    CAST(max(ts) AS DATE) AS last_day
+         |  FROM src GROUP BY 1),
+         |subj AS (SELECT
+         |    CAST(date_diff('day', first_day, coalesce(err_day, last_day))
+         |      AS BIGINT) AS dur,
+         |    CASE WHEN err_day IS NULL THEN 1 ELSE 0 END AS censored
+         |  FROM life),
+         |perT AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_all,
+         |    CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d
+         |  FROM subj GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS total FROM perT),
+         |ladder AS (SELECT t, CAST(total - coalesce(sum(n_all) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_at_risk, d
+         |  FROM perT, tot),
+         |rk AS (SELECT t, n_at_risk, d, row_number() OVER (ORDER BY t) AS i
+         |  FROM ladder WHERE d > 0),
+         |fold(i, s) AS (
+         |  SELECT 0, CAST(1000000 AS BIGINT)
+         |  UNION ALL
+         |  SELECT r.i, f.s * (r.n_at_risk - r.d) // r.n_at_risk
+         |  FROM fold f JOIN rk r ON r.i = f.i + 1),
+         |res AS (SELECT r.t, f.s AS s_ppm
+         |  FROM rk r JOIN fold f ON f.i = r.i),
+         |seg AS (SELECT t, s_ppm,
+         |    coalesce(lag(s_ppm) OVER (ORDER BY t), 1000000) AS s_prev,
+         |    coalesce(lag(t) OVER (ORDER BY t), 0) AS t_prev
+         |  FROM res)
+         |SELECT CAST(60 AS BIGINT) AS tau,
+         |  CAST(coalesce(sum(s_prev * (least(t, 60) - least(t_prev, 60))), 0)
+         |    + coalesce(max_by(s_ppm, t), 1000000)
+         |      * (60 - least(coalesce(max(t), 0), 60)) AS BIGINT) AS rmst_ppm
+         |FROM seg""".stripMargin,
+    "q719_blocking_quality" ->
+      """WITH v AS (SELECT DISTINCT string_split(p_name, ' ')[1] AS t
+        |           FROM part),
+        |vb AS (SELECT t, substr(t, 1, 1) || ':' ||
+        |         CAST(length(t) // 3 AS VARCHAR) AS blk FROM v),
+        |p AS (SELECT a.t AS ta, a.blk AS ba, b.t AS tb, b.blk AS bb
+        |      FROM vb a JOIN vb b ON a.t < b.t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+        |  CAST(sum(CASE WHEN levenshtein(ta, tb) <= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truth,
+        |  CAST(sum(CASE WHEN ba = bb AND levenshtein(ta, tb) <= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  CAST((count(*) - sum(CASE WHEN ba = bb THEN 1 ELSE 0 END))
+        |    * 1000000 // count(*) AS BIGINT) AS rr_ppm,
+        |  CAST(CASE WHEN sum(CASE WHEN levenshtein(ta, tb) <= 2
+        |      THEN 1 ELSE 0 END) > 0
+        |    THEN sum(CASE WHEN ba = bb AND levenshtein(ta, tb) <= 2
+        |      THEN 1 ELSE 0 END) * 1000000
+        |      // sum(CASE WHEN levenshtein(ta, tb) <= 2 THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS BIGINT) AS pc_ppm
+        |FROM p""".stripMargin,
+    "q720_fellegi_sunter" ->
+      """WITH v AS (SELECT DISTINCT string_split(p_name, ' ')[1] AS t
+        |           FROM part),
+        |p AS (SELECT a.t AS ta, b.t AS tb, levenshtein(a.t, b.t) <= 2 AS m
+        |      FROM v a JOIN v b ON a.t < b.t),
+        |st AS (
+        |  SELECT 'first_letter' AS field, m,
+        |    substr(ta, 1, 1) = substr(tb, 1, 1) AS agree FROM p
+        |  UNION ALL
+        |  SELECT 'length_eq', m, length(ta) = length(tb) FROM p
+        |  UNION ALL
+        |  SELECT 'last_letter', m,
+        |    substr(ta, length(ta), 1) = substr(tb, length(tb), 1) FROM p),
+        |ag AS (SELECT field,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |    CAST(sum(CASE WHEN NOT m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unmatch,
+        |    CAST(sum(CASE WHEN m AND agree THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS am,
+        |    CAST(sum(CASE WHEN NOT m AND agree THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS au
+        |  FROM st GROUP BY 1),
+        |mu AS (SELECT field, n_match, n_unmatch,
+        |    CAST(CASE WHEN n_match > 0 THEN am * 1000000 // n_match
+        |      ELSE 0 END AS BIGINT) AS m_ppm,
+        |    CAST(CASE WHEN n_unmatch > 0 THEN au * 1000000 // n_unmatch
+        |      ELSE 0 END AS BIGINT) AS u_ppm
+        |  FROM ag)
+        |SELECT field, n_match, n_unmatch, m_ppm, u_ppm,
+        |  CAST(CASE WHEN u_ppm > 0 THEN m_ppm * 1000000 // u_ppm
+        |    ELSE 0 END AS BIGINT) AS odds_ppm
+        |FROM mu""".stripMargin,
+    "q721_pinball_loss" ->
+      """WITH rev AS (SELECT p_brand AS brand,
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |tr AS (SELECT brand, rev_cents,
+        |    row_number() OVER (PARTITION BY brand ORDER BY rev_cents, mi)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY brand) AS n
+        |  FROM rev WHERE mi <= 24),
+        |qs AS (SELECT CAST(unnest([500, 900]) AS BIGINT) AS q_permille),
+        |fc AS (SELECT brand, q_permille, rev_cents AS forecast_cents
+        |  FROM tr CROSS JOIN qs
+        |  WHERE rn = (n * q_permille + 999) // 1000)
+        |SELECT e.brand, f.q_permille,
+        |  CAST(max(f.forecast_cents) AS BIGINT) AS forecast_cents,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN e.rev_cents >= f.forecast_cents
+        |    THEN f.q_permille * (e.rev_cents - f.forecast_cents)
+        |    ELSE (1000 - f.q_permille) * (f.forecast_cents - e.rev_cents)
+        |    END) AS BIGINT) AS pinball_milli_cents
+        |FROM rev e JOIN fc f ON e.brand = f.brand
+        |WHERE e.mi > 24
+        |GROUP BY 1, 2""".stripMargin,
+    "q722_textrank" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+         |       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |       WHERE t[i] <> t[i + 1]),
+         |pc AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+         |e AS (SELECT a AS x, b AS y FROM pc UNION ALL SELECT b, a FROM pc),
+         |deg AS (SELECT x AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         |pr0 AS (SELECT node, 1000000 AS pr, outdeg FROM deg),
+         |i1 AS (SELECT e.y AS node,
+         |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+         |       FROM e JOIN pr0 ON e.x = pr0.node GROUP BY 1),
+         |pr1 AS (SELECT i1.node, pr, outdeg
+         |        FROM i1 JOIN deg ON i1.node = deg.node),
+         |i2 AS (SELECT e.y AS node,
+         |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+         |       FROM e JOIN pr1 ON e.x = pr1.node GROUP BY 1),
+         |pr2 AS (SELECT i2.node, pr, outdeg
+         |        FROM i2 JOIN deg ON i2.node = deg.node),
+         |i3 AS (SELECT e.y AS node,
+         |         150000 + 850000 * sum(pr // outdeg) // 1000000 AS pr
+         |       FROM e JOIN pr2 ON e.x = pr2.node GROUP BY 1)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, node AS keyword,
+         |  CAST(pr AS BIGINT) AS pr_micro, CAST(outdeg AS BIGINT) AS outdeg
+         |FROM (SELECT i3.node, pr, outdeg,
+         |        row_number() OVER (ORDER BY pr DESC, i3.node) AS rnk
+         |      FROM i3 JOIN deg ON i3.node = deg.node)
+         |WHERE rnk <= 20""".stripMargin,
+    "q723_curriculum_schedule" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         END AS BIGINT) AS diff
+        |  FROM documents),
+        |c AS (SELECT doc_id, diff,
+        |    sum(diff) OVER (ORDER BY diff, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(diff) OVER () AS total
+        |  FROM d)
+        |SELECT CAST(least(4, (cum - diff) * 4 // total + 1) AS BIGINT)
+        |    AS phase,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(diff) AS BIGINT) AS tokens,
+        |  CAST(min(diff) AS BIGINT) AS min_difficulty,
+        |  CAST(max(diff) AS BIGINT) AS max_difficulty,
+        |  CAST(sum(diff) * 1000000 // max(total) AS BIGINT) AS share_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+    "q724_rouge_overlap" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |pr AS (SELECT doc_id AS cand_id, ref_id FROM (
+         |    SELECT doc_id, lead(doc_id) OVER (
+         |      PARTITION BY source ORDER BY doc_id) AS ref_id
+         |    FROM documents)
+         |  WHERE ref_id IS NOT NULL),
+         |g1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, unnest(t) AS g FROM toks
+         |    WHERE length(trim(text)) > 0) GROUP BY 1, 2),
+         |g2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+         |    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |    WHERE length(trim(text)) > 0) GROUP BY 1, 2),
+         |o1 AS (SELECT p.cand_id, p.ref_id,
+         |    CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS ov
+         |  FROM pr p JOIN g1 c ON c.doc_id = p.cand_id
+         |    JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
+         |  GROUP BY 1, 2),
+         |o2 AS (SELECT p.cand_id, p.ref_id,
+         |    CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS ov
+         |  FROM pr p JOIN g2 c ON c.doc_id = p.cand_id
+         |    JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+         |  GROUP BY 1, 2),
+         |l1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS ln
+         |  FROM g1 GROUP BY 1),
+         |l2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS ln
+         |  FROM g2 GROUP BY 1)
+         |SELECT p.cand_id, p.ref_id,
+         |  CAST(coalesce(o1.ov, 0) AS BIGINT) AS ov1,
+         |  CAST(coalesce(o2.ov, 0) AS BIGINT) AS ov2,
+         |  CAST(CASE WHEN coalesce(c1.ln, 0) + coalesce(r1.ln, 0) > 0
+         |    THEN coalesce(o1.ov, 0) * 2 * 1000000
+         |      // (coalesce(c1.ln, 0) + coalesce(r1.ln, 0))
+         |    ELSE 0 END AS BIGINT) AS r1_f1_ppm,
+         |  CAST(CASE WHEN coalesce(c2.ln, 0) + coalesce(r2.ln, 0) > 0
+         |    THEN coalesce(o2.ov, 0) * 2 * 1000000
+         |      // (coalesce(c2.ln, 0) + coalesce(r2.ln, 0))
+         |    ELSE 0 END AS BIGINT) AS r2_f1_ppm
+         |FROM pr p
+         |LEFT JOIN o1 ON o1.cand_id = p.cand_id AND o1.ref_id = p.ref_id
+         |LEFT JOIN o2 ON o2.cand_id = p.cand_id AND o2.ref_id = p.ref_id
+         |LEFT JOIN l1 c1 ON c1.doc_id = p.cand_id
+         |LEFT JOIN l1 r1 ON r1.doc_id = p.ref_id
+         |LEFT JOIN l2 c2 ON c2.doc_id = p.cand_id
+         |LEFT JOIN l2 r2 ON r2.doc_id = p.ref_id""".stripMargin
   )
 }

@@ -13035,10 +13035,10 @@ object SparkEntry {
       |FROM hv)""".stripMargin
 
   /** Sequential-fold double-precision dot/cosine, mirroring `Similarity.dot`. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
 
   /** Sign-LSH projection against deterministic hyperplane `p`, mirroring

@@ -220,7 +220,14 @@ object Dedup {
                                     n: Int,
                                     bands: Int,
                                     rows: Int,
-                                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                                    maxBucket: Int = DefaultMaxBucket,
+                                    // measurement hook (Stress13 recall
+                                    // table): a large factor (1L << 32 —
+                                    // NOT Long.MaxValue, the product with
+                                    // _ndocs must not overflow) disables
+                                    // the corpus-relative pair budget;
+                                    // every gate query uses the default.
+                                    pairBudgetFactor: Long = PairBudgetFactor.toLong): DataFrame = {
     // Materialize the shingle array ONCE as a column: the bands*rows minhash
     // expressions and the verification explode all read the attribute instead
     // of re-deriving tokens->shingles per expression (12x fewer md5-array
@@ -273,7 +280,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
       .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
       .withColumn("_ok", col("_bsz") <= maxBucket &&
-        col("_bsz") * col("_bsz") <= lit(PairBudgetFactor.toLong) * col("_ndocs"))
+        col("_bsz") * col("_bsz") <= lit(pairBudgetFactor) * col("_ndocs"))
       .select(col("_id"), col("_bk"), col("_ok"))
       .cache()
     val bandKeys = bandSz.filter(col("_ok")).select(col("_id"), col("_bk"))

@@ -135,6 +135,56 @@ object Graph {
              expr("n_triangles * 3 * 1000000L DIV n_wedges")).otherwise(0L))
   }
 
+  /** 4-clique census over an undirected edge list, one row:
+    * (n_triangles, n_four_cliques, cliques_per_triangle_ppm).
+    *
+    * Same degree-ordered orientation as [[triangleStats]] (a DAG under the
+    * (degree, id) total order, so out-degrees stay O(√E) on skewed
+    * graphs): each triangle (a→b→c) is found once, and each 4-clique is
+    * counted once by extending the triangle with a common out-neighbor d
+    * of all three (a→d, b→d, c→d — d is the orientation-maximal member,
+    * so no double counting). All joins are equi-joins on node ids; the
+    * oriented relation builds once and is localCheckpoint-pinned across
+    * its five consumers.
+    */
+  def fourCliqueStats(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val deg = edges.select(col("src").as("_n"))
+      .union(edges.select(col("dst").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("_n", "src").withColumnRenamed("_d", "_ds"),
+            Seq("src"))
+      .join(deg.withColumnRenamed("_n", "dst").withColumnRenamed("_d", "_dd"),
+            Seq("dst"))
+      .select(
+        when(col("_ds") < col("_dd") ||
+               (col("_ds") === col("_dd") && col("src") < col("dst")),
+             struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v")))
+          .as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      .localCheckpoint()
+    val tri = oriented.as("_e1")
+      .join(oriented.as("_e2"), col("_e1.v") === col("_e2.u"))
+      .join(oriented.as("_e3"),
+            col("_e1.u") === col("_e3.u") && col("_e2.v") === col("_e3.v"))
+      .select(col("_e1.u").as("a"), col("_e1.v").as("b"), col("_e2.v").as("c"))
+      .localCheckpoint()
+    val four = tri
+      .join(oriented.as("_x"), col("a") === col("_x.u"))
+      .join(oriented.as("_y"),
+            col("b") === col("_y.u") && col("_x.v") === col("_y.v"))
+      .join(oriented.as("_z"),
+            col("c") === col("_z.u") && col("_x.v") === col("_z.v"))
+      .agg(count(lit(1)).as("n_four_cliques"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(four))
+      .withColumn("cliques_per_triangle_ppm",
+        when(col("n_triangles") > 0,
+             expr("n_four_cliques * 1000000L DIV n_triangles")).otherwise(0L))
+  }
+
   /** Fixed-point integer PageRank over a directed edge list (src → dst):
     * `iters` synchronous iterations in micro-scaled integer arithmetic —
     * per-node contribution is `pr DIV outdeg`, the update is

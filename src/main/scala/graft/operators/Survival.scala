@@ -67,4 +67,37 @@ object Survival {
     spark.createDataFrame(out)
       .toDF("t", "n_at_risk", "n_events", "s_ppm")
   }
+
+  /** Restricted mean survival time at horizon `tau`: the area under the
+    * [[kaplanMeier]] step curve on [0, τ], in exact ppm·duration units
+    * (divide by 1e6 for mean duration). The integral of a step function
+    * is a windowed sum over the (dimension-sized) event-time ladder —
+    * S = 1e6 on [0, t₁), s_ppm(tᵢ) on [tᵢ, tᵢ₊₁), clamped at τ — plus
+    * the tail segment after the last event time. One row:
+    * (tau, rmst_ppm). The standard KM companion when median survival is
+    * undefined (curve never crosses 50%) — exact integers end-to-end, so
+    * both engines agree bit-for-bit.
+    */
+  def rmst(durations: DataFrame,
+           durationCol: String,
+           censoredCol: String,
+           tau: Long): DataFrame = {
+    val km = kaplanMeier(durations, durationCol, censoredCol)
+    val w = Window.partitionBy(DimKey.one).orderBy(col("t"))
+    km
+      .withColumn("_s_prev", coalesce(lag(col("s_ppm"), 1).over(w),
+                                      lit(1000000L)))
+      .withColumn("_t_prev", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("_seg",
+        col("_s_prev") * (least(col("t"), lit(tau)) -
+                          least(col("_t_prev"), lit(tau))))
+      .agg(sum(col("_seg")).as("_head"),
+           max_by(col("s_ppm"), col("t")).as("_s_last"),
+           max(col("t")).as("_t_last"))
+      .select(lit(tau).as("tau"),
+              (coalesce(col("_head"), lit(0L)) +
+                coalesce(col("_s_last"), lit(1000000L)) *
+                  (lit(tau) - least(coalesce(col("_t_last"), lit(0L)),
+                                    lit(tau)))).as("rmst_ppm"))
+  }
 }
