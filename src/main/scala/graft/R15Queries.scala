@@ -322,6 +322,181 @@ object R15Queries {
         .withColumn("share_ppm", expr("tokens * 1000000L DIV _total"))
         .drop("_total")
     }),
+    "q725_band_join" -> ((s, dir) => {
+      // Numeric band self-join — |price_a − price_b| ≤ 25¢ within a brand
+      // — via the bucket-and-adjacent decomposition: bucket = cents DIV
+      // band width, probe side explodes to {b−1, b, b+1}, the join is a
+      // pure EQUI-join on (brand, bucket) and the exact band predicate is
+      // a post-filter. The textbook theta self-join (the oracle runs it)
+      // is O(n²) per brand and un-shuffleable; the decomposition shuffles
+      // on the bucket key like any equi-join — the standard inequality-
+      // join rewrite at 100 TB. Each qualifying pair lands exactly once
+      // (a bucket value meets one probe value).
+      val p = rd(s, dir, "part")
+        .select(col("p_brand").as("brand"), col("p_partkey").as("id"),
+                expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("bkt", expr("cents DIV 25"))
+        .localCheckpoint(false)
+      val probe = p.select(col("brand").as("brand_b"), col("id").as("id_b"),
+                           col("cents").as("cents_b"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+            .as("bkt"))
+      p.join(probe,
+             col("brand") === col("brand_b") && p("bkt") === probe("bkt") &&
+               col("id") < col("id_b") &&
+               abs(col("cents") - col("cents_b")) <= 25)
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+             min(abs(col("cents") - col("cents_b"))).as("min_diff"),
+             max(abs(col("cents") - col("cents_b"))).as("max_diff"))
+    }),
+    "q726_stream_outer_join" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream join, driver-checked end-to-end: q217's
+      // watermarked click-through join with the outer arm exercised —
+      // unmatched impressions must emit their null-click row only after
+      // the global watermark passes imp_ts + window (state expiry, not
+      // batch-join fallback). Three interleaved micro-batches, then two
+      // far-future sentinel batches on BOTH feeds advance the watermark
+      // so every pending outer row flushes; sentinel rows filter out on
+      // user_id. Oracle = the flat LEFT JOIN with the same window bound.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(t: String) = SparkEntry.ev(s, dir)
+        .filter(col("user_id") % 7 === 3 && col("event_type") === t)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      val (imps, clks) = (side("view"), side("click"))
+      val srcI = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val joined = graft.streaming.JoinStream.clickThrough(
+        srcI.toDF().toDF("imp_id", "imp_ts", "user_id"),
+        srcC.toDF().toDF("click_id", "click_ts", "user_id"),
+        Seq("user_id"), "imp_ts", "click_ts",
+        windowSec = 3600, watermarkDelay = "40 days",
+        joinType = "left_outer")
+      val tbl = "q726_loj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
+        val q = joined.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try {
+          (0 until 3).foreach { i =>
+            srcI.addData(imps.filter(_._1 % 3 == i): _*)
+            srcC.addData(clks.filter(_._1 % 3 == i): _*)
+            q.processAllAvailable()
+          }
+          val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+          srcI.addData((-1L, flush, -1L)); srcC.addData((-1L, flush, -1L))
+          q.processAllAvailable()
+          val flush2 = new java.sql.Timestamp(flush.getTime + 3600000L)
+          srcI.addData((-2L, flush2, -1L)); srcC.addData((-2L, flush2, -1L))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(tbl).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("imp_id"), col("imp_ts"),
+                col("click_id"), col("click_ts"))
+    }),
+    "q727_katz_centrality" -> ((s, dir) => {
+      // Katz centrality (Graph.katz): attenuated path counts — 4 rounds
+      // of x ← 10⁶ + α·Σ_in x DIV 1000 (α = 50‰) over the symmetrized
+      // strong co-purchase graph — the "influence through short paths"
+      // complement to PageRank's random walk (no out-degree division, so
+      // hubs radiate undamped). Exact-integer DIV arithmetic: both
+      // engines reproduce every score bit-for-bit; one dst-keyed shuffle
+      // per round.
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+      val pc = graft.operators.Graph.coOccurrenceEdgesCached(
+        li, "l_orderkey", "l_partkey", minCount = 2)
+      val edges = pc.unionByName(
+        pc.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.katz(edges, iters = 4, alphaPermille = 50L)
+    }),
+    "q728_weighted_intervals" -> ((s, dir) => {
+      // WEIGHTED interval scheduling per supplier — the DP upgrade of
+      // q664's greedy (greedy maximizes the COUNT; the DP maximizes total
+      // quantity, which greedy gets wrong whenever a long heavy shipment
+      // beats two light ones): intervals end-sorted, f(i) = max(f(i−1),
+      // w_i + f(p(i))) with p(i) found as COUNT(ends ≤ start_i) — valid
+      // because both the ends and the f sequence are nondecreasing, so
+      // the predecessor lookup is an index, not a scan-max. Sequential
+      // per key (aggregate() fold with array state), distributed across
+      // keys; oracle = per-key recursive-CTE fold with LIST state (the
+      // q650 discipline — never list_reduce).
+      val iv = Tables.spread(s, rd(s, dir, "lineitem"))
+        .filter(col("l_partkey") % 13 === 0)
+        .select(col("l_suppkey").as("k"),
+                expr("CAST(datediff(CAST(l_shipdate AS DATE)," +
+                     " DATE '1970-01-01') AS BIGINT)").as("st"),
+                expr("CAST(l_quantity AS BIGINT)").as("w"),
+                col("l_orderkey"), col("l_linenumber"))
+        .withColumn("en",
+          expr("st + 1 + (l_orderkey + l_linenumber) % 14"))
+      val folded = iv
+        .groupBy(col("k"))
+        .agg(sort_array(collect_list(struct(col("en"), col("st"), col("w"),
+               col("l_orderkey"), col("l_linenumber")))).as("arr"))
+        .withColumn("opt", expr(
+          """aggregate(arr,
+            |  named_struct('ends', CAST(array() AS ARRAY<BIGINT>),
+            |               'fs', CAST(array() AS ARRAY<BIGINT>)),
+            |  (acc, e) -> named_struct(
+            |    'ends', concat(acc.ends, array(e.en)),
+            |    'fs', concat(acc.fs, array(greatest(
+            |      IF(size(acc.fs) = 0, CAST(0 AS BIGINT),
+            |         element_at(acc.fs, -1)),
+            |      e.w + IF(size(filter(acc.ends, x -> x <= e.st)) = 0,
+            |               CAST(0 AS BIGINT),
+            |               element_at(acc.fs,
+            |                 size(filter(acc.ends, x -> x <= e.st)))))))),
+            |  acc -> IF(size(acc.fs) = 0, CAST(0 AS BIGINT),
+            |            element_at(acc.fs, -1)))""".stripMargin))
+      folded.agg(count(lit(1)).as("n_suppliers"),
+                 sum(col("opt")).as("total_opt"),
+                 min(col("opt")).as("min_opt"),
+                 max(col("opt")).as("max_opt"))
+    }),
+    "q729_holt_winters" -> ((s, dir) => {
+      // Holt–Winters additive triple exponential smoothing (period 4,
+      // α=β=γ=1/10) — the seasonal completion of the SES (q324) → Holt
+      // (q528) ladder: per-brand quarterly quantity, calendar-dense, one
+      // sequential fold per series in exact milli integers with
+      // sign-folded DIV (truncation IS the pinned statistic), init lvl =
+      // y₁·1000, trd = 0, seasonals = 0. Output: final state + the
+      // 4-quarter-ahead forecasts lvl + k·trd + s[slot]. Distributed
+      // across series, sequential only within (the q650 fold
+      // discipline; oracle = per-brand recursive-CTE fold).
+      val d0 = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("ctr"),
+                 ((year(col("l_shipdate")) - 1995) * 4 +
+                   quarter(col("l_shipdate"))).as("qi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      val span = rd(s, dir, "lineitem").agg(
+        ((year(min(col("l_shipdate"))) - 1995) * 4 +
+          quarter(min(col("l_shipdate")))).as("qlo"),
+        ((year(max(col("l_shipdate"))) - 1995) * 4 +
+          quarter(max(col("l_shipdate")))).as("qhi"))
+      val cal = d0.select(col("ctr")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("ctr"),
+                explode(sequence(col("qlo"), col("qhi"))).as("qi"))
+        .join(d0, Seq("ctr", "qi"), "left")
+        .select(col("ctr"), col("qi"), coalesce(col("y"), lit(0L)).as("y"))
+      val folded = cal
+        .groupBy(col("ctr"))
+        .agg(sort_array(collect_list(struct(col("qi"), col("y")))).as("arr"))
+        .withColumn("hw", expr(HwFoldSpark))
+      folded.select(col("ctr"),
+        col("hw.lvl").as("lvl_milli"), col("hw.trd").as("trd_milli"),
+        col("hw.s1").as("s1_milli"), col("hw.s2").as("s2_milli"),
+        col("hw.s3").as("s3_milli"), col("hw.s4").as("s4_milli"),
+        expr(HwForecastSpark(1)).as("f1_milli"),
+        expr(HwForecastSpark(2)).as("f2_milli"),
+        expr(HwForecastSpark(3)).as("f3_milli"),
+        expr(HwForecastSpark(4)).as("f4_milli"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -395,6 +570,66 @@ object R15Queries {
   private def spark_qs(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(500L, 900L).toDF("q_permille")
+  }
+
+  // ---- Holt–Winters fold (q729): identical sign-folded-DIV arithmetic in
+  // both engines; truncation is the pinned statistic.
+
+  private def sdiv10Spark(x: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) DIV 10 ELSE -((-($x)) DIV 10) END)"
+
+  /** aggregate() fold over the (qi, y)-sorted array: state (i, lvl, trd,
+    * s1..s4) in milli ints; init at i=1 (lvl = y·1000), updates follow
+    * the standard additive HW recurrences with α=β=γ=1/10. The nested
+    * 1-element transform()s LET-BIND (slot, s_old, pred) and then lvl′ so
+    * interpreted lambdas don't recompute the shared subexpressions.
+    */
+  private val HwFoldSpark: String = {
+    val z = "CAST(0 AS BIGINT)"
+    val snew = s"t.so + ${sdiv10Spark("e.y * 1000 - L - t.so")}"
+    s"""aggregate(arr,
+       |  named_struct('i', $z, 'lvl', $z, 'trd', $z,
+       |               's1', $z, 's2', $z, 's3', $z, 's4', $z),
+       |  (acc, e) -> IF(acc.i = 0,
+       |    named_struct('i', CAST(1 AS BIGINT), 'lvl', e.y * 1000,
+       |                 'trd', $z, 's1', $z, 's2', $z, 's3', $z, 's4', $z),
+       |    element_at(transform(array(named_struct(
+       |        'sl', (acc.i % 4) + 1,
+       |        'so', CASE (acc.i % 4) + 1 WHEN 1 THEN acc.s1
+       |              WHEN 2 THEN acc.s2 WHEN 3 THEN acc.s3
+       |              ELSE acc.s4 END,
+       |        'pred', acc.lvl + acc.trd)), t ->
+       |      element_at(transform(array(
+       |          t.pred + ${sdiv10Spark("e.y * 1000 - t.so - t.pred")}), L ->
+       |        named_struct('i', acc.i + 1,
+       |          'lvl', L,
+       |          'trd', acc.trd + ${sdiv10Spark("L - acc.lvl - acc.trd")},
+       |          's1', IF(t.sl = 1, $snew, acc.s1),
+       |          's2', IF(t.sl = 2, $snew, acc.s2),
+       |          's3', IF(t.sl = 3, $snew, acc.s3),
+       |          's4', IF(t.sl = 4, $snew, acc.s4))), 1)), 1)),
+       |  acc -> acc)""".stripMargin
+  }
+
+  private def HwForecastSpark(k: Int): String =
+    s"hw.lvl + $k * hw.trd + (CASE ((hw.i + ${k - 1}) % 4) + 1" +
+      " WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3" +
+      " ELSE hw.s4 END)"
+
+  private def sdiv10Sql(x: String): String =
+    s"(CASE WHEN ($x) >= 0 THEN ($x) // 10 ELSE -((-($x)) // 10) END)"
+
+  /** The recursive-CTE mirror of [[HwFoldSpark]]'s update step. */
+  private val HwStepSql: (String, String, String, String) = {
+    val so = "(CASE ((r.i - 1) % 4) + 1 WHEN 1 THEN s.s1 WHEN 2 THEN s.s2" +
+      " WHEN 3 THEN s.s3 ELSE s.s4 END)"
+    val pred = "(s.lvl + s.trd)"
+    val lvlp = s"($pred + ${sdiv10Sql(s"r.y * 1000 - $so - $pred")})"
+    val trdp = s"(s.trd + ${sdiv10Sql(s"$lvlp - s.lvl - s.trd")})"
+    val snew = s"($so + ${sdiv10Sql(s"r.y * 1000 - $lvlp - $so")})"
+    def sk(k: Int) =
+      s"CASE WHEN ((r.i - 1) % 4) + 1 = $k THEN $snew ELSE s.s$k END"
+    (lvlp, trdp, (1 to 4).map(sk).mkString(",\n    "), so)
   }
 
   /** floor(1e6 / log2(rank + 1)) for ranks 1..10 — pinned as literals so
@@ -773,6 +1008,127 @@ object R15Queries {
          |LEFT JOIN l1 c1 ON c1.doc_id = p.cand_id
          |LEFT JOIN l1 r1 ON r1.doc_id = p.ref_id
          |LEFT JOIN l2 c2 ON c2.doc_id = p.cand_id
-         |LEFT JOIN l2 r2 ON r2.doc_id = p.ref_id""".stripMargin
+         |LEFT JOIN l2 r2 ON r2.doc_id = p.ref_id""".stripMargin,
+    "q725_band_join" ->
+      """WITH pc AS (SELECT p_brand AS brand, p_partkey AS id,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS cents FROM part)
+        |SELECT a.brand, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(abs(a.cents - b.cents)) AS BIGINT) AS min_diff,
+        |  CAST(max(abs(a.cents - b.cents)) AS BIGINT) AS max_diff
+        |FROM pc a JOIN pc b ON a.brand = b.brand AND a.id < b.id
+        |  AND abs(a.cents - b.cents) <= 25
+        |GROUP BY 1""".stripMargin,
+    "q726_stream_outer_join" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |i AS (SELECT event_id AS imp_id, ts AS imp_ts, user_id FROM src
+         |      WHERE user_id % 7 = 3 AND event_type = 'view'),
+         |c AS (SELECT event_id AS click_id, ts AS click_ts,
+         |        user_id AS cuid FROM src
+         |      WHERE user_id % 7 = 3 AND event_type = 'click')
+         |SELECT i.user_id, imp_id, imp_ts, click_id, click_ts
+         |FROM i LEFT JOIN c ON i.user_id = c.cuid
+         |  AND c.click_ts >= i.imp_ts
+         |  AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECONDS""".stripMargin,
+    "q727_katz_centrality" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |            FROM lineitem),
+        |p AS (SELECT l.i AS src, r.i AS dst
+        |      FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src AS x, dst AS y FROM p
+        |      UNION ALL SELECT dst, src FROM p),
+        |nodes AS (SELECT DISTINCT x AS node FROM e),
+        |k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS katz FROM nodes),
+        |c1 AS (SELECT e.y AS node, sum(k.katz) AS si
+        |       FROM e JOIN k0 k ON e.x = k.node GROUP BY 1),
+        |k1 AS (SELECT n.node, 1000000 + 50 * coalesce(c1.si, 0) // 1000
+        |         AS katz FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.y AS node, sum(k.katz) AS si
+        |       FROM e JOIN k1 k ON e.x = k.node GROUP BY 1),
+        |k2 AS (SELECT n.node, 1000000 + 50 * coalesce(c2.si, 0) // 1000
+        |         AS katz FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.y AS node, sum(k.katz) AS si
+        |       FROM e JOIN k2 k ON e.x = k.node GROUP BY 1),
+        |k3 AS (SELECT n.node, 1000000 + 50 * coalesce(c3.si, 0) // 1000
+        |         AS katz FROM nodes n LEFT JOIN c3 ON c3.node = n.node),
+        |c4 AS (SELECT e.y AS node, sum(k.katz) AS si
+        |       FROM e JOIN k3 k ON e.x = k.node GROUP BY 1),
+        |k4 AS (SELECT n.node, 1000000 + 50 * coalesce(c4.si, 0) // 1000
+        |         AS katz FROM nodes n LEFT JOIN c4 ON c4.node = n.node),
+        |ind AS (SELECT y AS node, CAST(count(*) AS BIGINT) AS indeg
+        |        FROM e GROUP BY 1)
+        |SELECT k4.node, CAST(k4.katz AS BIGINT) AS katz_micro,
+        |  CAST(coalesce(ind.indeg, 0) AS BIGINT) AS indeg
+        |FROM k4 LEFT JOIN ind ON ind.node = k4.node""".stripMargin,
+    "q728_weighted_intervals" ->
+      """WITH RECURSIVE rk AS MATERIALIZED (SELECT k, st, en, w,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY en, st, w, l_orderkey, l_linenumber) AS i
+        |  FROM (SELECT k, st, st + 1 + (l_orderkey + l_linenumber) % 14
+        |        AS en, w, l_orderkey, l_linenumber
+        |    FROM (SELECT l_suppkey AS k, l_orderkey, l_linenumber,
+        |        CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(l_shipdate AS DATE)) AS BIGINT) AS st,
+        |        CAST(l_quantity AS BIGINT) AS w
+        |      FROM lineitem WHERE l_partkey % 13 = 0))),
+        |st(k, i, ends, fs) AS (
+        |  SELECT k, i, [en], [w] FROM rk WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.k, r.i, list_append(s.ends, r.en),
+        |    list_append(s.fs, greatest(s.fs[len(s.fs)],
+        |      r.w + CASE WHEN len(list_filter(s.ends, x -> x <= r.st)) = 0
+        |            THEN 0
+        |            ELSE s.fs[len(list_filter(s.ends, x -> x <= r.st))]
+        |            END))
+        |  FROM st s JOIN rk r ON r.k = s.k AND r.i = s.i + 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(opt) AS BIGINT) AS total_opt,
+        |  CAST(min(opt) AS BIGINT) AS min_opt,
+        |  CAST(max(opt) AS BIGINT) AS max_opt
+        |FROM (SELECT st.k, st.fs[len(st.fs)] AS opt
+        |      FROM (SELECT k, max(i) AS mi FROM st GROUP BY 1) l
+        |      JOIN st ON st.k = l.k AND st.i = l.mi)""".stripMargin,
+    "q729_holt_winters" ->
+      s"""WITH RECURSIVE d0 AS (SELECT pt.p_brand AS ctr,
+         |    (year(l_shipdate) - 1995) * 4 + quarter(l_shipdate) AS qi,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+         |  FROM lineitem l JOIN part pt ON l.l_partkey = pt.p_partkey
+         |  GROUP BY 1, 2),
+         |span AS (SELECT
+         |    (year(min(l_shipdate)) - 1995) * 4 + quarter(min(l_shipdate))
+         |      AS qlo,
+         |    (year(max(l_shipdate)) - 1995) * 4 + quarter(max(l_shipdate))
+         |      AS qhi
+         |  FROM lineitem),
+         |ctrs AS (SELECT DISTINCT ctr FROM d0),
+         |rk AS MATERIALIZED (SELECT c.ctr,
+         |    CAST(row_number() OVER (PARTITION BY c.ctr ORDER BY q.qi)
+         |      AS BIGINT) AS i,
+         |    coalesce(d0.y, 0) AS y
+         |  FROM ctrs c CROSS JOIN (SELECT unnest(generate_series(
+         |      (SELECT qlo FROM span), (SELECT qhi FROM span))) AS qi) q
+         |  LEFT JOIN d0 ON d0.ctr = c.ctr AND d0.qi = q.qi),
+         |st(ctr, i, lvl, trd, s1, s2, s3, s4) AS (
+         |  SELECT ctr, i, y * 1000, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.ctr, r.i,
+         |    ${HwStepSql._1},
+         |    ${HwStepSql._2},
+         |    ${HwStepSql._3}
+         |  FROM st s JOIN rk r ON r.ctr = s.ctr AND r.i = s.i + 1),
+         |fin AS (SELECT st.* FROM (SELECT ctr, max(i) AS mi FROM st
+         |    GROUP BY 1) l
+         |  JOIN st ON st.ctr = l.ctr AND st.i = l.mi)
+         |SELECT ctr, CAST(lvl AS BIGINT) AS lvl_milli,
+         |  CAST(trd AS BIGINT) AS trd_milli,
+         |  CAST(s1 AS BIGINT) AS s1_milli, CAST(s2 AS BIGINT) AS s2_milli,
+         |  CAST(s3 AS BIGINT) AS s3_milli, CAST(s4 AS BIGINT) AS s4_milli,
+         |${(1 to 4).map(k =>
+            s"  CAST(lvl + $k * trd + (CASE ((i + ${k - 1}) % 4) + 1" +
+              s" WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE s4 END)" +
+              s" AS BIGINT) AS f${k}_milli").mkString(",\n")}
+         |FROM fin""".stripMargin
   )
 }

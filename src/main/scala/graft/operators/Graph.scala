@@ -185,6 +185,48 @@ object Graph {
              expr("n_four_cliques * 1000000L DIV n_triangles")).otherwise(0L))
   }
 
+  /** Fixed-iteration integer Katz centrality over a directed edge list:
+    * x⁰ = 10⁶ per node; x^{k+1}(v) = 10⁶ + α·Σ_{u→v} x^k(u) DIV 1000
+    * (α in permille) — the attenuated path-count centrality (β = 1),
+    * truncated at `iters` path lengths. All-integer DIV arithmetic, so
+    * every engine and partitioning reproduces the scores bit-for-bit
+    * (the [[pagerank]] discipline — float Katz never survives a hash
+    * compare). One shuffle on dst per iteration over an edge-sized
+    * relation; per-round localCheckpoint keeps the lineage flat.
+    *
+    * Overflow bound: x grows by ≤ α·d_max/1000 per round; callers pick
+    * (α, iters) so (α·d_max/1000)^iters·10⁶ fits int64 — α = 50 and
+    * 4 rounds hold to d_max ≈ 10⁵.
+    *
+    * Output: (node, katz_micro, indeg). Feed symmetric edges for an
+    * undirected graph.
+    */
+  def katz(edges0: DataFrame, iters: Int,
+           alphaPermille: Long = 50L): DataFrame = {
+    require(iters >= 1 && alphaPermille >= 0)
+    val edges = edges0.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var x = nodes.withColumn("katz_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(x.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("katz_micro")).as("_in"))
+      x = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+                expr(s"1000000L + $alphaPermille * coalesce(_in, 0L)" +
+                     " DIV 1000").as("katz_micro"))
+        .localCheckpoint()
+    }
+    val indeg = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("indeg"))
+    x.join(indeg, Seq("node"), "left")
+      .select(col("node"), col("katz_micro"),
+              coalesce(col("indeg"), lit(0L)).as("indeg"))
+  }
+
   /** Fixed-point integer PageRank over a directed edge list (src → dst):
     * `iters` synchronous iterations in micro-scaled integer arithmetic —
     * per-node contribution is `pr DIV outdeg`, the update is
