@@ -18,7 +18,10 @@ class OracleDialectSpec extends SparkTestBase {
     // round-10: single-BIGINT state (mask1·2²⁰ + mask2 packed — the packing
     // exists precisely to keep the accumulator scalar), python-validated
     // against the classic Jaro-Winkler vectors (MARTHA/MARHTA 961110 ppm)
-    "q711_jaro_winkler")
+    "q711_jaro_winkler",
+    // round-11: the SAME validated packed-BIGINT JW fold (jwFoldSql is
+    // shared verbatim with q711), applied through the dual-verifier gate
+    "q714_dual_verifier_linkage")
 
   test("list_reduce in oracles is restricted to validated SCALAR folds (DuckDB miscompiles struct lambdas)") {
     // PERF.md, round-9: a list_reduce fold over a multi-field struct
