@@ -497,6 +497,162 @@ object R15Queries {
         expr(HwForecastSpark(3)).as("f3_milli"),
         expr(HwForecastSpark(4)).as("f4_milli"))
     }),
+    "q730_jelinek_mercer" -> ((s, dir) => {
+      // Jelinek–Mercer interpolated bigram LM scoring (λ = 0.7): per-doc
+      // mean of p_jm = (700·p_bigram + 300·p_unigram) DIV 1000 in exact
+      // ppm — the linear-interpolation smoothing next to q473's absolute-
+      // discounting Kneser–Ney; the corpus n-gram tables are vocabulary-
+      // sized broadcasts, the per-doc rollup one combine-enabled
+      // aggregate. Unseen bigrams honestly score p_bg = 0 and lean on
+      // the unigram arm — the whole point of interpolation.
+      val toks = rd(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+                graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        .localCheckpoint(false)
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint(false)
+      val total = uni.agg(sum(col("cu")).as("tt"))
+      val bgInst = toks.select(col("doc_id"), explode(expr(
+          "IF(size(t) < 2, array()," +
+            " transform(sequence(1, size(t) - 1)," +
+            " i -> struct(element_at(t, i) AS w1," +
+            "             element_at(t, i + 1) AS w2)))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint(false)
+      val bg = bgInst.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      bgInst
+        .join(broadcast(bg), Seq("w1", "w2"))
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))),
+              Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))),
+              Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("p_jm_ppm", expr(
+          "(700 * (cb * 1000000L DIV cu1) + 300 * (cu2 * 1000000L DIV tt))" +
+            " DIV 1000"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             expr("sum(p_jm_ppm) DIV count(1)").as("jm_score_ppm"))
+    }),
+    "q731_percentile_contract" -> ((s, dir) => {
+      // Discrete-quantile CONTRACT: the explicit order statistic at rank
+      // ceil(q·n) — computed with row_number, no quantile builtin at all
+      // — must equal the oracle engine's quantile_disc at every q. Pins
+      // the cross-engine convention (lower-of-middle at even n, exact
+      // value from the multiset, never interpolated) the way q665/q666
+      // pin try_cast and rounding; any future drift in either engine's
+      // discrete-quantile semantics fails this hash.
+      import org.apache.spark.sql.expressions.Window
+      val p = rd(s, dir, "part")
+        .select(col("p_brand").as("brand"),
+                expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("cents"))
+      import s.implicits._
+      val qs = Seq(250L, 500L, 750L, 900L).toDF("q_permille")
+      p.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+        .crossJoin(broadcast(qs))
+        .filter(col("rn") === expr("(n * q_permille + 999) DIV 1000"))
+        .groupBy(col("brand"), col("q_permille"))
+        .agg(max(col("cents")).as("value_cents"))
+    }),
+    "q732_temperature_mix" -> ((s, dir) => {
+      // Temperature-scaled source mixing (τ = 1/2, the multilingual-
+      // corpus flattening recipe): per (source, lang) cell weights ∝
+      // isqrt(n) — integer square root, exact in BOTH engines because
+      // IEEE sqrt is correctly rounded on int-valued doubles — allocated
+      // against a 10k-doc budget with truncating DIV; before/after
+      // shares expose the flattening (heavy cells give up mass to rare
+      // ones). Cell-sized relation end-to-end after one corpus rollup.
+      val cells = rd(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_isqrt",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      cells
+        .crossJoin(broadcast(cells.agg(sum(col("n_docs")).as("tot_n"),
+                                       sum(col("w_isqrt")).as("tot_w"))))
+        .withColumn("alloc", expr("10000 * w_isqrt DIV tot_w"))
+        .withColumn("share_before_ppm", expr("n_docs * 1000000L DIV tot_n"))
+        .withColumn("share_after_ppm", expr("alloc * 1000000L DIV 10000"))
+        .withColumn("shift_ppm",
+          col("share_after_ppm") - col("share_before_ppm"))
+        .select("source", "lang", "n_docs", "w_isqrt", "alloc",
+                "share_before_ppm", "share_after_ppm", "shift_ppm")
+    }),
+    "q733_shuffle_audit" -> ((s, dir) => {
+      // Training-shuffle audit: order the corpus by a deterministic hash
+      // (md5 of the doc id — both engines own the same bytes) and
+      // measure source clumping in the shuffled order — adjacent
+      // same-source pairs vs the random-permutation expectation
+      // Σ nₛ(nₛ−1)/(N(N−1)), plus the longest same-source run. The data-
+      // loader hygiene check: a bad shuffle key shows up as adj_ppm ≫
+      // expected_ppm. One sort-order window pass; runs via the classic
+      // change-flag cumulative sum.
+      import org.apache.spark.sql.expressions.Window
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+                md5(col("doc_id").cast("string")).as("h"))
+      val w = Window.partitionBy(DimKey.one).orderBy(col("h"), col("doc_id"))
+      val seq0 = d
+        .withColumn("prev_src", lag(col("source"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_src").isNull ||
+                 col("prev_src") =!= col("source"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = seq0.groupBy(col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+        .agg(max(col("run_len")).as("longest_run"))
+      val adj = seq0.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("n_adjacent_same"))
+      val exp0 = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        .agg(sum(expr("ns * (ns - 1)")).as("same_pairs"),
+             sum(col("ns")).as("nn"))
+        .select(expr("same_pairs * 1000000L DIV (nn * (nn - 1))")
+                  .as("expected_ppm"))
+      adj.crossJoin(broadcast(runs)).crossJoin(broadcast(exp0))
+        .withColumn("adj_ppm",
+          expr("n_adjacent_same * 1000000L DIV (n_docs - 1)"))
+        .select("n_docs", "n_adjacent_same", "adj_ppm", "expected_ppm",
+                "longest_run")
+    }),
+    "q734_misra_gries" -> ((s, dir) => {
+      // Misra–Gries heavy-hitter summary (k = 4) per source — the
+      // DETERMINISTIC frequency sketch (true_count − n/(k+1) ≤ mg_count ≤
+      // true_count, no hash collisions, mergeable) next to the
+      // probabilistic CMS (q208) and Space-Saving stream (q368). The
+      // counter maintenance is inherently sequential, so it folds per
+      // source over the (doc, position)-ordered token stream (aggregate()
+      // with parallel-list state, the q728 machinery) — distributed
+      // ACROSS sources; oracle = per-source recursive-CTE fold with LIST
+      // state. Stream bounded to 12 tokens of every 17th doc.
+      val st = rd(s, dir, "documents")
+        .filter(col("doc_id") % 17 === 0 &&
+                  length(trim(col("text"))) > 0)
+        .select(col("source"), col("doc_id"),
+          posexplode(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 12))
+            .as(Seq("pos", "w")))
+      val folded = st
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_stream"),
+             sort_array(collect_list(struct(col("doc_id"), col("pos"),
+               col("w")))).as("arr"))
+        .withColumn("mg", expr(MgFoldSpark))
+      folded.select(col("source"), col("n_stream"),
+          explode(expr(
+            "transform(sequence(1, size(mg.ts))," +
+              " j -> struct(element_at(mg.ts, j) AS token," +
+              " element_at(mg.cs, j) AS mg_count))")).as("e"))
+        .select(col("source"), col("e.token").as("token"),
+                col("e.mg_count").as("mg_count"), col("n_stream"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -615,6 +771,35 @@ object R15Queries {
     s"hw.lvl + $k * hw.trd + (CASE ((hw.i + ${k - 1}) % 4) + 1" +
       " WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3" +
       " ELSE hw.s4 END)"
+
+  /** Misra–Gries k=4 fold (q734): parallel-list state (tokens, counts);
+    * the 1-element transform LET-BINDS the matched index so the three
+    * branches (increment / insert / global decrement with zero-drop)
+    * share one array_position scan.
+    */
+  private val MgFoldSpark: String =
+    """aggregate(arr,
+      |  named_struct('ts', CAST(array() AS ARRAY<STRING>),
+      |               'cs', CAST(array() AS ARRAY<BIGINT>)),
+      |  (acc, e) -> element_at(transform(
+      |    array(coalesce(array_position(acc.ts, e.w), 0L)), ix ->
+      |    CASE
+      |      WHEN ix > 0 THEN named_struct('ts', acc.ts,
+      |        'cs', transform(sequence(1, size(acc.cs)),
+      |          j -> IF(j = ix, element_at(acc.cs, j) + 1,
+      |                  element_at(acc.cs, j))))
+      |      WHEN size(acc.ts) < 4 THEN named_struct(
+      |        'ts', concat(acc.ts, array(e.w)),
+      |        'cs', concat(acc.cs, array(CAST(1 AS BIGINT))))
+      |      ELSE named_struct(
+      |        'ts', transform(filter(sequence(1, size(acc.cs)),
+      |                j -> element_at(acc.cs, j) > 1),
+      |              j -> element_at(acc.ts, j)),
+      |        'cs', transform(filter(sequence(1, size(acc.cs)),
+      |                j -> element_at(acc.cs, j) > 1),
+      |              j -> element_at(acc.cs, j) - 1))
+      |    END), 1),
+      |  acc -> acc)""".stripMargin
 
   private def sdiv10Sql(x: String): String =
     s"(CASE WHEN ($x) >= 0 THEN ($x) // 10 ELSE -((-($x)) // 10) END)"
@@ -1129,6 +1314,121 @@ object R15Queries {
             s"  CAST(lvl + $k * trd + (CASE ((i + ${k - 1}) % 4) + 1" +
               s" WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 ELSE s4 END)" +
               s" AS BIGINT) AS f${k}_milli").mkString(",\n")}
-         |FROM fin""".stripMargin
+         |FROM fin""".stripMargin,
+    "q730_jelinek_mercer" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |tk AS (SELECT doc_id, t FROM toks WHERE length(trim(text)) > 0),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+         |    SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tt FROM uni),
+         |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |       FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+         |       FROM bi GROUP BY 1, 2)
+         |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum((700 * (bg.cb * 1000000 // u1.cu)
+         |    + 300 * (u2.cu * 1000000 // tot.tt)) // 1000)
+         |    // count(*) AS BIGINT) AS jm_score_ppm
+         |FROM bi
+         |JOIN bg ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+         |JOIN uni u1 ON u1.w = bi.w1
+         |JOIN uni u2 ON u2.w = bi.w2
+         |CROSS JOIN tot
+         |GROUP BY 1""".stripMargin,
+    "q731_percentile_contract" ->
+      ("""WITH p AS (SELECT p_brand AS brand,
+         |    CAST(floor(p_retailprice * 100) AS BIGINT) AS cents FROM part)
+         |""".stripMargin +
+        Seq(250 -> "0.25", 500 -> "0.5", 750 -> "0.75", 900 -> "0.9").map {
+          case (qp, f) =>
+            s"SELECT brand, CAST($qp AS BIGINT) AS q_permille,\n" +
+              s"  CAST(quantile_disc(cents, $f) AS BIGINT) AS value_cents\n" +
+              "FROM p GROUP BY 1"
+        }.mkString("\nUNION ALL\n")),
+    "q732_temperature_mix" ->
+      """WITH cells AS (SELECT source, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+        |      AS w_isqrt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_n,
+        |    CAST(sum(w_isqrt) AS BIGINT) AS tot_w FROM cells)
+        |SELECT source, lang, n_docs, w_isqrt,
+        |  CAST(10000 * w_isqrt // tot_w AS BIGINT) AS alloc,
+        |  CAST(n_docs * 1000000 // tot_n AS BIGINT) AS share_before_ppm,
+        |  CAST((10000 * w_isqrt // tot_w) * 1000000 // 10000 AS BIGINT)
+        |    AS share_after_ppm,
+        |  CAST((10000 * w_isqrt // tot_w) * 1000000 // 10000
+        |    - n_docs * 1000000 // tot_n AS BIGINT) AS shift_ppm
+        |FROM cells CROSS JOIN tot""".stripMargin,
+    "q733_shuffle_audit" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |sq AS (SELECT source, h, doc_id,
+        |    lag(source) OVER (ORDER BY h, doc_id) AS prev_src
+        |  FROM d),
+        |sq2 AS (SELECT source, prev_src,
+        |    sum(CASE WHEN prev_src IS NULL OR prev_src <> source
+        |        THEN 1 ELSE 0 END) OVER (ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS run_id
+        |  FROM sq),
+        |runs AS (SELECT CAST(max(cnt) AS BIGINT) AS longest_run FROM (
+        |    SELECT run_id, count(*) AS cnt FROM sq2 GROUP BY 1)),
+        |adj AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_adjacent_same
+        |  FROM sq2),
+        |ex AS (SELECT CAST(sum(ns * (ns - 1)) * 1000000
+        |      // (sum(ns) * (sum(ns) - 1)) AS BIGINT) AS expected_ppm
+        |  FROM (SELECT count(*) AS ns FROM d GROUP BY source))
+        |SELECT adj.n_docs, adj.n_adjacent_same,
+        |  CAST(adj.n_adjacent_same * 1000000 // (adj.n_docs - 1) AS BIGINT)
+        |    AS adj_ppm,
+        |  ex.expected_ppm, runs.longest_run
+        |FROM adj, runs, ex""".stripMargin,
+    "q734_misra_gries" ->
+      s"""WITH RECURSIVE ${SparkEntry.ToksCte},
+         |tk AS (SELECT toks.doc_id, d2.source, t[1:12] AS t12
+         |  FROM toks JOIN documents d2 ON d2.doc_id = toks.doc_id
+         |  WHERE toks.doc_id % 17 = 0 AND length(trim(toks.text)) > 0),
+         |stream AS (SELECT source, doc_id, i - 1 AS pos, t12[i] AS w
+         |  FROM tk, unnest(generate_series(1, len(t12))) AS u(i)),
+         |rk AS MATERIALIZED (SELECT source, w,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY doc_id, pos) AS BIGINT) AS i
+         |  FROM stream),
+         |ns AS (SELECT source, CAST(max(i) AS BIGINT) AS n_stream
+         |  FROM rk GROUP BY 1),
+         |st(source, i, ts, cs) AS (
+         |  SELECT source, 1, [w], [CAST(1 AS BIGINT)] FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.source, r.i,
+         |    CASE
+         |      WHEN coalesce(list_position(s.ts, r.w), 0) > 0 THEN s.ts
+         |      WHEN len(s.ts) < 4 THEN list_append(s.ts, r.w)
+         |      ELSE list_transform(list_filter(
+         |        generate_series(1, len(s.cs)), j -> s.cs[j] > 1),
+         |        j -> s.ts[j])
+         |    END,
+         |    CASE
+         |      WHEN coalesce(list_position(s.ts, r.w), 0) > 0 THEN
+         |        list_transform(generate_series(1, len(s.cs)),
+         |          j -> CASE WHEN j = list_position(s.ts, r.w)
+         |               THEN s.cs[j] + 1 ELSE s.cs[j] END)
+         |      WHEN len(s.ts) < 4 THEN list_append(s.cs, CAST(1 AS BIGINT))
+         |      ELSE list_transform(list_filter(
+         |        generate_series(1, len(s.cs)), j -> s.cs[j] > 1),
+         |        j -> s.cs[j] - 1)
+         |    END
+         |  FROM st s JOIN rk r ON r.source = s.source AND r.i = s.i + 1),
+         |fin AS (SELECT st.source, st.ts, st.cs
+         |  FROM (SELECT source, max(i) AS mi FROM st GROUP BY 1) l
+         |  JOIN st ON st.source = l.source AND st.i = l.mi)
+         |SELECT f.source, f.ts[j] AS token,
+         |  CAST(f.cs[j] AS BIGINT) AS mg_count, ns.n_stream
+         |FROM fin f
+         |JOIN ns ON ns.source = f.source,
+         |unnest(generate_series(1, len(f.ts))) AS u(j)""".stripMargin
   )
 }
