@@ -653,6 +653,217 @@ object R15Queries {
         .select(col("source"), col("e.token").as("token"),
                 col("e.mg_count").as("mg_count"), col("n_stream"))
     }),
+    "q735_c_index" -> ((s, dir) => {
+      // Harrell's concordance index for the survival tier (q683 KM, q718
+      // RMST): does first-day activity predict time-to-first-error? A
+      // pair is usable when the shorter duration ended in an EVENT
+      // (censored-shorter pairs are unknowable); concordant when the
+      // shorter-lived subject had the HIGHER risk score, ties get half
+      // credit — c = (2·conc + ties) / (2·usable) in exact ppm. The pair
+      // relation is cohort²-shaped and the cohort is user-dimension-
+      // sized; the oracle runs the same theta join.
+      import org.apache.spark.sql.expressions.Window
+      val ev = SparkEntry.ev(s, dir)
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("first_day"),
+             min(when(col("event_type") === "error" &&
+                        col("event_id") % 13 === 0, col("ts")))
+               .cast("date").as("err_day"),
+             max(col("ts")).cast("date").as("last_day"))
+      val score = ev
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("d0"))
+        .join(ev, Seq("user_id"))
+        .filter(col("ts").cast("date") === col("d0"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("score"))
+      val subj = life.select(col("user_id"),
+          datediff(coalesce(col("err_day"), col("last_day")),
+                   col("first_day")).cast("long").as("dur"),
+          when(col("err_day").isNull, 0L).otherwise(1L).as("event"))
+        .join(score, Seq("user_id"))
+        .localCheckpoint(false)
+      val a = subj.select(col("dur").as("dur_a"), col("event").as("ev_a"),
+                          col("score").as("sc_a"))
+      val b = subj.select(col("dur").as("dur_b"), col("score").as("sc_b"))
+      a.join(b, col("dur_a") < col("dur_b") && col("ev_a") === 1L)
+        .agg(count(lit(1)).as("n_usable"),
+             sum(when(col("sc_a") > col("sc_b"), 1L).otherwise(0L))
+               .as("n_concordant"),
+             sum(when(col("sc_a") === col("sc_b"), 1L).otherwise(0L))
+               .as("n_tied"))
+        .withColumn("c_index_ppm", expr(
+          "CASE WHEN n_usable > 0 THEN (2 * n_concordant + n_tied)" +
+            " * 1000000L DIV (2 * n_usable) ELSE 0L END"))
+    }),
+    "q736_sequence_contract" -> ((s, dir) => {
+      // Cross-engine HOF edge-case CONTRACT, pinned executable: Spark's
+      // sequence() DESCENDS when stop < start (so bigram enumeration MUST
+      // carry the IF(size < 2) guard), while the oracle engine's
+      // generate_series is naturally empty — and a blank text tokenizes
+      // to [''] (size 1), never []. The gate: enumerated bigram counts
+      // must equal the Σ max(len−1, 0) closed form on 0/1/2/full-token
+      // documents in both engines. The folklore behind every n-gram
+      // query in the suite, made a failing test instead of a comment.
+      val d = rd(s, dir, "documents")
+        .withColumn("cls", col("doc_id") % 4)
+        .withColumn("syn", expr(
+          "CASE cls WHEN 0 THEN ''" +
+            " WHEN 1 THEN element_at(split(lower(trim(text)), '\\\\s+'), 1)" +
+            " WHEN 2 THEN concat_ws(' '," +
+            "   slice(split(lower(trim(text)), '\\\\s+'), 1, 2))" +
+            " ELSE text END"))
+        .select(col("cls"),
+                graft.operators.TextAnalysis.tokens(col("syn")).as("t"),
+                graft.operators.TextAnalysis.tokenCount(col("syn"))
+                  .cast("long").as("tc"))
+      d.withColumn("n_enum", expr(
+          "CAST(size(IF(size(t) < 2, array()," +
+            " transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))" +
+            " AS BIGINT)"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_enum")).as("n_bigrams_enum"),
+             sum(greatest(col("tc") - 1L, lit(0L))).as("n_bigrams_formula"))
+        .withColumn("contract_holds",
+          col("n_bigrams_enum") === col("n_bigrams_formula"))
+    }),
+    "q737_markov_removal" -> ((s, dir) => {
+      // Markov removal-effect attribution (the multi-touch method next to
+      // last-touch q62, position q252, Shapley q571): user journeys over
+      // the four non-purchase channels, absorbed at first purchase (CONV)
+      // or journey end (NULL); channel credit = 1 − P(conv | channel
+      // removed)/P(conv), with P solved by 12 fixed-point iterations in
+      // exact ppm integers (truncating DIV per step is the pinned
+      // statistic, so both engines replay it bit-for-bit). The chain is
+      // CHANNEL-dimension-sized — transitions, scenarios, and the
+      // iteration relation all collapse to handfuls of rows after one
+      // fact-table pass; the oracle unrolls the same 12 steps.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wu = Window.partitionBy(col("user_id"))
+      val e1 = SparkEntry.ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val e2 = e1
+        .withColumn("prn", min(when(col("event_type") === "purchase",
+                                    col("rn"))).over(wu))
+        .withColumn("mx", max(col("rn")).over(wu))
+        .filter(col("rn") <= coalesce(col("prn"), col("mx")))
+        .withColumn("node",
+          when(col("event_type") === "purchase", lit("CONV"))
+            .otherwise(col("event_type")))
+        .withColumn("prev",
+          coalesce(lag(col("node"), 1).over(w), lit("START")))
+      val trans0 = e2.select(col("prev").as("f"), col("node").as("t"))
+        .unionByName(e2
+          .filter(col("rn") === col("mx") && col("prn").isNull)
+          .select(col("node").as("f"), lit("NULL").as("t")))
+      val tr = trans0.groupBy(col("f"), col("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("out", sum(col("cnt")).over(
+          Window.partitionBy(col("f"))))
+        .withColumn("ppm", expr("cnt * 1000000L DIV out"))
+        .select("f", "t", "ppm")
+        .localCheckpoint()
+      val states = tr.select(col("f").as("state")).distinct()
+        .localCheckpoint()
+      val scen = states.filter(col("state") =!= "START")
+        .select(col("state").as("sc"))
+        .unionByName(states.sparkSession.range(1)
+          .select(lit("__base__").as("sc")))
+        .localCheckpoint()
+      var p = scen.crossJoin(states).withColumn("p", lit(0L))
+        .select("sc", "state", "p").localCheckpoint()
+      for (_ <- 1 to 12) {
+        p = scen.crossJoin(tr)
+          .join(p.select(col("sc"), col("state").as("t"),
+                         col("p").as("pv")), Seq("sc", "t"), "left")
+          .withColumn("v",
+            when(col("t") === "CONV", lit(1000000L))
+              .when(col("t") === col("sc"), lit(0L))
+              .otherwise(coalesce(col("pv"), lit(0L))))
+          .groupBy(col("sc"), col("f").as("state"))
+          .agg(expr("sum(ppm * v) DIV 1000000L").as("p"))
+          .select("sc", "state", "p")
+          .localCheckpoint()
+      }
+      val pStart = p.filter(col("state") === "START")
+        .select(col("sc"), col("p"))
+      val base = pStart.filter(col("sc") === "__base__")
+        .select(col("p").as("p_base_ppm"))
+      pStart.filter(col("sc") =!= "__base__")
+        .select(col("sc").as("channel"), col("p").as("p_removed_ppm"))
+        .crossJoin(broadcast(base))
+        .withColumn("removal_effect_ppm", expr(
+          "CASE WHEN p_base_ppm > 0 THEN 1000000L" +
+            " - p_removed_ppm * 1000000L DIV p_base_ppm ELSE 0L END"))
+        .select("channel", "p_base_ppm", "p_removed_ppm",
+                "removal_effect_ppm")
+    }),
+    "q738_stream_union_watermark" -> ((s, dir) => {
+      // UNION of two watermarked streams → the GLOBAL watermark is the
+      // minimum of the inputs': a windowed append-mode rollup over the
+      // union flushes an hour window only when BOTH feeds' watermarks
+      // pass it — the multi-source ingestion semantics a fan-in topology
+      // lives on. Driver-checked end-to-end: interleaved batches, dual
+      // far-future sentinels on BOTH streams (one stream alone would
+      // hold every window open), sentinel rows filtered by type.
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(t: String) = SparkEntry.ev(s, dir)
+        .filter(col("user_id") % 5 === 2 && col("event_type") === t)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val (views, clicks) = (side("view"), side("click"))
+      val srcV = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val srcC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      val unioned = srcV.toDF().toDF("event_id", "ts", "event_type")
+        .unionByName(srcC.toDF().toDF("event_id", "ts", "event_type"))
+        .withWatermark("ts", "40 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+                col("n"))
+      val tbl = "q738_uw_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      SparkEntry.withStreamShuffle(s) {
+        val q = unioned.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try {
+          (0 until 3).foreach { i =>
+            srcV.addData(views.filter(_._1 % 3 == i): _*)
+            srcC.addData(clicks.filter(_._1 % 3 == i): _*)
+            q.processAllAvailable()
+          }
+          val flush = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+          srcV.addData((-1L, flush, "x")); srcC.addData((-1L, flush, "x"))
+          q.processAllAvailable()
+          val flush2 = new java.sql.Timestamp(flush.getTime + 3600000L)
+          srcV.addData((-2L, flush2, "x")); srcC.addData((-2L, flush2, "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(tbl).filter(col("event_type") =!= "x")
+        .select(col("hour_start"), col("event_type"), col("n"))
+    }),
+    "q739_incremental_dedup" -> ((s, dir) => {
+      // Ingest-time incremental near-dup join
+      // (Dedup.minhashLshPairsAgainst): the daily delta (doc_id % 3 = 0)
+      // dedups against the standing corpus WITHOUT re-pairing the corpus
+      // with itself — candidates are NEW × OLD band-key matches only,
+      // with the self-join builders' fat-bucket + pair-budget guards
+      // (over-budget buckets degrade to min-old-id links so every delta
+      // doc keeps its corpus anchor). The 100 TB ingest shape: cost is
+      // delta·corpus per colliding bucket, never corpus².
+      val d = rd(s, dir, "documents")
+      graft.operators.Dedup.minhashLshPairsAgainst(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -1429,6 +1640,154 @@ object R15Queries {
          |  CAST(f.cs[j] AS BIGINT) AS mg_count, ns.n_stream
          |FROM fin f
          |JOIN ns ON ns.source = f.source,
-         |unnest(generate_series(1, len(f.ts))) AS u(j)""".stripMargin
+         |unnest(generate_series(1, len(f.ts))) AS u(j)""".stripMargin,
+    "q735_c_index" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |life AS (SELECT user_id,
+         |    CAST(min(ts) AS DATE) AS first_day,
+         |    CAST(min(CASE WHEN event_type = 'error' AND event_id % 13 = 0
+         |             THEN ts END) AS DATE) AS err_day,
+         |    CAST(max(ts) AS DATE) AS last_day
+         |  FROM src GROUP BY 1),
+         |sc0 AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0
+         |  FROM src GROUP BY 1),
+         |score AS (SELECT s.user_id, CAST(count(*) AS BIGINT) AS score
+         |  FROM src s JOIN sc0 ON sc0.user_id = s.user_id
+         |  WHERE CAST(s.ts AS DATE) = sc0.d0 GROUP BY 1),
+         |subj AS (SELECT l.user_id,
+         |    CAST(date_diff('day', first_day, coalesce(err_day, last_day))
+         |      AS BIGINT) AS dur,
+         |    CASE WHEN err_day IS NULL THEN 0 ELSE 1 END AS event,
+         |    sc.score
+         |  FROM life l JOIN score sc ON sc.user_id = l.user_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_usable,
+         |  CAST(sum(CASE WHEN a.score > b.score THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_concordant,
+         |  CAST(sum(CASE WHEN a.score = b.score THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_tied,
+         |  CAST(CASE WHEN count(*) > 0 THEN
+         |    (2 * sum(CASE WHEN a.score > b.score THEN 1 ELSE 0 END)
+         |     + sum(CASE WHEN a.score = b.score THEN 1 ELSE 0 END))
+         |    * 1000000 // (2 * count(*)) ELSE 0 END AS BIGINT)
+         |    AS c_index_ppm
+         |FROM subj a JOIN subj b ON a.dur < b.dur AND a.event = 1""".stripMargin,
+    "q736_sequence_contract" ->
+      """WITH d AS (SELECT doc_id % 4 AS cls,
+        |    CASE doc_id % 4 WHEN 0 THEN ''
+        |      WHEN 1 THEN regexp_split_to_array(lower(trim(text)), '\s+')[1]
+        |      WHEN 2 THEN array_to_string(
+        |        regexp_split_to_array(lower(trim(text)), '\s+')[1:2], ' ')
+        |      ELSE text END AS syn
+        |  FROM documents),
+        |t0 AS (SELECT cls,
+        |    regexp_split_to_array(lower(trim(syn)), '\s+') AS t,
+        |    CASE WHEN length(trim(syn)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(syn)), '\s+'))
+        |      END AS tc
+        |  FROM d)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1]))) AS BIGINT) AS n_bigrams_enum,
+        |  CAST(sum(greatest(tc - 1, 0)) AS BIGINT) AS n_bigrams_formula,
+        |  sum(len(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1]))) = sum(greatest(tc - 1, 0))
+        |    AS contract_holds
+        |FROM t0 GROUP BY 1""".stripMargin,
+    "q737_markov_removal" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |e1 AS (SELECT user_id, ts, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM src),
+         |e2 AS (SELECT *,
+         |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+         |      OVER (PARTITION BY user_id) AS prn,
+         |    max(rn) OVER (PARTITION BY user_id) AS mx
+         |  FROM e1),
+         |e3 AS (SELECT user_id, rn, prn, mx,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |         ELSE event_type END AS node
+         |  FROM e2 WHERE rn <= coalesce(prn, mx)),
+         |e4 AS (SELECT *, coalesce(lag(node)
+         |    OVER (PARTITION BY user_id ORDER BY rn), 'START') AS prev
+         |  FROM e3),
+         |tr0 AS (SELECT prev AS f, node AS t FROM e4
+         |  UNION ALL
+         |  SELECT node, 'NULL' FROM e4 WHERE rn = mx AND prn IS NULL),
+         |tr AS (SELECT f, t, CAST(count(*) * 1000000
+         |    // sum(count(*)) OVER (PARTITION BY f) AS BIGINT) AS ppm
+         |  FROM tr0 GROUP BY 1, 2),
+         |scen AS (SELECT DISTINCT f AS sc FROM tr WHERE f <> 'START'
+         |         UNION ALL SELECT '__base__'),
+         |states AS (SELECT DISTINCT f AS state FROM tr),
+         |p0 AS (SELECT sc, state, CAST(0 AS BIGINT) AS p
+         |  FROM scen CROSS JOIN states),
+         |${(1 to 12).map(k =>
+            s"""p$k AS (SELECT x.sc, x.f AS state,
+               |    CAST(sum(x.ppm * CASE WHEN x.t = 'CONV' THEN 1000000
+               |         WHEN x.t = x.sc THEN 0
+               |         ELSE coalesce(pp.p, 0) END) // 1000000 AS BIGINT)
+               |      AS p
+               |  FROM (SELECT scen.sc, tr.f, tr.t, tr.ppm
+               |        FROM scen CROSS JOIN tr) x
+               |  LEFT JOIN p${k - 1} pp ON pp.sc = x.sc AND pp.state = x.t
+               |  GROUP BY 1, 2)""".stripMargin).mkString(",\n")},
+         |base AS (SELECT p AS p_base FROM p12
+         |  WHERE sc = '__base__' AND state = 'START')
+         |SELECT p12.sc AS channel, CAST(base.p_base AS BIGINT) AS p_base_ppm,
+         |  CAST(p12.p AS BIGINT) AS p_removed_ppm,
+         |  CAST(CASE WHEN base.p_base > 0 THEN 1000000
+         |    - p12.p * 1000000 // base.p_base ELSE 0 END AS BIGINT)
+         |    AS removal_effect_ppm
+         |FROM p12 CROSS JOIN base
+         |WHERE p12.sc <> '__base__' AND p12.state = 'START'""".stripMargin,
+    "q738_stream_union_watermark" ->
+      s"""WITH ${SparkEntry.SrcCte}
+         |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM src WHERE user_id % 5 = 2 AND event_type IN ('view', 'click')
+         |GROUP BY 1, 2""".stripMargin,
+    "q739_incremental_dedup" ->
+      s"""WITH ${SparkEntry.ToksCte}, ${SparkEntry.shingleCteFor("sh3", 3)},
+         |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+         |mh AS (SELECT doc_id,
+         |${(0 until 12).map(i =>
+            s"  list_min(list_transform(shs, s -> md5('$i-' || s))) AS m$i")
+            .mkString(",\n")}
+         |FROM sh3),
+         |bands AS (SELECT doc_id, unnest([
+         |${(0 until 4).map(b =>
+            s"  '$b:' || md5(m${3 * b} || '|' || m${3 * b + 1} || '|' || m${3 * b + 2})")
+            .mkString(",\n")}
+         |]) AS bk FROM mh),
+         |obs AS (SELECT doc_id, bk FROM bands WHERE doc_id % 3 <> 0),
+         |nbs AS (SELECT doc_id, bk FROM bands WHERE doc_id % 3 = 0),
+         |nd AS (SELECT count(*) AS ndocs FROM documents),
+         |sz AS (SELECT o.bk, o.omin,
+         |    (o.bo <= ${graft.operators.Dedup.DefaultMaxBucket}
+         |     AND nn.bn <= ${graft.operators.Dedup.DefaultMaxBucket}
+         |     AND o.bo * nn.bn <= ${graft.operators.Dedup.PairBudgetFactor}
+         |       * (SELECT ndocs FROM nd)) AS ok
+         |  FROM (SELECT bk, count(*) AS bo, min(doc_id) AS omin
+         |        FROM obs GROUP BY 1) o
+         |  JOIN (SELECT bk, count(*) AS bn FROM nbs GROUP BY 1) nn
+         |    ON nn.bk = o.bk),
+         |cand AS (SELECT DISTINCT new_id, old_id FROM (
+         |  SELECT n2.doc_id AS new_id, o2.doc_id AS old_id
+         |  FROM nbs n2 JOIN sz ON sz.bk = n2.bk AND sz.ok
+         |    JOIN obs o2 ON o2.bk = n2.bk
+         |  UNION ALL
+         |  SELECT n2.doc_id, sz.omin
+         |  FROM nbs n2 JOIN sz ON sz.bk = n2.bk AND NOT sz.ok) cu),
+         |pairs AS (SELECT c.new_id, c.old_id, count(*) AS overlap
+         |  FROM cand c JOIN shx x ON x.doc_id = c.new_id
+         |    JOIN shx y ON y.doc_id = c.old_id AND y.s = x.s
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id, CAST(overlap AS BIGINT) AS overlap,
+         |  CAST(sx.n + sy.n - overlap AS BIGINT) AS union_size
+         |FROM pairs JOIN sizes sx ON sx.doc_id = new_id
+         |  JOIN sizes sy ON sy.doc_id = old_id
+         |WHERE overlap * 2 >= (sx.n + sy.n - overlap) * 1""".stripMargin
   )
 }

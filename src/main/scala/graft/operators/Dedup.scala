@@ -317,6 +317,84 @@ object Dedup {
       .select("doc_a", "doc_b", "overlap", "union_size")
   }
 
+  /** Incremental (delta-vs-corpus) MinHash-LSH near-dup join: banded
+    * candidates restricted to NEW × OLD pairs, then exact-Jaccard
+    * verification — the ingest-time dedup shape at 100 TB: a daily delta
+    * dedups against the standing corpus WITHOUT ever re-pairing the
+    * corpus with itself (the self-join builders' cost is corpus²-shaped
+    * per band bucket; this one is delta·corpus-shaped, and the standing
+    * corpus's own signatures are a materialized table in a real
+    * deployment). Same guard discipline as [[candidatesWithOverlap]]:
+    * per-band-side fat-bucket ceilings plus the corpus-relative pair
+    * budget (bo·bn ≤ factor·n_total); an over-budget bucket DEGRADES to
+    * linking each new doc to the bucket's MINIMUM old id (s_new pairs) —
+    * every delta doc stays connected to the corpus for survivorship
+    * while the bucket bomb stays impossible. Candidate and verify joins
+    * are equi-joins on band key / doc id.
+    *
+    * Output: (new_id, old_id, overlap, union_size) for verified pairs
+    * with jaccard ≥ tauNum/tauDen.
+    */
+  def minhashLshPairsAgainst(corpus: DataFrame,
+                             delta: DataFrame,
+                             idCol: String,
+                             textCol: String,
+                             n: Int = 3,
+                             bands: Int = 4,
+                             rows: Int = 3,
+                             tauNum: Int = 1,
+                             tauDen: Int = 2): DataFrame = {
+    def withShOf(df: DataFrame) = df
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .cache()
+    def bandKeysOf(withSh: DataFrame) = withSh
+      .select(col("_id"),
+              graft.functions.MinHashBands(col("_shs"), bands, rows)
+                .as("_bands"))
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(col("_id"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                .as("_bk"))
+    val shOld = withShOf(corpus)
+    val shNew = withShOf(delta)
+    val bo = bandKeysOf(shOld)
+    val bn = bandKeysOf(shNew)
+    // total corpus size off the RAW id columns (column-pruned scans)
+    val ndocs = broadcast(
+      corpus.select(col(idCol)).unionAll(delta.select(col(idCol)))
+        .agg(count(lit(1)).as("_ndocs")))
+    val sz = bo.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_bo"), min(col("_id")).as("_omin"))
+      .join(bn.groupBy(col("_bk")).agg(count(lit(1)).as("_bn")), Seq("_bk"))
+      .crossJoin(ndocs)
+      .withColumn("_ok",
+        col("_bo") <= DefaultMaxBucket && col("_bn") <= DefaultMaxBucket &&
+          col("_bo") * col("_bn") <=
+            lit(PairBudgetFactor.toLong) * col("_ndocs"))
+      .select(col("_bk"), col("_omin"), col("_ok"))
+      .localCheckpoint() // band-key-sized; read by both candidate arms
+    val candOk = bn
+      .join(sz.filter(col("_ok")).select(col("_bk")), Seq("_bk"))
+      .join(bo.withColumnRenamed("_id", "_old"), Seq("_bk"))
+      .select(col("_id").as("new_id"), col("_old").as("old_id"))
+    val candDeg = bn
+      .join(sz.filter(!col("_ok")).select(col("_bk"), col("_omin")),
+            Seq("_bk"))
+      .select(col("_id").as("new_id"), col("_omin").as("old_id"))
+    val cand = candOk.unionByName(candDeg).distinct()
+    cand
+      .join(shNew.select(col("_id").as("new_id"), col("_shs").as("_sa"),
+                         size(col("_shs")).cast("long").as("_na")), "new_id")
+      .join(shOld.select(col("_id").as("old_id"), col("_shs").as("_sb"),
+                         size(col("_shs")).cast("long").as("_nb")), "old_id")
+      .withColumn("overlap",
+                  size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("new_id", "old_id", "overlap", "union_size")
+  }
+
   /** Near-duplicate clusters from a pair list: connected components of the
     * doc graph, cluster id = the component's minimum doc id, plus the
     * component size. The step after any pairwise near-dup operator — a
