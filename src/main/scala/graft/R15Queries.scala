@@ -647,9 +647,11 @@ object R15Queries {
         .withColumn("mg", expr(MgFoldSpark))
       folded.select(col("source"), col("n_stream"),
           explode(expr(
-            "transform(sequence(1, size(mg.ts))," +
+            "IF(size(mg.ts) = 0, CAST(array() AS" +
+              " ARRAY<STRUCT<token: STRING, mg_count: BIGINT>>)," +
+              " transform(sequence(1, size(mg.ts))," +
               " j -> struct(element_at(mg.ts, j) AS token," +
-              " element_at(mg.cs, j) AS mg_count))")).as("e"))
+              " element_at(mg.cs, j) AS mg_count)))")).as("e"))
         .select(col("source"), col("e.token").as("token"),
                 col("e.mg_count").as("mg_count"), col("n_stream"))
     }),
@@ -864,6 +866,252 @@ object R15Queries {
         d.filter(col("doc_id") % 3 =!= 0),
         d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
     }),
+    "q740_rouge_l" -> ((s, dir) => {
+      // ROUGE-L: longest common subsequence between each doc and its
+      // source-successor, EXACT via the Hunt–Szymanski reduction — on
+      // first-occurrence-deduped 15-token prefixes every common token is
+      // one match point (ic, ir), and LCS = the longest chain with both
+      // coordinates strictly increasing, solved by q542's max-plus path
+      // doubling (4 rounds cover chains of 16 ≥ the 15 possible). The
+      // order-sensitive companion to q724's bag-of-ngrams ROUGE-1/2;
+      // F1 = 2·LCS/(len_c+len_r) in exact ppm. Everything keys by the
+      // pair — one shuffle lane; per-pair match sets are ≤ 15².
+      import org.apache.spark.sql.expressions.Window
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(false)
+      val pr = docs
+        .select(col("source"), col("doc_id"),
+          lead(col("doc_id"), 1).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id")))
+            .as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+        .select(col("doc_id").as("cand_id"), col("ref_id"))
+        .localCheckpoint()
+      val tk = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "w")))
+      val seq15 = tk.groupBy(col("doc_id"), col("w"))
+        .agg(min(col("pos")).as("pos"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("i") <= 15)
+        .select(col("doc_id"), col("w"), col("i").cast("long").as("i"))
+        .localCheckpoint()
+      val lens = seq15.groupBy(col("doc_id")).agg(count(lit(1)).as("ln"))
+      // fresh exprIds via an RDD roundtrip: the doubling loop's
+      // union(comp) trips Union.rewriteConstraints when the children
+      // carry pr's join constraints (attributes absent from the union's
+      // output map) — a LogicalRDD start point has no inherited
+      // constraints, making the loop isomorphic to q542's
+      def fresh(df: DataFrame): DataFrame =
+        df.sparkSession.createDataFrame(df.rdd, df.schema)
+      val m = fresh(pr
+        .join(seq15.select(col("doc_id").as("cand_id"), col("w"),
+                           col("i").as("ic")), Seq("cand_id"))
+        .join(seq15.select(col("doc_id").as("ref_id"), col("w"),
+                           col("i").as("ir")), Seq("ref_id", "w"))
+        .select(col("cand_id"), col("ref_id"), col("ic"), col("ir")))
+        .localCheckpoint()
+      var p = m.as("a")
+        .join(m.as("b"),
+              col("a.cand_id") === col("b.cand_id") &&
+                col("a.ref_id") === col("b.ref_id") &&
+                col("a.ic") < col("b.ic") && col("a.ir") < col("b.ir"))
+        .select(col("a.cand_id").as("cand_id"), col("a.ref_id").as("ref_id"),
+                col("a.ic").as("i"), col("b.ic").as("j"))
+        .withColumn("len", lit(1L)).localCheckpoint(false)
+      for (_ <- 1 to 4) {
+        val a = p.select(col("cand_id"), col("ref_id"), col("i"),
+                         col("j").as("mid"), col("len").as("la"))
+        val b = p.select(col("cand_id"), col("ref_id"),
+                         col("i").as("mid"), col("j"), col("len").as("lb"))
+        val comp = a.join(b, Seq("cand_id", "ref_id", "mid"))
+          .select(col("cand_id"), col("ref_id"), col("i"), col("j"),
+                  (col("la") + col("lb")).as("len"))
+        p = p.union(comp)
+          .groupBy(col("cand_id"), col("ref_id"), col("i"), col("j"))
+          .agg(max(col("len")).as("len")).localCheckpoint(false)
+      }
+      val chain = fresh(p.groupBy(col("cand_id"), col("ref_id"))
+        .agg((max(col("len")) + 1L).as("chain")))
+      val nm = fresh(m.groupBy(col("cand_id"), col("ref_id"))
+        .agg(count(lit(1)).as("n_matches")))
+      pr.join(nm, Seq("cand_id", "ref_id"), "left")
+        .join(chain, Seq("cand_id", "ref_id"), "left")
+        .join(lens.select(col("doc_id").as("cand_id"), col("ln").as("_lc")),
+              Seq("cand_id"), "left")
+        .join(lens.select(col("doc_id").as("ref_id"), col("ln").as("_lr")),
+              Seq("ref_id"), "left")
+        .withColumn("lcs", expr(
+          "CASE WHEN coalesce(n_matches, 0L) = 0 THEN 0L" +
+            " ELSE coalesce(chain, 1L) END"))
+        .select(col("cand_id"), col("ref_id"), col("lcs"),
+          expr("CASE WHEN coalesce(_lc, 0L) + coalesce(_lr, 0L) > 0" +
+               " THEN 2 * lcs * 1000000L" +
+               " DIV (coalesce(_lc, 0L) + coalesce(_lr, 0L))" +
+               " ELSE 0L END").as("rouge_l_f1_ppm"))
+    }),
+    "q741_mg_merge" -> ((s, dir) => {
+      // Misra–Gries MERGE — the property that makes q734's summary a
+      // DISTRIBUTED sketch: each source's stream splits into two halves,
+      // each half folds its own MG-4 summary (a partition's map-side
+      // state), the halves merge by counter addition followed by the
+      // (k+1)-th-largest subtraction, and the merged counts must honor
+      // the deterministic bound mg ≤ true ≤ mg + n/(k+1) against the
+      // exact full-stream counts — asserted as an output column, so the
+      // gate fails if the merge law ever breaks. This is the map-combine
+      // shape an executor-parallel MG would use at 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      val st = rd(s, dir, "documents")
+        .filter(col("doc_id") % 11 === 0 &&
+                  length(trim(col("text"))) > 0)
+        .select(col("source"), (expr("doc_id DIV 11") % 2).as("half"),
+          col("doc_id"),
+          posexplode(slice(
+            graft.operators.TextAnalysis.tokens(col("text")), 1, 12))
+            .as(Seq("pos", "w")))
+        .localCheckpoint(false)
+      val folded = st
+        .groupBy(col("source"), col("half"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"),
+               col("w")))).as("arr"))
+        .withColumn("mg", expr(MgFoldSpark))
+      val summaries = folded.select(col("source"), col("half"),
+          explode(expr(
+            "IF(size(mg.ts) = 0, CAST(array() AS" +
+              " ARRAY<STRUCT<token: STRING, c: BIGINT>>)," +
+              " transform(sequence(1, size(mg.ts))," +
+              " j -> struct(element_at(mg.ts, j) AS token," +
+              " element_at(mg.cs, j) AS c)))")).as("e"))
+        .select(col("source"), col("e.token").as("token"),
+                col("e.c").as("c"))
+      val combined = summaries.groupBy(col("source"), col("token"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("token"))))
+      val sub = combined.groupBy(col("source"))
+        .agg(max(when(col("rk") === 5, col("c"))).as("_d"))
+        .select(col("source"), coalesce(col("_d"), lit(0L)).as("d"))
+      val merged = combined.join(sub, Seq("source"))
+        .withColumn("mg_count", col("c") - col("d"))
+        .filter(col("mg_count") > 0)
+        .select(col("source"), col("token"), col("mg_count"))
+      val exact = st.groupBy(col("source"), col("w").as("token"))
+        .agg(count(lit(1)).as("n_exact"))
+      val nTot = st.groupBy(col("source")).agg(count(lit(1)).as("n_stream"))
+      merged.join(exact, Seq("source", "token"))
+        .join(nTot, Seq("source"))
+        .withColumn("within_bound",
+          col("mg_count") <= col("n_exact") &&
+            col("n_exact") <= col("mg_count") + expr("n_stream DIV 5"))
+        .select("source", "token", "mg_count", "n_exact", "n_stream",
+                "within_bound")
+    }),
+    "q742_cache_replacement" -> ((s, dir) => {
+      // Cache-replacement policy eval — LRU vs LFU hit rates replayed
+      // over the real part-access trace (shipdate order), cache capacity
+      // 8, per supplier nation: the storage-layer simulation behind a
+      // buffer-pool / block-cache sizing call. Both policies fold the
+      // SAME per-nation access array (sequential by nature, distributed
+      // across nations — the q650 discipline); LFU evicts the minimum
+      // (freq, key) via a packed freq·1e9+key argmin (exact while keys
+      // stay below 1e9 — asserted upstream of any larger deployment).
+      val tr = Tables.spread(s, rd(s, dir, "lineitem"))
+        .filter(col("l_partkey") % 7 === 0)
+        .join(broadcast(rd(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("nation"),
+                col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey").cast("long").as("pk"))
+      val folded = tr
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_accesses"),
+             sort_array(collect_list(struct(col("l_shipdate"),
+               col("l_orderkey"), col("l_linenumber"), col("pk"))))
+               .as("arr"))
+        .withColumn("lru", expr(LruFoldSpark))
+        .withColumn("lfu", expr(LfuFoldSpark))
+      folded.select(col("nation"), col("n_accesses"),
+          col("lru.hits").as("lru_hits"), col("lfu.hits").as("lfu_hits"))
+        .withColumn("lru_hit_ppm",
+          expr("lru_hits * 1000000L DIV n_accesses"))
+        .withColumn("lfu_hit_ppm",
+          expr("lfu_hits * 1000000L DIV n_accesses"))
+    }),
+    "q743_bandit_replay" -> ((s, dir) => {
+      // Offline bandit-policy replay (the Li et al. counterfactual
+      // estimator): a greedy policy over the five event-type "arms"
+      // (empirical-mean scores in exact ppm with +1 optimistic
+      // denominators, forced exploration every 10th step) replayed
+      // against the logged trace — only steps where the policy AGREES
+      // with the log update state and count reward, so the estimate is
+      // unbiased under uniform logging. One sequential fold (the
+      // simulation IS a chain), exact integers; oracle replays the same
+      // 12-field state step-for-step in a recursive CTE.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(DimKey.one).orderBy(col("ts"), col("event_id"))
+      val trace = SparkEntry.ev(s, dir)
+        .filter(col("user_id") % 25 === 0)
+        .select(col("ts"), col("event_id"),
+          expr("CASE event_type WHEN 'click' THEN 1L WHEN 'error' THEN 2L" +
+               " WHEN 'purchase' THEN 3L WHEN 'signup' THEN 4L" +
+               " ELSE 5L END").as("ai"),
+          expr("CASE WHEN CAST(floor(value * 100) AS BIGINT) > 50" +
+               " THEN 1L ELSE 0L END").as("rew"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      trace
+        .groupBy(DimKey.one.as("_g"))
+        .agg(count(lit(1)).as("n_steps"),
+             sort_array(collect_list(struct(col("rn"), col("ai"),
+               col("rew")))).as("arr"))
+        .withColumn("b", expr(BanditFoldSpark))
+        .select(col("n_steps"), col("b.mt").as("n_matched"),
+                col("b.mr").as("n_rewards"),
+                expr("CASE WHEN b.mt > 0 THEN b.mr * 1000000L DIV b.mt" +
+                     " ELSE 0L END").as("reward_rate_ppm"))
+    }),
+    "q744_topk_churn" -> ((s, dir) => {
+      // Leaderboard churn: month-over-month Jaccard of the monthly
+      // revenue top-10 brand set — how stable is "the top" as a set, the
+      // rank-stability companion to RBO (q620) and footrule (q335) that
+      // needs only set overlap. Exact: per month the top-10 by (revenue
+      // cents desc, brand), consecutive-month self-join on the
+      // month-dimension-sized top-k relation.
+      import org.apache.spark.sql.expressions.Window
+      val rev = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"),
+                 col("p_brand").as("brand"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("cents"))
+      val topk = rev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("mi"))
+            .orderBy(col("cents").desc, col("brand"))))
+        .filter(col("rk") <= 10)
+        .select(col("mi"), col("brand"))
+        .localCheckpoint(false)
+      val inter = topk.as("a")
+        .join(topk.as("b"),
+              col("a.mi") + 1 === col("b.mi") &&
+                col("a.brand") === col("b.brand"))
+        .groupBy(col("a.mi").as("mi"))
+        .agg(count(lit(1)).as("n_common"))
+      topk.groupBy(col("mi")).agg(count(lit(1)).as("n_a"))
+        .join(topk.select((col("mi") - 1).as("mi"))
+                .groupBy(col("mi")).agg(count(lit(1)).as("n_b")),
+              Seq("mi"))
+        .join(inter, Seq("mi"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("jaccard_ppm", expr(
+          "n_common * 1000000L DIV (n_a + n_b - n_common)"))
+        .select("mi", "n_a", "n_b", "n_common", "jaccard_ppm")
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -1011,6 +1259,102 @@ object R15Queries {
       |              j -> element_at(acc.cs, j) - 1))
       |    END), 1),
       |  acc -> acc)""".stripMargin
+
+  /** LRU fold (q742): cache = recency-ordered key list; hit and miss
+    * share one move-to-front expression, eviction = the slice.
+    */
+  private val LruFoldSpark: String =
+    """aggregate(arr,
+      |  named_struct('ks', CAST(array() AS ARRAY<BIGINT>),
+      |               'hits', CAST(0 AS BIGINT)),
+      |  (acc, e) -> named_struct(
+      |    'ks', slice(concat(array(e.pk), filter(acc.ks, x -> x != e.pk)),
+      |                1, 8),
+      |    'hits', acc.hits +
+      |      IF(array_position(acc.ks, e.pk) > 0, CAST(1 AS BIGINT),
+      |         CAST(0 AS BIGINT))),
+      |  acc -> acc)""".stripMargin
+
+  /** LFU fold (q742): parallel (keys, freqs) lists; eviction = argmin of
+    * the packed freq·1e9+key (exact below 1e9 keys), let-bound via a
+    * 1-element transform.
+    */
+  private val LfuFoldSpark: String = {
+    val packed = "transform(sequence(1, size(acc.fs))," +
+      " j -> element_at(acc.fs, j) * 1000000000L + element_at(acc.ks, j))"
+    s"""aggregate(arr,
+       |  named_struct('ks', CAST(array() AS ARRAY<BIGINT>),
+       |               'fs', CAST(array() AS ARRAY<BIGINT>),
+       |               'hits', CAST(0 AS BIGINT)),
+       |  (acc, e) -> element_at(transform(
+       |    array(coalesce(array_position(acc.ks, e.pk), 0L)), ix ->
+       |    CASE
+       |      WHEN ix > 0 THEN named_struct('ks', acc.ks,
+       |        'fs', transform(sequence(1, size(acc.fs)),
+       |          j -> IF(j = ix, element_at(acc.fs, j) + 1,
+       |                  element_at(acc.fs, j))),
+       |        'hits', acc.hits + 1)
+       |      WHEN size(acc.ks) < 8 THEN named_struct(
+       |        'ks', concat(acc.ks, array(e.pk)),
+       |        'fs', concat(acc.fs, array(CAST(1 AS BIGINT))),
+       |        'hits', acc.hits)
+       |      ELSE element_at(transform(
+       |        array(array_position($packed, array_min($packed))), ev ->
+       |        named_struct(
+       |          'ks', concat(transform(filter(sequence(1, size(acc.ks)),
+       |                  j -> j != ev), j -> element_at(acc.ks, j)),
+       |                array(e.pk)),
+       |          'fs', concat(transform(filter(sequence(1, size(acc.ks)),
+       |                  j -> j != ev), j -> element_at(acc.fs, j)),
+       |                array(CAST(1 AS BIGINT))),
+       |          'hits', acc.hits)), 1)
+       |    END), 1),
+       |  acc -> acc)""".stripMargin
+  }
+
+  /** Bandit replay fold (q743): 12-field state (per-arm counts/reward
+    * sums, matched steps, matched reward); the nested transforms
+    * let-bind the five arm scores and then the policy's chosen arm.
+    */
+  private val BanditFoldSpark: String = {
+    val z = "CAST(0 AS BIGINT)"
+    val scores = (1 to 5).map(k =>
+      s"'s$k', acc.r$k * 1000000L DIV (acc.c$k + 1)").mkString(", ")
+    val policy =
+      "CASE WHEN e.rn % 10 = 0 THEN 1 + ((e.rn DIV 10) % 5) ELSE" +
+        " CASE greatest(sc.s1, sc.s2, sc.s3, sc.s4, sc.s5)" +
+        " WHEN sc.s1 THEN 1L WHEN sc.s2 THEN 2L WHEN sc.s3 THEN 3L" +
+        " WHEN sc.s4 THEN 4L ELSE 5L END END"
+    val updates = (1 to 5).map(k =>
+      s"'c$k', acc.c$k + IF(ap = e.ai AND e.ai = $k, 1L, 0L)," +
+        s" 'r$k', acc.r$k + IF(ap = e.ai AND e.ai = $k, e.rew, 0L)")
+      .mkString(",\n       |        ")
+    s"""aggregate(arr,
+       |  named_struct(${(1 to 5).map(k => s"'c$k', $z, 'r$k', $z")
+          .mkString(", ")}, 'mt', $z, 'mr', $z),
+       |  (acc, e) -> element_at(transform(array(named_struct($scores)),
+       |    sc -> element_at(transform(array($policy), ap ->
+       |      named_struct(
+       |        $updates,
+       |        'mt', acc.mt + IF(ap = e.ai, 1L, 0L),
+       |        'mr', acc.mr + IF(ap = e.ai, e.rew, 0L))), 1)), 1),
+       |  acc -> acc)""".stripMargin
+  }
+
+  // ---- q742 cache-fold SQL fragments (recursive-CTE mirror) ----
+  private val PackedSql =
+    "list_transform(generate_series(1, len(s.fs))," +
+      " j -> s.fs[j] * 1000000000 + s.ks[j])"
+  private val EvixSql = s"list_position($PackedSql, list_min($PackedSql))"
+
+  // ---- q743 bandit-fold SQL fragments ----
+  private def armScoreSql(k: Int) = s"(s.r$k * 1000000 // (s.c$k + 1))"
+  private val BanditPolicySql: String =
+    "(CASE WHEN r.rn % 10 = 0 THEN 1 + ((r.rn // 10) % 5) ELSE" +
+      s" CASE greatest(${(1 to 5).map(armScoreSql).mkString(", ")})" +
+      (1 to 5).map(k =>
+        if (k < 5) s" WHEN ${armScoreSql(k)} THEN $k" else s" ELSE 5 END"
+      ).mkString + " END)"
 
   private def sdiv10Sql(x: String): String =
     s"(CASE WHEN ($x) >= 0 THEN ($x) // 10 ELSE -((-($x)) // 10) END)"
@@ -1788,6 +2132,232 @@ object R15Queries {
          |  CAST(sx.n + sy.n - overlap AS BIGINT) AS union_size
          |FROM pairs JOIN sizes sx ON sx.doc_id = new_id
          |  JOIN sizes sy ON sy.doc_id = old_id
-         |WHERE overlap * 2 >= (sx.n + sy.n - overlap) * 1""".stripMargin
+         |WHERE overlap * 2 >= (sx.n + sy.n - overlap) * 1""".stripMargin,
+    "q740_rouge_l" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |pr AS (SELECT doc_id AS cand_id, ref_id FROM (
+         |    SELECT doc_id, lead(doc_id) OVER (
+         |      PARTITION BY source ORDER BY doc_id) AS ref_id
+         |    FROM documents)
+         |  WHERE ref_id IS NOT NULL),
+         |tk AS (SELECT doc_id, t[i] AS w, i AS pos
+         |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+         |  WHERE length(trim(text)) > 0),
+         |firsts AS (SELECT doc_id, w, min(pos) AS pos FROM tk GROUP BY 1, 2),
+         |seq15 AS MATERIALIZED (SELECT doc_id, w, CAST(i AS BIGINT) AS i
+         |  FROM (SELECT doc_id, w, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY pos) AS i FROM firsts)
+         |  WHERE i <= 15),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ln
+         |  FROM seq15 GROUP BY 1),
+         |m AS MATERIALIZED (SELECT p.cand_id, p.ref_id, c.i AS ic, r.i AS ir
+         |  FROM pr p JOIN seq15 c ON c.doc_id = p.cand_id
+         |    JOIN seq15 r ON r.doc_id = p.ref_id AND r.w = c.w),
+         |p0 AS MATERIALIZED (SELECT a.cand_id, a.ref_id, a.ic AS i,
+         |    b.ic AS j, CAST(1 AS BIGINT) AS len
+         |  FROM m a JOIN m b ON a.cand_id = b.cand_id
+         |    AND a.ref_id = b.ref_id AND a.ic < b.ic AND a.ir < b.ir),
+         |${(1 to 4).map(k =>
+            s"""p$k AS MATERIALIZED (SELECT cand_id, ref_id, i, j,
+               |    max(len) AS len FROM (
+               |  SELECT cand_id, ref_id, i, j, len FROM p${k - 1} UNION ALL
+               |  SELECT a.cand_id, a.ref_id, a.i, b.j, a.len + b.len
+               |  FROM p${k - 1} a JOIN p${k - 1} b ON a.cand_id = b.cand_id
+               |    AND a.ref_id = b.ref_id AND a.j = b.i)
+               |  GROUP BY 1, 2, 3, 4)""".stripMargin).mkString(",\n")},
+         |ch AS (SELECT cand_id, ref_id, max(len) + 1 AS chain
+         |  FROM p4 GROUP BY 1, 2),
+         |nm AS (SELECT cand_id, ref_id, count(*) AS n_matches
+         |  FROM m GROUP BY 1, 2),
+         |fin AS (SELECT p.cand_id, p.ref_id,
+         |    CASE WHEN coalesce(nm.n_matches, 0) = 0 THEN 0
+         |         ELSE coalesce(ch.chain, 1) END AS lcs,
+         |    coalesce(lc.ln, 0) + coalesce(lr.ln, 0) AS lsum
+         |  FROM pr p
+         |  LEFT JOIN nm ON nm.cand_id = p.cand_id AND nm.ref_id = p.ref_id
+         |  LEFT JOIN ch ON ch.cand_id = p.cand_id AND ch.ref_id = p.ref_id
+         |  LEFT JOIN lens lc ON lc.doc_id = p.cand_id
+         |  LEFT JOIN lens lr ON lr.doc_id = p.ref_id)
+         |SELECT cand_id, ref_id, CAST(lcs AS BIGINT) AS lcs,
+         |  CAST(CASE WHEN lsum > 0 THEN 2 * lcs * 1000000 // lsum
+         |    ELSE 0 END AS BIGINT) AS rouge_l_f1_ppm
+         |FROM fin""".stripMargin,
+    "q741_mg_merge" ->
+      s"""WITH RECURSIVE ${SparkEntry.ToksCte},
+         |tk AS (SELECT toks.doc_id, d2.source,
+         |    (toks.doc_id // 11) % 2 AS half, t[1:12] AS t12
+         |  FROM toks JOIN documents d2 ON d2.doc_id = toks.doc_id
+         |  WHERE toks.doc_id % 11 = 0 AND length(trim(toks.text)) > 0),
+         |stream AS (SELECT source, half, doc_id, i - 1 AS pos, t12[i] AS w
+         |  FROM tk, unnest(generate_series(1, len(t12))) AS u(i)),
+         |rk AS MATERIALIZED (SELECT source, half, w,
+         |    CAST(row_number() OVER (PARTITION BY source, half
+         |      ORDER BY doc_id, pos) AS BIGINT) AS i
+         |  FROM stream),
+         |st(source, half, i, ts, cs) AS (
+         |  SELECT source, half, 1, [w], [CAST(1 AS BIGINT)]
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.source, r.half, r.i,
+         |    CASE
+         |      WHEN coalesce(list_position(s.ts, r.w), 0) > 0 THEN s.ts
+         |      WHEN len(s.ts) < 4 THEN list_append(s.ts, r.w)
+         |      ELSE list_transform(list_filter(
+         |        generate_series(1, len(s.cs)), j -> s.cs[j] > 1),
+         |        j -> s.ts[j])
+         |    END,
+         |    CASE
+         |      WHEN coalesce(list_position(s.ts, r.w), 0) > 0 THEN
+         |        list_transform(generate_series(1, len(s.cs)),
+         |          j -> CASE WHEN j = list_position(s.ts, r.w)
+         |               THEN s.cs[j] + 1 ELSE s.cs[j] END)
+         |      WHEN len(s.ts) < 4 THEN list_append(s.cs, CAST(1 AS BIGINT))
+         |      ELSE list_transform(list_filter(
+         |        generate_series(1, len(s.cs)), j -> s.cs[j] > 1),
+         |        j -> s.cs[j] - 1)
+         |    END
+         |  FROM st s JOIN rk r ON r.source = s.source AND r.half = s.half
+         |    AND r.i = s.i + 1),
+         |fin AS (SELECT st.source, st.half, st.ts, st.cs
+         |  FROM (SELECT source, half, max(i) AS mi FROM st GROUP BY 1, 2) l
+         |  JOIN st ON st.source = l.source AND st.half = l.half
+         |    AND st.i = l.mi),
+         |summ AS (SELECT f.source, f.ts[j] AS token, f.cs[j] AS c
+         |  FROM fin f, unnest(generate_series(1, len(f.ts))) AS u(j)),
+         |comb AS (SELECT source, token, CAST(sum(c) AS BIGINT) AS c
+         |  FROM summ GROUP BY 1, 2),
+         |rkc AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, token) AS rk2 FROM comb),
+         |sub AS (SELECT source,
+         |    coalesce(max(CASE WHEN rk2 = 5 THEN c END), 0) AS d
+         |  FROM rkc GROUP BY 1),
+         |merged AS (SELECT r2.source, r2.token, r2.c - sub.d AS mg_count
+         |  FROM rkc r2 JOIN sub ON sub.source = r2.source
+         |  WHERE r2.c - sub.d > 0),
+         |exact AS (SELECT source, w AS token,
+         |    CAST(count(*) AS BIGINT) AS n_exact FROM stream GROUP BY 1, 2),
+         |ntot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_stream
+         |  FROM stream GROUP BY 1)
+         |SELECT m2.source, m2.token, CAST(m2.mg_count AS BIGINT) AS mg_count,
+         |  e2.n_exact, ntot.n_stream,
+         |  (m2.mg_count <= e2.n_exact
+         |   AND e2.n_exact <= m2.mg_count + ntot.n_stream // 5)
+         |    AS within_bound
+         |FROM merged m2
+         |JOIN exact e2 ON e2.source = m2.source AND e2.token = m2.token
+         |JOIN ntot ON ntot.source = m2.source""".stripMargin,
+    "q742_cache_replacement" ->
+      s"""WITH RECURSIVE rk AS MATERIALIZED (SELECT nation, pk,
+         |    CAST(row_number() OVER (PARTITION BY nation
+         |      ORDER BY l_shipdate, l_orderkey, l_linenumber, pk)
+         |      AS BIGINT) AS i
+         |  FROM (SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+         |      CAST(l_partkey AS BIGINT) AS pk,
+         |      l_shipdate, l_orderkey, l_linenumber
+         |    FROM lineitem JOIN supplier s ON l_suppkey = s_suppkey
+         |    WHERE l_partkey % 7 = 0)),
+         |st_lru(nation, i, ks, hits) AS (
+         |  SELECT nation, 1, [pk], CAST(0 AS BIGINT) FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.nation, r.i,
+         |    ([r.pk] || list_filter(s.ks, x -> x != r.pk))[1:8],
+         |    s.hits + CASE WHEN list_position(s.ks, r.pk) > 0
+         |             THEN 1 ELSE 0 END
+         |  FROM st_lru s JOIN rk r ON r.nation = s.nation
+         |    AND r.i = s.i + 1),
+         |st_lfu(nation, i, ks, fs, hits) AS (
+         |  SELECT nation, 1, [pk], [CAST(1 AS BIGINT)], CAST(0 AS BIGINT)
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.nation, r.i,
+         |    CASE WHEN list_position(s.ks, r.pk) > 0 THEN s.ks
+         |         WHEN len(s.ks) < 8 THEN list_append(s.ks, r.pk)
+         |         ELSE list_append(list_transform(list_filter(
+         |           generate_series(1, len(s.ks)), j -> j != $EvixSql),
+         |           j -> s.ks[j]), r.pk) END,
+         |    CASE WHEN list_position(s.ks, r.pk) > 0 THEN
+         |           list_transform(generate_series(1, len(s.fs)),
+         |             j -> CASE WHEN j = list_position(s.ks, r.pk)
+         |                  THEN s.fs[j] + 1 ELSE s.fs[j] END)
+         |         WHEN len(s.ks) < 8 THEN
+         |           list_append(s.fs, CAST(1 AS BIGINT))
+         |         ELSE list_append(list_transform(list_filter(
+         |           generate_series(1, len(s.ks)), j -> j != $EvixSql),
+         |           j -> s.fs[j]), CAST(1 AS BIGINT)) END,
+         |    s.hits + CASE WHEN list_position(s.ks, r.pk) > 0
+         |             THEN 1 ELSE 0 END
+         |  FROM st_lfu s JOIN rk r ON r.nation = s.nation
+         |    AND r.i = s.i + 1),
+         |na AS (SELECT nation, CAST(max(i) AS BIGINT) AS n
+         |  FROM rk GROUP BY 1),
+         |fl AS (SELECT s2.nation, s2.hits
+         |  FROM (SELECT nation, max(i) AS mi FROM st_lru GROUP BY 1) l
+         |  JOIN st_lru s2 ON s2.nation = l.nation AND s2.i = l.mi),
+         |ff AS (SELECT s2.nation, s2.hits
+         |  FROM (SELECT nation, max(i) AS mi FROM st_lfu GROUP BY 1) l
+         |  JOIN st_lfu s2 ON s2.nation = l.nation AND s2.i = l.mi)
+         |SELECT na.nation, na.n AS n_accesses,
+         |  CAST(fl.hits AS BIGINT) AS lru_hits,
+         |  CAST(ff.hits AS BIGINT) AS lfu_hits,
+         |  CAST(fl.hits * 1000000 // na.n AS BIGINT) AS lru_hit_ppm,
+         |  CAST(ff.hits * 1000000 // na.n AS BIGINT) AS lfu_hit_ppm
+         |FROM na JOIN fl ON fl.nation = na.nation
+         |  JOIN ff ON ff.nation = na.nation""".stripMargin,
+    "q743_bandit_replay" ->
+      s"""WITH RECURSIVE ${SparkEntry.SrcCte},
+         |rk AS MATERIALIZED (SELECT
+         |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+         |      AS rn,
+         |    CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+         |      WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END
+         |      AS BIGINT) AS ai,
+         |    CAST(CASE WHEN CAST(floor(value * 100) AS BIGINT) > 50
+         |      THEN 1 ELSE 0 END AS BIGINT) AS rew
+         |  FROM src WHERE user_id % 25 = 0),
+         |st(i, ${(1 to 5).map(k => s"c$k, r$k").mkString(", ")}, mt, mr) AS (
+         |  SELECT CAST(0 AS BIGINT),
+         |    ${(1 to 12).map(_ => "CAST(0 AS BIGINT)").mkString(", ")}
+         |  UNION ALL
+         |  SELECT r.rn,
+         |${(1 to 5).map(k =>
+            s"    s.c$k + CASE WHEN $BanditPolicySql = r.ai AND r.ai = $k" +
+              s" THEN 1 ELSE 0 END,\n" +
+            s"    s.r$k + CASE WHEN $BanditPolicySql = r.ai AND r.ai = $k" +
+              s" THEN r.rew ELSE 0 END").mkString(",\n")},
+         |    s.mt + CASE WHEN $BanditPolicySql = r.ai THEN 1 ELSE 0 END,
+         |    s.mr + CASE WHEN $BanditPolicySql = r.ai THEN r.rew
+         |           ELSE 0 END
+         |  FROM st s JOIN rk r ON r.rn = s.i + 1)
+         |SELECT CAST(st.i AS BIGINT) AS n_steps,
+         |  CAST(st.mt AS BIGINT) AS n_matched,
+         |  CAST(st.mr AS BIGINT) AS n_rewards,
+         |  CAST(CASE WHEN st.mt > 0 THEN st.mr * 1000000 // st.mt
+         |    ELSE 0 END AS BIGINT) AS reward_rate_ppm
+         |FROM st JOIN (SELECT max(i) AS mi FROM st) l ON st.i = l.mi""".stripMargin,
+    "q744_topk_churn" ->
+      """WITH rev AS (SELECT
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    p_brand AS brand,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |topk AS (SELECT mi, brand FROM (
+        |    SELECT mi, brand, row_number() OVER (PARTITION BY mi
+        |      ORDER BY cents DESC, brand) AS rk FROM rev)
+        |  WHERE rk <= 10),
+        |inter AS (SELECT a.mi, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM topk a JOIN topk b ON a.mi + 1 = b.mi AND a.brand = b.brand
+        |  GROUP BY 1),
+        |na AS (SELECT mi, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM topk GROUP BY 1),
+        |nb AS (SELECT mi - 1 AS mi, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM topk GROUP BY 1)
+        |SELECT na.mi, na.n_a, nb.n_b,
+        |  CAST(coalesce(inter.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(inter.n_common, 0) * 1000000
+        |    // (na.n_a + nb.n_b - coalesce(inter.n_common, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM na JOIN nb ON nb.mi = na.mi
+        |LEFT JOIN inter ON inter.mi = na.mi""".stripMargin
   )
 }
