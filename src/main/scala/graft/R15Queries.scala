@@ -1112,6 +1112,173 @@ object R15Queries {
           "n_common * 1000000L DIV (n_a + n_b - n_common)"))
         .select("mi", "n_a", "n_b", "n_common", "jaccard_ppm")
     }),
+    "q745_mase" -> ((s, dir) => {
+      // MASE — mean absolute SCALED error (Hyndman's forecast-eval
+      // standard): the seasonal-naive forecast (same month last year)
+      // scored on eval months, scaled by the IN-SAMPLE seasonal-naive
+      // MAE, in one cross-multiplied exact ratio (sum_ev·n_tr)·1e6 DIV
+      // (sum_tr·n_ev) — no float means anywhere. MASE < 1e6 ⇒ the
+      // forecast beats naive. Completes the eval tier next to pinball
+      // (q721); the lag-12 pairing is a month-dimension self-join.
+      val rev = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("units"))
+        .localCheckpoint(false)
+      val lagd = rev.select(col("brand"), (col("mi") + 12).as("mi"),
+                            col("units").as("units_lag"))
+      rev.join(lagd, Seq("brand", "mi"))
+        .withColumn("ae", abs(col("units") - col("units_lag")))
+        .groupBy(col("brand"))
+        .agg(sum(when(col("mi") <= 24, 1L).otherwise(0L)).as("n_train_pairs"),
+             sum(when(col("mi") <= 24, col("ae")).otherwise(0L)).as("_sum_tr"),
+             sum(when(col("mi") > 24, 1L).otherwise(0L)).as("n_eval_pairs"),
+             sum(when(col("mi") > 24, col("ae")).otherwise(0L)).as("_sum_ev"))
+        .withColumn("mase_ppm", expr(
+          "CASE WHEN _sum_tr > 0 AND n_eval_pairs > 0" +
+            " THEN _sum_ev * n_train_pairs * 1000000L" +
+            " DIV (_sum_tr * n_eval_pairs) ELSE 0L END"))
+        .drop("_sum_tr", "_sum_ev")
+    }),
+    "q746_explode_outer_contract" -> ((s, dir) => {
+      // explode_outer CONTRACT: Spark's explode_outer keeps a NULL row
+      // for empty arrays while plain explode drops the document — and
+      // the oracle engine's natural `, unnest(...)` does the dropping,
+      // so its outer semantics need LEFT JOIN LATERAL ON true. Pinned on
+      // 0/1/full-token classes; the row-count and null-row accounting
+      // must match exactly. The lateral-join folklore beside q736's
+      // sequence() contract.
+      val d = rd(s, dir, "documents")
+        .withColumn("cls", col("doc_id") % 3)
+        .withColumn("arr", expr(
+          "CASE cls WHEN 0 THEN CAST(array() AS ARRAY<STRING>)" +
+            " WHEN 1 THEN slice(split(lower(trim(text)), '\\\\s+'), 1, 1)" +
+            " ELSE split(lower(trim(text)), '\\\\s+') END"))
+      d.select(col("cls"), explode_outer(col("arr")).as("tok"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("tok").isNull, 1L).otherwise(0L)).as("n_null_rows"),
+             count(col("tok")).as("n_tok_rows"))
+    }),
+    "q747_macro_f1" -> ((s, dir) => {
+      // Macro/micro-averaged F1 of the library's OWN language-ID
+      // operator (q14's TextAnalysis.langId) against the corpus's lang
+      // ground truth: per-class tp/fp/fn with the 2tp/(2tp+fp+fn)
+      // identity, a __macro__ row (unweighted mean of class F1) and a
+      // __micro__ row (pooled counts) — the multi-class eval discipline,
+      // and a self-audit: the gate breaks if the classifier drifts.
+      val pred = rd(s, dir, "documents")
+        .select(col("doc_id"),
+                graft.operators.TextAnalysis.langId(col("text")).as("pred"))
+      val conf = rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("truth"))
+        .join(pred, Seq("doc_id"))
+        .localCheckpoint(false)
+      val labels = conf.select(col("truth").as("label"))
+        .unionByName(conf.select(col("pred").as("label"))).distinct()
+      val per = labels.crossJoin(conf)
+        .groupBy(col("label"))
+        .agg(sum(when(col("truth") === col("label") &&
+                        col("pred") === col("label"), 1L).otherwise(0L))
+               .as("tp"),
+             sum(when(col("pred") === col("label") &&
+                        col("truth") =!= col("label"), 1L).otherwise(0L))
+               .as("fp"),
+             sum(when(col("truth") === col("label") &&
+                        col("pred") =!= col("label"), 1L).otherwise(0L))
+               .as("fn"))
+        .withColumn("f1_ppm", expr(
+          "CASE WHEN 2 * tp + fp + fn > 0" +
+            " THEN 2 * tp * 1000000L DIV (2 * tp + fp + fn)" +
+            " ELSE 0L END"))
+        .localCheckpoint(false)
+      val macroRow = per.agg(
+        lit("__macro__").as("label"), lit(0L).as("tp"), lit(0L).as("fp"),
+        lit(0L).as("fn"),
+        expr("sum(f1_ppm) DIV count(1)").as("f1_ppm"))
+      val microRow = per.agg(
+        lit("__micro__").as("label"), sum(col("tp")).as("tp"),
+        sum(col("fp")).as("fp"), sum(col("fn")).as("fn"),
+        expr("CASE WHEN 2 * sum(tp) + sum(fp) + sum(fn) > 0" +
+             " THEN 2 * sum(tp) * 1000000L" +
+             " DIV (2 * sum(tp) + sum(fp) + sum(fn)) ELSE 0L END")
+          .as("f1_ppm"))
+      per.unionByName(macroRow).unionByName(microRow)
+    }),
+    "q748_littles_law" -> ((s, dir) => {
+      // Little's law audit (L = λ·W) on the order pipeline: per calendar
+      // month, time-averaged open-order inventory L (interval overlap
+      // with the month window, exact day integers) vs λ·W collapsed to
+      // ONE ratio — Σ cycle-days of that month's arrivals over the month
+      // length (the λ·W product's denominators cancel exactly). The
+      // deviation ppm exposes edge effects (boundary-crossing orders) —
+      // the queueing-theory conformance meter for a fulfillment
+      // pipeline. Month spine is dimension-sized and broadcast.
+      val cyc = rd(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(expr("CAST(datediff(CAST(l_shipdate AS DATE)," +
+                      " DATE '1970-01-01') AS BIGINT)")).as("done"))
+      val ord = rd(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE)," +
+               " DATE '1970-01-01') AS BIGINT)").as("arrive"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate"))).as("amonth"))
+        .join(cyc, col("o_orderkey") === col("l_orderkey"))
+        .select(col("arrive"), col("done"), col("amonth"))
+        .localCheckpoint(false)
+      val months = rd(s, dir, "orders")
+        .agg(((year(min(col("o_orderdate"))) - 1995) * 12 +
+               month(min(col("o_orderdate")))).as("lo"),
+             ((year(max(col("o_orderdate"))) - 1995) * 12 +
+               month(max(col("o_orderdate")))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("my"))
+        .withColumn("mstart", expr(
+          "CAST(datediff(make_date(1995 + (my - 1) DIV 12," +
+            " ((my - 1) % 12) + 1, 1), DATE '1970-01-01') AS BIGINT)"))
+        .withColumn("mend", expr(
+          "CAST(datediff(make_date(1995 + (my) DIV 12," +
+            " ((my) % 12) + 1, 1), DATE '1970-01-01') AS BIGINT)"))
+      val lpart = ord.crossJoin(broadcast(months))
+        .withColumn("ov", greatest(lit(0L),
+          least(col("done"), col("mend")) -
+            greatest(col("arrive"), col("mstart"))))
+        .filter(col("ov") > 0)
+        .groupBy(col("my"), col("mstart"), col("mend"))
+        .agg(sum(col("ov")).as("open_days"))
+      val warr = ord.groupBy(col("amonth").as("my"))
+        .agg(count(lit(1)).as("n_arrivals"),
+             sum(col("done") - col("arrive")).as("cycle_days"))
+      lpart.join(warr, Seq("my"))
+        .withColumn("l_micro",
+          expr("open_days * 1000000L DIV (mend - mstart)"))
+        .withColumn("lw_micro",
+          expr("cycle_days * 1000000L DIV (mend - mstart)"))
+        .withColumn("deviation_ppm", expr(
+          "CASE WHEN lw_micro > 0 THEN (l_micro - lw_micro) * 1000000L" +
+            " DIV lw_micro ELSE 0L END"))
+        .select("my", "n_arrivals", "open_days", "cycle_days",
+                "l_micro", "lw_micro", "deviation_ppm")
+    }),
+    "q749_lsh_planner" -> ((s, dir) => {
+      // LSH (bands, rows) PLANNER: the closed-form collision s-curve
+      // P = 1 − (1 − s^r)^b for every 12-component banding and a τ grid,
+      // in exact ppm integer powers (truncating DIV per multiply is the
+      // pinned arithmetic) — the analytic companion to q712's EMPIRICAL
+      // sweep: pick the config whose curve knees at the target τ before
+      // paying for a single signature. Pure dimension-table arithmetic;
+      // the corpus is only read to stamp the doc count the plan is for.
+      import s.implicits._
+      val grid = (for {
+        (b, r) <- Seq((2, 6), (3, 4), (4, 3), (6, 2))
+        sp <- 300000L to 900000L by 100000L
+      } yield (b.toLong, r.toLong, sp)).toDF("bands", "rpb", "s_ppm")
+      val nd = rd(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      grid.crossJoin(broadcast(nd))
+        .withColumn("collision_ppm", expr(LshPlannerCaseSpark))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -1355,6 +1522,22 @@ object R15Queries {
       (1 to 5).map(k =>
         if (k < 5) s" WHEN ${armScoreSql(k)} THEN $k" else s" ELSE 5 END"
       ).mkString + " END)"
+
+  /** Exact ppm integer power: e^k with truncating DIV after each
+    * multiply — the pinned arithmetic of the q749 planner curve.
+    */
+  private def ipow(e: String, k: Int, div: String): String =
+    (2 to k).foldLeft(e)((acc, _) => s"(($acc) * ($e) $div 1000000)")
+
+  private def lshPlannerCase(div: String): String =
+    "CASE " + Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+      val pr = ipow("s_ppm", r, div)
+      s"WHEN bands = $b AND rpb = $r THEN" +
+        s" (1000000 - ${ipow(s"(1000000 - $pr)", b, div)})"
+    }.mkString(" ") + " ELSE 0 END"
+
+  private val LshPlannerCaseSpark: String = lshPlannerCase("DIV")
+  private val LshPlannerCaseSql: String = lshPlannerCase("//")
 
   private def sdiv10Sql(x: String): String =
     s"(CASE WHEN ($x) >= 0 THEN ($x) // 10 ELSE -((-($x)) // 10) END)"
@@ -2358,6 +2541,129 @@ object R15Queries {
         |    // (na.n_a + nb.n_b - coalesce(inter.n_common, 0)) AS BIGINT)
         |    AS jaccard_ppm
         |FROM na JOIN nb ON nb.mi = na.mi
-        |LEFT JOIN inter ON inter.mi = na.mi""".stripMargin
+        |LEFT JOIN inter ON inter.mi = na.mi""".stripMargin,
+    "q745_mase" ->
+      """WITH rev AS (SELECT p_brand AS brand,
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |j AS (SELECT a.brand, a.mi, abs(a.units - b.units) AS ae
+        |  FROM rev a JOIN rev b ON a.brand = b.brand AND a.mi = b.mi + 12)
+        |SELECT brand,
+        |  CAST(sum(CASE WHEN mi <= 24 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train_pairs,
+        |  CAST(sum(CASE WHEN mi > 24 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_eval_pairs,
+        |  CAST(CASE WHEN sum(CASE WHEN mi <= 24 THEN ae ELSE 0 END) > 0
+        |      AND sum(CASE WHEN mi > 24 THEN 1 ELSE 0 END) > 0
+        |    THEN sum(CASE WHEN mi > 24 THEN ae ELSE 0 END)
+        |      * sum(CASE WHEN mi <= 24 THEN 1 ELSE 0 END) * 1000000
+        |      // (sum(CASE WHEN mi <= 24 THEN ae ELSE 0 END)
+        |         * sum(CASE WHEN mi > 24 THEN 1 ELSE 0 END))
+        |    ELSE 0 END AS BIGINT) AS mase_ppm
+        |FROM j GROUP BY 1""".stripMargin,
+    "q746_explode_outer_contract" ->
+      """WITH d AS (SELECT doc_id % 3 AS cls,
+        |    CASE doc_id % 3 WHEN 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN 1 THEN regexp_split_to_array(lower(trim(text)),
+        |        '\s+')[1:1]
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |      END AS arr
+        |  FROM documents)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_rows,
+        |  CAST(count(tok) AS BIGINT) AS n_tok_rows
+        |FROM d LEFT JOIN LATERAL unnest(d.arr) AS u(tok) ON true
+        |GROUP BY 1""".stripMargin,
+    "q747_macro_f1" ->
+      s"""WITH ${SparkEntry.ToksCte}, ${SparkEntry.LangPredSql},
+         |conf AS (SELECT d.lang AS truth, p.lang_pred AS pred
+         |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+         |labels AS (SELECT DISTINCT truth AS label FROM conf
+         |  UNION SELECT DISTINCT pred FROM conf),
+         |per AS (SELECT l.label,
+         |    CAST(sum(CASE WHEN c.truth = l.label AND c.pred = l.label
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN c.pred = l.label AND c.truth <> l.label
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN c.truth = l.label AND c.pred <> l.label
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM labels l CROSS JOIN conf c GROUP BY 1),
+         |perf AS (SELECT label, tp, fp, fn,
+         |    CAST(CASE WHEN 2 * tp + fp + fn > 0
+         |      THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+         |      ELSE 0 END AS BIGINT) AS f1_ppm
+         |  FROM per)
+         |SELECT label, tp, fp, fn, f1_ppm FROM perf
+         |UNION ALL
+         |SELECT '__macro__', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(sum(f1_ppm) // count(*) AS BIGINT)
+         |FROM perf
+         |UNION ALL
+         |SELECT '__micro__', CAST(sum(tp) AS BIGINT),
+         |  CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+         |  CAST(CASE WHEN 2 * sum(tp) + sum(fp) + sum(fn) > 0
+         |    THEN 2 * sum(tp) * 1000000
+         |      // (2 * sum(tp) + sum(fp) + sum(fn))
+         |    ELSE 0 END AS BIGINT)
+         |FROM perf""".stripMargin,
+    "q748_littles_law" ->
+      """WITH cyc AS (SELECT l_orderkey,
+        |    CAST(max(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE))) AS BIGINT) AS done
+        |  FROM lineitem GROUP BY 1),
+        |ord AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS arrive,
+        |    cyc.done,
+        |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) AS amonth
+        |  FROM orders JOIN cyc ON o_orderkey = cyc.l_orderkey),
+        |mm AS (SELECT
+        |    (year(min(o_orderdate)) - 1995) * 12 + month(min(o_orderdate))
+        |      AS lo,
+        |    (year(max(o_orderdate)) - 1995) * 12 + month(max(o_orderdate))
+        |      AS hi
+        |  FROM orders),
+        |months AS (SELECT my,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      make_date(1995 + (my - 1) // 12, ((my - 1) % 12) + 1, 1))
+        |      AS BIGINT) AS mstart,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      make_date(1995 + my // 12, (my % 12) + 1, 1))
+        |      AS BIGINT) AS mend
+        |  FROM (SELECT unnest(generate_series((SELECT lo FROM mm),
+        |      (SELECT hi FROM mm))) AS my)),
+        |lp AS (SELECT my, mstart, mend, CAST(sum(ov) AS BIGINT)
+        |    AS open_days FROM (
+        |    SELECT m.my, m.mstart, m.mend,
+        |      greatest(0, least(o.done, m.mend)
+        |        - greatest(o.arrive, m.mstart)) AS ov
+        |    FROM ord o CROSS JOIN months m) WHERE ov > 0 GROUP BY 1, 2, 3),
+        |wa AS (SELECT amonth AS my, CAST(count(*) AS BIGINT) AS n_arrivals,
+        |    CAST(sum(done - arrive) AS BIGINT) AS cycle_days
+        |  FROM ord GROUP BY 1)
+        |SELECT lp.my, wa.n_arrivals, lp.open_days, wa.cycle_days,
+        |  CAST(lp.open_days * 1000000 // (lp.mend - lp.mstart) AS BIGINT)
+        |    AS l_micro,
+        |  CAST(wa.cycle_days * 1000000 // (lp.mend - lp.mstart) AS BIGINT)
+        |    AS lw_micro,
+        |  CAST(CASE WHEN wa.cycle_days * 1000000 // (lp.mend - lp.mstart)
+        |      > 0
+        |    THEN (lp.open_days * 1000000 // (lp.mend - lp.mstart)
+        |      - wa.cycle_days * 1000000 // (lp.mend - lp.mstart)) * 1000000
+        |      // (wa.cycle_days * 1000000 // (lp.mend - lp.mstart))
+        |    ELSE 0 END AS BIGINT) AS deviation_ppm
+        |FROM lp JOIN wa ON wa.my = lp.my""".stripMargin,
+    "q749_lsh_planner" ->
+      s"""WITH grid AS (SELECT CAST(bands AS BIGINT) AS bands,
+         |    CAST(rpb AS BIGINT) AS rpb, s_ppm
+         |  FROM (VALUES (2, 6), (3, 4), (4, 3), (6, 2)) AS c(bands, rpb)
+         |  CROSS JOIN (SELECT CAST(unnest([300000, 400000, 500000, 600000,
+         |    700000, 800000, 900000]) AS BIGINT) AS s_ppm)),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT bands, rpb, s_ppm, nd.n_docs,
+         |  CAST($LshPlannerCaseSql AS BIGINT) AS collision_ppm
+         |FROM grid CROSS JOIN nd""".stripMargin
   )
 }

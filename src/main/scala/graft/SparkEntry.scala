@@ -10761,18 +10761,8 @@ object SparkEntry {
          |    len(list_filter(t, x -> list_contains(${sqlList(AllStopwords)}, x))) AS n_stopwords
          |  FROM toks)""".stripMargin,
     "q14_text_langid" ->
-      s"""WITH $ToksCte,
-         |hits AS (SELECT doc_id, text,
-         |${TextAnalysis.Stopwords.keys.map(l =>
-            s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
-         |FROM toks)
-         |SELECT doc_id, CASE
-         |  WHEN text IS NULL THEN 'und'
-         |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |${TextAnalysis.Stopwords.keys.map(l =>
-            s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
-         |  ELSE 'und' END AS lang_pred
-         |FROM hits""".stripMargin,
+      s"""WITH $ToksCte, $LangPredSql
+         |SELECT doc_id, lang_pred FROM pred""".stripMargin,
     "q15_text_fingerprint" ->
       s"""WITH $ToksCte, ${shingleCte("sh5", 5)}
          |SELECT toks.doc_id, md5(array_to_string(t, ' ')) AS fingerprint,
@@ -12929,6 +12919,23 @@ object SparkEntry {
 
   private[graft] def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The q14 language-ID prediction as a reusable CTE chain (`hits`,
+    * `pred(doc_id, lang_pred)`) over `toks` — shared by the classifier
+    * eval queries so both gate against ONE definition of the predictor.
+    */
+  private[graft] lazy val LangPredSql: String =
+    s"""hits AS (SELECT doc_id, text,
+       |${TextAnalysis.Stopwords.keys.map(l =>
+          s"  len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.Stopwords(l))}, x))) AS h_$l").mkString(",\n")}
+       |FROM toks),
+       |pred AS (SELECT doc_id, CASE
+       |  WHEN text IS NULL THEN 'und'
+       |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |${TextAnalysis.Stopwords.keys.map(l =>
+          s"  WHEN greatest(h_en, h_es, h_fr, h_de) > 0 AND h_$l = greatest(h_en, h_es, h_fr, h_de) THEN '$l'").mkString("\n")}
+       |  ELSE 'und' END AS lang_pred
+       |FROM hits)""".stripMargin
 
   private val AllStopwords = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
 
