@@ -1279,6 +1279,169 @@ object R15Queries {
       grid.crossJoin(broadcast(nd))
         .withColumn("collision_ppm", expr(LshPlannerCaseSpark))
     }),
+    "q750_spt_scheduling" -> ((s, dir) => {
+      // Scheduling-discipline eval: total flow time per supplier queue
+      // under FIFO (arrival order) vs SPT (shortest processing time —
+      // the provably flow-optimal static discipline): completion times
+      // are PREFIX SUMS in each discipline's sort order, so the whole
+      // comparison is two cumulative-sum windows over one exchange — no
+      // simulation fold needed. improvement_ppm quantifies what queue
+      // discipline alone buys the fulfillment pipeline.
+      import org.apache.spark.sql.expressions.Window
+      val jobs = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(col("l_suppkey").as("k"),
+                expr("CAST(l_quantity AS BIGINT)").as("p"),
+                col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val wF = Window.partitionBy(col("k"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wS = Window.partitionBy(col("k"))
+        .orderBy(col("p"), col("l_shipdate"), col("l_orderkey"),
+                 col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      jobs
+        .withColumn("cf", sum(col("p")).over(wF))
+        .withColumn("cs", sum(col("p")).over(wS))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_jobs"),
+             sum(col("cf")).as("flow_fifo"), sum(col("cs")).as("flow_spt"))
+        .withColumn("improvement_ppm", expr(
+          "CASE WHEN flow_fifo > 0 THEN (flow_fifo - flow_spt) * 1000000L" +
+            " DIV flow_fifo ELSE 0L END"))
+    }),
+    "q751_newsvendor" -> ((s, dir) => {
+      // Newsvendor stocking: per-brand monthly demand, stock = the
+      // critical-fractile order statistic (cu=2, co=1 ⇒ fractile 2/3,
+      // rank ceil(2n/3) — the exact-quantile machinery of q721/q731)
+      // from the 24 train months, then the eval months pay 2·shortage +
+      // 1·overage in exact units — the inventory-theory companion to
+      // pinball loss (a pinball at the critical fractile IS the
+      // newsvendor cost, and the gate would catch any drift between the
+      // two formulations).
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("d"))
+        .localCheckpoint(false)
+      val w = Window.partitionBy(col("brand")).orderBy(col("d"), col("mi"))
+      val stock = dem.filter(col("mi") <= 24)
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+        .filter(col("_rn") === expr("(2 * _n + 2) DIV 3"))
+        .select(col("brand"), col("d").as("stock_units"))
+      dem.filter(col("mi") > 24)
+        .join(broadcast(stock), Seq("brand"))
+        .groupBy(col("brand"))
+        .agg(max(col("stock_units")).as("stock_units"),
+             count(lit(1)).as("n_eval"),
+             sum(expr("2 * greatest(0L, d - stock_units)"))
+               .as("shortage_cost"),
+             sum(expr("greatest(0L, stock_units - d)")).as("overage_cost"))
+        .withColumn("total_cost",
+          col("shortage_cost") + col("overage_cost"))
+    }),
+    "q752_diff_in_diff" -> ((s, dir) => {
+      // Difference-in-differences: treated = brands whose trailing digit
+      // is odd (a deterministic assignment), pre/post split at month 24;
+      // DiD = (T̄post − T̄pre) − (C̄post − C̄pre) on mean monthly revenue,
+      // every mean pinned as sum·1e6 DIV n micro-cents (truncation IS
+      // the statistic). The causal-inference panel method next to CUPED
+      // (q494), matching (q630), and uplift (q251) — one fact rollup,
+      // then arithmetic over four cells.
+      val rev = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("cents"))
+        .withColumn("treated",
+          expr("CAST(substring(brand, length(brand), 1) AS INT) % 2 = 1"))
+        .withColumn("post", col("mi") > 24)
+      val cells = rev.groupBy(col("treated"), col("post"))
+        .agg(expr("sum(cents) * 1000000L DIV count(1)").as("mean_micro"))
+      cells.agg(
+          max(when(col("treated") && col("post"), col("mean_micro")))
+            .as("t_post"),
+          max(when(col("treated") && !col("post"), col("mean_micro")))
+            .as("t_pre"),
+          max(when(!col("treated") && col("post"), col("mean_micro")))
+            .as("c_post"),
+          max(when(!col("treated") && !col("post"), col("mean_micro")))
+            .as("c_pre"))
+        .withColumn("did_micro",
+          (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+    }),
+    "q753_net_benefit" -> ((s, dir) => {
+      // Decision-curve analysis: net benefit NB(pt) = tp/n −
+      // fp/n · pt/(1−pt) of a self-calibrated urgency classifier
+      // (per-price-decile urgent rate learned on the even-orderkey half,
+      // thresholded on the odd half) across a pt grid, against the
+      // treat-all baseline — the clinical-decision eval that completes
+      // calibration (q496) and Youden (q572): a model only helps where
+      // its curve beats BOTH baselines. Exact ppm integers; deciles from
+      // ntile over the train half.
+      import org.apache.spark.sql.expressions.Window
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"),
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+                (col("o_orderpriority") === "1-URGENT").as("y"))
+        .localCheckpoint(false)
+      val train = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("dec", ntile(10).over(
+          Window.partitionBy(DimKey.one).orderBy(col("cents"), col("o_orderkey"))))
+      val bounds = train.groupBy(col("dec"))
+        .agg(min(col("cents")).as("lo"),
+             expr("sum(CASE WHEN y THEN 1L ELSE 0L END) * 1000000L" +
+                  " DIV count(1)").as("p_hat_ppm"))
+      val rk = Window.partitionBy(col("o_orderkey")).orderBy(col("lo").desc)
+      val scored = o.filter(col("o_orderkey") % 2 === 1)
+        .join(broadcast(bounds), col("cents") >= col("lo"))
+        .withColumn("_r", row_number().over(rk))
+        .filter(col("_r") === 1)
+        .select(col("y"), col("p_hat_ppm"))
+        .localCheckpoint(false)
+      import s.implicits._
+      val pts = Seq(100L, 200L, 300L, 400L, 500L).toDF("pt_permille")
+      scored.crossJoin(broadcast(pts))
+        .groupBy(col("pt_permille"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("y") && col("p_hat_ppm") >= col("pt_permille") * 1000,
+                      1L).otherwise(0L)).as("tp"),
+             sum(when(!col("y") && col("p_hat_ppm") >= col("pt_permille") * 1000,
+                      1L).otherwise(0L)).as("fp"),
+             sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("nb_ppm", expr(
+          "tp * 1000000L DIV n - (fp * 1000000L DIV n) * pt_permille" +
+            " DIV (1000 - pt_permille)"))
+        .withColumn("nb_all_ppm", expr(
+          "n_pos * 1000000L DIV n - ((n - n_pos) * 1000000L DIV n)" +
+            " * pt_permille DIV (1000 - pt_permille)"))
+        .select("pt_permille", "n", "tp", "fp", "nb_ppm", "nb_all_ppm")
+    }),
+    "q754_eoq" -> ((s, dir) => {
+      // Economic order quantity per brand: EOQ = √(2·D·S/H) with the
+      // INTEGER square root (exact in both engines — IEEE sqrt is
+      // correctly rounded on int-valued doubles, q732's isqrt trick),
+      // S = 900¢ setup, H = 25¢/unit·yr holding; plus the implied order
+      // cadence and cost split. The classic closed-form inventory
+      // planner on one brand-dimension rollup.
+      rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("demand_units"))
+        .withColumn("eoq_units", expr(
+          "CAST(floor(sqrt(CAST(2 * demand_units * 900 DIV 25 AS DOUBLE)))" +
+            " AS BIGINT)"))
+        .withColumn("n_orders", expr(
+          "CASE WHEN eoq_units > 0 THEN (demand_units + eoq_units - 1)" +
+            " DIV eoq_units ELSE 0L END"))
+        .withColumn("setup_cost_cents", col("n_orders") * 900L)
+        .withColumn("holding_cost_cents", expr("eoq_units * 25 DIV 2"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -2664,6 +2827,121 @@ object R15Queries {
          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
          |SELECT bands, rpb, s_ppm, nd.n_docs,
          |  CAST($LshPlannerCaseSql AS BIGINT) AS collision_ppm
-         |FROM grid CROSS JOIN nd""".stripMargin
+         |FROM grid CROSS JOIN nd""".stripMargin,
+    "q750_spt_scheduling" ->
+      """WITH jobs AS (SELECT l_suppkey AS k, CAST(l_quantity AS BIGINT)
+        |    AS p, l_shipdate, l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT k,
+        |    sum(p) OVER (PARTITION BY k
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+        |    sum(p) OVER (PARTITION BY k
+        |      ORDER BY p, l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM jobs)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_jobs,
+        |  CAST(sum(cf) AS BIGINT) AS flow_fifo,
+        |  CAST(sum(cs) AS BIGINT) AS flow_spt,
+        |  CAST(CASE WHEN sum(cf) > 0
+        |    THEN (sum(cf) - sum(cs)) * 1000000 // sum(cf)
+        |    ELSE 0 END AS BIGINT) AS improvement_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+    "q751_newsvendor" ->
+      """WITH dem AS (SELECT p_brand AS brand,
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |tr AS (SELECT brand, d, mi,
+        |    row_number() OVER (PARTITION BY brand ORDER BY d, mi) AS rn,
+        |    count(*) OVER (PARTITION BY brand) AS n
+        |  FROM dem WHERE mi <= 24),
+        |stock AS (SELECT brand, d AS stock_units FROM tr
+        |  WHERE rn = (2 * n + 2) // 3)
+        |SELECT e.brand, CAST(max(st.stock_units) AS BIGINT) AS stock_units,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(2 * greatest(0, e.d - st.stock_units)) AS BIGINT)
+        |    AS shortage_cost,
+        |  CAST(sum(greatest(0, st.stock_units - e.d)) AS BIGINT)
+        |    AS overage_cost,
+        |  CAST(sum(2 * greatest(0, e.d - st.stock_units))
+        |    + sum(greatest(0, st.stock_units - e.d)) AS BIGINT)
+        |    AS total_cost
+        |FROM dem e JOIN stock st ON st.brand = e.brand
+        |WHERE e.mi > 24 GROUP BY 1""".stripMargin,
+    "q752_diff_in_diff" ->
+      """WITH rev0 AS (SELECT p_brand AS brand,
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |rev AS (SELECT cents,
+        |    CAST(substr(brand, length(brand), 1) AS INT) % 2 = 1
+        |      AS treated,
+        |    mi > 24 AS post
+        |  FROM rev0),
+        |cells AS (SELECT treated, post,
+        |    CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
+        |  FROM rev GROUP BY 1, 2),
+        |piv AS (SELECT
+        |    max(CASE WHEN treated AND post THEN mean_micro END) AS t_post,
+        |    max(CASE WHEN treated AND NOT post THEN mean_micro END)
+        |      AS t_pre,
+        |    max(CASE WHEN NOT treated AND post THEN mean_micro END)
+        |      AS c_post,
+        |    max(CASE WHEN NOT treated AND NOT post THEN mean_micro END)
+        |      AS c_pre
+        |  FROM cells)
+        |SELECT t_post, t_pre, c_post, c_pre,
+        |  CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_micro
+        |FROM piv""".stripMargin,
+    "q753_net_benefit" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority = '1-URGENT' AS y FROM orders),
+        |train AS (SELECT *, ntile(10) OVER (ORDER BY cents, o_orderkey)
+        |    AS dec2
+        |  FROM o WHERE o_orderkey % 2 = 0),
+        |bounds AS (SELECT dec2, CAST(min(cents) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |      AS BIGINT) AS p_hat_ppm
+        |  FROM train GROUP BY 1),
+        |scored AS (SELECT y, p_hat_ppm FROM (
+        |    SELECT e.y, b.p_hat_ppm, row_number() OVER (
+        |      PARTITION BY e.o_orderkey ORDER BY b.lo DESC) AS r
+        |    FROM o e JOIN bounds b ON e.cents >= b.lo
+        |    WHERE e.o_orderkey % 2 = 1) WHERE r = 1),
+        |pts AS (SELECT CAST(unnest([100, 200, 300, 400, 500]) AS BIGINT)
+        |    AS pt_permille),
+        |agg AS (SELECT pt_permille, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y AND p_hat_ppm >= pt_permille * 1000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN NOT y AND p_hat_ppm >= pt_permille * 1000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM scored CROSS JOIN pts GROUP BY 1)
+        |SELECT pt_permille, n, tp, fp,
+        |  CAST(tp * 1000000 // n - (fp * 1000000 // n) * pt_permille
+        |    // (1000 - pt_permille) AS BIGINT) AS nb_ppm,
+        |  CAST(n_pos * 1000000 // n - ((n - n_pos) * 1000000 // n)
+        |    * pt_permille // (1000 - pt_permille) AS BIGINT) AS nb_all_ppm
+        |FROM agg""".stripMargin,
+    "q754_eoq" ->
+      """WITH d AS (SELECT p_brand AS brand,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS demand_units
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |e AS (SELECT brand, demand_units,
+        |    CAST(floor(sqrt(CAST(2 * demand_units * 900 // 25 AS DOUBLE)))
+        |      AS BIGINT) AS eoq_units
+        |  FROM d)
+        |SELECT brand, demand_units, eoq_units,
+        |  CAST(CASE WHEN eoq_units > 0
+        |    THEN (demand_units + eoq_units - 1) // eoq_units
+        |    ELSE 0 END AS BIGINT) AS n_orders,
+        |  CAST(CASE WHEN eoq_units > 0
+        |    THEN (demand_units + eoq_units - 1) // eoq_units
+        |    ELSE 0 END * 900 AS BIGINT) AS setup_cost_cents,
+        |  CAST(eoq_units * 25 // 2 AS BIGINT) AS holding_cost_cents
+        |FROM e""".stripMargin
   )
 }
