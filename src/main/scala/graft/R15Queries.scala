@@ -1442,6 +1442,121 @@ object R15Queries {
         .withColumn("setup_cost_cents", col("n_orders") * 900L)
         .withColumn("holding_cost_cents", expr("eoq_units * 25 DIV 2"))
     }),
+    "q755_time_decay_attribution" -> ((s, dir) => {
+      // Time-decay attribution — the remaining classic next to last-touch
+      // (q62), position (q252), Shapley (q571), and Markov removal
+      // (q737): every touch in the 14 days before a purchase earns
+      // weight 1e6 >> (age_days DIV 2) (half-life 2 days as an exact
+      // bit shift — the q218 decay discipline, no float exp), normalized
+      // to ppm credit per conversion, rolled up per channel. The pair
+      // join is per-user and window-bounded.
+      val ev = SparkEntry.ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"))
+        .localCheckpoint(false)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+                col("ts").as("cts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+                col("ts").as("tts"))
+      val pairs = conv.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr("INTERVAL 14 DAYS"))
+        .withColumn("age_days",
+          expr("CAST((unix_micros(cts) - unix_micros(tts))" +
+               " DIV 86400000000 AS BIGINT)"))
+        .withColumn("w", expr("shiftright(1000000L, CAST(age_days DIV 2 AS INT))"))
+        .withColumn("wsum", sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("conv_id"))))
+        .withColumn("credit_ppm", expr("w * 1000000L DIV wsum"))
+      pairs.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+             countDistinct(col("conv_id")).as("n_conversions_touched"),
+             sum(col("credit_ppm")).as("total_credit_ppm"))
+    }),
+    "q756_histogram_sweep" -> ((s, dir) => {
+      // Optimizer-statistics sizing curve: self-join cardinality of
+      // lineitem on l_suppkey estimated from B-bucket equi-depth
+      // histograms (est = Σ_b n_b² DIV d_b — the uniform-within-bucket
+      // assumption) vs the EXACT Σ c_k², for B ∈ {4, 16, 64} — how fast
+      // histogram resolution buys estimation accuracy, the sweep
+      // companion to the point estimators (q317 exact pre-flight, q446
+      // CMS). Buckets = ntile over the DISTINCT key domain, everything
+      // key-dimension-sized after one fact rollup.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ck = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val actual = ck.agg(sum(col("c") * col("c")).as("actual"))
+      val bs = Seq(4, 16, 64).map(_.toLong).toDF("b")
+      val bucketed = ck.crossJoin(broadcast(bs))
+        .withColumn("bkt", ntile(64).over(
+          Window.partitionBy(col("b")).orderBy(col("k"))))
+        .withColumn("bkt", expr("(bkt - 1) DIV (64 DIV b)"))
+      bucketed.groupBy(col("b"), col("bkt"))
+        .agg(sum(col("c")).as("n_b"), count(lit(1)).as("d_b"))
+        .groupBy(col("b"))
+        .agg(sum(expr("n_b * n_b DIV d_b")).as("est"))
+        .crossJoin(broadcast(actual))
+        .withColumn("err_ppm", expr(
+          "abs(est - actual) * 1000000L DIV actual"))
+        .select("b", "est", "actual", "err_ppm")
+    }),
+    "q757_eb_shrinkage" -> ((s, dir) => {
+      // Empirical-Bayes (additive) shrinkage of per-brand return rates
+      // toward the global rate with prior strength m = 50: shrunk =
+      // (x·1e6 + m·p0_ppm) DIV (n + m) — the small-sample leaderboard
+      // fix (a 2-line brand with 1 return no longer tops the table);
+      // rank_raw vs rank_shrunk exposes exactly which ranks the prior
+      // moved. Exact ppm integers; brand-dimension relation throughout.
+      import org.apache.spark.sql.expressions.Window
+      val r = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+               .as("x"))
+      val g = r.agg(expr("sum(x) * 1000000L DIV sum(n)").as("p0_ppm"))
+      val sh = r.crossJoin(broadcast(g))
+        .withColumn("raw_ppm", expr("x * 1000000L DIV n"))
+        .withColumn("shrunk_ppm",
+          expr("(x * 1000000L + 50 * p0_ppm) DIV (n + 50)"))
+      sh.withColumn("rank_raw", row_number().over(
+          Window.partitionBy(DimKey.one)
+            .orderBy(col("raw_ppm").desc, col("brand"))))
+        .withColumn("rank_shrunk", row_number().over(
+          Window.partitionBy(DimKey.one)
+            .orderBy(col("shrunk_ppm").desc, col("brand"))))
+        .withColumn("rank_shift",
+          col("rank_raw").cast("long") - col("rank_shrunk").cast("long"))
+        .select(col("brand"), col("n"), col("x"), col("raw_ppm"),
+                col("shrunk_ppm"), col("rank_raw").cast("long").as("rank_raw"),
+                col("rank_shrunk").cast("long").as("rank_shrunk"),
+                col("rank_shift"))
+    }),
+    "q758_agg_null_contract" -> ((s, dir) => {
+      // Aggregate-NULL semantics CONTRACT: count(*) counts rows while
+      // count(v)/sum/min/max/count(DISTINCT v) skip NULLs, and an
+      // all-NULL group sums to NULL (not 0) — pinned with null-ness
+      // surfaced as booleans + coalesce sentinels so the compare never
+      // stringifies a bare NULL. Groups 0 and 3 of doc_id % 6 are
+      // all-NULL by construction (doc_id % 3 = 0 nulls the value). The
+      // aggregate-layer companion to q397/q638/q657.
+      val d = rd(s, dir, "documents")
+        .select((col("doc_id") % 6).as("grp"),
+          when(col("doc_id") % 3 =!= 0, col("n_chars")).as("v"))
+      d.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+             countDistinct(col("v")).as("n_distinct"),
+             sum(col("v")).isNull.as("sum_is_null"),
+             coalesce(sum(col("v")), lit(-1L)).as("sum_v"),
+             coalesce(min(col("v")), lit(-1L)).as("min_v"),
+             coalesce(max(col("v")), lit(-1L)).as("max_v"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -2942,6 +3057,72 @@ object R15Queries {
         |    THEN (demand_units + eoq_units - 1) // eoq_units
         |    ELSE 0 END * 900 AS BIGINT) AS setup_cost_cents,
         |  CAST(eoq_units * 25 // 2 AS BIGINT) AS holding_cost_cents
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+    "q755_time_decay_attribution" ->
+      s"""WITH ${SparkEntry.SrcCte},
+         |conv AS (SELECT user_id, event_id AS conv_id, ts AS cts
+         |  FROM src WHERE event_type = 'purchase'),
+         |touches AS (SELECT user_id, event_type AS channel, ts AS tts
+         |  FROM src WHERE event_type <> 'purchase'),
+         |pairs AS (SELECT c.conv_id, t.channel,
+         |    CAST(1000000 >> CAST(((epoch_us(c.cts) - epoch_us(t.tts))
+         |      // 86400000000) // 2 AS INT) AS BIGINT) AS w
+         |  FROM conv c JOIN touches t ON t.user_id = c.user_id
+         |    AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 14 DAY),
+         |pw AS (SELECT conv_id, channel, w,
+         |    sum(w) OVER (PARTITION BY conv_id) AS wsum FROM pairs)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT)
+         |    AS n_conversions_touched,
+         |  CAST(sum(w * 1000000 // wsum) AS BIGINT) AS total_credit_ppm
+         |FROM pw GROUP BY 1""".stripMargin,
+    "q756_histogram_sweep" ->
+      """WITH ck AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |act AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual FROM ck),
+        |bs AS (SELECT CAST(unnest([4, 16, 64]) AS BIGINT) AS b),
+        |nt AS (SELECT b, c,
+        |    ntile(64) OVER (PARTITION BY b ORDER BY k) AS bkt64
+        |  FROM ck CROSS JOIN bs),
+        |bk AS (SELECT b, (bkt64 - 1) // (64 // b) AS bkt,
+        |    CAST(sum(c) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS d_b
+        |  FROM nt GROUP BY 1, 2)
+        |SELECT b, CAST(sum(n_b * n_b // d_b) AS BIGINT) AS est, act.actual,
+        |  CAST(abs(sum(n_b * n_b // d_b) - act.actual) * 1000000
+        |    // act.actual AS BIGINT) AS err_ppm
+        |FROM bk CROSS JOIN act GROUP BY 1, act.actual""".stripMargin,
+    "q757_eb_shrinkage" ->
+      """WITH r AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |g AS (SELECT CAST(sum(x) * 1000000 // sum(n) AS BIGINT) AS p0_ppm
+        |  FROM r),
+        |sh AS (SELECT brand, n, x,
+        |    CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+        |    CAST((x * 1000000 + 50 * p0_ppm) // (n + 50) AS BIGINT)
+        |      AS shrunk_ppm
+        |  FROM r CROSS JOIN g)
+        |SELECT brand, n, x, raw_ppm, shrunk_ppm,
+        |  CAST(row_number() OVER (ORDER BY raw_ppm DESC, brand) AS BIGINT)
+        |    AS rank_raw,
+        |  CAST(row_number() OVER (ORDER BY shrunk_ppm DESC, brand)
+        |    AS BIGINT) AS rank_shrunk,
+        |  CAST(row_number() OVER (ORDER BY raw_ppm DESC, brand)
+        |    - row_number() OVER (ORDER BY shrunk_ppm DESC, brand)
+        |    AS BIGINT) AS rank_shift
+        |FROM sh""".stripMargin,
+    "q758_agg_null_contract" ->
+      """WITH d AS (SELECT doc_id % 6 AS grp,
+        |    CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS v
+        |  FROM documents)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(v) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  sum(v) IS NULL AS sum_is_null,
+        |  CAST(coalesce(sum(v), -1) AS BIGINT) AS sum_v,
+        |  CAST(coalesce(min(v), -1) AS BIGINT) AS min_v,
+        |  CAST(coalesce(max(v), -1) AS BIGINT) AS max_v
+        |FROM d GROUP BY 1""".stripMargin
   )
 }
