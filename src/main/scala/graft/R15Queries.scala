@@ -1557,6 +1557,48 @@ object R15Queries {
              coalesce(min(col("v")), lit(-1L)).as("min_v"),
              coalesce(max(col("v")), lit(-1L)).as("max_v"))
     }),
+    "q759_ratio_to_ma" -> ((s, dir) => {
+      // Ratio-to-moving-average seasonal indices — the MULTIPLICATIVE
+      // classic next to q562's additive decomposition: per brand over
+      // the calendar-dense month spine, ratio = 24·y·1e6 DIV
+      // (y₋₆ + 2·Σ₋₅..₊₅ + y₊₆) — the centered 13-term MA folded into
+      // ONE exact division (no intermediate truncation) — averaged per
+      // month-of-year. Everything after the fact rollup is
+      // (brand × month)-sized windows.
+      import org.apache.spark.sql.expressions.Window
+      val d0 = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1995) * 12 +
+                   month(col("l_shipdate"))).as("mi"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("y"))
+      val span = rd(s, dir, "lineitem").agg(
+        ((year(min(col("l_shipdate"))) - 1995) * 12 +
+          month(min(col("l_shipdate")))).as("qlo"),
+        ((year(max(col("l_shipdate"))) - 1995) * 12 +
+          month(max(col("l_shipdate")))).as("qhi"))
+      val cal = d0.select(col("brand")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("brand"), explode(sequence(col("qlo"), col("qhi"))).as("mi"))
+        .join(d0, Seq("brand", "mi"), "left")
+        .select(col("brand"), col("mi"), coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("mi"))
+      val w11 = w.rowsBetween(-5, 5)
+      val rt = cal
+        .withColumn("ym6", lag(col("y"), 6).over(w))
+        .withColumn("yp6", lead(col("y"), 6).over(w))
+        .withColumn("s11", sum(col("y")).over(w11))
+        .withColumn("n11", count(lit(1)).over(w11))
+        .filter(col("ym6").isNotNull && col("yp6").isNotNull &&
+                  col("n11") === 11)
+        .withColumn("den", col("ym6") + lit(2L) * col("s11") + col("yp6"))
+        .filter(col("den") > 0)
+        .withColumn("ratio_ppm", expr("24 * y * 1000000L DIV den"))
+      rt.groupBy(col("brand"), (((col("mi") - 1) % 12) + 1).as("moy"))
+        .agg(count(lit(1)).as("n_months"),
+             expr("sum(ratio_ppm) DIV count(1)").as("seasonal_index_ppm"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -3123,6 +3165,37 @@ object R15Queries {
         |  CAST(coalesce(sum(v), -1) AS BIGINT) AS sum_v,
         |  CAST(coalesce(min(v), -1) AS BIGINT) AS min_v,
         |  CAST(coalesce(max(v), -1) AS BIGINT) AS max_v
-        |FROM d GROUP BY 1""".stripMargin
+        |FROM d GROUP BY 1""".stripMargin,
+    "q759_ratio_to_ma" ->
+      """WITH d0 AS (SELECT p_brand AS brand,
+        |    (year(l_shipdate) - 1995) * 12 + month(l_shipdate) AS mi,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |span AS (SELECT
+        |    (year(min(l_shipdate)) - 1995) * 12 + month(min(l_shipdate))
+        |      AS qlo,
+        |    (year(max(l_shipdate)) - 1995) * 12 + month(max(l_shipdate))
+        |      AS qhi
+        |  FROM lineitem),
+        |cal AS (SELECT c.brand, q.mi, coalesce(d0.y, 0) AS y
+        |  FROM (SELECT DISTINCT brand FROM d0) c
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |      (SELECT qlo FROM span), (SELECT qhi FROM span))) AS mi) q
+        |  LEFT JOIN d0 ON d0.brand = c.brand AND d0.mi = q.mi),
+        |rt AS (SELECT brand, mi, y,
+        |    lag(y, 6) OVER w AS ym6, lead(y, 6) OVER w AS yp6,
+        |    sum(y) OVER (w ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+        |      AS s11,
+        |    count(*) OVER (w ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+        |      AS n11
+        |  FROM cal WINDOW w AS (PARTITION BY brand ORDER BY mi)),
+        |rr AS (SELECT brand, mi, y, ym6 + 2 * s11 + yp6 AS den
+        |  FROM rt WHERE ym6 IS NOT NULL AND yp6 IS NOT NULL AND n11 = 11)
+        |SELECT brand, ((mi - 1) % 12) + 1 AS moy,
+        |  CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(sum(24 * y * 1000000 // den) // count(*) AS BIGINT)
+        |    AS seasonal_index_ppm
+        |FROM rr WHERE den > 0 GROUP BY 1, 2""".stripMargin
   )
 }
