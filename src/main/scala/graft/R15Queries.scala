@@ -1599,6 +1599,56 @@ object R15Queries {
         .agg(count(lit(1)).as("n_months"),
              expr("sum(ratio_ppm) DIV count(1)").as("seasonal_index_ppm"))
     }),
+    "q760_intdiv_contract" -> ((s, dir) => {
+      // Negative-integer division CONTRACT: BOTH engines truncate
+      // integer division TOWARD ZERO (−7 DIV 3 = −2, never floor's −3)
+      // and give % the sign of the DIVIDEND — pinned on a ±value domain
+      // together with the sign-fold identity v DIV k =
+      // −((−v) DIV k) for v < 0, which the suite's sign-folded folds
+      // (q699/q729) rely on. If either engine ever floored, every
+      // negative-operand DIV in the suite would silently drift; this
+      // query makes that a hash failure instead.
+      val d = rd(s, dir, "documents")
+        .select(((col("doc_id") % 7) - 3).as("v"))
+      d.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("vdiv", expr("v DIV 3"))
+        .withColumn("vmod", expr("v % 3"))
+        .withColumn("signfold_div", expr(
+          "CASE WHEN v >= 0 THEN v DIV 3 ELSE -((-v) DIV 3) END"))
+        .withColumn("identity_holds",
+          col("vdiv") === col("signfold_div"))
+    }),
+    "q761_range_frame_contract" -> ((s, dir) => {
+      // Default-window-frame CONTRACT: with an ORDER BY, the SQL-standard
+      // default frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW — which
+      // includes ALL PEERS of the current row — while an explicit ROWS
+      // frame does not. On tied ship dates the two cumulative sums
+      // diverge; both engines must agree on exactly where and by how
+      // much. The silent-bug classic: a running total written without an
+      // explicit frame changes meaning the day ties appear.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                col("l_shipdate").cast("date").as("d"),
+                col("l_orderkey"), col("l_linenumber"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"))
+      val wRows = Window.partitionBy(col("brand"))
+        .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // default frame (no rowsBetween): RANGE over the DATE ordering —
+      // peers (same-date rows) all included
+      val wRange = Window.partitionBy(col("brand")).orderBy(col("d"))
+      li.withColumn("cum_rows", sum(col("cents")).over(wRows))
+        .withColumn("cum_range", sum(col("cents")).over(wRange))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("cum_range") =!= col("cum_rows"), 1L)
+               .otherwise(0L)).as("n_peer_rows"),
+             max(col("cum_range") - col("cum_rows")).as("max_peer_gap"))
+    }),
     "q724_rouge_overlap" -> ((s, dir) => {
       // ROUGE-1/ROUGE-2 F1 between each document and its source-successor
       // (the summarization-eval metric, run as a corpus hygiene probe):
@@ -3196,6 +3246,33 @@ object R15Queries {
         |  CAST(count(*) AS BIGINT) AS n_months,
         |  CAST(sum(24 * y * 1000000 // den) // count(*) AS BIGINT)
         |    AS seasonal_index_ppm
-        |FROM rr WHERE den > 0 GROUP BY 1, 2""".stripMargin
+        |FROM rr WHERE den > 0 GROUP BY 1, 2""".stripMargin,
+    "q760_intdiv_contract" ->
+      """WITH d AS (SELECT (doc_id % 7) - 3 AS v FROM documents)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(v // 3 AS BIGINT) AS vdiv,
+        |  CAST(v % 3 AS BIGINT) AS vmod,
+        |  CAST(CASE WHEN v >= 0 THEN v // 3 ELSE -((-v) // 3) END
+        |    AS BIGINT) AS signfold_div,
+        |  v // 3 = CASE WHEN v >= 0 THEN v // 3 ELSE -((-v) // 3) END
+        |    AS identity_holds
+        |FROM d GROUP BY 1""".stripMargin,
+    "q761_range_frame_contract" ->
+      """WITH li AS (SELECT p_brand AS brand,
+        |    CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT brand,
+        |    sum(cents) OVER (PARTITION BY brand
+        |      ORDER BY d, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_rows,
+        |    sum(cents) OVER (PARTITION BY brand ORDER BY d) AS cum_range
+        |  FROM li)
+        |SELECT brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN cum_range <> cum_rows THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_peer_rows,
+        |  CAST(max(cum_range - cum_rows) AS BIGINT) AS max_peer_gap
+        |FROM c GROUP BY 1""".stripMargin
   )
 }
