@@ -503,8 +503,11 @@ object R15Queries {
       // ppm — the linear-interpolation smoothing next to q473's absolute-
       // discounting Kneser–Ney; the corpus n-gram tables are vocabulary-
       // sized broadcasts, the per-doc rollup one combine-enabled
-      // aggregate. Unseen bigrams honestly score p_bg = 0 and lean on
-      // the unigram arm — the whole point of interpolation.
+      // aggregate. The interpolation FORM would let unseen bigrams score
+      // p_bg = 0 and lean on the unigram arm — but that path is only
+      // exercised scoring held-out text: here the bigram table is built
+      // from the same corpus being scored, so every scored instance has
+      // cb >= 1 by construction.
       val toks = rd(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
@@ -592,6 +595,12 @@ object R15Queries {
       // loader hygiene check: a bad shuffle key shows up as adj_ppm ≫
       // expected_ppm. One sort-order window pass; runs via the classic
       // change-flag cumulative sum.
+      // Scale bound: expected_ppm's intermediate same_pairs·10⁶ is Spark
+      // long arithmetic (same_pairs ~ Σ nₛ² ≤ N²) while DuckDB promotes
+      // sums to HUGEINT — the engines diverge SILENTLY above ~3·10⁶ docs
+      // (N²·10⁶ > 2⁶³). For larger corpora divide nn·(nn−1) into
+      // same_pairs before the 10⁶ scale-up (costs the sub-ppm remainder)
+      // or compute per-source shares first.
       import org.apache.spark.sql.expressions.Window
       val d = rd(s, dir, "documents")
         .select(col("doc_id"), col("source"),

@@ -332,6 +332,15 @@ object Dedup {
     * while the bucket bomb stays impossible. Candidate and verify joins
     * are equi-joins on band key / doc id.
     *
+    * Caching contract: the shingle relations of BOTH sides are `.cache()`d
+    * (each feeds its band-key derivation AND the verify join) and the
+    * band-size rollup is localCheckpointed; none are released here because
+    * the returned plan still reads them lazily. Callers invoking this
+    * repeatedly in one session must clear persisted RDDs between
+    * invocations (`spark.sparkContext.getPersistentRDDs.values.foreach(
+    * _.unpersist(false))` — what the bench harness does between queries)
+    * or executor storage accumulates one shingle cache per call.
+    *
     * Output: (new_id, old_id, overlap, union_size) for verified pairs
     * with jaccard ≥ tauNum/tauDen.
     */

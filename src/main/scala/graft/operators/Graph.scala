@@ -194,9 +194,15 @@ object Graph {
     * compare). One shuffle on dst per iteration over an edge-sized
     * relation; per-round localCheckpoint keeps the lineage flat.
     *
-    * Overflow bound: x grows by ≤ α·d_max/1000 per round; callers pick
-    * (α, iters) so (α·d_max/1000)^iters·10⁶ fits int64 — α = 50 and
-    * 4 rounds hold to d_max ≈ 10⁵.
+    * Overflow bound: the BINDING term is the pre-DIV intermediate
+    * α·Σ_{u→v} x^k(u) — the sum is ≤ d_max·x^k and the α multiply happens
+    * BEFORE the DIV 1000 — so callers must pick (α, iters) with
+    * α·d_max·x^{iters−1} ≤ 2⁶³, i.e. roughly
+    * 10⁶·α·d_max·(α·d_max/1000)^{iters−1} ≤ 2⁶³. For α = 50 and 4 rounds
+    * that caps d_max ≈ 6·10³ (NOT 10⁵: the final-round α·sum intermediate
+    * overflows two decades before the post-DIV score does). Larger d_max
+    * needs fewer rounds, smaller α, or dividing the sum by 1000 before
+    * the α multiply (at the cost of one ulp of truncation per round).
     *
     * Output: (node, katz_micro, indeg). Feed symmetric edges for an
     * undirected graph.

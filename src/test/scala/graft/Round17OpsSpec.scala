@@ -1,0 +1,67 @@
+package graft
+
+/** Round-12 harness/operator contracts. Starts with the `moved`-detector
+  * blind-spot fix (round-11 verdict task 2): the bench must prefer the
+  * full, non-truncated side file over the driver's top-80-truncated
+  * BENCH_r*.json as the movement-comparison base — otherwise a query that
+  * was fast last round (outside the top 80) and slow this round can never
+  * be machine-flagged.
+  */
+class Round17OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("priorBenchTxt prefers the full side file over truncated BENCH_r*.json") {
+    val dir = java.nio.file.Files.createTempDirectory("benchbase").toFile
+    try {
+      // truncated driver file: only the slowest entries survive — q704 absent
+      val truncated =
+        """{"metric":"total","value":700.0,"qshown":2,"queries":{"698":10.5,"224":7.0},"sf":"sf0.1"}"""
+      // full side file: every query, including the fast ones
+      val full =
+        """{"n":761,"sf":"sf0.1","queries":{"698":10.50,"224":7.00,"704":1.50,"701":1.40}}"""
+      java.nio.file.Files.write(
+        new java.io.File(dir, "BENCH_r10.json").toPath, truncated.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        new java.io.File(dir, Bench.FullSideFile).toPath, full.getBytes("UTF-8"))
+      val got = Bench.priorBenchTxt(dir)
+      assert(got === Some(full), "full side file must win over the truncated driver JSON")
+
+      // and with ONLY the truncated file, it degrades to that (not None)
+      java.nio.file.Files.delete(new java.io.File(dir, Bench.FullSideFile).toPath)
+      assert(Bench.priorBenchTxt(dir) === Some(truncated))
+      // empty dir -> no base
+      java.nio.file.Files.delete(new java.io.File(dir, "BENCH_r10.json").toPath)
+      assert(Bench.priorBenchTxt(dir) === None)
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("movedList over the full base flags a mover the truncated base cannot see") {
+    val truncated = """{"queries":{"698":10.5,"224":7.0}}"""
+    val full = """{"queries":{"698":10.50,"224":7.00,"704":1.50,"701":1.40}}"""
+    // q704 was 1.5 s last round (outside the top 80), 8.2 s now: >1.3x and
+    // >0.5 s absolute — a real mover.
+    val current = Seq("698" -> 10.6, "224" -> 7.1, "704" -> 8.2, "701" -> 1.5)
+    assert(Bench.movedList(truncated, current) === "[]",
+      "the truncated base structurally cannot flag q704")
+    assert(Bench.movedList(full, current) === """["704"]""")
+  }
+
+  test("movedList thresholds: both the ratio AND the absolute gate must trip") {
+    val full = """{"queries":{"1":0.2,"2":2.0,"3":1.0}}"""
+    // q1: 0.2 -> 0.6 is 3x but only +0.4 s (sub-second jitter) -> not moved
+    // q2: 2.0 -> 2.6 is +0.6 s but only 1.3x (not >1.3x)        -> not moved
+    // q3: 1.0 -> 1.6 is 1.6x and +0.6 s                          -> moved
+    val current = Seq("1" -> 0.6, "2" -> 2.6, "3" -> 1.6)
+    assert(Bench.movedList(full, current) === """["3"]""")
+  }
+
+  test("parseQueries reads both the compact and pretty-printed forms") {
+    val compact = """{"queries":{"1":0.5,"2":10}}"""
+    val pretty = "{\n  \"queries\" : { \"1\" : 0.5 , \"2\" : 10 }\n}"
+    assert(Bench.parseQueries(compact) === Map("1" -> 0.5, "2" -> 10.0))
+    assert(Bench.parseQueries(pretty) === Map("1" -> 0.5, "2" -> 10.0))
+    assert(Bench.parseQueries("no queries here") === Map.empty)
+  }
+}
