@@ -163,6 +163,119 @@ object Dedup {
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("doc_a", "doc_b", "overlap", "union_size")
 
+  /** The 12-component banding grid: every (bands, rows) factorization of a
+    * 12-minhash signature the planner considers. Fixed component budget =
+    * fixed signature cost; only the band/row split (and hence the S-curve
+    * shape and the band-key shuffle width) varies.
+    */
+  val BandingGrid: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+
+  /** Exact-ppm LSH collision probability P = 1 − (1 − s^r)^b with
+    * truncating integer DIV after every multiply — bit-identical to the
+    * q749 planner curve in both engines (the pinned arithmetic; float
+    * powers never survive a cross-engine hash compare).
+    */
+  def collisionPpm(sPpm: Long, bands: Int, rows: Int): Long = {
+    require(sPpm >= 0 && sPpm <= 1000000L && bands >= 1 && rows >= 1)
+    def ipow(e: Long, k: Int): Long =
+      (2 to k).foldLeft(e)((acc, _) => acc * e / 1000000L)
+    1000000L - ipow(1000000L - ipow(sPpm, rows), bands)
+  }
+
+  /** LSH band-parameter autotuner (round-11 verdict task 3): pick the
+    * (bands, rows) point on [[BandingGrid]] whose collision probability at
+    * the target Jaccard `targetJaccardPpm` clears `recallFloorPpm`,
+    * preferring the FEWEST bands (each band is one more band-key row per
+    * doc through the candidate shuffle — at fixed signature budget, bands
+    * is the shuffle-width dial) and breaking ties toward higher recall.
+    * Returns (bands, rows, collisionPpm at the target). Throws with the
+    * best-available curve point when no grid config reaches the floor —
+    * the caller must lower the floor or raise the component budget, and
+    * the error says by how much.
+    *
+    * Motivation (Stress13): the default (4, 3) banding's intrinsic miss at
+    * τ = 0.5 is ~180k ppm of true pairs per band draw; (6, 2) trades ~1.5×
+    * band-shuffle volume for 822k-ppm collision at the same τ. This
+    * operator makes that dial explicit instead of folklore.
+    */
+  def planBands(targetJaccardPpm: Long,
+                recallFloorPpm: Long): (Int, Int, Long) = {
+    val curve = BandingGrid.map { case (b, r) =>
+      (b, r, collisionPpm(targetJaccardPpm, b, r))
+    }
+    val ok = curve.filter(_._3 >= recallFloorPpm)
+    require(ok.nonEmpty,
+      s"no 12-component banding reaches ${recallFloorPpm} ppm collision at " +
+        s"s=${targetJaccardPpm} ppm; best is ${curve.maxBy(_._3)} — lower " +
+        "the floor or widen the signature")
+    ok.minBy { case (b, _, coll) => (b, -coll) }
+  }
+
+  /** [[minhashLshPairs]] at the [[planBands]]-chosen banding — the
+    * recall-floor-driven entry point: callers state the Jaccard they care
+    * about and the collision probability they need, not a banding.
+    */
+  def minhashLshPairsPlanned(df: DataFrame,
+                             idCol: String,
+                             textCol: String,
+                             n: Int = 3,
+                             targetJaccardPpm: Long = 500000L,
+                             recallFloorPpm: Long = 800000L,
+                             tauNum: Int = 1,
+                             tauDen: Int = 2): DataFrame = {
+    val (b, r, _) = planBands(targetJaccardPpm, recallFloorPpm)
+    minhashLshPairs(df, idCol, textCol, n, b, r, tauNum, tauDen)
+  }
+
+  /** Empirical recall-delta disclosure between two bandings of the SAME
+    * 12-component signature: one row per config with its analytic
+    * collision probability at `targetJaccardPpm`, whether [[planBands]]
+    * would pick it at `recallFloorPpm`, its verified-pair count at
+    * τ = tauNum/tauDen, and how many of its pairs the OTHER banding
+    * misses (`n_extra` — the measured recall gap, both directions). The
+    * shingle pipeline (the expensive stage) runs ONCE; both band
+    * derivations and verifications read the shared cache. Pair sets are
+    * localCheckpointed before the count/anti-join aggregates so neither
+    * pipeline re-executes.
+    */
+  def bandingRecallCompare(df: DataFrame,
+                           idCol: String,
+                           textCol: String,
+                           n: Int = 3,
+                           bandsA: Int = 4, rowsA: Int = 3,
+                           bandsB: Int = 6, rowsB: Int = 2,
+                           targetJaccardPpm: Long = 500000L,
+                           recallFloorPpm: Long = 800000L,
+                           tauNum: Int = 1,
+                           tauDen: Int = 2): DataFrame = {
+    val withSh = df
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .cache()
+    val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
+    def pairsAt(b: Int, r: Int): DataFrame =
+      verifiedPairsFor(withSh, ndocs, b, r)
+        .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(false)
+    val pa = pairsAt(bandsA, rowsA)
+    val pb = pairsAt(bandsB, rowsB)
+    val planned = planBands(targetJaccardPpm, recallFloorPpm)
+    def statsOf(b: Int, r: Int, self: DataFrame, other: DataFrame): DataFrame =
+      self.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(
+          self.join(other, Seq("doc_a", "doc_b"), "left_anti")
+            .agg(count(lit(1)).as("n_extra"))))
+        .select(lit(s"b${b}r$r").as("config"),
+                lit(b.toLong).as("bands"), lit(r.toLong).as("rpb"),
+                lit(collisionPpm(targetJaccardPpm, b, r)).as("collision_ppm"),
+                lit(if ((planned._1, planned._2) == ((b, r))) 1L else 0L)
+                  .as("is_planned"),
+                col("n_pairs"), col("n_extra"))
+    statsOf(bandsA, rowsA, pa, pb)
+      .unionByName(statsOf(bandsB, rowsB, pb, pa))
+  }
+
   /** Banding-efficiency report for (bands, rows) tuning: ONE signature
     * pipeline pass yields both the candidate count and the τ-verified count
     * (precision = verified/candidates — low precision means the verify stage
@@ -236,6 +349,22 @@ object Dedup {
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .cache()
+    val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
+    verifiedPairsFor(withSh, ndocs, bands, rows, maxBucket, pairBudgetFactor)
+  }
+
+  /** The banded-candidate + exact-verify tail over an ALREADY-MATERIALIZED
+    * (_id, _shs) shingle relation — shared by [[candidatesWithOverlap]] and
+    * [[bandingRecallCompare]] so multi-banding comparisons pay the shingle
+    * pipeline (the expensive part) exactly once. `ndocsDf` is the
+    * broadcastable one-row corpus count for the pair budget.
+    */
+  private def verifiedPairsFor(withSh: DataFrame,
+                               ndocsDf: DataFrame,
+                               bands: Int,
+                               rows: Int,
+                               maxBucket: Int = DefaultMaxBucket,
+                               pairBudgetFactor: Long = PairBudgetFactor.toLong): DataFrame = {
     // all band keys in one native pass over the shingle array (string-equal
     // to the per-band md5(concat_ws("|", minhash...)) composition)
     val sig = withSh.select(
@@ -278,7 +407,7 @@ object Dedup {
     val bandSz = bandKeys0
       .withColumn("_bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("_ndocs"))))
+      .crossJoin(ndocsDf)
       .withColumn("_ok", col("_bsz") <= maxBucket &&
         col("_bsz") * col("_bsz") <= lit(pairBudgetFactor) * col("_ndocs"))
       .select(col("_id"), col("_bk"), col("_ok"))

@@ -57,6 +57,29 @@ class Round17OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.movedList(full, current) === """["3"]""")
   }
 
+  test("planBands: S-curve values and argmin, hand-computed at s=0.5") {
+    import graft.operators.Dedup
+    // truncating-DIV ppm powers at s_ppm = 500000:
+    //   (2,6): s^6 = 15625  -> 1 - (1-15625)^2          = 31006
+    //   (3,4): s^4 = 62500  -> 1 - (937500)^3/1e12      = 176026
+    //   (4,3): s^3 = 125000 -> 1 - (875000)^4/1e18      = 413820
+    //   (6,2): s^2 = 250000 -> 1 - (750000)^6/1e30      = 822022
+    assert(Dedup.collisionPpm(500000L, 2, 6) === 31006L)
+    assert(Dedup.collisionPpm(500000L, 3, 4) === 176026L)
+    assert(Dedup.collisionPpm(500000L, 4, 3) === 413820L)
+    assert(Dedup.collisionPpm(500000L, 6, 2) === 822022L)
+    // floor 800k: only (6,2) clears it
+    assert(Dedup.planBands(500000L, 800000L) === ((6, 2, 822022L)))
+    // floor 400k: (4,3) and (6,2) clear; fewest bands wins
+    assert(Dedup.planBands(500000L, 400000L) === ((4, 3, 413820L)))
+    // floor 30k: all but... (2,6)=31006 clears; 2 bands is cheapest
+    assert(Dedup.planBands(500000L, 30000L) === ((2, 6, 31006L)))
+    // unreachable floor throws with the best curve point named
+    val e = intercept[IllegalArgumentException](
+      Dedup.planBands(500000L, 900000L))
+    assert(e.getMessage.contains("822022"))
+  }
+
   test("parseQueries reads both the compact and pretty-printed forms") {
     val compact = """{"queries":{"1":0.5,"2":10}}"""
     val pretty = "{\n  \"queries\" : { \"1\" : 0.5 , \"2\" : 10 }\n}"
