@@ -31,6 +31,24 @@ object R16Queries {
       // itself, not just the pair pipelines.
       graft.operators.Dedup.bandingRecallCompare(
         rd(s, dir, "documents"), "doc_id", "text")
+    }),
+    "q763_incremental_dedup_table" -> ((s, dir) => {
+      // Incremental dedup against PERSISTED signature state (r11 verdict
+      // task 4): the standing corpus's MinHash signatures are published
+      // once as a VersionedTable partitioned on _sig_bucket =
+      // pmod(hash(band_key), 64); the delta run derives its own band
+      // keys, probes ONLY the touched bucket directories (the file
+      // LISTING is pruned, not just the scan — the cost q739 pays to
+      // recompute the corpus pipeline per run disappears), and verifies
+      // candidates from shingles riding the pruned rows. Output is
+      // row-identical to q739's self-contained delta-vs-corpus join —
+      // the oracle IS q739's oracle.
+      val d = rd(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("q763_sig").toString
+      graft.operators.Dedup.signatureTable(
+        s, d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", root)
+      graft.operators.Dedup.incrementalPairs(
+        s, d.filter(col("doc_id") % 3 === 0), root, "doc_id", "text")
     })
   )
 
@@ -130,6 +148,10 @@ object R16Queries {
          |  CAST(CASE WHEN EXISTS (SELECT 1 FROM plan WHERE b = 6 AND r = 2)
          |    THEN 1 ELSE 0 END AS BIGINT),
          |  CAST((SELECT n FROM nb) AS BIGINT),
-         |  CAST((SELECT n FROM xb) AS BIGINT)""".stripMargin
+         |  CAST((SELECT n FROM xb) AS BIGINT)""".stripMargin,
+    // Same relation as q739 by construction (stored-signature path vs
+    // self-contained recompute) — one oracle text, two engine paths.
+    "q763_incremental_dedup_table" ->
+      R15Queries.oracleSql("q739_incremental_dedup")
   )
 }

@@ -170,7 +170,8 @@ object VersionedTable {
     */
   private def publish(spark: SparkSession, snapshot: DataFrame, root: String,
                       batchToken: Option[String],
-                      preCommitFiles: Seq[String]): Long = {
+                      preCommitFiles: Seq[String],
+                      partitionCol: Option[String] = None): Long = {
     require(batchToken.forall(t => t.nonEmpty && !t.exists("/=\\".contains(_))),
             s"batch token must be a plain file-name fragment: $batchToken")
     val f = fs(spark, root)
@@ -178,7 +179,13 @@ object VersionedTable {
     val next = committed.lastOption.getOrElse(0L) + 1L
     val dir = s"$root/$VPrefix$next"
     f.delete(new Path(dir), true) // reclaim a crashed uncommitted attempt
-    snapshot.write.mode("overwrite").parquet(dir)
+    // Partitioned layout: cluster rows onto their partition first so each
+    // value directory gets ~1 file, not tasks × values (the ScdEngine
+    // small-files lesson).
+    val clustered = partitionCol.fold(snapshot)(c =>
+      snapshot.repartition(org.apache.spark.sql.functions.col(c)))
+    val writer = clustered.write.mode("overwrite")
+    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(dir)
     batchToken.foreach(t =>
       f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
     val files =
@@ -189,6 +196,48 @@ object VersionedTable {
     writeManifest(f, root, committed :+ next)
     f.create(new Path(s"$dir/$Committed"), true).close()
     next
+  }
+
+  /** [[publish]] with the snapshot laid out as Hive-style
+    * `<partitionCol>=<value>` directories inside the version dir (same
+    * commit protocol — data fully lands before the marker). Readers via
+    * [[read]]/[[readVersion]] get the partition column back through
+    * directory discovery; [[readLatestPartitions]] prunes the listing
+    * itself to named values. Leading-underscore partition column names are
+    * fine: Spark's hidden-file filter exempts names containing '='.
+    */
+  def publishPartitioned(spark: SparkSession, snapshot: DataFrame,
+                         root: String, partitionCol: String): Long =
+    publish(spark, snapshot, root, batchToken = None,
+            preCommitFiles = Nil, partitionCol = Some(partitionCol))
+
+  /** Partition-pruned read of the latest committed version: reads ONLY the
+    * requested `<partitionCol>=<value>` subdirectories (values without a
+    * directory are skipped with one existence probe each), so read cost —
+    * INCLUDING the file listing, the part partition-filter pushdown cannot
+    * prune — is proportional to |values|, never to table size. Values are
+    * rendered with Hive partition-path escaping-free toString (callers use
+    * integral bucket ids). Latest version must be a full snapshot (the
+    * partitioned publisher never writes deletion vectors).
+    */
+  def readLatestPartitions(spark: SparkSession, root: String,
+                           partitionCol: String,
+                           values: Seq[Any]): DataFrame = {
+    val f = fs(spark, root)
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(!isDelete(f, root, v),
+            s"readLatestPartitions: latest version $v is a deletion vector")
+    val dir = s"$root/$VPrefix$v"
+    val dirs = values.map(x => s"$dir/$partitionCol=$x")
+      .filter(d => f.exists(new Path(d)))
+    if (dirs.isEmpty)
+      // schema-only read of the full version dir (edge case: a delta that
+      // collides with no stored partition — the caller gets an empty,
+      // correctly-typed relation)
+      spark.read.option("basePath", dir).parquet(dir).limit(0)
+    else
+      spark.read.option("basePath", dir).parquet(dirs: _*)
   }
 
   /** Default commit stamp: max(previous effective stamp, wall clock) —

@@ -533,6 +533,168 @@ object Dedup {
       .select("new_id", "old_id", "overlap", "union_size")
   }
 
+  /** Number of `_sig_bucket` partitions in a persisted signature table —
+    * the dial between listing cost per delta run (≤ this many directory
+    * probes) and pruning granularity. Shared with the gate spec.
+    */
+  val DefaultSigBuckets: Int = 64
+
+  /** Persist the corpus MinHash signature STATE as a [[graft.VersionedTable]]
+    * (round-11 verdict task 4): the real ingest shape stores the standing
+    * corpus's signatures once and each delta run reads only the stored
+    * buckets it collides with, instead of recomputing the full corpus
+    * signature pipeline per run (what q739 honestly pays to stay
+    * self-contained).
+    *
+    * Layout: one row per (doc × band) — (_bk band key, _id, _shs shingle
+    * array, _n, _ndocs corpus size, _sig_bucket = pmod(hash(_bk),
+    * numBuckets)) — published partitioned on `_sig_bucket`, so a delta's
+    * band keys name the partitions to read and EVERYTHING else is never
+    * listed. Shingles ride on every band row (bands× storage, the classic
+    * space-for-pruning trade) so candidate verification reads ONLY the
+    * pruned scan — no second corpus-wide shingle join. `_ndocs` is a
+    * constant column (RLE-compresses to nothing) so the pair budget knows
+    * the corpus size without a full scan.
+    *
+    * Returns the published version number.
+    */
+  def signatureTable(spark: org.apache.spark.sql.SparkSession,
+                     df: DataFrame,
+                     idCol: String,
+                     textCol: String,
+                     root: String,
+                     n: Int = 3,
+                     bands: Int = 4,
+                     rows: Int = 3,
+                     numBuckets: Int = DefaultSigBuckets): Long = {
+    val withSh = df
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+    val rowsDf = withSh
+      .select(col("_id"), col("_shs"),
+              graft.functions.MinHashBands(col("_shs"), bands, rows)
+                .as("_bands"))
+      .select(col("_id"), col("_shs"),
+              posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(col("_id"), col("_shs"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                .as("_bk"))
+      .withColumn("_n", size(col("_shs")).cast("long"))
+      .crossJoin(broadcast(
+        df.select(col(idCol)).agg(count(lit(1)).as("_ndocs"))))
+      .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
+    graft.VersionedTable.publishPartitioned(spark, rowsDf, root, "_sig_bucket")
+  }
+
+  /** Incremental near-dup pairs of `delta` against a persisted
+    * [[signatureTable]]: same candidate relation, guards, spanning-degrade,
+    * and verification as [[minhashLshPairsAgainst]] — the gate asserts the
+    * outputs are row-identical — but the corpus side comes from STORED
+    * signatures, bucket-pruned: the delta's band keys name the touched
+    * `_sig_bucket` partitions (≤ 4·|delta| keys → ≤ numBuckets probes) and
+    * only those directories are ever listed or read, so delta-run cost is
+    * independent of corpus size. The one driver-side step is the touched-
+    * bucket distinct (≤ numBuckets ints).
+    *
+    * Caching contract: the delta shingle relation is cached (band keys +
+    * verify both read it); callers clear persisted RDDs between repeated
+    * invocations (the bench does).
+    */
+  /** The `_sig_bucket` partitions a delta's band keys touch — the driver-
+    * side pruning list (≤ numBuckets ints) [[incrementalPairs]] hands to
+    * [[graft.VersionedTable.readLatestPartitions]]. Exposed for the gate
+    * spec, which asserts the pruned listing covers ONLY these directories.
+    */
+  private[graft] def touchedSigBucketsFor(delta: DataFrame,
+                                          idCol: String,
+                                          textCol: String,
+                                          n: Int = 3,
+                                          bands: Int = 4,
+                                          rows: Int = 3,
+                                          numBuckets: Int = DefaultSigBuckets): Seq[Int] =
+    delta
+      .select(shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .select(graft.functions.MinHashBands(col("_shs"), bands, rows)
+                .as("_bands"))
+      .select(posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(pmod(hash(concat(col("_pos").cast("string"), lit(":"),
+                               col("_band"))), lit(numBuckets)).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  def incrementalPairs(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame,
+                       sigRoot: String,
+                       idCol: String,
+                       textCol: String,
+                       n: Int = 3,
+                       bands: Int = 4,
+                       rows: Int = 3,
+                       tauNum: Int = 1,
+                       tauDen: Int = 2,
+                       numBuckets: Int = DefaultSigBuckets): DataFrame = {
+    val shNew = delta
+      .select(col(idCol).as("_id"),
+              shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .cache()
+    val bn = shNew
+      .select(col("_id"),
+              graft.functions.MinHashBands(col("_shs"), bands, rows)
+                .as("_bands"))
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
+      .select(col("_id"),
+              concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                .as("_bk"))
+      .localCheckpoint(false)
+    val touched = bn
+      .select(pmod(hash(col("_bk")), lit(numBuckets)).as("_b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val corpus = graft.VersionedTable
+      .readLatestPartitions(spark, sigRoot, "_sig_bucket", touched)
+    // Guard relation, mirroring minhashLshPairsAgainst: per colliding band
+    // key, old-side count + min id and new-side count; budget against the
+    // TOTAL corpus (stored `_ndocs` constant + delta count — no corpus
+    // scan). Both aggregates ride the _bk shuffle the candidate join needs.
+    val ndTotal = broadcast(
+      corpus.agg(coalesce(max(col("_ndocs")), lit(0L)).as("_no"))
+        .crossJoin(delta.select(col(idCol)).agg(count(lit(1)).as("_nn")))
+        .select((col("_no") + col("_nn")).as("_ndocs")))
+    val sz = corpus.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_bo"), min(col("_id")).as("_omin"))
+      .join(bn.groupBy(col("_bk")).agg(count(lit(1)).as("_bn")), Seq("_bk"))
+      .crossJoin(ndTotal)
+      .withColumn("_ok",
+        col("_bo") <= DefaultMaxBucket && col("_bn") <= DefaultMaxBucket &&
+          col("_bo") * col("_bn") <=
+            lit(PairBudgetFactor.toLong) * col("_ndocs"))
+      .select(col("_bk"), col("_omin"), col("_ok"))
+      .localCheckpoint() // band-key-sized; read by both candidate arms
+    val candOk = bn
+      .join(sz.filter(col("_ok")).select(col("_bk")), Seq("_bk"))
+      .join(corpus.select(col("_bk"), col("_id").as("_old")), Seq("_bk"))
+      .select(col("_id").as("new_id"), col("_old").as("old_id"))
+    val candDeg = bn
+      .join(sz.filter(!col("_ok")).select(col("_bk"), col("_omin")),
+            Seq("_bk"))
+      .select(col("_id").as("new_id"), col("_omin").as("old_id"))
+    val cand = candOk.unionByName(candDeg).distinct()
+    // Old shingles come from the pruned scan itself (they ride every band
+    // row; any row of a doc carries the same array) — never a full-table
+    // join.
+    val oldSh = corpus
+      .select(col("_id").as("old_id"), col("_shs").as("_sb"),
+              col("_n").as("_nb"))
+      .dropDuplicates("old_id")
+    cand
+      .join(shNew.select(col("_id").as("new_id"), col("_shs").as("_sa"),
+                         size(col("_shs")).cast("long").as("_na")), "new_id")
+      .join(oldSh, "old_id")
+      .withColumn("overlap",
+                  size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
+      .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
+      .select("new_id", "old_id", "overlap", "union_size")
+  }
+
   /** Near-duplicate clusters from a pair list: connected components of the
     * doc graph, cluster id = the component's minimum doc id, plus the
     * component size. The step after any pairwise near-dup operator — a

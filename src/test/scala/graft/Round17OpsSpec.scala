@@ -7,7 +7,7 @@ package graft
   * was fast last round (outside the top 80) and slow this round can never
   * be machine-flagged.
   */
-class Round17OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+class Round17OpsSpec extends SparkTestBase {
 
   test("priorBenchTxt prefers the full side file over truncated BENCH_r*.json") {
     val dir = java.nio.file.Files.createTempDirectory("benchbase").toFile
@@ -86,5 +86,76 @@ class Round17OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.parseQueries(compact) === Map("1" -> 0.5, "2" -> 10.0))
     assert(Bench.parseQueries(pretty) === Map("1" -> 0.5, "2" -> 10.0))
     assert(Bench.parseQueries("no queries here") === Map.empty)
+  }
+
+  // ---- incremental-dedup signature table (r11 verdict task 4) ----
+
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  /** 30-doc corpus with near-dup pairs across the delta split (ids % 3):
+    * ids 3k and 3k+1 share text (near-identical), 3k+2 is unique filler.
+    */
+  private def sigFixture = {
+    import spark.implicits._
+    (0L until 30L).map { i =>
+      val fam = i / 3
+      val text = (i % 3) match {
+        case 0 | 1 => s"alpha beta gamma delta epsilon fam$fam shared body " +
+          s"of text tail${i % 3}"
+        case _ => s"unique filler document number $i with its own words " +
+          s"w${i}a w${i}b w${i}c"
+      }
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("incrementalPairs over a stored signature table == minhashLshPairsAgainst") {
+    val d = sigFixture
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val delta = d.filter(col("doc_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("sigtab").toString
+    Dedup.signatureTable(spark, corpus, "doc_id", "text", root,
+                         numBuckets = 8)
+    val stored = Dedup.incrementalPairs(spark, delta, root, "doc_id", "text",
+                                        numBuckets = 8)
+      .orderBy("new_id", "old_id").collect().map(_.toSeq)
+    val direct = Dedup.minhashLshPairsAgainst(corpus, delta, "doc_id", "text")
+      .orderBy("new_id", "old_id").collect().map(_.toSeq)
+    assert(stored.nonEmpty, "fixture must produce at least one pair")
+    assert(stored.toSeq === direct.toSeq)
+  }
+
+  test("incrementalPairs listing cost: only touched _sig_bucket dirs are read") {
+    val d = sigFixture
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("sigtab2").toString
+    Dedup.signatureTable(spark, corpus, "doc_id", "text", root,
+                         numBuckets = 64)
+    // one-doc delta: its <= 4 band keys touch <= 4 of the 64 buckets
+    val delta = d.filter(col("doc_id") === 0L)
+    val touched = Dedup.touchedSigBucketsFor(delta, "doc_id", "text",
+                                             numBuckets = 64)
+    assert(touched.size <= 4 && touched.nonEmpty)
+    val pruned = graft.VersionedTable
+      .readLatestPartitions(spark, root, "_sig_bucket", touched)
+    val full = graft.VersionedTable.read(spark, root)
+    val prunedFiles = pruned.inputFiles
+    val fullFiles = full.inputFiles
+    // the pruned scan's LISTING covers only touched dirs — the property
+    // that makes delta-run cost independent of corpus size
+    assert(prunedFiles.nonEmpty)
+    assert(prunedFiles.forall(f =>
+      touched.exists(b => f.contains(s"_sig_bucket=$b/"))))
+    assert(fullFiles.length > prunedFiles.length,
+      s"corpus spread over ${fullFiles.length} files must exceed the " +
+        s"${prunedFiles.length} pruned ones")
+    // and a delta colliding with NOTHING degrades to an empty typed scan
+    import spark.implicits._
+    val alien = Seq((999L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"))
+      .toDF("doc_id", "text")
+    val none = Dedup.incrementalPairs(spark, alien, root, "doc_id", "text",
+                                      numBuckets = 64)
+    assert(none.count() === 0L)
   }
 }
