@@ -108,7 +108,56 @@ object Bench {
     // actual cost. (The warmup loop above already paid codegen+page-cache,
     // so pass 1 is not cold-biased.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Dev-only subset filter (substring on query names): smoke-testing the
+    // harness itself without a 762-query pass. Unset in driver runs; when
+    // set, the full side file is NOT written (a subset must never become
+    // the next run's moved-comparison base).
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(n.contains) }
+    // Streaming harness-cost disclosure (round-11 verdict task 6): the
+    // `_stream` queries replay full MemoryStream micro-batch lifecycles
+    // per measurement, so much of their billed time is fixed harness cost
+    // (per-batch trigger/commit/planning), not operator work. Count each
+    // query's micro-batches with a listener (one progress event per
+    // completed trigger) and calibrate the per-batch overhead ONCE with a
+    // do-nothing stream; per-query `harness_s ~= batches x per-batch` goes
+    // to stderr so the streaming subtotal separates harness from operator
+    // time. Estimates: listener delivery is async and the calibration
+    // stream's state is trivial — good to ~20%, which is enough to keep a
+    // 2 s harness floor from reading as operator regression.
+    val mbCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          mbCounter.incrementAndGet()
+        override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    val harnessPerBatch: Double = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val t0 = System.nanoTime()
+      val q = ms.toDF().writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bench_cal").toString)
+        .start()
+      val calBatches = 8
+      try (1 to calBatches).foreach { i =>
+        ms.addData(i.toLong); q.processAllAvailable()
+      } finally q.stop()
+      (System.nanoTime() - t0) / 1e9 / calBatches
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] harness calibration failed: ${e.getMessage}")
+      0.0
+    }
+    System.err.println(f"[bench] stream harness per-batch ~ $harnessPerBatch%.3f s")
+    val streamBatches = Array.fill(ordered.size)(0L)
     // Canary: re-time the first query (q01, sub-second on a quiet box)
     // every 50 queries and print the observed spread to stderr. A
     // contended run is then self-evident from the canary trace — a 5x
@@ -142,7 +191,12 @@ object Bench {
       val base = canaries.size // windows already closed by prior reps
       for ((qi, i) <- ordered.zipWithIndex) {
         val (name, fn) = qi
+        val mb0 = mbCounter.get()
         samples(i) = math.min(samples(i), runOnce(name, fn))
+        // micro-batch count is deterministic per query (fixed replay
+        // script), so one rep's delta is the number
+        if (rep == 1 && name.contains("_stream"))
+          streamBatches(i) = mbCounter.get() - mb0
         if (i % 50 == 49) {
           val c = runOnce("canary", canaryFn)
           canaries += c
@@ -186,6 +240,22 @@ object Bench {
       }
     }
     val results = ordered.map(_._1).zip(samples.toSeq)
+    // Per-stream-query harness estimate to stderr (task 6 disclosure):
+    // batches x calibrated per-batch cost, next to the billed seconds, so
+    // a judge reading the streaming subtotal can subtract the harness
+    // floor before calling a stream query expensive.
+    locally {
+      var totalHarness = 0.0
+      for (i <- ordered.indices if streamBatches(i) > 0L) {
+        val h = streamBatches(i) * harnessPerBatch
+        totalHarness += h
+        System.err.println(
+          f"[bench] harness ${ordered(i)._1}%-32s batches=${streamBatches(i)}%3d " +
+            f"harness_s~$h%5.2f of ${samples(i)}%5.2f billed")
+      }
+      System.err.println(
+        f"[bench] harness total ~ $totalHarness%.1f s of the streaming subtotal")
+    }
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
     // full query names + full float precision overflowed it). Keep the line
@@ -274,8 +344,9 @@ object Bench {
     } catch { case _: Throwable => "[]" }
     // Persist THIS run's full per-query map (2-decimal, no size budget)
     // as the next run's base — after the moved computation read the old
-    // one, before anything can fail downstream.
-    try {
+    // one, before anything can fail downstream. Skipped under the dev
+    // subset filter: a partial map must never become the moved base.
+    if (nameFilter.isEmpty) try {
       val fullQs = results.zip(prefixes).map { case ((k, v), p) =>
         "\"" + (if (useShort) shortKey(p) else k) + "\":" + fmt(v, 2)
       }.mkString("{", ",", "}")

@@ -48,6 +48,79 @@ object ScdEngine {
   /** Partition-directory column for the bucketed layout. */
   val BucketCol = "_scd2_bucket"
 
+  /** Root-level bucket manifest (`_SCD_BUCKETS`): the bucket ids present on
+    * disk, one per line — so the pruned incremental path never LISTS the
+    * table's partition directories to know what exists (Stress13c: at 100 M
+    * rows / 800 buckets, partition discovery over ~25k files was the whole
+    * local-batch slope; a real catalog absorbs exactly this, and the
+    * library's manifest is its stand-in). No '=' in the name, underscore
+    * prefix: parquet scans skip it. Written atomically (tmp + rename, the
+    * VersionedTable manifest discipline); a missing or foreign-content
+    * manifest degrades to ONE top-level listStatus (directory names only,
+    * not the recursive file listing Spark's discovery pays) and is then
+    * rewritten.
+    */
+  private val BucketManifest = "_SCD_BUCKETS"
+
+  private def readBucketManifest(fs: FileSystem,
+                                 targetPath: String): Option[Seq[Int]] = {
+    val p = new Path(s"$targetPath/$BucketManifest")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+            .foreach(k => buf.write(chunk, 0, k))
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+        val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (lines.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+          Some(lines.map(_.toInt))
+        else None // half-written/foreign content: fall back to listing
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def writeBucketManifest(fs: FileSystem, targetPath: String,
+                                  buckets: Seq[Int]): Unit = {
+    val dst = new Path(s"$targetPath/$BucketManifest")
+    val tmp = new Path(s"$targetPath/.${BucketManifest}_tmp_" +
+      java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, true)
+    try out.write(buckets.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false) // missing manifest is SAFE: readers fall back
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+    }
+  }
+
+  /** One top-level listStatus for `<BucketCol>=<b>` directory NAMES — the
+    * manifest fallback and the post-swap seed. Directory names only: never
+    * the recursive per-file discovery.
+    */
+  private def listBucketDirs(fs: FileSystem, targetPath: String): Seq[Int] = {
+    val root = new Path(targetPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+      .map(_.getPath.getName.stripPrefix(BucketCol + "=").toInt)
+      .sorted
+  }
+
+  /** The on-disk bucket set: manifest when present, else one listing (which
+    * then seeds the manifest so the next run never lists).
+    */
+  private def bucketsOnDisk(fs: FileSystem, targetPath: String): Seq[Int] =
+    readBucketManifest(fs, targetPath).getOrElse {
+      val listed = listBucketDirs(fs, targetPath)
+      writeBucketManifest(fs, targetPath, listed)
+      listed
+    }
+
   /** Run one SCD maintenance step against a Parquet table at `targetPath`:
     * initial load when the target does not exist (or `fullRefresh`), otherwise
     * incremental merge. Returns the post-run snapshot (read back from disk —
@@ -79,6 +152,26 @@ object ScdEngine {
           fullRefresh: Boolean = false,
           numBuckets: Option[Int] = None,
           contract: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    merge(spark, delta, targetPath, cfg, fullRefresh, numBuckets, contract)
+    spark.read.parquet(targetPath)
+  }
+
+  /** [[run]] without the post-run snapshot read-back: commits the
+    * maintenance step and returns. On a bucketed table the read-back is
+    * the ONE remaining full partition discovery of an incremental run
+    * (every internal read is manifest-routed to the touched buckets) and
+    * it belongs to the first CONSUMER of the full dimension, not to the
+    * merge — a 100 TB pipeline commits the merge and reads slices. Use
+    * this from ingest loops; use [[run]] when the next step genuinely
+    * wants the whole post-run snapshot.
+    */
+  def merge(spark: SparkSession,
+            delta: DataFrame,
+            targetPath: String,
+            cfg: ScdConfig,
+            fullRefresh: Boolean = false,
+            numBuckets: Option[Int] = None,
+            contract: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     cfg.validate()
     val fs = fileSystem(spark, targetPath)
     val exists = fs.exists(new Path(targetPath))
@@ -103,7 +196,6 @@ object ScdEngine {
         }
       }
     } finally batch.unpersist() // S7: post-run temp drop
-    spark.read.parquet(targetPath)
   }
 
   /** [[run]] plus a CDC changelog: appends the payload-carrying
@@ -243,6 +335,26 @@ object ScdEngine {
                                   n: Int,
                                   contract: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val keys = cfg.uniqueKey.map(resolveCi(batch.columns.toSeq, _))
+    // Manifest-routed bucket set (round-11 verdict task 5): every read
+    // below addresses bucket DIRECTORIES by name, so nothing on the pruned
+    // path ever runs Spark's recursive partition discovery over the whole
+    // table — the metadata cost that was the entire 100 M-row local-batch
+    // slope in Stress13c.
+    val onDisk = bucketsOnDisk(fs, targetPath)
+    def bucketDirs(bs: Seq[Int]): Seq[String] =
+      bs.map(b => s"$targetPath/$BucketCol=$b")
+    // Bucket-dir read with the partition column restored via basePath; an
+    // empty selection degrades to a zero-row, correctly-typed relation
+    // (schema off ONE existing bucket dir — single-directory listing).
+    def readBuckets(bs: Seq[Int]): DataFrame =
+      if (bs.nonEmpty)
+        spark.read.option("basePath", targetPath)
+          .parquet(bucketDirs(bs): _*)
+      else if (onDisk.nonEmpty)
+        spark.read.option("basePath", targetPath)
+          .parquet(bucketDirs(onDisk.take(1)): _*).limit(0)
+      else // no bucket dirs at all (foreign layout): legacy full read
+        spark.read.parquet(targetPath)
     // Schema-WIDENING evolution cannot ride the pruned path: rewriting only
     // touched buckets would leave untouched bucket files with the old
     // footer schema, and a later plain parquet read resolves the table
@@ -250,14 +362,16 @@ object ScdEngine {
     // NULL) depending on which file wins. Evolution is rare and operator-
     // initiated, so pay a one-off full rewrite that keeps every bucket's
     // disk schema uniform. (`ignore` drops the new columns, `fail` throws
-    // in alignSchemas — neither widens disk, both stay pruned.)
+    // in alignSchemas — neither widens disk, both stay pruned.) The
+    // column-set probe reads ONE bucket directory, not the whole table
+    // (disk schema is uniform across buckets by construction).
     val widens = cfg.onSchemaChange == "append_new_columns" && {
-      val tCols = spark.read.parquet(targetPath).columns
+      val tCols = readBuckets(onDisk.take(1)).columns
         .map(_.toUpperCase).toSet
       batch.columns.exists(c => !tCols.contains(c.toUpperCase))
     }
     if (widens) {
-      val target = spark.read.parquet(targetPath).drop(BucketCol)
+      val target = readBuckets(onDisk).drop(BucketCol)
       val snapshot = mergeWithPredicates(target, batch, cfg)
       contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
       atomicSwap(spark, fs, withBucket(snapshot, cfg, Some(n)), targetPath,
@@ -271,9 +385,10 @@ object ScdEngine {
       .collect()
       .map(_.getInt(0))
       .sorted
-    val target = spark.read
-      .parquet(targetPath)
-      .filter(col(BucketCol).isin(touched.toSeq: _*)) // partition-pruned scan
+    // Listing-pruned scan: only the touched directories that EXIST are
+    // ever listed or read (a touched bucket with no directory yet simply
+    // contributes no history — its keys are brand-new).
+    val target = readBuckets(touched.filter(onDisk.contains).toSeq)
       .drop(BucketCol)
     val snapshot = mergeWithPredicates(target, batch, cfg)
     contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
@@ -296,17 +411,24 @@ object ScdEngine {
     try contract.foreach { c =>
       Contracts.enforceNotNull(spark.read.parquet(tmp), c)
       if (!fs.exists(contractMarkerPath(targetPath, c)))
+        // untouched buckets by DIRECTORY (manifest-routed), not a
+        // full-table scan with a negated partition filter
         Contracts.enforceNotNull(
-          spark.read.parquet(targetPath)
-            .filter(!col(BucketCol).isin(touched.toSeq: _*)), c)
+          readBuckets(onDisk.filterNot(touched.contains)), c)
     } catch { case e: Throwable => fs.delete(new Path(tmp), true); throw e }
+    val present = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (b <- touched) {
       val dst = new Path(s"$targetPath/$BucketCol=$b")
       val src = new Path(s"$tmp/$BucketCol=$b")
       fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(src)) { fs.rename(src, dst); present += b }
     }
     fs.delete(new Path(tmp), true)
+    // Manifest forward: survivors = (previous − touched) ∪ the touched
+    // buckets the merge actually wrote (a touched bucket can vanish only
+    // when hard deletes empty it).
+    writeBucketManifest(fs, targetPath,
+      (onDisk.filterNot(touched.contains) ++ present).sorted)
     contract.foreach(c =>
       fs.create(contractMarkerPath(targetPath, c), true).close())
   }
@@ -347,6 +469,11 @@ object ScdEngine {
     if (fs.exists(dst)) fs.rename(dst, old)
     fs.rename(tmp, dst)
     fs.delete(old, true)
+    // Seed the bucket manifest from ONE top-level listing of the freshly
+    // written table — every later pruned incremental run then reads bucket
+    // sets from the manifest, never from directory discovery.
+    if (numBuckets.isDefined)
+      writeBucketManifest(fs, targetPath, listBucketDirs(fs, targetPath))
     contract.foreach(c =>
       fs.create(contractMarkerPath(targetPath, c), true).close())
   }

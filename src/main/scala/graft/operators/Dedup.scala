@@ -94,6 +94,12 @@ object Dedup {
     * (|verified| / |candidates|) can be measured when tuning (bands, rows):
     * low precision means the verify stage is doing the work the signature
     * should have.
+    *
+    * Caching contract (same as [[minhashLshPairsAgainst]]): the shingle
+    * and band-size relations are cached and not released here — callers
+    * invoking this repeatedly in one session clear persisted RDDs between
+    * invocations (as the bench harness does) or executor storage grows one
+    * cache per call.
     */
   def minhashLshCandidates(df: DataFrame,
                            idCol: String,

@@ -158,4 +158,44 @@ class Round17OpsSpec extends SparkTestBase {
                                       numBuckets = 64)
     assert(none.count() === 0L)
   }
+
+  // ---- ScdEngine bucket manifest (r11 verdict task 5) ----
+
+  test("bucketed SCD maintains _SCD_BUCKETS and survives manifest loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scdman").toString
+    val path = s"$dir/dim"
+    val cfg = ScdConfig(uniqueKey = Seq("id"), updatedAtCol = "updated_at")
+    def batch(ids: Seq[Long], v: Long, at: String) =
+      ids.map(i => (i, s"n$i-$v", ts(at))).toDF("id", "name", "updated_at")
+    def manifest(): Seq[Int] = {
+      val f = java.nio.file.Paths.get(path, "_SCD_BUCKETS")
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty).map(_.toInt)
+    }
+    def dirsOnDisk(): Seq[Int] =
+      new java.io.File(path).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("_scd2_bucket="))
+        .map(_.getName.stripPrefix("_scd2_bucket=").toInt).sorted
+
+    ScdEngine.run(spark, batch(0L until 50L, 1, "2025-01-01 00:00:00"),
+                  path, cfg, numBuckets = Some(8))
+    assert(manifest() === dirsOnDisk(), "initial load seeds the manifest")
+    val m0 = manifest()
+    assert(m0.nonEmpty && m0.forall(b => b >= 0 && b < 8))
+
+    val snap1 = ScdEngine.run(
+      spark, batch(Seq(1L, 2L), 2, "2025-02-01 00:00:00"),
+      path, cfg, numBuckets = Some(8))
+    assert(manifest() === dirsOnDisk(), "incremental keeps the manifest true")
+    assert(snap1.count() === 52L) // 50 current + 2 closed versions
+
+    // manifest loss degrades to one listing and is re-seeded by the run
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_SCD_BUCKETS"))
+    val snap2 = ScdEngine.run(
+      spark, batch(Seq(3L), 3, "2025-03-01 00:00:00"),
+      path, cfg, numBuckets = Some(8))
+    assert(manifest() === dirsOnDisk(), "lost manifest is re-seeded")
+    assert(snap2.count() === 53L)
+  }
 }
