@@ -49,6 +49,159 @@ object R16Queries {
         s, d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", root)
       graft.operators.Dedup.incrementalPairs(
         s, d.filter(col("doc_id") % 3 === 0), root, "doc_id", "text")
+    }),
+    "q764_decision_stump" -> ((s, dir) => {
+      // Decision-stump induction (CART depth 1) per brand: the best
+      // single threshold on price minimizing weighted Gini impurity of
+      // the return-flag label, EXACT — per-split class counts are two
+      // prefix-sum windows over the (brand, price)-aggregated cells and
+      // impurity is integer ppm (n²·10⁶ fits int64 to ~3·10⁶ rows per
+      // group; beyond that, divide per side first). The feature-split
+      // primitive of tree training as one exchange + two windows — never
+      // a per-split pass. Tie-break: smallest split value.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
+      val cells = li.groupBy(col("brand"), col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("isr")).as("ca"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("brand"))
+      cells
+        .withColumn("n_l", sum(col("cnt")).over(w))
+        .withColumn("a_l", sum(col("ca")).over(w))
+        .withColumn("n", sum(col("cnt")).over(tot))
+        .withColumn("a", sum(col("ca")).over(tot))
+        .filter(col("n_l") < col("n")) // right side non-empty
+        .withColumn("n_r", col("n") - col("n_l"))
+        .withColumn("a_r", col("a") - col("a_l"))
+        .withColumn("b_l", col("n_l") - col("a_l"))
+        .withColumn("b_r", col("n_r") - col("a_r"))
+        .withColumn("g_l", expr(
+          "(n_l * n_l - a_l * a_l - b_l * b_l) * 1000000L DIV (n_l * n_l)"))
+        .withColumn("g_r", expr(
+          "(n_r * n_r - a_r * a_r - b_r * b_r) * 1000000L DIV (n_r * n_r)"))
+        .withColumn("gini_ppm", expr("(n_l * g_l + n_r * g_r) DIV n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("brand"))
+            .orderBy(col("gini_ppm"), col("cents"))))
+        .filter(col("rn") === 1)
+        .select(col("brand"), col("cents").as("split_cents"),
+                col("n_l").as("n_left"), col("n_r").as("n_right"),
+                col("gini_ppm"))
+    }),
+    "q765_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney rank-sum U per brand (returned vs kept lineitem
+      // prices), EXACT with ties: doubled midranks keep everything
+      // integer — midrank2(v) = 2·cnt(<v) + cnt(=v) + 1, so
+      // U2 = Σ_A midrank2 − n_A(n_A+1) is twice the tie-averaged U.
+      // Both directions emitted; U2_A + U2_B = 2·n_A·n_B is the pairing
+      // identity (pinned as a zero column so either engine's drift
+      // fails the hash). One cell rollup + one prefix window — the
+      // nonparametric two-sample test at corpus scale, no ranks ever
+      // materialized per row.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"))
+      val cells = li.groupBy(col("brand"), col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("isr")).as("ca"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("n_le", sum(col("cnt")).over(w))
+        .withColumn("mid2",
+          lit(2L) * (col("n_le") - col("cnt")) + col("cnt") + 1L)
+        .groupBy(col("brand"))
+        .agg(sum(col("ca")).as("n_a"),
+             sum(col("cnt") - col("ca")).as("n_b"),
+             sum(col("ca") * col("mid2")).as("ra2"),
+             sum((col("cnt") - col("ca")) * col("mid2")).as("rb2"))
+        .select(col("brand"), col("n_a"), col("n_b"),
+                (col("ra2") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+                (col("rb2") - col("n_b") * (col("n_b") + 1L)).as("u2_b"))
+        .withColumn("pair_check",
+          col("u2_a") + col("u2_b") - lit(2L) * col("n_a") * col("n_b"))
+    }),
+    "q766_kendall_tau" -> ((s, dir) => {
+      // Kendall rank correlation per nation between a customer's account
+      // balance and their total ordered value: exact concordant /
+      // discordant / tie pair counts from a nation-keyed self-join
+      // (pair volume is per-nation n², bounded by the dimension — never
+      // a corpus cross product), tau-a in signed ppm (both engines
+      // truncate toward zero, the q760 contract). The rank-agreement
+      // primitive behind feature screening at scale.
+      val ords = rd(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+               .as("y"))
+      val pts = rd(s, dir, "customer")
+        .join(ords, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nation"),
+                col("c_custkey").as("k"),
+                expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("x"),
+                col("y"))
+        .localCheckpoint(false)
+      pts.as("a")
+        .join(pts.as("b"),
+              col("a.nation") === col("b.nation") && col("a.k") < col("b.k"))
+        .select(col("a.nation").as("nation"),
+                ((col("a.x") - col("b.x")) > 0).cast("int").minus(
+                  ((col("a.x") - col("b.x")) < 0).cast("int")).as("sx"),
+                ((col("a.y") - col("b.y")) > 0).cast("int").minus(
+                  ((col("a.y") - col("b.y")) < 0).cast("int")).as("sy"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L))
+               .as("concordant"),
+             sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L))
+               .as("discordant"),
+             sum(when(col("sx") === 0 || col("sy") === 0, 1L).otherwise(0L))
+               .as("tied"))
+        .withColumn("tau_a_ppm", expr(
+          "CASE WHEN (concordant - discordant) >= 0" +
+            " THEN (concordant - discordant) * 1000000L DIV n_pairs" +
+            " ELSE -((discordant - concordant) * 1000000L DIV n_pairs)" +
+            " END"))
+    }),
+    "q767_cusum_alarms" -> ((s, dir) => {
+      // One-sided CUSUM change detection per supplier over the monthly
+      // quantity series: S_t = max(0, S_{t−1} + (x_t − μ)) has the
+      // closed form S_t = cum_t − min(0, cum_1..cum_t), so the whole
+      // sequential detector is two windows (running sum, running min) —
+      // no fold at all. μ is the per-supplier series mean (truncating
+      // DIV), alarm threshold h = μ (scale-free); emitted: series
+      // length, peak CUSUM, and the first alarm month (−1 when the
+      // series never drifts). The drift detector a feature-store would
+      // run per key at 100 TB, in exactly one exchange.
+      import org.apache.spark.sql.expressions.Window
+      val dem = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("x"))
+      val tot = Window.partitionBy(col("k"))
+      val seq0 = dem
+        .withColumn("mu", expr("sum(x) OVER (PARTITION BY k) DIV" +
+                               " count(1) OVER (PARTITION BY k)"))
+        .withColumn("y", col("x") - col("mu"))
+      val wo = Window.partitionBy(col("k")).orderBy(col("mi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      seq0
+        .withColumn("cum", sum(col("y")).over(wo))
+        .withColumn("s", col("cum") - least(lit(0L), min(col("cum")).over(wo)))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_months"),
+             max(col("s")).as("max_cusum"),
+             coalesce(min(when(col("s") >= col("mu") && col("mu") > 0,
+                               col("mi"))), lit(-1L)).as("first_alarm_mi"))
     })
   )
 
@@ -152,6 +305,112 @@ object R16Queries {
     // Same relation as q739 by construction (stored-signature path vs
     // self-contained recompute) — one oracle text, two engine paths.
     "q763_incremental_dedup_table" ->
-      R15Queries.oracleSql("q739_incremental_dedup")
+      R15Queries.oracleSql("q739_incremental_dedup"),
+    "q764_decision_stump" ->
+      s"""WITH li AS (SELECT p_brand AS brand,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |cells AS (SELECT brand, cents, count(*) AS cnt, sum(isr) AS ca
+         |  FROM li GROUP BY 1, 2),
+         |sc AS (SELECT brand, cents,
+         |    sum(cnt) OVER (PARTITION BY brand ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+         |    sum(ca) OVER (PARTITION BY brand ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_l,
+         |    sum(cnt) OVER (PARTITION BY brand) AS n,
+         |    sum(ca) OVER (PARTITION BY brand) AS a
+         |  FROM cells),
+         |g AS (SELECT brand, cents, n_l, n - n_l AS n_r, a_l, a - a_l AS a_r,
+         |    n_l - a_l AS b_l, (n - n_l) - (a - a_l) AS b_r, n
+         |  FROM sc WHERE n_l < n),
+         |g2 AS (SELECT brand, cents, n_l, n_r, n,
+         |    (n_l * n_l - a_l * a_l - b_l * b_l) * 1000000 // (n_l * n_l)
+         |      AS g_l,
+         |    (n_r * n_r - a_r * a_r - b_r * b_r) * 1000000 // (n_r * n_r)
+         |      AS g_r
+         |  FROM g),
+         |g3 AS (SELECT brand, cents, n_l, n_r,
+         |    (n_l * g_l + n_r * g_r) // n AS gini_ppm,
+         |    row_number() OVER (PARTITION BY brand
+         |      ORDER BY (n_l * g_l + n_r * g_r) // n, cents) AS rn
+         |  FROM g2)
+         |SELECT brand, CAST(cents AS BIGINT) AS split_cents,
+         |  CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+         |  CAST(gini_ppm AS BIGINT) AS gini_ppm
+         |FROM g3 WHERE rn = 1""".stripMargin,
+    "q765_mann_whitney" ->
+      s"""WITH li AS (SELECT p_brand AS brand,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |cells AS (SELECT brand, cents, count(*) AS cnt, sum(isr) AS ca
+         |  FROM li GROUP BY 1, 2),
+         |sc AS (SELECT brand, cnt, ca,
+         |    sum(cnt) OVER (PARTITION BY brand ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le
+         |  FROM cells),
+         |m AS (SELECT brand, cnt, ca, 2 * (n_le - cnt) + cnt + 1 AS mid2
+         |  FROM sc),
+         |agg AS (SELECT brand, sum(ca) AS n_a, sum(cnt - ca) AS n_b,
+         |    sum(ca * mid2) AS ra2, sum((cnt - ca) * mid2) AS rb2
+         |  FROM m GROUP BY 1)
+         |SELECT brand, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+         |  CAST(rb2 - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+         |  CAST(ra2 - n_a * (n_a + 1) + rb2 - n_b * (n_b + 1)
+         |    - 2 * n_a * n_b AS BIGINT) AS pair_check
+         |FROM agg""".stripMargin,
+    "q766_kendall_tau" ->
+      s"""WITH ords AS (SELECT o_custkey,
+         |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+         |  FROM orders GROUP BY 1),
+         |pts AS (SELECT c_nationkey AS nation, c_custkey AS k,
+         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS x, y
+         |  FROM customer JOIN ords ON c_custkey = o_custkey),
+         |pr AS (SELECT a.nation,
+         |    (CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END)
+         |      AS sx,
+         |    (CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END)
+         |      AS sy
+         |  FROM pts a JOIN pts b ON a.nation = b.nation AND a.k < b.k),
+         |agg AS (SELECT nation, count(*) AS n_pairs,
+         |    sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS concordant,
+         |    sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS discordant,
+         |    sum(CASE WHEN sx = 0 OR sy = 0 THEN 1 ELSE 0 END) AS tied
+         |  FROM pr GROUP BY 1)
+         |SELECT CAST(nation AS BIGINT) AS nation,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(concordant AS BIGINT) AS concordant,
+         |  CAST(discordant AS BIGINT) AS discordant,
+         |  CAST(tied AS BIGINT) AS tied,
+         |  CAST(CASE WHEN (concordant - discordant) >= 0
+         |    THEN (concordant - discordant) * 1000000 // n_pairs
+         |    ELSE -((discordant - concordant) * 1000000 // n_pairs)
+         |    END AS BIGINT) AS tau_a_ppm
+         |FROM agg""".stripMargin,
+    "q767_cusum_alarms" ->
+      s"""WITH dem AS (SELECT l_suppkey AS k,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS x
+         |  FROM lineitem GROUP BY 1, 2),
+         |s1 AS (SELECT k, mi, x,
+         |    sum(x) OVER (PARTITION BY k) // count(*) OVER (PARTITION BY k)
+         |      AS mu
+         |  FROM dem),
+         |s2 AS (SELECT k, mi, mu,
+         |    sum(x - mu) OVER (PARTITION BY k ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM s1),
+         |s3 AS (SELECT k, mi, mu, cum,
+         |    cum - least(0, min(cum) OVER (PARTITION BY k ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+         |  FROM s2)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_months,
+         |  CAST(max(s) AS BIGINT) AS max_cusum,
+         |  CAST(coalesce(min(CASE WHEN s >= mu AND mu > 0 THEN mi END), -1)
+         |    AS BIGINT) AS first_alarm_mi
+         |FROM s3 GROUP BY k""".stripMargin
   )
 }
