@@ -202,6 +202,114 @@ object R16Queries {
              max(col("s")).as("max_cusum"),
              coalesce(min(when(col("s") >= col("mu") && col("mu") > 0,
                                col("mi"))), lit(-1L)).as("first_alarm_mi"))
+    }),
+    "q768_bh_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR screening (α = 1/20) of per-supplier
+      // demand anomalies: each supplier's p-value is the exact-integer
+      // Chebyshev bound P(|mean_k − μ| ≥ t) ≤ σ²/(n_k·t²) against the
+      // global monthly-demand distribution (a DISTRIBUTION-FREE bound —
+      // honest without any normality story), then the step-up rule
+      // rejects ranks r ≤ K where K = max r with p_(r)·m·20 ≤ 10⁶·r,
+      // all in cross-multiplied integers. Multiple-testing control as
+      // two aggregates + one rank window — the screen a metric platform
+      // runs over millions of series; truncation points mirrored
+      // verbatim in the oracle.
+      import org.apache.spark.sql.expressions.Window
+      val dem = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("x"))
+        .localCheckpoint(false)
+      val glob = broadcast(dem.agg(
+        count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx")))
+      val per = dem.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_k"), sum(col("x")).as("s_k"))
+        .crossJoin(glob)
+        .withColumn("g", expr("sx DIV nn"))
+        .withColumn("v0", expr("sxx DIV nn - g * g"))
+        .withColumn("t", abs(expr("s_k DIV n_k") - col("g")))
+        .withColumn("p_ppm", expr(
+          "CASE WHEN t = 0 THEN 1000000" +
+            " ELSE least(1000000L, v0 * 1000000L DIV (n_k * t * t)) END"))
+      val m = Window.partitionBy(graft.functions.DimKey.one)
+      val ranked = per
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("p_ppm"), col("k"))))
+        .withColumn("m", count(lit(1)).over(m))
+        .withColumn("okr",
+          when(col("p_ppm") * col("m") * 20L <= lit(1000000L) * col("r"),
+               col("r")))
+      ranked
+        .withColumn("bh_k", max(col("okr")).over(m))
+        .select(col("k"), col("p_ppm"), col("r").cast("long").as("r"),
+                when(col("r") <= coalesce(col("bh_k"), lit(0)), 1L)
+                  .otherwise(0L).as("rejected"))
+    }),
+    "q769_ks_two_sample" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov per source: D = max_v |F_en(v) −
+      // F_other(v)| over document lengths, EXACT — the numerator
+      // |cumA·n_B − cumB·n_A| never forms a fraction until the final ppm
+      // report, so the max is over integers and engine-identical. One
+      // (source, length) rollup + one prefix window; the distribution-
+      // drift gate a corpus pipeline runs per slice. Sources missing
+      // either sample are excluded (D undefined).
+      import org.apache.spark.sql.expressions.Window
+      val cells = rd(s, dir, "documents")
+        .select(col("source"), length(col("text")).cast("long").as("v"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("isa"))
+        .groupBy(col("source"), col("v"))
+        .agg(sum(col("isa")).as("ca"),
+             sum(lit(1L) - col("isa")).as("cb"))
+      val tot = Window.partitionBy(col("source"))
+      val wo = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("n_a", sum(col("ca")).over(tot))
+        .withColumn("n_b", sum(col("cb")).over(tot))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("cum_a", sum(col("ca")).over(wo))
+        .withColumn("cum_b", sum(col("cb")).over(wo))
+        .withColumn("dnum",
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .groupBy(col("source"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+             max(col("dnum")).as("d_num"))
+        .withColumn("d_ppm", expr("d_num * 1000000L DIV (n_a * n_b)"))
+    }),
+    "q770_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust trend per brand: the MEDIAN of all pairwise
+      // slopes of the monthly demand series — slopes in truncating
+      // milli-units (negative division toward zero, the q760 contract)
+      // and the median by the q731 discrete convention (rank ⌈n/2⌉,
+      // lower-of-middle, never interpolated). Pair volume is per-series
+      // months² (≤ 84² per key) — bounded by the calendar, not the data;
+      // the robust-regression answer to one contaminated month.
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+        .localCheckpoint(false)
+      val sl = dem.as("a")
+        .join(dem.as("b"),
+              col("a.brand") === col("b.brand") && col("a.mi") < col("b.mi"))
+        .select(col("a.brand").as("brand"),
+                expr("CASE WHEN (b.y - a.y) >= 0" +
+                     " THEN (b.y - a.y) * 1000 DIV (b.mi - a.mi)" +
+                     " ELSE -((a.y - b.y) * 1000 DIV (b.mi - a.mi)) END")
+                  .as("slope_milli"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("slope_milli"))
+      sl.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .groupBy(col("brand"))
+        .agg(max(col("n")).as("n_pairs"),
+             max(col("slope_milli")).as("median_slope_milli"))
     })
   )
 
@@ -411,6 +519,70 @@ object R16Queries {
          |  CAST(max(s) AS BIGINT) AS max_cusum,
          |  CAST(coalesce(min(CASE WHEN s >= mu AND mu > 0 THEN mi END), -1)
          |    AS BIGINT) AS first_alarm_mi
-         |FROM s3 GROUP BY k""".stripMargin
+         |FROM s3 GROUP BY k""".stripMargin,
+    "q768_bh_fdr" ->
+      s"""WITH dem AS (SELECT l_suppkey AS k,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS x
+         |  FROM lineitem GROUP BY 1, 2),
+         |gstat AS (SELECT count(*) AS nn, sum(x) AS sx, sum(x * x) AS sxx
+         |  FROM dem),
+         |per AS (SELECT k, count(*) AS n_k, sum(x) AS s_k
+         |  FROM dem GROUP BY 1),
+         |p0 AS (SELECT k, n_k,
+         |    abs(s_k // n_k - (SELECT sx // nn FROM gstat)) AS t,
+         |    (SELECT sxx // nn - (sx // nn) * (sx // nn) FROM gstat) AS v0
+         |  FROM per),
+         |p1 AS (SELECT k, CASE WHEN t = 0 THEN 1000000
+         |    ELSE least(1000000, v0 * 1000000 // (n_k * t * t)) END AS p_ppm
+         |  FROM p0),
+         |rk AS (SELECT k, p_ppm, row_number() OVER (ORDER BY p_ppm, k) AS r,
+         |    count(*) OVER () AS m FROM p1),
+         |bh AS (SELECT max(CASE WHEN p_ppm * m * 20
+         |    <= CAST(1000000 AS BIGINT) * r THEN r END) AS kk FROM rk)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(p_ppm AS BIGINT) AS p_ppm,
+         |  CAST(r AS BIGINT) AS r,
+         |  CAST(CASE WHEN r <= coalesce((SELECT kk FROM bh), 0) THEN 1
+         |    ELSE 0 END AS BIGINT) AS rejected
+         |FROM rk""".stripMargin,
+    "q769_ks_two_sample" ->
+      s"""WITH cells AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cb
+         |  FROM documents GROUP BY 1, 2),
+         |sc AS (SELECT source, v, ca, cb,
+         |    sum(ca) OVER (PARTITION BY source) AS n_a,
+         |    sum(cb) OVER (PARTITION BY source) AS n_b,
+         |    sum(ca) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         |    sum(cb) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+         |  FROM cells),
+         |agg AS (SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
+         |    max(abs(cum_a * n_b - cum_b * n_a)) AS d_num
+         |  FROM sc WHERE n_a > 0 AND n_b > 0 GROUP BY 1)
+         |SELECT source, CAST(n_a AS BIGINT) AS n_a,
+         |  CAST(n_b AS BIGINT) AS n_b, CAST(d_num AS BIGINT) AS d_num,
+         |  CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm
+         |FROM agg""".stripMargin,
+    "q770_theil_sen" ->
+      s"""WITH dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |sl AS (SELECT a.brand,
+         |    CASE WHEN (b.y - a.y) >= 0
+         |      THEN (b.y - a.y) * 1000 // (b.mi - a.mi)
+         |      ELSE -((a.y - b.y) * 1000 // (b.mi - a.mi)) END AS slope_milli
+         |  FROM dem a JOIN dem b ON a.brand = b.brand AND a.mi < b.mi),
+         |r AS (SELECT brand, slope_milli,
+         |    row_number() OVER (PARTITION BY brand ORDER BY slope_milli)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY brand) AS n FROM sl)
+         |SELECT brand, CAST(max(n) AS BIGINT) AS n_pairs,
+         |  CAST(max(slope_milli) AS BIGINT) AS median_slope_milli
+         |FROM r WHERE rn = (n + 1) // 2 GROUP BY brand""".stripMargin
   )
 }
