@@ -310,8 +310,91 @@ object R16Queries {
         .groupBy(col("brand"))
         .agg(max(col("n")).as("n_pairs"),
              max(col("slope_milli")).as("median_slope_milli"))
+    }),
+    "q771_isotonic_fit" -> ((s, dir) => {
+      // Isotonic (nondecreasing) regression of the monthly demand series
+      // per brand via the MINIMAX identity fit_i = max_{j≤i} min_{k≥i}
+      // mean(y[j..k]) — the closed form that turns PAV's sequential
+      // pool-adjacent-violators loop into pure relational algebra: one
+      // segment-mean table from prefix sums (segments² per key, bounded
+      // by the calendar), one suffix-min window over k, one max-per-i
+      // rollup. Means in truncating milli-units (the pinned arithmetic;
+      // monotonicity of the fit survives truncation because max/min of
+      // identically-truncated values preserve order). The calibration
+      // primitive (probability calibration, monotone scoring) at scale —
+      // distributed across keys, zero sequential folds.
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      val wi = Window.partitionBy(col("brand")).orderBy(col("mi"))
+      val idx = dem
+        .withColumn("i", row_number().over(wi).cast("long"))
+        .withColumn("p", sum(col("y")).over(
+          wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(false)
+      val seg = idx.as("a")
+        .join(idx.as("b"),
+              col("a.brand") === col("b.brand") && col("a.i") <= col("b.i"))
+        .select(col("a.brand").as("brand"), col("a.i").as("j"),
+                col("b.i").as("k"),
+                expr("(b.p - a.p + a.y) * 1000 DIV (b.i - a.i + 1)")
+                  .as("avg_milli"))
+      val sfx = Window.partitionBy(col("brand"), col("j"))
+        .orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      seg
+        .withColumn("s", min(col("avg_milli")).over(sfx))
+        .groupBy(col("brand"), col("k").as("i"))
+        .agg(max(col("s")).as("fit_milli"))
+        .join(idx.select(col("brand"), col("i"), col("mi"), col("y")),
+              Seq("brand", "i"))
+        .select(col("brand"), col("mi"), col("y"), col("fit_milli"))
+    }),
+    "q772_lis_demand" -> ((s, dir) => {
+      // Longest nondecreasing subsequence of each brand's monthly demand
+      // series — "how many months can you keep while claiming demand
+      // never fell": the O(n²) DP as ONE aggregate() fold with parallel
+      // (ys, bests) list state per key (the q734 machinery — sequential
+      // by nature, distributed ACROSS keys; series length is calendar-
+      // bounded so the state is ≤84 longs). Oracle = per-key recursive
+      // CTE with LIST state, the established multi-field-fold dialect.
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      dem.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_months"),
+             sort_array(collect_list(struct(col("mi"), col("y"))))
+               .as("arr"))
+        .withColumn("st", expr(LisFoldSpark))
+        .select(col("brand"), col("n_months"),
+                expr("coalesce(array_max(st.bs), 0L)").as("lis_len"))
     })
   )
+
+  /** LIS fold (q772): state = parallel (ys, bs) lists; each element's
+    * best chain = 1 + max best over earlier elements with y ≤ current.
+    */
+  private val LisFoldSpark: String =
+    // IF-guard on the empty state: sequence(1, 0) DESCENDS (q736
+    // contract) and ANSI element_at throws on the empty array
+    """aggregate(arr,
+      |  named_struct('ys', CAST(array() AS ARRAY<BIGINT>),
+      |               'bs', CAST(array() AS ARRAY<BIGINT>)),
+      |  (acc, e) -> named_struct(
+      |    'ys', concat(acc.ys, array(e.y)),
+      |    'bs', concat(acc.bs, array(1L + coalesce(array_max(
+      |      IF(size(acc.ys) = 0, CAST(array() AS ARRAY<BIGINT>),
+      |         transform(filter(sequence(1, size(acc.ys)),
+      |                          j -> element_at(acc.ys, j) <= e.y),
+      |                   j -> element_at(acc.bs, j)))), 0L)))),
+      |  acc -> acc)""".stripMargin
 
   // ---- oracle fragments ----
 
@@ -583,6 +666,58 @@ object R16Queries {
          |    count(*) OVER (PARTITION BY brand) AS n FROM sl)
          |SELECT brand, CAST(max(n) AS BIGINT) AS n_pairs,
          |  CAST(max(slope_milli) AS BIGINT) AS median_slope_milli
-         |FROM r WHERE rn = (n + 1) // 2 GROUP BY brand""".stripMargin
+         |FROM r WHERE rn = (n + 1) // 2 GROUP BY brand""".stripMargin,
+    "q771_isotonic_fit" ->
+      s"""WITH dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |idx AS (SELECT brand, mi, y,
+         |    CAST(row_number() OVER (PARTITION BY brand ORDER BY mi)
+         |      AS BIGINT) AS i,
+         |    sum(y) OVER (PARTITION BY brand ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         |  FROM dem),
+         |seg AS (SELECT a.brand, a.i AS j, b.i AS k,
+         |    (b.p - a.p + a.y) * 1000 // (b.i - a.i + 1) AS avg_milli
+         |  FROM idx a JOIN idx b ON a.brand = b.brand AND a.i <= b.i),
+         |sfx AS (SELECT brand, j, k,
+         |    min(avg_milli) OVER (PARTITION BY brand, j ORDER BY k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |  FROM seg),
+         |fit AS (SELECT brand, k AS i, max(s) AS fit_milli
+         |  FROM sfx GROUP BY 1, 2)
+         |SELECT f.brand, idx.mi, CAST(idx.y AS BIGINT) AS y,
+         |  CAST(f.fit_milli AS BIGINT) AS fit_milli
+         |FROM fit f JOIN idx ON idx.brand = f.brand AND idx.i = f.i""".stripMargin,
+    "q772_lis_demand" ->
+      s"""WITH RECURSIVE dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |rk AS MATERIALIZED (SELECT brand, y,
+         |    CAST(row_number() OVER (PARTITION BY brand ORDER BY mi)
+         |      AS BIGINT) AS i
+         |  FROM dem),
+         |nm AS (SELECT brand, max(i) AS n_months FROM rk GROUP BY 1),
+         |st(brand, i, ys, bs) AS (
+         |  SELECT brand, CAST(1 AS BIGINT), [y], [CAST(1 AS BIGINT)]
+         |  FROM rk WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.brand, r.i,
+         |    list_append(s.ys, r.y),
+         |    list_append(s.bs, 1 + coalesce(list_max(list_transform(
+         |      list_filter(generate_series(1, len(s.ys)),
+         |                  j -> s.ys[j] <= r.y),
+         |      j -> s.bs[j])), 0))
+         |  FROM st s JOIN rk r ON r.brand = s.brand AND r.i = s.i + 1),
+         |fin AS (SELECT st.brand, st.bs
+         |  FROM (SELECT brand, max(i) AS mi FROM st GROUP BY 1) l
+         |  JOIN st ON st.brand = l.brand AND st.i = l.mi)
+         |SELECT f.brand, CAST(nm.n_months AS BIGINT) AS n_months,
+         |  CAST(coalesce(list_max(f.bs), 0) AS BIGINT) AS lis_len
+         |FROM fin f JOIN nm ON nm.brand = f.brand""".stripMargin
   )
 }
