@@ -375,6 +375,63 @@ object R16Queries {
         .withColumn("st", expr(LisFoldSpark))
         .select(col("brand"), col("n_months"),
                 expr("coalesce(array_max(st.bs), 0L)").as("lis_len"))
+    }),
+    "q773_minhash_estimate_error" -> ((s, dir) => {
+      // MinHash estimator CALIBRATION audit: for every τ-verified near-dup
+      // pair, how many of the 12 signature components agree (the unbiased
+      // Jaccard estimate m/12) vs the EXACT Jaccard — rolled up per
+      // agreement count, so the output is the measured calibration curve
+      // of the signature family on this corpus (conditioned on verified
+      // pairs — the population the pipeline acts on). The per-component
+      // minima come from MinHashBands with rows = 1 (band key = md5 of a
+      // single component, so key equality == component equality); the
+      // pair relation is the production LSH pipeline itself.
+      val d = rd(s, dir, "documents")
+      val pairs = graft.operators.Dedup
+        .minhashLshPairs(d, "doc_id", "text")
+        .localCheckpoint(false)
+      val comps = d.select(
+        col("doc_id"),
+        graft.functions.MinHashBands(
+          graft.operators.Dedup.shingles(
+            graft.operators.TextAnalysis.tokens(col("text")), 3),
+          12, 1).as("cps"))
+      pairs
+        .join(comps.select(col("doc_id").as("doc_a"), col("cps").as("ca")),
+              "doc_a")
+        .join(comps.select(col("doc_id").as("doc_b"), col("cps").as("cb")),
+              "doc_b")
+        .withColumn("m_agree", expr(
+          "CAST(size(filter(zip_with(ca, cb, (x, y) -> x = y), b -> b))" +
+            " AS BIGINT)"))
+        .withColumn("exact_ppm", expr("overlap * 1000000L DIV union_size"))
+        .groupBy(col("m_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+             expr("sum(exact_ppm) DIV count(1)").as("avg_exact_ppm"))
+        .withColumn("est_ppm", expr("m_agree * 1000000L DIV 12"))
+    }),
+    "q774_dedup_yield_curve" -> ((s, dir) => {
+      // Dedup aggressiveness dial: sweep the verification threshold τ
+      // over ONE banded-candidate relation (the expensive signature +
+      // candidate stage runs once; the five thresholds are a broadcast
+      // cross join over the overlap numbers) and report pairs kept and
+      // docs removed (SemDeDup higher-id dominance) per τ, with removal
+      // share in ppm of the corpus. The yield-curve disclosure next to
+      // q712's band sweep — what a data lead reads before choosing τ.
+      import s.implicits._
+      val d = rd(s, dir, "documents")
+      val cand = graft.operators.Dedup
+        .candidatesWithOverlap(d, "doc_id", "text", 3, 4, 3)
+      val taus = Seq(30L, 40L, 50L, 60L, 70L).toDF("tau_pct")
+      val nd = broadcast(d.agg(count(lit(1)).as("_nd")))
+      cand.crossJoin(broadcast(taus))
+        .filter(col("overlap") * 100 >= col("union_size") * col("tau_pct"))
+        .groupBy(col("tau_pct"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("doc_b")).as("n_removed"))
+        .crossJoin(nd)
+        .withColumn("removed_ppm", expr("n_removed * 1000000L DIV _nd"))
+        .drop("_nd")
     })
   )
 
@@ -718,6 +775,40 @@ object R16Queries {
          |  JOIN st ON st.brand = l.brand AND st.i = l.mi)
          |SELECT f.brand, CAST(nm.n_months AS BIGINT) AS n_months,
          |  CAST(coalesce(list_max(f.bs), 0) AS BIGINT) AS lis_len
-         |FROM fin f JOIN nm ON nm.brand = f.brand""".stripMargin
+         |FROM fin f JOIN nm ON nm.brand = f.brand""".stripMargin,
+    "q773_minhash_estimate_error" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |vp AS (SELECT doc_a, doc_b, overlap,
+         |    x.n + y.n - overlap AS u
+         |  FROM pairs JOIN sizes x ON x.doc_id = doc_a
+         |             JOIN sizes y ON y.doc_id = doc_b
+         |  WHERE overlap * 2 >= (x.n + y.n - overlap) * 1),
+         |ag AS (SELECT vp.overlap, vp.u,
+         |    (${(0 until 12).map(i =>
+              s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+              .mkString(" + ")}) AS m_agree
+         |  FROM vp JOIN mh a ON a.doc_id = vp.doc_a
+         |          JOIN mh b ON b.doc_id = vp.doc_b)
+         |SELECT CAST(m_agree AS BIGINT) AS m_agree,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(overlap * 1000000 // u) // count(*) AS BIGINT)
+         |    AS avg_exact_ppm,
+         |  CAST(m_agree * 1000000 // 12 AS BIGINT) AS est_ppm
+         |FROM ag GROUP BY m_agree""".stripMargin,
+    "q774_dedup_yield_curve" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |pu AS (SELECT doc_a, doc_b, overlap,
+         |    x.n + y.n - overlap AS u
+         |  FROM pairs JOIN sizes x ON x.doc_id = doc_a
+         |             JOIN sizes y ON y.doc_id = doc_b),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |t AS (SELECT unnest([30, 40, 50, 60, 70]) AS tau_pct)
+         |SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_removed,
+         |  CAST(count(DISTINCT doc_b) * 1000000 // (SELECT n FROM nd)
+         |    AS BIGINT) AS removed_ppm
+         |FROM pu JOIN t ON overlap * 100 >= u * tau_pct
+         |GROUP BY tau_pct""".stripMargin
   )
 }
