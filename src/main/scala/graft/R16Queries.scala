@@ -432,6 +432,163 @@ object R16Queries {
         .crossJoin(nd)
         .withColumn("removed_ppm", expr("n_removed * 1000000L DIV _nd"))
         .drop("_nd")
+    }),
+    "q775_acf_lags" -> ((s, dir) => {
+      // Autocorrelation at lags 1–4 per brand over the monthly demand
+      // series, exact signed ppm: r_k = Σ dev_t·dev_{t+k} / Σ dev² with
+      // the mean and the final ratio in truncating integer arithmetic
+      // (sign-split division — the q760 contract). Lag alignment by the
+      // series INDEX (row_number), so calendar gaps don't silently zero
+      // a lag; one self-join on (brand, i+k), lag list broadcast. The
+      // seasonality screen feeding model choice (q729 Holt–Winters /
+      // q759 ratio-to-MA) — calendar-bounded work per key.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      val wi = Window.partitionBy(col("brand")).orderBy(col("mi"))
+      val idx = dem
+        .withColumn("i", row_number().over(wi).cast("long"))
+        .withColumn("m", expr("sum(y) OVER (PARTITION BY brand)" +
+                              " DIV count(1) OVER (PARTITION BY brand)"))
+        .withColumn("dev", col("y") - col("m"))
+        .localCheckpoint(false)
+      val den = idx.groupBy(col("brand"))
+        .agg(sum(col("dev") * col("dev")).as("den"))
+      val lags = Seq(1L, 2L, 3L, 4L).toDF("lag")
+      idx.as("a")
+        .crossJoin(broadcast(lags))
+        .join(idx.as("b"),
+              col("a.brand") === col("b.brand") &&
+                col("b.i") === col("a.i") + col("lag"))
+        .groupBy(col("a.brand").as("brand"), col("lag"))
+        .agg(count(lit(1)).as("n_terms"),
+             sum(col("a.dev") * col("b.dev")).as("num"))
+        .join(den, Seq("brand"))
+        .withColumn("acf_ppm", expr(
+          "CASE WHEN den = 0 THEN 0L WHEN num >= 0" +
+            " THEN num * 1000000L DIV den" +
+            " ELSE -((-num) * 1000000L DIV den) END"))
+        .select("brand", "lag", "n_terms", "acf_ppm")
+    }),
+    "q776_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs census per brand: months above vs below the
+      // discrete median (q731 convention; exact-median ties excluded,
+      // the classic treatment) and the number of RUNS in series order —
+      // too few runs = trending/clustered, too many = oscillating. The
+      // change-flag cumulative-sum machinery (q733) over one window
+      // pass; a distribution-free randomness screen per key.
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+        .localCheckpoint(false)
+      val wm = Window.partitionBy(col("brand")).orderBy(col("y"), col("mi"))
+      val med = dem
+        .withColumn("rn", row_number().over(wm))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("brand"), col("y").as("med"))
+      val wo = Window.partitionBy(col("brand")).orderBy(col("mi"))
+      dem.join(broadcast(med), Seq("brand"))
+        .filter(col("y") =!= col("med"))
+        .withColumn("abv", when(col("y") > col("med"), 1L).otherwise(0L))
+        .withColumn("chg",
+          when(lag(col("abv"), 1).over(wo).isNull ||
+                 lag(col("abv"), 1).over(wo) =!= col("abv"), 1L)
+            .otherwise(0L))
+        .groupBy(col("brand"))
+        .agg(sum(col("abv")).as("n_above"),
+             sum(lit(1L) - col("abv")).as("n_below"),
+             sum(col("chg")).as("n_runs"))
+    }),
+    "q777_benford_tvd" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: observed digit shares
+      // vs the Benford expectation log₁₀(1+1/d) pinned as integer ppm
+      // CONSTANTS (the irrational values never enter either engine's
+      // arithmetic), deviation per digit, and the total-variation
+      // distance Σ|obs−exp|/2 as a summary column riding every row —
+      // the books-cooked / synthetic-data smell test in one aggregate
+      // plus a 9-row window.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val exp9 = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+                     66947L, 57992L, 51153L, 45757L)
+      val d = rd(s, dir, "orders")
+        .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice * 100)" +
+                     " AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val expDf = broadcast(
+        exp9.zipWithIndex.map { case (e, i) => (i + 1L, e) }
+          .toDF("digit", "exp_ppm"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      d.crossJoin(broadcast(d.agg(sum(col("n_obs")).as("n"))))
+        .withColumn("obs_ppm", expr("n_obs * 1000000L DIV n"))
+        .join(expDf, Seq("digit"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .withColumn("_tvd2", sum(col("dev_ppm")).over(w))
+        .withColumn("tvd_ppm", expr("_tvd2 DIV 2"))
+        .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm")
+    }),
+    "q778_null_join_contract" -> ((s, dir) => {
+      // Null-key join CONTRACT: on deterministically-nulled keys, `=`
+      // drops every NULL row while the null-safe operator (Spark `<=>`,
+      // oracle IS NOT DISTINCT FROM) matches NULL with NULL as a cross
+      // product — the identity n_nullsafe = n_eq + n_null_a·n_null_b is
+      // emitted as a zero check column, so either engine drifting on
+      // null-join semantics fails the hash (the join-side companion to
+      // q657's NOT IN NULL pin). Samples keep the null×null block tiny.
+      val a = rd(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+        .select(expr("IF(o_orderkey % 7 = 0, CAST(NULL AS BIGINT)," +
+                     " o_orderkey % 100)").as("ka"))
+      val b = rd(s, dir, "orders").filter(col("o_orderkey") % 103 === 0)
+        .select(expr("IF(o_orderkey % 5 = 0, CAST(NULL AS BIGINT)," +
+                     " o_orderkey % 100)").as("kb"))
+      val eq = a.join(b, col("ka") === col("kb"))
+        .agg(count(lit(1)).as("n_eq"))
+      val ns = a.join(b, col("ka") <=> col("kb"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      val na = a.filter(col("ka").isNull).agg(count(lit(1)).as("n_null_a"))
+      val nb = b.filter(col("kb").isNull).agg(count(lit(1)).as("n_null_b"))
+      eq.crossJoin(broadcast(ns)).crossJoin(broadcast(na))
+        .crossJoin(broadcast(nb))
+        .withColumn("identity_check",
+          col("n_nullsafe") - col("n_eq") - col("n_null_a") * col("n_null_b"))
+    }),
+    "q779_soft_dedup_weight" -> ((s, dir) => {
+      // Soft dedup by cluster-inverse weighting: instead of dropping
+      // near-duplicates, each doc is weighted 1/cluster_size (ppm,
+      // truncating) so a 5-copy cluster contributes one doc's worth of
+      // training mass — the gentler alternative to keepCanonical when
+      // duplicates carry signal. Rolled up per cluster size: clusters,
+      // docs, weight, and each size's share of the EFFECTIVE corpus;
+      // singletons (docs in no pair) appear as size 1. Cluster labels
+      // from the production clusterPairs (min-label CC).
+      val d = rd(s, dir, "documents")
+      val pairs = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text")
+      val cl = graft.operators.Dedup.clusterPairs(pairs)
+        .localCheckpoint(false)
+      val nd = broadcast(d.agg(count(lit(1)).as("_nd")))
+      val clusteredRows = cl.groupBy(col("cluster_size"))
+        .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+             count(lit(1)).as("n_docs"))
+      val singletons = cl.agg(count(lit(1)).as("_ncl"))
+        .crossJoin(nd)
+        .select(lit(1L).as("cluster_size"),
+                (col("_nd") - col("_ncl")).as("n_clusters"),
+                (col("_nd") - col("_ncl")).as("n_docs"))
+      clusteredRows.unionByName(singletons)
+        .filter(col("n_docs") > 0)
+        .withColumn("weight_ppm", expr("1000000L DIV cluster_size"))
+        .withColumn("eff_docs_milli",
+          expr("n_docs * 1000L DIV cluster_size"))
     })
   )
 
@@ -809,6 +966,126 @@ object R16Queries {
          |  CAST(count(DISTINCT doc_b) * 1000000 // (SELECT n FROM nd)
          |    AS BIGINT) AS removed_ppm
          |FROM pu JOIN t ON overlap * 100 >= u * tau_pct
-         |GROUP BY tau_pct""".stripMargin
+         |GROUP BY tau_pct""".stripMargin,
+    "q775_acf_lags" ->
+      s"""WITH dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |idx AS (SELECT brand, mi, y,
+         |    CAST(row_number() OVER (PARTITION BY brand ORDER BY mi)
+         |      AS BIGINT) AS i,
+         |    sum(y) OVER (PARTITION BY brand)
+         |      // count(*) OVER (PARTITION BY brand) AS m
+         |  FROM dem),
+         |dv AS (SELECT brand, i, y - m AS dev FROM idx),
+         |den AS (SELECT brand, sum(dev * dev) AS den FROM dv GROUP BY 1),
+         |lg AS (SELECT unnest([1, 2, 3, 4]) AS lag),
+         |nm AS (SELECT a.brand, lg.lag, count(*) AS n_terms,
+         |    sum(a.dev * b.dev) AS num
+         |  FROM dv a CROSS JOIN lg
+         |  JOIN dv b ON b.brand = a.brand AND b.i = a.i + lg.lag
+         |  GROUP BY 1, 2)
+         |SELECT nm.brand, CAST(nm.lag AS BIGINT) AS lag,
+         |  CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(CASE WHEN den.den = 0 THEN 0
+         |    WHEN num >= 0 THEN num * 1000000 // den.den
+         |    ELSE -((-num) * 1000000 // den.den) END AS BIGINT) AS acf_ppm
+         |FROM nm JOIN den ON den.brand = nm.brand""".stripMargin,
+    "q776_runs_test" ->
+      s"""WITH dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |mrk AS (SELECT brand, y, mi,
+         |    row_number() OVER (PARTITION BY brand ORDER BY y, mi) AS rn,
+         |    count(*) OVER (PARTITION BY brand) AS n FROM dem),
+         |med AS (SELECT brand, y AS med FROM mrk WHERE rn = (n + 1) // 2),
+         |fl AS (SELECT d.brand, d.mi,
+         |    CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS abv
+         |  FROM dem d JOIN med m ON m.brand = d.brand WHERE d.y <> m.med),
+         |ch AS (SELECT brand, abv,
+         |    CASE WHEN lag(abv) OVER (PARTITION BY brand ORDER BY mi)
+         |        IS NULL
+         |      OR lag(abv) OVER (PARTITION BY brand ORDER BY mi) <> abv
+         |      THEN 1 ELSE 0 END AS chg
+         |  FROM fl)
+         |SELECT brand, CAST(sum(abv) AS BIGINT) AS n_above,
+         |  CAST(sum(1 - abv) AS BIGINT) AS n_below,
+         |  CAST(sum(chg) AS BIGINT) AS n_runs
+         |FROM ch GROUP BY brand""".stripMargin,
+    "q777_benford_tvd" ->
+      s"""WITH dd AS (SELECT CAST(substring(CAST(CAST(
+         |      floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, count(*) AS n_obs FROM dd GROUP BY 1),
+         |tn AS (SELECT sum(n_obs) AS n FROM c),
+         |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+         |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+         |    (9, 45757)) v(digit, exp_ppm)),
+         |k AS (SELECT c.digit, c.n_obs,
+         |    c.n_obs * 1000000 // (SELECT n FROM tn) AS obs_ppm, e.exp_ppm,
+         |    abs(c.n_obs * 1000000 // (SELECT n FROM tn) - e.exp_ppm)
+         |      AS dev_ppm
+         |  FROM c JOIN e ON e.digit = c.digit)
+         |SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT)
+         |    AS n_obs,
+         |  CAST(obs_ppm AS BIGINT) AS obs_ppm,
+         |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(dev_ppm AS BIGINT) AS dev_ppm,
+         |  CAST(sum(dev_ppm) OVER () // 2 AS BIGINT) AS tvd_ppm
+         |FROM k""".stripMargin,
+    "q778_null_join_contract" ->
+      s"""WITH a AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |    ELSE o_orderkey % 100 END AS ka
+         |  FROM orders WHERE o_orderkey % 101 = 0),
+         |b AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |    ELSE o_orderkey % 100 END AS kb
+         |  FROM orders WHERE o_orderkey % 103 = 0),
+         |eq AS (SELECT count(*) AS n_eq FROM a JOIN b ON ka = kb),
+         |ns AS (SELECT count(*) AS n_nullsafe FROM a
+         |  JOIN b ON ka IS NOT DISTINCT FROM kb),
+         |na AS (SELECT count(*) AS n_null_a FROM a WHERE ka IS NULL),
+         |nb AS (SELECT count(*) AS n_null_b FROM b WHERE kb IS NULL)
+         |SELECT CAST(n_eq AS BIGINT) AS n_eq,
+         |  CAST(n_nullsafe AS BIGINT) AS n_nullsafe,
+         |  CAST(n_null_a AS BIGINT) AS n_null_a,
+         |  CAST(n_null_b AS BIGINT) AS n_null_b,
+         |  CAST(n_nullsafe - n_eq - n_null_a * n_null_b AS BIGINT)
+         |    AS identity_check
+         |FROM eq, ns, na, nb""".stripMargin,
+    "q779_soft_dedup_weight" ->
+      s"""WITH RECURSIVE ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM e
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+         |),
+         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cs AS (SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM cc),
+         |byc AS (SELECT cluster_size, count(DISTINCT cluster_id)
+         |      AS n_clusters, count(*) AS n_docs
+         |  FROM cs GROUP BY 1),
+         |ndoc AS (SELECT count(*) AS nd FROM documents),
+         |ncl AS (SELECT count(*) AS ncl FROM cs),
+         |un AS (SELECT cluster_size, n_clusters, n_docs FROM byc
+         |  UNION ALL SELECT 1,
+         |    (SELECT nd FROM ndoc) - (SELECT ncl FROM ncl),
+         |    (SELECT nd FROM ndoc) - (SELECT ncl FROM ncl))
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm,
+         |  CAST(n_docs * 1000 // cluster_size AS BIGINT) AS eff_docs_milli
+         |FROM un WHERE n_docs > 0""".stripMargin
   )
 }
