@@ -589,6 +589,77 @@ object R16Queries {
         .withColumn("weight_ppm", expr("1000000L DIV cluster_size"))
         .withColumn("eff_docs_milli",
           expr("n_docs * 1000L DIV cluster_size"))
+    }),
+    "q780_changepoint_sse" -> ((s, dir) => {
+      // Single change-point detection per brand (binary-segmentation
+      // step 1): the split k minimizing SSE_left + SSE_right over the
+      // monthly demand series, with SSE in exact milli-units off prefix
+      // sums of y and y² (SSE·1000 = sy2·1000 − sy²·1000 DIV n — one
+      // truncation, mirrored) — every candidate split is one window row,
+      // so the argmin is a single exchange. Variance-reduction gain in
+      // ppm quantifies how strongly the series wants the break; the
+      // mean-shift companion to q767's CUSUM drift alarm.
+      import org.apache.spark.sql.expressions.Window
+      val dem = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      val wi = Window.partitionBy(col("brand")).orderBy(col("mi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("brand"))
+      dem
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("brand")).orderBy(col("mi"))).cast("long"))
+        .withColumn("pl", sum(col("y")).over(wi))
+        .withColumn("pl2", sum(col("y") * col("y")).over(wi))
+        .withColumn("n", count(lit(1)).over(tot))
+        .withColumn("sy", sum(col("y")).over(tot))
+        .withColumn("sy2", sum(col("y") * col("y")).over(tot))
+        .filter(col("i") < col("n"))
+        .withColumn("sse_l",
+          expr("pl2 * 1000 - pl * pl * 1000 DIV i"))
+        .withColumn("sse_r", expr(
+          "(sy2 - pl2) * 1000 - (sy - pl) * (sy - pl) * 1000 DIV (n - i)"))
+        .withColumn("sse_split", col("sse_l") + col("sse_r"))
+        .withColumn("sse_full", expr("sy2 * 1000 - sy * sy * 1000 DIV n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("brand"))
+            .orderBy(col("sse_split"), col("mi"))))
+        .filter(col("rn") === 1)
+        .select(col("brand"), col("mi").as("split_mi"),
+                col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+                col("sse_full").as("sse_full_milli"),
+                col("sse_split").as("sse_split_milli"),
+                expr("CASE WHEN sse_full > 0 THEN (sse_full - sse_split)" +
+                     " * 1000000L DIV sse_full ELSE 0L END").as("gain_ppm"))
+    }),
+    "q781_cohort_matrix" -> ((s, dir) => {
+      // Cohort retention matrix: customers grouped by first-order month,
+      // per (cohort, age ≤ 11) the distinct customers still ordering and
+      // their share of the cohort in ppm — the canonical onboarding-
+      // health artifact (the data-retention q100 is unrelated). One
+      // distinct activity rollup, a per-customer min, and a
+      // dimension-bounded (cohorts × 12) output; the cohort size rides a
+      // broadcast join.
+      val act = rd(s, dir, "orders")
+        .select(col("o_custkey").as("c"),
+                ((year(col("o_orderdate")) - 1992) * 12 +
+                  month(col("o_orderdate"))).cast("long").as("mi"))
+        .distinct()
+        .localCheckpoint(false)
+      val coh = act.groupBy(col("c")).agg(min(col("mi")).as("cohort"))
+      val sizes = coh.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(coh, Seq("c"))
+        .withColumn("age", col("mi") - col("cohort"))
+        .filter(col("age") <= 11)
+        .groupBy(col("cohort"), col("age"))
+        .agg(countDistinct(col("c")).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort"))
+        .withColumn("retention_ppm",
+          expr("n_active * 1000000L DIV cohort_size"))
     })
   )
 
@@ -1086,6 +1157,59 @@ object R16Queries {
          |  CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm,
          |  CAST(n_docs * 1000 // cluster_size AS BIGINT) AS eff_docs_milli
-         |FROM un WHERE n_docs > 0""".stripMargin
+         |FROM un WHERE n_docs > 0""".stripMargin,
+    "q780_changepoint_sse" ->
+      s"""WITH dem AS (SELECT p_brand AS brand,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS y
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |sc AS (SELECT brand, mi, y,
+         |    CAST(row_number() OVER (PARTITION BY brand ORDER BY mi)
+         |      AS BIGINT) AS i,
+         |    sum(y) OVER (PARTITION BY brand ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+         |    sum(y * y) OVER (PARTITION BY brand ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl2,
+         |    count(*) OVER (PARTITION BY brand) AS n,
+         |    sum(y) OVER (PARTITION BY brand) AS sy,
+         |    sum(y * y) OVER (PARTITION BY brand) AS sy2
+         |  FROM dem),
+         |g AS (SELECT brand, mi, i, n,
+         |    pl2 * 1000 - pl * pl * 1000 // i
+         |      + (sy2 - pl2) * 1000
+         |      - (sy - pl) * (sy - pl) * 1000 // (n - i) AS sse_split,
+         |    sy2 * 1000 - sy * sy * 1000 // n AS sse_full
+         |  FROM sc WHERE i < n),
+         |r AS (SELECT brand, mi, i, n, sse_split, sse_full,
+         |    row_number() OVER (PARTITION BY brand ORDER BY sse_split, mi)
+         |      AS rn
+         |  FROM g)
+         |SELECT brand, mi AS split_mi, CAST(i AS BIGINT) AS n_left,
+         |  CAST(n - i AS BIGINT) AS n_right,
+         |  CAST(sse_full AS BIGINT) AS sse_full_milli,
+         |  CAST(sse_split AS BIGINT) AS sse_split_milli,
+         |  CAST(CASE WHEN sse_full > 0 THEN (sse_full - sse_split)
+         |    * 1000000 // sse_full ELSE 0 END AS BIGINT) AS gain_ppm
+         |FROM r WHERE rn = 1""".stripMargin,
+    "q781_cohort_matrix" ->
+      s"""WITH act AS (SELECT DISTINCT o_custkey AS c,
+         |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate)
+         |      AS BIGINT) AS mi
+         |  FROM orders),
+         |coh AS (SELECT c, min(mi) AS cohort FROM act GROUP BY 1),
+         |sizes AS (SELECT cohort, count(*) AS cohort_size
+         |  FROM coh GROUP BY 1),
+         |cells AS (SELECT coh.cohort, act.mi - coh.cohort AS age,
+         |    count(DISTINCT act.c) AS n_active
+         |  FROM act JOIN coh ON coh.c = act.c
+         |  WHERE act.mi - coh.cohort <= 11
+         |  GROUP BY 1, 2)
+         |SELECT cells.cohort, CAST(age AS BIGINT) AS age,
+         |  CAST(n_active AS BIGINT) AS n_active,
+         |  CAST(cohort_size AS BIGINT) AS cohort_size,
+         |  CAST(n_active * 1000000 // cohort_size AS BIGINT)
+         |    AS retention_ppm
+         |FROM cells JOIN sizes ON sizes.cohort = cells.cohort""".stripMargin
   )
 }
