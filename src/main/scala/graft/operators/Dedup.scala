@@ -597,10 +597,25 @@ object Dedup {
     * and verification as [[minhashLshPairsAgainst]] — the gate asserts the
     * outputs are row-identical — but the corpus side comes from STORED
     * signatures, bucket-pruned: the delta's band keys name the touched
-    * `_sig_bucket` partitions (≤ 4·|delta| keys → ≤ numBuckets probes) and
-    * only those directories are ever listed or read, so delta-run cost is
-    * independent of corpus size. The one driver-side step is the touched-
-    * bucket distinct (≤ numBuckets ints).
+    * `_sig_bucket` partitions and only those directories are ever listed
+    * or read.
+    *
+    * Honest cost model (Stress15 measured): the read covers
+    * min(|delta distinct band keys|, numBuckets) of the numBuckets
+    * partitions, so the pruning pays exactly when the delta's band-key
+    * DIVERSITY is below the bucket count — a small or homogeneous delta
+    * (one domain's re-crawl, boilerplate-heavy batches, the spec's
+    * single-doc case) reads a corpus-size-independent sliver. A DIVERSE
+    * delta (10k unrelated docs ≈ 40k distinct keys) touches every bucket
+    * and the scan degrades to the full signature table — still ~2-3×
+    * cheaper than the [[minhashLshPairsAgainst]] recompute because the
+    * corpus tokenize→shingle→md5 pipeline (the dominant term) is
+    * amortized into the one-off publish, but O(corpus) in the scan term.
+    * Size `numBuckets` ≳ the expected per-delta distinct-band-key count
+    * to keep the read fraction ≈ touched/numBuckets; a hash-keyed point-
+    * lookup index (not a parquet layout) is what true O(delta) retrieval
+    * would take. The one driver-side step is the touched-bucket distinct
+    * (≤ numBuckets ints).
     *
     * Caching contract: the delta shingle relation is cached (band keys +
     * verify both read it); callers clear persisted RDDs between repeated
