@@ -660,6 +660,131 @@ object R16Queries {
         .join(broadcast(sizes), Seq("cohort"))
         .withColumn("retention_ppm",
           expr("n_active * 1000000L DIV cohort_size"))
+    }),
+    "q782_anova_eta" -> ((s, dir) => {
+      // One-way ANOVA decomposition: how much of order-value variance
+      // the order priority explains — SSB and SST in exact milli via the
+      // computational identities SSB·10³ = Σ_g S_g²·10³ DIV n_g −
+      // S²·10³ DIV N, SST·10³ = Σx²·10³ − S²·10³ DIV N, eta² in ppm.
+      // Values in kilodollars keep S² ·10³ inside int64 to ~10⁸ rows
+      // (disclosed); per-group partial sums are one combine-enabled
+      // aggregate, the identity needs no group-mean materialization.
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+                expr("CAST(floor(o_totalprice / 1000) AS BIGINT)").as("y"))
+      val per = o.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
+             sum(col("y") * col("y")).as("ss_g"))
+      per.agg(count(lit(1)).as("n_groups"), sum(col("n_g")).as("n"),
+              sum(col("s_g")).as("s"), sum(col("ss_g")).as("ssx"),
+              sum(expr("s_g * s_g * 1000 DIV n_g")).as("ssb_raw"))
+        .withColumn("ssb_milli", expr("ssb_raw - s * s * 1000 DIV n"))
+        .withColumn("sst_milli", expr("ssx * 1000 - s * s * 1000 DIV n"))
+        .withColumn("eta2_ppm", expr(
+          "CASE WHEN sst_milli > 0 THEN ssb_milli * 1000000L DIV sst_milli" +
+            " ELSE 0L END"))
+        .select("n_groups", "n", "ssb_milli", "sst_milli", "eta2_ppm")
+    }),
+    "q783_chi_square" -> ((s, dir) => {
+      // Chi-square independence census for order priority × order
+      // status: expected cell counts e·10³ = row·col·10³ DIV N, per-cell
+      // deviation dev = obs·10³ − e_milli, contribution dev² DIV
+      // (e_milli·10³) — one truncation chain, mirrored verbatim. Output
+      // per cell with the table-wide chi2_milli and dof riding every row
+      // (window over the contingency cells — dimension-bounded). The
+      // categorical-drift test beside q769's numeric KS.
+      import org.apache.spark.sql.expressions.Window
+      val cells = rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("r"),
+                 col("o_orderstatus").as("c"))
+        .agg(count(lit(1)).as("obs"))
+        .localCheckpoint(false)
+      val dims = broadcast(cells.agg(
+        (countDistinct(col("r")) - 1L).as("_dr"),
+        (countDistinct(col("c")) - 1L).as("_dc")))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      cells
+        .withColumn("rt", sum(col("obs")).over(
+          Window.partitionBy(col("r"))))
+        .withColumn("ct", sum(col("obs")).over(
+          Window.partitionBy(col("c"))))
+        .withColumn("n", sum(col("obs")).over(w))
+        .withColumn("e_milli", expr("rt * ct * 1000 DIV n"))
+        .withColumn("dev_milli", expr("obs * 1000 - e_milli"))
+        .withColumn("contrib_milli", expr(
+          "CASE WHEN e_milli > 0" +
+            " THEN dev_milli * dev_milli DIV (e_milli) ELSE 0L END"))
+        .withColumn("chi2_milli", sum(col("contrib_milli")).over(w))
+        .crossJoin(dims)
+        .withColumn("dof", col("_dr") * col("_dc"))
+        .select("r", "c", "obs", "e_milli", "contrib_milli", "chi2_milli",
+                "dof")
+    }),
+    "q784_topk_stability" -> ((s, dir) => {
+      // Ranking-stability audit: the top-20 parts by revenue computed on
+      // odd vs even ship-months — overlap, Jaccard ppm, and how many of
+      // the shared parts sit in the same position — the split-half
+      // reliability check for any leaderboard a pipeline publishes. Two
+      // window top-ks over one rollup; k² join bounded by k.
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(col("l_partkey").as("pk"),
+                (month(col("l_shipdate")) % 2).as("half"),
+                expr("CAST(floor(l_extendedprice * (100 - l_discount * 100))" +
+                     " AS BIGINT)").as("rev"))
+        .groupBy(col("pk"), col("half"))
+        .agg(sum(col("rev")).as("rev"))
+      val w = Window.partitionBy(col("half"))
+        .orderBy(col("rev").desc, col("pk"))
+      val top = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .localCheckpoint(false)
+      val a = top.filter(col("half") === 1)
+        .select(col("pk"), col("rk").as("rk_a"))
+      val b = top.filter(col("half") === 0)
+        .select(col("pk"), col("rk").as("rk_b"))
+      a.join(b, Seq("pk"), "full_outer")
+        .agg(sum(when(col("rk_a").isNotNull && col("rk_b").isNotNull, 1L)
+                   .otherwise(0L)).as("n_shared"),
+             sum(when(col("rk_a") === col("rk_b"), 1L).otherwise(0L))
+               .as("n_same_rank"),
+             count(lit(1)).as("n_union"))
+        .withColumn("jaccard_ppm", expr("n_shared * 1000000L DIV n_union"))
+    }),
+    "q785_bigram_lift" -> ((s, dir) => {
+      // Collocation extraction by LIFT (the log-free PMI stand-in:
+      // lift = P(ab)/(P(a)P(b)) = c_ab·N / (c_a·c_b), exact in ppm):
+      // adjacent-token bigrams with support ≥ 5 ranked by lift — high
+      // lift = words that appear together far beyond chance, the
+      // phrase-mining primitive. Unigram/bigram tables are vocabulary-
+      // sized broadcasts; top 25 by (lift, bigram) for determinism.
+      val toks = rd(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+                graft.operators.TextAnalysis.tokens(col("text")).as("t"))
+        .localCheckpoint(false)
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint(false)
+      val total = uni.agg(sum(col("cu")).as("nn"))
+      val bg = toks.select(explode(expr(
+          "IF(size(t) < 2, array()," +
+            " transform(sequence(1, size(t) - 1)," +
+            " i -> struct(element_at(t, i) AS w1," +
+            "             element_at(t, i + 1) AS w2)))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      bg
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))),
+              Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+              Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("lift_ppm", expr("cb * nn * 1000000L DIV (c1 * c2)"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(25)
+        .select(col("w1"), col("w2"), col("cb"), col("lift_ppm"))
     })
   )
 
@@ -1210,6 +1335,85 @@ object R16Queries {
          |  CAST(cohort_size AS BIGINT) AS cohort_size,
          |  CAST(n_active * 1000000 // cohort_size AS BIGINT)
          |    AS retention_ppm
-         |FROM cells JOIN sizes ON sizes.cohort = cells.cohort""".stripMargin
+         |FROM cells JOIN sizes ON sizes.cohort = cells.cohort""".stripMargin,
+    "q782_anova_eta" ->
+      s"""WITH o AS (SELECT o_orderpriority AS grp,
+         |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS y FROM orders),
+         |per AS (SELECT grp, count(*) AS n_g, sum(y) AS s_g,
+         |    sum(y * y) AS ss_g FROM o GROUP BY 1),
+         |agg AS (SELECT count(*) AS n_groups, sum(n_g) AS n, sum(s_g) AS s,
+         |    sum(ss_g) AS ssx, sum(s_g * s_g * 1000 // n_g) AS ssb_raw
+         |  FROM per)
+         |SELECT CAST(n_groups AS BIGINT) AS n_groups, CAST(n AS BIGINT)
+         |    AS n,
+         |  CAST(ssb_raw - s * s * 1000 // n AS BIGINT) AS ssb_milli,
+         |  CAST(ssx * 1000 - s * s * 1000 // n AS BIGINT) AS sst_milli,
+         |  CAST(CASE WHEN ssx * 1000 - s * s * 1000 // n > 0
+         |    THEN (ssb_raw - s * s * 1000 // n) * 1000000
+         |      // (ssx * 1000 - s * s * 1000 // n)
+         |    ELSE 0 END AS BIGINT) AS eta2_ppm
+         |FROM agg""".stripMargin,
+    "q783_chi_square" ->
+      s"""WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+         |    count(*) AS obs FROM orders GROUP BY 1, 2),
+         |dims AS (SELECT count(DISTINCT r) - 1 AS dr,
+         |    count(DISTINCT c) - 1 AS dc FROM cells),
+         |x AS (SELECT r, c, obs,
+         |    sum(obs) OVER (PARTITION BY r) AS rt,
+         |    sum(obs) OVER (PARTITION BY c) AS ct,
+         |    sum(obs) OVER () AS n
+         |  FROM cells),
+         |z AS (SELECT r, c, obs, rt * ct * 1000 // n AS e_milli,
+         |    CASE WHEN rt * ct * 1000 // n > 0
+         |      THEN (obs * 1000 - rt * ct * 1000 // n)
+         |        * (obs * 1000 - rt * ct * 1000 // n)
+         |        // (rt * ct * 1000 // n)
+         |      ELSE 0 END AS contrib_milli
+         |  FROM x)
+         |SELECT r, c, CAST(obs AS BIGINT) AS obs,
+         |  CAST(e_milli AS BIGINT) AS e_milli,
+         |  CAST(contrib_milli AS BIGINT) AS contrib_milli,
+         |  CAST(sum(contrib_milli) OVER () AS BIGINT) AS chi2_milli,
+         |  CAST((SELECT dr * dc FROM dims) AS BIGINT) AS dof
+         |FROM z""".stripMargin,
+    "q784_topk_stability" ->
+      s"""WITH base AS (SELECT l_partkey AS pk, month(l_shipdate) % 2
+         |      AS half,
+         |    sum(CAST(floor(l_extendedprice * (100 - l_discount * 100))
+         |      AS BIGINT)) AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |top AS (SELECT pk, half,
+         |    row_number() OVER (PARTITION BY half ORDER BY rev DESC, pk)
+         |      AS rk
+         |  FROM base),
+         |a AS (SELECT pk, rk AS rk_a FROM top WHERE half = 1 AND rk <= 20),
+         |b AS (SELECT pk, rk AS rk_b FROM top WHERE half = 0 AND rk <= 20),
+         |j AS (SELECT rk_a, rk_b FROM a FULL OUTER JOIN b ON a.pk = b.pk)
+         |SELECT CAST(sum(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(sum(CASE WHEN rk_a = rk_b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_same_rank,
+         |  CAST(count(*) AS BIGINT) AS n_union,
+         |  CAST(sum(CASE WHEN rk_a IS NOT NULL AND rk_b IS NOT NULL
+         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM j""".stripMargin,
+    "q785_bigram_lift" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |tk AS (SELECT doc_id, t FROM toks WHERE length(trim(text)) > 0),
+         |uni AS (SELECT w, count(*) AS cu FROM (
+         |    SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
+         |tot AS (SELECT sum(cu) AS nn FROM uni),
+         |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS cb
+         |  FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |l AS (SELECT w1, w2, cb,
+         |    cb * (SELECT nn FROM tot) * 1000000 // (c1.cu * c2.cu)
+         |      AS lift_ppm
+         |  FROM bg JOIN uni c1 ON c1.w = bg.w1
+         |          JOIN uni c2 ON c2.w = bg.w2)
+         |SELECT w1, w2, CAST(cb AS BIGINT) AS cb,
+         |  CAST(lift_ppm AS BIGINT) AS lift_ppm
+         |FROM l ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin
   )
 }
