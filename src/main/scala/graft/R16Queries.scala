@@ -785,6 +785,116 @@ object R16Queries {
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
         .limit(25)
         .select(col("w1"), col("w2"), col("cb"), col("lift_ppm"))
+    }),
+    "q786_roc_points" -> ((s, dir) => {
+      // ROC operating points for a deterministic classifier (doc length
+      // as the score, lang = 'en' as the label): confusion counts and
+      // exact-ppm TPR / FPR / precision at four thresholds — ONE corpus
+      // aggregate per threshold via a broadcast cross join, never a
+      // per-threshold pass. The eval primitive behind every quality-
+      // filter tuning loop; thresholds are explicit so the curve is
+      // reproducible, not quantile-coupled.
+      import s.implicits._
+      val d = rd(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val ts = Seq(100L, 300L, 1000L, 3000L).toDF("t")
+      d.crossJoin(broadcast(ts))
+        .groupBy(col("t"))
+        .agg(sum(when(col("score") >= col("t") && col("y") === 1L, 1L)
+                   .otherwise(0L)).as("tp"),
+             sum(when(col("score") >= col("t") && col("y") === 0L, 1L)
+                   .otherwise(0L)).as("fp"),
+             sum(when(col("score") < col("t") && col("y") === 1L, 1L)
+                   .otherwise(0L)).as("fn"),
+             sum(when(col("score") < col("t") && col("y") === 0L, 1L)
+                   .otherwise(0L)).as("tn"))
+        .withColumn("tpr_ppm", expr(
+          "CASE WHEN tp + fn > 0 THEN tp * 1000000L DIV (tp + fn)" +
+            " ELSE 0L END"))
+        .withColumn("fpr_ppm", expr(
+          "CASE WHEN fp + tn > 0 THEN fp * 1000000L DIV (fp + tn)" +
+            " ELSE 0L END"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN tp + fp > 0 THEN tp * 1000000L DIV (tp + fp)" +
+            " ELSE 0L END"))
+    }),
+    "q787_herfindahl" -> ((s, dir) => {
+      // Herfindahl–Hirschman concentration per supplier nation: supplier
+      // revenue shares in ppm, HHI = Σ share² DIV 10⁶ (10⁶ = monopoly),
+      // plus the top share — the market-concentration screen in one
+      // rollup + one nation-sized window; truncation chain mirrored.
+      val rev = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("r"))
+        .join(rd(s, dir, "supplier"),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nation"), col("r"))
+      val tot = rev.groupBy(col("nation")).agg(sum(col("r")).as("nr"))
+      rev.join(broadcast(tot), Seq("nation"))
+        .withColumn("share_ppm", expr("r * 1000000L DIV nr"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             expr("sum(share_ppm * share_ppm) DIV 1000000L").as("hhi_ppm"),
+             max(col("share_ppm")).as("top_share_ppm"))
+    }),
+    "q788_price_volume_bridge" -> ((s, dir) => {
+      // Price–volume bridge per brand, 1996 → 1997: ΔR decomposed into
+      // Laspeyres price effect q0·(p1−p0), volume effect p0·(q1−q0),
+      // interaction (Δp·Δq), with unit prices DERIVED (cents = revenue
+      // DIV qty, truncating) and the truncation residual ΔR − pe − ve −
+      // ie emitted as its own column — the decomposition is exact up to
+      // a disclosed remainder instead of silently "approximately
+      // additive". The revenue-bridge artifact every BI team rebuilds,
+      // as one rollup + one self-join on brand.
+      def yr(y: Int) = Tables.spread(s, rd(s, dir, "lineitem"))
+        .filter(year(col("l_shipdate")) === y)
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"),
+             sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+               .as("rev"))
+        .withColumn("p", expr("rev DIV q"))
+      yr(1996).as("a")
+        .join(yr(1997).as("b"), Seq("brand"))
+        .select(col("brand"),
+                col("a.rev").as("r0_cents"), col("b.rev").as("r1_cents"),
+                expr("a.q * (b.p - a.p)").as("price_effect"),
+                expr("a.p * (b.q - a.q)").as("volume_effect"),
+                expr("(b.p - a.p) * (b.q - a.q)").as("interaction"))
+        .withColumn("residual", expr(
+          "r1_cents - r0_cents - price_effect - volume_effect - interaction"))
+    }),
+    "q789_iqr_outliers" -> ((s, dir) => {
+      // Tukey-fence outlier census per brand: discrete Q1/Q3 (the q731
+      // rank-⌈q·n⌉ convention), fences at ±(3·IQR) DIV 2, counts beyond
+      // each fence — the box-plot screen with every quantile and fence
+      // an exact integer. One rank window + one broadcast join back.
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"))
+      val w = Window.partitionBy(col("brand")).orderBy(col("cents"))
+      val ranked = v
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+      val qs = ranked
+        .filter(col("rn") === expr("(n + 3) DIV 4") ||
+                col("rn") === expr("(3 * n + 3) DIV 4"))
+        .groupBy(col("brand"))
+        .agg(min(col("cents")).as("q1"), max(col("cents")).as("q3"))
+        .withColumn("fence_lo", expr("q1 - (3 * (q3 - q1)) DIV 2"))
+        .withColumn("fence_hi", expr("q3 + (3 * (q3 - q1)) DIV 2"))
+      v.join(broadcast(qs), Seq("brand"))
+        .groupBy(col("brand"))
+        .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+             sum(when(col("cents") < col("fence_lo"), 1L).otherwise(0L))
+               .as("n_low"),
+             sum(when(col("cents") > col("fence_hi"), 1L).otherwise(0L))
+               .as("n_high"))
     })
   )
 
@@ -1414,6 +1524,87 @@ object R16Queries {
          |          JOIN uni c2 ON c2.w = bg.w2)
          |SELECT w1, w2, CAST(cb AS BIGINT) AS cb,
          |  CAST(lift_ppm AS BIGINT) AS lift_ppm
-         |FROM l ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin
+         |FROM l ORDER BY lift_ppm DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q786_roc_points" ->
+      s"""WITH d AS (SELECT n_chars AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |th AS (SELECT unnest([100, 300, 1000, 3000]) AS t),
+         |agg AS (SELECT th.t,
+         |    sum(CASE WHEN score >= th.t AND y = 1 THEN 1 ELSE 0 END)
+         |      AS tp,
+         |    sum(CASE WHEN score >= th.t AND y = 0 THEN 1 ELSE 0 END)
+         |      AS fp,
+         |    sum(CASE WHEN score < th.t AND y = 1 THEN 1 ELSE 0 END)
+         |      AS fn,
+         |    sum(CASE WHEN score < th.t AND y = 0 THEN 1 ELSE 0 END)
+         |      AS tn
+         |  FROM d CROSS JOIN th GROUP BY 1)
+         |SELECT CAST(t AS BIGINT) AS t, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |  CAST(tn AS BIGINT) AS tn,
+         |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+         |    ELSE 0 END AS BIGINT) AS tpr_ppm,
+         |  CAST(CASE WHEN fp + tn > 0 THEN fp * 1000000 // (fp + tn)
+         |    ELSE 0 END AS BIGINT) AS fpr_ppm,
+         |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+         |    ELSE 0 END AS BIGINT) AS precision_ppm
+         |FROM agg""".stripMargin,
+    "q787_herfindahl" ->
+      s"""WITH rev AS (SELECT s_nationkey AS nation, r FROM (
+         |    SELECT l_suppkey,
+         |      sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS r
+         |    FROM lineitem GROUP BY 1) x
+         |  JOIN supplier ON s_suppkey = l_suppkey),
+         |tot AS (SELECT nation, sum(r) AS nr FROM rev GROUP BY 1),
+         |sh AS (SELECT rev.nation, r * 1000000 // nr AS share_ppm
+         |  FROM rev JOIN tot ON tot.nation = rev.nation)
+         |SELECT CAST(nation AS BIGINT) AS nation,
+         |  CAST(count(*) AS BIGINT) AS n_suppliers,
+         |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+         |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+         |FROM sh GROUP BY nation""".stripMargin,
+    "q788_price_volume_bridge" ->
+      s"""WITH y0 AS (SELECT p_brand AS brand,
+         |    sum(CAST(l_quantity AS BIGINT)) AS q,
+         |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE year(l_shipdate) = 1996 GROUP BY 1),
+         |y1 AS (SELECT p_brand AS brand,
+         |    sum(CAST(l_quantity AS BIGINT)) AS q,
+         |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE year(l_shipdate) = 1997 GROUP BY 1),
+         |j AS (SELECT y0.brand, y0.rev AS r0, y1.rev AS r1,
+         |    y0.q AS q0, y1.q AS q1,
+         |    y0.rev // y0.q AS p0, y1.rev // y1.q AS p1
+         |  FROM y0 JOIN y1 ON y1.brand = y0.brand)
+         |SELECT brand, CAST(r0 AS BIGINT) AS r0_cents,
+         |  CAST(r1 AS BIGINT) AS r1_cents,
+         |  CAST(q0 * (p1 - p0) AS BIGINT) AS price_effect,
+         |  CAST(p0 * (q1 - q0) AS BIGINT) AS volume_effect,
+         |  CAST((p1 - p0) * (q1 - q0) AS BIGINT) AS interaction,
+         |  CAST(r1 - r0 - q0 * (p1 - p0) - p0 * (q1 - q0)
+         |    - (p1 - p0) * (q1 - q0) AS BIGINT) AS residual
+         |FROM j""".stripMargin,
+    "q789_iqr_outliers" ->
+      s"""WITH v AS (SELECT p_brand AS brand,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |rk AS (SELECT brand, cents,
+         |    row_number() OVER (PARTITION BY brand ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY brand) AS n FROM v),
+         |qs AS (SELECT brand, min(cents) AS q1, max(cents) AS q3
+         |  FROM rk WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+         |  GROUP BY 1),
+         |f AS (SELECT brand, q1, q3,
+         |    q1 - (3 * (q3 - q1)) // 2 AS lo,
+         |    q3 + (3 * (q3 - q1)) // 2 AS hi FROM qs)
+         |SELECT v.brand, CAST(max(f.q1) AS BIGINT) AS q1,
+         |  CAST(max(f.q3) AS BIGINT) AS q3,
+         |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low,
+         |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high
+         |FROM v JOIN f ON f.brand = v.brand GROUP BY v.brand""".stripMargin
   )
 }
