@@ -895,6 +895,85 @@ object R16Queries {
                .as("n_low"),
              sum(when(col("cents") > col("fence_hi"), 1L).otherwise(0L))
                .as("n_high"))
+    }),
+    "q790_mcnemar" -> ((s, dir) => {
+      // McNemar paired-classifier comparison per source: two
+      // deterministic language-ID proxies (chars ≥ 300 vs tokens ≥ 60)
+      // scored against the lang label on the SAME documents — only the
+      // DISAGREEMENT cells matter (b = A right/B wrong, c = A wrong/B
+      // right), statistic (b−c)²·10³ DIV (b+c). The right test when two
+      // filters are evaluated on one corpus (q786's ROC treats them
+      // independently and wastes the pairing); one aggregate per source.
+      rd(s, dir, "documents")
+        .select(col("source"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+                when(length(col("text")) >= 300, 1L).otherwise(0L)
+                  .as("pa"),
+                when(size(graft.operators.TextAnalysis
+                       .tokens(col("text"))) >= 60, 1L).otherwise(0L)
+                  .as("pb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+                   .otherwise(0L)).as("b_only"),
+             sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+                   .otherwise(0L)).as("c_only"))
+        .withColumn("chi2_milli", expr(
+          "CASE WHEN b_only + c_only > 0" +
+            " THEN (b_only - c_only) * (b_only - c_only) * 1000" +
+            " DIV (b_only + c_only) ELSE 0L END"))
+    }),
+    "q791_calibration_ece" -> ((s, dir) => {
+      // Reliability diagram + expected calibration error for a
+      // deterministic score (n_chars DIV 200, capped to 10 bins, bin
+      // midpoints as stated confidence): per-bin empirical accuracy vs
+      // confidence in exact ppm, ECE = Σ n_b·|acc−conf| DIV N riding
+      // every row — the calibration companion to q771's isotonic FIT
+      // (this measures miscalibration; that repairs it). One rollup +
+      // one dimension-sized window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+      rd(s, dir, "documents")
+        .select(least(lit(9L), expr("n_chars DIV 200")).as("bin"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+        .withColumn("conf_ppm", expr("bin * 100000 + 50000"))
+        .withColumn("acc_ppm", expr("n_pos * 1000000L DIV n_docs"))
+        .withColumn("_dev", abs(col("acc_ppm") - col("conf_ppm")))
+        .withColumn("_wdev", sum(col("_dev") * col("n_docs")).over(w))
+        .withColumn("_n", sum(col("n_docs")).over(w))
+        .withColumn("ece_ppm", expr("_wdev DIV _n"))
+        .select("bin", "n_docs", "conf_ppm", "acc_ppm", "ece_ppm")
+    }),
+    "q792_source_vocab_overlap" -> ((s, dir) => {
+      // Source-similarity matrix by vocabulary Jaccard: distinct tokens
+      // per source, pairwise |A∩B| via one token-keyed equi-join,
+      // |A∪B| = |A|+|B|−|A∩B| — corpus cartography (which slices speak
+      // the same language) over a vocabulary-bounded relation; the
+      // source-level companion to doc-level near-dup.
+      val vt = rd(s, dir, "documents")
+        .select(col("source"),
+                explode(array_distinct(
+                  graft.operators.TextAnalysis.tokens(col("text"))))
+                  .as("w"))
+        .distinct()
+        .localCheckpoint(false)
+      val sizes = vt.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      vt.as("a")
+        .join(vt.as("b"),
+              col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+                 col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+                                     col("nv").as("nv_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+                                     col("nv").as("nv_b"))), Seq("source_b"))
+        .withColumn("jaccard_ppm", expr(
+          "n_common * 1000000L DIV (nv_a + nv_b - n_common)"))
+        .select("source_a", "source_b", "n_common", "nv_a", "nv_b",
+                "jaccard_ppm")
     })
   )
 
@@ -1605,6 +1684,54 @@ object R16Queries {
          |    AS n_low,
          |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_high
-         |FROM v JOIN f ON f.brand = v.brand GROUP BY v.brand""".stripMargin
+         |FROM v JOIN f ON f.brand = v.brand GROUP BY v.brand""".stripMargin,
+    "q790_mcnemar" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |d AS (SELECT d2.source,
+         |    CASE WHEN d2.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN length(d2.text) >= 300 THEN 1 ELSE 0 END AS pa,
+         |    CASE WHEN len(toks.t) >= 60 THEN 1 ELSE 0 END AS pb
+         |  FROM documents d2 JOIN toks ON toks.doc_id = d2.doc_id),
+         |agg AS (SELECT source, count(*) AS n,
+         |    sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS b_only,
+         |    sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS c_only
+         |  FROM d GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(b_only AS BIGINT) AS b_only,
+         |  CAST(c_only AS BIGINT) AS c_only,
+         |  CAST(CASE WHEN b_only + c_only > 0
+         |    THEN (b_only - c_only) * (b_only - c_only) * 1000
+         |      // (b_only + c_only) ELSE 0 END AS BIGINT) AS chi2_milli
+         |FROM agg""".stripMargin,
+    "q791_calibration_ece" ->
+      s"""WITH d AS (SELECT least(9, n_chars // 200) AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |b AS (SELECT bin, count(*) AS n_docs, sum(y) AS n_pos
+         |  FROM d GROUP BY 1),
+         |k AS (SELECT bin, n_docs, bin * 100000 + 50000 AS conf_ppm,
+         |    n_pos * 1000000 // n_docs AS acc_ppm FROM b)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT)
+         |    AS n_docs,
+         |  CAST(conf_ppm AS BIGINT) AS conf_ppm,
+         |  CAST(acc_ppm AS BIGINT) AS acc_ppm,
+         |  CAST(sum(abs(acc_ppm - conf_ppm) * n_docs) OVER ()
+         |    // sum(n_docs) OVER () AS BIGINT) AS ece_ppm
+         |FROM k""".stripMargin,
+    "q792_source_vocab_overlap" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |vt AS (SELECT DISTINCT d2.source, u.w
+         |  FROM toks JOIN documents d2 ON d2.doc_id = toks.doc_id,
+         |  unnest(list_distinct(toks.t)) AS u(w)),
+         |sz AS (SELECT source, count(*) AS nv FROM vt GROUP BY 1),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_common
+         |  FROM vt a JOIN vt b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(x.nv AS BIGINT) AS nv_a, CAST(y.nv AS BIGINT) AS nv_b,
+         |  CAST(n_common * 1000000 // (x.nv + y.nv - n_common) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM pr JOIN sz x ON x.source = pr.source_a
+         |        JOIN sz y ON y.source = pr.source_b""".stripMargin
   )
 }
