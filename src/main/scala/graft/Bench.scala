@@ -24,19 +24,41 @@ object Bench {
 
   /** The `moved` JSON fragment: short query keys whose current value grew
     * > 1.3x AND > 0.5 s absolute over the same key in a prior round's
-    * bench JSON (`priorTxt`). The driver file's third tier keeps only the
-    * slowest ~80 entries, so absence of a key is NOT evidence of movement
-    * — only shared keys are compared; that blind spot is why `main`
-    * prefers the non-truncated [[FullSideFile]] as the comparison base
-    * when one exists (round-11 verdict: q704/q701 moved from OUTSIDE the
-    * r10 top-80 and were structurally invisible here).
+    * bench JSON (`priorTxt`), AFTER cohort-drift normalization. The driver
+    * file's third tier keeps only the slowest ~80 entries, so absence of a
+    * key is NOT evidence of movement — only shared keys are compared; that
+    * blind spot is why `main` prefers the non-truncated [[FullSideFile]]
+    * as the comparison base when one exists (round-11 verdict: q704/q701
+    * moved from OUTSIDE the r10 top-80 and were structurally invisible
+    * here).
+    *
+    * Drift normalization (round-12 verdict task 2): the base and the
+    * current run can sit on different-quality boxes — r12 measured a
+    * uniform +5.5% on untouched code, and r12's three `moved` flags
+    * (q42/q702/q703) all adjudicated to environment. A query only carries
+    * regression signal when it moves RELATIVE TO ITS COHORT, so the prior
+    * base is scaled by the shared-set MEDIAN ratio (cur/prev over every
+    * shared key) before the 1.3x/0.5 s gate applies: a uniformly-slower
+    * run flags nothing, while a single genuine mover still clears the gate
+    * (one outlier cannot drag the median). Normalization needs a cohort to
+    * be meaningful — under [[MinSharedForDrift]] shared keys (dev subsets,
+    * first run against a truncated base) the scale stays 1.0, the old
+    * absolute behavior.
     */
+  private[graft] val MinSharedForDrift = 20
+
   private[graft] def movedList(priorTxt: String,
                                current: Seq[(String, Double)]): String = {
     val prev = parseQueries(priorTxt)
+    val ratios = current.flatMap { case (k, cur) =>
+      prev.get(k).collect { case pv if pv > 0 => cur / pv }
+    }.sorted
+    val drift =
+      if (ratios.size >= MinSharedForDrift) ratios(ratios.size / 2) else 1.0
     val ms = current.collect {
       case (k, cur)
-          if prev.get(k).exists(pv => cur > 1.3 * pv && cur - pv > 0.5) =>
+          if prev.get(k).exists(pv =>
+            cur > 1.3 * pv * drift && cur - pv * drift > 0.5) =>
         k
     }
     if (ms.isEmpty) "[]"
@@ -265,6 +287,13 @@ object Bench {
     // (the trailing sbt [success] line shares it).
     val prefixes = results.map(_._1.takeWhile(_ != '_'))
     val useShort = prefixes.distinct.size == prefixes.size
+    // ONE keying function for the JSON line, the moved comparison, and the
+    // full side file (ADVICE r12): the side file used conditional keys
+    // while movedList's current map was always short-keyed, so in the
+    // latent duplicate-prefix case (useShort=false) the next run's
+    // comparison would share zero keys and silently report moved:[].
+    def keyOf(name: String, prefix: String): String =
+      if (useShort) shortKey(prefix) else name
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     // 1-decimal per-query seconds (total keeps 2): at 173 queries the
@@ -284,7 +313,7 @@ object Bench {
     def qsJsonOf(rs: Seq[((String, Double), String)],
                  f: Double => String): String =
       rs.map { case ((k, v), p) =>
-        "\"" + (if (useShort) shortKey(p) else k) + "\":" + f(v)
+        "\"" + keyOf(k, p) + "\":" + f(v)
       }.mkString("{", ",", "}")
     def qsJson(f: Double => String): String =
       qsJsonOf(results.zip(prefixes), f)
@@ -338,7 +367,7 @@ object Bench {
         case None => "[]"
         case Some(txt) =>
           movedList(txt, results.zip(prefixes).map {
-            case ((_, cur), p) => shortKey(p) -> cur
+            case ((k, cur), p) => keyOf(k, p) -> cur
           })
       }
     } catch { case _: Throwable => "[]" }
@@ -348,7 +377,7 @@ object Bench {
     // subset filter: a partial map must never become the moved base.
     if (nameFilter.isEmpty) try {
       val fullQs = results.zip(prefixes).map { case ((k, v), p) =>
-        "\"" + (if (useShort) shortKey(p) else k) + "\":" + fmt(v, 2)
+        "\"" + keyOf(k, p) + "\":" + fmt(v, 2)
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(FullSideFile),
