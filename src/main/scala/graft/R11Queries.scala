@@ -514,6 +514,10 @@ object R11Queries {
         .join(broadcast(d.select(col("i"), col("di"))), Seq("i"))
         .join(broadcast(d.select(col("i").as("j"), col("di").as("dj"))),
               Seq("j"))
+        // int64 envelope: n ≤ min(di, dj) ⇒ n² ≤ di·dj and the quotient is
+        // ≤ 10⁶; the product n²·10⁶ itself fits int64 while the per-pair
+        // co-occurrence count n ≲ 3·10⁶ (at larger per-pair multiplicities,
+        // divide n*1000000 DIV di first, then * n DIV dj).
         .withColumn("cos2_ppm",
                     expr("n * n * 1000000 DIV (di * dj)"))
       val w = Window.partitionBy(col("i"))

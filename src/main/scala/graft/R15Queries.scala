@@ -1511,6 +1511,11 @@ object R15Queries {
         .groupBy(col("b"))
         .agg(sum(expr("n_b * n_b DIV d_b")).as("est"))
         .crossJoin(broadcast(actual))
+        // int64 envelope: est and actual are Σ c², so the err·10⁶ product
+        // needs Σ c² ≲ 9.2·10¹² — holds to ~10⁹ lineitem rows at the
+        // observed per-supplier multiplicities (c ≈ 600 at sf0.1 scales
+        // linearly; Σ c² ≈ n·c). Past that, rescale c to kilorows before
+        // squaring (the q782 move) — err_ppm only needs 6 digits.
         .withColumn("err_ppm", expr(
           "abs(est - actual) * 1000000L DIV actual"))
         .select("b", "est", "actual", "err_ppm")

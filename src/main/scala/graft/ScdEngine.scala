@@ -77,9 +77,13 @@ object ScdEngine {
           new String(buf.toByteArray, "UTF-8")
         } finally in.close()
         val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-        if (lines.forall(l => l.nonEmpty && l.forall(_.isDigit)))
-          Some(lines.map(_.toInt))
-        else None // half-written/foreign content: fall back to listing
+        // toIntOption, not toInt (ADVICE r12): an all-digit line exceeding
+        // Int range must degrade to the listing fallback like any other
+        // foreign content, not crash the merge with NumberFormatException.
+        val parsed = lines.map(_.toIntOption)
+        if (parsed.forall(_.isDefined)) // empty manifest = zero buckets, valid
+          Some(parsed.map(_.get))
+        else None // half-written/foreign/oversized content: fall back to listing
       }
     } catch { case _: java.io.IOException => None }
   }
@@ -113,6 +117,20 @@ object ScdEngine {
 
   /** The on-disk bucket set: manifest when present, else one listing (which
     * then seeds the manifest so the next run never lists).
+    *
+    * TRUST MODEL (ADVICE r12): the manifest is a PRUNING HINT, never load-
+    * bearing for correctness — a crash between the per-bucket rename loop
+    * and the manifest rewrite leaves it stale in either direction (a
+    * listed-but-deleted bucket, or an on-disk bucket it doesn't know).
+    * Every consumer therefore cross-checks what it touches: the hot merge
+    * path exists-probes exactly the touched directories
+    * ([[existingBuckets]] — |delta buckets| probes, the pruned path's own
+    * scale), and the rare full-coverage paths (schema-widening rewrite,
+    * first-contract validation) re-derive ground truth with ONE
+    * [[listBucketDirs]] listing. A phantom manifest entry is thus never
+    * read (probe fails → treated as absent) and an unlisted-but-on-disk
+    * bucket is never overwritten blind (the probe finds it) — it re-enters
+    * the manifest via the post-merge survivors write when next touched.
     */
   private def bucketsOnDisk(fs: FileSystem, targetPath: String): Seq[Int] =
     readBucketManifest(fs, targetPath).getOrElse {
@@ -120,6 +138,15 @@ object ScdEngine {
       writeBucketManifest(fs, targetPath, listed)
       listed
     }
+
+  /** The subset of `bs` whose bucket directory actually exists — the
+    * per-touched-bucket cross-check of the manifest trust model. Cost is
+    * one existence probe per requested bucket (delta-bounded on the merge
+    * path), never a table-wide listing.
+    */
+  private def existingBuckets(fs: FileSystem, targetPath: String,
+                              bs: Seq[Int]): Seq[Int] =
+    bs.filter(b => fs.exists(new Path(s"$targetPath/$BucketCol=$b")))
 
   /** Run one SCD maintenance step against a Parquet table at `targetPath`:
     * initial load when the target does not exist (or `fullRefresh`), otherwise
@@ -343,16 +370,25 @@ object ScdEngine {
     val onDisk = bucketsOnDisk(fs, targetPath)
     def bucketDirs(bs: Seq[Int]): Seq[String] =
       bs.map(b => s"$targetPath/$BucketCol=$b")
+    // Schema donor for the empty-selection read: the first manifest entry
+    // whose directory VERIFIABLY exists (a stale phantom entry would make
+    // the probe read throw), else ground truth via one listing.
+    lazy val schemaDonor: Seq[Int] = onDisk
+      .find(b => fs.exists(new Path(s"$targetPath/$BucketCol=$b")))
+      .map(Seq(_))
+      .getOrElse(listBucketDirs(fs, targetPath).take(1))
     // Bucket-dir read with the partition column restored via basePath; an
     // empty selection degrades to a zero-row, correctly-typed relation
     // (schema off ONE existing bucket dir — single-directory listing).
+    // Callers pass EXISTENCE-VERIFIED bucket ids (existingBuckets or a
+    // fresh listing) — never raw manifest content.
     def readBuckets(bs: Seq[Int]): DataFrame =
       if (bs.nonEmpty)
         spark.read.option("basePath", targetPath)
           .parquet(bucketDirs(bs): _*)
-      else if (onDisk.nonEmpty)
+      else if (schemaDonor.nonEmpty)
         spark.read.option("basePath", targetPath)
-          .parquet(bucketDirs(onDisk.take(1)): _*).limit(0)
+          .parquet(bucketDirs(schemaDonor): _*).limit(0)
       else // no bucket dirs at all (foreign layout): legacy full read
         spark.read.parquet(targetPath)
     // Schema-WIDENING evolution cannot ride the pruned path: rewriting only
@@ -366,12 +402,15 @@ object ScdEngine {
     // column-set probe reads ONE bucket directory, not the whole table
     // (disk schema is uniform across buckets by construction).
     val widens = cfg.onSchemaChange == "append_new_columns" && {
-      val tCols = readBuckets(onDisk.take(1)).columns
+      val tCols = readBuckets(schemaDonor).columns
         .map(_.toUpperCase).toSet
       batch.columns.exists(c => !tCols.contains(c.toUpperCase))
     }
     if (widens) {
-      val target = readBuckets(onDisk).drop(BucketCol)
+      // Full-coverage rewrite: GROUND-TRUTH listing, not the manifest — a
+      // stale manifest missing an on-disk bucket would exclude its history
+      // from the snapshot and the swap would then delete it (silent loss).
+      val target = readBuckets(listBucketDirs(fs, targetPath)).drop(BucketCol)
       val snapshot = mergeWithPredicates(target, batch, cfg)
       contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
       atomicSwap(spark, fs, withBucket(snapshot, cfg, Some(n)), targetPath,
@@ -387,8 +426,12 @@ object ScdEngine {
       .sorted
     // Listing-pruned scan: only the touched directories that EXIST are
     // ever listed or read (a touched bucket with no directory yet simply
-    // contributes no history — its keys are brand-new).
-    val target = readBuckets(touched.filter(onDisk.contains).toSeq)
+    // contributes no history — its keys are brand-new). Existence comes
+    // from per-directory PROBES, not the manifest (ADVICE r12): a stale
+    // manifest could list a deleted bucket (read would throw) or omit an
+    // on-disk one (its history would read empty and the swap would
+    // overwrite it — silent loss). |touched| probes, delta-bounded.
+    val target = readBuckets(existingBuckets(fs, targetPath, touched.toSeq))
       .drop(BucketCol)
     val snapshot = mergeWithPredicates(target, batch, cfg)
     contract.foreach(Contracts.enforceStructural(snapshot.schema, _))
@@ -411,10 +454,13 @@ object ScdEngine {
     try contract.foreach { c =>
       Contracts.enforceNotNull(spark.read.parquet(tmp), c)
       if (!fs.exists(contractMarkerPath(targetPath, c)))
-        // untouched buckets by DIRECTORY (manifest-routed), not a
-        // full-table scan with a negated partition filter
+        // untouched buckets by DIRECTORY, off a GROUND-TRUTH listing (rare
+        // full-coverage path: first time this contract is seen) — the
+        // manifest could omit an on-disk bucket, and "validated" must
+        // cover every real directory, not every remembered one
         Contracts.enforceNotNull(
-          readBuckets(onDisk.filterNot(touched.contains)), c)
+          readBuckets(listBucketDirs(fs, targetPath)
+            .filterNot(touched.contains)), c)
     } catch { case e: Throwable => fs.delete(new Path(tmp), true); throw e }
     val present = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (b <- touched) {

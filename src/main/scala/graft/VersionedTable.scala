@@ -171,7 +171,8 @@ object VersionedTable {
   private def publish(spark: SparkSession, snapshot: DataFrame, root: String,
                       batchToken: Option[String],
                       preCommitFiles: Seq[String],
-                      partitionCol: Option[String] = None): Long = {
+                      partitionCol: Option[String] = None,
+                      sortCol: Option[String] = None): Long = {
     require(batchToken.forall(t => t.nonEmpty && !t.exists("/=\\".contains(_))),
             s"batch token must be a plain file-name fragment: $batchToken")
     val f = fs(spark, root)
@@ -184,7 +185,14 @@ object VersionedTable {
     // small-files lesson).
     val clustered = partitionCol.fold(snapshot)(c =>
       snapshot.repartition(org.apache.spark.sql.functions.col(c)))
-    val writer = clustered.write.mode("overwrite")
+    // Optional within-partition sort: clusters each parquet file's row
+    // groups by `sortCol` so min/max row-group statistics can answer
+    // pushed equality filters on it (the reader-side pruning lever —
+    // without the sort, every row group's [min,max] spans the whole key
+    // space and stats prune nothing).
+    val sorted = sortCol.fold(clustered)(c =>
+      clustered.sortWithinPartitions(org.apache.spark.sql.functions.col(c)))
+    val writer = sorted.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(dir)
     batchToken.foreach(t =>
       f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
@@ -210,6 +218,41 @@ object VersionedTable {
                          root: String, partitionCol: String): Long =
     publish(spark, snapshot, root, batchToken = None,
             preCommitFiles = Nil, partitionCol = Some(partitionCol))
+
+  /** [[publishPartitioned]] with (a) an optional within-partition sort
+    * column — row groups clustered so min/max stats answer pushed filters
+    * on it — and (b) caller marker files (underscore-prefixed, plain
+    * file-name fragments) that land in the version dir BEFORE the commit
+    * marker, so layout metadata (e.g. a bucket-count contract) is
+    * atomically part of the committed version. Read back with
+    * [[latestMarkers]].
+    */
+  def publishPartitioned(spark: SparkSession, snapshot: DataFrame,
+                         root: String, partitionCol: String,
+                         sortCol: Option[String],
+                         markers: Seq[String]): Long = {
+    require(markers.forall(m =>
+      m.startsWith("_") && !m.exists("/=\\".contains(_))),
+      s"markers must be underscore-prefixed file-name fragments: $markers")
+    publish(spark, snapshot, root, batchToken = None,
+            preCommitFiles = markers, partitionCol = Some(partitionCol),
+            sortCol = sortCol)
+  }
+
+  /** Marker file names with the given prefix recorded in the LATEST
+    * committed version's directory (the [[publishPartitioned]] `markers`
+    * read-back). Empty when no version is committed or none match.
+    */
+  def latestMarkers(spark: SparkSession, root: String,
+                    prefix: String): Seq[String] = {
+    val f = fs(spark, root)
+    latestVersion(spark, root).toSeq.flatMap { v =>
+      val dir = new Path(s"$root/$VPrefix$v")
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+    }
+  }
 
   /** Partition-pruned read of the latest committed version: reads ONLY the
     * requested `<partitionCol>=<value>` subdirectories (values without a

@@ -21,6 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Release the local-checkpoint RDD backing `df` (no-op for plans that
+    * are not checkpoint-backed). `Dataset.unpersist` only clears
+    * CacheManager entries, so lazily/eagerly checkpointed INTERNAL
+    * relations need this RDD-level release. Only call once nothing will
+    * read `df` again — a local checkpoint has no lineage to recompute
+    * from.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Cache-lifecycle seal (round-12 verdict task 4): eagerly materialize
+    * `result` via localCheckpoint — while the operator's internal caches
+    * are still hot — then release those caches (CacheManager-aware
+    * `unpersist` for `.cache()` sites) and internal checkpoints
+    * ([[releaseCheckpoint]] for `.localCheckpoint(…)` sites). The caller
+    * gets a self-contained plan and executor storage stays flat across
+    * repeated invocations; the ONE persisted RDD left behind is the
+    * result's own checkpoint, which the caller owns (the bench harness
+    * releases it between queries; a long-lived session releases it when
+    * done with the result). Round18OpsSpec pins "≤ 1 new persisted RDD
+    * per operator".
+    */
+  private def sealOp(result: DataFrame,
+                     cached: Seq[DataFrame],
+                     ckpts: Seq[DataFrame] = Nil): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(false))
+    ckpts.foreach(releaseCheckpoint)
+    out
+  }
+
   /** `n`-token shingles (distinct), space-joined. `slice` is 1-based. */
   def shingles(tokens: Column, n: Int): Column =
     array_distinct(
@@ -65,13 +99,14 @@ object Dedup {
       .join(ds.as("b"), col("a._sh") === col("b._sh") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .agg(count(lit(1)).as("overlap"))
-    pairs
+    sealOp(pairs
       .join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
       .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       // jaccard >= tauNum/tauDen  <=>  tauDen*overlap >= tauNum*union
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
-      .select("doc_a", "doc_b", "overlap", "union_size")
+      .select("doc_a", "doc_b", "overlap", "union_size"),
+      cached = Seq(ds))
   }
 
   /** MinHash signature component `i` of a shingle set: the lexicographic
@@ -95,11 +130,12 @@ object Dedup {
     * low precision means the verify stage is doing the work the signature
     * should have.
     *
-    * Caching contract (same as [[minhashLshPairsAgainst]]): the shingle
-    * and band-size relations are cached and not released here — callers
-    * invoking this repeatedly in one session clear persisted RDDs between
-    * invocations (as the bench harness does) or executor storage grows one
-    * cache per call.
+    * Cache lifecycle (round-12 verdict task 4): the result is returned as
+    * an eager local checkpoint and every internal cache (shingle and
+    * band-size relations) is released before returning — repeated
+    * invocations in one session leave executor storage flat. The one
+    * persisted RDD left is the result's own checkpoint, released by the
+    * caller when done (the bench harness does so between queries).
     */
   def minhashLshCandidates(df: DataFrame,
                            idCol: String,
@@ -148,12 +184,13 @@ object Dedup {
           .partitionBy(col("_bk")).orderBy(col("_id"))))
       .filter(col("_prev").isNotNull)
       .select(col("_prev").as("doc_a"), col("_id").as("doc_b"))
-    bandKeys.as("a")
+    sealOp(bandKeys.as("a")
       .join(bandKeys.as("b"),
             col("a._bk") === col("b._bk") && col("a._id") < col("b._id"))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .unionByName(pathPairs)
-      .distinct()
+      .distinct(),
+      cached = Seq(withSh, bandSz))
   }
 
   def minhashLshPairs(df: DataFrame,
@@ -163,11 +200,14 @@ object Dedup {
                       bands: Int = 4,
                       rows: Int = 3,
                       tauNum: Int = 1,
-                      tauDen: Int = 2): DataFrame =
-    candidatesWithOverlap(df, idCol, textCol, n, bands, rows)
+                      tauDen: Int = 2): DataFrame = {
+    val (cand, caches) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
+    sealOp(cand
       // jaccard >= tauNum/tauDen  <=>  tauDen*overlap >= tauNum*union
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
-      .select("doc_a", "doc_b", "overlap", "union_size")
+      .select("doc_a", "doc_b", "overlap", "union_size"),
+      cached = caches)
+  }
 
   /** The 12-component banding grid: every (bands, rows) factorization of a
     * 12-minhash signature the planner considers. Fixed component budget =
@@ -259,11 +299,15 @@ object Dedup {
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .cache()
     val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
-    def pairsAt(b: Int, r: Int): DataFrame =
-      verifiedPairsFor(withSh, ndocs, b, r)
+    val innerCaches = scala.collection.mutable.ArrayBuffer[DataFrame](withSh)
+    def pairsAt(b: Int, r: Int): DataFrame = {
+      val (pairs, caches) = verifiedPairsFor(withSh, ndocs, b, r)
+      innerCaches ++= caches
+      pairs
         .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
         .select("doc_a", "doc_b")
         .localCheckpoint(false)
+    }
     val pa = pairsAt(bandsA, rowsA)
     val pb = pairsAt(bandsB, rowsB)
     val planned = planBands(targetJaccardPpm, recallFloorPpm)
@@ -278,8 +322,9 @@ object Dedup {
                 lit(if ((planned._1, planned._2) == ((b, r))) 1L else 0L)
                   .as("is_planned"),
                 col("n_pairs"), col("n_extra"))
-    statsOf(bandsA, rowsA, pa, pb)
-      .unionByName(statsOf(bandsB, rowsB, pb, pa))
+    sealOp(statsOf(bandsA, rowsA, pa, pb)
+      .unionByName(statsOf(bandsB, rowsB, pb, pa)),
+      cached = innerCaches.toSeq, ckpts = Seq(pa, pb))
   }
 
   /** Banding-efficiency report for (bands, rows) tuning: ONE signature
@@ -295,13 +340,16 @@ object Dedup {
                              bands: Int = 4,
                              rows: Int = 3,
                              tauNum: Int = 1,
-                             tauDen: Int = 2): DataFrame =
-    candidatesWithOverlap(df, idCol, textCol, n, bands, rows)
+                             tauDen: Int = 2): DataFrame = {
+    val (cand, caches) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
+    sealOp(cand
       .agg(count(lit(1)).as("n_candidates"),
            sum(when(col("overlap") * tauDen >= col("union_size") * tauNum,
                     lit(1L)).otherwise(lit(0L))).as("n_verified"))
       .withColumn("precision_ppm",
-                  expr("n_verified * 1000000 DIV n_candidates"))
+                  expr("n_verified * 1000000 DIV n_candidates")),
+      cached = caches)
+  }
 
   /** Shared tail of [[minhashLshPairs]] / [[minhashLshBandingStats]]: every
     * banded candidate pair with its exact (overlap, union_size), BEFORE the
@@ -333,6 +381,14 @@ object Dedup {
     */
   val PairBudgetFactor: Int = 8
 
+  /** LAZY variant kept for direct aggregate consumers (gate queries that
+    * roll the candidate relation up immediately, and Stress13's
+    * budget-disabled measurement, whose unbudgeted candidate volume must
+    * never be materialized wholesale). Leaves its internal caches
+    * persisted — such callers release persisted RDDs between invocations
+    * (the bench harness does). Library users should prefer the sealed
+    * public operators.
+    */
   private[graft] def candidatesWithOverlap(df: DataFrame,
                                     idCol: String,
                                     textCol: String,
@@ -346,7 +402,22 @@ object Dedup {
                                     // _ndocs must not overflow) disables
                                     // the corpus-relative pair budget;
                                     // every gate query uses the default.
-                                    pairBudgetFactor: Long = PairBudgetFactor.toLong): DataFrame = {
+                                    pairBudgetFactor: Long = PairBudgetFactor.toLong): DataFrame =
+    candidatesWithOverlapC(df, idCol, textCol, n, bands, rows, maxBucket,
+                           pairBudgetFactor)._1
+
+  /** [[candidatesWithOverlap]] plus the internal cached relations it
+    * created, so sealed public operators ([[minhashLshPairs]],
+    * [[minhashLshBandingStats]]) can release them after materializing.
+    */
+  private def candidatesWithOverlapC(df: DataFrame,
+                                     idCol: String,
+                                     textCol: String,
+                                     n: Int,
+                                     bands: Int,
+                                     rows: Int,
+                                     maxBucket: Int = DefaultMaxBucket,
+                                     pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame]) = {
     // Materialize the shingle array ONCE as a column: the bands*rows minhash
     // expressions and the verification explode all read the attribute instead
     // of re-deriving tokens->shingles per expression (12x fewer md5-array
@@ -356,7 +427,9 @@ object Dedup {
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .cache()
     val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
-    verifiedPairsFor(withSh, ndocs, bands, rows, maxBucket, pairBudgetFactor)
+    val (pairs, caches) =
+      verifiedPairsFor(withSh, ndocs, bands, rows, maxBucket, pairBudgetFactor)
+    (pairs, withSh +: caches)
   }
 
   /** The banded-candidate + exact-verify tail over an ALREADY-MATERIALIZED
@@ -370,7 +443,7 @@ object Dedup {
                                bands: Int,
                                rows: Int,
                                maxBucket: Int = DefaultMaxBucket,
-                               pairBudgetFactor: Long = PairBudgetFactor.toLong): DataFrame = {
+                               pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame]) = {
     // all band keys in one native pass over the shingle array (string-equal
     // to the per-band md5(concat_ws("|", minhash...)) composition)
     val sig = withSh.select(
@@ -441,7 +514,7 @@ object Dedup {
     // numbers: the arrays are already distinct.
     val arrs = withSh.select(col("_id"), col("_shs"),
                              size(col("_shs")).cast("long").as("_n"))
-    candidates
+    (candidates
       .join(arrs.select(col("_id").as("doc_a"), col("_shs").as("_sa"),
                         col("_n").as("_na")), "doc_a")
       .join(arrs.select(col("_id").as("doc_b"), col("_shs").as("_sb"),
@@ -449,7 +522,8 @@ object Dedup {
       .withColumn("overlap",
                   size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
-      .select("doc_a", "doc_b", "overlap", "union_size")
+      .select("doc_a", "doc_b", "overlap", "union_size"),
+     Seq(bandSz))
   }
 
   /** Incremental (delta-vs-corpus) MinHash-LSH near-dup join: banded
@@ -467,14 +541,12 @@ object Dedup {
     * while the bucket bomb stays impossible. Candidate and verify joins
     * are equi-joins on band key / doc id.
     *
-    * Caching contract: the shingle relations of BOTH sides are `.cache()`d
+    * Cache lifecycle: the shingle relations of BOTH sides are `.cache()`d
     * (each feeds its band-key derivation AND the verify join) and the
-    * band-size rollup is localCheckpointed; none are released here because
-    * the returned plan still reads them lazily. Callers invoking this
-    * repeatedly in one session must clear persisted RDDs between
-    * invocations (`spark.sparkContext.getPersistentRDDs.values.foreach(
-    * _.unpersist(false))` — what the bench harness does between queries)
-    * or executor storage accumulates one shingle cache per call.
+    * band-size rollup is localCheckpointed — all RELEASED before
+    * returning: the result comes back as an eager local checkpoint
+    * (sealOp), so repeated invocations leave executor storage flat and
+    * the caller owns exactly one checkpoint RDD.
     *
     * Output: (new_id, old_id, overlap, union_size) for verified pairs
     * with jaccard ≥ tauNum/tauDen.
@@ -527,7 +599,7 @@ object Dedup {
             Seq("_bk"))
       .select(col("_id").as("new_id"), col("_omin").as("old_id"))
     val cand = candOk.unionByName(candDeg).distinct()
-    cand
+    sealOp(cand
       .join(shNew.select(col("_id").as("new_id"), col("_shs").as("_sa"),
                          size(col("_shs")).cast("long").as("_na")), "new_id")
       .join(shOld.select(col("_id").as("old_id"), col("_shs").as("_sb"),
@@ -536,7 +608,8 @@ object Dedup {
                   size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
-      .select("new_id", "old_id", "overlap", "union_size")
+      .select("new_id", "old_id", "overlap", "union_size"),
+      cached = Seq(shOld, shNew), ckpts = Seq(sz))
   }
 
   /** Number of `_sig_bucket` partitions in a persisted signature table —
@@ -544,6 +617,27 @@ object Dedup {
     * probes) and pruning granularity. Shared with the gate spec.
     */
   val DefaultSigBuckets: Int = 64
+
+  /** Version-dir marker recording the bucket count a signature table was
+    * published with (`_SIG_NUMBUCKETS_<n>`). [[incrementalPairs]] reads
+    * the STORED value instead of trusting its parameter (ADVICE r12): a
+    * caller probing with a mismatched modulus would name `_sig_bucket`
+    * dirs that don't exist and silently miss duplicate pairs.
+    */
+  private[graft] val SigNumBucketsPrefix = "_SIG_NUMBUCKETS_"
+
+  /** Max distinct delta band keys pushed into the stored-corpus parquet
+    * scan as an equality-OR filter ([[incrementalPairs]]). On a
+    * `sortByBandKey` layout, row-group min/max stats answer the pushed
+    * equalities, so a POINT PROBE (one doc / a handful — the streaming
+    * ingest "is this a dup?" shape) reads a few row groups instead of
+    * every touched bucket. The cap is deliberately SMALL: Stress16
+    * measured a 200-term Or chain as pure per-row cost (3× slower at 1M)
+    * whenever bucket files hold few row groups — the filter's win regime
+    * is few keys × many row groups, and past the cap the collision
+    * semi-join (always on) already bounds the post-scan work.
+    */
+  private[graft] val SigPushdownKeyCap = 32
 
   /** Persist the corpus MinHash signature STATE as a [[graft.VersionedTable]]
     * (round-11 verdict task 4): the real ingest shape stores the standing
@@ -562,6 +656,16 @@ object Dedup {
     * constant column (RLE-compresses to nothing) so the pair budget knows
     * the corpus size without a full scan.
     *
+    * Round-13 layout refinements: (a) optional within-bucket `_bk` sort
+    * (`sortByBandKey`) so parquet row-group min/max stats answer the
+    * delta probe's pushed point filters — see the parameter note for the
+    * regime where it pays (Stress16 lever b); (b) the bucket count is
+    * recorded as a pre-commit version marker ([[SigNumBucketsPrefix]])
+    * and the read side uses the STORED value — a republish may therefore
+    * change `numBuckets` freely; (c) each republish vacuums superseded
+    * versions (keeping `vacuumKeep`) so a periodically-refreshed
+    * signature store does not grow one full corpus copy per publish.
+    *
     * Returns the published version number.
     */
   def signatureTable(spark: org.apache.spark.sql.SparkSession,
@@ -572,7 +676,19 @@ object Dedup {
                      n: Int = 3,
                      bands: Int = 4,
                      rows: Int = 3,
-                     numBuckets: Int = DefaultSigBuckets): Long = {
+                     numBuckets: Int = DefaultSigBuckets,
+                     vacuumKeep: Int = 2,
+                     // Stress16 lever-b dial: sort each bucket by _bk at
+                     // write time so row-group min/max stats answer the
+                     // delta probe's pushed point filters. OFF by default:
+                     // the sort moves every fat shingle row once more at
+                     // publish (~60% extra, Stress16 probe), and pays back
+                     // only when bucket files span MANY row groups (≥100M
+                     // docs at default bucketing — at gate scale each
+                     // bucket is a single row group and stats prune
+                     // nothing). Turn on for big stores serving point
+                     // probes.
+                     sortByBandKey: Boolean = false): Long = {
     val withSh = df
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
@@ -589,8 +705,23 @@ object Dedup {
       .crossJoin(broadcast(
         df.select(col(idCol)).agg(count(lit(1)).as("_ndocs"))))
       .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
-    graft.VersionedTable.publishPartitioned(spark, rowsDf, root, "_sig_bucket")
+    val v = graft.VersionedTable.publishPartitioned(
+      spark, rowsDf, root, "_sig_bucket",
+      sortCol = if (sortByBandKey) Some("_bk") else None,
+      markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
+    graft.VersionedTable.vacuum(spark, root, keep = vacuumKeep)
+    v
   }
+
+  /** The bucket count recorded with the latest committed signature-table
+    * version, when the marker is present (tables published before the
+    * marker existed return None and the caller's parameter applies).
+    */
+  private[graft] def storedSigBuckets(spark: org.apache.spark.sql.SparkSession,
+                                      root: String): Option[Int] =
+    graft.VersionedTable.latestMarkers(spark, root, SigNumBucketsPrefix)
+      .flatMap(_.stripPrefix(SigNumBucketsPrefix).toIntOption)
+      .headOption
 
   /** Incremental near-dup pairs of `delta` against a persisted
     * [[signatureTable]]: same candidate relation, guards, spanning-degrade,
@@ -617,9 +748,9 @@ object Dedup {
     * would take. The one driver-side step is the touched-bucket distinct
     * (≤ numBuckets ints).
     *
-    * Caching contract: the delta shingle relation is cached (band keys +
-    * verify both read it); callers clear persisted RDDs between repeated
-    * invocations (the bench does).
+    * Cache lifecycle: the delta shingle relation is cached (band keys +
+    * verify both read it) and released before returning — the result is
+    * an eager local checkpoint (sealOp), the caller's one RDD to own.
     */
   /** The `_sig_bucket` partitions a delta's band keys touch — the driver-
     * side pruning list (≤ numBuckets ints) [[incrementalPairs]] hands to
@@ -652,7 +783,16 @@ object Dedup {
                        rows: Int = 3,
                        tauNum: Int = 1,
                        tauDen: Int = 2,
-                       numBuckets: Int = DefaultSigBuckets): DataFrame = {
+                       numBuckets: Int = DefaultSigBuckets,
+                       // Stress16 measurement dial: 0 disables the pushed
+                       // band-key filter entirely.
+                       pushdownKeyCap: Int = SigPushdownKeyCap): DataFrame = {
+    // STORED bucket count wins over the parameter (ADVICE r12): probing
+    // with a mismatched modulus would name _sig_bucket dirs that don't
+    // exist and readLatestPartitions would silently skip them — missing
+    // duplicate pairs with no error. The parameter survives only as the
+    // fallback for legacy tables published before the marker existed.
+    val nb = storedSigBuckets(spark, sigRoot).getOrElse(numBuckets)
     val shNew = delta
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
@@ -667,10 +807,36 @@ object Dedup {
                 .as("_bk"))
       .localCheckpoint(false)
     val touched = bn
-      .select(pmod(hash(col("_bk")), lit(numBuckets)).as("_b"))
+      .select(pmod(hash(col("_bk")), lit(nb)).as("_b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val corpus = graft.VersionedTable
+    val corpus0 = graft.VersionedTable
       .readLatestPartitions(spark, sigRoot, "_sig_bucket", touched)
+    // Within-bucket band-key pruning (Stress16 lever b): the publish sorts
+    // each bucket by _bk, so pushing the delta's distinct band keys as an
+    // equality-OR parquet filter lets row-group min/max stats skip most of
+    // a touched bucket's bytes — INCLUDING the fat _shs shingle pages —
+    // when the delta's key diversity is low. Past [[SigPushdownKeyCap]]
+    // keys the filter is dropped: a diverse delta touches most row groups
+    // anyway. take(cap+1) bounds the driver-side key collection.
+    // checkpointed: read THREE times (key-cap sample, broadcast build,
+    // and the sample path's filter literals) — the distinct is one
+    // delta-sized shuffle, paid once
+    val deltaKeys = bn.select(col("_bk")).distinct().localCheckpoint()
+    val keySample =
+      if (pushdownKeyCap > 0) deltaKeys.take(pushdownKeyCap + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    val filteredCorpus =
+      if (keySample.nonEmpty && keySample.length <= pushdownKeyCap)
+        corpus0.filter(keySample.map(r => col("_bk") === lit(r.getString(0)))
+          .reduce(_ || _))
+      else corpus0
+    // Collision pre-filter: a broadcast semi-join on the delta's band keys
+    // drops every stored row that collides with nothing BEFORE the guard
+    // aggregate and candidate join shuffle on _bk (every downstream
+    // relation inner-joins to delta keys anyway, so this is pure pruning —
+    // it turns the post-scan cost from O(touched-bucket rows) into
+    // O(colliding rows) even when the pushed filter is dropped).
+    val corpus = filteredCorpus.join(broadcast(deltaKeys), Seq("_bk"), "left_semi")
     // Guard relation, mirroring minhashLshPairsAgainst: per colliding band
     // key, old-side count + min id and new-side count; budget against the
     // TOTAL corpus (stored `_ndocs` constant + delta count — no corpus
@@ -705,7 +871,7 @@ object Dedup {
       .select(col("_id").as("old_id"), col("_shs").as("_sb"),
               col("_n").as("_nb"))
       .dropDuplicates("old_id")
-    cand
+    sealOp(cand
       .join(shNew.select(col("_id").as("new_id"), col("_shs").as("_sa"),
                          size(col("_shs")).cast("long").as("_na")), "new_id")
       .join(oldSh, "old_id")
@@ -713,7 +879,8 @@ object Dedup {
                   size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
-      .select("new_id", "old_id", "overlap", "union_size")
+      .select("new_id", "old_id", "overlap", "union_size"),
+      cached = Seq(shNew), ckpts = Seq(bn, sz, deltaKeys))
   }
 
   /** Near-duplicate clusters from a pair list: connected components of the
@@ -755,8 +922,11 @@ object Dedup {
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType ||
         f.dataType == org.apache.spark.sql.types.ShortType)
-    if (integralIds && edges.count() <= smallGraphEdges)
-      return clusterPairsLocal(edges)
+    if (integralIds && edges.count() <= smallGraphEdges) {
+      val local = clusterPairsLocal(edges)
+      releaseCheckpoint(edges) // collected to the driver; nothing reads it again
+      return local
+    }
     // Seed with min(node, min(neighbor)) — identical to one propagation
     // round from identity labels, but a single aggregation on the edge list
     // instead of a join+union round.
@@ -778,6 +948,11 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "_old"), "node")
         .filter(col("label") =!= col("_old"))
         .count() == 0L
+      // `next` is materialized by the count above, so the previous round's
+      // checkpoint blocks are dead weight — release them as the loop walks
+      // (round-12 verdict task 4: iterative operators must not accumulate
+      // one label checkpoint per round for the session's lifetime).
+      releaseCheckpoint(labels)
       labels = next
     }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
@@ -788,9 +963,10 @@ object Dedup {
     val (docId, clusterId) =
       if (integralIds) (col("node").cast("long"), col("label").cast("long"))
       else (col("node"), col("label"))
-    labels
+    sealOp(labels
       .select(docId.as("doc_id"), clusterId.as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w)),
+      cached = Nil, ckpts = Seq(edges, labels))
   }
 
   /** Near-duplicate removal: drop every clustered document except its
@@ -802,9 +978,14 @@ object Dedup {
     */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val losers = clusterPairs(pairs, aCol, bCol)
+    val clusters = clusterPairs(pairs, aCol, bCol)
+    // Seal the pair-graph-sized loser set and release the cluster
+    // checkpoint behind it: the returned anti-join stays LAZY over the
+    // caller's corpus (never materialized here) and owns one small RDD.
+    val losers = sealOp(clusters
       .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as(idCol))
+      .select(col("doc_id").as(idCol)),
+      cached = Nil, ckpts = Seq(clusters))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -820,17 +1001,21 @@ object Dedup {
                scoreCol: String,
                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = clusterPairs(pairs, aCol, bCol)
+    val clusterCkpt = clusterPairs(pairs, aCol, bCol)
+    val clusters = clusterCkpt
       .select(col("doc_id").as("_cid"), col("cluster_id"))
     val scored = df
       .select(col(idCol).as("_cid"), col(scoreCol).as("_score"))
       .join(clusters, Seq("_cid"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("_score").desc, col("_cid"))
-    val losers = scored
+    // Same lifecycle as keepCanonical: seal the small loser set, release
+    // the cluster checkpoint, return a lazy anti-join over the corpus.
+    val losers = sealOp(scored
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") =!= 1)
-      .select(col("_cid").as(idCol))
+      .select(col("_cid").as(idCol)),
+      cached = Nil, ckpts = Seq(clusterCkpt))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -942,13 +1127,14 @@ object Dedup {
     // the candidate volume is quadratic per bucket, so filtering during the
     // join probe keeps non-matches out of the dedup shuffle entirely
     // (distinct() then only sees true pairs, once per matching band).
-    banded.as("a")
+    sealOp(banded.as("a")
       .join(banded.as("b"),
             col("a._bk") === col("b._bk") && col("a._id") < col("b._id") &&
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"),
               col("a.simhash").as("simhash_a"), col("b.simhash").as("simhash_b"))
-      .distinct()
+      .distinct(),
+      cached = Seq(sigs))
   }
 
   /** Embedding near-dup pairs: all pairs with cosine >= tau. Brute force —
@@ -1013,12 +1199,13 @@ object Dedup {
     val stats = pairs.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("id_b")).as("n_removed"))
-    members.join(stats, Seq("centroid_id"), "left")
+    sealOp(members.join(stats, Seq("centroid_id"), "left")
       .select(col("centroid_id"), col("n_members"),
               coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
               coalesce(col("n_removed"), lit(0L)).as("n_removed"),
               (col("n_members") - coalesce(col("n_removed"), lit(0L)))
-                .as("n_kept"))
+                .as("n_kept")),
+      cached = Nil, ckpts = Seq(keyed))
   }
 
   /** Scale path for embedding near-dup: candidate pairs must share a sign-LSH
@@ -1266,10 +1453,12 @@ object Dedup {
     * always survives the filters.
     */
   def prefixCandidates(df: DataFrame, idCol: String, textCol: String,
-                       tauNum: Int, tauDen: Int): DataFrame =
-    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
-               tauNum, tauDen)
-      .select("doc_a", "doc_b")
+                       tauNum: Int, tauDen: Int): DataFrame = {
+    val (pref, ckpts) = ppjPrefixRows(df, idCol, textCol, tauNum, tauDen)
+    sealOp(ppjMatches(pref, tauNum, tauDen)
+      .select("doc_a", "doc_b"),
+      cached = Nil, ckpts = ckpts)
+  }
 
   /** Per-doc PPJoin prefix rows in the INTEGER RANK domain: tokens map to
     * their global frequency rank (df asc, token asc) and every downstream
@@ -1282,7 +1471,7 @@ object Dedup {
     * candidate join it feeds twice.
     */
   private def ppjPrefixRows(df: DataFrame, idCol: String, textCol: String,
-                            tauNum: Int, tauDen: Int): DataFrame = {
+                            tauNum: Int, tauDen: Int): (DataFrame, Seq[DataFrame]) = {
     val toks = df.select(col(idCol).as("_id"),
         explode(array_distinct(filter(
           TextAnalysis.tokens(col(textCol)), t => t =!= ""))).as("_t"))
@@ -1293,7 +1482,7 @@ object Dedup {
           .partitionBy(graft.functions.DimKey.one)
           .orderBy(col("_df"), col("_t"))))
       .select("_t", "_rk")
-    toks.join(broadcast(rank), Seq("_t"))
+    val pref = toks.join(broadcast(rank), Seq("_t"))
       .groupBy(col("_id"))
       .agg(array_sort(collect_list(col("_rk"))).as("_s"))
       .withColumn("_n", size(col("_s")).cast("long"))
@@ -1307,6 +1496,7 @@ object Dedup {
       .withColumn("_pos", (col("_p0") + 1).cast("long"))
       .drop("_p0")
       .localCheckpoint(false)
+    (pref, Seq(toks, pref))
   }
 
   /** The PPJoin candidate join over [[ppjPrefixRows]], emitting each
@@ -1354,13 +1544,14 @@ object Dedup {
   def prefixJoinStats(df: DataFrame, idCol: String, textCol: String,
                       tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
     val verified = col("overlap") * tauDen >= col("union_size") * tauNum
-    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
-               tauNum, tauDen)
+    val (pref, ckpts) = ppjPrefixRows(df, idCol, textCol, tauNum, tauDen)
+    sealOp(ppjMatches(pref, tauNum, tauDen)
       .agg(count(lit(1)).as("n_candidates"),
            coalesce(sum(when(verified, 1L).otherwise(0L)), lit(0L))
              .as("n_pairs"),
            coalesce(sum(when(verified, col("overlap"))), lit(0L))
-             .as("sum_overlap"))
+             .as("sum_overlap")),
+      cached = Nil, ckpts = ckpts)
   }
 
   /** [[prefixCandidates]] + exact Jaccard verification on the full token
@@ -1370,9 +1561,11 @@ object Dedup {
     * ride on the prefix rows, so no second join re-attaches them.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         tauNum: Int = 1, tauDen: Int = 2): DataFrame =
-    ppjMatches(ppjPrefixRows(df, idCol, textCol, tauNum, tauDen),
-               tauNum, tauDen)
+                         tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val (pref, ckpts) = ppjPrefixRows(df, idCol, textCol, tauNum, tauDen)
+    sealOp(ppjMatches(pref, tauNum, tauDen)
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
-      .select("doc_a", "doc_b", "overlap", "union_size")
+      .select("doc_a", "doc_b", "overlap", "union_size"),
+      cached = Nil, ckpts = ckpts)
+  }
 }
