@@ -240,6 +240,153 @@ object R17Queries {
         .agg(countDistinct(col("cluster_id")).as("n_clusters"),
              count(lit(1)).as("n_docs"))
     }),
+    "q801_log_rank" -> ((s, dir) => {
+      // Log-rank test — the survival-tier hypothesis test the KM curve
+      // (q683) and hazards (q285/q515) describe but never compare: do
+      // urgent-priority orders ship FASTER than the rest? Durations =
+      // days from order date to first ship, right-censored at 60; at each
+      // of the ≤61 event days the hypergeometric O/E/V terms are pinned
+      // integer DIVs (V's numerator is n³-scale, so 128-bit per term —
+      // the q546 convention) summed over the dimension-bounded day
+      // ladder; z² in exact milli. At-risk counts are suffix sums over
+      // the per-day rollup — the whole test is two windows on a 61-row
+      // grid after one fact aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val firstShip = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("fs"))
+      val dur = rd(s, dir, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("g1"),
+          least(datediff(col("fs"), col("o_orderdate")), lit(60))
+            .cast("long").as("day"))
+        .withColumn("ev", (col("day") < 60).cast("long"))
+      val cells = dur.groupBy(col("day"))
+        .agg(sum(when(col("g1") === 1, 1L).otherwise(0L)).as("a1"),
+             count(lit(1)).as("a"),
+             sum(when(col("g1") === 1, col("ev")).otherwise(0L)).as("d1"),
+             sum(col("ev")).as("d"))
+      val wSuf = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("n1", sum(col("a1")).over(wSuf))
+        .withColumn("n", sum(col("a")).over(wSuf))
+        .filter(col("d") > 0)
+        .withColumn("e1_ppm_t", expr("d * n1 * 1000000L DIV n"))
+        .withColumn("v_ppm_t", expr(
+          """CAST(CASE WHEN n <= 1 THEN 0 ELSE
+            |  CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) * 1000000
+            |  DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) END
+            |  AS BIGINT)""".stripMargin))
+        .agg(count(lit(1)).as("n_event_days"),
+             sum(col("d1")).as("o1"),
+             sum(col("e1_ppm_t")).as("e1_ppm"),
+             sum(col("v_ppm_t")).as("v_ppm"))
+        .withColumn("z2_milli", expr(
+          """CAST(CASE WHEN v_ppm = 0 THEN 0 ELSE
+            |  CAST(o1 * 1000000 - e1_ppm AS DECIMAL(38,0))
+            |    * (o1 * 1000000 - e1_ppm) * 1000
+            |  DIV (CAST(v_ppm AS DECIMAL(38,0)) * 1000000) END
+            |  AS BIGINT)""".stripMargin))
+    }),
+    "q802_wilson_interval" -> ((s, dir) => {
+      // Wilson 95% score interval for per-brand return rates — the
+      // small-sample-honest leaderboard bound beside q757's EB shrinkage
+      // (a 2-line brand shows a wide interval instead of a shrunk point).
+      // z = 1.96 pinned as z²·10⁴ = 38416; the radicand is prescaled so
+      // isqrt stays in the exact ≤2^53 regime (q732 convention) to
+      // n ≲ 10⁹ rows per brand; every DIV pinned identically in both
+      // engines.
+      val r = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+               .as("x"))
+      r.withColumn("raw_ppm", expr("x * 1000000L DIV n"))
+        .withColumn("rad", expr(
+          "(x * (n - x) * 10000L DIV n + 9604L) * 38416L"))
+        .withColumn("half_ppm", expr(
+          """CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) * 1000000L
+            | DIV (n * 10000L + 38416L)""".stripMargin))
+        .withColumn("center_ppm", expr(
+          "(x * 10000L + 19208L) * 1000000L DIV (n * 10000L + 38416L)"))
+        .withColumn("lo_ppm", expr("greatest(center_ppm - half_ppm, 0L)"))
+        .withColumn("hi_ppm", expr(
+          "least(center_ppm + half_ppm, 1000000L)"))
+        .select("brand", "n", "x", "raw_ppm", "lo_ppm", "hi_ppm")
+    }),
+    "q803_mde_power" -> ((s, dir) => {
+      // Experiment-planning readout: minimum detectable effect at
+      // α = 0.05 / power 0.8 for the observed base rate (share of 'F'
+      // orders) across candidate per-arm sizes — MDE = 2.8016·√(2p(1−p)/n)
+      // with the z-sum pinned as 28016·10⁻⁴ and the radicand in
+      // ppm²-per-row units so isqrt is exact (≤2^53 to any n ≥ 250).
+      // The "how long must this test run" table, exact in both engines.
+      import s.implicits._
+      val p0 = rd(s, dir, "orders")
+        .agg(expr("sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)" +
+          " * 1000000L DIV count(1)").as("p_ppm"))
+      val sizes = Seq(1000L, 10000L, 100000L, 1000000L).toDF("n_per_arm")
+      sizes.crossJoin(broadcast(p0))
+        .withColumn("rad",
+                    expr("2 * p_ppm * (1000000L - p_ppm) DIV n_per_arm"))
+        .withColumn("mde_ppm", expr(
+          "28016L * CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT)" +
+            " DIV 10000L"))
+        .withColumn("mde_rel_ppm", expr("mde_ppm * 1000000L DIV p_ppm"))
+        .select("n_per_arm", "p_ppm", "rad", "mde_ppm", "mde_rel_ppm")
+    }),
+    "q804_srm_check" -> ((s, dir) => {
+      // Sample-ratio-mismatch guard — the first A/B sanity check before
+      // any effect readout: customer-key-parity arms against the expected
+      // 50/50, global χ² = (a−b)²/N in exact milli (the 2-cell equal-
+      // expectation collapse), plus the 5 worst order-months by absolute
+      // arm-share deviation (WHERE the randomizer drifted, not just
+      // whether). Month grain keeps every relation calendar-bounded.
+      import org.apache.spark.sql.expressions.Window
+      val o = rd(s, dir, "orders")
+        .select((col("o_custkey") % 2).cast("long").as("arm"),
+                ((year(col("o_orderdate")) - 1992) * 12 +
+                  month(col("o_orderdate"))).cast("long").as("mi"))
+      val g = o.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b"))
+        .withColumn("chi2_milli",
+                    expr("(a - b) * (a - b) * 1000L DIV (a + b)"))
+      val monthly = o.groupBy(col("mi"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ma"),
+             count(lit(1)).as("mn"))
+        .withColumn("share_ppm", expr("ma * 1000000L DIV mn"))
+        .withColumn("dev_ppm", expr("abs(share_ppm - 500000L)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("dev_ppm").desc, col("mi"))))
+        .filter(col("rk") <= 5)
+      monthly.crossJoin(broadcast(g))
+        .select(col("mi"), col("ma"), col("mn"), col("share_ppm"),
+                col("dev_ppm"), col("rk"), col("a"), col("b"),
+                col("chi2_milli"))
+    }),
+    "q805_collation_contract" -> ((s, dir) => {
+      // String-ordering contract: BINARY (codepoint) sort order pinned on
+      // a case/digit/punctuation/space/empty gauntlet — both engines must
+      // produce the identical rank sequence or the hash compare fails.
+      // Locale-collated engines (or an ICU default creeping in) would
+      // reorder 'B' vs 'a' and space-vs-underscore; every ORDER BY and
+      // min/max string tie-break in the surface silently relies on this.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gauntlet = Seq("", " leading", "-dash", "0digit", "9digit",
+                         "A", "B2", "Z", "_under", "a", "b1", "z",
+                         "zz", "~tilde")
+      gauntlet.toDF("s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("s"))))
+        .select(col("rk"), col("s"))
+    }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
       // delivered (N) line prices — the "is the significant difference
@@ -466,6 +613,105 @@ object R17Queries {
          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM sized GROUP BY 1""".stripMargin,
+    "q801_log_rank" ->
+      """WITH fs0 AS (SELECT l_orderkey AS ok, min(l_shipdate) AS fs
+        |  FROM lineitem GROUP BY 1),
+        |dur AS (SELECT
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS g1,
+        |    least(date_diff('day', o_orderdate, fs), 60) AS day
+        |  FROM orders JOIN fs0 ON ok = o_orderkey),
+        |d2 AS (SELECT g1, day,
+        |    CASE WHEN day < 60 THEN 1 ELSE 0 END AS ev FROM dur),
+        |cells AS (SELECT day,
+        |    sum(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS a1, count(*) AS a,
+        |    sum(CASE WHEN g1 = 1 THEN ev ELSE 0 END) AS d1, sum(ev) AS d
+        |  FROM d2 GROUP BY 1),
+        |suf AS (SELECT day, d1, d,
+        |    sum(a1) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(a) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |  FROM cells),
+        |terms AS (SELECT d1, d, n1, n,
+        |    d * n1 * 1000000 // n AS e1_ppm_t,
+        |    CASE WHEN n <= 1 THEN 0 ELSE
+        |      CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000
+        |        // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
+        |      AS v_ppm_t
+        |  FROM suf WHERE d > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+        |    CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e1_ppm_t) AS BIGINT) AS e1_ppm,
+        |    CAST(sum(v_ppm_t) AS BIGINT) AS v_ppm FROM terms)
+        |SELECT n_event_days, o1, e1_ppm, v_ppm,
+        |  CAST(CASE WHEN v_ppm = 0 THEN 0 ELSE
+        |    CAST(o1 * 1000000 - e1_ppm AS HUGEINT)
+        |      * (o1 * 1000000 - e1_ppm) * 1000
+        |      // (CAST(v_ppm AS HUGEINT) * 1000000) END AS BIGINT)
+        |    AS z2_milli
+        |FROM agg""".stripMargin,
+    "q802_wilson_interval" ->
+      """WITH r AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |w AS (SELECT brand, n, x,
+        |    (x * (n - x) * 10000 // n + 9604) * 38416 AS rad FROM r),
+        |h AS (SELECT brand, n, x,
+        |    (x * 10000 + 19208) * 1000000 // (n * 10000 + 38416) AS c_ppm,
+        |    CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) * 1000000
+        |      // (n * 10000 + 38416) AS half_ppm
+        |  FROM w)
+        |SELECT brand, n, x, CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+        |  CAST(greatest(c_ppm - half_ppm, 0) AS BIGINT) AS lo_ppm,
+        |  CAST(least(c_ppm + half_ppm, 1000000) AS BIGINT) AS hi_ppm
+        |FROM h""".stripMargin,
+    "q803_mde_power" ->
+      """WITH p0 AS (SELECT
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      * 1000000 // count(*) AS BIGINT) AS p_ppm FROM orders),
+        |sizes AS (SELECT CAST(unnest([1000, 10000, 100000, 1000000])
+        |  AS BIGINT) AS n_per_arm)
+        |SELECT n_per_arm, p_ppm,
+        |  CAST(2 * p_ppm * (1000000 - p_ppm) // n_per_arm AS BIGINT) AS rad,
+        |  CAST(28016 * CAST(floor(sqrt(CAST(
+        |      2 * p_ppm * (1000000 - p_ppm) // n_per_arm AS DOUBLE)))
+        |    AS BIGINT) // 10000 AS BIGINT) AS mde_ppm,
+        |  CAST((28016 * CAST(floor(sqrt(CAST(
+        |      2 * p_ppm * (1000000 - p_ppm) // n_per_arm AS DOUBLE)))
+        |    AS BIGINT) // 10000) * 1000000 // p_ppm AS BIGINT)
+        |    AS mde_rel_ppm
+        |FROM sizes CROSS JOIN p0""".stripMargin,
+    "q804_srm_check" ->
+      """WITH o AS (SELECT o_custkey % 2 AS arm,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) AS mi
+        |  FROM orders),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM o),
+        |g2 AS (SELECT a, b,
+        |    (a - b) * (a - b) * 1000 // (a + b) AS chi2_milli FROM g),
+        |m AS (SELECT CAST(mi AS BIGINT) AS mi,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+        |    CAST(count(*) AS BIGINT) AS mn FROM o GROUP BY 1),
+        |mm AS (SELECT mi, ma, mn, ma * 1000000 // mn AS share_ppm FROM m),
+        |rnk AS (SELECT mi, ma, mn, share_ppm,
+        |    abs(share_ppm - 500000) AS dev_ppm,
+        |    row_number() OVER (ORDER BY abs(share_ppm - 500000) DESC, mi)
+        |      AS rk
+        |  FROM mm)
+        |SELECT mi, ma, mn, CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(dev_ppm AS BIGINT) AS dev_ppm, CAST(rk AS BIGINT) AS rk,
+        |  a, b, CAST(chi2_milli AS BIGINT) AS chi2_milli
+        |FROM rnk CROSS JOIN g2 WHERE rk <= 5""".stripMargin,
+    "q805_collation_contract" ->
+      """WITH g AS (SELECT unnest(['', ' leading', '-dash', '0digit',
+        |    '9digit', 'A', 'B2', 'Z', '_under', 'a', 'b1', 'z', 'zz',
+        |    '~tilde']) AS s)
+        |SELECT CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rk, s
+        |FROM g""".stripMargin,
     "q800_cohens_d" ->
       """WITH x AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
