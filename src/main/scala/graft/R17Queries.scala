@@ -387,6 +387,159 @@ object R17Queries {
           Window.partitionBy(graft.functions.DimKey.one).orderBy(col("s"))))
         .select(col("rk"), col("s"))
     }),
+    "q806_dedup_percolation" -> ((s, dir) => {
+      // Dedup PERCOLATION sweep: how the near-dup cluster structure
+      // coarsens as τ drops — pairs, clustered docs, cluster count, and
+      // the largest component at τ ∈ {70, 60, 50}% off ONE τ=1/2 verified
+      // pair relation (the sealed checkpoint re-filters; thresholds above
+      // the base τ are subsets, so the expensive signature stage runs
+      // once). The STRUCTURE companion to q774's yield curve: a τ where
+      // max_size jumps is a merge-cascade warning before keep-canonical
+      // deletes half a template family. Empty thresholds report zeros
+      // (coalesce — the X743 sentinel discipline).
+      val d = Tables.spread(s, rd(s, dir, "documents"))
+      val base = Dedup.minhashLshPairs(d, "doc_id", "text")
+      Seq((1, 2, 50L), (3, 5, 60L), (7, 10, 70L)).map { case (tn, td, pct) =>
+        val pairs = base.filter(col("overlap") * td >= col("union_size") * tn)
+        val cl = Dedup.clusterPairs(pairs)
+        val cs = cl.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          coalesce(max(col("cluster_size")), lit(0L)).as("max_size"))
+        pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(cs)
+          .select(lit(pct).as("tau_pct"), col("n_pairs"), col("n_docs"),
+                  col("n_clusters"), col("max_size"))
+      }.reduce(_.unionByName(_))
+    }),
+    "q807_variance_ratio" -> ((s, dir) => {
+      // Lo–MacKinlay variance-ratio test on the daily-revenue series:
+      // VR(q) = Var(q-step differences) / (q · Var(1-step)), the named
+      // random-walk diagnostic (VR ≈ 1 under iid steps; >1 = momentum,
+      // <1 = mean reversion). Index-aligned lags (q775's convention),
+      // drift μ pinned in milli-cents, deviations squared into 128-bit
+      // sums (milli-cents² passes int64 immediately), one ratio DIV per
+      // q ∈ {2, 4, 8}. Day-grain relation end-to-end after one rollup.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d")))
+          .cast("long"))
+        .select("i", "y")
+        .localCheckpoint(false) // read by the bounds agg + both join sides
+      // per-step drift in milli-cents off the series endpoints (unique i
+      // makes max_by/arg_max deterministic)
+      val bounds = broadcast(idx.agg(
+        max(col("i")).as("nn"),
+        expr("min_by(y, i)").as("y0"),
+        expr("max_by(y, i)").as("yn"))
+        .withColumn("mu_milli", expr("(yn - y0) * 1000L DIV (nn - 1)")))
+      // q = 1 rides the same grid as the report lags: one join computes
+      // every difference series
+      val qs = Seq(1L, 2L, 4L, 8L).toDF("q")
+      val diffs = idx.crossJoin(broadcast(qs))
+        .join(idx.select(col("i").as("i2"), col("y").as("y2")),
+              col("i2") === col("i") + col("q"))
+        .crossJoin(bounds)
+        .select(col("q"),
+                expr("(y2 - y) * 1000L - q * mu_milli").as("dev"))
+      val stats = diffs.groupBy(col("q"))
+        .agg(count(lit(1)).as("n_q"),
+             sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("s_q"))
+        .localCheckpoint() // tiny; read as base AND as the q=1 reference
+      val ref = broadcast(stats.filter(col("q") === 1)
+        .select(col("n_q").as("n1"), col("s_q").as("s1")))
+      stats.filter(col("q") =!= 1).crossJoin(ref)
+        .withColumn("vr_ppm", expr(
+          "CAST(s_q * n1 * 1000000 DIV (q * s1 * n_q) AS BIGINT)"))
+        .select("q", "n_q", "vr_ppm")
+    }),
+    "q808_holm_stepdown" -> ((s, dir) => {
+      // Holm step-down FWER control over the SAME Chebyshev-bound
+      // p-surrogates as q768's BH step-up — the stricter family-wise
+      // guarantee next to BH's FDR: reject ranks sequentially while
+      // p_(r)·(m−r+1)·20 ≤ 10⁶ and STOP at the first failure (step-down:
+      // everything after the first survivor survives). Emitting both
+      // rules' flags on one ranked relation makes the FWER ⊆ FDR
+      // containment directly visible per supplier. Same two aggregates +
+      // one rank window as q768; cross-multiplied integers throughout.
+      import org.apache.spark.sql.expressions.Window
+      val dem = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"),
+                 ((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("x"))
+        .localCheckpoint(false)
+      val glob = broadcast(dem.agg(
+        count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx")))
+      val per = dem.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_k"), sum(col("x")).as("s_k"))
+        .crossJoin(glob)
+        .withColumn("g", expr("sx DIV nn"))
+        .withColumn("v0", expr("sxx DIV nn - g * g"))
+        .withColumn("t", abs(expr("s_k DIV n_k") - col("g")))
+        // int64 envelope (q768's audited site, cloned): v0·10⁶ needs the
+        // global variance v0 ≲ 9.2·10¹² (quantity units; holds to ~10⁹
+        // rows at TPC-H quantities), and n_k·t² ≲ int64 likewise — past
+        // that, rescale t to kilounits before squaring (the q782 move)
+        .withColumn("p_ppm", expr(
+          "CASE WHEN t = 0 THEN 1000000" +
+            " ELSE least(1000000L, v0 * 1000000L DIV (n_k * t * t)) END"))
+      val m = Window.partitionBy(graft.functions.DimKey.one)
+      val ranked = per
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("p_ppm"), col("k"))).cast("long"))
+        .withColumn("m", count(lit(1)).over(m))
+        .withColumn("okr",
+          when(col("p_ppm") * col("m") * 20L <= lit(1000000L) * col("r"),
+               col("r")))
+        .withColumn("badh",
+          when(col("p_ppm") * (col("m") - col("r") + 1L) * 20L >
+            lit(1000000L), col("r")))
+      ranked
+        .withColumn("bh_k", max(col("okr")).over(m))
+        .withColumn("holm_ff", min(col("badh")).over(m))
+        .select(col("k"), col("p_ppm"), col("r"),
+                when(col("r") <= coalesce(col("bh_k"), lit(0L)), 1L)
+                  .otherwise(0L).as("bh_rejected"),
+                when(col("r") <
+                  coalesce(col("holm_ff"), col("m") + 1L), 1L)
+                  .otherwise(0L).as("holm_rejected"))
+    }),
+    "q809_token_coverage" -> ((s, dir) => {
+      // Stopword-list sizing curve: cumulative corpus-token mass covered
+      // by the top-k vocabulary types at k ∈ {10, 100, 1000} — "how big a
+      // stopword/function-word list buys how much of the stream" (the
+      // type-mass complement of Heaps' vocabulary growth q678 and the
+      // Zipf head check q270). One vocabulary rollup; the rank window
+      // sees only the vocabulary relation. Checkpoints sized to the
+      // synthetic corpus's compact vocabulary (~50 types at every SF).
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val tf = Tables.spread(s, rd(s, dir, "documents"))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val wTot = Window.partitionBy(graft.functions.DimKey.one)
+      val ranked = tf
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("tf").desc, col("w"))))
+        .withColumn("total", sum(col("tf")).over(wTot))
+        .withColumn("cum", sum(col("tf")).over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("tf").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ks = Seq(5L, 10L, 25L).toDF("k")
+      ranked.join(broadcast(ks), col("r") === col("k"))
+        .select(col("k"), col("cum").as("cum_tokens"),
+                expr("cum * 1000000L DIV total").as("coverage_ppm"))
+    }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
       // delivered (N) line prices — the "is the significant difference
@@ -613,6 +766,117 @@ object R17Queries {
          |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM sized GROUP BY 1""".stripMargin,
+    "q806_dedup_percolation" ->
+      s"""WITH RECURSIVE ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |e50 AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |        UNION SELECT doc_b, doc_a FROM vp),
+         |r50 AS (SELECT src AS node, src AS lab FROM e50
+         |  UNION SELECT e50.dst, r50.lab FROM r50
+         |    JOIN e50 ON e50.src = r50.node),
+         |c50 AS (SELECT cid, count(*) AS cnt FROM (
+         |  SELECT node, min(lab) AS cid FROM r50 GROUP BY 1) GROUP BY 1),
+         |v60 AS (SELECT doc_a, doc_b FROM vp
+         |        WHERE overlap * 5 >= union_size * 3),
+         |e60 AS (SELECT doc_a AS src, doc_b AS dst FROM v60
+         |        UNION SELECT doc_b, doc_a FROM v60),
+         |r60 AS (SELECT src AS node, src AS lab FROM e60
+         |  UNION SELECT e60.dst, r60.lab FROM r60
+         |    JOIN e60 ON e60.src = r60.node),
+         |c60 AS (SELECT cid, count(*) AS cnt FROM (
+         |  SELECT node, min(lab) AS cid FROM r60 GROUP BY 1) GROUP BY 1),
+         |v70 AS (SELECT doc_a, doc_b FROM vp
+         |        WHERE overlap * 10 >= union_size * 7),
+         |e70 AS (SELECT doc_a AS src, doc_b AS dst FROM v70
+         |        UNION SELECT doc_b, doc_a FROM v70),
+         |r70 AS (SELECT src AS node, src AS lab FROM e70
+         |  UNION SELECT e70.dst, r70.lab FROM r70
+         |    JOIN e70 ON e70.src = r70.node),
+         |c70 AS (SELECT cid, count(*) AS cnt FROM (
+         |  SELECT node, min(lab) AS cid FROM r70 GROUP BY 1) GROUP BY 1)
+         |SELECT CAST(50 AS BIGINT) AS tau_pct,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vp) AS n_pairs,
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_size FROM c50
+         |UNION ALL
+         |SELECT CAST(60 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v60),
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(max(cnt), 0) AS BIGINT) FROM c60
+         |UNION ALL
+         |SELECT CAST(70 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v70),
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(max(cnt), 0) AS BIGINT) FROM c70""".stripMargin,
+    "q807_variance_ratio" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  y FROM daily),
+        |b AS (SELECT max(i) AS nn, arg_min(y, i) AS y0,
+        |  arg_max(y, i) AS yn FROM idx),
+        |mu AS (SELECT (yn - y0) * 1000 // (nn - 1) AS mu_milli FROM b),
+        |qs AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS q),
+        |diffs AS (SELECT q,
+        |    (b2.y - a.y) * 1000 - q * (SELECT mu_milli FROM mu) AS dev
+        |  FROM idx a CROSS JOIN qs JOIN idx b2 ON b2.i = a.i + q),
+        |stats AS (SELECT q, CAST(count(*) AS BIGINT) AS n_q,
+        |    sum(CAST(dev AS HUGEINT) * dev) AS s_q FROM diffs GROUP BY 1),
+        |ref AS (SELECT n_q AS n1, s_q AS s1 FROM stats WHERE q = 1)
+        |SELECT q, n_q,
+        |  CAST(s_q * n1 * 1000000 // (q * s1 * n_q) AS BIGINT) AS vr_ppm
+        |FROM stats CROSS JOIN ref WHERE q <> 1""".stripMargin,
+    "q808_holm_stepdown" ->
+      s"""WITH dem AS (SELECT l_suppkey AS k,
+         |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+         |      AS BIGINT) AS mi,
+         |    sum(CAST(l_quantity AS BIGINT)) AS x
+         |  FROM lineitem GROUP BY 1, 2),
+         |gstat AS (SELECT count(*) AS nn, sum(x) AS sx, sum(x * x) AS sxx
+         |  FROM dem),
+         |per AS (SELECT k, count(*) AS n_k, sum(x) AS s_k
+         |  FROM dem GROUP BY 1),
+         |p0 AS (SELECT k, n_k,
+         |    abs(s_k // n_k - (SELECT sx // nn FROM gstat)) AS t,
+         |    (SELECT sxx // nn - (sx // nn) * (sx // nn) FROM gstat) AS v0
+         |  FROM per),
+         |p1 AS (SELECT k, CASE WHEN t = 0 THEN 1000000
+         |    ELSE least(1000000, v0 * 1000000 // (n_k * t * t)) END AS p_ppm
+         |  FROM p0),
+         |rk AS (SELECT k, p_ppm, row_number() OVER (ORDER BY p_ppm, k) AS r,
+         |    count(*) OVER () AS m FROM p1),
+         |bh AS (SELECT max(CASE WHEN p_ppm * m * 20
+         |    <= CAST(1000000 AS BIGINT) * r THEN r END) AS kk FROM rk),
+         |hf AS (SELECT min(CASE WHEN p_ppm * (m - r + 1) * 20
+         |    > CAST(1000000 AS BIGINT) THEN r END) AS ff,
+         |    max(m) AS mm FROM rk)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(p_ppm AS BIGINT) AS p_ppm,
+         |  CAST(r AS BIGINT) AS r,
+         |  CAST(CASE WHEN r <= coalesce((SELECT kk FROM bh), 0) THEN 1
+         |    ELSE 0 END AS BIGINT) AS bh_rejected,
+         |  CAST(CASE WHEN r < coalesce((SELECT ff FROM hf),
+         |      (SELECT mm FROM hf) + 1) THEN 1
+         |    ELSE 0 END AS BIGINT) AS holm_rejected
+         |FROM rk""".stripMargin,
+    "q809_token_coverage" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |tfq AS (SELECT u.w, count(*) AS tf
+         |  FROM toks tk, unnest(tk.t) AS u(w) GROUP BY 1),
+         |rk0 AS (SELECT w, tf,
+         |    row_number() OVER (ORDER BY tf DESC, w) AS r,
+         |    sum(tf) OVER () AS total,
+         |    sum(tf) OVER (ORDER BY tf DESC, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tfq),
+         |ks AS (SELECT CAST(unnest([5, 10, 25]) AS BIGINT) AS k)
+         |SELECT k, CAST(cum AS BIGINT) AS cum_tokens,
+         |  CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+         |FROM rk0 JOIN ks ON r = k""".stripMargin,
     "q801_log_rank" ->
       """WITH fs0 AS (SELECT l_orderkey AS ok, min(l_shipdate) AS fs
         |  FROM lineitem GROUP BY 1),

@@ -51,6 +51,10 @@ class PpmOverflowLintSpec extends AnyFunSuite {
     "R14Queries.scala" -> 1,
     "R15Queries.scala" -> 2,
     "R16Queries.scala" -> 9,
+    // q808's Holm step-down clones q768's audited Chebyshev-bound site
+    // (Spark + oracle SQL) with the envelope commented at the site —
+    // the lint's first live catch (round 13)
+    "R17Queries.scala" -> 2,
     "R8Queries.scala" -> 8,
     "SparkEntry.scala" -> 8
   )
