@@ -540,6 +540,92 @@ object R17Queries {
         .select(col("k"), col("cum").as("cum_tokens"),
                 expr("cum * 1000000L DIV total").as("coverage_ppm"))
     }),
+    "q810_mahalanobis_outliers" -> ((s, dir) => {
+      // Bivariate Mahalanobis outlier screen on (price-dollars, quantity):
+      // the correlation-aware distance that flags cheap-but-huge and
+      // expensive-but-tiny lines a per-axis z-score never sees. Integer
+      // sufficient statistics at N²-scale (v_ab = N·Σab − Σa·Σb = N²·cov),
+      // per-row quadratic form and determinant in 128-bit — the full
+      // chain peaks at ~3·10³⁷, inside DECIMAL(38)/HUGEINT with the
+      // envelope commented — top-10 by exact d²·10³. One broadcast of six
+      // moments + one narrow scan; never a covariance "fit" pass per row.
+      val li = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long")
+                  .as("l_linenumber"),
+                expr("CAST(floor(l_extendedprice) AS BIGINT)").as("x"),
+                expr("CAST(l_quantity AS BIGINT)").as("y"))
+      // Scale discipline (Spark's DIV always RETURNS LONG, so every
+      // division's RESULT must fit int64 at any corpus size — the first
+      // cut divided a 10³⁴-scale determinant down in two steps and the
+      // intermediate silently overflowed): work in SCALE-INVARIANT
+      // cov·10⁴ units. c_ab = (N·Σab − Σa·Σb)·10⁴ DIV N² ≈ cov·10⁴ is
+      // magnitude-stable in N (≈10¹³ at dollar² variances), the
+      // per-row quadratic form and determinant stay ≤10²³ in 128-bit,
+      // and the two LONG-returning DIVs (c_ab itself, final d²·10³) are
+      // both provably small. Signed c_xy is sign-folded (q760 contract);
+      // the PSD quadratic form is zero-floored against truncation jitter.
+      val mom = broadcast(li.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .withColumn("cxx4", expr(
+          "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) * 10000 DIV (n * n)"))
+        .withColumn("cyy4", expr(
+          "(n * syy - CAST(sy AS DECIMAL(38,0)) * sy) * 10000 DIV (n * n)"))
+        .withColumn("cxy4", expr(
+          """CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy >= 0 THEN
+            |  (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 10000
+            |    DIV (n * n)
+            |ELSE -((-(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)) * 10000
+            |    DIV (n * n)) END""".stripMargin))
+        .withColumn("det4", expr(
+          "CAST(cxx4 AS DECIMAL(38,0)) * cyy4" +
+            " - CAST(cxy4 AS DECIMAL(38,0)) * cxy4"))
+        .withColumn("mx", expr("sx DIV n"))
+        .withColumn("my", expr("sy DIV n")))
+      li.crossJoin(mom)
+        .withColumn("qf4", expr(
+          """CAST(x - mx AS DECIMAL(38,0)) * (x - mx) * cyy4
+            | - 2 * (CAST(x - mx AS DECIMAL(38,0)) * (y - my)) * cxy4
+            | + CAST(y - my AS DECIMAL(38,0)) * (y - my) * cxx4""".stripMargin))
+        .withColumn("d2_milli", expr(
+          """CAST(CASE WHEN det4 <= 0 OR qf4 <= 0 THEN 0
+            |ELSE qf4 * 10000000 DIV det4 END AS BIGINT)""".stripMargin))
+        .orderBy(col("d2_milli").desc, col("l_orderkey"),
+                 col("l_linenumber"))
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "x", "y", "d2_milli")
+    }),
+    "q811_records_test" -> ((s, dir) => {
+      // Records process stationarity check: under ANY iid (exchangeable)
+      // daily-revenue series the expected number of running-maximum
+      // records in n days is the harmonic number H_n — observed counts
+      // far above it are trend evidence with zero distributional
+      // assumptions. H_n pinned as the truncating Σ 10⁶ DIV i (identical
+      // literals-free arithmetic both engines); records via one running-
+      // max window over the day-grain rollup.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val w = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rec = daily
+        .withColumn("prevmax", max(col("y")).over(w))
+        .agg(count(lit(1)).as("n_days"),
+             sum(when(col("prevmax").isNull ||
+               col("y") > col("prevmax"), 1L).otherwise(0L))
+               .as("n_records"))
+      rec
+        .withColumn("h_n_ppm", expr(
+          "aggregate(sequence(1L, n_days), 0L, (acc, i) -> acc + 1000000L DIV i)"))
+        .withColumn("excess_ppm",
+                    expr("n_records * 1000000L - h_n_ppm"))
+        .select("n_days", "n_records", "h_n_ppm", "excess_ppm")
+    }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
       // delivered (N) line prices — the "is the significant difference
@@ -976,6 +1062,55 @@ object R17Queries {
         |    '~tilde']) AS s)
         |SELECT CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS rk, s
         |FROM g""".stripMargin,
+    "q810_mahalanobis_outliers" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM li),
+        |v AS (SELECT n, sx, sy,
+        |    (n * sxx - CAST(sx AS HUGEINT) * sx) * 10000 // (n * n)
+        |      AS cxx4,
+        |    (n * syy - CAST(sy AS HUGEINT) * sy) * 10000 // (n * n)
+        |      AS cyy4,
+        |    CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0 THEN
+        |      (n * sxy - CAST(sx AS HUGEINT) * sy) * 10000 // (n * n)
+        |    ELSE -((-(n * sxy - CAST(sx AS HUGEINT) * sy)) * 10000
+        |      // (n * n)) END AS cxy4,
+        |    sx // n AS mx, sy // n AS my FROM mom),
+        |v2 AS (SELECT n, sx, sy, cxx4, cyy4, cxy4, mx, my,
+        |    CAST(cxx4 AS HUGEINT) * cyy4 - CAST(cxy4 AS HUGEINT) * cxy4
+        |      AS det4 FROM v),
+        |q AS (SELECT l_orderkey, l_linenumber, x, y, det4,
+        |    CAST(x - mx AS HUGEINT) * (x - mx) * cyy4
+        |     - 2 * (CAST(x - mx AS HUGEINT) * (y - my)) * cxy4
+        |     + CAST(y - my AS HUGEINT) * (y - my) * cxx4 AS qf4
+        |  FROM li CROSS JOIN v2)
+        |SELECT l_orderkey, l_linenumber, x, y,
+        |  CAST(CASE WHEN det4 <= 0 OR qf4 <= 0 THEN 0
+        |    ELSE qf4 * 10000000 // det4 END AS BIGINT) AS d2_milli
+        |FROM q ORDER BY d2_milli DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "q811_records_test" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN pm IS NULL OR y > pm THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_records
+        |  FROM (SELECT y, max(y) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM daily)),
+        |h AS (SELECT CAST(sum(1000000 // i) AS BIGINT) AS h_n_ppm
+        |  FROM (SELECT unnest(generate_series(1, n_days)) AS i FROM rec))
+        |SELECT n_days, n_records, h_n_ppm,
+        |  CAST(n_records * 1000000 - h_n_ppm AS BIGINT) AS excess_ppm
+        |FROM rec CROSS JOIN h""".stripMargin,
     "q800_cohens_d" ->
       """WITH x AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
