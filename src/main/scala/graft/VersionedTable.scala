@@ -189,9 +189,18 @@ object VersionedTable {
     // groups by `sortCol` so min/max row-group statistics can answer
     // pushed equality filters on it (the reader-side pruning lever —
     // without the sort, every row group's [min,max] spans the whole key
-    // space and stats prune nothing).
+    // space and stats prune nothing). The sort key is
+    // (partitionCol, sortCol), not sortCol alone: a partitionBy write
+    // REQUIRES task-local ordering on the partition columns and
+    // FileFormatWriter inserts its own partition-column sort when the
+    // incoming ordering doesn't satisfy it — which would silently destroy
+    // the sortCol clustering (Round18OpsSpec caught exactly that); the
+    // compound prefix satisfies the writer's requirement so no extra sort
+    // is added and the secondary order survives into the files.
     val sorted = sortCol.fold(clustered)(c =>
-      clustered.sortWithinPartitions(org.apache.spark.sql.functions.col(c)))
+      clustered.sortWithinPartitions(
+        (partitionCol.toSeq :+ c)
+          .map(org.apache.spark.sql.functions.col): _*))
     val writer = sorted.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(dir)
     batchToken.foreach(t =>

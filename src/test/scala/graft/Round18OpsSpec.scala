@@ -180,6 +180,42 @@ class Round18OpsSpec extends SparkTestBase {
     assert(pairs.count() > 0L)
   }
 
+  test("sortByBandKey publish lays each bucket file out in _bk order") {
+    val d = sigFixture
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("sigSort").toString
+    Dedup.signatureTable(spark, corpus, "doc_id", "text", root,
+                         numBuckets = 2, sortByBandKey = true)
+    val v = graft.VersionedTable.latestVersion(spark, root).get
+    val files = new java.io.File(s"$root/v=$v").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // row-group stats answer point filters only if each FILE is sorted:
+    // read files individually so cross-file ordering can't mask a
+    // within-file shuffle
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath)
+        .select("_bk").collect().map(_.getString(0)).toSeq
+      assert(ks == ks.sorted, s"${f.getName} not sorted by _bk")
+    }
+    // and the unsorted (default) layout is genuinely the r12 one: at
+    // least one multi-row file out of band-key order
+    val root2 = java.nio.file.Files.createTempDirectory("sigSort2").toString
+    Dedup.signatureTable(spark, corpus, "doc_id", "text", root2,
+                         numBuckets = 2)
+    val v2 = graft.VersionedTable.latestVersion(spark, root2).get
+    val any = new java.io.File(s"$root2/v=$v2").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .exists { f =>
+        val ks = spark.read.parquet(f.getAbsolutePath)
+          .select("_bk").collect().map(_.getString(0)).toSeq
+        ks != ks.sorted
+      }
+    assert(any, "fixture too small to distinguish layouts — grow it")
+  }
+
   // ---- stale _SCD_BUCKETS manifest (ADVICE r12: pruning hint, never
   // load-bearing) ----
 
