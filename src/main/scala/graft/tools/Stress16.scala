@@ -123,6 +123,43 @@ object Stress16 {
       return
     }
 
+    if (which == "point") {
+      // Lever b's REAL regime: a known-content point probe (3 docs, ≤12
+      // band keys) against a 10M-doc store whose bucket files span many
+      // row groups — sorted layout + pushed equality-OR vs the unsorted
+      // grid store. Run AFTER the grid (reuses its unsorted
+      // /tmp/stress16_sig/n10000000_b64).
+      val rootU = "/tmp/stress16_sig/n10000000_b64"
+      val rootS = "/tmp/stress16_sig/n10000000_b64_sorted"
+      val d = docs(10000000L)
+      if (!new java.io.File(rootU).exists())
+        time("point publish unsorted corpus=10000000") {
+          Dedup.signatureTable(spark, d, "doc_id", "text", rootU)
+        }
+      if (!new java.io.File(rootS).exists())
+        time("point publish SORTED corpus=10000000") {
+          Dedup.signatureTable(spark, d, "doc_id", "text", rootS,
+                               sortByBandKey = true)
+        }
+      clear()
+      for (rep <- 1 to 2; (lbl, root) <- Seq("sorted" -> rootS,
+                                             "unsorted" -> rootU);
+           cap <- Seq(Dedup.SigPushdownKeyCap, 0)) {
+        val probe = docs(10000000L)
+          .filter(col("doc_id").isin(11L, 21L, 31L))
+          .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
+        time(f"point probe rep=$rep layout=$lbl cap=$cap") {
+          val found = Dedup.incrementalPairs(spark, probe, root, "doc_id",
+                                             "text", pushdownKeyCap = cap)
+            .count()
+          println(s"STRESS16 point pairs layout=$lbl cap=$cap found=$found")
+        }
+        clear()
+      }
+      spark.stop()
+      return
+    }
+
     val sizes: Seq[Long] =
       if (which == "1m") Seq(1000000L) else Seq(1000000L, 10000000L)
     for (n <- sizes; nb <- Seq(64, 512)) {
