@@ -48,7 +48,15 @@ object Bench {
   private[graft] val MinSharedForDrift = 20
 
   private[graft] def movedList(priorTxt: String,
-                               current: Seq[(String, Double)]): String = {
+                               current: Seq[(String, Double)]): String =
+    movedWithDrift(priorTxt, current)._1
+
+  /** [[movedList]] plus the shared-set median ratio it normalized by —
+    * emitted on the JSON line as `drift` so an adjudicator can see how
+    * much uniform box delta the gate already discounted.
+    */
+  private[graft] def movedWithDrift(priorTxt: String,
+                                    current: Seq[(String, Double)]): (String, Double) = {
     val prev = parseQueries(priorTxt)
     val ratios = current.flatMap { case (k, cur) =>
       prev.get(k).collect { case pv if pv > 0 => cur / pv }
@@ -61,9 +69,11 @@ object Bench {
             cur > 1.3 * pv * drift && cur - pv * drift > 0.5) =>
         k
     }
-    if (ms.isEmpty) "[]"
-    else if (ms.size > 40) s""""n>40""""
-    else ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val list =
+      if (ms.isEmpty) "[]"
+      else if (ms.size > 40) s""""n>40""""
+      else ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+    (list, drift)
   }
 
   /** Local, non-size-budgeted per-query side file: the FULL map every run
@@ -362,15 +372,15 @@ object Bench {
     // Comparison base: the full side file from the last completed run
     // when present (covers ALL queries), else the newest (truncated)
     // driver BENCH_r*.json — see [[priorBenchTxt]].
-    val moved: String = try {
+    val (moved: String, drift: Double) = try {
       priorBenchTxt(new java.io.File(".")) match {
-        case None => "[]"
+        case None => ("[]", 1.0)
         case Some(txt) =>
-          movedList(txt, results.zip(prefixes).map {
+          movedWithDrift(txt, results.zip(prefixes).map {
             case ((k, cur), p) => keyOf(k, p) -> cur
           })
       }
-    } catch { case _: Throwable => "[]" }
+    } catch { case _: Throwable => ("[]", 1.0) }
     // Persist THIS run's full per-query map (2-decimal, no size budget)
     // as the next run's base — after the moved computation read the old
     // one, before anything can fail downstream. Skipped under the dev
@@ -386,7 +396,7 @@ object Bench {
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)},"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
@@ -403,7 +413,7 @@ object Bench {
       else {
         val top = results.zip(prefixes)
           .sortBy { case ((k, v), _) => (-v, k) }.take(80)
-        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)},"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
       }
     println(out)
     spark.stop()
