@@ -79,6 +79,11 @@ object CorpusIngest {
                     org.apache.spark.sql.expressions.Window
                       .partitionBy("fingerprint").orderBy("doc_id")))
       .filter(col("_rn") === 1).drop("_rn")
+    // Lifecycle: this operator returns a VERSION NUMBER — after the final
+    // publish action nothing of its internal state is ever read again, so
+    // every persisted RDD it (or the sealed operators it composes) created
+    // is released by the snapshot diff at the end. Zero left behind.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // within-batch near-dup clusters: min-id canonical survives
     val batchKept = Dedup.keepCanonical(
       batchExact, "doc_id",
@@ -119,6 +124,10 @@ object CorpusIngest {
           fresh.join(nearExisting, Seq("doc_id"), "left_anti")
             .select(existing.columns.map(col).toSeq: _*))
     }
-    VersionedTable.publish(spark, next, root)
+    val v = VersionedTable.publish(spark, next, root)
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !persistedBefore.contains(id) }
+      .values.foreach(_.unpersist(false))
+    v
   }
 }

@@ -327,12 +327,13 @@ object Funnel {
       .select(col(typeCol).as("_a"), col("_b"))
     val c = nx.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_n"))
     val tot = c.groupBy(col("_a")).agg(sum(col("_n")).as("_t"))
-    val p = c.join(tot, Seq("_a"))
+    val ck = new graft.operators.Seal.Tracker
+    val p = ck.track(c.join(tot, Seq("_a"))
       .select(col("_a"), col("_b"), expr("_n * 1000000L DIV _t").as("_p"))
-      .localCheckpoint(false)
-    val states = p.select(col("_a").as("state"))
+      .localCheckpoint(false))
+    val states = ck.track(p.select(col("_a").as("state"))
       .union(p.select(col("_b").as("state"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     var av = states.withColumn("absorb_ppm",
       when(col("state") === absorb, lit(1000000L)).otherwise(lit(0L)))
     for (_ <- 1 to horizon) {
@@ -340,12 +341,12 @@ object Funnel {
         .join(av.withColumnRenamed("state", "_b"), Seq("_b"))
         .groupBy(col("_a").as("state"))
         .agg(expr("sum(_p * absorb_ppm) DIV 1000000L").as("_c"))
-      av = states.join(contrib, Seq("state"), "left")
+      av = ck.track(states.join(contrib, Seq("state"), "left")
         .select(col("state"),
                 when(col("state") === absorb, lit(1000000L))
                   .otherwise(coalesce(col("_c"), lit(0L))).as("absorb_ppm"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
-    av
+    ck.seal(av)
   }
 }

@@ -128,11 +128,12 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       expr("sum(_d) DIV 2").as("n_edges"),
       expr("sum(_d * (_d - 1) DIV 2)").as("n_wedges"))
-    base.crossJoin(broadcast(tri))
+    Seal(base.crossJoin(broadcast(tri))
       .withColumn(
         "closure_ppm",
         when(col("n_wedges") > 0,
-             expr("n_triangles * 3 * 1000000L DIV n_wedges")).otherwise(0L))
+             expr("n_triangles * 3 * 1000000L DIV n_wedges")).otherwise(0L)),
+      ckpts = Seq(edges, oriented))
   }
 
   /** 4-clique census over an undirected edge list, one row:
@@ -178,11 +179,12 @@ object Graph {
       .join(oriented.as("_z"),
             col("c") === col("_z.u") && col("_x.v") === col("_z.v"))
       .agg(count(lit(1)).as("n_four_cliques"))
-    tri.agg(count(lit(1)).as("n_triangles"))
+    Seal(tri.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(four))
       .withColumn("cliques_per_triangle_ppm",
         when(col("n_triangles") > 0,
-             expr("n_four_cliques * 1000000L DIV n_triangles")).otherwise(0L))
+             expr("n_four_cliques * 1000000L DIV n_triangles")).otherwise(0L)),
+      ckpts = Seq(edges, oriented, tri))
   }
 
   /** Fixed-iteration integer Katz centrality over a directed edge list:
@@ -210,27 +212,34 @@ object Graph {
   def katz(edges0: DataFrame, iters: Int,
            alphaPermille: Long = 50L): DataFrame = {
     require(iters >= 1 && alphaPermille >= 0)
-    val edges = edges0.localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
+    val ck = new Seal.Tracker
+    val edges = ck.track(edges0.localCheckpoint())
+    val nodes = ck.track(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint())
     var x = nodes.withColumn("katz_micro", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(x.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("katz_micro")).as("_in"))
+      // eager checkpoint: round i materializes here, so round i-1's x is
+      // already dead — release as the loop walks (bounds in-call storage
+      // to two rounds instead of iters)
+      val prev = x
       x = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
                 expr(s"1000000L + $alphaPermille * coalesce(_in, 0L)" +
                      " DIV 1000").as("katz_micro"))
         .localCheckpoint()
+      if (i > 1) Seal.releaseCheckpoint(prev)
     }
     val indeg = edges.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("indeg"))
-    x.join(indeg, Seq("node"), "left")
+    ck.track(x)
+    ck.seal(x.join(indeg, Seq("node"), "left")
       .select(col("node"), col("katz_micro"),
-              coalesce(col("indeg"), lit(0L)).as("indeg"))
+              coalesce(col("indeg"), lit(0L)).as("indeg")))
   }
 
   /** Fixed-point integer PageRank over a directed edge list (src → dst):
@@ -275,7 +284,8 @@ object Graph {
                      s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"),
                 col("dst_outdeg").as("outdeg"))
     }
-    pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg"))
+    Seal(pr.select(col("node"), col("pr").as("pr_micro"), col("outdeg")),
+         ckpts = Seq(edges, deg, edgesD))
   }
 
   /** Personalized PageRank in exact integer micro-units: identical loop
@@ -337,7 +347,8 @@ object Graph {
                      s" + ${dampingPpm}L * sc DIV 1000000L").as("pr"),
                 col("outdeg"))
     }
-    pr.select(col("node"), col("pr").as("ppr_micro"), col("outdeg"))
+    Seal(pr.select(col("node"), col("pr").as("ppr_micro"), col("outdeg")),
+         ckpts = Seq(edges, deg, edgesD))
   }
 
   /** Synchronous label-propagation community detection, fully
@@ -359,13 +370,15 @@ object Graph {
     */
   def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1)
-    val edges = edges0.localCheckpoint()
+    val ck = new Seal.Tracker
+    val edges = ck.track(edges0.localCheckpoint())
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("node"))
         .orderBy(col("c").desc, col("lab").asc)
+      val prev = labels
       labels = edges
         .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lab"))
@@ -374,8 +387,11 @@ object Graph {
         .filter(col("_rn") === 1)
         .select(col("node"), col("lab"))
         .localCheckpoint()
+      // eager: round i materialized, round i-1's checkpoint is dead
+      if (i > 1) Seal.releaseCheckpoint(prev)
     }
-    labels.select(col("node"), col("lab").as("community"))
+    ck.track(labels)
+    ck.seal(labels.select(col("node"), col("lab").as("community")))
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -401,15 +417,16 @@ object Graph {
                               aCol: String = "src",
                               bCol: String = "dst",
                               maxRounds: Int = 30): DataFrame = {
-    val init = pairs
+    val ck = new Seal.Tracker
+    val init = ck.track(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("hi"),
               least(col("u"), col("v")).as("lo"))
-      .distinct().localCheckpoint(false)
-    val allNodes = init.select(col("hi").as("node"))
+      .distinct().localCheckpoint(false))
+    val allNodes = ck.track(init.select(col("hi").as("node"))
       .union(init.select(col("lo").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(false))
     def signature(e: DataFrame): (Long, Long) = {
       // Two scalars per round decide convergence — the only driver data,
       // independent of graph size (same budget as clusterPairs' count()).
@@ -436,11 +453,11 @@ object Graph {
         .distinct()
       val sNbrs = ls.select(col("hi").as("u"), col("lo").as("v"))
       val sMins = sNbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = sNbrs.join(sMins, "u")
+      val ss = ck.track(sNbrs.join(sMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("u").as("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint(false)
+        .distinct().localCheckpoint(false))
       val nextSig = signature(ss)
       converged = nextSig == sig
       sig = nextSig
@@ -458,10 +475,10 @@ object Graph {
     val parents = edges.groupBy(col("hi").as("node"))
       .agg(min(col("lo")).as("_lab"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    allNodes.join(parents, Seq("node"), "left")
+    ck.seal(allNodes.join(parents, Seq("node"), "left")
       .select(col("node").as("doc_id"),
               coalesce(col("_lab"), col("node")).as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w)))
   }
 
   /** Multi-source BFS: minimum hop distance from any seed, bounded by
@@ -471,29 +488,31 @@ object Graph {
     * join. Output: (node, hop) for every node within `maxHops`.
     */
   def bfsHops(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    var visited = seeds
+    val sym = ck.track(e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false))
+    var visited = ck.track(seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint(false)
+      .withColumn("hop", lit(0)).localCheckpoint(false))
     var frontier = visited.select("node")
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
-      val next = frontier.join(sym, frontier("node") === sym("src"))
+      val next = ck.track(frontier.join(sym, frontier("node") === sym("src"))
         .select(sym("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("hop", lit(h)).localCheckpoint(false)
+        .withColumn("hop", lit(h)).localCheckpoint(false))
       // One count per level: materializes the checkpoint and decides
       // whether the frontier died out before the hop budget.
       exhausted = next.count() == 0L
-      visited = visited.union(next).localCheckpoint(false)
+      visited = ck.track(visited.union(next).localCheckpoint(false))
       frontier = next.select("node")
       h += 1
     }
-    visited
+    ck.seal(visited)
   }
 
   /** Bounded-hop single-source shortest paths by synchronous Bellman-Ford
@@ -509,10 +528,11 @@ object Graph {
     * `rounds` hops, cost = exact min path cost over those paths.
     */
   def ssspRelax(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val e = ck.track(edges.select(col("src").cast("long").as("src"),
                          col("dst").cast("long").as("dst"),
                          col("cost").cast("long").as("cost"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     var dist = seed.select(col(seed.columns.head).cast("long").as("node"))
       .distinct().withColumn("cost", lit(0L))
     for (_ <- 1 to rounds) {
@@ -520,11 +540,11 @@ object Graph {
       val relaxed = d.join(e.as("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"),
                 (col("d.cost") + col("e.cost")).as("cost"))
-      dist = dist.unionAll(relaxed)
+      dist = ck.track(dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
-    dist
+    ck.seal(dist)
   }
 
   /** Longest-path levels of a DAG via `sweeps` relaxation rounds:
@@ -539,20 +559,21 @@ object Graph {
     * monotone src<dst trade orientation).
     */
   def longestPathLevels(edges0: DataFrame, sweeps: Int): DataFrame = {
-    val e = edges0.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val e = ck.track(edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
-    var lvl = e.select(col("src").as("node"))
+      .distinct().localCheckpoint(false))
+    var lvl = ck.track(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().withColumn("lvl", lit(0L)).localCheckpoint(false)
+      .distinct().withColumn("lvl", lit(0L)).localCheckpoint(false))
     for (i <- 1 to sweeps) {
       val relaxed = lvl.as("l").join(e.as("e"), col("l.node") === col("e.src"))
         .select(col("e.dst").as("node"), (col("l.lvl") + lit(1L)).as("lvl"))
       lvl = lvl.unionAll(relaxed)
         .groupBy(col("node")).agg(max(col("lvl")).as("lvl"))
-      if (i % 6 == 0 || i == sweeps) lvl = lvl.localCheckpoint(false)
+      if (i % 6 == 0 || i == sweeps) lvl = ck.track(lvl.localCheckpoint(false))
     }
-    lvl
+    ck.seal(lvl)
   }
 
   /** Fixed-sweep k-core peeling: `sweeps` rounds of "drop every node whose
@@ -570,10 +591,12 @@ object Graph {
     * survivors with their degree at the LAST sweep's filter.
     */
   def kcore(edges0: DataFrame, k: Int, sweeps: Int): DataFrame = {
+    val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst")).distinct()
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false)
+    val sym = ck.track(e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false))
     // Incremental peel: after the full first count, each sweep only
     // touches edges INCIDENT TO newly-removed nodes (semi-join on the
     // removed set) and decrements survivors' degrees — total join work
@@ -583,11 +606,11 @@ object Graph {
     // that). An empty removal set ends the loop early — the fixpoint is
     // reached, and continuing would change nothing, so fixed-sweep
     // reproducibility is preserved.
-    val first = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    var deg = first.filter(col("deg") >= k).localCheckpoint(false)
-    var removed = first.filter(col("deg") < k).select("node")
-      .localCheckpoint(false)
+    val first = ck.track(sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(false))
+    var deg = ck.track(first.filter(col("deg") >= k).localCheckpoint(false))
+    var removed = ck.track(first.filter(col("deg") < k).select("node")
+      .localCheckpoint(false))
     var sweep = 2
     var done = false
     while (sweep <= sweeps && !done) {
@@ -598,17 +621,17 @@ object Graph {
                 Seq("dst"), "left_semi")
           .groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("_lost"))
-        val updated = deg.join(lost, Seq("node"), "left")
+        val updated = ck.track(deg.join(lost, Seq("node"), "left")
           .select(col("node"),
                   (col("deg") - coalesce(col("_lost"), lit(0L))).as("deg"))
-          .localCheckpoint(false)
-        removed = updated.filter(col("deg") < k).select("node")
-          .localCheckpoint(false)
-        deg = updated.filter(col("deg") >= k).localCheckpoint(false)
+          .localCheckpoint(false))
+        removed = ck.track(updated.filter(col("deg") < k).select("node")
+          .localCheckpoint(false))
+        deg = ck.track(updated.filter(col("deg") >= k).localCheckpoint(false))
         sweep += 1
       }
     }
-    deg
+    ck.seal(deg)
   }
 
   /** HITS hubs/authorities, integer-exact: unnormalized mutual
@@ -624,25 +647,26 @@ object Graph {
     * Output: (node, hub, auth) with 0 for nodes lacking a role.
     */
   def hits(edges0: DataFrame, iters: Int): DataFrame = {
-    val e = edges0.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val e = ck.track(edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst")).distinct()
-      .localCheckpoint(false)
-    var hub = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1L)).localCheckpoint(false)
+      .localCheckpoint(false))
+    var hub = ck.track(e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1L)).localCheckpoint(false))
     var auth = e.select(col("dst").as("node")).distinct()
       .withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
-      auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+      auth = ck.track(e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(false)
-      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .localCheckpoint(false))
+      hub = ck.track(e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
-    hub.join(auth, Seq("node"), "full_outer")
+    ck.seal(hub.join(auth, Seq("node"), "full_outer")
       .select(col("node"),
               coalesce(col("h"), lit(0L)).as("hub"),
-              coalesce(col("a"), lit(0L)).as("auth"))
+              coalesce(col("a"), lit(0L)).as("auth")))
   }
 
   /** Per-source bounded BFS: like [[bfsHops]] but the frontier carries its
@@ -654,28 +678,30 @@ object Graph {
     */
   def multiSourceHops(edges0: DataFrame, seeds: DataFrame,
                       maxHops: Int): DataFrame = {
+    val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    var visited = seeds
+    val sym = ck.track(e.union(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false))
+    var visited = ck.track(seeds
       .select(col(seeds.columns.head).cast("long").as("root")).distinct()
       .select(col("root"), col("root").as("node"))
-      .withColumn("hop", lit(0)).localCheckpoint(false)
+      .withColumn("hop", lit(0)).localCheckpoint(false))
     var frontier = visited.select("root", "node")
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
-      val next = frontier.join(sym, frontier("node") === sym("src"))
+      val next = ck.track(frontier.join(sym, frontier("node") === sym("src"))
         .select(frontier("root"), sym("dst").as("node")).distinct()
         .join(visited, Seq("root", "node"), "left_anti")
-        .withColumn("hop", lit(h)).localCheckpoint(false)
+        .withColumn("hop", lit(h)).localCheckpoint(false))
       exhausted = next.count() == 0L
-      visited = visited.union(next).localCheckpoint(false)
+      visited = ck.track(visited.union(next).localCheckpoint(false))
       frontier = next.select("root", "node")
       h += 1
     }
-    visited
+    ck.seal(visited)
   }
 
   /** Strongly connected components on a DIRECTED graph by mutual
@@ -695,15 +721,16 @@ object Graph {
     * Output: (node, scc_id, scc_size).
     */
   def sccMutualReach(edges0: DataFrame, doublingRounds: Int): DataFrame = {
+    val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    var r = e.localCheckpoint(false)
+    var r = ck.track(e.localCheckpoint(false))
     for (_ <- 1 to doublingRounds) {
       val a = r.as("a"); val b = r.as("b")
-      r = r.union(a.join(b, col("a.dst") === col("b.src"))
+      r = ck.track(r.union(a.join(b, col("a.dst") === col("b.src"))
             .select(col("a.src").as("src"), col("b.dst").as("dst")))
-        .distinct().localCheckpoint(false)
+        .distinct().localCheckpoint(false))
     }
     val mutual = r.as("f")
       .join(r.as("g"), col("f.src") === col("g.dst") &&
@@ -718,8 +745,8 @@ object Graph {
               coalesce(col("scc_id"), col("node")).as("scc_id"))
     val sizes = sccId.groupBy(col("scc_id"))
       .agg(count(lit(1)).as("scc_size"))
-    sccId.join(sizes, Seq("scc_id"))
-      .select(col("node"), col("scc_id"), col("scc_size"))
+    ck.seal(sccId.join(sizes, Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size")))
   }
 
   /** Minimax (bottleneck) path closure: for every ordered connected pair
@@ -732,24 +759,25 @@ object Graph {
     * Output: (src, dst, r = minimax rank), self-pairs excluded.
     */
   def minimaxClosure(rankedEdges: DataFrame, rounds: Int): DataFrame = {
-    var r = rankedEdges
+    val ck = new Seal.Tracker
+    var r = ck.track(rankedEdges
       .select(col("src").cast("long").as("src"),
               col("dst").cast("long").as("dst"),
               col("r").cast("long").as("r"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("r")).as("r"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     for (_ <- 1 to rounds) {
       val a = r.as("a"); val b = r.as("b")
       val comp = a.join(b, col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),
                 greatest(col("a.r"), col("b.r")).as("r"))
         .filter(col("src") =!= col("dst"))
-      r = r.union(comp)
+      r = ck.track(r.union(comp)
         .groupBy(col("src"), col("dst")).agg(min(col("r")).as("r"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
-    r
+    ck.seal(r)
   }
 
   /** Minimum spanning forest by the cycle property over a TOTAL edge
@@ -783,12 +811,16 @@ object Graph {
     val sym = ranked.select(col("src"), col("dst"), col("r"))
       .union(ranked.select(col("dst").as("src"), col("src").as("dst"),
                            col("r")))
+    // minimaxClosure returns SEALED (its own checkpoint) — this operator
+    // is its caller and owns that RDD, so it joins through and releases it
     val mm = minimaxClosure(sym, doublingRounds)
-    ranked.as("e")
+    Seal(ranked.as("e")
       .join(mm.as("c"), col("e.src") === col("c.src") &&
                         col("e.dst") === col("c.dst") &&
                         col("e.r") === col("c.r"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+              col("e.w").as("w")),
+      ckpts = Seq(ranked, mm))
   }
 
   // -------------------------------------------------------------------
@@ -816,10 +848,12 @@ object Graph {
                      gateEdges: Long = 100000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val base = edges0.select(col(edges0.columns(0)).cast("long").as("x"),
-                             col(edges0.columns(1)).cast("long").as("y"),
-                             col(edges0.columns(2)).cast("long").as("w"))
-      .localCheckpoint(false)
+    val ck = new Seal.Tracker
+    val base = ck.track(edges0
+      .select(col(edges0.columns(0)).cast("long").as("x"),
+              col(edges0.columns(1)).cast("long").as("y"),
+              col(edges0.columns(2)).cast("long").as("w"))
+      .localCheckpoint(false))
     if (base.count() <= gateEdges) {
       var e = base.as[(Long, Long, Long)].collect().toSeq
       val m = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -836,7 +870,7 @@ object Graph {
         val matched = pick.flatMap { case (x, y, _) => Seq(x, y) }.toSet
         e = e.filterNot { case (x, y, _) => matched(x) || matched(y) }
       }
-      m.toSeq.toDF("src", "dst", "weight")
+      ck.seal(m.toSeq.toDF("src", "dst", "weight"))
     } else {
       var e = base
       var m = base.filter(lit(false)) // empty, same schema
@@ -847,28 +881,29 @@ object Graph {
                                 col("w")))
         // best incident edge per vertex — same total order as the driver
         // path's minBy((-w, x, y))
-        val best = inc.withColumn("_rk", row_number().over(
+        val best = ck.track(inc.withColumn("_rk", row_number().over(
             Window.partitionBy(col("v"))
               .orderBy(col("w").desc, col("x"), col("y"))))
           .filter(col("_rk") === 1)
           .select(col("v"), col("x").as("bx"), col("y").as("by"))
-          .localCheckpoint(false)
-        val pick = e
+          .localCheckpoint(false))
+        val pick = ck.track(e
           .join(best.as("l"), col("x") === col("l.v") &&
                   col("x") === col("l.bx") && col("y") === col("l.by"))
           .join(best.as("r"), col("y") === col("r.v") &&
                   col("x") === col("r.bx") && col("y") === col("r.by"))
           .select(col("x"), col("y"), col("w"))
-          .localCheckpoint(false)
+          .localCheckpoint(false))
         val matched = pick.select(col("x").as("v"))
           .unionByName(pick.select(col("y").as("v"))).distinct()
-        m = m.unionByName(pick).localCheckpoint(false)
-        e = e.join(matched.withColumnRenamed("v", "x"), Seq("x"), "left_anti")
+        m = ck.track(m.unionByName(pick).localCheckpoint(false))
+        e = ck.track(e
+          .join(matched.withColumnRenamed("v", "x"), Seq("x"), "left_anti")
           .join(matched.withColumnRenamed("v", "y"), Seq("y"), "left_anti")
-          .localCheckpoint(false)
+          .localCheckpoint(false))
         live = e.count() > 0L
       }
-      m.toDF("src", "dst", "weight")
+      ck.seal(m.toDF("src", "dst", "weight"))
     }
   }
 
@@ -886,9 +921,10 @@ object Graph {
                    gateEdges: Long = 100000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val base = edges0.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val base = ck.track(edges0.select(col("src").cast("long").as("src"),
                              col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(false))
     if (base.count() <= gateEdges) {
       val edges = base.as[(Long, Long)].collect().toSeq
       val adj = (edges ++ edges.map(_.swap))
@@ -907,47 +943,48 @@ object Graph {
         }
         if (seen(tgt)) d else 0L
       }
-      edges.map { case (x, y) =>
+      ck.seal(edges.map { case (x, y) =>
         val alt = dist(x, y, (math.min(x, y), math.max(x, y)))
         (x, y, alt, if (alt > 0) alt + 1 else 0L)
-      }.toDF("src", "dst", "alt_dist", "cycle_len")
+      }.toDF("src", "dst", "alt_dist", "cycle_len"))
     } else {
-      val e = base.withColumn("eid", monotonically_increasing_id())
-        .localCheckpoint(false)
-      val adj = base.select(col("src").as("u"), col("dst").as("v"))
+      val e = ck.track(base.withColumn("eid", monotonically_increasing_id())
+        .localCheckpoint(false))
+      val adj = ck.track(base.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
-        .distinct().localCheckpoint(false)
-      var frontier = e.select(col("eid"), col("src"), col("dst"),
-                              col("src").as("node")).localCheckpoint(false)
-      var seen = frontier.select(col("eid"), col("node"))
-        .localCheckpoint(false)
-      var found = e.select(col("eid")).filter(lit(false))
-        .withColumn("alt_dist", lit(0L)).localCheckpoint(false)
+        .distinct().localCheckpoint(false))
+      var frontier = ck.track(e.select(col("eid"), col("src"), col("dst"),
+                              col("src").as("node")).localCheckpoint(false))
+      var seen = ck.track(frontier.select(col("eid"), col("node"))
+        .localCheckpoint(false))
+      var found = ck.track(e.select(col("eid")).filter(lit(false))
+        .withColumn("alt_dist", lit(0L)).localCheckpoint(false))
       var d = 0L
       var live = frontier.count() > 0L
       while (live) {
         d += 1
-        val nxt = frontier.join(adj, col("node") === col("u"))
+        val nxt = ck.track(frontier.join(adj, col("node") === col("u"))
           .filter(!(col("node") === col("src") && col("v") === col("dst")) &&
                   !(col("node") === col("dst") && col("v") === col("src")))
           .select(col("eid"), col("src"), col("dst"), col("v").as("node"))
           .distinct()
           .join(seen, Seq("eid", "node"), "left_anti")
-          .localCheckpoint(false)
+          .localCheckpoint(false))
         val hit = nxt.filter(col("node") === col("dst"))
           .select(col("eid")).distinct().withColumn("alt_dist", lit(d))
-        found = found.unionByName(hit).localCheckpoint(false)
-        seen = seen.unionByName(nxt.select(col("eid"), col("node")))
-          .localCheckpoint(false)
-        frontier = nxt.join(found.select("eid"), Seq("eid"), "left_anti")
-          .localCheckpoint(false)
+        found = ck.track(found.unionByName(hit).localCheckpoint(false))
+        seen = ck.track(seen.unionByName(nxt.select(col("eid"), col("node")))
+          .localCheckpoint(false))
+        frontier = ck.track(nxt
+          .join(found.select("eid"), Seq("eid"), "left_anti")
+          .localCheckpoint(false))
         live = frontier.count() > 0L
       }
-      e.join(found, Seq("eid"), "left")
+      ck.seal(e.join(found, Seq("eid"), "left")
         .select(col("src"), col("dst"),
                 coalesce(col("alt_dist"), lit(0L)).as("alt_dist"),
                 when(coalesce(col("alt_dist"), lit(0L)) > 0L,
-                     col("alt_dist") + 1L).otherwise(0L).as("cycle_len"))
+                     col("alt_dist") + 1L).otherwise(0L).as("cycle_len")))
     }
   }
 
@@ -963,9 +1000,10 @@ object Graph {
                          gateEdges: Long = 100000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val base = edges0.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val base = ck.track(edges0.select(col("src").cast("long").as("src"),
                              col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(false))
     if (base.count() <= gateEdges) {
       val edges = base.as[(Long, Long)].collect().toSeq
       val adjAll = (edges ++ edges.map(_.swap))
@@ -980,30 +1018,30 @@ object Graph {
         }
         seen.toSet
       }
-      adjAll.toSeq.map { case (v, nbs) =>
+      ck.seal(adjAll.toSeq.map { case (v, nbs) =>
         val r = reach(nbs.min, v)
         (v, nbs.size.toLong, if (nbs.exists(n => !r(n))) 1L else 0L)
-      }.toDF("node", "degree", "is_articulation")
+      }.toDF("node", "degree", "is_articulation"))
     } else {
-      val adj = base.select(col("src").as("u"), col("dst").as("v"))
+      val adj = ck.track(base.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(base.select(col("dst").as("u"), col("src").as("v")))
-        .distinct().localCheckpoint(false)
-      val deg = adj.groupBy(col("u").as("node"))
+        .distinct().localCheckpoint(false))
+      val deg = ck.track(adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"), min(col("v")).as("start"))
-        .localCheckpoint(false)
-      var frontier = deg.select(col("node").as("rm"),
+        .localCheckpoint(false))
+      var frontier = ck.track(deg.select(col("node").as("rm"),
                                 col("start").as("node"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       var seen = frontier
       var live = frontier.count() > 0L
       while (live) {
-        val nxt = frontier.join(adj, col("node") === col("u"))
+        val nxt = ck.track(frontier.join(adj, col("node") === col("u"))
           .select(col("rm"), col("v").as("node"))
           .filter(col("node") =!= col("rm"))
           .distinct()
           .join(seen, Seq("rm", "node"), "left_anti")
-          .localCheckpoint(false)
-        seen = seen.unionByName(nxt).localCheckpoint(false)
+          .localCheckpoint(false))
+        seen = ck.track(seen.unionByName(nxt).localCheckpoint(false))
         frontier = nxt
         live = frontier.count() > 0L
       }
@@ -1011,9 +1049,9 @@ object Graph {
         .join(seen, Seq("rm", "node"), "left_anti")
         .select(col("rm").as("node")).distinct()
         .withColumn("_cut", lit(1L))
-      deg.join(unreachable, Seq("node"), "left")
+      ck.seal(deg.join(unreachable, Seq("node"), "left")
         .select(col("node"), col("degree"),
-                coalesce(col("_cut"), lit(0L)).as("is_articulation"))
+                coalesce(col("_cut"), lit(0L)).as("is_articulation")))
     }
   }
 
@@ -1036,13 +1074,13 @@ object Graph {
   /** Canonical undirected arc relation of `edges0` (both directions,
     * distinct), checkpointed for per-round reuse.
     */
-  private def symArcs(edges0: DataFrame): DataFrame = {
+  private def symArcs(edges0: DataFrame, ck: Seal.Tracker): DataFrame = {
     val base = edges0.select(col("src").cast("long").as("src"),
                              col("dst").cast("long").as("dst"))
       .distinct()
-    base
+    ck.track(base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().localCheckpoint(false))
   }
 
   /** Brandes forward pass from every root in `seeds` (column `root`) in one
@@ -1050,16 +1088,17 @@ object Graph {
     * — σ summed over parents at first arrival. State ≤ |seeds|·|V| rows,
     * O(diameter) shuffles.
     */
-  private def sigmaBfs(sym: DataFrame, seeds: DataFrame): DataFrame = {
-    var visited = seeds
+  private def sigmaBfs(sym: DataFrame, seeds: DataFrame,
+                       ck: Seal.Tracker): DataFrame = {
+    var visited = ck.track(seeds
       .select(col("root"), col("root").as("node"), lit(0L).as("d"),
-              lit(1L).as("sigma")).localCheckpoint(false)
+              lit(1L).as("sigma")).localCheckpoint(false))
     var frontier = visited.select(col("root"), col("node"), col("sigma"))
     var h = 0L
     var live = frontier.count() > 0L
     while (live) {
       h += 1
-      val arrivals = frontier.join(sym, col("node") === col("src"))
+      val arrivals = ck.track(frontier.join(sym, col("node") === col("src"))
         .groupBy(col("root"), col("dst").as("_n"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumnRenamed("_n", "node")
@@ -1067,8 +1106,8 @@ object Graph {
               Seq("root", "node"), "left_anti")
         .withColumn("d", lit(h))
         .select(col("root"), col("node"), col("d"), col("sigma"))
-        .localCheckpoint(false)
-      visited = visited.unionByName(arrivals).localCheckpoint(false)
+        .localCheckpoint(false))
+      visited = ck.track(visited.unionByName(arrivals).localCheckpoint(false))
       frontier = arrivals.select(col("root"), col("node"), col("sigma"))
       live = arrivals.count() > 0L
     }
@@ -1098,10 +1137,11 @@ object Graph {
     }
 
   def betweennessExact(edges0: DataFrame): DataFrame = {
-    val sym = symArcs(edges0)
+    val ck = new Seal.Tracker
+    val sym = symArcs(edges0, ck)
     val seeds = sym.select(col("src").as("root")).distinct()
-    val sig = sigmaBfs(sym, seeds)
-    sig.as("a")
+    val sig = sigmaBfs(sym, seeds, ck)
+    ck.seal(sig.as("a")
       .join(sig.as("b"), col("b.root") === col("a.node"))
       .join(sig.as("st"), col("st.root") === col("a.root") &&
                           col("st.node") === col("b.node"))
@@ -1118,7 +1158,7 @@ object Graph {
       .agg(sum(expr("CAST(CAST(a.sigma AS DECIMAL(38,0)) * b.sigma" +
                     " * 1000000 DIV st.sigma AS BIGINT)"))
              .as("bc_ppm"),
-           count(lit(1)).as("n_pairs_routed"))
+           count(lit(1)).as("n_pairs_routed")))
   }
 
   /** Sampled-pivot betweenness — the documented scale path past
@@ -1139,9 +1179,10 @@ object Graph {
   def betweennessSampled(edges0: DataFrame, k: Int,
                          oracleHopCap: Option[Int] = None): DataFrame = {
     require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
-    val sym = symArcs(edges0)
-    val nodes = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(false)
+    val ck = new Seal.Tracker
+    val sym = symArcs(edges0, ck)
+    val nodes = ck.track(sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(false))
     val roots = nodes
       .withColumn("_h", md5(concat(lit("bc-root-"),
                                    col("node").cast("string"))))
@@ -1152,14 +1193,14 @@ object Graph {
     // degenerate graph (< 2 nodes): no pairs exist — empty result, same
     // shape as betweennessExact's on an empty edge set, never a throw
     if (nPiv < 2)
-      return nodes.filter(lit(false))
+      return ck.seal(nodes.filter(lit(false))
         .select(col("node"), lit(0L).as("bc_est_ppm"),
-                lit(0L).as("n_pairs_routed"))
-    val sig = capChecked(sigmaBfs(sym, roots), oracleHopCap)
+                lit(0L).as("n_pairs_routed")))
+    val sig = capChecked(sigmaBfs(sym, roots, ck), oracleHopCap)
     val pairScale = // n(n-1) / k(k-1), applied numerator-first in decimal
       s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
         s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"
-    sig.as("a") // s -> v, s ∈ S
+    ck.seal(sig.as("a") // s -> v, s ∈ S
       .join(sig.as("b"), col("b.node") === col("a.node") && // t -> v, t ∈ S
                          col("b.root") =!= col("a.root"))
       .join(sig.as("st"), col("st.root") === col("a.root") &&
@@ -1173,7 +1214,7 @@ object Graph {
              .as("_partial"),
            count(lit(1)).as("n_pairs_routed"))
       .withColumn("bc_est_ppm", expr(pairScale))
-      .select("node", "bc_est_ppm", "n_pairs_routed")
+      .select("node", "bc_est_ppm", "n_pairs_routed"))
   }
 
   /** Sampled-pivot EDGE betweenness — the Girvan–Newman edge-removal
@@ -1188,9 +1229,10 @@ object Graph {
   def edgeBetweennessSampled(edges0: DataFrame, k: Int,
                              oracleHopCap: Option[Int] = None): DataFrame = {
     require(k >= 2, s"need at least 2 pivots for a pair sum, got $k")
-    val sym = symArcs(edges0)
-    val nodes = sym.select(col("src").as("node")).distinct()
-      .localCheckpoint(false)
+    val ck = new Seal.Tracker
+    val sym = symArcs(edges0, ck)
+    val nodes = ck.track(sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(false))
     val roots = nodes
       .withColumn("_h", md5(concat(lit("bc-root-"),
                                    col("node").cast("string"))))
@@ -1199,15 +1241,15 @@ object Graph {
     val nTotal = nodes.count()
     val nPiv = math.min(k.toLong, nTotal)
     if (nPiv < 2)
-      return sym.filter(lit(false))
+      return ck.seal(sym.filter(lit(false))
         .select(least(col("src"), col("dst")).as("src"),
                 greatest(col("src"), col("dst")).as("dst"),
-                lit(0L).as("eb_est_ppm"), lit(0L).as("n_pairs_routed"))
-    val sig = capChecked(sigmaBfs(sym, roots), oracleHopCap)
+                lit(0L).as("eb_est_ppm"), lit(0L).as("n_pairs_routed")))
+    val sig = capChecked(sigmaBfs(sym, roots, ck), oracleHopCap)
     val scale =
       s"CAST(CAST(_partial AS DECIMAL(38,0)) * ${nTotal * (nTotal - 1L)}" +
         s" DIV ${nPiv * (nPiv - 1L)} AS BIGINT)"
-    sym.as("e")
+    ck.seal(sym.as("e")
       .join(sig.as("a"), col("a.node") === col("e.src")) // s -> u
       .join(sig.as("b"), col("b.node") === col("e.dst") && // t -> v
                          col("b.root") =!= col("a.root"))
@@ -1221,7 +1263,7 @@ object Graph {
              .as("_partial"),
            count(lit(1)).as("n_pairs_routed"))
       .withColumn("eb_est_ppm", expr(scale))
-      .select("src", "dst", "eb_est_ppm", "n_pairs_routed")
+      .select("src", "dst", "eb_est_ppm", "n_pairs_routed"))
   }
 
   /** Percolation / connectivity sweep: connected-component structure of a
@@ -1238,10 +1280,11 @@ object Graph {
                        gateEdges: Long = 100000L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val base = edges0.select(col("src").cast("long").as("src"),
+    val ck = new Seal.Tracker
+    val base = ck.track(edges0.select(col("src").cast("long").as("src"),
                              col("dst").cast("long").as("dst"),
                              col("n").cast("long").as("n"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     if (base.count() <= gateEdges) {
       val all = base.as[(Long, Long, Long)].collect().toSeq
       val rows = thresholds.flatMap { th =>
@@ -1269,25 +1312,27 @@ object Graph {
         if (es.isEmpty) None
         else Some((th, nodes.size.toLong, es.size.toLong, comps, giant))
       }
-      rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
-                "giant_size")
+      ck.seal(rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
+                "giant_size"))
     } else {
       val rows = thresholds.flatMap { th =>
-        val es = base.filter(col("n") >= th).select("src", "dst")
-          .localCheckpoint(false)
+        val es = ck.track(base.filter(col("n") >= th).select("src", "dst")
+          .localCheckpoint(false))
         val nE = es.count()
         if (nE == 0L) None
         else {
+          // clusterPairs returns SEALED — this operator owns (and here
+          // fully consumes) its checkpoint, so it releases it per rung
           val cc = graft.operators.Dedup.clusterPairs(es, "src", "dst")
-            .localCheckpoint(false)
           val r = cc.agg(count(lit(1)).as("nodes"),
                          countDistinct(col("cluster_id")).as("comps"),
                          max(col("cluster_size")).as("giant")).head()
+          Seal.releaseCheckpoint(cc)
           Some((th, r.getLong(0), nE, r.getLong(1), r.getLong(2)))
         }
       }
-      rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
-                "giant_size")
+      ck.seal(rows.toDF("threshold", "n_nodes", "n_edges", "n_components",
+                "giant_size"))
     }
   }
 }

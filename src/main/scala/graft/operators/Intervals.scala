@@ -224,13 +224,14 @@ object Intervals {
     val b = p.select(keys.map(col) ++ Seq(col("_id").as("_idb"),
       col("_us").as("_ub"), col("_bkt")): _*)
     val jk = keys :+ "_bkt"
-    a.join(b, jk)
+    graft.operators.Seal(a.join(b, jk)
       .filter((col("_ua") < col("_ub")) ||
               (col("_ua") === col("_ub") && col("_ida") < col("_idb")))
       .unionAll(a.withColumn("_bkt", col("_bkt") + 1L).join(b, jk))
       .filter(col("_ub") - col("_ua") <= bandUs)
       .select(keys.map(col) ++ Seq(col("_ida").as("id_a"),
         col("_idb").as("id_b"),
-        (col("_ub") - col("_ua")).as("gap_us")): _*)
+        (col("_ub") - col("_ua")).as("gap_us")): _*),
+      ckpts = Seq(p))
   }
 }

@@ -52,11 +52,12 @@ object JoinPlanner {
       .localCheckpoint(false)
     val total = perKey.agg(
       coalesce(sum(col("out_rows")), lit(0L)).as("total_out_rows"))
-    perKey.join(broadcast(total))
+    Seal(perKey.join(broadcast(total))
       .withColumn("share_micro",
                   expr("out_rows * 1000000L DIV total_out_rows"))
       .orderBy(col("out_rows").desc, col("key").asc)
-      .limit(topK)
+      .limit(topK),
+      ckpts = Seq(perKey))
   }
 
   /** Join-ORDER pre-flight for a star chain on one shared key: for each
@@ -84,12 +85,13 @@ object JoinPlanner {
       .reduce(_.join(_, "key"))
       .agg(coalesce(sum(names.map(n => col(s"c_$n")).reduce(_ * _)), lit(0L))
              .as("final_rows"))
-    names.combinations(2).toSeq.map { case Seq(a, b) =>
+    Seal(names.combinations(2).toSeq.map { case Seq(a, b) =>
       counts(a).join(counts(b), "key")
         .agg(coalesce(sum(col(s"c_$a") * col(s"c_$b")), lit(0L))
                .as("inter_rows"))
         .select(lit(s"$a*$b").as("plan"), col("inter_rows"))
     }.reduce(_ unionByName _)
-      .join(broadcast(finalRows))
+      .join(broadcast(finalRows)),
+      ckpts = counts.values.toSeq)
   }
 }

@@ -228,7 +228,11 @@ object Scd2 {
         .withColumn(cfg.changeTypeCol, lit(null).cast("string"))
         .withColumn(OpCol, lit("delete"))
         .select((destCols ++ cfg.auditColumns :+ OpCol).map(col): _*)
-      versions.unionByName(redundant)
+      // collapse path pinned two batch-sized internals (previousRecord,
+      // canonical); seal so repeated engine runs in one session do not
+      // accumulate them (library-wide lifecycle discipline, r14)
+      Seal(versions.unionByName(redundant),
+           ckpts = Seq(previousRecord, canonical))
     }
   }
 

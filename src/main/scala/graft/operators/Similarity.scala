@@ -419,12 +419,13 @@ object Similarity {
     */
   def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, dims: Int, rounds: Int): DataFrame = {
-    val vecs = df.select(col(idCol).as("vec_id"), posexplode(expr(
+    val ck = new Seal.Tracker
+    val vecs = ck.track(df.select(col(idCol).as("vec_id"), posexplode(expr(
         s"""transform(slice($vecCol, 1, $dims),
            |  x -> CAST(greatest(least(floor(x * 1000), 1000.0D),
            |                     -1000.0D) AS BIGINT) + 1000L)"""
           .stripMargin)).as(Seq("dim", "q")))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     // Seeds = the k ACTUAL lowest ids (rank, not `vec_id < k`): with
     // sparse or offset id domains the filter form silently seeds fewer
     // than k clusters. Cluster index = dense rank 0..k-1, which equals
@@ -434,27 +435,27 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k)
       .withColumn("cluster",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-    var cent = vecs.join(broadcast(seedIds), Seq("vec_id"))
+    var cent = ck.track(vecs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("cluster"), col("dim"), col("q").as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     var assign: DataFrame = null
     for (_ <- 1 to rounds) {
-      assign = vecs.join(broadcast(cent), Seq("dim"))
+      assign = ck.track(vecs.join(broadcast(cent), Seq("dim"))
         .groupBy(col("vec_id"), col("cluster"))
         .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("_d2"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("_d2"), col("cluster"))).as("_m"))
         .select(col("vec_id"), col("_m.cluster").as("cluster"))
-        .localCheckpoint(false)
-      cent = vecs.join(assign, Seq("vec_id"))
+        .localCheckpoint(false))
+      cent = ck.track(vecs.join(assign, Seq("vec_id"))
         .groupBy(col("cluster"), col("dim"))
         .agg(expr("sum(q) DIV count(1)").as("c"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
     val sizes = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
-    cent.join(sizes, Seq("cluster"))
-      .select("cluster", "dim", "c", "n_members")
+    ck.seal(cent.join(sizes, Seq("cluster"))
+      .select("cluster", "dim", "c", "n_members"))
   }
 
   def gramMatrix(df: DataFrame, vecCol: String, dims: Int,
@@ -503,7 +504,7 @@ object Similarity {
         .agg(expr("sum(g * v) DIV 1000000L").as("v"))
         .withColumnRenamed("i", "j")
     }
-    v.select(col("j").as("dim"), col("v"))
+    Seal(v.select(col("j").as("dim"), col("v")), ckpts = Seq(full))
   }
 
   /** Exact n²-scaled covariance matrix from the Gram triangle plus the
@@ -522,12 +523,13 @@ object Similarity {
       .groupBy((col("_d0") + 1).as("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .localCheckpoint(false)
-    gram
+    Seal(gram
       .join(broadcast(sums.select(col("dim").as("i"), col("s").as("_si"),
                                   col("n").as("_n"))), Seq("i"))
       .join(broadcast(sums.select(col("dim").as("j"), col("s").as("_sj"))),
             Seq("j"))
       .select(col("i"), col("j"),
-              (col("_n") * col("g") - col("_si") * col("_sj")).as("ncov"))
+              (col("_n") * col("g") - col("_si") * col("_sj")).as("ncov")),
+      ckpts = Seq(sums))
   }
 }

@@ -70,14 +70,15 @@ object Sketches {
       .limit(topK)
     val cms = cmsTable(keyed, keyCol, depth, width)
     val total = keyed.agg(count(lit(1)).as("_n"))
-    cmsEstimate(cms, exact, keyCol, depth, width)
+    Seal(cmsEstimate(cms, exact, keyCol, depth, width)
       .join(broadcast(exact), Seq(keyCol))
       .join(broadcast(total))
       .withColumn("cms_ok",
                   col("cms_estimate") >= col("n_rows") &&
                     (col("cms_estimate") - col("n_rows")) * width <=
                       col("_n") * 4L)
-      .select(col(keyCol), col("n_rows"), col("cms_ok"))
+      .select(col(keyCol), col("n_rows"), col("cms_ok")),
+      ckpts = Seq(keyed))
   }
 
   /** KMV (k-minimum-values) distinct-count sketch per set: keep each

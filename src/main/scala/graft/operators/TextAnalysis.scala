@@ -763,7 +763,7 @@ object TextAnalysis {
     val members = bi.select(col("x").as("w"))
       .union(bi.select(col("y").as("w"))).distinct()
     val margins = uni.join(members, Seq("w"), "left_semi")
-    bi.join(broadcast(margins.withColumnRenamed("w", "x")
+    Seal(bi.join(broadcast(margins.withColumnRenamed("w", "x")
                         .withColumnRenamed("c", "c_x")), Seq("x"))
       .join(broadcast(margins.withColumnRenamed("w", "y")
                         .withColumnRenamed("c", "c_y")), Seq("y"))
@@ -771,7 +771,8 @@ object TextAnalysis {
       .withColumn("lift_ppm", expr(
         "((((c_xy * _tu) DIV c_x) * _tu) DIV c_y) * 1000000 DIV _tb"))
       .orderBy(col("lift_ppm").desc, col("x"), col("y")).limit(k)
-      .select("x", "y", "c_xy", "c_x", "c_y", "lift_ppm")
+      .select("x", "y", "c_xy", "c_x", "c_y", "lift_ppm"),
+      ckpts = Seq(toks, uni))
   }
 
   /** Kneser-Ney-style absolutely-discounted bigram LM in exact integer
@@ -805,7 +806,7 @@ object TextAnalysis {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_head"))
     val conts = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1_cont"))
     val types = bi.agg(count(lit(1)).as("_t"))
-    bi.join(broadcast(heads), Seq("w1"))
+    Seal(bi.join(broadcast(heads), Seq("w1"))
       .join(broadcast(conts), Seq("w2"))
       .crossJoin(broadcast(types))
       .withColumn("cont_ppm", expr("(n1_cont * 1000000L) DIV _t"))
@@ -815,7 +816,8 @@ object TextAnalysis {
           .stripMargin))
       .orderBy(col("c12").desc, col("w1"), col("w2")).limit(k)
       .select("w1", "w2", "c12", "c1", "n1_head", "n1_cont",
-              "cont_ppm", "p_ppm")
+              "cont_ppm", "p_ppm"),
+      ckpts = Seq(bi))
   }
 
   /** TRUE multi-round BPE vocabulary learning — per round: recount all
@@ -838,10 +840,11 @@ object TextAnalysis {
     * Returns (round, w1, w2, pair_count): the merge table in order.
     */
   def bpeLearn(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    var docs = df.select(
+    val ck = new Seal.Tracker
+    var docs = ck.track(df.select(
       concat(lit(" "),
              concat_ws("  ", filter(tokens(col(textCol)), t => t =!= "")),
-             lit(" ")).as("str")).localCheckpoint(false)
+             lit(" ")).as("str")).localCheckpoint(false))
     var merges = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val pairs = docs
@@ -854,19 +857,19 @@ object TextAnalysis {
           .as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("pair_count"))
-      val best = pairs
+      val best = ck.track(pairs
         .orderBy(col("pair_count").desc, col("w1"), col("w2")).limit(1)
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       merges ::= best.withColumn("round", lit(r))
-      docs = docs.crossJoin(broadcast(best))
+      docs = ck.track(docs.crossJoin(broadcast(best))
         .select(expr(
           """replace(str, concat(' ', w1, '  ', w2, ' '),
             |             concat(' ', w1, w2, ' '))""".stripMargin)
           .as("str"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
     }
-    merges.reverse.reduce(_ unionByName _)
-      .select("round", "w1", "w2", "pair_count")
+    ck.seal(merges.reverse.reduce(_ unionByName _)
+      .select("round", "w1", "w2", "pair_count"))
   }
 
   /** RAKE-style keyphrase extraction, integer-exact: candidate phrases
@@ -901,7 +904,7 @@ object TextAnalysis {
       .agg(concat_ws(" ", array_sort(collect_list(struct(col("_p"),
              col("_w")))).getField("_w")).as("phrase"),
            count(lit(1)).as("_len"))
-      .localCheckpoint(false)
+      .localCheckpoint(false) // released by the Seal below
     val words = phrases
       .select(col("_len"), explode(split(col("phrase"), " ")).as("_w"))
       .groupBy(col("_w"))
@@ -915,8 +918,9 @@ object TextAnalysis {
         explode(split(col("phrase"), " ")).as("_w"))
       .join(broadcast(words.select(col("_w"), col("_wscore"))), Seq("_w"))
       .groupBy(col("phrase")).agg(sum(col("_wscore")).as("score_ppm"))
-    uniq.join(scored, Seq("phrase"))
+    Seal(uniq.join(scored, Seq("phrase"))
       .orderBy(col("score_ppm").desc, col("phrase")).limit(k)
-      .select("phrase", "n_occurrences", "score_ppm")
+      .select("phrase", "n_occurrences", "score_ppm"),
+      ckpts = Seq(phrases, uniq))
   }
 }
