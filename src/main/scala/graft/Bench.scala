@@ -57,6 +57,29 @@ object Bench {
     */
   private[graft] def movedWithDrift(priorTxt: String,
                                     current: Seq[(String, Double)]): (String, Double) = {
+    val (ks, drift) = movedKeys(priorTxt, current)
+    (fmtMoved(ks), drift)
+  }
+
+  private[graft] def fmtMoved(ms: Seq[String]): String =
+    if (ms.isEmpty) "[]"
+    else if (ms.size > 40) s""""n>40""""
+    else ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The `"sf":"…"` field of a bench JSON line / side file, when present. */
+  private[graft] def priorSfOf(txt: String): Option[String] =
+    """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+
+  private[graft] def movedKeys(priorTxt: String,
+                               current: Seq[(String, Double)],
+                               curSf: Option[String] = None): (Seq[String], Double) = {
+    // Same-SF guard: a prior base recorded at a different scale factor is
+    // not a regression baseline — every ratio is dominated by the data
+    // size, drift normalization "absorbs" it into a meaningless median,
+    // and the 0.5 s absolute gate fires on scale, not code. No comparison
+    // beats a wrong one.
+    if (curSf.exists(sf => priorSfOf(priorTxt).exists(_ != sf)))
+      return (Seq.empty, 1.0)
     val prev = parseQueries(priorTxt)
     val ratios = current.flatMap { case (k, cur) =>
       prev.get(k).collect { case pv if pv > 0 => cur / pv }
@@ -69,11 +92,50 @@ object Bench {
             cur > 1.3 * pv * drift && cur - pv * drift > 0.5) =>
         k
     }
-    val list =
-      if (ms.isEmpty) "[]"
-      else if (ms.size > 40) s""""n>40""""
-      else ms.map("\"" + _ + "\"").mkString("[", ",", "]")
-    (list, drift)
+    (ms, drift)
+  }
+
+  /** Above this drift factor the run gets a `drift_alert` flag on the JSON
+    * line (ADVICE r13): cohort normalization makes a genuinely UNIFORM
+    * whole-suite regression invisible in `moved` — a change slowing every
+    * query 40% reports moved:[] with drift≈1.4. The flag forces the
+    * suite-wide shift itself into adjudication instead of letting it pass
+    * silently as box drift. One-sided: a uniformly FASTER box (drift < 1)
+    * masks nothing.
+    */
+  private[graft] val DriftAlertBound = 1.15
+
+  /** Noise-aware self-adjudication of `moved` (round-13 verdict task 3):
+    * median drift normalization corrects UNIFORM box delta, but a noisy
+    * box — wide canary spread — inflates heavy-IO queries specifically,
+    * which the subsecond-dominated median cannot see; r12 and r13 each
+    * manufactured a manual quiet-box protocol session out of exactly that
+    * shape. When the run's own canary trace says the box was noisy
+    * (`wideSpread`), re-time each would-be mover ONCE via `retime` (the
+    * caller runs it warm at the tail of the run, empirically the quietest
+    * stretch), fold the min back in, and re-evaluate: a noise outlier
+    * re-times at its true cost and drops off the list, while a genuine
+    * structural mover reproduces and still flags. On a quiet box the list
+    * is emitted as-is — no extra work. Returns (final keys, drift, the
+    * retimed samples to fold into the reported per-query values).
+    */
+  private[graft] def adjudicateMoved(priorTxt: String,
+                                     current: Seq[(String, Double)],
+                                     wideSpread: Boolean,
+                                     retime: String => Option[Double],
+                                     maxRetimes: Int = 40,
+                                     curSf: Option[String] = None): (Seq[String], Double, Map[String, Double]) = {
+    val (ks, drift) = movedKeys(priorTxt, current, curSf)
+    if (!wideSpread || ks.isEmpty) (ks, drift, Map.empty)
+    else {
+      val updates = ks.take(maxRetimes)
+        .flatMap(k => retime(k).map(k -> _)).toMap
+      val cur2 = current.map { case (k, v) =>
+        k -> math.min(v, updates.getOrElse(k, v))
+      }
+      val (ks2, d2) = movedKeys(priorTxt, cur2, curSf)
+      (ks2, d2, updates)
+    }
   }
 
   /** Local, non-size-budgeted per-query side file: the FULL map every run
@@ -271,6 +333,53 @@ object Bench {
         samples(i) = math.min(samples(i), runOnce(name, fn))
       }
     }
+    // Keying, shared by the JSON line, the side file, and the moved
+    // comparison (ONE keyOf — ADVICE r12). Defined over `ordered` names
+    // (== result names) so the moved adjudication below can run BEFORE the
+    // per-query values freeze.
+    val prefixes = ordered.map(_._1.takeWhile(_ != '_'))
+    val useShort = prefixes.distinct.size == prefixes.size
+    // Key = bare query number ("q01_scd2_initial" → "1"): the q/zero
+    // padding costs ~170 bytes across 160 queries and carries no info.
+    def shortKey(p: String): String = {
+      val digits = p.dropWhile(!_.isDigit).dropWhile(_ == '0')
+      if (digits.nonEmpty) digits else p
+    }
+    def keyOf(name: String, prefix: String): String =
+      if (useShort) shortKey(prefix) else name
+    // Noisy-box self-adjudication of `moved` (round-13 verdict task 3):
+    // when this run's own canary trace is wide (max > 2x min — the same
+    // bound the contended-window logic uses), each would-be mover is
+    // re-timed ONCE here at the tail of the run (empirically the quietest
+    // stretch) and only reproducing movers stay flagged; the retimed min
+    // folds back into the reported per-query value. Quiet box → zero
+    // extra work.
+    val wideSpread = canaries.nonEmpty && canaries.max > 2 * canaries.min
+    val keyToIdx = ordered.indices
+      .map(i => keyOf(ordered(i)._1, prefixes(i)) -> i).toMap
+    val (movedSeq: Seq[String], drift: Double) = try {
+      priorBenchTxt(new java.io.File(".")) match {
+        case None => (Seq.empty[String], 1.0)
+        case Some(txt) =>
+          val cur = ordered.indices
+            .map(i => keyOf(ordered(i)._1, prefixes(i)) -> samples(i))
+          def retimeFor(k: String): Option[Double] =
+            keyToIdx.get(k).map { i =>
+              val (nm, fn) = ordered(i)
+              val s = runOnce(nm, fn)
+              System.err.println(
+                f"[bench] noisy-box retime $nm: $s%.2f s (was ${samples(i)}%.2f)")
+              s
+            }
+          val (ks, d, ups) = adjudicateMoved(txt, cur, wideSpread,
+            retimeFor, curSf = Some(new java.io.File(sfDir).getName))
+          ups.foreach { case (k, v) =>
+            keyToIdx.get(k).foreach(i => samples(i) = math.min(samples(i), v))
+          }
+          (ks, d)
+      }
+    } catch { case _: Throwable => (Seq.empty[String], 1.0) }
+    val moved = fmtMoved(movedSeq)
     val results = ordered.map(_._1).zip(samples.toSeq)
     // Per-stream-query harness estimate to stderr (task 6 disclosure):
     // batches x calibrated per-batch cost, next to the billed seconds, so
@@ -295,15 +404,6 @@ object Bench {
     // with trailing zeros trimmed ("0.30"→"0.3", "1.00"→"1") — 160 queries
     // at plain 2-decimals reached 1.92 KB, within ~70 bytes of the window
     // (the trailing sbt [success] line shares it).
-    val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    val useShort = prefixes.distinct.size == prefixes.size
-    // ONE keying function for the JSON line, the moved comparison, and the
-    // full side file (ADVICE r12): the side file used conditional keys
-    // while movedList's current map was always short-keyed, so in the
-    // latent duplicate-prefix case (useShort=false) the next run's
-    // comparison would share zero keys and silently report moved:[].
-    def keyOf(name: String, prefix: String): String =
-      if (useShort) shortKey(prefix) else name
     def fmt(v: Double, d: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
     // 1-decimal per-query seconds (total keeps 2): at 173 queries the
@@ -313,12 +413,6 @@ object Bench {
       val s = fmt(v, 1)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
-    }
-    // Key = bare query number ("q01_scd2_initial" → "1"): the q/zero
-    // padding costs ~170 bytes across 160 queries and carries no info.
-    def shortKey(p: String): String = {
-      val digits = p.dropWhile(!_.isDigit).dropWhile(_ == '0')
-      if (digits.nonEmpty) digits else p
     }
     def qsJsonOf(rs: Seq[((String, Double), String)],
                  f: Double => String): String =
@@ -358,29 +452,11 @@ object Bench {
         .map(i => "\"" + (if (useShort) shortKey(prefixes(i))
                           else ordered(i)._1) + "\"")
         .mkString("[", ",", "]")
-    // Round-over-round movement disclosure (round-10 verdict ask): the
-    // `contended` rule (both passes in flagged canary windows) misses
-    // clean-box regressions entirely — three r10 queries moved >30% with
-    // `contended:[]` and each cost a manual quiet-box protocol run. Emit
-    // `moved`: queries shared with the newest BENCH_r*.json in cwd whose
-    // value grew >1.3x AND >0.5s absolute (sub-second jitter excluded) —
-    // the exact candidate list the adjudication protocol starts from, now
-    // machine-made. Parsing is a 12-line regex over the prior line's
-    // `"queries":{...}` map (short keys are the bare query numbers);
-    // anything unexpected (no prior file, tier-3 truncation, renamed keys)
-    // degrades to [] rather than failing the bench.
-    // Comparison base: the full side file from the last completed run
-    // when present (covers ALL queries), else the newest (truncated)
-    // driver BENCH_r*.json — see [[priorBenchTxt]].
-    val (moved: String, drift: Double) = try {
-      priorBenchTxt(new java.io.File(".")) match {
-        case None => ("[]", 1.0)
-        case Some(txt) =>
-          movedWithDrift(txt, results.zip(prefixes).map {
-            case ((k, cur), p) => keyOf(k, p) -> cur
-          })
-      }
-    } catch { case _: Throwable => ("[]", 1.0) }
+    // (`moved`/`drift` were computed — and on a noisy box self-adjudicated
+    // — above, BEFORE `results` froze, so retimed mins land in the
+    // reported values. History: round-10 verdict ask for the machine-made
+    // candidate list; round-12 drift normalization; round-13 noisy-box
+    // self-adjudication.)
     // Persist THIS run's full per-query map (2-decimal, no size budget)
     // as the next run's base — after the moved computation read the old
     // one, before anything can fail downstream. Skipped under the dev
@@ -395,8 +471,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] side file write failed: ${e.getMessage}")
     }
+    // Suite-wide-shift alarm (ADVICE r13): drift normalization hides a
+    // genuinely uniform regression from `moved`, so past the bound the
+    // drift VALUE itself raises a flag that forces adjudication.
+    val driftAlert =
+      if (drift > DriftAlertBound) ""","drift_alert":1""" else ""
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)},"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
@@ -413,7 +494,7 @@ object Bench {
       else {
         val top = results.zip(prefixes)
           .sortBy { case ((k, v), _) => (-v, k) }.take(80)
-        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)},"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
       }
     println(out)
     spark.stop()

@@ -44,14 +44,14 @@ object R16Queries {
       // row-identical to q739's self-contained delta-vs-corpus join —
       // the oracle IS q739's oracle.
       val d = rd(s, dir, "documents")
-      // ONE fixed per-session root, republished into on every invocation
-      // (ADVICE r12: a fresh createTempDirectory per run leaked several
-      // full signature tables into /tmp per bench pass). signatureTable
-      // now vacuums superseded versions on republish, so repeated runs
-      // leave bounded state: the live version plus one predecessor.
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir", "/tmp"), "graft_q763_sig")
-        .getAbsolutePath
+      // ONE stable per-(user × corpus-dir) root, republished into on every
+      // invocation (ADVICE r12: a fresh createTempDirectory per run leaked
+      // several full signature tables into /tmp per bench pass; ADVICE
+      // r13: a FIXED shared name let concurrent runs at different SFs
+      // interleave publish/vacuum on one root). signatureTable vacuums
+      // superseded versions on republish, so repeated runs leave bounded
+      // state: the live version plus one predecessor.
+      val root = graft.operators.Dedup.sigRoot("q763", dir)
       graft.operators.Dedup.signatureTable(
         s, d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", root)
       graft.operators.Dedup.incrementalPairs(

@@ -47,9 +47,9 @@ object R17Queries {
         .repartition(16)
       val delta = d.filter(col("doc_id").isin(ProbeSrcIds: _*))
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir", "/tmp"), "graft_q793_sig")
-        .getAbsolutePath
+      // per-(user × corpus-dir) root (ADVICE r13): concurrent runs at
+      // different SFs must not interleave publish/vacuum on one store
+      val root = Dedup.sigRoot("q793", dir)
       // 16 buckets, not 64: a <3000-doc store is directory-churn-bound at
       // publish (Stress16 file-count trade-off) and the probe's pruning
       // ratio is unchanged; the read side takes the count from the stored
@@ -437,7 +437,13 @@ object R17Queries {
         max(col("i")).as("nn"),
         expr("min_by(y, i)").as("y0"),
         expr("max_by(y, i)").as("yn"))
-        .withColumn("mu_milli", expr("(yn - y0) * 1000L DIV (nn - 1)")))
+        // sign-folded (ADVICE r13): yn (last day) can sit BELOW y0, and a
+        // negative numerator truncates toward zero in Spark DIV but floors
+        // in DuckDB // — the q760 signed-DIV contract applies to the drift
+        // term exactly as it does to cxy4 in q810
+        .withColumn("mu_milli", expr(
+          """CASE WHEN yn >= y0 THEN (yn - y0) * 1000L DIV (nn - 1)
+            |ELSE -((y0 - yn) * 1000L DIV (nn - 1)) END""".stripMargin)))
       // q = 1 rides the same grid as the report lags: one join computes
       // every difference series
       val qs = Seq(1L, 2L, 4L, 8L).toDF("q")
@@ -514,7 +520,7 @@ object R17Queries {
     }),
     "q809_token_coverage" -> ((s, dir) => {
       // Stopword-list sizing curve: cumulative corpus-token mass covered
-      // by the top-k vocabulary types at k ∈ {10, 100, 1000} — "how big a
+      // by the top-k vocabulary types at k ∈ {5, 10, 25} — "how big a
       // stopword/function-word list buys how much of the stream" (the
       // type-mass complement of Heaps' vocabulary growth q678 and the
       // Zipf head check q270). One vocabulary rollup; the rank window
@@ -625,6 +631,308 @@ object R17Queries {
         .withColumn("excess_ppm",
                     expr("n_records * 1000000L - h_n_ppm"))
         .select("n_days", "n_records", "h_n_ppm", "excess_ppm")
+    }),
+    "q812_kendall_tau" -> ((s, dir) => {
+      // Kendall rank correlation of daily revenue against TIME — the
+      // distribution-free monotone-trend readout next to the records test
+      // (q811) and the variance ratio (q807): every concordant pair is a
+      // day-pair where later = higher. Exact pair counts over the
+      // calendar-bounded day grid (≤ ~2.5k rows at ANY fact SF — the pair
+      // join is |days|², never |facts|²); tau in sign-folded ppm over ALL
+      // pairs (tau-a; y-ties counted, i-ties impossible on an index).
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d")))
+          .cast("long"))
+        .select("i", "y")
+        .localCheckpoint(false)
+      idx.as("a")
+        .join(broadcast(idx.as("b")), col("b.i") > col("a.i"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("b.y") > col("a.y"), 1L).otherwise(0L))
+               .as("concordant"),
+             sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L))
+               .as("discordant"),
+             sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L))
+               .as("ties"))
+        // sign-folded (q760 contract): C−D is signed, and n_pairs·1e6
+        // ≤ ~3.2e12 at the 2.5k-day grid — int64 forever (calendar-bounded)
+        .withColumn("tau_ppm", expr(
+          """CASE WHEN concordant >= discordant
+            |  THEN (concordant - discordant) * 1000000L DIV n_pairs
+            |ELSE -((discordant - concordant) * 1000000L DIV n_pairs)
+            |END""".stripMargin))
+    }),
+    "q813_theil_sen" -> ((s, dir) => {
+      // Theil–Sen slope of daily revenue: the MEDIAN of all pairwise
+      // slopes — the robust trend line (29% breakdown point) whose point
+      // estimate the OLS fit (q751-style) can't give when outlier days
+      // exist. Slopes in sign-folded milli-cents/day; median = the
+      // ceil(n/2) order statistic (the quantile_disc convention, q732
+      // tier) under the total order (slope, i, j). |days|² pairs on the
+      // calendar-bounded grid; the one global window ranks pair-grain
+      // rows, never fact rows.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d")))
+          .cast("long"))
+        .select("i", "y")
+        .localCheckpoint(false)
+      val slopes = idx.as("a")
+        .join(broadcast(idx.as("b")), col("b.i") > col("a.i"))
+        .select(col("a.i").as("i"), col("b.i").as("j"),
+                expr(
+          """CASE WHEN b.y >= a.y
+            |  THEN (b.y - a.y) * 1000L DIV (b.i - a.i)
+            |ELSE -((a.y - b.y) * 1000L DIV (b.i - a.i)) END""".stripMargin)
+                  .as("slope_milli"))
+      val ranked = slopes
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("slope_milli"), col("i"), col("j"))).cast("long"))
+        .withColumn("n_pairs", count(lit(1)).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+      ranked.filter(expr("r = (n_pairs + 1L) DIV 2L"))
+        .select(col("n_pairs"), col("slope_milli").as("median_slope_milli"))
+    }),
+    "q814_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on daily revenue vs its own median:
+      // too FEW runs of above/below-median days = clustering/trend, too
+      // MANY = oscillation — the randomness check that sees what the
+      // records test (monotone trend only) cannot. Median = ceil(n/2)
+      // order stat (quantile_disc convention); expected runs
+      // E[R]·1e6 = 1e6 + 2·n1·n2·1e6 DIV n, all terms non-negative.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+        .localCheckpoint(false) // day-grain; read by the median AND flags
+      val med = broadcast(daily
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("y"), col("d"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+        .filter(expr("r = (n + 1L) DIV 2L"))
+        .select(col("y").as("med")))
+      val flagged = daily.crossJoin(med)
+        .select(col("d"), (col("y") > col("med")).cast("long").as("f"))
+      val wd = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("d"))
+      flagged
+        .withColumn("pf", lag(col("f"), 1).over(wd))
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("f")).as("n1"),
+             sum(lit(1L) - col("f")).as("n2"),
+             sum(when(col("pf").isNull || col("pf") =!= col("f"), 1L)
+               .otherwise(0L)).as("n_runs"))
+        .withColumn("e_runs_ppm",
+                    expr("1000000L + 2L * n1 * n2 * 1000000L DIV n_days"))
+        .withColumn("excess_ppm",
+                    expr("n_runs * 1000000L - e_runs_ppm"))
+    }),
+    "q815_cusum" -> ((s, dir) => {
+      // CUSUM level-shift scan on daily revenue: the maximum |cumulative
+      // deviation from the global mean| and the day it peaks — WHERE the
+      // regime changed, not just whether (the changepoint companion to
+      // q807/q811/q814). Exact integers: cum_k(n·y − Σy) = n·Σ_{≤k}y −
+      // k·Σy avoids the truncated mean entirely. Envelope: n·Σy ≤
+      // 2.5e3 · 2e14 cents ≈ 5e17 at 100× sf0.1 — int64 holds (day grid
+      // is calendar-bounded).
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("n"),
+                                    sum(col("y")).as("sy")))
+      val wd = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(tot)
+        .withColumn("k", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d")))
+          .cast("long"))
+        .withColumn("cum", sum(col("y")).over(wd))
+        .withColumn("dev", expr("abs(n * cum - k * sy)"))
+        .orderBy(col("dev").desc, col("d"))
+        .limit(1)
+        .select(col("n").as("n_days"), col("dev").as("max_abs_cusum"),
+                col("d").as("argmax_day"))
+    }),
+    "q816_benford" -> ((s, dir) => {
+      // Benford first-digit screen on line prices — the bookkeeping
+      // anomaly detector: fabricated or unit-mangled prices drift from
+      // the log distribution. Expected shares pinned as the NINE exact
+      // ppm literals (they sum to exactly 1e6), identical text in both
+      // engines — no log() at query time; χ² in ppm units via
+      // (obs−exp)² DIV exp summed over digits (squared → non-negative,
+      // ≤ (1e6)² = 1e12 per term — int64 with room).
+      import s.implicits._
+      val exp = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+                    4L -> 96910L, 5L -> 79181L, 6L -> 66947L,
+                    7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+        .toDF("digit", "exp_ppm")
+      val obs = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(expr(
+          "CAST(left(CAST(CAST(floor(l_extendedprice) AS BIGINT)" +
+            " AS STRING), 1) AS BIGINT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+      val cells = broadcast(exp).join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(obs.agg(sum(col("n_d")).as("n"))))
+        .select(col("digit"), coalesce(col("n_d"), lit(0L)).as("n_d"),
+                expr("coalesce(n_d, 0L) * 1000000L DIV n").as("obs_ppm"),
+                col("exp_ppm"))
+        .localCheckpoint() // 9 rows; read per digit AND by the chi2 rollup
+      val chi2 = broadcast(cells.agg(
+        sum(expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"))
+          .as("chi2_q")))
+      cells.crossJoin(chi2)
+        .select("digit", "n_d", "obs_ppm", "exp_ppm", "chi2_q")
+    }),
+    "q817_mood_median" -> ((s, dir) => {
+      // Mood's median test between returned (R) and delivered (N) line
+      // prices: the 2×2 above/below-grand-median table and its χ² — the
+      // nonparametric location test that, unlike Mann–Whitney U (q765),
+      // stays calibrated under unequal spreads. Grand median via the
+      // CELL rollup (distinct cents values), never a fact-grain sort;
+      // χ²·1000 = N·(ad−bc)²·1000 DIV (margins product) in DECIMAL(38)
+      // ((ad−bc)² ≤ ~8e21 at sf0.1 — int64 dies, 128-bit holds to ~1e38).
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.spread(s, rd(s, dir, "lineitem"))
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select((col("l_returnflag") === "R").cast("long").as("isr"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"))
+        .localCheckpoint(false) // read by the median cells AND the 2x2
+      val cells = x.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = broadcast(cells
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("nn"))))
+        .filter(expr("cum >= (nn + 1L) DIV 2L"))
+        .orderBy(col("cents")).limit(1)
+        .select(col("cents").as("med")))
+      x.crossJoin(med)
+        .agg(sum(when(col("isr") === 1L && col("cents") > col("med"), 1L)
+               .otherwise(0L)).as("a"),
+             sum(when(col("isr") === 1L && col("cents") <= col("med"), 1L)
+               .otherwise(0L)).as("b"),
+             sum(when(col("isr") === 0L && col("cents") > col("med"), 1L)
+               .otherwise(0L)).as("c"),
+             sum(when(col("isr") === 0L && col("cents") <= col("med"), 1L)
+               .otherwise(0L)).as("dd"))
+        .withColumn("chi2_milli", expr(
+          """CAST(CASE WHEN (a+b) = 0 OR (c+dd) = 0 OR (a+c) = 0
+            |  OR (b+dd) = 0 THEN 0
+            |ELSE (a + b + c + dd)
+            |  * (CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * c)
+            |  * (CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * c)
+            |  * 1000
+            |  DIV (CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c)
+            |       * (b + dd))
+            |END AS BIGINT)""".stripMargin))
+    }),
+    "q818_dup_jaccard_deciles" -> ((s, dir) => {
+      // Similarity HISTOGRAM of the verified near-dup pairs: pair count +
+      // exact ppm bounds per Jaccard decile — the curve a data lead reads
+      // to pick the deletion threshold (a mass bump just above τ says the
+      // corpus has a template family right at the boundary). One sealed
+      // pair relation; deciles are jaccard_ppm DIV 100000 (τ = 1/2 floor
+      // ⇒ buckets 5..10).
+      val d = Tables.spread(s, rd(s, dir, "documents"))
+      Dedup.minhashLshPairs(d, "doc_id", "text")
+        .withColumn("jaccard_ppm",
+                    expr("overlap * 1000000L DIV union_size"))
+        .withColumn("decile", expr("jaccard_ppm DIV 100000L"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+             min(col("jaccard_ppm")).as("min_ppm"),
+             max(col("jaccard_ppm")).as("max_ppm"))
+    }),
+    "q819_sign_test" -> ((s, dir) => {
+      // Month-over-month SIGN test on total revenue: ups vs downs against
+      // the fair-coin null, z²·1000 = (ups−downs)²·1000 DIV (ups+downs)
+      // (squared → non-negative; ties excluded from the denominator, the
+      // standard treatment). The coarsest, assumption-freest trend check —
+      // reads straight off the month-grain rollup with one lag.
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(((year(col("l_shipdate")) - 1992) * 12 +
+                   month(col("l_shipdate"))).cast("long").as("mi"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val wd = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("mi"))
+      monthly
+        .withColumn("py", lag(col("y"), 1).over(wd))
+        .filter(col("py").isNotNull)
+        .agg(count(lit(1)).as("n_steps"),
+             sum(when(col("y") > col("py"), 1L).otherwise(0L)).as("ups"),
+             sum(when(col("y") < col("py"), 1L).otherwise(0L)).as("downs"),
+             sum(when(col("y") === col("py"), 1L).otherwise(0L)).as("ties"))
+        .withColumn("z2_milli", expr(
+          """CASE WHEN ups + downs = 0 THEN 0
+            |ELSE (ups - downs) * (ups - downs) * 1000L DIV (ups + downs)
+            |END""".stripMargin))
+    }),
+    "q820_bigram_bits" -> ((s, dir) => {
+      // Corpus bigram PREDICTABILITY in float-free bits: per bigram type,
+      // the integer log2 quantization bitlen(c1 DIV c12) of 1/p(w2|w1)
+      // (bin() string length = ⌊log2⌋+1 in BOTH engines — the q796/q707
+      // code-length discipline), token-weighted into a bits-per-token
+      // rate. Boilerplate-heavy corpora read LOW (next token predictable);
+      // the cross-entropy smell test beside Yule's K (q795) and the
+      // template detectors, with zero float logs anywhere.
+      val toks = Tables.spread(s, rd(s, dir, "documents"))
+        .select(filter(TextAnalysis.tokens(col("text")), t => t =!= "")
+          .as("t"))
+        .filter(size(col("t")) >= 2)
+      val c12 = toks
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
+            .stripMargin)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      c12.join(c1, Seq("w1"))
+        .withColumn("bits", expr("CAST(length(bin(c1 DIV c12)) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_bigram_types"),
+             sum(col("c12")).as("n_bigram_tokens"),
+             sum(expr("c12 * bits")).as("total_bits"))
+        .withColumn("bits_per_token_milli",
+                    expr("total_bits * 1000L DIV n_bigram_tokens"))
+    }),
+    "q821_embedding_norms" -> ((s, dir) => {
+      // Embedding-norm outlier screen: top-10 vectors by EXACT quantized
+      // L2² — truncated/zero-padded or scale-corrupted vectors surface at
+      // the extremes before any ANN index is built over them. Components
+      // quantized floor(CAST(x AS DOUBLE)·1000) (the widen-then-floor
+      // both engines reproduce bit-identically on the same float32
+      // input); norm² ≤ dims·(10³·|x|max)² — int64 to |x| ~ 10⁶ at 128
+      // dims. One narrow scan + one fold per vector, never a join.
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                expr(
+          """aggregate(transform(embedding,
+            |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v * v)""".stripMargin).as("norm2_e6"))
+        .orderBy(col("norm2_e6").desc, col("vec_id"))
+        .limit(10)
     }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
@@ -906,7 +1214,8 @@ object R17Queries {
         |  y FROM daily),
         |b AS (SELECT max(i) AS nn, arg_min(y, i) AS y0,
         |  arg_max(y, i) AS yn FROM idx),
-        |mu AS (SELECT (yn - y0) * 1000 // (nn - 1) AS mu_milli FROM b),
+        |mu AS (SELECT CASE WHEN yn >= y0 THEN (yn - y0) * 1000 // (nn - 1)
+        |  ELSE -((y0 - yn) * 1000 // (nn - 1)) END AS mu_milli FROM b),
         |qs AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS q),
         |diffs AS (SELECT q,
         |    (b2.y - a.y) * 1000 - q * (SELECT mu_milli FROM mu) AS dev
@@ -1111,6 +1420,199 @@ object R17Queries {
         |SELECT n_days, n_records, h_n_ppm,
         |  CAST(n_records * 1000000 - h_n_ppm AS BIGINT) AS excess_ppm
         |FROM rec CROSS JOIN h""".stripMargin,
+    "q812_kendall_tau" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  y FROM daily),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties
+        |  FROM idx a JOIN idx b ON b.i > a.i)
+        |SELECT n_pairs, concordant, discordant, ties,
+        |  CAST(CASE WHEN concordant >= discordant
+        |    THEN (concordant - discordant) * 1000000 // n_pairs
+        |  ELSE -((discordant - concordant) * 1000000 // n_pairs)
+        |  END AS BIGINT) AS tau_ppm
+        |FROM agg""".stripMargin,
+    "q813_theil_sen" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  y FROM daily),
+        |slopes AS (SELECT a.i AS i, b.i AS j,
+        |    CASE WHEN b.y >= a.y THEN (b.y - a.y) * 1000 // (b.i - a.i)
+        |    ELSE -((a.y - b.y) * 1000 // (b.i - a.i)) END AS slope_milli
+        |  FROM idx a JOIN idx b ON b.i > a.i),
+        |rk AS (SELECT slope_milli,
+        |    CAST(row_number() OVER (ORDER BY slope_milli, i, j) AS BIGINT)
+        |      AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_pairs
+        |  FROM slopes)
+        |SELECT n_pairs, slope_milli AS median_slope_milli
+        |FROM rk WHERE r = (n_pairs + 1) // 2""".stripMargin,
+    "q814_runs_test" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT d, y,
+        |    row_number() OVER (ORDER BY y, d) AS r,
+        |    count(*) OVER () AS n FROM daily),
+        |med AS (SELECT y AS med FROM rk WHERE r = (n + 1) // 2),
+        |fl AS (SELECT d,
+        |    CASE WHEN y > (SELECT med FROM med) THEN 1 ELSE 0 END AS f
+        |  FROM daily),
+        |lg AS (SELECT f, lag(f) OVER (ORDER BY d) AS pf FROM fl),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(f) AS BIGINT) AS n1,
+        |    CAST(sum(1 - f) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN pf IS NULL OR pf <> f THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs
+        |  FROM lg)
+        |SELECT n_days, n1, n2, n_runs,
+        |  CAST(1000000 + 2 * n1 * n2 * 1000000 // n_days AS BIGINT)
+        |    AS e_runs_ppm,
+        |  CAST(n_runs * 1000000
+        |    - (1000000 + 2 * n1 * n2 * 1000000 // n_days) AS BIGINT)
+        |    AS excess_ppm
+        |FROM agg""".stripMargin,
+    "q815_cusum" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM daily),
+        |cum AS (SELECT d,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+        |    sum(y) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily)
+        |SELECT n AS n_days,
+        |  CAST(abs(n * cum - k * sy) AS BIGINT) AS max_abs_cusum,
+        |  d AS argmax_day
+        |FROM cum CROSS JOIN tot
+        |ORDER BY abs(n * cum - k * sy) DESC, d LIMIT 1""".stripMargin,
+    "q816_benford" ->
+      """WITH expv(digit, exp_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |obs AS (SELECT CAST(left(CAST(CAST(floor(l_extendedprice)
+        |      AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_d
+        |  FROM lineitem GROUP BY 1),
+        |n0 AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM obs),
+        |cells AS (SELECT CAST(e.digit AS BIGINT) AS digit,
+        |    CAST(coalesce(o.n_d, 0) AS BIGINT) AS n_d,
+        |    CAST(coalesce(o.n_d, 0) * 1000000 // (SELECT n FROM n0)
+        |      AS BIGINT) AS obs_ppm,
+        |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+        |  FROM expv e LEFT JOIN obs o ON o.digit = e.digit),
+        |chi AS (SELECT CAST(sum((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+        |    // exp_ppm) AS BIGINT) AS chi2_q FROM cells)
+        |SELECT digit, n_d, obs_ppm, exp_ppm, chi2_q
+        |FROM cells CROSS JOIN chi""".stripMargin,
+    "q817_mood_median" ->
+      """WITH x AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |cells AS (SELECT cents, count(*) AS cnt FROM x GROUP BY 1),
+        |cc AS (SELECT cents,
+        |    sum(cnt) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS nn
+        |  FROM cells),
+        |med AS (SELECT min(cents) AS med FROM cc
+        |  WHERE cum >= (nn + 1) // 2),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN isr = 1 AND cents > (SELECT med FROM med)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN isr = 1 AND cents <= (SELECT med FROM med)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN isr = 0 AND cents > (SELECT med FROM med)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN isr = 0 AND cents <= (SELECT med FROM med)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM x)
+        |SELECT a, b, c, dd,
+        |  CAST(CASE WHEN (a+b) = 0 OR (c+dd) = 0 OR (a+c) = 0
+        |    OR (b+dd) = 0 THEN 0
+        |  ELSE (a + b + c + dd)
+        |    * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+        |    * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * c)
+        |    * 1000
+        |    // (CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd))
+        |  END AS BIGINT) AS chi2_milli
+        |FROM t""".stripMargin,
+    "q818_dup_jaccard_deciles" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |j AS (SELECT overlap * 1000000 // union_size AS jaccard_ppm
+         |  FROM vp)
+         |SELECT CAST(jaccard_ppm // 100000 AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(jaccard_ppm) AS BIGINT) AS min_ppm,
+         |  CAST(max(jaccard_ppm) AS BIGINT) AS max_ppm
+         |FROM j GROUP BY 1""".stripMargin,
+    "q819_sign_test" ->
+      """WITH monthly AS (SELECT
+        |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate)
+        |      AS BIGINT) AS mi,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |lg AS (SELECT y, lag(y) OVER (ORDER BY mi) AS py FROM monthly),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_steps,
+        |    CAST(sum(CASE WHEN y > py THEN 1 ELSE 0 END) AS BIGINT) AS ups,
+        |    CAST(sum(CASE WHEN y < py THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS downs,
+        |    CAST(sum(CASE WHEN y = py THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        |  FROM lg WHERE py IS NOT NULL)
+        |SELECT n_steps, ups, downs, ties,
+        |  CAST(CASE WHEN ups + downs = 0 THEN 0
+        |    ELSE (ups - downs) * (ups - downs) * 1000 // (ups + downs)
+        |  END AS BIGINT) AS z2_milli
+        |FROM agg""".stripMargin,
+    "q820_bigram_bits" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |t2 AS (SELECT list_filter(t, x -> x <> '') AS t FROM toks),
+         |bg0 AS (SELECT t[i] || ' ' || t[i + 1] AS bg
+         |  FROM t2, unnest(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+         |    split_part(bg, ' ', 1) AS w1
+         |  FROM bg0 GROUP BY 1),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |b AS (SELECT c12.c12,
+         |    CAST(length(bin(c1.c1 // c12.c12)) AS BIGINT) AS bits
+         |  FROM c12 JOIN c1 USING (w1)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types,
+         |    CAST(sum(c12) AS BIGINT) AS n_bigram_tokens,
+         |    CAST(sum(c12 * bits) AS BIGINT) AS total_bits FROM b)
+         |SELECT n_bigram_types, n_bigram_tokens, total_bits,
+         |  CAST(total_bits * 1000 // n_bigram_tokens AS BIGINT)
+         |    AS bits_per_token_milli
+         |FROM agg""".stripMargin,
+    "q821_embedding_norms" ->
+      """WITH q AS (SELECT vec_id,
+        |    CAST(floor(CAST(u.x AS DOUBLE) * 1000.0) AS BIGINT) AS qx
+        |  FROM embeddings, unnest(embedding) AS u(x)),
+        |n2 AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS norm2_e6
+        |  FROM q GROUP BY 1)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, n2.norm2_e6
+        |FROM embeddings e JOIN n2 USING (vec_id)
+        |ORDER BY norm2_e6 DESC, vec_id LIMIT 10""".stripMargin,
     "q800_cohens_d" ->
       """WITH x AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents

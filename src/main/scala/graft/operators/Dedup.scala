@@ -21,39 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Release the local-checkpoint RDD backing `df` (no-op for plans that
-    * are not checkpoint-backed). `Dataset.unpersist` only clears
-    * CacheManager entries, so lazily/eagerly checkpointed INTERNAL
-    * relations need this RDD-level release. Only call once nothing will
-    * read `df` again — a local checkpoint has no lineage to recompute
-    * from.
+  /** See [[Seal.releaseCheckpoint]] (hoisted to the shared utility in
+    * round 14 so every operator file applies the same discipline).
     */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    Seal.releaseCheckpoint(df)
 
-  /** Cache-lifecycle seal (round-12 verdict task 4): eagerly materialize
-    * `result` via localCheckpoint — while the operator's internal caches
-    * are still hot — then release those caches (CacheManager-aware
-    * `unpersist` for `.cache()` sites) and internal checkpoints
-    * ([[releaseCheckpoint]] for `.localCheckpoint(…)` sites). The caller
-    * gets a self-contained plan and executor storage stays flat across
-    * repeated invocations; the ONE persisted RDD left behind is the
-    * result's own checkpoint, which the caller owns (the bench harness
-    * releases it between queries; a long-lived session releases it when
-    * done with the result). Round18OpsSpec pins "≤ 1 new persisted RDD
-    * per operator".
+  /** Cache-lifecycle seal — see [[Seal]] (round-12 verdict task 4, Dedup
+    * was the pilot; round-13 verdict task 2 extended it library-wide).
     */
   private def sealOp(result: DataFrame,
                      cached: Seq[DataFrame],
-                     ckpts: Seq[DataFrame] = Nil): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.foreach(_.unpersist(false))
-    ckpts.foreach(releaseCheckpoint)
-    out
-  }
+                     ckpts: Seq[DataFrame] = Nil): DataFrame =
+    Seal(result, cached, ckpts)
 
   /** `n`-token shingles (distinct), space-joined. `slice` is 1-based. */
   def shingles(tokens: Column, n: Int): Column =
@@ -626,6 +606,28 @@ object Dedup {
     */
   private[graft] val SigNumBucketsPrefix = "_SIG_NUMBUCKETS_"
 
+  /** A signature-store root under `java.io.tmpdir` that is PRIVATE to
+    * (this user × this corpus directory) — `graft_<tag>_sig_<hash>`.
+    * A fixed shared name (ADVICE r13) let two concurrent harness runs
+    * interleave publish/vacuum on one root (one run's vacuum deleting the
+    * version the other was mid-reading, or `latestVersion` resolving to
+    * the other run's different-SF corpus), and a pre-existing dir owned
+    * by another user broke the publish outright. Keying the name by
+    * corpus dir + user keeps [[graft.VersionedTable]]'s documented
+    * single-writer assumption honest for the gate queries without a lock
+    * file: different SFs and different users never share a root, and
+    * same-corpus re-runs still reuse (and vacuum) one bounded store.
+    */
+  def sigRoot(tag: String, dataDir: String): String = {
+    val key = dataDir + "|" + System.getProperty("user.name", "")
+    // stable 32-bit FNV-1a, hex — deterministic across JVMs (String.hashCode
+    // is too, but FNV keeps the name well-distributed for short paths)
+    var h = 0x811c9dc5
+    key.foreach { c => h ^= c.toInt; h *= 0x01000193 }
+    new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"),
+      f"graft_${tag}_sig_${h & 0xffffffffL}%08x").getAbsolutePath
+  }
+
   /** Max distinct delta band keys pushed into the stored-corpus parquet
     * scan as an equality-OR filter ([[incrementalPairs]]). On a
     * `sortByBandKey` layout, row-group min/max stats answer the pushed
@@ -712,6 +714,45 @@ object Dedup {
     graft.VersionedTable.vacuum(spark, root, keep = vacuumKeep)
     v
   }
+
+  /** Bucket-count guidance for [[signatureTable]], encoding the measured
+    * Stress16 trade-off so callers stop rediscovering it (round-13
+    * verdict task 6):
+    *
+    *  - more buckets = finer delta pruning. Homogeneous deltas (one
+    *    domain's re-crawl, the point-probe regime) touch few band keys,
+    *    so the read fraction ≈ touched/numBuckets keeps improving —
+    *    measured @10M docs: 64 → 512 buckets cut the homogeneous-delta
+    *    run 13.1 → 6.7 s;
+    *  - DIVERSE deltas touch every bucket whatever the count, so extra
+    *    buckets only add per-directory open/list overhead (mildly WORSE
+    *    at 512 than 64 @10M) and multiply the store's file count
+    *    (64 → 512 files — the object-store listing bill at 100 TB);
+    *  - small corpora are publish-bound, not probe-bound: a <3k-doc
+    *    store at 16 buckets spends ~80% of its wall time in partitioned-
+    *    write commit machinery (q793's instrumented split), so the floor
+    *    targets ≥ [[SigDocsPerBucket]] docs per bucket.
+    *
+    * Result is a power of two in [1, cap]: cap 512 when deltas are
+    * expected homogeneous, 64 when diverse. Pass the corpus size you
+    * already know (an exact count is NOT worth an extra scan — any
+    * order-of-magnitude estimate lands on the same power of two).
+    */
+  def planBuckets(corpusDocs: Long, diverseDeltas: Boolean = false): Int = {
+    require(corpusDocs >= 0)
+    val cap = if (diverseDeltas) 64L else 512L
+    val byDocs = math.max(corpusDocs / SigDocsPerBucket, 1L)
+    val raw = math.min(byDocs, cap)
+    var p = 1L
+    while (p * 2 <= raw) p *= 2
+    p.toInt
+  }
+
+  /** [[planBuckets]]'s docs-per-bucket floor: below this, per-bucket
+    * directory + commit overhead dominates any pruning win (Stress16
+    * file-count table; q793's publish split).
+    */
+  private[graft] val SigDocsPerBucket = 2000L
 
   /** The bucket count recorded with the latest committed signature-table
     * version, when the marker is present (tables published before the

@@ -129,6 +129,22 @@ object Stress16 {
       // row groups — sorted layout + pushed equality-OR vs the unsorted
       // grid store. Run AFTER the grid (reuses its unsorted
       // /tmp/stress16_sig/n10000000_b64).
+      //
+      // BYTES READ per config (round-13 verdict task 4): wall time showed
+      // no sorted-layout win on page-cached local NVMe, but the scaladoc
+      // claims the payoff is COLD object-store reads — prove/refute it by
+      // the scan's own bytesRead: skipped row groups show up as bytes even
+      // when the page cache hides the latency. Counted via a TaskEnd
+      // listener (listener delivery is async — the 1 s settle after each
+      // run bounds undercount to ~0 at these job sizes).
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        })
       val rootU = "/tmp/stress16_sig/n10000000_b64"
       val rootS = "/tmp/stress16_sig/n10000000_b64_sorted"
       val d = docs(10000000L)
@@ -148,12 +164,17 @@ object Stress16 {
         val probe = docs(10000000L)
           .filter(col("doc_id").isin(11L, 21L, 31L))
           .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
+        probe.count() // materialize the (tracked) probe OUTSIDE the meter
+        bytesRead.set(0L)
         time(f"point probe rep=$rep layout=$lbl cap=$cap") {
           val found = Dedup.incrementalPairs(spark, probe, root, "doc_id",
                                              "text", pushdownKeyCap = cap)
             .count()
           println(s"STRESS16 point pairs layout=$lbl cap=$cap found=$found")
         }
+        Thread.sleep(1000) // drain async listener delivery
+        println(f"STRESS16 point bytes layout=$lbl cap=$cap " +
+          f"mb_read=${bytesRead.get() / 1048576.0}%.1f")
         clear()
       }
       spark.stop()
