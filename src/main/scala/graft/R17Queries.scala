@@ -934,6 +934,271 @@ object R17Queries {
         .orderBy(col("norm2_e6").desc, col("vec_id"))
         .limit(10)
     }),
+    "q822_iqr_fences" -> ((s, dir) => {
+      // Tukey IQR fence screen per brand: exact q1/q3 (quantile_disc
+      // ceil-order-stat convention, q732 tier) off the per-brand cell
+      // rollup, fences at ±1.5·IQR in cents (×2 to stay integer:
+      // fence·2 = 2·q3 + 3·IQR), and the count outside them — the boxplot
+      // outlier census, exact in both engines. Never a fact-grain sort:
+      // ranks ride the (brand, cents) cells.
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.spread(s, rd(s, dir, "lineitem"))
+        .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+                expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("cents"))
+        .localCheckpoint(false) // read by the quartile cells AND the census
+      val cells = x.groupBy(col("brand"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wb = Window.partitionBy(col("brand")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cells
+        .withColumn("cum", sum(col("cnt")).over(wb))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("brand"))))
+      val q1 = ranked.filter(expr("cum - cnt < (n + 3L) DIV 4L AND" +
+          " cum >= (n + 3L) DIV 4L"))
+        .select(col("brand"), col("cents").as("q1"))
+      val q3 = ranked.filter(expr("cum - cnt < (3L * n + 3L) DIV 4L AND" +
+          " cum >= (3L * n + 3L) DIV 4L"))
+        .select(col("brand"), col("cents").as("q3"))
+      x.join(broadcast(q1), Seq("brand")).join(broadcast(q3), Seq("brand"))
+        .groupBy(col("brand"), col("q1"), col("q3"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") * 2L >
+                 col("q3") * 2L + (col("q3") - col("q1")) * 3L, 1L)
+               .otherwise(0L)).as("n_above"),
+             sum(when(col("cents") * 2L <
+                 col("q1") * 2L - (col("q3") - col("q1")) * 3L, 1L)
+               .otherwise(0L)).as("n_below"))
+        .select("brand", "q1", "q3", "n", "n_above", "n_below")
+    }),
+    "q823_supplier_gini" -> ((s, dir) => {
+      // Revenue-concentration Gini across suppliers, EXACT: with revenues
+      // sorted ascending and ranked 1..n, G·10⁶ = (2·Σk·y_k − (n+1)·Σy)
+      // ·10⁶ DIV (n·Σy) — the closed form that needs one rank window over
+      // the DIMENSION-sized supplier rollup, no pair join. Numerator
+      // non-negative by the rearrangement inequality (ascending order
+      // maximizes Σk·y_k ≥ (n+1)/2·Σy), so the DIV is floor in both
+      // engines. Envelope: n·Σy ≲ 10⁴·2e14 = 2e18 at 100× sf0.1 — int64.
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      rev
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("y"), col("k"))).cast("long"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             sum(col("y")).as("total_cents"),
+             sum(expr("r * y")).as("rank_weighted"))
+        .withColumn("gini_ppm", expr(
+          "(2L * rank_weighted - (n_suppliers + 1L) * total_cents)" +
+            " * 1000000L DIV (n_suppliers * total_cents)"))
+    }),
+    "q824_lorenz_deciles" -> ((s, dir) => {
+      // Lorenz curve of supplier revenue at the ten decile points:
+      // cumulative revenue share (ppm) held by the bottom k·n DIV 10
+      // suppliers — the curve behind q823's Gini scalar, read for "the
+      // bottom half of suppliers carries X% of revenue". Rank window over
+      // the dimension-sized rollup; decile membership by rank threshold,
+      // shares cross-multiplied exact.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val rev = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val ranked = rev
+        .withColumn("r", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("y"), col("k"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+        .withColumn("tot", sum(col("y")).over(
+          Window.partitionBy(graft.functions.DimKey.one)))
+      val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L).toDF("decile")
+      ranked.crossJoin(broadcast(ds))
+        .filter(expr("r <= n * decile DIV 10L"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             expr("sum(y)").as("cum_cents"),
+             max(col("tot")).as("tot"))
+        .withColumn("cum_share_ppm",
+                    expr("cum_cents * 1000000L DIV tot"))
+        .select("decile", "n_suppliers", "cum_cents", "cum_share_ppm")
+    }),
+    "q825_priority_chi2" -> ((s, dir) => {
+      // Order-priority × order-status independence χ²: per cell the
+      // cross-multiplied term (o·N − rm·cm)²·10³ DIV (N·rm·cm) — a
+      // priority lane whose status mix drifts from the marginals lights
+      // up here before any per-lane drill-down. Cell/margin tables are
+      // category-sized (≤ 5×3); the per-cell numerator (o·N ≈ 2e10 at
+      // sf0.1, squared ≈ 5e20) rides DECIMAL(38)/HUGEINT — the q546
+      // convention.
+      val x = rd(s, dir, "orders")
+        .select(col("o_orderpriority").as("m"), col("o_orderstatus").as("f"))
+        .localCheckpoint(false) // cells + margins read it
+      val cells = x.groupBy(col("m"), col("f")).agg(count(lit(1)).as("o"))
+      val rm = x.groupBy(col("m")).agg(count(lit(1)).as("rm"))
+      val cm = x.groupBy(col("f")).agg(count(lit(1)).as("cm"))
+      val nn = broadcast(x.agg(count(lit(1)).as("nn")))
+      cells.join(broadcast(rm), Seq("m")).join(broadcast(cm), Seq("f"))
+        .crossJoin(nn)
+        .withColumn("term_milli", expr(
+          """CAST((CAST(o AS DECIMAL(38,0)) * nn - CAST(rm AS DECIMAL(38,0)) * cm)
+            | * (CAST(o AS DECIMAL(38,0)) * nn - CAST(rm AS DECIMAL(38,0)) * cm)
+            | * 1000 DIV (CAST(nn AS DECIMAL(38,0)) * rm * cm)
+            | AS BIGINT)""".stripMargin))
+        .agg(count(lit(1)).as("n_cells"),
+             sum(col("term_milli")).as("chi2_milli"))
+    }),
+    "q826_ttr_by_length" -> ((s, dir) => {
+      // Type-token ratio by document-length bucket — the template smell
+      // read at DOC grain (q795's Yule's K reads it at source grain):
+      // natural text's TTR falls with length; template families show
+      // anomalously LOW TTR at every length. Per-doc exact ppm ratio,
+      // averaged per bucket with one more pinned DIV; bucket = tokens
+      // DIV 10.
+      val t = Tables.spread(s, rd(s, dir, "documents"))
+        .select(filter(TextAnalysis.tokens(col("text")), x => x =!= "")
+          .as("t"))
+        .filter(size(col("t")) > 0)
+        .select(size(col("t")).cast("long").as("toks"),
+                size(array_distinct(col("t"))).cast("long").as("types"))
+      t.withColumn("ttr_ppm", expr("types * 1000000L DIV toks"))
+        .groupBy(expr("toks DIV 10L").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("toks")).as("n_tokens"),
+             sum(col("ttr_ppm")).as("ttr_sum"))
+        .withColumn("mean_ttr_ppm", expr("ttr_sum DIV n_docs"))
+        .select("len_bucket", "n_docs", "n_tokens", "mean_ttr_ppm")
+    }),
+    "q827_interarrival_expcheck" -> ((s, dir) => {
+      // Exponential-interarrival check on the global order stream: for an
+      // exponential process mean/median = 1/ln2 ≈ 1.4427, so the exact
+      // mean·10³ DIV median of day gaps between consecutive orders is a
+      // one-number burstiness diagnostic (heavy clustering reads HIGH).
+      // Gaps via one lag over the day-grain order counts; median = the
+      // ceil(n/2) order stat on the gap cells.
+      import org.apache.spark.sql.expressions.Window
+      val days = rd(s, dir, "orders")
+        .select(col("o_orderdate").as("d")).distinct()
+      val gaps = days
+        .withColumn("pd", lag(col("d"), 1).over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d"))))
+        .filter(col("pd").isNotNull)
+        .select(datediff(col("d"), col("pd")).cast("long").as("g"))
+        .localCheckpoint(false) // read by the mean agg AND the median cells
+      val cells = gaps.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = broadcast(cells
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("nn"))))
+        .filter(expr("cum >= (nn + 1L) DIV 2L"))
+        .orderBy(col("g")).limit(1)
+        .select(col("g").as("med")))
+      gaps.crossJoin(med)
+        .agg(count(lit(1)).as("n_gaps"),
+             sum(col("g")).as("sum_gaps"),
+             max(col("med")).as("median_gap"))
+        .withColumn("mean_milli", expr("sum_gaps * 1000L DIV n_gaps"))
+        .withColumn("mean_over_median_milli", expr(
+          "sum_gaps * 1000L DIV (n_gaps * median_gap)"))
+        .select("n_gaps", "sum_gaps", "median_gap", "mean_milli",
+                "mean_over_median_milli")
+    }),
+    "q828_label_centroid_spread" -> ((s, dir) => {
+      // Embedding cluster tightness by LABEL: exact integer centroid
+      // (component mean in the quantized grid, truncating DIV) and the
+      // mean squared distance to it — labels whose members scatter widely
+      // are mislabeled or heterogeneous, read BEFORE training a probe on
+      // them. Two narrow passes (moments, then distances), centroids
+      // broadcast; components quantized floor(double-widened ·10³) like
+      // q821. ssd envelope: dims·(2·10³)²·n ≈ 1e13 at sf0.1 — int64.
+      val q = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                posexplode(expr(
+          """transform(embedding,
+            |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"""
+            .stripMargin)).as(Seq("dim", "qx")))
+        .localCheckpoint(false) // moments AND distances read it
+      // sign-folded (q760 contract): component sums go negative, and
+      // Spark DIV truncates toward zero while DuckDB // floors
+      val cent = q.groupBy(col("label"), col("dim"))
+        .agg(expr(
+          """CASE WHEN sum(qx) >= 0 THEN sum(qx) DIV count(1)
+            |ELSE -((-sum(qx)) DIV count(1)) END""".stripMargin).as("c"))
+      q.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+             sum(expr("(qx - c) * (qx - c)")).as("ssd"))
+        .withColumn("mean_d2", expr("ssd DIV n_vecs"))
+        .select("label", "n_vecs", "ssd", "mean_d2")
+    }),
+    "q829_dup_cross_source" -> ((s, dir) => {
+      // Near-dup pair provenance: how many verified pairs stay WITHIN one
+      // source vs cross two — the leakage direction matters (cross-source
+      // dups mean scrapers copied each other; within-source dups mean
+      // re-crawls). Sealed pair relation joined twice to the doc→source
+      // map (broadcast — dimension-sized at any corpus scale).
+      val d = Tables.spread(s, rd(s, dir, "documents"))
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(d, "doc_id", "text")
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+                                   col("source").as("sa"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+                                   col("source").as("sb"))), Seq("doc_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+                 greatest(col("sa"), col("sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(when(col("sa") === col("sb"), 1L).otherwise(0L))
+               .as("n_within"))
+    }),
+    "q830_quantity_autocorr" -> ((s, dir) => {
+      // Lag-k autocorrelation of daily total quantity at k ∈ {1, 7, 30}
+      // in exact ppm: r_k = Σ(n·y_t − S)(n·y_{t+k} − S) / Σ(n·y_t − S)² —
+      // deviations in the n-scaled integer form (no truncated mean), the
+      // 128-bit product sums the q546 convention, one index self-join per
+      // lag on the calendar-bounded day grid. The weekly/monthly
+      // seasonality readout (r_7 high = weekday structure) beside q807's
+      // variance ratio.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+      val idx = daily
+        .withColumn("i", row_number().over(
+          Window.partitionBy(graft.functions.DimKey.one).orderBy(col("d")))
+          .cast("long"))
+        .select("i", "y")
+        .localCheckpoint(false) // totals + both join sides read it
+      val tot = broadcast(idx.agg(count(lit(1)).as("n"),
+                                  sum(col("y")).as("sy")))
+      val den = broadcast(idx.crossJoin(tot)
+        .agg(sum(expr(
+          "CAST(n * y - sy AS DECIMAL(38,0)) * (n * y - sy)")).as("den")))
+      val ks = Seq(1L, 7L, 30L).toDF("k")
+      idx.crossJoin(broadcast(ks))
+        .join(idx.select(col("i").as("i2"), col("y").as("y2")),
+              col("i2") === col("i") + col("k"))
+        .crossJoin(tot)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_terms"),
+             sum(expr(
+               "CAST(n * y - sy AS DECIMAL(38,0)) * (n * y2 - sy)"))
+               .as("num"))
+        .crossJoin(den)
+        .withColumn("r_ppm", expr(
+          """CAST(CASE WHEN num >= 0 THEN num * 1000000 DIV den
+            |ELSE -((-num) * 1000000 DIV den) END AS BIGINT)"""
+            .stripMargin))
+        .select("k", "n_terms", "r_ppm")
+    }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
       // delivered (N) line prices — the "is the significant difference
@@ -1613,6 +1878,161 @@ object R17Queries {
         |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, n2.norm2_e6
         |FROM embeddings e JOIN n2 USING (vec_id)
         |ORDER BY norm2_e6 DESC, vec_id LIMIT 10""".stripMargin,
+    "q822_iqr_fences" ->
+      """WITH x AS (SELECT p_brand AS brand,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cells AS (SELECT brand, cents, count(*) AS cnt
+        |  FROM x GROUP BY 1, 2),
+        |rk AS (SELECT brand, cents, cnt,
+        |    sum(cnt) OVER (PARTITION BY brand ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY brand) AS n FROM cells),
+        |q1 AS (SELECT brand, cents AS q1 FROM rk
+        |  WHERE cum - cnt < (n + 3) // 4 AND cum >= (n + 3) // 4),
+        |q3 AS (SELECT brand, cents AS q3 FROM rk
+        |  WHERE cum - cnt < (3 * n + 3) // 4 AND cum >= (3 * n + 3) // 4)
+        |SELECT x.brand, CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN cents * 2 > q3 * 2 + (q3 - q1) * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN cents * 2 < q1 * 2 - (q3 - q1) * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM x JOIN q1 ON q1.brand = x.brand JOIN q3 ON q3.brand = x.brand
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q823_supplier_gini" ->
+      """WITH rev AS (SELECT l_suppkey AS k,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT y,
+        |    CAST(row_number() OVER (ORDER BY y, k) AS BIGINT) AS r
+        |  FROM rev),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(y) AS BIGINT) AS total_cents,
+        |    CAST(sum(r * y) AS BIGINT) AS rank_weighted FROM rk)
+        |SELECT n_suppliers, total_cents, rank_weighted,
+        |  CAST((2 * rank_weighted - (n_suppliers + 1) * total_cents)
+        |    * 1000000 // (n_suppliers * total_cents) AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin,
+    "q824_lorenz_deciles" ->
+      """WITH rev AS (SELECT l_suppkey AS k,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT y,
+        |    CAST(row_number() OVER (ORDER BY y, k) AS BIGINT) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(y) OVER () AS BIGINT) AS tot
+        |  FROM rev),
+        |ds AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+        |  AS BIGINT) AS decile)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(y) AS BIGINT) AS cum_cents,
+        |  CAST(sum(y) * 1000000 // max(tot) AS BIGINT) AS cum_share_ppm
+        |FROM rk CROSS JOIN ds WHERE r <= n * decile // 10
+        |GROUP BY 1""".stripMargin,
+    "q825_priority_chi2" ->
+      """WITH x AS (SELECT o_orderpriority AS m, o_orderstatus AS f
+        |  FROM orders),
+        |cells AS (SELECT m, f, CAST(count(*) AS BIGINT) AS o
+        |  FROM x GROUP BY 1, 2),
+        |rmt AS (SELECT m, CAST(count(*) AS BIGINT) AS rm
+        |  FROM x GROUP BY 1),
+        |cmt AS (SELECT f, CAST(count(*) AS BIGINT) AS cm
+        |  FROM x GROUP BY 1),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM x),
+        |terms AS (SELECT
+        |    CAST((CAST(o AS HUGEINT) * nn - CAST(rm AS HUGEINT) * cm)
+        |      * (CAST(o AS HUGEINT) * nn - CAST(rm AS HUGEINT) * cm)
+        |      * 1000 // (CAST(nn AS HUGEINT) * rm * cm) AS BIGINT)
+        |      AS term_milli
+        |  FROM cells JOIN rmt USING (m) JOIN cmt USING (f) CROSS JOIN n0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(term_milli) AS BIGINT) AS chi2_milli
+        |FROM terms""".stripMargin,
+    "q826_ttr_by_length" ->
+      s"""WITH ${SparkEntry.ToksCte},
+         |t2 AS (SELECT list_filter(t, x -> x <> '') AS t FROM toks),
+         |st AS (SELECT CAST(len(t) AS BIGINT) AS toks,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS types
+         |  FROM t2 WHERE len(t) > 0),
+         |pd AS (SELECT toks, types * 1000000 // toks AS ttr_ppm FROM st)
+         |SELECT CAST(toks // 10 AS BIGINT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS mean_ttr_ppm
+         |FROM pd GROUP BY 1""".stripMargin,
+    "q827_interarrival_expcheck" ->
+      """WITH days AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+        |gaps AS (SELECT CAST(date_diff('day', pd, d) AS BIGINT) AS g
+        |  FROM (SELECT d, lag(d) OVER (ORDER BY d) AS pd FROM days)
+        |  WHERE pd IS NOT NULL),
+        |cells AS (SELECT g, count(*) AS cnt FROM gaps GROUP BY 1),
+        |cc AS (SELECT g,
+        |    sum(cnt) OVER (ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS nn FROM cells),
+        |med AS (SELECT min(g) AS med FROM cc WHERE cum >= (nn + 1) // 2),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sum_gaps,
+        |    CAST((SELECT med FROM med) AS BIGINT) AS median_gap
+        |  FROM gaps)
+        |SELECT n_gaps, sum_gaps, median_gap,
+        |  CAST(sum_gaps * 1000 // n_gaps AS BIGINT) AS mean_milli,
+        |  CAST(sum_gaps * 1000 // (n_gaps * median_gap) AS BIGINT)
+        |    AS mean_over_median_milli
+        |FROM agg""".stripMargin,
+    "q828_label_centroid_spread" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(i AS BIGINT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT)
+        |      AS qx
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |cent AS (SELECT label, dim,
+        |    CAST(CASE WHEN sum(qx) >= 0 THEN sum(qx) // count(*)
+        |      ELSE -((-sum(qx)) // count(*)) END AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(sum((qx - c) * (qx - c)) AS BIGINT) AS ssd,
+        |  CAST(sum((qx - c) * (qx - c)) // count(DISTINCT vec_id)
+        |    AS BIGINT) AS mean_d2
+        |FROM q JOIN cent USING (label, dim)
+        |GROUP BY 1""".stripMargin,
+    "q829_dup_cross_source" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |lab AS (SELECT vp.doc_a, vp.doc_b, da.source AS sa,
+         |    db.source AS sb
+         |  FROM vp JOIN documents da ON da.doc_id = vp.doc_a
+         |    JOIN documents db ON db.doc_id = vp.doc_b)
+         |SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_within
+         |FROM lab GROUP BY 1, 2""".stripMargin,
+    "q830_quantity_autocorr" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  y FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM idx),
+        |den AS (SELECT sum(CAST(n * y - sy AS HUGEINT) * (n * y - sy))
+        |    AS den FROM idx CROSS JOIN tot),
+        |ks AS (SELECT CAST(unnest([1, 7, 30]) AS BIGINT) AS k),
+        |nums AS (SELECT k, CAST(count(*) AS BIGINT) AS n_terms,
+        |    sum(CAST(n * a.y - sy AS HUGEINT) * (n * b.y - sy)) AS num
+        |  FROM idx a CROSS JOIN ks JOIN idx b ON b.i = a.i + k
+        |    CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT k, n_terms,
+        |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // (SELECT den FROM den)
+        |  ELSE -((-num) * 1000000 // (SELECT den FROM den)) END AS BIGINT)
+        |    AS r_ppm
+        |FROM nums""".stripMargin,
     "q800_cohens_d" ->
       """WITH x AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
