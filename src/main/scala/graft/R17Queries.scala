@@ -688,21 +688,44 @@ object R17Queries {
           .cast("long"))
         .select("i", "y")
         .localCheckpoint(false)
-      val slopes = idx.as("a")
+      // DISTRIBUTED exact order statistic (the |days|² slope multiset is
+      // millions of near-unique values — a fact-grain global rank window
+      // billed 8.1 s and a single-partition cell window no better): the
+      // global cumulative splits into (a) one DIMENSION-sized window over
+      // ~2k coarse buckets and (b) per-BUCKET cumulative windows that run
+      // in parallel; global cum = bucket prefix + within-bucket prefix.
+      // Truncating DIV bucketing is monotone in the slope, so bucket
+      // order extends value order. The oracle keeps its one-window form —
+      // only the median VALUE and pair count must agree.
+      val cells = idx.as("a")
         .join(broadcast(idx.as("b")), col("b.i") > col("a.i"))
-        .select(col("a.i").as("i"), col("b.i").as("j"),
-                expr(
-          """CASE WHEN b.y >= a.y
+        .select(expr(
+          // first arm guards the divisor: this plan's aggregate pushdown
+          // evaluates the projection before the BNL condition filters
+          // i-ties (ANSI mode makes that a hard DIVIDE_BY_ZERO); the join
+          // condition still drops those rows, so results are unchanged
+          """CASE WHEN b.i <= a.i THEN 0L
+            |WHEN b.y >= a.y
             |  THEN (b.y - a.y) * 1000L DIV (b.i - a.i)
             |ELSE -((a.y - b.y) * 1000L DIV (b.i - a.i)) END""".stripMargin)
                   .as("slope_milli"))
-      val ranked = slopes
-        .withColumn("r", row_number().over(
-          Window.partitionBy(graft.functions.DimKey.one)
-            .orderBy(col("slope_milli"), col("i"), col("j"))).cast("long"))
-        .withColumn("n_pairs", count(lit(1)).over(
+        .groupBy(col("slope_milli")).agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", expr("slope_milli DIV 1000000L"))
+      val wb = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bktTot = cells.groupBy(col("bkt")).agg(sum(col("cnt")).as("btot"))
+        .withColumn("cum_b", sum(col("btot")).over(wb))
+        .withColumn("before", col("cum_b") - col("btot"))
+        .withColumn("n_pairs", sum(col("btot")).over(
           Window.partitionBy(graft.functions.DimKey.one)))
-      ranked.filter(expr("r = (n_pairs + 1L) DIV 2L"))
+        .select("bkt", "before", "n_pairs")
+      val ww = Window.partitionBy(col("bkt")).orderBy(col("slope_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(bktTot), Seq("bkt"))
+        .withColumn("cum", col("before") + sum(col("cnt")).over(ww))
+        .filter(expr("cum >= (n_pairs + 1L) DIV 2L AND " +
+                     "cum - cnt < (n_pairs + 1L) DIV 2L"))
         .select(col("n_pairs"), col("slope_milli").as("median_slope_milli"))
     }),
     "q814_runs_test" -> ((s, dir) => {
@@ -1713,17 +1736,19 @@ object R17Queries {
         |  FROM lineitem GROUP BY 1),
         |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
         |  y FROM daily),
-        |slopes AS (SELECT a.i AS i, b.i AS j,
+        |cells AS (SELECT
         |    CASE WHEN b.y >= a.y THEN (b.y - a.y) * 1000 // (b.i - a.i)
-        |    ELSE -((a.y - b.y) * 1000 // (b.i - a.i)) END AS slope_milli
-        |  FROM idx a JOIN idx b ON b.i > a.i),
-        |rk AS (SELECT slope_milli,
-        |    CAST(row_number() OVER (ORDER BY slope_milli, i, j) AS BIGINT)
-        |      AS r,
-        |    CAST(count(*) OVER () AS BIGINT) AS n_pairs
-        |  FROM slopes)
-        |SELECT n_pairs, slope_milli AS median_slope_milli
-        |FROM rk WHERE r = (n_pairs + 1) // 2""".stripMargin,
+        |    ELSE -((a.y - b.y) * 1000 // (b.i - a.i)) END AS slope_milli,
+        |    count(*) AS cnt
+        |  FROM idx a JOIN idx b ON b.i > a.i GROUP BY 1),
+        |cc AS (SELECT slope_milli, cnt,
+        |    sum(cnt) OVER (ORDER BY slope_milli
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n_pairs FROM cells)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope_milli AS median_slope_milli
+        |FROM cc WHERE cum >= (n_pairs + 1) // 2
+        |  AND cum - cnt < (n_pairs + 1) // 2""".stripMargin,
     "q814_runs_test" ->
       """WITH daily AS (SELECT l_shipdate AS d,
         |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))

@@ -130,11 +130,10 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .withColumn("_bands", // banded inside the cache — see incrementalPairs
+                  graft.functions.MinHashBands(col("_shs"), bands, rows))
       .cache()
-    val sig = withSh.select(
-      col("_id"),
-      graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
-    val bandKeys0 = sig
+    val bandKeys0 = withSh
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band")).as("_bk"))
@@ -181,12 +180,12 @@ object Dedup {
                       rows: Int = 3,
                       tauNum: Int = 1,
                       tauDen: Int = 2): DataFrame = {
-    val (cand, caches) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
+    val (cand, caches, cks) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
     sealOp(cand
       // jaccard >= tauNum/tauDen  <=>  tauDen*overlap >= tauNum*union
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("doc_a", "doc_b", "overlap", "union_size"),
-      cached = caches)
+      cached = caches, ckpts = cks)
   }
 
   /** The 12-component banding grid: every (bands, rows) factorization of a
@@ -280,9 +279,11 @@ object Dedup {
       .cache()
     val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
     val innerCaches = scala.collection.mutable.ArrayBuffer[DataFrame](withSh)
+    val innerCkpts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pairsAt(b: Int, r: Int): DataFrame = {
-      val (pairs, caches) = verifiedPairsFor(withSh, ndocs, b, r)
+      val (pairs, caches, cks) = verifiedPairsFor(withSh, ndocs, b, r)
       innerCaches ++= caches
+      innerCkpts ++= cks
       pairs
         .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
         .select("doc_a", "doc_b")
@@ -304,7 +305,7 @@ object Dedup {
                 col("n_pairs"), col("n_extra"))
     sealOp(statsOf(bandsA, rowsA, pa, pb)
       .unionByName(statsOf(bandsB, rowsB, pb, pa)),
-      cached = innerCaches.toSeq, ckpts = Seq(pa, pb))
+      cached = innerCaches.toSeq, ckpts = Seq(pa, pb) ++ innerCkpts)
   }
 
   /** Banding-efficiency report for (bands, rows) tuning: ONE signature
@@ -321,14 +322,14 @@ object Dedup {
                              rows: Int = 3,
                              tauNum: Int = 1,
                              tauDen: Int = 2): DataFrame = {
-    val (cand, caches) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
+    val (cand, caches, cks) = candidatesWithOverlapC(df, idCol, textCol, n, bands, rows)
     sealOp(cand
       .agg(count(lit(1)).as("n_candidates"),
            sum(when(col("overlap") * tauDen >= col("union_size") * tauNum,
                     lit(1L)).otherwise(lit(0L))).as("n_verified"))
       .withColumn("precision_ppm",
                   expr("n_verified * 1000000 DIV n_candidates")),
-      cached = caches)
+      cached = caches, ckpts = cks)
   }
 
   /** Shared tail of [[minhashLshPairs]] / [[minhashLshBandingStats]]: every
@@ -397,7 +398,7 @@ object Dedup {
                                      bands: Int,
                                      rows: Int,
                                      maxBucket: Int = DefaultMaxBucket,
-                                     pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame]) = {
+                                     pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     // Materialize the shingle array ONCE as a column: the bands*rows minhash
     // expressions and the verification explode all read the attribute instead
     // of re-deriving tokens->shingles per expression (12x fewer md5-array
@@ -407,9 +408,9 @@ object Dedup {
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .cache()
     val ndocs = broadcast(df.agg(count(lit(1)).as("_ndocs")))
-    val (pairs, caches) =
+    val (pairs, caches, cks) =
       verifiedPairsFor(withSh, ndocs, bands, rows, maxBucket, pairBudgetFactor)
-    (pairs, withSh +: caches)
+    (pairs, withSh +: caches, cks)
   }
 
   /** The banded-candidate + exact-verify tail over an ALREADY-MATERIALIZED
@@ -423,12 +424,22 @@ object Dedup {
                                bands: Int,
                                rows: Int,
                                maxBucket: Int = DefaultMaxBucket,
-                               pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame]) = {
+                               pairBudgetFactor: Long = PairBudgetFactor.toLong): (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     // all band keys in one native pass over the shingle array (string-equal
-    // to the per-band md5(concat_ws("|", minhash...)) composition)
+    // to the per-band md5(concat_ws("|", minhash...)) composition).
+    // MATERIALIZED before the explode (r14 Stress17): a Generate whose
+    // input is the live interpreted md5 chain re-drives it per row at
+    // ~15× the one-pass cost; the (id, bands) relation is small (4 hex
+    // strings per doc — the shared shingle cache can't hold per-banding
+    // columns because bandingRecallCompare reuses it across bandings).
+    // MEMORY_AND_DISK_SER (measured: DISK_ONLY round-tripping cost q762
+    // +3 s at sf0.1; serialized-in-memory keeps the barrier cheap while a
+    // 10M-doc corpus spills instead of OOMing); released by the sealing
+    // caller via the caches list.
     val sig = withSh.select(
       col("_id"),
       graft.functions.MinHashBands(col("_shs"), bands, rows).as("_bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bandKeys0 = sig
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
@@ -503,7 +514,7 @@ object Dedup {
                   size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       .select("doc_a", "doc_b", "overlap", "union_size"),
-     Seq(bandSz))
+     Seq(bandSz, sig), Seq.empty)
   }
 
   /** Incremental (delta-vs-corpus) MinHash-LSH near-dup join: banded
@@ -543,11 +554,10 @@ object Dedup {
     def withShOf(df: DataFrame) = df
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .withColumn("_bands", // banded inside the cache — see incrementalPairs
+                  graft.functions.MinHashBands(col("_shs"), bands, rows))
       .cache()
     def bandKeysOf(withSh: DataFrame) = withSh
-      .select(col("_id"),
-              graft.functions.MinHashBands(col("_shs"), bands, rows)
-                .as("_bands"))
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band"))
@@ -691,13 +701,24 @@ object Dedup {
                      // nothing). Turn on for big stores serving point
                      // probes.
                      sortByBandKey: Boolean = false): Long = {
-    val withSh = df
+    // MATERIALIZE the signature relation before the band explode (r14
+    // Stress17 finding): posexplode whose generator input is the live
+    // tokenize→shingle→md5 chain re-drives the whole interpreted
+    // higher-order pipeline through the Generate stage — measured ~15×
+    // the one-pass cost (4.1 s vs 0.25 s at the q793 gate store; the
+    // pair operators never hit this because their shingle relations are
+    // already cache-materialized before banding). DISK_ONLY, not
+    // localCheckpoint: checkpoint blocks are deserialized heap rows and
+    // a 10M-doc corpus OOMed the sorted publish — serialized spill keeps
+    // the barrier memory-safe at any corpus size. Released right after
+    // the write — nothing persists past the call.
+    val sig = df
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
-    val rowsDf = withSh
-      .select(col("_id"), col("_shs"),
-              graft.functions.MinHashBands(col("_shs"), bands, rows)
-                .as("_bands"))
+      .withColumn("_bands",
+                  graft.functions.MinHashBands(col("_shs"), bands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val rowsDf = sig
       .select(col("_id"), col("_shs"),
               posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"), col("_shs"),
@@ -711,6 +732,7 @@ object Dedup {
       spark, rowsDf, root, "_sig_bucket",
       sortCol = if (sortByBandKey) Some("_bk") else None,
       markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
+    sig.unpersist(false)
     graft.VersionedTable.vacuum(spark, root, keep = vacuumKeep)
     v
   }
@@ -834,14 +856,16 @@ object Dedup {
     // duplicate pairs with no error. The parameter survives only as the
     // fallback for legacy tables published before the marker existed.
     val nb = storedSigBuckets(spark, sigRoot).getOrElse(numBuckets)
+    // _bands lives INSIDE the cache (r14 Stress17): the band explode below
+    // then generates from a materialized column instead of re-driving the
+    // 12-md5 chain through the Generate stage per row
     val shNew = delta
       .select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
+      .withColumn("_bands",
+                  graft.functions.MinHashBands(col("_shs"), bands, rows))
       .cache()
     val bn = shNew
-      .select(col("_id"),
-              graft.functions.MinHashBands(col("_shs"), bands, rows)
-                .as("_bands"))
       .select(col("_id"), posexplode(col("_bands")).as(Seq("_pos", "_band")))
       .select(col("_id"),
               concat(col("_pos").cast("string"), lit(":"), col("_band"))
