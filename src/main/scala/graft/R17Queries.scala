@@ -1222,6 +1222,158 @@ object R17Queries {
             .stripMargin))
         .select("k", "n_terms", "r_ppm")
     }),
+    "q831_revenue_tail_ladder" -> ((s, dir) => {
+      // Pareto-tail doubling ladder of supplier revenue: per bit-length
+      // rung k (= ⌊log₂y⌋+1, the q796/q707 float-free log), the supplier
+      // count at the rung, the survivor count at ≥2^(k−1), and the
+      // survivor RATIO to the next rung (a flat ratio across rungs = a
+      // power-law tail; a collapsing one = exponential). Suffix-sum
+      // window over the ≤40-rung ladder — dimension-sized by
+      // construction.
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_suppkey").as("k"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+      val rungs = rev
+        .groupBy(expr("CAST(length(bin(y)) AS BIGINT)").as("rung"))
+        .agg(count(lit(1)).as("n_at"))
+      val wSuf = Window.partitionBy(graft.functions.DimKey.one)
+        .orderBy(col("rung").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rungs
+        .withColumn("n_ge", sum(col("n_at")).over(wSuf))
+        .withColumn("next_ge", lag(col("n_ge"), 1).over(
+          Window.partitionBy(graft.functions.DimKey.one)
+            .orderBy(col("rung").desc)))
+        .withColumn("next_ratio_ppm",
+                    expr("coalesce(next_ge * 1000000L DIV n_ge, 0L)"))
+        .select("rung", "n_at", "n_ge", "next_ratio_ppm")
+    }),
+    "q832_basket_entropy_bits" -> ((s, dir) => {
+      // Basket-size entropy in float-free bits (the q820 bitlen-log
+      // discipline): H ≈ Σ n_c·bitlen(N DIV n_c)·10³ DIV N milli-bits
+      // over the items-per-order distribution — one number for "how
+      // predictable is basket size" (a template/synthetic order stream
+      // reads LOW). Cell rollup first; the entropy fold sees only
+      // distinct sizes.
+      val sizes = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      val cells = sizes.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+      cells
+        .crossJoin(broadcast(cells.agg(sum(col("n_c")).as("n"))))
+        .agg(max(col("n")).as("n_orders"),
+             count(lit(1)).as("n_sizes"),
+             sum(expr("n_c * CAST(length(bin(n DIV n_c)) AS BIGINT)"))
+               .as("total_bits"))
+        .withColumn("h_milli_bits",
+                    expr("total_bits * 1000L DIV n_orders"))
+    }),
+    "q833_lsh_exact_confusion" -> ((s, dir) => {
+      // MinHash-LSH vs the exact n-gram Jaccard baseline at the SAME
+      // τ = 1/2: verified-pair counts, the misses (exact pairs the
+      // banding never collided), and the spurious count PINNED at zero —
+      // LSH candidates pass the exact verification, so lsh ⊆ exact is an
+      // invariant either engine would fail loudly if the pipelines ever
+      // diverged. The measured-recall companion to q282's estimate and
+      // q762's analytic curve.
+      val d = Tables.spread(s, rd(s, dir, "documents"))
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLshPairs(d, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val miss = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val spur = lsh.join(exact, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_spurious"))
+      nE.crossJoin(broadcast(nL)).crossJoin(broadcast(miss))
+        .crossJoin(broadcast(spur))
+        .withColumn("recall_ppm", expr(
+          "CASE WHEN n_exact = 0 THEN 1000000L" +
+            " ELSE n_lsh * 1000000L DIV n_exact END"))
+    }),
+    "q834_seasonality_strength" -> ((s, dir) => {
+      // Month-of-year seasonality strength of daily revenue: between-
+      // group share of total variance in pinned ppm — the "is there a
+      // calendar signal worth modeling" scalar beside q830's
+      // autocorrelation. The statistic is DEFINED on milli-cent
+      // TRUNCATED means (dmu = sm·10³ DIV nm − sy·10³ DIV n, both DIVs
+      // over non-negative sums so floor == truncate in both engines):
+      // the fully n-scaled deviation form looked exact but its
+      // dm² DIV nm term silently demanded a >int64 LONG (the q810
+      // DIV-returns-LONG contract — first caught by ANSI overflow here).
+      // ssb·10⁶ = Σ nm·dmu² and n·SST = n·syy − sy² both ride
+      // DECIMAL(38); strength_ppm = ssb_k2·n DIV sst2 with a provably
+      // ≤10⁶ LONG result. Envelope: ssb_k2·n ≈ 5e30 at sf0.1, inside
+      // DECIMAL(38) to ~100× day-grain revenue.
+      val daily = Tables.spread(s, rd(s, dir, "lineitem"))
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("y"))
+        .withColumn("m", month(col("d")).cast("long"))
+        .localCheckpoint(false) // totals + month cells read it
+      val tot = broadcast(daily.agg(
+        count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy")))
+      val months = daily.groupBy(col("m"))
+        .agg(count(lit(1)).as("nm"), sum(col("y")).as("sm"))
+      months.crossJoin(tot)
+        .withColumn("dmu", expr("sm * 1000L DIV nm - sy * 1000L DIV n"))
+        .agg(max(col("n")).as("n_days"),
+             count(lit(1)).as("n_months"),
+             sum(expr("nm * CAST(dmu AS DECIMAL(38,0)) * dmu"))
+               .as("ssb_k2"),
+             max(expr(
+               "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+               .as("sst2"))
+        // ssb_k2 = SSB·10⁶ and sst2 = n·SST, so the ppm ratio is ONE DIV:
+        // (SSB·10⁶)·n / (n·SST) = ssb_k2·n DIV sst2
+        .withColumn("strength_ppm", expr(
+          """CAST(CASE WHEN sst2 = 0 THEN 0
+            |ELSE ssb_k2 * n_days DIV sst2 END AS BIGINT)""".stripMargin))
+        .select("n_days", "n_months", "strength_ppm")
+    }),
+    "q835_spearman_midrank" -> ((s, dir) => {
+      // Spearman rank correlation between line price and quantity, EXACT
+      // with ties via doubled midranks (the q765 convention:
+      // midrank2(v) = 2·cnt(<v) + cnt(=v) + 1 keeps everything integer):
+      // ρ·10⁶ = 10⁶ − 6·Σd²·10⁶ DIV (4·n·(n²−1)) with d = the doubled
+      // rank difference. Ranks ride the value-CELL rollups (one prefix
+      // window over each variable's distinct values, never a fact-grain
+      // sort); facts join the two broadcast rank maps. Σd² ≈ 9e17 at
+      // sf0.1 and the ppm numerator needs 128-bit — the q546 convention.
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.spread(s, rd(s, dir, "lineitem"))
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+                  .as("px"),
+                expr("CAST(l_quantity AS BIGINT)").as("qy"))
+        .localCheckpoint(false) // two rank maps + the fact join read it
+      def rankMap(c: String) = {
+        val cells = x.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(graft.functions.DimKey.one)
+          .orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.withColumn("cum", sum(col("cnt")).over(w))
+          .select(col(c),
+                  (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+                    .as(s"r_$c"))
+      }
+      x.join(broadcast(rankMap("px")), Seq("px"))
+        .join(broadcast(rankMap("qy")), Seq("qy"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr(
+               "CAST(r_px - r_qy AS DECIMAL(38,0)) * (r_px - r_qy)"))
+               .as("sum_d2"))
+        .withColumn("rho_ppm", expr(
+          """CAST(1000000 - 6 * sum_d2 * 1000000
+            | DIV (4 * CAST(n AS DECIMAL(38,0)) * (n * n - 1))
+            | AS BIGINT)""".stripMargin))
+        // sum_d2 stays internal (≈4n³ passes int64 only to ~10⁶ rows;
+        // the 128-bit value would stringify differently per engine)
+        .select(col("n"), col("rho_ppm"))
+    }),
     "q800_cohens_d" -> ((s, dir) => {
       // Cohen's d standardized effect size between returned (R) and
       // delivered (N) line prices — the "is the significant difference
@@ -2058,6 +2210,106 @@ object R17Queries {
         |  ELSE -((-num) * 1000000 // (SELECT den FROM den)) END AS BIGINT)
         |    AS r_ppm
         |FROM nums""".stripMargin,
+    "q831_revenue_tail_ladder" ->
+      """WITH rev AS (SELECT l_suppkey AS k,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1),
+        |rungs AS (SELECT CAST(length(bin(y)) AS BIGINT) AS rung,
+        |    CAST(count(*) AS BIGINT) AS n_at FROM rev GROUP BY 1),
+        |suf AS (SELECT rung, n_at,
+        |    CAST(sum(n_at) OVER (ORDER BY rung DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_ge
+        |  FROM rungs)
+        |SELECT rung, n_at, n_ge,
+        |  CAST(coalesce(lag(n_ge) OVER (ORDER BY rung DESC) * 1000000
+        |    // n_ge, 0) AS BIGINT) AS next_ratio_ppm
+        |FROM suf""".stripMargin,
+    "q832_basket_entropy_bits" ->
+      """WITH sizes AS (SELECT l_orderkey, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cells AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c
+        |  FROM sizes GROUP BY 1),
+        |n0 AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM cells),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_orders,
+        |    CAST(count(*) AS BIGINT) AS n_sizes,
+        |    CAST(sum(n_c * length(bin(n // n_c))) AS BIGINT) AS total_bits
+        |  FROM cells CROSS JOIN n0)
+        |SELECT n_orders, n_sizes, total_bits,
+        |  CAST(total_bits * 1000 // n_orders AS BIGINT) AS h_milli_bits
+        |FROM agg""".stripMargin,
+    "q833_lsh_exact_confusion" ->
+      s"""WITH ${SparkEntry.MinhashPairsCtes},
+         |vp AS (${SparkEntry.JaccardTailSql}),
+         |xp0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS overlap
+         |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |xp AS (SELECT doc_a, doc_b FROM xp0
+         |  JOIN sizes sx ON sx.doc_id = doc_a
+         |  JOIN sizes sy ON sy.doc_id = doc_b
+         |  WHERE overlap * 2 >= (sx.n + sy.n - overlap) * 1),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM xp),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM vp),
+         |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_missed FROM xp
+         |  WHERE NOT EXISTS (SELECT 1 FROM vp
+         |    WHERE vp.doc_a = xp.doc_a AND vp.doc_b = xp.doc_b)),
+         |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_spurious FROM vp
+         |  WHERE NOT EXISTS (SELECT 1 FROM xp
+         |    WHERE xp.doc_a = vp.doc_a AND xp.doc_b = vp.doc_b))
+         |SELECT n_exact, n_lsh, n_missed, n_spurious,
+         |  CAST(CASE WHEN n_exact = 0 THEN 1000000
+         |    ELSE n_lsh * 1000000 // n_exact END AS BIGINT) AS recall_ppm
+         |FROM ne CROSS JOIN nl CROSS JOIN ms CROSS JOIN sp""".stripMargin,
+    "q834_seasonality_strength" ->
+      """WITH daily AS (SELECT l_shipdate AS d,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS y, month(l_shipdate) AS m
+        |  FROM lineitem GROUP BY 1, 3),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy FROM daily),
+        |months AS (SELECT m, CAST(count(*) AS BIGINT) AS nm,
+        |    CAST(sum(y) AS BIGINT) AS sm FROM daily GROUP BY 1),
+        |t AS (SELECT nm,
+        |    sm * 1000 // nm - sy * 1000 // n AS dmu,
+        |    n, sy, syy FROM months CROSS JOIN tot),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_months,
+        |    sum(nm * CAST(dmu AS HUGEINT) * dmu) AS ssb_k2,
+        |    max(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)
+        |      AS sst2
+        |  FROM t)
+        |SELECT n_days, n_months,
+        |  CAST(CASE WHEN sst2 = 0 THEN 0
+        |    ELSE ssb_k2 * n_days // sst2 END AS BIGINT) AS strength_ppm
+        |FROM agg""".stripMargin,
+    "q835_spearman_midrank" ->
+      """WITH x AS (SELECT
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS px,
+        |    CAST(l_quantity AS BIGINT) AS qy FROM lineitem),
+        |cpx AS (SELECT px, count(*) AS cnt FROM x GROUP BY 1),
+        |rpx AS (SELECT px,
+        |    2 * (sum(cnt) OVER (ORDER BY px
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r_px
+        |  FROM cpx),
+        |cqy AS (SELECT qy, count(*) AS cnt FROM x GROUP BY 1),
+        |rqy AS (SELECT qy,
+        |    2 * (sum(cnt) OVER (ORDER BY qy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r_qy
+        |  FROM cqy),
+        |j AS (SELECT r_px, r_qy FROM x
+        |  JOIN rpx USING (px) JOIN rqy USING (qy)),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r_px - r_qy AS HUGEINT) * (r_px - r_qy)) AS sum_d2
+        |  FROM j)
+        |SELECT n,
+        |  CAST(1000000 - 6 * sum_d2 * 1000000
+        |    // (4 * CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_ppm
+        |FROM agg""".stripMargin,
     "q800_cohens_d" ->
       """WITH x AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents

@@ -639,15 +639,23 @@ object Dedup {
   }
 
   /** Max distinct delta band keys pushed into the stored-corpus parquet
-    * scan as an equality-OR filter ([[incrementalPairs]]). On a
-    * `sortByBandKey` layout, row-group min/max stats answer the pushed
-    * equalities, so a POINT PROBE (one doc / a handful — the streaming
-    * ingest "is this a dup?" shape) reads a few row groups instead of
-    * every touched bucket. The cap is deliberately SMALL: Stress16
-    * measured a 200-term Or chain as pure per-row cost (3× slower at 1M)
-    * whenever bucket files hold few row groups — the filter's win regime
-    * is few keys × many row groups, and past the cap the collision
+    * scan as an equality-OR filter ([[incrementalPairs]]). The cap is
+    * deliberately SMALL: Stress16 measured a 200-term Or chain as pure
+    * per-row cost (3× slower at 1M), and past the cap the collision
     * semi-join (always on) already bounds the post-scan work.
+    *
+    * What the pushed filter buys — MEASURED, r14 Stress16 point mode at
+    * 10M docs with per-config `bytesRead`: the point-probe wall time
+    * drops ~40% warm (1.95 s vs 3.3 s), but the BYTES READ are
+    * byte-identical across sorted/unsorted × cap32/cap0 (3,040 MB — the
+    * full touched buckets, every config). The win is ROW-dropping at the
+    * scan operator (fewer rows decoded into the downstream pipeline),
+    * NOT row-group skipping: the r13 claim that a `sortByBandKey` layout
+    * would let min/max stats skip bytes on cold object-store reads is
+    * REFUTED at this store shape — the measured byte ratio is 1.0, so
+    * the sorted layout buys nothing the unsorted one doesn't. The sort
+    * remains available but carries no measured read-side benefit; its
+    * publish cost (~5% at 10M) is the only difference.
     */
   private[graft] val SigPushdownKeyCap = 32
 
@@ -690,49 +698,60 @@ object Dedup {
                      rows: Int = 3,
                      numBuckets: Int = DefaultSigBuckets,
                      vacuumKeep: Int = 2,
-                     // Stress16 lever-b dial: sort each bucket by _bk at
-                     // write time so row-group min/max stats answer the
-                     // delta probe's pushed point filters. OFF by default:
-                     // the sort moves every fat shingle row once more at
-                     // publish (~60% extra, Stress16 probe), and pays back
-                     // only when bucket files span MANY row groups (≥100M
-                     // docs at default bucketing — at gate scale each
-                     // bucket is a single row group and stats prune
-                     // nothing). Turn on for big stores serving point
-                     // probes.
+                     // Stress16 lever-b dial, DEMOTED by measurement
+                     // (r14 point mode, per-config bytesRead at 10M):
+                     // sorted and unsorted layouts read byte-identical
+                     // volumes under the pushed point filter (3,040 MB,
+                     // ratio exactly 1.0) — row-group min/max stats skip
+                     // nothing at this store shape, so the r13 cold-read
+                     // hypothesis is refuted, not just unmeasurable. The
+                     // pushed filter's real ~40% wall win is row-dropping
+                     // at the scan, which the unsorted layout gets
+                     // equally. OFF by default; the sort buys only a
+                     // cosmetically clustered file at ~5% publish cost.
                      sortByBandKey: Boolean = false): Long = {
-    // MATERIALIZE the signature relation before the band explode (r14
-    // Stress17 finding): posexplode whose generator input is the live
-    // tokenize→shingle→md5 chain re-drives the whole interpreted
-    // higher-order pipeline through the Generate stage — measured ~15×
-    // the one-pass cost (4.1 s vs 0.25 s at the q793 gate store; the
-    // pair operators never hit this because their shingle relations are
-    // already cache-materialized before banding). DISK_ONLY, not
-    // localCheckpoint: checkpoint blocks are deserialized heap rows and
-    // a 10M-doc corpus OOMed the sorted publish — serialized spill keeps
-    // the barrier memory-safe at any corpus size. Released right after
-    // the write — nothing persists past the call.
-    val sig = df
-      .select(col(idCol).as("_id"),
+    // MATERIALIZE the banded signature relation before the band explode
+    // (r14 Stress17 finding): posexplode whose generator input is the
+    // live md5-banding chain re-drives the interpreted higher-order
+    // pipeline through the Generate stage — measured ~15× the one-pass
+    // cost (4.1 s vs 0.25 s at the q793 gate store; the pair operators
+    // never hit the full penalty because their shingle relations are
+    // cache-materialized before banding). ONLY a storage-backed
+    // materialization removes the penalty — an exchange between bands
+    // and explode measured no better than the live chain — and block-
+    // store variants (localCheckpoint, DISK_ONLY persist) both OOMed the
+    // 8 GB JVM on the 10M-doc publish, so the barrier is a TEMP PARQUET
+    // spill under the table root: the same streaming writer the publish
+    // itself runs at 4× this volume (shingles ride every band row in the
+    // final layout; the spill holds them once), bounded memory at any
+    // corpus size, deleted after the commit.
+    val buildTmp = s"$root/_sig_build_tmp"
+    df.select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .withColumn("_bands",
                   graft.functions.MinHashBands(col("_shs"), bands, rows))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val rowsDf = sig
-      .select(col("_id"), col("_shs"),
-              posexplode(col("_bands")).as(Seq("_pos", "_band")))
-      .select(col("_id"), col("_shs"),
-              concat(col("_pos").cast("string"), lit(":"), col("_band"))
-                .as("_bk"))
-      .withColumn("_n", size(col("_shs")).cast("long"))
-      .crossJoin(broadcast(
-        df.select(col(idCol)).agg(count(lit(1)).as("_ndocs"))))
-      .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
-    val v = graft.VersionedTable.publishPartitioned(
-      spark, rowsDf, root, "_sig_bucket",
-      sortCol = if (sortByBandKey) Some("_bk") else None,
-      markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
-    sig.unpersist(false)
+      .write.mode("overwrite").parquet(buildTmp)
+    val v = try {
+      val sig = spark.read.parquet(buildTmp)
+      val rowsDf = sig
+        .select(col("_id"), col("_shs"),
+                posexplode(col("_bands")).as(Seq("_pos", "_band")))
+        .select(col("_id"), col("_shs"),
+                concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                  .as("_bk"))
+        .withColumn("_n", size(col("_shs")).cast("long"))
+        .crossJoin(broadcast(
+          df.select(col(idCol)).agg(count(lit(1)).as("_ndocs"))))
+        .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
+      graft.VersionedTable.publishPartitioned(
+        spark, rowsDf, root, "_sig_bucket",
+        sortCol = if (sortByBandKey) Some("_bk") else None,
+        markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(buildTmp)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
+    }
     graft.VersionedTable.vacuum(spark, root, keep = vacuumKeep)
     v
   }
