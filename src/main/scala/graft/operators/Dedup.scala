@@ -769,10 +769,14 @@ object Dedup {
     *    buckets only add per-directory open/list overhead (mildly WORSE
     *    at 512 than 64 @10M) and multiply the store's file count
     *    (64 → 512 files — the object-store listing bill at 100 TB);
-    *  - small corpora are publish-bound, not probe-bound: a <3k-doc
-    *    store at 16 buckets spends ~80% of its wall time in partitioned-
-    *    write commit machinery (q793's instrumented split), so the floor
-    *    targets ≥ [[SigDocsPerBucket]] docs per bucket.
+    *  - small corpora gain nothing from pruning granularity (a gate-
+    *    scale probe reads the whole store in one task either way) while
+    *    every extra bucket is another directory to create, list, and
+    *    vacuum per republish — so the floor targets ≥
+    *    [[SigDocsPerBucket]] docs per bucket. (r13's "80% commit
+    *    machinery" split was re-measured in r14 and reattributed — see
+    *    the Generate-barrier note at [[signatureTable]] — but the
+    *    file-count argument stands on its own.)
     *
     * Result is a power of two in [1, cap]: cap 512 when deltas are
     * expected homogeneous, 64 when diverse. Pass the corpus size you
