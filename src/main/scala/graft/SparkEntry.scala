@@ -71,7 +71,7 @@ object SparkEntry {
                 updatedAtCol = "l_shipdate"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries ++ R14Queries.queries ++ R15Queries.queries ++ R16Queries.queries ++ R17Queries.queries
+    baseQueries ++ sketchQueries ++ r6Queries ++ R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries ++ R14Queries.queries ++ R15Queries.queries ++ R16Queries.queries ++ R17Queries.queries ++ R18Queries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- SCD2 (SURVEY §2: S1-S4, P1-P7, J1-J4, D1/D4, W1-W7, U1) ---------
@@ -8409,7 +8409,7 @@ object SparkEntry {
         |FROM o GROUP BY 1""".stripMargin
   )
 
-  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ R8Queries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql ++ R13Queries.oracleSql ++ R14Queries.oracleSql ++ R15Queries.oracleSql ++ R16Queries.oracleSql ++ R17Queries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] = r6Oracle ++ R7Queries.oracleSql ++ R8Queries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql ++ R13Queries.oracleSql ++ R14Queries.oracleSql ++ R15Queries.oracleSql ++ R16Queries.oracleSql ++ R17Queries.oracleSql ++ R18Queries.oracleSql ++ Map(
     // q198: the store after three streamed micro-batches must equal the
     // one-shot rollup over the same rows (merge algebra == full recompute).
     "q198_stream_rollup" ->

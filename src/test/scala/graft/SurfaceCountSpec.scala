@@ -9,7 +9,7 @@ package graft
   */
 class SurfaceCountSpec extends SparkTestBase {
 
-  private val Floor = 835
+  private val Floor = 838
 
   test(s"query surface has at least $Floor oracle-checked entries") {
     val q = SparkEntry.queries.keySet
