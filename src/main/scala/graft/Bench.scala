@@ -266,20 +266,30 @@ object Bench {
     // the min-of-passes defense failed for that query — re-time it once at
     // the end (the tail of the run is empirically the quietest stretch).
     val windowOf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded): the elapsed-until-crash time of a FAILED
+    // run is not a measurement (ADVICE r14 — a regressed query that now
+    // fails fast would "retime clean" through math.min), so callers that
+    // fold a sample back in must check the flag. The main timing loop keeps
+    // folding regardless: a failure there bills the full elapsed time and
+    // the stderr line plus the query's own correctness gate surface it.
+    def runOnceChecked(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val s = (System.nanoTime() - t0) / 1e9
       // localCheckpoint RDDs persist until the session dies; across 80+
       // queries they pile up in the executor heap and the GC pressure shows
       // up as 5-10x outliers on late queries. Nothing carries state across
       // queries, so release them between measurements.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      s
+      (s, ok)
     }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      runOnceChecked(name, fn)._1
     val samples = Array.fill(ordered.size)(Double.MaxValue)
     for (rep <- 1 to reps) {
       val base = canaries.size // windows already closed by prior reps
@@ -363,13 +373,16 @@ object Bench {
         case Some(txt) =>
           val cur = ordered.indices
             .map(i => keyOf(ordered(i)._1, prefixes(i)) -> samples(i))
+          // None on a FAILED retime (ADVICE r14): the None contract keeps
+          // the mover flag, and the bogus elapsed-until-crash sample never
+          // reaches the math.min fold.
           def retimeFor(k: String): Option[Double] =
-            keyToIdx.get(k).map { i =>
+            keyToIdx.get(k).flatMap { i =>
               val (nm, fn) = ordered(i)
-              val s = runOnce(nm, fn)
+              val (s, ok) = runOnceChecked(nm, fn)
               System.err.println(
-                f"[bench] noisy-box retime $nm: $s%.2f s (was ${samples(i)}%.2f)")
-              s
+                f"[bench] noisy-box retime $nm: $s%.2f s ok=$ok (was ${samples(i)}%.2f)")
+              if (ok) Some(s) else None
             }
           val (ks, d, ups) = adjudicateMoved(txt, cur, wideSpread,
             retimeFor, curSf = Some(new java.io.File(sfDir).getName))
@@ -385,7 +398,7 @@ object Bench {
     // batches x calibrated per-batch cost, next to the billed seconds, so
     // a judge reading the streaming subtotal can subtract the harness
     // floor before calling a stream query expensive.
-    locally {
+    val harnessTotal = {
       var totalHarness = 0.0
       for (i <- ordered.indices if streamBatches(i) > 0L) {
         val h = streamBatches(i) * harnessPerBatch
@@ -396,6 +409,7 @@ object Bench {
       }
       System.err.println(
         f"[bench] harness total ~ $totalHarness%.1f s of the streaming subtotal")
+      totalHarness
     }
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (rounds 1-2 recorded parsed:null because
@@ -476,8 +490,12 @@ object Bench {
     // drift VALUE itself raises a flag that forces adjudication.
     val driftAlert =
       if (drift > DriftAlertBound) ""","drift_alert":1""" else ""
+    // streaming_harness (round-14 verdict task 8): the measured fixed
+    // MemoryStream micro-batch lifecycle cost inside the streaming
+    // subtotal, on the LINE so cross-round streaming comparisons subtract
+    // it mechanically instead of eyeballing the stderr tail.
     def line(qs: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"streaming_harness":${fmt(harnessTotal, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"queries":$qs,"sf":"$sfName"}"""
     val full = line(qsJson(fmtTrim))
     // Adaptive guard: if a slow run inflates values past the window budget,
     // fall back to integer-rounded per-query seconds rather than risk the
@@ -494,7 +512,7 @@ object Bench {
       else {
         val top = results.zip(prefixes)
           .sortBy { case ((k, v), _) => (-v, k) }.take(80)
-        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","batch":$batchSec,"streaming":${fmt(streamSec, 2)},"streaming_harness":${fmt(harnessTotal, 2)},"canary_spread":$cspread,"contended":$contended,"moved":$moved,"drift":${fmt(drift, 2)}$driftAlert,"n":${results.size},"qshown":${top.size},"queries":${qsJsonOf(top, fmtTrim)},"sf":"$sfName"}"""
       }
     println(out)
     spark.stop()

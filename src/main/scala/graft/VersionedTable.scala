@@ -203,6 +203,17 @@ object VersionedTable {
           .map(org.apache.spark.sql.functions.col): _*))
     val writer = sorted.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(dir)
+    // An EMPTY snapshot can land ZERO part files (a partitionBy write
+    // creates files only per encountered partition value; an empty
+    // local relation plans zero tasks), after which schema inference
+    // rejects every read of the committed version (ADVICE r14, surfaced
+    // by signatureTable's build barrier). Land the schema explicitly: one
+    // flat zero-row part file — the partition column rides as a DATA
+    // column there, so partitioned readers still see the full schema.
+    val hasDataFiles = f.listStatus(new Path(dir)).exists(s =>
+      s.isDirectory || s.getPath.getName.startsWith("part-"))
+    if (!hasDataFiles)
+      sorted.limit(0).repartition(1).write.mode("append").parquet(dir)
     batchToken.foreach(t =>
       f.create(new Path(s"$dir/$BatchPrefix$t"), true).close())
     val files =

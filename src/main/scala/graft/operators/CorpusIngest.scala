@@ -81,14 +81,19 @@ object CorpusIngest {
       .filter(col("_rn") === 1).drop("_rn")
     // Lifecycle: this operator returns a VERSION NUMBER — after the final
     // publish action nothing of its internal state is ever read again, so
-    // every persisted RDD it (or the sealed operators it composes) created
-    // is released by the snapshot diff at the end. Zero left behind.
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // it releases its OWN internals explicitly (ADVICE r14: the previous
+    // session-wide getPersistentRDDs snapshot diff could unpersist a
+    // concurrent thread's lineage-free localCheckpoint — a public library
+    // operator must only ever touch RDDs it created). Zero left behind.
     // within-batch near-dup clusters: min-id canonical survives
-    val batchKept = Dedup.keepCanonical(
-      batchExact, "doc_id",
-      Dedup.minhashLshPairs(batchExact, "doc_id", "text", n, bands, rows,
-                            tauNum, tauDen)).localCheckpoint()
+    val pairs = Dedup.minhashLshPairs(batchExact, "doc_id", "text", n, bands,
+                                      rows, tauNum, tauDen)
+    // keepCanonical returns a LAZY anti-join owning one sealed loser-set
+    // checkpoint inside the plan; `pairs` is fully consumed by it
+    val kept = Dedup.keepCanonical(batchExact, "doc_id", pairs)
+    val batchKept = kept.localCheckpoint()
+    Seal.releaseCheckpoint(pairs)
+    Seal.releaseCheckpoints(kept) // the loser set baked into kept's plan
 
     def bandKeys(df: DataFrame) = df
       .select(col("doc_id"),
@@ -125,9 +130,7 @@ object CorpusIngest {
             .select(existing.columns.map(col).toSeq: _*))
     }
     val v = VersionedTable.publish(spark, next, root)
-    spark.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => !persistedBefore.contains(id) }
-      .values.foreach(_.unpersist(false))
+    Seal.releaseCheckpoint(batchKept)
     v
   }
 }

@@ -659,6 +659,27 @@ object Dedup {
     */
   private[graft] val SigPushdownKeyCap = 32
 
+  /** Max distinct delta band keys the [[incrementalPairs]] collision
+    * semi-join will BROADCAST (round-14 verdict task 1). Below the cap —
+    * every incremental regime this store is built for (10k-doc deltas
+    * carry ~40k keys) — the explicit broadcast is exactly right: one
+    * hash-relation ships once, the probe rides the pruned scan, no
+    * shuffle. But `broadcast()` is a hint Spark honors regardless of
+    * `autoBroadcastJoinThreshold`, and the operator's contract is
+    * "delta", not "small": a bulk delta (a day's crawl at 100 TB) carries
+    * millions of distinct keys — hundreds of MB shipped to every executor
+    * and pinned on the driver, an OOM with no graceful degrade. Past the
+    * cap the join falls back to a plain shuffle `left_semi` — one extra
+    * exchange on `_bk`, still O(colliding rows) downstream, and
+    * pair-identical (spec-pinned across the gate). 1M string keys ≈
+    * 20-30 MB broadcast — comfortably inside executor/driver budgets
+    * while leaving the whole measured regime on the fast path. The count
+    * is free: `deltaKeys` is already materialized (localCheckpoint) for
+    * the pushdown sample, so counting it scans checkpoint blocks, not the
+    * delta pipeline.
+    */
+  private[graft] val SigBroadcastKeyCap = 1000000L
+
   /** Persist the corpus MinHash signature STATE as a [[graft.VersionedTable]]
     * (round-11 verdict task 4): the real ingest shape stores the standing
     * corpus's signatures once and each delta run reads only the stored
@@ -726,13 +747,18 @@ object Dedup {
     // final layout; the spill holds them once), bounded memory at any
     // corpus size, deleted after the commit.
     val buildTmp = s"$root/_sig_build_tmp"
-    df.select(col(idCol).as("_id"),
+    val built = df.select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .withColumn("_bands",
                   graft.functions.MinHashBands(col("_shs"), bands, rows))
-      .write.mode("overwrite").parquet(buildTmp)
+    built.write.mode("overwrite").parquet(buildTmp)
     val v = try {
-      val sig = spark.read.parquet(buildTmp)
+      // Explicit schema (ADVICE r14): an EMPTY corpus writes zero part
+      // files, which schema inference rejects — with the build relation's
+      // own schema the read degrades to an empty, correctly-typed frame
+      // and the publish lands an empty table, matching the old fully-lazy
+      // pipeline's behavior.
+      val sig = spark.read.schema(built.schema).parquet(buildTmp)
       val rowsDf = sig
         .select(col("_id"), col("_shs"),
                 posexplode(col("_bands")).as(Seq("_pos", "_band")))
@@ -872,7 +898,11 @@ object Dedup {
                        numBuckets: Int = DefaultSigBuckets,
                        // Stress16 measurement dial: 0 disables the pushed
                        // band-key filter entirely.
-                       pushdownKeyCap: Int = SigPushdownKeyCap): DataFrame = {
+                       pushdownKeyCap: Int = SigPushdownKeyCap,
+                       // Collision semi-join build-side gate dial
+                       // ([[SigBroadcastKeyCap]]); 0 forces the shuffle
+                       // path (the gate spec's lever).
+                       broadcastKeyCap: Long = SigBroadcastKeyCap): DataFrame = {
     // STORED bucket count wins over the parameter (ADVICE r12): probing
     // with a mismatched modulus would name _sig_bucket dirs that don't
     // exist and readLatestPartitions would silently skip them — missing
@@ -899,13 +929,19 @@ object Dedup {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val corpus0 = graft.VersionedTable
       .readLatestPartitions(spark, sigRoot, "_sig_bucket", touched)
-    // Within-bucket band-key pruning (Stress16 lever b): the publish sorts
-    // each bucket by _bk, so pushing the delta's distinct band keys as an
-    // equality-OR parquet filter lets row-group min/max stats skip most of
-    // a touched bucket's bytes — INCLUDING the fat _shs shingle pages —
-    // when the delta's key diversity is low. Past [[SigPushdownKeyCap]]
-    // keys the filter is dropped: a diverse delta touches most row groups
-    // anyway. take(cap+1) bounds the driver-side key collection.
+    // Point-probe band-key pushdown: ≤ [[SigPushdownKeyCap]] distinct delta
+    // band keys ride into the parquet scan as an equality-OR filter. What
+    // that buys is ROW-dropping at the scan operator (~40% wall warm at
+    // 10M, fewer rows decoded into the downstream pipeline) — NOT byte
+    // skipping: the r14 bytesRead measurement found byte-identical volumes
+    // (ratio exactly 1.0) across sorted/unsorted layouts × filter on/off,
+    // so row-group min/max stats prune nothing at this store shape and the
+    // `sortByBandKey` layout is demoted (see [[SigPushdownKeyCap]] /
+    // [[signatureTable]]'s parameter note — do not re-chase the skip
+    // hypothesis). Past the cap the filter is dropped: a 200-term Or chain
+    // measured as pure per-row cost, and the collision semi-join below
+    // already bounds post-scan work. take(cap+1) bounds the driver-side
+    // key collection.
     // checkpointed: read THREE times (key-cap sample, broadcast build,
     // and the sample path's filter literals) — the distinct is one
     // delta-sized shuffle, paid once
@@ -918,13 +954,19 @@ object Dedup {
         corpus0.filter(keySample.map(r => col("_bk") === lit(r.getString(0)))
           .reduce(_ || _))
       else corpus0
-    // Collision pre-filter: a broadcast semi-join on the delta's band keys
-    // drops every stored row that collides with nothing BEFORE the guard
+    // Collision pre-filter: a semi-join on the delta's band keys drops
+    // every stored row that collides with nothing BEFORE the guard
     // aggregate and candidate join shuffle on _bk (every downstream
     // relation inner-joins to delta keys anyway, so this is pure pruning —
     // it turns the post-scan cost from O(touched-bucket rows) into
-    // O(colliding rows) even when the pushed filter is dropped).
-    val corpus = filteredCorpus.join(broadcast(deltaKeys), Seq("_bk"), "left_semi")
+    // O(colliding rows) even when the pushed filter is dropped). The
+    // build side is COUNT-GATED ([[SigBroadcastKeyCap]], r14 verdict
+    // task 1): an incremental delta broadcasts, a bulk delta degrades to
+    // a shuffle left_semi instead of an unbounded broadcast hint.
+    val deltaKeyCount = deltaKeys.count()
+    val corpus = filteredCorpus.join(
+      if (deltaKeyCount <= broadcastKeyCap) broadcast(deltaKeys) else deltaKeys,
+      Seq("_bk"), "left_semi")
     // Guard relation, mirroring minhashLshPairsAgainst: per colliding band
     // key, old-side count + min id and new-side count; budget against the
     // TOTAL corpus (stored `_ndocs` constant + delta count — no corpus

@@ -36,6 +36,22 @@ private[graft] object Seal {
       case _ => ()
     }
 
+  /** Release EVERY checkpoint-backed leaf anywhere in `df`'s analyzed
+    * plan — for operators whose composed helpers bake a sealed internal
+    * checkpoint into a LAZY result plan (e.g. [[Dedup.keepCanonical]]'s
+    * loser set inside its returned anti-join), where the top-level-only
+    * [[releaseCheckpoint]] can't reach it. Only call once the WHOLE plan
+    * is owned by the caller and fully materialized elsewhere: unlike a
+    * session-wide `getPersistentRDDs` snapshot diff (ADVICE r14 — which
+    * could unpersist a concurrent thread's lineage-free checkpoint), this
+    * walk touches exactly the RDDs reachable from this one plan.
+    */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def apply(result: DataFrame,
             cached: Seq[DataFrame] = Nil,
             ckpts: Seq[DataFrame] = Nil): DataFrame = {
