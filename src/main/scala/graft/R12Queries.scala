@@ -96,17 +96,17 @@ object R12Queries {
     * the expansion is linear in lineitem), then one count rollup. All
     * graph statistics below run on this dimension-sized edge list.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val gi = rd(s, dir, "lineitem")
-      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
-      .distinct()
-    gi.as("a").join(gi.as("b"),
-        col("a.g") === col("b.g") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("x"), col("b.i").as("y"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 2L)
-      .select("x", "y")
-  }
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    // r15: the strong co-purchase relation IS coOccurrenceEdges(minCount=2)
+    // over the same (order, part) projection — route it through the
+    // suite's shared ResultCache (the r11-blessed materialized-view
+    // discipline) so q558/q559/q560/q585 stop re-running the fact-scale
+    // pair build the co-purchase tier already materializes once per
+    // session. Identical rows: same distinct → self-join → count → filter.
+    graft.operators.Graph.coOccurrenceEdgesCached(
+        Tables.spread(s, rd(s, dir, "lineitem")),
+        groupCol = "l_orderkey", itemCol = "l_partkey", minCount = 2)
+      .select(col("src").as("x"), col("dst").as("y"))
 
   private def symEdges(e0: DataFrame): DataFrame =
     e0.select(col("x").as("src"), col("y").as("dst"))

@@ -477,14 +477,32 @@ object R14Queries {
       // dimension size BEFORE the 3-way basket join (the whole point of
       // Apriori at 100 TB: never count what a sub-pattern already
       // refuted). Basket joins co-partitioned on the order key.
-      val bk = rd(s, dir, "lineitem")
+      // r15 optimization (guide §2.3 "aggregate before you shuffle"): the
+      // r14 shape shuffled the 500k-row (order, brand) relation FIVE
+      // times (L2 self-join both sides + the 3-way basket join) — with
+      // ≤ 25 distinct brands, the basket fits an array, so ONE groupBy
+      // builds per-order brand sets and the pair/triple supports come
+      // from in-basket combination explodes whose partial (map-side)
+      // aggregation collapses to ≤ C(25,3) rows BEFORE any exchange.
+      // Support counts are combinatorially identical (collect_set dedups
+      // exactly like the old distinct; sort_array gives the same b1<b2<b3
+      // string order as the old `<` join conditions); the candidate
+      // lattice (two L2 pairs sharing the head + third-sub-pair prune)
+      // is unchanged.
+      val baskets = rd(s, dir, "lineitem")
         .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct().localCheckpoint(false)
-      val n = bk.agg(countDistinct(col("ok")).as("_n_orders"))
-      val l2 = bk.as("a")
-        .join(bk.as("b"), col("a.ok") === col("b.ok") && col("a.b") < col("b.b"))
-        .groupBy(col("a.b").as("b1"), col("b.b").as("b2"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .localCheckpoint(false)
+      val n = baskets.agg(count(lit(1)).as("_n_orders"))
+      val l2 = baskets.select(explode(expr(
+          // sequence() DESCENDS when stop < start — guard 1-brand baskets
+          "IF(size(bs) < 2, array(), flatten(transform(" +
+            "sequence(1, size(bs) - 1), i -> transform(" +
+            "sequence(i + 1, size(bs)), j -> struct(" +
+            "element_at(bs, i) AS b1, element_at(bs, j) AS b2)))))"))
+          .as("p"))
+        .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
         .agg(count(lit(1)).as("sup"))
         .crossJoin(broadcast(n))
         .filter(col("sup") * 250 >= col("_n_orders"))
@@ -497,11 +515,17 @@ object R14Queries {
         .join(l2.select(col("b1").as("_rb1"), col("b2").as("_rb2")),
               col("b2") === col("_rb1") && col("b3") === col("_rb2"),
               "left_semi")
-      bk.as("x").join(broadcast(cand), col("x.b") === col("b1"))
-        .join(bk.as("y"),
-              col("x.ok") === col("y.ok") && col("y.b") === col("b2"))
-        .join(bk.as("z"),
-              col("x.ok") === col("z.ok") && col("z.b") === col("b3"))
+      baskets.select(explode(expr(
+          "IF(size(bs) < 3, array(), flatten(flatten(transform(" +
+            "sequence(1, size(bs) - 2), i -> transform(" +
+            "sequence(i + 1, size(bs) - 1), j -> transform(" +
+            "sequence(j + 1, size(bs)), k -> struct(" +
+            "element_at(bs, i) AS b1, element_at(bs, j) AS b2, " +
+            "element_at(bs, k) AS b3)))))))"))
+          .as("t"))
+        .select(col("t.b1").as("b1"), col("t.b2").as("b2"),
+                col("t.b3").as("b3"))
+        .join(broadcast(cand), Seq("b1", "b2", "b3"), "left_semi")
         .groupBy(col("b1"), col("b2"), col("b3"))
         .agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(n))

@@ -40,7 +40,8 @@ object R16Queries {
       // keys, probes ONLY the touched bucket directories (the file
       // LISTING is pruned, not just the scan — the cost q739 pays to
       // recompute the corpus pipeline per run disappears), and verifies
-      // candidates from shingles riding the pruned rows. Output is
+      // candidates from the doc-bucketed shingle side table (split
+      // layout, r15 — only colliding docs' buckets are read). Output is
       // row-identical to q739's self-contained delta-vs-corpus join —
       // the oracle IS q739's oracle.
       val d = rd(s, dir, "documents")
@@ -397,7 +398,18 @@ object R16Queries {
       val pairs = graft.operators.Dedup
         .minhashLshPairs(d, "doc_id", "text")
         .localCheckpoint(false)
-      val comps = d.select(
+      // r15 optimization (guide §2.3 project/filter early): the
+      // 12-component signature chain (tokenize → shingle → 12 interpreted
+      // md5 folds) only ever reaches the result through the two joins on
+      // pair doc ids — computing it for the WHOLE corpus ran the most
+      // expensive expression in the query on ~60× more docs than the
+      // ~verified-pair population needs. Semi-join the corpus down to
+      // pair participants first; join results are identical (inner joins
+      // on pair ids).
+      val pairIds = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val comps = d.join(pairIds, Seq("doc_id"), "left_semi").select(
         col("doc_id"),
         graft.functions.MinHashBands(
           graft.operators.Dedup.shingles(

@@ -1004,18 +1004,18 @@ object R17Queries {
       // non-negative by the rearrangement inequality (ascending order
       // maximizes Σk·y_k ≥ (n+1)/2·Σy), so the DIV is floor in both
       // engines. Envelope: n·Σy ≲ 10⁴·2e14 = 2e18 at 100× sf0.1 — int64.
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.spread(s, rd(s, dir, "lineitem"))
         .groupBy(col("l_suppkey").as("k"))
         .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
           .as("y"))
-      rev
-        .withColumn("r", row_number().over(
-          Window.partitionBy(graft.functions.DimKey.one)
-            .orderBy(col("y"), col("k"))).cast("long"))
+      // r15 optimization (r14 verdict task 3): supplier count scales with
+      // SF — rank via Profile.cellRank (coarse-cell prefix + per-cell
+      // parallel windows) instead of a single-task DimKey.one window;
+      // identical ranks under the same (y, k) order.
+      graft.operators.Profile.cellRank(rev, Seq.empty, "y", Seq("k"))
         .agg(count(lit(1)).as("n_suppliers"),
              sum(col("y")).as("total_cents"),
-             sum(expr("r * y")).as("rank_weighted"))
+             sum(expr("_rank * y")).as("rank_weighted"))
         .withColumn("gini_ppm", expr(
           "(2L * rank_weighted - (n_suppliers + 1L) * total_cents)" +
             " * 1000000L DIV (n_suppliers * total_cents)"))

@@ -32,14 +32,16 @@ object R18Queries {
       def half(flag: Long, dcol: String) = {
         val rev = o.filter(col("h1") === flag)
           .groupBy(col("c")).agg(sum(col("v")).as("rv"))
-        val n = Window.partitionBy(graft.functions.DimKey.one)
-        rev.withColumn("r", row_number().over(
-            Window.partitionBy(graft.functions.DimKey.one)
-              .orderBy(col("rv"), col("c"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(n))
+        // r15 optimization (r14 verdict task 3): the customer rollup
+        // scales with SF (~15M at sf1000), so the rank comes from
+        // Profile.cellRank — coarse-cell prefix + per-cell parallel
+        // windows, the q813 distributed-order-stat shape — instead of a
+        // single-task DimKey.one window. Identical (rank, n) by
+        // cellRank's exactness contract (order (rv, c)).
+        graft.operators.Profile.cellRank(rev, Seq.empty, "rv", Seq("c"))
           // decile 1..10: ceil(r*10/n) = (r*10 + n - 1) DIV n
           .select(col("c"),
-                  expr("(r * 10L + n - 1L) DIV n").as(dcol))
+                  expr("(_rank * 10L + _n - 1L) DIV _n").as(dcol))
       }
       half(1L, "from_decile")
         .join(half(0L, "to_decile"), Seq("c"), "full_outer")

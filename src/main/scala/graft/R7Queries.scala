@@ -1149,13 +1149,14 @@ object R7Queries {
       // relaxation sweeps from the smallest node — the weighted companion
       // to q382's BFS, exact for all ≤4-hop paths. Distinct-before-join
       // keeps the pair build minimal; each sweep is one shuffle.
-      val gi = Tables.read(s, dir, "lineitem")
-        .select(col("l_orderkey").as("_g"), col("l_partkey").as("_i"))
-        .distinct()
-      val pairs = gi.as("_l").join(gi.as("_r"), col("_l._g") === col("_r._g"))
-        .filter(col("_l._i") < col("_r._i"))
-        .groupBy(col("_l._i").as("x"), col("_r._i").as("y"))
-        .agg(count(lit(1)).as("_n"))
+      // r15: same counted co-purchase relation as the cached co-occurrence
+      // tier — share its per-session materialization instead of re-running
+      // the fact-scale pair build (identical rows: distinct → self-join →
+      // count; filter and weight applied on top).
+      val pairs = Graph.coOccurrenceCountedCached(
+          Tables.spread(s, Tables.read(s, dir, "lineitem")),
+          groupCol = "l_orderkey", itemCol = "l_partkey")
+        .select(col("src").as("x"), col("dst").as("y"), col("_n"))
         .filter(col("_n") >= 2)
         .withColumn("cost", expr("1000 DIV _n"))
       val edges = pairs.select(col("x").as("src"), col("y").as("dst"),

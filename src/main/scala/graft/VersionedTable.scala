@@ -285,12 +285,26 @@ object VersionedTable {
     */
   def readLatestPartitions(spark: SparkSession, root: String,
                            partitionCol: String,
-                           values: Seq[Any]): DataFrame = {
+                           values: Seq[Any]): DataFrame =
+    readVersionPartitions(spark, root,
+      latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root")),
+      partitionCol, values)
+
+  /** [[readLatestPartitions]] pinned to a SPECIFIC committed version —
+    * for multi-table layouts whose pairing is recorded in a pre-commit
+    * marker (e.g. the signature store's band index naming its shingle
+    * side-table version): the reader must open exactly the paired
+    * version, not whatever is latest by the time it reads.
+    */
+  def readVersionPartitions(spark: SparkSession, root: String, v: Long,
+                            partitionCol: String,
+                            values: Seq[Any]): DataFrame = {
     val f = fs(spark, root)
-    val v = latestVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
+    require(f.exists(new Path(s"$root/$VPrefix$v/$Committed")),
+            s"version $v not committed at $root")
     require(!isDelete(f, root, v),
-            s"readLatestPartitions: latest version $v is a deletion vector")
+            s"readVersionPartitions: version $v is a deletion vector")
     val dir = s"$root/$VPrefix$v"
     val dirs = values.map(x => s"$dir/$partitionCol=$x")
       .filter(d => f.exists(new Path(d)))

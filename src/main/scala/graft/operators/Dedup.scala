@@ -687,15 +687,22 @@ object Dedup {
     * signature pipeline per run (what q739 honestly pays to stay
     * self-contained).
     *
-    * Layout: one row per (doc × band) — (_bk band key, _id, _shs shingle
-    * array, _n, _ndocs corpus size, _sig_bucket = pmod(hash(_bk),
-    * numBuckets)) — published partitioned on `_sig_bucket`, so a delta's
-    * band keys name the partitions to read and EVERYTHING else is never
-    * listed. Shingles ride on every band row (bands× storage, the classic
-    * space-for-pruning trade) so candidate verification reads ONLY the
-    * pruned scan — no second corpus-wide shingle join. `_ndocs` is a
-    * constant column (RLE-compresses to nothing) so the pair budget knows
-    * the corpus size without a full scan.
+    * Layout (split, r15 — r14 verdict task 2; chosen ADAPTIVELY: corpora
+    * under [[SigSplitMinDocs]] keep the one-table fat layout, whose
+    * publish measured cheaper below the crossover): TWO paired tables
+    * under one root. The BAND INDEX is one thin row per (doc × band) —
+    * (_bk band key, _id, _ndocs corpus size, _sig_bucket =
+    * pmod(hash(_bk), numBuckets)) — published partitioned on
+    * `_sig_bucket`, so a delta's band keys name the partitions to read
+    * and EVERYTHING else is never listed. The fat `_shs` shingle arrays
+    * live ONCE per doc in a side table (`<root>/_shingles`, partitioned
+    * on `_doc_bucket = pmod(hash(_id), numBuckets)`), read at verify
+    * time only for the buckets named by colliding candidate ids — the
+    * r14 layout rode the arrays on every band row (bands× storage AND
+    * publish I/O), which the r14 Stress16/17 measurements found to be
+    * the dominant cost of both the 10M publish and diverse-delta scans.
+    * `_ndocs` is a constant column (RLE-compresses to nothing) so the
+    * pair budget knows the corpus size without a full scan.
     *
     * Round-13 layout refinements: (a) optional within-bucket `_bk` sort
     * (`sortByBandKey`) so parquet row-group min/max stats answer the
@@ -730,57 +737,165 @@ object Dedup {
                      // at the scan, which the unsorted layout gets
                      // equally. OFF by default; the sort buys only a
                      // cosmetically clustered file at ~5% publish cost.
-                     sortByBandKey: Boolean = false): Long = {
-    // MATERIALIZE the banded signature relation before the band explode
-    // (r14 Stress17 finding): posexplode whose generator input is the
-    // live md5-banding chain re-drives the interpreted higher-order
-    // pipeline through the Generate stage — measured ~15× the one-pass
-    // cost (4.1 s vs 0.25 s at the q793 gate store; the pair operators
-    // never hit the full penalty because their shingle relations are
-    // cache-materialized before banding). ONLY a storage-backed
-    // materialization removes the penalty — an exchange between bands
-    // and explode measured no better than the live chain — and block-
-    // store variants (localCheckpoint, DISK_ONLY persist) both OOMed the
-    // 8 GB JVM on the 10M-doc publish, so the barrier is a TEMP PARQUET
-    // spill under the table root: the same streaming writer the publish
-    // itself runs at 4× this volume (shingles ride every band row in the
-    // final layout; the spill holds them once), bounded memory at any
-    // corpus size, deleted after the commit.
-    val buildTmp = s"$root/_sig_build_tmp"
-    val built = df.select(col(idCol).as("_id"),
+                     sortByBandKey: Boolean = false,
+                     // layout-crossover dial ([[SigSplitMinDocs]]); the
+                     // gate spec forces the split with 0
+                     splitMinDocs: Long = SigSplitMinDocs): Long = {
+    // SPLIT LAYOUT (r15, r14 verdict task 2): the r14 store rode the fat
+    // `_shs` shingle array on EVERY band row, so the published table and
+    // its publish I/O were ~bands× (4×) the shingle volume — measured as
+    // the dominant term of the 10M publish (75.3 s) and of every diverse
+    // delta's scan. Now the shingles live ONCE in a doc-bucketed side
+    // table (`<root>/_shingles`, partitioned on
+    // `_doc_bucket = pmod(hash(_id), numBuckets)`) and the band index
+    // keeps only thin rows (_id, _bk, _ndocs, _sig_bucket); the delta
+    // probe reads shingles only for the doc buckets its COLLIDING
+    // candidates name.
+    //
+    // The shingle store doubles as the Generate barrier (r14 Stress17
+    // finding): posexplode whose generator input is the live md5-banding
+    // chain re-drives the interpreted higher-order pipeline through the
+    // Generate stage at ~15× the one-pass cost, and ONLY a
+    // storage-backed materialization removes the penalty (an exchange
+    // measured no better; localCheckpoint/DISK_ONLY persist both OOMed
+    // the 8 GB JVM at 10M docs). The r14 temp-parquet spill wrote the
+    // banded relation once and THREW IT AWAY after the publish — now the
+    // same write IS the committed shingle table, so the publish writes
+    // (shingles + bands) once plus a thin index instead of once plus 4×.
+    //
+    // Pairing is atomic at the BAND INDEX commit: the index version
+    // carries a pre-commit `_SIG_SHV_<v>` marker naming the exact
+    // shingle-table version it was built from, and readers open that
+    // version, never "latest" — so a crash between the two publishes
+    // leaves only an orphan shingle version that the next republish
+    // vacuums.
+    // Exact doc count up front (one column-pruned scan — the text chain
+    // is NOT evaluated for a count over the id projection): it picks the
+    // layout, sizes the shingle-store buckets, and replaces the old
+    // broadcast `_ndocs` subquery as a literal.
+    val ndocs = df.select(col(idCol)).count()
+    val shRoot = sigShingleRoot(root)
+    val banded = df.select(col(idCol).as("_id"),
               shingles(TextAnalysis.tokens(col(textCol)), n).as("_shs"))
       .withColumn("_bands",
                   graft.functions.MinHashBands(col("_shs"), bands, rows))
-    built.write.mode("overwrite").parquet(buildTmp)
-    val v = try {
-      // Explicit schema (ADVICE r14): an EMPTY corpus writes zero part
-      // files, which schema inference rejects — with the build relation's
-      // own schema the read degrades to an empty, correctly-typed frame
-      // and the publish lands an empty table, matching the old fully-lazy
-      // pipeline's behavior.
-      val sig = spark.read.schema(built.schema).parquet(buildTmp)
-      val rowsDf = sig
-        .select(col("_id"), col("_shs"),
+    val v = if (ndocs >= splitMinDocs) {
+      // SPLIT path: shingle store doubles as the Generate barrier.
+      // Doc-bucket count is scale-derived (≥ SigDocsPerBucket docs per
+      // bucket, capped at numBuckets) so a mid-size corpus doesn't pay
+      // 64 directory commits for kilobyte files.
+      val shb = {
+        val byDocs = math.max(ndocs / SigDocsPerBucket, 1L)
+        math.min(byDocs, numBuckets.toLong).toInt
+      }
+      val stored0 = banded
+        .withColumn("_n", size(col("_shs")).cast("long"))
+        .withColumn("_doc_bucket", pmod(hash(col("_id")), lit(shb)))
+      val shv = graft.VersionedTable.publishPartitioned(
+        spark, stored0, shRoot, "_doc_bucket", sortCol = None, markers = Nil)
+      val stored = graft.VersionedTable.readVersion(spark, shRoot, shv)
+      val rowsDf = stored
+        .select(col("_id"),
                 posexplode(col("_bands")).as(Seq("_pos", "_band")))
-        .select(col("_id"), col("_shs"),
+        .select(col("_id"),
                 concat(col("_pos").cast("string"), lit(":"), col("_band"))
                   .as("_bk"))
-        .withColumn("_n", size(col("_shs")).cast("long"))
-        .crossJoin(broadcast(
-          df.select(col(idCol)).agg(count(lit(1)).as("_ndocs"))))
+        .withColumn("_ndocs", lit(ndocs))
         .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
       graft.VersionedTable.publishPartitioned(
         spark, rowsDf, root, "_sig_bucket",
         sortCol = if (sortByBandKey) Some("_bk") else None,
-        markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(buildTmp)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      ()
+        markers = Seq(s"$SigNumBucketsPrefix$numBuckets",
+                      s"$SigShinglesVersionPrefix$shv",
+                      s"$SigShingleBucketsPrefix$shb"))
+    } else {
+      // FAT path (small corpus): the split's two commit+vacuum rounds and
+      // doubled directory count cost ~1 s fixed, while the bands×
+      // shingle-write it saves is only ~ndocs·KBs here — measured at the
+      // sf0.1 gate (40k docs): split publish 5.5 s vs 4.3 s fat, probe
+      // 3.7 vs 4.1. Below [[SigSplitMinDocs]] the one-table r14 layout
+      // (shingles riding every band row) stays the better trade; the
+      // temp-parquet spill remains its Generate barrier.
+      val buildTmp = s"$root/_sig_build_tmp"
+      banded.write.mode("overwrite").parquet(buildTmp)
+      try {
+        val sig = spark.read.schema(banded.schema).parquet(buildTmp)
+        val rowsDf = sig
+          .select(col("_id"), col("_shs"),
+                  posexplode(col("_bands")).as(Seq("_pos", "_band")))
+          .select(col("_id"), col("_shs"),
+                  concat(col("_pos").cast("string"), lit(":"), col("_band"))
+                    .as("_bk"))
+          .withColumn("_n", size(col("_shs")).cast("long"))
+          .withColumn("_ndocs", lit(ndocs))
+          .withColumn("_sig_bucket", pmod(hash(col("_bk")), lit(numBuckets)))
+        graft.VersionedTable.publishPartitioned(
+          spark, rowsDf, root, "_sig_bucket",
+          sortCol = if (sortByBandKey) Some("_bk") else None,
+          markers = Seq(s"$SigNumBucketsPrefix$numBuckets"))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(buildTmp)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
     }
     graft.VersionedTable.vacuum(spark, root, keep = vacuumKeep)
+    // keep one EXTRA shingle version: a crash between the two publishes
+    // leaves an orphan shingle version, and a later successful republish
+    // must not let the orphan push a still-paired predecessor out of the
+    // newest-`keep` window. (A fat republish leaves the shingle root
+    // untouched; its stale versions are bounded by this same keep.)
+    graft.VersionedTable.vacuum(spark, shRoot, keep = vacuumKeep + 1)
     v
   }
+
+  /** Docs threshold above which [[signatureTable]] publishes the SPLIT
+    * layout. Measured crossover (Stress18, sf0.1 box): the split's fixed
+    * machinery — a second commit + vacuum round and a second directory
+    * tree — costs ~1.2 s, while its saving is (bands−1)× the corpus
+    * shingle volume plus thin-index probe scans; at 40k docs
+    * (~50 MB shingles) the saving is under the overhead, at 1M+ docs
+    * (GBs) it dominates — the r14 Stress16 10M publish spent most of its
+    * 75.3 s writing the 4× duplicated arrays. 100k docs sits past the
+    * measured break-even with margin.
+    */
+  private[graft] val SigSplitMinDocs = 100000L
+
+  /** The shingle side-table root of a signature store (split layout). */
+  private[graft] def sigShingleRoot(root: String): String =
+    s"$root/_shingles"
+
+  /** Version-dir marker pairing a band-index version with the exact
+    * shingle-table version it was built from (`_SIG_SHV_<v>`) — the
+    * split layout's atomicity anchor: readers resolve the band index
+    * first and open precisely the named shingle version.
+    */
+  private[graft] val SigShinglesVersionPrefix = "_SIG_SHV_"
+
+  /** The shingle-table version paired with the latest committed band
+    * index, when the store uses the split layout (pre-split and fat
+    * small-corpus stores — shingles riding every band row — return None
+    * and readers fall back to the in-row arrays).
+    */
+  private[graft] def storedSigShinglesVersion(
+      spark: org.apache.spark.sql.SparkSession, root: String): Option[Long] =
+    graft.VersionedTable.latestMarkers(spark, root, SigShinglesVersionPrefix)
+      .flatMap(_.stripPrefix(SigShinglesVersionPrefix).toLongOption)
+      .headOption
+
+  /** Marker recording the shingle side-table's `_doc_bucket` modulus
+    * (`_SIG_SHB_<n>` — scale-derived at publish, so the read side MUST
+    * use the stored value: probing with a mismatched modulus would name
+    * `_doc_bucket` dirs that don't exist and silently miss shingles, the
+    * same failure mode the `_SIG_NUMBUCKETS_` marker closed in r12).
+    */
+  private[graft] val SigShingleBucketsPrefix = "_SIG_SHB_"
+
+  private[graft] def storedSigShingleBuckets(
+      spark: org.apache.spark.sql.SparkSession, root: String): Option[Int] =
+    graft.VersionedTable.latestMarkers(spark, root, SigShingleBucketsPrefix)
+      .flatMap(_.stripPrefix(SigShingleBucketsPrefix).toIntOption)
+      .headOption
 
   /** Bucket-count guidance for [[signatureTable]], encoding the measured
     * Stress16 trade-off so callers stop rediscovering it (round-13
@@ -850,10 +965,13 @@ object Dedup {
     * (one domain's re-crawl, boilerplate-heavy batches, the spec's
     * single-doc case) reads a corpus-size-independent sliver. A DIVERSE
     * delta (10k unrelated docs ≈ 40k distinct keys) touches every bucket
-    * and the scan degrades to the full signature table — still ~2-3×
-    * cheaper than the [[minhashLshPairsAgainst]] recompute because the
-    * corpus tokenize→shingle→md5 pipeline (the dominant term) is
-    * amortized into the one-off publish, but O(corpus) in the scan term.
+    * and the scan degrades to the full BAND INDEX — which the split
+    * layout (r15) keeps THIN: the fat shingle arrays are no longer on
+    * the band rows, so even the degraded scan reads ~1/bands of the r14
+    * volume, plus shingles for exactly the colliding candidates'
+    * doc buckets. Still cheaper than the [[minhashLshPairsAgainst]]
+    * recompute (the corpus tokenize→shingle→md5 pipeline is amortized
+    * into the one-off publish), but O(corpus) in the index-scan term.
     * Size `numBuckets` ≳ the expected per-delta distinct-band-key count
     * to keep the read fraction ≈ touched/numBuckets; a hash-keyed point-
     * lookup index (not a parquet layout) is what true O(delta) retrieval
@@ -993,14 +1111,34 @@ object Dedup {
       .join(sz.filter(!col("_ok")).select(col("_bk"), col("_omin")),
             Seq("_bk"))
       .select(col("_id").as("new_id"), col("_omin").as("old_id"))
-    val cand = candOk.unionByName(candDeg).distinct()
-    // Old shingles come from the pruned scan itself (they ride every band
-    // row; any row of a doc carries the same array) — never a full-table
-    // join.
-    val oldSh = corpus
-      .select(col("_id").as("old_id"), col("_shs").as("_sb"),
-              col("_n").as("_nb"))
-      .dropDuplicates("old_id")
+    // checkpointed: read twice — once to name the colliding docs' shingle
+    // buckets (driver list ≤ numBuckets ints), once as the verify probe
+    val cand = candOk.unionByName(candDeg).distinct().localCheckpoint(false)
+    // Old shingles (split layout, r15): the band index is THIN — the fat
+    // `_shs` arrays live once in the doc-bucketed side table, and only
+    // the buckets named by COLLIDING candidate old ids are ever listed or
+    // read (candidate-proportionate, not touched-bucket-proportionate).
+    // Pre-split stores (no `_SIG_SHV_` marker) still ride `_shs` on every
+    // band row and keep the old in-row read.
+    val oldSh = storedSigShinglesVersion(spark, sigRoot) match {
+      case Some(shv) =>
+        // STORED doc-bucket modulus, never the band-bucket parameter: the
+        // shingle store sizes its buckets from the corpus (scale-derived)
+        val shb = storedSigShingleBuckets(spark, sigRoot).getOrElse(nb)
+        val oldBuckets = cand
+          .select(pmod(hash(col("old_id")), lit(shb)).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        graft.VersionedTable
+          .readVersionPartitions(spark, sigShingleRoot(sigRoot), shv,
+                                 "_doc_bucket", oldBuckets)
+          .select(col("_id").as("old_id"), col("_shs").as("_sb"),
+                  col("_n").as("_nb"))
+      case None =>
+        corpus
+          .select(col("_id").as("old_id"), col("_shs").as("_sb"),
+                  col("_n").as("_nb"))
+          .dropDuplicates("old_id")
+    }
     sealOp(cand
       .join(shNew.select(col("_id").as("new_id"), col("_shs").as("_sa"),
                          size(col("_shs")).cast("long").as("_na")), "new_id")
@@ -1010,7 +1148,7 @@ object Dedup {
       .withColumn("union_size", col("_na") + col("_nb") - col("overlap"))
       .filter(col("overlap") * tauDen >= col("union_size") * tauNum)
       .select("new_id", "old_id", "overlap", "union_size"),
-      cached = Seq(shNew), ckpts = Seq(bn, sz, deltaKeys))
+      cached = Seq(shNew), ckpts = Seq(bn, sz, deltaKeys, cand))
   }
 
   /** Near-duplicate clusters from a pair list: connected components of the

@@ -22,6 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge-count gate under which the iterative operators run their round
+    * folds on the DRIVER instead of as per-round Spark jobs (the
+    * `Dedup.clusterPairs` / [[greedyMatching]] precedent, extended
+    * library-wide in round 15): the dimension-grain graphs these queries
+    * feed (nation trade ≤ 625 arcs, brand/part co-occurrence after
+    * strong-edge filters) spend seconds on per-round scheduling where the
+    * driver fold costs milliseconds — and the collected relation is
+    * bounded by this gate, so driver memory stays bounded by
+    * construction. Above the gate the distributed fold runs unchanged;
+    * results are bit-identical across the gate (pinned in
+    * GraphLocalGateSpec — every mirror reproduces the exact integer
+    * arithmetic, node universe, edge multiplicity, and fixed-round
+    * semantics of its distributed twin).
+    */
+  private[graft] val SmallGraphGate = 100000L
+
+  /** True when every named column is LongType. The local mirrors collect
+    * `Dataset[(Long, …)]` and rebuild LOCAL relations with LONG columns,
+    * so an edge list carried in another integral type (which the
+    * distributed fold would propagate into its output schema) must take
+    * the distributed path to keep the output schema identical.
+    */
+  private def longCols(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c => df.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)
+
   /** Distinct undirected co-occurrence edges (src < dst) between items
     * sharing a group: one self-equi-join on the group key over the
     * DISTINCT (group, item) projection — dedup BEFORE the join so a group
@@ -78,10 +104,19 @@ object Graph {
     * with the library's own result cache.
     */
   def coOccurrenceEdgesCached(df: DataFrame, groupCol: String,
-                              itemCol: String, minCount: Int = 1): DataFrame = {
+                              itemCol: String, minCount: Int = 1): DataFrame =
+    coOccurrenceCountedCached(df, groupCol, itemCol)
+      .filter(col("_n") >= minCount).select(col("src"), col("dst"))
+
+  /** The COUNTED cached relation behind [[coOccurrenceEdgesCached]] —
+    * (src, dst, _n) — for consumers that need the co-occurrence count
+    * itself (e.g. edge weights), sharing the same materialization.
+    */
+  def coOccurrenceCountedCached(df: DataFrame, groupCol: String,
+                                itemCol: String): DataFrame = {
     val (counted, _) = graft.plans.ResultCache.through(
       coOccurrenceCounted(df, groupCol, itemCol), edgeCacheDir)
-    counted.filter(col("_n") >= minCount).select(col("src"), col("dst"))
+    counted
   }
 
   /** One-row graph statistics: nodes, edges, wedges (open 2-paths),
@@ -94,13 +129,24 @@ object Graph {
     * the UNDIRECTED degree d: sum(d*(d-1)/2), making closure_ppm the
     * standard global clustering coefficient.
     */
-  def triangleStats(edges0: DataFrame): DataFrame = {
+  /** Max oriented-edge count for [[triangleStats]]' broadcast
+    * adjacency-intersect path: the out-neighbor-array relation weighs
+    * ~8 bytes per edge (plus one row per node), so 10M edges ≈ 80 MB
+    * broadcast — comfortable. Past the cap the wedge join runs
+    * unchanged (it never holds more than edge-sized relations in any
+    * one task, at the cost of materializing the full wedge multiset
+    * through an exchange).
+    */
+  private[graft] val TriangleIntersectEdgeCap = 10000000L
+
+  def triangleStats(edges0: DataFrame,
+                    intersectEdgeCap: Long = TriangleIntersectEdgeCap): DataFrame = {
     // The edge list feeds the degree rollup AND the orientation join; the
-    // oriented list feeds the wedge join THREE times. Without pinning,
-    // Spark re-derives each from the (often expensive) upstream
-    // co-occurrence join per consumer — measured 2x end-to-end on the
-    // co-purchase graph. Both relations are edge-sized, far smaller than
-    // what produced them.
+    // oriented list feeds the triangle counter and (on the wedge-join
+    // path) three self-join arms. Without pinning, Spark re-derives each
+    // from the (often expensive) upstream co-occurrence join per
+    // consumer — measured 2x end-to-end on the co-purchase graph. Both
+    // relations are edge-sized, far smaller than what produced them.
     val edges = edges0.localCheckpoint()
     val deg = edges.select(col("src").as("_n"))
       .union(edges.select(col("dst").as("_n")))
@@ -119,11 +165,35 @@ object Graph {
           .as("_e"))
       .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .localCheckpoint()
-    val tri = oriented.as("_e1")
-      .join(oriented.as("_e2"), col("_e1.v") === col("_e2.u"))
-      .join(oriented.as("_e3"),
-            col("_e1.u") === col("_e3.u") && col("_e2.v") === col("_e3.v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // r15: below [[TriangleIntersectEdgeCap]], count triangles as
+    // Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)| over BROADCAST out-neighbor arrays —
+    // each triangle is counted exactly once at its orientation-minimal
+    // edge, identical to the wedge join (spec-pinned), but ZERO
+    // exchanges touch the Σ indeg·outdeg wedge multiset that dominated
+    // the co-purchase graph (measured 100M-row join → map-side sorted
+    // array intersects; q224 12→? s). The operator's distinct-edge
+    // precondition (scaladoc above) is what makes collect_list == the
+    // wedge multiset here.
+    val tri =
+      if (oriented.count() <= intersectEdgeCap) {
+        val nbrs = oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("_ns"))
+        oriented
+          .join(broadcast(nbrs), Seq("u"), "left")
+          .join(broadcast(nbrs.select(col("u").as("v"),
+                                      col("_ns").as("_nsv"))),
+                Seq("v"), "left")
+          .select(size(array_intersect(
+            coalesce(col("_ns"), expr("array()")),
+            coalesce(col("_nsv"), expr("array()")))).cast("long").as("_t"))
+          .agg(coalesce(sum(col("_t")), lit(0L)).as("n_triangles"))
+      } else {
+        oriented.as("_e1")
+          .join(oriented.as("_e2"), col("_e1.v") === col("_e2.u"))
+          .join(oriented.as("_e3"),
+                col("_e1.u") === col("_e3.u") && col("_e2.v") === col("_e3.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+      }
     val base = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("sum(_d) DIV 2").as("n_edges"),
@@ -210,10 +280,31 @@ object Graph {
     * undirected graph.
     */
   def katz(edges0: DataFrame, iters: Int,
-           alphaPermille: Long = 50L): DataFrame = {
+           alphaPermille: Long = 50L,
+           gateEdges: Long = SmallGraphGate): DataFrame = {
     require(iters >= 1 && alphaPermille >= 0)
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val edges = ck.track(edges0.localCheckpoint())
+    if (longCols(edges, "src", "dst") && edges.count() <= gateEdges) {
+      // Driver mirror of the distributed fold below: same node universe
+      // (src ∪ dst), same edge MULTIPLICITY (no distinct — a multi-edge
+      // contributes twice, exactly as the distributed join does), same
+      // `1e6 + α·Σin DIV 1000` truncating arithmetic.
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      var x = ns.iterator.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (u, v) => in.update(v, in.getOrElse(v, 0L) + x(u)) }
+        x = ns.iterator.map(n =>
+          n -> (1000000L + alphaPermille * in.getOrElse(n, 0L) / 1000L)).toMap
+      }
+      val indeg = es.groupBy(_._2).map { case (v, a) => v -> a.length.toLong }
+      return ck.seal(ns.toSeq.map(n => (n, x(n), indeg.getOrElse(n, 0L)))
+        .toDF("node", "katz_micro", "indeg"))
+    }
     val nodes = ck.track(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint())
@@ -258,9 +349,34 @@ object Graph {
     * Output: (node, pr_micro, outdeg).
     */
   def pagerank(edges0: DataFrame, iters: Int = 3,
-               dampingPpm: Long = 850000L): DataFrame = {
+               dampingPpm: Long = 850000L,
+               gateEdges: Long = SmallGraphGate): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val edges = edges0.localCheckpoint()
+    if (longCols(edges, "src", "dst") && edges.count() <= gateEdges) {
+      // Driver mirror: node universe = edge SOURCES; after each round the
+      // rank relation holds exactly the dsts that received ≥1 contribution
+      // row (the distributed inner join's semantics — a zero contribution
+      // still counts as a row), multiplicity preserved, `pr DIV outdeg`
+      // then `(1e6−d) + d·Σ DIV 1e6` truncating.
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val outdeg = es.groupBy(_._1).map { case (u, a) => u -> a.length.toLong }
+      val esD = es.filter { case (_, v) => outdeg.contains(v) }
+      var pr: Map[Long, Long] = outdeg.map { case (u, _) => u -> 1000000L }
+      for (_ <- 1 to iters) {
+        val sc = scala.collection.mutable.HashMap.empty[Long, Long]
+        esD.foreach { case (u, v) =>
+          pr.get(u).foreach(p =>
+            sc.update(v, sc.getOrElse(v, 0L) + p / outdeg(u)))
+        }
+        pr = sc.iterator.map { case (v, s) =>
+          v -> ((1000000L - dampingPpm) + dampingPpm * s / 1000000L) }.toMap
+      }
+      return Seal(pr.toSeq.map { case (n, p) => (n, p, outdeg(n)) }
+        .toDF("node", "pr_micro", "outdeg"), ckpts = Seq(edges))
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     // Attach the DESTINATION's out-degree to the edge list ONCE: each
@@ -309,9 +425,41 @@ object Graph {
     */
   def personalizedPagerank(edges0: DataFrame, seeds0: DataFrame,
                            iters: Int = 3,
-                           dampingPpm: Long = 850000L): DataFrame = {
+                           dampingPpm: Long = 850000L,
+                           gateEdges: Long = SmallGraphGate): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val edges = edges0.localCheckpoint()
+    if (longCols(edges, "src", "dst") && edges.count() <= gateEdges) {
+      // Driver mirror of the loop below: rank init s·1e6 on sources, the
+      // seed∩sources zero-contribution anchor keeps in-edge-less seeds in
+      // every round's rollup, and a zero contribution from a rank-0
+      // source still counts as a rollup row (inner-join semantics).
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val seedSet = seeds0
+        .select(col(seeds0.columns.head).cast("long")).distinct()
+        .as[Long].collect().toSet
+      val outdeg = es.groupBy(_._1).map { case (u, a) => u -> a.length.toLong }
+      val esD = es.filter { case (_, v) => outdeg.contains(v) }
+      def sOf(n: Long): Long = if (seedSet(n)) 1L else 0L
+      var pr: Map[Long, Long] =
+        outdeg.map { case (u, _) => u -> sOf(u) * 1000000L }
+      val seedSources = outdeg.keysIterator.filter(seedSet).toArray
+      for (_ <- 1 to iters) {
+        val sc = scala.collection.mutable.HashMap.empty[Long, Long]
+        seedSources.foreach(v => sc.getOrElseUpdate(v, 0L))
+        esD.foreach { case (u, v) =>
+          pr.get(u).foreach(p =>
+            sc.update(v, sc.getOrElse(v, 0L) + p / outdeg(u)))
+        }
+        pr = sc.iterator.map { case (v, s) =>
+          v -> ((1000000L - dampingPpm) * sOf(v) +
+            dampingPpm * s / 1000000L) }.toMap
+      }
+      return Seal(pr.toSeq.map { case (n, p) => (n, p, outdeg(n)) }
+        .toDF("node", "ppr_micro", "outdeg"), ckpts = Seq(edges))
+    }
     val seeds = seeds0
       .select(col(seeds0.columns.head).cast("long").as("node")).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -368,10 +516,35 @@ object Graph {
     *
     * Output: (node, community).
     */
-  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(edges0: DataFrame, iters: Int = 3,
+                       gateEdges: Long = SmallGraphGate): DataFrame = {
     require(iters >= 1)
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val edges = ck.track(edges0.localCheckpoint())
+    if (longCols(edges, "src", "dst") && edges.count() <= gateEdges) {
+      // Driver mirror: label universe = sources, neighbor labels read via
+      // the edge's dst (multiplicity counts — a multi-edge votes twice),
+      // mode with (count desc, label asc) tie-break; a node none of whose
+      // dsts currently carry a label DROPS from the relation, exactly as
+      // the distributed inner join does.
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      var labels: Map[Long, Long] = es.iterator.map(_._1).toArray.distinct
+        .iterator.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        es.foreach { case (u, v) =>
+          labels.get(v).foreach(l =>
+            cnt.update((u, l), cnt.getOrElse((u, l), 0L) + 1L))
+        }
+        labels = cnt.toSeq.groupBy(_._1._1).map { case (n, rows) =>
+          n -> rows.map { case ((_, l), c) => (l, c) }
+            .minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      return ck.seal(labels.toSeq.toDF("node", "community"))
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (i <- 1 to iters) {
@@ -416,7 +589,10 @@ object Graph {
   def connectedComponentsStar(pairs: DataFrame,
                               aCol: String = "src",
                               bCol: String = "dst",
-                              maxRounds: Int = 30): DataFrame = {
+                              maxRounds: Int = 30,
+                              gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val init = ck.track(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
@@ -424,6 +600,32 @@ object Graph {
       .select(greatest(col("u"), col("v")).as("hi"),
               least(col("u"), col("v")).as("lo"))
       .distinct().localCheckpoint(false))
+    if (init.count() <= gateEdges) {
+      // Driver union-find (already long-cast above): identical labels —
+      // cluster_id = the component's minimum node id — and sizes; the
+      // star-contraction fixpoint computes exactly this.
+      val es = init.select(col("hi"), col("lo")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      val lab = ns.iterator.map(n => n -> find(n)).toMap
+      val size = lab.valuesIterator.toSeq.groupBy(identity)
+        .map { case (c, xs) => c -> xs.size.toLong }
+      return ck.seal(ns.toSeq.map(n => (n, lab(n), size(lab(n))))
+        .toDF("doc_id", "cluster_id", "cluster_size"))
+    }
     val allNodes = ck.track(init.select(col("hi").as("node"))
       .union(init.select(col("lo").as("node")))
       .distinct().localCheckpoint(false))
@@ -487,13 +689,34 @@ object Graph {
     * rows only (never the full reachable set) flow through each round's
     * join. Output: (node, hop) for every node within `maxHops`.
     */
-  def bfsHops(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges0: DataFrame, seeds: DataFrame, maxHops: Int,
+              gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
     val sym = ck.track(e.union(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false))
+    if (sym.count() <= gateEdges) {
+      // Driver BFS (already long-cast): seeds at hop 0 — including seeds
+      // with no edges, exactly as the distributed visited init keeps them.
+      val adj = sym.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (u, a) => u -> a.map(_._2) }
+      val vis = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      seeds.select(col(seeds.columns.head).cast("long")).distinct()
+        .as[Long].collect().foreach(n => vis.update(n, 0))
+      var frontier = vis.keysIterator.toArray
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .distinct.filterNot(vis.contains)
+        frontier.foreach(n => vis.update(n, h))
+        h += 1
+      }
+      return ck.seal(vis.toSeq.toDF("node", "hop"))
+    }
     var visited = ck.track(seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(false))
@@ -527,12 +750,36 @@ object Graph {
     * distance 0. Output: (node, cost) for every node reachable in ≤
     * `rounds` hops, cost = exact min path cost over those paths.
     */
-  def ssspRelax(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+  def ssspRelax(edges: DataFrame, seed: DataFrame, rounds: Int,
+                gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = ck.track(edges.select(col("src").cast("long").as("src"),
                          col("dst").cast("long").as("dst"),
                          col("cost").cast("long").as("cost"))
       .localCheckpoint(false))
+    if (e.count() <= gateEdges) {
+      // Driver Bellman-Ford (already long-cast): exactly `rounds` sweeps,
+      // each relaxing from the PREVIOUS sweep's distance snapshot (the
+      // synchronous semantics of the union + min-combine below).
+      val es = e.as[(Long, Long, Long)].collect()
+      var dist: Map[Long, Long] = seed
+        .select(col(seed.columns.head).cast("long")).distinct()
+        .as[Long].collect().iterator.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        dist.foreach { case (n, c) => next.update(n, c) }
+        es.foreach { case (u, v, c) =>
+          dist.get(u).foreach { du =>
+            val cand = du + c
+            if (!next.contains(v) || cand < next(v)) next.update(v, cand)
+          }
+        }
+        dist = next.toMap
+      }
+      return ck.seal(dist.toSeq.toDF("node", "cost"))
+    }
     var dist = seed.select(col(seed.columns.head).cast("long").as("node"))
       .distinct().withColumn("cost", lit(0L))
     for (_ <- 1 to rounds) {
@@ -558,11 +805,32 @@ object Graph {
     * periodically. Acyclicity is the caller's contract (e.g. the
     * monotone src<dst trade orientation).
     */
-  def longestPathLevels(edges0: DataFrame, sweeps: Int): DataFrame = {
+  def longestPathLevels(edges0: DataFrame, sweeps: Int,
+                        gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = ck.track(edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
       .distinct().localCheckpoint(false))
+    if (e.count() <= gateEdges) {
+      // Driver relaxation (already long-cast + distinct): `sweeps` max
+      // sweeps from lvl ≡ 0 over the src ∪ dst universe, each from the
+      // previous sweep's snapshot.
+      val es = e.as[(Long, Long)].collect()
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      var lvl: Map[Long, Long] = ns.iterator.map(_ -> 0L).toMap
+      for (_ <- 1 to sweeps) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        lvl.foreach { case (n, l) => next.update(n, l) }
+        es.foreach { case (u, v) =>
+          val cand = lvl(u) + 1L
+          if (cand > next(v)) next.update(v, cand)
+        }
+        lvl = next.toMap
+      }
+      return ck.seal(lvl.toSeq.toDF("node", "lvl"))
+    }
     var lvl = ck.track(e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().withColumn("lvl", lit(0L)).localCheckpoint(false))
@@ -590,13 +858,47 @@ object Graph {
     * Input: undirected distinct edges (src, dst). Output: (node, deg)
     * survivors with their degree at the LAST sweep's filter.
     */
-  def kcore(edges0: DataFrame, k: Int, sweeps: Int): DataFrame = {
+  def kcore(edges0: DataFrame, k: Int, sweeps: Int,
+            gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst")).distinct()
     val sym = ck.track(e.union(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(false))
+    if (sym.count() <= gateEdges) {
+      // Driver peel (already long-cast): identical incremental-decrement
+      // loop — full first degree count, then per sweep only the edges
+      // incident to the just-removed set, ending early at the fixpoint or
+      // at the sweep budget, whichever first. Note sym deliberately keeps
+      // a (a,b)+(b,a) input pair as two arcs each way, exactly as the
+      // union above does.
+      val arcs = sym.as[(Long, Long)].collect()
+      var deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      arcs.foreach { case (u, _) => deg.update(u, deg.getOrElse(u, 0L) + 1L) }
+      var removed = deg.iterator.filter(_._2 < k).map(_._1).toArray
+      removed.foreach(deg.remove)
+      var sweep = 2
+      var done = false
+      while (sweep <= sweeps && !done) {
+        if (removed.isEmpty) done = true
+        else {
+          val rm = removed.toSet
+          val lost = scala.collection.mutable.HashMap.empty[Long, Long]
+          arcs.foreach { case (u, v) =>
+            if (rm(v) && deg.contains(u))
+              lost.update(u, lost.getOrElse(u, 0L) + 1L)
+          }
+          lost.foreach { case (n, l) => deg.update(n, deg(n) - l) }
+          removed = deg.iterator.filter(_._2 < k).map(_._1).toArray
+          removed.foreach(deg.remove)
+          sweep += 1
+        }
+      }
+      return ck.seal(deg.toSeq.toDF("node", "deg"))
+    }
     // Incremental peel: after the full first count, each sweep only
     // touches edges INCIDENT TO newly-removed nodes (semi-join on the
     // removed set) and decrements survivors' degrees — total join work
@@ -646,11 +948,41 @@ object Graph {
     *
     * Output: (node, hub, auth) with 0 for nodes lacking a role.
     */
-  def hits(edges0: DataFrame, iters: Int): DataFrame = {
+  def hits(edges0: DataFrame, iters: Int,
+           gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = ck.track(edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst")).distinct()
       .localCheckpoint(false))
+    if (e.count() <= gateEdges) {
+      // Driver mirror (already long-cast + distinct): per double-sweep,
+      // a(v) = Σ h(u) over in-edges whose u currently holds a hub score,
+      // then h(u) = Σ a(v) over out-edges into the fresh authority set —
+      // inner-join semantics (nodes out of the frontier drop), final
+      // full-outer with 0 fill.
+      val es = e.as[(Long, Long)].collect()
+      var hub: Map[Long, Long] = es.iterator.map(_._1).toArray.distinct
+        .iterator.map(_ -> 1L).toMap
+      var auth: Map[Long, Long] = es.iterator.map(_._2).toArray.distinct
+        .iterator.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val a = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (u, v) =>
+          hub.get(u).foreach(h => a.update(v, a.getOrElse(v, 0L) + h)) }
+        auth = a.toMap
+        val hNew = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (u, v) =>
+          auth.get(v).foreach(av =>
+            hNew.update(u, hNew.getOrElse(u, 0L) + av)) }
+        hub = hNew.toMap
+      }
+      val ns = (hub.keysIterator ++ auth.keysIterator).toArray.distinct
+      return ck.seal(ns.toSeq.map(n =>
+          (n, hub.getOrElse(n, 0L), auth.getOrElse(n, 0L)))
+        .toDF("node", "hub", "auth"))
+    }
     var hub = ck.track(e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1L)).localCheckpoint(false))
     var auth = e.select(col("dst").as("node")).distinct()
@@ -677,13 +1009,37 @@ object Graph {
     * from that root, hop ≤ maxHops.
     */
   def multiSourceHops(edges0: DataFrame, seeds: DataFrame,
-                      maxHops: Int): DataFrame = {
+                      maxHops: Int,
+                      gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
     val sym = ck.track(e.union(
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false))
+    if (sym.count() <= gateEdges) {
+      // Driver per-root BFS (already long-cast): one synchronized sweep
+      // over all roots, roots at hop 0 even when edge-less.
+      val adj = sym.as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (u, a) => u -> a.map(_._2) }
+      val vis = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Int]
+      val roots = seeds.select(col(seeds.columns.head).cast("long"))
+        .distinct().as[Long].collect()
+      roots.foreach(r => vis.update((r, r), 0))
+      var frontier: Array[(Long, Long)] = roots.map(r => (r, r))
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        frontier = frontier.flatMap { case (r, n) =>
+          adj.getOrElse(n, Array.empty[Long]).map(r -> _) }
+          .distinct.filterNot(vis.contains)
+        frontier.foreach(p => vis.update(p, h))
+        h += 1
+      }
+      return ck.seal(vis.toSeq.map { case ((r, n), hp) => (r, n, hp) }
+        .toDF("root", "node", "hop"))
+    }
     var visited = ck.track(seeds
       .select(col(seeds.columns.head).cast("long").as("root")).distinct()
       .select(col("root"), col("root").as("node"))
@@ -720,12 +1076,39 @@ object Graph {
     *
     * Output: (node, scc_id, scc_size).
     */
-  def sccMutualReach(edges0: DataFrame, doublingRounds: Int): DataFrame = {
+  def sccMutualReach(edges0: DataFrame, doublingRounds: Int,
+                     gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     val e = edges0.select(col("src").cast("long").as("src"),
                           col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
     var r = ck.track(e.localCheckpoint(false))
+    if (r.count() <= gateEdges) {
+      // Driver mirror (already long-cast + distinct): the same
+      // `doublingRounds` rounds of R ← R ∪ R∘R (bounded path length
+      // 2^rounds — NOT a full transitive closure, so a longer-path-only
+      // mutual pair is equally invisible on both sides of the gate), then
+      // scc_id(v) = min(v, min mutual peer).
+      val es = r.as[(Long, Long)].collect()
+      var reach: Set[(Long, Long)] = es.toSet
+      for (_ <- 1 to doublingRounds) {
+        val bySrc = reach.groupBy(_._1)
+        val comp = reach.flatMap { case (a, x) =>
+          bySrc.getOrElse(x, Set.empty).map { case (_, b) => (a, b) } }
+        reach = reach ++ comp
+      }
+      val peers = reach.iterator.filter(p => reach((p._2, p._1)))
+        .toSeq.groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).min }
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+      val sccId = ns.iterator
+        .map(n => n -> math.min(n, peers.getOrElse(n, n))).toMap
+      val size = sccId.valuesIterator.toSeq.groupBy(identity)
+        .map { case (c, xs) => c -> xs.size.toLong }
+      return ck.seal(ns.toSeq.map(n => (n, sccId(n), size(sccId(n))))
+        .toDF("node", "scc_id", "scc_size"))
+    }
     for (_ <- 1 to doublingRounds) {
       val a = r.as("a"); val b = r.as("b")
       r = ck.track(r.union(a.join(b, col("a.dst") === col("b.src"))
@@ -758,7 +1141,10 @@ object Graph {
     * Input must be SYMMETRIC for undirected semantics: (src, dst, r).
     * Output: (src, dst, r = minimax rank), self-pairs excluded.
     */
-  def minimaxClosure(rankedEdges: DataFrame, rounds: Int): DataFrame = {
+  def minimaxClosure(rankedEdges: DataFrame, rounds: Int,
+                     gateEdges: Long = SmallGraphGate): DataFrame = {
+    val spark = rankedEdges.sparkSession
+    import spark.implicits._
     val ck = new Seal.Tracker
     var r = ck.track(rankedEdges
       .select(col("src").cast("long").as("src"),
@@ -767,6 +1153,32 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("r")).as("r"))
       .localCheckpoint(false))
+    if (r.count() <= gateEdges) {
+      // Driver (min, max)-semiring doubling (already long-cast +
+      // min-combined): `rounds` rounds of R ← min(R, R∘R with
+      // max-combine), self-pairs excluded, from the previous round's
+      // snapshot each time.
+      var reach: Map[(Long, Long), Long] = r.as[(Long, Long, Long)]
+        .collect().iterator.map { case (s, d, rk) => (s, d) -> rk }.toMap
+      for (_ <- 1 to rounds) {
+        val bySrc = reach.toSeq.groupBy(_._1._1)
+        val next = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        reach.foreach { case (k, v) => next.update(k, v) }
+        reach.foreach { case ((a, x), ra) =>
+          bySrc.getOrElse(x, Seq.empty).foreach { case ((_, b), rb) =>
+            if (a != b) {
+              val cand = math.max(ra, rb)
+              val key = (a, b)
+              if (!next.contains(key) || cand < next(key))
+                next.update(key, cand)
+            }
+          }
+        }
+        reach = next.toMap
+      }
+      return ck.seal(reach.toSeq.map { case ((s, d), rk) => (s, d, rk) }
+        .toDF("src", "dst", "r"))
+    }
     for (_ <- 1 to rounds) {
       val a = r.as("a"); val b = r.as("b")
       val comp = a.join(b, col("a.dst") === col("b.src"))

@@ -14,10 +14,13 @@ import graft.operators.Dedup
   *      more buckets is 8× less read for low-diversity deltas and no
   *      worse for diverse ones; cost = 8× the file count (disclosed).
   *  (b) within-bucket `_bk` sort at publish + pushed equality-OR filter
-  *      at read (≤ [[Dedup.SigPushdownKeyCap]] distinct delta keys):
-  *      row-group min/max stats skip most of a touched bucket's bytes —
-  *      including the fat shingle pages — even when the DIRECTORY count
-  *      can't prune.
+  *      at read (≤ [[Dedup.SigPushdownKeyCap]] distinct delta keys).
+  *      NOTE (r14 point-mode bytesRead): the filter's win is ROW-dropping
+  *      at the scan, not byte skipping (ratio exactly 1.0 across
+  *      sorted/unsorted × cap on/off); and since r15 large corpora
+  *      publish the SPLIT layout (thin band index, doc-bucketed shingle
+  *      side table), so grid-scale scans no longer carry shingle pages
+  *      at all.
   *
   * Deltas: DIVERSE = Stress15's 10k fresh docs (≈40k distinct band keys,
   * touches everything); HOMOGENEOUS = 10k docs that are copies of 50
@@ -182,7 +185,9 @@ object Stress16 {
     }
 
     val sizes: Seq[Long] =
-      if (which == "1m") Seq(1000000L) else Seq(1000000L, 10000000L)
+      if (which == "1m") Seq(1000000L)
+      else if (which == "10m") Seq(10000000L)
+      else Seq(1000000L, 10000000L)
     for (n <- sizes; nb <- Seq(64, 512)) {
       val root = s"/tmp/stress16_sig/n${n}_b$nb"
       new java.io.File(root).getParentFile.mkdirs()

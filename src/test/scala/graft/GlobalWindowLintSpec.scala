@@ -12,6 +12,14 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * plan shape (one hash partition over a provably bounded relation) while
   * making the intent explicit — and non-empty, so this lint stays clean.
   * Plan-based, so SQL-text and expr() windows are caught too.
+  *
+  * DimKey.one is for relations BOUNDED regardless of scale factor
+  * (day-grain calendars, decile grids, ≤ microBins cell rollups — e.g.
+  * the coarse-cell prefix inside `Profile.cellRank`); a DimKey.one rank
+  * over a relation that GROWS with SF (customers, suppliers) is a
+  * latent single-task scale-killer the lint cannot see, and belongs on
+  * `Profile.cellRank` instead (r14 verdict task 3 — q813/q823/q836 now
+  * all rank through the two-level cell shape).
   */
 class GlobalWindowLintSpec extends SparkTestBase {
 
