@@ -66,51 +66,32 @@ object Linkage {
     * mask1's low bits and corrupt both masks identically in both engines,
     * i.e. a green gate over a statistically wrong similarity.
     *
-    * All-integer, windowless, and codegen-friendly except the two HOF
-    * folds — per ROW cost is O(len²) worst case, so keep the input at
-    * candidate-pair grain (blocked, never all-pairs).
+    * All-integer and windowless; since r15 the fold itself runs in the
+    * native codegen twin (see the method note). Per ROW cost is O(len²)
+    * worst case, so keep the input at candidate-pair grain (blocked,
+    * never all-pairs).
     */
-  def withJaroWinklerPpm(df: DataFrame, c1: String, c2: String): DataFrame = {
-    val code = "1048576" // 2^20 mask packing
+  def withJaroWinklerPpm(df: DataFrame, c1: String, c2: String): DataFrame =
+    // r15: the greedy fold now runs in the NATIVE codegen expression
+    // graft.functions.JaroWinklerPpm — bit-identical to the packed-
+    // bitmask SQL fold it replaces (the reference fold lives on in
+    // JaroWinklerPpmSpec, which pins equality across a transposition-
+    // heavy fixture; the DuckDB oracle still replays its own list_reduce
+    // twin). The interpreted HOF walked its expression tree per
+    // character per row (~26 ms/row measured on q714's pairs); the
+    // native call stays inside whole-stage codegen.
     df
       .withColumn("_jw_ok", assert_true(
         length(col(c1)).between(1, 20) && length(col(c2)).between(1, 20),
         concat(lit(s"jaroWinkler packed-bitmask fold requires 1..20 chars" +
           s" in $c1/$c2, got: "), col(c1), lit(" / "), col(c2))))
       .filter(col("_jw_ok").isNull)
-      .withColumn("_l1", length(col(c1)).cast("int"))
-      .withColumn("_l2", length(col(c2)).cast("int"))
-      .withColumn("_w", expr("greatest(greatest(_l1, _l2) DIV 2 - 1, 0)"))
-      .withColumn("_st", expr(
-        "aggregate(sequence(1, _l1), 0L, (st, i) -> " +
-          "IF(size(filter(IF(greatest(1, i - _w) > least(_l2, i + _w), array(), " +
-          "sequence(greatest(1, i - _w), least(_l2, i + _w))), " +
-          s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
-          s"AND substring($c2, j, 1) = substring($c1, i, 1))) = 0, st, " +
-          s"st + shiftleft(1L, i - 1) * $code + shiftleft(1L, " +
-          "element_at(filter(IF(greatest(1, i - _w) > least(_l2, i + _w), array(), " +
-          "sequence(greatest(1, i - _w), least(_l2, i + _w))), " +
-          s"j -> ((st % $code) DIV shiftleft(1L, j - 1)) % 2 = 0 " +
-          s"AND substring($c2, j, 1) = substring($c1, i, 1)), 1) - 1)))"))
-      .withColumn("m", expr(s"CAST(bit_count(_st DIV $code) AS BIGINT)"))
-      .withColumn("_t_raw", expr(
-        "IF(m = 0, 0L, " + // speculative-eval guard (ANSI hoists past filters)
-        "CAST(size(filter(sequence(1, CAST(m AS INT)), k -> " +
-          s"substring($c1, element_at(filter(sequence(1, _l1), i -> (_st DIV $code DIV shiftleft(1L, i - 1)) % 2 = 1), k), 1) != " +
-          s"substring($c2, element_at(filter(sequence(1, _l2), j -> (_st % $code DIV shiftleft(1L, j - 1)) % 2 = 1), k), 1))) AS BIGINT))"))
-      .withColumn("jaro_ppm", expr(
-        "IF(m = 0, 0L, " +
-          "(m * m * _l2 + m * m * _l1 + (m - _t_raw DIV 2) * _l1 * _l2) " +
-          "* 1000000 DIV (3 * _l1 * _l2 * m))"))
-      .withColumn("_pl", expr(
-        s"coalesce(array_min(filter(sequence(1, least(4, least(_l1, _l2))), " +
-          s"k -> substring($c1, k, 1) != substring($c2, k, 1))) - 1, " +
-          "least(4, least(_l1, _l2)))"))
-      .withColumn("jw_ppm", expr(
-        "IF(m = 0, 0L, jaro_ppm + _pl * (1000000 - jaro_ppm) DIV 10)"))
-      .withColumn("transpositions", expr("_t_raw DIV 2"))
-      .drop("_jw_ok", "_l1", "_l2", "_w", "_st", "_t_raw", "_pl")
-  }
+      .withColumn("_jw", graft.functions.JaroWinklerPpm(col(c1), col(c2)))
+      .withColumn("m", col("_jw.m"))
+      .withColumn("jaro_ppm", col("_jw.jaro_ppm"))
+      .withColumn("jw_ppm", col("_jw.jw_ppm"))
+      .withColumn("transpositions", col("_jw.transpositions"))
+      .drop("_jw_ok", "_jw")
 
   /** Blocked Jaro–Winkler linkage — the SAME blocking interface as
     * [[fuzzyPairs]] (candidate pairs = an equi-join on caller-chosen
